@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Single place for performance-relevant session configuration.
+  *
+  * Tuned for local[32] testing but designed for cluster scale: AQE handles
+  * runtime re-planning (skew joins, partition coalescing), broadcast
+  * threshold covers the dimension tables, and shuffle partitions default to
+  * the core count (overridden by the cluster at real scale).
+  */
+object GraftSession {
+  def builder(master: String = "local[32]", shufflePartitions: Int = 32): SparkSession.Builder =
+    SparkSession
+      .builder()
+      .master(master)
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold", (64 * 1024 * 1024).toString)
+      .config("spark.sql.parquet.filterPushdown", "true")
+      // events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized
+      // reader rejects; read as epoch-nanos long (exact int64 — and the
+      // DuckDB oracle matches it via epoch_ns()).
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // DetectAmbiguousSelfJoin false-positives on rollup-after-join plans
+      // (the Expand duplicates grouping attributes); no self-joins here rely
+      // on dataset-id disambiguation, so the check is safe to disable.
+      .config("spark.sql.analyzer.failAmbiguousSelfJoin", "false")
+      .config("spark.ui.enabled", "false")
+
+  def get(): SparkSession = {
+    val s = builder().getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

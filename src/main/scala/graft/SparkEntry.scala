@@ -1,13 +1,157 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.operators._
+
+/** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    RelationalOps.pricingSummary(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_pricing_summary" -> (RelationalOps.pricingSummary _),
+    "q02_filter_pushdown" -> (RelationalOps.filterPushdown _),
+    "q03_join_agg"        -> (RelationalOps.joinAgg _),
+    "q04_exists_semijoin" -> (RelationalOps.existsSemijoin _),
+    "q05_multi_join"      -> (RelationalOps.multiJoin _),
+    "q06_scan_agg"        -> (RelationalOps.scanAgg _),
+    "q07_window_rank"     -> (RelationalOps.windowRank _),
+    "q08_window_running"  -> (RelationalOps.windowRunning _),
+    "q09_rollup"          -> (RelationalOps.rollupAgg _),
+    "q10_antijoin"        -> (RelationalOps.antiJoin _),
+    "q11_topk_per_group"  -> (RelationalOps.topkPerGroup _),
+    "q12_distinct_count"  -> (RelationalOps.distinctCount _),
+    "q12b_approx_distinct" -> (RelationalOps.approxDistinct _),
+    "q13_case_pivot"      -> (RelationalOps.casePivot _),
+    "q14_percentiles"     -> (RelationalOps.percentiles _),
+    "q15_union_dedup"     -> (RelationalOps.unionDedup _),
+  )
+
+  // Exact-sum carrier used by every oracle: identical decimal cast chain as
+  // graft.functions.Exact, so double aggregates are bit-identical.
+  private def S(x: String)  = s"CAST(SUM(CAST($x AS DECIMAL(27,6))) AS DOUBLE)"
+  private def A(x: String)  = s"CAST(SUM(CAST($x AS DECIMAL(27,6))) AS DOUBLE)/COUNT($x)"
+
+  /** DuckDB-runnable oracle SQL per query (same column aliases both sides). */
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  ${S("l_quantity")} AS sum_qty,
+         |  ${S("l_extendedprice")} AS sum_base_price,
+         |  ${S("l_extendedprice*(1.0-l_discount)")} AS sum_disc_price,
+         |  ${S("l_extendedprice*(1.0-l_discount)*(1.0+l_tax)")} AS sum_charge,
+         |  ${A("l_quantity")} AS avg_qty,
+         |  ${A("l_extendedprice")} AS avg_price,
+         |  ${A("l_discount")} AS avg_disc,
+         |  COUNT(*) AS count_order
+         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+         |GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q02_filter_pushdown" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity, l_extendedprice
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-07-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q03_join_agg" ->
+      s"""SELECT o_orderkey, ${S("l_extendedprice*(1.0-l_discount)")} AS revenue,
+         |  strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate
+         |FROM customer, orders, lineitem
+         |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+         |  AND o_orderdate < TIMESTAMP '1998-01-01' AND l_shipdate > TIMESTAMP '1998-01-01'
+         |GROUP BY o_orderkey, o_orderdate
+         |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "q04_exists_semijoin" ->
+      """SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity >= 48)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q05_multi_join" ->
+      s"""SELECT n_name, ${S("l_extendedprice*(1.0-l_discount)")} AS revenue
+         |FROM customer, orders, lineitem, supplier, nation, region
+         |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey AND l_suppkey = s_suppkey
+         |  AND c_nationkey = s_nationkey AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+         |  AND r_name = 'ASIA'
+         |  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+         |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "q06_scan_agg" ->
+      s"""SELECT ${S("l_extendedprice*l_discount")} AS revenue, COUNT(*) AS n
+         |FROM lineitem
+         |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+         |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
+
+    "q07_window_rank" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rnk FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    CAST(RANK() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rnk
+        |  FROM orders) t
+        |WHERE rnk <= 3 ORDER BY o_custkey, rnk, o_orderkey""".stripMargin,
+
+    "q08_window_running" ->
+      """SELECT event_id, user_id,
+        |  CAST(SUM(CAST(value AS DECIMAL(27,6))) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value,
+        |  LAG(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q09_rollup" ->
+      s"""SELECT r_name, n_name, COUNT(*) AS n_customers, ${S("c_acctbal")} AS sum_bal
+         |FROM region JOIN nation ON n_regionkey = r_regionkey
+         |JOIN customer ON c_nationkey = n_nationkey
+         |GROUP BY ROLLUP(r_name, n_name)
+         |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin,
+
+    "q10_antijoin" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |                  AND o_orderdate >= TIMESTAMP '2000-01-01')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q11_topk_per_group" ->
+      """SELECT event_type, event_id, user_id, value, rn FROM (
+        |  SELECT event_type, event_id, user_id, value,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS BIGINT) AS rn
+        |  FROM events) t
+        |WHERE rn <= 3 ORDER BY event_type, rn""".stripMargin,
+
+    "q12_distinct_count" ->
+      """SELECT COUNT(DISTINCT l_partkey) AS n_parts, COUNT(DISTINCT l_suppkey) AS n_supps,
+        |  COUNT(DISTINCT l_orderkey) AS n_orders
+        |FROM lineitem""".stripMargin,
+
+    "q13_case_pivot" ->
+      s"""SELECT user_id,
+         |  CAST(SUM(CASE WHEN event_type='click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+         |  CAST(SUM(CASE WHEN event_type='view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+         |  CAST(SUM(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+         |  CAST(SUM(CASE WHEN event_type='signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+         |  CAST(SUM(CASE WHEN event_type='error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+         |  MAX(CASE WHEN event_type='purchase' THEN value END) AS max_purchase,
+         |  ${S("CASE WHEN event_type='purchase' THEN value ELSE 0.0 END")} AS sum_purchase
+         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q14_percentiles" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.5) AS median_qty,
+        |  quantile_cont(l_quantity, 0.9) AS p90_qty,
+        |  quantile_cont(l_extendedprice, 0.25) AS p25_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q15_union_dedup" ->
+      """WITH u AS (
+        |  SELECT doc_id, text FROM documents WHERE source = 'src0'
+        |  UNION ALL SELECT doc_id, text FROM documents WHERE source = 'src1'
+        |  UNION ALL SELECT doc_id, text FROM documents)
+        |SELECT md5(text) AS text_hash, MIN(doc_id) AS keeper_doc_id, COUNT(*) AS n_copies
+        |FROM u GROUP BY md5(text) ORDER BY text_hash""".stripMargin,
+  )
 }

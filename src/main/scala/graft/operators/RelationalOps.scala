@@ -1,0 +1,218 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Exact._
+
+/** Relational core (SURVEY.md §2.A).
+  *
+  * Every operator is a declarative DataFrame plan: filters/projections reach
+  * the parquet scan (pushdown + pruning), dimension joins broadcast, and all
+  * aggregations are partial (map-side combine). Nothing here collects to the
+  * driver, so each operator scales with executors.
+  */
+object RelationalOps {
+
+  /** q01 — grouped aggregation with exact-decimal measures (TPC-H Q1 shape).
+    * One shuffle on the (tiny-cardinality) group key; map-side partials do
+    * nearly all the work at scale.
+    */
+  def pricingSummary(s: SparkSession, d: String): DataFrame = {
+    val l = Tables.lineitem(s, d).filter(col("l_shipdate") <= lit("1998-09-01").cast("timestamp"))
+    l.groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))).as("sum_charge"),
+        davg(col("l_quantity")).as("avg_qty"),
+        davg(col("l_extendedprice")).as("avg_price"),
+        davg(col("l_discount")).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  /** q02 — selective scan: both predicates and the 5-column projection push
+    * into the parquet reader (PushedFilters / ReadSchema).
+    */
+  def filterPushdown(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(
+        col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") <  lit("1997-07-01").cast("timestamp") &&
+        col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity", "l_extendedprice")
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** q03 — segment revenue top-N (TPC-H Q3 shape). `customer` is a dimension
+    * -> broadcast; the orders⋈lineitem join shuffles on orderkey.
+    */
+  def joinAgg(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+    val o = Tables.orders(s, d).filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+    val l = Tables.lineitem(s, d).filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("o_orderkey"), col("o_orderdate"))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+      .select(col("o_orderkey"), col("revenue"), date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(10)
+  }
+
+  /** q04 — EXISTS as a left-semi join (no row duplication, no distinct). */
+  def existsSemijoin(s: SparkSession, d: String): DataFrame = {
+    val big = Tables.lineitem(s, d).filter(col("l_quantity") >= 48).select("l_orderkey")
+    Tables.orders(s, d)
+      .join(big, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .select("o_orderkey", "o_totalprice", "o_orderstatus")
+      .orderBy("o_orderkey")
+  }
+
+  /** q05 — 5-way star join (TPC-H Q5 shape): all dims broadcast, single
+    * shuffle chain on the fact keys; AQE handles skew at scale.
+    */
+  def multiJoin(s: SparkSession, d: String): DataFrame = {
+    val r = Tables.region(s, d).filter(col("r_name") === "ASIA")
+    val n = Tables.nation(s, d)
+    val sup = Tables.supplier(s, d)
+    val c = Tables.customer(s, d)
+    val o = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("o_orderdate") <  lit("1998-01-01").cast("timestamp"))
+    val l = Tables.lineitem(s, d)
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("n_name")
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** q06 — single-pass conditional aggregation; only the final 1-row reduce
+    * shuffles.
+    */
+  def scanAgg(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(
+        col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") <  lit("1998-01-01").cast("timestamp") &&
+        col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .agg(dsum(col("l_extendedprice") * col("l_discount")).as("revenue"), count(lit(1)).as("n"))
+
+  /** q07 — rank per customer; window partitions by a high-cardinality key so
+    * state per partition stays bounded at scale.
+    */
+  def windowRank(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(s, d)
+      .withColumn("rnk", rank().over(w).cast("long"))
+      .filter(col("rnk") <= 3)
+      .select("o_custkey", "o_orderkey", "o_totalprice", "rnk")
+      .orderBy("o_custkey", "rnk", "o_orderkey")
+  }
+
+  /** q08 — running sum / lag per user over event time. The running sum uses
+    * the exact-decimal carrier so it is partition-order independent.
+    */
+  def windowRunning(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wl = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    Tables.events(s, d)
+      .select(
+        col("event_id"), col("user_id"),
+        sum(acc(col("value"))).over(w).cast("double").as("running_value"),
+        lag(col("value"), 1).over(wl).as("prev_value"))
+      .orderBy("event_id")
+  }
+
+  /** q09 — hierarchical rollup region -> nation. */
+  def rollupAgg(s: SparkSession, d: String): DataFrame = {
+    val j = Tables.customer(s, d)
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .select("r_name", "n_name", "c_acctbal")
+    j.rollup("r_name", "n_name")
+      .agg(count(lit(1)).as("n_customers"), dsum(col("c_acctbal")).as("sum_bal"))
+      .orderBy(asc_nulls_first("r_name"), asc_nulls_first("n_name"))
+  }
+
+  /** q10 — anti join: customers with no orders since 2000. */
+  def antiJoin(s: SparkSession, d: String): DataFrame = {
+    val recent = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+      .select("o_custkey")
+    Tables.customer(s, d)
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  /** q11 — top-k per group (frame-selection-per-camera shape). */
+  def topkPerGroup(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy(col("value").desc, col("event_id"))
+    Tables.events(s, d)
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 3)
+      .select("event_type", "event_id", "user_id", "value", "rn")
+      .orderBy("event_type", "rn")
+  }
+
+  /** q12 — exact distinct counts (one shuffle per distinct via expand). */
+  def distinctCount(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d).agg(
+      countDistinct(col("l_partkey")).as("n_parts"),
+      countDistinct(col("l_suppkey")).as("n_supps"),
+      countDistinct(col("l_orderkey")).as("n_orders"))
+
+  /** q12b — sketch-based distinct (HLL): constant memory at any scale;
+    * rows-only check (sketch estimates are engine-specific).
+    */
+  def approxDistinct(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d).agg(
+      approx_count_distinct(col("l_partkey")).as("approx_parts"),
+      approx_count_distinct(col("l_orderkey")).as("approx_orders"))
+
+  /** q13 — conditional pivot: event type -> columns (the reference's
+    * DynamoDB label-pivot shape). Single shuffle on user_id.
+    */
+  def casePivot(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+    def cnt(t: String) = sum(when(col("event_type") === t, 1).otherwise(0)).cast("long").as(s"n_$t")
+    e.groupBy("user_id")
+      .agg(
+        cnt("click"), cnt("view"), cnt("purchase"), cnt("signup"), cnt("error"),
+        max(when(col("event_type") === "purchase", col("value"))).as("max_purchase"),
+        dsum(when(col("event_type") === "purchase", col("value")).otherwise(0.0)).as("sum_purchase"))
+      .orderBy("user_id")
+  }
+
+  /** q14 — exact interpolated percentiles per group. */
+  def percentiles(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        percentile(col("l_quantity"), lit(0.5)).as("median_qty"),
+        percentile(col("l_quantity"), lit(0.9)).as("p90_qty"),
+        percentile(col("l_extendedprice"), lit(0.25)).as("p25_price"))
+      .orderBy("l_returnflag")
+
+  /** q15 — union + exact content-hash dedup across sources (md5 is the
+    * portable content key; grouping on it is one shuffle).
+    */
+  def unionDedup(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val u = docs.filter(col("source") === "src0").select("doc_id", "text")
+      .unionAll(docs.filter(col("source") === "src1").select("doc_id", "text"))
+      .unionAll(docs.select("doc_id", "text"))
+    u.groupBy(md5(col("text").cast("binary")).as("text_hash"))
+      .agg(min(col("doc_id")).as("keeper_doc_id"), count(lit(1)).as("n_copies"))
+      .orderBy("text_hash")
+  }
+}

@@ -1,0 +1,93 @@
+#!/usr/bin/env python3
+"""Local emulation of the driver's correctness gate.
+
+Runs DuckDB on oracle_sql.json against the same sf dir, loads the Spark
+parquet dumps, sorts columns by name + rows by all values, and compares.
+
+Usage: python3 tools/parity.py <sfdir> <verify_out_dir>
+"""
+import sys, os, json, glob, math
+import duckdb
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+def load_spark(outdir, name):
+    files = glob.glob(os.path.join(outdir, name, "*.parquet"))
+    if not files:
+        return None
+    con = duckdb.connect()
+    rel = con.execute(f"SELECT * FROM read_parquet({files!r})")
+    cols = [d[0] for d in rel.description]
+    rows = rel.fetchall()
+    return cols, rows
+
+def norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return v
+    return v
+
+def key(row):
+    return tuple((x is None, str(x)) for x in row)
+
+def compare(name, spark, oracle):
+    scols, srows = spark
+    ocols, orows = oracle
+    if sorted(scols) != sorted(ocols):
+        return f"SCHEMA cols spark={sorted(scols)} oracle={sorted(ocols)}"
+    order = sorted(range(len(scols)), key=lambda i: scols[i])
+    omap = [ocols.index(scols[i]) for i in order]
+    srows = sorted([tuple(norm(r[i]) for i in order) for r in srows], key=key)
+    orows = sorted([tuple(norm(r[i]) for i in omap) for r in orows], key=key)
+    if len(srows) != len(orows):
+        return f"ROWS spark={len(srows)} oracle={len(orows)}"
+    bad = 0
+    worst = None
+    for a, b in zip(srows, orows):
+        if a != b:
+            # show first mismatch with detail
+            for x, y in zip(a, b):
+                if x != y:
+                    d = abs(x - y) if isinstance(x, (int, float)) and isinstance(y, (int, float)) and x is not None and y is not None else None
+                    if worst is None:
+                        worst = (x, y, d)
+            bad += 1
+    if bad:
+        return f"VALUES {bad}/{len(srows)} rows differ; first: spark={worst[0]!r} oracle={worst[1]!r} absdiff={worst[2]}"
+    return None
+
+def main():
+    sfdir, outdir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sfdir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    sql = json.load(open(os.path.join(outdir, "oracle_sql.json")))
+    names = sorted(os.listdir(outdir))
+    ok = fail = 0
+    for name in names:
+        if not os.path.isdir(os.path.join(outdir, name)):
+            continue
+        spark = load_spark(outdir, name)
+        if spark is None:
+            print(f"  {name}: NO SPARK OUTPUT"); fail += 1; continue
+        if name not in sql:
+            print(f"  {name}: rows-only ({len(spark[1])} rows)"); ok += 1; continue
+        try:
+            rel = con.execute(sql[name])
+            ocols = [d[0] for d in rel.description]
+            orows = rel.fetchall()
+        except Exception as e:
+            print(f"  {name}: ORACLE SQL ERROR {e}"); fail += 1; continue
+        err = compare(name, spark, (ocols, orows))
+        if err:
+            print(f"  {name}: MISMATCH {err}"); fail += 1
+        else:
+            print(f"  {name}: OK ({len(spark[1])} rows)"); ok += 1
+    print(f"== {ok} ok, {fail} fail")
+    sys.exit(1 if fail else 0)
+
+if __name__ == "__main__":
+    main()
