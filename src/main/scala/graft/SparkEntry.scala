@@ -29,7 +29,26 @@ object SparkEntry {
     "q13_case_pivot"      -> (RelationalOps.casePivot _),
     "q14_percentiles"     -> (RelationalOps.percentiles _),
     "q15_union_dedup"     -> (RelationalOps.unionDedup _),
+    "q20_frame_index"     -> (RosbagDomainOps.frameIndex _),
+    "q21_sessionize"      -> (RosbagDomainOps.sessionize _),
+    "q22_frame_gaps"      -> (RosbagDomainOps.frameGaps _),
+    "q23_detect_maxconf"  -> (RosbagDomainOps.detectMaxConf _),
+    "q24_vru_filter"      -> (RosbagDomainOps.vruFilter _),
+    "q25_label_search"    -> (RosbagDomainOps.labelSearch _),
+    "q26_asof_join"       -> (RosbagDomainOps.asofJoin _),
+    "q27_monitor_status"  -> (RosbagDomainOps.monitorStatus _),
+    "q28_bbox_normalize"  -> (RosbagDomainOps.bboxNormalize _),
+    "q29_bbox_iou"        -> (RosbagDomainOps.bboxIou _),
+    "q30_train_val_split" -> (RosbagDomainOps.trainValSplit _),
   )
+
+  // Shared oracle CTE: deterministic synthetic bounding boxes from `part`
+  // (mirrors RosbagDomainOps.boxes).
+  private val BOXES =
+    """boxes AS (SELECT p_partkey AS box_id, p_partkey % 50 AS image_id,
+      |  (p_partkey * 37) % 700 AS x, (p_partkey * 53) % 500 AS y,
+      |  CAST((p_size * 7) % 100 + 20 AS BIGINT) AS w,
+      |  CAST((p_size * 11) % 80 + 20 AS BIGINT) AS h FROM part)""".stripMargin
 
   // Exact-sum carrier used by every oracle: identical decimal cast chain as
   // graft.functions.Exact, so double aggregates are bit-identical.
@@ -153,5 +172,114 @@ object SparkEntry {
         |  UNION ALL SELECT doc_id, text FROM documents)
         |SELECT md5(text) AS text_hash, MIN(doc_id) AS keeper_doc_id, COUNT(*) AS n_copies
         |FROM u GROUP BY md5(text) ORDER BY text_hash""".stripMargin,
+
+    "q20_frame_index" ->
+      """SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS frame_no,
+        |  strftime(ts, '%Y-%m-%dT%H:%M:%S') AS iso_time
+        |FROM events ORDER BY user_id, frame_no""".stripMargin,
+
+    "q21_sessionize" ->
+      """WITH flagged AS (
+        |  SELECT user_id, event_id, epoch_ns(ts) AS tns,
+        |    CASE WHEN lag(epoch_ns(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |         OR epoch_ns(ts) - lag(epoch_ns(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |            > 21600000000000 THEN 1 ELSE 0 END AS is_new
+        |  FROM events),
+        |sessions AS (
+        |  SELECT user_id, tns,
+        |    CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY tns, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+        |  FROM flagged)
+        |SELECT user_id, session_seq, COUNT(*) AS n_events,
+        |  (MAX(tns) - MIN(tns)) // 1000000000 AS duration_s,
+        |  strftime(make_timestamp(MIN(tns) // 1000), '%Y-%m-%dT%H:%M:%S') AS start_iso
+        |FROM sessions GROUP BY user_id, session_seq
+        |ORDER BY user_id, session_seq""".stripMargin,
+
+    "q22_frame_gaps" ->
+      """SELECT user_id, event_id, prev_event_id, gap_ms FROM (
+        |  SELECT user_id, event_id,
+        |    lag(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_event_id,
+        |    (epoch_ns(ts) - lag(epoch_ns(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+        |      // 1000000 AS gap_ms
+        |  FROM events) t
+        |WHERE gap_ms > 172800000 ORDER BY user_id, event_id""".stripMargin,
+
+    "q23_detect_maxconf" ->
+      """SELECT user_id, strftime(ts, '%Y-%m-%d') AS day,
+        |  MAX(CASE WHEN event_type='click' THEN value END) AS max_click,
+        |  MAX(CASE WHEN event_type='view' THEN value END) AS max_view,
+        |  MAX(CASE WHEN event_type='purchase' THEN value END) AS max_purchase,
+        |  CAST(SUM(CASE WHEN event_type='click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+        |  CAST(SUM(CASE WHEN event_type='view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+        |  CAST(SUM(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+        |  CAST(SUM(CASE WHEN event_type='error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+        |  COUNT(*) AS n_detections
+        |FROM events GROUP BY user_id, strftime(ts, '%Y-%m-%d')
+        |ORDER BY user_id, day""".stripMargin,
+
+    "q24_vru_filter" ->
+      """SELECT DISTINCT user_id, strftime(ts, '%Y-%m-%d') AS day
+        |FROM events WHERE event_type IN ('error', 'signup')
+        |ORDER BY user_id, day""".stripMargin,
+
+    "q25_label_search" ->
+      """SELECT event_id, user_id, value, strftime(ts, '%Y-%m-%dT%H:%M:%S') AS iso_time
+        |FROM events
+        |WHERE event_type = 'purchase' AND value >= 150.0
+        |  AND epoch_ns(ts) >= 1704412800000000000 AND epoch_ns(ts) < 1706745600000000000
+        |ORDER BY value DESC, event_id LIMIT 20""".stripMargin,
+
+    "q26_asof_join" ->
+      """SELECT v.event_id AS view_id, v.user_id AS user_id, c.event_id AS click_id,
+        |  (epoch_us(v.ts) - epoch_us(c.ts)) // 1000 AS lag_ms
+        |FROM (SELECT * FROM events WHERE event_type = 'view') v
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON v.user_id = c.user_id AND v.ts >= c.ts
+        |ORDER BY view_id""".stripMargin,
+
+    "q27_monitor_status" ->
+      """SELECT user_id, event_id AS last_event_id, event_type AS last_status, n_events, span_s
+        |FROM (
+        |  SELECT user_id, event_id, event_type,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn,
+        |    COUNT(*) OVER (PARTITION BY user_id) AS n_events,
+        |    (MAX(epoch_ns(ts)) OVER (PARTITION BY user_id)
+        |     - MIN(epoch_ns(ts)) OVER (PARTITION BY user_id)) // 1000000000 AS span_s
+        |  FROM events) t
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    "q28_bbox_normalize" ->
+      s"""WITH $BOXES
+         |SELECT box_id, image_id,
+         |  COUNT(*) OVER (PARTITION BY image_id) AS n_boxes,
+         |  x / 800.0 AS xmin, (x + w) / 800.0 AS xmax,
+         |  y / 600.0 AS ymin, (y + h) / 600.0 AS ymax,
+         |  w * h / (800.0 * 600.0) AS area
+         |FROM boxes ORDER BY box_id""".stripMargin,
+
+    "q29_bbox_iou" ->
+      s"""WITH $BOXES
+         |SELECT a.image_id AS image_id, a.box_id AS box_a, b.box_id AS box_b,
+         |  CAST(inter AS DOUBLE) / uni AS iou
+         |FROM boxes a JOIN boxes b
+         |  ON a.image_id = b.image_id AND a.box_id < b.box_id,
+         |LATERAL (SELECT
+         |  GREATEST(0, LEAST(a.x + a.w, b.x + b.w) - GREATEST(a.x, b.x))
+         |  * GREATEST(0, LEAST(a.y + a.h, b.y + b.h) - GREATEST(a.y, b.y)) AS inter,
+         |  a.w * a.h + b.w * b.h
+         |  - GREATEST(0, LEAST(a.x + a.w, b.x + b.w) - GREATEST(a.x, b.x))
+         |    * GREATEST(0, LEAST(a.y + a.h, b.y + b.h) - GREATEST(a.y, b.y)) AS uni) t
+         |WHERE inter > 0
+         |ORDER BY image_id, box_a, box_b""".stripMargin,
+
+    "q30_train_val_split" ->
+      """SELECT lang,
+        |  CASE WHEN (doc_id * 2654435761) % 100 < 80 THEN 'train' ELSE 'val' END AS split,
+        |  COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents
+        |GROUP BY lang, CASE WHEN (doc_id * 2654435761) % 100 < 80 THEN 'train' ELSE 'val' END
+        |ORDER BY lang, split""".stripMargin,
   )
 }

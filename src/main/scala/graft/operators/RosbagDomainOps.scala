@@ -1,0 +1,235 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Exact._
+
+/** ROS-bag domain operators (SURVEY.md §2.B): the reference's data-lake
+  * semantics re-expressed as Spark plans. The `events` table stands in for
+  * the sensor/detection stream (ts = ROS time, user_id = camera/connection
+  * id, event_type = topic/label, value = measurement/confidence); the real
+  * binary bag grammar lives in graft.sources.rosbag and is unit-tested on
+  * synthesized bag bytes.
+  *
+  * `ts` is epoch-nanos (long) end to end — exact int64 arithmetic, no
+  * float time anywhere, which is what you want for 100 TB of sensor logs.
+  */
+object RosbagDomainOps {
+
+  /** Seconds-resolution ISO8601 from epoch-nanos, mirroring
+    * bagstream.py:212 `ros_time_to_iso`. */
+  private def iso(ts: Column, fmt: String = "yyyy-MM-dd'T'HH:mm:ss"): Column =
+    date_format(timestamp_micros(call_function("div", ts, lit(1000L))), fmt)
+
+  /** q20 — per-camera frame index: monotonically numbered frames + ISO time
+    * (bagstream.py frame_count/isotime). Window partitions by camera id, so
+    * state is bounded per camera at any scale.
+    */
+  def frameIndex(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("ts"))
+      .withColumn("frame_no", row_number().over(w).cast("long"))
+      .withColumn("iso_time", iso(col("ts")))
+      // µs precision in the output: the oracle engine only surfaces µs
+      .withColumn("ts_us", call_function("div", col("ts"), lit(1000L)))
+      .drop("ts")
+      .orderBy("user_id", "frame_no")
+  }
+
+  /** q21 — recording sessionization: a gap > 6h starts a new session (the
+    * mp4-per-recording grouping in main.py). Classic two-window plan:
+    * lag -> new-session flag -> running sum = session id, then one
+    * aggregation; everything stays partitioned by camera.
+    */
+  def sessionize(s: SparkSession, d: String): DataFrame = {
+    val gapNs = 21600L * 1000000000L
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("ts"))
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("is_new",
+        when(col("prev_ts").isNull || col("ts") - col("prev_ts") > gapNs, 1L).otherwise(0L))
+      .withColumn("session_seq", sum(col("is_new")).over(wRun))
+      .groupBy("user_id", "session_seq")
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("ts")).as("start_ns"),
+        max(col("ts")).as("end_ns"))
+      .select(
+        col("user_id"), col("session_seq"),
+        col("n_events"),
+        call_function("div", col("end_ns") - col("start_ns"), lit(1000000000L)).as("duration_s"),
+        iso(col("start_ns")).as("start_iso"))
+      .orderBy("user_id", "session_seq")
+  }
+
+  /** q22 — dropped-frame detection: inter-frame delta above threshold. */
+  def frameGaps(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("ts"))
+      .withColumn("prev_event_id", lag(col("event_id"), 1).over(w))
+      .withColumn("gap_ms", call_function("div", col("ts") - lag(col("ts"), 1).over(w), lit(1000000L)))
+      .filter(col("gap_ms") > 172800000L) // > 48h
+      .select("user_id", "event_id", "prev_event_id", "gap_ms")
+      .orderBy("user_id", "event_id")
+  }
+
+  /** q23 — detection-results pivot: per (camera, day), max confidence per
+    * label + instance counts — the DynamoDB conditional-upsert semantics of
+    * process-queue-sync.py ("attribute_not_exists OR name < :conf") as one
+    * shuffle-once aggregation.
+    */
+  def detectMaxConf(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d).withColumn("day", iso(col("ts"), "yyyy-MM-dd"))
+    def maxConf(t: String) = max(when(col("event_type") === t, col("value"))).as(s"max_$t")
+    def cnt(t: String)     = sum(when(col("event_type") === t, 1).otherwise(0)).cast("long").as(s"n_$t")
+    e.groupBy("user_id", "day")
+      .agg(
+        maxConf("click"), maxConf("view"), maxConf("purchase"),
+        cnt("click"), cnt("view"), cnt("purchase"), cnt("error"),
+        count(lit(1)).as("n_detections"))
+      .orderBy("user_id", "day")
+  }
+
+  /** q24 — VRU selection (select-labelling-imgs filter_vru): distinct
+    * camera-days containing any of the target labels.
+    */
+  def vruFilter(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .filter(col("event_type").isin("error", "signup"))
+      .select(col("user_id"), iso(col("ts"), "yyyy-MM-dd").as("day"))
+      .distinct()
+      .orderBy("user_id", "day")
+
+  /** q25 — "images containing X" search: label + confidence + time-range
+    * predicate, top matches. All three predicates push to the scan.
+    */
+  def labelSearch(s: SparkSession, d: String): DataFrame = {
+    val lo = 1704412800L * 1000000000L // 2024-01-05T00:00Z
+    val hi = 1706745600L * 1000000000L // 2024-02-01T00:00Z
+    Tables.events(s, d)
+      .filter(col("event_type") === "purchase" && col("value") >= 150.0 &&
+              col("ts") >= lo && col("ts") < hi)
+      .select(col("event_id"), col("user_id"), col("value"), iso(col("ts")).as("iso_time"))
+      .orderBy(col("value").desc, col("event_id"))
+      .limit(20)
+  }
+
+  /** q26 — as-of join (sensor fusion): for each 'view' frame, the nearest
+    * earlier-or-equal 'click' reading of the same camera. Implemented as a
+    * union + last-non-null window — a single shuffle on (user_id), no range
+    * cross join, so it scales linearly where a naive as-of would be
+    * quadratic. DuckDB's native ASOF JOIN is the oracle.
+    */
+  def asofJoin(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+    // kind 0 = right side (click), 1 = left side (view): at equal ts the
+    // click sorts first, matching ASOF's v.ts >= c.ts inclusivity.
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"), lit(0).as("kind"))
+    val views = e.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts"), col("event_id"), lit(1).as("kind"))
+    val w = Window.partitionBy("user_id").orderBy("ts", "kind", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    clicks.unionAll(views)
+      .withColumn("click_id", last(when(col("kind") === 0, col("event_id")), ignoreNulls = true).over(w))
+      .withColumn("click_ts", last(when(col("kind") === 0, col("ts")), ignoreNulls = true).over(w))
+      .filter(col("kind") === 1)
+      .select(
+        col("event_id").as("view_id"), col("user_id"),
+        col("click_id"),
+        call_function("div",
+          call_function("div", col("ts"), lit(1000L)) - call_function("div", col("click_ts"), lit(1000L)),
+          lit(1000L)).as("lag_ms"))
+      .orderBy("view_id")
+  }
+
+  /** q27 — work-queue monitor (the reference's DynamoDB monitor table):
+    * latest status + processing span per worker.
+    */
+  def monitorStatus(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)
+    val wAll = Window.partitionBy("user_id")
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_events", count(lit(1)).over(wAll))
+      .withColumn("span_s", call_function("div", max(col("ts")).over(wAll) - min(col("ts")).over(wAll), lit(1000000000L)))
+      .filter(col("rn") === 1)
+      .select(
+        col("user_id"), col("event_id").as("last_event_id"),
+        col("event_type").as("last_status"), col("n_events"), col("span_s"))
+      .orderBy("user_id")
+  }
+
+  /** Deterministic synthetic bounding boxes derived from `part` — stands in
+    * for the Ground Truth manifest annotations (object-detection/
+    * ground_truth/output.manifest). Integer-only geometry.
+    */
+  private def boxes(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d).select(
+      col("p_partkey").as("box_id"),
+      (col("p_partkey") % 50).as("image_id"),
+      ((col("p_partkey") * 37) % 700).as("x"),
+      ((col("p_partkey") * 53) % 500).as("y"),
+      ((col("p_size") * 7) % 100 + 20).cast("bigint").as("w"),
+      ((col("p_size") * 11) % 80 + 20).cast("bigint").as("h"))
+
+  /** q28 — bbox normalization to [0,1] against the 800x600 frame
+    * (ground_truth_od.py compute_bb_data) + per-image box count.
+    */
+  def bboxNormalize(s: SparkSession, d: String): DataFrame = {
+    val b = boxes(s, d)
+    val wImg = Window.partitionBy("image_id")
+    b.withColumn("n_boxes", count(lit(1)).over(wImg))
+      .select(
+        col("box_id"), col("image_id"), col("n_boxes"),
+        (col("x") / 800.0).as("xmin"),
+        ((col("x") + col("w")) / 800.0).as("xmax"),
+        (col("y") / 600.0).as("ymin"),
+        ((col("y") + col("h")) / 600.0).as("ymax"),
+        (col("w") * col("h") / (800.0 * 600.0)).as("area"))
+      .orderBy("box_id")
+  }
+
+  /** q29 — pairwise IoU within each image (ground_truth_od.py IoU): integer
+    * intersection geometry, one double division at the end. Self-join keyed
+    * on image_id only — candidate pairs are bounded per image, never a
+    * global cross product.
+    */
+  def bboxIou(s: SparkSession, d: String): DataFrame = {
+    val b = boxes(s, d)
+    val a = b.select(col("image_id"), col("box_id").as("box_a"), col("x").as("ax"),
+      col("y").as("ay"), col("w").as("aw"), col("h").as("ah"))
+    val c = b.select(col("image_id").as("image_id_b"), col("box_id").as("box_b"), col("x").as("bx"),
+      col("y").as("by"), col("w").as("bw"), col("h").as("bh"))
+    val iw = greatest(lit(0L), least(col("ax") + col("aw"), col("bx") + col("bw")) - greatest(col("ax"), col("bx")))
+    val ih = greatest(lit(0L), least(col("ay") + col("ah"), col("by") + col("bh")) - greatest(col("ay"), col("by")))
+    a.join(c, col("image_id") === col("image_id_b") && col("box_a") < col("box_b"))
+      .withColumn("inter", iw * ih)
+      .withColumn("uni", col("aw") * col("ah") + col("bw") * col("bh") - col("inter"))
+      .filter(col("inter") > 0)
+      .select(
+        col("image_id"), col("box_a"), col("box_b"),
+        (col("inter").cast("double") / col("uni")).as("iou"))
+      .orderBy("image_id", "box_a", "box_b")
+  }
+
+  /** q30 — deterministic train/val split + class distribution (the
+    * RecordIO prep in Transfer-Learning.ipynb): multiplicative-hash split so
+    * assignment is stable under any partitioning/cluster size.
+    */
+  def trainValSplit(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("split",
+        when((col("doc_id") * 2654435761L) % 100 < 80, "train").otherwise("val"))
+      .groupBy("lang", "split")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy("lang", "split")
+}

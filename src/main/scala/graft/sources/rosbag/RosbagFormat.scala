@@ -1,0 +1,127 @@
+package graft.sources.rosbag
+
+import java.io.{ByteArrayInputStream, DataInputStream, EOFException, InputStream}
+import java.nio.charset.StandardCharsets
+
+import org.apache.commons.compress.compressors.bzip2.BZip2CompressorInputStream
+
+/** ROS bag v2.0 record grammar (public format; semantics mirror the
+  * reference's streaming parser, /root/reference/service/app/bagstream.py:80-210).
+  *
+  * A bag is `#ROSBAG V2.0\n` followed by records:
+  * `[u32 header_len][header fields][u32 data_len][data]`, each header field
+  * `[u32 field_len]"name="[value bytes]`. Record kinds by `op` byte:
+  * 2=message, 3=bag header, 4=index, 5=chunk (nested records, optionally
+  * bz2), 6=chunk info, 7=connection.
+  */
+object RosbagFormat {
+
+  final case class Connection(id: Int, topic: String, datatype: String)
+
+  /** One demuxed message: connection metadata + receive time + raw ROS
+    * serialization. */
+  final case class BagMessage(topic: String, datatype: String, timeNs: Long, data: Array[Byte])
+
+  private def readU32(in: DataInputStream): Long = {
+    val b = new Array[Byte](4)
+    in.readFully(b)
+    (b(0) & 0xffL) | ((b(1) & 0xffL) << 8) | ((b(2) & 0xffL) << 16) | ((b(3) & 0xffL) << 24)
+  }
+
+  /** Header fields as raw bytes keyed by name. */
+  private def readHeader(in: DataInputStream, headerLen: Long): Map[String, Array[Byte]] = {
+    var remaining = headerLen
+    val fields = Map.newBuilder[String, Array[Byte]]
+    while (remaining > 0) {
+      val fieldLen = readU32(in)
+      val buf = new Array[Byte](fieldLen.toInt)
+      in.readFully(buf)
+      val eq = buf.indexOf('='.toByte)
+      require(eq >= 0, "malformed bag header field (no '=')")
+      val name = new String(buf, 0, eq, StandardCharsets.ISO_8859_1)
+      fields += name -> java.util.Arrays.copyOfRange(buf, eq + 1, buf.length)
+      remaining -= fieldLen + 4
+    }
+    fields.result()
+  }
+
+  private def leInt(b: Array[Byte]): Int =
+    (b(0) & 0xff) | ((b(1) & 0xff) << 8) | ((b(2) & 0xff) << 16) | ((b(3) & 0xff) << 24)
+
+  /** ROS time field: u32 sec, u32 nsec (little-endian) -> epoch nanos. */
+  private def leTimeNs(b: Array[Byte]): Long = {
+    val sec = (b(0) & 0xffL) | ((b(1) & 0xffL) << 8) | ((b(2) & 0xffL) << 16) | ((b(3) & 0xffL) << 24)
+    val nsec = (b(4) & 0xffL) | ((b(5) & 0xffL) << 8) | ((b(6) & 0xffL) << 16) | ((b(7) & 0xffL) << 24)
+    sec * 1000000000L + nsec
+  }
+
+  private def str(b: Array[Byte]): String = new String(b, StandardCharsets.ISO_8859_1)
+
+  /** Parse a whole bag byte array into demuxed messages.
+    *
+    * One call handles one bag file — files are independent units, so at
+    * cluster scale each executor task parses whole bags in parallel
+    * (SURVEY.md §4); the grammar is inherently sequential within a file.
+    */
+  def parse(bytes: Array[Byte]): Seq[BagMessage] = {
+    val magicEnd = bytes.indexOf('\n'.toByte)
+    require(magicEnd > 0 && str(bytes.slice(0, magicEnd)).contains("V2.0"),
+      "unsupported bag version (only V2.0)")
+    val in = new DataInputStream(new ByteArrayInputStream(bytes, magicEnd + 1, bytes.length - magicEnd - 1))
+    val connections = scala.collection.mutable.Map[Int, Connection]()
+    val out = Seq.newBuilder[BagMessage]
+    parseRecords(in, connections, out)
+    out.result()
+  }
+
+  private def parseRecords(
+      in: DataInputStream,
+      connections: scala.collection.mutable.Map[Int, Connection],
+      out: scala.collection.mutable.Builder[BagMessage, Seq[BagMessage]]): Unit = {
+    // A truncated record (corrupt tail, interrupted upload) ends this
+    // stream's parse but keeps everything demuxed so far — at fleet scale a
+    // damaged bag should yield its good prefix, not kill the task.
+    try parseLoop(in, connections, out)
+    catch { case _: EOFException => () }
+  }
+
+  private def parseLoop(
+      in: DataInputStream,
+      connections: scala.collection.mutable.Map[Int, Connection],
+      out: scala.collection.mutable.Builder[BagMessage, Seq[BagMessage]]): Unit = {
+    while (true) {
+      val headerLen =
+        try readU32(in)
+        catch { case _: EOFException => return }
+      if (headerLen == 0) return
+      val header = readHeader(in, headerLen)
+      val dataLen = readU32(in).toInt
+      val op = header.get("op").map(b => b(0) & 0xff).getOrElse(-1)
+      op match {
+        case 5 => // chunk: nested records, possibly compressed
+          val data = new Array[Byte](dataLen)
+          in.readFully(data)
+          val compression = header.get("compression").map(str).getOrElse("none")
+          val chunkIn: InputStream = compression match {
+            case "bz2" => new BZip2CompressorInputStream(new ByteArrayInputStream(data))
+            case _     => new ByteArrayInputStream(data)
+          }
+          parseRecords(new DataInputStream(chunkIn), connections, out)
+        case 7 => // connection: data section holds the connection header
+          val data = new Array[Byte](dataLen)
+          in.readFully(data)
+          val connHeader = readHeader(new DataInputStream(new ByteArrayInputStream(data)), dataLen.toLong)
+          val id = leInt(header("conn"))
+          connections(id) = Connection(id, str(connHeader("topic")), str(connHeader("type")))
+        case 2 => // message data
+          val data = new Array[Byte](dataLen)
+          in.readFully(data)
+          val conn = connections.get(leInt(header("conn")))
+          val t = leTimeNs(header("time"))
+          conn.foreach(c => out += BagMessage(c.topic, c.datatype, t, data))
+        case _ => // bag header (3), index (4), chunk info (6): skip payload
+          in.skipBytes(dataLen)
+      }
+    }
+  }
+}

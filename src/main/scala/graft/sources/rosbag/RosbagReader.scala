@@ -1,0 +1,138 @@
+package graft.sources.rosbag
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Spark-native ROS bag source (SURVEY.md §2.B `rosbag_source`).
+  *
+  * Layout: `binaryFile` scan -> one task per bag -> per-partition demux into
+  * a normalized message table, then typed per-topic views. Bags are
+  * independent units, so this parallelizes embarrassingly across 100 TB of
+  * files; everything after the demux is ordinary Catalyst (pruning, windows,
+  * aggregation).
+  *
+  * Semantics mirror the reference's extraction pipeline
+  * (service/app/bagstream.py + main.py): typed rows for
+  * Image/LaserScan/Odometry/Wrench/std_msgs topics, per-camera frame
+  * numbering, ISO time, and the per-recording mp4/frame manifest.
+  */
+object RosbagReader {
+
+  final case class RawMessage(path: String, topic: String, datatype: String, time_ns: Long, data: Array[Byte])
+
+  /** All messages of all bags under `path`, demuxed. */
+  def messages(spark: SparkSession, path: String): Dataset[RawMessage] = {
+    import spark.implicits._
+    spark.read.format("binaryFile").load(path)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .mapPartitions(_.flatMap { case (p, bytes) =>
+        RosbagFormat.parse(bytes).iterator.map(m => RawMessage(p, m.topic, m.datatype, m.timeNs, m.data))
+      })
+  }
+
+  private def withIso(df: DataFrame): DataFrame =
+    df.withColumn("iso_time",
+      date_format(timestamp_micros(call_function("div", col("time_ns"), lit(1000L))), "yyyy-MM-dd'T'HH:mm:ss"))
+
+  /** sensor_msgs/Image topics -> frame table with per-topic frame numbering
+    * and the reference's PNG naming scheme (bagstream.py:252). The pixel
+    * payload stays an opaque binary column for graft.multimodal.
+    */
+  def images(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val rows = messages(spark, path)
+      .filter(_.datatype == "sensor_msgs/Image")
+      .map { m =>
+        val img = RosMessages.image(m.data)
+        (m.path, m.topic, m.time_ns, img.width, img.height, img.encoding, img.step, img.data)
+      }
+      .toDF("bag", "topic", "time_ns", "width", "height", "encoding", "step", "pixels")
+    val w = Window.partitionBy("bag", "topic").orderBy("time_ns")
+    withIso(rows)
+      .withColumn("frame_no", row_number().over(w) - 1)
+      .withColumn("file_name",
+        concat(regexp_replace(col("topic"), "^/", ""), lit("-"),
+          regexp_replace(col("iso_time"), ":", "_"), lit("-"),
+          format_string("%04d", col("frame_no")), lit(".png")))
+  }
+
+  /** sensor_msgs/LaserScan -> the reference's laser CSV columns
+    * (bagstream.py:271). */
+  def laserScans(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    withIso(messages(spark, path)
+      .filter(_.datatype == "sensor_msgs/LaserScan")
+      .map { m =>
+        val l = RosMessages.laserScan(m.data)
+        (m.path, m.topic, m.time_ns, l.header.seq, l.header.frameId, l.angleMin, l.angleMax,
+          l.angleIncrement, l.timeIncrement, l.scanTime, l.rangeMin, l.rangeMax, l.ranges)
+      }
+      .toDF("bag", "topic", "time_ns", "seq", "frame_id", "angle_min", "angle_max",
+        "angle_increment", "time_increment", "scan_time", "range_min", "range_max", "ranges"))
+  }
+
+  /** nav_msgs/Odometry -> pose/twist columns (bagstream.py:291). */
+  def odometry(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    withIso(messages(spark, path)
+      .filter(_.datatype == "nav_msgs/Odometry")
+      .map { m =>
+        val o = RosMessages.odometry(m.data)
+        (m.path, m.topic, m.time_ns, o.header.seq, o.header.frameId, o.childFrameId,
+          o.posX, o.posY, o.posZ, o.oriX, o.oriY, o.oriZ, o.oriW,
+          o.twistLinX, o.twistLinY, o.twistLinZ)
+      }
+      .toDF("bag", "topic", "time_ns", "seq", "frame_id", "child_frame_id",
+        "pos_x", "pos_y", "pos_z", "ori_x", "ori_y", "ori_z", "ori_w",
+        "twist_lin_x", "twist_lin_y", "twist_lin_z"))
+  }
+
+  /** geometry_msgs/Wrench -> force/torque columns (bagstream.py:309). */
+  def wrench(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    withIso(messages(spark, path)
+      .filter(_.datatype == "geometry_msgs/Wrench")
+      .map { m =>
+        val v = RosMessages.wrench(m.data)
+        (m.path, m.topic, m.time_ns, v.forceX, v.forceY, v.forceZ, v.torqueX, v.torqueY, v.torqueZ)
+      }
+      .toDF("bag", "topic", "time_ns", "force_x", "force_y", "force_z",
+        "torque_x", "torque_y", "torque_z"))
+  }
+
+  /** std_msgs single-slot messages -> (time, value-as-string)
+    * (bagstream.py:285). */
+  def stdMsgs(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    withIso(messages(spark, path)
+      .filter(m => m.datatype.startsWith("std_msgs/"))
+      .map { m =>
+        val v = m.datatype match {
+          case "std_msgs/String"  => RosMessages.stdString(m.data)
+          case "std_msgs/Int32"   => RosMessages.stdInt32(m.data).toString
+          case "std_msgs/Float64" => RosMessages.stdFloat64(m.data).toString
+          case _                  => ""
+        }
+        (m.path, m.topic, m.datatype, m.time_ns, v)
+      }
+      .toDF("bag", "topic", "datatype", "time_ns", "value"))
+  }
+
+  /** Per-recording frame manifest: ordered frames per (bag, topic) + fps —
+    * the metadata main.py feeds ffmpeg for mp4 muxing (framerate, ordered
+    * `image_raw-%04d.png` inputs).
+    */
+  def mp4Manifest(spark: SparkSession, path: String): DataFrame =
+    images(spark, path)
+      .groupBy("bag", "topic")
+      .agg(
+        count(lit(1)).as("n_frames"),
+        min("time_ns").as("start_ns"),
+        max("time_ns").as("end_ns"),
+        sort_array(collect_list(struct(col("frame_no"), col("file_name")))).as("frames"))
+      .withColumn("duration_s", (col("end_ns") - col("start_ns")) / lit(1e9))
+      .withColumn("fps",
+        when(col("duration_s") > 0, (col("n_frames") - 1) / col("duration_s")).otherwise(lit(0.0)))
+}

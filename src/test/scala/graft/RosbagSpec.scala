@@ -1,0 +1,180 @@
+package graft
+
+import java.io.ByteArrayOutputStream
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import org.apache.commons.compress.compressors.bzip2.BZip2CompressorOutputStream
+
+import graft.sources.rosbag._
+
+/** Builds ROS bag v2.0 bytes from the public grammar, then round-trips them
+  * through the Spark source. The writer is test-only scaffolding; the
+  * production parser never sees it.
+  */
+object BagWriter {
+  private def le32(v: Int): Array[Byte] =
+    ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN).putInt(v).array()
+
+  private def field(name: String, value: Array[Byte]): Array[Byte] = {
+    val n = name.getBytes(StandardCharsets.ISO_8859_1)
+    le32(n.length + 1 + value.length) ++ n ++ Array('='.toByte) ++ value
+  }
+
+  private def record(fields: Seq[Array[Byte]], data: Array[Byte]): Array[Byte] = {
+    val header = fields.flatten.toArray
+    le32(header.length) ++ header ++ le32(data.length) ++ data
+  }
+
+  def time(sec: Long, nsec: Long): Array[Byte] =
+    ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+      .putInt(sec.toInt).putInt(nsec.toInt).array()
+
+  def bagHeader: Array[Byte] =
+    record(Seq(field("op", Array(3.toByte)), field("index_pos", new Array[Byte](8))), new Array[Byte](64))
+
+  def connection(id: Int, topic: String, datatype: String): Array[Byte] = {
+    val connHeader =
+      field("topic", topic.getBytes) ++ field("type", datatype.getBytes) ++
+        field("md5sum", "x".getBytes) ++ field("message_definition", "".getBytes)
+    record(Seq(field("op", Array(7.toByte)), field("conn", le32(id)), field("topic", topic.getBytes)), connHeader)
+  }
+
+  def message(conn: Int, sec: Long, nsec: Long, payload: Array[Byte]): Array[Byte] =
+    record(Seq(field("op", Array(2.toByte)), field("conn", le32(conn)), field("time", time(sec, nsec))), payload)
+
+  def chunk(inner: Array[Byte], bz2: Boolean): Array[Byte] = {
+    val data = if (!bz2) inner else {
+      val bos = new ByteArrayOutputStream()
+      val z = new BZip2CompressorOutputStream(bos)
+      z.write(inner); z.close()
+      bos.toByteArray
+    }
+    record(Seq(
+      field("op", Array(5.toByte)),
+      field("compression", (if (bz2) "bz2" else "none").getBytes),
+      field("size", le32(inner.length))), data)
+  }
+
+  def bag(records: Array[Byte]*): Array[Byte] =
+    "#ROSBAG V2.0\n".getBytes(StandardCharsets.ISO_8859_1) ++ records.flatten
+
+  // --- ROS message payload builders ---
+  private def rosString(s: String): Array[Byte] = le32(s.length) ++ s.getBytes(StandardCharsets.UTF_8)
+
+  def rosHeader(seq: Int, sec: Long, nsec: Long, frameId: String): Array[Byte] =
+    le32(seq) ++ time(sec, nsec) ++ rosString(frameId)
+
+  def imagePayload(seq: Int, w: Int, h: Int, encoding: String, pixels: Array[Byte]): Array[Byte] =
+    rosHeader(seq, 100, 0, "cam") ++ le32(h) ++ le32(w) ++ rosString(encoding) ++
+      Array(0.toByte) ++ le32(w * 3) ++ le32(pixels.length) ++ pixels
+
+  def odometryPayload(px: Double, tw: Double): Array[Byte] = {
+    val b = ByteBuffer.allocate(2048).order(ByteOrder.LITTLE_ENDIAN)
+    b.put(rosHeader(1, 100, 0, "odom")).put(rosString("base"))
+    b.putDouble(px).putDouble(2.0).putDouble(3.0)               // position
+    b.putDouble(0.0).putDouble(0.0).putDouble(0.0).putDouble(1.0) // orientation
+    (0 until 36).foreach(_ => b.putDouble(0.0))                 // pose covariance
+    b.putDouble(tw).putDouble(0.5).putDouble(0.0)               // twist linear
+    b.putDouble(0.0).putDouble(0.0).putDouble(0.1)              // twist angular
+    (0 until 36).foreach(_ => b.putDouble(0.0))                 // twist covariance
+    java.util.Arrays.copyOf(b.array(), b.position())
+  }
+
+  def laserPayload(): Array[Byte] = {
+    val b = ByteBuffer.allocate(256).order(ByteOrder.LITTLE_ENDIAN)
+    b.put(rosHeader(7, 100, 0, "laser"))
+    b.putFloat(-1.57f).putFloat(1.57f).putFloat(0.01f).putFloat(0.0f).putFloat(0.1f)
+    b.putFloat(0.2f).putFloat(30.0f)
+    b.putInt(3).putFloat(1.0f).putFloat(2.0f).putFloat(3.0f) // ranges
+    b.putInt(0)                                              // intensities
+    java.util.Arrays.copyOf(b.array(), b.position())
+  }
+
+  def wrenchPayload(): Array[Byte] = {
+    val b = ByteBuffer.allocate(48).order(ByteOrder.LITTLE_ENDIAN)
+    b.putDouble(1.0).putDouble(2.0).putDouble(3.0).putDouble(0.1).putDouble(0.2).putDouble(0.3)
+    b.array()
+  }
+
+  def stdStringPayload(s: String): Array[Byte] = rosString(s)
+}
+
+class RosbagSpec extends SparkSpec {
+
+  private def writeTestBag(bz2: Boolean): String = {
+    val dir = Files.createTempDirectory("graftbag")
+    val pixels = Array.tabulate[Byte](2 * 2 * 3)(i => i.toByte)
+    val inner =
+      BagWriter.connection(0, "/cam0/image_raw", "sensor_msgs/Image") ++
+        BagWriter.connection(1, "/odom", "nav_msgs/Odometry") ++
+        BagWriter.connection(2, "/scan", "sensor_msgs/LaserScan") ++
+        BagWriter.connection(3, "/wrench", "geometry_msgs/Wrench") ++
+        BagWriter.connection(4, "/chatter", "std_msgs/String") ++
+        BagWriter.message(0, 1600000000L, 500, BagWriter.imagePayload(0, 2, 2, "rgb8", pixels)) ++
+        BagWriter.message(0, 1600000001L, 0, BagWriter.imagePayload(1, 2, 2, "rgb8", pixels)) ++
+        BagWriter.message(1, 1600000000L, 700, BagWriter.odometryPayload(10.5, 1.25)) ++
+        BagWriter.message(2, 1600000002L, 0, BagWriter.laserPayload()) ++
+        BagWriter.message(3, 1600000003L, 0, BagWriter.wrenchPayload()) ++
+        BagWriter.message(4, 1600000004L, 0, BagWriter.stdStringPayload("hello"))
+    val bytes = BagWriter.bag(BagWriter.bagHeader, BagWriter.chunk(inner, bz2))
+    val f = dir.resolve("test.bag")
+    Files.write(f, bytes)
+    f.toString
+  }
+
+  test("parses all message types from an uncompressed chunked bag") {
+    val path = writeTestBag(bz2 = false)
+    val msgs = RosbagFormat.parse(Files.readAllBytes(Paths.get(path)))
+    assert(msgs.map(_.topic).distinct.toSet ===
+      Set("/cam0/image_raw", "/odom", "/scan", "/wrench", "/chatter"))
+    assert(msgs.count(_.datatype == "sensor_msgs/Image") === 2)
+  }
+
+  test("parses bz2-compressed chunks") {
+    val path = writeTestBag(bz2 = true)
+    val msgs = RosbagFormat.parse(Files.readAllBytes(Paths.get(path)))
+    assert(msgs.size === 6)
+  }
+
+  test("images(): frame numbering, iso time, png naming, pixel payload") {
+    val path = writeTestBag(bz2 = false)
+    val df = RosbagReader.images(spark, path).orderBy("frame_no")
+    val rows = df.collect()
+    assert(rows.length === 2)
+    val r0 = rows(0)
+    assert(r0.getAs[Long]("width") === 2 && r0.getAs[Long]("height") === 2)
+    assert(r0.getAs[String]("encoding") === "rgb8")
+    assert(r0.getAs[Array[Byte]]("pixels").length === 12)
+    assert(r0.getAs[String]("file_name") === "cam0/image_raw-2020-09-13T12_26_40-0000.png")
+    assert(rows(1).getAs[String]("file_name").endsWith("-0001.png"))
+  }
+
+  test("odometry(): pose/twist values round-trip") {
+    val path = writeTestBag(bz2 = false)
+    val r = RosbagReader.odometry(spark, path).collect()(0)
+    assert(r.getAs[Double]("pos_x") === 10.5)
+    assert(r.getAs[Double]("twist_lin_x") === 1.25)
+    assert(r.getAs[Double]("ori_w") === 1.0)
+    assert(r.getAs[Long]("time_ns") === 1600000000L * 1000000000L + 700L)
+  }
+
+  test("laserScans() and wrench() and stdMsgs()") {
+    val path = writeTestBag(bz2 = false)
+    val l = RosbagReader.laserScans(spark, path).collect()(0)
+    assert(l.getAs[Float]("angle_min") === -1.57f)
+    assert(l.getAs[Seq[Float]]("ranges") === Seq(1.0f, 2.0f, 3.0f))
+    val w = RosbagReader.wrench(spark, path).collect()(0)
+    assert(w.getAs[Double]("torque_z") === 0.3)
+    val sm = RosbagReader.stdMsgs(spark, path).collect()(0)
+    assert(sm.getAs[String]("value") === "hello")
+  }
+
+  test("mp4Manifest(): ordered frames + fps") {
+    val path = writeTestBag(bz2 = false)
+    val m = RosbagReader.mp4Manifest(spark, path).collect()(0)
+    assert(m.getAs[Long]("n_frames") === 2)
+    assert(m.getAs[Double]("fps") > 0.99 && m.getAs[Double]("fps") < 1.01)
+  }
+}
