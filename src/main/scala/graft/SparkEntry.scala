@@ -40,7 +40,45 @@ object SparkEntry {
     "q28_bbox_normalize"  -> (RosbagDomainOps.bboxNormalize _),
     "q29_bbox_iou"        -> (RosbagDomainOps.bboxIou _),
     "q30_train_val_split" -> (RosbagDomainOps.trainValSplit _),
+    "q40_dedup_exact"     -> (DedupOps.exact _),
+    "q41_dedup_ngram"     -> (DedupOps.ngramJaccard _),
+    "q42_dedup_minhash"   -> (DedupOps.minhashLsh _),
+    "q43_dedup_simhash"   -> (DedupOps.simhash _),
+    "q44_dedup_embedding" -> (DedupOps.embeddingNearDup _),
+    "q45_knn_bruteforce"  -> ((s: SparkSession, d: String) => SimilarityOps.knnBruteForce(s, d)),
+    "q46_knn_lsh"         -> ((s: SparkSession, d: String) => SimilarityOps.knnLsh(s, d)),
+    "q47_langid"          -> (TextAnalysisOps.langId _),
+    "q48_quality_score"   -> (TextAnalysisOps.qualityScore _),
+    "q49_token_count"     -> (TextAnalysisOps.tokenCount _),
+    "q50_fingerprint"     -> (TextAnalysisOps.fingerprint _),
+    "q51_embed_stats"     -> (TextAnalysisOps.embedStats _),
   )
+
+  // Portable polynomial rolling hash in DuckDB SQL — mirrors
+  // graft.functions.TextFunctions.charHash exactly.
+  private def PH(x: String) =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split($x, '')," +
+      s" c -> ascii(c))), (acc, ch) -> (acc*31 + ch) % 1000000007)"
+
+  // Distinct 3-gram shingle list per document (mirrors TextFunctions.shingles).
+  private val SHINGLES =
+    """tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+      |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(ts) - 1),
+      |         i -> array_to_string(ts[i:i+2], ' '))) AS shs
+      |       FROM tok WHERE len(ts) >= 3)""".stripMargin
+
+  // Double-widened embedding + L2 norm (mirrors VectorFunctions).
+  private val EMB_NORM =
+    """e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |      FROM embeddings),
+      |n AS (SELECT vec_id, label, v,
+      |        sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |          list_transform(v, y -> y*y)), (a2, b2) -> a2 + b2)) AS nrm
+      |      FROM e)""".stripMargin
+
+  private val DOT64 =
+    "list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65)," +
+      " i -> a.v[i]*b.v[i])), (a2, b2) -> a2 + b2)"
 
   // Shared oracle CTE: deterministic synthetic bounding boxes from `part`
   // (mirrors RosbagDomainOps.boxes).
@@ -281,5 +319,110 @@ object SparkEntry {
         |FROM documents
         |GROUP BY lang, CASE WHEN (doc_id * 2654435761) % 100 < 80 THEN 'train' ELSE 'val' END
         |ORDER BY lang, split""".stripMargin,
+
+    "q40_dedup_exact" ->
+      """SELECT MIN(doc_id) AS doc_id, md5(text) AS text_hash, COUNT(*) AS n_copies
+        |FROM documents GROUP BY md5(text) ORDER BY doc_id""".stripMargin,
+
+    "q41_dedup_ngram" ->
+      s"""WITH $SHINGLES,
+         |posting AS (SELECT doc_id, unnest(shs) AS s FROM sh),
+         |cnt AS (SELECT doc_id, CAST(len(shs) AS BIGINT) AS n FROM sh),
+         |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+         |          FROM posting a JOIN posting b ON a.s = b.s AND a.doc_id < b.doc_id
+         |          GROUP BY a.doc_id, b.doc_id)
+         |SELECT doc_a, doc_b, shared / (ca.n + cb.n - shared) AS jaccard
+         |FROM pairs JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id
+         |WHERE shared / (ca.n + cb.n - shared) >= 0.5
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q42_dedup_minhash" ->
+      s"""WITH $SHINGLES,
+         |h AS (SELECT doc_id, list_transform(shs, s -> ${PH("s")}) AS hs FROM sh),
+         |sigs AS (SELECT doc_id, i,
+         |           list_min(list_transform(hs, v -> ((2*i+1)*v + 7919*i + 13) % 2147483647)) AS mh
+         |         FROM h, range(16) t(i)),
+         |bands AS (SELECT doc_id, i // 4 AS band,
+         |            string_agg(mh::VARCHAR, ',' ORDER BY i) AS sig
+         |          FROM sigs GROUP BY doc_id, i // 4)
+         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |FROM bands a JOIN bands b
+         |  ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q43_dedup_simhash" ->
+      s"""WITH h AS (SELECT doc_id,
+         |    list_transform(string_split(text, ' '), t -> ${PH("t")}) AS hs
+         |  FROM documents),
+         |bits AS (SELECT doc_id, j,
+         |    CASE WHEN list_sum(list_transform(hs, v -> 2*((v >> j) & 1) - 1)) >= 0
+         |         THEN (CAST(1 AS BIGINT) << j) ELSE 0 END AS bitval
+         |  FROM h, range(20) t(j)),
+         |sims AS (SELECT doc_id, CAST(SUM(bitval) AS BIGINT) AS simhash FROM bits GROUP BY doc_id)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+         |FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q44_dedup_embedding" ->
+      s"""WITH $EMB_NORM
+         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, $DOT64 / (a.nrm * b.nrm) AS cos
+         |FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+         |WHERE $DOT64 / (a.nrm * b.nrm) > 0.25
+         |ORDER BY vec_a, vec_b""".stripMargin,
+
+    "q45_knn_bruteforce" ->
+      s"""WITH $EMB_NORM,
+         |j AS (SELECT a.vec_id AS q_id, b.vec_id AS neighbor_id,
+         |        $DOT64 / (a.nrm * b.nrm) AS cos
+         |      FROM n a JOIN n b ON a.vec_id < 10 AND b.vec_id >= 10)
+         |SELECT q_id, neighbor_id, cos, rank FROM (
+         |  SELECT q_id, neighbor_id, cos,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+         |  FROM j) t
+         |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+
+    "q47_langid" ->
+      """SELECT doc_id,
+        |  CAST(len(list_filter(string_split(text,' '), t -> t IN ('the','a','of','and','to','is'))) AS BIGINT) AS n_en,
+        |  CAST(len(list_filter(string_split(text,' '), t -> t IN ('el','la','de','los','que'))) AS BIGINT) AS n_es,
+        |  CAST(len(list_filter(string_split(text,' '), t -> t IN ('der','die','und','das','ist'))) AS BIGINT) AS n_de,
+        |  CAST(len(list_filter(string_split(text,' '), t -> t IN ('le','les','des','et','une'))) AS BIGINT) AS n_fr,
+        |  CASE WHEN n_en = GREATEST(n_en, n_es, n_de, n_fr) AND n_en > 0 THEN 'en'
+        |       WHEN n_es = GREATEST(n_en, n_es, n_de, n_fr) AND n_es > 0 THEN 'es'
+        |       WHEN n_de = GREATEST(n_en, n_es, n_de, n_fr) AND n_de > 0 THEN 'de'
+        |       WHEN n_fr = GREATEST(n_en, n_es, n_de, n_fr) AND n_fr > 0 THEN 'fr'
+        |       ELSE 'und' END AS lang_pred
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q48_quality_score" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
+        |  len(list_distinct(string_split(text,' '))) / len(string_split(text,' ')) AS ttr,
+        |  len(list_filter(string_split(text,' '), t -> t IN ('the','a','of','and','to','is')))
+        |    / len(string_split(text,' ')) AS stop_ratio,
+        |  LEAST(1.0, len(string_split(text,' ')) / 100.0)
+        |    * (len(list_distinct(string_split(text,' '))) / len(string_split(text,' '))) AS score
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q49_token_count" ->
+      """SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(len(string_split(text,' '))) AS BIGINT) AS sum_tokens,
+        |  CAST(SUM(len(regexp_extract_all(text, '\w+'))) AS BIGINT) AS sum_word_tokens,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(CAST(SUM(len(string_split(text,' '))) AS BIGINT) AS DOUBLE) / COUNT(*) AS avg_tokens
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q50_fingerprint" ->
+      s"""SELECT doc_id, ${PH("text")} AS fingerprint
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q51_embed_stats" ->
+      s"""WITH $EMB_NORM
+         |SELECT label, COUNT(*) AS n_vectors,
+         |  CAST(SUM(CAST(nrm AS DECIMAL(27,6))) AS DOUBLE)/COUNT(nrm) AS avg_norm,
+         |  MIN(nrm) AS min_norm, MAX(nrm) AS max_norm
+         |FROM n GROUP BY label ORDER BY label""".stripMargin,
   )
 }

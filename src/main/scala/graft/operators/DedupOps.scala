@@ -1,0 +1,131 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextFunctions._
+import graft.functions.VectorFunctions._
+
+/** Deduplication operators for training-data curation (SURVEY.md §2.C).
+  *
+  * Scale design: every variant avoids the all-pairs cross product —
+  * exact dedup is one hash groupBy; n-gram and MinHash generate candidates
+  * through inverted-index / LSH-bucket shuffles whose size is linear in
+  * (rows x shingles|bands); embedding near-dup blocks on the label (ER
+  * blocking) so pair generation stays within buckets.
+  */
+object DedupOps {
+
+  /** q40 — exact duplicate groups by content hash (md5 is the portable
+    * content key). One shuffle on the hash; at 100 TB this is the cheapest
+    * possible dedup and the first pass before any fuzzy variant.
+    */
+  def exact(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .groupBy(md5(col("text").cast("binary")).as("text_hash"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+      .select("doc_id", "text_hash", "n_copies")
+      .orderBy("doc_id")
+
+  /** q41 — n-gram Jaccard near-duplicate pairs via an inverted shingle
+    * index: explode distinct 3-gram shingles, self-join on the shingle
+    * (shuffle keyed by shingle — no cross product), count shared, then
+    * Jaccard from per-doc shingle counts. Candidate volume is bounded by
+    * shingle frequency, the classic posting-list bound.
+    */
+  def ngramJaccard(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), array_distinct(shingles(col("text"))).as("shs"))
+      .filter(size(col("shs")) > 0)
+    val posting = docs.select(col("doc_id"), explode(col("shs")).as("sh"))
+    val counts = docs.select(col("doc_id"), size(col("shs")).cast("long").as("n"))
+    val pairs = posting.as("a").join(posting.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+    pairs
+      .join(broadcast(counts).as("ca"), col("doc_a") === col("ca.doc_id"))
+      .join(broadcast(counts).as("cb"), col("doc_b") === col("cb.doc_id"))
+      .withColumn("jaccard", col("shared") / (col("ca.n") + col("cb.n") - col("shared")))
+      .filter(col("jaccard") >= 0.5)
+      .select("doc_a", "doc_b", "jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  private val P = 2147483647L // minhash modulus (2^31 - 1)
+  private val NumHashes = 16
+  private val Bands = 4
+  private val RowsPerBand = NumHashes / Bands
+
+  /** q42 — MinHash + LSH banding. The signature (16 portable hashes -> 4
+    * bands of 4) is computed map-side with higher-order functions — zero
+    * shuffle until the band-bucket join, whose key cardinality is
+    * rows x bands. This is the path that stays cheap when the corpus no
+    * longer fits any pairwise approach.
+    */
+  def minhashLsh(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.documents(s, d)
+      .select(col("doc_id"), array_distinct(shingles(col("text"))).as("shs"))
+      .filter(size(col("shs")) > 0)
+      .withColumn("hs", transform(col("shs"), sh => charHash(sh)))
+    val withSigs = (0 until NumHashes).foldLeft(base) { (df, i) =>
+      df.withColumn(s"sig_$i",
+        array_min(transform(col("hs"), h => ((lit(2L * i + 1) * h + lit(7919L * i + 13)) % P))))
+    }
+    val bandCols = (0 until Bands).map { b =>
+      val sigs = (0 until RowsPerBand).map(r => col(s"sig_${b * RowsPerBand + r}"))
+      concat_ws(",", sigs: _*).as(s"band_$b")
+    }
+    val stacked = withSigs.select(col("doc_id") +: bandCols: _*)
+      .selectExpr("doc_id",
+        s"stack(${Bands}, ${(0 until Bands).map(b => s"${b}L, band_$b").mkString(", ")}) as (band, sig)")
+    stacked.as("a").join(stacked.as("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+      .orderBy("doc_a", "doc_b")
+  }
+
+  private val SimBits = 20
+
+  /** q43 — SimHash fingerprint + Hamming near-dup pairs. The 20-bit
+    * fingerprint folds per-row (no shuffle); pair generation here is the
+    * exact all-pairs check for oracle parity — the scale path is banding the
+    * fingerprint like q42 (prefix buckets) which drops candidates to
+    * near-linear.
+    */
+  def simhash(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.documents(s, d)
+      .select(col("doc_id"), transform(tokens(col("text")), t => charHash(t)).as("hs"))
+    val withSim = base.withColumn("simhash",
+      (0 until SimBits).map { j =>
+        val bitSum = aggregate(col("hs"), lit(0L),
+          (acc, h) => acc + lit(2L) * shiftright(h, j).bitwiseAND(1L) - 1L)
+        when(bitSum >= 0, lit(1L << j)).otherwise(lit(0L))
+      }.reduce(_ + _))
+    val sims = withSim.select("doc_id", "simhash")
+    sims.as("a").join(sims.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .withColumn("hamming", bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("long"))
+      .filter(col("hamming") <= 3)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"), col("hamming"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** q44 — embedding-cosine near-duplicate pairs, blocked on the label
+    * column (standard ER blocking: pair generation only within blocks, so
+    * candidates scale with the largest block, not the corpus).
+    */
+  def embeddingNearDup(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"), toDouble(col("embedding")).as("v"))
+      .withColumn("nrm", norm(col("v")))
+    e.as("a").join(e.as("b"),
+        col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cos", cosine(col("a.v"), col("b.v"), col("a.nrm"), col("b.nrm")))
+      .filter(col("cos") > 0.25)
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"), col("cos"))
+      .orderBy("vec_a", "vec_b")
+  }
+}

@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.VectorFunctions._
+
+/** Approximate-nearest-neighbor search over embedding columns
+  * (SURVEY.md §2.C).
+  */
+object SimilarityOps {
+
+  /** q45 — brute-force cosine top-k: the small query set broadcasts, the
+    * corpus streams past it once (one scan, no corpus shuffle); ranking is a
+    * per-query window. The exactness baseline the LSH path is judged
+    * against.
+    */
+  def knnBruteForce(s: SparkSession, d: String, k: Int = 5): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      .withColumn("nrm", norm(col("v")))
+    val queries = e.filter(col("vec_id") < 10)
+    val corpus = e.filter(col("vec_id") >= 10)
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("neighbor_id"))
+    corpus.as("c").join(broadcast(queries.as("q")))
+      .withColumn("cos", cosine(col("q.v"), col("c.v"), col("q.nrm"), col("c.nrm")))
+      .select(col("q.vec_id").as("q_id"), col("c.vec_id").as("neighbor_id"), col("cos"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .orderBy("q_id", "rank")
+  }
+
+  private val NumPlanes = 8
+  private val Dim = 64
+
+  /** q46 — LSH (random-hyperplane) bucketed ANN: deterministic integer
+    * hyperplanes, bucket = 8 sign bits computed map-side, then search only
+    * within the query's bucket. At scale this replaces the corpus-wide scan
+    * with a bucket-local one (~1/256 of the data per query); recall is
+    * traded via the number of planes/tables.
+    */
+  def knnLsh(s: SparkSession, d: String, k: Int = 3): DataFrame = {
+    // hyperplane weights: w(j,i) = ((j*131 + i*7919) % 1001) - 500
+    def bucketOf(v: org.apache.spark.sql.Column) =
+      (0 until NumPlanes).map { j =>
+        val dotJ = aggregate(
+          zip_with(v, lit((0 until Dim).map(i => ((j * 131 + i * 7919) % 1001) - 500).toArray),
+            (x, wji) => x * wji),
+          lit(0.0), (acc, x) => acc + x)
+        when(dotJ > 0, lit(1L << j)).otherwise(lit(0L))
+      }.reduce(_ + _)
+
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      .withColumn("nrm", norm(col("v")))
+      .withColumn("bucket", bucketOf(col("v")))
+    val queries = e.filter(col("vec_id") < 10)
+    val corpus = e.filter(col("vec_id") >= 10)
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("neighbor_id"))
+    corpus.as("c").join(broadcast(queries.as("q")), col("q.bucket") === col("c.bucket"))
+      .withColumn("cos", cosine(col("q.v"), col("c.v"), col("q.nrm"), col("c.nrm")))
+      .select(col("q.vec_id").as("q_id"), col("c.vec_id").as("neighbor_id"), col("cos"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .orderBy("q_id", "rank")
+  }
+}

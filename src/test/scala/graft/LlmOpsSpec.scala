@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators._
+
+/** Operator-level sanity specs for the LLM-data batch (oracle parity is the
+  * driver gate; these pin semantic invariants).
+  */
+class LlmOpsSpec extends SparkSpec {
+
+  test("q40 exact dedup: every source row accounted for") {
+    val total = Tables.documents(spark, sf).count()
+    val agg = DedupOps.exact(spark, sf).agg(sum("n_copies")).collect()(0).getLong(0)
+    assert(agg === total)
+  }
+
+  test("q41 ngram jaccard finds planted near-dups with high similarity") {
+    val pairs = DedupOps.ngramJaccard(spark, sf).collect()
+    assert(pairs.nonEmpty)
+    assert(pairs.forall(_.getAs[Double]("jaccard") >= 0.5))
+  }
+
+  test("q42 minhash LSH candidates contain all very-high-jaccard pairs") {
+    val exact = DedupOps.ngramJaccard(spark, sf)
+      .filter(col("jaccard") >= 0.9)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cand = DedupOps.minhashLsh(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.subsetOf(cand), s"missing: ${exact -- cand}")
+  }
+
+  test("q43 simhash: identical docs have identical fingerprints (hamming 0)") {
+    // exact duplicates exist in the corpus; they must appear at hamming 0
+    val dups = DedupOps.exact(spark, sf).filter(col("n_copies") > 1).count()
+    if (dups > 0) {
+      val zero = DedupOps.simhash(spark, sf).filter(col("hamming") === 0).count()
+      assert(zero > 0)
+    }
+  }
+
+  test("q45 knn: rank-1 neighbor has the max cosine; ranks are 1..k") {
+    val rows = SimilarityOps.knnBruteForce(spark, sf).collect()
+    val byQ = rows.groupBy(_.getAs[Long]("q_id"))
+    byQ.foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("rank"))
+      assert(sorted.map(_.getAs[Long]("rank")).toSeq === (1L to sorted.length))
+      val cosines = sorted.map(_.getAs[Double]("cos"))
+      assert(cosines.zip(cosines.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("q46 lsh knn returns a subset of brute-force candidates per query") {
+    val bf = SimilarityOps.knnBruteForce(spark, sf, k = Int.MaxValue)
+    val lsh = SimilarityOps.knnLsh(spark, sf)
+    // every lsh neighbor must be a real corpus vector with the same cosine
+    val joined = lsh.as("l").join(bf.as("b"),
+      col("l.q_id") === col("b.q_id") && col("l.neighbor_id") === col("b.neighbor_id"))
+    assert(joined.count() === lsh.count())
+    assert(joined.filter(abs(col("l.cos") - col("b.cos")) > 1e-12).count() === 0)
+  }
+
+  test("q47 langid emits only known labels") {
+    val labels = TextAnalysisOps.langId(spark, sf)
+      .select("lang_pred").distinct().collect().map(_.getString(0)).toSet
+    assert(labels.subsetOf(Set("en", "es", "de", "fr", "und")))
+  }
+
+  test("q50 fingerprint is deterministic across runs") {
+    val a = TextAnalysisOps.fingerprint(spark, sf).collect().map(r => (r.getLong(0), r.getLong(1)))
+    val b = TextAnalysisOps.fingerprint(spark, sf).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(a.toSeq === b.toSeq)
+  }
+
+  test("q30 train/val split is stable and ~80/20") {
+    val rows = RosbagDomainOps.trainValSplit(spark, sf).collect()
+    val train = rows.filter(_.getAs[String]("split") == "train").map(_.getAs[Long]("n_docs")).sum
+    val total = rows.map(_.getAs[Long]("n_docs")).sum
+    assert(train.toDouble / total > 0.7 && train.toDouble / total < 0.9)
+  }
+}
