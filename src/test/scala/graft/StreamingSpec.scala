@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.EventStreams
+import graft.streaming.EventStreams.Ev
+
+class StreamingSpec extends SparkSpec {
+
+  private val H = 3600L * 1000000000L // 1h in ns
+  private def ev(id: Long, tNs: Long, user: Long, tpe: String, v: Double) = Ev(id, tNs, user, tpe, v)
+
+  test("windowedCounts: tumbling event-time windows with watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val out = EventStreams.windowedCounts(mem.toDF(), "1 hour", "2 hours")
+    val q = out.writeStream.format("memory").queryName("wc").outputMode("append").start()
+    val base = 1700000000L * 1000000000L
+    mem.addData(
+      ev(1, base, 1, "click", 1.0), ev(2, base + H / 2, 1, "click", 2.0),
+      ev(3, base + H + 1, 2, "view", 3.0))
+    q.processAllAvailable()
+    // advance watermark far enough to close the first windows
+    mem.addData(ev(4, base + 10 * H, 1, "click", 1.0))
+    q.processAllAvailable()
+    val rows = spark.sql("select * from wc").collect()
+    q.stop()
+    val clicks = rows.filter(_.getAs[String]("event_type") == "click")
+    assert(clicks.exists(_.getAs[Long]("n") == 2)) // both clicks in one window
+    assert(rows.filter(_.getAs[String]("event_type") == "view").forall(_.getAs[Long]("n") == 1))
+  }
+
+  test("sessionizeStream: gap closes a session and emits it") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val out = EventStreams.sessionizeStream(spark, mem.toDS(), gapNs = H)
+    val q = out.writeStream.format("memory").queryName("sess").outputMode("append").start()
+    val base = 1700000000L * 1000000000L
+    mem.addData(ev(1, base, 7, "click", 1.0), ev(2, base + H / 4, 7, "view", 1.0))
+    q.processAllAvailable()
+    mem.addData(ev(3, base + 5 * H, 7, "click", 1.0)) // gap > 1h: closes first session
+    q.processAllAvailable()
+    val rows = spark.sql("select * from sess").collect()
+    q.stop()
+    assert(rows.length === 1)
+    val s = rows(0)
+    assert(s.getAs[Long]("user_id") === 7)
+    assert(s.getAs[Int]("n_events") === 2)
+    assert(s.getAs[Long]("session_end_ns") - s.getAs[Long]("session_start_ns") === H / 4)
+  }
+
+  test("monitorTable: latest status per worker on a static frame") {
+    // the same aggregation works in batch mode (streaming-batch parity)
+    val e = Tables.events(spark, sf)
+    val m = EventStreams.monitorTable(e)
+    val viaWindow = graft.operators.RosbagDomainOps.monitorStatus(spark, sf)
+      .select("user_id", "last_status")
+    val joined = m.select(col("user_id"), col("last_status").as("mt_status"))
+      .join(viaWindow, "user_id")
+    assert(joined.filter(col("mt_status") =!= col("last_status")).count() === 0)
+  }
+}
