@@ -60,12 +60,14 @@ object SparkEntry {
     s"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split($x, '')," +
       s" c -> ascii(c))), (acc, ch) -> (acc*31 + ch) % 1000000007)"
 
-  // Distinct 3-gram shingle list per document (mirrors TextFunctions.shingles).
-  private val SHINGLES =
-    """tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
-      |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(ts) - 1),
-      |         i -> array_to_string(ts[i:i+2], ' '))) AS shs
-      |       FROM tok WHERE len(ts) >= 3)""".stripMargin
+  // Distinct hashed 3-gram shingles per document (mirrors
+  // DedupOps.hashedShingles: word-level charHash, arithmetic 3-gram combine).
+  private def SHINGLES =
+    s"""tok AS (SELECT doc_id, list_transform(string_split(text, ' '), w -> ${PH("w")}) AS ws
+       |       FROM documents WHERE len(string_split(text, ' ')) >= 3),
+       |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(ws) - 1),
+       |         i -> ((ws[i]*1000003 + ws[i+1]) % 1000000007 * 1000003 + ws[i+2]) % 1000000007)) AS hs
+       |       FROM tok)""".stripMargin
 
   // Double-widened embedding + L2 norm (mirrors VectorFunctions).
   private val EMB_NORM =
@@ -326,8 +328,8 @@ object SparkEntry {
 
     "q41_dedup_ngram" ->
       s"""WITH $SHINGLES,
-         |posting AS (SELECT doc_id, unnest(shs) AS s FROM sh),
-         |cnt AS (SELECT doc_id, CAST(len(shs) AS BIGINT) AS n FROM sh),
+         |posting AS (SELECT doc_id, unnest(hs) AS s FROM sh),
+         |cnt AS (SELECT doc_id, CAST(len(hs) AS BIGINT) AS n FROM sh),
          |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
          |          FROM posting a JOIN posting b ON a.s = b.s AND a.doc_id < b.doc_id
          |          GROUP BY a.doc_id, b.doc_id)
@@ -338,7 +340,7 @@ object SparkEntry {
 
     "q42_dedup_minhash" ->
       s"""WITH $SHINGLES,
-         |h AS (SELECT doc_id, list_transform(shs, s -> ${PH("s")}) AS hs FROM sh),
+         |h AS (SELECT doc_id, hs FROM sh),
          |sigs AS (SELECT doc_id, i,
          |           list_min(list_transform(hs, v -> ((2*i+1)*v + 7919*i + 13) % 2147483647)) AS mh
          |         FROM h, range(16) t(i)),

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -34,12 +35,30 @@ object DedupOps {
     * Jaccard from per-doc shingle counts. Candidate volume is bounded by
     * shingle frequency, the classic posting-list bound.
     */
+  /** Distinct hashed 3-gram shingle postings (doc_id, sh) — fully row-based:
+    * posexplode tokens, hash each word once, combine the 3-gram with lead()
+    * over the per-doc window. Every step is linear in token count and
+    * whole-stage-codegen friendly; no nested higher-order functions (which
+    * Catalyst may inline back into quadratic re-evaluation), and the posting
+    * key is a long, which keeps shuffle bytes minimal at corpus scale.
+    */
+  private def shinglePostings(s: SparkSession, d: String): DataFrame = {
+    val M = HashMod
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    Tables.documents(s, d)
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "word")))
+      .select(col("doc_id"), col("pos"), charHash(col("word")).as("wh"))
+      .withColumn("wh2", lead(col("wh"), 1).over(w))
+      .withColumn("wh3", lead(col("wh"), 2).over(w))
+      .filter(col("wh3").isNotNull)
+      .select(col("doc_id"),
+        (((col("wh") * 1000003L + col("wh2")) % M) * 1000003L + col("wh3")) % M as "sh")
+      .distinct()
+  }
+
   def ngramJaccard(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
-      .select(col("doc_id"), array_distinct(shingles(col("text"))).as("shs"))
-      .filter(size(col("shs")) > 0)
-    val posting = docs.select(col("doc_id"), explode(col("shs")).as("sh"))
-    val counts = docs.select(col("doc_id"), size(col("shs")).cast("long").as("n"))
+    val posting = shinglePostings(s, d)
+    val counts = posting.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val pairs = posting.as("a").join(posting.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -65,14 +84,15 @@ object DedupOps {
     * longer fits any pairwise approach.
     */
   def minhashLsh(s: SparkSession, d: String): DataFrame = {
-    val base = Tables.documents(s, d)
-      .select(col("doc_id"), array_distinct(shingles(col("text"))).as("shs"))
-      .filter(size(col("shs")) > 0)
-      .withColumn("hs", transform(col("shs"), sh => charHash(sh)))
-    val withSigs = (0 until NumHashes).foldLeft(base) { (df, i) =>
-      df.withColumn(s"sig_$i",
-        array_min(transform(col("hs"), h => ((lit(2L * i + 1) * h + lit(7919L * i + 13)) % P))))
-    }
+    // signature = 16 min-aggregates over the shingle postings: partial
+    // aggregation does the mins map-side, so the only shuffle is one row
+    // per doc, then one per (doc, band).
+    val withSigs = shinglePostings(s, d)
+      .groupBy("doc_id")
+      .agg(
+        min((col("sh") * lit(1L) + lit(13L)) % P).as("sig_0"),
+        (1 until NumHashes).map(i =>
+          min((col("sh") * lit(2L * i + 1) + lit(7919L * i + 13)) % P).as(s"sig_$i")): _*)
     val bandCols = (0 until Bands).map { b =>
       val sigs = (0 until RowsPerBand).map(r => col(s"sig_${b * RowsPerBand + r}"))
       concat_ws(",", sigs: _*).as(s"band_$b")
