@@ -16,15 +16,12 @@ object TextFunctions {
   /** Whitespace tokens. */
   def tokens(text: Column): Column = split(text, " ")
 
-  /** Polynomial rolling hash of a string: fold (acc*31 + ascii(c)) % 1e9+7.
-    * Used as the portable content hash for shingles/tokens/fingerprints —
-    * pure integer arithmetic, identical in any engine with a left fold.
+  /** Polynomial rolling hash of a string: fold (acc*31 + c) % 1e9+7.
+    * The portable content hash for shingles/tokens/fingerprints — pure
+    * integer arithmetic any engine can reproduce (DuckDB: ascii() fold).
+    * Backed by the native codegen expression graft.plans.CharHash.
     */
-  def charHash(s: Column): Column =
-    aggregate(
-      transform(split(s, ""), c => ascii(c)),
-      lit(0L),
-      (acc, x) => (acc * 31 + x) % HashMod)
+  def charHash(s: Column): Column = call_function("graft_charhash", s)
 
   /** Word n-gram shingles (default 3). Empty for texts shorter than n. */
   def shingles(text: Column, n: Int = 3): Column = {

@@ -12,14 +12,14 @@ object VectorFunctions {
   /** Elementwise widen to double. */
   def toDouble(v: Column): Column = transform(v, x => x.cast("double"))
 
-  /** Sequential left-fold sum — deterministic IEEE order. */
-  private def foldSum(v: Column): Column = aggregate(v, lit(0.0), (acc, x) => acc + x)
-
-  /** Dot product of two double arrays. */
-  def dot(a: Column, b: Column): Column = foldSum(zip_with(a, b, (x, y) => x * y))
+  /** Dot product of two double arrays — native codegen expression
+    * (graft.plans.ArrayDotProduct), same sequential IEEE fold order as the
+    * HOF formulation and the DuckDB oracle.
+    */
+  def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
 
   /** L2 norm of a double array. */
-  def norm(v: Column): Column = sqrt(foldSum(transform(v, x => x * x)))
+  def norm(v: Column): Column = sqrt(dot(v, v))
 
   /** Cosine similarity given precomputed norms. */
   def cosine(a: Column, b: Column, normA: Column, normB: Column): Column =

@@ -1,0 +1,117 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for graft's hot primitives (SURVEY.md §3).
+  *
+  * The higher-order-function formulations (aggregate/zip_with/transform) are
+  * correct but sit outside whole-stage codegen and pay per-element lambda
+  * dispatch. These expressions generate tight Java loops instead, while
+  * keeping the exact same evaluation order (sequential left fold) so results
+  * stay bit-identical to the portable SQL oracles.
+  */
+
+/** Dot product of two array<double> columns: sequential fold
+  * sum += a(i)*b(i), i ascending — identical IEEE order to
+  * VectorFunctions.dot and the DuckDB list_reduce oracle.
+  */
+case class ArrayDotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  // callers guarantee array<double> inputs (VectorFunctions widens floats)
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_dot"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += x.getDouble(i) * y.getDouble(i)
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += $a.getDouble($i) * $b.getDouble($i);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Polynomial rolling hash over a string's UTF-16 code units:
+  * acc = (acc*31 + c) % 1e9+7 — identical to TextFunctions.charHash (and
+  * the DuckDB ascii() fold) for BMP text.
+  */
+case class CharHash(child: Expression) extends UnaryExpression {
+
+  // callers guarantee a string input
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_charhash"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    var acc = 0L
+    var i = 0
+    while (i < s.length) {
+      acc = (acc * 31 + s.charAt(i)) % 1000000007L
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val s = ctx.freshName("s")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |java.lang.String $s = $c.toString();
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $s.length(); $i++) {
+         |  $acc = ($acc * 31 + $s.charAt($i)) % 1000000007L;
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Session extension registering the native functions so they resolve by
+  * name (`call_function("graft_dot", ...)` or SQL `graft_dot(a, b)`).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[ArrayDotProduct].getName, "graft_dot"),
+      (children: Seq[Expression]) => ArrayDotProduct(children(0), children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_charhash"),
+      new ExpressionInfo(classOf[CharHash].getName, "graft_charhash"),
+      (children: Seq[Expression]) => CharHash(children.head)))
+  }
+}

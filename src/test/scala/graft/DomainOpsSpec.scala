@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators._
+
+/** Invariant specs for the ROS-bag-domain operators. */
+class DomainOpsSpec extends SparkSpec {
+
+  test("q20 frame index: dense per-camera numbering starting at 1") {
+    val df = RosbagDomainOps.frameIndex(spark, sf)
+    val perUser = df.groupBy("user_id")
+      .agg(count(lit(1)).as("n"), min("frame_no").as("lo"), max("frame_no").as("hi"))
+    assert(perUser.filter(col("lo") =!= 1 || col("hi") =!= col("n")).count() === 0)
+  }
+
+  test("q21 sessionize: session event counts sum to total events") {
+    val total = Tables.events(spark, sf).count()
+    val sessions = RosbagDomainOps.sessionize(spark, sf)
+    assert(sessions.agg(sum("n_events")).collect()(0).getLong(0) === total)
+    // durations are non-negative and below the theoretical max span
+    assert(sessions.filter(col("duration_s") < 0).count() === 0)
+  }
+
+  test("q26 asof join matches a naive per-row computation on a sample") {
+    val e = Tables.events(spark, sf).select("event_id", "user_id", "ts", "event_type").collect()
+    val clicks = e.filter(_.getAs[String]("event_type") == "click")
+    val views = e.filter(_.getAs[String]("event_type") == "view").take(50)
+    val naive = views.map { v =>
+      val cands = clicks.filter(c => c.getAs[Long]("user_id") == v.getAs[Long]("user_id") &&
+        c.getAs[Long]("ts") <= v.getAs[Long]("ts"))
+      val best = if (cands.isEmpty) None
+        else Some(cands.maxBy(c => (c.getAs[Long]("ts"), c.getAs[Long]("event_id"))))
+      v.getAs[Long]("event_id") -> best.map(_.getAs[Long]("event_id"))
+    }.toMap
+    val got = RosbagDomainOps.asofJoin(spark, sf).collect()
+      .map(r => r.getAs[Long]("view_id") -> Option(r.getAs[java.lang.Long]("click_id")).map(_.toLong))
+      .toMap
+    naive.foreach { case (viewId, expected) =>
+      assert(got.get(viewId).flatten === expected, s"view $viewId")
+    }
+  }
+
+  test("q29 IoU values are in (0, 1]") {
+    val ious = RosbagDomainOps.bboxIou(spark, sf).select("iou").collect().map(_.getDouble(0))
+    assert(ious.nonEmpty && ious.forall(v => v > 0.0 && v <= 1.0))
+  }
+
+  test("q23 detection pivot: per-day counts reconcile with raw events") {
+    val pivot = RosbagDomainOps.detectMaxConf(spark, sf)
+    val nClicks = pivot.agg(sum("n_click")).collect()(0).getLong(0)
+    val raw = Tables.events(spark, sf).filter(col("event_type") === "click").count()
+    assert(nClicks === raw)
+  }
+
+  test("native graft_dot agrees with HOF fold and SQL registration works") {
+    import spark.implicits._
+    val df = Seq((Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0, 6.0))).toDF("a", "b")
+    val native = df.select(graft.functions.VectorFunctions.dot(col("a"), col("b"))).collect()(0).getDouble(0)
+    val hof = df.select(aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+      lit(0.0), (acc, x) => acc + x)).collect()(0).getDouble(0)
+    assert(native === 32.0 && hof === 32.0)
+    df.createOrReplaceTempView("vecs")
+    assert(spark.sql("select graft_dot(a, b) from vecs").collect()(0).getDouble(0) === 32.0)
+    assert(spark.sql("select graft_charhash('abc')").collect()(0).getLong(0) === 96354L)
+  }
+}
