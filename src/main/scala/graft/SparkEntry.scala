@@ -29,6 +29,10 @@ object SparkEntry {
     "q13_case_pivot"      -> (RelationalOps.casePivot _),
     "q14_percentiles"     -> (RelationalOps.percentiles _),
     "q15_union_dedup"     -> (RelationalOps.unionDedup _),
+    "q16_json_extract"    -> (RelationalOps.jsonExtract _),
+    "q17_string_funcs"    -> (RelationalOps.stringFuncs _),
+    "q18_date_trunc"      -> (RelationalOps.dateTrunc _),
+    "q19_correlated_avg"  -> (RelationalOps.correlatedAvg _),
     "q20_frame_index"     -> (RosbagDomainOps.frameIndex _),
     "q21_sessionize"      -> (RosbagDomainOps.sessionize _),
     "q22_frame_gaps"      -> (RosbagDomainOps.frameGaps _),
@@ -212,6 +216,35 @@ object SparkEntry {
         |  UNION ALL SELECT doc_id, text FROM documents)
         |SELECT md5(text) AS text_hash, MIN(doc_id) AS keeper_doc_id, COUNT(*) AS n_copies
         |FROM u GROUP BY md5(text) ORDER BY text_hash""".stripMargin,
+
+    "q16_json_extract" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+        |  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q17_string_funcs" ->
+      """SELECT p_partkey, UPPER(p_name) AS name_upper, substring(p_name, 1, 5) AS name_prefix,
+        |  CAST(length(p_name) AS BIGINT) AS name_len,
+        |  p_brand || '/' || p_type AS brand_type
+        |FROM part
+        |WHERE p_name LIKE '%widget%' OR contains(p_type, 'ECO')
+        |ORDER BY p_partkey""".stripMargin,
+
+    "q18_date_trunc" ->
+      s"""SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month,
+         |  COUNT(*) AS n_orders, ${S("o_totalprice")} AS sum_price
+         |FROM orders GROUP BY date_trunc('month', o_orderdate)
+         |ORDER BY month""".stripMargin,
+
+    "q19_correlated_avg" ->
+      s"""WITH avgs AS (SELECT l_partkey AS pk, ${A("l_quantity")} AS avg_qty
+         |              FROM lineitem GROUP BY l_partkey)
+         |SELECT l_orderkey, l_linenumber, l_partkey, l_quantity, avg_qty
+         |FROM lineitem JOIN avgs ON l_partkey = pk
+         |WHERE l_quantity < avg_qty * 0.4
+         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
     "q20_frame_index" ->
       """SELECT user_id, event_id, epoch_us(ts) AS ts_us,

@@ -65,6 +65,26 @@ object ImageOps {
       })
   }
 
+  final case class PngFrame(bag: String, topic: String, time_ns: Long, file_name: String, png: Array[Byte])
+
+  /** Encode frames to real PNG bytes (PngEncoder) partition-parallel — the
+    * reference's per-frame `img.save(...png)` as a distributed column op.
+    * Pair with a binary-file sink (or foreachPartition upload) to land the
+    * same S3 layout the reference produces.
+    */
+  def toPng(spark: SparkSession, frames: DataFrame): Dataset[PngFrame] = {
+    import spark.implicits._
+    frames
+      .select("bag", "topic", "time_ns", "width", "height", "encoding", "pixels", "file_name")
+      .map { r =>
+        PngFrame(r.getAs[String]("bag"), r.getAs[String]("topic"), r.getAs[Long]("time_ns"),
+          r.getAs[String]("file_name"),
+          PngEncoder.encode(r.getAs[Array[Byte]]("pixels"),
+            r.getAs[Long]("width").toInt, r.getAs[Long]("height").toInt,
+            r.getAs[String]("encoding")))
+      }
+  }
+
   /** Deterministic temporal frame sampling: keep every nth frame per
     * (bag, topic) — the "select frames for labeling" stage. Pure filter on
     * the frame index, no shuffle.

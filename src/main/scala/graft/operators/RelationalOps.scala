@@ -215,4 +215,60 @@ object RelationalOps {
       .agg(min(col("doc_id")).as("keeper_doc_id"), count(lit(1)).as("n_copies"))
       .orderBy("text_hash")
   }
+
+  /** q16 — semi-structured extraction: pull a typed field out of the JSON
+    * `props` payload and aggregate on it. JSON parsing is per-row map-side
+    * work; the only shuffle is the final small aggregation.
+    */
+  def jsonExtract(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(
+        col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"))
+      .orderBy("event_type")
+
+  /** q17 — string predicates and transforms: LIKE / contains filters with
+    * projection-level string functions; everything pushes to the scan.
+    */
+  def stringFuncs(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d)
+      .filter(col("p_name").like("%widget%") || col("p_type").contains("ECO"))
+      .select(
+        col("p_partkey"),
+        upper(col("p_name")).as("name_upper"),
+        substring(col("p_name"), 1, 5).as("name_prefix"),
+        length(col("p_name")).cast("long").as("name_len"),
+        concat_ws("/", col("p_brand"), col("p_type")).as("brand_type"))
+      .orderBy("p_partkey")
+
+  /** q18 — calendar aggregation: month-truncated order stats (the
+    * "recordings per month" shape). */
+  def dateTrunc(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM-dd").as("month"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy("month")
+
+  /** q19 — correlated scalar subquery (TPC-H Q17 shape): lines far below
+    * their part's average quantity. Expressed as an aggregate + rejoin so
+    * Catalyst plans one shuffle on partkey instead of a per-row subquery.
+    */
+  def correlatedAvg(s: SparkSession, d: String): DataFrame = {
+    val l = Tables.lineitem(s, d)
+    val avgs = l.groupBy(col("l_partkey").as("pk"))
+      .agg(davg(col("l_quantity")).as("avg_qty"))
+    l.join(broadcast(avgs), col("l_partkey") === col("pk"))
+      .filter(col("l_quantity") < col("avg_qty") * 0.4)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_quantity"),
+        col("avg_qty"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
 }
