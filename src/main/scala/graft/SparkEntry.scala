@@ -21,7 +21,9 @@ object SparkEntry {
     "q06_scan_agg"        -> (RelationalOps.scanAgg _),
     "q07_window_rank"     -> (RelationalOps.windowRank _),
     "q08_window_running"  -> (RelationalOps.windowRunning _),
+    "q08b_window_range"   -> (RelationalOps.windowRange _),
     "q09_rollup"          -> (RelationalOps.rollupAgg _),
+    "q09b_cube"           -> (RelationalOps.cubeAgg _),
     "q10_antijoin"        -> (RelationalOps.antiJoin _),
     "q11_topk_per_group"  -> (RelationalOps.topkPerGroup _),
     "q12_distinct_count"  -> (RelationalOps.distinctCount _),
@@ -51,6 +53,7 @@ object SparkEntry {
     "q44_dedup_embedding" -> (DedupOps.embeddingNearDup _),
     "q45_knn_bruteforce"  -> ((s: SparkSession, d: String) => SimilarityOps.knnBruteForce(s, d)),
     "q46_knn_lsh"         -> ((s: SparkSession, d: String) => SimilarityOps.knnLsh(s, d)),
+    "q46b_knn_ivf"        -> ((s: SparkSession, d: String) => SimilarityOps.knnIvf(s, d)),
     "q47_langid"          -> (TextAnalysisOps.langId _),
     "q48_quality_score"   -> (TextAnalysisOps.qualityScore _),
     "q49_token_count"     -> (TextAnalysisOps.tokenCount _),
@@ -165,6 +168,22 @@ object SparkEntry {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value,
         |  LAG(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value
         |FROM events ORDER BY event_id""".stripMargin,
+
+    "q08b_window_range" ->
+      """SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+        |  CAST(SUM(CAST(value AS DECIMAL(27,6))) OVER (
+        |    PARTITION BY user_id ORDER BY epoch_us(ts)
+        |    RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS trailing_24h,
+        |  COUNT(*) OVER (
+        |    PARTITION BY user_id ORDER BY epoch_us(ts)
+        |    RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW) AS n_24h
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q09b_cube" ->
+      s"""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+         |  ${S("o_totalprice")} AS sum_price
+         |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+         |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
 
     "q09_rollup" ->
       s"""SELECT r_name, n_name, COUNT(*) AS n_customers, ${S("c_acctbal")} AS sum_bal

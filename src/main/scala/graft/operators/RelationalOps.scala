@@ -143,6 +143,32 @@ object RelationalOps {
       .orderBy(asc_nulls_first("r_name"), asc_nulls_first("n_name"))
   }
 
+  /** q09b — cube: full cross-tabulation of order status x priority. */
+  def cubeAgg(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select("o_orderstatus", "o_orderpriority", "o_totalprice")
+      .cube("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))
+
+  /** q08b — sliding event-time window by range: per-user 24h trailing sum,
+    * expressed as a RANGE frame over epoch-micros so the frame follows the
+    * clock, not row counts.
+    */
+  def windowRange(s: SparkSession, d: String): DataFrame = {
+    val dayUs = 86400L * 1000000L
+    val tsUs = call_function("div", col("ts"), lit(1000L))
+    val w = Window.partitionBy("user_id").orderBy("ts_us")
+      .rangeBetween(-dayUs, 0)
+    Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), tsUs.as("ts_us"), col("value"))
+      .withColumn("trailing_24h",
+        sum(acc(col("value"))).over(w).cast("double"))
+      .withColumn("n_24h", count(lit(1)).over(w))
+      .drop("value")
+      .orderBy("event_id")
+  }
+
   /** q10 — anti join: customers with no orders since 2000. */
   def antiJoin(s: SparkSession, d: String): DataFrame = {
     val recent = Tables.orders(s, d)

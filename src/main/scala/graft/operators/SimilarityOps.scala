@@ -66,4 +66,43 @@ object SimilarityOps {
       .filter(col("rank") <= k)
       .orderBy("q_id", "rank")
   }
+
+  private val IvfLists = 16
+  private val IvfProbes = 2
+
+  /** q46b — IVF-style ANN: a deterministic coarse quantizer (the first
+    * `IvfLists` corpus vectors stand in for trained centroids) assigns every
+    * vector to its nearest list map-side (broadcast centroids, no corpus
+    * shuffle); queries probe their `IvfProbes` nearest lists and rank only
+    * within them. At fleet scale this is the classic recall/cost dial:
+    * probes x (corpus / lists) candidates per query instead of the corpus.
+    */
+  def knnIvf(s: SparkSession, d: String, k: Int = 3): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      .withColumn("nrm", norm(col("v")))
+    val centroids = e.filter(col("vec_id") < IvfLists)
+      .select(col("vec_id").as("list_id"), col("v").as("cv"), col("nrm").as("cnrm"))
+
+    // nearest-centroid assignment by cosine (argmax via window, ties by id)
+    def assign(df: DataFrame, idCol: String, keep: Int): DataFrame = {
+      val w = Window.partitionBy(idCol).orderBy(col("csim").desc, col("list_id"))
+      df.join(broadcast(centroids))
+        .withColumn("csim", cosine(col("v"), col("cv"), col("nrm"), col("cnrm")))
+        .withColumn("crank", row_number().over(w))
+        .filter(col("crank") <= keep)
+        .drop("cv", "cnrm", "csim", "crank")
+    }
+
+    val queries = assign(e.filter(col("vec_id") < 10), "vec_id", IvfProbes)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qnrm"), col("list_id"))
+    val corpus = assign(e.filter(col("vec_id") >= 10), "vec_id", 1)
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("neighbor_id"))
+    corpus.join(broadcast(queries), Seq("list_id"))
+      .withColumn("cos", cosine(col("qv"), col("v"), col("qnrm"), col("nrm")))
+      .select(col("q_id"), col("vec_id").as("neighbor_id"), col("cos"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .orderBy("q_id", "rank")
+  }
 }

@@ -60,6 +60,17 @@ class LlmOpsSpec extends SparkSpec {
     assert(joined.filter(abs(col("l.cos") - col("b.cos")) > 1e-12).count() === 0)
   }
 
+  test("q46b ivf knn neighbors are real corpus vectors with true cosines") {
+    val bf = SimilarityOps.knnBruteForce(spark, sf, k = Int.MaxValue)
+    val ivf = SimilarityOps.knnIvf(spark, sf)
+    val joined = ivf.as("l").join(bf.as("b"),
+      col("l.q_id") === col("b.q_id") && col("l.neighbor_id") === col("b.neighbor_id"))
+    assert(joined.count() === ivf.count())
+    assert(joined.filter(abs(col("l.cos") - col("b.cos")) > 1e-12).count() === 0)
+    // every query probes lists: k results per query unless its lists are tiny
+    assert(ivf.groupBy("q_id").count().filter(col("count") > 3).count() === 0)
+  }
+
   test("q47 langid emits only known labels") {
     val labels = TextAnalysisOps.langId(spark, sf)
       .select("lang_pred").distinct().collect().map(_.getString(0)).toSet

@@ -52,6 +52,38 @@ class StreamingSpec extends SparkSpec {
     assert(s.getAs[Long]("session_end_ns") - s.getAs[Long]("session_start_ns") === H / 4)
   }
 
+  test("windowedCounts: checkpointed file-stream query resumes without reprocessing") {
+    import java.nio.file.Files
+    val src = Files.createTempDirectory("cksrc").toString
+    val ckpt = Files.createTempDirectory("ckpt").toString
+    val out = Files.createTempDirectory("ckout").toString
+    val schema = Tables.events(spark, sf).schema
+    def start() = EventStreams.windowedCounts(
+        spark.readStream.schema(schema).parquet(src), "1 day", "1 day")
+      .writeStream.format("parquet").outputMode("append")
+      .option("path", out)
+      .option("checkpointLocation", ckpt).start()
+
+    val q1 = start()
+    Tables.events(spark, sf).filter(col("event_id") < 300).write.mode("append").parquet(src)
+    q1.processAllAvailable()
+    q1.stop()
+    // restart from the checkpoint; feed the remainder
+    val q2 = start()
+    Tables.events(spark, sf).filter(col("event_id") >= 300).write.mode("append").parquet(src)
+    q2.processAllAvailable()
+    q2.stop()
+    val sunk = spark.read.parquet(out)
+    val streamed = sunk.agg(sum("n")).collect()(0).getLong(0)
+    // closed windows only (append mode): streamed counts must never exceed
+    // the total and must cover most events; no window may be emitted twice
+    val total = Tables.events(spark, sf).count()
+    assert(streamed <= total && streamed > total / 2)
+    val dupWindows = sunk.groupBy("window_start", "event_type")
+      .count().filter(col("count") > 1).count()
+    assert(dupWindows === 0)
+  }
+
   test("monitorTable: latest status per worker on a static frame") {
     // the same aggregation works in batch mode (streaming-batch parity)
     val e = Tables.events(spark, sf)
