@@ -1,0 +1,57 @@
+package graft.jobs
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+import graft.GraftSession
+import graft.multimodal.ImageOps
+import graft.sources.rosbag.RosbagReader
+
+/** The reference pipeline's end-to-end job as one Spark application: ROS
+  * bags in, a queryable parquet lake (+ optional PNG frames) out — the
+  * Fargate-task-per-bag architecture collapsed into a cluster job where
+  * each executor task demuxes whole bags in parallel.
+  *
+  * Usage: BagIngest <bag-path-or-glob> <out-dir> [--png]
+  *
+  * Output layout:
+  *   <out>/images/      frame metadata + pixel payloads (parquet)
+  *   <out>/laser/ odometry/ wrench/ std_msgs/   typed topic tables
+  *   <out>/manifest/    per-recording mp4/frame manifest
+  *   <out>/png/         one real PNG file per frame (with --png)
+  */
+object BagIngest {
+
+  def run(spark: SparkSession, bags: String, out: String, writePng: Boolean): Unit = {
+    def save(df: DataFrame, name: String): Unit =
+      df.write.mode(SaveMode.Overwrite).parquet(s"$out/$name")
+
+    save(RosbagReader.images(spark, bags), "images")
+    save(RosbagReader.laserScans(spark, bags), "laser")
+    save(RosbagReader.odometry(spark, bags), "odometry")
+    save(RosbagReader.wrench(spark, bags), "wrench")
+    save(RosbagReader.stdMsgs(spark, bags), "std_msgs")
+    save(RosbagReader.mp4Manifest(spark, bags)
+      .withColumn("frames", org.apache.spark.sql.functions.col("frames.file_name")), "manifest")
+
+    if (writePng) {
+      val dir = new java.io.File(s"$out/png")
+      ImageOps.toPng(spark, spark.read.parquet(s"$out/images"))
+        .foreachPartition { it: Iterator[ImageOps.PngFrame] =>
+          // executor-side sink: in production this is the S3 upload the
+          // reference does from its uploader process (main.py Uploader)
+          it.foreach { p =>
+            val f = new java.io.File(dir, p.file_name)
+            f.getParentFile.mkdirs()
+            java.nio.file.Files.write(f.toPath, p.png)
+          }
+        }
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: BagIngest <bags> <out-dir> [--png]")
+    val spark = GraftSession.get()
+    run(spark, args(0), args(1), args.contains("--png"))
+    spark.stop()
+  }
+}

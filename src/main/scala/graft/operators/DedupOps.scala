@@ -110,11 +110,12 @@ object DedupOps {
 
   private val SimBits = 20
 
-  /** q43 — SimHash fingerprint + Hamming near-dup pairs. The 20-bit
-    * fingerprint folds per-row (no shuffle); pair generation here is the
-    * exact all-pairs check for oracle parity — the scale path is banding the
-    * fingerprint like q42 (prefix buckets) which drops candidates to
-    * near-linear.
+  /** q43 — SimHash fingerprint + Hamming near-dup pairs via LOSSLESS
+    * banding: the 20-bit fingerprint splits into 4 bands of 5 bits, and by
+    * pigeonhole any pair within Hamming distance 3 agrees on at least one
+    * whole band — so joining on (band, band_value) finds every qualifying
+    * pair while pruning the quadratic cross product. Fingerprints fold
+    * per-row (no shuffle); candidates scale with band-bucket sizes.
     */
   def simhash(s: SparkSession, d: String): DataFrame = {
     val base = Tables.documents(s, d)
@@ -126,10 +127,18 @@ object DedupOps {
         when(bitSum >= 0, lit(1L << j)).otherwise(lit(0L))
       }.reduce(_ + _))
     val sims = withSim.select("doc_id", "simhash")
-    sims.as("a").join(sims.as("b"), col("a.doc_id") < col("b.doc_id"))
-      .withColumn("hamming", bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("long"))
+    val banded = sims.select(col("doc_id"), col("simhash"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b.toLong).as("band"),
+          shiftright(col("simhash"), b * 5).bitwiseAND(31L).as("bval"))): _*)).as("bb"))
+      .select(col("doc_id"), col("simhash"), col("bb.band"), col("bb.bval"))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bval") === col("b.bval") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("long").as("hamming"))
       .filter(col("hamming") <= 3)
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"), col("hamming"))
+      .distinct()
       .orderBy("doc_a", "doc_b")
   }
 
