@@ -59,6 +59,8 @@ object SparkEntry {
     "q49_token_count"     -> (TextAnalysisOps.tokenCount _),
     "q50_fingerprint"     -> (TextAnalysisOps.fingerprint _),
     "q51_embed_stats"     -> (TextAnalysisOps.embedStats _),
+    "q52_top_terms"       -> (TextAnalysisOps.topTerms _),
+    "q53_normalize"       -> (TextAnalysisOps.normalizeTokens _),
   )
 
   // Portable polynomial rolling hash in DuckDB SQL — mirrors
@@ -411,7 +413,7 @@ object SparkEntry {
          |bits AS (SELECT doc_id, j,
          |    CASE WHEN list_sum(list_transform(hs, v -> 2*((v >> j) & 1) - 1)) >= 0
          |         THEN (CAST(1 AS BIGINT) << j) ELSE 0 END AS bitval
-         |  FROM h, range(20) t(j)),
+         |  FROM h, range(32) t(j)),
          |sims AS (SELECT doc_id, CAST(SUM(bitval) AS BIGINT) AS simhash FROM bits GROUP BY doc_id)
          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
@@ -478,5 +480,28 @@ object SparkEntry {
          |  CAST(SUM(CAST(nrm AS DECIMAL(27,6))) AS DOUBLE)/COUNT(nrm) AS avg_norm,
          |  MIN(nrm) AS min_norm, MAX(nrm) AS max_norm
          |FROM n GROUP BY label ORDER BY label""".stripMargin,
+
+    "q52_top_terms" ->
+      """WITH tf AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tfc AS (SELECT doc_id, term, COUNT(*) AS tf FROM tf GROUP BY doc_id, term),
+        |dfc AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tfc GROUP BY term),
+        |n AS (SELECT COUNT(*) AS n_total FROM documents),
+        |scored AS (SELECT doc_id, term, tf, df, tf * n_total / df AS score
+        |           FROM tfc JOIN dfc USING (term), n)
+        |SELECT doc_id, rank, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df, score
+        |FROM (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS BIGINT) AS rank
+        |      FROM scored) t
+        |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+
+    "q53_normalize" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_raw,
+        |  CAST(len(list_distinct(list_filter(
+        |    list_transform(string_split(lower(text), ' '), t -> regexp_replace(t, '[^a-z0-9]', '', 'g')),
+        |    t -> t <> '' AND t NOT IN ('the','a','of','and','to','is')))) AS BIGINT) AS n_clean,
+        |  array_to_string(list_sort(list_distinct(list_filter(
+        |    list_transform(string_split(lower(text), ' '), t -> regexp_replace(t, '[^a-z0-9]', '', 'g')),
+        |    t -> t <> '' AND t NOT IN ('the','a','of','and','to','is')))), ' ') AS clean_sorted
+        |FROM documents ORDER BY doc_id""".stripMargin,
   )
 }

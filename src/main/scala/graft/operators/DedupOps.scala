@@ -108,29 +108,33 @@ object DedupOps {
       .orderBy("doc_a", "doc_b")
   }
 
-  private val SimBits = 20
+  private val SimBits = 32
 
   /** q43 — SimHash fingerprint + Hamming near-dup pairs via LOSSLESS
-    * banding: the 20-bit fingerprint splits into 4 bands of 5 bits, and by
+    * banding: the 32-bit fingerprint splits into 4 bands of 8 bits, and by
     * pigeonhole any pair within Hamming distance 3 agrees on at least one
     * whole band — so joining on (band, band_value) finds every qualifying
     * pair while pruning the quadratic cross product. Fingerprints fold
     * per-row (no shuffle); candidates scale with band-bucket sizes.
     */
   def simhash(s: SparkSession, d: String): DataFrame = {
-    val base = Tables.documents(s, d)
-      .select(col("doc_id"), transform(tokens(col("text")), t => charHash(t)).as("hs"))
-    val withSim = base.withColumn("simhash",
-      (0 until SimBits).map { j =>
-        val bitSum = aggregate(col("hs"), lit(0L),
-          (acc, h) => acc + lit(2L) * shiftright(h, j).bitwiseAND(1L) - 1L)
-        when(bitSum >= 0, lit(1L << j)).otherwise(lit(0L))
-      }.reduce(_ + _))
-    val sims = withSim.select("doc_id", "simhash")
+    // row-based fingerprint: one explode to (doc, token-hash), then all 32
+    // per-bit sums in a single codegen'd aggregation (map-side partials) —
+    // no per-element HOF lambdas in the hot path
+    val th = Tables.documents(s, d)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("word"))
+      .select(col("doc_id"), charHash(col("word")).as("wh"))
+    val bitSums = th.groupBy("doc_id").agg(
+      sum(shiftright(col("wh"), 0).bitwiseAND(1L) * 2L - 1L).as("b0"),
+      (1 until SimBits).map(j =>
+        sum(shiftright(col("wh"), j).bitwiseAND(1L) * 2L - 1L).as(s"b$j")): _*)
+    val sims = bitSums.select(col("doc_id"),
+      (0 until SimBits).map(j =>
+        when(col(s"b$j") >= 0, lit(1L << j)).otherwise(lit(0L))).reduce(_ + _).as("simhash"))
     val banded = sims.select(col("doc_id"), col("simhash"),
       explode(array((0 until 4).map(b =>
         struct(lit(b.toLong).as("band"),
-          shiftright(col("simhash"), b * 5).bitwiseAND(31L).as("bval"))): _*)).as("bb"))
+          shiftright(col("simhash"), b * 8).bitwiseAND(255L).as("bval"))): _*)).as("bb"))
       .select(col("doc_id"), col("simhash"), col("bb.band"), col("bb.bval"))
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bval") === col("b.bval") &&

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -78,6 +79,47 @@ object TextAnalysisOps {
     Tables.documents(s, d)
       .select(col("doc_id"), charHash(col("text")).as("fingerprint"))
       .orderBy("doc_id")
+
+  /** q52 — characteristic terms per document: tf x (N/df) with a linear
+    * inverse-document-frequency (no log, so the score is a ratio of exact
+    * integers — engine-reproducible), top-3 per doc. Shape: one explode to
+    * the token level, df by one groupBy, rank per doc — the inverted-index
+    * pattern that scales linearly with corpus token count.
+    */
+  def topTerms(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val nDocs = docs.select(count(lit(1)).as("n_total"))
+    val tf = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(countDistinct(col("doc_id")).as("df"))
+    val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("term"))
+    tf.join(broadcast(df), "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score", col("tf") * col("n_total") / col("df"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select("doc_id", "rank", "term", "tf", "df", "score")
+      .orderBy("doc_id", "rank")
+  }
+
+  /** q53 — token normalization: lowercase, strip non-alphanumerics, drop
+    * stopwords and empties, dedupe — the canonical cleaning pass before any
+    * dedup/index stage; emitted as per-doc stats so it is oracle-checkable.
+    */
+  def normalizeTokens(s: SparkSession, d: String): DataFrame = {
+    val cleaned = array_distinct(filter(
+      transform(tokens(lower(col("text"))), t => regexp_replace(t, "[^a-z0-9]", "")),
+      t => t =!= "" && !t.isInCollection(Stopsets.head._2)))
+    Tables.documents(s, d)
+      .select(
+        col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("n_raw"),
+        size(cleaned).cast("long").as("n_clean"),
+        concat_ws(" ", array_sort(cleaned)).as("clean_sorted"))
+      .orderBy("doc_id")
+  }
 
   /** q51 — embedding-column statistics per label: exact-decimal mean norm
     * plus extrema; the sanity dashboard for an embedding pipeline.

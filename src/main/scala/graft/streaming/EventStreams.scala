@@ -67,6 +67,27 @@ object EventStreams {
       }
   }
 
+  /** Stream-stream join with watermarks: attribute each 'view' to a 'click'
+    * of the same user within the preceding hour. Both sides carry
+    * watermarks so the join state is bounded — the streaming twin of the
+    * batch as-of join (RosbagDomainOps.asofJoin).
+    */
+  def clickViewJoin(events: DataFrame): DataFrame = {
+    val base = events
+      .withColumn("event_time", timestamp_micros(call_function("div", col("ts"), lit(1000L))))
+    val clicks = base.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"), col("event_time").as("click_time"))
+      .withWatermark("click_time", "2 hours")
+    val views = base.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("event_id").as("view_id"), col("event_time").as("view_time"))
+      .withWatermark("view_time", "2 hours")
+    views.join(clicks,
+      col("v_user") === col("c_user") &&
+        col("view_time") >= col("click_time") &&
+        col("view_time") <= col("click_time") + expr("INTERVAL 1 HOUR"))
+      .select(col("view_id"), col("v_user").as("user_id"), col("click_id"), col("view_time"), col("click_time"))
+  }
+
   /** The reference's monitor table as a streaming aggregation: latest
     * status + counts per worker, updated per micro-batch (complete/update
     * mode sink feeds the dashboard).

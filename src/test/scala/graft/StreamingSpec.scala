@@ -84,6 +84,27 @@ class StreamingSpec extends SparkSpec {
     assert(dupWindows === 0)
   }
 
+  test("clickViewJoin: stream-stream join attributes views within the hour") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val out = EventStreams.clickViewJoin(mem.toDF())
+    val q = out.writeStream.format("memory").queryName("cvj").outputMode("append").start()
+    val base = 1700000000L * 1000000000L
+    mem.addData(
+      ev(1, base, 5, "click", 1.0),
+      ev(2, base + H / 2, 5, "view", 1.0),   // within the hour -> joins
+      ev(3, base + 3 * H, 5, "view", 1.0),   // too late -> no click match
+      ev(4, base + H / 4, 6, "view", 1.0))   // other user -> no match
+    q.processAllAvailable()
+    mem.addData(ev(9, base + 20 * H, 1, "click", 1.0)) // advance watermark
+    q.processAllAvailable()
+    val rows = spark.sql("select view_id, click_id from cvj").collect()
+    q.stop()
+    assert(rows.length === 1)
+    assert(rows(0).getLong(0) === 2 && rows(0).getLong(1) === 1)
+  }
+
   test("monitorTable: latest status per worker on a static frame") {
     // the same aggregation works in batch mode (streaming-batch parity)
     val e = Tables.events(spark, sf)
