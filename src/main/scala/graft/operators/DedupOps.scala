@@ -57,7 +57,11 @@ object DedupOps {
   }
 
   def ngramJaccard(s: SparkSession, d: String): DataFrame = {
-    val posting = shinglePostings(s, d)
+    // the posting table feeds four plan subtrees (two join sides, two count
+    // broadcasts); without an explicit persist Spark re-derives the whole
+    // scan->hash->window pipeline for each — cache it once, executors keep
+    // it memory-and-disk and evict LRU
+    val posting = shinglePostings(s, d).persist()
     val counts = posting.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val pairs = posting.as("a").join(posting.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
@@ -100,7 +104,8 @@ object DedupOps {
     val stacked = withSigs.select(col("doc_id") +: bandCols: _*)
       .selectExpr("doc_id",
         s"stack(${Bands}, ${(0 until Bands).map(b => s"${b}L, band_$b").mkString(", ")}) as (band, sig)")
-    stacked.as("a").join(stacked.as("b"),
+    val stackedP = stacked.persist() // both self-join sides read it
+    stackedP.as("a").join(stackedP.as("b"),
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -131,11 +136,12 @@ object DedupOps {
     val sims = bitSums.select(col("doc_id"),
       (0 until SimBits).map(j =>
         when(col(s"b$j") >= 0, lit(1L << j)).otherwise(lit(0L))).reduce(_ + _).as("simhash"))
-    val banded = sims.select(col("doc_id"), col("simhash"),
+    val banded0 = sims.select(col("doc_id"), col("simhash"),
       explode(array((0 until 4).map(b =>
         struct(lit(b.toLong).as("band"),
           shiftright(col("simhash"), b * 8).bitwiseAND(255L).as("bval"))): _*)).as("bb"))
       .select(col("doc_id"), col("simhash"), col("bb.band"), col("bb.bval"))
+    val banded = banded0.persist() // both self-join sides read it
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bval") === col("b.bval") &&
           col("a.doc_id") < col("b.doc_id"))
