@@ -46,6 +46,7 @@ object SparkEntry {
     "q28_bbox_normalize"  -> (RosbagDomainOps.bboxNormalize _),
     "q29_bbox_iou"        -> (RosbagDomainOps.bboxIou _),
     "q30_train_val_split" -> (RosbagDomainOps.trainValSplit _),
+    "q34_salted_join"     -> ((s: SparkSession, d: String) => SkewOps.saltedJoin(s, d)),
     "q40_dedup_exact"     -> (DedupOps.exact _),
     "q41_dedup_ngram"     -> (DedupOps.ngramJaccard _),
     "q42_dedup_minhash"   -> (DedupOps.minhashLsh _),
@@ -376,6 +377,14 @@ object SparkEntry {
         |GROUP BY lang, CASE WHEN (doc_id * 2654435761) % 100 < 80 THEN 'train' ELSE 'val' END
         |ORDER BY lang, split""".stripMargin,
 
+    // deliberately the PLAIN join: the parity gate proves the salted
+    // rewrite is semantics-preserving
+    "q34_salted_join" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, o_totalprice
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT' AND l_quantity >= 30
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
     "q40_dedup_exact" ->
       """SELECT MIN(doc_id) AS doc_id, md5(text) AS text_hash, COUNT(*) AS n_copies
         |FROM documents GROUP BY md5(text) ORDER BY doc_id""".stripMargin,
@@ -480,6 +489,45 @@ object SparkEntry {
          |  CAST(SUM(CAST(nrm AS DECIMAL(27,6))) AS DOUBLE)/COUNT(nrm) AS avg_norm,
          |  MIN(nrm) AS min_norm, MAX(nrm) AS max_norm
          |FROM n GROUP BY label ORDER BY label""".stripMargin,
+
+    "q46_knn_lsh" ->
+      s"""WITH $EMB_NORM,
+         |bk AS (SELECT vec_id, v, nrm,
+         |  ${(0 until 8).map(j =>
+             s"(CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65)," +
+             s" i -> v[i] * ((($j*131 + (i-1)*7919) % 1001) - 500))), (x2, y2) -> x2 + y2) > 0" +
+             s" THEN CAST(${1L << j} AS BIGINT) ELSE 0 END)").mkString(" + ")} AS bucket
+         |  FROM n),
+         |j AS (SELECT a.vec_id AS q_id, b.vec_id AS neighbor_id,
+         |        $DOT64 / (a.nrm * b.nrm) AS cos
+         |      FROM bk a JOIN bk b ON a.vec_id < 10 AND b.vec_id >= 10 AND a.bucket = b.bucket)
+         |SELECT q_id, neighbor_id, cos, rank FROM (
+         |  SELECT q_id, neighbor_id, cos,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+         |  FROM j) t
+         |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin,
+
+    "q46b_knn_ivf" ->
+      s"""WITH $EMB_NORM,
+         |cents AS (SELECT vec_id AS list_id, v AS cv, nrm AS cnrm FROM n WHERE vec_id < 16),
+         |asg AS (SELECT vec_id, v, nrm, list_id, csim,
+         |          ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, list_id) AS crank
+         |        FROM (SELECT n.vec_id, n.v, n.nrm, c.list_id,
+         |                list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65),
+         |                  i -> n.v[i] * c.cv[i])), (x2, y2) -> x2 + y2) / (n.nrm * c.cnrm) AS csim
+         |              FROM n, cents c) t),
+         |qs AS (SELECT vec_id AS q_id, v AS qv, nrm AS qnrm, list_id FROM asg
+         |       WHERE vec_id < 10 AND crank <= 2),
+         |cp AS (SELECT vec_id, v, nrm, list_id FROM asg WHERE vec_id >= 10 AND crank = 1),
+         |j AS (SELECT q_id, cp.vec_id AS neighbor_id,
+         |        list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65),
+         |          i -> qs.qv[i] * cp.v[i])), (x2, y2) -> x2 + y2) / (qs.qnrm * cp.nrm) AS cos
+         |      FROM cp JOIN qs USING (list_id))
+         |SELECT q_id, neighbor_id, cos, rank FROM (
+         |  SELECT q_id, neighbor_id, cos,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+         |  FROM j) t
+         |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin,
 
     "q52_top_terms" ->
       """WITH tf AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),

@@ -29,12 +29,6 @@ object DedupOps {
       .select("doc_id", "text_hash", "n_copies")
       .orderBy("doc_id")
 
-  /** q41 — n-gram Jaccard near-duplicate pairs via an inverted shingle
-    * index: explode distinct 3-gram shingles, self-join on the shingle
-    * (shuffle keyed by shingle — no cross product), count shared, then
-    * Jaccard from per-doc shingle counts. Candidate volume is bounded by
-    * shingle frequency, the classic posting-list bound.
-    */
   /** Distinct hashed 3-gram shingle postings (doc_id, sh) — fully row-based:
     * posexplode tokens, hash each word once, combine the 3-gram with lead()
     * over the per-doc window. Every step is linear in token count and
@@ -56,6 +50,11 @@ object DedupOps {
       .distinct()
   }
 
+  /** q41 — n-gram Jaccard near-duplicate pairs via an inverted shingle
+    * index: self-join postings on the shingle hash (no cross product),
+    * count shared, Jaccard from per-doc shingle counts. Candidate volume is
+    * bounded by shingle frequency — the classic posting-list bound.
+    */
   def ngramJaccard(s: SparkSession, d: String): DataFrame = {
     // the posting table feeds four plan subtrees (two join sides, two count
     // broadcasts); without an explicit persist Spark re-derives the whole
