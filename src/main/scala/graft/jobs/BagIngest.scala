@@ -30,6 +30,9 @@ object BagIngest {
     save(RosbagReader.odometry(spark, bags), "odometry")
     save(RosbagReader.wrench(spark, bags), "wrench")
     save(RosbagReader.stdMsgs(spark, bags), "std_msgs")
+    // dynamic-schema fallback: every topic with a message_definition lands
+    // as (slot-path -> value) rows even when no hand-coded decoder exists
+    save(RosbagReader.genericMessages(spark, bags), "generic")
     save(RosbagReader.mp4Manifest(spark, bags)
       .withColumn("frames", org.apache.spark.sql.functions.col("frames.file_name")), "manifest")
 

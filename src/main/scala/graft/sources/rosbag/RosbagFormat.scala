@@ -16,11 +16,11 @@ import org.apache.commons.compress.compressors.bzip2.BZip2CompressorInputStream
   */
 object RosbagFormat {
 
-  final case class Connection(id: Int, topic: String, datatype: String)
+  final case class Connection(id: Int, topic: String, datatype: String, msgDef: String)
 
   /** One demuxed message: connection metadata + receive time + raw ROS
     * serialization. */
-  final case class BagMessage(topic: String, datatype: String, timeNs: Long, data: Array[Byte])
+  final case class BagMessage(topic: String, datatype: String, timeNs: Long, data: Array[Byte], msgDef: String = "")
 
   private def readU32(in: DataInputStream): Long = {
     val b = new Array[Byte](4)
@@ -112,13 +112,14 @@ object RosbagFormat {
           in.readFully(data)
           val connHeader = readHeader(new DataInputStream(new ByteArrayInputStream(data)), dataLen.toLong)
           val id = leInt(header("conn"))
-          connections(id) = Connection(id, str(connHeader("topic")), str(connHeader("type")))
+          connections(id) = Connection(id, str(connHeader("topic")), str(connHeader("type")),
+            connHeader.get("message_definition").map(str).getOrElse(""))
         case 2 => // message data
           val data = new Array[Byte](dataLen)
           in.readFully(data)
           val conn = connections.get(leInt(header("conn")))
           val t = leTimeNs(header("time"))
-          conn.foreach(c => out += BagMessage(c.topic, c.datatype, t, data))
+          conn.foreach(c => out += BagMessage(c.topic, c.datatype, t, data, c.msgDef))
         case _ => // bag header (3), index (4), chunk info (6): skip payload
           in.skipBytes(dataLen)
       }

@@ -19,7 +19,8 @@ import org.apache.spark.sql.functions._
   */
 object RosbagReader {
 
-  final case class RawMessage(path: String, topic: String, datatype: String, time_ns: Long, data: Array[Byte])
+  final case class RawMessage(path: String, topic: String, datatype: String, time_ns: Long,
+      data: Array[Byte], msg_def: String)
 
   /** All messages of all bags under `path`, demuxed. */
   def messages(spark: SparkSession, path: String): Dataset[RawMessage] = {
@@ -28,8 +29,44 @@ object RosbagReader {
       .select(col("path"), col("content"))
       .as[(String, Array[Byte])]
       .mapPartitions(_.flatMap { case (p, bytes) =>
-        RosbagFormat.parse(bytes).iterator.map(m => RawMessage(p, m.topic, m.datatype, m.timeNs, m.data))
+        RosbagFormat.parse(bytes).iterator.map(m =>
+          RawMessage(p, m.topic, m.datatype, m.timeNs, m.data, m.msgDef))
       })
+  }
+
+  /** Dynamic-schema fallback for topics with no hand-coded deserializer —
+    * the reference's generic slot-walk (process_topic, bagstream.py:322):
+    * fields are decoded from each connection's message_definition and land
+    * as a (slot-path -> value) map column; `genericTable` pivots them to a
+    * wide per-topic table like the reference's per-topic CSVs.
+    */
+  def genericMessages(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    withIso(messages(spark, path)
+      .filter(_.msg_def.nonEmpty)
+      .mapPartitions { it =>
+        // definition parse cached per datatype within the partition
+        val cache = scala.collection.mutable.Map[String, Map[String, Seq[RosMsgDef.Field]]]()
+        it.map { m =>
+          val types = cache.getOrElseUpdate(m.datatype + m.msg_def.hashCode,
+            RosMsgDef.parse(m.datatype, m.msg_def))
+          val fields = RosMsgDef.deserialize(m.datatype, types, m.data).toMap
+          (m.path, m.topic, m.datatype, m.time_ns, fields)
+        }
+      }
+      .toDF("bag", "topic", "datatype", "time_ns", "fields"))
+  }
+
+  /** Wide table for one topic: every slot becomes a string column (dynamic
+    * schema, driver collects only the key set — one tiny aggregate).
+    */
+  def genericTable(spark: SparkSession, path: String, topic: String): DataFrame = {
+    val msgs = genericMessages(spark, path).filter(col("topic") === topic)
+    val keys = msgs.select(explode(map_keys(col("fields"))).as("k"))
+      .distinct().collect().map(_.getString(0)).sorted
+    msgs.select(
+      col("bag") +: col("topic") +: col("time_ns") +: col("iso_time") +:
+        keys.map(k => col("fields").getItem(k).as(k)): _*)
   }
 
   private def withIso(df: DataFrame): DataFrame =

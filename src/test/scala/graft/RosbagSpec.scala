@@ -41,6 +41,13 @@ object BagWriter {
     record(Seq(field("op", Array(7.toByte)), field("conn", le32(id)), field("topic", topic.getBytes)), connHeader)
   }
 
+  def connectionWithDef(id: Int, topic: String, datatype: String, msgDef: String): Array[Byte] = {
+    val connHeader =
+      field("topic", topic.getBytes) ++ field("type", datatype.getBytes) ++
+        field("md5sum", "x".getBytes) ++ field("message_definition", msgDef.getBytes)
+    record(Seq(field("op", Array(7.toByte)), field("conn", le32(id)), field("topic", topic.getBytes)), connHeader)
+  }
+
   def message(conn: Int, sec: Long, nsec: Long, payload: Array[Byte]): Array[Byte] =
     record(Seq(field("op", Array(2.toByte)), field("conn", le32(conn)), field("time", time(sec, nsec))), payload)
 
@@ -61,7 +68,7 @@ object BagWriter {
     "#ROSBAG V2.0\n".getBytes(StandardCharsets.ISO_8859_1) ++ records.flatten
 
   // --- ROS message payload builders ---
-  private def rosString(s: String): Array[Byte] = le32(s.length) ++ s.getBytes(StandardCharsets.UTF_8)
+  def rosString(s: String): Array[Byte] = le32(s.length) ++ s.getBytes(StandardCharsets.UTF_8)
 
   def rosHeader(seq: Int, sec: Long, nsec: Long, frameId: String): Array[Byte] =
     le32(seq) ++ time(sec, nsec) ++ rosString(frameId)
@@ -169,6 +176,48 @@ class RosbagSpec extends SparkSpec {
     assert(w.getAs[Double]("torque_z") === 0.3)
     val sm = RosbagReader.stdMsgs(spark, path).collect()(0)
     assert(sm.getAs[String]("value") === "hello")
+  }
+
+  test("genericTable(): dynamic schema from message_definition (process_topic semantics)") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    val dir = Files.createTempDirectory("genbag")
+    // custom type never hand-coded: Header + float64 + fixed + var arrays
+    val defText =
+      """# temperature reading
+        |Header header
+        |float64 temperature
+        |int32[2] window
+        |uint8[] flags
+        |string sensor_id
+        |================================================================================
+        |MSG: std_msgs/Header
+        |uint32 seq
+        |time stamp
+        |string frame_id
+        |""".stripMargin
+    val payload = {
+      val b = ByteBuffer.allocate(256).order(ByteOrder.LITTLE_ENDIAN)
+      b.put(BagWriter.rosHeader(42, 1600000000L, 7, "probe"))
+      b.putDouble(21.5)
+      b.putInt(3).putInt(4)          // fixed int32[2]
+      b.putInt(2).put(1.toByte).put(0.toByte) // var uint8[] of len 2
+      b.put(BagWriter.rosString("t-01"))
+      java.util.Arrays.copyOf(b.array(), b.position())
+    }
+    val conn = BagWriter.connectionWithDef(0, "/temp", "sensors/Temperature", defText)
+    val bytes = BagWriter.bag(BagWriter.bagHeader,
+      conn ++ BagWriter.message(0, 1600000100L, 0, payload))
+    val f = dir.resolve("gen.bag")
+    Files.write(f, bytes)
+
+    val df = RosbagReader.genericTable(spark, f.toString, "/temp")
+    val row = df.collect()(0)
+    assert(row.getAs[String]("temperature") === "21.5")
+    assert(row.getAs[String]("window_0") === "3" && row.getAs[String]("window_1") === "4")
+    assert(row.getAs[String]("flags_0") === "1" && row.getAs[String]("flags_1") === "0")
+    assert(row.getAs[String]("sensor_id") === "t-01")
+    assert(row.getAs[String]("header.seq") === "42")
+    assert(row.getAs[String]("header.frame_id") === "probe")
   }
 
   test("mp4Manifest(): ordered frames + fps") {
