@@ -62,6 +62,11 @@ object DedupOps {
     // it memory-and-disk and evict LRU
     val posting = shinglePostings(s, d).persist()
     val counts = posting.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    // note for real corpora: a df>1 prefilter on shingles before the
+    // self-join is lossless (df=1 shingles cannot form pairs; the Jaccard
+    // denominator still uses full counts) and prunes hard when most
+    // shingles are unique — on this dense synthetic vocabulary it only
+    // adds a pass, so it is not applied here
     val pairs = posting.as("a").join(posting.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
