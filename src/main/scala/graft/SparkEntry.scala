@@ -47,6 +47,8 @@ object SparkEntry {
     "q29_bbox_iou"        -> (RosbagDomainOps.bboxIou _),
     "q30_train_val_split" -> (RosbagDomainOps.trainValSplit _),
     "q34_salted_join"     -> ((s: SparkSession, d: String) => SkewOps.saltedJoin(s, d)),
+    "q35_funnel"          -> (RosbagDomainOps.funnel _),
+    "q36_sample"          -> (RosbagDomainOps.sampleDocs _),
     "q40_dedup_exact"     -> (DedupOps.exact _),
     "q41_dedup_ngram"     -> (DedupOps.ngramJaccard _),
     "q42_dedup_minhash"   -> (DedupOps.minhashLsh _),
@@ -376,6 +378,27 @@ object SparkEntry {
         |FROM documents
         |GROUP BY lang, CASE WHEN (doc_id * 2654435761) % 100 < 80 THEN 'train' ELSE 'val' END
         |ORDER BY lang, split""".stripMargin,
+
+    "q35_funnel" ->
+      """WITH agg AS (
+        |  SELECT user_id,
+        |    MIN(CASE WHEN event_type = 'click' THEN epoch_ns(ts) END) AS first_click_ns,
+        |    COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS n_clicks,
+        |    COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchases
+        |  FROM events GROUP BY user_id)
+        |SELECT user_id,
+        |  COALESCE(first_click_ns, 0) // 1000 AS first_click_us,
+        |  n_clicks, n_purchases,
+        |  COALESCE(first_click_ns IS NOT NULL AND EXISTS (
+        |    SELECT 1 FROM events e WHERE e.user_id = agg.user_id
+        |      AND e.event_type = 'purchase'
+        |      AND epoch_ns(e.ts) >= first_click_ns
+        |      AND epoch_ns(e.ts) <= first_click_ns + 172800000000000), FALSE) AS converted
+        |FROM agg ORDER BY user_id""".stripMargin,
+
+    "q36_sample" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE (doc_id * 2654435761) % 100 < 10 ORDER BY doc_id""".stripMargin,
 
     // deliberately the PLAIN join: the parity gate proves the salted
     // rewrite is semantics-preserving

@@ -221,6 +221,45 @@ object RosbagDomainOps {
       .orderBy("image_id", "box_a", "box_b")
   }
 
+  /** q35 — sessionized conversion funnel: per user, the first 'click' and
+    * whether a 'purchase' follows within 48h — the "image selected ->
+    * labeled" conversion tracking of the reference's labeling flow,
+    * expressed as two conditional aggregates and one pass.
+    */
+  def funnel(s: SparkSession, d: String): DataFrame = {
+    val winNs = 48L * 3600L * 1000000000L
+    Tables.events(s, d)
+      .groupBy("user_id")
+      .agg(
+        min(when(col("event_type") === "click", col("ts"))).as("first_click_ns"),
+        count(when(col("event_type") === "click", 1)).as("n_clicks"),
+        count(when(col("event_type") === "purchase", 1)).as("n_purchases"))
+      .join(
+        Tables.events(s, d).filter(col("event_type") === "purchase")
+          .groupBy(col("user_id").as("pu"))
+          .agg(collect_list(col("ts")).as("purchase_ts")),
+        col("user_id") === col("pu"), "left")
+      .withColumn("converted",
+        when(col("first_click_ns").isNotNull && col("purchase_ts").isNotNull,
+          exists(col("purchase_ts"),
+            t => t >= col("first_click_ns") && t <= col("first_click_ns") + winNs))
+          .otherwise(lit(false)))
+      .select(col("user_id"),
+        call_function("div", coalesce(col("first_click_ns"), lit(0L)), lit(1000L)).as("first_click_us"),
+        col("n_clicks"), col("n_purchases"), col("converted"))
+      .orderBy("user_id")
+  }
+
+  /** q36 — deterministic per-group sampling: multiplicative-hash row
+    * selection, stable under any partitioning/cluster size — the sane way
+    * to cut a training subset (never rand()).
+    */
+  def sampleDocs(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .filter((col("doc_id") * 2654435761L) % 100 < 10)
+      .select("doc_id", "lang", "n_chars")
+      .orderBy("doc_id")
+
   /** q30 — deterministic train/val split + class distribution (the
     * RecordIO prep in Transfer-Learning.ipynb): multiplicative-hash split so
     * assignment is stable under any partitioning/cluster size.
