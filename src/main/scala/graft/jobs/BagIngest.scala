@@ -25,16 +25,21 @@ object BagIngest {
     def save(df: DataFrame, name: String): Unit =
       df.write.mode(SaveMode.Overwrite).parquet(s"$out/$name")
 
-    save(RosbagReader.images(spark, bags), "images")
-    save(RosbagReader.laserScans(spark, bags), "laser")
-    save(RosbagReader.odometry(spark, bags), "odometry")
-    save(RosbagReader.wrench(spark, bags), "wrench")
-    save(RosbagReader.stdMsgs(spark, bags), "std_msgs")
+    // parse every bag exactly once: the demuxed message set feeds all seven
+    // output tables (the reference also demuxes in a single streaming pass)
+    val msgs = RosbagReader.messages(spark, bags).persist()
+    val images = RosbagReader.imagesOf(spark, msgs)
+    save(images, "images")
+    save(RosbagReader.laserScansOf(spark, msgs), "laser")
+    save(RosbagReader.odometryOf(spark, msgs), "odometry")
+    save(RosbagReader.wrenchOf(spark, msgs), "wrench")
+    save(RosbagReader.stdMsgsOf(spark, msgs), "std_msgs")
     // dynamic-schema fallback: every topic with a message_definition lands
     // as (slot-path -> value) rows even when no hand-coded decoder exists
-    save(RosbagReader.genericMessages(spark, bags), "generic")
-    save(RosbagReader.mp4Manifest(spark, bags)
+    save(RosbagReader.genericMessagesOf(spark, msgs), "generic")
+    save(RosbagReader.mp4ManifestOf(images)
       .withColumn("frames", org.apache.spark.sql.functions.col("frames.file_name")), "manifest")
+    msgs.unpersist()
 
     if (writePng) {
       val dir = new java.io.File(s"$out/png")

@@ -40,9 +40,12 @@ object RosbagReader {
     * as a (slot-path -> value) map column; `genericTable` pivots them to a
     * wide per-topic table like the reference's per-topic CSVs.
     */
-  def genericMessages(spark: SparkSession, path: String): DataFrame = {
+  def genericMessages(spark: SparkSession, path: String): DataFrame =
+    genericMessagesOf(spark, messages(spark, path))
+
+  def genericMessagesOf(spark: SparkSession, msgs: Dataset[RawMessage]): DataFrame = {
     import spark.implicits._
-    withIso(messages(spark, path)
+    withIso(msgs
       .filter(_.msg_def.nonEmpty)
       .mapPartitions { it =>
         // definition parse cached per datatype within the partition
@@ -77,9 +80,12 @@ object RosbagReader {
     * and the reference's PNG naming scheme (bagstream.py:252). The pixel
     * payload stays an opaque binary column for graft.multimodal.
     */
-  def images(spark: SparkSession, path: String): DataFrame = {
+  def images(spark: SparkSession, path: String): DataFrame =
+    imagesOf(spark, messages(spark, path))
+
+  def imagesOf(spark: SparkSession, msgs: Dataset[RawMessage]): DataFrame = {
     import spark.implicits._
-    val rows = messages(spark, path)
+    val rows = msgs
       .filter(_.datatype == "sensor_msgs/Image")
       .map { m =>
         val img = RosMessages.image(m.data)
@@ -97,9 +103,12 @@ object RosbagReader {
 
   /** sensor_msgs/LaserScan -> the reference's laser CSV columns
     * (bagstream.py:271). */
-  def laserScans(spark: SparkSession, path: String): DataFrame = {
+  def laserScans(spark: SparkSession, path: String): DataFrame =
+    laserScansOf(spark, messages(spark, path))
+
+  def laserScansOf(spark: SparkSession, msgs: Dataset[RawMessage]): DataFrame = {
     import spark.implicits._
-    withIso(messages(spark, path)
+    withIso(msgs
       .filter(_.datatype == "sensor_msgs/LaserScan")
       .map { m =>
         val l = RosMessages.laserScan(m.data)
@@ -111,9 +120,12 @@ object RosbagReader {
   }
 
   /** nav_msgs/Odometry -> pose/twist columns (bagstream.py:291). */
-  def odometry(spark: SparkSession, path: String): DataFrame = {
+  def odometry(spark: SparkSession, path: String): DataFrame =
+    odometryOf(spark, messages(spark, path))
+
+  def odometryOf(spark: SparkSession, msgs: Dataset[RawMessage]): DataFrame = {
     import spark.implicits._
-    withIso(messages(spark, path)
+    withIso(msgs
       .filter(_.datatype == "nav_msgs/Odometry")
       .map { m =>
         val o = RosMessages.odometry(m.data)
@@ -127,9 +139,12 @@ object RosbagReader {
   }
 
   /** geometry_msgs/Wrench -> force/torque columns (bagstream.py:309). */
-  def wrench(spark: SparkSession, path: String): DataFrame = {
+  def wrench(spark: SparkSession, path: String): DataFrame =
+    wrenchOf(spark, messages(spark, path))
+
+  def wrenchOf(spark: SparkSession, msgs: Dataset[RawMessage]): DataFrame = {
     import spark.implicits._
-    withIso(messages(spark, path)
+    withIso(msgs
       .filter(_.datatype == "geometry_msgs/Wrench")
       .map { m =>
         val v = RosMessages.wrench(m.data)
@@ -141,9 +156,12 @@ object RosbagReader {
 
   /** std_msgs single-slot messages -> (time, value-as-string)
     * (bagstream.py:285). */
-  def stdMsgs(spark: SparkSession, path: String): DataFrame = {
+  def stdMsgs(spark: SparkSession, path: String): DataFrame =
+    stdMsgsOf(spark, messages(spark, path))
+
+  def stdMsgsOf(spark: SparkSession, msgs: Dataset[RawMessage]): DataFrame = {
     import spark.implicits._
-    withIso(messages(spark, path)
+    withIso(msgs
       .filter(m => m.datatype.startsWith("std_msgs/"))
       .map { m =>
         val v = m.datatype match {
@@ -162,7 +180,10 @@ object RosbagReader {
     * `image_raw-%04d.png` inputs).
     */
   def mp4Manifest(spark: SparkSession, path: String): DataFrame =
-    images(spark, path)
+    mp4ManifestOf(images(spark, path))
+
+  def mp4ManifestOf(images: DataFrame): DataFrame =
+    images
       .groupBy("bag", "topic")
       .agg(
         count(lit(1)).as("n_frames"),
