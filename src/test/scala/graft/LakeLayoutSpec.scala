@@ -1,0 +1,32 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.ExplainMode
+import org.apache.spark.sql.functions._
+
+import graft.jobs.LakeLayout
+
+class LakeLayoutSpec extends SparkSpec {
+
+  test("day-partitioned layout prunes partitions at planning time") {
+    val lake = Files.createTempDirectory("lake").toString
+    LakeLayout.writeEventsPartitioned(spark, sf, lake)
+
+    // physical layout: one directory per day
+    val dirs = new java.io.File(lake).listFiles().filter(_.isDirectory).map(_.getName)
+    assert(dirs.nonEmpty && dirs.forall(_.startsWith("day=")))
+
+    val day = dirs.head.stripPrefix("day=")
+    val df = LakeLayout.readDay(spark, lake, day)
+    val plan = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    // the day predicate must be a partition filter, not a data filter
+    assert(plan.contains("PartitionFilters: [isnotnull(day"), plan)
+
+    // row counts reconcile with the unpartitioned source
+    val expected = Tables.events(spark, sf)
+      .withColumn("day", date_format(timestamp_micros(call_function("div", col("ts"), lit(1000L))), "yyyy-MM-dd"))
+      .filter(col("day") === day).count()
+    assert(df.count() === expected)
+  }
+}
