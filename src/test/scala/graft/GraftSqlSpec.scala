@@ -1,0 +1,24 @@
+package graft
+
+class GraftSqlSpec extends SparkSpec {
+
+  test("SQL surface: joins + native functions through spark.sql") {
+    GraftSql.registerAll(spark, sf)
+    val top = spark.sql(
+      """SELECT n_name, COUNT(*) AS n
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n DESC, n_name LIMIT 3""".stripMargin).collect()
+    assert(top.length === 3 && top(0).getLong(1) > 0)
+
+    // native expressions resolve by name in SQL
+    val cos = spark.sql(
+      """SELECT a.vec_id, graft_dot(
+        |  transform(a.embedding, x -> CAST(x AS DOUBLE)),
+        |  transform(a.embedding, x -> CAST(x AS DOUBLE))) AS selfdot
+        |FROM embeddings a LIMIT 1""".stripMargin).collect()(0)
+    assert(cos.getDouble(1) > 0.0)
+
+    val h = spark.sql("SELECT graft_charhash(text) AS h FROM documents LIMIT 1").collect()(0)
+    assert(h.getLong(0) >= 0)
+  }
+}
