@@ -17,24 +17,33 @@ import org.apache.spark.sql.functions._
 object ImageOps {
 
   final case class Frame(bag: String, topic: String, time_ns: Long,
-      width: Long, height: Long, encoding: String, pixels: Array[Byte])
+      width: Long, height: Long, encoding: String, step: Long, pixels: Array[Byte])
 
   final case class FrameFeatures(bag: String, topic: String, time_ns: Long,
       width: Long, height: Long, encoding: String,
       mean_r: Double, mean_g: Double, mean_b: Double, brightness: Double)
 
-  /** DECODE STUB: interpret the raw buffer as packed channels-last uint8.
-    * Deterministic stand-in for a real image decode (no codec in this
-    * container); the per-partition batch shape is the production path.
+  /** DECODE STUB: interpret the raw buffer as channels-last uint8 with a
+    * row stride (ROS Image `step`) — alignment padding beyond
+    * width*channels is skipped. Deterministic stand-in for a real image
+    * decode (no codec in this container); the per-partition batch shape is
+    * the production path.
     */
-  private def channelMeans(pixels: Array[Byte], channels: Int): Array[Double] = {
+  private def channelMeans(pixels: Array[Byte], channels: Int,
+      width: Int, height: Int, step: Int): Array[Double] = {
+    val rowBytes = width * channels
+    val stride = if (step >= rowBytes) step else rowBytes
     val sums = new Array[Double](channels)
-    var i = 0
-    while (i < pixels.length) {
-      sums(i % channels) += (pixels(i) & 0xff)
-      i += 1
+    var y = 0
+    while (y < height && (y * stride + rowBytes) <= pixels.length) {
+      var x = 0
+      while (x < rowBytes) {
+        sums(x % channels) += (pixels(y * stride + x) & 0xff)
+        x += 1
+      }
+      y += 1
     }
-    val n = math.max(1, pixels.length / channels)
+    val n = math.max(1, width * height)
     sums.map(_ / n)
   }
 
@@ -45,7 +54,7 @@ object ImageOps {
   def features(spark: SparkSession, frames: DataFrame): Dataset[FrameFeatures] = {
     import spark.implicits._
     frames
-      .select("bag", "topic", "time_ns", "width", "height", "encoding", "pixels")
+      .select("bag", "topic", "time_ns", "width", "height", "encoding", "step", "pixels")
       .as[Frame]
       .mapPartitions(_.map { f =>
         val ch = f.encoding match {
@@ -53,7 +62,7 @@ object ImageOps {
           case "rgba8" => 4
           case _       => 3 // rgb8 / bgr8 / 8UC3
         }
-        val m = channelMeans(f.pixels, ch)
+        val m = channelMeans(f.pixels, ch, f.width.toInt, f.height.toInt, f.step.toInt)
         val (r, g, b) = f.encoding match {
           // the reference swaps BGR->RGB for 8UC3 (bagstream.py:257)
           case "8UC3" | "bgr8" => (m(2), m(1), m(0))
@@ -75,13 +84,13 @@ object ImageOps {
   def toPng(spark: SparkSession, frames: DataFrame): Dataset[PngFrame] = {
     import spark.implicits._
     frames
-      .select("bag", "topic", "time_ns", "width", "height", "encoding", "pixels", "file_name")
+      .select("bag", "topic", "time_ns", "width", "height", "encoding", "step", "pixels", "file_name")
       .map { r =>
         PngFrame(r.getAs[String]("bag"), r.getAs[String]("topic"), r.getAs[Long]("time_ns"),
           r.getAs[String]("file_name"),
           PngEncoder.encode(r.getAs[Array[Byte]]("pixels"),
             r.getAs[Long]("width").toInt, r.getAs[Long]("height").toInt,
-            r.getAs[String]("encoding")))
+            r.getAs[String]("encoding"), r.getAs[Long]("step").toInt))
       }
   }
 

@@ -35,11 +35,17 @@ object PngEncoder {
     out.write(ByteBuffer.allocate(4).putInt(crc.getValue.toInt).array())
   }
 
-  /** Encode a packed channels-last uint8 buffer to PNG bytes. */
-  def encode(pixels: Array[Byte], width: Int, height: Int, encoding: String): Array[Byte] = {
+  /** Encode a channels-last uint8 buffer to PNG bytes. `srcStride` is the
+    * source row stride in bytes (ROS Image `step`) — rows may carry
+    * alignment padding beyond width*channels, which is skipped here.
+    */
+  def encode(pixels: Array[Byte], width: Int, height: Int, encoding: String,
+      srcStride: Int = -1): Array[Byte] = {
     val (channels, colorType, swapBgr) = layout(encoding)
-    require(pixels.length >= width * height * channels,
-      s"pixel buffer too small: ${pixels.length} < ${width * height * channels}")
+    val srcRow = if (srcStride > 0) srcStride else width * channels
+    require(srcRow >= width * channels, s"step $srcRow < row bytes ${width * channels}")
+    require(pixels.length >= (height - 1).max(0) * srcRow + width * channels,
+      s"pixel buffer too small: ${pixels.length}")
 
     val out = new ByteArrayOutputStream()
     out.write(Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a))
@@ -60,7 +66,7 @@ object PngEncoder {
       raw(rowStart) = 0
       var x = 0
       while (x < stride) {
-        val src = y * stride + x
+        val src = y * srcRow + x
         val v =
           if (!swapBgr) pixels(src)
           else (x % 3) match {

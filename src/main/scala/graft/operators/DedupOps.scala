@@ -71,9 +71,11 @@ object DedupOps {
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("shared"))
+    // counts is one row per doc (unbounded at corpus scale): no broadcast
+    // hint, AQE decides from runtime size
     pairs
-      .join(broadcast(counts).as("ca"), col("doc_a") === col("ca.doc_id"))
-      .join(broadcast(counts).as("cb"), col("doc_b") === col("cb.doc_id"))
+      .join(counts.as("ca"), col("doc_a") === col("ca.doc_id"))
+      .join(counts.as("cb"), col("doc_b") === col("cb.doc_id"))
       .withColumn("jaccard", col("shared") / (col("ca.n") + col("cb.n") - col("shared")))
       .filter(col("jaccard") >= 0.5)
       .select("doc_a", "doc_b", "jaccard")

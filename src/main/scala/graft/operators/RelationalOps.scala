@@ -291,7 +291,9 @@ object RelationalOps {
     val l = Tables.lineitem(s, d)
     val avgs = l.groupBy(col("l_partkey").as("pk"))
       .agg(davg(col("l_quantity")).as("avg_qty"))
-    l.join(broadcast(avgs), col("l_partkey") === col("pk"))
+    // no broadcast hint: avgs has one row per distinct partkey (unbounded
+    // at scale) — let AQE pick broadcast vs shuffle from actual size
+    l.join(avgs, col("l_partkey") === col("pk"))
       .filter(col("l_quantity") < col("avg_qty") * 0.4)
       .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_quantity"),
         col("avg_qty"))

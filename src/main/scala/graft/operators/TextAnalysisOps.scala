@@ -95,7 +95,9 @@ object TextAnalysisOps {
       .agg(count(lit(1)).as("tf"))
     val df = tf.groupBy("term").agg(countDistinct(col("doc_id")).as("df"))
     val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("term"))
-    tf.join(broadcast(df), "term")
+    // df has one row per distinct term (unbounded vocab at scale): no
+    // broadcast hint; nDocs is a single row, safe to broadcast
+    tf.join(df, "term")
       .crossJoin(broadcast(nDocs))
       .withColumn("score", col("tf") * col("n_total") / col("df"))
       .withColumn("rank", row_number().over(w).cast("long"))

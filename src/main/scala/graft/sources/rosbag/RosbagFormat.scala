@@ -13,6 +13,12 @@ import org.apache.commons.compress.compressors.bzip2.BZip2CompressorInputStream
   * `[u32 field_len]"name="[value bytes]`. Record kinds by `op` byte:
   * 2=message, 3=bag header, 4=index, 5=chunk (nested records, optionally
   * bz2), 6=chunk info, 7=connection.
+  *
+  * Parsing is STREAMING: `iterator` consumes an InputStream and holds at
+  * most one chunk (rosbag chunks are ~1 MB by default) plus one message in
+  * memory, so multi-GB bags never materialize — the 100 TB path
+  * (SURVEY.md §4). A truncated tail (corrupt upload) ends the iteration
+  * with everything demuxed so far instead of killing the task.
   */
 object RosbagFormat {
 
@@ -57,72 +63,96 @@ object RosbagFormat {
 
   private def str(b: Array[Byte]): String = new String(b, StandardCharsets.ISO_8859_1)
 
-  /** Parse a whole bag byte array into demuxed messages.
-    *
-    * One call handles one bag file — files are independent units, so at
-    * cluster scale each executor task parses whole bags in parallel
-    * (SURVEY.md §4); the grammar is inherently sequential within a file.
-    */
-  def parse(bytes: Array[Byte]): Seq[BagMessage] = {
-    val magicEnd = bytes.indexOf('\n'.toByte)
-    require(magicEnd > 0 && str(bytes.slice(0, magicEnd)).contains("V2.0"),
-      "unsupported bag version (only V2.0)")
-    val in = new DataInputStream(new ByteArrayInputStream(bytes, magicEnd + 1, bytes.length - magicEnd - 1))
-    val connections = scala.collection.mutable.Map[Int, Connection]()
-    val out = Seq.newBuilder[BagMessage]
-    parseRecords(in, connections, out)
-    out.result()
+  /** Read and validate the `#ROSBAG V2.0\n` magic line from a stream. */
+  private def readMagic(in: DataInputStream): Unit = {
+    val sb = new StringBuilder
+    var c = in.read()
+    while (c >= 0 && c != '\n' && sb.length < 64) {
+      sb.append(c.toChar)
+      c = in.read()
+    }
+    require(sb.toString.contains("V2.0"), "unsupported bag version (only V2.0)")
   }
 
-  private def parseRecords(
-      in: DataInputStream,
-      connections: scala.collection.mutable.Map[Int, Connection],
-      out: scala.collection.mutable.Builder[BagMessage, Seq[BagMessage]]): Unit = {
-    // A truncated record (corrupt tail, interrupted upload) ends this
-    // stream's parse but keeps everything demuxed so far — at fleet scale a
-    // damaged bag should yield its good prefix, not kill the task.
-    try parseLoop(in, connections, out)
-    catch { case _: EOFException => () }
-  }
+  /** Streaming demux of one bag. Memory: one chunk + one message. */
+  def iterator(raw: InputStream): Iterator[BagMessage] = new Iterator[BagMessage] {
+    private val outer = new DataInputStream(raw)
+    private val connections = scala.collection.mutable.Map[Int, Connection]()
+    // top of stack = currently-draining chunk stream; bottom = outer stream
+    private var stack: List[DataInputStream] = List(outer)
+    private var nextMsg: BagMessage = _
 
-  private def parseLoop(
-      in: DataInputStream,
-      connections: scala.collection.mutable.Map[Int, Connection],
-      out: scala.collection.mutable.Builder[BagMessage, Seq[BagMessage]]): Unit = {
-    while (true) {
-      val headerLen =
-        try readU32(in)
-        catch { case _: EOFException => return }
-      if (headerLen == 0) return
-      val header = readHeader(in, headerLen)
-      val dataLen = readU32(in).toInt
-      val op = header.get("op").map(b => b(0) & 0xff).getOrElse(-1)
-      op match {
-        case 5 => // chunk: nested records, possibly compressed
-          val data = new Array[Byte](dataLen)
-          in.readFully(data)
-          val compression = header.get("compression").map(str).getOrElse("none")
-          val chunkIn: InputStream = compression match {
-            case "bz2" => new BZip2CompressorInputStream(new ByteArrayInputStream(data))
-            case _     => new ByteArrayInputStream(data)
+    readMagic(outer)
+    advance()
+
+    override def hasNext: Boolean = nextMsg != null
+
+    override def next(): BagMessage = {
+      val m = nextMsg
+      advance()
+      m
+    }
+
+    private def advance(): Unit = {
+      nextMsg = null
+      // A truncated record ends the parse with everything demuxed so far —
+      // at fleet scale a damaged bag yields its good prefix, not a dead task.
+      try advanceLoop()
+      catch { case _: EOFException => stack = Nil }
+    }
+
+    private def advanceLoop(): Unit = {
+      while (nextMsg == null && stack.nonEmpty) {
+        val in = stack.head
+        val headerLen =
+          try readU32(in)
+          catch { case _: EOFException => stack = stack.tail; -1L }
+        if (headerLen == 0) stack = stack.tail
+        else if (headerLen > 0) {
+          val header = readHeader(in, headerLen)
+          val dataLen = readU32(in).toInt
+          val op = header.get("op").map(b => b(0) & 0xff).getOrElse(-1)
+          op match {
+            case 5 => // chunk: push its (bounded) record stream
+              val data = new Array[Byte](dataLen)
+              in.readFully(data)
+              val compression = header.get("compression").map(str).getOrElse("none")
+              val chunkIn: InputStream = compression match {
+                case "bz2"  => new BZip2CompressorInputStream(new ByteArrayInputStream(data))
+                case "none" => new ByteArrayInputStream(data)
+                case other  => // never parse compressed bytes as records
+                  throw new IllegalArgumentException(
+                    s"unsupported chunk compression: $other (only none/bz2)")
+              }
+              stack = new DataInputStream(chunkIn) :: stack
+            case 7 => // connection: data section holds the connection header
+              val data = new Array[Byte](dataLen)
+              in.readFully(data)
+              val connHeader = readHeader(new DataInputStream(new ByteArrayInputStream(data)), dataLen.toLong)
+              val id = leInt(header("conn"))
+              connections(id) = Connection(id, str(connHeader("topic")), str(connHeader("type")),
+                connHeader.get("message_definition").map(str).getOrElse(""))
+            case 2 => // message data
+              val data = new Array[Byte](dataLen)
+              in.readFully(data)
+              val t = leTimeNs(header("time"))
+              connections.get(leInt(header("conn"))).foreach { c =>
+                nextMsg = BagMessage(c.topic, c.datatype, t, data, c.msgDef)
+              }
+            case _ => // bag header (3), index (4), chunk info (6): skip payload
+              var toSkip = dataLen
+              while (toSkip > 0) {
+                val skipped = in.skipBytes(toSkip)
+                if (skipped <= 0) throw new EOFException()
+                toSkip -= skipped
+              }
           }
-          parseRecords(new DataInputStream(chunkIn), connections, out)
-        case 7 => // connection: data section holds the connection header
-          val data = new Array[Byte](dataLen)
-          in.readFully(data)
-          val connHeader = readHeader(new DataInputStream(new ByteArrayInputStream(data)), dataLen.toLong)
-          val id = leInt(header("conn"))
-          connections(id) = Connection(id, str(connHeader("topic")), str(connHeader("type")),
-            connHeader.get("message_definition").map(str).getOrElse(""))
-        case 2 => // message data
-          val data = new Array[Byte](dataLen)
-          in.readFully(data)
-          val conn = connections.get(leInt(header("conn")))
-          val t = leTimeNs(header("time"))
-          conn.foreach(c => out += BagMessage(c.topic, c.datatype, t, data, c.msgDef))
-        case _ => // bag header (3), index (4), chunk info (6): skip payload
-          in.skipBytes(dataLen)
+        }
       }
     }
   }
+
+  /** Convenience: parse a whole in-memory bag (tests, small files). */
+  def parse(bytes: Array[Byte]): Seq[BagMessage] =
+    iterator(new ByteArrayInputStream(bytes)).toSeq
 }

@@ -22,16 +22,20 @@ object RosbagReader {
   final case class RawMessage(path: String, topic: String, datatype: String, time_ns: Long,
       data: Array[Byte], msg_def: String)
 
-  /** All messages of all bags under `path`, demuxed. */
+  /** All messages of all bags under `path`, demuxed — streaming: each task
+    * opens its bag as a stream (PortableDataStream) and the parser holds at
+    * most one chunk + one message in memory, so multi-GB bags neither hit
+    * the 2 GiB byte-array cap nor need bag-sized heap.
+    */
   def messages(spark: SparkSession, path: String): Dataset[RawMessage] = {
     import spark.implicits._
-    spark.read.format("binaryFile").load(path)
-      .select(col("path"), col("content"))
-      .as[(String, Array[Byte])]
-      .mapPartitions(_.flatMap { case (p, bytes) =>
-        RosbagFormat.parse(bytes).iterator.map(m =>
+    val rdd = spark.sparkContext.binaryFiles(path)
+      .flatMap { case (p, pds) =>
+        val in = new java.io.BufferedInputStream(pds.open(), 1 << 20)
+        RosbagFormat.iterator(in).map(m =>
           RawMessage(p, m.topic, m.datatype, m.timeNs, m.data, m.msgDef))
-      })
+      }
+    spark.createDataset(rdd)
   }
 
   /** Dynamic-schema fallback for topics with no hand-coded deserializer —
@@ -161,14 +165,16 @@ object RosbagReader {
 
   def stdMsgsOf(spark: SparkSession, msgs: Dataset[RawMessage]): DataFrame = {
     import spark.implicits._
+    // only the types with hand-coded decoders: anything else flows through
+    // the dynamic genericMessages path instead of landing as silent ""
     withIso(msgs
-      .filter(m => m.datatype.startsWith("std_msgs/"))
+      .filter(m => m.datatype == "std_msgs/String" || m.datatype == "std_msgs/Int32" ||
+        m.datatype == "std_msgs/Float64")
       .map { m =>
         val v = m.datatype match {
           case "std_msgs/String"  => RosMessages.stdString(m.data)
           case "std_msgs/Int32"   => RosMessages.stdInt32(m.data).toString
-          case "std_msgs/Float64" => RosMessages.stdFloat64(m.data).toString
-          case _                  => ""
+          case _                  => RosMessages.stdFloat64(m.data).toString
         }
         (m.path, m.topic, m.datatype, m.time_ns, v)
       }

@@ -35,35 +35,54 @@ object EventStreams {
 
   /** Stateful sessionization with an inactivity gap — the streaming twin of
     * RosbagDomainOps.sessionize (same gap semantics), built on
-    * flatMapGroupsWithState so per-camera state survives across batches and
-    * times out without a global shuffle.
+    * flatMapGroupsWithState. An EVENT-TIME timeout (armed at session end +
+    * gap, fired by watermark advance) flushes the open session of a quiet
+    * key and removes its state — so every recording's final session is
+    * emitted and state stays bounded by active keys, without the busy
+    * re-triggering a processing-time timeout would cause.
     */
   def sessionizeStream(
       spark: SparkSession,
       events: Dataset[Ev],
-      gapNs: Long = 21600L * 1000000000L): Dataset[SessionUpdate] = {
+      gapNs: Long = 21600L * 1000000000L,
+      watermarkDelay: String = "2 hours"): Dataset[SessionUpdate] = {
     import spark.implicits._
     events
+      .withColumn("event_time", timestamp_micros(call_function("div", col("ts"), lit(1000L))))
+      .withWatermark("event_time", watermarkDelay)
+      .as[Ev]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, SessionUpdate](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         (userId: Long, rows: Iterator[Ev], state: GroupState[SessionState]) =>
-          val sorted = rows.toSeq.sortBy(e => (e.ts, e.event_id))
-          var cur = state.getOption
-          val out = Seq.newBuilder[SessionUpdate]
-          sorted.foreach { e =>
-            cur match {
-              case Some(st) if e.ts - st.endNs <= gapNs =>
-                cur = Some(st.copy(endNs = e.ts, n = st.n + 1))
-              case Some(st) =>
-                out += SessionUpdate(userId, st.startNs, st.endNs, st.n, closed = true)
-                cur = Some(SessionState(e.ts, e.ts, 1))
-              case None =>
-                cur = Some(SessionState(e.ts, e.ts, 1))
+          if (state.hasTimedOut) {
+            // the watermark passed session end + gap: flush as final
+            val st = state.get
+            state.remove()
+            Iterator.single(SessionUpdate(userId, st.startNs, st.endNs, st.n, closed = true))
+          } else {
+            val sorted = rows.toSeq.sortBy(e => (e.ts, e.event_id))
+            var cur = state.getOption
+            val out = Seq.newBuilder[SessionUpdate]
+            sorted.foreach { e =>
+              cur match {
+                case Some(st) if e.ts - st.endNs <= gapNs =>
+                  // late events must never move the session window backwards
+                  cur = Some(st.copy(startNs = math.min(st.startNs, e.ts),
+                    endNs = math.max(st.endNs, e.ts), n = st.n + 1))
+                case Some(st) =>
+                  out += SessionUpdate(userId, st.startNs, st.endNs, st.n, closed = true)
+                  cur = Some(SessionState(e.ts, e.ts, 1))
+                case None =>
+                  cur = Some(SessionState(e.ts, e.ts, 1))
+              }
             }
+            cur.foreach { st =>
+              state.update(st)
+              state.setTimeoutTimestamp((st.endNs + gapNs) / 1000000L) // epoch millis
+            }
+            out.result().iterator
           }
-          cur.foreach(state.update)
-          out.result().iterator
       }
   }
 
@@ -97,6 +116,8 @@ object EventStreams {
       .groupBy("user_id")
       .agg(
         count(lit(1)).as("n_events"),
-        max(struct(col("ts"), col("event_type"))).getField("event_type").as("last_status"),
+        // event_id in the ordering key: same tie-break as the batch
+        // monitorStatus (ts desc, event_id desc)
+        max(struct(col("ts"), col("event_id"), col("event_type"))).getField("event_type").as("last_status"),
         max(col("ts")).as("last_ts"))
 }

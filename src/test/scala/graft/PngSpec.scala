@@ -70,6 +70,16 @@ class PngSpec extends SparkSpec {
     assert(out.toSeq === Seq[Byte](3, 2, 1, 6, 5, 4))
   }
 
+  test("encode: padded row stride (ROS step) is skipped, not baked in") {
+    // width=2 rgb8 (6 row bytes) with step=8: 2 padding bytes per row
+    val px = Array[Byte](
+      1, 2, 3, 4, 5, 6, 99, 99,
+      7, 8, 9, 10, 11, 12, 99, 99)
+    val (w, h, _, out) = decode(PngEncoder.encode(px, 2, 2, "rgb8", srcStride = 8))
+    assert(w === 2 && h === 2)
+    assert(out.toSeq === Seq[Byte](1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12))
+  }
+
   test("encode: mono8 and rgba8 layouts") {
     val gray = Array[Byte](9, 8, 7, 6)
     val (_, _, ct0, g) = decode(PngEncoder.encode(gray, 2, 2, "mono8"))

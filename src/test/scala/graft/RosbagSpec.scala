@@ -139,6 +139,30 @@ class RosbagSpec extends SparkSpec {
     assert(msgs.count(_.datatype == "sensor_msgs/Image") === 2)
   }
 
+  test("iterator(): streaming parse holds one message at a time") {
+    val path = writeTestBag(bz2 = false)
+    val it = RosbagFormat.iterator(new java.io.FileInputStream(path))
+    // lazily consumable: first element available without draining the rest
+    assert(it.hasNext)
+    val first = it.next()
+    assert(first.topic.nonEmpty)
+    assert(it.size === 5) // remaining of the 6 messages
+  }
+
+  test("unsupported chunk compression fails loudly, not silently") {
+    val inner = BagWriter.connection(0, "/t", "std_msgs/String")
+    val badChunk = {
+      // build a chunk record claiming lz4 compression
+      val bytes = BagWriter.chunk(inner, bz2 = false)
+      new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1)
+        .replace("compression=none", "compression=lz4.")
+        .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    }
+    val bag = BagWriter.bag(BagWriter.bagHeader, badChunk)
+    val e = intercept[IllegalArgumentException](RosbagFormat.parse(bag))
+    assert(e.getMessage.contains("unsupported chunk compression"))
+  }
+
   test("parses bz2-compressed chunks") {
     val path = writeTestBag(bz2 = true)
     val msgs = RosbagFormat.parse(Files.readAllBytes(Paths.get(path)))

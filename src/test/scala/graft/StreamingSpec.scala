@@ -44,12 +44,21 @@ class StreamingSpec extends SparkSpec {
     mem.addData(ev(3, base + 5 * H, 7, "click", 1.0)) // gap > 1h: closes first session
     q.processAllAvailable()
     val rows = spark.sql("select * from sess").collect()
-    q.stop()
     assert(rows.length === 1)
     val s = rows(0)
     assert(s.getAs[Long]("user_id") === 7)
     assert(s.getAs[Int]("n_events") === 2)
     assert(s.getAs[Long]("session_end_ns") - s.getAs[Long]("session_start_ns") === H / 4)
+    // event-time timeout: another key's data pushes the watermark past
+    // user 7's (end + gap), flushing its open session as final
+    mem.addData(ev(9, base + 20 * H, 1, "click", 1.0))
+    q.processAllAvailable()
+    mem.addData(ev(10, base + 21 * H, 1, "view", 1.0)) // extra batch: fire pending timeouts
+    q.processAllAvailable()
+    val flushed = spark.sql("select * from sess where user_id = 7").collect()
+    q.stop()
+    assert(flushed.length === 2)
+    assert(flushed.map(_.getAs[Int]("n_events")).sorted.toSeq === Seq(1, 2))
   }
 
   test("windowedCounts: checkpointed file-stream query resumes without reprocessing") {
