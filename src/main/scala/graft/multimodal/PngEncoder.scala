@@ -44,8 +44,8 @@ object PngEncoder {
     val (channels, colorType, swapBgr) = layout(encoding)
     val srcRow = if (srcStride > 0) srcStride else width * channels
     require(srcRow >= width * channels, s"step $srcRow < row bytes ${width * channels}")
-    require(pixels.length >= (height - 1).max(0) * srcRow + width * channels,
-      s"pixel buffer too small: ${pixels.length}")
+    val needed = if (height <= 0) 0 else (height - 1) * srcRow + width * channels
+    require(pixels.length >= needed, s"pixel buffer too small: ${pixels.length} < $needed")
 
     val out = new ByteArrayOutputStream()
     out.write(Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a))

@@ -56,8 +56,8 @@ object DedupOps {
     * bounded by shingle frequency — the classic posting-list bound.
     */
   def ngramJaccard(s: SparkSession, d: String): DataFrame = {
-    // the posting table feeds four plan subtrees (two join sides, two count
-    // broadcasts); without an explicit persist Spark re-derives the whole
+    // the posting table feeds four plan subtrees (two self-join sides, two
+    // count joins); without an explicit persist Spark re-derives the whole
     // scan->hash->window pipeline for each — cache it once, executors keep
     // it memory-and-disk and evict LRU
     val posting = shinglePostings(s, d).persist()

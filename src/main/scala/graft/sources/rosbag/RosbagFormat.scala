@@ -95,14 +95,22 @@ object RosbagFormat {
 
     private def advance(): Unit = {
       nextMsg = null
-      // A truncated record ends the parse with everything demuxed so far —
-      // at fleet scale a damaged bag yields its good prefix, not a dead task.
-      try advanceLoop()
-      catch { case _: EOFException => stack = Nil }
+      while (nextMsg == null && stack.nonEmpty) {
+        try advanceStep()
+        catch {
+          case _: EOFException =>
+            // mid-record EOF: a corrupt chunk is skipped (outer stream
+            // continues with the next record); a truncated outer stream
+            // ends the parse with everything demuxed so far — a damaged
+            // bag yields its good prefix, not a dead task
+            stack = if (stack.lengthCompare(1) > 0) stack.tail else Nil
+        }
+      }
     }
 
-    private def advanceLoop(): Unit = {
-      while (nextMsg == null && stack.nonEmpty) {
+    /** Consume exactly one record from the top stream (or pop it on clean
+      * end-of-stream); may set nextMsg or push a chunk stream. */
+    private def advanceStep(): Unit = {
         val in = stack.head
         val headerLen =
           try readU32(in)
@@ -148,7 +156,6 @@ object RosbagFormat {
               }
           }
         }
-      }
     }
   }
 

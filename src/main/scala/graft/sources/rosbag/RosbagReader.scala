@@ -32,6 +32,9 @@ object RosbagReader {
     val rdd = spark.sparkContext.binaryFiles(path)
       .flatMap { case (p, pds) =>
         val in = new java.io.BufferedInputStream(pds.open(), 1 << 20)
+        // close at task end even if a limit/take abandons the iterator early
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => in.close()))
         RosbagFormat.iterator(in).map(m =>
           RawMessage(p, m.topic, m.datatype, m.timeNs, m.data, m.msgDef))
       }
@@ -165,16 +168,19 @@ object RosbagReader {
 
   def stdMsgsOf(spark: SparkSession, msgs: Dataset[RawMessage]): DataFrame = {
     import spark.implicits._
-    // only the types with hand-coded decoders: anything else flows through
-    // the dynamic genericMessages path instead of landing as silent ""
+    // hand-coded decoders for the common types; other std_msgs flow through
+    // the dynamic genericMessages path when they carry a message_definition,
+    // and land here with a NULL value (honest "undecodable") when they don't
     withIso(msgs
-      .filter(m => m.datatype == "std_msgs/String" || m.datatype == "std_msgs/Int32" ||
-        m.datatype == "std_msgs/Float64")
+      .filter(m => m.datatype.startsWith("std_msgs/") &&
+        (m.datatype == "std_msgs/String" || m.datatype == "std_msgs/Int32" ||
+          m.datatype == "std_msgs/Float64" || m.msg_def.isEmpty))
       .map { m =>
-        val v = m.datatype match {
-          case "std_msgs/String"  => RosMessages.stdString(m.data)
-          case "std_msgs/Int32"   => RosMessages.stdInt32(m.data).toString
-          case _                  => RosMessages.stdFloat64(m.data).toString
+        val v: Option[String] = m.datatype match {
+          case "std_msgs/String"  => Some(RosMessages.stdString(m.data))
+          case "std_msgs/Int32"   => Some(RosMessages.stdInt32(m.data).toString)
+          case "std_msgs/Float64" => Some(RosMessages.stdFloat64(m.data).toString)
+          case _                  => None
         }
         (m.path, m.topic, m.datatype, m.time_ns, v)
       }

@@ -66,8 +66,13 @@ object EventStreams {
             val out = Seq.newBuilder[SessionUpdate]
             sorted.foreach { e =>
               cur match {
+                case Some(st) if e.ts < st.startNs - gapNs =>
+                  // a late event more than a gap BEFORE the open session is
+                  // its own (already-closed) session, matching the batch
+                  // semantics; never merged, never drags startNs back
+                  out += SessionUpdate(userId, e.ts, e.ts, 1, closed = true)
                 case Some(st) if e.ts - st.endNs <= gapNs =>
-                  // late events must never move the session window backwards
+                  // in-window (possibly late) event: extend, never shrink
                   cur = Some(st.copy(startNs = math.min(st.startNs, e.ts),
                     endNs = math.max(st.endNs, e.ts), n = st.n + 1))
                 case Some(st) =>

@@ -149,6 +149,16 @@ class RosbagSpec extends SparkSpec {
     assert(it.size === 5) // remaining of the 6 messages
   }
 
+  test("a corrupt chunk is skipped; later chunks still parse") {
+    val conn = BagWriter.connection(0, "/t", "std_msgs/String")
+    val goodMsg = BagWriter.message(0, 1600000000L, 0, BagWriter.stdStringPayload("ok"))
+    // chunk whose inner record is truncated mid-payload
+    val corrupt = BagWriter.chunk((conn ++ goodMsg).dropRight(3), bz2 = false)
+    val intact = BagWriter.chunk(conn ++ goodMsg ++ goodMsg, bz2 = false)
+    val msgs = RosbagFormat.parse(BagWriter.bag(BagWriter.bagHeader, corrupt, intact))
+    assert(msgs.length === 2) // both messages of the intact chunk survive
+  }
+
   test("unsupported chunk compression fails loudly, not silently") {
     val inner = BagWriter.connection(0, "/t", "std_msgs/String")
     val badChunk = {
