@@ -50,7 +50,7 @@ object SparkEntry {
     "q35_funnel"          -> (RosbagDomainOps.funnel _),
     "q36_sample"          -> (RosbagDomainOps.sampleDocs _),
     "q40_dedup_exact"     -> (DedupOps.exact _),
-    "q41_dedup_ngram"     -> (DedupOps.ngramJaccard _),
+    "q41_dedup_ngram"     -> ((s: SparkSession, d: String) => DedupOps.ngramJaccard(s, d)),
     "q42_dedup_minhash"   -> (DedupOps.minhashLsh _),
     "q43_dedup_simhash"   -> (DedupOps.simhash _),
     "q44_dedup_embedding" -> (DedupOps.embeddingNearDup _),

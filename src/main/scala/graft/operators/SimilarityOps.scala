@@ -42,14 +42,15 @@ object SimilarityOps {
     * traded via the number of planes/tables.
     */
   def knnLsh(s: SparkSession, d: String, k: Int = 3): DataFrame = {
-    // hyperplane weights: w(j,i) = ((j*131 + i*7919) % 1001) - 500
+    // hyperplane weights: w(j,i) = ((j*131 + i*7919) % 1001) - 500.
+    // Plane dots run through the native codegen graft_dot against constant
+    // double arrays (same ascending IEEE fold as the oracle) — the HOF
+    // formulation (zip_with + aggregate) re-inlines under CollapseProject
+    // and pays per-element lambda dispatch outside whole-stage codegen.
     def bucketOf(v: org.apache.spark.sql.Column) =
       (0 until NumPlanes).map { j =>
-        val dotJ = aggregate(
-          zip_with(v, lit((0 until Dim).map(i => ((j * 131 + i * 7919) % 1001) - 500).toArray),
-            (x, wji) => x * wji),
-          lit(0.0), (acc, x) => acc + x)
-        when(dotJ > 0, lit(1L << j)).otherwise(lit(0L))
+        val plane = lit((0 until Dim).map(i => (((j * 131 + i * 7919) % 1001) - 500).toDouble).toArray)
+        when(dot(v, plane) > 0, lit(1L << j)).otherwise(lit(0L))
       }.reduce(_ + _)
 
     val e = Tables.embeddings(s, d)

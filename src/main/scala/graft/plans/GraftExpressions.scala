@@ -113,5 +113,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_charhash"),
       new ExpressionInfo(classOf[CharHash].getName, "graft_charhash"),
       (children: Seq[Expression]) => CharHash(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_shingles"),
+      new ExpressionInfo(classOf[ShingleSet].getName, "graft_shingles"),
+      (children: Seq[Expression]) => ShingleSet(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_minhash"),
+      new ExpressionInfo(classOf[MinHashSignature].getName, "graft_minhash"),
+      (children: Seq[Expression]) => MinHashSignature(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_simhash"),
+      new ExpressionInfo(classOf[SimHashFingerprint].getName, "graft_simhash"),
+      (children: Seq[Expression]) => SimHashFingerprint(children.head)))
   }
 }

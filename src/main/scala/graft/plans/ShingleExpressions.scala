@@ -1,0 +1,164 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Single-pass JVM kernels behind the shingle/minhash expressions.
+  *
+  * The round-1 shingle pipeline was row-based Catalyst
+  * (posexplode -> per-doc lead() window -> distinct): correct, but it paid
+  * two wide shuffles (window sort + distinct) before any dedup work started,
+  * and the MinHash query re-derived it for the signature pass — 46% of the
+  * whole benchmark. These kernels compute the distinct shingle set and the
+  * full 16-hash MinHash signature per row, map-side, inside whole-stage
+  * codegen (the generated code makes one static call per row — no lambda
+  * dispatch, no shuffle until the candidate join itself).
+  *
+  * Arithmetic is bit-identical to the round-1 pipeline and the DuckDB
+  * oracles: word tokens are `split(text, " ")` semantics (empties
+  * preserved), word hash is the portable poly(31) mod 1e9+7 fold
+  * (TextFunctions.charHash), 3-gram combine is
+  * ((h1*1000003 + h2) % M * 1000003 + h3) % M, and minhash k of shingle v is
+  * ((2k+1)*v + 7919k + 13) mod (2^31-1).
+  */
+object ShingleKernels {
+  private val M = 1000000007L
+  private val P = 2147483647L // 2^31 - 1
+  val NumHashes = 16
+
+  /** Distinct hashed 3-gram shingles of a document, first-occurrence order.
+    * Empty array for texts with fewer than 3 tokens (mirrors the oracle's
+    * `WHERE len(string_split(text,' ')) >= 3`).
+    */
+  def shingles(text: UTF8String): ArrayData = {
+    val s = text.toString
+    // tokenize on single spaces preserving empty tokens — exactly
+    // split(text, " ") / DuckDB string_split(text, ' ')
+    var nTok = 1
+    var i = 0
+    while (i < s.length) { if (s.charAt(i) == ' ') nTok += 1; i += 1 }
+    if (nTok < 3) return new GenericArrayData(Array.empty[Long])
+    val wh = new Array[Long](nTok)
+    var t = 0
+    var h = 0L
+    i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == ' ') { wh(t) = h; t += 1; h = 0L }
+      else h = (h * 31 + c) % M
+      i += 1
+    }
+    wh(t) = h
+    val seen = new java.util.HashSet[java.lang.Long](nTok * 2)
+    val out = new Array[Long](nTok - 2)
+    var nOut = 0
+    var j = 0
+    while (j + 2 < nTok) {
+      val sh = (((wh(j) * 1000003L + wh(j + 1)) % M) * 1000003L + wh(j + 2)) % M
+      if (seen.add(sh)) { out(nOut) = sh; nOut += 1 }
+      j += 1
+    }
+    new GenericArrayData(if (nOut == out.length) out else java.util.Arrays.copyOf(out, nOut))
+  }
+
+  /** 32-bit SimHash fingerprint of a document: per-bit counts of all token
+    * hashes (+1/-1 per bit, every token occurrence counted), bit set where
+    * the count is >= 0 — integer arithmetic, order-independent, identical
+    * to the row-1 explode+groupBy formulation and the DuckDB oracle. */
+  def simhash(text: UTF8String): Long = {
+    val s = text.toString
+    val bits = new Array[Int](32)
+    var h = 0L
+    var i = 0
+    while (i <= s.length) {
+      if (i == s.length || s.charAt(i) == ' ') {
+        var j = 0
+        while (j < 32) {
+          bits(j) += (((h >> j) & 1L).toInt << 1) - 1
+          j += 1
+        }
+        h = 0L
+      } else h = (h * 31 + s.charAt(i)) % M
+      i += 1
+    }
+    var fp = 0L
+    var j = 0
+    while (j < 32) {
+      if (bits(j) >= 0) fp |= 1L << j
+      j += 1
+    }
+    fp
+  }
+
+  /** 16-hash MinHash signature of a shingle set; empty array in -> empty
+    * array out (callers filter those docs, as the oracle excludes them). */
+  def minhash(sh: ArrayData): ArrayData = {
+    val n = sh.numElements()
+    if (n == 0) return new GenericArrayData(Array.empty[Long])
+    val sig = new Array[Long](NumHashes)
+    java.util.Arrays.fill(sig, Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val v = sh.getLong(i)
+      var k = 0
+      while (k < NumHashes) {
+        val h = ((2L * k + 1) * v + 7919L * k + 13L) % P
+        if (h < sig(k)) sig(k) = h
+        k += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+}
+
+/** `graft_shingles(text)` — distinct hashed 3-gram shingles as array<long>. */
+case class ShingleSet(child: Expression) extends UnaryExpression {
+  // callers guarantee a string input
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_shingles"
+
+  override protected def nullSafeEval(input: Any): Any =
+    ShingleKernels.shingles(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.ShingleKernels.shingles($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `graft_simhash(text)` — 32-bit SimHash fingerprint as a long. */
+case class SimHashFingerprint(child: Expression) extends UnaryExpression {
+  // callers guarantee a string input
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash"
+
+  override protected def nullSafeEval(input: Any): Any =
+    ShingleKernels.simhash(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.ShingleKernels.simhash($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `graft_minhash(shingles)` — 16-long MinHash signature of a shingle set. */
+case class MinHashSignature(child: Expression) extends UnaryExpression {
+  // callers guarantee an array<long> input
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_minhash"
+
+  override protected def nullSafeEval(input: Any): Any =
+    ShingleKernels.minhash(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.ShingleKernels.minhash($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
