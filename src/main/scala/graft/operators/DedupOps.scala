@@ -53,6 +53,9 @@ object DedupOps {
     * DuckDB oracle stays exact.
     */
   def ngramJaccard(s: SparkSession, d: String, dfCap: Long = Long.MaxValue): DataFrame = {
+    // df < 2 can never form a pair, so a cap below 2 would silently select
+    // nothing — reject it rather than hand back an empty "dedup".
+    require(dfCap >= 2, s"dfCap must be >= 2 (a shingle needs df >= 2 to form a pair); got $dfCap")
     val posting = shingleSets(s, d)
       .select(col("doc_id"), size(col("sh")).cast("long").as("n"), explode(col("sh")).as("sh"))
     // posting df via groupBy (map-side partials — no hot-key buffering),
@@ -126,21 +129,32 @@ object DedupOps {
           shiftright(col("simhash"), b * 8).bitwiseAND(255L).as("bval"))): _*)).as("bb"))
       .select(col("doc_id"), col("simhash"), col("bb.band"), col("bb.bval"))
     // Band buckets are skewed by construction (high simhash bits are mostly
-    // zero, so one (band, bval) bucket can hold most of the corpus). The
-    // pair work must therefore be parallelized by the NON-skewed probe key:
-    // repartition the probe side by doc_id (explicit count, so AQE's
-    // small-input coalescing can't serialize the hot bucket onto one task)
-    // and let the build side broadcast. At cluster scale, where the build
-    // side no longer broadcasts, AQE's skew-join splitting takes over.
+    // zero, so one (band, bval) bucket can hold most of the corpus). When
+    // the build side broadcasts, join parallelism follows the probe side's
+    // scan partitions — so ONLY when the scan has fewer splits than cores
+    // (a small input; exactly the broadcast-eligible case) the probe side is
+    // spread by the non-skewed doc_id. On a many-split input the scan
+    // already parallelizes and the join becomes a shuffle join on
+    // (band, bval), where AQE's skew-join splitting carves the hot buckets
+    // at runtime — the round-2 unconditional repartition was a pure wasted
+    // pass there.
     val parallelism = s.sparkContext.defaultParallelism
-    val banded = banded0.repartition(parallelism, col("doc_id"))
+    val banded = if (banded0.rdd.getNumPartitions < parallelism)
+      banded0.repartition(parallelism, col("doc_id")) else banded0
+    // A pair agreeing on k bands is found k times by the bucket join; rather
+    // than shuffling the whole pair stream through distinct(), each pair is
+    // emitted exactly once — by its FIRST agreeing band, decided locally
+    // from the fingerprint XOR (band b agrees iff its 8 xor bits are zero).
+    val z = col("a.simhash").bitwiseXOR(col("b.simhash"))
+    val firstAgree = (0 until 4).foldRight(lit(4L): Column) { (b, rest) =>
+      when(z.bitwiseAND(lit(255L << (b * 8))) === 0, lit(b.toLong)).otherwise(rest)
+    }
     banded.as("a").join(banded0.as("b"),
         col("a.band") === col("b.band") && col("a.bval") === col("b.bval") &&
           col("a.doc_id") < col("b.doc_id"))
+      .filter(bit_count(z) <= 3 && col("a.band") === firstAgree)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("long").as("hamming"))
-      .filter(col("hamming") <= 3)
-      .distinct()
+        bit_count(z).cast("long").as("hamming"))
       .orderBy("doc_a", "doc_b")
   }
 
