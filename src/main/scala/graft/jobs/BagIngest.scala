@@ -11,7 +11,7 @@ import graft.sources.rosbag.RosbagReader
   * Fargate-task-per-bag architecture collapsed into a cluster job where
   * each executor task demuxes whole bags in parallel.
   *
-  * Usage: BagIngest <bag-path-or-glob> <out-dir> [--png]
+  * Usage: BagIngest <bag-path-or-glob> <out-dir> [--png] [--blur-regions <parquet>]
   *
   * Output layout:
   *   <out>/images/      frame metadata + pixel payloads (parquet)
@@ -21,14 +21,21 @@ import graft.sources.rosbag.RosbagReader
   */
 object BagIngest {
 
-  def run(spark: SparkSession, bags: String, out: String, writePng: Boolean): Unit = {
+  def run(spark: SparkSession, bags: String, out: String, writePng: Boolean,
+      piiRegions: Option[DataFrame] = None): Unit = {
     def save(df: DataFrame, name: String): Unit =
       df.write.mode(SaveMode.Overwrite).parquet(s"$out/$name")
 
     // parse every bag exactly once: the demuxed message set feeds all seven
     // output tables (the reference also demuxes in a single streaming pass)
     val msgs = RosbagReader.messages(spark, bags).persist()
-    val images = RosbagReader.imagesOf(spark, msgs)
+    val rawImages = RosbagReader.imagesOf(spark, msgs)
+    // PII anonymization (reference: select-labelling-imgs anonymize_PII):
+    // with a region table, pixels land in the lake already blurred
+    val images = piiRegions match {
+      case Some(regions) => ImageOps.blurFrames(spark, rawImages, regions).drop("n_blurred")
+      case None          => rawImages
+    }
     save(images, "images")
     save(RosbagReader.laserScansOf(spark, msgs), "laser")
     save(RosbagReader.odometryOf(spark, msgs), "odometry")
@@ -37,8 +44,7 @@ object BagIngest {
     // dynamic-schema fallback: every topic with a message_definition lands
     // as (slot-path -> value) rows even when no hand-coded decoder exists
     save(RosbagReader.genericMessagesOf(spark, msgs), "generic")
-    save(RosbagReader.mp4ManifestOf(images)
-      .withColumn("frames", org.apache.spark.sql.functions.col("frames.file_name")), "manifest")
+    save(RosbagReader.mp4ManifestOf(images), "manifest")
     msgs.unpersist()
 
     if (writePng) {
@@ -57,9 +63,14 @@ object BagIngest {
   }
 
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2, "usage: BagIngest <bags> <out-dir> [--png]")
+    require(args.length >= 2,
+      "usage: BagIngest <bags> <out-dir> [--png] [--blur-regions <parquet>]")
     val spark = GraftSession.get()
-    run(spark, args(0), args(1), args.contains("--png"))
+    val regions = args.indexOf("--blur-regions") match {
+      case -1 => None
+      case i  => Some(spark.read.parquet(args(i + 1)))
+    }
+    run(spark, args(0), args(1), args.contains("--png"), regions)
     spark.stop()
   }
 }

@@ -1,20 +1,29 @@
 package graft.multimodal
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, Row, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
 
 /** Multimodal column operators (SURVEY.md §2 `multimodal`).
   *
   * Images travel as opaque `binary` pixel columns with typed metadata
-  * (width/height/encoding), exactly how the rosbag source emits them. The
-  * Spark-side plumbing — schema, partition-parallel batch processing via
-  * mapPartitions over typed rows, deterministic output — is real; the pixel
-  * *decode* is a clearly-marked deterministic stub because no image codec
-  * ships in this container (the reference does this step with Pillow,
-  * service/app/bagstream.py:255). Swapping the stub for a real codec changes
-  * no plumbing.
+  * (width/height/encoding), exactly how the rosbag source emits them —
+  * raw channels-last uint8 buffers, so feature extraction, PII blur
+  * ([[blurFrames]]), bilinear resample ([[resize]]) and PNG encode
+  * ([[toPng]]) are all real pixel math (PixelKernels/PngEncoder) running
+  * partition-parallel with no native codec dependency. Only *compressed*
+  * image decode (jpeg/png input) would need a codec, which this container
+  * doesn't ship; the reference does that step with Pillow
+  * (service/app/bagstream.py:255).
   */
 object ImageOps {
+
+  /** Channel count by ROS image encoding (rgb8/bgr8/8UC3 are 3-channel). */
+  private[multimodal] def channelsOf(encoding: String): Int = encoding match {
+    case "mono8" => 1
+    case "rgba8" => 4
+    case _       => 3 // rgb8 / bgr8 / 8UC3
+  }
 
   final case class Frame(bag: String, topic: String, time_ns: Long,
       width: Long, height: Long, encoding: String, step: Long, pixels: Array[Byte])
@@ -57,11 +66,7 @@ object ImageOps {
       .select("bag", "topic", "time_ns", "width", "height", "encoding", "step", "pixels")
       .as[Frame]
       .mapPartitions(_.map { f =>
-        val ch = f.encoding match {
-          case "mono8" => 1
-          case "rgba8" => 4
-          case _       => 3 // rgb8 / bgr8 / 8UC3
-        }
+        val ch = channelsOf(f.encoding)
         val m = channelMeans(f.pixels, ch, f.width.toInt, f.height.toInt, f.step.toInt)
         val (r, g, b) = f.encoding match {
           // the reference swaps BGR->RGB for 8UC3 (bagstream.py:257)
@@ -102,8 +107,8 @@ object ImageOps {
     frames.filter(col("frame_no") % every === 0)
 
   /** Resize planning: target dims preserving aspect ratio (longest side ->
-    * `maxSide`), emitted as metadata. The actual resample lives behind the
-    * same stub boundary as decode.
+    * `maxSide`), emitted as metadata. [[resize]] executes the plan on the
+    * raw buffers.
     */
   def resizePlan(frames: DataFrame, maxSide: Int): DataFrame = {
     val scale = least(lit(1.0), lit(maxSide) / greatest(col("width"), col("height")))
@@ -113,16 +118,107 @@ object ImageOps {
       .withColumn("scale", scale)
   }
 
-  /** PII-region blur ledger (select-labelling-imgs anonymize_PII shape):
-    * join detected regions to frames and emit the blur work-list; the pixel
-    * mutation itself sits behind the decode stub.
+  /** Bilinear resample on the raw uint8 buffers (PixelKernels.resizeBilinear)
+    * — the reference's Pillow resize as a schema-preserving, partition-
+    * parallel column op: pixels/width/height/step are rewritten, every other
+    * column (frame_no, file_name, ...) passes through untouched, so resized
+    * frames flow straight into [[toPng]]. Frames already within `maxSide`
+    * are passed through byte-identical (no-upscale policy, and alignment
+    * padding is preserved).
     */
-  def blurPlan(frames: DataFrame, regions: DataFrame): DataFrame =
+  def resize(spark: SparkSession, frames: DataFrame, maxSide: Int): DataFrame = {
+    val planned = resizePlan(frames, maxSide)
+    val cols = planned.columns
+    val iW = cols.indexOf("width"); val iH = cols.indexOf("height")
+    val iStep = cols.indexOf("step"); val iPx = cols.indexOf("pixels")
+    val iEnc = cols.indexOf("encoding")
+    val iTw = cols.indexOf("target_width"); val iTh = cols.indexOf("target_height")
+    val n = frames.columns.length
+    val outIdx = frames.columns.map(c => cols.indexOf(c))
+    val iWOut = frames.columns.indexOf("width")
+    val iHOut = frames.columns.indexOf("height")
+    val iStepOut = frames.columns.indexOf("step")
+    val iPxOut = frames.columns.indexOf("pixels")
+    val enc = Encoders.row(frames.schema)
+    planned.mapPartitions { it =>
+      it.map { row =>
+        val w = row.getLong(iW).toInt; val h = row.getLong(iH).toInt
+        val tw = row.getLong(iTw).toInt; val th = row.getLong(iTh).toInt
+        val ch = channelsOf(row.getString(iEnc))
+        val vals = new Array[Any](n)
+        var j = 0
+        while (j < n) { vals(j) = row.get(outIdx(j)); j += 1 }
+        if (tw != w || th != h) {
+          val px = PixelKernels.resizeBilinear(row.getAs[Array[Byte]](iPx),
+            w, h, ch, row.getLong(iStep).toInt, tw, th)
+          vals(iWOut) = tw.toLong
+          vals(iHOut) = th.toLong
+          vals(iStepOut) = (tw * ch).toLong
+          vals(iPxOut) = px
+        }
+        Row.fromSeq(vals.toIndexedSeq)
+      }
+    }(enc)
+  }
+
+  /** PII-region blur ledger (select-labelling-imgs anonymize_PII shape):
+    * join detected regions to frames and emit the blur work-list — boxes
+    * padded by `margin` (the reference pads text boxes +-10 px, face boxes
+    * +-5 px) and clamped to the frame.
+    */
+  def blurPlan(frames: DataFrame, regions: DataFrame, margin: Int = 10): DataFrame =
     frames.join(regions, Seq("bag", "topic", "time_ns"), "inner")
       .select(
         col("bag"), col("topic"), col("time_ns"),
-        greatest(lit(0L), col("region_x") - 10).as("x1"),
-        greatest(lit(0L), col("region_y") - 10).as("y1"),
-        least(col("width"), col("region_x") + col("region_w") + 10).as("x2"),
-        least(col("height"), col("region_y") + col("region_h") + 10).as("y2"))
+        greatest(lit(0L), (col("region_x") - margin).cast("long")).as("x1"),
+        greatest(lit(0L), (col("region_y") - margin).cast("long")).as("y1"),
+        least(col("width").cast("long"), (col("region_x") + col("region_w") + margin).cast("long")).as("x2"),
+        least(col("height").cast("long"), (col("region_y") + col("region_h") + margin).cast("long")).as("y2"))
+
+  /** Execute the blur plan on the raw uint8 buffers: Gaussian-blur each
+    * frame that has detected PII regions and composite the blurred pixels
+    * inside the padded boxes, leaving every byte outside them bit-identical
+    * — the reference's anonymize_PII (select-labelling-imgs.py:58-124) as a
+    * distributed column op. Schema-preserving plus an `n_blurred` region
+    * count; frames with no regions pass through byte-identical.
+    *
+    * The per-frame box list is a bounded collect_list (detections per
+    * frame, tens at most — NOT frames per recording), so the aggregation
+    * buffer stays small at any corpus size.
+    */
+  def blurFrames(spark: SparkSession, frames: DataFrame, regions: DataFrame,
+      sigma: Double = 15.0, margin: Int = 10): DataFrame = {
+    val boxes = blurPlan(frames, regions, margin)
+      .groupBy("bag", "topic", "time_ns")
+      .agg(collect_list(array(col("x1"), col("y1"), col("x2"), col("y2"))).as("__boxes"))
+    val joined = frames.join(boxes, Seq("bag", "topic", "time_ns"), "left")
+    val cols = joined.columns
+    val iW = cols.indexOf("width"); val iH = cols.indexOf("height")
+    val iStep = cols.indexOf("step"); val iPx = cols.indexOf("pixels")
+    val iEnc = cols.indexOf("encoding"); val iBoxes = cols.indexOf("__boxes")
+    val n = frames.columns.length
+    val outIdx = frames.columns.map(c => cols.indexOf(c))
+    val iPxOut = frames.columns.indexOf("pixels")
+    val schema = StructType(frames.schema.fields :+
+      StructField("n_blurred", IntegerType, nullable = false))
+    joined.mapPartitions { it =>
+      it.map { row =>
+        val vals = new Array[Any](n + 1)
+        var j = 0
+        while (j < n) { vals(j) = row.get(outIdx(j)); j += 1 }
+        val bs = if (row.isNullAt(iBoxes)) Seq.empty[scala.collection.Seq[Long]]
+                 else row.getSeq[scala.collection.Seq[Long]](iBoxes)
+        if (bs.nonEmpty) {
+          vals(iPxOut) = PixelKernels.blurRegions(
+            row.getAs[Array[Byte]](iPx),
+            row.getLong(iW).toInt, row.getLong(iH).toInt,
+            channelsOf(row.getString(iEnc)), row.getLong(iStep).toInt,
+            bs.map(b => (b(0).toInt, b(1).toInt, b(2).toInt, b(3).toInt)),
+            sigma)
+        }
+        vals(n) = bs.length
+        Row.fromSeq(vals.toIndexedSeq)
+      }
+    }(Encoders.row(schema))
+  }
 }

@@ -190,19 +190,29 @@ object RosbagReader {
   /** Per-recording frame manifest: ordered frames per (bag, topic) + fps —
     * the metadata main.py feeds ffmpeg for mp4 muxing (framerate, ordered
     * `image_raw-%04d.png` inputs).
+    *
+    * Emitted as ORDERED ROWS, one per frame, with the per-recording stats
+    * attached by window aggregates: a 10-hour 30 fps recording is ~1M
+    * frames, which would blow up a per-group `collect_list` buffer, while
+    * the window exec spills (ExternalAppendOnlyUnsafeRowArray) and the
+    * within-partition sort keeps each recording's frames contiguous and
+    * frame_no-ordered for the muxer to stream.
     */
   def mp4Manifest(spark: SparkSession, path: String): DataFrame =
     mp4ManifestOf(images(spark, path))
 
-  def mp4ManifestOf(images: DataFrame): DataFrame =
+  def mp4ManifestOf(images: DataFrame): DataFrame = {
+    val w = Window.partitionBy("bag", "topic")
     images
-      .groupBy("bag", "topic")
-      .agg(
-        count(lit(1)).as("n_frames"),
-        min("time_ns").as("start_ns"),
-        max("time_ns").as("end_ns"),
-        sort_array(collect_list(struct(col("frame_no"), col("file_name")))).as("frames"))
+      .select("bag", "topic", "frame_no", "file_name", "time_ns")
+      .withColumn("n_frames", count(lit(1)).over(w))
+      .withColumn("start_ns", min("time_ns").over(w))
+      .withColumn("end_ns", max("time_ns").over(w))
       .withColumn("duration_s", (col("end_ns") - col("start_ns")) / lit(1e9))
       .withColumn("fps",
         when(col("duration_s") > 0, (col("n_frames") - 1) / col("duration_s")).otherwise(lit(0.0)))
+      .drop("time_ns")
+      // no extra shuffle: rides the window's (bag, topic) hash partitioning
+      .sortWithinPartitions("bag", "topic", "frame_no")
+  }
 }

@@ -4,7 +4,7 @@ import java.nio.file.Files
 
 import org.apache.spark.sql.functions._
 
-import graft.multimodal.ImageOps
+import graft.multimodal.{ImageOps, PixelKernels}
 import graft.sources.rosbag.RosbagReader
 
 class MultimodalSpec extends SparkSpec {
@@ -48,6 +48,81 @@ class MultimodalSpec extends SparkSpec {
     assert(r.getLong(0) === 1L && r.getLong(1) === 1L)
     val same = ImageOps.resizePlan(frames, 100).select("target_width").collect()(0)
     assert(same.getLong(0) === 2L) // maxSide > dims: unchanged
+  }
+
+  test("PixelKernels.gaussianBlur: constant image is a fixed point") {
+    val px = Array.fill[Byte](8 * 4 * 3)(77)
+    val out = PixelKernels.gaussianBlur(px, 8, 4, 3, 24, sigma = 5.0)
+    assert(out.toSeq === px.toSeq) // replicate edges keep kernel weight = 1
+  }
+
+  test("PixelKernels.blurRegions: inside changed, outside bit-identical") {
+    // 16x8 rgb8, left half black, right half white; blur a box straddling
+    // the color boundary
+    val w = 16; val h = 8; val ch = 3; val step = w * ch
+    val px = new Array[Byte](h * step)
+    for (y <- 0 until h; x <- 0 until w; c <- 0 until ch)
+      px(y * step + x * ch + c) = if (x < 8) 0 else 255.toByte
+    val boxes = Seq((6, 2, 10, 6))
+    val out = PixelKernels.blurRegions(px, w, h, ch, step, boxes, sigma = 3.0)
+    var changed = 0
+    for (y <- 0 until h; x <- 0 until w; c <- 0 until ch) {
+      val i = y * step + x * ch + c
+      val inside = x >= 6 && x < 10 && y >= 2 && y < 6
+      if (inside) { if (out(i) != px(i)) changed += 1 }
+      else assert(out(i) === px(i), s"pixel outside box mutated at ($x,$y,$c)")
+    }
+    assert(changed > 0, "no pixel inside the box changed")
+    // at the boundary column the blur mixes black and white: strictly between
+    val mid = 3 * step + 8 * ch
+    assert((out(mid) & 0xff) > 0 && (out(mid) & 0xff) < 255)
+  }
+
+  test("PixelKernels.resizeBilinear: known-value downsample") {
+    // 2x1 rgb8 (10,20,30),(50,60,70) -> 1x1 = the midpoint (30,40,50)
+    val px = Array[Byte](10, 20, 30, 50, 60, 70)
+    val out = PixelKernels.resizeBilinear(px, 2, 1, 3, 6, 1, 1)
+    assert(out.toSeq === Seq[Byte](30, 40, 50))
+    // 4x4 gradient plane, mono: v(x,y) = 16x + 64y -> 2x2 center samples
+    val g = Array.tabulate[Byte](16)(i => (16 * (i % 4) + 64 * (i / 4)).toByte)
+    val o2 = PixelKernels.resizeBilinear(g, 4, 4, 1, 4, 2, 2)
+    // src coords 0.5,2.5: v = 16*0.5+64*0.5 = 40 etc.
+    assert(o2.map(_ & 0xff).toSeq === Seq(40, 72, 168, 200))
+  }
+
+  test("blurFrames(): end-to-end over a bag, schema-preserving") {
+    val frames = RosbagReader.images(spark, bagPath).withColumn("bag", lit(bagPath))
+    val regions = spark.createDataFrame(Seq(
+      (bagPath, "/cam0/image_raw", 1600000000L * 1000000000L, 0L, 0L, 1L, 1L)
+    )).toDF("bag", "topic", "time_ns", "region_x", "region_y", "region_w", "region_h")
+    val out = ImageOps.blurFrames(spark, frames, regions, sigma = 1.0, margin = 0)
+    assert(out.columns.toSeq === frames.columns.toSeq :+ "n_blurred")
+    val rows = out.collect().sortBy(_.getAs[Long]("time_ns"))
+    assert(rows(0).getAs[Int]("n_blurred") === 1)
+    // 2x1 frame, box = pixel 0 only: pixel 1 must stay bit-identical
+    val px = rows(0).getAs[Array[Byte]]("pixels")
+    assert(px.slice(3, 6).toSeq === Seq[Byte](50, 60, 70))
+    assert(px.slice(0, 3).toSeq !== Seq[Byte](10, 20, 30)) // blurred toward pixel 1
+    // frames without a matching region pass through byte-identical
+    assert(rows(1).getAs[Int]("n_blurred") === 0)
+    assert(rows(1).getAs[Array[Byte]]("pixels").toSeq === Seq[Byte](10, 20, 30, 50, 60, 70))
+  }
+
+  test("resize(): executes the plan, feeds toPng") {
+    val frames = RosbagReader.images(spark, bagPath)
+    val out = ImageOps.resize(spark, frames, 1)
+    val r = out.collect()(0)
+    assert(r.getAs[Long]("width") === 1L && r.getAs[Long]("height") === 1L)
+    assert(r.getAs[Long]("step") === 3L)
+    assert(r.getAs[Array[Byte]]("pixels").toSeq === Seq[Byte](30, 40, 50))
+    assert(out.columns.toSeq === frames.columns.toSeq)
+    // resized frames flow into the PNG encoder unchanged
+    val png = ImageOps.toPng(spark, out).collect()(0).png
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    assert(img.getWidth === 1 && img.getHeight === 1)
+    // no-upscale path: maxSide larger than dims passes buffers through
+    val same = ImageOps.resize(spark, frames, 100).collect()(0)
+    assert(same.getAs[Array[Byte]]("pixels").toSeq === Seq[Byte](10, 20, 30, 50, 60, 70))
   }
 
   test("blurPlan(): clamped regions joined to frames") {

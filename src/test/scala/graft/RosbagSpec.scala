@@ -254,10 +254,18 @@ class RosbagSpec extends SparkSpec {
     assert(row.getAs[String]("header.frame_id") === "probe")
   }
 
-  test("mp4Manifest(): ordered frames + fps") {
+  test("mp4Manifest(): ordered per-frame rows + fps, no array column") {
     val path = writeTestBag(bz2 = false)
-    val m = RosbagReader.mp4Manifest(spark, path).collect()(0)
-    assert(m.getAs[Long]("n_frames") === 2)
-    assert(m.getAs[Double]("fps") > 0.99 && m.getAs[Double]("fps") < 1.01)
+    val rows = RosbagReader.mp4Manifest(spark, path).collect()
+    assert(rows.length === 2) // one ROW per frame, not one array per group
+    rows.foreach { m =>
+      assert(m.getAs[Long]("n_frames") === 2)
+      assert(m.getAs[Double]("fps") > 0.99 && m.getAs[Double]("fps") < 1.01)
+    }
+    // frames arrive contiguous and frame_no-ordered for the muxer
+    assert(rows.map(_.getAs[Int]("frame_no")).toSeq === Seq(0, 1))
+    // scalability guard: no array-typed column anywhere in the manifest
+    assert(!RosbagReader.mp4Manifest(spark, path).schema.exists(
+      _.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType]))
   }
 }
