@@ -53,7 +53,7 @@ object SparkEntry {
     "q41_dedup_ngram"     -> ((s: SparkSession, d: String) => DedupOps.ngramJaccard(s, d)),
     "q42_dedup_minhash"   -> (DedupOps.minhashLsh _),
     "q43_dedup_simhash"   -> (DedupOps.simhash _),
-    "q44_dedup_embedding" -> (DedupOps.embeddingNearDup _),
+    "q44_dedup_embedding" -> ((s, d) => DedupOps.embeddingNearDup(s, d)),
     "q45_knn_bruteforce"  -> ((s: SparkSession, d: String) => SimilarityOps.knnBruteForce(s, d)),
     "q46_knn_lsh"         -> ((s: SparkSession, d: String) => SimilarityOps.knnLsh(s, d)),
     "q46b_knn_ivf"        -> ((s: SparkSession, d: String) => SimilarityOps.knnIvf(s, d)),

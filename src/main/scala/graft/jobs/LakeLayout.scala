@@ -30,4 +30,39 @@ object LakeLayout {
     */
   def readDay(spark: SparkSession, lake: String, day: String): DataFrame =
     spark.read.parquet(lake).filter(col("day") === day)
+
+  /** Bucketed fact/dim layout: hash-bucket (and sort) both join sides on
+    * the join key at WRITE time, so every later join/aggregation on that
+    * key reads co-located, pre-sorted buckets and plans with ZERO exchanges
+    * — at 100 TB this converts the nightly re-shuffle of the biggest join
+    * into a one-time layout cost. Bucket counts must match on both sides
+    * (Spark pairs bucket i with bucket i).
+    */
+  def writeOrdersCustomerBucketed(spark: SparkSession, sfDir: String, buckets: Int = 16): Unit = {
+    // idempotent: drop catalog entries AND any orphaned location left by a
+    // previous session (saveAsTable refuses to reuse a stale directory)
+    Seq("orders_bucketed", "customer_bucketed").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir") + s"/$t")
+      loc.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(loc, true)
+    }
+    Tables.orders(spark, sfDir).write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, "o_custkey").sortBy("o_custkey")
+      .saveAsTable("orders_bucketed")
+    Tables.customer(spark, sfDir).write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, "c_custkey").sortBy("c_custkey")
+      .saveAsTable("customer_bucketed")
+  }
+
+  /** The canonical consumer: per-customer order rollup joined to the dim,
+    * entirely shuffle-free on the bucketed layout.
+    */
+  def bucketedOrderRollup(spark: SparkSession): DataFrame =
+    spark.table("orders_bucketed")
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_orders"), sum("o_totalprice").as("total"))
+      .join(spark.table("customer_bucketed"),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("n_orders"), col("total"))
 }

@@ -161,13 +161,34 @@ object DedupOps {
   /** q44 — embedding-cosine near-duplicate pairs, blocked on the label
     * column (standard ER blocking: pair generation only within blocks, so
     * candidates scale with the largest block, not the corpus).
+    *
+    * `subBlockBits` is the dominant-block guard: label blocking alone is
+    * quadratic in the largest block, so when one label dominates the corpus
+    * (the 100 TB failure mode) callers split every block by `subBlockBits`
+    * random-hyperplane sign bits — pair generation then runs within
+    * (label, hyperplane-bucket) and candidates shrink by ~2^bits for the
+    * hot label. Recall trade: only pairs on the same side of every plane
+    * survive, which is exactly the high-cosine pairs the threshold keeps
+    * (cosine-LSH collision probability 1 - theta/pi per plane). 0 = exact
+    * (the driver query, so the DuckDB oracle stays exact).
     */
-  def embeddingNearDup(s: SparkSession, d: String): DataFrame = {
-    val e = Tables.embeddings(s, d)
+  def embeddingNearDup(s: SparkSession, d: String, subBlockBits: Int = 0): DataFrame = {
+    require(subBlockBits >= 0 && subBlockBits <= 16, s"subBlockBits in [0,16]; got $subBlockBits")
+    val base = Tables.embeddings(s, d)
       .select(col("vec_id"), col("label"), toDouble(col("embedding")).as("v"))
       .withColumn("nrm", norm(col("v")))
+    // deterministic integer hyperplanes, same family as SimilarityOps.knnLsh
+    val e = if (subBlockBits == 0) base.withColumn("blk", lit(0L)) else {
+      val dim = 64
+      val bucket = (0 until subBlockBits).map { j =>
+        val plane = lit((0 until dim).map(i => (((j * 131 + i * 7919) % 1001) - 500).toDouble).toArray)
+        when(dot(col("v"), plane) > 0, lit(1L << j)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      base.withColumn("blk", bucket)
+    }
     e.as("a").join(e.as("b"),
-        col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+        col("a.label") === col("b.label") && col("a.blk") === col("b.blk") &&
+          col("a.vec_id") < col("b.vec_id"))
       .withColumn("cos", cosine(col("a.v"), col("b.v"), col("a.nrm"), col("b.nrm")))
       .filter(col("cos") > 0.25)
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"), col("cos"))

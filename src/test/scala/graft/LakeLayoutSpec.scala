@@ -29,4 +29,23 @@ class LakeLayoutSpec extends SparkSpec {
       .filter(col("day") === day).count()
     assert(df.count() === expected)
   }
+
+  test("bucketed layout: join + agg on the bucket key plans with zero shuffle") {
+    LakeLayout.writeOrdersCustomerBucketed(spark, sf, buckets = 4)
+    // force the shuffle-join path: broadcast would mask the bucketing win
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = LakeLayout.bucketedOrderRollup(spark)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"bucketed join still shuffles:\n$plan")
+
+      // results reconcile with the plain-parquet equivalent
+      val expected = Tables.orders(spark, sf)
+        .groupBy("o_custkey").count().join(
+          Tables.customer(spark, sf), col("o_custkey") === col("c_custkey")).count()
+      assert(df.count() === expected)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", 10 * 1024 * 1024)
+    }
+  }
 }

@@ -39,6 +39,39 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("q44 sub-blocking bounds a dominant label block, subset of exact") {
+    import spark.implicits._
+    // one giant block: 120 vectors, ALL the same label — label blocking
+    // alone would generate C(120,2) = 7140 candidate pairs
+    val n = 120; val dim = 64
+    val vecs = (0 until n).map { i =>
+      (i.toLong, (0 until dim).map(k => (((i * 37 + k * 101) % 200) - 100) / 100.0f), 1)
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("giantblk").toString
+    vecs.toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$tmp/embeddings.parquet")
+
+    val exact = DedupOps.embeddingNearDup(spark, tmp)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sub = DedupOps.embeddingNearDup(spark, tmp, subBlockBits = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sub.subsetOf(exact), s"sub-blocked pairs not in exact: ${sub -- exact}")
+    assert(sub.nonEmpty) // high-cosine pairs land on the same plane sides
+
+    // the guard actually bounds candidate generation: sum C(n_b, 2) over
+    // hyperplane sub-blocks << C(n, 2) for the giant block
+    def bucketOf(v: Seq[Float]): Long =
+      (0 until 3).map { j =>
+        val d = (0 until dim).map(i => v(i) * (((j * 131 + i * 7919) % 1001) - 500).toDouble).sum
+        if (d > 0) 1L << j else 0L
+      }.sum
+    val sizes = vecs.groupBy(v => bucketOf(v._2)).view.mapValues(_.size.toLong)
+    val candidates = sizes.values.map(s => s * (s - 1) / 2).sum
+    assert(sizes.size > 1, "planes failed to split the block")
+    assert(candidates < n.toLong * (n - 1) / 2 / 2,
+      s"sub-blocking barely reduced candidates: $candidates")
+  }
+
   test("q45 knn: rank-1 neighbor has the max cosine; ranks are 1..k") {
     val rows = SimilarityOps.knnBruteForce(spark, sf).collect()
     val byQ = rows.groupBy(_.getAs[Long]("q_id"))
