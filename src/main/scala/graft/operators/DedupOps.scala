@@ -58,14 +58,26 @@ object DedupOps {
     require(dfCap >= 2, s"dfCap must be >= 2 (a shingle needs df >= 2 to form a pair); got $dfCap")
     val posting = shingleSets(s, d)
       .select(col("doc_id"), size(col("sh")).cast("long").as("n"), explode(col("sh")).as("sh"))
-    // posting df via groupBy (map-side partials — no hot-key buffering),
-    // then prune the posting list before the self-join; both plans shuffle
-    // `posting` by sh identically, so the exchange is reused
-    val eligible = posting.groupBy("sh")
-      .agg(count(lit(1)).as("df"))
+    // df as a window count over sh: ONE shuffle of the posting list, and the
+    // filtered posting is a single subtree — both self-join sides are the
+    // same canonical plan, so the exchange (and the scan + shingle kernel
+    // above it) runs once and the second side is a ReusedExchange. The
+    // previous groupBy-df + semi-join shape re-ran the scan/kernel/shuffle
+    // up to three times because the aggregate above one exchange broke
+    // canonical equality. Group sizes are bounded by df <= dfCap (and even
+    // an uncapped ultra-common shingle is only one task's worth of rows).
+    // persisted because it feeds BOTH self-join sides: exchange reuse does
+    // not unify the aliased subtrees (verified against the physical plan),
+    // so without the cache the scan + kernel + shuffle would run twice. The
+    // cached relation keeps its hash(sh) partitioning, so the join adds no
+    // further exchange. Size is the pruned posting list — linear in corpus
+    // shingles and spillable (MEMORY_AND_DISK).
+    val pruned = posting
+      .withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("sh")))
       .filter(col("df") >= 2 && col("df") <= dfCap)
-      .select("sh")
-    val pruned = posting.join(eligible, "sh")
+      .select("doc_id", "n", "sh")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pairs = pruned.as("a").join(pruned.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),

@@ -21,6 +21,24 @@ class LlmOpsSpec extends SparkSpec {
     assert(pairs.forall(_.getAs[Double]("jaccard") >= 0.5))
   }
 
+  test("q41 dfCap stop-shingle guard: capped is a bounded subset of uncapped") {
+    // the footgun guard: a cap below 2 cannot ever produce a pair
+    assertThrows[IllegalArgumentException](DedupOps.ngramJaccard(spark, sf, dfCap = 1))
+
+    def pairs(df: org.apache.spark.sql.DataFrame): Map[(Long, Long), Double] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Double]("jaccard")).toMap
+    val uncapped = pairs(DedupOps.ngramJaccard(spark, sf))
+    val capped = pairs(DedupOps.ngramJaccard(spark, sf, dfCap = 3))
+    // capping only REMOVES shingles from the shared count, so: every capped
+    // pair exists uncapped, and its visible Jaccard is bounded above by the
+    // exact one (dropped pairs are the ones pushed below the 0.5 threshold)
+    assert(capped.keySet.subsetOf(uncapped.keySet),
+      s"capped invented pairs: ${capped.keySet -- uncapped.keySet}")
+    capped.foreach { case (p, j) =>
+      assert(j <= uncapped(p) + 1e-12, s"pair $p: capped jaccard $j > exact ${uncapped(p)}")
+    }
+  }
+
   test("q42 minhash LSH candidates contain all very-high-jaccard pairs") {
     val exact = DedupOps.ngramJaccard(spark, sf)
       .filter(col("jaccard") >= 0.9)
