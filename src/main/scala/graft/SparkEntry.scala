@@ -47,16 +47,20 @@ object SparkEntry {
     "q29_bbox_iou"        -> (RosbagDomainOps.bboxIou _),
     "q30_train_val_split" -> (RosbagDomainOps.trainValSplit _),
     "q34_salted_join"     -> ((s: SparkSession, d: String) => SkewOps.saltedJoin(s, d)),
+    "q37_mp4_manifest"    -> (RosbagDomainOps.mp4ManifestIndex _),
     "q35_funnel"          -> (RosbagDomainOps.funnel _),
     "q36_sample"          -> (RosbagDomainOps.sampleDocs _),
     "q40_dedup_exact"     -> (DedupOps.exact _),
     "q41_dedup_ngram"     -> ((s: SparkSession, d: String) => DedupOps.ngramJaccard(s, d)),
+    "q41b_dedup_ngram_capped" -> ((s: SparkSession, d: String) => DedupOps.ngramJaccard(s, d, dfCap = 4)),
     "q42_dedup_minhash"   -> (DedupOps.minhashLsh _),
     "q43_dedup_simhash"   -> (DedupOps.simhash _),
     "q44_dedup_embedding" -> ((s, d) => DedupOps.embeddingNearDup(s, d)),
+    "q44b_dedup_embedding_blocked" -> ((s, d) => DedupOps.embeddingNearDup(s, d, subBlockBits = 3)),
     "q45_knn_bruteforce"  -> ((s: SparkSession, d: String) => SimilarityOps.knnBruteForce(s, d)),
     "q46_knn_lsh"         -> ((s: SparkSession, d: String) => SimilarityOps.knnLsh(s, d)),
     "q46b_knn_ivf"        -> ((s: SparkSession, d: String) => SimilarityOps.knnIvf(s, d)),
+    "q54_ivf_balance"     -> (SimilarityOps.ivfListBalance _),
     "q47_langid"          -> (TextAnalysisOps.langId _),
     "q48_quality_score"   -> (TextAnalysisOps.qualityScore _),
     "q49_token_count"     -> (TextAnalysisOps.tokenCount _),
@@ -409,6 +413,19 @@ object SparkEntry {
       """SELECT doc_id, lang, n_chars FROM documents
         |WHERE (doc_id * 2654435761) % 100 < 10 ORDER BY doc_id""".stripMargin,
 
+    "q37_mp4_manifest" ->
+      """WITH x AS (SELECT user_id, event_id, ts, epoch_us(ts) AS tus FROM events)
+        |SELECT user_id, event_id,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS frame_no,
+        |  CAST(COUNT(*) OVER w AS BIGINT) AS n_frames,
+        |  MIN(tus) OVER w AS start_us,
+        |  MAX(tus) OVER w AS end_us,
+        |  CASE WHEN MAX(tus) OVER w > MIN(tus) OVER w
+        |       THEN (COUNT(*) OVER w - 1) / ((MAX(tus) OVER w - MIN(tus) OVER w) / 1e6)
+        |       ELSE 0.0 END AS fps
+        |FROM x WINDOW w AS (PARTITION BY user_id)
+        |ORDER BY user_id, frame_no""".stripMargin,
+
     // deliberately the PLAIN join: the parity gate proves the salted
     // rewrite is semantics-preserving
     "q34_salted_join" ->
@@ -427,6 +444,20 @@ object SparkEntry {
          |cnt AS (SELECT doc_id, CAST(len(hs) AS BIGINT) AS n FROM sh),
          |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
          |          FROM posting a JOIN posting b ON a.s = b.s AND a.doc_id < b.doc_id
+         |          GROUP BY a.doc_id, b.doc_id)
+         |SELECT doc_a, doc_b, shared / (ca.n + cb.n - shared) AS jaccard
+         |FROM pairs JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id
+         |WHERE shared / (ca.n + cb.n - shared) >= 0.5
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q41b_dedup_ngram_capped" ->
+      s"""WITH $SHINGLES,
+         |posting AS (SELECT doc_id, unnest(hs) AS s FROM sh),
+         |cnt AS (SELECT doc_id, CAST(len(hs) AS BIGINT) AS n FROM sh),
+         |elig AS (SELECT s FROM posting GROUP BY s HAVING COUNT(*) BETWEEN 2 AND 4),
+         |pe AS (SELECT doc_id, s FROM posting JOIN elig USING (s)),
+         |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+         |          FROM pe a JOIN pe b ON a.s = b.s AND a.doc_id < b.doc_id
          |          GROUP BY a.doc_id, b.doc_id)
          |SELECT doc_a, doc_b, shared / (ca.n + cb.n - shared) AS jaccard
          |FROM pairs JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id
@@ -466,6 +497,19 @@ object SparkEntry {
       s"""WITH $EMB_NORM
          |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, $DOT64 / (a.nrm * b.nrm) AS cos
          |FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+         |WHERE $DOT64 / (a.nrm * b.nrm) > 0.25
+         |ORDER BY vec_a, vec_b""".stripMargin,
+
+    "q44b_dedup_embedding_blocked" ->
+      s"""WITH $EMB_NORM,
+         |bk AS (SELECT vec_id, label, v, nrm,
+         |  ${(0 until 3).map(j =>
+             s"(CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65)," +
+             s" i -> v[i] * ((($j*131 + (i-1)*7919) % 1001) - 500))), (x2, y2) -> x2 + y2) > 0" +
+             s" THEN CAST(${1L << j} AS BIGINT) ELSE 0 END)").mkString(" + ")} AS blk
+         |  FROM n)
+         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, $DOT64 / (a.nrm * b.nrm) AS cos
+         |FROM bk a JOIN bk b ON a.label = b.label AND a.blk = b.blk AND a.vec_id < b.vec_id
          |WHERE $DOT64 / (a.nrm * b.nrm) > 0.25
          |ORDER BY vec_a, vec_b""".stripMargin,
 
@@ -563,6 +607,21 @@ object SparkEntry {
          |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
          |  FROM j) t
          |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin,
+
+    "q54_ivf_balance" ->
+      s"""WITH $EMB_NORM,
+         |cents AS (SELECT list_id, cv,
+         |            sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65),
+         |              i -> cv[i] * cv[i])), (x2, y2) -> x2 + y2)) AS cnrm
+         |          FROM ($ivfCentsValues) t(list_id, cv)),
+         |asg AS (SELECT vec_id, list_id,
+         |          ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, list_id) AS crank
+         |        FROM (SELECT n.vec_id, c.list_id,
+         |                list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65),
+         |                  i -> n.v[i] * c.cv[i])), (x2, y2) -> x2 + y2) / (n.nrm * c.cnrm) AS csim
+         |              FROM n, cents c) t)
+         |SELECT list_id, CAST(COUNT(*) AS BIGINT) AS n_vectors
+         |FROM asg WHERE crank = 1 GROUP BY list_id ORDER BY list_id""".stripMargin,
 
     "q52_top_terms" ->
       """WITH tf AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),

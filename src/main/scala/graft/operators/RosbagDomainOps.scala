@@ -40,6 +40,29 @@ object RosbagDomainOps {
       .orderBy("user_id", "frame_no")
   }
 
+  /** q37 — mp4-mux manifest shape over the frame model: ordered per-frame
+    * rows with the per-recording stats (n_frames, time span, fps) attached
+    * by window aggregates — the scalable form of RosbagReader.mp4ManifestOf
+    * (no per-recording array buffer; a million-frame recording is just a
+    * window partition that spills). fps is what main.py hands ffmpeg.
+    */
+  def mp4ManifestIndex(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+    val wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("ts"))
+      .withColumn("frame_no", row_number().over(wo).cast("long"))
+      .withColumn("n_frames", count(lit(1)).over(w))
+      .withColumn("start_us", call_function("div", min("ts").over(w), lit(1000L)))
+      .withColumn("end_us", call_function("div", max("ts").over(w), lit(1000L)))
+      .withColumn("fps",
+        when(col("end_us") > col("start_us"),
+          (col("n_frames") - 1) / ((col("end_us") - col("start_us")) / lit(1e6)))
+          .otherwise(lit(0.0)))
+      .drop("ts")
+      .orderBy("user_id", "frame_no")
+  }
+
   /** q21 — recording sessionization: a gap > 6h starts a new session (the
     * mp4-per-recording grouping in main.py). Classic two-window plan:
     * lag -> new-session flag -> running sum = session id, then one

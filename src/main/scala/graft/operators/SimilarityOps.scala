@@ -80,15 +80,41 @@ object SimilarityOps {
     * degrading toward a full scan at fleet scale — the classic recall/cost
     * dial: probes x (corpus / lists) candidates per query.
     */
-  def knnIvf(s: SparkSession, d: String, k: Int = 3): DataFrame = {
+  /** The frozen trained quantizer as a broadcastable centroid table. */
+  private def centroidTable(s: SparkSession): DataFrame = {
     import s.implicits._
-    val e = Tables.embeddings(s, d)
-      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
-      .withColumn("nrm", norm(col("v")))
-    val centroids = IvfCentroids.values.toSeq.zipWithIndex
+    IvfCentroids.values.toSeq.zipWithIndex
       .map { case (cv, i) => (i.toLong, cv.toSeq) }
       .toDF("list_id", "cv")
       .withColumn("cnrm", norm(col("cv")))
+  }
+
+  /** q54 — IVF inverted-list balance: vectors per list under the trained
+    * quantizer. This is the operational health check for the index — a
+    * degenerate (untrained) quantizer concentrates the corpus in a few hot
+    * lists and probing degrades toward a full scan; trained centroids keep
+    * the histogram flat. Pure map-side assignment (broadcast centroids) +
+    * one small aggregation.
+    */
+  def ivfListBalance(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      .withColumn("nrm", norm(col("v")))
+    val w = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("list_id"))
+    e.join(broadcast(centroidTable(s)))
+      .withColumn("csim", cosine(col("v"), col("cv"), col("nrm"), col("cnrm")))
+      .withColumn("crank", row_number().over(w))
+      .filter(col("crank") === 1)
+      .groupBy("list_id")
+      .agg(count(lit(1)).as("n_vectors"))
+      .orderBy("list_id")
+  }
+
+  def knnIvf(s: SparkSession, d: String, k: Int = 3): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      .withColumn("nrm", norm(col("v")))
+    val centroids = centroidTable(s)
 
     // nearest-centroid assignment by cosine (argmax via window, ties by id)
     def assign(df: DataFrame, idCol: String, keep: Int): DataFrame = {

@@ -67,13 +67,23 @@ object RosbagReader {
       .toDF("bag", "topic", "datatype", "time_ns", "fields"))
   }
 
+  /** Hard cap on inferred columns: schema inference collects the distinct
+    * slot-key set to the driver, and a pathological message definition
+    * (or a corrupted msg_def) must not be able to materialize an unbounded
+    * column list there.
+    */
+  private val MaxInferredColumns = 10000
+
   /** Wide table for one topic: every slot becomes a string column (dynamic
-    * schema, driver collects only the key set — one tiny aggregate).
+    * schema, driver collects only the key set — one tiny aggregate, bounded
+    * by [[MaxInferredColumns]]).
     */
   def genericTable(spark: SparkSession, path: String, topic: String): DataFrame = {
     val msgs = genericMessages(spark, path).filter(col("topic") === topic)
     val keys = msgs.select(explode(map_keys(col("fields"))).as("k"))
-      .distinct().collect().map(_.getString(0)).sorted
+      .distinct().limit(MaxInferredColumns + 1).collect().map(_.getString(0)).sorted
+    require(keys.length <= MaxInferredColumns,
+      s"topic $topic has over $MaxInferredColumns distinct slots; refusing to infer a schema that wide")
     msgs.select(
       col("bag") +: col("topic") +: col("time_ns") +: col("iso_time") +:
         keys.map(k => col("fields").getItem(k).as(k)): _*)
