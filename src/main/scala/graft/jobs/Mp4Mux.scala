@@ -1,0 +1,81 @@
+package graft.jobs
+
+import java.io.File
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.multimodal.PngEncoder
+
+/** Distributed mp4 muxing hook — the reference's per-recording
+  * `ffmpeg -framerate N -i image_raw-%04d.png ... out.mp4` step
+  * (service/app/main.py:59) as an executor-side sink.
+  *
+  * Each (bag, topic) recording is co-located in one task by a hash
+  * repartition and arrives frame_no-ordered; the task streams the frames to
+  * PNG files in a scratch directory (the exact layout ffmpeg's %04d input
+  * pattern expects), computes the recording fps from the frame timestamps
+  * (same formula as the mp4 manifest), runs the muxer command, and leaves
+  * `<out>/<recording>.mp4`. The command is injectable because this
+  * container ships no ffmpeg: production uses [[ffmpegCommand]] verbatim;
+  * specs substitute a stand-in and assert the frame staging + invocation
+  * contract.
+  */
+object Mp4Mux {
+
+  /** The reference's ffmpeg line (main.py:59): (stagingDir, fps, outFile). */
+  def ffmpegCommand(dir: String, fps: Double, out: String): Seq[String] =
+    Seq("ffmpeg", "-framerate", fps.toString, "-i", s"$dir/image_raw-%04d.png",
+      "-c:v", "libx264", "-crf", "20", "-pix_fmt", "yuv420p", out)
+
+  private def sanitize(s: String): String = s.replaceAll("[^A-Za-z0-9._-]", "_")
+
+  /** Mux every (bag, topic) recording in `images` (the RosbagReader.images
+    * schema) into `outDir`. One muxer invocation per recording, recordings
+    * processed in parallel across tasks.
+    */
+  def mux(spark: SparkSession, images: DataFrame, outDir: String,
+      command: (String, Double, String) => Seq[String] = ffmpegCommand): Unit = {
+    new File(outDir).mkdirs()
+    images
+      .select("bag", "topic", "time_ns", "frame_no", "width", "height", "encoding", "step", "pixels")
+      .repartition(col("bag"), col("topic"))
+      .sortWithinPartitions("bag", "topic", "frame_no")
+      .foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
+        var key: (String, String) = null
+        var dir: File = null
+        var n = 0L; var tMin = Long.MaxValue; var tMax = Long.MinValue
+
+        def finish(): Unit = if (dir != null && n > 0) {
+          val durS = (tMax - tMin) / 1e9
+          val fps = if (durS > 0) (n - 1) / durS else 1.0
+          val out = new File(outDir, s"${sanitize(key._1)}__${sanitize(key._2)}.mp4")
+          val cmd = command(dir.getPath, fps, out.getPath)
+          val p = new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
+          val log = new String(p.getInputStream.readAllBytes(), "UTF-8")
+          require(p.waitFor() == 0, s"muxer failed for ${key._1}/${key._2}: $cmd\n$log")
+          dir.listFiles().foreach(_.delete()); dir.delete()
+        }
+
+        it.foreach { r =>
+          val k = (r.getAs[String]("bag"), r.getAs[String]("topic"))
+          if (k != key) { // frames arrive grouped: sorted by (bag, topic, frame_no)
+            finish()
+            key = k
+            dir = Files.createTempDirectory("mux").toFile
+            n = 0; tMin = Long.MaxValue; tMax = Long.MinValue
+          }
+          val png = PngEncoder.encode(r.getAs[Array[Byte]]("pixels"),
+            r.getAs[Long]("width").toInt, r.getAs[Long]("height").toInt,
+            r.getAs[String]("encoding"), r.getAs[Long]("step").toInt)
+          Files.write(new File(dir, f"image_raw-${r.getAs[Int]("frame_no")}%04d.png").toPath, png)
+          val t = r.getAs[Long]("time_ns")
+          if (t < tMin) tMin = t
+          if (t > tMax) tMax = t
+          n += 1
+        }
+        finish()
+      }
+  }
+}

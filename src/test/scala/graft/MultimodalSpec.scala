@@ -125,6 +125,22 @@ class MultimodalSpec extends SparkSpec {
     assert(same.getAs[Array[Byte]]("pixels").toSeq === Seq[Byte](10, 20, 30, 50, 60, 70))
   }
 
+  test("Mp4Mux: stages ordered PNGs per recording and invokes the muxer") {
+    val frames = RosbagReader.images(spark, bagPath)
+    val out = Files.createTempDirectory("mp4out").toString
+    // stand-in muxer (no ffmpeg in this container): records the staged
+    // file list + fps into the "mp4", proving the invocation contract
+    graft.jobs.Mp4Mux.mux(spark, frames, out, (dir, fps, outFile) =>
+      Seq("/bin/sh", "-c", s"ls -1 $dir > $outFile && echo fps=$fps >> $outFile"))
+    val made = new java.io.File(out).listFiles().map(_.getName).sorted
+    assert(made.length === 1 && made(0).endsWith("__cam0_image_raw.mp4"))
+    val lines = scala.io.Source.fromFile(s"$out/${made(0)}").getLines().toSeq
+    // all 4 frames staged, ffmpeg's %04d naming, frame_no order
+    assert(lines.take(4) === Seq("image_raw-0000.png", "image_raw-0001.png",
+      "image_raw-0002.png", "image_raw-0003.png"))
+    assert(lines.last.startsWith("fps=1.0")) // 4 frames over 3 s
+  }
+
   test("blurPlan(): clamped regions joined to frames") {
     val frames = RosbagReader.images(spark, bagPath)
     val regions = spark.createDataFrame(Seq(
