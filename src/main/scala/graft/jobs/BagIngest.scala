@@ -44,7 +44,10 @@ object BagIngest {
     // dynamic-schema fallback: every topic with a message_definition lands
     // as (slot-path -> value) rows even when no hand-coded decoder exists
     save(RosbagReader.genericMessagesOf(spark, msgs), "generic")
-    save(RosbagReader.mp4ManifestOf(images), "manifest")
+    // manifest columns are untouched by blur — build it from the RAW frames
+    // so the manifest sink never re-executes the blur pipeline (Catalyst
+    // cannot prune columns through the opaque mapPartitions lambda)
+    save(RosbagReader.mp4ManifestOf(rawImages), "manifest")
     msgs.unpersist()
 
     if (writePng) {
@@ -68,7 +71,10 @@ object BagIngest {
     val spark = GraftSession.get()
     val regions = args.indexOf("--blur-regions") match {
       case -1 => None
-      case i  => Some(spark.read.parquet(args(i + 1)))
+      case i  =>
+        require(i + 1 < args.length && !args(i + 1).startsWith("--"),
+          "--blur-regions requires a parquet path argument")
+        Some(spark.read.parquet(args(i + 1)))
     }
     run(spark, args(0), args(1), args.contains("--png"), regions)
     spark.stop()

@@ -69,7 +69,10 @@ object Mp4Mux {
           val png = PngEncoder.encode(r.getAs[Array[Byte]]("pixels"),
             r.getAs[Long]("width").toInt, r.getAs[Long]("height").toInt,
             r.getAs[String]("encoding"), r.getAs[Long]("step").toInt)
-          Files.write(new File(dir, f"image_raw-${r.getAs[Int]("frame_no")}%04d.png").toPath, png)
+          // staged by a per-recording RUNNING counter, not frame_no: ffmpeg's
+          // %04d reader stops at the first numbering gap, so sampled/filtered
+          // inputs (sparse frame_no) would silently truncate the video
+          Files.write(new File(dir, f"image_raw-$n%04d.png").toPath, png)
           val t = r.getAs[Long]("time_ns")
           if (t < tMin) tMin = t
           if (t > tMax) tMax = t

@@ -128,7 +128,9 @@ object RecordIO {
         col("xmin").cast("float"), col("ymin").cast("float"),
         col("xmax").cast("float"), col("ymax").cast("float")).as("box"))
       .groupBy("source_ref")
-      .agg(flatten(collect_list(col("box"))).as("box_vals"))
+      // sort_array: collect_list order is scheduling-dependent; sorting the
+      // box arrays makes the packed .rec bytes reproducible run-to-run
+      .agg(flatten(sort_array(collect_list(col("box")))).as("box_vals"))
     images
       .join(perImage, Seq("source_ref"), "inner")
       .select(col("id").cast("long"), col("box_vals"), col("image"))

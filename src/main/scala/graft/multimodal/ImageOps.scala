@@ -18,11 +18,29 @@ import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
   */
 object ImageOps {
 
-  /** Channel count by ROS image encoding (rgb8/bgr8/8UC3 are 3-channel). */
+  /** Channel count for the uint8 channels-last encodings the pixel
+    * REWRITING paths (blur/resize/png) understand. Anything else (mono16,
+    * bgra8, 16UC1, ...) fails loudly — rewriting a buffer under a wrong
+    * channel/byte-width assumption would silently corrupt lake pixels,
+    * which is strictly worse than stopping (same policy as the loud lz4
+    * rejection in the bag source).
+    */
   private[multimodal] def channelsOf(encoding: String): Int = encoding match {
+    case "mono8"                   => 1
+    case "rgb8" | "bgr8" | "8UC3"  => 3
+    case "rgba8"                   => 4
+    case other => throw new IllegalArgumentException(
+      s"unsupported pixel encoding '$other' (supported: mono8, rgb8, bgr8, 8UC3, rgba8)")
+  }
+
+  /** Lenient channel inference for read-only statistics (features): unknown
+    * encodings fall back to 3 channels — stats may be off for exotic
+    * layouts, but nothing is rewritten.
+    */
+  private def channelsForStats(encoding: String): Int = encoding match {
     case "mono8" => 1
     case "rgba8" => 4
-    case _       => 3 // rgb8 / bgr8 / 8UC3
+    case _       => 3
   }
 
   final case class Frame(bag: String, topic: String, time_ns: Long,
@@ -66,7 +84,7 @@ object ImageOps {
       .select("bag", "topic", "time_ns", "width", "height", "encoding", "step", "pixels")
       .as[Frame]
       .mapPartitions(_.map { f =>
-        val ch = channelsOf(f.encoding)
+        val ch = channelsForStats(f.encoding)
         val m = channelMeans(f.pixels, ch, f.width.toInt, f.height.toInt, f.step.toInt)
         val (r, g, b) = f.encoding match {
           // the reference swaps BGR->RGB for 8UC3 (bagstream.py:257)
@@ -144,11 +162,13 @@ object ImageOps {
       it.map { row =>
         val w = row.getLong(iW).toInt; val h = row.getLong(iH).toInt
         val tw = row.getLong(iTw).toInt; val th = row.getLong(iTh).toInt
-        val ch = channelsOf(row.getString(iEnc))
         val vals = new Array[Any](n)
         var j = 0
         while (j < n) { vals(j) = row.get(outIdx(j)); j += 1 }
         if (tw != w || th != h) {
+          // encoding validated only when pixels are actually rewritten;
+          // within-bounds frames of any encoding pass through untouched
+          val ch = channelsOf(row.getString(iEnc))
           val px = PixelKernels.resizeBilinear(row.getAs[Array[Byte]](iPx),
             w, h, ch, row.getLong(iStep).toInt, tw, th)
           vals(iWOut) = tw.toLong

@@ -16,6 +16,10 @@ import graft.functions.VectorFunctions._
   */
 object DedupOps {
 
+  /** Most recent persisted posting list per session (see ngramJaccard). */
+  private val postingCaches =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, DataFrame]()
+
   /** q40 — exact duplicate groups by content hash (md5 is the portable
     * content key). One shuffle on the hash; at 100 TB this is the cheapest
     * possible dedup and the first pass before any fuzzy variant.
@@ -71,13 +75,20 @@ object DedupOps {
     // so without the cache the scan + kernel + shuffle would run twice. The
     // cached relation keeps its hash(sh) partitioning, so the join adds no
     // further exchange. Size is the pruned posting list — linear in corpus
-    // shingles and spillable (MEMORY_AND_DISK).
+    // shingles and spillable (MEMORY_AND_DISK). Because the result is lazy,
+    // this call cannot unpersist after itself — instead each invocation
+    // releases the PREVIOUS call's cache, bounding a repeat caller to one
+    // live posting cache per session.
     val pruned = posting
       .withColumn("df", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy("sh")))
       .filter(col("df") >= 2 && col("df") <= dfCap)
       .select("doc_id", "n", "sh")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    postingCaches.put(s, pruned) match {
+      case prev: DataFrame if prev ne pruned => prev.unpersist(blocking = false)
+      case _ => ()
+    }
     val pairs = pruned.as("a").join(pruned.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),

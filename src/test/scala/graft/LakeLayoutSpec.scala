@@ -33,6 +33,7 @@ class LakeLayoutSpec extends SparkSpec {
   test("bucketed layout: join + agg on the bucket key plans with zero shuffle") {
     LakeLayout.writeOrdersCustomerBucketed(spark, sf, buckets = 4)
     // force the shuffle-join path: broadcast would mask the bucketing win
+    val originalThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
       val df = LakeLayout.bucketedOrderRollup(spark)
@@ -45,7 +46,9 @@ class LakeLayoutSpec extends SparkSpec {
           Tables.customer(spark, sf), col("o_custkey") === col("c_custkey")).count()
       assert(df.count() === expected)
     } finally {
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", 10 * 1024 * 1024)
+      // restore the SESSION's configured value (GraftSession sets 64MB) —
+      // the session is shared across suites
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", originalThreshold)
     }
   }
 }
