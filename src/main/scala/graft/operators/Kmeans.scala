@@ -7,13 +7,15 @@ import org.apache.spark.sql.functions._
   * (SimilarityOps.knnIvf) — the offline "train the index" step the
   * reference pipeline delegates to its ANN tooling.
   *
-  * Shape: deterministic hash-seeded initialization (a reproducible uniform
-  * draw — order by xxhash64(id, seed), take k), then Lloyd iterations where
-  * each pass broadcasts the k x dim centroid matrix and aggregates per-
-  * cluster sums with ONE treeAggregate over the corpus: no shuffle at all,
-  * map-side partial sums only, k x (dim+1) doubles back to the driver per
-  * iteration. This is the same execution scheme MLlib's KMeans uses, and it
-  * scales to any corpus the executors can scan.
+  * Shape: k-means|| initialization (Bahmani et al., VLDB'12 — the
+  * oversampling scheme MLlib also uses) made fully DETERMINISTIC by
+  * replacing the random draws with hash-uniform values u(id, seed, round),
+  * then Lloyd iterations where each pass broadcasts the k x dim centroid
+  * matrix and aggregates per-cluster sums with ONE treeAggregate over the
+  * corpus: no shuffle at all, map-side partial sums only, k x (dim+1)
+  * doubles back to the driver per iteration. Scales to any corpus the
+  * executors can scan; only the ~rounds x 2k candidate set ever reaches
+  * the driver.
   */
 object Kmeans {
 
@@ -30,18 +32,99 @@ object Kmeans {
     best
   }
 
-  /** Train k centroids on `vecs` (columns `id: long`, `v: array<double>`).
+  private def minSqDist(cs: Seq[Array[Double]], v: Array[Double]): Double = {
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < cs.length) {
+      var d = 0.0; var i = 0
+      val cv = cs(c)
+      while (i < v.length) { val t = v(i) - cv(i); d += t * t; i += 1 }
+      if (d < bestD) bestD = d
+      c += 1
+    }
+    bestD
+  }
+
+  /** Deterministic stand-in for a uniform [0,1) draw: the top 53 bits of a
+    * mixed 64-bit hash of (id, seed, round).
+    */
+  private def hashUniform(id: Long, seed: Long, round: Int): Double = {
+    var x = id * 0x9e3779b97f4a7c15L + seed * 0xc2b2ae3d27d4eb4fL + round * 0x165667b19e3779f9L
+    x ^= x >>> 33; x *= 0xff51afd7ed558ccdL
+    x ^= x >>> 33; x *= 0xc4ceb9fe1a85ec53L
+    x ^= x >>> 33
+    (x >>> 11).toDouble / (1L << 53).toDouble
+  }
+
+  /** k-means|| oversampling init: one seed center, then `rounds` passes
+    * each sampling points with probability min(1, l * d^2(x, C) / cost(C))
+    * (l = 2k), then a driver-side weighted Lloyd reduction of the candidate
+    * set to k centers. Every pass is a broadcast + map over the corpus.
+    */
+  private def initParallel(spark: SparkSession,
+      rdd: org.apache.spark.rdd.RDD[(Long, Array[Double])],
+      k: Int, seed: Long, rounds: Int = 5): Array[Array[Double]] = {
+    val sc = spark.sparkContext
+    // deterministic "random" first center: minimal hash wins
+    val first = rdd.min()(Ordering.by { case (id, _) => (hashUniform(id, seed, -1), id) })._2
+    val centers = scala.collection.mutable.ArrayBuffer[Array[Double]](first)
+    val l = 2.0 * k
+    for (r <- 0 until rounds) {
+      val bc = sc.broadcast(centers.toSeq)
+      val cost = rdd.map { case (_, v) => minSqDist(bc.value, v) }
+        .treeAggregate(0.0)(_ + _, _ + _)
+      if (cost > 0) {
+        val sampled = rdd.filter { case (id, v) =>
+          hashUniform(id, seed, r) < l * minSqDist(bc.value, v) / cost
+        }.collect()
+        // stable order: candidates appended by id so rounds are reproducible
+        centers ++= sampled.sortBy(_._1).map(_._2)
+      }
+      bc.destroy()
+    }
+    // weight candidates by the corpus mass they attract, then reduce to k
+    // with a local weighted Lloyd (the standard k-means|| finishing step)
+    val cand = centers.toArray
+    val bcC = sc.broadcast(cand)
+    val weights = rdd.map { case (_, v) => nearest(bcC.value, v) }
+      .countByValue()
+    bcC.destroy()
+    val w = Array.tabulate(cand.length)(i => weights.getOrElse(i, 0L).toDouble)
+    // start from the k heaviest candidates (deterministic tie-break by index)
+    var local = w.zipWithIndex.sortBy { case (wt, i) => (-wt, i) }
+      .take(k).map { case (_, i) => cand(i) }
+    require(local.length == k, s"k-means|| produced ${local.length} < k=$k candidates")
+    val dim = first.length
+    for (_ <- 0 until 20) {
+      val sums = Array.fill(k)(new Array[Double](dim + 1))
+      var i = 0
+      while (i < cand.length) {
+        val c = nearest(local, cand(i))
+        var j = 0
+        while (j < dim) { sums(c)(j) += cand(i)(j) * w(i); j += 1 }
+        sums(c)(dim) += w(i)
+        i += 1
+      }
+      local = Array.tabulate(k) { c =>
+        if (sums(c)(dim) == 0) local(c)
+        else Array.tabulate(dim)(j => sums(c)(j) / sums(c)(dim))
+      }
+    }
+    local
+  }
+
+  /** Train k centroids on `vecs` (columns `id: long`, `v: array<double>`):
+    * k-means|| init, then `iters` distributed Lloyd iterations.
     * Deterministic for a fixed (k, iters, seed) and input set. Empty
     * clusters keep their previous centroid.
     */
   def train(spark: SparkSession, vecs: DataFrame, k: Int, iters: Int, seed: Long): Array[Array[Double]] = {
     import spark.implicits._
     val data = vecs.select(col("id").cast("long"), col("v")).as[(Long, Seq[Double])]
-    var centroids = data
-      .withColumn("r", xxhash64(col("id"), lit(seed)))
-      .orderBy("r", "id").limit(k)
-      .select("v").as[Seq[Double]].collect().map(_.toArray)
-    require(centroids.length == k, s"corpus smaller than k=$k")
+    val idRdd = data.rdd.map { case (id, v) => (id, v.toArray) }.cache()
+    var centroids =
+      try initParallel(spark, idRdd, k, seed)
+      finally idRdd.unpersist()
     val dim = centroids(0).length
     val rdd = data.rdd.map(_._2.toArray).cache()
     try {

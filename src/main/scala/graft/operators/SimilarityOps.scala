@@ -75,7 +75,7 @@ object SimilarityOps {
     * index-training step) assign every vector to its nearest list map-side
     * (broadcast centroids, no corpus shuffle); queries probe their
     * `IvfProbes` nearest lists and rank only within them. Trained centroids
-    * keep the 16 lists balanced (MSE 0.884 vs 1.538 for the old
+    * keep the 16 lists balanced (MSE 0.881 vs 1.538 for the old
     * first-16-vectors stand-in), which is what stops one hot list from
     * degrading toward a full scan at fleet scale — the classic recall/cost
     * dial: probes x (corpus / lists) candidates per query.

@@ -45,6 +45,30 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
   }
 
+  test("q54/q44b: centroid/probe tables broadcast; corpus never pre-shuffles") {
+    val p54 = plan(SimilarityOps.ivfListBalance(spark, sf))
+    // assignment is map-side: the 16-centroid table broadcasts
+    assert(p54.contains("BroadcastNestedLoopJoin") || p54.contains("BroadcastHashJoin"))
+    val p44b = plan(DedupOps.embeddingNearDup(spark, sf, subBlockBits = 3))
+    // blocked self-join is an equi-join on (label, blk), never a cartesian
+    assert(!p44b.contains("CartesianProduct"), p44b)
+  }
+
+  test("q37: one window partitioning serves all manifest aggregates") {
+    val p = plan(RosbagDomainOps.mp4ManifestIndex(spark, sf))
+    // the n_frames/start/end/fps window aggregates and the row_number all
+    // partition by user_id: the frame stream shuffles ONCE, not per-agg
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges <= 1, s"manifest shuffles $exchanges times:\n$p")
+  }
+
+  test("q43: no distinct shuffle after the band join (first-agreeing-band)") {
+    val p = plan(DedupOps.simhash(spark, sf))
+    // dedup is decided locally from the fingerprint XOR; the only
+    // aggregation-like node allowed is none at all before the final sort
+    assert(!p.contains("HashAggregate"), p)
+  }
+
   test("q01: partial (map-side) aggregation before the exchange") {
     val p = plan(RelationalOps.pricingSummary(spark, sf))
     val firstAgg = p.indexOf("HashAggregate")
