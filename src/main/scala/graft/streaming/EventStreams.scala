@@ -91,6 +91,22 @@ object EventStreams {
       }
   }
 
+  /** Streaming exact dedup — the ingest-time guard of the batch dedup
+    * family (DedupOps.exact): drop re-deliveries of the same document/frame
+    * key as they arrive. `dropDuplicatesWithinWatermark` keys the state
+    * store on the dedup columns and the watermark bounds state retention,
+    * so the operator runs forever on an unbounded stream — the
+    * at-least-once queue feeding the reference's workers made exactly this
+    * guard necessary (its DynamoDB conditional writes); here it is one
+    * declarative operator.
+    */
+  def dedupStream(events: DataFrame, watermark: String = "2 hours",
+      keys: Seq[String] = Seq("user_id", "event_id")): DataFrame =
+    events
+      .withColumn("ts", timestamp_micros(call_function("div", col("ts"), lit(1000L))))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+
   /** Stream-stream join with watermarks: attribute each 'view' to a 'click'
     * of the same user within the preceding hour. Both sides carry
     * watermarks so the join state is bounded — the streaming twin of the

@@ -93,6 +93,29 @@ class StreamingSpec extends SparkSpec {
     assert(dupWindows === 0)
   }
 
+  test("dedupStream: re-delivered keys dropped, state bounded by watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val out = EventStreams.dedupStream(mem.toDF(), "1 hour")
+    val q = out.writeStream.format("memory").queryName("dd").outputMode("append").start()
+    val base = 1700000000L * 1000000000L
+    mem.addData(
+      ev(1, base, 1, "click", 1.0),
+      ev(1, base, 1, "click", 1.0),        // exact re-delivery (same batch)
+      ev(2, base + H / 4, 2, "view", 2.0))
+    q.processAllAvailable()
+    mem.addData(ev(1, base + H / 2, 1, "click", 9.9)) // re-delivery, later ts, within watermark
+    q.processAllAvailable()
+    mem.addData(ev(9, base + 10 * H, 3, "click", 0.0)) // advances watermark
+    q.processAllAvailable()
+    val rows = spark.sql("select * from dd").collect()
+    q.stop()
+    // (user_id, event_id) = (1, 1) survived exactly once despite 3 deliveries
+    assert(rows.count(r => r.getAs[Long]("user_id") == 1 && r.getAs[Long]("event_id") == 1) === 1)
+    assert(rows.length === 3) // (1,1), (2,2), (3,9)
+  }
+
   test("clickViewJoin: stream-stream join attributes views within the hour") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
