@@ -22,9 +22,16 @@ import graft.sources.rosbag.RosbagReader
 object BagIngest {
 
   def run(spark: SparkSession, bags: String, out: String, writePng: Boolean,
-      piiRegions: Option[DataFrame] = None): Unit = {
+      piiRegions: Option[DataFrame] = None): Unit =
+    writeTables(spark, bags, out, SaveMode.Overwrite, writePng, piiRegions)
+
+  /** One demux pass over `bags` -> all seven lake tables written with
+    * `mode` (Overwrite for the batch job, Append for the streaming one).
+    */
+  def writeTables(spark: SparkSession, bags: String, out: String, mode: SaveMode,
+      writePng: Boolean, piiRegions: Option[DataFrame]): Unit = {
     def save(df: DataFrame, name: String): Unit =
-      df.write.mode(SaveMode.Overwrite).parquet(s"$out/$name")
+      df.write.mode(mode).parquet(s"$out/$name")
 
     // parse every bag exactly once: the demuxed message set feeds all seven
     // output tables (the reference also demuxes in a single streaming pass)

@@ -31,6 +31,27 @@ object LakeLayout {
   def readDay(spark: SparkSession, lake: String, day: String): DataFrame =
     spark.read.parquet(lake).filter(col("day") === day)
 
+  /** Small-file compaction — the maintenance pass every continuously-fed
+    * lake needs (BagIngestStream appends one file set per micro-batch; a
+    * year of micro-batches is millions of tiny files whose open/footer
+    * costs dominate scans). Rewrites `dir` into ceil(bytes/target) files
+    * via coalesce (no shuffle), staged in a sibling tmp dir and swapped in,
+    * so readers never observe a half-written table. Returns the new file
+    * count.
+    */
+  def compact(spark: SparkSession, dir: String, targetFileBytes: Long = 128L << 20): Int = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(path).getLength
+    val nFiles = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+    val tmp = new org.apache.hadoop.fs.Path(dir + ".compact-tmp")
+    spark.read.parquet(dir).coalesce(nFiles)
+      .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    fs.delete(path, true)
+    require(fs.rename(tmp, path), s"compaction swap failed for $dir")
+    nFiles
+  }
+
   /** Bucketed fact/dim layout: hash-bucket (and sort) both join sides on
     * the join key at WRITE time, so every later join/aggregation on that
     * key reads co-located, pre-sorted buckets and plans with ZERO exchanges

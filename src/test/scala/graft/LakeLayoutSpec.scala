@@ -30,6 +30,19 @@ class LakeLayoutSpec extends SparkSpec {
     assert(df.count() === expected)
   }
 
+  test("compact(): collapses a many-small-files table, rows preserved") {
+    val dir = Files.createTempDirectory("compact").toString + "/events"
+    Tables.events(spark, sf).repartition(20).write.parquet(dir)
+    def parquetFiles = new java.io.File(dir).listFiles().count(_.getName.endsWith(".parquet"))
+    val before = parquetFiles
+    assert(before === 20)
+    val rows = spark.read.parquet(dir).count()
+
+    LakeLayout.compact(spark, dir, targetFileBytes = 512L << 20)
+    assert(parquetFiles === 1) // everything fits one target-sized file
+    assert(spark.read.parquet(dir).count() === rows)
+  }
+
   test("bucketed layout: join + agg on the bucket key plans with zero shuffle") {
     LakeLayout.writeOrdersCustomerBucketed(spark, sf, buckets = 4)
     // force the shuffle-join path: broadcast would mask the bucketing win

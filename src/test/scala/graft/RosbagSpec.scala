@@ -254,6 +254,26 @@ class RosbagSpec extends SparkSpec {
     assert(row.getAs[String]("header.frame_id") === "probe")
   }
 
+  test("BagIngestStream: new bags append to the lake exactly once") {
+    val watch = Files.createTempDirectory("bagwatch")
+    val out = Files.createTempDirectory("baglake").toString
+    val ckpt = Files.createTempDirectory("bagckpt").toString
+    Files.copy(java.nio.file.Paths.get(writeTestBag(bz2 = false)), watch.resolve("a.bag"))
+
+    val q = graft.jobs.BagIngestStream.start(spark, watch.toString, out, ckpt)
+    try {
+      q.processAllAvailable()
+      assert(spark.read.parquet(s"$out/images").count() === 2) // 2 frames in bag 1
+      // second bag arrives later -> appended, first bag not reprocessed
+      Files.copy(java.nio.file.Paths.get(writeTestBag(bz2 = false)), watch.resolve("b.bag"))
+      q.processAllAvailable()
+      assert(spark.read.parquet(s"$out/images").count() === 4)
+      assert(spark.read.parquet(s"$out/odometry").count() === 2)
+      // exactly-once: both bags distinct in the lake
+      assert(spark.read.parquet(s"$out/images").select("bag").distinct().count() === 2)
+    } finally q.stop()
+  }
+
   test("mp4Manifest(): ordered per-frame rows + fps, no array column") {
     val path = writeTestBag(bz2 = false)
     val rows = RosbagReader.mp4Manifest(spark, path).collect()
