@@ -24,4 +24,13 @@ object GraftSql {
     registerAll(spark, dir)
     spark.sql(query)
   }
+
+  /** Register every operator in the library as a temp view (lazy — nothing
+    * executes until queried), so the whole catalog is composable from SQL:
+    * `SELECT * FROM q42_dedup_minhash JOIN documents ON doc_a = doc_id`.
+    */
+  def registerQueries(spark: SparkSession, dir: String): Unit =
+    SparkEntry.queries.foreach { case (name, fn) =>
+      fn(spark, dir).createOrReplaceTempView(name)
+    }
 }

@@ -21,4 +21,18 @@ class GraftSqlSpec extends SparkSpec {
     val h = spark.sql("SELECT graft_charhash(text) AS h FROM documents LIMIT 1").collect()(0)
     assert(h.getLong(0) >= 0)
   }
+
+  test("operator catalog composable from SQL via registerQueries") {
+    GraftSql.registerAll(spark, sf)
+    GraftSql.registerQueries(spark, sf)
+    // an operator view joined back to a lake table, all in SQL
+    val joined = spark.sql(
+      """SELECT d.lang, COUNT(*) AS n
+        |FROM q40_dedup_exact q JOIN documents d ON q.doc_id = d.doc_id
+        |GROUP BY d.lang""".stripMargin).collect()
+    assert(joined.nonEmpty && joined.map(_.getLong(1)).sum > 0)
+    // every registered operator is visible in the catalog
+    val views = spark.catalog.listTables().collect().map(_.name).toSet
+    assert(SparkEntry.queries.keySet.subsetOf(views))
+  }
 }
