@@ -26,16 +26,22 @@ object BagIngest {
     writeTables(spark, bags, out, SaveMode.Overwrite, writePng, piiRegions)
 
   /** One demux pass over `bags` -> all seven lake tables written with
-    * `mode` (Overwrite for the batch job, Append for the streaming one).
+    * `mode` (Overwrite for the batch job; the streaming job overwrites a
+    * per-batch subdirectory via `tableSuffix` for idempotent retries).
     */
   def writeTables(spark: SparkSession, bags: String, out: String, mode: SaveMode,
-      writePng: Boolean, piiRegions: Option[DataFrame]): Unit = {
+      writePng: Boolean, piiRegions: Option[DataFrame]): Unit =
+    writeTablesOf(spark, RosbagReader.messages(spark, bags), out, mode, writePng, piiRegions)
+
+  def writeTablesOf(spark: SparkSession, rawMsgs: org.apache.spark.sql.Dataset[RosbagReader.RawMessage],
+      out: String, mode: SaveMode, writePng: Boolean, piiRegions: Option[DataFrame],
+      tableSuffix: String = ""): Unit = {
     def save(df: DataFrame, name: String): Unit =
-      df.write.mode(mode).parquet(s"$out/$name")
+      df.write.mode(mode).parquet(s"$out/$name$tableSuffix")
 
     // parse every bag exactly once: the demuxed message set feeds all seven
     // output tables (the reference also demuxes in a single streaming pass)
-    val msgs = RosbagReader.messages(spark, bags).persist()
+    val msgs = rawMsgs.persist()
     val rawImages = RosbagReader.imagesOf(spark, msgs)
     // PII anonymization (reference: select-labelling-imgs anonymize_PII):
     // with a region table, pixels land in the lake already blurred
@@ -59,7 +65,7 @@ object BagIngest {
 
     if (writePng) {
       val dir = new java.io.File(s"$out/png")
-      ImageOps.toPng(spark, spark.read.parquet(s"$out/images"))
+      ImageOps.toPng(spark, spark.read.parquet(s"$out/images$tableSuffix"))
         .foreachPartition { it: Iterator[ImageOps.PngFrame] =>
           // executor-side sink: in production this is the S3 upload the
           // reference does from its uploader process (main.py Uploader)

@@ -5,16 +5,25 @@ import org.apache.spark.sql.streaming.StreamingQuery
 import org.apache.spark.sql.types.{BinaryType, LongType, StringType, StructField, StructType, TimestampType}
 
 import graft.GraftSession
+import graft.sources.rosbag.RosbagReader
 
 /** Continuous bag ingest: the reference's queue-driven arrival model (SQS
   * message per uploaded bag -> Fargate task, main.py) as a Structured
   * Streaming file-watch job. New `.bag` files landing under `watchDir` are
-  * discovered by the file source (exactly-once per file, tracked in the
-  * checkpoint), and each micro-batch runs the SAME single-pass demux as the
-  * batch job — only file PATHS flow through the stream; the bag bytes are
-  * read by the chunk-streaming parser inside the batch, never materialized
-  * as a stream column. Tables append; restart resumes from the checkpoint
-  * without reprocessing.
+  * discovered by the checkpointed file source, and each micro-batch runs
+  * the SAME single-pass demux as the batch job — only file PATHS flow
+  * through the stream; the bag bytes are read by the chunk-streaming
+  * parser inside the batch, never materialized as a stream column.
+  *
+  * Delivery: foreachBatch is at-least-once, so each batch OVERWRITES its
+  * own `<table>/batch=<id>/` subdirectory — a retried batch rewrites the
+  * same directory instead of appending duplicates (effectively-once).
+  * Readers see `batch` as a discovered partition column.
+  *
+  * Producer contract (the standard file-source one): uploads must be
+  * staged outside the watch glob (different directory or extension) and
+  * RENAMED into place — a file discovered mid-copy would be parsed
+  * truncated and marked as seen.
   */
 object BagIngestStream {
 
@@ -37,12 +46,16 @@ object BagIngestStream {
       .select("path")
       .writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         // bounded driver collect: one row per NEW bag file in this batch
         val paths = batch.collect().map(_.getString(0))
         if (paths.nonEmpty) {
-          BagIngest.writeTables(batch.sparkSession, paths.mkString(","), out,
-            SaveMode.Append, writePng = false, piiRegions)
+          val sp = batch.sparkSession
+          // per-path reads unioned (a comma in a filename must not be
+          // treated as Hadoop's input-path delimiter)
+          val msgs = paths.map(p => RosbagReader.messages(sp, p)).reduce(_ union _)
+          BagIngest.writeTablesOf(sp, msgs, out, SaveMode.Overwrite,
+            writePng = false, piiRegions, tableSuffix = s"/batch=$batchId")
         }
       }
       .start()

@@ -34,21 +34,33 @@ object LakeLayout {
   /** Small-file compaction — the maintenance pass every continuously-fed
     * lake needs (BagIngestStream appends one file set per micro-batch; a
     * year of micro-batches is millions of tiny files whose open/footer
-    * costs dominate scans). Rewrites `dir` into ceil(bytes/target) files
-    * via coalesce (no shuffle), staged in a sibling tmp dir and swapped in,
-    * so readers never observe a half-written table. Returns the new file
-    * count.
+    * costs dominate scans). Rewrites the table into ceil(bytes/target)
+    * files via coalesce (no shuffle), staged as a SIBLING directory and
+    * swapped in with two renames (each rename is atomic on HDFS/POSIX; the
+    * old data survives as `<name>.compact-old` until the swap succeeds, so
+    * a crash never strands the table with no data).
+    *
+    * Single-writer contract: run in a maintenance window — a plain parquet
+    * directory has no snapshot isolation, so files appended between the
+    * input listing and the swap would be lost, and readers can transiently
+    * miss the table between the two renames. (Concurrent-safe compaction
+    * is what table formats with a transaction log are for.) Returns the
+    * new file count.
     */
   def compact(spark: SparkSession, dir: String, targetFileBytes: Long = 128L << 20): Int = {
     val path = new org.apache.hadoop.fs.Path(dir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val bytes = fs.getContentSummary(path).getLength
     val nFiles = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
-    val tmp = new org.apache.hadoop.fs.Path(dir + ".compact-tmp")
-    spark.read.parquet(dir).coalesce(nFiles)
+    // siblings of the table, never children (Path normalizes trailing '/')
+    val tmp = new org.apache.hadoop.fs.Path(path.getParent, path.getName + ".compact-tmp")
+    val old = new org.apache.hadoop.fs.Path(path.getParent, path.getName + ".compact-old")
+    fs.delete(tmp, true); fs.delete(old, true)
+    spark.read.parquet(path.toString).coalesce(nFiles)
       .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    fs.delete(path, true)
-    require(fs.rename(tmp, path), s"compaction swap failed for $dir")
+    require(fs.rename(path, old), s"compaction: could not stage old data for $dir")
+    require(fs.rename(tmp, path), s"compaction swap failed for $dir (old data at $old)")
+    fs.delete(old, true)
     nFiles
   }
 

@@ -90,10 +90,15 @@ object Kmeans {
       .countByValue()
     bcC.destroy()
     val w = Array.tabulate(cand.length)(i => weights.getOrElse(i, 0L).toDouble)
-    // start from the k heaviest candidates (deterministic tie-break by index)
+    // start from the k heaviest candidates (deterministic tie-break by
+    // index). A low-diversity corpus (fewer than k distinct vectors —
+    // cost hits 0, rounds stop sampling) pads by cycling the candidates:
+    // duplicate centroids are the correct degenerate answer, matching what
+    // plain seeded-sample init produced.
     var local = w.zipWithIndex.sortBy { case (wt, i) => (-wt, i) }
       .take(k).map { case (_, i) => cand(i) }
-    require(local.length == k, s"k-means|| produced ${local.length} < k=$k candidates")
+    if (local.length < k)
+      local = Array.tabulate(k)(i => local(i % local.length))
     val dim = first.length
     for (_ <- 0 until 20) {
       val sums = Array.fill(k)(new Array[Double](dim + 1))
@@ -121,13 +126,14 @@ object Kmeans {
   def train(spark: SparkSession, vecs: DataFrame, k: Int, iters: Int, seed: Long): Array[Array[Double]] = {
     import spark.implicits._
     val data = vecs.select(col("id").cast("long"), col("v")).as[(Long, Seq[Double])]
+    // ONE cached RDD serves both init and Lloyd: the scan + row decode (the
+    // expensive part at corpus scale) runs once, ids ride along for the
+    // hash-uniform draws
     val idRdd = data.rdd.map { case (id, v) => (id, v.toArray) }.cache()
-    var centroids =
-      try initParallel(spark, idRdd, k, seed)
-      finally idRdd.unpersist()
-    val dim = centroids(0).length
-    val rdd = data.rdd.map(_._2.toArray).cache()
     try {
+      var centroids = initParallel(spark, idRdd, k, seed)
+      val dim = centroids(0).length
+      val rdd = idRdd.map(_._2)
       for (_ <- 0 until iters) {
         val bc = spark.sparkContext.broadcast(centroids)
         // per-cluster (sum, count) in one pass, combined tree-wise
@@ -154,8 +160,8 @@ object Kmeans {
         }
         bc.destroy()
       }
-    } finally rdd.unpersist()
-    centroids
+      centroids
+    } finally idRdd.unpersist()
   }
 
   /** Mean squared distance of every vector to its nearest centroid — the

@@ -103,9 +103,13 @@ object EventStreams {
   def dedupStream(events: DataFrame, watermark: String = "2 hours",
       keys: Seq[String] = Seq("user_id", "event_id")): DataFrame =
     events
-      .withColumn("ts", timestamp_micros(call_function("div", col("ts"), lit(1000L))))
-      .withWatermark("ts", watermark)
+      // watermark staged in its own column (like every sibling operator):
+      // the epoch-nanos long `ts` passes through UNTOUCHED, so the guard
+      // composes with the downstream operators that share that contract
+      .withColumn("event_time", timestamp_micros(call_function("div", col("ts"), lit(1000L))))
+      .withWatermark("event_time", watermark)
       .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+      .drop("event_time")
 
   /** Stream-stream join with watermarks: attribute each 'view' to a 'click'
     * of the same user within the preceding hour. Both sides carry

@@ -138,6 +138,14 @@ class LlmOpsSpec extends SparkSpec {
     assert(costT < costN, s"trained centroids worse than naive: $costT vs $costN")
   }
 
+  test("Kmeans.train: degenerate corpus (fewer distinct vectors than k) completes") {
+    import spark.implicits._
+    val same = (0 until 20).map(i => (i.toLong, Seq.fill(4)(1.5)))
+    val cs = Kmeans.train(spark, same.toDF("id", "v"), k = 8, iters = 3, seed = 1L)
+    assert(cs.length === 8) // padded with duplicate centroids, no throw
+    assert(cs.forall(_.toSeq === Seq(1.5, 1.5, 1.5, 1.5)))
+  }
+
   test("q46b trained-IVF recall vs q45 brute force") {
     val exact = SimilarityOps.knnBruteForce(spark, sf, k = 3).collect()
       .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id"))).toSet

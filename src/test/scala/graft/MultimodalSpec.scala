@@ -78,6 +78,18 @@ class MultimodalSpec extends SparkSpec {
     assert((out(mid) & 0xff) > 0 && (out(mid) & 0xff) < 255)
   }
 
+  test("PixelKernels: stride padding bytes survive blur untouched") {
+    // 4x2 mono with step 6: 2 padding bytes per row carry sentinels
+    val w = 4; val h = 2; val step = 6
+    val px = new Array[Byte](h * step)
+    for (y <- 0 until h; x <- 0 until w) px(y * step + x) = (10 * (x + 1)).toByte
+    px(4) = 111; px(5) = 112; px(10) = 113; px(11) = 114 // padding sentinels
+    val out = PixelKernels.blurRegions(px, w, h, 1, step, Seq((0, 0, 4, 2)), sigma = 2.0)
+    assert(out(4) === 111 && out(5) === 112 && out(10) === 113 && out(11) === 114)
+    // interior actually blurred (boundary pixels move toward the row mean)
+    assert(out(0) !== px(0))
+  }
+
   test("PixelKernels.resizeBilinear: known-value downsample") {
     // 2x1 rgb8 (10,20,30),(50,60,70) -> 1x1 = the midpoint (30,40,50)
     val px = Array[Byte](10, 20, 30, 50, 60, 70)
