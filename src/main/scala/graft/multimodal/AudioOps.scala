@@ -67,7 +67,7 @@ object AudioOps {
   /** Linear-interpolation resample of a mono float signal (the audio analog
     * of the bilinear image resample; center-aligned, edges clamped).
     */
-  private[multimodal] def resampleLinear(mono: Array[Float], from: Int, to: Int): Array[Float] = {
+  private[graft] def resampleLinear(mono: Array[Float], from: Int, to: Int): Array[Float] = {
     if (from == to) return mono
     val n = math.max(1, math.round(mono.length.toLong * to.toDouble / from).toInt)
     val out = new Array[Float](n)

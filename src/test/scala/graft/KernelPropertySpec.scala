@@ -1,0 +1,120 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.jobs.RecordIO
+import graft.jobs.RecordIO.Record
+import graft.multimodal.{AudioOps, PixelKernels}
+
+/** Property-style checks for the byte-level kernels — the components where
+  * a single off-by-one on a stride or frame boundary corrupts data
+  * silently. Cases are generated from a deterministic PRNG (fixed seeds, so
+  * failures reproduce exactly). Pure JVM, no SparkSession needed.
+  */
+class KernelPropertySpec extends AnyFunSuite {
+
+  /** splitmix64 — deterministic case generator. */
+  private final class Rng(seed: Long) {
+    private var x = seed
+    def next(): Long = {
+      x += 0x9e3779b97f4a7c15L
+      var z = x
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    def int(lo: Int, hi: Int): Int = lo + (math.floorMod(next(), (hi - lo + 1).toLong)).toInt
+  }
+
+  private def buffer(h: Int, step: Int, r: Rng): Array[Byte] =
+    Array.tabulate(h * step)(_ => r.int(0, 255).toByte)
+
+  private def cases(n: Int)(body: (Int, Int, Int, Int, Rng) => Unit): Unit =
+    (0 until n).foreach { i =>
+      val r = new Rng(i * 7919L + 1)
+      val w = r.int(1, 24); val h = r.int(1, 16)
+      val ch = Seq(1, 3, 4)(r.int(0, 2))
+      val step = w * ch + r.int(0, 5)
+      body(w, h, ch, step, r)
+    }
+
+  test("blur of a constant image is the identity, any dims/stride/sigma") {
+    cases(60) { (w, h, ch, step, r) =>
+      val v = r.int(1, 255).toByte
+      val sigma = 0.5 + r.int(0, 195) / 10.0
+      val out = PixelKernels.gaussianBlur(Array.fill[Byte](h * step)(v), w, h, ch, step, sigma)
+      assert(out.forall(_ == v), s"dims ($w,$h,$ch,$step) sigma $sigma")
+    }
+  }
+
+  test("blurRegions: outside-box and padding bytes bit-identical, any geometry") {
+    cases(60) { (w, h, ch, step, r) =>
+      val px = buffer(h, step, r)
+      val box = (w / 4, h / 4, w / 4 + math.max(1, w / 2), h / 4 + math.max(1, h / 2))
+      val out = PixelKernels.blurRegions(px, w, h, ch, step, Seq(box), sigma = 2.0)
+      for (y <- 0 until h; x <- 0 until w; c <- 0 until ch) {
+        val inside = x >= box._1 && x < box._3 && y >= box._2 && y < box._4
+        if (!inside)
+          assert(out(y * step + x * ch + c) === px(y * step + x * ch + c),
+            s"mutated outside box at ($x,$y,$c), dims ($w,$h,$ch,$step)")
+      }
+      for (y <- 0 until h; p <- w * ch until step)
+        assert(out(y * step + p) === px(y * step + p), "padding byte mutated")
+    }
+  }
+
+  test("resize to the same dims is the identity on pixel data") {
+    cases(60) { (w, h, ch, step, r) =>
+      val px = buffer(h, step, r)
+      val out = PixelKernels.resizeBilinear(px, w, h, ch, step, w, h)
+      for (y <- 0 until h; x <- 0 until w; c <- 0 until ch)
+        assert(out((y * w + x) * ch + c) === px(y * step + x * ch + c),
+          s"identity resize changed ($x,$y,$c), dims ($w,$h,$ch,$step)")
+    }
+  }
+
+  test("resize output range stays within input range (convex interpolation)") {
+    cases(60) { (w, h, ch, step, r) =>
+      val px = buffer(h, step, r)
+      val tw = r.int(1, 24); val th = r.int(1, 16)
+      val vals = for (y <- 0 until h; x <- 0 until w; c <- 0 until ch)
+        yield px(y * step + x * ch + c) & 0xff
+      val out = PixelKernels.resizeBilinear(px, w, h, ch, step, tw, th)
+      out.foreach { b =>
+        assert((b & 0xff) >= vals.min - 1 && (b & 0xff) <= vals.max + 1,
+          s"resize invented value ${b & 0xff} outside [${vals.min}, ${vals.max}]")
+      }
+    }
+  }
+
+  test("RecordIO pack/unpack roundtrips arbitrary records and shards") {
+    (0 until 40).foreach { i =>
+      val r = new Rng(i * 104729L + 3)
+      val recs = (0 until r.int(1, 6)).map { _ =>
+        Record(r.next() & Long.MaxValue,
+          Array.fill(r.int(0, 9))(java.lang.Float.intBitsToFloat(r.int(0, 1 << 22))),
+          Array.fill(r.int(0, 33))(r.int(0, 255).toByte))
+      }
+      val shard = recs.flatMap(x => RecordIO.pack(x).toSeq).toArray
+      val back = RecordIO.unpackShard(shard).toList
+      assert(back.length === recs.length)
+      back.zip(recs).foreach { case (b, x) =>
+        assert(b.id === x.id)
+        assert(b.label.toSeq === x.label.toSeq)
+        assert(b.image.toSeq === x.image.toSeq)
+      }
+    }
+  }
+
+  test("audio resample length matches rate ratio, any rates") {
+    (0 until 60).foreach { i =>
+      val r = new Rng(i * 15485863L + 7)
+      val from = r.int(100, 4000); val to = r.int(100, 4000); val n = r.int(1, 4000)
+      val mono = Array.tabulate(n)(j => math.sin(j * 0.1).toFloat)
+      val out = AudioOps.resampleLinear(mono, from, to)
+      val expected =
+        if (from == to) n else math.max(1, math.round(n.toLong * to.toDouble / from).toInt)
+      assert(out.length === expected, s"from $from to $to n $n")
+    }
+  }
+}
