@@ -38,31 +38,49 @@ object SimilarityOps {
   /** q46 — LSH (random-hyperplane) bucketed ANN: deterministic integer
     * hyperplanes, bucket = 8 sign bits computed map-side, then search only
     * within the query's bucket. At scale this replaces the corpus-wide scan
-    * with a bucket-local one (~1/256 of the data per query); recall is
-    * traded via the number of planes/tables.
+    * with a bucket-local one (~1/256 of the data per query).
+    *
+    * `tables` is the standard recall dial: L independent hash tables
+    * (disjoint plane sets via the table offset in the weight formula),
+    * candidates OR-ed across tables — collision probability rises from p
+    * to 1-(1-p)^L while scan cost grows only linearly in L. The driver
+    * query runs L=1 so the DuckDB oracle stays the single-table
+    * formulation.
     */
-  def knnLsh(s: SparkSession, d: String, k: Int = 3): DataFrame = {
-    // hyperplane weights: w(j,i) = ((j*131 + i*7919) % 1001) - 500.
+  def knnLsh(s: SparkSession, d: String, k: Int = 3, tables: Int = 1): DataFrame = {
+    require(tables >= 1, s"tables must be >= 1; got $tables")
+    // hyperplane weights: w(t,j,i) = (((t*977 + j)*131 + i*7919) % 1001) - 500.
     // Plane dots run through the native codegen graft_dot against constant
     // double arrays (same ascending IEEE fold as the oracle) — the HOF
     // formulation (zip_with + aggregate) re-inlines under CollapseProject
     // and pays per-element lambda dispatch outside whole-stage codegen.
-    def bucketOf(v: org.apache.spark.sql.Column) =
+    def bucketOf(v: org.apache.spark.sql.Column, t: Int) =
       (0 until NumPlanes).map { j =>
-        val plane = lit((0 until Dim).map(i => (((j * 131 + i * 7919) % 1001) - 500).toDouble).toArray)
+        val plane = lit((0 until Dim).map(i =>
+          ((((t * 977 + j) * 131 + i * 7919) % 1001) - 500).toDouble).toArray)
         when(dot(v, plane) > 0, lit(1L << j)).otherwise(lit(0L))
       }.reduce(_ + _)
 
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), toDouble(col("embedding")).as("v"))
       .withColumn("nrm", norm(col("v")))
-      .withColumn("bucket", bucketOf(col("v")))
+      // one row per (vector, table): bucket carries the table id in the
+      // high bits so tables never cross-match in the equi-join (single
+      // table keeps the explode-free plan)
+      .withColumn("bucket",
+        if (tables == 1) bucketOf(col("v"), 0)
+        else explode(array((0 until tables).map(t =>
+          bucketOf(col("v"), t) + lit(t.toLong << 32)): _*)))
     val queries = e.filter(col("vec_id") < 10)
     val corpus = e.filter(col("vec_id") >= 10)
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("neighbor_id"))
-    corpus.as("c").join(broadcast(queries.as("q")), col("q.bucket") === col("c.bucket"))
+    val pairs = corpus.as("c")
+      .join(broadcast(queries.as("q")), col("q.bucket") === col("c.bucket"))
       .withColumn("cos", cosine(col("q.v"), col("c.v"), col("q.nrm"), col("c.nrm")))
       .select(col("q.vec_id").as("q_id"), col("c.vec_id").as("neighbor_id"), col("cos"))
+    // a pair colliding in several tables must rank once, not L times
+    val once = if (tables == 1) pairs else pairs.dropDuplicates("q_id", "neighbor_id")
+    once
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .orderBy("q_id", "rank")

@@ -146,6 +146,21 @@ class LlmOpsSpec extends SparkSpec {
     assert(cs.forall(_.toSeq === Seq(1.5, 1.5, 1.5, 1.5)))
   }
 
+  test("q46 multi-table LSH: candidates grow monotonically with tables") {
+    def hits(tables: Int): Set[(Long, Long)] =
+      SimilarityOps.knnLsh(spark, sf, k = 100, tables = tables).collect()
+        .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val one = hits(1)
+    val three = hits(3)
+    // OR-ing tables can only ADD candidate pairs (collision prob 1-(1-p)^L)
+    assert(one.subsetOf(three), s"multi-table lost pairs: ${one -- three}")
+    assert(three.size >= one.size)
+    // and each (q, neighbor) pair appears exactly once despite multi-collisions
+    val all = SimilarityOps.knnLsh(spark, sf, k = 100, tables = 3).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id")))
+    assert(all.length === all.distinct.length)
+  }
+
   test("q46b trained-IVF recall vs q45 brute force") {
     val exact = SimilarityOps.knnBruteForce(spark, sf, k = 3).collect()
       .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id"))).toSet
