@@ -17,8 +17,10 @@ object Bench {
     // warmup: touch every table + exercise codegen once
     SparkEntry.queries.get("q01_pricing_summary").foreach(f => f(spark, sfDir).count())
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      // best of 2: the first run pays codegen/JIT for this query's shape
-      val times = (1 to 2).map { _ =>
+      // best of 3: the first run pays codegen/JIT for this query's shape,
+      // and the extra run tightens the noise floor (local totals otherwise
+      // drift double-digit percent with host load — see SURVEY §6)
+      val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         val dt = (System.nanoTime() - t0) / 1e9
