@@ -127,6 +127,12 @@ object PixelKernels {
     * mask-paste composition (select-labelling-imgs.py:88-92: rectangle mask,
     * full-image GaussianBlur, `image.paste(blurred, mask=mask)`). Box
     * bounds are [x1, x2) x [y1, y2) in pixels.
+    *
+    * With several boxes the reference re-blurs the partially-composited
+    * image before each paste; this kernel composites every box from ONE
+    * blur of the original — identical for disjoint boxes (the normal case:
+    * distinct faces/text), and for overlapping ones the difference is a
+    * second-order smoothing of already-anonymized pixels.
     */
   def blurRegions(pixels: Array[Byte], width: Int, height: Int, channels: Int,
       step: Int, boxes: Seq[(Int, Int, Int, Int)], sigma: Double): Array[Byte] = {
