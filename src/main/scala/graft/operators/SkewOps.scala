@@ -11,20 +11,36 @@ import graft.Tables
   */
 object SkewOps {
 
-  /** q34 — salted join: the skewed (fact) side gets a deterministic salt,
-    * the build side is replicated across all salt values, and the join key
-    * becomes (key, salt) — fanning one hot key's rows across `salt`
-    * partitions. The DuckDB oracle is the PLAIN join, so the parity gate
-    * itself proves the rewrite preserves semantics.
+  /** Generic deterministic salted equi-join: the skewed side gets a
+    * per-row salt (hash of the whole row, so one hot key's rows fan across
+    * `saltBuckets` sub-keys), the small side is replicated across every
+    * salt value, and the join runs on `keys` + salt. Output is exactly the
+    * plain equi-join on `keys` (the salt column never escapes); cost is
+    * `saltBuckets` x the small side's shuffle volume — the explicit
+    * fallback for hot keys AQE's runtime skew split can't save (e.g. one
+    * key holding half the corpus). Both inputs must share the key column
+    * names (rename before calling).
+    */
+  def saltedEquiJoin(skewed: DataFrame, small: DataFrame, keys: Seq[String],
+      saltBuckets: Int = 8): DataFrame = {
+    require(saltBuckets >= 1, s"saltBuckets must be >= 1; got $saltBuckets")
+    val salted = skewed.withColumn("__salt",
+      pmod(xxhash64(skewed.columns.map(col): _*), lit(saltBuckets.toLong)))
+    val replicated = small.withColumn("__salt",
+      explode(sequence(lit(0L), lit(saltBuckets.toLong - 1))))
+    salted.join(replicated, keys :+ "__salt").drop("__salt")
+  }
+
+  /** q34 — the salted join exercised end-to-end on the lake. The DuckDB
+    * oracle is the PLAIN join, so the parity gate itself proves
+    * [[saltedEquiJoin]] preserves semantics.
     */
   def saltedJoin(s: SparkSession, d: String, saltBuckets: Int = 4): DataFrame = {
     val fact = Tables.lineitem(s, d)
       .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
-      .withColumn("salt", pmod(col("l_linenumber"), lit(saltBuckets)))
     val build = Tables.orders(s, d)
-      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
-      .withColumn("salt", explode(sequence(lit(0), lit(saltBuckets - 1))))
-    fact.join(build, col("l_orderkey") === col("o_orderkey") && fact("salt") === build("salt"))
+      .select(col("o_orderkey").as("l_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+    saltedEquiJoin(fact, build, Seq("l_orderkey"), saltBuckets)
       .filter(col("o_orderpriority") === "1-URGENT" && col("l_quantity") >= 30)
       .select("l_orderkey", "l_linenumber", "l_quantity", "o_totalprice")
       .orderBy("l_orderkey", "l_linenumber")
