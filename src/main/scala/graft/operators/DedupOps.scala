@@ -181,6 +181,51 @@ object DedupOps {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** q55 — duplicate GROUPS from the pair stream: connected components
+    * over the MinHash candidate graph, each document labeled with its
+    * component's minimum doc_id (the canonical copy to keep — the step
+    * that turns pairwise dedup output into an actionable keep/drop list).
+    *
+    * Distributed label propagation: every round each node takes the min
+    * label among itself and its neighbors; converges in O(component
+    * diameter) rounds — near-dup clusters are shallow (tens of docs, dense),
+    * so a handful of rounds closes even a 100 TB corpus, and each round is
+    * one join + one aggregation on the (small) edge set. The convergence
+    * check is a single driver-side count per round.
+    */
+  def dedupGroups(s: SparkSession, d: String, maxRounds: Int = 50): DataFrame = {
+    val pairs = minhashLsh(s, d).select("doc_a", "doc_b")
+    val edges = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
+      .toDF("u", "v")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val docs = Tables.documents(s, d).select("doc_id")
+    var labels = docs.withColumn("canonical", col("doc_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var round = 0
+    var converged = false
+    while (!converged && round < maxRounds) {
+      val nbrMin = edges.join(labels, edges("v") === labels("doc_id"))
+        .groupBy(col("u")).agg(min("canonical").as("nbr_min"))
+      val next = labels.join(nbrMin, labels("doc_id") === nbrMin("u"), "left")
+        .select(labels("doc_id"),
+          least(col("canonical"), coalesce(col("nbr_min"), col("canonical"))).as("canonical"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val changed = next.as("n").join(labels.as("p"), col("n.doc_id") === col("p.doc_id"))
+        .filter(col("n.canonical") =!= col("p.canonical")).count()
+      labels.unpersist(blocking = false)
+      labels = next
+      converged = changed == 0
+      round += 1
+    }
+    edges.unpersist(blocking = false)
+    val out = labels
+      .withColumn("is_canonical", (col("doc_id") === col("canonical")).cast("boolean"))
+      .orderBy("doc_id")
+    // result is the converged fixpoint (unique regardless of round count);
+    // the cached labels stay alive for the caller's consumption
+    out
+  }
+
   /** q44 — embedding-cosine near-duplicate pairs, blocked on the label
     * column (standard ER blocking: pair generation only within blocks, so
     * candidates scale with the largest block, not the corpus).

@@ -48,6 +48,21 @@ class LlmOpsSpec extends SparkSpec {
     assert(exact.subsetOf(cand), s"missing: ${exact -- cand}")
   }
 
+  test("q55 dedup groups: pair endpoints share a canonical; canonical is the min member") {
+    val pairs = DedupOps.minhashLsh(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val canon = DedupOps.dedupGroups(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("canonical")).toMap
+    // every doc labeled; untouched docs are their own canonical
+    assert(canon.size === Tables.documents(spark, sf).count())
+    pairs.foreach { case (a, b) =>
+      assert(canon(a) === canon(b), s"pair ($a,$b) split across groups")
+      assert(canon(a) <= a && canon(a) <= b)
+    }
+    // each group's canonical is a member of the group that maps to itself
+    canon.values.toSet.foreach { c: Long => assert(canon(c) === c) }
+  }
+
   test("q43 simhash: identical docs have identical fingerprints (hamming 0)") {
     // exact duplicates exist in the corpus; they must appear at hamming 0
     val dups = DedupOps.exact(spark, sf).filter(col("n_copies") > 1).count()
