@@ -195,35 +195,45 @@ object DedupOps {
     */
   def dedupGroups(s: SparkSession, d: String, maxRounds: Int = 50): DataFrame = {
     val pairs = minhashLsh(s, d).select("doc_a", "doc_b")
+    // eager localCheckpoint: materializes the MinHash pipeline ONCE and
+    // truncates its lineage, so none of the loop's per-round plans carry
+    // (or risk recomputing) the candidate-generation subtree
     val edges = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
       .toDF("u", "v")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val docs = Tables.documents(s, d).select("doc_id")
-    var labels = docs.withColumn("canonical", col("doc_id"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
+    // only documents that appear in a pair can change label — the
+    // propagation loop runs on that (much smaller) node set and the rest of
+    // the corpus joins back as its own canonical at the end
+    var labels = edges.select(col("u").as("doc_id")).distinct()
+      .withColumn("canonical", col("doc_id"))
+      .localCheckpoint(true)
     var round = 0
     var converged = false
     while (!converged && round < maxRounds) {
       val nbrMin = edges.join(labels, edges("v") === labels("doc_id"))
         .groupBy(col("u")).agg(min("canonical").as("nbr_min"))
+      // change detection is inline (nbr_min < old canonical) — no extra
+      // join against the previous labels. localCheckpoint (eager) both
+      // materializes the round AND truncates the lineage, so per-round
+      // planning cost stays constant instead of re-analyzing an ever-deeper
+      // iterative plan.
       val next = labels.join(nbrMin, labels("doc_id") === nbrMin("u"), "left")
         .select(labels("doc_id"),
-          least(col("canonical"), coalesce(col("nbr_min"), col("canonical"))).as("canonical"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val changed = next.as("n").join(labels.as("p"), col("n.doc_id") === col("p.doc_id"))
-        .filter(col("n.canonical") =!= col("p.canonical")).count()
-      labels.unpersist(blocking = false)
-      labels = next
+          least(col("canonical"), coalesce(col("nbr_min"), col("canonical"))).as("canonical"),
+          (coalesce(col("nbr_min"), col("canonical")) < col("canonical")).as("__changed"))
+        .localCheckpoint(true)
+      val changed = next.filter(col("__changed")).count()
+      labels = next.drop("__changed")
       converged = changed == 0
       round += 1
     }
-    edges.unpersist(blocking = false)
-    val out = labels
-      .withColumn("is_canonical", (col("doc_id") === col("canonical")).cast("boolean"))
-      .orderBy("doc_id")
     // result is the converged fixpoint (unique regardless of round count);
     // the cached labels stay alive for the caller's consumption
-    out
+    Tables.documents(s, d).select("doc_id")
+      .join(labels.withColumnRenamed("canonical", "c"), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("c"), col("doc_id")).as("canonical"))
+      .withColumn("is_canonical", (col("doc_id") === col("canonical")).cast("boolean"))
+      .orderBy("doc_id")
   }
 
   /** q44 — embedding-cosine near-duplicate pairs, blocked on the label
