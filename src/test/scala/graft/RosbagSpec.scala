@@ -274,6 +274,35 @@ class RosbagSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("BagIngestStream: restart from checkpoint does not reprocess old bags") {
+    val watch = Files.createTempDirectory("bagwatch2")
+    val out = Files.createTempDirectory("baglake2").toString
+    val ckpt = Files.createTempDirectory("bagckpt2").toString
+    Files.copy(java.nio.file.Paths.get(writeTestBag(bz2 = false)), watch.resolve("a.bag"))
+    val q1 = graft.jobs.BagIngestStream.start(spark, watch.toString, out, ckpt)
+    try { q1.processAllAvailable() } finally q1.stop()
+    assert(spark.read.parquet(s"$out/images").count() === 2)
+
+    // new query, same checkpoint: only the NEW bag is processed
+    Files.copy(java.nio.file.Paths.get(writeTestBag(bz2 = false)), watch.resolve("b.bag"))
+    val q2 = graft.jobs.BagIngestStream.start(spark, watch.toString, out, ckpt)
+    try { q2.processAllAvailable() } finally q2.stop()
+    assert(spark.read.parquet(s"$out/images").count() === 4)
+    assert(spark.read.parquet(s"$out/images").select("bag").distinct().count() === 2)
+  }
+
+  test("writeTablesOf: re-running the same batch suffix is idempotent") {
+    val bag = writeTestBag(bz2 = false)
+    val out = Files.createTempDirectory("idem").toString
+    import org.apache.spark.sql.SaveMode
+    // the foreachBatch retry path: same batch id -> same directory overwritten
+    (1 to 2).foreach { _ =>
+      graft.jobs.BagIngest.writeTablesOf(spark, RosbagReader.messages(spark, bag),
+        out, SaveMode.Overwrite, writePng = false, None, tableSuffix = "/batch=7")
+    }
+    assert(spark.read.parquet(s"$out/images").count() === 2) // not 4
+  }
+
   test("mp4Manifest(): ordered per-frame rows + fps, no array column") {
     val path = writeTestBag(bz2 = false)
     val rows = RosbagReader.mp4Manifest(spark, path).collect()
