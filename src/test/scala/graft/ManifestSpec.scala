@@ -13,8 +13,9 @@ class ManifestSpec extends SparkSpec {
   private lazy val manifestPath: String = {
     val dir = Files.createTempDirectory("manifest")
     val lines = Seq(
-      """{"source-ref": "s3://bucket/run1/left0004.png", "av-labeling": {"image_size": [{"width": 800, "height": 600, "depth": 3}], "annotations": [{"class_id": 0, "top": 150.0, "left": 400.0, "height": 60.0, "width": 120.0}, {"class_id": 1, "top": 300.0, "left": 0.0, "height": 300.0, "width": 400.0}]}}""",
-      """{"source-ref": "s3://bucket/run1/left0008.png", "av-labeling": {"image_size": [{"width": 800, "height": 600, "depth": 3}], "annotations": [{"class_id": 0, "top": 0.0, "left": 0.0, "height": 600.0, "width": 800.0}]}}""")
+      """{"source-ref": "s3://bucket/run1/left0004.png", "av-labeling": {"image_size": [{"width": 800, "height": 600, "depth": 3}], "annotations": [{"class_id": 0, "top": 150.0, "left": 400.0, "height": 60.0, "width": 120.0}, {"class_id": 1, "top": 300.0, "left": 0.0, "height": 300.0, "width": 400.0}]}, "av-labeling-metadata": {"objects": [{"confidence": 0.61}, {"confidence": 0.81}], "class-map": {"0": "car", "1": "truck"}, "human-annotated": "yes", "creation-date": "2021-07-20T12:25:39.335109", "type": "groundtruth/object-detection"}}""",
+      """{"source-ref": "s3://bucket/run1/left0008.png", "av-labeling": {"image_size": [{"width": 800, "height": 600, "depth": 3}], "annotations": [{"class_id": 0, "top": 0.0, "left": 0.0, "height": 600.0, "width": 800.0}]}, "av-labeling-metadata": {"objects": [{"confidence": 0.9}], "class-map": {"0": "car"}, "human-annotated": "yes", "creation-date": "2021-07-20T12:25:39.335109", "type": "groundtruth/object-detection"}}""",
+      """{"source-ref": "s3://bucket/run1/left0012.png", "av-labeling": {"image_size": [{"width": 800, "height": 600, "depth": 3}], "annotations": []}, "av-labeling-metadata": {"objects": [], "class-map": {}, "human-annotated": "yes", "creation-date": "2021-07-20T12:25:39.335109", "type": "groundtruth/object-detection"}}""")
     val f = dir.resolve("output.manifest")
     Files.write(f, lines.mkString("\n").getBytes)
     f.toString
@@ -31,6 +32,21 @@ class ManifestSpec extends SparkSpec {
     assert(first.getAs[Double]("ymax") === 0.35)
     val full = b(2) // whole-image box
     assert(full.getAs[Double]("area") === 1.0)
+  }
+
+  test("metadata leg: position-aligned confidence, class-map names, img confidence") {
+    val b = GroundTruthManifest.boxes(spark, manifestPath, "av-labeling")
+      .orderBy("source_ref", "box_no").collect()
+    assert(b(0).getAs[Double]("confidence") === 0.61)
+    assert(b(1).getAs[Double]("confidence") === 0.81)
+    assert(b(0).getAs[String]("class_name") === "car")
+    assert(b(1).getAs[String]("class_name") === "truck")
+    // compute_img_confidence: mean per image, 0.0 for box-less images
+    val conf = GroundTruthManifest.imgConfidence(spark, manifestPath, "av-labeling")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(math.abs(conf("s3://bucket/run1/left0004.png") - 0.71) < 1e-9)
+    assert(conf("s3://bucket/run1/left0008.png") === 0.9)
+    assert(conf("s3://bucket/run1/left0012.png") === 0.0)
   }
 
   test("classStats(): per-class counts and coverage") {
