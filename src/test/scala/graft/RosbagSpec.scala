@@ -303,6 +303,35 @@ class RosbagSpec extends SparkSpec {
     assert(spark.read.parquet(s"$out/images").count() === 2) // not 4
   }
 
+  test("PngAudit: clean lake passes; missing/orphan/gap all detected") {
+    val bag = writeTestBag(bz2 = false)
+    val out = Files.createTempDirectory("audit").toString
+    graft.jobs.BagIngest.run(spark, bag, out, writePng = true)
+    val manifest = spark.read.parquet(s"$out/manifest")
+
+    // freshly-ingested lake: nothing missing, nothing orphaned, no gaps
+    assert(graft.jobs.PngAudit.audit(spark, manifest, s"$out/png").count() === 0)
+
+    // delete one PNG (missing), drop a stray file in (orphan); PNGs live in
+    // per-camera subdirectories, so walk recursively
+    import scala.jdk.CollectionConverters._
+    val pngs = java.nio.file.Files.walk(java.nio.file.Paths.get(s"$out/png"))
+      .iterator().asScala.filter(_.toString.endsWith(".png")).map(_.toFile).toArray
+    assert(pngs.nonEmpty)
+    val deleted = pngs.head.getName
+    assert(pngs.head.delete())
+    Files.write(java.nio.file.Paths.get(s"$out/png/stray0099.png"), Array[Byte](1, 2, 3))
+    val findings = graft.jobs.PngAudit.audit(spark, manifest, s"$out/png").collect()
+    assert(findings.count(_.getString(0) == "missing") === 1)
+    assert(findings.find(_.getString(0) == "missing").get.getAs[String]("file_name") === deleted)
+    assert(findings.count(_.getString(0) == "orphan") === 1)
+
+    // a manifest with a skipped frame_no reports the discontinuity
+    val gappy = manifest.filter(org.apache.spark.sql.functions.col("frame_no") =!= 0)
+    val gapFindings = graft.jobs.PngAudit.audit(spark, gappy, s"$out/png").collect()
+    assert(gapFindings.exists(_.getString(0) == "gap"))
+  }
+
   test("mp4Manifest(): ordered per-frame rows + fps, no array column") {
     val path = writeTestBag(bz2 = false)
     val rows = RosbagReader.mp4Manifest(spark, path).collect()
