@@ -10,37 +10,59 @@ import org.apache.spark.sql.functions._
   * manifest is the source of truth, the PNG directory is the audited copy.
   *
   * Emits one row per finding:
-  *   kind = 'missing'  — manifest frame with no PNG on disk
-  *   kind = 'orphan'   — PNG on disk with no manifest frame
-  *   kind = 'gap'      — frame_no discontinuity within (bag, topic)
-  *                       (check_idx's "missed {idx}")
-  * An empty result is a clean audit. Both sides are distributed scans
-  * (file listing via binaryFile metadata — content is never read), findings
-  * come from two anti-joins and one window pass.
+  *   kind = 'missing'   — manifest frame with no PNG on disk
+  *   kind = 'orphan'    — PNG on disk with no manifest frame
+  *   kind = 'gap'       — frame_no discontinuity within (bag, topic), one
+  *                        finding per discontinuity (check_idx's "missed")
+  *   kind = 'collision' — several manifest frames claim the same relative
+  *                        path (they would overwrite each other on export)
+  * Comparison is on the path RELATIVE to `pngDir` (the manifest's
+  * `file_name` already carries the per-camera subdirectory), never on the
+  * basename — two cameras' same-named frames stay distinct. A nonexistent
+  * `pngDir` is an empty export (every frame missing), not a crash: that is
+  * the disaster this audit exists to report. An empty result is a clean
+  * audit; listing reads file metadata only.
   */
 object PngAudit {
 
   def audit(spark: SparkSession, manifest: DataFrame, pngDir: String): DataFrame = {
-    val listed = spark.read.format("binaryFile")
-      .option("pathGlobFilter", "*.png")
-      .option("recursiveFileLookup", "true")
-      .load(pngDir)
-      .select(element_at(split(col("path"), "/"), -1).as("file_name"))
+    val dir = new org.apache.hadoop.fs.Path(pngDir)
+    val exists = dir.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(dir)
+    val listed = if (!exists) {
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("file_name",
+            org.apache.spark.sql.types.StringType))))
+    } else {
+      val sep = java.util.regex.Pattern.quote(dir.toUri.getPath.stripSuffix("/") + "/")
+      spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.png")
+        .option("recursiveFileLookup", "true")
+        .load(pngDir)
+        .select(element_at(split(col("path"), sep), -1).as("file_name"))
+    }
     val frames = manifest.select(col("bag"), col("topic"),
-      col("frame_no").cast("long").as("frame_no"),
-      element_at(split(col("file_name"), "/"), -1).as("file_name"))
+      col("frame_no").cast("long").as("frame_no"), col("file_name"))
 
     val missing = frames.join(listed, Seq("file_name"), "left_anti")
       .select(lit("missing").as("kind"), col("bag"), col("topic"), col("file_name"))
     val orphans = listed.join(frames, Seq("file_name"), "left_anti")
       .select(lit("orphan").as("kind"), lit(null).cast("string").as("bag"),
         lit(null).cast("string").as("topic"), col("file_name"))
+    val collisions = frames.groupBy("file_name")
+      .agg(count(lit(1)).as("n"), min("bag").as("bag"), min("topic").as("topic"))
+      .filter(col("n") > 1)
+      .select(lit("collision").as("kind"), col("bag"), col("topic"), col("file_name"))
+    // one finding per discontinuity (not per subsequent frame): a gap exists
+    // where the delta to the previous frame_no exceeds 1, or the recording
+    // does not start at 0
     val w = Window.partitionBy("bag", "topic").orderBy("frame_no")
     val gaps = frames
-      .withColumn("expected", row_number().over(w).cast("long") - 1)
-      .filter(col("frame_no") =!= col("expected"))
+      .withColumn("prev", lag("frame_no", 1).over(w))
+      .filter((col("prev").isNull && col("frame_no") =!= 0) ||
+        (col("frame_no") - col("prev") > 1))
       .select(lit("gap").as("kind"), col("bag"), col("topic"), col("file_name"))
 
-    missing.union(orphans).union(gaps)
+    missing.union(orphans).union(collisions).union(gaps)
   }
 }

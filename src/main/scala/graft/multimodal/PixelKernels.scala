@@ -130,9 +130,10 @@ object PixelKernels {
     *
     * With several boxes the reference re-blurs the partially-composited
     * image before each paste; this kernel composites every box from ONE
-    * blur of the original — identical for disjoint boxes (the normal case:
-    * distinct faces/text), and for overlapping ones the difference is a
-    * second-order smoothing of already-anonymized pixels.
+    * blur of the original. Byte-identical to the reference only when boxes
+    * are separated by more than the kernel support (~3*sigma); closer or
+    * overlapping boxes differ by a second-order smoothing of
+    * already-anonymized pixels — anonymization strength is never reduced.
     */
   def blurRegions(pixels: Array[Byte], width: Int, height: Int, channels: Int,
       step: Int, boxes: Seq[(Int, Int, Int, Int)], sigma: Double): Array[Byte] = {

@@ -194,41 +194,52 @@ object DedupOps {
     * check is a single driver-side count per round.
     */
   def dedupGroups(s: SparkSession, d: String, maxRounds: Int = 50): DataFrame = {
+    // materialize-and-truncate: persist the rows as an RDD, rebuild the
+    // DataFrame over it (a flat LogicalRDD plan). This keeps per-round
+    // planning cost constant — with plain persist every round re-analyzes
+    // the ever-deeper iterative plan and planning dominates wall time —
+    // while keeping an explicit handle for releasing the blocks (which
+    // localCheckpoint would leave to driver GC).
+    def materialize(df: DataFrame): (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]) = {
+      val rdd = df.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      rdd.count()
+      (s.createDataFrame(rdd, df.schema), rdd)
+    }
     val pairs = minhashLsh(s, d).select("doc_a", "doc_b")
-    // eager localCheckpoint: materializes the MinHash pipeline ONCE and
-    // truncates its lineage, so none of the loop's per-round plans carry
-    // (or risk recomputing) the candidate-generation subtree
-    val edges = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
-      .toDF("u", "v")
-      .localCheckpoint(true)
+    val (edges, edgesRdd) = materialize(
+      pairs.union(pairs.select(col("doc_b"), col("doc_a"))).toDF("u", "v"))
     // only documents that appear in a pair can change label — the
     // propagation loop runs on that (much smaller) node set and the rest of
     // the corpus joins back as its own canonical at the end
-    var labels = edges.select(col("u").as("doc_id")).distinct()
-      .withColumn("canonical", col("doc_id"))
-      .localCheckpoint(true)
+    var (labels, labelsRdd) = materialize(
+      edges.select(col("u").as("doc_id")).withColumn("canonical", col("doc_id")).distinct())
     var round = 0
     var converged = false
     while (!converged && round < maxRounds) {
       val nbrMin = edges.join(labels, edges("v") === labels("doc_id"))
         .groupBy(col("u")).agg(min("canonical").as("nbr_min"))
       // change detection is inline (nbr_min < old canonical) — no extra
-      // join against the previous labels. localCheckpoint (eager) both
-      // materializes the round AND truncates the lineage, so per-round
-      // planning cost stays constant instead of re-analyzing an ever-deeper
-      // iterative plan.
-      val next = labels.join(nbrMin, labels("doc_id") === nbrMin("u"), "left")
-        .select(labels("doc_id"),
-          least(col("canonical"), coalesce(col("nbr_min"), col("canonical"))).as("canonical"),
-          (coalesce(col("nbr_min"), col("canonical")) < col("canonical")).as("__changed"))
-        .localCheckpoint(true)
+      // join against the previous labels, one action per round
+      val (next, nextRdd) = materialize(
+        labels.join(nbrMin, labels("doc_id") === nbrMin("u"), "left")
+          .select(labels("doc_id"),
+            least(col("canonical"), coalesce(col("nbr_min"), col("canonical"))).as("canonical"),
+            (coalesce(col("nbr_min"), col("canonical")) < col("canonical")).as("__changed")))
       val changed = next.filter(col("__changed")).count()
+      labelsRdd.unpersist(blocking = false) // exactly one label snapshot live
       labels = next.drop("__changed")
+      labelsRdd = nextRdd
       converged = changed == 0
       round += 1
     }
-    // result is the converged fixpoint (unique regardless of round count);
-    // the cached labels stay alive for the caller's consumption
+    edgesRdd.unpersist(blocking = false)
+    // a component whose min-label distance exceeds maxRounds would silently
+    // keep duplicates — refuse to return a non-converged labeling
+    if (!converged) throw new IllegalStateException(
+      s"dedupGroups did not converge within $maxRounds rounds — raise maxRounds " +
+        "(a component's min-label eccentricity exceeds it)")
+    // the converged fixpoint is unique; the final label snapshot stays
+    // cached for the caller's consumption
     Tables.documents(s, d).select("doc_id")
       .join(labels.withColumnRenamed("canonical", "c"), Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("c"), col("doc_id")).as("canonical"))

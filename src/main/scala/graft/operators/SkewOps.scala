@@ -24,8 +24,12 @@ object SkewOps {
   def saltedEquiJoin(skewed: DataFrame, small: DataFrame, keys: Seq[String],
       saltBuckets: Int = 8): DataFrame = {
     require(saltBuckets >= 1, s"saltBuckets must be >= 1; got $saltBuckets")
+    require(!(skewed.columns ++ small.columns).contains("__salt"),
+      "inputs must not already carry a __salt column")
+    // resolve via the DataFrame (not col(name)): a column literally named
+    // "a.b" must not parse as nested-field access
     val salted = skewed.withColumn("__salt",
-      pmod(xxhash64(skewed.columns.map(col): _*), lit(saltBuckets.toLong)))
+      pmod(xxhash64(skewed.columns.map(skewed(_)): _*), lit(saltBuckets.toLong)))
     val replicated = small.withColumn("__salt",
       explode(sequence(lit(0L), lit(saltBuckets.toLong - 1))))
     salted.join(replicated, keys :+ "__salt").drop("__salt")

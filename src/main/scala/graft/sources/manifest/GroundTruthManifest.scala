@@ -83,14 +83,13 @@ object GroundTruthManifest {
     * ground_truth_od.py compute_img_confidence (:189) as one aggregation
     * over the manifest.
     */
-  def imgConfidence(spark: SparkSession, path: String, labelKey: String): DataFrame = {
-    val perImg = boxes(spark, path, labelKey)
-      .groupBy("source_ref").agg(avg("confidence").as("img_confidence"))
-    read(spark, path, labelKey).select("source_ref")
-      .join(perImg, Seq("source_ref"), "left")
+  def imgConfidence(spark: SparkSession, path: String, labelKey: String): DataFrame =
+    // one scan, no join: the confidences array is already per-image
+    read(spark, path, labelKey)
       .select(col("source_ref"),
-        coalesce(col("img_confidence"), lit(0.0)).as("img_confidence"))
-  }
+        when(size(col("confidences")) > 0,
+          aggregate(col("confidences"), lit(0.0), (acc, x) => acc + x) / size(col("confidences")))
+          .otherwise(lit(0.0)).as("img_confidence"))
 
   /** Per-image and per-class statistics (the notebook's dataset QA step). */
   def classStats(spark: SparkSession, path: String, labelKey: String): DataFrame =

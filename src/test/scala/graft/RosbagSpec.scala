@@ -318,7 +318,9 @@ class RosbagSpec extends SparkSpec {
     val pngs = java.nio.file.Files.walk(java.nio.file.Paths.get(s"$out/png"))
       .iterator().asScala.filter(_.toString.endsWith(".png")).map(_.toFile).toArray
     assert(pngs.nonEmpty)
-    val deleted = pngs.head.getName
+    // findings report the path RELATIVE to the png root
+    val deleted = java.nio.file.Paths.get(s"$out/png")
+      .relativize(pngs.head.toPath).toString
     assert(pngs.head.delete())
     Files.write(java.nio.file.Paths.get(s"$out/png/stray0099.png"), Array[Byte](1, 2, 3))
     val findings = graft.jobs.PngAudit.audit(spark, manifest, s"$out/png").collect()
