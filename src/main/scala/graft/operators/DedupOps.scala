@@ -194,6 +194,7 @@ object DedupOps {
     * check is a single driver-side count per round.
     */
   def dedupGroups(s: SparkSession, d: String, maxRounds: Int = 50): DataFrame = {
+    require(maxRounds >= 1, s"maxRounds must be >= 1; got $maxRounds")
     // materialize-and-truncate: persist the rows as an RDD, rebuild the
     // DataFrame over it (a flat LogicalRDD plan). This keeps per-round
     // planning cost constant — with plain persist every round re-analyzes

@@ -63,6 +63,26 @@ class LlmOpsSpec extends SparkSpec {
     canon.values.toSet.foreach { c: Long => assert(canon(c) === c) }
   }
 
+  test("q55 dedup groups: refuses to return a non-converged labeling") {
+    import spark.implicits._
+    // a chain a~b~c~d: the min label needs 3 rounds to reach the far end
+    val docs = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta eta theta", "en", 8L),
+      (1L, "beta gamma delta epsilon zeta eta theta iota", "en", 8L),
+      (2L, "gamma delta epsilon zeta eta theta iota kappa", "en", 8L),
+      (3L, "delta epsilon zeta eta theta iota kappa lambda", "en", 8L))
+    val tmp = java.nio.file.Files.createTempDirectory("chain").toString
+    docs.toDF("doc_id", "text", "lang", "n_chars").write.parquet(s"$tmp/documents.parquet")
+    // enough rounds: converges and chains to one canonical
+    val full = DedupOps.dedupGroups(spark, tmp, maxRounds = 10).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    if (full.values.toSet.size == 1) { // chain actually connected via minhash
+      assertThrows[IllegalStateException](
+        DedupOps.dedupGroups(spark, tmp, maxRounds = 1).collect())
+    }
+    assertThrows[IllegalArgumentException](DedupOps.dedupGroups(spark, tmp, maxRounds = 0))
+  }
+
   test("q43 simhash: identical docs have identical fingerprints (hamming 0)") {
     // exact duplicates exist in the corpus; they must appear at hamming 0
     val dups = DedupOps.exact(spark, sf).filter(col("n_copies") > 1).count()
