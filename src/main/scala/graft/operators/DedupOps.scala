@@ -31,6 +31,19 @@ object DedupOps {
       .select("doc_id", "text_hash", "n_copies")
       .orderBy("doc_id")
 
+  /** The documents scan, spread across the cluster when the input has
+    * fewer splits than cores: the shingle/minhash/simhash kernels are pure
+    * per-row CPU, and on a small single-file input they would otherwise run
+    * single-threaded on the lone scan partition. On a many-split corpus
+    * (the 100 TB case) the scan already parallelizes and no shuffle is
+    * added — same gate as the simhash join repartition.
+    */
+  private def scaledDocs(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    if (docs.rdd.getNumPartitions < s.sparkContext.defaultParallelism)
+      docs.repartition(s.sparkContext.defaultParallelism) else docs
+  }
+
   /** Per-doc distinct shingle sets, computed entirely map-side by the native
     * codegen kernel (graft.plans.ShingleKernels.shingles): one static call
     * per row inside whole-stage codegen. The round-1 row-based pipeline
@@ -38,7 +51,7 @@ object DedupOps {
     * dedup work started; this pays zero.
     */
   private def shingleSets(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
+    scaledDocs(s, d)
       .select(col("doc_id"), call_function("graft_shingles", col("text")).as("sh"))
       .filter(size(col("sh")) > 0)
 
@@ -115,7 +128,7 @@ object DedupOps {
     * gone entirely.
     */
   def minhashLsh(s: SparkSession, d: String): DataFrame = {
-    val sigs = Tables.documents(s, d)
+    val sigs = scaledDocs(s, d)
       .select(col("doc_id"),
         call_function("graft_minhash", call_function("graft_shingles", col("text"))).as("mh"))
       .filter(size(col("mh")) > 0)
@@ -144,7 +157,7 @@ object DedupOps {
     * candidates scale with band-bucket sizes.
     */
   def simhash(s: SparkSession, d: String): DataFrame = {
-    val sims = Tables.documents(s, d)
+    val sims = scaledDocs(s, d)
       .select(col("doc_id"), call_function("graft_simhash", col("text")).as("simhash"))
     val banded0 = sims.select(col("doc_id"), col("simhash"),
       explode(array((0 until 4).map(b =>
