@@ -22,4 +22,16 @@ object Tables {
   def events(s: SparkSession, d: String): DataFrame     = t(s, d, "events")
   def documents(s: SparkSession, d: String): DataFrame  = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
+
+  /** `documents`, spread across the cluster when the input has fewer splits
+    * than cores: per-row kernel queries (shingles, langid, fingerprints)
+    * otherwise run single-threaded on a lone scan partition of a
+    * small/single-file input. A many-split corpus (the 100 TB case) already
+    * parallelizes and no shuffle is added.
+    */
+  def documentsScaled(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    if (docs.rdd.getNumPartitions < s.sparkContext.defaultParallelism)
+      docs.repartition(s.sparkContext.defaultParallelism) else docs
+  }
 }

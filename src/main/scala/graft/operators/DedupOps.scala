@@ -31,18 +31,11 @@ object DedupOps {
       .select("doc_id", "text_hash", "n_copies")
       .orderBy("doc_id")
 
-  /** The documents scan, spread across the cluster when the input has
-    * fewer splits than cores: the shingle/minhash/simhash kernels are pure
-    * per-row CPU, and on a small single-file input they would otherwise run
-    * single-threaded on the lone scan partition. On a many-split corpus
-    * (the 100 TB case) the scan already parallelizes and no shuffle is
-    * added — same gate as the simhash join repartition.
+  /** See Tables.documentsScaled: spread the per-row kernels across cores
+    * on few-split inputs; no added shuffle on a many-split corpus.
     */
-  private def scaledDocs(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
-    if (docs.rdd.getNumPartitions < s.sparkContext.defaultParallelism)
-      docs.repartition(s.sparkContext.defaultParallelism) else docs
-  }
+  private def scaledDocs(s: SparkSession, d: String): DataFrame =
+    Tables.documentsScaled(s, d)
 
   /** Per-doc distinct shingle sets, computed entirely map-side by the native
     * codegen kernel (graft.plans.ShingleKernels.shingles): one static call
