@@ -34,32 +34,55 @@ object LakeLayout {
   /** Small-file compaction — the maintenance pass every continuously-fed
     * lake needs (BagIngestStream appends one file set per micro-batch; a
     * year of micro-batches is millions of tiny files whose open/footer
-    * costs dominate scans). Rewrites the table into ceil(bytes/target)
-    * files via coalesce (no shuffle), staged as a SIBLING directory and
-    * swapped in with two renames (each rename is atomic on HDFS/POSIX; the
-    * old data survives as `<name>.compact-old` until the swap succeeds, so
-    * a crash never strands the table with no data).
+    * costs dominate scans). Each LEAF data directory — the table root for a
+    * flat table, every `col=value/` leaf for a partitioned one — is
+    * rewritten in place to ceil(bytes/target) files via coalesce (no
+    * shuffle), so the partition layout survives and the stream can keep
+    * appending `batch=<id>/` directories afterward. Staging directories are
+    * underscore-prefixed siblings (Spark's file index ignores `_`/`.`
+    * names, so a concurrent reader never sees them as data or partitions);
+    * the swap is two renames (atomic on HDFS/POSIX), with the old data kept
+    * as `_<name>.compact-old` until the swap succeeds, so a crash never
+    * strands a leaf with no data.
     *
     * Single-writer contract: run in a maintenance window — a plain parquet
     * directory has no snapshot isolation, so files appended between the
     * input listing and the swap would be lost, and readers can transiently
-    * miss the table between the two renames. (Concurrent-safe compaction
+    * miss a leaf between the two renames. (Concurrent-safe compaction
     * is what table formats with a transaction log are for.) Returns the
-    * new file count.
+    * new total data-file count.
     */
   def compact(spark: SparkSession, dir: String, targetFileBytes: Long = 128L << 20): Int = {
-    val path = new org.apache.hadoop.fs.Path(dir)
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val bytes = fs.getContentSummary(path).getLength
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // Leaf data directories: every directory holding at least one visible
+    // data file. Hidden (`_`/`.`) files and dirs — _SUCCESS markers, staging
+    // leftovers — are neither data nor descended into.
+    def leaves(p: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] = {
+      val entries = fs.listStatus(p).filterNot { st =>
+        st.getPath.getName.startsWith("_") || st.getPath.getName.startsWith(".")
+      }
+      val here = if (entries.exists(_.isFile)) Seq(p) else Seq.empty
+      here ++ entries.filter(_.isDirectory).flatMap(st => leaves(st.getPath))
+    }
+    leaves(root).map(compactLeaf(spark, fs, _, targetFileBytes)).sum
+  }
+
+  private def compactLeaf(spark: SparkSession, fs: org.apache.hadoop.fs.FileSystem,
+      leaf: org.apache.hadoop.fs.Path, targetFileBytes: Long): Int = {
+    val bytes = fs.listStatus(leaf).filter(_.isFile).map(_.getLen).sum
     val nFiles = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
-    // siblings of the table, never children (Path normalizes trailing '/')
-    val tmp = new org.apache.hadoop.fs.Path(path.getParent, path.getName + ".compact-tmp")
-    val old = new org.apache.hadoop.fs.Path(path.getParent, path.getName + ".compact-old")
+    // underscore prefix keeps the staging dirs invisible to partition
+    // discovery while they sit next to the leaf inside the table tree
+    val tmp = new org.apache.hadoop.fs.Path(leaf.getParent, "_" + leaf.getName + ".compact-tmp")
+    val old = new org.apache.hadoop.fs.Path(leaf.getParent, "_" + leaf.getName + ".compact-old")
     fs.delete(tmp, true); fs.delete(old, true)
-    spark.read.parquet(path.toString).coalesce(nFiles)
+    // reading the leaf directly sees only its files — partition values live
+    // in the directory names above it and are not rewritten into the data
+    spark.read.parquet(leaf.toString).coalesce(nFiles)
       .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    require(fs.rename(path, old), s"compaction: could not stage old data for $dir")
-    require(fs.rename(tmp, path), s"compaction swap failed for $dir (old data at $old)")
+    require(fs.rename(leaf, old), s"compaction: could not stage old data for $leaf")
+    require(fs.rename(tmp, leaf), s"compaction swap failed for $leaf (old data at $old)")
     fs.delete(old, true)
     nFiles
   }

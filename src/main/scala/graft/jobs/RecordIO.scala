@@ -39,6 +39,11 @@ object RecordIO {
     */
   def pack(rec: Record): Array[Byte] = {
     val payloadLen = HeaderBytes + 4 * rec.label.length + rec.image.length
+    // lrecord holds the length in 29 bits (cflag lives in the top 3): a
+    // ~512 MB payload would silently overflow into cflag and corrupt the
+    // shard for every reader — fail loudly at write time instead
+    require(payloadLen < (1 << 29),
+      s"record ${rec.id}: payload $payloadLen bytes exceeds the RecordIO 29-bit length field (${(1 << 29) - 1})")
     val padded = (payloadLen + 3) / 4 * 4
     val buf = ByteBuffer.allocate(8 + padded).order(ByteOrder.LITTLE_ENDIAN)
     buf.putInt(Magic)
@@ -118,7 +123,10 @@ object RecordIO {
     * boxes: label layout = [header_width=2, label_width=5,
     * (class_id, xmin, ymin, xmax, ymax) per box] — the .lst/.rec convention
     * im2rec packs for SageMaker object detection. The per-image box list is
-    * a bounded collect_list (annotations per image).
+    * a bounded collect_list (annotations per image). Images with no
+    * ground-truth boxes pack too, with the bare [2,5] header — im2rec packs
+    * every .lst entry, and background/negative images are part of an
+    * object-detection training set.
     */
   def trainingRecords(spark: SparkSession, images: DataFrame, boxes: DataFrame): Dataset[Record] = {
     import spark.implicits._
@@ -132,8 +140,10 @@ object RecordIO {
       // box arrays makes the packed .rec bytes reproducible run-to-run
       .agg(flatten(sort_array(collect_list(col("box")))).as("box_vals"))
     images
-      .join(perImage, Seq("source_ref"), "inner")
-      .select(col("id").cast("long"), col("box_vals"), col("image"))
+      .join(perImage, Seq("source_ref"), "left")
+      .select(col("id").cast("long"),
+        coalesce(col("box_vals"), array().cast("array<float>")).as("box_vals"),
+        col("image"))
       .as[(Long, Seq[Float], Array[Byte])]
       .map { case (id, boxVals, image) =>
         Record(id, Array(2f, 5f) ++ boxVals, image)

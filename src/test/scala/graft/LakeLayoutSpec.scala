@@ -43,6 +43,41 @@ class LakeLayoutSpec extends SparkSpec {
     assert(spark.read.parquet(dir).count() === rows)
   }
 
+  test("compact(): preserves a batch-partitioned stream lake and survives the next append") {
+    // the BagIngestStream layout: one batch=<id>/ directory per micro-batch
+    val dir = Files.createTempDirectory("compact-part").toString + "/frame_index"
+    val events = Tables.events(spark, sf).limit(200)
+    events.withColumn("batch", lit(0L)).repartition(5)
+      .write.partitionBy("batch").mode("append").parquet(dir)
+    events.withColumn("batch", lit(1L)).repartition(5)
+      .write.partitionBy("batch").mode("append").parquet(dir)
+    val rows = spark.read.parquet(dir).count()
+
+    LakeLayout.compact(spark, dir, targetFileBytes = 512L << 20)
+
+    // layout intact: still batch=<id> leaves, one file each, no strays at root
+    val root = new java.io.File(dir)
+    assert(root.listFiles().count(_.getName.endsWith(".parquet")) === 0,
+      "compaction must not flatten data files into the table root")
+    val leafDirs = root.listFiles().filter(f => f.isDirectory && !f.getName.startsWith("_"))
+    assert(leafDirs.map(_.getName).sorted.toSeq === Seq("batch=0", "batch=1"))
+    leafDirs.foreach(d => assert(d.listFiles().count(_.getName.endsWith(".parquet")) === 1))
+
+    // batch stays a partition column and rows survive
+    val compacted = spark.read.parquet(dir)
+    assert(compacted.count() === rows)
+    // partition discovery re-infers batch (as int) from the directory names
+    assert(compacted.select(col("batch").cast("long")).distinct()
+      .collect().map(_.getLong(0)).sorted.toSeq === Seq(0L, 1L))
+
+    // the stream appends the next micro-batch — the table must stay readable
+    events.withColumn("batch", lit(2L))
+      .write.partitionBy("batch").mode("append").parquet(dir)
+    val after = spark.read.parquet(dir)
+    assert(after.count() === rows + events.count())
+    assert(after.select("batch").distinct().count() === 3)
+  }
+
   test("bucketed layout: join + agg on the bucket key plans with zero shuffle") {
     LakeLayout.writeOrdersCustomerBucketed(spark, sf, buckets = 4)
     // force the shuffle-join path: broadcast would mask the bucketing win

@@ -31,11 +31,22 @@ class RecordIOSpec extends SparkSpec {
     }
   }
 
+  test("pack(): payload beyond the 29-bit length field fails loudly") {
+    // lrecord's top 3 bits are cflag: a >=2^29-byte payload would silently
+    // corrupt the shard, so pack must refuse it
+    val tooBig = new Array[Byte]((1 << 29) - 24) // header alone reaches the limit
+    val e = intercept[IllegalArgumentException] {
+      RecordIO.pack(Record(1L, Array.empty[Float], tooBig))
+    }
+    assert(e.getMessage.contains("29-bit"))
+  }
+
   test("trainingRecords() -> write() -> read(): boxes and bytes recovered") {
     import spark.implicits._
     val images = Seq(
       (0L, "img0.png", Array[Byte](10, 11, 12, 13)),
-      (1L, "img1.png", Array[Byte](20, 21))
+      (1L, "img1.png", Array[Byte](20, 21)),
+      (2L, "img2.png", Array[Byte](30)) // negative image: no ground-truth boxes
     ).toDF("id", "source_ref", "image")
     val boxes = Seq(
       ("img0.png", 3L, 0.1, 0.2, 0.5, 0.6),
@@ -51,7 +62,7 @@ class RecordIOSpec extends SparkSpec {
     assert(shards.count(_.endsWith(".idx")) === 2) // random-access offset index
 
     val back = RecordIO.read(spark, out).collect().sortBy(_.id)
-    assert(back.map(_.id).toSeq === Seq(0L, 1L))
+    assert(back.map(_.id).toSeq === Seq(0L, 1L, 2L))
     val r0 = back(0)
     assert(r0.label.take(2).toSeq === Seq(2f, 5f)) // header_width, label_width
     assert(r0.label.length === 2 + 2 * 5)          // two boxes packed
@@ -60,13 +71,17 @@ class RecordIOSpec extends SparkSpec {
     assert(r0.image.toSeq === Seq[Byte](10, 11, 12, 13))
     assert(back(1).image.toSeq === Seq[Byte](20, 21))
     assert(back(1).label.drop(2).toSeq === Seq(2f, 0f, 0f, 1f, 1f))
+    // the box-less image packs too (im2rec packs every .lst entry) —
+    // bare [header_width, label_width] header, zero boxes
+    assert(back(2).label.toSeq === Seq(2f, 5f))
+    assert(back(2).image.toSeq === Seq[Byte](30))
 
     // .idx offsets address the records inside the shard
     val idxLines = shards.filter(_.endsWith(".idx")).flatMap { f =>
       scala.io.Source.fromFile(new java.io.File(out, f)).getLines().toSeq
     }
     val nonEmpty = idxLines.filter(_.nonEmpty)
-    assert(nonEmpty.length === 2)
+    assert(nonEmpty.length === 3)
     nonEmpty.foreach { l => assert(l.split("\t").length === 2) }
   }
 }
