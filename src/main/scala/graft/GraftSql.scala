@@ -25,12 +25,23 @@ object GraftSql {
     spark.sql(query)
   }
 
-  /** Register every operator in the library as a temp view (lazy — nothing
-    * executes until queried), so the whole catalog is composable from SQL:
-    * `SELECT * FROM q42_dedup_minhash JOIN documents ON doc_a = doc_id`.
+  /** Operators whose plan CONSTRUCTION runs Spark jobs (iterative fixpoints
+    * that materialize per round): registering them is not lazy — it executes
+    * the full computation and leaves its result cached. Excluded from
+    * registerQueries by default so building the catalog stays free.
     */
-  def registerQueries(spark: SparkSession, dir: String): Unit =
+  val eagerQueries: Set[String] = Set("q55_dedup_groups")
+
+  /** Register every operator in the library as a temp view, so the whole
+    * catalog is composable from SQL:
+    * `SELECT * FROM q42_dedup_minhash JOIN documents ON doc_a = doc_id`.
+    * Views are lazy — nothing executes until queried — except the operators
+    * in [[eagerQueries]], whose construction itself runs jobs (q55's label
+    * propagation runs its convergence loop up front); those are skipped
+    * unless `includeEager` is set, keeping registration cost zero.
+    */
+  def registerQueries(spark: SparkSession, dir: String, includeEager: Boolean = false): Unit =
     SparkEntry.queries.foreach { case (name, fn) =>
-      fn(spark, dir).createOrReplaceTempView(name)
+      if (includeEager || !eagerQueries(name)) fn(spark, dir).createOrReplaceTempView(name)
     }
 }

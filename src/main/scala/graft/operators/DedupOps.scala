@@ -20,6 +20,10 @@ object DedupOps {
   private val postingCaches =
     new java.util.concurrent.ConcurrentHashMap[SparkSession, DataFrame]()
 
+  /** Most recent persisted label snapshot per session (see dedupGroups). */
+  private val groupsCaches =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]]()
+
   /** q40 — exact duplicate groups by content hash (md5 is the portable
     * content key). One shuffle on the hash; at 100 TB this is the cheapest
     * possible dedup and the first pass before any fuzzy variant.
@@ -222,31 +226,45 @@ object DedupOps {
       edges.select(col("u").as("doc_id")).withColumn("canonical", col("doc_id")).distinct())
     var round = 0
     var converged = false
-    while (!converged && round < maxRounds) {
-      val nbrMin = edges.join(labels, edges("v") === labels("doc_id"))
-        .groupBy(col("u")).agg(min("canonical").as("nbr_min"))
-      // change detection is inline (nbr_min < old canonical) — no extra
-      // join against the previous labels, one action per round
-      val (next, nextRdd) = materialize(
-        labels.join(nbrMin, labels("doc_id") === nbrMin("u"), "left")
-          .select(labels("doc_id"),
-            least(col("canonical"), coalesce(col("nbr_min"), col("canonical"))).as("canonical"),
-            (coalesce(col("nbr_min"), col("canonical")) < col("canonical")).as("__changed")))
-      val changed = next.filter(col("__changed")).count()
-      labelsRdd.unpersist(blocking = false) // exactly one label snapshot live
-      labels = next.drop("__changed")
-      labelsRdd = nextRdd
-      converged = changed == 0
-      round += 1
+    try {
+      while (!converged && round < maxRounds) {
+        val nbrMin = edges.join(labels, edges("v") === labels("doc_id"))
+          .groupBy(col("u")).agg(min("canonical").as("nbr_min"))
+        // change detection is inline (nbr_min < old canonical) — no extra
+        // join against the previous labels, one action per round
+        val (next, nextRdd) = materialize(
+          labels.join(nbrMin, labels("doc_id") === nbrMin("u"), "left")
+            .select(labels("doc_id"),
+              least(col("canonical"), coalesce(col("nbr_min"), col("canonical"))).as("canonical"),
+              (coalesce(col("nbr_min"), col("canonical")) < col("canonical")).as("__changed")))
+        val changed = next.filter(col("__changed")).count()
+        labelsRdd.unpersist(blocking = false) // exactly one label snapshot live
+        labels = next.drop("__changed")
+        labelsRdd = nextRdd
+        converged = changed == 0
+        round += 1
+      }
+    } finally {
+      edgesRdd.unpersist(blocking = false)
+      // every abnormal exit — non-convergence throw below, or a job failure
+      // mid-round — must release the current snapshot, or it leaks with no
+      // handle left to free it
+      if (!converged) labelsRdd.unpersist(blocking = false)
     }
-    edgesRdd.unpersist(blocking = false)
     // a component whose min-label distance exceeds maxRounds would silently
     // keep duplicates — refuse to return a non-converged labeling
     if (!converged) throw new IllegalStateException(
       s"dedupGroups did not converge within $maxRounds rounds — raise maxRounds " +
         "(a component's min-label eccentricity exceeds it)")
-    // the converged fixpoint is unique; the final label snapshot stays
-    // cached for the caller's consumption
+    // the converged fixpoint is unique; the final snapshot stays cached for
+    // the caller's (lazy) consumption — so this call cannot free it itself.
+    // As with postingCaches, each invocation instead releases the PREVIOUS
+    // call's snapshot, bounding repeat callers (Bench best-of-3,
+    // registerQueries) to one live labeling per session.
+    groupsCaches.put(s, labelsRdd) match {
+      case prev if (prev ne null) && (prev ne labelsRdd) => prev.unpersist(blocking = false)
+      case _ => ()
+    }
     Tables.documents(s, d).select("doc_id")
       .join(labels.withColumnRenamed("canonical", "c"), Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("c"), col("doc_id")).as("canonical"))

@@ -31,8 +31,15 @@ class GraftSqlSpec extends SparkSpec {
         |FROM q40_dedup_exact q JOIN documents d ON q.doc_id = d.doc_id
         |GROUP BY d.lang""".stripMargin).collect()
     assert(joined.nonEmpty && joined.map(_.getLong(1)).sum > 0)
-    // every registered operator is visible in the catalog
+    // every LAZY operator is visible; eager ones (whose construction runs
+    // jobs) are deferred by default so registration itself is free
     val views = spark.catalog.listTables().collect().map(_.name).toSet
-    assert(SparkEntry.queries.keySet.subsetOf(views))
+    assert((SparkEntry.queries.keySet -- GraftSql.eagerQueries).subsetOf(views))
+    GraftSql.eagerQueries.foreach(q => assert(!views.contains(q),
+      s"eager operator $q must not register (and execute) by default"))
+    // opting in registers the full catalog
+    GraftSql.registerQueries(spark, sf, includeEager = true)
+    val all = spark.catalog.listTables().collect().map(_.name).toSet
+    assert(SparkEntry.queries.keySet.subsetOf(all))
   }
 }

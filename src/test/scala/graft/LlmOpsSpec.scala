@@ -77,10 +77,24 @@ class LlmOpsSpec extends SparkSpec {
     val full = DedupOps.dedupGroups(spark, tmp, maxRounds = 10).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     if (full.values.toSet.size == 1) { // chain actually connected via minhash
+      val cachedBefore = spark.sparkContext.getPersistentRDDs.size
       assertThrows[IllegalStateException](
         DedupOps.dedupGroups(spark, tmp, maxRounds = 1).collect())
+      // the failure path must not leak its edge/label caches
+      assert(spark.sparkContext.getPersistentRDDs.size === cachedBefore,
+        "non-converged dedupGroups left persisted RDDs behind")
     }
     assertThrows[IllegalArgumentException](DedupOps.dedupGroups(spark, tmp, maxRounds = 0))
+  }
+
+  test("q55 dedup groups: repeat calls keep one live label snapshot") {
+    DedupOps.dedupGroups(spark, sf).count()
+    val afterFirst = spark.sparkContext.getPersistentRDDs.size
+    DedupOps.dedupGroups(spark, sf).count()
+    // the second call releases the first call's snapshot (same contract as
+    // ngramJaccard's posting cache): footprint must not grow with calls
+    assert(spark.sparkContext.getPersistentRDDs.size === afterFirst,
+      "repeat dedupGroups calls accumulated cached RDDs")
   }
 
   test("q43 simhash: identical docs have identical fingerprints (hamming 0)") {
