@@ -16,10 +16,6 @@ import graft.functions.VectorFunctions._
   */
 object DedupOps {
 
-  /** Most recent persisted posting list per session (see ngramJaccard). */
-  private val postingCaches =
-    new java.util.concurrent.ConcurrentHashMap[SparkSession, DataFrame]()
-
   /** Most recent persisted label snapshot per session (see dedupGroups). */
   private val groupsCaches =
     new java.util.concurrent.ConcurrentHashMap[SparkSession, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]]()
@@ -53,18 +49,24 @@ object DedupOps {
       .filter(size(col("sh")) > 0)
 
   /** q41 — n-gram Jaccard near-duplicate pairs via an inverted shingle
-    * index: self-join postings on the shingle hash (no cross product),
-    * count shared, Jaccard from per-doc shingle counts carried inline on
-    * each posting (size of the per-row shingle set — no separate count
-    * join). Candidate volume is bounded by shingle document frequency — the
-    * classic posting-list bound — and the df prefilter keeps it that way:
-    * df=1 shingles are dropped losslessly (they cannot form a pair; the
-    * Jaccard denominator uses the full per-doc set size), and `dfCap` is
-    * the stop-shingle guard — at corpus scale an ultra-common shingle makes
-    * the self-join quadratic on that key, so production callers cap it
-    * (recall/cost dial; pairs that share *only* stop-shingles have
-    * near-zero Jaccard anyway). The driver query runs uncapped so the
-    * DuckDB oracle stays exact.
+    * index: group postings by shingle hash, then stream each shingle's
+    * C(df,2) candidate pairs out of the lazy `graft_doc_pairs` generator
+    * (ShingleExpressions.DocPairGen) — no self-join, no sort, no persisted
+    * intermediate. Two shuffles total: posting → shingle buckets, pairs →
+    * (doc_a, doc_b) shared-count aggregation. The Jaccard denominator rides
+    * inline on every posting (per-doc shingle-set size `n`), so no count
+    * join either.
+    *
+    * Candidate volume is bounded by shingle document frequency — the classic
+    * posting-list bound. df=1 shingles can never form a pair and die on the
+    * size filter losslessly; `dfCap` is the stop-shingle guard: at corpus
+    * scale an ultra-common shingle makes pair generation (and the per-
+    * shingle posting buffer) quadratic/linear in df on that one key, so
+    * production callers cap it (recall/cost dial; pairs sharing *only*
+    * stop-shingles have near-zero Jaccard anyway). The driver query runs
+    * uncapped so the DuckDB oracle stays exact — the synthetic corpus has
+    * no pathological stop-shingle, and the generator keeps memory O(df)
+    * per shingle regardless (the pair stream is never materialized).
     */
   def ngramJaccard(s: SparkSession, d: String, dfCap: Long = Long.MaxValue): DataFrame = {
     // df < 2 can never form a pair, so a cap below 2 would silently select
@@ -72,39 +74,16 @@ object DedupOps {
     require(dfCap >= 2, s"dfCap must be >= 2 (a shingle needs df >= 2 to form a pair); got $dfCap")
     val posting = shingleSets(s, d)
       .select(col("doc_id"), size(col("sh")).cast("long").as("n"), explode(col("sh")).as("sh"))
-    // df as a window count over sh: ONE shuffle of the posting list, and the
-    // filtered posting is a single subtree — both self-join sides are the
-    // same canonical plan, so the exchange (and the scan + shingle kernel
-    // above it) runs once and the second side is a ReusedExchange. The
-    // previous groupBy-df + semi-join shape re-ran the scan/kernel/shuffle
-    // up to three times because the aggregate above one exchange broke
-    // canonical equality. Group sizes are bounded by df <= dfCap (and even
-    // an uncapped ultra-common shingle is only one task's worth of rows).
-    // persisted because it feeds BOTH self-join sides: exchange reuse does
-    // not unify the aliased subtrees (verified against the physical plan),
-    // so without the cache the scan + kernel + shuffle would run twice. The
-    // cached relation keeps its hash(sh) partitioning, so the join adds no
-    // further exchange. Size is the pruned posting list — linear in corpus
-    // shingles and spillable (MEMORY_AND_DISK). Because the result is lazy,
-    // this call cannot unpersist after itself — instead each invocation
-    // releases the PREVIOUS call's cache, bounding a repeat caller to one
-    // live posting cache per session.
-    val pruned = posting
-      .withColumn("df", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("sh")))
-      .filter(col("df") >= 2 && col("df") <= dfCap)
-      .select("doc_id", "n", "sh")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    postingCaches.put(s, pruned) match {
-      case prev: DataFrame if prev ne pruned => prev.unpersist(blocking = false)
-      case _ => ()
-    }
-    val pairs = pruned.as("a").join(pruned.as("b"),
-        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.n").as("na"), col("b.n").as("nb"))
-      .agg(count(lit(1)).as("shared"))
+    val lists = posting
+      .groupBy("sh")
+      .agg(collect_list(struct(col("doc_id"), col("n"))).as("docs"))
+      .filter(size(col("docs")) >= 2 && size(col("docs")) <= lit(dfCap))
+    val pairs = lists
+      .select(call_function("graft_doc_pairs", col("docs"))
+        .as(Seq("doc_a", "doc_b", "na", "nb")))
     pairs
+      .groupBy("doc_a", "doc_b", "na", "nb")
+      .agg(count(lit(1)).as("shared"))
       .withColumn("jaccard", col("shared") / (col("na") + col("nb") - col("shared")))
       .filter(col("jaccard") >= 0.5)
       .select("doc_a", "doc_b", "jaccard")
@@ -136,10 +115,21 @@ object DedupOps {
     val stacked = sigs.select(col("doc_id") +: bandCols: _*)
       .selectExpr("doc_id",
         s"stack(${Bands}, ${(0 until Bands).map(b => s"${b}L, band_$b").mkString(", ")}) as (band, sig)")
-    stacked.as("a").join(stacked.as("b"),
-        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    // Bucket pair-gen via the same inverted-index shape as q41: group by the
+    // band bucket, stream C(k,2) pairs from the lazy graft_doc_pairs
+    // generator. The previous aliased self-join ran the scan + minhash
+    // kernel on BOTH sides (exchange reuse does not unify aliased self-join
+    // subtrees) and paid two sorts; this runs them once with zero sorts.
+    // A bucket of k near-identical docs yields the C(k,2) pairs the query
+    // exists to report — the buffer is the doc-id list (8B·k), not the pairs.
+    val pairs = stacked
+      .groupBy("band", "sig")
+      .agg(collect_list(struct(col("doc_id"), lit(0L))).as("docs"))
+      .filter(size(col("docs")) >= 2)
+      .select(call_function("graft_doc_pairs", col("docs"))
+        .as(Seq("doc_a", "doc_b", "na", "nb")))
+    pairs
+      .select("doc_a", "doc_b")
       .distinct()
       .orderBy("doc_a", "doc_b")
   }
@@ -210,20 +200,45 @@ object DedupOps {
     // planning cost constant — with plain persist every round re-analyzes
     // the ever-deeper iterative plan and planning dominates wall time —
     // while keeping an explicit handle for releasing the blocks (which
-    // localCheckpoint would leave to driver GC).
-    def materialize(df: DataFrame): (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]) = {
-      val rdd = df.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      rdd.count()
-      (s.createDataFrame(rdd, df.schema), rdd)
+    // localCheckpoint would leave to driver GC). `parts > 0` right-sizes
+    // the snapshot's partition count to the data (see below).
+    def materialize(df: DataFrame, parts: Int = 0)
+        : (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row], Long) = {
+      val rdd0 = df.rdd
+      val rdd = (if (parts > 0 && parts < rdd0.getNumPartitions) rdd0.coalesce(parts) else rdd0)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val n = rdd.count()
+      (s.createDataFrame(rdd, df.schema), rdd, n)
     }
     val pairs = minhashLsh(s, d).select("doc_a", "doc_b")
-    val (edges, edgesRdd) = materialize(
+    var (edges, edgesRdd, edgeCount) = materialize(
       pairs.union(pairs.select(col("doc_b"), col("doc_a"))).toDF("u", "v"))
+    // The edge set is orders of magnitude smaller than the corpus (it is the
+    // near-dup candidate stream), so the iterative phase right-sizes its
+    // parallelism to the data instead of inheriting the corpus scan's: at
+    // 100 TB `k` stays at cluster width, while a small edge set collapses to
+    // a handful of partitions so each round is a few tasks, not
+    // defaultParallelism-many per job. Same idea AQE applies to shuffles,
+    // done here by hand because the loop runs over raw persisted RDDs.
+    val k = math.min(s.sparkContext.defaultParallelism.toLong, edgeCount / 500000L + 1L).toInt
+    if (k < edgesRdd.getNumPartitions) {
+      val c = edgesRdd.coalesce(k)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      c.count()
+      edgesRdd.unpersist(blocking = false)
+      edges = s.createDataFrame(c, edges.schema)
+      edgesRdd = c
+    }
     // only documents that appear in a pair can change label — the
     // propagation loop runs on that (much smaller) node set and the rest of
-    // the corpus joins back as its own canonical at the end
-    var (labels, labelsRdd) = materialize(
-      edges.select(col("u").as("doc_id")).withColumn("canonical", col("doc_id")).distinct())
+    // the corpus joins back as its own canonical at the end. The node set
+    // and the FIRST propagation round fuse into one aggregation: every
+    // node's initial canonical is min(self, direct neighbors), so the loop
+    // below starts one round ahead (its first pass is pure verification on
+    // star-shaped components, the common near-dup case).
+    var (labels, labelsRdd, _) = materialize(
+      edges.groupBy(col("u")).agg(least(col("u"), min(col("v"))).as("canonical"))
+        .select(col("u").as("doc_id"), col("canonical")), k)
     var round = 0
     var converged = false
     try {
@@ -231,12 +246,13 @@ object DedupOps {
         val nbrMin = edges.join(labels, edges("v") === labels("doc_id"))
           .groupBy(col("u")).agg(min("canonical").as("nbr_min"))
         // change detection is inline (nbr_min < old canonical) — no extra
-        // join against the previous labels, one action per round
-        val (next, nextRdd) = materialize(
+        // join against the previous labels; the changed-count scan runs on
+        // the just-persisted k-partition snapshot (a few tiny tasks)
+        val (next, nextRdd, _) = materialize(
           labels.join(nbrMin, labels("doc_id") === nbrMin("u"), "left")
             .select(labels("doc_id"),
               least(col("canonical"), coalesce(col("nbr_min"), col("canonical"))).as("canonical"),
-              (coalesce(col("nbr_min"), col("canonical")) < col("canonical")).as("__changed")))
+              (coalesce(col("nbr_min"), col("canonical")) < col("canonical")).as("__changed")), k)
         val changed = next.filter(col("__changed")).count()
         labelsRdd.unpersist(blocking = false) // exactly one label snapshot live
         labels = next.drop("__changed")

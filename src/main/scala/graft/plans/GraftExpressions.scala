@@ -125,5 +125,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_simhash"),
       new ExpressionInfo(classOf[SimHashFingerprint].getName, "graft_simhash"),
       (children: Seq[Expression]) => SimHashFingerprint(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_doc_pairs"),
+      new ExpressionInfo(classOf[DocPairGen].getName, "graft_doc_pairs"),
+      (children: Seq[Expression]) => DocPairGen(children.head)))
   }
 }

@@ -1,9 +1,10 @@
 package graft.plans
 
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, Generator, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Single-pass JVM kernels behind the shingle/minhash expressions.
@@ -142,6 +143,58 @@ case class SimHashFingerprint(child: Expression) extends UnaryExpression {
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.plans.ShingleKernels.simhash($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `graft_doc_pairs(docs)` — generator: all ordered document pairs from one
+  * shingle's posting list `array<struct<doc_id:long, n:long>>`, emitted as
+  * rows (doc_a, doc_b, na, nb) with doc_a < doc_b.
+  *
+  * This is the pair-generation half of the inverted-index dedup join: after
+  * `groupBy(sh).agg(collect_list(...))` each shingle's C(df,2) candidate
+  * pairs stream out of GenerateExec through this lazy iterator — no
+  * self-join, no sort, and memory stays O(df) per shingle (the C(df,2)
+  * output is never materialized as an array). df itself is bounded by the
+  * caller's dfCap stop-shingle guard at corpus scale.
+  */
+case class DocPairGen(child: Expression) extends UnaryExpression with Generator with CodegenFallback {
+  override def elementSchema: StructType = new StructType()
+    .add("doc_a", LongType, nullable = false)
+    .add("doc_b", LongType, nullable = false)
+    .add("na", LongType, nullable = false)
+    .add("nb", LongType, nullable = false)
+  override def prettyName: String = "graft_doc_pairs"
+
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val arr = child.eval(input).asInstanceOf[ArrayData]
+    if (arr == null || arr.numElements() < 2) return Iterator.empty
+    val m = arr.numElements()
+    val ids = new Array[Long](m)
+    val ns = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      val st = arr.getStruct(i, 2)
+      ids(i) = st.getLong(0)
+      ns(i) = st.getLong(1)
+      i += 1
+    }
+    // pair order is (min, max): sort the posting list once by doc_id
+    val idx = Array.range(0, m).sortBy(ids)
+    new Iterator[InternalRow] {
+      private var a = 0
+      private var b = 1
+      override def hasNext: Boolean = a < m - 1
+      override def next(): InternalRow = {
+        val r = new GenericInternalRow(
+          Array[Any](ids(idx(a)), ids(idx(b)), ns(idx(a)), ns(idx(b))))
+        b += 1
+        if (b >= m) { a += 1; b = a + 1 }
+        r
+      }
+    }
+  }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

@@ -33,10 +33,15 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Join") && p.contains("HashAggregate"))
   }
 
-  test("q41: shingle join keys are longs (hash postings), not strings") {
+  test("q41: pair generation streams from the posting lists — no self-join, no sort") {
     val p = plan(DedupOps.ngramJaccard(spark, sf))
-    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") || p.contains("BroadcastHashJoin"))
-    // the posting key column `sh` must be bigint in the scan-side projection
+    // the inverted index is one aggregation + one generator: pairs stream
+    // out of graft_doc_pairs, so the plan must carry NO join of any kind
+    // and no persisted intermediate
+    assert(!p.contains("Join"), p)
+    assert(p.contains("Generate") && p.contains("graft_doc_pairs"), p)
+    assert(!p.contains("InMemoryTableScan"), p)
+    // the posting key column `sh` is a long hash, not a string
     assert(p.contains("sh: bigint") || p.contains("sh#"))
   }
 
