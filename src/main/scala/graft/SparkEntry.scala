@@ -69,6 +69,10 @@ object SparkEntry {
     "q51_embed_stats"     -> (TextAnalysisOps.embedStats _),
     "q52_top_terms"       -> (TextAnalysisOps.topTerms _),
     "q53_normalize"       -> (TextAnalysisOps.normalizeTokens _),
+    "q56_contamination"   -> (CurationOps.contamination _),
+    "q57_dup_ngram_rate"  -> (CurationOps.dupNgramRate _),
+    "q58_stratified_sample" -> ((s: SparkSession, d: String) => CurationOps.stratifiedSample(s, d)),
+    "q59_quantize_int8"   -> (CurationOps.quantizeStats _),
   )
 
   // Portable polynomial rolling hash in DuckDB SQL — mirrors
@@ -670,5 +674,67 @@ object SparkEntry {
         |    list_transform(string_split(lower(text), ' '), t -> regexp_replace(t, '[^a-z0-9]', '', 'g')),
         |    t -> t <> '' AND t NOT IN ('the','a','of','and','to','is')))), ' ') AS clean_sorted
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q56_contamination" ->
+      s"""WITH $SHINGLES,
+         |posting AS (SELECT doc_id, unnest(hs) AS s FROM sh),
+         |train AS (SELECT DISTINCT s FROM posting WHERE (doc_id * 2654435761) % 100 < 80),
+         |hits AS (SELECT p.doc_id, COUNT(*) AS n_contaminated
+         |         FROM posting p JOIN train t ON p.s = t.s
+         |         WHERE (p.doc_id * 2654435761) % 100 >= 80
+         |         GROUP BY p.doc_id)
+         |SELECT c.doc_id AS doc_id, CAST(len(hs) AS BIGINT) AS n_shingles,
+         |  COALESCE(h.n_contaminated, 0) AS n_contaminated,
+         |  CAST(COALESCE(h.n_contaminated, 0) AS DOUBLE) / CAST(len(hs) AS DOUBLE) AS contamination
+         |FROM sh c LEFT JOIN hits h ON c.doc_id = h.doc_id
+         |WHERE (c.doc_id * 2654435761) % 100 >= 80
+         |ORDER BY doc_id""".stripMargin,
+
+    "q57_dup_ngram_rate" ->
+      s"""WITH $SHINGLES
+         |SELECT s.doc_id AS doc_id,
+         |  CAST(len(t.ws) - 2 AS BIGINT) AS n_ngrams,
+         |  CAST(len(s.hs) AS BIGINT) AS n_distinct,
+         |  CAST(len(t.ws) - 2 - len(s.hs) AS DOUBLE) / CAST(len(t.ws) - 2 AS DOUBLE) AS dup_rate
+         |FROM sh s JOIN tok t ON s.doc_id = t.doc_id
+         |ORDER BY doc_id""".stripMargin,
+
+    "q58_stratified_sample" ->
+      """WITH ranked AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY lang
+        |      ORDER BY (doc_id * 2654435761) % 1000000007, doc_id) AS BIGINT) AS sample_rank,
+        |    COUNT(*) OVER (PARTITION BY lang) AS n_lang
+        |  FROM documents)
+        |SELECT doc_id, lang, n_chars, sample_rank
+        |FROM ranked WHERE sample_rank <= (n_lang * 20 + 99) // 100
+        |ORDER BY lang, sample_rank""".stripMargin,
+
+    // mirrors plans.QuantKernels.q8Stats: scale = maxabs/127 (recomputed
+    // inline — IEEE division is deterministic), q = floor(x/scale + 0.5),
+    // err = x - q*scale, sse left-folded in index order
+    "q59_quantize_int8" ->
+      """WITH e AS (SELECT label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |           FROM embeddings),
+        |m AS (SELECT label, v, list_max(list_transform(v, x -> abs(x))) AS maxabs FROM e),
+        |p AS (SELECT label,
+        |  CASE WHEN maxabs = 0 THEN 0.0 ELSE
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(v,
+        |      x -> (x - floor(x / (maxabs/127) + 0.5) * (maxabs/127))
+        |         * (x - floor(x / (maxabs/127) + 0.5) * (maxabs/127)))),
+        |      (acc, z) -> acc + z) END AS sse,
+        |  CASE WHEN maxabs = 0 THEN 0.0 ELSE
+        |    list_max(list_transform(v,
+        |      x -> abs(x - floor(x / (maxabs/127) + 0.5) * (maxabs/127)))) END AS mae,
+        |  CAST(CASE WHEN maxabs = 0 THEN 0 ELSE
+        |    list_sum(list_transform(v,
+        |      x -> CASE WHEN abs(floor(x / (maxabs/127) + 0.5)) >= 127 THEN 1 ELSE 0 END))
+        |    END AS BIGINT) AS nsat
+        |  FROM m)
+        |SELECT label, COUNT(*) AS n_vectors,
+        |  CAST(SUM(CAST(sse AS DECIMAL(27,6))) AS DOUBLE)/COUNT(sse) AS avg_sse,
+        |  MAX(mae) AS max_abs_err,
+        |  CAST(SUM(nsat) AS BIGINT) AS n_saturated
+        |FROM p GROUP BY label ORDER BY label""".stripMargin,
   )
 }

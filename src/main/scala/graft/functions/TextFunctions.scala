@@ -34,4 +34,39 @@ object TextFunctions {
   /** Count of tokens belonging to a fixed vocabulary. */
   def vocabCount(text: Column, words: Seq[String]): Column =
     size(filter(tokens(text), t => t.isInCollection(words)))
+
+  // PII patterns for text redaction — the text-pipeline counterpart of the
+  // reference's image-region blur (select-labelling-imgs.py anonymizes
+  // detected faces/text before publishing; a text corpus scrubs these
+  // before training). Conservative, linear-time regexes (no catastrophic
+  // backtracking: character classes + bounded quantifiers only).
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhonePattern = "(?:\\+?[0-9]{1,3}[-. ])?\\(?[0-9]{3}\\)?[-. ][0-9]{3}[-. ][0-9]{4}"
+  val SsnPattern = "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b"
+  val Ipv4Pattern = "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+
+  /** Redact PII spans in free text: emails, phone numbers, SSN-shaped ids,
+    * and IPv4 addresses replaced with typed placeholders. Order matters —
+    * SSN before phone (an SSN also matches loose phone shapes), email
+    * before IPv4 (domains can look numeric). Pure codegen'd regexp_replace
+    * chain: one pass per pattern, partition-parallel, no UDF.
+    */
+  def redactPii(text: Column): Column = {
+    val e = regexp_replace(text, EmailPattern, "[EMAIL]")
+    val s = regexp_replace(e, SsnPattern, "[SSN]")
+    val p = regexp_replace(s, PhonePattern, "[PHONE]")
+    regexp_replace(p, Ipv4Pattern, "[IP]")
+  }
+
+  /** Count of PII spans by kind, same patterns as redactPii. */
+  def piiCounts(text: Column): Column = {
+    val afterEmail = regexp_replace(text, EmailPattern, "[EMAIL]")
+    val afterSsn = regexp_replace(afterEmail, SsnPattern, "[SSN]")
+    val afterPhone = regexp_replace(afterSsn, PhonePattern, "[PHONE]")
+    struct(
+      regexp_count(text, lit(EmailPattern)).as("emails"),
+      regexp_count(afterEmail, lit(SsnPattern)).as("ssns"),
+      regexp_count(afterSsn, lit(PhonePattern)).as("phones"),
+      regexp_count(afterPhone, lit(Ipv4Pattern)).as("ips"))
+  }
 }

@@ -1,0 +1,115 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Exact
+import graft.functions.VectorFunctions.toDouble
+
+/** Corpus-curation operators a large-scale training-data pipeline needs on
+  * top of dedup/ANN (SURVEY.md §2.C): benchmark-contamination detection,
+  * within-document repetition scoring, stratified sampling, and embedding
+  * quantization QA.
+  *
+  * All deterministic and engine-portable (multiplicative-hash splits, the
+  * portable shingle hash, fixed-IEEE-chain float math) so every query has
+  * an exact DuckDB oracle.
+  */
+object CurationOps {
+
+  /** The q30 multiplicative-hash split: stable under any partitioning. */
+  private def isTest = (col("doc_id") * lit(2654435761L)) % 100 >= 80
+
+  /** q56 — train/test contamination check: for every held-out (test) doc,
+    * how many of its distinct 3-gram shingles also appear anywhere in the
+    * train split. The standard pre-training hygiene pass that catches
+    * benchmark leakage before a model trains on it.
+    *
+    * Scale shape: the train side collapses to a DISTINCT shingle set (one
+    * shuffle, linear in corpus shingles) and the test postings join it on
+    * the shingle hash — the same inverted-index bound as q41, never a doc×doc
+    * comparison. At 100 TB both sides shuffle on `sh`; no driver state.
+    */
+  def contamination(s: SparkSession, d: String): DataFrame = {
+    val sets = DedupOps.shingleSets(s, d)
+    val posting = sets.select(col("doc_id"), explode(col("sh")).as("s"))
+    val trainShingles = posting.filter(!isTest).select("s").distinct()
+    val hits = posting.filter(isTest)
+      .join(trainShingles, "s")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_contaminated"))
+    sets.filter(isTest)
+      .select(col("doc_id"), size(col("sh")).cast("long").as("n_shingles"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        col("n_shingles"),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
+        (coalesce(col("n_contaminated"), lit(0L)).cast("double") /
+          col("n_shingles").cast("double")).as("contamination"))
+      .orderBy("doc_id")
+  }
+
+  /** q57 — within-document duplicate-n-gram rate: the fraction of a doc's
+    * 3-gram occurrences that are repeats (1 - distinct/total), the classic
+    * repetition quality signal (boilerplate, template spam) used to filter
+    * web corpora. Pure per-row arithmetic on the shingle kernel — one scan,
+    * no shuffle before the final sort.
+    */
+  def dupNgramRate(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(
+        col("doc_id"),
+        (size(split(col("text"), " ")) - 2).cast("long").as("n_ngrams"),
+        size(call_function("graft_shingles", col("text"))).cast("long").as("n_distinct"))
+      .filter(col("n_ngrams") >= 1)
+      .select(
+        col("doc_id"), col("n_ngrams"), col("n_distinct"),
+        ((col("n_ngrams") - col("n_distinct")).cast("double") /
+          col("n_ngrams").cast("double")).as("dup_rate"))
+      .orderBy("doc_id")
+
+  /** q58 — stratified deterministic sampling: an exact per-stratum quota
+    * (ceil(pct% of the stratum), integer arithmetic) filled by
+    * multiplicative-hash order — so unlike the Bernoulli-style q36, every
+    * language keeps proportional representation even for tiny strata.
+    * Deterministic under any partitioning (never rand()); both windows ride
+    * ONE shuffle on the stratum key.
+    */
+  def stratifiedSample(s: SparkSession, d: String, pct: Int = 20): DataFrame = {
+    require(pct >= 1 && pct <= 100, s"pct in [1,100]; got $pct")
+    val h = (col("doc_id") * lit(2654435761L)) % lit(1000000007L)
+    val byLang = Window.partitionBy("lang")
+    Tables.documents(s, d)
+      .withColumn("rk", row_number().over(byLang.orderBy(h, col("doc_id"))).cast("long"))
+      .withColumn("quota",
+        expr(s"(count(*) over (partition by lang) * $pct + 99) div 100"))
+      .filter(col("rk") <= col("quota"))
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("rk").as("sample_rank"))
+      .orderBy("lang", "sample_rank")
+  }
+
+  /** q59 — int8 embedding-quantization QA: per-label reconstruction error of
+    * symmetric max-abs scalar quantization (the standard 4× storage
+    * compaction before ANN indexing at 100 TB). The per-vector pass is one
+    * native kernel call (graft_q8_stats) inside whole-stage codegen; the
+    * label rollup is a plain partial aggregation. avg_sse goes through the
+    * exact-decimal carrier (Exact.davg) so the reduction is
+    * order-insensitive.
+    */
+  def quantizeStats(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("label"),
+        call_function("graft_q8_stats", toDouble(col("embedding"))).as("q"))
+      .select(col("label"), col("q.sse").as("sse"),
+        col("q.max_abs_err").as("mae"), col("q.n_saturated").as("nsat"))
+      .groupBy("label")
+      .agg(
+        count(lit(1)).as("n_vectors"),
+        Exact.davg(col("sse")).as("avg_sse"),
+        max(col("mae")).as("max_abs_err"),
+        sum(col("nsat")).as("n_saturated"))
+      .orderBy("label")
+}

@@ -43,7 +43,7 @@ object DedupOps {
     * (posexplode -> lead() window -> distinct) paid two wide shuffles before
     * dedup work started; this pays zero.
     */
-  private def shingleSets(s: SparkSession, d: String): DataFrame =
+  private[operators] def shingleSets(s: SparkSession, d: String): DataFrame =
     scaledDocs(s, d)
       .select(col("doc_id"), call_function("graft_shingles", col("text")).as("sh"))
       .filter(size(col("sh")) > 0)
@@ -103,7 +103,18 @@ object DedupOps {
     * round-1 version's 3-shuffle signature pipeline (recomputed twice) is
     * gone entirely.
     */
-  def minhashLsh(s: SparkSession, d: String): DataFrame = {
+  def minhashLsh(s: SparkSession, d: String): DataFrame =
+    minhashPairsRaw(s, d)
+      .distinct()
+      .orderBy("doc_a", "doc_b")
+
+  /** The band-bucket candidate stream before distinct/ordering: a pair
+    * agreeing on k bands appears k times. dedupGroups consumes this raw form
+    * — duplicate symmetric edges cannot change a min-label propagation, so
+    * it skips the distinct and global-sort shuffles the reporting query
+    * (minhashLsh) pays for its user-facing contract.
+    */
+  private def minhashPairsRaw(s: SparkSession, d: String): DataFrame = {
     val sigs = scaledDocs(s, d)
       .select(col("doc_id"),
         call_function("graft_minhash", call_function("graft_shingles", col("text"))).as("mh"))
@@ -128,10 +139,7 @@ object DedupOps {
       .filter(size(col("docs")) >= 2)
       .select(call_function("graft_doc_pairs", col("docs"))
         .as(Seq("doc_a", "doc_b", "na", "nb")))
-    pairs
-      .select("doc_a", "doc_b")
-      .distinct()
-      .orderBy("doc_a", "doc_b")
+    pairs.select("doc_a", "doc_b")
   }
 
   /** q43 — SimHash fingerprint + Hamming near-dup pairs via LOSSLESS
@@ -210,7 +218,7 @@ object DedupOps {
       val n = rdd.count()
       (s.createDataFrame(rdd, df.schema), rdd, n)
     }
-    val pairs = minhashLsh(s, d).select("doc_a", "doc_b")
+    val pairs = minhashPairsRaw(s, d)
     var (edges, edgesRdd, edgeCount) = materialize(
       pairs.union(pairs.select(col("doc_b"), col("doc_a"))).toDF("u", "v"))
     // The edge set is orders of magnitude smaller than the corpus (it is the

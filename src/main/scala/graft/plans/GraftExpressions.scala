@@ -1,10 +1,11 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, GenericInternalRow, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
+import org.apache.spark.sql.types.{DataType, DoubleType, LongType, StructType}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -100,6 +101,65 @@ case class CharHash(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** One-pass int8 scalar-quantization kernel: symmetric max-abs scaling, the
+  * standard storage compaction for embedding columns. Arithmetic is a fixed
+  * IEEE chain (scale = maxabs/127; q = floor(x/scale + 0.5); err = x - q*scale;
+  * sse accumulated in ascending index order) so the DuckDB list_reduce oracle
+  * reproduces it bit-for-bit. A zero vector has no defined scale and
+  * quantizes to all-zeros with zero error.
+  */
+object QuantKernels {
+  /** Returns (sse, max_abs_err, n_saturated) for one vector. */
+  def q8Stats(v: ArrayData): InternalRow = {
+    val n = v.numElements()
+    var maxabs = 0.0
+    var i = 0
+    while (i < n) {
+      val a = math.abs(v.getDouble(i))
+      if (a > maxabs) maxabs = a
+      i += 1
+    }
+    if (maxabs == 0.0) return new GenericInternalRow(Array[Any](0.0, 0.0, 0L))
+    val scale = maxabs / 127.0
+    var sse = 0.0
+    var maxerr = 0.0
+    var nsat = 0L
+    i = 0
+    while (i < n) {
+      val x = v.getDouble(i)
+      val q = math.floor(x / scale + 0.5)
+      val err = x - q * scale
+      sse += err * err
+      val ae = math.abs(err)
+      if (ae > maxerr) maxerr = ae
+      if (q >= 127.0 || q <= -127.0) nsat += 1
+      i += 1
+    }
+    new GenericInternalRow(Array[Any](sse, maxerr, nsat))
+  }
+}
+
+/** `graft_q8_stats(array<double>)` — int8-quantization reconstruction stats
+  * as struct(sse double, max_abs_err double, n_saturated bigint).
+  */
+case class Int8QuantStats(child: Expression) extends UnaryExpression {
+  // callers guarantee an array<double> input (VectorFunctions widens floats)
+  override def dataType: DataType = new StructType()
+    .add("sse", DoubleType, nullable = false)
+    .add("max_abs_err", DoubleType, nullable = false)
+    .add("n_saturated", LongType, nullable = false)
+  override def prettyName: String = "graft_q8_stats"
+
+  override protected def nullSafeEval(input: Any): Any =
+    QuantKernels.q8Stats(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.QuantKernels.q8Stats($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Session extension registering the native functions so they resolve by
   * name (`call_function("graft_dot", ...)` or SQL `graft_dot(a, b)`).
   */
@@ -129,5 +189,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_doc_pairs"),
       new ExpressionInfo(classOf[DocPairGen].getName, "graft_doc_pairs"),
       (children: Seq[Expression]) => DocPairGen(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_q8_stats"),
+      new ExpressionInfo(classOf[Int8QuantStats].getName, "graft_q8_stats"),
+      (children: Seq[Expression]) => Int8QuantStats(children.head)))
   }
 }
