@@ -53,6 +53,7 @@ object SparkEntry {
     "q40_dedup_exact"     -> (DedupOps.exact _),
     "q41_dedup_ngram"     -> ((s: SparkSession, d: String) => DedupOps.ngramJaccard(s, d)),
     "q41b_dedup_ngram_capped" -> ((s: SparkSession, d: String) => DedupOps.ngramJaccard(s, d, dfCap = 4)),
+    "q41c_dedup_ngram_prefix" -> ((s: SparkSession, d: String) => DedupOps.ngramJaccardPrefix(s, d)),
     "q42_dedup_minhash"   -> (DedupOps.minhashLsh _),
     "q43_dedup_simhash"   -> (DedupOps.simhash _),
     "q44_dedup_embedding" -> ((s, d) => DedupOps.embeddingNearDup(s, d)),
@@ -444,6 +445,20 @@ object SparkEntry {
         |FROM documents GROUP BY md5(text) ORDER BY doc_id""".stripMargin,
 
     "q41_dedup_ngram" ->
+      s"""WITH $SHINGLES,
+         |posting AS (SELECT doc_id, unnest(hs) AS s FROM sh),
+         |cnt AS (SELECT doc_id, CAST(len(hs) AS BIGINT) AS n FROM sh),
+         |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+         |          FROM posting a JOIN posting b ON a.s = b.s AND a.doc_id < b.doc_id
+         |          GROUP BY a.doc_id, b.doc_id)
+         |SELECT doc_a, doc_b, shared / (ca.n + cb.n - shared) AS jaccard
+         |FROM pairs JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id
+         |WHERE shared / (ca.n + cb.n - shared) >= 0.5
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // deliberately q41's PLAIN inverted-index oracle: the parity gate
+    // proves the prefix filter + merge-walk verification is lossless
+    "q41c_dedup_ngram_prefix" ->
       s"""WITH $SHINGLES,
          |posting AS (SELECT doc_id, unnest(hs) AS s FROM sh),
          |cnt AS (SELECT doc_id, CAST(len(hs) AS BIGINT) AS n FROM sh),

@@ -90,6 +90,51 @@ object DedupOps {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** q41c — the same exact n-gram Jaccard join, prefix-filtered
+    * (AllPairs/PPJoin family): under any global total order of shingles, two
+    * sets with Jaccard >= t must share an element within their first
+    * n - ceil(t*n) + 1 shingles — so only that PREFIX is indexed, and the
+    * surviving candidate pairs are verified with one exact merge-walk
+    * intersection (`graft_overlap`) over the full sorted sets.
+    *
+    * Same output as ngramJaccard bit-for-bit (the driver oracle IS q41's
+    * SQL — the parity gate proves the filter lossless, like q34's salted
+    * join). The 100 TB win over q41: the indexed posting list halves and
+    * candidate volume drops superlinearly (only prefix collisions generate
+    * pairs), at the price of re-joining the candidate list to the doc sets
+    * for verification — the classic index-vs-verify trade the similarity-
+    * join literature resolves in favor of prefix filtering once the corpus
+    * no longer fits the count-everything aggregation.
+    */
+  def ngramJaccardPrefix(s: SparkSession, d: String, threshold: Double = 0.5): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0, s"threshold in (0,1]; got $threshold")
+    val sets = shingleSets(s, d)
+      .select(col("doc_id"), size(col("sh")).cast("long").as("n"),
+        array_sort(col("sh")).as("ss"))
+    // prefix under hash-ascending order: the completeness bound is
+    // n - ceil(t*n) + 1; floor is used instead of ceil so any float
+    // rounding of t*n can only LENGTHEN the prefix (never lose a pair)
+    val prefix = slice(col("ss"), lit(1),
+      (col("n") - floor(col("n") * lit(threshold)) + 1).cast("int"))
+    val cand = sets
+      .select(col("doc_id"), explode(prefix).as("sh"))
+      .groupBy("sh")
+      .agg(collect_list(struct(col("doc_id"), lit(0L))).as("docs"))
+      .filter(size(col("docs")) >= 2)
+      .select(call_function("graft_doc_pairs", col("docs"))
+        .as(Seq("doc_a", "doc_b", "na", "nb")))
+      .select("doc_a", "doc_b")
+      .distinct()
+    cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("n").as("na"), col("ss").as("sa")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("n").as("nb"), col("ss").as("sb")), "doc_b")
+      .withColumn("shared", call_function("graft_overlap", col("sa"), col("sb")))
+      .withColumn("jaccard", col("shared") / (col("na") + col("nb") - col("shared")))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+
   private val NumHashes = 16
   private val Bands = 4
   private val RowsPerBand = NumHashes / Bands

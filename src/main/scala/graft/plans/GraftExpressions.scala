@@ -101,6 +101,47 @@ case class CharHash(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** `graft_overlap(a, b)` — intersection size of two ASCENDING-sorted
+  * array<long> columns via a linear merge walk: the verification step of
+  * the prefix-filtered similarity join (candidates carry their sorted
+  * shingle sets; exact overlap is O(|a|+|b|) with no per-element hashing).
+  * Callers guarantee sorted, duplicate-free inputs (array_sort over the
+  * distinct shingle set).
+  */
+object SetKernels {
+  def overlap(a: ArrayData, b: ArrayData): Long = {
+    val n = a.numElements()
+    val m = b.numElements()
+    var i = 0
+    var j = 0
+    var c = 0L
+    while (i < n && j < m) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { c += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    c
+  }
+}
+
+case class SortedOverlap(left: Expression, right: Expression)
+    extends BinaryExpression {
+  // callers guarantee sorted array<long> inputs
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_overlap"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    SetKernels.overlap(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.plans.SetKernels.overlap($a, $b)")
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** One-pass int8 scalar-quantization kernel: symmetric max-abs scaling, the
   * standard storage compaction for embedding columns. Arithmetic is a fixed
   * IEEE chain (scale = maxabs/127; q = floor(x/scale + 0.5); err = x - q*scale;
@@ -193,5 +234,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_q8_stats"),
       new ExpressionInfo(classOf[Int8QuantStats].getName, "graft_q8_stats"),
       (children: Seq[Expression]) => Int8QuantStats(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_overlap"),
+      new ExpressionInfo(classOf[SortedOverlap].getName, "graft_overlap"),
+      (children: Seq[Expression]) => SortedOverlap(children(0), children(1))))
   }
 }

@@ -39,6 +39,17 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("q41c prefix-filtered join is bit-identical to the plain inverted index") {
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Double]("jaccard"))).toSeq
+    val plain = rows(DedupOps.ngramJaccard(spark, sf))
+    // default threshold and a higher one (shorter prefixes, more filtering)
+    assert(rows(DedupOps.ngramJaccardPrefix(spark, sf)) === plain)
+    val strict = rows(DedupOps.ngramJaccardPrefix(spark, sf, threshold = 0.8))
+    assert(strict === plain.filter(_._3 >= 0.8))
+    assertThrows[IllegalArgumentException](DedupOps.ngramJaccardPrefix(spark, sf, threshold = 0.0))
+  }
+
   test("q42 minhash LSH candidates contain all very-high-jaccard pairs") {
     val exact = DedupOps.ngramJaccard(spark, sf)
       .filter(col("jaccard") >= 0.9)
