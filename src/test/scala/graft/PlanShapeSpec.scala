@@ -67,6 +67,25 @@ class PlanShapeSpec extends SparkSpec {
     assert(exchanges <= 1, s"manifest shuffles $exchanges times:\n$p")
   }
 
+  test("q56: contamination is an inverted-index join on the shingle hash, no doc-by-doc compare") {
+    val p = plan(CurationOps.contamination(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q58: both stratification windows ride one shuffle on lang") {
+    val p = plan(CurationOps.stratifiedSample(spark, sf))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges <= 1, s"stratified sample shuffles $exchanges times:\n$p")
+  }
+
+  test("q59: quantization kernel runs in the scan stage — no shuffle before the label rollup") {
+    val p = plan(CurationOps.quantizeStats(spark, sf))
+    // one partial+final aggregate pair over one exchange; kernel is map-side
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges <= 1, s"quantize stats shuffles $exchanges times:\n$p")
+    assert(p.contains("graft_q8_stats"), p)
+  }
+
   test("q43: no distinct shuffle after the band join (first-agreeing-band)") {
     val p = plan(DedupOps.simhash(spark, sf))
     // dedup is decided locally from the fingerprint XOR; the only
