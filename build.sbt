@@ -23,8 +23,19 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// Default heap: half of physical RAM, clamped to [4g, 24g] — headroom for
+// the 32-thread local bench on big hosts without starving small dev boxes.
+// SPARK_DRIVER_MEM overrides.
+val defaultHeapGb: Long = {
+  val halfRamGb = try {
+    scala.io.Source.fromFile("/proc/meminfo").getLines()
+      .find(_.startsWith("MemTotal")).map(_.trim.split("\\s+")(1).toLong / (2 * 1024 * 1024))
+      .getOrElse(8L)
+  } catch { case _: Throwable => 8L }
+  math.max(4L, math.min(24L, halfRamGb))
+}
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", s"${defaultHeapGb}g")}",
 )

@@ -38,12 +38,15 @@ object RecordIO {
     * Matches mx.recordio.pack(IRHeader(0, label_array, id, 0), img).
     */
   def pack(rec: Record): Array[Byte] = {
-    val payloadLen = HeaderBytes + 4 * rec.label.length + rec.image.length
+    // Long arithmetic: an image near 2 GiB would wrap an Int payloadLen
+    // negative and slip past the guard below
+    val payloadLenL = HeaderBytes.toLong + 4L * rec.label.length + rec.image.length
     // lrecord holds the length in 29 bits (cflag lives in the top 3): a
     // ~512 MB payload would silently overflow into cflag and corrupt the
     // shard for every reader — fail loudly at write time instead
-    require(payloadLen < (1 << 29),
-      s"record ${rec.id}: payload $payloadLen bytes exceeds the RecordIO 29-bit length field (${(1 << 29) - 1})")
+    require(payloadLenL < (1L << 29),
+      s"record ${rec.id}: payload $payloadLenL bytes exceeds the RecordIO 29-bit length field (${(1 << 29) - 1})")
+    val payloadLen = payloadLenL.toInt
     val padded = (payloadLen + 3) / 4 * 4
     val buf = ByteBuffer.allocate(8 + padded).order(ByteOrder.LITTLE_ENDIAN)
     buf.putInt(Magic)

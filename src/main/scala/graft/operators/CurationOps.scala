@@ -33,21 +33,24 @@ object CurationOps {
     * comparison. At 100 TB both sides shuffle on `sh`; no driver state.
     */
   def contamination(s: SparkSession, d: String): DataFrame = {
-    val sets = DedupOps.shingleSets(s, d)
-    val posting = sets.select(col("doc_id"), explode(col("sh")).as("s"))
-    val trainShingles = posting.filter(!isTest).select("s").distinct()
-    val hits = posting.filter(isTest)
-      .join(trainShingles, "s")
+    val posting = DedupOps.shingleSets(s, d)
+      .select(col("doc_id"), explode(col("sh")).as("s"))
+    // exactly two passes over the scan + shingle kernel: one builds the
+    // train-side distinct index, one probes it with the test postings; the
+    // per-doc totals fall out of the probe aggregation itself (the shingle
+    // set is distinct, so count(*) per doc IS the set size — no third
+    // subtree joining doc sizes back)
+    val trainShingles = posting.filter(!isTest)
+      .select("s").distinct().withColumn("hit", lit(1))
+    posting.filter(isTest)
+      .join(trainShingles, Seq("s"), "left")
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_contaminated"))
-    sets.filter(isTest)
-      .select(col("doc_id"), size(col("sh")).cast("long").as("n_shingles"))
-      .join(hits, Seq("doc_id"), "left")
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        count(col("hit")).as("n_contaminated"))
       .select(
-        col("doc_id"),
-        col("n_shingles"),
-        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
-        (coalesce(col("n_contaminated"), lit(0L)).cast("double") /
+        col("doc_id"), col("n_shingles"), col("n_contaminated"),
+        (col("n_contaminated").cast("double") /
           col("n_shingles").cast("double")).as("contamination"))
       .orderBy("doc_id")
   }

@@ -16,6 +16,11 @@ import graft.functions.VectorFunctions._
   */
 object DedupOps {
 
+  /** Most recent persisted sorted-set index per session (see
+    * ngramJaccardPrefix). */
+  private val prefixSetsCaches =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, DataFrame]()
+
   /** Most recent persisted label snapshot per session (see dedupGroups). */
   private val groupsCaches =
     new java.util.concurrent.ConcurrentHashMap[SparkSession, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]]()
@@ -108,9 +113,21 @@ object DedupOps {
     */
   def ngramJaccardPrefix(s: SparkSession, d: String, threshold: Double = 0.5): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0, s"threshold in (0,1]; got $threshold")
+    // The sorted-set index feeds three subtrees (candidate build + both
+    // verification join sides) and aliased subtrees are never unified by
+    // exchange reuse — without the persist the corpus scan + shingle kernel
+    // + sort would run three times. Materializing the index is the PPJoin
+    // design point; the cache is spillable and, as with groupsCaches, each
+    // invocation releases the PREVIOUS call's index so repeat callers hold
+    // one live copy per session.
     val sets = shingleSets(s, d)
       .select(col("doc_id"), size(col("sh")).cast("long").as("n"),
         array_sort(col("sh")).as("ss"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    prefixSetsCaches.put(s, sets) match {
+      case prev: DataFrame if prev ne sets => prev.unpersist(blocking = false)
+      case _ => ()
+    }
     // prefix under hash-ascending order: the completeness bound is
     // n - ceil(t*n) + 1; floor is used instead of ceil so any float
     // rounding of t*n can only LENGTHEN the prefix (never lose a pair)
@@ -260,7 +277,11 @@ object DedupOps {
       val rdd0 = df.rdd
       val rdd = (if (parts > 0 && parts < rdd0.getNumPartitions) rdd0.coalesce(parts) else rdd0)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val n = rdd.count()
+      // a job failure inside this count (executor loss, OOM) would otherwise
+      // strand the half-cached blocks with no handle left to free them
+      val n = try rdd.count() catch {
+        case e: Throwable => rdd.unpersist(blocking = false); throw e
+      }
       (s.createDataFrame(rdd, df.schema), rdd, n)
     }
     val pairs = minhashPairsRaw(s, d)

@@ -11,6 +11,8 @@ for p in java.base/java.lang java.base/java.lang.invoke java.base/java.lang.refl
          java.base/sun.util.calendar; do
   OPENS="$OPENS --add-opens $p=ALL-UNNAMED"
 done
-exec java $OPENS -Xmx${SPARK_DRIVER_MEM:-24g} \
+# default heap = half of RAM clamped to [4g, 24g]; SPARK_DRIVER_MEM overrides
+DEFAULT_HEAP=$(awk '/MemTotal/ {g=int($2/2097152); if (g<4) g=4; if (g>24) g=24; print g"g"}' /proc/meminfo 2>/dev/null || echo 8g)
+exec java $OPENS -Xmx${SPARK_DRIVER_MEM:-$DEFAULT_HEAP} \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
   -cp "target/scala-2.13/classes:/opt/spark/jars/*" "$@"
