@@ -74,6 +74,8 @@ object SparkEntry {
     "q57_dup_ngram_rate"  -> (CurationOps.dupNgramRate _),
     "q58_stratified_sample" -> ((s: SparkSession, d: String) => CurationOps.stratifiedSample(s, d)),
     "q59_quantize_int8"   -> (CurationOps.quantizeStats _),
+    "q60_chunk_docs"      -> ((s: SparkSession, d: String) => CurationOps.chunkDocs(s, d)),
+    "q61_pack_sequences"  -> ((s: SparkSession, d: String) => CurationOps.packSequences(s, d)),
   )
 
   // Portable polynomial rolling hash in DuckDB SQL — mirrors
@@ -751,5 +753,33 @@ object SparkEntry {
         |  MAX(mae) AS max_abs_err,
         |  CAST(SUM(nsat) AS BIGINT) AS n_saturated
         |FROM p GROUP BY label ORDER BY label""".stripMargin,
+
+    // window=32, stride=24: starts at 1 + k*24 for k in [0, ceil(max(0,n-32)/24)]
+    "q60_chunk_docs" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts,
+        |                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+        |           FROM documents),
+        |k AS (SELECT doc_id, ts, n, unnest(range(0, (greatest(n - 32, 0) + 23) // 24 + 1)) AS k
+        |      FROM t)
+        |SELECT doc_id, CAST(k AS BIGINT) AS chunk_no,
+        |  CAST(k * 24 + 1 AS BIGINT) AS start_token,
+        |  array_to_string(list_slice(ts, k * 24 + 1, least(k * 24 + 32, n)), ' ') AS chunk_text,
+        |  CAST(least(n - k * 24, 32) AS BIGINT) AS n_chunk_tokens
+        |FROM k ORDER BY doc_id, chunk_no""".stripMargin,
+
+    // budget=512 tokens, shard = doc_id % 32; bin = prefix-sum-before // budget
+    "q61_pack_sequences" ->
+      """WITH t AS (SELECT doc_id, doc_id % 32 AS shard,
+        |                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |           FROM documents),
+        |c AS (SELECT doc_id, shard, n_tokens,
+        |        SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |      FROM t)
+        |SELECT shard, (cum - n_tokens) // 512 AS bin,
+        |  COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+        |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+        |FROM c GROUP BY shard, (cum - n_tokens) // 512
+        |ORDER BY shard, bin""".stripMargin,
   )
 }

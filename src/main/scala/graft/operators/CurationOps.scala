@@ -94,6 +94,59 @@ object CurationOps {
       .orderBy("lang", "sample_rank")
   }
 
+  /** q60 — sliding-window document chunking: fixed window (32 tokens) with
+    * stride 24 (8-token overlap), the standard pre-tokenization splitter for
+    * context-bounded training examples and embedding indexing. Chunk starts
+    * are 1 + k·stride for k in [0, ceil(max(0, n−W)/S)] — integer
+    * arithmetic, so the final chunk is never a sliver already covered by
+    * its predecessor. Per-row explode only: no shuffle before the sort.
+    */
+  def chunkDocs(s: SparkSession, d: String, window: Int = 32, stride: Int = 24): DataFrame = {
+    require(window >= 1 && stride >= 1 && stride <= window,
+      s"need 1 <= stride <= window; got window=$window stride=$stride")
+    Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("ts"))
+      .select(col("doc_id"), col("ts"), size(col("ts")).cast("long").as("n"))
+      .select(col("doc_id"), col("ts"), col("n"),
+        explode(sequence(lit(0L),
+          expr(s"(greatest(n - $window, 0L) + ${stride - 1}) div $stride"))).as("k"))
+      .select(
+        col("doc_id"),
+        col("k").as("chunk_no"),
+        (col("k") * stride + 1).as("start_token"),
+        concat_ws(" ", slice(col("ts"), (col("k") * stride + 1).cast("int"), lit(window)))
+          .as("chunk_text"),
+        least(col("n") - col("k") * stride, lit(window.toLong)).as("n_chunk_tokens"))
+      .orderBy("doc_id", "chunk_no")
+  }
+
+  /** q61 — sequence packing: assign documents to fixed token-budget bins
+    * (512 tokens) in deterministic doc_id order, the batch-packing pass
+    * that turns a corpus into fixed-length training sequences. Packing is
+    * inherently sequential, so it runs per SHARD (doc_id mod 32): each
+    * shard's running token sum is one window over its own partition —
+    * embarrassingly parallel across shards at 100 TB, never a global sort.
+    * A document lands in the bin where its span begins (bin = prefix-sum
+    * before it, integer-divided by the budget).
+    */
+  def packSequences(s: SparkSession, d: String, budget: Int = 512, shards: Int = 32): DataFrame = {
+    require(budget >= 1 && shards >= 1, s"need budget/shards >= 1; got $budget/$shards")
+    val w = Window.partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(s, d)
+      .select(col("doc_id"), (col("doc_id") % shards).as("shard"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .withColumn("bin", expr(s"(cum - n_tokens) div $budget"))
+      .groupBy("shard", "bin")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .orderBy("shard", "bin")
+  }
+
   /** q59 — int8 embedding-quantization QA: per-label reconstruction error of
     * symmetric max-abs scalar quantization (the standard 4× storage
     * compaction before ANN indexing at 100 TB). The per-vector pass is one

@@ -89,6 +89,57 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("q60 chunking: full coverage, stride spacing, no sliver tail") {
+    val chunks = CurationOps.chunkDocs(spark, sf).collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+    val nTokens = Tables.documents(spark, sf)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(chunks.keySet === nTokens.keySet) // every doc chunked, incl. short ones
+    chunks.foreach { case (id, cs) =>
+      val sorted = cs.sortBy(_.getAs[Long]("chunk_no"))
+      assert(sorted.head.getAs[Long]("start_token") === 1L)
+      // consecutive chunks exactly stride apart
+      val starts = sorted.map(_.getAs[Long]("start_token"))
+      starts.zip(starts.tail).foreach { case (a, b) => assert(b - a === 24L) }
+      // the last chunk reaches the final token; every chunk is non-empty
+      val last = sorted.last
+      assert(last.getAs[Long]("start_token") + last.getAs[Long]("n_chunk_tokens") - 1 === nTokens(id))
+      sorted.foreach { c =>
+        val k = c.getAs[Long]("n_chunk_tokens")
+        assert(k >= 1 && k <= 32)
+        assert(c.getAs[String]("chunk_text").split(" ", -1).length.toLong === k)
+      }
+    }
+  }
+
+  test("q61 packing: bins contiguous per shard, every doc packed, budget arithmetic exact") {
+    val bins = CurationOps.packSequences(spark, sf).collect()
+    val totalDocs = Tables.documents(spark, sf).count()
+    assert(bins.map(_.getAs[Long]("n_docs")).sum === totalDocs)
+    bins.groupBy(_.getAs[Long]("shard")).foreach { case (_, bs) =>
+      val ids = bs.map(_.getAs[Long]("bin")).sorted
+      assert(ids.head === 0L && ids === (0L until ids.length).toArray.toSeq,
+        s"bins not contiguous: ${ids.mkString(",")}")
+      // doc ranges don't overlap across consecutive bins
+      val ordered = bs.sortBy(_.getAs[Long]("bin"))
+      ordered.zip(ordered.tail).foreach { case (a, b) =>
+        assert(a.getAs[Long]("last_doc") < b.getAs[Long]("first_doc"))
+      }
+    }
+    // recompute shard 0's binning driver-side from raw token counts
+    val docs0 = Tables.documents(spark, sf)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .filter(_._1 % 32 == 0).sortBy(_._1)
+    var cum = 0L
+    val expected = docs0.map { case (id, n) => val b = cum / 512; cum += n; (id, b) }
+      .groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val got = bins.filter(_.getAs[Long]("shard") == 0L)
+      .map(r => r.getAs[Long]("bin") -> r.getAs[Long]("n_docs")).toMap
+    assert(got === expected)
+  }
+
   test("redactPii: typed placeholders replace emails, phones, SSNs, IPs; clean text unchanged") {
     import spark.implicits._
     val cases = Seq(
