@@ -21,6 +21,12 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // runtime bloom-filter pruning: a selective filter on one join side
+      // injects a bloom filter into the other side's scan — at 100 TB this
+      // is the difference between shuffling a full fact table and shuffling
+      // the ~1% that can actually match; explicit so no Spark-version
+      // default change can silently disable it
+      .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", (64 * 1024 * 1024).toString)
       .config("spark.sql.parquet.filterPushdown", "true")
       // events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized
