@@ -106,6 +106,67 @@ class KernelPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("graft_overlap equals naive set intersection, any sorted inputs") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    (0 until 60).foreach { i =>
+      val r = new Rng(i * 999331L + 11)
+      def sortedDistinct(n: Int): Array[Long] =
+        Array.fill(n)(r.next() & 1023L).distinct.sorted
+      val a = sortedDistinct(r.int(0, 40))
+      val b = sortedDistinct(r.int(0, 40))
+      val got = graft.plans.SetKernels.overlap(new GenericArrayData(a), new GenericArrayData(b))
+      assert(got === a.toSet.intersect(b.toSet).size.toLong, s"case $i")
+    }
+  }
+
+  test("graft_q8_stats: per-element error bound, saturation of the argmax, zero-vector identity") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    (0 until 60).foreach { i =>
+      val r = new Rng(i * 49979687L + 13)
+      val n = r.int(1, 96)
+      val v = Array.fill(n)((r.int(0, 2000) - 1000) / 250.0)
+      val row = graft.plans.QuantKernels.q8Stats(new GenericArrayData(v))
+      val (sse, maxerr, nsat) = (row.getDouble(0), row.getDouble(1), row.getLong(2))
+      val maxabs = v.map(math.abs).max
+      if (maxabs == 0.0) {
+        assert(sse === 0.0 && maxerr === 0.0 && nsat === 0L)
+      } else {
+        val scale = maxabs / 127.0
+        // round-to-nearest error is at most half a quantization step
+        assert(maxerr <= scale / 2 + 1e-12, s"case $i: maxerr $maxerr vs step $scale")
+        assert(sse <= n * (scale / 2 + 1e-12) * (scale / 2 + 1e-12))
+        assert(nsat >= 1, s"case $i: the max-abs element must quantize to ±127")
+      }
+    }
+  }
+
+  test("graft_doc_pairs emits exactly C(n,2) ordered pairs, ids sorted, payload carried") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.{BoundReference, GenericInternalRow}
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.sql.types._
+    val elemT = new StructType().add("doc_id", LongType).add("n", LongType)
+    val gen = graft.plans.DocPairGen(BoundReference(0, ArrayType(elemT), nullable = true))
+    (0 until 40).foreach { i =>
+      val r = new Rng(i * 32452843L + 17)
+      val ids = Array.fill(r.int(0, 12))(r.next() & 4095L).distinct
+      val docs = ids.map(id => new GenericInternalRow(Array[Any](id, id * 10 + 1)))
+      val input = new GenericInternalRow(Array[Any](new GenericArrayData(docs.toArray[Any])))
+      val out = gen.eval(input.asInstanceOf[InternalRow]).iterator.toList
+      val m = ids.length
+      assert(out.length === m * (m - 1) / 2, s"case $i")
+      val seen = out.map { p =>
+        val (a, b, na, nb) = (p.getLong(0), p.getLong(1), p.getLong(2), p.getLong(3))
+        assert(a < b, s"case $i: pair not ordered")
+        assert(na === a * 10 + 1 && nb === b * 10 + 1, s"case $i: payload mismatch")
+        (a, b)
+      }
+      assert(seen.distinct.length === seen.length, s"case $i: duplicate pairs")
+      val expected = ids.sorted.combinations(2).map(p => (p(0), p(1))).toSet
+      assert(seen.toSet === expected, s"case $i")
+    }
+  }
+
   test("audio resample length matches rate ratio, any rates") {
     (0 until 60).foreach { i =>
       val r = new Rng(i * 15485863L + 7)
