@@ -1,0 +1,130 @@
+package graft.jobs
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{GraftSession, Tables}
+import graft.functions.TextFunctions
+import graft.operators.DedupOps
+
+/** The training-corpus preparation pipeline as one Spark application — the
+  * text counterpart of BagIngest: raw documents in, a curated chunked lake
+  * out, with a per-stage attrition report. Composes the library's curation
+  * stages in their canonical order:
+  *
+  *   1. PII redaction (TextFunctions.redactPii — blur for text)
+  *   2. quality gate (min tokens, max within-doc duplicate-3-gram rate)
+  *   3. exact dedup (content-hash canonical, cheapest first)
+  *   4. near-dup group dedup (MinHash pairs -> connected components ->
+  *      keep each group's canonical) — skippable for small/clean corpora
+  *   5. sliding-window chunking (training-example shaping)
+  *
+  * Usage: CorpusPrep <sf-dir> <out-dir> [--no-neardup]
+  *
+  * Output layout:
+  *   <out>/documents/  kept documents (redacted text, provenance columns)
+  *   <out>/chunks/     window/stride chunks of the kept docs
+  *   <out>/stats/      one row per pipeline stage: rows in -> rows out
+  *
+  * Every stage is a deterministic DataFrame transform — the whole pipeline
+  * is one lazy plan per output table, embarrassingly parallel, and safe to
+  * re-run (overwrite semantics, no driver-side state beyond the q55
+  * convergence counts).
+  */
+object CorpusPrep {
+
+  final case class Config(
+      minTokens: Long = 5,
+      maxDupNgramRate: Double = 0.6,
+      nearDup: Boolean = true,
+      chunkWindow: Int = 32,
+      chunkStride: Int = 24)
+
+  def run(spark: SparkSession, sfDir: String, out: String,
+      cfg: Config = Config()): Unit = {
+    val raw = Tables.documents(spark, sfDir)
+    val total = raw.count()
+
+    // 1. redact PII in place; keep the original length for provenance
+    val redacted = raw.select(
+      col("doc_id"), col("lang"), col("source"),
+      TextFunctions.redactPii(col("text")).as("text"))
+
+    // 2. quality gate: token floor + repetition ceiling (q57 semantics)
+    val withQ = redacted
+      .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+      .withColumn("n_ngrams", greatest(col("n_tokens") - 2, lit(0L)))
+      .withColumn("n_distinct",
+        size(call_function("graft_shingles", col("text"))).cast("long"))
+      .withColumn("dup_rate",
+        when(col("n_ngrams") > 0,
+          (col("n_ngrams") - col("n_distinct")).cast("double") / col("n_ngrams"))
+          .otherwise(lit(0.0)))
+    val quality = withQ
+      .filter(col("n_tokens") >= cfg.minTokens && col("dup_rate") <= cfg.maxDupNgramRate)
+    val nQuality = quality.count()
+
+    // 3. exact dedup: keep the minimum doc_id per content hash
+    val exactKeep = quality
+      .withColumn("text_hash", md5(col("text").cast("binary")))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("text_hash").orderBy("doc_id")))
+      .filter(col("rk") === 1)
+      .drop("rk", "text_hash")
+    val nExact = exactKeep.count()
+
+    // 4. near-dup groups: canonical docs survive, the rest of each MinHash
+    // connected component drops (q55's keep/drop list applied). NOTE: group
+    // discovery runs on the RAW corpus ids — membership of kept ids is
+    // intersected, so a group whose canonical fell to the quality gate
+    // keeps its smallest surviving member instead of losing the group.
+    val kept = if (!cfg.nearDup) exactKeep else {
+      val groups = DedupOps.dedupGroups(spark, sfDir)
+        .select(col("doc_id"), col("canonical"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("canonical").orderBy("doc_id")
+      exactKeep.join(groups, Seq("doc_id"), "left")
+        .withColumn("canonical", coalesce(col("canonical"), col("doc_id")))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .drop("rk", "canonical")
+    }
+    val nKept = kept.count()
+
+    kept.write.mode(SaveMode.Overwrite).parquet(s"$out/documents")
+
+    // 5. chunk the kept docs for training-example shaping (q60 semantics)
+    val chunks = kept
+      .select(col("doc_id"), split(col("text"), " ").as("ts"), col("n_tokens").as("n"))
+      .select(col("doc_id"), col("ts"), col("n"),
+        explode(sequence(lit(0L),
+          expr(s"(greatest(n - ${cfg.chunkWindow}, 0L) + ${cfg.chunkStride - 1}) div ${cfg.chunkStride}")))
+          .as("k"))
+      .select(
+        col("doc_id"), col("k").as("chunk_no"),
+        concat_ws(" ", slice(col("ts"), (col("k") * cfg.chunkStride + 1).cast("int"),
+          lit(cfg.chunkWindow))).as("chunk_text"),
+        least(col("n") - col("k") * cfg.chunkStride, lit(cfg.chunkWindow.toLong))
+          .as("n_chunk_tokens"))
+    chunks.write.mode(SaveMode.Overwrite).parquet(s"$out/chunks")
+    val nChunks = spark.read.parquet(s"$out/chunks").count()
+
+    import spark.implicits._
+    Seq(
+      ("00_input", total),
+      ("01_quality_gate", nQuality),
+      ("02_exact_dedup", nExact),
+      ("03_neardup_groups", nKept),
+      ("04_chunks", nChunks))
+      .toDF("stage", "rows")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$out/stats")
+  }
+
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: CorpusPrep <sf-dir> <out-dir> [--no-neardup]")
+    val spark = GraftSession.get()
+    run(spark, args(0), args(1), Config(nearDup = !args.contains("--no-neardup")))
+    spark.stop()
+  }
+}
