@@ -75,6 +75,7 @@ object SparkEntry {
     "q58_stratified_sample" -> ((s: SparkSession, d: String) => CurationOps.stratifiedSample(s, d)),
     "q59_quantize_int8"   -> (CurationOps.quantizeStats _),
     "q60_chunk_docs"      -> ((s: SparkSession, d: String) => CurationOps.chunkDocs(s, d)),
+    "q62_incremental_dedup" -> ((s: SparkSession, d: String) => DedupOps.incrementalDedup(s, d)),
     "q61_pack_sequences"  -> ((s: SparkSession, d: String) => CurationOps.packSequences(s, d)),
   )
 
@@ -766,6 +767,31 @@ object SparkEntry {
         |  array_to_string(list_slice(ts, k * 24 + 1, least(k * 24 + 32, n)), ' ') AS chunk_text,
         |  CAST(least(n - k * 24, 32) AS BIGINT) AS n_chunk_tokens
         |FROM k ORDER BY doc_id, chunk_no""".stripMargin,
+
+    "q62_incremental_dedup" ->
+      s"""WITH $SHINGLES,
+         |h AS (SELECT doc_id, hs FROM sh),
+         |sigs AS (SELECT doc_id, i,
+         |           list_min(list_transform(hs, v -> ((2*i+1)*v + 7919*i + 13) % 2147483647)) AS mh
+         |         FROM h, range(16) t(i)),
+         |bands AS (SELECT doc_id, i // 4 AS band,
+         |            string_agg(mh::VARCHAR, ',' ORDER BY i) AS sig
+         |          FROM sigs GROUP BY doc_id, i // 4),
+         |newdocs AS (SELECT doc_id, md5(text) AS text_hash FROM documents WHERE source = 'src0'),
+         |exhash AS (SELECT DISTINCT md5(text) AS text_hash FROM documents WHERE source <> 'src0'),
+         |exbuckets AS (SELECT DISTINCT band, sig FROM bands
+         |              WHERE doc_id IN (SELECT doc_id FROM documents WHERE source <> 'src0')),
+         |nearhit AS (SELECT DISTINCT b.doc_id FROM bands b
+         |            JOIN exbuckets e ON b.band = e.band AND b.sig = e.sig
+         |            WHERE b.doc_id IN (SELECT doc_id FROM newdocs))
+         |SELECT n.doc_id,
+         |  CASE WHEN x.text_hash IS NOT NULL THEN 'exact'
+         |       WHEN nh.doc_id IS NOT NULL THEN 'neardup'
+         |       ELSE 'unique' END AS verdict
+         |FROM newdocs n
+         |LEFT JOIN exhash x ON n.text_hash = x.text_hash
+         |LEFT JOIN nearhit nh ON n.doc_id = nh.doc_id
+         |ORDER BY n.doc_id""".stripMargin,
 
     // budget=512 tokens, shard = doc_id % 32; bin = prefix-sum-before // budget
     "q61_pack_sequences" ->

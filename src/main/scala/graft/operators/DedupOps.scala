@@ -176,8 +176,12 @@ object DedupOps {
     * it skips the distinct and global-sort shuffles the reporting query
     * (minhashLsh) pays for its user-facing contract.
     */
-  private def minhashPairsRaw(s: SparkSession, d: String): DataFrame = {
-    val sigs = scaledDocs(s, d)
+  /** LSH band rows (doc_id, band, sig) of a documents-shaped frame: the
+    * whole 16-hash signature and its 4 band keys are computed per row by
+    * the native kernels — zero shuffle.
+    */
+  private def bandedOf(docs: DataFrame): DataFrame = {
+    val sigs = docs
       .select(col("doc_id"),
         call_function("graft_minhash", call_function("graft_shingles", col("text"))).as("mh"))
       .filter(size(col("mh")) > 0)
@@ -185,9 +189,13 @@ object DedupOps {
       val parts = (0 until RowsPerBand).map(r => element_at(col("mh"), b * RowsPerBand + r + 1))
       concat_ws(",", parts: _*).as(s"band_$b")
     }
-    val stacked = sigs.select(col("doc_id") +: bandCols: _*)
+    sigs.select(col("doc_id") +: bandCols: _*)
       .selectExpr("doc_id",
         s"stack(${Bands}, ${(0 until Bands).map(b => s"${b}L, band_$b").mkString(", ")}) as (band, sig)")
+  }
+
+  private def minhashPairsRaw(s: SparkSession, d: String): DataFrame = {
+    val stacked = bandedOf(scaledDocs(s, d))
     // Bucket pair-gen via the same inverted-index shape as q41: group by the
     // band bucket, stream C(k,2) pairs from the lazy graft_doc_pairs
     // generator. The previous aliased self-join ran the scan + minhash
@@ -202,6 +210,44 @@ object DedupOps {
       .select(call_function("graft_doc_pairs", col("docs"))
         .as(Seq("doc_a", "doc_b", "na", "nb")))
     pairs.select("doc_a", "doc_b")
+  }
+
+  /** q62 — incremental dedup: triage one incoming source batch against the
+    * existing corpus — the "new crawl vs corpus" pass that keeps a growing
+    * lake duplicate-free without ever re-deduping what is already in it.
+    * Each new doc gets a verdict: `exact` (content hash exists), `neardup`
+    * (shares a MinHash band bucket with an existing doc), or `unique`.
+    *
+    * Scale shape: the existing corpus collapses to its distinct content
+    * hashes and distinct band buckets (both linear, both map-side-computed
+    * signatures), and the new batch left-joins those on the hash/bucket —
+    * cost scales with the BATCH, never with batch×corpus; the corpus-side
+    * index sets are exactly what a production lake would maintain
+    * incrementally.
+    */
+  def incrementalDedup(s: SparkSession, d: String, newSource: String = "src0"): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val newDocs = docs.filter(col("source") === newSource)
+    val existing = docs.filter(col("source") =!= newSource)
+    val existingHashes = existing
+      .select(md5(col("text").cast("binary")).as("text_hash")).distinct()
+      .withColumn("is_exact", lit(1))
+    val existingBuckets = bandedOf(existing)
+      .select("band", "sig").distinct()
+      .withColumn("is_near", lit(1))
+    val nearHits = bandedOf(newDocs)
+      .join(existingBuckets, Seq("band", "sig"), "left")
+      .groupBy("doc_id")
+      .agg(max(col("is_near")).as("is_near"))
+    newDocs
+      .withColumn("text_hash", md5(col("text").cast("binary")))
+      .join(existingHashes, Seq("text_hash"), "left")
+      .join(nearHits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("is_exact") === 1, lit("exact"))
+          .when(col("is_near") === 1, lit("neardup"))
+          .otherwise(lit("unique")).as("verdict"))
+      .orderBy("doc_id")
   }
 
   /** q43 — SimHash fingerprint + Hamming near-dup pairs via LOSSLESS

@@ -108,6 +108,31 @@ class LlmOpsSpec extends SparkSpec {
       "repeat dedupGroups calls accumulated cached RDDs")
   }
 
+  test("q62 incremental dedup: verdicts cover the batch and agree with the pair/hash evidence") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "source", "text").collect()
+    val newIds = docs.filter(_.getString(1) == "src0").map(_.getLong(0)).toSet
+    val verdicts = DedupOps.incrementalDedup(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(verdicts.keySet === newIds) // every batch doc triaged exactly once
+    // exact evidence: same text exists outside the batch
+    val existingTexts = docs.filter(_.getString(1) != "src0").map(_.getString(2)).toSet
+    docs.filter(r => newIds(r.getLong(0))).foreach { r =>
+      val isExact = existingTexts(r.getString(2))
+      if (isExact) assert(verdicts(r.getLong(0)) === "exact", s"doc ${r.getLong(0)}")
+      else assert(verdicts(r.getLong(0)) !== "exact", s"doc ${r.getLong(0)}")
+    }
+    // near-dup evidence: any LSH candidate pair crossing the batch boundary
+    // forbids a 'unique' verdict for the batch-side doc
+    DedupOps.minhashLsh(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .foreach { case (a, b) =>
+        if (newIds(a) ^ newIds(b)) {
+          val inBatch = if (newIds(a)) a else b
+          assert(verdicts(inBatch) !== "unique", s"pair ($a,$b): $inBatch marked unique")
+        }
+      }
+  }
+
   test("q43 simhash: identical docs have identical fingerprints (hamming 0)") {
     // exact duplicates exist in the corpus; they must appear at hamming 0
     val dups = DedupOps.exact(spark, sf).filter(col("n_copies") > 1).count()
