@@ -25,12 +25,15 @@ val jdk17AddOpens = Seq(
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
 // Default heap: half of physical RAM, clamped to [4g, 24g] — headroom for
 // the 32-thread local bench on big hosts without starving small dev boxes.
+// Probed via the OS MXBean (cross-platform, no file handles).
 // SPARK_DRIVER_MEM overrides.
 val defaultHeapGb: Long = {
   val halfRamGb = try {
-    scala.io.Source.fromFile("/proc/meminfo").getLines()
-      .find(_.startsWith("MemTotal")).map(_.trim.split("\\s+")(1).toLong / (2 * 1024 * 1024))
-      .getOrElse(8L)
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+      case os: com.sun.management.OperatingSystemMXBean =>
+        os.getTotalMemorySize / (2L * 1024 * 1024 * 1024)
+      case _ => 8L
+    }
   } catch { case _: Throwable => 8L }
   math.max(4L, math.min(24L, halfRamGb))
 }

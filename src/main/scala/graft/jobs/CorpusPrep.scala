@@ -50,8 +50,11 @@ object CorpusPrep {
       col("doc_id"), col("lang"), col("source"),
       TextFunctions.redactPii(col("text")).as("text"))
 
-    // 2. quality gate: token floor + repetition ceiling (q57 semantics)
-    val withQ = redacted
+    // 2. quality gate: token floor + repetition ceiling (q57 semantics).
+    // Persisted: this is the frontier every later stage (counts, dedup,
+    // writes) reads — without it each of the job's actions would re-run
+    // the redaction regex chain and shingle kernel over the whole corpus.
+    val quality = redacted
       .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
       .withColumn("n_ngrams", greatest(col("n_tokens") - 2, lit(0L)))
       .withColumn("n_distinct",
@@ -60,8 +63,14 @@ object CorpusPrep {
         when(col("n_ngrams") > 0,
           (col("n_ngrams") - col("n_distinct")).cast("double") / col("n_ngrams"))
           .otherwise(lit(0.0)))
-    val quality = withQ
       .filter(col("n_tokens") >= cfg.minTokens && col("dup_rate") <= cfg.maxDupNgramRate)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try runStages(spark, sfDir, out, cfg, total, quality)
+    finally quality.unpersist(blocking = false)
+  }
+
+  private def runStages(spark: SparkSession, sfDir: String, out: String,
+      cfg: Config, total: Long, quality: DataFrame): Unit = {
     val nQuality = quality.count()
 
     // 3. exact dedup: keep the minimum doc_id per content hash
@@ -94,20 +103,12 @@ object CorpusPrep {
 
     kept.write.mode(SaveMode.Overwrite).parquet(s"$out/documents")
 
-    // 5. chunk the kept docs for training-example shaping (q60 semantics)
-    val chunks = kept
-      .select(col("doc_id"), split(col("text"), " ").as("ts"), col("n_tokens").as("n"))
-      .select(col("doc_id"), col("ts"), col("n"),
-        explode(sequence(lit(0L),
-          expr(s"(greatest(n - ${cfg.chunkWindow}, 0L) + ${cfg.chunkStride - 1}) div ${cfg.chunkStride}")))
-          .as("k"))
-      .select(
-        col("doc_id"), col("k").as("chunk_no"),
-        concat_ws(" ", slice(col("ts"), (col("k") * cfg.chunkStride + 1).cast("int"),
-          lit(cfg.chunkWindow))).as("chunk_text"),
-        least(col("n") - col("k") * cfg.chunkStride, lit(cfg.chunkWindow.toLong))
-          .as("n_chunk_tokens"))
-    chunks.write.mode(SaveMode.Overwrite).parquet(s"$out/chunks")
+    // 5. chunk the kept docs for training-example shaping — the exact q60
+    // chunker (shared implementation incl. its stride<=window guard), fed
+    // from the just-written parquet so it never re-runs the curation DAG
+    graft.operators.CurationOps
+      .chunkDocsOf(spark.read.parquet(s"$out/documents"), cfg.chunkWindow, cfg.chunkStride)
+      .write.mode(SaveMode.Overwrite).parquet(s"$out/chunks")
     val nChunks = spark.read.parquet(s"$out/chunks").count()
 
     import spark.implicits._

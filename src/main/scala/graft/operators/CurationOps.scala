@@ -101,10 +101,15 @@ object CurationOps {
     * arithmetic, so the final chunk is never a sliver already covered by
     * its predecessor. Per-row explode only: no shuffle before the sort.
     */
-  def chunkDocs(s: SparkSession, d: String, window: Int = 32, stride: Int = 24): DataFrame = {
+  def chunkDocs(s: SparkSession, d: String, window: Int = 32, stride: Int = 24): DataFrame =
+    chunkDocsOf(Tables.documents(s, d), window, stride)
+      .orderBy("doc_id", "chunk_no")
+
+  /** The chunker over any (doc_id, text) frame — reused by CorpusPrep. */
+  def chunkDocsOf(docs: DataFrame, window: Int, stride: Int): DataFrame = {
     require(window >= 1 && stride >= 1 && stride <= window,
       s"need 1 <= stride <= window; got window=$window stride=$stride")
-    Tables.documents(s, d)
+    docs
       .select(col("doc_id"), split(col("text"), " ").as("ts"))
       .select(col("doc_id"), col("ts"), size(col("ts")).cast("long").as("n"))
       .select(col("doc_id"), col("ts"), col("n"),
@@ -117,7 +122,6 @@ object CurationOps {
         concat_ws(" ", slice(col("ts"), (col("k") * stride + 1).cast("int"), lit(window)))
           .as("chunk_text"),
         least(col("n") - col("k") * stride, lit(window.toLong)).as("n_chunk_tokens"))
-      .orderBy("doc_id", "chunk_no")
   }
 
   /** q61 — sequence packing: assign documents to fixed token-budget bins

@@ -226,7 +226,9 @@ object DedupOps {
     * incrementally.
     */
   def incrementalDedup(s: SparkSession, d: String, newSource: String = "src0"): DataFrame = {
-    val docs = Tables.documents(s, d)
+    // scaledDocs: the minhash kernel passes below parallelize on few-split
+    // inputs like every other kernel-heavy dedup operator
+    val docs = scaledDocs(s, d)
     val newDocs = docs.filter(col("source") === newSource)
     val existing = docs.filter(col("source") =!= newSource)
     val existingHashes = existing

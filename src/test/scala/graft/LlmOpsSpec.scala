@@ -133,6 +133,31 @@ class LlmOpsSpec extends SparkSpec {
       }
   }
 
+  test("q62 exact arm: a cross-source literal duplicate is verdicted 'exact', not 'neardup'") {
+    import spark.implicits._
+    // the lake fixtures contain no cross-source exact duplicate, so the
+    // exact branch needs its own corpus: doc 0 (src0) duplicates doc 10
+    // (src1) byte-for-byte; doc 1 shares most shingles with doc 10 AND
+    // (verified against the deterministic kernel arithmetic) agrees with
+    // it on all four MinHash bands, so the near-dup verdict is not left
+    // to banding luck; doc 2 is unrelated
+    val docs = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta eta theta", "en", "src0"),
+      (1L, "alpha beta gamma delta epsilon zeta eta theta kappa", "en", "src0"),
+      (2L, "one two three four five six seven eight", "en", "src0"),
+      (10L, "alpha beta gamma delta epsilon zeta eta theta", "en", "src1"),
+      (11L, "unrelated filler text with many different words", "en", "src1"))
+    val tmp = java.nio.file.Files.createTempDirectory("incdedup").toString
+    docs.toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.parquet(s"$tmp/documents.parquet")
+    val v = DedupOps.incrementalDedup(spark, tmp).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(v(0L) === "exact")   // identical text exists in src1
+    assert(v(1L) === "neardup") // shares a band bucket with doc 10
+    assert(v(2L) === "unique")
+  }
+
   test("q43 simhash: identical docs have identical fingerprints (hamming 0)") {
     // exact duplicates exist in the corpus; they must appear at hamming 0
     val dups = DedupOps.exact(spark, sf).filter(col("n_copies") > 1).count()

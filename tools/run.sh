@@ -12,7 +12,8 @@ for p in java.base/java.lang java.base/java.lang.invoke java.base/java.lang.refl
   OPENS="$OPENS --add-opens $p=ALL-UNNAMED"
 done
 # default heap = half of RAM clamped to [4g, 24g]; SPARK_DRIVER_MEM overrides
-DEFAULT_HEAP=$(awk '/MemTotal/ {g=int($2/2097152); if (g<4) g=4; if (g>24) g=24; print g"g"}' /proc/meminfo 2>/dev/null || echo 8g)
+DEFAULT_HEAP=$(awk '/MemTotal/ {g=int($2/2097152); if (g<4) g=4; if (g>24) g=24; print g"g"}' /proc/meminfo 2>/dev/null)
+DEFAULT_HEAP=${DEFAULT_HEAP:-8g}   # no /proc/meminfo or no MemTotal line
 exec java $OPENS -Xmx${SPARK_DRIVER_MEM:-$DEFAULT_HEAP} \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
   -cp "target/scala-2.13/classes:/opt/spark/jars/*" "$@"
