@@ -802,7 +802,7 @@ object SparkEntry {
         |        SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
         |      FROM t)
-        |SELECT shard, (cum - n_tokens) // 512 AS bin,
+        |SELECT shard, CAST((cum - n_tokens) // 512 AS BIGINT) AS bin,
         |  COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
         |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
         |FROM c GROUP BY shard, (cum - n_tokens) // 512

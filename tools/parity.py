@@ -11,15 +11,25 @@ import duckdb
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
+def from_arrow(tbl, origin=None):
+    """Arrow table -> (cols, rows). A DuckDB HUGEINT/DECIMAL column is a hard
+    error when it comes from an oracle query: Python's Decimal(5) == 5 would
+    compare equal here, but the driver's hasher sees decimal128 vs int64 and
+    fails (round-4 q61 `bin`). CAST the oracle column to BIGINT/DOUBLE."""
+    for f in tbl.schema:
+        if origin and ("decimal" in str(f.type) or "int128" in str(f.type)):
+            raise ValueError(
+                f"{origin}: column {f.name} is {f.type} — add a CAST in the oracle SQL")
+    cols = tbl.schema.names
+    pyrows = tbl.to_pylist()
+    return cols, [tuple(r[c] for c in cols) for r in pyrows]
+
 def load_spark(outdir, name):
     files = glob.glob(os.path.join(outdir, name, "*.parquet"))
     if not files:
         return None
     con = duckdb.connect()
-    rel = con.execute(f"SELECT * FROM read_parquet({files!r})")
-    cols = [d[0] for d in rel.description]
-    rows = rel.fetchall()
-    return cols, rows
+    return from_arrow(con.sql(f"SELECT * FROM read_parquet({files!r})").arrow())
 
 def norm(v):
     if isinstance(v, float):
@@ -76,9 +86,7 @@ def main():
         if name not in sql:
             print(f"  {name}: rows-only ({len(spark[1])} rows)"); ok += 1; continue
         try:
-            rel = con.execute(sql[name])
-            ocols = [d[0] for d in rel.description]
-            orows = rel.fetchall()
+            ocols, orows = from_arrow(con.sql(sql[name]).arrow(), origin=name)
         except Exception as e:
             print(f"  {name}: ORACLE SQL ERROR {e}"); fail += 1; continue
         err = compare(name, spark, (ocols, orows))
