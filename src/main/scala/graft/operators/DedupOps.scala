@@ -320,9 +320,21 @@ object DedupOps {
     // while keeping an explicit handle for releasing the blocks (which
     // localCheckpoint would leave to driver GC). `parts > 0` right-sizes
     // the snapshot's partition count to the data (see below).
-    def materialize(df: DataFrame, parts: Int = 0)
+    def materialize(df: DataFrame, parts: Int = 0, changedCol: Option[String] = None)
         : (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row], Long) = {
-      val rdd0 = df.rdd
+      // change detection fuses into the snapshot count: the accumulator
+      // ticks while the persist pass runs, so a round is ONE job, not a
+      // count + a second filter-count over the same snapshot. Task retries
+      // can only inflate an accumulator — and a row with changed=false adds
+      // 0 no matter how often it replays — so the `== 0` convergence test
+      // stays exact.
+      val acc = changedCol.map(_ => s.sparkContext.longAccumulator("changed"))
+      val changedIdx = changedCol.map(df.schema.fieldIndex)
+      val rdd0 = (acc, changedIdx) match {
+        case (Some(a), Some(i)) =>
+          df.rdd.map { r => if (!r.isNullAt(i) && r.getBoolean(i)) a.add(1L); r }
+        case _ => df.rdd
+      }
       val rdd = (if (parts > 0 && parts < rdd0.getNumPartitions) rdd0.coalesce(parts) else rdd0)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // a job failure inside this count (executor loss, OOM) would otherwise
@@ -330,7 +342,7 @@ object DedupOps {
       val n = try rdd.count() catch {
         case e: Throwable => rdd.unpersist(blocking = false); throw e
       }
-      (s.createDataFrame(rdd, df.schema), rdd, n)
+      (s.createDataFrame(rdd, df.schema), rdd, acc.map(_.value.longValue).getOrElse(n))
     }
     val pairs = minhashPairsRaw(s, d)
     var (edges, edgesRdd, edgeCount) = materialize(
@@ -341,16 +353,13 @@ object DedupOps {
     // 100 TB `k` stays at cluster width, while a small edge set collapses to
     // a handful of partitions so each round is a few tasks, not
     // defaultParallelism-many per job. Same idea AQE applies to shuffles,
-    // done here by hand because the loop runs over raw persisted RDDs.
+    // done here by hand because the loop runs over raw persisted RDDs. The
+    // narrowing is a LAZY coalesce over the already-persisted blocks — a
+    // second persisted copy of the edge set bought nothing but an extra
+    // pass (reading 32 cached blocks through a k-way coalesce is free).
     val k = math.min(s.sparkContext.defaultParallelism.toLong, edgeCount / 500000L + 1L).toInt
-    if (k < edgesRdd.getNumPartitions) {
-      val c = edgesRdd.coalesce(k)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      c.count()
-      edgesRdd.unpersist(blocking = false)
-      edges = s.createDataFrame(c, edges.schema)
-      edgesRdd = c
-    }
+    if (k < edgesRdd.getNumPartitions)
+      edges = s.createDataFrame(edgesRdd.coalesce(k), edges.schema)
     // only documents that appear in a pair can change label — the
     // propagation loop runs on that (much smaller) node set and the rest of
     // the corpus joins back as its own canonical at the end. The node set
@@ -368,14 +377,14 @@ object DedupOps {
         val nbrMin = edges.join(labels, edges("v") === labels("doc_id"))
           .groupBy(col("u")).agg(min("canonical").as("nbr_min"))
         // change detection is inline (nbr_min < old canonical) — no extra
-        // join against the previous labels; the changed-count scan runs on
-        // the just-persisted k-partition snapshot (a few tiny tasks)
-        val (next, nextRdd, _) = materialize(
+        // join against the previous labels, and the changed count rides the
+        // snapshot's own persist pass (materialize's accumulator)
+        val (next, nextRdd, changed) = materialize(
           labels.join(nbrMin, labels("doc_id") === nbrMin("u"), "left")
             .select(labels("doc_id"),
               least(col("canonical"), coalesce(col("nbr_min"), col("canonical"))).as("canonical"),
-              (coalesce(col("nbr_min"), col("canonical")) < col("canonical")).as("__changed")), k)
-        val changed = next.filter(col("__changed")).count()
+              (coalesce(col("nbr_min"), col("canonical")) < col("canonical")).as("__changed")),
+          k, changedCol = Some("__changed"))
         labelsRdd.unpersist(blocking = false) // exactly one label snapshot live
         labels = next.drop("__changed")
         labelsRdd = nextRdd
