@@ -77,6 +77,10 @@ object SparkEntry {
     "q60_chunk_docs"      -> ((s: SparkSession, d: String) => CurationOps.chunkDocs(s, d)),
     "q62_incremental_dedup" -> ((s: SparkSession, d: String) => DedupOps.incrementalDedup(s, d)),
     "q61_pack_sequences"  -> ((s: SparkSession, d: String) => CurationOps.packSequences(s, d)),
+    "q61b_pack_layout"    -> ((s: SparkSession, d: String) => CurationOps.packLayout(s, d)),
+    "q63_gopher_quality"  -> (CurationOps.gopherQuality _),
+    "q64_source_mix"      -> (CurationOps.sourceMix _),
+    "q65_dup_runs"        -> ((s: SparkSession, d: String) => CurationOps.dupRuns(s, d)),
   )
 
   // Portable polynomial rolling hash in DuckDB SQL — mirrors
@@ -807,5 +811,58 @@ object SparkEntry {
         |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
         |FROM c GROUP BY shard, (cum - n_tokens) // 512
         |ORDER BY shard, bin""".stripMargin,
+
+    // per-doc packed coordinates: bin + token offset within the bin
+    "q61b_pack_layout" ->
+      """WITH t AS (SELECT doc_id, doc_id % 32 AS shard,
+        |                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |           FROM documents),
+        |c AS (SELECT doc_id, shard, n_tokens,
+        |        SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |      FROM t)
+        |SELECT doc_id, shard,
+        |  CAST((cum - n_tokens) // 512 AS BIGINT) AS bin,
+        |  CAST((cum - n_tokens) % 512 AS BIGINT) AS "offset",
+        |  n_tokens
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    // word-level quality rules: TTR, top-word dominance, mean word length
+    "q63_gopher_quality" ->
+      """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |c AS (SELECT doc_id, w, COUNT(*) AS c FROM w GROUP BY doc_id, w)
+        |SELECT doc_id,
+        |  CAST(SUM(c) AS BIGINT) AS n_words,
+        |  CAST(COUNT(*) AS BIGINT) AS n_distinct,
+        |  CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS top_word_frac,
+        |  CAST(COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS ttr,
+        |  CAST(SUM(len(w) * c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS mean_word_len
+        |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // sqrt-temperature source-mixing weights; normalizer through the
+    // exact-decimal carrier so the sum is order-insensitive
+    "q64_source_mix" ->
+      """WITH t AS (SELECT source, COUNT(*) AS n_docs,
+        |             CAST(SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS BIGINT) AS n_tokens
+        |           FROM documents GROUP BY source),
+        |s AS (SELECT source, n_docs, n_tokens, sqrt(CAST(n_tokens AS DOUBLE)) AS sw FROM t),
+        |tot AS (SELECT CAST(SUM(CAST(sw AS DECIMAL(27,6))) AS DOUBLE) AS total_sw FROM s)
+        |SELECT source, CAST(n_docs AS BIGINT) AS n_docs, n_tokens, sw / total_sw AS weight
+        |FROM s, tot ORDER BY source""".stripMargin,
+
+    // duplicated 8-token-run coverage per doc (exact-substring dedup signal)
+    "q65_dup_runs" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts,
+        |                  len(string_split(text, ' ')) AS n FROM documents),
+        |r0 AS (SELECT doc_id, unnest(generate_series(1, n - 7)) AS i, ts
+        |       FROM t WHERE n >= 8),
+        |r AS (SELECT doc_id, md5(array_to_string(ts[i:i+7], ' ')) AS rh FROM r0),
+        |g AS (SELECT rh, MIN(doc_id) AS mn, MAX(doc_id) AS mx FROM r GROUP BY rh)
+        |SELECT r.doc_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_runs,
+        |  CAST(SUM(CASE WHEN g.mn <> r.doc_id OR g.mx <> r.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+        |  CAST(SUM(CASE WHEN g.mn <> r.doc_id OR g.mx <> r.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE) AS shared_frac
+        |FROM r JOIN g USING (rh) GROUP BY r.doc_id ORDER BY r.doc_id""".stripMargin,
   )
 }

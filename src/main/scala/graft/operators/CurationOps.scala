@@ -151,6 +151,117 @@ object CurationOps {
       .orderBy("shard", "bin")
   }
 
+  /** q61b — per-document packed-sequence layout: the document-level
+    * companion of q61 that a training loader actually consumes — for every
+    * doc its (shard, bin, offset) coordinates, where offset is the token
+    * position the doc starts at inside its bin ((prefix-sum-before) mod
+    * budget). Same single per-shard window as q61: embarrassingly parallel
+    * across shards, never a global sort.
+    */
+  def packLayout(s: SparkSession, d: String, budget: Int = 512, shards: Int = 32): DataFrame = {
+    require(budget >= 1 && shards >= 1, s"need budget/shards >= 1; got $budget/$shards")
+    val w = Window.partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(s, d)
+      .select(col("doc_id"), (col("doc_id") % shards).as("shard"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .select(col("doc_id"), col("shard"),
+        expr(s"(cum - n_tokens) div $budget").as("bin"),
+        expr(s"(cum - n_tokens) % $budget").as("offset"),
+        col("n_tokens"))
+      .orderBy("doc_id")
+  }
+
+  /** q63 — word-level corpus-quality rules (the Gopher-report family that
+    * applies to whitespace-tokenized text): per doc the type-token ratio
+    * (distinct/total words), the most-frequent-word dominance fraction, and
+    * the mean word length — the repetition/degeneracy filters used alongside
+    * q48's character-level scores and q57's n-gram rate.
+    *
+    * Scale shape: ONE shuffle — documents repartition on doc_id and both
+    * aggregations (per-(doc, word) counts, then the per-doc rollup) ride
+    * that partitioning, since hash(doc_id) co-locates every (doc_id, word)
+    * group. Shuffling the compact doc rows beats shuffling the exploded
+    * word stream twice at any scale.
+    */
+  def gopherQuality(s: SparkSession, d: String): DataFrame = {
+    val counts = Tables.documents(s, d)
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .groupBy("doc_id", "w")
+      .agg(count(lit(1)).as("c"))
+    counts
+      .groupBy("doc_id")
+      .agg(
+        sum(col("c")).as("n_words"),
+        count(lit(1)).as("n_distinct"),
+        max(col("c")).as("top_c"),
+        sum(length(col("w")) * col("c")).as("sum_len"))
+      .select(col("doc_id"), col("n_words"), col("n_distinct"),
+        (col("top_c").cast("double") / col("n_words").cast("double")).as("top_word_frac"),
+        (col("n_distinct").cast("double") / col("n_words").cast("double")).as("ttr"),
+        (col("sum_len").cast("double") / col("n_words").cast("double")).as("mean_word_len"))
+      .orderBy("doc_id")
+  }
+
+  /** q64 — source-mixing weights: per-source sampling weights proportional
+    * to sqrt(token count) (temperature-style upsampling of small sources,
+    * the standard multi-corpus mixing rule). The normalizing sum goes
+    * through the exact-decimal carrier (Exact.dsum) so the weight vector is
+    * bit-identical under any partitioning; the per-source shares are then
+    * single IEEE divisions. One tiny aggregation — the per-source rollup is
+    * a partial-aggregated groupBy on ~tens of keys, and the 1-row total
+    * broadcasts back.
+    */
+  def sourceMix(s: SparkSession, d: String): DataFrame = {
+    val bySource = Tables.documents(s, d)
+      .select(col("source"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+      .withColumn("sw", sqrt(col("n_tokens").cast("double")))
+    val total = bySource.agg(Exact.dsum(col("sw")).as("total_sw"))
+    bySource.crossJoin(broadcast(total))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        (col("sw") / col("total_sw")).as("weight"))
+      .orderBy("source")
+  }
+
+  /** q65 — duplicated-run coverage (the exact-substring dedup signal of
+    * Lee et al., "Deduplicating Training Data Makes Language Models
+    * Better"): for every doc, the fraction of its k-token runs (k=8,
+    * hashed portably via md5 over the joined window) that appear verbatim
+    * in at least one OTHER document. Catches copied spans that survive
+    * doc-level near-dup filters.
+    *
+    * Scale shape: pure inverted-index — run hashes shuffle once on the
+    * hash, once back on doc_id; never doc×doc. Unlike q41's pair
+    * generation, the per-hash state is a constant-size (min, max) doc-id
+    * extent — "is this run in another doc" needs no posting list — so a
+    * boilerplate run shared by millions of docs costs the same as a rare
+    * one: hot keys are linear, with no dfCap needed.
+    */
+  def dupRuns(s: SparkSession, d: String, k: Int = 8): DataFrame = {
+    require(k >= 2, s"k must be >= 2; got $k")
+    val runs = Tables.documentsScaled(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("ts"))
+      .select(col("doc_id"), col("ts"), size(col("ts")).as("n"))
+      .filter(col("n") >= k)
+      .select(col("doc_id"), explode(sequence(lit(1), col("n") - (k - 1))).as("i"), col("ts"))
+      .select(col("doc_id"),
+        md5(concat_ws(" ", slice(col("ts"), col("i"), lit(k))).cast("binary")).as("rh"))
+    val extent = runs.groupBy("rh").agg(min("doc_id").as("mn"), max("doc_id").as("mx"))
+    runs.join(extent, "rh")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_runs"),
+        sum(when(col("mn") =!= col("doc_id") || col("mx") =!= col("doc_id"), 1L)
+          .otherwise(0L)).as("n_shared"))
+      .select(col("doc_id"), col("n_runs"), col("n_shared"),
+        (col("n_shared").cast("double") / col("n_runs").cast("double")).as("shared_frac"))
+      .orderBy("doc_id")
+  }
+
   /** q59 — int8 embedding-quantization QA: per-label reconstruction error of
     * symmetric max-abs scalar quantization (the standard 4× storage
     * compaction before ANN indexing at 100 TB). The per-vector pass is one
