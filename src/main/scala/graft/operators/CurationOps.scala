@@ -243,13 +243,17 @@ object CurationOps {
     */
   def dupRuns(s: SparkSession, d: String, k: Int = 8): DataFrame = {
     require(k >= 2, s"k must be >= 2; got $k")
+    // hash every window BEFORE exploding: exploding positions and slicing
+    // afterwards would carry the whole token array into each of ~n output
+    // rows — an O(n^2)-bytes blowup per doc that the per-doc transform()
+    // avoids (the explode emits 16-byte hashes only)
     val runs = Tables.documentsScaled(s, d)
       .select(col("doc_id"), split(col("text"), " ").as("ts"))
       .select(col("doc_id"), col("ts"), size(col("ts")).as("n"))
       .filter(col("n") >= k)
-      .select(col("doc_id"), explode(sequence(lit(1), col("n") - (k - 1))).as("i"), col("ts"))
-      .select(col("doc_id"),
-        md5(concat_ws(" ", slice(col("ts"), col("i"), lit(k))).cast("binary")).as("rh"))
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, n - ${k - 1}), i -> md5(cast(concat_ws(' ', slice(ts, i, $k)) as binary)))"))
+        .as("rh"))
     val extent = runs.groupBy("rh").agg(min("doc_id").as("mn"), max("doc_id").as("mx"))
     runs.join(extent, "rh")
       .groupBy("doc_id")

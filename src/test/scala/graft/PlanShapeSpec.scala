@@ -93,6 +93,27 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("HashAggregate"), p)
   }
 
+  test("q63: both aggregation levels ride the one doc_id repartition") {
+    val p = plan(CurationOps.gopherQuality(spark, sf))
+    // hash(doc_id) co-locates every (doc_id, word) group, so the per-word
+    // counts and the per-doc rollup add no exchange beyond the repartition
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges <= 1, s"gopher quality shuffles $exchanges times:\n$p")
+  }
+
+  test("q64: the 1-row normalizer broadcasts; the rollup partial-aggregates") {
+    val p = plan(CurationOps.sourceMix(spark, sf))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q65: inverted-index equi-join on the run hash, no cartesian, no posting lists") {
+    val p = plan(CurationOps.dupRuns(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // per-hash state is the (min, max) extent aggregate — never collect_list
+    assert(!p.contains("collect_list"), p)
+  }
+
   test("q01: partial (map-side) aggregation before the exchange") {
     val p = plan(RelationalOps.pricingSummary(spark, sf))
     val firstAgg = p.indexOf("HashAggregate")
