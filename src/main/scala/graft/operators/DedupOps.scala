@@ -180,18 +180,23 @@ object DedupOps {
     * whole 16-hash signature and its 4 band keys are computed per row by
     * the native kernels — zero shuffle.
     */
-  private def bandedOf(docs: DataFrame): DataFrame = {
+  private def bandedOf(docs: DataFrame): DataFrame = bandRows(docs)
+
+  /** Band rows with optional carried-through columns (the streaming ingest
+    * guard carries its watermark column; batch callers carry nothing).
+    */
+  private[graft] def bandRows(docs: DataFrame, carry: Seq[String] = Nil): DataFrame = {
+    val keep = col("doc_id") +: carry.map(col)
     val sigs = docs
-      .select(col("doc_id"),
-        call_function("graft_minhash", call_function("graft_shingles", col("text"))).as("mh"))
+      .select(keep :+
+        call_function("graft_minhash", call_function("graft_shingles", col("text"))).as("mh"): _*)
       .filter(size(col("mh")) > 0)
-    val bandCols = (0 until Bands).map { b =>
+    val bandStructs = (0 until Bands).map { b =>
       val parts = (0 until RowsPerBand).map(r => element_at(col("mh"), b * RowsPerBand + r + 1))
-      concat_ws(",", parts: _*).as(s"band_$b")
+      struct(lit(b.toLong).as("band"), concat_ws(",", parts: _*).as("sig"))
     }
-    sigs.select(col("doc_id") +: bandCols: _*)
-      .selectExpr("doc_id",
-        s"stack(${Bands}, ${(0 until Bands).map(b => s"${b}L, band_$b").mkString(", ")}) as (band, sig)")
+    sigs.select(keep :+ explode(array(bandStructs: _*)).as("bb"): _*)
+      .select(keep :+ col("bb.band").as("band") :+ col("bb.sig").as("sig"): _*)
   }
 
   private def minhashPairsRaw(s: SparkSession, d: String): DataFrame = {

@@ -3,7 +3,8 @@ package graft
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
-import graft.streaming.EventStreams
+import graft.streaming.{CorpusStreams, EventStreams}
+import graft.streaming.CorpusStreams.DocIn
 import graft.streaming.EventStreams.Ev
 
 class StreamingSpec extends SparkSpec {
@@ -135,6 +136,47 @@ class StreamingSpec extends SparkSpec {
     q.stop()
     assert(rows.length === 1)
     assert(rows(0).getLong(0) === 2 && rows(0).getLong(1) === 1)
+  }
+
+  test("neardupStream: band buckets claim state, flag later arrivals, expire by TTL") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[DocIn]
+    val out = CorpusStreams.neardupStream(spark, mem.toDF(),
+      watermarkDelay = "2 hours", bucketTtlMs = 24L * 3600 * 1000)
+    val q = out.writeStream.format("memory").queryName("nds").outputMode("append").start()
+    val base = 1700000000L * 1000000000L
+    val textA = "the quick brown fox jumps over the lazy dog again and again today"
+    val textB = "completely different vocabulary with no overlapping windows whatsoever here now"
+    mem.addData(
+      DocIn(10, base, textA),
+      DocIn(11, base + H / 4, textA), // identical text -> every band collides
+      DocIn(12, base + H / 4, textB)) // unique text -> no band collides
+    q.processAllAvailable()
+    mem.addData(DocIn(10, base + H / 2, textA)) // owner re-delivery: not flagged
+    q.processAllAvailable()
+    def rows() = spark.sql("select * from nds").collect()
+    val first = rows()
+    // doc 11 flagged on all 4 bands with doc 10 as owner
+    val d11 = first.filter(_.getAs[Long]("doc_id") == 11)
+    assert(d11.length === 4 && d11.forall(r =>
+      r.getAs[Boolean]("neardup") && r.getAs[Long]("owner") === 10L))
+    // doc 12 clean; owner re-delivery (doc 10 twice) never flagged
+    assert(first.filter(_.getAs[Long]("doc_id") == 12).forall(!_.getAs[Boolean]("neardup")))
+    assert(first.filter(_.getAs[Long]("doc_id") == 10).forall(!_.getAs[Boolean]("neardup")))
+    // push the watermark past last-touch + TTL, then an extra batch fires
+    // the pending timeouts: textA's buckets expire
+    mem.addData(DocIn(90, base + 30 * H, textB + " plus watermark pusher words"))
+    q.processAllAvailable()
+    mem.addData(DocIn(91, base + 31 * H, textB + " another pusher batch entirely"))
+    q.processAllAvailable()
+    mem.addData(DocIn(30, base + 31 * H, textA)) // same text, fresh claim
+    q.processAllAvailable()
+    val d30 = rows().filter(_.getAs[Long]("doc_id") == 30)
+    q.stop()
+    assert(d30.length === 4 && d30.forall(r =>
+      !r.getAs[Boolean]("neardup") && r.getAs[Long]("owner") === 30L),
+      s"expected expired buckets to be re-claimed: ${d30.mkString(";")}")
   }
 
   test("monitorTable: latest status per worker on a static frame") {
