@@ -81,6 +81,8 @@ object SparkEntry {
     "q63_gopher_quality"  -> (CurationOps.gopherQuality _),
     "q64_source_mix"      -> (CurationOps.sourceMix _),
     "q65_dup_runs"        -> ((s: SparkSession, d: String) => CurationOps.dupRuns(s, d)),
+    "q42b_minhash_est"    -> (DedupOps.minhashEst _),
+    "q66_label_centroids" -> (TextAnalysisOps.labelCentroids _),
   )
 
   // Portable polynomial rolling hash in DuckDB SQL — mirrors
@@ -849,6 +851,36 @@ object SparkEntry {
         |tot AS (SELECT CAST(SUM(CAST(sw AS DECIMAL(27,6))) AS DOUBLE) AS total_sw FROM s)
         |SELECT source, CAST(n_docs AS BIGINT) AS n_docs, n_tokens, sw / total_sw AS weight
         |FROM s, tot ORDER BY source""".stripMargin,
+
+    // signature-agreement Jaccard estimate over the q42 candidate pairs
+    "q42b_minhash_est" ->
+      s"""WITH $SHINGLES,
+         |h AS (SELECT doc_id, hs FROM sh),
+         |sigs AS (SELECT doc_id, i,
+         |           list_min(list_transform(hs, v -> ((2*i+1)*v + 7919*i + 13) % 2147483647)) AS mh
+         |         FROM h, range(16) t(i)),
+         |sl AS (SELECT doc_id, list(mh ORDER BY i) AS ml FROM sigs GROUP BY doc_id),
+         |bands AS (SELECT doc_id, i // 4 AS band,
+         |            string_agg(mh::VARCHAR, ',' ORDER BY i) AS sig
+         |          FROM sigs GROUP BY doc_id, i // 4),
+         |p AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |      FROM bands a JOIN bands b
+         |        ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id)
+         |SELECT p.doc_a, p.doc_b,
+         |  CAST(len(list_filter(range(1, 17), i -> sa.ml[i] = sb.ml[i])) AS BIGINT) AS n_agree,
+         |  CAST(len(list_filter(range(1, 17), i -> sa.ml[i] = sb.ml[i])) AS DOUBLE) / 16.0 AS est_jaccard
+         |FROM p JOIN sl sa ON p.doc_a = sa.doc_id JOIN sl sb ON p.doc_b = sb.doc_id
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // per-label mean embedding (long format), exact-decimal per-dim average
+    "q66_label_centroids" ->
+      s"""WITH e AS (SELECT label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |           FROM embeddings),
+         |u AS (SELECT label, i AS dim_idx, v[i] AS x FROM e, range(1, 65) t(i))
+         |SELECT label, CAST(dim_idx AS BIGINT) AS dim_idx,
+         |  CAST(COUNT(*) AS BIGINT) AS n_vectors,
+         |  ${A("x")} AS mean_x
+         |FROM u GROUP BY label, dim_idx ORDER BY label, dim_idx""".stripMargin,
 
     // duplicated 8-token-run coverage per doc (exact-substring dedup signal)
     "q65_dup_runs" ->

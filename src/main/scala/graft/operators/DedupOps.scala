@@ -217,6 +217,57 @@ object DedupOps {
     pairs.select("doc_a", "doc_b")
   }
 
+  /** Most recent persisted signature table per session (see minhashEst). */
+  private val sigCaches =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, DataFrame]()
+
+  /** q42b — signature-estimated Jaccard for the LSH candidate pairs: the
+    * fraction of the 16 MinHash positions on which a candidate pair agrees
+    * is an unbiased estimate of its true Jaccard — the standard
+    * verification-free dial for filtering LSH false positives WITHOUT ever
+    * touching the raw text again (at 100 TB the signature table is the
+    * 64-bytes-per-doc index you materialize anyway; re-reading documents to
+    * verify candidates is the thing this avoids).
+    *
+    * The signature table is persisted because it feeds three subtrees (the
+    * bucket pair generation and both join sides) and aliased subtrees never
+    * unify under exchange reuse — same design point as q41c's sorted-set
+    * index, same one-live-copy cache policy.
+    */
+  def minhashEst(s: SparkSession, d: String): DataFrame = {
+    val sigs = scaledDocs(s, d)
+      .select(col("doc_id"),
+        call_function("graft_minhash", call_function("graft_shingles", col("text"))).as("mh"))
+      .filter(size(col("mh")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    sigCaches.put(s, sigs) match {
+      case prev: DataFrame if prev ne sigs => prev.unpersist(blocking = false)
+      case _ => ()
+    }
+    val bandStructs = (0 until Bands).map { b =>
+      val parts = (0 until RowsPerBand).map(r => element_at(col("mh"), b * RowsPerBand + r + 1))
+      struct(lit(b.toLong).as("band"), concat_ws(",", parts: _*).as("sig"))
+    }
+    val pairs = sigs
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.sig").as("sig"))
+      .groupBy("band", "sig")
+      .agg(collect_list(struct(col("doc_id"), lit(0L))).as("docs"))
+      .filter(size(col("docs")) >= 2)
+      .select(call_function("graft_doc_pairs", col("docs"))
+        .as(Seq("doc_a", "doc_b", "na", "nb")))
+      .select("doc_a", "doc_b")
+      .distinct()
+    pairs
+      .join(sigs.select(col("doc_id").as("doc_a"), col("mh").as("ma")), "doc_a")
+      .join(sigs.select(col("doc_id").as("doc_b"), col("mh").as("mb")), "doc_b")
+      .withColumn("n_agree",
+        size(filter(zip_with(col("ma"), col("mb"), (x, y) => x === y), b => b)).cast("long"))
+      .select(col("doc_a"), col("doc_b"), col("n_agree"),
+        (col("n_agree").cast("double") / lit(NumHashes.toDouble)).as("est_jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** q62 — incremental dedup: triage one incoming source batch against the
     * existing corpus — the "new crawl vs corpus" pass that keeps a growing
     * lake duplicate-free without ever re-deduping what is already in it.

@@ -136,4 +136,21 @@ object TextAnalysisOps {
         min(col("nrm")).as("min_norm"),
         max(col("nrm")).as("max_norm"))
       .orderBy("label")
+
+  /** q66 — per-label mean embedding (class prototype/centroid vectors, long
+    * format): the per-dimension averages go through the exact-decimal
+    * carrier so the centroid is bit-identical under any partitioning —
+    * the QA artifact for classifier-prototype drift and cluster sanity.
+    *
+    * Scale shape: posexplode is map-side; one shuffle on (label, dim) with
+    * partial aggregation, final group count = labels × dims regardless of
+    * corpus size. The wide-format centroid (one array row per label) is a
+    * trivial collect_list over this output when a consumer wants it.
+    */
+  def labelCentroids(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("label"), posexplode(toDouble(col("embedding"))).as(Seq("p", "x")))
+      .groupBy(col("label"), (col("p") + 1).cast("long").as("dim_idx"))
+      .agg(count(lit(1)).as("n_vectors"), davg(col("x")).as("mean_x"))
+      .orderBy("label", "dim_idx")
 }

@@ -59,6 +59,45 @@ class LlmOpsSpec extends SparkSpec {
     assert(exact.subsetOf(cand), s"missing: ${exact -- cand}")
   }
 
+  test("q42b signature estimate: same pair set as q42; banding floor; exact dups read 16/16") {
+    val est = DedupOps.minhashEst(spark, sf).collect()
+    val cand = DedupOps.minhashLsh(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(est.map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet === cand)
+    est.foreach { r =>
+      val n = r.getAs[Long]("n_agree")
+      // a banded candidate agrees on at least one whole band of 4 positions
+      assert(n >= 4 && n <= 16, s"n_agree $n outside [4,16]")
+      assert(math.abs(r.getAs[Double]("est_jaccard") - n / 16.0) < 1e-15)
+    }
+    // identical texts have identical signatures
+    val byText = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    est.filter(r => byText(r.getAs[Long]("doc_a")) == byText(r.getAs[Long]("doc_b")))
+      .foreach(r => assert(r.getAs[Long]("n_agree") === 16L))
+  }
+
+  test("q66 label centroids: full grid, counts match, means within truncation of naive") {
+    def lbl(r: org.apache.spark.sql.Row, name: String): Long =
+      r.getAs[Number](name).longValue // label is int32 in the parquet schema
+    val rows = TextAnalysisOps.labelCentroids(spark, sf).collect()
+    val perLabel = Tables.embeddings(spark, sf).groupBy("label").count().collect()
+      .map(r => r.getAs[Number](0).longValue -> r.getLong(1)).toMap
+    assert(rows.length === perLabel.size * 64)
+    rows.foreach(r => assert(r.getAs[Long]("n_vectors") === perLabel(lbl(r, "label"))))
+    // exact-decimal mean vs a double recompute: within the 6-dp carrier
+    import org.apache.spark.sql.functions.{col => f}
+    val naive = Tables.embeddings(spark, sf)
+      .select(f("label"), posexplode(graft.functions.VectorFunctions.toDouble(f("embedding"))).as(Seq("p", "x")))
+      .groupBy(f("label"), (f("p") + 1).cast("long").as("dim_idx"))
+      .agg(avg("x").as("m"))
+      .collect().map(r => (lbl(r, "label"), r.getAs[Long]("dim_idx")) -> r.getAs[Double]("m")).toMap
+    rows.foreach { r =>
+      val k = (lbl(r, "label"), r.getAs[Long]("dim_idx"))
+      assert(math.abs(r.getAs[Double]("mean_x") - naive(k)) < 1e-5)
+    }
+  }
+
   test("q55 dedup groups: pair endpoints share a canonical; canonical is the min member") {
     val pairs = DedupOps.minhashLsh(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
