@@ -133,7 +133,23 @@ object CurationOps {
     * A document lands in the bin where its span begins (bin = prefix-sum
     * before it, integer-divided by the budget).
     */
-  def packSequences(s: SparkSession, d: String, budget: Int = 512, shards: Int = 32): DataFrame = {
+  def packSequences(s: SparkSession, d: String, budget: Int = 512, shards: Int = 32): DataFrame =
+    packedCum(s, d, budget, shards)
+      .groupBy("shard", "bin")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .orderBy("shard", "bin")
+
+  /** The single definition of the packing rule, shared by q61 and q61b:
+    * per-doc (shard, n_tokens, cum, bin) where shard = doc_id mod `shards`,
+    * cum is the per-shard running token sum in doc_id order, and bin =
+    * (prefix-sum-before) div `budget`. One window per shard —
+    * embarrassingly parallel across shards at 100 TB, never a global sort.
+    */
+  private def packedCum(s: SparkSession, d: String, budget: Int, shards: Int): DataFrame = {
     require(budget >= 1 && shards >= 1, s"need budget/shards >= 1; got $budget/$shards")
     val w = Window.partitionBy("shard").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -142,36 +158,20 @@ object CurationOps {
         size(split(col("text"), " ")).cast("long").as("n_tokens"))
       .withColumn("cum", sum(col("n_tokens")).over(w))
       .withColumn("bin", expr(s"(cum - n_tokens) div $budget"))
-      .groupBy("shard", "bin")
-      .agg(
-        count(lit(1)).as("n_docs"),
-        sum(col("n_tokens")).as("n_tokens"),
-        min(col("doc_id")).as("first_doc"),
-        max(col("doc_id")).as("last_doc"))
-      .orderBy("shard", "bin")
   }
 
   /** q61b — per-document packed-sequence layout: the document-level
     * companion of q61 that a training loader actually consumes — for every
     * doc its (shard, bin, offset) coordinates, where offset is the token
     * position the doc starts at inside its bin ((prefix-sum-before) mod
-    * budget). Same single per-shard window as q61: embarrassingly parallel
-    * across shards, never a global sort.
+    * budget).
     */
-  def packLayout(s: SparkSession, d: String, budget: Int = 512, shards: Int = 32): DataFrame = {
-    require(budget >= 1 && shards >= 1, s"need budget/shards >= 1; got $budget/$shards")
-    val w = Window.partitionBy("shard").orderBy("doc_id")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.documents(s, d)
-      .select(col("doc_id"), (col("doc_id") % shards).as("shard"),
-        size(split(col("text"), " ")).cast("long").as("n_tokens"))
-      .withColumn("cum", sum(col("n_tokens")).over(w))
-      .select(col("doc_id"), col("shard"),
-        expr(s"(cum - n_tokens) div $budget").as("bin"),
+  def packLayout(s: SparkSession, d: String, budget: Int = 512, shards: Int = 32): DataFrame =
+    packedCum(s, d, budget, shards)
+      .select(col("doc_id"), col("shard"), col("bin"),
         expr(s"(cum - n_tokens) % $budget").as("offset"),
         col("n_tokens"))
       .orderBy("doc_id")
-  }
 
   /** q63 — word-level corpus-quality rules (the Gopher-report family that
     * applies to whitespace-tokenized text): per doc the type-token ratio

@@ -180,17 +180,17 @@ object DedupOps {
     * whole 16-hash signature and its 4 band keys are computed per row by
     * the native kernels — zero shuffle.
     */
-  private def bandedOf(docs: DataFrame): DataFrame = bandRows(docs)
-
-  /** Band rows with optional carried-through columns (the streaming ingest
-    * guard carries its watermark column; batch callers carry nothing).
-    */
-  private[graft] def bandRows(docs: DataFrame, carry: Seq[String] = Nil): DataFrame = {
-    val keep = col("doc_id") +: carry.map(col)
-    val sigs = docs
-      .select(keep :+
+  /** The per-row MinHash signature column of a documents-shaped frame —
+    * zero shuffle, one kernel chain per row. */
+  private def signatures(docs: DataFrame, carry: Seq[String] = Nil): DataFrame =
+    docs
+      .select((col("doc_id") +: carry.map(col)) :+
         call_function("graft_minhash", call_function("graft_shingles", col("text"))).as("mh"): _*)
       .filter(size(col("mh")) > 0)
+
+  /** The 4 LSH band keys of a signature column `mh`, exploded to one
+    * (band, sig) row each — the single definition of the band layout. */
+  private def bandsOfSigs(sigs: DataFrame, keep: Seq[Column]): DataFrame = {
     val bandStructs = (0 until Bands).map { b =>
       val parts = (0 until RowsPerBand).map(r => element_at(col("mh"), b * RowsPerBand + r + 1))
       struct(lit(b.toLong).as("band"), concat_ws(",", parts: _*).as("sig"))
@@ -199,8 +199,26 @@ object DedupOps {
       .select(keep :+ col("bb.band").as("band") :+ col("bb.sig").as("sig"): _*)
   }
 
-  private def minhashPairsRaw(s: SparkSession, d: String): DataFrame = {
-    val stacked = bandedOf(scaledDocs(s, d))
+  /** Band rows with optional carried-through columns (the streaming ingest
+    * guard carries its watermark column; batch callers carry nothing).
+    */
+  private[graft] def bandRows(docs: DataFrame, carry: Seq[String] = Nil): DataFrame =
+    bandsOfSigs(signatures(docs, carry), col("doc_id") +: carry.map(col))
+
+  /** Candidate (doc_a, doc_b) pairs streamed from per-bucket doc lists via
+    * the lazy graft_doc_pairs generator — the shared pair-generation tail
+    * of every LSH-bucketed query (see minhashPairsRaw for why this beats a
+    * self-join). `bucketed` must carry (band, sig, doc_id). */
+  private def pairsFromBuckets(bucketed: DataFrame): DataFrame =
+    bucketed
+      .groupBy("band", "sig")
+      .agg(collect_list(struct(col("doc_id"), lit(0L))).as("docs"))
+      .filter(size(col("docs")) >= 2)
+      .select(call_function("graft_doc_pairs", col("docs"))
+        .as(Seq("doc_a", "doc_b", "na", "nb")))
+      .select("doc_a", "doc_b")
+
+  private def minhashPairsRaw(s: SparkSession, d: String): DataFrame =
     // Bucket pair-gen via the same inverted-index shape as q41: group by the
     // band bucket, stream C(k,2) pairs from the lazy graft_doc_pairs
     // generator. The previous aliased self-join ran the scan + minhash
@@ -208,14 +226,7 @@ object DedupOps {
     // subtrees) and paid two sorts; this runs them once with zero sorts.
     // A bucket of k near-identical docs yields the C(k,2) pairs the query
     // exists to report — the buffer is the doc-id list (8B·k), not the pairs.
-    val pairs = stacked
-      .groupBy("band", "sig")
-      .agg(collect_list(struct(col("doc_id"), lit(0L))).as("docs"))
-      .filter(size(col("docs")) >= 2)
-      .select(call_function("graft_doc_pairs", col("docs"))
-        .as(Seq("doc_a", "doc_b", "na", "nb")))
-    pairs.select("doc_a", "doc_b")
-  }
+    pairsFromBuckets(bandRows(scaledDocs(s, d)))
 
   /** Most recent persisted signature table per session (see minhashEst). */
   private val sigCaches =
@@ -235,29 +246,13 @@ object DedupOps {
     * index, same one-live-copy cache policy.
     */
   def minhashEst(s: SparkSession, d: String): DataFrame = {
-    val sigs = scaledDocs(s, d)
-      .select(col("doc_id"),
-        call_function("graft_minhash", call_function("graft_shingles", col("text"))).as("mh"))
-      .filter(size(col("mh")) > 0)
+    val sigs = signatures(scaledDocs(s, d))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     sigCaches.put(s, sigs) match {
       case prev: DataFrame if prev ne sigs => prev.unpersist(blocking = false)
       case _ => ()
     }
-    val bandStructs = (0 until Bands).map { b =>
-      val parts = (0 until RowsPerBand).map(r => element_at(col("mh"), b * RowsPerBand + r + 1))
-      struct(lit(b.toLong).as("band"), concat_ws(",", parts: _*).as("sig"))
-    }
-    val pairs = sigs
-      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
-      .select(col("doc_id"), col("bb.band").as("band"), col("bb.sig").as("sig"))
-      .groupBy("band", "sig")
-      .agg(collect_list(struct(col("doc_id"), lit(0L))).as("docs"))
-      .filter(size(col("docs")) >= 2)
-      .select(call_function("graft_doc_pairs", col("docs"))
-        .as(Seq("doc_a", "doc_b", "na", "nb")))
-      .select("doc_a", "doc_b")
-      .distinct()
+    val pairs = pairsFromBuckets(bandsOfSigs(sigs, Seq(col("doc_id")))).distinct()
     pairs
       .join(sigs.select(col("doc_id").as("doc_a"), col("mh").as("ma")), "doc_a")
       .join(sigs.select(col("doc_id").as("doc_b"), col("mh").as("mb")), "doc_b")
@@ -290,10 +285,10 @@ object DedupOps {
     val existingHashes = existing
       .select(md5(col("text").cast("binary")).as("text_hash")).distinct()
       .withColumn("is_exact", lit(1))
-    val existingBuckets = bandedOf(existing)
+    val existingBuckets = bandRows(existing)
       .select("band", "sig").distinct()
       .withColumn("is_near", lit(1))
-    val nearHits = bandedOf(newDocs)
+    val nearHits = bandRows(newDocs)
       .join(existingBuckets, Seq("band", "sig"), "left")
       .groupBy("doc_id")
       .agg(max(col("is_near")).as("is_near"))

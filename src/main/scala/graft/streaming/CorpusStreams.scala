@@ -25,14 +25,21 @@ object CorpusStreams {
     */
   final case class BandVerdict(doc_id: Long, band: Long, neardup: Boolean, owner: Long)
 
+  /** Bucket state: the claiming doc plus the latest event time that touched
+    * the bucket — kept explicitly because GroupState has no timeout getter,
+    * and a late (watermark-admissible) arrival must never SHRINK the
+    * expiry below last-touch + TTL. */
+  final case class BucketState(owner: Long, lastTouchMs: Long)
+
   /** Streaming near-dup triage: each document's MinHash band buckets
     * (computed map-side by the same `graft_shingles |> graft_minhash`
     * kernels as the batch path — one code path for both) claim keyed state;
     * a later document landing in a claimed bucket is flagged against the
     * bucket's owner. Re-deliveries of the owner itself are NOT flagged.
     *
-    * Scale/state design: state is one long (the owner doc id) per occupied
-    * bucket — the minimal LSH ingest index — and each bucket expires via an
+    * Scale/state design: state is two longs (owner doc id, last-touch time)
+    * per occupied bucket — the minimal LSH ingest index — and each bucket
+    * expires via an
     * event-time timeout `bucketTtlMs` past the last document that touched
     * it, so an unbounded stream holds state only for buckets active inside
     * the TTL horizon (the production "near-dup within a retention window"
@@ -55,10 +62,10 @@ object CorpusStreams {
       .select(col("doc_id"), col("event_time"), col("band"), col("sig"))
       .as[(Long, java.sql.Timestamp, Long, String)]
       .groupByKey { case (_, _, band, sig) => s"$band:$sig" }
-      .flatMapGroupsWithState[Long, BandVerdict](
+      .flatMapGroupsWithState[BucketState, BandVerdict](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         (_: String, rows: Iterator[(Long, java.sql.Timestamp, Long, String)],
-         state: GroupState[Long]) =>
+         state: GroupState[BucketState]) =>
           if (state.hasTimedOut) {
             // the watermark passed last-touch + TTL: the bucket's claim
             // expires and the next arrival starts a fresh ownership
@@ -66,16 +73,22 @@ object CorpusStreams {
             Iterator.empty
           } else {
             val sorted = rows.toSeq.sortBy { case (id, ts, _, _) => (ts.getTime, id) }
-            var owner = state.getOption
-            val out = sorted.map { case (id, _, band, _) =>
-              owner match {
-                case Some(o) => BandVerdict(id, band, neardup = o != id, owner = o)
-                case None => owner = Some(id); BandVerdict(id, band, neardup = false, owner = id)
+            var cur = state.getOption
+            val out = sorted.map { case (id, ts, band, _) =>
+              cur match {
+                case Some(st) =>
+                  // a LATE arrival (ts before lastTouch) must not shrink
+                  // the expiry — last-touch only ever advances
+                  cur = Some(st.copy(lastTouchMs = math.max(st.lastTouchMs, ts.getTime)))
+                  BandVerdict(id, band, neardup = st.owner != id, owner = st.owner)
+                case None =>
+                  cur = Some(BucketState(id, ts.getTime))
+                  BandVerdict(id, band, neardup = false, owner = id)
               }
             }
-            owner.foreach { o =>
-              state.update(o)
-              state.setTimeoutTimestamp(sorted.map(_._2.getTime).max + bucketTtlMs)
+            cur.foreach { st =>
+              state.update(st)
+              state.setTimeoutTimestamp(st.lastTouchMs + bucketTtlMs)
             }
             out.iterator
           }

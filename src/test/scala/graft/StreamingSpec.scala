@@ -179,6 +179,37 @@ class StreamingSpec extends SparkSpec {
       s"expected expired buckets to be re-claimed: ${d30.mkString(";")}")
   }
 
+  test("neardupStream: a late arrival never shrinks a bucket's TTL expiry") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[DocIn]
+    val out = CorpusStreams.neardupStream(spark, mem.toDF(),
+      watermarkDelay = "2 hours", bucketTtlMs = 24L * 3600 * 1000)
+    val q = out.writeStream.format("memory").queryName("ndl").outputMode("append").start()
+    val base = 1700000000L * 1000000000L
+    val textA = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    mem.addData(DocIn(10, base, textA)) // claims at T
+    q.processAllAvailable()
+    // late but watermark-admissible arrival at T - 1h: expiry must stay
+    // T + 24h, not shrink to T + 23h
+    mem.addData(DocIn(11, base - H, textA))
+    q.processAllAvailable()
+    // watermark lands between T + 23h (buggy expiry) and T + 24h (correct)
+    mem.addData(DocIn(90, base + 25 * H + H / 2, "watermark pusher with distinct words only here"))
+    q.processAllAvailable()
+    mem.addData(DocIn(91, base + 25 * H + H / 2, "second pusher batch to fire any pending timeouts"))
+    q.processAllAvailable()
+    mem.addData(DocIn(30, base + 25 * H - H / 4, textA)) // admissible probe
+    q.processAllAvailable()
+    val d30 = spark.sql("select * from ndl where doc_id = 30").collect()
+    q.stop()
+    // the bucket must still be owned by doc 10 — a shrunk expiry would have
+    // expired it and let doc 30 claim fresh
+    assert(d30.length === 4 && d30.forall(r =>
+      r.getAs[Boolean]("neardup") && r.getAs[Long]("owner") === 10L),
+      s"late arrival shrank the TTL: ${d30.mkString(";")}")
+  }
+
   test("monitorTable: latest status per worker on a static frame") {
     // the same aggregation works in batch mode (streaming-batch parity)
     val e = Tables.events(spark, sf)

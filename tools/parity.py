@@ -11,15 +11,16 @@ import duckdb
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
-def from_arrow(tbl, origin=None):
-    """Arrow table -> (cols, rows). A DuckDB HUGEINT/DECIMAL column is a hard
-    error when it comes from an oracle query: Python's Decimal(5) == 5 would
-    compare equal here, but the driver's hasher sees decimal128 vs int64 and
-    fails (round-4 q61 `bin`). CAST the oracle column to BIGINT/DOUBLE."""
+def from_arrow(tbl, origin):
+    """Arrow table -> (cols, rows). A HUGEINT/DECIMAL column on EITHER side
+    is a hard error: Python's Decimal(5) == 5 would compare equal here, but
+    the driver's hasher sees decimal128 vs int64 and fails (round-4 q61
+    `bin`). Oracle side: add a CAST in the SQL. Spark side: a forgotten
+    .cast("double") after a decimal aggregate writes decimal parquet."""
     for f in tbl.schema:
-        if origin and ("decimal" in str(f.type) or "int128" in str(f.type)):
+        if "decimal" in str(f.type) or "int128" in str(f.type):
             raise ValueError(
-                f"{origin}: column {f.name} is {f.type} — add a CAST in the oracle SQL")
+                f"{origin}: column {f.name} is {f.type} — cast it to BIGINT/DOUBLE")
     cols = tbl.schema.names
     pyrows = tbl.to_pylist()
     return cols, [tuple(r[c] for c in cols) for r in pyrows]
@@ -29,7 +30,8 @@ def load_spark(outdir, name):
     if not files:
         return None
     con = duckdb.connect()
-    return from_arrow(con.sql(f"SELECT * FROM read_parquet({files!r})").arrow())
+    return from_arrow(con.sql(f"SELECT * FROM read_parquet({files!r})").arrow(),
+                      origin=f"{name} (spark output)")
 
 def norm(v):
     if isinstance(v, float):
@@ -80,7 +82,10 @@ def main():
     for name in names:
         if not os.path.isdir(os.path.join(outdir, name)):
             continue
-        spark = load_spark(outdir, name)
+        try:
+            spark = load_spark(outdir, name)
+        except Exception as e:
+            print(f"  {name}: SPARK OUTPUT ERROR {e}"); fail += 1; continue
         if spark is None:
             print(f"  {name}: NO SPARK OUTPUT"); fail += 1; continue
         if name not in sql:
