@@ -888,7 +888,7 @@ object SparkEntry {
         |                  len(string_split(text, ' ')) AS n FROM documents),
         |r0 AS (SELECT doc_id, unnest(generate_series(1, n - 7)) AS i, ts
         |       FROM t WHERE n >= 8),
-        |r AS (SELECT doc_id, md5(array_to_string(ts[i:i+7], ' ')) AS rh FROM r0),
+        |r AS (SELECT doc_id, ('0x' || substr(md5(array_to_string(ts[i:i+7], ' ')), 1, 15))::BIGINT AS rh FROM r0),
         |g AS (SELECT rh, MIN(doc_id) AS mn, MAX(doc_id) AS mx FROM r GROUP BY rh)
         |SELECT r.doc_id,
         |  CAST(COUNT(*) AS BIGINT) AS n_runs,

@@ -246,13 +246,19 @@ object CurationOps {
     // hash every window BEFORE exploding: exploding positions and slicing
     // afterwards would carry the whole token array into each of ~n output
     // rows — an O(n^2)-bytes blowup per doc that the per-doc transform()
-    // avoids (the explode emits 16-byte hashes only)
+    // avoids. The run key is the first 60 bits of the md5 parsed to a
+    // LONG: both shuffles move 8-byte keys instead of 32-char hex strings
+    // (4x less shuffle volume); a 60-bit birthday collision merges two
+    // distinct runs with probability ~n_runs^2/2^61 — noise for a
+    // rate-valued quality signal, and the oracle applies the identical
+    // truncation so parity is exact by construction.
     val runs = Tables.documentsScaled(s, d)
       .select(col("doc_id"), split(col("text"), " ").as("ts"))
       .select(col("doc_id"), col("ts"), size(col("ts")).as("n"))
       .filter(col("n") >= k)
       .select(col("doc_id"), explode(expr(
-        s"transform(sequence(1, n - ${k - 1}), i -> md5(cast(concat_ws(' ', slice(ts, i, $k)) as binary)))"))
+        s"transform(sequence(1, n - ${k - 1}), i -> cast(conv(substring(" +
+          s"md5(cast(concat_ws(' ', slice(ts, i, $k)) as binary)), 1, 15), 16, 10) as bigint))"))
         .as("rh"))
     val extent = runs.groupBy("rh").agg(min("doc_id").as("mn"), max("doc_id").as("mx"))
     runs.join(extent, "rh")
