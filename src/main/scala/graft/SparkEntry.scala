@@ -83,6 +83,7 @@ object SparkEntry {
     "q65_dup_runs"        -> ((s: SparkSession, d: String) => CurationOps.dupRuns(s, d)),
     "q42b_minhash_est"    -> (DedupOps.minhashEst _),
     "q66_label_centroids" -> (TextAnalysisOps.labelCentroids _),
+    "q67_semantic_dedup"  -> ((s: SparkSession, d: String) => DedupOps.semanticDedup(s, d)),
   )
 
   // Portable polynomial rolling hash in DuckDB SQL — mirrors
@@ -896,5 +897,29 @@ object SparkEntry {
         |  CAST(SUM(CASE WHEN g.mn <> r.doc_id OR g.mx <> r.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
         |    / CAST(COUNT(*) AS DOUBLE) AS shared_frac
         |FROM r JOIN g USING (rh) GROUP BY r.doc_id ORDER BY r.doc_id""".stripMargin,
+
+    // SemDeDup: within-IVF-cluster cosine prune, min-id keeps the
+    // representative (same frozen quantizer + fold order as q46b/q54)
+    "q67_semantic_dedup" ->
+      s"""WITH $EMB_NORM,
+         |cents AS (SELECT list_id, cv,
+         |            sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65),
+         |              i -> cv[i] * cv[i])), (x2, y2) -> x2 + y2)) AS cnrm
+         |          FROM ($ivfCentsValues) t(list_id, cv)),
+         |asg AS (SELECT vec_id, list_id,
+         |          ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, list_id) AS crank
+         |        FROM (SELECT n.vec_id, c.list_id,
+         |                list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65),
+         |                  i -> n.v[i] * c.cv[i])), (x2, y2) -> x2 + y2) / (n.nrm * c.cnrm) AS csim
+         |              FROM n, cents c) t),
+         |a1 AS (SELECT vec_id, list_id FROM asg WHERE crank = 1),
+         |sc AS (SELECT p.vec_a, p.vec_b, $DOT64 / (a.nrm * b.nrm) AS cos
+         |       FROM (SELECT x.vec_id AS vec_a, y.vec_id AS vec_b
+         |             FROM a1 x JOIN a1 y ON x.list_id = y.list_id AND x.vec_id < y.vec_id) p
+         |       JOIN n a ON a.vec_id = p.vec_a JOIN n b ON b.vec_id = p.vec_b
+         |       WHERE $DOT64 / (a.nrm * b.nrm) >= 0.3)
+         |SELECT vec_b AS vec_id, CAST(COUNT(*) AS BIGINT) AS n_dups,
+         |  MIN(vec_a) AS rep_id, MAX(cos) AS max_cos
+         |FROM sc GROUP BY vec_b ORDER BY vec_id""".stripMargin,
   )
 }

@@ -506,4 +506,50 @@ object DedupOps {
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"), col("cos"))
       .orderBy("vec_a", "vec_b")
   }
+
+  /** q67 — semantic deduplication (the SemDeDup recipe, Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the corpus embeddings with the trained
+    * coarse quantizer, then prune, WITHIN each cluster only, every vector
+    * that has an above-threshold cosine neighbor with a lower id (min-id
+    * keeps the representative — deterministic, no random tie-break).
+    * Emits the pruned rows: (vec_id, n_dups, rep_id, max_cos).
+    *
+    * Scale shape: this is the whole point of SemDeDup — the O(n^2) cosine
+    * comparison is confined to cluster-local pairs, and at 100 TB the
+    * cluster COUNT grows (retrain k-means|| with k ~ n/target_size) while
+    * per-cluster membership stays bounded, so pair volume stays linear in
+    * corpus size. Assignment is map-side (broadcast centroids, one corpus
+    * pass, same shape as q46b/q54); candidate pairs stream from the lazy
+    * `graft_doc_pairs` generator (no self-join — the bucket buffer is
+    * 8B x members, never the pairs); verification fetches vectors by id
+    * join, the standard ANN-verify fetch, instead of carrying 512-byte
+    * vectors through the groupBy buffer.
+    */
+  def semanticDedup(s: SparkSession, d: String, threshold: Double = 0.3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      .withColumn("nrm", norm(col("v")))
+    val cents = SimilarityOps.centroidTable(s)
+    val w = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("list_id"))
+    val asg = e.join(broadcast(cents))
+      .withColumn("csim", cosine(col("v"), col("cv"), col("nrm"), col("cnrm")))
+      .withColumn("crank", row_number().over(w))
+      .filter(col("crank") === 1)
+      .select("vec_id", "list_id")
+    val pairs = asg.groupBy("list_id")
+      .agg(collect_list(struct(col("vec_id"), lit(0L).as("n"))).as("docs"))
+      .filter(size(col("docs")) >= 2)
+      .select(call_function("graft_doc_pairs", col("docs"))
+        .as(Seq("vec_a", "vec_b", "na", "nb")))
+      .select("vec_a", "vec_b")
+    pairs
+      .join(e.select(col("vec_id").as("vec_a"), col("v").as("va"), col("nrm").as("nra")), "vec_a")
+      .join(e.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("nrm").as("nrb")), "vec_b")
+      .withColumn("cos", cosine(col("va"), col("vb"), col("nra"), col("nrb")))
+      .filter(col("cos") >= threshold)
+      .groupBy(col("vec_b").as("vec_id"))
+      .agg(count(lit(1)).as("n_dups"), min("vec_a").as("rep_id"), max("cos").as("max_cos"))
+      .orderBy("vec_id")
+  }
 }

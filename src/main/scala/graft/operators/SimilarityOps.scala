@@ -99,7 +99,7 @@ object SimilarityOps {
     * dial: probes x (corpus / lists) candidates per query.
     */
   /** The frozen trained quantizer as a broadcastable centroid table. */
-  private def centroidTable(s: SparkSession): DataFrame = {
+  private[operators] def centroidTable(s: SparkSession): DataFrame = {
     import s.implicits._
     IvfCentroids.values.toSeq.zipWithIndex
       .map { case (cv, i) => (i.toLong, cv.toSeq) }

@@ -77,6 +77,21 @@ class LlmOpsSpec extends SparkSpec {
       .foreach(r => assert(r.getAs[Long]("n_agree") === 16L))
   }
 
+  test("q67 semantic dedup: min-id rule, cluster-local witnesses, threshold honored") {
+    val pruned = DedupOps.semanticDedup(spark, sf).collect()
+    assert(pruned.nonEmpty)
+    pruned.foreach { r =>
+      val (id, rep) = (r.getAs[Long]("vec_id"), r.getAs[Long]("rep_id"))
+      assert(rep < id, s"representative $rep not lower than pruned $id")
+      assert(r.getAs[Long]("n_dups") >= 1L)
+      assert(r.getAs[Double]("max_cos") >= 0.3)
+    }
+    // a LOWER threshold can only prune a superset (monotone dial)
+    val loose = DedupOps.semanticDedup(spark, sf, threshold = 0.1)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(pruned.map(_.getAs[Long]("vec_id")).toSet.subsetOf(loose))
+  }
+
   test("q66 label centroids: full grid, counts match, means within truncation of naive") {
     def lbl(r: org.apache.spark.sql.Row, name: String): Long =
       r.getAs[Number](name).longValue // label is int32 in the parquet schema

@@ -59,6 +59,13 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p44b.contains("CartesianProduct"), p44b)
   }
 
+  test("q67: assignment broadcasts centroids; pairs stream from the generator, no cartesian") {
+    val p = plan(DedupOps.semanticDedup(spark, sf))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
+    assert(p.contains("Generate") && p.contains("graft_doc_pairs"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q37: one window partitioning serves all manifest aggregates") {
     val p = plan(RosbagDomainOps.mp4ManifestIndex(spark, sf))
     // the n_frames/start/end/fps window aggregates and the row_number all
