@@ -84,6 +84,7 @@ object SparkEntry {
     "q42b_minhash_est"    -> (DedupOps.minhashEst _),
     "q66_label_centroids" -> (TextAnalysisOps.labelCentroids _),
     "q67_semantic_dedup"  -> ((s: SparkSession, d: String) => DedupOps.semanticDedup(s, d)),
+    "q68_ann_recall"      -> ((s: SparkSession, d: String) => SimilarityOps.annRecall(s, d)),
   )
 
   // Portable polynomial rolling hash in DuckDB SQL — mirrors
@@ -921,5 +922,64 @@ object SparkEntry {
          |SELECT vec_b AS vec_id, CAST(COUNT(*) AS BIGINT) AS n_dups,
          |  MIN(vec_a) AS rep_id, MAX(cos) AS max_cos
          |FROM sc GROUP BY vec_b ORDER BY vec_id""".stripMargin,
+
+    // per-query recall@3 of the LSH and IVF indexes vs exact brute force
+    // (each arm is its own oracle's formulation, k=3 throughout)
+    "q68_ann_recall" ->
+      s"""WITH $EMB_NORM,
+         |exj AS (SELECT a.vec_id AS q_id, b.vec_id AS neighbor_id,
+         |          $DOT64 / (a.nrm * b.nrm) AS cos
+         |        FROM n a JOIN n b ON a.vec_id < 10 AND b.vec_id >= 10),
+         |ex AS (SELECT q_id, neighbor_id FROM (
+         |         SELECT q_id, neighbor_id,
+         |           ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS rank
+         |         FROM exj) t WHERE rank <= 3),
+         |bk AS (SELECT vec_id, v, nrm,
+         |  ${(0 until 8).map(j =>
+             s"(CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65)," +
+             s" i -> v[i] * ((($j*131 + (i-1)*7919) % 1001) - 500))), (x2, y2) -> x2 + y2) > 0" +
+             s" THEN CAST(${1L << j} AS BIGINT) ELSE 0 END)").mkString(" + ")} AS bucket
+         |  FROM n),
+         |lshj AS (SELECT a.vec_id AS q_id, b.vec_id AS neighbor_id,
+         |           $DOT64 / (a.nrm * b.nrm) AS cos
+         |         FROM bk a JOIN bk b ON a.vec_id < 10 AND b.vec_id >= 10 AND a.bucket = b.bucket),
+         |lsh AS (SELECT q_id, neighbor_id FROM (
+         |          SELECT q_id, neighbor_id,
+         |            ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS rank
+         |          FROM lshj) t WHERE rank <= 3),
+         |cents AS (SELECT list_id, cv,
+         |            sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65),
+         |              i -> cv[i] * cv[i])), (x2, y2) -> x2 + y2)) AS cnrm
+         |          FROM ($ivfCentsValues) t(list_id, cv)),
+         |asg AS (SELECT vec_id, v, nrm, list_id, csim,
+         |          ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, list_id) AS crank
+         |        FROM (SELECT n.vec_id, n.v, n.nrm, c.list_id,
+         |                list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65),
+         |                  i -> n.v[i] * c.cv[i])), (x2, y2) -> x2 + y2) / (n.nrm * c.cnrm) AS csim
+         |              FROM n, cents c) t),
+         |qs AS (SELECT vec_id AS q_id, v AS qv, nrm AS qnrm, list_id FROM asg
+         |       WHERE vec_id < 10 AND crank <= 2),
+         |cp AS (SELECT vec_id, v, nrm, list_id FROM asg WHERE vec_id >= 10 AND crank = 1),
+         |ivfj AS (SELECT q_id, cp.vec_id AS neighbor_id,
+         |           list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65),
+         |             i -> qs.qv[i] * cp.v[i])), (x2, y2) -> x2 + y2) / (qs.qnrm * cp.nrm) AS cos
+         |         FROM cp JOIN qs USING (list_id)),
+         |ivf AS (SELECT q_id, neighbor_id FROM (
+         |          SELECT q_id, neighbor_id,
+         |            ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS rank
+         |          FROM ivfj) t WHERE rank <= 3),
+         |idx AS (SELECT q_id, neighbor_id, 'lsh' AS src FROM lsh
+         |        UNION ALL SELECT q_id, neighbor_id, 'ivf' AS src FROM ivf)
+         |SELECT q_id, n_exact, lsh_hits, ivf_hits,
+         |  CAST(lsh_hits AS DOUBLE) / CAST(n_exact AS DOUBLE) AS lsh_recall,
+         |  CAST(ivf_hits AS DOUBLE) / CAST(n_exact AS DOUBLE) AS ivf_recall
+         |FROM (SELECT ex.q_id,
+         |        CAST(COUNT(DISTINCT ex.neighbor_id) AS BIGINT) AS n_exact,
+         |        CAST(COUNT(CASE WHEN idx.src = 'lsh' THEN 1 END) AS BIGINT) AS lsh_hits,
+         |        CAST(COUNT(CASE WHEN idx.src = 'ivf' THEN 1 END) AS BIGINT) AS ivf_hits
+         |      FROM ex LEFT JOIN idx
+         |        ON ex.q_id = idx.q_id AND ex.neighbor_id = idx.neighbor_id
+         |      GROUP BY ex.q_id) t
+         |ORDER BY q_id""".stripMargin,
   )
 }

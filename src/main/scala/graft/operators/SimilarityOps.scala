@@ -128,6 +128,36 @@ object SimilarityOps {
       .orderBy("list_id")
   }
 
+  /** q68 — ANN index-quality evaluation: per-query recall@k of BOTH
+    * approximate indexes (LSH buckets, trained IVF) against the exact
+    * brute-force top-k. This is the operational gate a 100 TB pipeline
+    * runs on a sampled query set before trusting an index build: recall
+    * collapses when buckets skew or the quantizer drifts from the corpus
+    * distribution, and the per-query breakdown localizes WHICH queries
+    * lose neighbors.
+    *
+    * Plan shape: each arm is its own already-scale-audited query (q45/q46/
+    * q46b); the evaluation overhead is one tagged union + one left join +
+    * one aggregation over rows x k rows — negligible next to the arms. A
+    * ground-truth neighbor matched by both indexes contributes one row per
+    * index to the join, so hits are conditional counts and n_exact is the
+    * distinct-neighbor count.
+    */
+  def annRecall(s: SparkSession, d: String, k: Int = 3): DataFrame = {
+    val exact = knnBruteForce(s, d, k).select("q_id", "neighbor_id")
+    val idx = knnLsh(s, d, k).select("q_id", "neighbor_id").withColumn("src", lit("lsh"))
+      .unionByName(knnIvf(s, d, k).select("q_id", "neighbor_id").withColumn("src", lit("ivf")))
+    exact.join(idx, Seq("q_id", "neighbor_id"), "left")
+      .groupBy("q_id")
+      .agg(
+        countDistinct("neighbor_id").as("n_exact"),
+        count(when(col("src") === "lsh", 1)).as("lsh_hits"),
+        count(when(col("src") === "ivf", 1)).as("ivf_hits"))
+      .withColumn("lsh_recall", col("lsh_hits").cast("double") / col("n_exact").cast("double"))
+      .withColumn("ivf_recall", col("ivf_hits").cast("double") / col("n_exact").cast("double"))
+      .orderBy("q_id")
+  }
+
   def knnIvf(s: SparkSession, d: String, k: Int = 3): DataFrame = {
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), toDouble(col("embedding")).as("v"))

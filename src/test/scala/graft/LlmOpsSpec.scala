@@ -92,6 +92,22 @@ class LlmOpsSpec extends SparkSpec {
     assert(pruned.map(_.getAs[Long]("vec_id")).toSet.subsetOf(loose))
   }
 
+  test("q68 ann recall: full query grid, hits bounded by k, recall ratios consistent") {
+    val rows = SimilarityOps.annRecall(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("q_id")).toSet === (0L until 10L).toSet)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_exact")
+      assert(n === 3L)
+      for (arm <- Seq("lsh", "ivf")) {
+        val h = r.getAs[Long](s"${arm}_hits")
+        assert(h >= 0L && h <= n, s"$arm hits $h outside [0,$n]")
+        assert(math.abs(r.getAs[Double](s"${arm}_recall") - h.toDouble / n) < 1e-15)
+      }
+    }
+    // the trained-quantizer IVF index must find SOMETHING on this corpus
+    assert(rows.map(_.getAs[Long]("ivf_hits")).sum > 0L)
+  }
+
   test("q66 label centroids: full grid, counts match, means within truncation of naive") {
     def lbl(r: org.apache.spark.sql.Row, name: String): Long =
       r.getAs[Number](name).longValue // label is int32 in the parquet schema
