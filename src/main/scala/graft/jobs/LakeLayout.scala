@@ -1,6 +1,6 @@
 package graft.jobs
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -85,6 +85,50 @@ object LakeLayout {
     require(fs.rename(tmp, leaf), s"compaction swap failed for $leaf (old data at $old)")
     fs.delete(old, true)
     nFiles
+  }
+
+  /** Scale a long column's [mn, mx] range to a 16-bit rank. Double math is
+    * fine here: the rank only steers file placement (layout quality), it
+    * carries no query-correctness contract.
+    */
+  private def rank16(c: Column, mn: Long, mx: Long): Column =
+    if (mx == mn) lit(0L)
+    else least(lit(65535L),
+      ((c.cast("double") - mn.toDouble) / (mx - mn).toDouble * 65535.0).cast("long"))
+
+  /** Bit-interleave two 16-bit ranks into one 32-bit Z-value (Morton
+    * order) — plain shift/and/or column arithmetic, fully codegen'd.
+    */
+  private def interleave16(a: Column, b: Column): Column =
+    (0 until 16).map { i =>
+      shiftleft(a.bitwiseAND(lit(1L << i)), i + 1)
+        .bitwiseOR(shiftleft(b.bitwiseAND(lit(1L << i)), i))
+    }.reduce(_ bitwiseOR _)
+
+  /** Z-order (Morton-curve) clustering of events on (ts, user_id): rank
+    * both dimensions to 16 bits, interleave, range-partition and sort on
+    * the Z-value, then drop it — the written files cluster BOTH dimensions
+    * at once, so parquet min/max stats stay tight on ts AND user_id per
+    * file and a scan with a predicate on either (or both) skips most row
+    * groups. Day-partitioning (writeEventsPartitioned) serves time-only
+    * predicates; this is the layout for the two-dimensional access pattern
+    * ("this user, this week") where sorting by one key destroys the
+    * other's locality. The bounds pass is one 1-row aggregate — a
+    * write-time layout cost, not a query path.
+    */
+  def writeEventsZOrdered(spark: SparkSession, sfDir: String, out: String, files: Int = 16): Unit = {
+    val ev = Tables.events(spark, sfDir)
+    val b = ev.agg(
+      min(col("ts").cast("long")), max(col("ts").cast("long")),
+      min(col("user_id")), max(col("user_id"))).collect()(0)
+    val z = interleave16(
+      rank16(col("ts").cast("long"), b.getLong(0), b.getLong(1)),
+      rank16(col("user_id"), b.getLong(2), b.getLong(3)))
+    ev.withColumn("zval", z)
+      .repartitionByRange(files, col("zval"))
+      .sortWithinPartitions("zval")
+      .drop("zval")
+      .write.mode(SaveMode.Overwrite).parquet(out)
   }
 
   /** Bucketed fact/dim layout: hash-bucket (and sort) both join sides on

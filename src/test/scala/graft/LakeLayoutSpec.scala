@@ -30,6 +30,43 @@ class LakeLayoutSpec extends SparkSpec {
     assert(df.count() === expected)
   }
 
+  test("z-order layout: per-file stats stay tight on BOTH dimensions") {
+    val zdir = Files.createTempDirectory("zorder").toString + "/events"
+    val tdir = Files.createTempDirectory("tsorted").toString + "/events"
+    LakeLayout.writeEventsZOrdered(spark, sf, zdir, files = 8)
+    // the one-dimensional strawman: same file count, range-clustered on ts only
+    Tables.events(spark, sf)
+      .repartitionByRange(8, col("ts")).sortWithinPartitions("ts")
+      .write.parquet(tdir)
+
+    // rows survive the rewrite bit-for-bit (ids are a permutation)
+    val src = Tables.events(spark, sf).count()
+    assert(spark.read.parquet(zdir).count() === src)
+
+    // a narrow user_id slice (~10% of the id range): count how many FILES'
+    // min/max user_id interval intersects it — that is exactly the
+    // row-group population a stats-pruning reader must touch
+    def touchedFiles(dir: String): (Int, Int) = {
+      val files = new java.io.File(dir).listFiles()
+        .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
+      val spans = files.map { f =>
+        val r = spark.read.parquet(f.getAbsolutePath)
+          .agg(min("user_id"), max("user_id")).collect()(0)
+        (r.getLong(0), r.getLong(1))
+      }
+      val bounds = spark.read.parquet(dir).agg(min("user_id"), max("user_id")).collect()(0)
+      val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+      val cut = lo + math.max(1L, (hi - lo) / 10)
+      (spans.count { case (mn, mx) => mn <= cut && lo <= mx }, files.length)
+    }
+    val (zTouched, zFiles) = touchedFiles(zdir)
+    val (tTouched, tFiles) = touchedFiles(tdir)
+    // ts-only clustering leaves user_id unclustered: every file intersects
+    assert(tTouched === tFiles, s"strawman unexpectedly clustered: $tTouched/$tFiles")
+    // z-order confines the slice to a minority of files
+    assert(zTouched.toDouble / zFiles <= 0.5, s"z-order touched $zTouched/$zFiles files")
+  }
+
   test("compact(): collapses a many-small-files table, rows preserved") {
     val dir = Files.createTempDirectory("compact").toString + "/events"
     Tables.events(spark, sf).repartition(20).write.parquet(dir)
