@@ -260,6 +260,13 @@ object CurationOps {
         s"transform(sequence(1, n - ${k - 1}), i -> cast(conv(substring(" +
           s"md5(cast(concat_ws(' ', slice(ts, i, $k)) as binary)), 1, 15), 16, 10) as bigint))"))
         .as("rh"))
+    // The extent aggregate + probe-side join DOES shuffle the runs table by
+    // rh twice (aliased subtrees never unify under exchange reuse), and a
+    // fused groupBy(rh) with a collected occurrence list would halve that —
+    // but the list is unbounded on a hot run hash (boilerplate appearing in
+    // millions of docs), the same buffer failure mode the mp4 manifest was
+    // rebuilt to avoid. Streaming min/max state + an equi-join redistribute
+    // is the shape that survives the skewed corpus.
     val extent = runs.groupBy("rh").agg(min("doc_id").as("mn"), max("doc_id").as("mx"))
     runs.join(extent, "rh")
       .groupBy("doc_id")
