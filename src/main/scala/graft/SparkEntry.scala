@@ -85,6 +85,7 @@ object SparkEntry {
     "q66_label_centroids" -> (TextAnalysisOps.labelCentroids _),
     "q67_semantic_dedup"  -> ((s: SparkSession, d: String) => DedupOps.semanticDedup(s, d)),
     "q68_ann_recall"      -> ((s: SparkSession, d: String) => SimilarityOps.annRecall(s, d)),
+    "q69_pq_stats"        -> (SimilarityOps.pqStats _),
   )
 
   // Portable polynomial rolling hash in DuckDB SQL — mirrors
@@ -110,6 +111,17 @@ object SparkEntry {
   private def ivfCentsValues: String =
     graft.operators.IvfCentroids.values.zipWithIndex.map { case (cv, i) =>
       s"(CAST($i AS BIGINT), [${cv.mkString(", ")}]::DOUBLE[])"
+    }.mkString("VALUES ", ", ", "")
+
+  /** The trained PQ codebooks as a DuckDB VALUES table — generated from the
+    * SAME frozen constants the Spark query broadcasts (PqCodebooks), so
+    * code assignment is engine-exact by construction.
+    */
+  private def pqBooksValues: String =
+    graft.operators.PqCodebooks.values.zipWithIndex.flatMap { case (book, sub) =>
+      book.zipWithIndex.map { case (cv, code) =>
+        s"(CAST($sub AS BIGINT), CAST($code AS BIGINT), [${cv.mkString(", ")}]::DOUBLE[])"
+      }
     }.mkString("VALUES ", ", ", "")
 
   private val EMB_NORM =
@@ -981,5 +993,23 @@ object SparkEntry {
          |        ON ex.q_id = idx.q_id AND ex.neighbor_id = idx.neighbor_id
          |      GROUP BY ex.q_id) t
          |ORDER BY q_id""".stripMargin,
+
+    // PQ codebook QA: per-(subspace, code) population + mean squared
+    // reconstruction error under the frozen trained codebooks
+    "q69_pq_stats" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |           FROM embeddings),
+         |books AS (SELECT sub_idx, code, cv FROM ($pqBooksValues) t(sub_idx, code, cv)),
+         |subs AS (SELECT vec_id, i AS sub_idx, v[i*8+1 : i*8+8] AS sv
+         |         FROM e, range(8) t(i)),
+         |asg AS (SELECT vec_id, sub_idx, code, sqd,
+         |          ROW_NUMBER() OVER (PARTITION BY vec_id, sub_idx ORDER BY sqd ASC, code ASC) AS rk
+         |        FROM (SELECT s.vec_id, s.sub_idx, b.code,
+         |                list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 9),
+         |                  i -> (s.sv[i] - b.cv[i]) * (s.sv[i] - b.cv[i]))), (acc, z) -> acc + z) AS sqd
+         |              FROM subs s JOIN books b USING (sub_idx)) t)
+         |SELECT sub_idx, code, CAST(COUNT(*) AS BIGINT) AS n_vectors,
+         |  ${A("sqd")} AS avg_sqdist
+         |FROM asg WHERE rk = 1 GROUP BY sub_idx, code ORDER BY sub_idx, code""".stripMargin,
   )
 }

@@ -1,0 +1,47 @@
+package graft.jobs
+
+import org.apache.spark.sql.SparkSession
+
+import graft.{GraftSession, Tables}
+import graft.operators.{Kmeans, Pq}
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.functions._
+
+/** Offline index-training entry point: retrains the frozen quantizer
+  * artifacts (IvfCentroids, PqCodebooks) and prints them as Scala source —
+  * `run TrainQuantizers <sfDir>`, paste the output over the checked-in
+  * files. Committed so the provenance comments on those files are a
+  * runnable recipe, not folklore.
+  */
+object TrainQuantizers {
+
+  private def fmt(x: Double): String = {
+    // same 1e-6 rounding the frozen files document
+    val r = math.rint(x * 1e6) / 1e6
+    if (r == 0.0) "0.0" else r.toString
+  }
+
+  def main(args: Array[String]): Unit = {
+    val Array(sfDir) = args
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark: SparkSession = GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    // the searchable corpus, same slice the IVF/PQ queries index
+    val corpus = Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("id"), toDouble(col("embedding")).as("v"))
+
+    val ivf = Kmeans.train(spark, corpus, k = 16, iters = 10, seed = 42L)
+    println("// IvfCentroids.values:")
+    ivf.foreach(cv => println(s"    Array(${cv.map(fmt).mkString(", ")}),"))
+
+    val pq = Pq.train(spark, corpus, dim = 64, m = 8, k = 16, iters = 10, seed = 42L)
+    println("// PqCodebooks.values:")
+    pq.foreach { book =>
+      println("    Array(")
+      book.foreach(cv => println(s"      Array(${cv.map(fmt).mkString(", ")}),"))
+      println("    ),")
+    }
+    spark.stop()
+  }
+}

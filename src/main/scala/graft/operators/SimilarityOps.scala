@@ -158,6 +158,45 @@ object SimilarityOps {
       .orderBy("q_id")
   }
 
+  /** q69 — product-quantization codebook QA (PqCodebooks = Pq.train
+    * output, the offline PQ index-training artifact): assign every
+    * vector's 8 subvectors to their nearest codebook entry and report, per
+    * (subspace, code), the population and mean squared reconstruction
+    * error. This is the health check a PQ index build runs before
+    * compressing a 100 TB corpus to 4-byte codes: a dead code (zero
+    * population) or a hot one with outsized distortion means the codebook
+    * no longer fits the corpus distribution and recall will sag.
+    *
+    * Scale shape: the 128-row codebook table broadcasts; subvector
+    * explode + assignment is map-side (8 rows per vector, one corpus
+    * pass); the only shuffle is the final 128-group aggregation. The
+    * squared-distance fold and the decimal-carrier mean keep the numbers
+    * engine-exact against the DuckDB oracle.
+    */
+  def pqStats(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val subDim = 8
+    val books = PqCodebooks.values.zipWithIndex.flatMap { case (book, sub) =>
+      book.zipWithIndex.map { case (cv, code) => (sub.toLong, code.toLong, cv.toSeq) }
+    }.toSeq.toDF("sub_idx", "code", "cv")
+    val subs = Tables.embeddings(s, d)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      .select(col("vec_id"), explode(array((0 until 8).map(sub =>
+        struct(lit(sub.toLong).as("sub_idx"),
+          slice(col("v"), sub * subDim + 1, subDim).as("sv"))): _*)).as("e"))
+      .select(col("vec_id"), col("e.sub_idx").as("sub_idx"), col("e.sv").as("sv"))
+    val w = Window.partitionBy("vec_id", "sub_idx").orderBy(col("sqd").asc, col("code").asc)
+    subs.join(broadcast(books), Seq("sub_idx"))
+      .withColumn("sqd",
+        expr("aggregate(zip_with(sv, cv, (x, y) -> (x - y) * (x - y)), 0D, (acc, z) -> acc + z)"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .groupBy("sub_idx", "code")
+      .agg(count(lit(1)).as("n_vectors"),
+        graft.functions.Exact.davg(col("sqd")).as("avg_sqdist"))
+      .orderBy("sub_idx", "code")
+  }
+
   def knnIvf(s: SparkSession, d: String, k: Int = 3): DataFrame = {
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), toDouble(col("embedding")).as("v"))

@@ -108,6 +108,33 @@ class LlmOpsSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("ivf_hits")).sum > 0L)
   }
 
+  test("q69 pq stats: populations partition the corpus per subspace; distortion sane") {
+    val rows = SimilarityOps.pqStats(spark, sf).collect()
+    val total = Tables.embeddings(spark, sf).count()
+    // every subspace's code populations must sum to the corpus size
+    rows.groupBy(_.getAs[Long]("sub_idx")).foreach { case (sub, rs) =>
+      assert(rs.map(_.getAs[Long]("n_vectors")).sum === total, s"subspace $sub")
+    }
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_vectors") > 0L)
+      assert(r.getAs[Double]("avg_sqdist") >= 0.0)
+    }
+    // trained codebooks on the training distribution: no dead codes
+    assert(rows.length === 8 * 16, s"dead codes: ${8 * 16 - rows.length}")
+  }
+
+  test("Pq.train: deterministic, correct shape, beats a degenerate codebook") {
+    import spark.implicits._
+    val vecs = Tables.embeddings(spark, sf)
+      .select(col("vec_id").as("id"),
+        graft.functions.VectorFunctions.toDouble(col("embedding")).as("v"))
+    val books = Pq.train(spark, vecs, dim = 64, m = 4, k = 4, iters = 3, seed = 7L)
+    assert(books.length === 4 && books.forall(b => b.length === 4 && b.forall(_.length === 16)))
+    val again = Pq.train(spark, vecs, dim = 64, m = 4, k = 4, iters = 3, seed = 7L)
+    assert(books.map(_.map(_.toSeq).toSeq).toSeq === again.map(_.map(_.toSeq).toSeq).toSeq)
+    assertThrows[IllegalArgumentException](Pq.train(spark, vecs, dim = 64, m = 5, k = 4, iters = 1, seed = 7L))
+  }
+
   test("q66 label centroids: full grid, counts match, means within truncation of naive") {
     def lbl(r: org.apache.spark.sql.Row, name: String): Long =
       r.getAs[Number](name).longValue // label is int32 in the parquet schema

@@ -59,6 +59,12 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p44b.contains("CartesianProduct"), p44b)
   }
 
+  test("q69: the 128-row codebook broadcasts; assignment stays map-side") {
+    val p = plan(SimilarityOps.pqStats(spark, sf))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
+
   test("q67: assignment broadcasts centroids; pairs stream from the generator, no cartesian") {
     val p = plan(DedupOps.semanticDedup(spark, sf))
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
