@@ -12,18 +12,67 @@ import graft.Tables
   */
 object LakeLayout {
 
+  /** The partitioning column: event day derived from the int64-nanos ts. */
+  private def dayOf(ts: Column): Column =
+    date_format(timestamp_micros(call_function("div", ts, lit(1000L))), "yyyy-MM-dd")
+
   /** Write events day-partitioned (`day=YYYY-MM-DD/`) and sorted by ts
     * within each file. Sorting within partitions gives parquet min/max
     * row-group statistics real selectivity for ts predicates.
     */
   def writeEventsPartitioned(spark: SparkSession, sfDir: String, out: String): Unit =
     Tables.events(spark, sfDir)
-      .withColumn("day", date_format(timestamp_micros(call_function("div", col("ts"), lit(1000L))), "yyyy-MM-dd"))
+      .withColumn("day", dayOf(col("ts")))
       .repartition(col("day"))
       .sortWithinPartitions("ts")
       .write.mode(SaveMode.Overwrite)
       .partitionBy("day")
       .parquet(out)
+
+  /** Upsert a correction/late batch into the day-partitioned lake, touching
+    * ONLY the day directories the batch lands in: per touched day, the new
+    * content is (existing rows whose event_id is not replaced) ∪ batch —
+    * every other partition's files are left byte-identical. At 100 TB this
+    * is the difference between rewriting a table and rewriting an
+    * afternoon: work scales with the size of the touched days, not the
+    * lake.
+    *
+    * Mechanics: the merged days are staged to an underscore-prefixed
+    * sibling (invisible to partition discovery), then each day directory is
+    * swapped in with the same two-rename crash-safe dance as [[compact]] —
+    * which also sidesteps writing over an input path mid-job. Same
+    * single-writer maintenance-window contract as compact. The touched-day
+    * list is a driver collect, bounded by the calendar, not the data.
+    */
+  def upsertEvents(spark: SparkSession, lake: String, batch: DataFrame): Unit = {
+    val withDay = batch.withColumn("day", dayOf(col("ts")))
+    val days = withDay.select("day").distinct().collect().map(_.getString(0)).sorted
+    if (days.isEmpty) return
+    val existing = spark.read.parquet(lake).filter(col("day").isin(days: _*))
+      .select(withDay.columns.map(col): _*) // align column order for the union
+    val merged = existing
+      .join(withDay.select("event_id"), Seq("event_id"), "left_anti")
+      .unionByName(withDay)
+      .repartition(col("day"))
+      .sortWithinPartitions("ts")
+
+    val root = new org.apache.hadoop.fs.Path(lake)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(root, "_upsert-tmp")
+    fs.delete(tmp, true)
+    merged.write.mode(SaveMode.Overwrite).partitionBy("day").parquet(tmp.toString)
+    days.foreach { d =>
+      val live = new org.apache.hadoop.fs.Path(root, s"day=$d")
+      val staged = new org.apache.hadoop.fs.Path(tmp, s"day=$d")
+      val old = new org.apache.hadoop.fs.Path(root, s"_day=$d.upsert-old")
+      fs.delete(old, true)
+      if (fs.exists(live))
+        require(fs.rename(live, old), s"upsert: could not stage old partition $live")
+      require(fs.rename(staged, live), s"upsert swap failed for $live (old data at $old)")
+      fs.delete(old, true)
+    }
+    fs.delete(tmp, true)
+  }
 
   /** Read back with a day predicate — Catalyst turns it into a partition
     * filter, so only the matching directories are listed/scanned.

@@ -30,6 +30,45 @@ class LakeLayoutSpec extends SparkSpec {
     assert(df.count() === expected)
   }
 
+  test("upsertEvents(): touched day rewritten, every other partition byte-identical") {
+    import spark.implicits._
+    val lake = Files.createTempDirectory("upsert").toString
+    LakeLayout.writeEventsPartitioned(spark, sf, lake)
+
+    def listing(): Map[String, Seq[(String, Long)]] =
+      new java.io.File(lake).listFiles().filter(_.getName.startsWith("day=")).map { d =>
+        d.getName -> d.listFiles().filter(_.getName.endsWith(".parquet"))
+          .map(f => (f.getName, f.length())).toSeq.sorted
+      }.toMap
+    val before = listing()
+    val days = before.keys.toSeq.sorted
+    assert(days.size >= 2, s"need >=2 day partitions, got $days")
+
+    // a correction batch inside ONE day: rewrite one event, add one new one
+    val victim = spark.read.parquet(lake)
+      .filter(col("day") === days.head.stripPrefix("day="))
+      .orderBy("event_id").limit(1)
+      .select("event_id", "ts", "user_id", "event_type", "value", "props").collect()(0)
+    val batch = Seq(
+      (victim.getLong(0), victim.getLong(1), victim.getLong(2), "corrected", 99.5, "{}"),
+      (900000L, victim.getLong(1) + 1L, 7L, "late_arrival", 1.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+
+    val total = spark.read.parquet(lake).count()
+    LakeLayout.upsertEvents(spark, lake, batch)
+
+    // untouched partitions: identical file names AND sizes
+    val after = listing()
+    days.tail.foreach(d => assert(after(d) === before(d), s"partition $d was rewritten"))
+    assert(after(days.head) !== before(days.head), "touched partition not rewritten")
+
+    val now = spark.read.parquet(lake)
+    assert(now.count() === total + 1) // one replaced, one added
+    val got = now.filter(col("event_id") === victim.getLong(0)).collect()
+    assert(got.length === 1 && got(0).getAs[String]("event_type") === "corrected")
+    assert(now.filter(col("event_id") === 900000L).count() === 1)
+  }
+
   test("z-order layout: per-file stats stay tight on BOTH dimensions") {
     val zdir = Files.createTempDirectory("zorder").toString + "/events"
     val tdir = Files.createTempDirectory("tsorted").toString + "/events"
