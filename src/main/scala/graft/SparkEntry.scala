@@ -86,6 +86,7 @@ object SparkEntry {
     "q67_semantic_dedup"  -> ((s: SparkSession, d: String) => DedupOps.semanticDedup(s, d)),
     "q68_ann_recall"      -> ((s: SparkSession, d: String) => SimilarityOps.annRecall(s, d)),
     "q69_pq_stats"        -> (SimilarityOps.pqStats _),
+    "q70_knn_pq"          -> ((s: SparkSession, d: String) => SimilarityOps.knnPq(s, d)),
   )
 
   // Portable polynomial rolling hash in DuckDB SQL — mirrors
@@ -1011,5 +1012,40 @@ object SparkEntry {
          |SELECT sub_idx, code, CAST(COUNT(*) AS BIGINT) AS n_vectors,
          |  ${A("sqd")} AS avg_sqdist
          |FROM asg WHERE rk = 1 GROUP BY sub_idx, code ORDER BY sub_idx, code""".stripMargin,
+
+    // PQ asymmetric-distance search: query vs coded corpus reconstructions,
+    // per-subspace partials added in fixed expression order
+    "q70_knn_pq" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |           FROM embeddings),
+         |books AS (SELECT sub_idx, code, cv FROM ($pqBooksValues) t(sub_idx, code, cv)),
+         |subs AS (SELECT vec_id, i AS sub_idx, v[i*8+1 : i*8+8] AS sv
+         |         FROM e, range(8) t(i) WHERE vec_id >= 10),
+         |qsubs AS (SELECT vec_id AS q_id, i AS sub_idx, v[i*8+1 : i*8+8] AS qsv
+         |          FROM e, range(8) t(i) WHERE vec_id < 10),
+         |asg AS (SELECT vec_id, sub_idx, code FROM (
+         |          SELECT s.vec_id, s.sub_idx, b.code,
+         |            ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.sub_idx
+         |              ORDER BY list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 9),
+         |                i -> (s.sv[i] - b.cv[i]) * (s.sv[i] - b.cv[i]))), (acc, z) -> acc + z) ASC,
+         |              b.code ASC) AS rk
+         |          FROM subs s JOIN books b ON s.sub_idx = b.sub_idx) t WHERE rk = 1),
+         |recon AS (SELECT a.vec_id, a.sub_idx, b.cv FROM asg a
+         |          JOIN books b ON a.sub_idx = b.sub_idx AND a.code = b.code),
+         |pair AS (SELECT q.q_id, r.vec_id AS neighbor_id, r.sub_idx,
+         |           list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 9),
+         |             i -> (q.qsv[i] - r.cv[i]) * (q.qsv[i] - r.cv[i]))), (acc, z) -> acc + z) AS dsub
+         |         FROM recon r JOIN qsubs q ON r.sub_idx = q.sub_idx),
+         |agg AS (SELECT q_id, neighbor_id,
+         |          ${(0 until 8).map(s0 =>
+                      s"SUM(CASE WHEN sub_idx = $s0 THEN dsub END) AS d$s0").mkString(", ")}
+         |        FROM pair GROUP BY q_id, neighbor_id)
+         |SELECT q_id, neighbor_id, adc_dist, rank FROM (
+         |  SELECT q_id, neighbor_id, adc_dist,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adc_dist ASC, neighbor_id) AS BIGINT) AS rank
+         |  FROM (SELECT q_id, neighbor_id,
+         |          ${(0 until 8).map(s0 => s"d$s0").mkString(" + ")} AS adc_dist
+         |        FROM agg) t0) t
+         |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin,
   )
 }

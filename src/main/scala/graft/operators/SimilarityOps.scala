@@ -197,6 +197,63 @@ object SimilarityOps {
       .orderBy("sub_idx", "code")
   }
 
+  /** q70 — PQ compressed-domain ANN search (asymmetric distance
+    * computation, Jégou et al. 2011): the corpus exists only as 4-bit
+    * codes; a query ranks neighbors by its exact distance to each
+    * vector's RECONSTRUCTION (sum over subspaces of the squared distance
+    * from the query's subvector to the coded centroid). This is the scan
+    * that makes billion-vector search fit in RAM — at 100 TB the coded
+    * corpus is 64× smaller than the floats, and this query is the
+    * read path over it.
+    *
+    * Scale shape: code assignment and centroid reconstruction are
+    * map-side (broadcast codebook, corpus never shuffles); the per-
+    * (query, vector, subspace) partials aggregate on (q_id, vec_id) —
+    * the one shuffle, rows × queries × 8 narrow rows. The 8 per-subspace
+    * sums are separate conditional aggregates added in a FIXED expression
+    * order, so the ADC distance is bit-reproducible against the oracle
+    * (a plain SUM over subspaces would fold in partition order).
+    */
+  def knnPq(s: SparkSession, d: String, k: Int = 3): DataFrame = {
+    import s.implicits._
+    val subDim = 8
+    val books = PqCodebooks.values.zipWithIndex.flatMap { case (book, sub) =>
+      book.zipWithIndex.map { case (cv, code) => (sub.toLong, code.toLong, cv.toSeq) }
+    }.toSeq.toDF("sub_idx", "code", "cv")
+    def subsOf(df: DataFrame): DataFrame = df
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      .select(col("vec_id"), explode(array((0 until 8).map(sub =>
+        struct(lit(sub.toLong).as("sub_idx"),
+          slice(col("v"), sub * subDim + 1, subDim).as("sv"))): _*)).as("e"))
+      .select(col("vec_id"), col("e.sub_idx").as("sub_idx"), col("e.sv").as("sv"))
+    val e = Tables.embeddings(s, d)
+    val corpus = subsOf(e.filter(col("vec_id") >= 10))
+    val queries = subsOf(e.filter(col("vec_id") < 10))
+      .select(col("vec_id").as("q_id"), col("sub_idx"), col("sv").as("qsv"))
+
+    val wa = Window.partitionBy("vec_id", "sub_idx").orderBy(col("sqd").asc, col("code").asc)
+    val recon = corpus.join(broadcast(books), Seq("sub_idx"))
+      .withColumn("sqd",
+        expr("aggregate(zip_with(sv, cv, (x, y) -> (x - y) * (x - y)), 0D, (acc, z) -> acc + z)"))
+      .withColumn("rk", row_number().over(wa))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("sub_idx"), col("cv"))
+    val partials = recon.join(broadcast(queries), Seq("sub_idx"))
+      .withColumn("dsub",
+        expr("aggregate(zip_with(qsv, cv, (x, y) -> (x - y) * (x - y)), 0D, (acc, z) -> acc + z)"))
+    val perSub = (0 until 8).map(sub =>
+      sum(when(col("sub_idx") === sub.toLong, col("dsub"))).as(s"d$sub"))
+    val wr = Window.partitionBy("q_id").orderBy(col("adc_dist").asc, col("neighbor_id"))
+    partials
+      .groupBy(col("q_id"), col("vec_id").as("neighbor_id"))
+      .agg(perSub.head, perSub.tail: _*)
+      .withColumn("adc_dist", (0 until 8).map(sub => col(s"d$sub")).reduce(_ + _))
+      .select("q_id", "neighbor_id", "adc_dist")
+      .withColumn("rank", row_number().over(wr).cast("long"))
+      .filter(col("rank") <= k)
+      .orderBy("q_id", "rank")
+  }
+
   def knnIvf(s: SparkSession, d: String, k: Int = 3): DataFrame = {
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), toDouble(col("embedding")).as("v"))

@@ -135,6 +135,36 @@ class LlmOpsSpec extends SparkSpec {
     assertThrows[IllegalArgumentException](Pq.train(spark, vecs, dim = 64, m = 5, k = 4, iters = 1, seed = 7L))
   }
 
+  test("q70 pq search: matches an independent driver-side ADC re-implementation") {
+    val got = SimilarityOps.knnPq(spark, sf).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("rank")) -> r.getAs[Long]("neighbor_id"))
+      .toMap
+    // brute-force ADC from raw parquet + the frozen codebooks, no Spark ops
+    val vecs = Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    val books = graft.operators.PqCodebooks.values
+    def sq(a: Array[Double], off: Int, c: Array[Double]): Double = {
+      var d = 0.0; var i = 0
+      while (i < 8) { val t = a(off + i) - c(i); d += t * t; i += 1 }
+      d
+    }
+    val corpusIds = vecs.keys.filter(_ >= 10).toSeq.sorted
+    val codes = corpusIds.map { id =>
+      id -> Array.tabulate(8) { sub =>
+        (0 until 16).minBy(c => (sq(vecs(id), sub * 8, books(sub)(c)), c))
+      }
+    }.toMap
+    for (q <- 0L until 10L) {
+      val want = corpusIds
+        .map(id => (id, (0 until 8).map(sub => sq(vecs(q), sub * 8, books(sub)(codes(id)(sub)))).sum))
+        .sortBy { case (id, dist) => (dist, id) }
+        .take(3).map(_._1)
+      val gotQ = (1L to 3L).map(rk => got((q, rk)))
+      assert(gotQ === want, s"query $q")
+    }
+  }
+
   test("q66 label centroids: full grid, counts match, means within truncation of naive") {
     def lbl(r: org.apache.spark.sql.Row, name: String): Long =
       r.getAs[Number](name).longValue // label is int32 in the parquet schema
