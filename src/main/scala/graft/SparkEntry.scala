@@ -87,6 +87,9 @@ object SparkEntry {
     "q68_ann_recall"      -> ((s: SparkSession, d: String) => SimilarityOps.annRecall(s, d)),
     "q69_pq_stats"        -> (SimilarityOps.pqStats _),
     "q70_knn_pq"          -> ((s: SparkSession, d: String) => SimilarityOps.knnPq(s, d)),
+    "q71_interp_align"    -> (TemporalOps.interpAlign _),
+    "q72_overlap_join"    -> (TemporalOps.overlapJoin _),
+    "q73_bm25"            -> ((s: SparkSession, d: String) => TextAnalysisOps.bm25(s, d)),
   )
 
   // Portable polynomial rolling hash in DuckDB SQL — mirrors
@@ -1047,5 +1050,99 @@ object SparkEntry {
          |          ${(0 until 8).map(s0 => s"d$s0").mkString(" + ")} AS adc_dist
          |        FROM agg) t0) t
          |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin,
+
+    "q71_interp_align" ->
+      """WITH u AS (
+        |  SELECT user_id, epoch_us(ts) AS tsn, event_id, value, 0 AS kind
+        |  FROM events WHERE event_type = 'error'
+        |  UNION ALL
+        |  SELECT user_id, epoch_us(ts), event_id, CAST(NULL AS DOUBLE), 1
+        |  FROM events WHERE event_type = 'view'),
+        |m AS (
+        |  SELECT *,
+        |    last_value(CASE WHEN kind = 0 THEN tsn END IGNORE NULLS) OVER fwd AS prev_ts,
+        |    last_value(CASE WHEN kind = 0 THEN event_id END IGNORE NULLS) OVER fwd AS prev_id,
+        |    last_value(CASE WHEN kind = 0 THEN value END IGNORE NULLS) OVER fwd AS prev_v,
+        |    last_value(CASE WHEN kind = 0 THEN tsn END IGNORE NULLS) OVER bwd AS next_ts,
+        |    last_value(CASE WHEN kind = 0 THEN event_id END IGNORE NULLS) OVER bwd AS next_id,
+        |    last_value(CASE WHEN kind = 0 THEN value END IGNORE NULLS) OVER bwd AS next_v
+        |  FROM u
+        |  WINDOW
+        |    fwd AS (PARTITION BY user_id ORDER BY tsn ASC, kind ASC, event_id ASC
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |    bwd AS (PARTITION BY user_id ORDER BY tsn DESC, kind ASC, event_id DESC
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT event_id AS view_id, user_id, tsn AS t_us, prev_id, next_id,
+        |  CASE WHEN prev_ts IS NULL THEN next_v
+        |       WHEN next_ts IS NULL THEN prev_v
+        |       WHEN next_ts = prev_ts THEN prev_v
+        |       ELSE prev_v + (next_v - prev_v) *
+        |            (CAST(tsn - prev_ts AS DOUBLE) / CAST(next_ts - prev_ts AS DOUBLE)) END
+        |    AS value_interp
+        |FROM m WHERE kind = 1 ORDER BY view_id""".stripMargin,
+
+    "q72_overlap_join" ->
+      """WITH act AS (
+        |  SELECT user_id, event_id, epoch_ns(ts) AS tsn
+        |  FROM events WHERE event_type <> 'error'),
+        |lagd AS (
+        |  SELECT user_id, event_id, tsn,
+        |    CASE WHEN lag(tsn) OVER w IS NULL OR tsn - lag(tsn) OVER w > 3600000000000
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM act WINDOW w AS (PARTITION BY user_id ORDER BY tsn, event_id)),
+        |sess AS (
+        |  SELECT user_id, tsn,
+        |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY tsn, event_id
+        |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        |  FROM lagd),
+        |sbounds AS (
+        |  SELECT user_id, session_seq, MIN(tsn) AS s_start, MAX(tsn) AS s_end
+        |  FROM sess GROUP BY 1, 2),
+        |wins AS (
+        |  SELECT user_id, event_id AS wid,
+        |    epoch_ns(ts) - 600000000000 AS w_start, epoch_ns(ts) + 600000000000 AS w_end
+        |  FROM events WHERE event_type = 'error')
+        |SELECT s.user_id, CAST(s.session_seq AS BIGINT) AS session_seq,
+        |  s.s_start // 1000 AS start_us,
+        |  COUNT(DISTINCT w.wid) AS n_windows, MIN(w.wid) AS first_wid
+        |FROM sbounds s JOIN wins w
+        |  ON s.user_id = w.user_id AND s.s_start <= w.w_end AND w.w_start <= s.s_end
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2""".stripMargin,
+
+    "q73_bm25" ->
+      """WITH perdoc AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
+        |    CAST(len(list_filter(string_split(text, ' '), x -> x = 'spark')) AS BIGINT) AS tf_spark,
+        |    CAST(len(list_filter(string_split(text, ' '), x -> x = 'window')) AS BIGINT) AS tf_window,
+        |    CAST(len(list_filter(string_split(text, ' '), x -> x = 'merge')) AS BIGINT) AS tf_merge
+        |  FROM documents),
+        |stats AS (
+        |  SELECT COUNT(*) AS n_docs,
+        |    CAST(SUM(CAST(dl AS DECIMAL(27,6))) AS DOUBLE) AS dl_sum,
+        |    SUM(CASE WHEN tf_spark > 0 THEN 1 ELSE 0 END) AS df_spark,
+        |    SUM(CASE WHEN tf_window > 0 THEN 1 ELSE 0 END) AS df_window,
+        |    SUM(CASE WHEN tf_merge > 0 THEN 1 ELSE 0 END) AS df_merge
+        |  FROM perdoc),
+        |stats2 AS (SELECT *, dl_sum / n_docs AS avgdl FROM stats)
+        |SELECT doc_id, dl, score FROM (
+        |  SELECT p.doc_id, p.dl,
+        |    (CASE WHEN p.tf_spark > 0 THEN
+        |       ln((CAST(s.n_docs AS DOUBLE) - s.df_spark + 0.5) / (CAST(s.df_spark AS DOUBLE) + 0.5) + 1.0)
+        |       * (CAST(p.tf_spark AS DOUBLE) * (1.2 + 1.0))
+        |       / (CAST(p.tf_spark AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(p.dl AS DOUBLE) / s.avgdl))
+        |     ELSE 0.0 END) +
+        |    (CASE WHEN p.tf_window > 0 THEN
+        |       ln((CAST(s.n_docs AS DOUBLE) - s.df_window + 0.5) / (CAST(s.df_window AS DOUBLE) + 0.5) + 1.0)
+        |       * (CAST(p.tf_window AS DOUBLE) * (1.2 + 1.0))
+        |       / (CAST(p.tf_window AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(p.dl AS DOUBLE) / s.avgdl))
+        |     ELSE 0.0 END) +
+        |    (CASE WHEN p.tf_merge > 0 THEN
+        |       ln((CAST(s.n_docs AS DOUBLE) - s.df_merge + 0.5) / (CAST(s.df_merge AS DOUBLE) + 0.5) + 1.0)
+        |       * (CAST(p.tf_merge AS DOUBLE) * (1.2 + 1.0))
+        |       / (CAST(p.tf_merge AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(p.dl AS DOUBLE) / s.avgdl))
+        |     ELSE 0.0 END) AS score
+        |  FROM perdoc p CROSS JOIN stats2 s) t
+        |WHERE score > 0.0 ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
   )
 }

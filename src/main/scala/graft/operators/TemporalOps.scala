@@ -1,0 +1,150 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Temporal-alignment operators over the sensor stream: linear-interpolation
+  * alignment (the lidar/odometry-to-camera-timestamp resample every fusion
+  * pipeline needs — q26's as-of join picks the nearest earlier sample, this
+  * interpolates BETWEEN the bracketing samples) and the interval-overlap
+  * join (which Spark would otherwise plan as a nested-loop theta join).
+  *
+  * `ts` is epoch-nanos (long) end to end, like the rest of the domain ops.
+  */
+object TemporalOps {
+
+  private val nsPerUs = 1000L
+
+  /** q71 — interpolation alignment: for every 'view' frame, the sensor
+    * reading ('error' stream, same camera) linearly interpolated at the
+    * frame's timestamp from the bracketing measurements.
+    *
+    * Shape: union both streams tagged, ONE shuffle on user_id, then two
+    * in-partition window passes — a forward scan carrying the last
+    * measurement at-or-before each row and a backward scan carrying the
+    * first at-or-after. No range join, no per-pair work: linear in the
+    * stream, state bounded per camera, so the plan is unchanged at 100 TB.
+    * (A naive implementation joins every frame against every measurement
+    * in a time band and re-sorts per pair.)
+    *
+    * Tie rules (total order, so both engines pick the same row): at equal
+    * ts a measurement brackets the frame on both sides; among equal-ts
+    * measurements the forward scan takes the largest event_id, the
+    * backward scan the smallest. Boundary frames (before the first / after
+    * the last measurement) take the single available neighbor; cameras
+    * with no measurements yield null.
+    *
+    * The lerp is a fixed chain of IEEE double ops on int64 deltas —
+    * bit-identical in any engine, no float time anywhere.
+    */
+  def interpAlign(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+    // Microsecond resolution on purpose: the DuckDB oracle's TIMESTAMP is
+    // µs-precision, so interpolating on raw nanos would disagree in the
+    // ~1e-10 tail of the lerp fraction. µs is already finer than any real
+    // camera/IMU clock alignment needs.
+    val tUs = call_function("div", col("ts"), lit(nsPerUs)).as("t_us")
+    // kind 0 = measurement (error), 1 = frame (view): kind breaks ts ties
+    // so a same-ts measurement sorts before the frame on the forward scan.
+    val meas = e.filter(col("event_type") === "error")
+      .select(col("user_id"), tUs, col("event_id"), col("value"), lit(0).as("kind"))
+    val frames = e.filter(col("event_type") === "view")
+      .select(col("user_id"), tUs, col("event_id"), lit(null).cast("double").as("value"),
+        lit(1).as("kind"))
+
+    val fwd = Window.partitionBy("user_id")
+      .orderBy(col("t_us").asc, col("kind").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // backward scan: descending ts; kind stays ascending so an equal-ts
+    // measurement is still in the frame's preceding set.
+    val bwd = Window.partitionBy("user_id")
+      .orderBy(col("t_us").desc, col("kind").asc, col("event_id").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    def measOnly(c: Column): Column = when(col("kind") === 0, c)
+
+    val lerp = {
+      val span = (col("next_ts") - col("prev_ts")).cast("double")
+      val frac = (col("t_us") - col("prev_ts")).cast("double") / span
+      when(col("prev_ts").isNull, col("next_v"))
+        .when(col("next_ts").isNull, col("prev_v"))
+        .when(col("next_ts") === col("prev_ts"), col("prev_v"))
+        .otherwise(col("prev_v") + (col("next_v") - col("prev_v")) * frac)
+    }
+
+    meas.unionByName(frames)
+      .withColumn("prev_ts", last(measOnly(col("t_us")), ignoreNulls = true).over(fwd))
+      .withColumn("prev_id", last(measOnly(col("event_id")), ignoreNulls = true).over(fwd))
+      .withColumn("prev_v", last(measOnly(col("value")), ignoreNulls = true).over(fwd))
+      .withColumn("next_ts", last(measOnly(col("t_us")), ignoreNulls = true).over(bwd))
+      .withColumn("next_id", last(measOnly(col("event_id")), ignoreNulls = true).over(bwd))
+      .withColumn("next_v", last(measOnly(col("value")), ignoreNulls = true).over(bwd))
+      .filter(col("kind") === 1)
+      .select(
+        col("event_id").as("view_id"),
+        col("user_id"),
+        col("t_us"),
+        col("prev_id"), col("next_id"),
+        lerp.as("value_interp"))
+      .orderBy("view_id")
+  }
+
+  private val gapNs    = 3600L * 1000000000L  // 1 h activity gap closes a session
+  private val halfWinNs = 600L * 1000000000L  // error burst window: ts ± 10 min
+  private val binNs    = 1200L * 1000000000L  // bucket = full window span
+
+  /** q72 — interval-overlap join: per-camera activity sessions (non-error
+    * events, 1 h gap) joined against that camera's error-burst windows
+    * (ts ± 10 min) on interval overlap, counting distinct bursts per
+    * session.
+    *
+    * Spark has no range-join strategy, so the naive `ON s.start <= w.end
+    * AND w.start <= s.end` plans as a nested-loop join — sessions x windows
+    * per camera, quadratic in recording length. Instead both interval sets
+    * are exploded onto a fixed time-bin grid (bin = the full window span,
+    * so a window covers at most 2 bins) and equi-joined on (user_id, bin) —
+    * a plain shuffle-hash join whose cost is linear in intervals x
+    * bins-per-interval, with the exact overlap predicate re-checked on the
+    * matched pairs and duplicates collapsed by the distinct-count
+    * aggregation. The DuckDB oracle runs the plain theta join, proving the
+    * binning lossless (same adjudication pattern as q41c's prefix filter).
+    */
+  def overlapJoin(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sessions = e.filter(col("event_type") =!= "error")
+      .select(col("user_id"), col("event_id"), col("ts"))
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("is_new",
+        when(col("prev_ts").isNull || col("ts") - col("prev_ts") > gapNs, 1L).otherwise(0L))
+      .withColumn("session_seq", sum(col("is_new")).over(wRun))
+      .groupBy("user_id", "session_seq")
+      .agg(min(col("ts")).as("s_start"), max(col("ts")).as("s_end"))
+
+    val wins = e.filter(col("event_type") === "error")
+      .select(
+        col("user_id"), col("event_id").as("wid"),
+        (col("ts") - halfWinNs).as("w_start"), (col("ts") + halfWinNs).as("w_end"))
+
+    def bins(lo: Column, hi: Column): Column =
+      explode(sequence(
+        call_function("div", lo, lit(binNs)), call_function("div", hi, lit(binNs))))
+
+    val sBinned = sessions.withColumn("bin", bins(col("s_start"), col("s_end")))
+    val wBinned = wins.withColumn("bin", bins(col("w_start"), col("w_end")))
+
+    sBinned.join(wBinned, Seq("user_id", "bin"))
+      .filter(col("s_start") <= col("w_end") && col("w_start") <= col("s_end"))
+      .groupBy(col("user_id"), col("session_seq"),
+        call_function("div", col("s_start"), lit(nsPerUs)).as("start_us"))
+      .agg(
+        countDistinct(col("wid")).as("n_windows"),
+        min(col("wid")).as("first_wid"))
+      .orderBy("user_id", "session_seq")
+  }
+}

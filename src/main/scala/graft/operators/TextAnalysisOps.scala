@@ -153,4 +153,55 @@ object TextAnalysisOps {
       .groupBy(col("label"), (col("p") + 1).cast("long").as("dim_idx"))
       .agg(count(lit(1)).as("n_vectors"), davg(col("x")).as("mean_x"))
       .orderBy("label", "dim_idx")
+
+  /** q73 — BM25 keyword retrieval (Robertson/Okapi, k1=1.2 b=0.75): top-20
+    * documents for a fixed query-term set, the lexical-search counterpart
+    * of the ANN queries (q45/q46/q70) and the retrieval half of a hybrid
+    * search stack.
+    *
+    * Shape: per-term tf is computed PER ROW from the token array (a handful
+    * of query terms — no explode to the token level, unlike q52's full
+    * inverted index), so the only shuffles are a 1-row corpus-stats
+    * aggregate (N, avgdl, per-term df — broadcast back) and the final
+    * top-k. Cost is one linear scan regardless of corpus size; for an
+    * unbounded workload of ad-hoc queries the q52 inverted index is the
+    * amortized path, but for one query vector of terms this is strictly
+    * cheaper — no token-level shuffle at all.
+    *
+    * Determinism: tf/df/dl are exact integers; avgdl goes through the
+    * exact-decimal carrier; the per-doc score is then a fixed chain of IEEE
+    * double ops (JVM Math.log and DuckDB ln are bit-identical on these
+    * inputs — verified at build time). Ties rank by doc_id.
+    */
+  def bm25(s: SparkSession, d: String,
+           terms: Seq[String] = Seq("spark", "window", "merge"),
+           k1: Double = 1.2, b: Double = 0.75, topK: Int = 20): DataFrame = {
+    val docs = Tables.documents(s, d)
+    def tf(t: String): Column = size(filter(tokens(col("text")), x => x === t)).cast("long")
+
+    val perDoc = docs.select(
+      col("doc_id") +: size(tokens(col("text"))).cast("long").as("dl") +:
+        terms.map(t => tf(t).as(s"tf_$t")): _*)
+
+    val aggs = count(lit(1)).as("n_docs") +: sum(acc(col("dl"))).cast("double").as("dl_sum") +:
+      terms.map(t => sum(when(col(s"tf_$t") > 0, 1L).otherwise(0L)).as(s"df_$t"))
+    val stats = perDoc.agg(aggs.head, aggs.tail: _*)
+
+    val score = terms.map { t =>
+      val tfc = col(s"tf_$t").cast("double")
+      val dfc = col(s"df_$t")
+      val idf = log((col("n_docs").cast("double") - dfc + lit(0.5)) /
+        (dfc.cast("double") + lit(0.5)) + lit(1.0))
+      val denom = tfc + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") / col("avgdl"))
+      when(col(s"tf_$t") > 0, idf * (tfc * lit(k1 + 1.0)) / denom).otherwise(lit(0.0))
+    }.reduce(_ + _)
+
+    perDoc.crossJoin(broadcast(stats))
+      .withColumn("avgdl", col("dl_sum") / col("n_docs"))
+      .withColumn("score", score)
+      .filter(col("score") > 0.0)
+      .select(col("doc_id"), col("dl"), col("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(topK)
+  }
 }

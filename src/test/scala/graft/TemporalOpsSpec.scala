@@ -1,0 +1,145 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+import org.apache.spark.sql.functions._
+
+import graft.operators._
+
+/** Invariant specs for the temporal-alignment operators (q71–q73). */
+class TemporalOpsSpec extends SparkSpec {
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  private lazy val events =
+    Tables.events(spark, sf).select("event_id", "user_id", "ts", "event_type", "value").collect()
+
+  test("q71 interp align matches a naive per-row lerp on a sample") {
+    val meas = events.filter(_.getAs[String]("event_type") == "error")
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("ts") / 1000,
+        r.getAs[Long]("event_id"), r.getAs[Double]("value")))
+    val views = events.filter(_.getAs[String]("event_type") == "view").take(80)
+
+    val got = TemporalOps.interpAlign(spark, sf).collect()
+      .map(r => r.getAs[Long]("view_id") ->
+        Option(r.getAs[java.lang.Double]("value_interp")).map(_.toDouble))
+      .toMap
+
+    views.foreach { v =>
+      val (uid, tus, vid) =
+        (v.getAs[Long]("user_id"), v.getAs[Long]("ts") / 1000, v.getAs[Long]("event_id"))
+      val mine = meas.filter(_._1 == uid)
+      // forward pick: largest (ts, event_id) at-or-before; backward: smallest at-or-after
+      val prev = mine.filter(_._2 <= tus).sortBy(m => (m._2, m._3)).lastOption
+      val next = mine.filter(_._2 >= tus).sortBy(m => (m._2, -m._3)).headOption
+      val expect = (prev, next) match {
+        case (None, None)         => None
+        case (None, Some(n))      => Some(n._4)
+        case (Some(p), None)      => Some(p._4)
+        case (Some(p), Some(n)) if n._2 == p._2 => Some(p._4)
+        case (Some(p), Some(n)) =>
+          Some(p._4 + (n._4 - p._4) * ((tus - p._2).toDouble / (n._2 - p._2).toDouble))
+      }
+      assert(got.get(vid).flatten === expect, s"view $vid")
+    }
+  }
+
+  test("q71 interpolated values lie within the bracketing measurement range") {
+    val df = TemporalOps.interpAlign(spark, sf)
+    // when both neighbors exist, lerp is a convex combination — never
+    // outside [min(prev_v, next_v), max(prev_v, next_v)]; checked via the
+    // measurement table joined back by id
+    val m = Tables.events(spark, sf).filter(col("event_type") === "error")
+      .select(col("event_id"), col("value"))
+    val joined = df
+      .join(m.withColumnRenamed("event_id", "prev_id").withColumnRenamed("value", "pv"), Seq("prev_id"))
+      .join(m.withColumnRenamed("event_id", "next_id").withColumnRenamed("value", "nv"), Seq("next_id"))
+    val out = joined.filter(
+      col("value_interp") < least(col("pv"), col("nv")) - 1e-12 ||
+      col("value_interp") > greatest(col("pv"), col("nv")) + 1e-12)
+    assert(out.count() === 0)
+  }
+
+  test("q72 overlap join matches a naive theta join") {
+    val gapNs = 3600L * 1000000000L
+    val halfNs = 600L * 1000000000L
+    // naive sessions per user
+    val byUser = events.filter(_.getAs[String]("event_type") != "error")
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("ts"), r.getAs[Long]("event_id")))
+      .groupBy(_._1)
+    val sessions = byUser.toSeq.flatMap { case (uid, rows) =>
+      val sorted = rows.sortBy(r => (r._2, r._3))
+      var seq = 0L
+      var prev = Long.MinValue
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+      sorted.foreach { r =>
+        if (prev == Long.MinValue || r._2 - prev > gapNs) {
+          seq += 1; out += ((uid, seq, r._2, r._2))
+        } else {
+          val last = out.remove(out.length - 1)
+          out += ((last._1, last._2, last._3, r._2))
+        }
+        prev = r._2
+      }
+      out
+    }
+    val wins = events.filter(_.getAs[String]("event_type") == "error")
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("event_id"),
+        r.getAs[Long]("ts") - halfNs, r.getAs[Long]("ts") + halfNs))
+    val naive = sessions.flatMap { case (uid, seq, s0, s1) =>
+      val hits = wins.filter(w => w._1 == uid && s0 <= w._4 && w._3 <= s1)
+      if (hits.isEmpty) None
+      else Some((uid, seq) -> (hits.map(_._2).distinct.length.toLong, hits.map(_._2).min))
+    }.toMap
+
+    val got = TemporalOps.overlapJoin(spark, sf).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("session_seq")) ->
+        (r.getAs[Long]("n_windows"), r.getAs[Long]("first_wid")))
+      .toMap
+    assert(got === naive)
+  }
+
+  test("q72 plans an equi-join on the bin grid, never a nested loop") {
+    val p = plan(TemporalOps.overlapJoin(spark, sf))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("q71 plans window passes only — no join") {
+    val p = plan(TemporalOps.interpAlign(spark, sf))
+    assert(!p.contains("Join"), p)
+    assert(p.contains("Window"), p)
+  }
+
+  test("q73 bm25 matches a naive in-memory scorer") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text").split(" ", -1).toSeq)
+    val terms = Seq("spark", "window", "merge")
+    val n = docs.length.toDouble
+    val avgdl = docs.map(_._2.length.toLong).sum.toDouble / docs.length
+    val dfs = terms.map(t => t -> docs.count(_._2.contains(t)).toDouble).toMap
+    val (k1, b) = (1.2, 0.75)
+    val naive = docs.map { case (id, toks) =>
+      val dl = toks.length.toDouble
+      val score = terms.map { t =>
+        val tf = toks.count(_ == t).toDouble
+        if (tf == 0) 0.0
+        else math.log((n - dfs(t) + 0.5) / (dfs(t) + 0.5) + 1.0) *
+          (tf * (k1 + 1.0)) / (tf + k1 * ((1.0 - b) + b * dl / avgdl))
+      }.sum
+      id -> score
+    }.filter(_._2 > 0).sortBy { case (id, sc) => (-sc, id) }.take(20)
+
+    val got = TemporalOpsSpecHelper.bm25Rows(spark, sf)
+    assert(got.map(_._1) === naive.map(_._1).toList)
+    got.zip(naive).foreach { case ((_, g), (_, e)) =>
+      assert(math.abs(g - e) < 1e-9, s"score drift: $g vs $e")
+    }
+  }
+}
+
+private object TemporalOpsSpecHelper {
+  def bm25Rows(spark: org.apache.spark.sql.SparkSession, sf: String): List[(Long, Double)] =
+    operators.TextAnalysisOps.bm25(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("score"))).toList
+}
