@@ -90,6 +90,8 @@ object SparkEntry {
     "q71_interp_align"    -> (TemporalOps.interpAlign _),
     "q72_overlap_join"    -> (TemporalOps.overlapJoin _),
     "q73_bm25"            -> ((s: SparkSession, d: String) => TextAnalysisOps.bm25(s, d)),
+    "q74_pps_sample"      -> ((s: SparkSession, d: String) => CurationOps.ppsSample(s, d)),
+    "q75_scd2"            -> (TemporalOps.scd2 _),
   )
 
   // Portable polynomial rolling hash in DuckDB SQL — mirrors
@@ -1144,5 +1146,35 @@ object SparkEntry {
         |     ELSE 0.0 END) AS score
         |  FROM perdoc p CROSS JOIN stats2 s) t
         |WHERE score > 0.0 ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+
+    "q74_pps_sample" ->
+      """WITH d2 AS (
+        |  SELECT source, doc_id, n_chars,
+        |    SUM(n_chars) OVER (PARTITION BY source
+        |      ORDER BY (doc_id * 2654435761) % 1000000007, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    SUM(n_chars) OVER (PARTITION BY source) AS tot
+        |  FROM documents)
+        |SELECT source, j AS pick, doc_id, n_chars
+        |FROM d2 CROSS JOIN range(3) t(j)
+        |WHERE (cum - n_chars) * 6 < (j * 2 + 1) * tot
+        |  AND (j * 2 + 1) * tot <= cum * 6
+        |ORDER BY source, pick""".stripMargin,
+
+    "q75_scd2" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS tus, event_type FROM events),
+        |ch AS (
+        |  SELECT *, lag(event_type) OVER (PARTITION BY user_id ORDER BY tus, event_id) AS prev_type
+        |  FROM e),
+        |f AS (SELECT * FROM ch WHERE prev_type IS NULL OR prev_type <> event_type)
+        |SELECT user_id,
+        |  CAST(ROW_NUMBER() OVER w AS BIGINT) AS version,
+        |  event_type AS state,
+        |  tus AS valid_from_us,
+        |  lead(tus) OVER w AS valid_to_us,
+        |  lead(tus) OVER w IS NULL AS is_current
+        |FROM f WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)
+        |ORDER BY user_id, version""".stripMargin,
   )
 }

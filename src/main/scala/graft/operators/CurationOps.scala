@@ -300,4 +300,39 @@ object CurationOps {
         max(col("mae")).as("max_abs_err"),
         sum(col("nsat")).as("n_saturated"))
       .orderBy("label")
+
+  /** q74 — systematic PPS (probability-proportional-to-size) sampling:
+    * k docs per source, inclusion probability proportional to n_chars —
+    * the curation sampler when long documents should dominate the audit
+    * (q58's quota sampler treats docs uniformly within a stratum).
+    *
+    * Classic systematic PPS: lay the stratum's docs on a line in
+    * multiplicative-hash order, each owning a segment of length = its
+    * weight; k equally-spaced pointers (at (2j+1)/2k of total) select the
+    * segment they land in. ENTIRELY int64 arithmetic — pointer-in-segment
+    * is `(cum - w) * 2k < (2j+1) * tot <= cum * 2k` — so the sample is
+    * bit-stable under any partitioning and any engine, no doubles at all.
+    * A doc longer than tot/k can own several pointers (emitted once per
+    * pointer, pick = j).
+    *
+    * Shape: ONE shuffle on the stratum key; both windows (running sum +
+    * stratum total) ride it; the pointer set is a per-row explode of k
+    * constants, filtered in place — no join.
+    */
+  def ppsSample(s: SparkSession, d: String, k: Int = 3): DataFrame = {
+    val h = (col("doc_id") * 2654435761L) % 1000000007L
+    val w = Window.partitionBy("source").orderBy(h.asc, col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy("source")
+    Tables.documents(s, d)
+      .select(col("source"), col("doc_id"), col("n_chars"))
+      .withColumn("cum", sum(col("n_chars")).over(w))
+      .withColumn("tot", sum(col("n_chars")).over(wAll))
+      .withColumn("pick", explode(sequence(lit(0L), lit(k - 1L))))
+      .filter(
+        (col("cum") - col("n_chars")) * (2 * k) < (col("pick") * 2 + 1) * col("tot") &&
+        (col("pick") * 2 + 1) * col("tot") <= col("cum") * (2 * k))
+      .select(col("source"), col("pick"), col("doc_id"), col("n_chars"))
+      .orderBy("source", "pick")
+  }
 }

@@ -147,4 +147,37 @@ object TemporalOps {
         min(col("wid")).as("first_wid"))
       .orderBy("user_id", "session_seq")
   }
+
+  /** q75 — SCD2 reconstruction: collapse the per-camera event stream into
+    * type-2 slowly-changing-dimension intervals — one row per state run
+    * (consecutive same event_type), with [valid_from, valid_to) bounds,
+    * a version number, and an is_current flag. The lake-side history table
+    * every downstream "state as of T" join consumes; the reference's
+    * DynamoDB monitor table (q27) keeps only the latest row, this keeps
+    * the full history.
+    *
+    * Shape: one shuffle on user_id; the change-point filter (lag) and the
+    * interval close (lead) are two in-partition window passes over it —
+    * no self-join, no state larger than one row per camera. Exact int64
+    * time, string states; nothing float anywhere.
+    */
+  def scd2(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val changes = Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+    val w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes
+      .withColumn("valid_to_ns", lead(col("ts"), 1).over(w2))
+      .withColumn("version", row_number().over(w2).cast("long"))
+      .select(
+        col("user_id"),
+        col("version"),
+        col("event_type").as("state"),
+        call_function("div", col("ts"), lit(nsPerUs)).as("valid_from_us"),
+        call_function("div", col("valid_to_ns"), lit(nsPerUs)).as("valid_to_us"),
+        col("valid_to_ns").isNull.as("is_current"))
+      .orderBy("user_id", "version")
+  }
 }

@@ -262,4 +262,45 @@ class CurationSpec extends SparkSpec {
     assert(c5.getAs[Int]("emails") + c5.getAs[Int]("phones") +
       c5.getAs[Int]("ssns") + c5.getAs[Int]("ips") === 0)
   }
+
+  test("q74 PPS sample: exactly k picks per source, heavy docs guaranteed in") {
+    val k = 3
+    val rows = CurationOps.ppsSample(spark, sf, k).collect()
+    val bySource = rows.groupBy(_.getAs[String]("source"))
+    // each pointer lands in exactly one segment -> k rows per source
+    bySource.foreach { case (src, rs) =>
+      assert(rs.length === k, s"source $src")
+      assert(rs.map(_.getAs[Long]("pick")).sorted.toSeq === (0L until k.toLong))
+    }
+    // the defining PPS property: any doc owning more than tot/k of the
+    // stratum's weight MUST appear (it spans at least one pointer gap)
+    val docs = Tables.documents(spark, sf).select("source", "doc_id", "n_chars").collect()
+    docs.groupBy(_.getAs[String]("source")).foreach { case (src, ds) =>
+      val tot = ds.map(_.getAs[Long]("n_chars")).sum
+      val heavy = ds.filter(_.getAs[Long]("n_chars") * k > tot).map(_.getAs[Long]("doc_id"))
+      val picked = bySource(src).map(_.getAs[Long]("doc_id")).toSet
+      heavy.foreach(h => assert(picked.contains(h), s"heavy doc $h of $src"))
+    }
+  }
+
+  test("q74 PPS sample: naive in-memory recompute matches exactly") {
+    val k = 3
+    val docs = Tables.documents(spark, sf).select("source", "doc_id", "n_chars").collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("doc_id"), r.getAs[Long]("n_chars")))
+    val naive = docs.groupBy(_._1).toSeq.flatMap { case (src, ds) =>
+      val ordered = ds.sortBy(d => ((d._2 * 2654435761L) % 1000000007L, d._2))
+      val tot = ordered.map(_._3).sum
+      var cum = 0L
+      ordered.flatMap { d =>
+        cum += d._3
+        (0 until k).filter(j =>
+          (cum - d._3) * (2 * k) < (2L * j + 1) * tot && (2L * j + 1) * tot <= cum * (2 * k))
+          .map(j => (src, j.toLong, d._2, d._3))
+      }
+    }.sortBy(t => (t._1, t._2)).toList
+    val got = CurationOps.ppsSample(spark, sf, k).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("pick"),
+        r.getAs[Long]("doc_id"), r.getAs[Long]("n_chars"))).toList
+    assert(got === naive)
+  }
 }

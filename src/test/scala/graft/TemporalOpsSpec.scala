@@ -111,6 +111,26 @@ class TemporalOpsSpec extends SparkSpec {
     assert(p.contains("Window"), p)
   }
 
+  test("q75 scd2: intervals tile the timeline, one current row per camera") {
+    val df = TemporalOps.scd2(spark, sf).collect()
+    df.groupBy(_.getAs[Long]("user_id")).foreach { case (uid, rows) =>
+      val ordered = rows.sortBy(_.getAs[Long]("version"))
+      // versions dense from 1
+      assert(ordered.map(_.getAs[Long]("version")).toSeq === (1L to ordered.length.toLong))
+      // exactly one open (current) interval, and it is the last version
+      val current = ordered.filter(_.getAs[Boolean]("is_current"))
+      assert(current.length === 1 && current.head.getAs[Long]("version") === ordered.length.toLong)
+      // each interval closes exactly where the next opens; no zero-width gaps
+      ordered.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[Long]("valid_to_us") === b.getAs[Long]("valid_from_us"), s"user $uid")
+          // consecutive states actually differ (runs were collapsed)
+          assert(a.getAs[String]("state") !== b.getAs[String]("state"), s"user $uid")
+        case _ =>
+      }
+    }
+  }
+
   test("q73 bm25 matches a naive in-memory scorer") {
     val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text").split(" ", -1).toSeq)
