@@ -148,6 +148,46 @@ object TemporalOps {
       .orderBy("user_id", "session_seq")
   }
 
+  /** q72b — the SAME overlap query as q72, but written the way a user
+    * would: a plain theta join `s.start <= w.end AND w.start <= s.end`,
+    * relying on [[graft.plans.RangeJoinRule]] (enabled here via
+    * `spark.graft.rangeJoin.binWidth`) to rewrite it into the binned
+    * equi-join automatically. Shares q72's oracle — parity proves the
+    * optimizer rewrite end-to-end, the same adjudication q41c uses for the
+    * prefix filter. RangeJoinRuleSpec additionally pins plan shape and
+    * row-level multiplicity.
+    */
+  def overlapJoinViaRule(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.graft.rangeJoin.binWidth", binNs.toString)
+    val e = Tables.events(s, d)
+
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sessions = e.filter(col("event_type") =!= "error")
+      .select(col("user_id"), col("event_id"), col("ts"))
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("is_new",
+        when(col("prev_ts").isNull || col("ts") - col("prev_ts") > gapNs, 1L).otherwise(0L))
+      .withColumn("session_seq", sum(col("is_new")).over(wRun))
+      .groupBy("user_id", "session_seq")
+      .agg(min(col("ts")).as("s_start"), max(col("ts")).as("s_end"))
+
+    val wins = e.filter(col("event_type") === "error")
+      .select(
+        col("user_id").as("w_user"), col("event_id").as("wid"),
+        (col("ts") - halfWinNs).as("w_start"), (col("ts") + halfWinNs).as("w_end"))
+
+    sessions.join(wins,
+        sessions("user_id") === wins("w_user") &&
+        sessions("s_start") <= wins("w_end") && wins("w_start") <= sessions("s_end"))
+      .groupBy(col("user_id"), col("session_seq"),
+        call_function("div", col("s_start"), lit(nsPerUs)).as("start_us"))
+      .agg(
+        countDistinct(col("wid")).as("n_windows"),
+        min(col("wid")).as("first_wid"))
+      .orderBy("user_id", "session_seq")
+  }
+
   /** q75 — SCD2 reconstruction: collapse the per-camera event stream into
     * type-2 slowly-changing-dimension intervals — one row per state run
     * (consecutive same event_type), with [valid_from, valid_to) bounds,

@@ -238,5 +238,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_overlap"),
       new ExpressionInfo(classOf[SortedOverlap].getName, "graft_overlap"),
       (children: Seq[Expression]) => SortedOverlap(children(0), children(1))))
+    // interval-overlap theta join -> binned equi-join (fires only when
+    // spark.graft.rangeJoin.binWidth is set positive)
+    ext.injectOptimizerRule(_ => RangeJoinRule)
   }
 }

@@ -1,0 +1,125 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.internal.SQLConf
+import org.apache.spark.sql.types.LongType
+
+/** Optimizer rule: rewrite an interval-overlap theta join into a binned
+  * equi-join.
+  *
+  * Spark has no range-join strategy, so `a JOIN b ON a.start <= b.end AND
+  * b.start <= a.end [AND k-equality]` plans as a BroadcastNestedLoopJoin
+  * (no equi keys) or as a sort-merge join on the equi keys alone with the
+  * overlap as a per-key residual — either way the per-key work is the
+  * cross product, quadratic in recording length. This rule overlays both
+  * sides onto a fixed time-bin grid (`Generate(Explode(Sequence(start/W,
+  * end/W)))`), equi-joins on the bin (plus any original equi keys), keeps
+  * the exact overlap predicate as the residual, and keeps each matched
+  * pair exactly once by accepting it only in the FIRST overlapping bin —
+  * `bin = greatest(a.start, b.start) / W`, a point both intervals contain,
+  * so no distinct pass is needed and multiplicity is preserved for any
+  * downstream aggregate.
+  *
+  * Scope guards, checked structurally: INNER joins whose condition carries
+  * exactly the two long-typed overlap conjuncts with each bound fully on
+  * one side; fires only when `spark.graft.rangeJoin.binWidth` (same time
+  * unit as the bounds; pick ~ the typical interval span) is set positive;
+  * skips joins already carrying the first-bin marker so the fixed-point
+  * optimizer batch stays idempotent. Bin count per row is
+  * span/W + 1 — a pathologically wide interval costs explode rows, never
+  * wrong answers (TemporalOpsSpec pins rewritten == unrewritten).
+  *
+  * The hand-built q72 (TemporalOps.overlapJoin) is this same shape spelled
+  * out with the dedup fused into its count-distinct aggregate; the rule
+  * gives every ad-hoc theta-overlap query that plan for free.
+  */
+object RangeJoinRule extends Rule[LogicalPlan] {
+
+  private val widthKey = "spark.graft.rangeJoin.binWidth"
+
+  private def width: Long =
+    SQLConf.get.getConfString(widthKey, "0").toLong
+
+  /** Conjunct list of an expression. */
+  private def conjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => conjuncts(l) ++ conjuncts(r)
+    case other     => Seq(other)
+  }
+
+  /** The first-bin marker conjunct we add — its presence means the join is
+    * already rewritten (survives plan copies, unlike node tags). */
+  private def isFirstBinMarker(e: Expression): Boolean = e match {
+    case EqualTo(_, IntegralDivide(_: Greatest, _, _)) => true
+    case EqualTo(IntegralDivide(_: Greatest, _, _), _) => true
+    case _                                             => false
+  }
+
+  /** A join already equi-keyed on a hand-binned grid (an attribute born
+    * from `explode(sequence(x div w, ...))`, q72's explicit shape) gains
+    * nothing from a second bin layer — leave it alone. */
+  private def joinsOnExistingBins(j: Join): Boolean = {
+    val binAttrs = (j.left.collect { case g: Generate => g } ++
+      j.right.collect { case g: Generate => g }).collect {
+        case g if (g.generator match {
+          case Explode(_: Sequence) => true
+          case _                    => false
+        }) => g.generatorOutput
+      }.flatten.map(_.exprId).toSet
+    binAttrs.nonEmpty &&
+      j.condition.exists(_.references.exists(a => binAttrs.contains(a.exprId)))
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    val w = width
+    if (w <= 0) return plan
+    plan.transformUp {
+      case j @ Join(left, right, Inner, Some(cond), hint)
+          if j.resolved && !conjuncts(cond).exists(isFirstBinMarker) &&
+            !joinsOnExistingBins(j) =>
+        val cs = conjuncts(cond)
+        // overlap pair: (aStart <= bEnd, bStart <= aEnd) with each bound
+        // referencing exactly one side, all LongType
+        def sideOf(e: Expression): Option[Boolean] = {
+          val refs = e.references
+          if (refs.nonEmpty && refs.subsetOf(left.outputSet)) Some(true)
+          else if (refs.subsetOf(right.outputSet) && refs.nonEmpty) Some(false)
+          else None
+        }
+        val bounds = cs.collect {
+          case c @ LessThanOrEqual(lo, hi)
+              if lo.dataType == LongType && hi.dataType == LongType &&
+                sideOf(lo).isDefined && sideOf(hi).isDefined &&
+                sideOf(lo) != sideOf(hi) && lo.deterministic && hi.deterministic =>
+            (c, sideOf(lo).get)
+        }
+        // need one conjunct left<=right and one right<=left
+        val fwd = bounds.find(_._2 == true).map(_._1)  // aStart <= bEnd
+        val bwd = bounds.find(_._2 == false).map(_._1) // bStart <= aEnd
+        (fwd, bwd) match {
+          case (Some(f @ LessThanOrEqual(aStart, bEnd)),
+                Some(b @ LessThanOrEqual(bStart, aEnd))) if f != b =>
+            val wLit = Literal(w, LongType)
+            def binsOf(lo: Expression, hi: Expression, name: String, child: LogicalPlan) = {
+              // Sequence is TimeZoneAwareExpression: the analyzer's
+              // ResolveTimeZone has already run, so set the zone here or
+              // the plan goes back to unresolved
+              val seq = Sequence(
+                IntegralDivide(lo, wLit), IntegralDivide(hi, wLit),
+                None, Some(SQLConf.get.sessionLocalTimeZone))
+              val attr = AttributeReference(name, LongType, nullable = false)()
+              (Generate(Explode(seq), Nil, outer = false, None, Seq(attr), child), attr)
+            }
+            val (lGen, binL) = binsOf(aStart, aEnd, "graft_bin_l", left)
+            val (rGen, binR) = binsOf(bStart, bEnd, "graft_bin_r", right)
+            val firstBin = EqualTo(binL,
+              IntegralDivide(Greatest(Seq(aStart, bStart)), wLit))
+            val newCond = (EqualTo(binL, binR) +: cs :+ firstBin).reduce(And)
+            Project(j.output, Join(lGen, rGen, Inner, Some(newCond), hint))
+          case _ => j
+        }
+    }
+  }
+}

@@ -1,0 +1,130 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The range-join optimizer rule: an interval-overlap theta join must
+  * rewrite to a binned equi-join (no nested loop) with row-identical
+  * results, including duplicate multiplicity.
+  */
+class RangeJoinRuleSpec extends SparkSpec {
+
+  private val widthKey = "spark.graft.rangeJoin.binWidth"
+
+  private def withWidth[A](w: Long)(f: => A): A = {
+    spark.conf.set(widthKey, w.toString)
+    try f finally spark.conf.unset(widthKey)
+  }
+
+  /** 200 left intervals and 300 right intervals on a deterministic grid,
+    * including exact duplicates (i % 50) so multiplicity is exercised. */
+  private def intervals: (DataFrame, DataFrame) = {
+    val l = spark.range(200).selectExpr(
+      "id AS l_id", "(id % 50) * 100 AS l_start", "(id % 50) * 100 + (id % 7) * 40 AS l_end")
+    val r = spark.range(300).selectExpr(
+      "id AS r_id", "(id % 60) * 80 + 15 AS r_start", "(id % 60) * 80 + 15 + (id % 11) * 30 AS r_end")
+    (l, r)
+  }
+
+  private def thetaJoin(l: DataFrame, r: DataFrame): DataFrame =
+    l.join(r, l("l_start") <= r("r_end") && r("r_start") <= l("l_end"))
+
+  private def rows(df: DataFrame): Seq[(Long, Long)] =
+    df.select("l_id", "r_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1))).sorted.toSeq
+
+  test("rewritten results are row-identical to the nested-loop plan, multi-bin pairs included") {
+    val (l, r) = intervals
+    val baseline = rows(thetaJoin(l, r)) // width unset: rule dormant
+    assert(baseline.nonEmpty)
+    // the grid must exercise pairs sharing SEVERAL bins (interval spans up
+    // to 240 and 300 vs bin width 100), where a missing first-bin dedup
+    // would inflate multiplicity — the sorted multiset compare catches it
+    val rewritten = withWidth(100) { rows(thetaJoin(l, r)) }
+    assert(rewritten === baseline)
+  }
+
+  test("rule fires: no nested loop in the plan, bin equi-keys present") {
+    val (l, r) = intervals
+    withWidth(100) {
+      val p = thetaJoin(l, r).queryExecution.executedPlan.toString
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+      assert(p.contains("graft_bin"), p)
+    }
+  }
+
+  test("rule dormant without the width conf") {
+    val (l, r) = intervals
+    val p = thetaJoin(l, r).queryExecution.executedPlan.toString
+    assert(!p.contains("graft_bin"), p)
+  }
+
+  test("equi conjuncts ride along: per-key overlap join stays correct") {
+    val l = spark.range(400).selectExpr(
+      "id % 4 AS key", "id AS l_id", "(id % 30) * 50 AS l_start", "(id % 30) * 50 + 120 AS l_end")
+    val r = spark.range(500).selectExpr(
+      "id % 4 AS key", "id AS r_id", "(id % 40) * 45 AS r_start", "(id % 40) * 45 + 60 AS r_end")
+    def q: DataFrame = l.join(r,
+      l("key") === r("key") && l("l_start") <= r("r_end") && r("r_start") <= l("l_end"))
+    val baseline = q.select(l("l_id"), r("r_id")).collect()
+      .map(x => (x.getLong(0), x.getLong(1))).sorted.toSeq
+    val (rewritten, plan) = withWidth(120) {
+      (q.select(l("l_id"), r("r_id")).collect()
+        .map(x => (x.getLong(0), x.getLong(1))).sorted.toSeq,
+        q.queryExecution.executedPlan.toString)
+    }
+    assert(rewritten === baseline)
+    assert(plan.contains("graft_bin"), plan)
+  }
+
+  test("guard: a hand-binned join (q72's shape) is not re-binned when the rule is on") {
+    withWidth(1200L * 1000000000L) {
+      val p = operators.TemporalOps.overlapJoin(spark, sf).queryExecution.executedPlan.toString
+      assert(!p.contains("graft_bin"), p)
+    }
+  }
+
+  test("q72b: the driver query sets the width conf and plans as a binned equi-join") {
+    val df = operators.TemporalOps.overlapJoinViaRule(spark, sf)
+    try {
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("graft_bin") && !p.contains("BroadcastNestedLoopJoin"), p)
+    } finally spark.conf.unset(widthKey)
+  }
+
+  test("q72's own theta-shaped SQL rewrites and matches the explicit binned operator") {
+    // sessions x windows as a plain theta join, rule on — must equal the
+    // hand-binned TemporalOps.overlapJoin aggregation
+    val expected = operators.TemporalOps.overlapJoin(spark, sf).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("session_seq"),
+        r.getAs[Long]("n_windows"))).sorted.toSeq
+    val got = withWidth(1200L * 1000000000L) {
+      val e = Tables.events(spark, sf)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts", "event_id")
+      val wRun = w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+      val sessions = e.filter(col("event_type") =!= "error")
+        .select(col("user_id"), col("event_id"), col("ts"))
+        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        .withColumn("is_new", when(col("prev_ts").isNull ||
+          col("ts") - col("prev_ts") > 3600L * 1000000000L, 1L).otherwise(0L))
+        .withColumn("session_seq", sum(col("is_new")).over(wRun))
+        .groupBy("user_id", "session_seq")
+        .agg(min(col("ts")).as("s_start"), max(col("ts")).as("s_end"))
+      val wins = e.filter(col("event_type") === "error")
+        .select(col("user_id").as("w_user"), col("event_id").as("wid"),
+          (col("ts") - 600L * 1000000000L).as("w_start"),
+          (col("ts") + 600L * 1000000000L).as("w_end"))
+      sessions.join(wins,
+          sessions("user_id") === wins("w_user") &&
+          sessions("s_start") <= wins("w_end") && wins("w_start") <= sessions("s_end"))
+        .groupBy("user_id", "session_seq")
+        .agg(countDistinct(col("wid")).as("n_windows"))
+        .collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("session_seq"),
+          r.getAs[Long]("n_windows"))).sorted.toSeq
+    }
+    assert(got === expected)
+  }
+}
