@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+
+import graft.jobs.SnapshotLake
+
+import java.nio.file.Files
+
+/** Snapshot-isolated lake: commit/read/time-travel/compaction/expiry. */
+class SnapshotLakeSpec extends SparkSpec {
+
+  private def freshTable(): String =
+    Files.createTempDirectory("snaplake").resolve("t").toString
+
+  private def batch(lo: Int, hi: Int) = {
+    import spark.implicits._
+    (lo until hi).map(i => (i.toLong, s"row$i")).toDF("id", "payload")
+  }
+
+  private def ids(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+    df.select("id").collect().map(_.getLong(0)).sorted.toSeq
+
+  test("append/overwrite commits version linearly; every snapshot stays readable") {
+    val t = freshTable()
+    assert(SnapshotLake.commitAppend(spark, t, batch(0, 10)) === 1L)
+    assert(SnapshotLake.commitAppend(spark, t, batch(10, 25)) === 2L)
+    assert(SnapshotLake.commitOverwrite(spark, t, batch(100, 105)) === 3L)
+    assert(SnapshotLake.versions(spark, t) === Seq(1L, 2L, 3L))
+    assert(ids(SnapshotLake.read(spark, t)) === (100L until 105L))
+    assert(ids(SnapshotLake.read(spark, t, Some(1))) === (0L until 10L))
+    assert(ids(SnapshotLake.read(spark, t, Some(2))) === (0L until 25L))
+  }
+
+  test("compaction commits a new version; older snapshots are untouched") {
+    val t = freshTable()
+    (0 until 5).foreach(i => SnapshotLake.commitAppend(spark, t, batch(i * 10, i * 10 + 10)))
+    val before = ids(SnapshotLake.read(spark, t))
+    val v = SnapshotLake.commitCompacted(spark, t)
+    assert(v === Some(6L))
+    assert(ids(SnapshotLake.read(spark, t)) === before)
+    // rewrite actually shrank the file count to 1 (tiny data, huge target)
+    val root = new Path(t)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def filesOf(v: Long): Seq[String] = {
+      val in = fs.open(new Path(root, f"_log/v$v%08d.manifest"))
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().filter(_.nonEmpty).toList
+      finally in.close()
+    }
+    assert(filesOf(6L).size === 1 && filesOf(5L).size > 1)
+    // time travel to the pre-compaction snapshot still works
+    assert(ids(SnapshotLake.read(spark, t, Some(5))) === before)
+  }
+
+  test("expire drops old versions and exactly the files no retained snapshot needs") {
+    val t = freshTable()
+    SnapshotLake.commitAppend(spark, t, batch(0, 10))   // v1
+    SnapshotLake.commitAppend(spark, t, batch(10, 20))  // v2 (shares v1's files)
+    SnapshotLake.commitOverwrite(spark, t, batch(50, 55)) // v3 (fresh files only)
+    SnapshotLake.commitAppend(spark, t, batch(55, 60))  // v4
+    val (dropped, deleted) = SnapshotLake.expire(spark, t, keepLast = 2)
+    assert(dropped === 2)
+    assert(deleted > 0) // v1/v2's files are unreferenced by v3/v4
+    assert(SnapshotLake.versions(spark, t) === Seq(3L, 4L))
+    assert(ids(SnapshotLake.read(spark, t, Some(3))) === (50L until 55L))
+    assert(ids(SnapshotLake.read(spark, t)) === (50L until 60L))
+    intercept[IllegalArgumentException] { SnapshotLake.read(spark, t, Some(1)) }
+  }
+
+  test("a commit losing the version race rebases and lands on the next version") {
+    val t = freshTable()
+    SnapshotLake.commitAppend(spark, t, batch(0, 10)) // v1
+    // squat on v2: the writer must detect the lost race and publish v3
+    val root = new Path(t)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val squatted = new Path(root, "_log/v00000002.manifest")
+    val out = fs.create(squatted, false)
+    // the squatter re-publishes v1's file list (a no-op commit)
+    val in = fs.open(new Path(root, "_log/v00000001.manifest"))
+    try out.write(scala.io.Source.fromInputStream(in, "UTF-8").mkString.getBytes("UTF-8"))
+    finally { in.close(); out.close() }
+    val v = SnapshotLake.commitAppend(spark, t, batch(10, 20))
+    assert(v === 3L)
+    // the append rebased on the squatter's v2 — nothing lost
+    assert(ids(SnapshotLake.read(spark, t, Some(3))) === (0L until 20L))
+  }
+
+  test("a staged-but-unpublished write is invisible to readers") {
+    val t = freshTable()
+    SnapshotLake.commitAppend(spark, t, batch(0, 10))
+    // simulate a crashed writer: data files exist, no manifest names them
+    batch(900, 950).write.parquet(t + "/data/orphan-crashed-commit")
+    assert(ids(SnapshotLake.read(spark, t)) === (0L until 10L))
+  }
+}
