@@ -59,45 +59,143 @@ object SnapshotLake {
       .sorted.toSeq
   }
 
-  private def readManifest(fs: FileSystem, root: Path, v: Long): Seq[String] = {
+  /** A manifest data line: a relative file path, optionally with the
+    * commit-time min/max of the table's stats column. */
+  private[jobs] case class FileEntry(path: String, min: Option[Long], max: Option[Long]) {
+    def line: String = min.zip(max)
+      .map { case (lo, hi) => s"$path\t$lo\t$hi" }.getOrElse(path)
+  }
+
+  private def parseEntry(l: String): FileEntry = l.split('\t') match {
+    case Array(p, lo, hi) => FileEntry(p, Some(lo.toLong), Some(hi.toLong))
+    case _                => FileEntry(l, None, None)
+  }
+
+  private val statsHeader = "#stats="
+  private val batchHeader = "#batchid="
+
+  /** (statsCol, file entries) of a manifest. */
+  private def readManifest(fs: FileSystem, root: Path, v: Long): (Option[String], Seq[FileEntry]) = {
+    val (headers, entries) = readManifestRaw(fs, root, v)
+    (headers.collectFirst { case h if h.startsWith(statsHeader) => h.stripPrefix(statsHeader) },
+      entries)
+  }
+
+  private def readManifestRaw(fs: FileSystem, root: Path, v: Long): (Seq[String], Seq[FileEntry]) = {
     val in = fs.open(manifestPath(root, v))
-    try scala.io.Source.fromInputStream(in, "UTF-8").getLines().filter(_.nonEmpty).toList
-    finally in.close()
+    val lines =
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().filter(_.nonEmpty).toList
+      finally in.close()
+    (lines.filter(_.startsWith("#")), lines.filterNot(_.startsWith("#")).map(parseEntry))
   }
 
   /** Snapshot read. `version = None` -> latest. Fails on an absent table
     * or version — an empty table is representable (empty manifest), an
     * absent one is a caller bug.
     */
-  def read(spark: SparkSession, table: String, version: Option[Long] = None): DataFrame = {
+  def read(spark: SparkSession, table: String, version: Option[Long] = None): DataFrame =
+    readEntries(spark, table, version, identity)
+
+  /** Snapshot read with MANIFEST-LEVEL file pruning: scan only the files
+    * whose commit-time [min, max] of the stats column overlaps [lo, hi],
+    * then apply the exact range predicate. Planning-time skipping from
+    * driver-side metadata — no footer reads, no file opens for files the
+    * manifest already rules out; with a clustered layout (sort or Z-order
+    * before commit, so per-file ranges are narrow) a needle query opens
+    * O(1) files of a 100 TB table. Falls back to a plain filtered read
+    * when the snapshot carries no stats for `statsCol`.
+    */
+  def readRange(spark: SparkSession, table: String, statsCol: String,
+                lo: Long, hi: Long, version: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.functions.{col => c, lit}
     val (fs, root) = fsOf(spark, table)
+    val v = resolveVersion(spark, table, version)
+    val (col0, all) = readManifest(fs, root, v)
+    val kept =
+      if (col0.contains(statsCol))
+        all.filter(e => (e.min, e.max) match {
+          case (Some(mn), Some(mx)) => mn <= hi && lo <= mx
+          case _                    => true // no stats for this file: must scan
+        })
+      else all
+    def paths(es: Seq[FileEntry]) = es.map(e => new Path(root, e.path).toString)
+    if (all.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Nil))
+    else if (kept.isEmpty) // everything pruned: keep the schema, scan nothing
+      spark.read.parquet(paths(all).head).filter(lit(false))
+    else
+      spark.read.parquet(paths(kept): _*)
+        .filter(c(statsCol) >= lo && c(statsCol) <= hi)
+  }
+
+  private def resolveVersion(spark: SparkSession, table: String, version: Option[Long]): Long = {
     val vs = versions(spark, table)
     require(vs.nonEmpty, s"no snapshots at $table")
     val v = version.getOrElse(vs.max)
     require(vs.contains(v), s"version $v not in ${vs.mkString(",")} at $table")
-    val files = readManifest(fs, root, v).map(rel => new Path(root, rel).toString)
+    v
+  }
+
+  private def readEntries(spark: SparkSession, table: String, version: Option[Long],
+                          select: Seq[FileEntry] => Seq[FileEntry]): DataFrame = {
+    val (fs, root) = fsOf(spark, table)
+    val v = resolveVersion(spark, table, version)
+    val files = select(readManifest(fs, root, v)._2).map(e => new Path(root, e.path).toString)
     if (files.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         org.apache.spark.sql.types.StructType(Nil))
     else spark.read.parquet(files: _*)
   }
 
-  /** Stage `df` as an immutable data directory; return its new relative
-    * parquet paths (unpublished until a manifest names them). */
-  private def stage(spark: SparkSession, fs: FileSystem, root: Path, df: DataFrame): Seq[String] = {
+  /** Commit-time file stats from the parquet FOOTER (metadata only — no
+    * data pages read): the min/max of a long column across the file's row
+    * groups. None when any row group lacks usable stats (the file then
+    * always scans — safe, never wrong).
+    */
+  private def footerRange(conf: org.apache.hadoop.conf.Configuration,
+                          file: Path, col: String): Option[(Long, Long)] = {
+    import scala.jdk.CollectionConverters._
+    val md = org.apache.parquet.hadoop.ParquetFileReader.readFooter(
+      conf, file, org.apache.parquet.format.converter.ParquetMetadataConverter.NO_FILTER)
+    val perBlock = md.getBlocks.asScala.map { b =>
+      b.getColumns.asScala.find(_.getPath.toDotString == col).flatMap { cc =>
+        val st = cc.getStatistics
+        if (st == null || !st.hasNonNullValue) None
+        else (st.genericGetMin, st.genericGetMax) match {
+          case (mn: java.lang.Long, mx: java.lang.Long) => Some((mn.toLong, mx.toLong))
+          case _                                        => None
+        }
+      }
+    }
+    if (perBlock.isEmpty || perBlock.exists(_.isEmpty)) None
+    else Some((perBlock.flatten.map(_._1).min, perBlock.flatten.map(_._2).max))
+  }
+
+  /** Stage `df` as an immutable data directory; return its new manifest
+    * entries (unpublished until a manifest names them), with footer
+    * min/max when a stats column is declared. */
+  private def stage(spark: SparkSession, fs: FileSystem, root: Path, df: DataFrame,
+                    statsCol: Option[String]): Seq[FileEntry] = {
     val commitId = UUID.randomUUID().toString
     val dataDir = new Path(new Path(root, "data"), commitId)
     df.write.mode(SaveMode.ErrorIfExists).parquet(dataDir.toString)
+    val conf = spark.sparkContext.hadoopConfiguration
     fs.listStatus(dataDir)
       .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-      .map(f => s"data/$commitId/${f.getPath.getName}").sorted.toSeq
+      .sortBy(_.getPath.getName)
+      .map { f =>
+        val range = statsCol.flatMap(c => footerRange(conf, f.getPath, c))
+        FileEntry(s"data/$commitId/${f.getPath.getName}", range.map(_._1), range.map(_._2))
+      }.toSeq
   }
 
-  /** Publish `files` as the next version after rebasing on the observed
-    * latest via `merge(latestFiles)`. Optimistic: a lost rename race
+  /** Publish the next version after rebasing on the observed latest via
+    * `merge(baseStatsCol, baseEntries)`. Optimistic: a lost rename race
     * re-reads and retries. Returns the published version. */
   private def publish(fs: FileSystem, root: Path,
-                      merge: Seq[String] => Seq[String]): Long = {
+                      merge: (Option[String], Seq[FileEntry]) => (Option[String], Seq[FileEntry]),
+                      extraHeaders: Seq[String] = Nil): Long = {
     fs.mkdirs(logDir(root))
     var attempt = 0
     while (attempt < MaxCommitAttempts) {
@@ -106,11 +204,13 @@ object SnapshotLake {
         .collect { case n if n.startsWith("v") && n.endsWith(".manifest") =>
           n.stripPrefix("v").stripSuffix(".manifest").toLong }
       val latest = if (vs.isEmpty) 0L else vs.max
-      val base = if (latest == 0L) Nil else readManifest(fs, root, latest)
-      val manifest = merge(base)
+      val (baseCol, base) =
+        if (latest == 0L) (None, Nil) else readManifest(fs, root, latest)
+      val (outCol, manifest) = merge(baseCol, base)
+      val lines = outCol.map(statsHeader + _).toSeq ++ extraHeaders ++ manifest.map(_.line)
       val tmp = new Path(logDir(root), s"_tmp-${UUID.randomUUID()}")
       val out = fs.create(tmp, false)
-      try out.write((manifest.mkString("\n") + "\n").getBytes(StandardCharsets.UTF_8))
+      try out.write((lines.mkString("\n") + "\n").getBytes(StandardCharsets.UTF_8))
       finally out.close()
       if (fs.rename(tmp, manifestPath(root, latest + 1))) return latest + 1
       fs.delete(tmp, false) // lost the race: someone claimed v{latest+1}
@@ -119,19 +219,27 @@ object SnapshotLake {
       s"snapshot commit at $root lost $MaxCommitAttempts races — writer storm?")
   }
 
-  /** Append commit: new snapshot = observed latest files + df's files. */
-  def commitAppend(spark: SparkSession, table: String, df: DataFrame): Long = {
+  /** Append commit: new snapshot = observed latest files + df's files.
+    * The snapshot keeps its stats column only while every commit declares
+    * the same one — otherwise pruning silently disables (never wrong). */
+  def commitAppend(spark: SparkSession, table: String, df: DataFrame,
+                   statsCol: Option[String] = None): Long = {
     val (fs, root) = fsOf(spark, table)
-    val fresh = stage(spark, fs, root, df)
-    publish(fs, root, base => base ++ fresh)
+    val fresh = stage(spark, fs, root, df, statsCol)
+    publish(fs, root, { (baseCol, base) =>
+      val col = if (base.isEmpty) statsCol
+                else if (baseCol == statsCol) statsCol else None
+      (col, base ++ fresh)
+    })
   }
 
   /** Overwrite commit: new snapshot = df's files only. Old files stay on
     * disk for time travel until [[expire]] drops the versions naming them. */
-  def commitOverwrite(spark: SparkSession, table: String, df: DataFrame): Long = {
+  def commitOverwrite(spark: SparkSession, table: String, df: DataFrame,
+                      statsCol: Option[String] = None): Long = {
     val (fs, root) = fsOf(spark, table)
-    val fresh = stage(spark, fs, root, df)
-    publish(fs, root, _ => fresh)
+    val fresh = stage(spark, fs, root, df, statsCol)
+    publish(fs, root, (_, _) => (statsCol, fresh))
   }
 
   /** Reader-safe compaction: rewrite the CURRENT snapshot into
@@ -147,20 +255,56 @@ object SnapshotLake {
     val vs = versions(spark, table)
     require(vs.nonEmpty, s"no snapshots at $table")
     val basedOn = vs.max
-    val baseFiles = readManifest(fs, root, basedOn)
+    val (statsCol, baseFiles) = readManifest(fs, root, basedOn)
     if (baseFiles.isEmpty) return None
-    val bytes = baseFiles.map(f => fs.getFileStatus(new Path(root, f)).getLen).sum
+    val bytes = baseFiles.map(f => fs.getFileStatus(new Path(root, f.path)).getLen).sum
     val nOut = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
     val compacted = read(spark, table, Some(basedOn)).coalesce(nOut)
-    val fresh = stage(spark, fs, root, compacted)
+    val fresh = stage(spark, fs, root, compacted, statsCol)
     var stale = false
-    val v = publish(fs, root, { base =>
-      stale = base != baseFiles // a commit raced in: keep ITS files, not ours
-      if (stale) base else fresh
+    val v = publish(fs, root, { (baseCol, base) =>
+      stale = base.map(_.path) != baseFiles.map(_.path) // a commit raced in
+      if (stale) (baseCol, base) else (statsCol, fresh)
     })
-    if (stale) { fs.delete(new Path(root, fresh.head).getParent, true); None }
-    else Some(v)
+    if (stale) {
+      fs.delete(new Path(root, fresh.head.path).getParent, true); None
+    } else Some(v)
   }
+
+  /** Streaming-batch append with retry idempotence: the committed version
+    * records its micro-batch id, and a re-delivered batch (foreachBatch
+    * re-runs the last batch after a crash) sees its own id on the latest
+    * version and skips. Covers the restart-retry failure mode; interleaved
+    * foreign commits between the failure and the retry are the standard
+    * foreachBatch caveat and out of scope. */
+  def commitStreamBatch(spark: SparkSession, table: String, df: DataFrame,
+                        batchId: Long, statsCol: Option[String] = None): Long = {
+    val (fs, root) = fsOf(spark, table)
+    val vs = versions(spark, table)
+    if (vs.nonEmpty) {
+      val (headers, _) = readManifestRaw(fs, root, vs.max)
+      if (headers.contains(batchHeader + batchId)) return vs.max // re-delivery
+    }
+    val fresh = stage(spark, fs, root, df, statsCol)
+    publish(fs, root, { (baseCol, base) =>
+      val col = if (base.isEmpty) statsCol
+                else if (baseCol == statsCol) statsCol else None
+      (col, base ++ fresh)
+    }, extraHeaders = Seq(batchHeader + batchId))
+  }
+
+  /** Continuous ingest into the versioned table: one snapshot commit per
+    * micro-batch via foreachBatch + [[commitStreamBatch]] — readers get
+    * snapshot isolation and time travel over a live stream. */
+  def appendStream(df: DataFrame, table: String, checkpoint: String,
+                   statsCol: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        commitStreamBatch(batch.sparkSession, table, batch, id, statsCol); ()
+      }
+      .start()
 
   /** Drop all but the last `keepLast` versions and delete every data file
     * no retained manifest references. Returns (#versions dropped,
@@ -173,8 +317,8 @@ object SnapshotLake {
     val vs = versions(spark, table)
     val drop = vs.dropRight(keepLast)
     val keep = vs.takeRight(keepLast)
-    val referenced = keep.flatMap(readManifest(fs, root, _)).toSet
-    val doomed = drop.flatMap(readManifest(fs, root, _)).distinct
+    val referenced = keep.flatMap(readManifest(fs, root, _)._2.map(_.path)).toSet
+    val doomed = drop.flatMap(readManifest(fs, root, _)._2.map(_.path)).distinct
       .filterNot(referenced)
     doomed.foreach(f => fs.delete(new Path(root, f), false))
     // sweep now-empty data directories

@@ -85,6 +85,59 @@ class SnapshotLakeSpec extends SparkSpec {
     assert(ids(SnapshotLake.read(spark, t, Some(3))) === (0L until 20L))
   }
 
+  test("readRange prunes files from manifest stats alone") {
+    val t = freshTable()
+    // 4 commits with disjoint id ranges -> per-file min/max are disjoint
+    (0 until 4).foreach { i =>
+      SnapshotLake.commitAppend(spark, t,
+        batch(i * 100, i * 100 + 50).repartition(2), statsCol = Some("id"))
+    }
+    val all = SnapshotLake.read(spark, t)
+    val total = all.inputFiles.length
+    assert(total >= 8)
+    val narrow = SnapshotLake.readRange(spark, t, "id", 210, 230)
+    // only commit #2's files survive the manifest prune
+    assert(narrow.inputFiles.length <= total / 4)
+    assert(ids(narrow) === (210L to 230L))
+    // empty range: zero rows, schema intact, no correctness loss
+    val none = SnapshotLake.readRange(spark, t, "id", 5000, 6000)
+    assert(none.count() === 0 && none.columns.toSeq === Seq("id", "payload"))
+    // range spanning everything returns every row
+    assert(ids(SnapshotLake.readRange(spark, t, "id", 0, 1000)) === ids(all))
+  }
+
+  test("mixed-stats history disables pruning rather than corrupting it") {
+    val t = freshTable()
+    SnapshotLake.commitAppend(spark, t, batch(0, 50), statsCol = Some("id"))
+    SnapshotLake.commitAppend(spark, t, batch(50, 100)) // no stats declared
+    // header dropped -> readRange must scan everything but stay correct
+    val out = SnapshotLake.readRange(spark, t, "id", 20, 70)
+    assert(ids(out) === (20L to 70L))
+    assert(out.inputFiles.length === SnapshotLake.read(spark, t).inputFiles.length)
+  }
+
+  test("streaming ingest: one snapshot per micro-batch, re-delivered batch skipped") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val t = freshTable()
+    val ckpt = Files.createTempDirectory("snapckpt").toString
+    val mem = MemoryStream[Long]
+    val q = SnapshotLake.appendStream(
+      mem.toDF().withColumnRenamed("value", "id"), t, ckpt, statsCol = Some("id"))
+    try {
+      mem.addData(1L, 2L, 3L); q.processAllAvailable()
+      mem.addData(4L, 5L); q.processAllAvailable()
+      assert(SnapshotLake.versions(spark, t) === Seq(1L, 2L))
+      assert(ids(SnapshotLake.read(spark, t).select("id")) === Seq(1L, 2L, 3L, 4L, 5L))
+    } finally q.stop()
+    // crash-retry: the same micro-batch id re-commits -> no new version
+    val v = SnapshotLake.commitStreamBatch(spark, t,
+      batch(4, 6).select(col("id")), batchId = 1L, statsCol = Some("id"))
+    assert(v === 2L)
+    assert(SnapshotLake.versions(spark, t) === Seq(1L, 2L))
+  }
+
   test("a staged-but-unpublished write is invisible to readers") {
     val t = freshTable()
     SnapshotLake.commitAppend(spark, t, batch(0, 10))
