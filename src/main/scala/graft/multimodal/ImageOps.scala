@@ -2,7 +2,7 @@ package graft.multimodal
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders, Row, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+import org.apache.spark.sql.types.{BinaryType, IntegerType, LongType, StringType, StructField, StructType}
 
 /** Multimodal column operators (SURVEY.md §2 `multimodal`).
   *
@@ -179,6 +179,56 @@ object ImageOps {
         Row.fromSeq(vals.toIndexedSeq)
       }
     }(enc)
+  }
+
+  /** Training-patch extraction: one cropped frame per detected region —
+    * the box-to-classifier-patch step between Ground Truth boxes (q28) and
+    * the packed exports (RecordIO / TarShards). Inner-join frames ×
+    * regions, pad by `margin`, clamp to the frame, crop the raw uint8
+    * window (tight stride, ready for [[toPng]]); degenerate boxes (empty
+    * after clamping) are dropped. One row per (frame, region) — a frame
+    * with k detections yields k patches, partition-parallel, no
+    * aggregation state at all.
+    */
+  def cropBoxes(spark: SparkSession, frames: DataFrame, regions: DataFrame,
+      margin: Int = 0): DataFrame = {
+    val planned = blurPlan(frames, regions, margin)
+      .join(frames, Seq("bag", "topic", "time_ns"), "inner")
+    val cols = planned.columns
+    val iW = cols.indexOf("width"); val iH = cols.indexOf("height")
+    val iStep = cols.indexOf("step"); val iPx = cols.indexOf("pixels")
+    val iEnc = cols.indexOf("encoding")
+    val iX1 = cols.indexOf("x1"); val iY1 = cols.indexOf("y1")
+    val iX2 = cols.indexOf("x2"); val iY2 = cols.indexOf("y2")
+    val iBag = cols.indexOf("bag"); val iTopic = cols.indexOf("topic")
+    val iT = cols.indexOf("time_ns")
+    val schema = StructType(Seq(
+      StructField("bag", StringType), StructField("topic", StringType),
+      StructField("time_ns", LongType),
+      StructField("x1", LongType), StructField("y1", LongType),
+      StructField("x2", LongType), StructField("y2", LongType),
+      StructField("width", LongType), StructField("height", LongType),
+      StructField("step", LongType), StructField("encoding", StringType),
+      StructField("pixels", BinaryType)))
+    planned.mapPartitions { it =>
+      it.flatMap { row =>
+        val x1 = row.getLong(iX1).toInt; val y1 = row.getLong(iY1).toInt
+        val x2 = row.getLong(iX2).toInt; val y2 = row.getLong(iY2).toInt
+        if (x1 >= x2 || y1 >= y2) None
+        else {
+          val ch = channelsOf(row.getString(iEnc))
+          val patch = PixelKernels.crop(
+            row.getAs[Array[Byte]](iPx),
+            row.getLong(iW).toInt, row.getLong(iH).toInt, ch,
+            row.getLong(iStep).toInt, x1, y1, x2, y2)
+          Some(Row(
+            row.getString(iBag), row.getString(iTopic), row.getLong(iT),
+            x1.toLong, y1.toLong, x2.toLong, y2.toLong,
+            (x2 - x1).toLong, (y2 - y1).toLong,
+            ((x2 - x1) * ch).toLong, row.getString(iEnc), patch))
+        }
+      }
+    }(Encoders.row(schema))
   }
 
   /** PII-region blur ledger (select-labelling-imgs anonymize_PII shape):

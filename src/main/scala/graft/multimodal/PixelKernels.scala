@@ -200,4 +200,23 @@ object PixelKernels {
     }
     out
   }
+
+  /** Crop the [x1, x2) × [y1, y2) window to a tight buffer (stride =
+    * width × channels, no alignment padding) — one System.arraycopy per
+    * row. Bounds must be pre-clamped to the frame.
+    */
+  def crop(pixels: Array[Byte], width: Int, height: Int, channels: Int,
+      step: Int, x1: Int, y1: Int, x2: Int, y2: Int): Array[Byte] = {
+    require(0 <= x1 && x1 < x2 && x2 <= width && 0 <= y1 && y1 < y2 && y2 <= height,
+      s"crop [$x1,$y1,$x2,$y2) outside ${width}x$height")
+    val stride = if (step >= width * channels) step else width * channels
+    val cw = (x2 - x1) * channels
+    val out = new Array[Byte]((y2 - y1) * cw)
+    var y = y1
+    while (y < y2) {
+      System.arraycopy(pixels, y * stride + x1 * channels, out, (y - y1) * cw, cw)
+      y += 1
+    }
+    out
+  }
 }

@@ -102,6 +102,35 @@ class MultimodalSpec extends SparkSpec {
     assert(o2.map(_ & 0xff).toSeq === Seq(40, 72, 168, 200))
   }
 
+  test("crop(): tight window copy, stride-aware") {
+    // 3x2 mono with padded stride 4: rows [0,1,2,_], [10,11,12,_]
+    val px = Array[Byte](0, 1, 2, 99, 10, 11, 12, 98)
+    assert(PixelKernels.crop(px, 3, 2, 1, 4, 1, 0, 3, 2).toSeq === Seq[Byte](1, 2, 11, 12))
+    assert(PixelKernels.crop(px, 3, 2, 1, 4, 0, 1, 1, 2).toSeq === Seq[Byte](10))
+    // rgb: whole-frame crop of a tight buffer is the identity
+    val rgb = Array[Byte](10, 20, 30, 50, 60, 70)
+    assert(PixelKernels.crop(rgb, 2, 1, 3, 6, 0, 0, 2, 1).toSeq === rgb.toSeq)
+  }
+
+  test("cropBoxes(): one patch per region, clamped, degenerate boxes dropped") {
+    val frames = RosbagReader.images(spark, bagPath).withColumn("bag", lit(bagPath))
+    val t0 = 1600000000L * 1000000000L
+    val regions = spark.createDataFrame(Seq(
+      (bagPath, "/cam0/image_raw", t0, 1L, 0L, 1L, 1L),   // pixel 1 of frame 0
+      (bagPath, "/cam0/image_raw", t0, 0L, 0L, 9L, 9L),   // over-sized: clamps to frame
+      (bagPath, "/cam0/image_raw", t0 + 2_000_000_000L, 5L, 5L, 2L, 2L) // fully outside: dropped
+    )).toDF("bag", "topic", "time_ns", "region_x", "region_y", "region_w", "region_h")
+    val out = ImageOps.cropBoxes(spark, frames, regions).collect()
+      .sortBy(r => (r.getAs[Long]("time_ns"), r.getAs[Long]("x1")))
+    assert(out.length === 2)
+    // clamped full-frame crop: identical bytes, tight stride
+    assert(out(0).getAs[Long]("width") === 2 && out(0).getAs[Long]("step") === 6)
+    assert(out(0).getAs[Array[Byte]]("pixels").toSeq === Seq[Byte](10, 20, 30, 50, 60, 70))
+    // single-pixel patch = pixel 1 rgb
+    assert(out(1).getAs[Long]("width") === 1 && out(1).getAs[Long]("height") === 1)
+    assert(out(1).getAs[Array[Byte]]("pixels").toSeq === Seq[Byte](50, 60, 70))
+  }
+
   test("blurFrames(): end-to-end over a bag, schema-preserving") {
     val frames = RosbagReader.images(spark, bagPath).withColumn("bag", lit(bagPath))
     val regions = spark.createDataFrame(Seq(
