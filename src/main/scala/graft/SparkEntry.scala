@@ -93,6 +93,7 @@ object SparkEntry {
     "q73_bm25"            -> ((s: SparkSession, d: String) => TextAnalysisOps.bm25(s, d)),
     "q74_pps_sample"      -> ((s: SparkSession, d: String) => CurationOps.ppsSample(s, d)),
     "q75_scd2"            -> (TemporalOps.scd2 _),
+    "q76_rolling_features" -> (TemporalOps.rollingFeatures _),
   )
 
   // Portable polynomial rolling hash in DuckDB SQL — mirrors
@@ -1205,5 +1206,21 @@ object SparkEntry {
         |  lead(tus) OVER w IS NULL AS is_current
         |FROM f WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)
         |ORDER BY user_id, version""".stripMargin,
+
+    "q76_rolling_features" ->
+      """SELECT event_id, user_id,
+        |  CAST(SUM(CAST(value AS DECIMAL(27,6))) OVER w10 AS DOUBLE)
+        |    / COUNT(*) OVER w10 AS mean_10,
+        |  MIN(value) OVER w3 AS min_3,
+        |  MAX(value) OVER w3 AS max_3,
+        |  value - lag(value) OVER wb AS delta_1
+        |FROM events
+        |WINDOW
+        |  wb  AS (PARTITION BY user_id ORDER BY ts, event_id),
+        |  w10 AS (PARTITION BY user_id ORDER BY ts, event_id
+        |          ROWS BETWEEN 9 PRECEDING AND CURRENT ROW),
+        |  w3  AS (PARTITION BY user_id ORDER BY ts, event_id
+        |          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
   )
 }

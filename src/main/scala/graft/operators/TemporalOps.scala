@@ -188,6 +188,30 @@ object TemporalOps {
       .orderBy("user_id", "session_seq")
   }
 
+  /** q76 — rolling time-series features: the per-sensor feature block a
+    * forecasting/anomaly trainer consumes — trailing 10-row exact-decimal
+    * mean, trailing 3-row min/max, and the lag-1 delta, all on one
+    * user_id shuffle (every frame rides the same window sort). The rolling
+    * mean goes through the exact-decimal carrier: engines may slide their
+    * window sum differently (re-add vs evict), decimal math makes any
+    * order bit-identical.
+    */
+  def rollingFeatures(s: SparkSession, d: String): DataFrame = {
+    val base = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val w10 = base.rowsBetween(-9, Window.currentRow)
+    val w3 = base.rowsBetween(-2, Window.currentRow)
+    Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      .select(
+        col("event_id"), col("user_id"),
+        (sum(graft.functions.Exact.acc(col("value"))).over(w10).cast("double") /
+          count(lit(1)).over(w10)).as("mean_10"),
+        min(col("value")).over(w3).as("min_3"),
+        max(col("value")).over(w3).as("max_3"),
+        (col("value") - lag(col("value"), 1).over(base)).as("delta_1"))
+      .orderBy("event_id")
+  }
+
   /** q75 — SCD2 reconstruction: collapse the per-camera event stream into
     * type-2 slowly-changing-dimension intervals — one row per state run
     * (consecutive same event_type), with [valid_from, valid_to) bounds,

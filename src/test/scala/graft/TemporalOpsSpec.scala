@@ -131,6 +131,20 @@ class TemporalOpsSpec extends SparkSpec {
     }
   }
 
+  test("q76 rolling features: one shuffle feeds every window; values bracketed") {
+    val df = TemporalOps.rollingFeatures(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    // same partitioning + ordering for all frames -> a single hash exchange
+    // (the trailing rangepartitioning exchange is the presentation orderBy)
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) === 1, p)
+    val rows = df.collect()
+    rows.foreach { r =>
+      val (mn, mx) = (r.getAs[Double]("min_3"), r.getAs[Double]("max_3"))
+      assert(mn <= mx)
+      assert(r.getAs[Double]("mean_10") >= -1000 && r.getAs[Double]("mean_10") <= 1000)
+    }
+  }
+
   test("q73 bm25 matches a naive in-memory scorer") {
     val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text").split(" ", -1).toSeq)
