@@ -25,6 +25,7 @@ object SparkEntry {
     "q09_rollup"          -> (RelationalOps.rollupAgg _),
     "q09b_cube"           -> (RelationalOps.cubeAgg _),
     "q10_antijoin"        -> (RelationalOps.antiJoin _),
+    "q11b_topk_agg"       -> (RelationalOps.topkPerGroupAgg _),
     "q11_topk_per_group"  -> (RelationalOps.topkPerGroup _),
     "q12_distinct_count"  -> (RelationalOps.distinctCount _),
     "q12b_approx_distinct" -> (RelationalOps.approxDistinct _),
@@ -254,6 +255,13 @@ object SparkEntry {
         |ORDER BY c_custkey""".stripMargin,
 
     "q11_topk_per_group" ->
+      """SELECT event_type, event_id, user_id, value, rn FROM (
+        |  SELECT event_type, event_id, user_id, value,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS BIGINT) AS rn
+        |  FROM events) t
+        |WHERE rn <= 3 ORDER BY event_type, rn""".stripMargin,
+
+    "q11b_topk_agg" ->
       """SELECT event_type, event_id, user_id, value, rn FROM (
         |  SELECT event_type, event_id, user_id, value,
         |    CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS BIGINT) AS rn

@@ -190,6 +190,29 @@ object RelationalOps {
       .orderBy("event_type", "rn")
   }
 
+  /** q11b — the same top-3-per-type as q11, via the custom `graft_topk`
+    * TYPED IMPERATIVE AGGREGATE instead of a window sort: map-side partial
+    * aggregation keeps a bounded k-entry heap per (task, group) and the
+    * shuffle carries k rows per partial — nothing ever sorts the full
+    * group, so the plan is insensitive to group size (q11's window must
+    * sort every row of every group before discarding all but 3). Shares
+    * q11's oracle: the (score DESC, id ASC) heap order reproduces
+    * ROW_NUMBER's tiebreak exactly.
+    */
+  def topkPerGroupAgg(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy("event_type")
+      .agg(call_function("graft_topk",
+        col("value"), col("event_id"), col("user_id"), lit(3)).as("top"))
+      .select(col("event_type"), posexplode(col("top")).as(Seq("pos", "e")))
+      .select(
+        col("event_type"),
+        col("e.id").as("event_id"),
+        col("e.aux").as("user_id"),
+        col("e.score").as("value"),
+        (col("pos") + 1).cast("long").as("rn"))
+      .orderBy("event_type", "rn")
+
   /** q12 — exact distinct counts (one shuffle per distinct via expand). */
   def distinctCount(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d).agg(

@@ -238,6 +238,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_overlap"),
       new ExpressionInfo(classOf[SortedOverlap].getName, "graft_overlap"),
       (children: Seq[Expression]) => SortedOverlap(children(0), children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_topk"),
+      new ExpressionInfo(classOf[TopKAggregate].getName, "graft_topk"),
+      (children: Seq[Expression]) =>
+        TopKAggregate(children(0), children(1), children(2), children(3))))
     // interval-overlap theta join -> binned equi-join (fires only when
     // spark.graft.rangeJoin.binWidth is set positive)
     ext.injectOptimizerRule(_ => RangeJoinRule)

@@ -1,0 +1,124 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Expression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+
+import java.nio.ByteBuffer
+
+/** Bounded per-group top-k as a TYPED IMPERATIVE AGGREGATE —
+  * `graft_topk(score, id, aux, k)` → `array<struct<score,id,aux>>`, best
+  * first, ordered by (score DESC, id ASC).
+  *
+  * The scale story vs the window formulation (q11): `row_number() OVER
+  * (PARTITION BY g ORDER BY score DESC)` must SORT every row of every
+  * group before discarding all but k. An aggregate gets partial
+  * aggregation for free: each map task keeps a k-entry heap per group,
+  * shuffles k rows per (task, group) — the shuffle and the final state are
+  * bounded by k·groups no matter how many billions of rows flow in, and
+  * nothing is ever globally sorted. (Same plan shape DataSketches-style
+  * sketch aggregates use.)
+  *
+  * Determinism: the (score, id) total order makes the result independent
+  * of row arrival and merge order — ties keep the smallest id, so the
+  * oracle's ROW_NUMBER tiebreak reproduces it exactly.
+  */
+case class TopKAggregate(
+    score: Expression, id: Expression, aux: Expression, kExpr: Expression,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[TopKAggregate.Buffer] {
+
+  import TopKAggregate._
+
+  private lazy val k: Int = {
+    require(kExpr.foldable, "graft_topk: k must be a literal")
+    val v = kExpr.eval().asInstanceOf[Number].intValue()
+    require(v >= 1 && v <= (1 << 20), s"graft_topk: unreasonable k=$v")
+    v
+  }
+
+  override def children: Seq[Expression] = Seq(score, id, aux, kExpr)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): TopKAggregate =
+    copy(score = c(0), id = c(1), aux = c(2), kExpr = c(3))
+
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("score", DoubleType, nullable = false),
+    StructField("id", LongType, nullable = false),
+    StructField("aux", LongType, nullable = false))), containsNull = false)
+
+  override def createAggregationBuffer(): Buffer = new Buffer(k)
+
+  override def update(b: Buffer, input: InternalRow): Buffer = {
+    val s = score.eval(input)
+    val i = id.eval(input)
+    if (s != null && i != null) {
+      val a = aux.eval(input)
+      b.offer(s.asInstanceOf[Double], i.asInstanceOf[Long],
+        if (a == null) 0L else a.asInstanceOf[Long])
+    }
+    b
+  }
+
+  override def merge(b: Buffer, other: Buffer): Buffer = { b.absorb(other); b }
+
+  override def eval(b: Buffer): Any =
+    new GenericArrayData(b.sortedBest.map(e => InternalRow(e._1, e._2, e._3)))
+
+  override def serialize(b: Buffer): Array[Byte] = {
+    val es = b.entries
+    val buf = ByteBuffer.allocate(8 + es.length * 24)
+    buf.putInt(b.k).putInt(es.length)
+    es.foreach { case (s, i, a) => buf.putDouble(s).putLong(i).putLong(a) }
+    buf.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Buffer = {
+    val buf = ByteBuffer.wrap(bytes)
+    val b = new Buffer(buf.getInt)
+    val n = buf.getInt
+    var j = 0
+    while (j < n) { b.offer(buf.getDouble, buf.getLong, buf.getLong); j += 1 }
+    b
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): TopKAggregate =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): TopKAggregate =
+    copy(inputAggBufferOffset = o)
+  override def prettyName: String = "graft_topk"
+}
+
+object TopKAggregate {
+  /** Bounded k-entry min-heap; the root is the WORST kept entry (lowest
+    * score, then highest id), so a better arrival evicts it in O(log k). */
+  final class Buffer(val k: Int) {
+    // (score, id, aux); heap orders "worst first"
+    private val heap = scala.collection.mutable.PriorityQueue.empty[(Double, Long, Long)](
+      Ordering.by[(Double, Long, Long), (Double, Long)](e => (-e._1, e._2)))
+
+    def offer(s: Double, i: Long, a: Long): Unit = {
+      if (heap.size < k) heap.enqueue((s, i, a))
+      else {
+        val w = heap.head // worst kept
+        if (s > w._1 || (s == w._1 && i < w._2)) { heap.dequeue(); heap.enqueue((s, i, a)) }
+      }
+    }
+
+    def absorb(other: Buffer): Unit = other.entries.foreach(e => offer(e._1, e._2, e._3))
+
+    def entries: Array[(Double, Long, Long)] = heap.toArray
+
+    def sortedBest: Array[(Double, Long, Long)] =
+      entries.sortBy(e => (-e._1, e._2))
+  }
+
+  /** Attributes for docs/tests. */
+  val outputSchema: Seq[AttributeReference] = Seq(
+    AttributeReference("score", DoubleType, nullable = false)(),
+    AttributeReference("id", LongType, nullable = false)(),
+    AttributeReference("aux", LongType, nullable = false)())
+}
