@@ -95,6 +95,7 @@ object SparkEntry {
     "q74_pps_sample"      -> ((s: SparkSession, d: String) => CurationOps.ppsSample(s, d)),
     "q75_scd2"            -> (TemporalOps.scd2 _),
     "q76_rolling_features" -> (TemporalOps.rollingFeatures _),
+    "q77_cohort_retention" -> (TemporalOps.cohortRetention _),
   )
 
   // Portable polynomial rolling hash in DuckDB SQL — mirrors
@@ -1230,5 +1231,23 @@ object SparkEntry {
         |  w3  AS (PARTITION BY user_id ORDER BY ts, event_id
         |          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
         |ORDER BY event_id""".stripMargin,
+
+    "q77_cohort_retention" ->
+      """WITH wk AS (
+        |  SELECT user_id, epoch_ns(ts) // 604800000000000 AS week FROM events),
+        |lab AS (
+        |  SELECT DISTINCT MIN(week) OVER (PARTITION BY user_id) AS cohort_week,
+        |    week, user_id
+        |  FROM wk),
+        |counts AS (
+        |  SELECT cohort_week, week, COUNT(DISTINCT user_id) AS n_users
+        |  FROM lab GROUP BY 1, 2),
+        |base AS (
+        |  SELECT cohort_week, n_users AS cohort_size FROM counts
+        |  WHERE week = cohort_week)
+        |SELECT c.cohort_week, c.week - c.cohort_week AS weeks_since, c.n_users,
+        |  b.cohort_size, (c.n_users * 100) // b.cohort_size AS retention_pct
+        |FROM counts c JOIN base b USING (cohort_week)
+        |ORDER BY c.cohort_week, weeks_since""".stripMargin,
   )
 }

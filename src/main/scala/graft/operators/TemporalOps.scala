@@ -188,6 +188,39 @@ object TemporalOps {
       .orderBy("user_id", "session_seq")
   }
 
+  /** q77 — cohort retention: users bucketed by first-seen week (the
+    * cohort), counted as retained in each subsequent week they are active
+    * — the standard retention matrix, in long form (cohort_week,
+    * active_week, n_users, retention_pct).
+    *
+    * Shape: one shuffle on user_id; the cohort label is a min-over-window
+    * on that partitioning (no user-level self-join), the distinct
+    * (cohort, week, user) pass and the final count ride the same columns.
+    * retention_pct is integer-scaled (pct of the cohort's week-0 size,
+    * floor) so the output is engine-exact.
+    */
+  def cohortRetention(s: SparkSession, d: String): DataFrame = {
+    val weekNs = 7L * 86400L * 1000000000L
+    val w = Window.partitionBy("user_id")
+    val weeks = Tables.events(s, d)
+      .select(col("user_id"), call_function("div", col("ts"), lit(weekNs)).as("week"))
+      .withColumn("cohort_week", min(col("week")).over(w))
+      .select(col("cohort_week"), col("week"), col("user_id"))
+      .distinct()
+    val counts = weeks.groupBy("cohort_week", "week")
+      .agg(countDistinct(col("user_id")).as("n_users"))
+    val base = counts.filter(col("week") === col("cohort_week"))
+      .select(col("cohort_week"), col("n_users").as("cohort_size"))
+    counts.join(base, Seq("cohort_week"))
+      .select(
+        col("cohort_week"),
+        (col("week") - col("cohort_week")).as("weeks_since"),
+        col("n_users"),
+        col("cohort_size"),
+        call_function("div", col("n_users") * 100L, col("cohort_size")).as("retention_pct"))
+      .orderBy("cohort_week", "weeks_since")
+  }
+
   /** q76 — rolling time-series features: the per-sensor feature block a
     * forecasting/anomaly trainer consumes — trailing 10-row exact-decimal
     * mean, trailing 3-row min/max, and the lag-1 delta, all on one
