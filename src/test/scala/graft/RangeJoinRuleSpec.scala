@@ -92,6 +92,32 @@ class RangeJoinRuleSpec extends SparkSpec {
     } finally spark.conf.unset(widthKey)
   }
 
+  test("randomized intervals: rewritten == baseline across widths and seeds") {
+    // deterministic splitmix-style generator (failures reproduce exactly)
+    def gen(seed: Long, n: Int, maxLen: Long): Seq[(Long, Long, Long)] = {
+      var x = seed
+      def next(): Long = {
+        x += 0x9e3779b97f4a7c15L
+        var z = x
+        z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+        z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+        (z ^ (z >>> 31)) & Long.MaxValue
+      }
+      (0 until n).map { i =>
+        val s = next() % 10000
+        (i.toLong, s, s + next() % maxLen)
+      }
+    }
+    import spark.implicits._
+    for (seed <- Seq(1L, 7L, 42L); width <- Seq(50L, 300L, 5000L)) {
+      val l = gen(seed, 150, 400).toDF("l_id", "l_start", "l_end")
+      val r = gen(seed * 31 + 5, 200, 120).toDF("r_id", "r_start", "r_end")
+      val baseline = rows(thetaJoin(l, r))
+      val rewritten = withWidth(width) { rows(thetaJoin(l, r)) }
+      assert(rewritten === baseline, s"seed=$seed width=$width")
+    }
+  }
+
   test("q72's own theta-shaped SQL rewrites and matches the explicit binned operator") {
     // sessions x windows as a plain theta join, rule on — must equal the
     // hand-binned TemporalOps.overlapJoin aggregation
