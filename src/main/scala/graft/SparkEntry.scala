@@ -96,6 +96,7 @@ object SparkEntry {
     "q75_scd2"            -> (TemporalOps.scd2 _),
     "q76_rolling_features" -> (TemporalOps.rollingFeatures _),
     "q77_cohort_retention" -> (TemporalOps.cohortRetention _),
+    "q78_transitions"     -> (TemporalOps.transitionMatrix _),
   )
 
   // Portable polynomial rolling hash in DuckDB SQL — mirrors
@@ -1249,5 +1250,17 @@ object SparkEntry {
         |  b.cohort_size, (c.n_users * 100) // b.cohort_size AS retention_pct
         |FROM counts c JOIN base b USING (cohort_week)
         |ORDER BY c.cohort_week, weeks_since""".stripMargin,
+
+    "q78_transitions" ->
+      """WITH nxt AS (
+        |  SELECT event_type,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+        |  FROM events),
+        |bi AS (
+        |  SELECT event_type AS from_type, next_type AS to_type, COUNT(*) AS n
+        |  FROM nxt WHERE next_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n,
+        |  CAST((n * 10000) // SUM(n) OVER (PARTITION BY from_type) AS BIGINT) AS share_bp
+        |FROM bi ORDER BY from_type, to_type""".stripMargin,
   )
 }

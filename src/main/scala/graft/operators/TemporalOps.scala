@@ -188,6 +188,29 @@ object TemporalOps {
       .orderBy("user_id", "session_seq")
   }
 
+  /** q78 — event-type transition matrix: bigram counts of consecutive
+    * event types within a camera's stream (lag over one user_id shuffle),
+    * with integer-exact row-normalized percentages — the Markov-chain
+    * summary of sensor/user behavior ("what follows an error?"). The
+    * matrix is |types|² rows regardless of input size.
+    */
+  def transitionMatrix(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val bigrams = Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val fromTotals = Window.partitionBy("from_type")
+    bigrams
+      .withColumn("from_total", sum(col("n")).over(fromTotals))
+      .select(
+        col("from_type"), col("to_type"), col("n"),
+        call_function("div", col("n") * 10000L, col("from_total")).as("share_bp"))
+      .orderBy("from_type", "to_type")
+  }
+
   /** q77 — cohort retention: users bucketed by first-seen week (the
     * cohort), counted as retained in each subsequent week they are active
     * — the standard retention matrix, in long form (cohort_week,

@@ -42,4 +42,29 @@ class GraftSqlSpec extends SparkSpec {
     val all = spark.catalog.listTables().collect().map(_.name).toSet
     assert(SparkEntry.queries.keySet.subsetOf(all))
   }
+
+  test("operator views compose with each other: curation signals joined in SQL") {
+    GraftSql.registerAll(spark, sf)
+    GraftSql.registerQueries(spark, sf)
+    // three operator views + the custom aggregate, one ad-hoc SQL query —
+    // the "switch your dashboards over" scenario: language ID x quality
+    // score x dup-ngram rate per doc, then the worst documents per lang
+    val out = spark.sql(
+      """SELECT l.lang_pred AS lang,
+        |  graft_topk(d.dup_rate, l.doc_id, q.n_tokens, 2) AS top
+        |FROM q47_langid l
+        |JOIN q48_quality_score q ON l.doc_id = q.doc_id
+        |JOIN q57_dup_ngram_rate d ON l.doc_id = d.doc_id
+        |GROUP BY l.lang_pred
+        |ORDER BY lang""".stripMargin)
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val top = r.getSeq[org.apache.spark.sql.Row](1)
+      assert(top.nonEmpty && top.size <= 2)
+      // scores are rates in [0,1] and sorted best(=highest) first
+      val scores = top.map(_.getDouble(0))
+      assert(scores.forall(s => s >= 0.0 && s <= 1.0) && scores == scores.sorted.reverse)
+    }
+  }
 }
