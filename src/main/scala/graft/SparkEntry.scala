@@ -161,6 +161,34 @@ object SparkEntry {
   private def A(x: String)  = s"CAST(SUM(CAST($x AS DECIMAL(27,6))) AS DOUBLE)/COUNT($x)"
 
   /** DuckDB-runnable oracle SQL per query (same column aliases both sides). */
+  private val q72OverlapOracle: String =
+    """WITH act AS (
+        |  SELECT user_id, event_id, epoch_ns(ts) AS tsn
+        |  FROM events WHERE event_type <> 'error'),
+        |lagd AS (
+        |  SELECT user_id, event_id, tsn,
+        |    CASE WHEN lag(tsn) OVER w IS NULL OR tsn - lag(tsn) OVER w > 3600000000000
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM act WINDOW w AS (PARTITION BY user_id ORDER BY tsn, event_id)),
+        |sess AS (
+        |  SELECT user_id, tsn,
+        |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY tsn, event_id
+        |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        |  FROM lagd),
+        |sbounds AS (
+        |  SELECT user_id, session_seq, MIN(tsn) AS s_start, MAX(tsn) AS s_end
+        |  FROM sess GROUP BY 1, 2),
+        |wins AS (
+        |  SELECT user_id, event_id AS wid,
+        |    epoch_ns(ts) - 600000000000 AS w_start, epoch_ns(ts) + 600000000000 AS w_end
+        |  FROM events WHERE event_type = 'error')
+        |SELECT s.user_id, CAST(s.session_seq AS BIGINT) AS session_seq,
+        |  s.s_start // 1000 AS start_us,
+        |  COUNT(DISTINCT w.wid) AS n_windows, MIN(w.wid) AS first_wid
+        |FROM sbounds s JOIN wins w
+        |  ON s.user_id = w.user_id AND s.s_start <= w.w_end AND w.w_start <= s.s_end
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
@@ -1095,61 +1123,11 @@ object SparkEntry {
         |    AS value_interp
         |FROM m WHERE kind = 1 ORDER BY view_id""".stripMargin,
 
-    "q72_overlap_join" ->
-      """WITH act AS (
-        |  SELECT user_id, event_id, epoch_ns(ts) AS tsn
-        |  FROM events WHERE event_type <> 'error'),
-        |lagd AS (
-        |  SELECT user_id, event_id, tsn,
-        |    CASE WHEN lag(tsn) OVER w IS NULL OR tsn - lag(tsn) OVER w > 3600000000000
-        |         THEN 1 ELSE 0 END AS is_new
-        |  FROM act WINDOW w AS (PARTITION BY user_id ORDER BY tsn, event_id)),
-        |sess AS (
-        |  SELECT user_id, tsn,
-        |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY tsn, event_id
-        |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
-        |  FROM lagd),
-        |sbounds AS (
-        |  SELECT user_id, session_seq, MIN(tsn) AS s_start, MAX(tsn) AS s_end
-        |  FROM sess GROUP BY 1, 2),
-        |wins AS (
-        |  SELECT user_id, event_id AS wid,
-        |    epoch_ns(ts) - 600000000000 AS w_start, epoch_ns(ts) + 600000000000 AS w_end
-        |  FROM events WHERE event_type = 'error')
-        |SELECT s.user_id, CAST(s.session_seq AS BIGINT) AS session_seq,
-        |  s.s_start // 1000 AS start_us,
-        |  COUNT(DISTINCT w.wid) AS n_windows, MIN(w.wid) AS first_wid
-        |FROM sbounds s JOIN wins w
-        |  ON s.user_id = w.user_id AND s.s_start <= w.w_end AND w.w_start <= s.s_end
-        |GROUP BY 1, 2, 3 ORDER BY 1, 2""".stripMargin,
+    "q72_overlap_join" -> q72OverlapOracle,
 
-    "q72b_range_join_rule" ->
-      """WITH act AS (
-        |  SELECT user_id, event_id, epoch_ns(ts) AS tsn
-        |  FROM events WHERE event_type <> 'error'),
-        |lagd AS (
-        |  SELECT user_id, event_id, tsn,
-        |    CASE WHEN lag(tsn) OVER w IS NULL OR tsn - lag(tsn) OVER w > 3600000000000
-        |         THEN 1 ELSE 0 END AS is_new
-        |  FROM act WINDOW w AS (PARTITION BY user_id ORDER BY tsn, event_id)),
-        |sess AS (
-        |  SELECT user_id, tsn,
-        |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY tsn, event_id
-        |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
-        |  FROM lagd),
-        |sbounds AS (
-        |  SELECT user_id, session_seq, MIN(tsn) AS s_start, MAX(tsn) AS s_end
-        |  FROM sess GROUP BY 1, 2),
-        |wins AS (
-        |  SELECT user_id, event_id AS wid,
-        |    epoch_ns(ts) - 600000000000 AS w_start, epoch_ns(ts) + 600000000000 AS w_end
-        |  FROM events WHERE event_type = 'error')
-        |SELECT s.user_id, CAST(s.session_seq AS BIGINT) AS session_seq,
-        |  s.s_start // 1000 AS start_us,
-        |  COUNT(DISTINCT w.wid) AS n_windows, MIN(w.wid) AS first_wid
-        |FROM sbounds s JOIN wins w
-        |  ON s.user_id = w.user_id AND s.s_start <= w.w_end AND w.w_start <= s.s_end
-        |GROUP BY 1, 2, 3 ORDER BY 1, 2""".stripMargin,
+    // q72b shares q72's oracle verbatim — parity across both proves the
+    // RangeJoinRule rewrite is semantics-preserving
+    "q72b_range_join_rule" -> q72OverlapOracle,
 
     "q73_bm25" ->
       """WITH perdoc AS (

@@ -43,6 +43,15 @@ object LakeLayout {
     * which also sidesteps writing over an input path mid-job. Same
     * single-writer maintenance-window contract as compact. The touched-day
     * list is a driver collect, bounded by the calendar, not the data.
+    *
+    * CONTRACT — keys are day-scoped: dedup-by-event_id happens within the
+    * batch's own day partitions, because ts (the partition key) is event
+    * time and is assumed immutable for a given event_id. A "correction"
+    * that MOVES an event across a day boundary is out of scope: the old
+    * day is not in the touched set, so the prior row would survive as a
+    * duplicate. Cross-day moves need an explicit delete of the old day's
+    * row (or route the table through [[SnapshotLake]], where an overwrite
+    * commit replaces the full file set atomically).
     */
   def upsertEvents(spark: SparkSession, lake: String, batch: DataFrame): Unit = {
     val withDay = batch.withColumn("day", dayOf(col("ts")))

@@ -48,15 +48,22 @@ object SnapshotLake {
   private def manifestPath(root: Path, v: Long) =
     new Path(logDir(root), f"v$v%08d.manifest")
 
+  private def claimPath(root: Path, v: Long) =
+    new Path(logDir(root), f"v$v%08d.claim")
+
+  private def listLog(fs: FileSystem, root: Path, suffix: String): Seq[Long] = {
+    val dir = logDir(root)
+    if (!fs.exists(dir)) Nil
+    else fs.listStatus(dir).map(_.getPath.getName)
+      .collect { case n if n.startsWith("v") && n.endsWith(suffix) =>
+        n.stripPrefix("v").stripSuffix(suffix).toLong }
+      .sorted.toSeq
+  }
+
   /** Published versions, ascending (empty for a fresh/absent table). */
   def versions(spark: SparkSession, table: String): Seq[Long] = {
     val (fs, root) = fsOf(spark, table)
-    val dir = logDir(root)
-    if (!fs.exists(dir)) return Nil
-    fs.listStatus(dir).map(_.getPath.getName)
-      .collect { case n if n.startsWith("v") && n.endsWith(".manifest") =>
-        n.stripPrefix("v").stripSuffix(".manifest").toLong }
-      .sorted.toSeq
+    listLog(fs, root, ".manifest")
   }
 
   /** A manifest data line: a relative file path, optionally with the
@@ -191,8 +198,18 @@ object SnapshotLake {
   }
 
   /** Publish the next version after rebasing on the observed latest via
-    * `merge(baseStatsCol, baseEntries)`. Optimistic: a lost rename race
-    * re-reads and retries. Returns the published version. */
+    * `merge(baseStatsCol, baseEntries)`. The version number is claimed with
+    * `create(vN.claim, overwrite = false)` — atomic fail-on-existing on
+    * HDFS AND local filesystems, unlike rename, which on POSIX silently
+    * REPLACES an existing destination (two racing renames would both
+    * "succeed" and one commit would vanish). Only the claim holder writes
+    * vN.manifest, so the manifest rename is never contested. A pending
+    * claim newer than the newest manifest means another writer is
+    * mid-commit: we wait for its manifest rather than rebase past it (that
+    * would publish a newer version omitting its rows); a claimant that
+    * DIED mid-commit leaves a stale claim that fails commits loudly until
+    * [[recoverAbandonedClaims]] removes it — fail-loud beats silent data
+    * loss. Returns the published version. */
   private def publish(fs: FileSystem, root: Path,
                       merge: (Option[String], Seq[FileEntry]) => (Option[String], Seq[FileEntry]),
                       extraHeaders: Seq[String] = Nil): Long = {
@@ -200,23 +217,51 @@ object SnapshotLake {
     var attempt = 0
     while (attempt < MaxCommitAttempts) {
       attempt += 1
-      val vs = fs.listStatus(logDir(root)).map(_.getPath.getName)
-        .collect { case n if n.startsWith("v") && n.endsWith(".manifest") =>
-          n.stripPrefix("v").stripSuffix(".manifest").toLong }
-      val latest = if (vs.isEmpty) 0L else vs.max
-      val (baseCol, base) =
-        if (latest == 0L) (None, Nil) else readManifest(fs, root, latest)
-      val (outCol, manifest) = merge(baseCol, base)
-      val lines = outCol.map(statsHeader + _).toSeq ++ extraHeaders ++ manifest.map(_.line)
-      val tmp = new Path(logDir(root), s"_tmp-${UUID.randomUUID()}")
-      val out = fs.create(tmp, false)
-      try out.write((lines.mkString("\n") + "\n").getBytes(StandardCharsets.UTF_8))
-      finally out.close()
-      if (fs.rename(tmp, manifestPath(root, latest + 1))) return latest + 1
-      fs.delete(tmp, false) // lost the race: someone claimed v{latest+1}
+      val manifests = listLog(fs, root, ".manifest")
+      val latest = if (manifests.isEmpty) 0L else manifests.max
+      if (listLog(fs, root, ".claim").exists(_ > latest)) {
+        Thread.sleep(50) // another writer is between claim and manifest
+      } else {
+        val target = latest + 1
+        val (baseCol, base) =
+          if (latest == 0L) (None, Nil) else readManifest(fs, root, latest)
+        val (outCol, manifest) = merge(baseCol, base)
+        val lines = outCol.map(statsHeader + _).toSeq ++ extraHeaders ++ manifest.map(_.line)
+        val claimed =
+          try { fs.create(claimPath(root, target), false).close(); true }
+          catch { case _: java.io.IOException => false } // lost the claim race
+        if (claimed) {
+          val tmp = new Path(logDir(root), s"_tmp-${UUID.randomUUID()}")
+          val out = fs.create(tmp, false)
+          try out.write((lines.mkString("\n") + "\n").getBytes(StandardCharsets.UTF_8))
+          finally out.close()
+          require(fs.rename(tmp, manifestPath(root, target)),
+            s"manifest rename failed for claimed version $target at $root")
+          fs.delete(claimPath(root, target), false)
+          return target
+        }
+      }
     }
     throw new IllegalStateException(
-      s"snapshot commit at $root lost $MaxCommitAttempts races — writer storm?")
+      s"snapshot commit at $root did not win a version in $MaxCommitAttempts attempts — " +
+        "writer storm, or a crashed writer's stale .claim needs recoverAbandonedClaims")
+  }
+
+  /** Remove claim files left by writers that died between claiming a
+    * version and publishing its manifest (their data was never visible, so
+    * dropping the claim is safe). Only claims older than `olderThanMs` are
+    * touched — a live writer's in-flight claim is seconds old. Returns the
+    * versions unblocked. */
+  def recoverAbandonedClaims(spark: SparkSession, table: String,
+                             olderThanMs: Long = 600000L): Seq[Long] = {
+    val (fs, root) = fsOf(spark, table)
+    val manifests = listLog(fs, root, ".manifest").toSet
+    val now = System.currentTimeMillis()
+    listLog(fs, root, ".claim").filterNot(manifests).filter { v =>
+      val st = fs.getFileStatus(claimPath(root, v))
+      now - st.getModificationTime >= olderThanMs &&
+        { fs.delete(claimPath(root, v), false); true }
+    }
   }
 
   /** Append commit: new snapshot = observed latest files + df's files.

@@ -192,8 +192,17 @@ object ImageOps {
     */
   def cropBoxes(spark: SparkSession, frames: DataFrame, regions: DataFrame,
       margin: Int = 0): DataFrame = {
-    val planned = blurPlan(frames, regions, margin)
-      .join(frames, Seq("bag", "topic", "time_ns"), "inner")
+    // one join only: the clamped bounds (blurPlan's arithmetic) are
+    // computed inline so the heavy binary frames table is scanned once —
+    // blurPlan would read frames for width/height, drop the pixels, and
+    // force a second frames join to get them back
+    val planned = frames.join(regions, Seq("bag", "topic", "time_ns"), "inner")
+      .withColumn("x1", greatest(lit(0L), (col("region_x") - margin).cast("long")))
+      .withColumn("y1", greatest(lit(0L), (col("region_y") - margin).cast("long")))
+      .withColumn("x2", least(col("width").cast("long"),
+        (col("region_x") + col("region_w") + margin).cast("long")))
+      .withColumn("y2", least(col("height").cast("long"),
+        (col("region_y") + col("region_h") + margin).cast("long")))
     val cols = planned.columns
     val iW = cols.indexOf("width"); val iH = cols.indexOf("height")
     val iStep = cols.indexOf("step"); val iPx = cols.indexOf("pixels")

@@ -112,9 +112,10 @@ object TemporalOps {
     * aggregation. The DuckDB oracle runs the plain theta join, proving the
     * binning lossless (same adjudication pattern as q41c's prefix filter).
     */
-  def overlapJoin(s: SparkSession, d: String): DataFrame = {
+  /** Shared derivation for q72/q72b: per-camera activity sessions (1 h
+    * gap) and per-camera error-burst windows (ts ± 10 min). */
+  private def sessionsAndWindows(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val e = Tables.events(s, d)
-
     val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val sessions = e.filter(col("event_type") =!= "error")
@@ -125,11 +126,15 @@ object TemporalOps {
       .withColumn("session_seq", sum(col("is_new")).over(wRun))
       .groupBy("user_id", "session_seq")
       .agg(min(col("ts")).as("s_start"), max(col("ts")).as("s_end"))
-
     val wins = e.filter(col("event_type") === "error")
       .select(
         col("user_id"), col("event_id").as("wid"),
         (col("ts") - halfWinNs).as("w_start"), (col("ts") + halfWinNs).as("w_end"))
+    (sessions, wins)
+  }
+
+  def overlapJoin(s: SparkSession, d: String): DataFrame = {
+    val (sessions, wins) = sessionsAndWindows(s, d)
 
     def bins(lo: Column, hi: Column): Column =
       explode(sequence(
@@ -158,26 +163,10 @@ object TemporalOps {
     * row-level multiplicity.
     */
   def overlapJoinViaRule(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.graft.rangeJoin.binWidth", binNs.toString)
-    val e = Tables.events(s, d)
+    val (sessions, winsRaw) = sessionsAndWindows(s, d)
+    val wins = winsRaw.withColumnRenamed("user_id", "w_user")
 
-    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val sessions = e.filter(col("event_type") =!= "error")
-      .select(col("user_id"), col("event_id"), col("ts"))
-      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
-      .withColumn("is_new",
-        when(col("prev_ts").isNull || col("ts") - col("prev_ts") > gapNs, 1L).otherwise(0L))
-      .withColumn("session_seq", sum(col("is_new")).over(wRun))
-      .groupBy("user_id", "session_seq")
-      .agg(min(col("ts")).as("s_start"), max(col("ts")).as("s_end"))
-
-    val wins = e.filter(col("event_type") === "error")
-      .select(
-        col("user_id").as("w_user"), col("event_id").as("wid"),
-        (col("ts") - halfWinNs).as("w_start"), (col("ts") + halfWinNs).as("w_end"))
-
-    sessions.join(wins,
+    val theta = sessions.join(wins,
         sessions("user_id") === wins("w_user") &&
         sessions("s_start") <= wins("w_end") && wins("w_start") <= sessions("s_end"))
       .groupBy(col("user_id"), col("session_seq"),
@@ -186,6 +175,20 @@ object TemporalOps {
         countDistinct(col("wid")).as("n_windows"),
         min(col("wid")).as("first_wid"))
       .orderBy("user_id", "session_seq")
+
+    // Apply the rewrite EAGERLY to this one plan, with the width conf set
+    // only for the duration of the rule call — setting it on the session
+    // would silently enable the rewrite (and its bin explosion) for every
+    // later overlap-shaped join a user runs.
+    val widthKey = "spark.graft.rangeJoin.binWidth"
+    val prev = s.conf.getOption(widthKey)
+    s.conf.set(widthKey, binNs.toString)
+    try org.apache.spark.sql.graft.Bridge.ofRows(
+      s, graft.plans.RangeJoinRule(theta.queryExecution.analyzed))
+    finally prev match {
+      case Some(v) => s.conf.set(widthKey, v)
+      case None    => s.conf.unset(widthKey)
+    }
   }
 
   /** q78 — event-type transition matrix: bigram counts of consecutive

@@ -24,6 +24,13 @@ import java.nio.ByteBuffer
   * Determinism: the (score, id) total order makes the result independent
   * of row arrival and merge order — ties keep the smallest id, so the
   * oracle's ROW_NUMBER tiebreak reproduces it exactly.
+  *
+  * Null handling: rows with a null score or id are SKIPPED (standard SQL
+  * aggregate convention — max/min/arg-max ignore nulls); a null aux is
+  * preserved as null in the output struct. Note the window formulation
+  * q11b mirrors (ROW_NUMBER ... DESC = NULLS LAST) would still EMIT
+  * null-score rows when a group has fewer than k non-null values — on
+  * data with nullable scores the two shapes differ by exactly those rows.
   */
 case class TopKAggregate(
     score: Expression, id: Expression, aux: Expression, kExpr: Expression,
@@ -48,7 +55,7 @@ case class TopKAggregate(
   override def dataType: DataType = ArrayType(StructType(Seq(
     StructField("score", DoubleType, nullable = false),
     StructField("id", LongType, nullable = false),
-    StructField("aux", LongType, nullable = false))), containsNull = false)
+    StructField("aux", LongType, nullable = true))), containsNull = false)
 
   override def createAggregationBuffer(): Buffer = new Buffer(k)
 
@@ -58,7 +65,7 @@ case class TopKAggregate(
     if (s != null && i != null) {
       val a = aux.eval(input)
       b.offer(s.asInstanceOf[Double], i.asInstanceOf[Long],
-        if (a == null) 0L else a.asInstanceOf[Long])
+        if (a == null) null else java.lang.Long.valueOf(a.asInstanceOf[Long]))
     }
     b
   }
@@ -70,9 +77,12 @@ case class TopKAggregate(
 
   override def serialize(b: Buffer): Array[Byte] = {
     val es = b.entries
-    val buf = ByteBuffer.allocate(8 + es.length * 24)
+    val buf = ByteBuffer.allocate(8 + es.length * 25)
     buf.putInt(b.k).putInt(es.length)
-    es.foreach { case (s, i, a) => buf.putDouble(s).putLong(i).putLong(a) }
+    es.foreach { case (s, i, a) =>
+      buf.putDouble(s).putLong(i)
+      if (a == null) buf.put(0: Byte).putLong(0L) else buf.put(1: Byte).putLong(a)
+    }
     buf.array()
   }
 
@@ -81,7 +91,12 @@ case class TopKAggregate(
     val b = new Buffer(buf.getInt)
     val n = buf.getInt
     var j = 0
-    while (j < n) { b.offer(buf.getDouble, buf.getLong, buf.getLong); j += 1 }
+    while (j < n) {
+      val s = buf.getDouble; val i = buf.getLong
+      val hasAux = buf.get() == (1: Byte); val a = buf.getLong
+      b.offer(s, i, if (hasAux) java.lang.Long.valueOf(a) else null)
+      j += 1
+    }
     b
   }
 
@@ -96,11 +111,11 @@ object TopKAggregate {
   /** Bounded k-entry min-heap; the root is the WORST kept entry (lowest
     * score, then highest id), so a better arrival evicts it in O(log k). */
   final class Buffer(val k: Int) {
-    // (score, id, aux); heap orders "worst first"
-    private val heap = scala.collection.mutable.PriorityQueue.empty[(Double, Long, Long)](
-      Ordering.by[(Double, Long, Long), (Double, Long)](e => (-e._1, e._2)))
+    // (score, id, aux); heap orders "worst first"; aux is boxed to carry null
+    private val heap = scala.collection.mutable.PriorityQueue.empty[(Double, Long, java.lang.Long)](
+      Ordering.by[(Double, Long, java.lang.Long), (Double, Long)](e => (-e._1, e._2)))
 
-    def offer(s: Double, i: Long, a: Long): Unit = {
+    def offer(s: Double, i: Long, a: java.lang.Long): Unit = {
       if (heap.size < k) heap.enqueue((s, i, a))
       else {
         val w = heap.head // worst kept
@@ -110,9 +125,9 @@ object TopKAggregate {
 
     def absorb(other: Buffer): Unit = other.entries.foreach(e => offer(e._1, e._2, e._3))
 
-    def entries: Array[(Double, Long, Long)] = heap.toArray
+    def entries: Array[(Double, Long, java.lang.Long)] = heap.toArray
 
-    def sortedBest: Array[(Double, Long, Long)] =
+    def sortedBest: Array[(Double, Long, java.lang.Long)] =
       entries.sortBy(e => (-e._1, e._2))
   }
 

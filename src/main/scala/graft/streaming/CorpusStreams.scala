@@ -88,7 +88,12 @@ object CorpusStreams {
             }
             cur.foreach { st =>
               state.update(st)
-              state.setTimeoutTimestamp(st.lastTouchMs + bucketTtlMs)
+              // a watermark-admissible arrival can still sit further behind
+              // the watermark than the TTL is long (small TTL, generous
+              // delay): clamp the expiry just past the current watermark or
+              // setTimeoutTimestamp throws and kills the query
+              state.setTimeoutTimestamp(math.max(
+                st.lastTouchMs + bucketTtlMs, state.getCurrentWatermarkMs() + 1))
             }
             out.iterator
           }

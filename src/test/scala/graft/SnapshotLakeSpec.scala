@@ -138,6 +138,23 @@ class SnapshotLakeSpec extends SparkSpec {
     assert(SnapshotLake.versions(spark, t) === Seq(1L, 2L))
   }
 
+  test("a crashed writer's stale claim fails commits loudly until recovered") {
+    val t = freshTable()
+    SnapshotLake.commitAppend(spark, t, batch(0, 10)) // v1
+    // simulate a writer that died between claim and manifest
+    val root = new Path(t)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.create(new Path(root, "_log/v00000002.claim"), false).close()
+    intercept[IllegalStateException] {
+      SnapshotLake.commitAppend(spark, t, batch(10, 20))
+    }
+    // recovery: the claim never published data, dropping it is safe
+    assert(SnapshotLake.recoverAbandonedClaims(spark, t, olderThanMs = 0L) === Seq(2L))
+    val v = SnapshotLake.commitAppend(spark, t, batch(10, 20))
+    assert(v === 2L)
+    assert(ids(SnapshotLake.read(spark, t)) === (0L until 20L))
+  }
+
   test("a staged-but-unpublished write is invisible to readers") {
     val t = freshTable()
     SnapshotLake.commitAppend(spark, t, batch(0, 10))

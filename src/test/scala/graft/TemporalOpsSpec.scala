@@ -30,9 +30,11 @@ class TemporalOpsSpec extends SparkSpec {
       val (uid, tus, vid) =
         (v.getAs[Long]("user_id"), v.getAs[Long]("ts") / 1000, v.getAs[Long]("event_id"))
       val mine = meas.filter(_._1 == uid)
-      // forward pick: largest (ts, event_id) at-or-before; backward: smallest at-or-after
+      // forward pick: largest (ts, event_id) at-or-before; backward pick:
+      // nearest ts at-or-after, ties by SMALLEST event_id (the operator's
+      // documented rule — matches the bwd window and the DuckDB oracle)
       val prev = mine.filter(_._2 <= tus).sortBy(m => (m._2, m._3)).lastOption
-      val next = mine.filter(_._2 >= tus).sortBy(m => (m._2, -m._3)).headOption
+      val next = mine.filter(_._2 >= tus).sortBy(m => (m._2, m._3)).headOption
       val expect = (prev, next) match {
         case (None, None)         => None
         case (None, Some(n))      => Some(n._4)
