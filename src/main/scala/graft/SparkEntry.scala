@@ -97,6 +97,8 @@ object SparkEntry {
     "q76_rolling_features" -> (TemporalOps.rollingFeatures _),
     "q77_cohort_retention" -> (TemporalOps.cohortRetention _),
     "q78_transitions"     -> (TemporalOps.transitionMatrix _),
+    "q79_anomalies"       -> (QualityOps.anomalies _),
+    "q80_expectations"    -> ((s: SparkSession, d: String) => QualityOps.expectationAudit(s, d)),
   )
 
   // Portable polynomial rolling hash in DuckDB SQL — mirrors
@@ -1240,5 +1242,40 @@ object SparkEntry {
         |SELECT from_type, to_type, n,
         |  CAST((n * 10000) // SUM(n) OVER (PARTITION BY from_type) AS BIGINT) AS share_bp
         |FROM bi ORDER BY from_type, to_type""".stripMargin,
+
+    "q79_anomalies" ->
+      """WITH st AS (
+        |  SELECT event_type, COUNT(*) AS n,
+        |    CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(value * value AS DECIMAL(27,6))) AS DOUBLE) AS sx2
+        |  FROM events GROUP BY 1),
+        |st2 AS (
+        |  SELECT event_type, sx / n AS mean, sqrt(sx2 / n - (sx / n) * (sx / n)) AS std
+        |  FROM st)
+        |SELECT e.event_id, e.event_type, e.value, (e.value - s.mean) / s.std AS zscore
+        |FROM events e JOIN st2 s USING (event_type)
+        |WHERE ABS(e.value - s.mean) > 3.0 * s.std
+        |ORDER BY e.event_id""".stripMargin,
+
+    "q80_expectations" ->
+      """WITH wide AS (
+        |  SELECT COUNT(*) AS n_rows,
+        |    CAST(SUM(CASE WHEN l_quantity < 1.0 OR l_quantity > 50.0 THEN 1 ELSE 0 END) AS BIGINT) AS v1,
+        |    CAST(SUM(CASE WHEN l_discount < 0.0 OR l_discount > 0.1 THEN 1 ELSE 0 END) AS BIGINT) AS v2,
+        |    CAST(SUM(CASE WHEN l_extendedprice <= 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS v3,
+        |    CAST(SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v4,
+        |    CAST(SUM(CASE WHEN l_returnflag NOT IN ('A', 'N', 'R') THEN 1 ELSE 0 END) AS BIGINT) AS v5,
+        |    CAST(SUM(CASE WHEN l_tax < 0.0 OR l_tax > 0.2 THEN 1 ELSE 0 END) AS BIGINT) AS v6,
+        |    CAST(SUM(CASE WHEN l_quantity > 45.0 THEN 1 ELSE 0 END) AS BIGINT) AS v7
+        |  FROM lineitem)
+        |SELECT check_name, n_rows, n_violations, n_violations = 0 AS pass FROM (
+        |  SELECT 'quantity_in_range' AS check_name, n_rows, v1 AS n_violations FROM wide
+        |  UNION ALL SELECT 'discount_in_range', n_rows, v2 FROM wide
+        |  UNION ALL SELECT 'price_positive', n_rows, v3 FROM wide
+        |  UNION ALL SELECT 'shipdate_not_null', n_rows, v4 FROM wide
+        |  UNION ALL SELECT 'returnflag_domain', n_rows, v5 FROM wide
+        |  UNION ALL SELECT 'tax_in_range', n_rows, v6 FROM wide
+        |  UNION ALL SELECT 'quantity_not_extreme', n_rows, v7 FROM wide) t
+        |ORDER BY check_name""".stripMargin,
   )
 }

@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Exact.acc
+
+/** Lake data-quality operators: statistical anomaly flags and declarative
+  * expectation audits — the gates a production pipeline runs before
+  * promoting a batch.
+  */
+object QualityOps {
+
+  /** q79 — 3-sigma anomaly detection per sensor type: events whose value
+    * sits more than three standard deviations from their type's mean.
+    *
+    * Shape: one pass computes per-type (n, Σx, Σx²) through the
+    * exact-decimal carrier (bit-stable under any partitioning), the tiny
+    * stats table broadcasts back, and the flag is a per-row predicate —
+    * cost is two scans of events and nothing else at any scale. σ uses the
+    * population variance E[x²] − E[x]²; sqrt and the z-score are fixed
+    * IEEE chains, so the oracle reproduces them bit-exactly.
+    */
+  def anomalies(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+    val stats = e.groupBy("event_type").agg(
+      count(lit(1)).as("n"),
+      sum(acc(col("value"))).cast("double").as("sx"),
+      sum(acc(col("value") * col("value"))).cast("double").as("sx2"))
+      .withColumn("mean", col("sx") / col("n"))
+      .withColumn("std", sqrt(col("sx2") / col("n") - col("mean") * col("mean")))
+    e.join(broadcast(stats), Seq("event_type"))
+      .filter(abs(col("value") - col("mean")) > lit(3.0) * col("std"))
+      .select(
+        col("event_id"), col("event_type"), col("value"),
+        ((col("value") - col("mean")) / col("std")).as("zscore"))
+      .orderBy("event_id")
+  }
+
+  /** A declarative expectation: a name and a row-level violation
+    * predicate. */
+  final case class Expectation(name: String, violated: Column)
+
+  /** The default expectation suite for the lineitem table — the kinds of
+    * constraints a warehouse gate enforces (domain ranges, non-null,
+    * cross-field consistency). */
+  def lineitemExpectations: Seq[Expectation] = Seq(
+    Expectation("quantity_in_range",
+      col("l_quantity") < 1.0 || col("l_quantity") > 50.0),
+    Expectation("discount_in_range",
+      col("l_discount") < 0.0 || col("l_discount") > 0.1),
+    Expectation("price_positive", col("l_extendedprice") <= 0.0),
+    Expectation("shipdate_not_null", col("l_shipdate").isNull),
+    Expectation("returnflag_domain", !col("l_returnflag").isin("A", "N", "R")),
+    Expectation("tax_in_range", col("l_tax") < 0.0 || col("l_tax") > 0.2),
+    // deliberately tight: fires on clean data too, proving the counting
+    // path end-to-end (an audit where every check trivially passes tests
+    // nothing)
+    Expectation("quantity_not_extreme", col("l_quantity") > 45.0))
+
+  /** q80 — expectation audit in ONE scan: every check is a conditional
+    * count inside a single aggregation (map-side partials, no shuffle
+    * beyond one row per check), emitted long-form with a pass flag — the
+    * Deequ-style quality gate shape. A null predicate input counts as a
+    * violation only if the check says so (predicates are explicit about
+    * null handling), never silently.
+    */
+  def expectationAudit(s: SparkSession, d: String,
+                       checks: Seq[Expectation] = lineitemExpectations): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val aggs = count(lit(1)).as("n_rows") +:
+      checks.map(c => sum(when(c.violated, 1L).otherwise(0L)).as(s"v_${c.name}"))
+    val wide = li.agg(aggs.head, aggs.tail: _*)
+    val stacked = checks.map(c =>
+      s"'${c.name}', v_${c.name}").mkString(", ")
+    wide.selectExpr("n_rows", s"stack(${checks.size}, $stacked) AS (check_name, n_violations)")
+      .select(
+        col("check_name"), col("n_rows"), col("n_violations"),
+        (col("n_violations") === 0L).as("pass"))
+      .orderBy("check_name")
+  }
+}
