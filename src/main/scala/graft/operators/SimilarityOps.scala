@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -118,11 +118,12 @@ object SimilarityOps {
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), toDouble(col("embedding")).as("v"))
       .withColumn("nrm", norm(col("v")))
-    val w = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("list_id"))
+    // argmax via max_by (map-side partials; (csim, -list_id) is a total
+    // order so ties keep the smallest list, matching the old window rank)
     e.join(broadcast(centroidTable(s)))
       .withColumn("csim", cosine(col("v"), col("cv"), col("nrm"), col("cnrm")))
-      .withColumn("crank", row_number().over(w))
-      .filter(col("crank") === 1)
+      .groupBy("vec_id")
+      .agg(max_by(col("list_id"), struct(col("csim"), -col("list_id"))).as("list_id"))
       .groupBy("list_id")
       .agg(count(lit(1)).as("n_vectors"))
       .orderBy("list_id")
@@ -185,15 +186,18 @@ object SimilarityOps {
         struct(lit(sub.toLong).as("sub_idx"),
           slice(col("v"), sub * subDim + 1, subDim).as("sv"))): _*)).as("e"))
       .select(col("vec_id"), col("e.sub_idx").as("sub_idx"), col("e.sv").as("sv"))
-    val w = Window.partitionBy("vec_id", "sub_idx").orderBy(col("sqd").asc, col("code").asc)
+    // argmin via min_by (map-side partial aggregation, deterministic
+    // (sqd, code) total order) — not a row_number window, which would
+    // shuffle AND SORT every corpus x codes candidate row (same rework as
+    // q70's assignment)
     subs.join(broadcast(books), Seq("sub_idx"))
       .withColumn("sqd",
         expr("aggregate(zip_with(sv, cv, (x, y) -> (x - y) * (x - y)), 0D, (acc, z) -> acc + z)"))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") === 1)
-      .groupBy("sub_idx", "code")
+      .groupBy("vec_id", "sub_idx")
+      .agg(min_by(struct(col("code"), col("sqd")), struct(col("sqd"), col("code"))).as("best"))
+      .groupBy(col("sub_idx"), col("best.code").as("code"))
       .agg(count(lit(1)).as("n_vectors"),
-        graft.functions.Exact.davg(col("sqd")).as("avg_sqdist"))
+        graft.functions.Exact.davg(col("best.sqd")).as("avg_sqdist"))
       .orderBy("sub_idx", "code")
   }
 
@@ -215,11 +219,7 @@ object SimilarityOps {
     * (a plain SUM over subspaces would fold in partition order).
     */
   def knnPq(s: SparkSession, d: String, k: Int = 3): DataFrame = {
-    import s.implicits._
     val subDim = 8
-    val books = PqCodebooks.values.zipWithIndex.flatMap { case (book, sub) =>
-      book.zipWithIndex.map { case (cv, code) => (sub.toLong, code.toLong, cv.toSeq) }
-    }.toSeq.toDF("sub_idx", "code", "cv")
     def subsOf(df: DataFrame): DataFrame = df
       .select(col("vec_id"), toDouble(col("embedding")).as("v"))
       .select(col("vec_id"), explode(array((0 until 8).map(sub =>
@@ -231,13 +231,23 @@ object SimilarityOps {
     val queries = subsOf(e.filter(col("vec_id") < 10))
       .select(col("vec_id").as("q_id"), col("sub_idx"), col("sv").as("qsv"))
 
-    val wa = Window.partitionBy("vec_id", "sub_idx").orderBy(col("sqd").asc, col("code").asc)
-    val recon = corpus.join(broadcast(books), Seq("sub_idx"))
+    val books = PqCodebooks.values.zipWithIndex.flatMap { case (book, sub) =>
+      book.zipWithIndex.map { case (cv, code) => (sub.toLong, code.toLong, cv.toSeq) }
+    }.toSeq
+    import s.implicits._
+    val booksDf = books.toDF("sub_idx", "code", "cv")
+    // Code assignment: broadcast-codebook join, then argmin via min_by —
+    // an ordinary aggregate with MAP-SIDE PARTIALS, so each mapper reduces
+    // its corpus × codes candidates to one row per (vec, sub) before the
+    // exchange (the earlier row_number window shuffled and SORTED every
+    // candidate row just to pick a minimum). The (sqd, code) ordering
+    // struct is a total order, so the argmin is deterministic under any
+    // partitioning and reproduces the oracle's rank tiebreak.
+    val recon = corpus.join(broadcast(booksDf), Seq("sub_idx"))
       .withColumn("sqd",
         expr("aggregate(zip_with(sv, cv, (x, y) -> (x - y) * (x - y)), 0D, (acc, z) -> acc + z)"))
-      .withColumn("rk", row_number().over(wa))
-      .filter(col("rk") === 1)
-      .select(col("vec_id"), col("sub_idx"), col("cv"))
+      .groupBy("vec_id", "sub_idx")
+      .agg(min_by(col("cv"), struct(col("sqd"), col("code"))).as("cv"))
     val partials = recon.join(broadcast(queries), Seq("sub_idx"))
       .withColumn("dsub",
         expr("aggregate(zip_with(qsv, cv, (x, y) -> (x - y) * (x - y)), 0D, (acc, z) -> acc + z)"))
@@ -260,14 +270,25 @@ object SimilarityOps {
       .withColumn("nrm", norm(col("v")))
     val centroids = centroidTable(s)
 
-    // nearest-centroid assignment by cosine (argmax via window, ties by id)
+    // nearest-centroid assignment by cosine. keep=1 (the corpus side, the
+    // one that scales) is max_by — map-side partials, no per-vector sort;
+    // keep>1 (the probe side, a handful of query vectors) keeps the window
+    // rank. Ties keep the smallest list_id in both shapes.
     def assign(df: DataFrame, idCol: String, keep: Int): DataFrame = {
-      val w = Window.partitionBy(idCol).orderBy(col("csim").desc, col("list_id"))
-      df.join(broadcast(centroids))
+      val scored = df.join(broadcast(centroids))
         .withColumn("csim", cosine(col("v"), col("cv"), col("nrm"), col("cnrm")))
-        .withColumn("crank", row_number().over(w))
-        .filter(col("crank") <= keep)
-        .drop("cv", "cnrm", "csim", "crank")
+      if (keep == 1)
+        scored.groupBy(col(idCol))
+          .agg(max_by(struct(col("v"), col("nrm"), col("list_id")),
+            struct(col("csim"), -col("list_id"))).as("best"))
+          .select(col(idCol), col("best.v").as("v"), col("best.nrm").as("nrm"),
+            col("best.list_id").as("list_id"))
+      else {
+        val w = Window.partitionBy(idCol).orderBy(col("csim").desc, col("list_id"))
+        scored.withColumn("crank", row_number().over(w))
+          .filter(col("crank") <= keep)
+          .drop("cv", "cnrm", "csim", "crank")
+      }
     }
 
     val queries = assign(e.filter(col("vec_id") < 10), "vec_id", IvfProbes)
