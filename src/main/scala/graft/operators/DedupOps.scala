@@ -526,17 +526,16 @@ object DedupOps {
     * vectors through the groupBy buffer.
     */
   def semanticDedup(s: SparkSession, d: String, threshold: Double = 0.3): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), toDouble(col("embedding")).as("v"))
       .withColumn("nrm", norm(col("v")))
     val cents = SimilarityOps.centroidTable(s)
-    val w = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("list_id"))
+    // argmax via max_by — map-side partials, no per-vector candidate sort
+    // (same rework as the q54/q46b assignment); ties keep the smallest list
     val asg = e.join(broadcast(cents))
       .withColumn("csim", cosine(col("v"), col("cv"), col("nrm"), col("cnrm")))
-      .withColumn("crank", row_number().over(w))
-      .filter(col("crank") === 1)
-      .select("vec_id", "list_id")
+      .groupBy("vec_id")
+      .agg(max_by(col("list_id"), struct(col("csim"), -col("list_id"))).as("list_id"))
     val pairs = asg.groupBy("list_id")
       .agg(collect_list(struct(col("vec_id"), lit(0L).as("n"))).as("docs"))
       .filter(size(col("docs")) >= 2)

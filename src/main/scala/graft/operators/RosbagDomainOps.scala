@@ -176,20 +176,23 @@ object RosbagDomainOps {
   /** q27 — work-queue monitor (the reference's DynamoDB monitor table):
     * latest status + processing span per worker.
     */
-  def monitorStatus(s: SparkSession, d: String): DataFrame = {
-    val w = Window.partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)
-    val wAll = Window.partitionBy("user_id")
+  def monitorStatus(s: SparkSession, d: String): DataFrame =
+    // one aggregation, no sort: the latest row per worker is max_by over
+    // the (ts, event_id) total order, and the span/count ride the same
+    // groupBy — the old shape ran three windows (rank + count + span) over
+    // a per-worker sort just to keep one row
     Tables.events(s, d)
       .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
-      .withColumn("rn", row_number().over(w))
-      .withColumn("n_events", count(lit(1)).over(wAll))
-      .withColumn("span_s", call_function("div", max(col("ts")).over(wAll) - min(col("ts")).over(wAll), lit(1000000000L)))
-      .filter(col("rn") === 1)
+      .groupBy("user_id")
+      .agg(
+        max_by(struct(col("event_id"), col("event_type")),
+          struct(col("ts"), col("event_id"))).as("last"),
+        count(lit(1)).as("n_events"),
+        call_function("div", max(col("ts")) - min(col("ts")), lit(1000000000L)).as("span_s"))
       .select(
-        col("user_id"), col("event_id").as("last_event_id"),
-        col("event_type").as("last_status"), col("n_events"), col("span_s"))
+        col("user_id"), col("last.event_id").as("last_event_id"),
+        col("last.event_type").as("last_status"), col("n_events"), col("span_s"))
       .orderBy("user_id")
-  }
 
   /** Deterministic synthetic bounding boxes derived from `part` — stands in
     * for the Ground Truth manifest annotations (object-detection/
