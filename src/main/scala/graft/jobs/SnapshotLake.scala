@@ -99,9 +99,15 @@ object SnapshotLake {
   /** Snapshot read. `version = None` -> latest. Fails on an absent table
     * or version — an empty table is representable (empty manifest), an
     * absent one is a caller bug.
+    *
+    * `mergeSchema = true` unions the schemas of every file in the
+    * snapshot (columns added by later commits read as null in older
+    * files) — schema evolution costs one footer read per file at PLAN
+    * time, so leave it off for tables with a fixed schema.
     */
-  def read(spark: SparkSession, table: String, version: Option[Long] = None): DataFrame =
-    readEntries(spark, table, version, identity)
+  def read(spark: SparkSession, table: String, version: Option[Long] = None,
+           mergeSchema: Boolean = false): DataFrame =
+    readEntries(spark, table, version, identity, mergeSchema)
 
   /** Snapshot read with MANIFEST-LEVEL file pruning: scan only the files
     * whose commit-time [min, max] of the stats column overlaps [lo, hi],
@@ -145,14 +151,15 @@ object SnapshotLake {
   }
 
   private def readEntries(spark: SparkSession, table: String, version: Option[Long],
-                          select: Seq[FileEntry] => Seq[FileEntry]): DataFrame = {
+                          select: Seq[FileEntry] => Seq[FileEntry],
+                          mergeSchema: Boolean = false): DataFrame = {
     val (fs, root) = fsOf(spark, table)
     val v = resolveVersion(spark, table, version)
     val files = select(readManifest(fs, root, v)._2).map(e => new Path(root, e.path).toString)
     if (files.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         org.apache.spark.sql.types.StructType(Nil))
-    else spark.read.parquet(files: _*)
+    else spark.read.option("mergeSchema", mergeSchema.toString).parquet(files: _*)
   }
 
   /** Commit-time file stats from the parquet FOOTER (metadata only — no

@@ -138,6 +138,20 @@ class SnapshotLakeSpec extends SparkSpec {
     assert(SnapshotLake.versions(spark, t) === Seq(1L, 2L))
   }
 
+  test("schema evolution: a later commit's new column reads as null in old files") {
+    import spark.implicits._
+    val t = freshTable()
+    SnapshotLake.commitAppend(spark, t, batch(0, 5)) // id, payload
+    SnapshotLake.commitAppend(spark, t,
+      (5 until 8).map(i => (i.toLong, s"row$i", s"src$i")).toDF("id", "payload", "origin"))
+    val merged = SnapshotLake.read(spark, t, mergeSchema = true)
+    assert(merged.columns.toSet === Set("id", "payload", "origin"))
+    val byId = merged.collect().map(r => r.getAs[Long]("id") -> r.getAs[String]("origin")).toMap
+    assert(byId(0L) === null && byId(6L) === "src6")
+    // time travel before the evolution sees the original schema
+    assert(SnapshotLake.read(spark, t, Some(1L)).columns.toSet === Set("id", "payload"))
+  }
+
   test("a crashed writer's stale claim fails commits loudly until recovered") {
     val t = freshTable()
     SnapshotLake.commitAppend(spark, t, batch(0, 10)) // v1
