@@ -29,6 +29,26 @@ object EventStreams {
         col("window.start").as("window_start"),
         col("event_type"), col("n"), col("sum_value"))
 
+  /** Windowed trending top-k: per event-time window and type, the k
+    * highest-value events — the custom `graft_topk` imperative aggregate
+    * running INSIDE Structured Streaming, where its bounded k-entry state
+    * matters twice: the streaming aggregation state store holds k entries
+    * per (window, type) instead of a full sorted history, and late
+    * arrivals merge into the heap exactly like any partial. Emits on
+    * watermark close (append mode).
+    */
+  def trendingTopK(events: DataFrame, k: Int = 2, windowDur: String = "1 hour",
+                   watermark: String = "2 hours"): DataFrame =
+    events
+      .withColumn("event_time", timestamp_micros(call_function("div", col("ts"), lit(1000L))))
+      .withWatermark("event_time", watermark)
+      .groupBy(window(col("event_time"), windowDur), col("event_type"))
+      .agg(call_function("graft_topk",
+        col("value"), col("event_id"), col("user_id"), lit(k)).as("top"))
+      .select(
+        col("window.start").as("window_start"),
+        col("event_type"), col("top"))
+
   final case class Ev(event_id: Long, ts: Long, user_id: Long, event_type: String, value: Double)
   final case class SessionUpdate(user_id: Long, session_start_ns: Long, session_end_ns: Long, n_events: Int, closed: Boolean)
   final case class SessionState(startNs: Long, endNs: Long, n: Int)

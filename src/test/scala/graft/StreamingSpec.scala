@@ -33,6 +33,33 @@ class StreamingSpec extends SparkSpec {
     assert(rows.filter(_.getAs[String]("event_type") == "view").forall(_.getAs[Long]("n") == 1))
   }
 
+  test("trendingTopK: graft_topk aggregates inside a streaming window, late rows merge") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val out = EventStreams.trendingTopK(mem.toDF(), k = 2, "1 hour", "2 hours")
+    val q = out.writeStream.format("memory").queryName("tk").outputMode("append").start()
+    val base = 1700000000L * 1000000000L
+    mem.addData(
+      ev(1, base, 1, "click", 5.0), ev(2, base + H / 4, 2, "click", 9.0))
+    q.processAllAvailable()
+    // a LATE-but-admissible arrival for the same window must merge into
+    // the heap before the watermark closes it
+    mem.addData(ev(3, base + H / 2, 3, "click", 7.0))
+    q.processAllAvailable()
+    mem.addData(ev(9, base + 10 * H, 1, "click", 1.0)) // advances watermark
+    q.processAllAvailable()
+    val rows = spark.sql("select * from tk").collect()
+    q.stop()
+    val winStartMs = (base / 1000000L) / 3600000L * 3600000L // floor to the hour
+    val first = rows.filter(r => r.getAs[String]("event_type") == "click" &&
+      r.getAs[java.sql.Timestamp]("window_start").getTime == winStartMs)
+    assert(first.length === 1)
+    val top = first.head.getSeq[org.apache.spark.sql.Row](2)
+    // top-2 of {5.0, 9.0, 7.0} = [(9.0, id 2), (7.0, id 3)], best first
+    assert(top.map(r => (r.getDouble(0), r.getLong(1))) === Seq((9.0, 2L), (7.0, 3L)))
+  }
+
   test("sessionizeStream: gap closes a session and emits it") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
