@@ -217,41 +217,79 @@ object SnapshotLake {
     * DIED mid-commit leaves a stale claim that fails commits loudly until
     * [[recoverAbandonedClaims]] removes it — fail-loud beats silent data
     * loss. Returns the published version. */
+  /** Atomically create `path` iff absent. Hadoop's LocalFileSystem
+    * `create(path, overwrite = false)` is an exists() CHECK followed by a
+    * plain open — not exclusive — so on file:// URIs the claim uses
+    * `File.createNewFile` (O_CREAT|O_EXCL per its contract) instead. */
+  private def createExclusive(fs: FileSystem, path: Path): Boolean = {
+    val uri = path.toUri
+    if (uri.getScheme == null || uri.getScheme == "file")
+      new java.io.File(uri.getPath).createNewFile()
+    else
+      try { fs.create(path, false).close(); true }
+      catch { case _: java.io.IOException => false }
+  }
+
+  /** Wall-clock budget to wait on another writer's pending claim before
+    * failing (override via -Dgraft.snapshot.pendingWaitMs, e.g. in tests). */
+  private def pendingWaitMs: Long =
+    sys.props.get("graft.snapshot.pendingWaitMs").map(_.toLong).getOrElse(60000L)
+
   private def publish(fs: FileSystem, root: Path,
                       merge: (Option[String], Seq[FileEntry]) => (Option[String], Seq[FileEntry]),
                       extraHeaders: Seq[String] = Nil): Long = {
     fs.mkdirs(logDir(root))
     var attempt = 0
+    var waitedMs = 0L
     while (attempt < MaxCommitAttempts) {
-      attempt += 1
       val manifests = listLog(fs, root, ".manifest")
       val latest = if (manifests.isEmpty) 0L else manifests.max
       if (listLog(fs, root, ".claim").exists(_ > latest)) {
-        Thread.sleep(50) // another writer is between claim and manifest
+        // another writer is between claim and manifest: wait on a wall-
+        // clock budget (not the attempt counter — a healthy writer on a
+        // slow store may hold its claim for seconds)
+        if (waitedMs >= pendingWaitMs)
+          throw new IllegalStateException(
+            s"snapshot commit at $root blocked > ${pendingWaitMs} ms by a pending claim — " +
+              "a crashed writer's stale .claim needs recoverAbandonedClaims")
+        Thread.sleep(50); waitedMs += 50
       } else {
+        attempt += 1
         val target = latest + 1
         val (baseCol, base) =
           if (latest == 0L) (None, Nil) else readManifest(fs, root, latest)
         val (outCol, manifest) = merge(baseCol, base)
         val lines = outCol.map(statsHeader + _).toSeq ++ extraHeaders ++ manifest.map(_.line)
-        val claimed =
-          try { fs.create(claimPath(root, target), false).close(); true }
-          catch { case _: java.io.IOException => false } // lost the claim race
-        if (claimed) {
+        if (createExclusive(fs, claimPath(root, target))) {
+          // claim won. Claim files are PERMANENT once their manifest
+          // publishes: deleting them would re-open the version slot for a
+          // writer still holding a pre-claim listing, whose rename would
+          // silently replace the manifest on POSIX. expire() drops them
+          // with their versions.
           val tmp = new Path(logDir(root), s"_tmp-${UUID.randomUUID()}")
-          val out = fs.create(tmp, false)
-          try out.write((lines.mkString("\n") + "\n").getBytes(StandardCharsets.UTF_8))
-          finally out.close()
-          require(fs.rename(tmp, manifestPath(root, target)),
-            s"manifest rename failed for claimed version $target at $root")
-          fs.delete(claimPath(root, target), false)
+          try {
+            val out = fs.create(tmp, false)
+            try out.write((lines.mkString("\n") + "\n").getBytes(StandardCharsets.UTF_8))
+            finally out.close()
+            require(fs.rename(tmp, manifestPath(root, target)),
+              s"manifest rename failed for claimed version $target at $root")
+          } catch {
+            case e: Throwable =>
+              // failed AFTER claiming: release the slot so the table is
+              // not wedged until recoverAbandonedClaims (stale claims are
+              // for writers that DIED, not ones that can clean up)
+              fs.delete(tmp, false)
+              fs.delete(claimPath(root, target), false)
+              throw e
+          }
           return target
         }
+        // lost the claim race: loop re-lists and either waits on the
+        // winner's pending manifest or targets the next version
       }
     }
     throw new IllegalStateException(
-      s"snapshot commit at $root did not win a version in $MaxCommitAttempts attempts — " +
-        "writer storm, or a crashed writer's stale .claim needs recoverAbandonedClaims")
+      s"snapshot commit at $root lost $MaxCommitAttempts claim races — writer storm?")
   }
 
   /** Remove claim files left by writers that died between claiming a
@@ -265,9 +303,15 @@ object SnapshotLake {
     val manifests = listLog(fs, root, ".manifest").toSet
     val now = System.currentTimeMillis()
     listLog(fs, root, ".claim").filterNot(manifests).filter { v =>
-      val st = fs.getFileStatus(claimPath(root, v))
-      now - st.getModificationTime >= olderThanMs &&
-        { fs.delete(claimPath(root, v), false); true }
+      try {
+        val st = fs.getFileStatus(claimPath(root, v))
+        now - st.getModificationTime >= olderThanMs &&
+          { fs.delete(claimPath(root, v), false); true }
+      } catch {
+        // the claim's writer finished (or another recovery ran) between
+        // the listing and the stat — nothing to recover
+        case _: java.io.FileNotFoundException => false
+      }
     }
   }
 
@@ -379,7 +423,10 @@ object SnapshotLake {
       fs.listStatus(dataRoot).foreach { d =>
         if (d.isDirectory && fs.listStatus(d.getPath).isEmpty) fs.delete(d.getPath, false)
       }
-    drop.foreach(v => fs.delete(manifestPath(root, v), false))
+    drop.foreach { v =>
+      fs.delete(manifestPath(root, v), false)
+      fs.delete(claimPath(root, v), false) // claims are permanent until expiry
+    }
     (drop.size, doomed.size)
   }
 }

@@ -192,17 +192,12 @@ object ImageOps {
     */
   def cropBoxes(spark: SparkSession, frames: DataFrame, regions: DataFrame,
       margin: Int = 0): DataFrame = {
-    // one join only: the clamped bounds (blurPlan's arithmetic) are
-    // computed inline so the heavy binary frames table is scanned once —
-    // blurPlan would read frames for width/height, drop the pixels, and
-    // force a second frames join to get them back
-    val planned = frames.join(regions, Seq("bag", "topic", "time_ns"), "inner")
-      .withColumn("x1", greatest(lit(0L), (col("region_x") - margin).cast("long")))
-      .withColumn("y1", greatest(lit(0L), (col("region_y") - margin).cast("long")))
-      .withColumn("x2", least(col("width").cast("long"),
-        (col("region_x") + col("region_w") + margin).cast("long")))
-      .withColumn("y2", least(col("height").cast("long"),
-        (col("region_y") + col("region_h") + margin).cast("long")))
+    // one join only: the clamped bounds are appended to the joined frame
+    // (shared clampBounds helper) so the heavy binary frames table is
+    // scanned once — going through blurPlan would read frames for
+    // width/height, drop the pixels, and force a second frames join
+    val planned = clampBounds(
+      frames.join(regions, Seq("bag", "topic", "time_ns"), "inner"), margin)
     val cols = planned.columns
     val iW = cols.indexOf("width"); val iH = cols.indexOf("height")
     val iStep = cols.indexOf("step"); val iPx = cols.indexOf("pixels")
@@ -246,13 +241,20 @@ object ImageOps {
     * +-5 px) and clamped to the frame.
     */
   def blurPlan(frames: DataFrame, regions: DataFrame, margin: Int = 10): DataFrame =
-    frames.join(regions, Seq("bag", "topic", "time_ns"), "inner")
-      .select(
-        col("bag"), col("topic"), col("time_ns"),
-        greatest(lit(0L), (col("region_x") - margin).cast("long")).as("x1"),
-        greatest(lit(0L), (col("region_y") - margin).cast("long")).as("y1"),
-        least(col("width").cast("long"), (col("region_x") + col("region_w") + margin).cast("long")).as("x2"),
-        least(col("height").cast("long"), (col("region_y") + col("region_h") + margin).cast("long")).as("y2"))
+    clampBounds(frames.join(regions, Seq("bag", "topic", "time_ns"), "inner"), margin)
+      .select("bag", "topic", "time_ns", "x1", "y1", "x2", "y2")
+
+  /** Append margin-padded, frame-clamped box bounds to a frames×regions
+    * join — the ONE definition of the clamping rule, shared by the blur
+    * work-list and the patch cropper so they can never diverge. */
+  private def clampBounds(joined: DataFrame, margin: Int): DataFrame =
+    joined
+      .withColumn("x1", greatest(lit(0L), (col("region_x") - margin).cast("long")))
+      .withColumn("y1", greatest(lit(0L), (col("region_y") - margin).cast("long")))
+      .withColumn("x2", least(col("width").cast("long"),
+        (col("region_x") + col("region_w") + margin).cast("long")))
+      .withColumn("y2", least(col("height").cast("long"),
+        (col("region_y") + col("region_h") + margin).cast("long")))
 
   /** Execute the blur plan on the raw uint8 buffers: Gaussian-blur each
     * frame that has detected PII regions and composite the blurred pixels

@@ -69,15 +69,21 @@ object QualityOps {
   def expectationAudit(s: SparkSession, d: String,
                        checks: Seq[Expectation] = lineitemExpectations): DataFrame = {
     val li = Tables.lineitem(s, d)
+    // positional aliases + explode(array(struct(lit(name), col)))) — check
+    // names are DATA, never spliced into SQL text or column identifiers,
+    // so any name (quotes, spaces, duplicates) is fine
     val aggs = count(lit(1)).as("n_rows") +:
-      checks.map(c => sum(when(c.violated, 1L).otherwise(0L)).as(s"v_${c.name}"))
+      checks.zipWithIndex.map { case (c, i) =>
+        sum(when(c.violated, 1L).otherwise(0L)).as(s"v_$i") }
     val wide = li.agg(aggs.head, aggs.tail: _*)
-    val stacked = checks.map(c =>
-      s"'${c.name}', v_${c.name}").mkString(", ")
-    wide.selectExpr("n_rows", s"stack(${checks.size}, $stacked) AS (check_name, n_violations)")
+    val pairs = array(checks.zipWithIndex.map { case (c, i) =>
+      struct(lit(c.name).as("check_name"), col(s"v_$i").as("n_violations")) }: _*)
+    wide
+      .select(col("n_rows"), explode(pairs).as("e"))
       .select(
-        col("check_name"), col("n_rows"), col("n_violations"),
-        (col("n_violations") === 0L).as("pass"))
+        col("e.check_name").as("check_name"), col("n_rows"),
+        col("e.n_violations").as("n_violations"),
+        (col("e.n_violations") === 0L).as("pass"))
       .orderBy("check_name")
   }
 }

@@ -176,19 +176,12 @@ object TemporalOps {
         min(col("wid")).as("first_wid"))
       .orderBy("user_id", "session_seq")
 
-    // Apply the rewrite EAGERLY to this one plan, with the width conf set
-    // only for the duration of the rule call — setting it on the session
-    // would silently enable the rewrite (and its bin explosion) for every
-    // later overlap-shaped join a user runs.
-    val widthKey = "spark.graft.rangeJoin.binWidth"
-    val prev = s.conf.getOption(widthKey)
-    s.conf.set(widthKey, binNs.toString)
-    try org.apache.spark.sql.graft.Bridge.ofRows(
-      s, graft.plans.RangeJoinRule(theta.queryExecution.analyzed))
-    finally prev match {
-      case Some(v) => s.conf.set(widthKey, v)
-      case None    => s.conf.unset(widthKey)
-    }
+    // Apply the rewrite EAGERLY to this one plan via the rule's explicit-
+    // width entry point — no session conf is touched, so concurrent
+    // sessions/threads can neither lose the rewrite nor leak it onto
+    // later overlap-shaped joins.
+    org.apache.spark.sql.graft.Bridge.ofRows(
+      s, graft.plans.RangeJoinRule.rewrite(theta.queryExecution.analyzed, binNs))
   }
 
   /** q78 — event-type transition matrix: bigram counts of consecutive

@@ -74,7 +74,15 @@ object RangeJoinRule extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     val w = width
-    if (w <= 0) return plan
+    if (w <= 0) plan else rewrite(plan, w)
+  }
+
+  /** Conf-independent entry point: rewrite with an explicit bin width.
+    * Callers applying the rule eagerly to one plan (q72b) use this — no
+    * shared session conf, so concurrent callers can't race each other
+    * into a dropped or leaked rewrite. */
+  def rewrite(plan: LogicalPlan, w: Long): LogicalPlan = {
+    require(w > 0, s"bin width must be positive, got $w")
     plan.transformUp {
       case j @ Join(left, right, Inner, Some(cond), hint)
           if j.resolved && !conjuncts(cond).exists(isFirstBinMarker) &&

@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Expression}
+import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
@@ -131,9 +131,4 @@ object TopKAggregate {
       entries.sortBy(e => (-e._1, e._2))
   }
 
-  /** Attributes for docs/tests. */
-  val outputSchema: Seq[AttributeReference] = Seq(
-    AttributeReference("score", DoubleType, nullable = false)(),
-    AttributeReference("id", LongType, nullable = false)(),
-    AttributeReference("aux", LongType, nullable = false)())
 }

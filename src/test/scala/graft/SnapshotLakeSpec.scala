@@ -159,9 +159,10 @@ class SnapshotLakeSpec extends SparkSpec {
     val root = new Path(t)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.create(new Path(root, "_log/v00000002.claim"), false).close()
-    intercept[IllegalStateException] {
+    System.setProperty("graft.snapshot.pendingWaitMs", "300")
+    try intercept[IllegalStateException] {
       SnapshotLake.commitAppend(spark, t, batch(10, 20))
-    }
+    } finally System.clearProperty("graft.snapshot.pendingWaitMs")
     // recovery: the claim never published data, dropping it is safe
     assert(SnapshotLake.recoverAbandonedClaims(spark, t, olderThanMs = 0L) === Seq(2L))
     val v = SnapshotLake.commitAppend(spark, t, batch(10, 20))
