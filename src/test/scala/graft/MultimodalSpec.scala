@@ -194,4 +194,37 @@ class MultimodalSpec extends SparkSpec {
     val p = plan(0)
     assert(p.getAs[Long]("x1") === 0L && p.getAs[Long]("x2") === 2L) // clamped to width
   }
+
+  test("cropBoxes -> PNG -> TarShards: the patch-export path end to end") {
+    import spark.implicits._
+    import graft.jobs.TarShards
+    val frames = RosbagReader.images(spark, bagPath).withColumn("bag", lit(bagPath))
+    val t0 = 1600000000L * 1000000000L
+    val regions = spark.createDataFrame(Seq(
+      (bagPath, "/cam0/image_raw", t0, 0L, 0L, 1L, 1L),
+      (bagPath, "/cam0/image_raw", t0 + 2_000_000_000L, 1L, 0L, 1L, 1L)
+    )).toDF("bag", "topic", "time_ns", "region_x", "region_y", "region_w", "region_h")
+    val patches = ImageOps.cropBoxes(spark, frames, regions)
+    // crop patches encode to REAL PNGs and pack into a WebDataset shard
+    val samples = ImageOps.toPng(spark,
+        patches.withColumn("file_name",
+          concat(lit("patch-"), col("time_ns"), lit("-"), col("x1"), lit(".png"))))
+      .map(p => TarShards.Sample(
+        p.file_name.stripSuffix(".png"),
+        s"""{\"t\":${p.time_ns}}""", "png", p.png))
+    val out = java.nio.file.Files.createTempDirectory("patchshards").toString
+    TarShards.write(samples, out)
+    val back = TarShards.read(spark, out).collect().sortBy(_.key)
+    assert(back.length === 2)
+    // every member decodes through the JDK's own PNG reader (1x1 rgb patch)
+    back.foreach { sm =>
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(sm.payload))
+      assert(img.getWidth === 1 && img.getHeight === 1)
+    }
+    // pixel 0 of frame 0 is rgb(10,20,30); pixel 1 of frame 2 is rgb(50,60,70)
+    val first = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(back.head.payload))
+    assert((first.getRGB(0, 0) & 0xffffff) === ((10 << 16) | (20 << 8) | 30))
+    val second = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(back(1).payload))
+    assert((second.getRGB(0, 0) & 0xffffff) === ((50 << 16) | (60 << 8) | 70))
+  }
 }

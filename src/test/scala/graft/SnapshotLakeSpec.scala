@@ -170,6 +170,30 @@ class SnapshotLakeSpec extends SparkSpec {
     assert(ids(SnapshotLake.read(spark, t)) === (0L until 20L))
   }
 
+  test("8 writers race concurrently: no commit lost, versions linear") {
+    import java.util.concurrent.Executors
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    val t = freshTable()
+    val pool = Executors.newFixedThreadPool(8)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val commits = Future.sequence((0 until 8).map { i =>
+        Future(SnapshotLake.commitAppend(spark, t, batch(i * 100, i * 100 + 10)))
+      })
+      val versions = Await.result(commits, 120.seconds)
+      // every writer won a DISTINCT version and the log is dense 1..8
+      assert(versions.sorted == (1L to 8L))
+      assert(SnapshotLake.versions(spark, t) === (1L to 8L))
+      // the latest snapshot contains every writer's rows — nothing clobbered
+      val all = ids(SnapshotLake.read(spark, t))
+      assert(all === (0 until 8).flatMap(i => (i * 100L) until (i * 100L + 10)).sorted)
+      // each intermediate version is a strict superset chain (append-only)
+      val sizes = (1L to 8L).map(v => SnapshotLake.read(spark, t, Some(v)).count())
+      assert(sizes === (1L to 8L).map(_ * 10))
+    } finally pool.shutdown()
+  }
+
   test("a staged-but-unpublished write is invisible to readers") {
     val t = freshTable()
     SnapshotLake.commitAppend(spark, t, batch(0, 10))
