@@ -31,6 +31,13 @@ import java.nio.ByteBuffer
   * q11b mirrors (ROW_NUMBER ... DESC = NULLS LAST) would still EMIT
   * null-score rows when a group has fewer than k non-null values — on
   * data with nullable scores the two shapes differ by exactly those rows.
+  *
+  * NaN handling: all comparisons go through `java.lang.Double.compare`, a
+  * total order in which NaN ranks ABOVE every other value — exactly where
+  * Spark's `ORDER BY score DESC` places it — so a NaN score is admitted as
+  * the current best rather than wedging the heap (a naive `>` test is
+  * always false against NaN, which would both keep NaN pinned as "worst"
+  * and reject every later arrival).
   */
 case class TopKAggregate(
     score: Expression, id: Expression, aux: Expression, kExpr: Expression,
@@ -111,15 +118,25 @@ object TopKAggregate {
   /** Bounded k-entry min-heap; the root is the WORST kept entry (lowest
     * score, then highest id), so a better arrival evicts it in O(log k). */
   final class Buffer(val k: Int) {
-    // (score, id, aux); heap orders "worst first"; aux is boxed to carry null
+    // (score, id, aux); heap orders "worst first"; aux is boxed to carry null.
+    // All score comparisons use java.lang.Double.compare — a TOTAL order
+    // (NaN above everything, matching Spark's ORDER BY DESC) — never
+    // primitive </>/== which are vacuously false against NaN.
     private val heap = scala.collection.mutable.PriorityQueue.empty[(Double, Long, java.lang.Long)](
-      Ordering.by[(Double, Long, java.lang.Long), (Double, Long)](e => (-e._1, e._2)))
+      new Ordering[(Double, Long, java.lang.Long)] {
+        // ranks the WORSE entry higher: lower score first, then larger id
+        def compare(a: (Double, Long, java.lang.Long), b: (Double, Long, java.lang.Long)): Int = {
+          val c = java.lang.Double.compare(b._1, a._1)
+          if (c != 0) c else java.lang.Long.compare(a._2, b._2)
+        }
+      })
 
     def offer(s: Double, i: Long, a: java.lang.Long): Unit = {
       if (heap.size < k) heap.enqueue((s, i, a))
       else {
         val w = heap.head // worst kept
-        if (s > w._1 || (s == w._1 && i < w._2)) { heap.dequeue(); heap.enqueue((s, i, a)) }
+        val c = java.lang.Double.compare(s, w._1)
+        if (c > 0 || (c == 0 && i < w._2)) { heap.dequeue(); heap.enqueue((s, i, a)) }
       }
     }
 
@@ -128,7 +145,10 @@ object TopKAggregate {
     def entries: Array[(Double, Long, java.lang.Long)] = heap.toArray
 
     def sortedBest: Array[(Double, Long, java.lang.Long)] =
-      entries.sortBy(e => (-e._1, e._2))
+      entries.sortWith { (a, b) =>
+        val c = java.lang.Double.compare(a._1, b._1)
+        c > 0 || (c == 0 && a._2 < b._2)
+      }
   }
 
 }

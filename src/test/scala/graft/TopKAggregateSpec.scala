@@ -46,6 +46,32 @@ class TopKAggregateSpec extends SparkSpec {
     assert(g0.map(s => (s(0), s(1))) === naive.map(t => (t._1, t._2)))
   }
 
+  test("NaN scores rank above all values (Spark ORDER BY DESC) and never wedge the heap") {
+    import spark.implicits._
+    // One NaN arrives EARLY into a small heap; later, better-than-worst rows
+    // must still be admitted (the old primitive > test was always false vs
+    // NaN once it reached the head), and the NaN itself must surface FIRST,
+    // exactly where row_number() OVER (ORDER BY score DESC) would put it.
+    val rows = Seq(
+      (1L, Double.NaN, 50L),
+      (1L, 1.0, 1L), (1L, 2.0, 2L), (1L, 3.0, 3L),
+      (1L, 9.0, 9L), (1L, 8.0, 8L)) // late high scores must evict 1.0 and 2.0
+    val out = rows.toDF("g", "score", "id").repartition(1).groupBy("g")
+      .agg(call_function("graft_topk", col("score"), col("id"), col("id"), lit(4)).as("top"))
+      .select(explode(col("top")).as("e")).select("e.score", "e.id")
+      .collect().map(r => (r.getDouble(0), r.getLong(1))).toSeq
+    assert(out.map(_._2) === Seq(50L, 9L, 8L, 3L))
+    assert(out.head._1.isNaN)
+    // and it agrees with the window formulation on the same data
+    val viaWindow = rows.toDF("g", "score", "id")
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("g")
+          .orderBy(col("score").desc, col("id"))))
+      .filter(col("rn") <= 4).orderBy("rn")
+      .select("id").as[Long].collect().toSeq
+    assert(out.map(_._2) === viaWindow)
+  }
+
   test("k larger than the group returns the whole group, best first") {
     import spark.implicits._
     val df = Seq((1L, 3.0, 10L), (1L, 9.0, 11L), (1L, 3.0, 7L)).toDF("g", "score", "id")
