@@ -66,27 +66,73 @@ object SnapshotLake {
     listLog(fs, root, ".manifest")
   }
 
+  /** What the manifest's per-file min/max values ARE: long decimal strings
+    * compared numerically, or raw strings compared in unsigned UTF-8 byte
+    * order (the order parquet uses for BINARY/UTF8 stats and Spark's
+    * UTF8String uses for string comparisons — so prune tests, file stats,
+    * and the residual filter all agree). */
+  private[jobs] sealed trait StatsKind
+  private[jobs] object StatsKind {
+    case object Longs extends StatsKind
+    case object Strings extends StatsKind
+  }
+  private[jobs] case class StatsSpec(col: String, kind: StatsKind)
+
+  /** Unsigned UTF-8 byte-lexicographic order — matches parquet binary
+    * stats ordering AND Spark's UTF8String.compareTo, which is what makes
+    * string-stats pruning sound (Java String.compareTo would NOT: UTF-16
+    * code-unit order diverges from byte order above the BMP). */
+  private val Utf8Ordering: Ordering[String] = new Ordering[String] {
+    def compare(a: String, b: String): Int = {
+      val x = a.getBytes(StandardCharsets.UTF_8)
+      val y = b.getBytes(StandardCharsets.UTF_8)
+      var i = 0
+      val n = math.min(x.length, y.length)
+      while (i < n) {
+        val c = (x(i) & 0xff) - (y(i) & 0xff)
+        if (c != 0) return c
+        i += 1
+      }
+      x.length - y.length
+    }
+  }
+
+  // stats values are URL-encoded on the manifest line so a string min/max
+  // containing the tab/newline field separators cannot corrupt the format
+  private def enc(s: String): String = java.net.URLEncoder.encode(s, "UTF-8")
+  private def dec(s: String): String = java.net.URLDecoder.decode(s, "UTF-8")
+
   /** A manifest data line: a relative file path, optionally with the
-    * commit-time min/max of the table's stats column. */
-  private[jobs] case class FileEntry(path: String, min: Option[Long], max: Option[Long]) {
+    * commit-time min/max of the table's stats column (encoding per
+    * [[StatsKind]]). */
+  private[jobs] case class FileEntry(path: String, min: Option[String], max: Option[String]) {
     def line: String = min.zip(max)
-      .map { case (lo, hi) => s"$path\t$lo\t$hi" }.getOrElse(path)
+      .map { case (lo, hi) => s"$path\t${enc(lo)}\t${enc(hi)}" }.getOrElse(path)
   }
 
   private def parseEntry(l: String): FileEntry = l.split('\t') match {
-    case Array(p, lo, hi) => FileEntry(p, Some(lo.toLong), Some(hi.toLong))
+    case Array(p, lo, hi) => FileEntry(p, Some(dec(lo)), Some(dec(hi)))
     case _                => FileEntry(l, None, None)
   }
 
   private val statsHeader = "#stats="
+  private val statsKindHeader = "#statskind=" // absent = long (the original format)
   private val batchHeader = "#batchid="
 
-  /** (statsCol, file entries) of a manifest. */
-  private def readManifest(fs: FileSystem, root: Path, v: Long): (Option[String], Seq[FileEntry]) = {
+  /** (stats spec, file entries) of a manifest. */
+  private def readManifest(fs: FileSystem, root: Path, v: Long): (Option[StatsSpec], Seq[FileEntry]) = {
     val (headers, entries) = readManifestRaw(fs, root, v)
-    (headers.collectFirst { case h if h.startsWith(statsHeader) => h.stripPrefix(statsHeader) },
-      entries)
+    val col = headers.collectFirst { case h if h.startsWith(statsHeader) => h.stripPrefix(statsHeader) }
+    val kind =
+      if (headers.contains(statsKindHeader + "string")) StatsKind.Strings else StatsKind.Longs
+    (col.map(StatsSpec(_, kind)), entries)
   }
+
+  private def statsHeaders(spec: Option[StatsSpec]): Seq[String] =
+    spec.toSeq.flatMap { s =>
+      Seq(statsHeader + s.col) ++
+        (if (s.kind == StatsKind.Strings) Seq(statsKindHeader + "string") else Nil)
+    }
 
   private def readManifestRaw(fs: FileSystem, root: Path, v: Long): (Seq[String], Seq[FileEntry]) = {
     val in = fs.open(manifestPath(root, v))
@@ -119,15 +165,40 @@ object SnapshotLake {
     * when the snapshot carries no stats for `statsCol`.
     */
   def readRange(spark: SparkSession, table: String, statsCol: String,
-                lo: Long, hi: Long, version: Option[Long] = None): DataFrame = {
-    import org.apache.spark.sql.functions.{col => c, lit}
+                lo: Long, hi: Long, version: Option[Long] = None): DataFrame =
+    readRangeImpl(spark, table, StatsSpec(statsCol, StatsKind.Longs), version,
+      (mn, mx) => mn.toLong <= hi && lo <= mx.toLong,
+      df => {
+        import org.apache.spark.sql.functions.{col => c}
+        df.filter(c(statsCol) >= lo && c(statsCol) <= hi)
+      })
+
+  /** [[readRange]] for a STRING stats column (ISO dates, camera ids,
+    * partition-style values): prune files by the manifest's string min/max
+    * in unsigned UTF-8 byte order — the same order parquet computed the
+    * stats in and the same order Spark's string `>=`/`<=` filter uses, so
+    * the prune can never drop a matching row. */
+  def readRangeString(spark: SparkSession, table: String, statsCol: String,
+                      lo: String, hi: String, version: Option[Long] = None): DataFrame =
+    readRangeImpl(spark, table, StatsSpec(statsCol, StatsKind.Strings), version,
+      (mn, mx) => Utf8Ordering.lteq(mn, hi) && Utf8Ordering.lteq(lo, mx),
+      df => {
+        import org.apache.spark.sql.functions.{col => c, lit}
+        df.filter(c(statsCol) >= lit(lo) && c(statsCol) <= lit(hi))
+      })
+
+  private def readRangeImpl(spark: SparkSession, table: String, want: StatsSpec,
+                            version: Option[Long],
+                            overlaps: (String, String) => Boolean,
+                            exact: DataFrame => DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.lit
     val (fs, root) = fsOf(spark, table)
     val v = resolveVersion(spark, table, version)
-    val (col0, all) = readManifest(fs, root, v)
+    val (spec, all) = readManifest(fs, root, v)
     val kept =
-      if (col0.contains(statsCol))
+      if (spec.contains(want))
         all.filter(e => (e.min, e.max) match {
-          case (Some(mn), Some(mx)) => mn <= hi && lo <= mx
+          case (Some(mn), Some(mx)) => overlaps(mn, mx)
           case _                    => true // no stats for this file: must scan
         })
       else all
@@ -138,8 +209,7 @@ object SnapshotLake {
     else if (kept.isEmpty) // everything pruned: keep the schema, scan nothing
       spark.read.parquet(paths(all).head).filter(lit(false))
     else
-      spark.read.parquet(paths(kept): _*)
-        .filter(c(statsCol) >= lo && c(statsCol) <= hi)
+      exact(spark.read.parquet(paths(kept): _*))
   }
 
   private def resolveVersion(spark: SparkSession, table: String, version: Option[Long]): Long = {
@@ -163,12 +233,14 @@ object SnapshotLake {
   }
 
   /** Commit-time file stats from the parquet FOOTER (metadata only — no
-    * data pages read): the min/max of a long column across the file's row
-    * groups. None when any row group lacks usable stats (the file then
-    * always scans — safe, never wrong).
+    * data pages read): the min/max of a long OR string column across the
+    * file's row groups. None when any row group lacks usable stats (the
+    * file then always scans — safe, never wrong). Parquet may TRUNCATE
+    * long binary min/max — truncation rounds min down and max up, so a
+    * truncated bound is still a valid bound for overlap pruning.
     */
   private def footerRange(conf: org.apache.hadoop.conf.Configuration,
-                          file: Path, col: String): Option[(Long, Long)] = {
+                          file: Path, col: String): Option[(String, String, StatsKind)] = {
     import scala.jdk.CollectionConverters._
     val md = org.apache.parquet.hadoop.ParquetFileReader.readFooter(
       conf, file, org.apache.parquet.format.converter.ParquetMetadataConverter.NO_FILTER)
@@ -177,32 +249,54 @@ object SnapshotLake {
         val st = cc.getStatistics
         if (st == null || !st.hasNonNullValue) None
         else (st.genericGetMin, st.genericGetMax) match {
-          case (mn: java.lang.Long, mx: java.lang.Long) => Some((mn.toLong, mx.toLong))
-          case _                                        => None
+          case (mn: java.lang.Long, mx: java.lang.Long) =>
+            Some((mn.toString, mx.toString, StatsKind.Longs: StatsKind))
+          case (mn: org.apache.parquet.io.api.Binary, mx: org.apache.parquet.io.api.Binary) =>
+            Some((mn.toStringUsingUTF8, mx.toStringUsingUTF8, StatsKind.Strings: StatsKind))
+          case _ => None
         }
       }
     }
     if (perBlock.isEmpty || perBlock.exists(_.isEmpty)) None
-    else Some((perBlock.flatten.map(_._1).min, perBlock.flatten.map(_._2).max))
+    else {
+      val all = perBlock.flatten
+      all.map(_._3).distinct.toList match {
+        case List(StatsKind.Longs) =>
+          Some((all.map(_._1.toLong).min.toString, all.map(_._2.toLong).max.toString, StatsKind.Longs))
+        case List(StatsKind.Strings) =>
+          Some((all.map(_._1).min(Utf8Ordering), all.map(_._2).max(Utf8Ordering), StatsKind.Strings))
+        case _ => None // mixed physical types across row groups: no stats
+      }
+    }
   }
 
-  /** Stage `df` as an immutable data directory; return its new manifest
-    * entries (unpublished until a manifest names them), with footer
-    * min/max when a stats column is declared. */
+  /** Stage `df` as an immutable data directory; return the staged dir (so
+    * a failed publish can clean it up — an unreferenced dir is otherwise
+    * invisible to expire(), which only sweeps empty data dirs), its new
+    * manifest entries (unpublished until a manifest names them), and the
+    * stats spec actually realized (column + kind inferred from the parquet
+    * footers when a stats column is declared). */
   private def stage(spark: SparkSession, fs: FileSystem, root: Path, df: DataFrame,
-                    statsCol: Option[String]): Seq[FileEntry] = {
+                    statsCol: Option[String]): (Path, Seq[FileEntry], Option[StatsSpec]) = {
     val commitId = UUID.randomUUID().toString
     val dataDir = new Path(new Path(root, "data"), commitId)
     df.write.mode(SaveMode.ErrorIfExists).parquet(dataDir.toString)
     val conf = spark.sparkContext.hadoopConfiguration
-    fs.listStatus(dataDir)
+    val files = fs.listStatus(dataDir)
       .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-      .sortBy(_.getPath.getName)
-      .map { f =>
-        val range = statsCol.flatMap(c => footerRange(conf, f.getPath, c))
-        FileEntry(s"data/$commitId/${f.getPath.getName}", range.map(_._1), range.map(_._2))
-      }.toSeq
+      .sortBy(_.getPath.getName).toSeq
+    val ranges = files.map(f => statsCol.flatMap(c => footerRange(conf, f.getPath, c)))
+    val kind = ranges.flatten.map(_._3).headOption // first file with stats decides
+    val entries = files.zip(ranges).map { case (f, r) =>
+      val ok = r.filter(t => kind.contains(t._3)) // odd-kind file: scan-always
+      FileEntry(s"data/$commitId/${f.getPath.getName}", ok.map(_._1), ok.map(_._2))
+    }
+    (dataDir, entries, statsCol.flatMap(c => kind.map(StatsSpec(c, _))))
   }
+
+  /** Best-effort removal of a staged-but-never-published data directory. */
+  private def deleteStagedQuietly(fs: FileSystem, dataDir: Path): Unit =
+    try { fs.delete(dataDir, true); () } catch { case _: java.io.IOException => () }
 
   /** Publish the next version after rebasing on the observed latest via
     * `merge(baseStatsCol, baseEntries)`. The version number is claimed with
@@ -217,10 +311,34 @@ object SnapshotLake {
     * DIED mid-commit leaves a stale claim that fails commits loudly until
     * [[recoverAbandonedClaims]] removes it — fail-loud beats silent data
     * loss. Returns the published version. */
+  /** Schemes whose `FileSystem.create(path, overwrite = false)` is NOT an
+    * atomic create-exclusive: the object-store connectors implement it as
+    * an exists() probe followed by a PUT, so two racing writers can both
+    * "win" the same claim and one commit's manifest silently clobbers the
+    * other. Same failure mode Delta's LogStore contract exists for. */
+  private val NonAtomicClaimSchemes =
+    Set("s3", "s3a", "s3n", "gs", "wasb", "wasbs", "abfs", "abfss", "oss", "swift", "cosn")
+
+  /** Enforce the filesystem contract commits depend on: the claim file
+    * must be creatable atomically-iff-absent. file:// (O_EXCL) and
+    * HDFS-like stores qualify; raw object stores do not — front them with
+    * a coordination layer (HDFS log dir, a DynamoDB/ZK-style LogStore)
+    * before pointing SnapshotLake at them. */
+  private def requireAtomicClaims(table: String): Unit = {
+    val scheme = Option(new Path(table).toUri.getScheme).getOrElse("file").toLowerCase
+    require(!NonAtomicClaimSchemes.contains(scheme),
+      s"SnapshotLake commit on '$scheme://' is unsafe: the scheme's create(overwrite=false) " +
+        "is exists-check-then-PUT, not atomic, so racing writers could both claim the same " +
+        "version and silently lose a commit. Use HDFS/file URIs for the table, or an " +
+        "object store fronted by an atomic-create coordination layer.")
+  }
+
   /** Atomically create `path` iff absent. Hadoop's LocalFileSystem
     * `create(path, overwrite = false)` is an exists() CHECK followed by a
     * plain open — not exclusive — so on file:// URIs the claim uses
-    * `File.createNewFile` (O_CREAT|O_EXCL per its contract) instead. */
+    * `File.createNewFile` (O_CREAT|O_EXCL per its contract) instead. Non-
+    * local schemes rely on the store's atomic create — [[requireAtomicClaims]]
+    * rejects the schemes known to fake it. */
   private def createExclusive(fs: FileSystem, path: Path): Boolean = {
     val uri = path.toUri
     if (uri.getScheme == null || uri.getScheme == "file")
@@ -235,8 +353,14 @@ object SnapshotLake {
   private def pendingWaitMs: Long =
     sys.props.get("graft.snapshot.pendingWaitMs").map(_.toLong).getOrElse(60000L)
 
+  /** Thrown by a merge closure to abandon the commit without publishing
+    * anything (e.g. a compaction that observed a foreign commit racing in
+    * — publishing the rebased base verbatim would burn a version slot on a
+    * no-op). Raised BEFORE the claim is taken, so nothing needs undoing. */
+  private final class CommitAbandoned extends RuntimeException(null, null, false, false)
+
   private def publish(fs: FileSystem, root: Path,
-                      merge: (Option[String], Seq[FileEntry]) => (Option[String], Seq[FileEntry]),
+                      merge: (Option[StatsSpec], Seq[FileEntry]) => (Option[StatsSpec], Seq[FileEntry]),
                       extraHeaders: Seq[String] = Nil): Long = {
     fs.mkdirs(logDir(root))
     var attempt = 0
@@ -256,10 +380,10 @@ object SnapshotLake {
       } else {
         attempt += 1
         val target = latest + 1
-        val (baseCol, base) =
+        val (baseSpec, base) =
           if (latest == 0L) (None, Nil) else readManifest(fs, root, latest)
-        val (outCol, manifest) = merge(baseCol, base)
-        val lines = outCol.map(statsHeader + _).toSeq ++ extraHeaders ++ manifest.map(_.line)
+        val (outSpec, manifest) = merge(baseSpec, base)
+        val lines = statsHeaders(outSpec) ++ extraHeaders ++ manifest.map(_.line)
         if (createExclusive(fs, claimPath(root, target))) {
           // claim won. Claim files are PERMANENT once their manifest
           // publishes: deleting them would re-open the version slot for a
@@ -317,25 +441,38 @@ object SnapshotLake {
 
   /** Append commit: new snapshot = observed latest files + df's files.
     * The snapshot keeps its stats column only while every commit declares
-    * the same one — otherwise pruning silently disables (never wrong). */
+    * the same one (same column AND same value kind) — otherwise pruning
+    * silently disables (never wrong).
+    *
+    * Filesystem contract (all commit methods): the table URI's scheme must
+    * provide atomic create-iff-absent for the claim file — file:// and
+    * HDFS-like stores do; raw object-store schemes (s3a, gs, abfs, …) are
+    * rejected up front because their non-atomic create would let racing
+    * writers silently lose commits. */
   def commitAppend(spark: SparkSession, table: String, df: DataFrame,
                    statsCol: Option[String] = None): Long = {
+    requireAtomicClaims(table)
     val (fs, root) = fsOf(spark, table)
-    val fresh = stage(spark, fs, root, df, statsCol)
-    publish(fs, root, { (baseCol, base) =>
-      val col = if (base.isEmpty) statsCol
-                else if (baseCol == statsCol) statsCol else None
-      (col, base ++ fresh)
-    })
+    val (dataDir, fresh, freshSpec) = stage(spark, fs, root, df, statsCol)
+    try
+      publish(fs, root, { (baseSpec, base) =>
+        val spec = if (base.isEmpty) freshSpec
+                   else if (baseSpec == freshSpec) freshSpec else None
+        (spec, base ++ fresh)
+      })
+    catch { case e: Throwable => deleteStagedQuietly(fs, dataDir); throw e }
   }
 
   /** Overwrite commit: new snapshot = df's files only. Old files stay on
-    * disk for time travel until [[expire]] drops the versions naming them. */
+    * disk for time travel until [[expire]] drops the versions naming them.
+    * Filesystem contract: see [[commitAppend]]. */
   def commitOverwrite(spark: SparkSession, table: String, df: DataFrame,
                       statsCol: Option[String] = None): Long = {
+    requireAtomicClaims(table)
     val (fs, root) = fsOf(spark, table)
-    val fresh = stage(spark, fs, root, df, statsCol)
-    publish(fs, root, (_, _) => (statsCol, fresh))
+    val (dataDir, fresh, freshSpec) = stage(spark, fs, root, df, statsCol)
+    try publish(fs, root, (_, _) => (freshSpec, fresh))
+    catch { case e: Throwable => deleteStagedQuietly(fs, dataDir); throw e }
   }
 
   /** Reader-safe compaction: rewrite the CURRENT snapshot into
@@ -346,25 +483,37 @@ object SnapshotLake {
     * None) rather than silently dropping that commit's rows.
     */
   def commitCompacted(spark: SparkSession, table: String,
-                      targetFileBytes: Long = 128L << 20): Option[Long] = {
+                      targetFileBytes: Long = 128L << 20): Option[Long] =
+    commitCompacted(spark, table, targetFileBytes, () => ())
+
+  /** Test seam: `beforePublish` runs between staging the rewrite and
+    * publishing it — the window a foreign commit can race into. */
+  private[graft] def commitCompacted(spark: SparkSession, table: String,
+                                     targetFileBytes: Long,
+                                     beforePublish: () => Unit): Option[Long] = {
+    requireAtomicClaims(table)
     val (fs, root) = fsOf(spark, table)
     val vs = versions(spark, table)
     require(vs.nonEmpty, s"no snapshots at $table")
     val basedOn = vs.max
-    val (statsCol, baseFiles) = readManifest(fs, root, basedOn)
+    val (baseStats, baseFiles) = readManifest(fs, root, basedOn)
     if (baseFiles.isEmpty) return None
     val bytes = baseFiles.map(f => fs.getFileStatus(new Path(root, f.path)).getLen).sum
     val nOut = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
     val compacted = read(spark, table, Some(basedOn)).coalesce(nOut)
-    val fresh = stage(spark, fs, root, compacted, statsCol)
-    var stale = false
-    val v = publish(fs, root, { (baseCol, base) =>
-      stale = base.map(_.path) != baseFiles.map(_.path) // a commit raced in
-      if (stale) (baseCol, base) else (statsCol, fresh)
-    })
-    if (stale) {
-      fs.delete(new Path(root, fresh.head.path).getParent, true); None
-    } else Some(v)
+    val (dataDir, fresh, freshSpec) = stage(spark, fs, root, compacted, baseStats.map(_.col))
+    beforePublish()
+    try
+      Some(publish(fs, root, { (_, base) =>
+        // a commit raced in: abandon — publishing the observed base
+        // verbatim would burn a version slot on a no-op and churn the log
+        if (base.map(_.path) != baseFiles.map(_.path)) throw new CommitAbandoned
+        (freshSpec, fresh)
+      }))
+    catch {
+      case _: CommitAbandoned => deleteStagedQuietly(fs, dataDir); None
+      case e: Throwable       => deleteStagedQuietly(fs, dataDir); throw e
+    }
   }
 
   /** Streaming-batch append with retry idempotence: the committed version
@@ -375,18 +524,21 @@ object SnapshotLake {
     * foreachBatch caveat and out of scope. */
   def commitStreamBatch(spark: SparkSession, table: String, df: DataFrame,
                         batchId: Long, statsCol: Option[String] = None): Long = {
+    requireAtomicClaims(table)
     val (fs, root) = fsOf(spark, table)
     val vs = versions(spark, table)
     if (vs.nonEmpty) {
       val (headers, _) = readManifestRaw(fs, root, vs.max)
       if (headers.contains(batchHeader + batchId)) return vs.max // re-delivery
     }
-    val fresh = stage(spark, fs, root, df, statsCol)
-    publish(fs, root, { (baseCol, base) =>
-      val col = if (base.isEmpty) statsCol
-                else if (baseCol == statsCol) statsCol else None
-      (col, base ++ fresh)
-    }, extraHeaders = Seq(batchHeader + batchId))
+    val (dataDir, fresh, freshSpec) = stage(spark, fs, root, df, statsCol)
+    try
+      publish(fs, root, { (baseSpec, base) =>
+        val spec = if (base.isEmpty) freshSpec
+                   else if (baseSpec == freshSpec) freshSpec else None
+        (spec, base ++ fresh)
+      }, extraHeaders = Seq(batchHeader + batchId))
+    catch { case e: Throwable => deleteStagedQuietly(fs, dataDir); throw e }
   }
 
   /** Continuous ingest into the versioned table: one snapshot commit per

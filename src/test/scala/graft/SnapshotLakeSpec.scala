@@ -194,6 +194,82 @@ class SnapshotLakeSpec extends SparkSpec {
     } finally pool.shutdown()
   }
 
+  test("readRangeString prunes files from string manifest stats (date-partition needle)") {
+    import spark.implicits._
+    val t = freshTable()
+    // 4 commits, each a distinct day — per-file string min/max are disjoint
+    val days = Seq("2024-01-05", "2024-02-11", "2024-03-17", "2024-04-23")
+    days.zipWithIndex.foreach { case (d, i) =>
+      val df = (0 until 40).map(j => (i * 100L + j, d, s"cam${j % 3}"))
+        .toDF("id", "day", "camera").repartition(2)
+      SnapshotLake.commitAppend(spark, t, df, statsCol = Some("day"))
+    }
+    val all = SnapshotLake.read(spark, t)
+    val total = all.inputFiles.length
+    assert(total >= 8)
+    val narrow = SnapshotLake.readRangeString(spark, t, "day", "2024-02-01", "2024-02-28")
+    assert(narrow.inputFiles.length <= total / 4) // only the Feb commit's files scan
+    assert(narrow.count() === 40)
+    assert(narrow.select("day").distinct().as[String].collect().toSeq === Seq("2024-02-11"))
+    // empty range: zero rows, schema survives
+    val none = SnapshotLake.readRangeString(spark, t, "day", "2030-01-01", "2030-12-31")
+    assert(none.count() === 0 && none.columns.toSeq === Seq("id", "day", "camera"))
+    // spanning range: every row, correctness never traded for pruning
+    assert(SnapshotLake.readRangeString(spark, t, "day", "2024-01-01", "2024-12-31").count()
+      === all.count())
+    // a LONG readRange against the string-stats snapshot must not prune
+    // (kind mismatch -> full scan, still correct)
+    assert(SnapshotLake.readRange(spark, t, "id", 100, 150).count() === 40)
+  }
+
+  test("a failed publish cleans up its staged data directory") {
+    val t = freshTable()
+    SnapshotLake.commitAppend(spark, t, batch(0, 10)) // v1
+    val root = new Path(t)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def dataDirs(): Int = fs.listStatus(new Path(root, "data")).count(_.isDirectory)
+    val before = dataDirs()
+    // wedge the log with a stale claim so publish() throws after staging
+    fs.create(new Path(root, "_log/v00000002.claim"), false).close()
+    System.setProperty("graft.snapshot.pendingWaitMs", "300")
+    try intercept[IllegalStateException] {
+      SnapshotLake.commitAppend(spark, t, batch(10, 20))
+    } finally System.clearProperty("graft.snapshot.pendingWaitMs")
+    // the orphan parquet staged by the failed commit is gone, not leaked
+    assert(dataDirs() === before)
+  }
+
+  test("a compaction losing the race publishes NOTHING and leaves no orphans") {
+    val t = freshTable()
+    SnapshotLake.commitAppend(spark, t, batch(0, 10))  // v1
+    SnapshotLake.commitAppend(spark, t, batch(10, 20)) // v2
+    val root = new Path(t)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def dataDirs(): Int = fs.listStatus(new Path(root, "data")).count(_.isDirectory)
+    val before = dataDirs()
+    // a foreign append lands in the stage->publish window
+    val v = SnapshotLake.commitCompacted(spark, t, 128L << 20,
+      () => { SnapshotLake.commitAppend(spark, t, batch(20, 30)); () })
+    assert(v === None)
+    // no redundant no-op version: the log holds exactly v1,v2 + the racer's v3
+    assert(SnapshotLake.versions(spark, t) === Seq(1L, 2L, 3L))
+    assert(ids(SnapshotLake.read(spark, t)) === (0L until 30L))
+    // the abandoned rewrite's staged dir was deleted (racer added exactly one)
+    assert(dataDirs() === before + 1)
+    // and a re-run compaction off the new latest succeeds
+    assert(SnapshotLake.commitCompacted(spark, t) === Some(4L))
+    assert(ids(SnapshotLake.read(spark, t)) === (0L until 30L))
+  }
+
+  test("commits on non-atomic-create schemes are rejected up front") {
+    intercept[IllegalArgumentException] {
+      SnapshotLake.commitAppend(spark, "s3a://some-bucket/table", batch(0, 5))
+    }
+    intercept[IllegalArgumentException] {
+      SnapshotLake.commitStreamBatch(spark, "gs://some-bucket/table", batch(0, 5), batchId = 0L)
+    }
+  }
+
   test("a staged-but-unpublished write is invisible to readers") {
     val t = freshTable()
     SnapshotLake.commitAppend(spark, t, batch(0, 10))
