@@ -16,6 +16,9 @@ import org.apache.spark.sql.functions._
   *                        finding per discontinuity (check_idx's "missed")
   *   kind = 'collision' — several manifest frames claim the same relative
   *                        path (they would overwrite each other on export)
+  *   kind = 'corrupt'   — (decode-verify mode only) a listed PNG whose
+  *                        bytes do not decode — a file that exists but
+  *                        cannot be re-ingested or served for labeling
   * Comparison is on the path RELATIVE to `pngDir` (the manifest's
   * `file_name` already carries the per-camera subdirectory), never on the
   * basename — two cameras' same-named frames stay distinct. A nonexistent
@@ -25,7 +28,14 @@ import org.apache.spark.sql.functions._
   */
 object PngAudit {
 
-  def audit(spark: SparkSession, manifest: DataFrame, pngDir: String): DataFrame = {
+  /** `verifyDecode = true` additionally DECODES every listed PNG
+    * (partition-parallel, PngDecoder/javax.imageio) and reports undecodable
+    * files as kind='corrupt' — check_pngs.py's "does the export actually
+    * open" semantics, at the cost of reading file contents instead of
+    * metadata only. */
+  def audit(spark: SparkSession, manifest: DataFrame, pngDir: String,
+            verifyDecode: Boolean = false): DataFrame = {
+    import spark.implicits._
     val dir = new org.apache.hadoop.fs.Path(pngDir)
     val exists = dir.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(dir)
     val listed = if (!exists) {
@@ -63,6 +73,25 @@ object PngAudit {
         (col("frame_no") - col("prev") > 1))
       .select(lit("gap").as("kind"), col("bag"), col("topic"), col("file_name"))
 
-    missing.union(orphans).union(collisions).union(gaps)
+    val base = missing.union(orphans).union(collisions).union(gaps)
+    if (!verifyDecode || !exists) base
+    else {
+      val sep = java.util.regex.Pattern.quote(dir.toUri.getPath.stripSuffix("/") + "/")
+      val corrupt = spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.png")
+        .option("recursiveFileLookup", "true")
+        .load(pngDir)
+        .select(element_at(split(col("path"), sep), -1).as("file_name"),
+          col("content"))
+        .as[(String, Array[Byte])]
+        .flatMap { case (name, bytes) =>
+          try { graft.multimodal.PngDecoder.decode(bytes); None }
+          catch { case _: Exception => Some(name) }
+        }
+        .toDF("file_name")
+        .select(lit("corrupt").as("kind"), lit(null).cast("string").as("bag"),
+          lit(null).cast("string").as("topic"), col("file_name"))
+      base.union(corrupt)
+    }
   }
 }

@@ -9,12 +9,12 @@ import org.apache.spark.sql.types.{BinaryType, IntegerType, LongType, StringType
   * Images travel as opaque `binary` pixel columns with typed metadata
   * (width/height/encoding), exactly how the rosbag source emits them —
   * raw channels-last uint8 buffers, so feature extraction, PII blur
-  * ([[blurFrames]]), bilinear resample ([[resize]]) and PNG encode
-  * ([[toPng]]) are all real pixel math (PixelKernels/PngEncoder) running
-  * partition-parallel with no native codec dependency. Only *compressed*
-  * image decode (jpeg/png input) would need a codec, which this container
-  * doesn't ship; the reference does that step with Pillow
-  * (service/app/bagstream.py:255).
+  * ([[blurFrames]]), bilinear resample ([[resize]]), PNG encode
+  * ([[toPng]]) and PNG decode ([[decodePng]] via the JDK's javax.imageio —
+  * no native codec needed) are all real pixel math running
+  * partition-parallel. [[reingestPngs]] closes the loop the reference runs
+  * with PIL (select-labelling-imgs.py:58-124): read an already-landed PNG
+  * lake back, decode, blur/resize/crop, re-encode.
   */
 object ImageOps {
 
@@ -115,6 +115,62 @@ object ImageOps {
             r.getAs[Long]("width").toInt, r.getAs[Long]("height").toInt,
             r.getAs[String]("encoding"), r.getAs[Long]("step").toInt))
       }
+  }
+
+  /** Decode a `png` binary column back to raw frame columns — the inverse
+    * of [[toPng]], partition-parallel via [[PngDecoder]] (JDK imageio, no
+    * codec dependency). Every input column except `png` passes through;
+    * `width`/`height`/`encoding`/`step`/`pixels` are appended. Decoded
+    * frames feed [[blurFrames]]/[[resize]]/[[cropBoxes]] directly, so an
+    * already-landed PNG lake can be re-processed without the original bags
+    * — the reference's select-labelling-imgs.py:58-124 re-ingest flow.
+    */
+  def decodePng(spark: SparkSession, pngs: DataFrame): DataFrame = {
+    val iPng = pngs.columns.indexOf("png")
+    require(iPng >= 0, "decodePng: input needs a binary 'png' column")
+    val passIdx = pngs.columns.indices.filter(_ != iPng)
+    val schema = StructType(
+      passIdx.map(pngs.schema.fields(_)) ++ Seq(
+        StructField("width", LongType), StructField("height", LongType),
+        StructField("encoding", StringType), StructField("step", LongType),
+        StructField("pixels", BinaryType)))
+    val nPass = passIdx.length
+    pngs.mapPartitions { it =>
+      it.map { row =>
+        val d = PngDecoder.decode(row.getAs[Array[Byte]](iPng))
+        val vals = new Array[Any](nPass + 5)
+        var j = 0
+        while (j < nPass) { vals(j) = row.get(passIdx(j)); j += 1 }
+        vals(nPass) = d.width.toLong
+        vals(nPass + 1) = d.height.toLong
+        vals(nPass + 2) = d.encoding
+        vals(nPass + 3) = d.step.toLong
+        vals(nPass + 4) = d.pixels
+        Row.fromSeq(vals.toIndexedSeq)
+      }
+    }(Encoders.row(schema))
+  }
+
+  /** Re-ingest an exported PNG directory as a frames table: list the lake
+    * (metadata-only binaryFile scan, partition-parallel decode), key each
+    * file by its path RELATIVE to `pngDir` (the same convention PngAudit
+    * compares on — per-camera subdirectories stay distinct), and join the
+    * frame manifest — EVERY manifest column passes through, so the frame
+    * identity (bag, topic, frame_no, ...) rides along into the decoded
+    * frames. Inner join: an orphan PNG has no identity to re-ingest under
+    * (PngAudit reports it); a manifest row with no PNG is likewise
+    * PngAudit's 'missing' finding.
+    */
+  def reingestPngs(spark: SparkSession, pngDir: String, manifest: DataFrame): DataFrame = {
+    val dir = new org.apache.hadoop.fs.Path(pngDir)
+    val sep = java.util.regex.Pattern.quote(dir.toUri.getPath.stripSuffix("/") + "/")
+    val listed = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.png")
+      .option("recursiveFileLookup", "true")
+      .load(pngDir)
+      .select(element_at(split(col("path"), sep), -1).as("file_name"),
+        col("content").as("png"))
+    decodePng(spark, manifest.join(listed, Seq("file_name"), "inner"))
   }
 
   /** Deterministic temporal frame sampling: keep every nth frame per
