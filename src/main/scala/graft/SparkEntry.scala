@@ -61,6 +61,7 @@ object SparkEntry {
     "q44b_dedup_embedding_blocked" -> ((s, d) => DedupOps.embeddingNearDup(s, d, subBlockBits = 3)),
     "q45_knn_bruteforce"  -> ((s: SparkSession, d: String) => SimilarityOps.knnBruteForce(s, d)),
     "q46_knn_lsh"         -> ((s: SparkSession, d: String) => SimilarityOps.knnLsh(s, d)),
+    "q46c_knn_lsh_multi"  -> ((s: SparkSession, d: String) => SimilarityOps.knnLsh(s, d, tables = 2)),
     "q46b_knn_ivf"        -> ((s: SparkSession, d: String) => SimilarityOps.knnIvf(s, d)),
     "q54_ivf_balance"     -> (SimilarityOps.ivfListBalance _),
     "q55_dedup_groups"    -> ((s: SparkSession, d: String) => DedupOps.dedupGroups(s, d)),
@@ -697,6 +698,31 @@ object SparkEntry {
          |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
          |  FROM j) t
          |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin,
+
+    // two independent hash tables OR-ed (SimilarityOps.knnLsh tables=2):
+    // bucket_t uses the plane family (((t*977 + j)*131 + i*7919) % 1001) - 500;
+    // a pair colliding in both tables ranks ONCE (SELECT DISTINCT = the
+    // Spark side's dropDuplicates) — parity proves the cross-table dedup exact
+    "q46c_knn_lsh_multi" -> {
+      def bucketT(t: Int): String = (0 until 8).map { j =>
+        val base = (t * 977 + j) * 131
+        s"(CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65)," +
+          s" i -> v[i] * ((($base + (i-1)*7919) % 1001) - 500))), (x2, y2) -> x2 + y2) > 0" +
+          s" THEN CAST(${1L << j} AS BIGINT) ELSE 0 END)"
+      }.mkString(" + ")
+      s"""WITH $EMB_NORM,
+         |bk AS (SELECT vec_id, v, nrm, ${bucketT(0)} AS b0, ${bucketT(1)} AS b1
+         |  FROM n),
+         |j AS (SELECT DISTINCT a.vec_id AS q_id, b.vec_id AS neighbor_id,
+         |        $DOT64 / (a.nrm * b.nrm) AS cos
+         |      FROM bk a JOIN bk b ON a.vec_id < 10 AND b.vec_id >= 10
+         |        AND (a.b0 = b.b0 OR a.b1 = b.b1))
+         |SELECT q_id, neighbor_id, cos, rank FROM (
+         |  SELECT q_id, neighbor_id, cos,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+         |  FROM j) t
+         |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
+    },
 
     "q46b_knn_ivf" ->
       s"""WITH $EMB_NORM,

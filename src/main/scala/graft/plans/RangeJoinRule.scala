@@ -24,8 +24,12 @@ import org.apache.spark.sql.types.LongType
   * downstream aggregate.
   *
   * Scope guards, checked structurally: INNER joins whose condition carries
-  * exactly the two long-typed overlap conjuncts with each bound fully on
-  * one side; fires only when `spark.graft.rangeJoin.binWidth` (same time
+  * the two long-typed overlap conjuncts with each bound fully on one side
+  * — strict (`<`) and non-strict (`<=`) bounds both qualify, in either
+  * spelling (`a.start < b.end` or `b.end > a.start`), because the exact
+  * original conjuncts always remain as the residual predicate and strict
+  * matches are a subset of the inclusive bins; fires only when
+  * `spark.graft.rangeJoin.binWidth` (same time
   * unit as the bounds; pick ~ the typical interval span) is set positive;
   * skips joins already carrying the first-bin marker so the fixed-point
   * optimizer batch stays idempotent. Bin count per row is
@@ -96,19 +100,32 @@ object RangeJoinRule extends Rule[LogicalPlan] {
           else if (refs.subsetOf(right.outputSet) && refs.nonEmpty) Some(false)
           else None
         }
-        val bounds = cs.collect {
-          case c @ LessThanOrEqual(lo, hi)
-              if lo.dataType == LongType && hi.dataType == LongType &&
-                sideOf(lo).isDefined && sideOf(hi).isDefined &&
-                sideOf(lo) != sideOf(hi) && lo.deterministic && hi.deterministic =>
-            (c, sideOf(lo).get)
+        // a bound conjunct normalized to (lo ≤/< hi): strict and non-strict
+        // both qualify — on longs `lo < hi` implies `lo <= hi`, so binning
+        // on the inclusive span is a superset of the strict matches and the
+        // ORIGINAL conjunct stays in the residual, keeping semantics exact.
+        // The flipped spellings (hi >= lo, hi > lo) are the same bounds.
+        def asBound(c: Expression): Option[(Expression, Expression)] = c match {
+          case LessThanOrEqual(lo, hi)    => Some((lo, hi))
+          case LessThan(lo, hi)           => Some((lo, hi))
+          case GreaterThanOrEqual(hi, lo) => Some((lo, hi))
+          case GreaterThan(hi, lo)        => Some((lo, hi))
+          case _                          => None
         }
-        // need one conjunct left<=right and one right<=left
-        val fwd = bounds.find(_._2 == true).map(_._1)  // aStart <= bEnd
-        val bwd = bounds.find(_._2 == false).map(_._1) // bStart <= aEnd
+        val bounds = cs.flatMap { c =>
+          asBound(c).collect {
+            case (lo, hi)
+                if lo.dataType == LongType && hi.dataType == LongType &&
+                  sideOf(lo).isDefined && sideOf(hi).isDefined &&
+                  sideOf(lo) != sideOf(hi) && lo.deterministic && hi.deterministic =>
+              (c, lo, hi, sideOf(lo).get)
+          }
+        }
+        // need one conjunct left-bound<=right and one right-bound<=left
+        val fwd = bounds.find(_._4 == true)  // aStart ≤/< bEnd
+        val bwd = bounds.find(_._4 == false) // bStart ≤/< aEnd
         (fwd, bwd) match {
-          case (Some(f @ LessThanOrEqual(aStart, bEnd)),
-                Some(b @ LessThanOrEqual(bStart, aEnd))) if f != b =>
+          case (Some((f, aStart, bEnd, _)), Some((b, bStart, aEnd, _))) if f != b =>
             val wLit = Literal(w, LongType)
             def binsOf(lo: Expression, hi: Expression, name: String, child: LogicalPlan) = {
               // Sequence is TimeZoneAwareExpression: the analyzer's

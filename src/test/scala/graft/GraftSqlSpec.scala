@@ -2,6 +2,24 @@ package graft
 
 class GraftSqlSpec extends SparkSpec {
 
+  test("q12b: HLL estimates land within 5% of q12's exact counts at sf0.01 and sf0.1") {
+    // rows-only in the driver gate by design (sketches are engine-
+    // specific); THIS is the accuracy contract — approx_count_distinct's
+    // default rsd is 5%, so a drifted kernel or a wrong column wiring
+    // shows up as an error-bound breach here
+    for (dir <- Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
+      val exact = operators.RelationalOps.distinctCount(spark, dir).collect()(0)
+      val approx = operators.RelationalOps.approxDistinct(spark, dir).collect()(0)
+      val pairs = Seq(
+        ("l_partkey", exact.getLong(0), approx.getLong(0)),
+        ("l_orderkey", exact.getLong(2), approx.getLong(1)))
+      for ((colName, ex, ap) <- pairs) {
+        val relErr = math.abs(ap - ex).toDouble / ex
+        assert(relErr <= 0.05, s"$dir $colName: exact=$ex approx=$ap relErr=$relErr")
+      }
+    }
+  }
+
   test("SQL surface: joins + native functions through spark.sql") {
     GraftSql.registerAll(spark, sf)
     val top = spark.sql(

@@ -92,6 +92,39 @@ class RangeJoinRuleSpec extends SparkSpec {
     } finally spark.conf.unset(widthKey)
   }
 
+  test("strict and mixed bounds rewrite with row-identical parity") {
+    val (l, r) = intervals
+    // every </<= mix, plus the flipped > spellings — all four must fire
+    // AND match their own nested-loop baseline exactly (strict bounds drop
+    // the touching-endpoint pairs, so each mix has a DIFFERENT answer)
+    val conds = Seq(
+      ("lt-lt",   l("l_start") < r("r_end") && r("r_start") < l("l_end")),
+      ("lt-le",   l("l_start") < r("r_end") && r("r_start") <= l("l_end")),
+      ("le-lt",   l("l_start") <= r("r_end") && r("r_start") < l("l_end")),
+      ("gt-flip", r("r_end") > l("l_start") && l("l_end") >= r("r_start")))
+    for ((name, cond) <- conds) {
+      val q = l.join(r, cond)
+      val baseline = rows(q)
+      val (rewritten, plan) = withWidth(100) {
+        (rows(l.join(r, cond)), l.join(r, cond).queryExecution.executedPlan.toString)
+      }
+      assert(rewritten === baseline, name)
+      assert(plan.contains("graft_bin") && !plan.contains("BroadcastNestedLoopJoin"),
+        s"$name: $plan")
+    }
+    // sanity on a touching pair ([0,100] vs [100,200]): <= keeps it, < drops
+    // it — and the rewrite agrees on both, so strictness is truly preserved
+    import spark.implicits._
+    val tl = Seq((1L, 0L, 100L)).toDF("l_id", "l_start", "l_end")
+    val tr = Seq((2L, 100L, 200L)).toDF("r_id", "r_start", "r_end")
+    withWidth(64) {
+      assert(rows(tl.join(tr, tl("l_start") <= tr("r_end") && tr("r_start") <= tl("l_end")))
+        === Seq((1L, 2L)))
+      assert(rows(tl.join(tr, tl("l_start") < tr("r_end") && tr("r_start") < tl("l_end")))
+        === Seq.empty)
+    }
+  }
+
   test("randomized intervals: rewritten == baseline across widths and seeds") {
     // deterministic splitmix-style generator (failures reproduce exactly)
     def gen(seed: Long, n: Int, maxLen: Long): Seq[(Long, Long, Long)] = {
