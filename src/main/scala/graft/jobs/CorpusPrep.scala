@@ -17,9 +17,14 @@ import graft.operators.DedupOps
   *   3. exact dedup (content-hash canonical, cheapest first)
   *   4. near-dup group dedup (MinHash pairs -> connected components ->
   *      keep each group's canonical) — skippable for small/clean corpora
-  *   5. sliding-window chunking (training-example shaping)
+  *   5. semantic dedup (SemDeDup, q67): drops docs whose EMBEDDING has an
+  *      above-threshold cosine neighbor with a lower id — catches
+  *      paraphrases that share no n-grams, which lexical dedup cannot.
+  *      Opt-in (`Config.semantic`): needs the corpus's embedding table,
+  *      keyed by the vec_id = doc_id convention.
+  *   6. sliding-window chunking (training-example shaping)
   *
-  * Usage: CorpusPrep <sf-dir> <out-dir> [--no-neardup]
+  * Usage: CorpusPrep <sf-dir> <out-dir> [--no-neardup] [--semantic]
   *
   * Output layout:
   *   <out>/documents/  kept documents (redacted text, provenance columns)
@@ -37,6 +42,8 @@ object CorpusPrep {
       minTokens: Long = 5,
       maxDupNgramRate: Double = 0.6,
       nearDup: Boolean = true,
+      semantic: Boolean = false,
+      semanticThreshold: Double = 0.3,
       chunkWindow: Int = 32,
       chunkStride: Int = 24)
 
@@ -101,9 +108,25 @@ object CorpusPrep {
     }
     val nKept = kept.count()
 
-    kept.write.mode(SaveMode.Overwrite).parquet(s"$out/documents")
+    // 5. semantic dedup (SemDeDup): a doc whose embedding has an
+    // above-threshold cosine neighbor with a LOWER id drops — the
+    // paraphrase catch lexical dedup structurally cannot make. Drop-list
+    // discovery is cluster-bounded under the frozen quantizer (q67's
+    // shape); applying it is one broadcastable anti-join on doc_id.
+    val semKept = if (!cfg.semantic) kept else {
+      val emb = graft.Tables.embeddings(spark, sfDir)
+        .select(col("vec_id"),
+          graft.functions.VectorFunctions.toDouble(col("embedding")).as("v"))
+        .withColumn("nrm", graft.functions.VectorFunctions.norm(col("v")))
+      val drops = DedupOps.semanticDedupOf(spark, emb, cfg.semanticThreshold)
+        .select(col("vec_id").as("doc_id"))
+      kept.join(broadcast(drops), Seq("doc_id"), "left_anti")
+    }
+    val nSemantic = semKept.count()
 
-    // 5. chunk the kept docs for training-example shaping — the exact q60
+    semKept.write.mode(SaveMode.Overwrite).parquet(s"$out/documents")
+
+    // 6. chunk the kept docs for training-example shaping — the exact q60
     // chunker (shared implementation incl. its stride<=window guard), fed
     // from the just-written parquet so it never re-runs the curation DAG
     graft.operators.CurationOps
@@ -117,15 +140,18 @@ object CorpusPrep {
       ("01_quality_gate", nQuality),
       ("02_exact_dedup", nExact),
       ("03_neardup_groups", nKept),
-      ("04_chunks", nChunks))
+      ("04_semantic_dedup", nSemantic),
+      ("05_chunks", nChunks))
       .toDF("stage", "rows")
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$out/stats")
   }
 
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2, "usage: CorpusPrep <sf-dir> <out-dir> [--no-neardup]")
+    require(args.length >= 2, "usage: CorpusPrep <sf-dir> <out-dir> [--no-neardup] [--semantic]")
     val spark = GraftSession.get()
-    run(spark, args(0), args(1), Config(nearDup = !args.contains("--no-neardup")))
+    run(spark, args(0), args(1), Config(
+      nearDup = !args.contains("--no-neardup"),
+      semantic = args.contains("--semantic")))
     spark.stop()
   }
 }

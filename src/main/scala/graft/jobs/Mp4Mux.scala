@@ -21,6 +21,18 @@ import graft.multimodal.PngEncoder
   * container ships no ffmpeg: production uses [[ffmpegCommand]] verbatim;
   * specs substitute a stand-in and assert the frame staging + invocation
   * contract.
+  *
+  * DEPLOYMENT PREREQUISITE: the default command requires `ffmpeg` on every
+  * EXECUTOR's PATH (the muxer runs task-side, not on the driver) — same
+  * binary the reference's container image installs. What is validated
+  * where: the distributed staging contract (per-recording co-location,
+  * frame_no-ordered %04d PNG layout, fps computation, per-recording
+  * invocation, non-zero-exit propagation, scratch cleanup) is spec-tested
+  * via the injectable stand-in; the ffmpeg execution itself has NOT run in
+  * this container and is validated by running `mux()` once in any
+  * ffmpeg-equipped deployment. The stand-in contract a substitute command
+  * must honor: consume `<dir>/image_raw-%04d.png` (0-based), write the
+  * given output path, exit 0 on success.
   */
 object Mp4Mux {
 

@@ -525,10 +525,19 @@ object DedupOps {
     * join, the standard ANN-verify fetch, instead of carrying 512-byte
     * vectors through the groupBy buffer.
     */
-  def semanticDedup(s: SparkSession, d: String, threshold: Double = 0.3): DataFrame = {
-    val e = Tables.embeddings(s, d)
-      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
-      .withColumn("nrm", norm(col("v")))
+  def semanticDedup(s: SparkSession, d: String, threshold: Double = 0.3): DataFrame =
+    semanticDedupOf(s,
+      Tables.embeddings(s, d)
+        .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+        .withColumn("nrm", norm(col("v"))),
+      threshold)
+
+  /** [[semanticDedup]] over an arbitrary prepared embedding frame
+    * `(vec_id: long, v: array<double>, nrm: double)` — the entry point
+    * pipeline stages use (CorpusPrep joins its surviving doc ids against
+    * the emitted drop list with vec_id = doc_id). Same shape, same frozen
+    * quantizer, same min-id-keeps-representative rule. */
+  def semanticDedupOf(s: SparkSession, e: DataFrame, threshold: Double): DataFrame = {
     val cents = SimilarityOps.centroidTable(s)
     // argmax via max_by — map-side partials, no per-vector candidate sort
     // (same rework as the q54/q46b assignment); ties keep the smallest list

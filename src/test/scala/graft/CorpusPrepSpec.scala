@@ -23,9 +23,51 @@ class CorpusPrepSpec extends SparkSpec {
     assert(stats("00_input") >= stats("01_quality_gate"))
     assert(stats("01_quality_gate") >= stats("02_exact_dedup"))
     assert(stats("02_exact_dedup") >= stats("03_neardup_groups"))
-    assert(stats("03_neardup_groups") === spark.read.parquet(s"$out/documents").count())
-    assert(stats("04_chunks") === spark.read.parquet(s"$out/chunks").count())
+    assert(stats("03_neardup_groups") >= stats("04_semantic_dedup"))
+    // semantic stage off by default: a pass-through, not a silent gate
+    assert(stats("04_semantic_dedup") === stats("03_neardup_groups"))
+    assert(stats("04_semantic_dedup") === spark.read.parquet(s"$out/documents").count())
+    assert(stats("05_chunks") === spark.read.parquet(s"$out/chunks").count())
     assert(stats("03_neardup_groups") > 0)
+  }
+
+  test("semantic stage drops an embedding paraphrase that survives lexical dedup") {
+    import spark.implicits._
+    // synthetic corpus dir: six lexically DISTINCT docs (no shared 3-grams,
+    // distinct hashes — exact and near-dup dedup keep all six) where doc 3
+    // is a PARAPHRASE of doc 1: identical embedding, zero shared vocabulary
+    val corpus = java.nio.file.Files.createTempDirectory("semcorpus").toString
+    val texts = Seq(
+      1L -> "alpha bravo charlie delta echo foxtrot golf hotel",
+      2L -> "one two three four five six seven eight",
+      3L -> "aleph bet gimel dalet he vav zayin het",
+      4L -> "red orange yellow green blue indigo violet gray",
+      5L -> "north south east west up down left right",
+      6L -> "cat dog bird fish horse sheep goat cow")
+    texts.map { case (id, t) => (id, "en", "web", t, t.length.toLong) }
+      .toDF("doc_id", "lang", "source", "text", "n_chars")
+      .write.parquet(s"$corpus/documents.parquet")
+    // 64-dim embeddings: basis vectors (pairwise cos = 0) except doc 3,
+    // which carries doc 1's direction (cos = 1)
+    def basis(dim: Int): Array[Float] =
+      Array.tabulate(64)(i => if (i == dim) 1.0f else 0.0f)
+    Seq((1L, basis(0)), (2L, basis(7)), (3L, basis(0)),
+        (4L, basis(21)), (5L, basis(33)), (6L, basis(45)))
+      .map { case (id, v) => (id, "synthetic", v.toSeq) }
+      .toDF("vec_id", "label", "embedding")
+      .write.parquet(s"$corpus/embeddings.parquet")
+
+    val semOut = java.nio.file.Files.createTempDirectory("semprep").toString
+    CorpusPrep.run(spark, corpus, semOut,
+      CorpusPrep.Config(semantic = true, semanticThreshold = 0.9))
+    val stats = spark.read.parquet(s"$semOut/stats").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // lexical stages keep all six; the semantic stage drops exactly doc 3
+    assert(stats("02_exact_dedup") === 6L && stats("03_neardup_groups") === 6L)
+    assert(stats("04_semantic_dedup") === 5L)
+    val keptIds = spark.read.parquet(s"$semOut/documents")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(keptIds === Seq(1L, 2L, 4L, 5L, 6L)) // min-id representative kept
   }
 
   test("kept documents pass the gates and contain no duplicates of any kind") {
