@@ -18,7 +18,11 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // warmup: touch every table + exercise codegen once
     SparkEntry.queries.get("q01_pricing_summary").foreach(f => f(spark, sfDir).count())
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // SPARK_GRAFT_ONLY=q29_bbox_iou,q44_dedup_embedding — targeted audits
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').map(_.trim).toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       // best of 3: the first run pays codegen/JIT for this query's shape,
       // and the extra run tightens the noise floor (local totals otherwise
       // drift double-digit percent with host load — see SURVEY §6)

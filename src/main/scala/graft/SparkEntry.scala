@@ -153,7 +153,7 @@ object SparkEntry {
   // Shared oracle CTE: deterministic synthetic bounding boxes from `part`
   // (mirrors RosbagDomainOps.boxes).
   private val BOXES =
-    """boxes AS (SELECT p_partkey AS box_id, p_partkey % 50 AS image_id,
+    """boxes AS (SELECT p_partkey AS box_id, p_partkey // 40 AS image_id,
       |  (p_partkey * 37) % 700 AS x, (p_partkey * 53) % 500 AS y,
       |  CAST((p_size * 7) % 100 + 20 AS BIGINT) AS w,
       |  CAST((p_size * 11) % 80 + 20 AS BIGINT) AS h FROM part)""".stripMargin

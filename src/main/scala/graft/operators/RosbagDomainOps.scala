@@ -198,10 +198,16 @@ object RosbagDomainOps {
     * for the Ground Truth manifest annotations (object-detection/
     * ground_truth/output.manifest). Integer-only geometry.
     */
+  // image_id = partkey / 40: every image carries a BOUNDED number of boxes
+  // (≤40) at ANY corpus size, and the image count scales with the lake —
+  // the shape real detection data has. (The earlier `% 50` derivation kept
+  // a fixed 50 images, so growing `part` grew boxes-per-image and q29's
+  // within-image pair count quadratically — a data-model artifact, not a
+  // plan property; the sf1 scale audit caught it at 42× for 10× data.)
   private def boxes(s: SparkSession, d: String): DataFrame =
     Tables.part(s, d).select(
       col("p_partkey").as("box_id"),
-      (col("p_partkey") % 50).as("image_id"),
+      expr("p_partkey div 40").as("image_id"), // integer division, no double round-trip
       ((col("p_partkey") * 37) % 700).as("x"),
       ((col("p_partkey") * 53) % 500).as("y"),
       ((col("p_size") * 7) % 100 + 20).cast("bigint").as("w"),

@@ -1,0 +1,118 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.GraftSession
+
+/** Scale-evidence data generator: derive an sf×N lake from an existing sf
+  * directory by replication with KEY REMAPPING, preserving the statistical
+  * shape a real N× corpus would have (so per-query scaling ratios measure
+  * the PLAN, not a degenerate dataset):
+  *
+  *  - Fact keys offset per replica by a power-of-ten base above the source
+  *    max, applied consistently across referencing columns (orders.o_custkey
+  *    moves with customer.c_custkey, lineitem's three FKs move with their
+  *    tables) — join fan-outs and group counts scale ×N, per-key group
+  *    sizes stay constant, exactly how TPC-H itself scales.
+  *  - Dimension tables (region, nation) are fixed, as in TPC-H.
+  *  - Document TEXT is re-tokenized per replica (every token suffixed with
+  *    the replica tag): replicas share no shingles, so shingle df stays
+  *    constant and dedup candidate-pair volume scales ×N — naive
+  *    replication would instead make every doc a 10-way near-dup and blow
+  *    pairs up ×N², which no real corpus does. n_chars is recomputed.
+  *  - Embeddings are cyclically dimension-rotated per replica (norms and
+  *    within-replica geometry preserved, cross-replica cosine decorrelated)
+  *    so ANN bucket occupancy and semantic-dup structure scale ×N; vec_ids
+  *    offset, so the `vec_id < 10` query sets stay 10 queries against an
+  *    N× corpus — the realistic ANN scaling shape.
+  *
+  * Usage: ScaleUp <src-sf-dir> <dst-dir> [factor=10]
+  */
+object ScaleUp {
+
+  private def pow10Above(n: Long): Long = {
+    var b = 1L
+    while (b <= n) b *= 10
+    b
+  }
+
+  def run(spark: SparkSession, src: String, dst: String, factor: Int): Unit = {
+    require(factor >= 1, s"factor must be >= 1, got $factor")
+    def read(t: String) = spark.read.parquet(s"$src/$t.parquet")
+    def write(df: DataFrame, t: String): Unit =
+      df.write.mode(SaveMode.Overwrite).parquet(s"$dst/$t.parquet")
+    val reps = spark.range(factor).select(col("id").as("__r"))
+    def replicate(df: DataFrame)(remap: (DataFrame, org.apache.spark.sql.Column) => DataFrame): DataFrame = {
+      val crossed = df.crossJoin(reps)
+      remap(crossed, col("__r")).drop("__r")
+    }
+    def keyBase(df: DataFrame, key: String): Long =
+      pow10Above(df.agg(max(col(key))).collect()(0).getLong(0))
+
+    // dimension tables: fixed, copied verbatim
+    write(read("region"), "region")
+    write(read("nation"), "nation")
+
+    val customer = read("customer")
+    val supplier = read("supplier")
+    val part = read("part")
+    val orders = read("orders")
+    val lineitem = read("lineitem")
+    val bC = keyBase(customer, "c_custkey")
+    val bS = keyBase(supplier, "s_suppkey")
+    val bP = keyBase(part, "p_partkey")
+    val bO = keyBase(orders, "o_orderkey")
+
+    write(replicate(customer)((d, r) =>
+      d.withColumn("c_custkey", col("c_custkey") + r * bC)), "customer")
+    write(replicate(supplier)((d, r) =>
+      d.withColumn("s_suppkey", col("s_suppkey") + r * bS)), "supplier")
+    write(replicate(part)((d, r) =>
+      d.withColumn("p_partkey", col("p_partkey") + r * bP)), "part")
+    write(replicate(orders)((d, r) =>
+      d.withColumn("o_orderkey", col("o_orderkey") + r * bO)
+        .withColumn("o_custkey", col("o_custkey") + r * bC)), "orders")
+    write(replicate(lineitem)((d, r) =>
+      d.withColumn("l_orderkey", col("l_orderkey") + r * bO)
+        .withColumn("l_partkey", col("l_partkey") + r * bP)
+        .withColumn("l_suppkey", col("l_suppkey") + r * bS)), "lineitem")
+
+    val events = read("events")
+    val bEv = keyBase(events, "event_id")
+    val bU = keyBase(events, "user_id")
+    write(replicate(events)((d, r) =>
+      d.withColumn("event_id", col("event_id") + r * bEv)
+        .withColumn("user_id", col("user_id") + r * bU)), "events")
+
+    val documents = read("documents")
+    val bD = keyBase(documents, "doc_id")
+    write(replicate(documents)((d, r) =>
+      d.withColumn("doc_id", col("doc_id") + r * bD)
+        .withColumn("text",
+          when(r === 0, col("text")).otherwise(
+            array_join(transform(split(col("text"), " "),
+              t => concat(t, lit("~"), r.cast("string"))), " ")))
+        .withColumn("n_chars", length(col("text")).cast("long"))), "documents")
+
+    val embeddings = read("embeddings")
+    val bV = keyBase(embeddings, "vec_id")
+    val dim = 64
+    write(replicate(embeddings)((d, r) => {
+      val shift = ((r * 5) % dim).cast("int")
+      d.withColumn("vec_id", col("vec_id") + r * bV)
+        .withColumn("embedding",
+          when(r === 0, col("embedding")).otherwise(
+            concat(slice(col("embedding"), shift + 1, lit(dim) - shift),
+              slice(col("embedding"), lit(1), shift))))
+    }), "embeddings")
+  }
+
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: ScaleUp <src-sf-dir> <dst-dir> [factor]")
+    val factor = if (args.length >= 3) args(2).toInt else 10
+    val spark = GraftSession.get()
+    run(spark, args(0), args(1), factor)
+    spark.stop()
+  }
+}
