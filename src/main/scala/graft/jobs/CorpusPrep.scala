@@ -110,21 +110,29 @@ object CorpusPrep {
 
     // 5. semantic dedup (SemDeDup): a doc whose embedding has an
     // above-threshold cosine neighbor with a LOWER id drops — the
-    // paraphrase catch lexical dedup structurally cannot make. Drop-list
-    // discovery is cluster-bounded under the frozen quantizer (q67's
-    // shape); applying it is one broadcastable anti-join on doc_id.
+    // paraphrase catch lexical dedup structurally cannot make. The
+    // embedding frame is restricted to the SURVIVING doc ids first (same
+    // intersection rule as the near-dup stage): pairs then form only among
+    // survivors and the min-id representative is a survivor by
+    // construction — a cluster whose canonical fell to an earlier gate
+    // keeps its smallest surviving member instead of vanishing entirely.
+    // Drop-list discovery is cluster-bounded under the frozen quantizer
+    // (q67's shape); applying it is one anti-join on doc_id.
     val semKept = if (!cfg.semantic) kept else {
       val emb = graft.Tables.embeddings(spark, sfDir)
         .select(col("vec_id"),
           graft.functions.VectorFunctions.toDouble(col("embedding")).as("v"))
         .withColumn("nrm", graft.functions.VectorFunctions.norm(col("v")))
+        .join(kept.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi")
       val drops = DedupOps.semanticDedupOf(spark, emb, cfg.semanticThreshold)
         .select(col("vec_id").as("doc_id"))
-      kept.join(broadcast(drops), Seq("doc_id"), "left_anti")
+      kept.join(drops, Seq("doc_id"), "left_anti")
     }
-    val nSemantic = semKept.count()
 
     semKept.write.mode(SaveMode.Overwrite).parquet(s"$out/documents")
+    // count from the written parquet — a second execution of the semantic
+    // join DAG for a number the file footers already know would be waste
+    val nSemantic = spark.read.parquet(s"$out/documents").count()
 
     // 6. chunk the kept docs for training-example shaping — the exact q60
     // chunker (shared implementation incl. its stride<=window guard), fed

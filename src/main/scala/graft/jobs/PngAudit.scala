@@ -44,12 +44,8 @@ object PngAudit {
           org.apache.spark.sql.types.StructField("file_name",
             org.apache.spark.sql.types.StringType))))
     } else {
-      val sep = java.util.regex.Pattern.quote(dir.toUri.getPath.stripSuffix("/") + "/")
-      spark.read.format("binaryFile")
-        .option("pathGlobFilter", "*.png")
-        .option("recursiveFileLookup", "true")
-        .load(pngDir)
-        .select(element_at(split(col("path"), sep), -1).as("file_name"))
+      // names only: binaryFile prunes the content read to metadata
+      graft.multimodal.PngLake.list(spark, pngDir).select("file_name")
     }
     val frames = manifest.select(col("bag"), col("topic"),
       col("frame_no").cast("long").as("frame_no"), col("file_name"))
@@ -76,13 +72,7 @@ object PngAudit {
     val base = missing.union(orphans).union(collisions).union(gaps)
     if (!verifyDecode || !exists) base
     else {
-      val sep = java.util.regex.Pattern.quote(dir.toUri.getPath.stripSuffix("/") + "/")
-      val corrupt = spark.read.format("binaryFile")
-        .option("pathGlobFilter", "*.png")
-        .option("recursiveFileLookup", "true")
-        .load(pngDir)
-        .select(element_at(split(col("path"), sep), -1).as("file_name"),
-          col("content"))
+      val corrupt = graft.multimodal.PngLake.list(spark, pngDir)
         .as[(String, Array[Byte])]
         .flatMap { case (name, bytes) =>
           try { graft.multimodal.PngDecoder.decode(bytes); None }

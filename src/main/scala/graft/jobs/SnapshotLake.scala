@@ -67,10 +67,15 @@ object SnapshotLake {
   }
 
   /** What the manifest's per-file min/max values ARE: long decimal strings
-    * compared numerically, or raw strings compared in unsigned UTF-8 byte
-    * order (the order parquet uses for BINARY/UTF8 stats and Spark's
-    * UTF8String uses for string comparisons — so prune tests, file stats,
-    * and the residual filter all agree). */
+    * compared numerically, or the RAW BYTES of the parquet binary stats,
+    * hex-encoded on the manifest line and compared in unsigned byte order
+    * (the order parquet uses for BINARY/UTF8 stats and Spark's UTF8String
+    * uses for string comparisons — so prune tests, file stats, and the
+    * residual filter all agree). Raw bytes, NOT a decoded String: parquet
+    * may truncate binary stats mid-codepoint, and a String round-trip
+    * would map the dangling prefix to U+FFFD — which can move a bound in
+    * the UNSAFE direction and prune files holding matching rows. Byte
+    * truncation keeps min a valid lower bound and max a valid upper bound. */
   private[jobs] sealed trait StatsKind
   private[jobs] object StatsKind {
     case object Longs extends StatsKind
@@ -78,40 +83,55 @@ object SnapshotLake {
   }
   private[jobs] case class StatsSpec(col: String, kind: StatsKind)
 
-  /** Unsigned UTF-8 byte-lexicographic order — matches parquet binary
-    * stats ordering AND Spark's UTF8String.compareTo, which is what makes
-    * string-stats pruning sound (Java String.compareTo would NOT: UTF-16
+  /** Unsigned byte-lexicographic compare — parquet binary-stats order and
+    * Spark UTF8String order (Java String.compareTo would NOT match: UTF-16
     * code-unit order diverges from byte order above the BMP). */
-  private val Utf8Ordering: Ordering[String] = new Ordering[String] {
-    def compare(a: String, b: String): Int = {
-      val x = a.getBytes(StandardCharsets.UTF_8)
-      val y = b.getBytes(StandardCharsets.UTF_8)
-      var i = 0
-      val n = math.min(x.length, y.length)
-      while (i < n) {
-        val c = (x(i) & 0xff) - (y(i) & 0xff)
-        if (c != 0) return c
-        i += 1
-      }
-      x.length - y.length
+  private def bytesCompare(x: Array[Byte], y: Array[Byte]): Int = {
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c
+      i += 1
     }
+    x.length - y.length
   }
 
-  // stats values are URL-encoded on the manifest line so a string min/max
-  // containing the tab/newline field separators cannot corrupt the format
-  private def enc(s: String): String = java.net.URLEncoder.encode(s, "UTF-8")
-  private def dec(s: String): String = java.net.URLDecoder.decode(s, "UTF-8")
+  private val HexDigits = "0123456789abcdef".toCharArray
+  private def toHex(b: Array[Byte]): String = {
+    val out = new Array[Char](b.length * 2)
+    var i = 0
+    while (i < b.length) {
+      out(i * 2) = HexDigits((b(i) >> 4) & 0xf)
+      out(i * 2 + 1) = HexDigits(b(i) & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
+  private def fromHex(s: String): Array[Byte] = {
+    val out = new Array[Byte](s.length / 2)
+    var i = 0
+    while (i < out.length) {
+      out(i) = Integer.parseInt(s.substring(i * 2, i * 2 + 2), 16).toByte
+      i += 1
+    }
+    out
+  }
 
   /** A manifest data line: a relative file path, optionally with the
-    * commit-time min/max of the table's stats column (encoding per
-    * [[StatsKind]]). */
+    * commit-time min/max of the table's stats column — decimal digits for
+    * Longs, hex for Strings; both alphabets are separator-safe, so no
+    * further escaping is needed. */
   private[jobs] case class FileEntry(path: String, min: Option[String], max: Option[String]) {
     def line: String = min.zip(max)
-      .map { case (lo, hi) => s"$path\t${enc(lo)}\t${enc(hi)}" }.getOrElse(path)
+      .map { case (lo, hi) => s"$path\t$lo\t$hi" }.getOrElse(path)
   }
 
-  private def parseEntry(l: String): FileEntry = l.split('\t') match {
-    case Array(p, lo, hi) => FileEntry(p, Some(dec(lo)), Some(dec(hi)))
+  // limit = -1: a trailing empty field (legal for an empty-string bound)
+  // must not be DROPPED — the default split would then misparse the whole
+  // line, tabs and all, as a path
+  private def parseEntry(l: String): FileEntry = l.split("\t", -1) match {
+    case Array(p, lo, hi) => FileEntry(p, Some(lo), Some(hi))
     case _                => FileEntry(l, None, None)
   }
 
@@ -174,18 +194,22 @@ object SnapshotLake {
       })
 
   /** [[readRange]] for a STRING stats column (ISO dates, camera ids,
-    * partition-style values): prune files by the manifest's string min/max
-    * in unsigned UTF-8 byte order — the same order parquet computed the
+    * partition-style values): prune files by the manifest's raw-byte
+    * min/max in unsigned byte order — the same order parquet computed the
     * stats in and the same order Spark's string `>=`/`<=` filter uses, so
-    * the prune can never drop a matching row. */
+    * the prune can never drop a matching row (even off stats parquet
+    * truncated mid-codepoint). */
   def readRangeString(spark: SparkSession, table: String, statsCol: String,
-                      lo: String, hi: String, version: Option[Long] = None): DataFrame =
+                      lo: String, hi: String, version: Option[Long] = None): DataFrame = {
+    val loB = lo.getBytes(StandardCharsets.UTF_8)
+    val hiB = hi.getBytes(StandardCharsets.UTF_8)
     readRangeImpl(spark, table, StatsSpec(statsCol, StatsKind.Strings), version,
-      (mn, mx) => Utf8Ordering.lteq(mn, hi) && Utf8Ordering.lteq(lo, mx),
+      (mn, mx) => bytesCompare(fromHex(mn), hiB) <= 0 && bytesCompare(loB, fromHex(mx)) <= 0,
       df => {
         import org.apache.spark.sql.functions.{col => c, lit}
         df.filter(c(statsCol) >= lit(lo) && c(statsCol) <= lit(hi))
       })
+  }
 
   private def readRangeImpl(spark: SparkSession, table: String, want: StatsSpec,
                             version: Option[Long],
@@ -252,7 +276,8 @@ object SnapshotLake {
           case (mn: java.lang.Long, mx: java.lang.Long) =>
             Some((mn.toString, mx.toString, StatsKind.Longs: StatsKind))
           case (mn: org.apache.parquet.io.api.Binary, mx: org.apache.parquet.io.api.Binary) =>
-            Some((mn.toStringUsingUTF8, mx.toStringUsingUTF8, StatsKind.Strings: StatsKind))
+            // RAW bytes hex-encoded — never decoded to String (see StatsKind)
+            Some((toHex(mn.getBytes), toHex(mx.getBytes), StatsKind.Strings: StatsKind))
           case _ => None
         }
       }
@@ -260,11 +285,13 @@ object SnapshotLake {
     if (perBlock.isEmpty || perBlock.exists(_.isEmpty)) None
     else {
       val all = perBlock.flatten
+      val byteOrd: Ordering[String] = Ordering.fromLessThan(
+        (a, b) => bytesCompare(fromHex(a), fromHex(b)) < 0)
       all.map(_._3).distinct.toList match {
         case List(StatsKind.Longs) =>
           Some((all.map(_._1.toLong).min.toString, all.map(_._2.toLong).max.toString, StatsKind.Longs))
         case List(StatsKind.Strings) =>
-          Some((all.map(_._1).min(Utf8Ordering), all.map(_._2).max(Utf8Ordering), StatsKind.Strings))
+          Some((all.map(_._1).min(byteOrd), all.map(_._2).max(byteOrd), StatsKind.Strings))
         case _ => None // mixed physical types across row groups: no stats
       }
     }
@@ -323,11 +350,23 @@ object SnapshotLake {
     * must be creatable atomically-iff-absent. file:// (O_EXCL) and
     * HDFS-like stores qualify; raw object stores do not — front them with
     * a coordination layer (HDFS log dir, a DynamoDB/ZK-style LogStore)
-    * before pointing SnapshotLake at them. */
-  private def requireAtomicClaims(table: String): Unit = {
-    val scheme = Option(new Path(table).toUri.getScheme).getOrElse("file").toLowerCase
-    require(!NonAtomicClaimSchemes.contains(scheme),
-      s"SnapshotLake commit on '$scheme://' is unsafe: the scheme's create(overwrite=false) " +
+    * before pointing SnapshotLake at them.
+    *
+    * Checked twice: on the raw table URI (cheap, catches explicit
+    * `s3a://...` paths even when the connector jars are absent), and on
+    * the RESOLVED FileSystem (catches a scheme-less path on a cluster
+    * whose fs.defaultFS is an object store — the raw URI has no scheme
+    * there, but the claim would still land on the unsafe store). */
+  private def requireAtomicClaims(table: String): Unit =
+    rejectScheme(Option(new Path(table).toUri.getScheme))
+
+  private def requireAtomicClaims(fs: FileSystem): Unit =
+    rejectScheme(Option(fs.getUri).flatMap(u => Option(u.getScheme)))
+
+  private def rejectScheme(scheme: Option[String]): Unit = {
+    val s = scheme.getOrElse("file").toLowerCase
+    require(!NonAtomicClaimSchemes.contains(s),
+      s"SnapshotLake commit on '$s://' is unsafe: the scheme's create(overwrite=false) " +
         "is exists-check-then-PUT, not atomic, so racing writers could both claim the same " +
         "version and silently lose a commit. Use HDFS/file URIs for the table, or an " +
         "object store fronted by an atomic-create coordination layer.")
@@ -449,16 +488,29 @@ object SnapshotLake {
     * HDFS-like stores do; raw object-store schemes (s3a, gs, abfs, …) are
     * rejected up front because their non-atomic create would let racing
     * writers silently lose commits. */
+  /** Merged stats spec of a commit: keep the base spec when the fresh
+    * files agree on it, AND when the fresh files simply carry no stats at
+    * all under the SAME declared column (an empty micro-batch or a batch
+    * whose footers lack stats must not permanently disable pruning for the
+    * whole table — its entries just scan-always). Anything genuinely
+    * conflicting (different column, different value kind, or no column
+    * declared) drops the spec: pruning disables, never lies. */
+  private def mergedSpec(baseSpec: Option[StatsSpec], base: Seq[FileEntry],
+                         freshSpec: Option[StatsSpec], declared: Option[String]): Option[StatsSpec] =
+    if (base.isEmpty && baseSpec.isEmpty) freshSpec
+    else if (baseSpec == freshSpec) freshSpec
+    else if (freshSpec.isEmpty && declared.exists(c => baseSpec.exists(_.col == c))) baseSpec
+    else None
+
   def commitAppend(spark: SparkSession, table: String, df: DataFrame,
                    statsCol: Option[String] = None): Long = {
     requireAtomicClaims(table)
     val (fs, root) = fsOf(spark, table)
+    requireAtomicClaims(fs)
     val (dataDir, fresh, freshSpec) = stage(spark, fs, root, df, statsCol)
     try
       publish(fs, root, { (baseSpec, base) =>
-        val spec = if (base.isEmpty) freshSpec
-                   else if (baseSpec == freshSpec) freshSpec else None
-        (spec, base ++ fresh)
+        (mergedSpec(baseSpec, base, freshSpec, statsCol), base ++ fresh)
       })
     catch { case e: Throwable => deleteStagedQuietly(fs, dataDir); throw e }
   }
@@ -470,6 +522,7 @@ object SnapshotLake {
                       statsCol: Option[String] = None): Long = {
     requireAtomicClaims(table)
     val (fs, root) = fsOf(spark, table)
+    requireAtomicClaims(fs)
     val (dataDir, fresh, freshSpec) = stage(spark, fs, root, df, statsCol)
     try publish(fs, root, (_, _) => (freshSpec, fresh))
     catch { case e: Throwable => deleteStagedQuietly(fs, dataDir); throw e }
@@ -493,6 +546,7 @@ object SnapshotLake {
                                      beforePublish: () => Unit): Option[Long] = {
     requireAtomicClaims(table)
     val (fs, root) = fsOf(spark, table)
+    requireAtomicClaims(fs)
     val vs = versions(spark, table)
     require(vs.nonEmpty, s"no snapshots at $table")
     val basedOn = vs.max
@@ -526,6 +580,7 @@ object SnapshotLake {
                         batchId: Long, statsCol: Option[String] = None): Long = {
     requireAtomicClaims(table)
     val (fs, root) = fsOf(spark, table)
+    requireAtomicClaims(fs)
     val vs = versions(spark, table)
     if (vs.nonEmpty) {
       val (headers, _) = readManifestRaw(fs, root, vs.max)
@@ -534,9 +589,7 @@ object SnapshotLake {
     val (dataDir, fresh, freshSpec) = stage(spark, fs, root, df, statsCol)
     try
       publish(fs, root, { (baseSpec, base) =>
-        val spec = if (base.isEmpty) freshSpec
-                   else if (baseSpec == freshSpec) freshSpec else None
-        (spec, base ++ fresh)
+        (mergedSpec(baseSpec, base, freshSpec, statsCol), base ++ fresh)
       }, extraHeaders = Seq(batchHeader + batchId))
     catch { case e: Throwable => deleteStagedQuietly(fs, dataDir); throw e }
   }

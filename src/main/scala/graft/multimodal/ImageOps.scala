@@ -162,14 +162,7 @@ object ImageOps {
     * PngAudit's 'missing' finding.
     */
   def reingestPngs(spark: SparkSession, pngDir: String, manifest: DataFrame): DataFrame = {
-    val dir = new org.apache.hadoop.fs.Path(pngDir)
-    val sep = java.util.regex.Pattern.quote(dir.toUri.getPath.stripSuffix("/") + "/")
-    val listed = spark.read.format("binaryFile")
-      .option("pathGlobFilter", "*.png")
-      .option("recursiveFileLookup", "true")
-      .load(pngDir)
-      .select(element_at(split(col("path"), sep), -1).as("file_name"),
-        col("content").as("png"))
+    val listed = PngLake.list(spark, pngDir).withColumnRenamed("content", "png")
     decodePng(spark, manifest.join(listed, Seq("file_name"), "inner"))
   }
 

@@ -121,11 +121,25 @@ object RangeJoinRule extends Rule[LogicalPlan] {
               (c, lo, hi, sideOf(lo).get)
           }
         }
-        // need one conjunct left-bound<=right and one right-bound<=left
-        val fwd = bounds.find(_._4 == true)  // aStart ≤/< bEnd
-        val bwd = bounds.find(_._4 == false) // bStart ≤/< aEnd
-        (fwd, bwd) match {
-          case (Some((f, aStart, bEnd, _)), Some((b, bStart, aEnd, _))) if f != b =>
+        // need EXACTLY one left-bound-vs-right and one right-bound-vs-left
+        // conjunct — with several candidates on a side the overlap pair is
+        // structurally ambiguous (e.g. a dedup guard `a.id < b.id` next to
+        // the real time bounds), and a mis-pick bins id-vs-timestamp spans
+        // into billions of rows. Preference order: the unique non-strict
+        // pair if one exists (ids are idiomatically strict, time bounds
+        // idiomatically <=), else the unique pair overall, else DON'T
+        // rewrite — a kept nested loop is slow, a wrong bin axis is fatal.
+        def unique(side: Boolean): Option[(Expression, Expression, Expression)] = {
+          val all = bounds.filter(_._4 == side)
+          val nonStrict = all.filter(_._1 match {
+            case _: LessThanOrEqual | _: GreaterThanOrEqual => true
+            case _                                          => false
+          })
+          val pick = if (nonStrict.size == 1) nonStrict else all
+          if (pick.size == 1) Some((pick.head._1, pick.head._2, pick.head._3)) else None
+        }
+        (unique(true), unique(false)) match {
+          case (Some((f, aStart, bEnd)), Some((b, bStart, aEnd))) if f != b =>
             val wLit = Literal(w, LongType)
             def binsOf(lo: Expression, hi: Expression, name: String, child: LogicalPlan) = {
               // Sequence is TimeZoneAwareExpression: the analyzer's

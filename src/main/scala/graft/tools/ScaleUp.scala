@@ -85,8 +85,12 @@ object ScaleUp {
       d.withColumn("event_id", col("event_id") + r * bEv)
         .withColumn("user_id", col("user_id") + r * bU)), "events")
 
+    // ONE base for doc_id and vec_id: the corpus convention is
+    // vec_id = doc_id, and independent bases would silently break it
+    // whenever the two maxima straddle a power of ten
     val documents = read("documents")
-    val bD = keyBase(documents, "doc_id")
+    val embeddings = read("embeddings")
+    val bD = math.max(keyBase(documents, "doc_id"), keyBase(embeddings, "vec_id"))
     write(replicate(documents)((d, r) =>
       d.withColumn("doc_id", col("doc_id") + r * bD)
         .withColumn("text",
@@ -95,12 +99,10 @@ object ScaleUp {
               t => concat(t, lit("~"), r.cast("string"))), " ")))
         .withColumn("n_chars", length(col("text")).cast("long"))), "documents")
 
-    val embeddings = read("embeddings")
-    val bV = keyBase(embeddings, "vec_id")
     val dim = 64
     write(replicate(embeddings)((d, r) => {
       val shift = ((r * 5) % dim).cast("int")
-      d.withColumn("vec_id", col("vec_id") + r * bV)
+      d.withColumn("vec_id", col("vec_id") + r * bD)
         .withColumn("embedding",
           when(r === 0, col("embedding")).otherwise(
             concat(slice(col("embedding"), shift + 1, lit(dim) - shift),

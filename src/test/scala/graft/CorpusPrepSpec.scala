@@ -70,6 +70,36 @@ class CorpusPrepSpec extends SparkSpec {
     assert(keptIds === Seq(1L, 2L, 4L, 5L, 6L)) // min-id representative kept
   }
 
+  test("semantic stage keeps a doc whose lower-id representative died at an earlier gate") {
+    import spark.implicits._
+    // doc 1 fails the quality gate (too short); doc 3 is its semantic
+    // paraphrase. Dropping 3 against the FULL embedding table would erase
+    // the cluster's content entirely — the drop list must form over the
+    // SURVIVORS, so 3 becomes the cluster's representative and is kept.
+    val corpus = java.nio.file.Files.createTempDirectory("semsurv").toString
+    val texts = Seq(
+      1L -> "tiny", // < minTokens: dies at the quality gate
+      2L -> "one two three four five six seven eight",
+      3L -> "aleph bet gimel dalet he vav zayin het",
+      4L -> "red orange yellow green blue indigo violet gray")
+    texts.map { case (id, t) => (id, "en", "web", t, t.length.toLong) }
+      .toDF("doc_id", "lang", "source", "text", "n_chars")
+      .write.parquet(s"$corpus/documents.parquet")
+    def basis(dim: Int): Array[Float] =
+      Array.tabulate(64)(i => if (i == dim) 1.0f else 0.0f)
+    Seq((1L, basis(0)), (2L, basis(7)), (3L, basis(0)), (4L, basis(21)))
+      .map { case (id, v) => (id, "synthetic", v.toSeq) }
+      .toDF("vec_id", "label", "embedding")
+      .write.parquet(s"$corpus/embeddings.parquet")
+
+    val semOut = java.nio.file.Files.createTempDirectory("semsurvout").toString
+    CorpusPrep.run(spark, corpus, semOut,
+      CorpusPrep.Config(semantic = true, semanticThreshold = 0.9))
+    val keptIds = spark.read.parquet(s"$semOut/documents")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(keptIds === Seq(2L, 3L, 4L)) // 1 gated out, 3 SURVIVES as the new rep
+  }
+
   test("kept documents pass the gates and contain no duplicates of any kind") {
     val docs = spark.read.parquet(s"$out/documents")
     assert(docs.filter(col("n_tokens") < 5 || col("dup_rate") > 0.6).count() === 0)

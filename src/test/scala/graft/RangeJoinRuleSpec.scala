@@ -125,6 +125,37 @@ class RangeJoinRuleSpec extends SparkSpec {
     }
   }
 
+  test("a strict dedup guard next to the time bounds must not hijack the bin axis") {
+    // the id guard is a valid strict bound conjunct; a naive first-match
+    // would bin id-vs-timestamp spans (billions of bins). The rule must
+    // pick the unique NON-STRICT pair — and stay row-identical.
+    val (l, r) = intervals
+    def q = l.join(r,
+      l("l_id") < r("r_id") &&
+        l("l_start") <= r("r_end") && r("r_start") <= l("l_end"))
+    val baseline = rows(q)
+    assert(baseline.nonEmpty)
+    val (rewritten, plan) = withWidth(100) {
+      (rows(q), q.queryExecution.executedPlan.toString)
+    }
+    assert(rewritten === baseline)
+    assert(plan.contains("graft_bin"), plan) // fired, on the ts axis
+  }
+
+  test("structurally ambiguous bounds (two strict candidates per side) do not rewrite") {
+    val (l, r) = intervals
+    // both conjunct pairs are strict and bound-shaped; no safe pick exists
+    def q = l.join(r,
+      l("l_id") < r("r_id") && r("r_id") < l("l_id") + 1000000 &&
+        l("l_start") < r("r_end") && r("r_start") < l("l_end"))
+    val baseline = rows(q)
+    val (rewritten, plan) = withWidth(100) {
+      (rows(q), q.queryExecution.executedPlan.toString)
+    }
+    assert(rewritten === baseline)
+    assert(!plan.contains("graft_bin"), plan) // conservatively dormant
+  }
+
   test("randomized intervals: rewritten == baseline across widths and seeds") {
     // deterministic splitmix-style generator (failures reproduce exactly)
     def gen(seed: Long, n: Int, maxLen: Long): Seq[(Long, Long, Long)] = {

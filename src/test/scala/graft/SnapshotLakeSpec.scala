@@ -222,6 +222,45 @@ class SnapshotLakeSpec extends SparkSpec {
     assert(SnapshotLake.readRange(spark, t, "id", 100, 150).count() === 40)
   }
 
+  test("an empty micro-batch does not disable stats pruning for the table") {
+    import spark.implicits._
+    val t = freshTable()
+    SnapshotLake.commitAppend(spark, t, batch(0, 50).repartition(2), statsCol = Some("id"))
+    SnapshotLake.commitAppend(spark, t, batch(100, 150).repartition(2), statsCol = Some("id"))
+    // the routine foreachBatch case: same declared column, zero rows →
+    // no footer stats to realize, but the snapshot must KEEP its spec
+    val empty = Seq.empty[(Long, String)].toDF("id", "payload")
+    SnapshotLake.commitStreamBatch(spark, t, empty, batchId = 9L, statsCol = Some("id"))
+    // commit 1's stats-bearing files must still prune (the empty batch's
+    // own stats-less file is scan-always by design, so compare against
+    // the no-pruning outcome, not an absolute count)
+    val total = SnapshotLake.read(spark, t).inputFiles.length
+    val narrow = SnapshotLake.readRange(spark, t, "id", 110, 120)
+    assert(narrow.inputFiles.length < total - 1, "empty batch killed pruning")
+    assert(ids(narrow) === (110L to 120L))
+  }
+
+  test("empty-string bounds survive the manifest round-trip (trailing-tab parse)") {
+    import spark.implicits._
+    val t = freshTable()
+    // a whole commit of empty-string values: per-file min = max = "" →
+    // the manifest line ends in two tabs, which a default split() would
+    // swallow, misparsing path+tabs as the file path
+    Seq((1L, ""), (2L, "")).toDF("id", "day")
+      .coalesce(1).write.parquet(t + "-src")
+    SnapshotLake.commitAppend(spark, t, spark.read.parquet(t + "-src"),
+      statsCol = Some("day"))
+    SnapshotLake.commitAppend(spark, t,
+      Seq((3L, "2024-05-05")).toDF("id", "day"), statsCol = Some("day"))
+    // table stays readable and the empty-bound file prunes correctly
+    assert(SnapshotLake.read(spark, t).count() === 3)
+    val hit = SnapshotLake.readRangeString(spark, t, "day", "", "")
+    assert(hit.select("id").as[Long].collect().sorted.toSeq === Seq(1L, 2L))
+    val may = SnapshotLake.readRangeString(spark, t, "day", "2024-01-01", "2024-12-31")
+    assert(may.select("id").as[Long].collect().toSeq === Seq(3L))
+    assert(may.inputFiles.length === 1) // the empty-bound file was pruned
+  }
+
   test("a failed publish cleans up its staged data directory") {
     val t = freshTable()
     SnapshotLake.commitAppend(spark, t, batch(0, 10)) // v1
