@@ -93,6 +93,7 @@ object SparkEntry {
     "q72_overlap_join"    -> (TemporalOps.overlapJoin _),
     "q72b_range_join_rule" -> (TemporalOps.overlapJoinViaRule _),
     "q73_bm25"            -> ((s: SparkSession, d: String) => TextAnalysisOps.bm25(s, d)),
+    "q81_hybrid_rrf"      -> ((s: SparkSession, d: String) => SimilarityOps.hybridRrf(s, d)),
     "q74_pps_sample"      -> ((s: SparkSession, d: String) => CurationOps.ppsSample(s, d)),
     "q75_scd2"            -> (TemporalOps.scd2 _),
     "q76_rolling_features" -> (TemporalOps.rollingFeatures _),
@@ -149,6 +150,43 @@ object SparkEntry {
   private val DOT64 =
     "list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65)," +
       " i -> a.v[i]*b.v[i])), (a2, b2) -> a2 + b2)"
+
+  // q73's full BM25 SQL — shared verbatim by the q81 hybrid-fusion oracle
+  private val BM25_SQL =
+    """WITH perdoc AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
+        |    CAST(len(list_filter(string_split(text, ' '), x -> x = 'spark')) AS BIGINT) AS tf_spark,
+        |    CAST(len(list_filter(string_split(text, ' '), x -> x = 'window')) AS BIGINT) AS tf_window,
+        |    CAST(len(list_filter(string_split(text, ' '), x -> x = 'merge')) AS BIGINT) AS tf_merge
+        |  FROM documents),
+        |stats AS (
+        |  SELECT COUNT(*) AS n_docs,
+        |    CAST(SUM(CAST(dl AS DECIMAL(27,6))) AS DOUBLE) AS dl_sum,
+        |    SUM(CASE WHEN tf_spark > 0 THEN 1 ELSE 0 END) AS df_spark,
+        |    SUM(CASE WHEN tf_window > 0 THEN 1 ELSE 0 END) AS df_window,
+        |    SUM(CASE WHEN tf_merge > 0 THEN 1 ELSE 0 END) AS df_merge
+        |  FROM perdoc),
+        |stats2 AS (SELECT *, dl_sum / n_docs AS avgdl FROM stats)
+        |SELECT doc_id, dl, score FROM (
+        |  SELECT p.doc_id, p.dl,
+        |    (CASE WHEN p.tf_spark > 0 THEN
+        |       ln((CAST(s.n_docs AS DOUBLE) - s.df_spark + 0.5) / (CAST(s.df_spark AS DOUBLE) + 0.5) + 1.0)
+        |       * (CAST(p.tf_spark AS DOUBLE) * (1.2 + 1.0))
+        |       / (CAST(p.tf_spark AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(p.dl AS DOUBLE) / s.avgdl))
+        |     ELSE 0.0 END) +
+        |    (CASE WHEN p.tf_window > 0 THEN
+        |       ln((CAST(s.n_docs AS DOUBLE) - s.df_window + 0.5) / (CAST(s.df_window AS DOUBLE) + 0.5) + 1.0)
+        |       * (CAST(p.tf_window AS DOUBLE) * (1.2 + 1.0))
+        |       / (CAST(p.tf_window AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(p.dl AS DOUBLE) / s.avgdl))
+        |     ELSE 0.0 END) +
+        |    (CASE WHEN p.tf_merge > 0 THEN
+        |       ln((CAST(s.n_docs AS DOUBLE) - s.df_merge + 0.5) / (CAST(s.df_merge AS DOUBLE) + 0.5) + 1.0)
+        |       * (CAST(p.tf_merge AS DOUBLE) * (1.2 + 1.0))
+        |       / (CAST(p.tf_merge AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(p.dl AS DOUBLE) / s.avgdl))
+        |     ELSE 0.0 END) AS score
+        |  FROM perdoc p CROSS JOIN stats2 s) t
+        |WHERE score > 0.0 ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
 
   // Shared oracle CTE: deterministic synthetic bounding boxes from `part`
   // (mirrors RosbagDomainOps.boxes).
@@ -1157,41 +1195,31 @@ object SparkEntry {
     // RangeJoinRule rewrite is semantics-preserving
     "q72b_range_join_rule" -> q72OverlapOracle,
 
-    "q73_bm25" ->
-      """WITH perdoc AS (
-        |  SELECT doc_id,
-        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
-        |    CAST(len(list_filter(string_split(text, ' '), x -> x = 'spark')) AS BIGINT) AS tf_spark,
-        |    CAST(len(list_filter(string_split(text, ' '), x -> x = 'window')) AS BIGINT) AS tf_window,
-        |    CAST(len(list_filter(string_split(text, ' '), x -> x = 'merge')) AS BIGINT) AS tf_merge
-        |  FROM documents),
-        |stats AS (
-        |  SELECT COUNT(*) AS n_docs,
-        |    CAST(SUM(CAST(dl AS DECIMAL(27,6))) AS DOUBLE) AS dl_sum,
-        |    SUM(CASE WHEN tf_spark > 0 THEN 1 ELSE 0 END) AS df_spark,
-        |    SUM(CASE WHEN tf_window > 0 THEN 1 ELSE 0 END) AS df_window,
-        |    SUM(CASE WHEN tf_merge > 0 THEN 1 ELSE 0 END) AS df_merge
-        |  FROM perdoc),
-        |stats2 AS (SELECT *, dl_sum / n_docs AS avgdl FROM stats)
-        |SELECT doc_id, dl, score FROM (
-        |  SELECT p.doc_id, p.dl,
-        |    (CASE WHEN p.tf_spark > 0 THEN
-        |       ln((CAST(s.n_docs AS DOUBLE) - s.df_spark + 0.5) / (CAST(s.df_spark AS DOUBLE) + 0.5) + 1.0)
-        |       * (CAST(p.tf_spark AS DOUBLE) * (1.2 + 1.0))
-        |       / (CAST(p.tf_spark AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(p.dl AS DOUBLE) / s.avgdl))
-        |     ELSE 0.0 END) +
-        |    (CASE WHEN p.tf_window > 0 THEN
-        |       ln((CAST(s.n_docs AS DOUBLE) - s.df_window + 0.5) / (CAST(s.df_window AS DOUBLE) + 0.5) + 1.0)
-        |       * (CAST(p.tf_window AS DOUBLE) * (1.2 + 1.0))
-        |       / (CAST(p.tf_window AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(p.dl AS DOUBLE) / s.avgdl))
-        |     ELSE 0.0 END) +
-        |    (CASE WHEN p.tf_merge > 0 THEN
-        |       ln((CAST(s.n_docs AS DOUBLE) - s.df_merge + 0.5) / (CAST(s.df_merge AS DOUBLE) + 0.5) + 1.0)
-        |       * (CAST(p.tf_merge AS DOUBLE) * (1.2 + 1.0))
-        |       / (CAST(p.tf_merge AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(p.dl AS DOUBLE) / s.avgdl))
-        |     ELSE 0.0 END) AS score
-        |  FROM perdoc p CROSS JOIN stats2 s) t
-        |WHERE score > 0.0 ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    "q73_bm25" -> BM25_SQL,
+
+    // RRF fusion of q73's lexical top-20 and the vec-0 cosine top-20
+    // (vec_id = doc_id convention). 1.0/(K+rank) is a fixed IEEE chain;
+    // FULL JOIN USING coalesces doc_id exactly like Spark's full_outer.
+    "q81_hybrid_rrf" ->
+      s"""WITH $EMB_NORM,
+         |bm AS (SELECT * FROM ($BM25_SQL)),
+         |lexr AS (SELECT doc_id,
+         |           CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank_lex
+         |         FROM bm),
+         |qv AS (SELECT v, nrm FROM n WHERE vec_id = 0),
+         |sem AS (SELECT n.vec_id AS doc_id,
+         |          list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65),
+         |            i -> n.v[i]*qv.v[i])), (a2, b2) -> a2 + b2) / (n.nrm * qv.nrm) AS cos
+         |        FROM n, qv WHERE n.vec_id >= 10),
+         |semtop AS (SELECT doc_id, cos FROM sem ORDER BY cos DESC, doc_id LIMIT 20),
+         |semr AS (SELECT doc_id,
+         |           CAST(ROW_NUMBER() OVER (ORDER BY cos DESC, doc_id) AS BIGINT) AS rank_sem
+         |         FROM semtop)
+         |SELECT doc_id, rank_lex, rank_sem,
+         |  COALESCE(CAST(1 AS DOUBLE) / (60 + rank_lex), 0) +
+         |  COALESCE(CAST(1 AS DOUBLE) / (60 + rank_sem), 0) AS rrf
+         |FROM lexr FULL JOIN semr USING (doc_id)
+         |ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin,
 
     "q74_pps_sample" ->
       """WITH d2 AS (

@@ -302,4 +302,43 @@ object SimilarityOps {
       .filter(col("rank") <= k)
       .orderBy("q_id", "rank")
   }
+
+  /** q81 — hybrid retrieval fusion via Reciprocal Rank Fusion (Cormack et
+    * al. SIGIR 2009): the lexical ranking (q73's BM25 top-k) and a
+    * semantic ranking (cosine of the query vector over the embedded
+    * corpus, vec_id = doc_id convention) merge into one list by
+    * `rrf = Σ 1/(K + rank)` — the standard hybrid-search reducer, immune
+    * to the two scorers' incomparable scales. A doc ranked by only one
+    * side contributes only that side's term.
+    *
+    * Scale shape: each side is a bounded distributed top-k
+    * (TakeOrderedAndProject — no global sort; BM25 is one scan + one
+    * 1-row broadcast, the cosine side one corpus scan against a broadcast
+    * query), the fusion joins two k-row lists — driver-sized no matter
+    * the corpus. Double arithmetic is a fixed IEEE chain both engines
+    * reproduce bit-identically.
+    */
+  def hybridRrf(s: SparkSession, d: String, rrfK: Int = 60, topK: Int = 20): DataFrame = {
+    val wLex = Window.orderBy(col("score").desc, col("doc_id"))
+    val lex = TextAnalysisOps.bm25(s, d, topK = topK) // already top-k, k rows
+      .withColumn("rank_lex", row_number().over(wLex).cast("long"))
+      .select(col("doc_id"), col("rank_lex"))
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      .withColumn("nrm", norm(col("v")))
+    val q = e.filter(col("vec_id") === 0).select(col("v").as("qv"), col("nrm").as("qn"))
+    val wSem = Window.orderBy(col("cos").desc, col("doc_id"))
+    val sem = e.filter(col("vec_id") >= 10).crossJoin(broadcast(q))
+      .withColumn("cos", cosine(col("v"), col("qv"), col("nrm"), col("qn")))
+      .select(col("vec_id").as("doc_id"), col("cos"))
+      .orderBy(col("cos").desc, col("doc_id")).limit(topK) // distributed top-k
+      .withColumn("rank_sem", row_number().over(wSem).cast("long"))
+      .select(col("doc_id"), col("rank_sem"))
+    lex.join(sem, Seq("doc_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(rrfK) + col("rank_lex")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(rrfK) + col("rank_sem")), lit(0.0)))
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .limit(topK)
+  }
 }
