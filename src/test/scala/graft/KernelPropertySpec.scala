@@ -13,6 +13,25 @@ import graft.multimodal.{AudioOps, PixelKernels}
   */
 class KernelPropertySpec extends AnyFunSuite {
 
+  test("property: PNG encode->decode is the identity on random frames of every encoding") {
+    val rng = new Rng(0xBEEF)
+    for (trial <- 0 until 40) {
+      val (encoding, ch) = Seq(("mono8", 1), ("rgb8", 3), ("rgba8", 4))(trial % 3)
+      val w = 1 + (rng.next() % 40).toInt.abs
+      val h = 1 + (rng.next() % 30).toInt.abs
+      val pad = (rng.next() % 4).toInt.abs // stride padding to exercise step
+      val stride = w * ch + pad
+      val px = Array.tabulate[Byte](h * stride)(_ => rng.next().toByte)
+      val png = graft.multimodal.PngEncoder.encode(px, w, h, encoding, srcStride = stride)
+      val d = graft.multimodal.PngDecoder.decode(png)
+      assert(d.width === w && d.height === h && d.encoding === encoding,
+        s"trial $trial ${w}x$h $encoding")
+      // decoded buffer is TIGHT; compare row content, skipping source padding
+      val tight = Array.tabulate[Byte](h * w * ch)(i => px((i / (w * ch)) * stride + i % (w * ch)))
+      assert(d.step === w * ch && d.pixels.toSeq === tight.toSeq, s"trial $trial")
+    }
+  }
+
   /** splitmix64 — deterministic case generator. */
   private final class Rng(seed: Long) {
     private var x = seed

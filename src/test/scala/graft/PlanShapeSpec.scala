@@ -127,6 +127,15 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("collect_list"), p)
   }
 
+  test("q81: both retrieval sides are bounded top-k — no global sort of the corpus") {
+    val p = plan(operators.SimilarityOps.hybridRrf(spark, sf))
+    // the cosine side must rank via TakeOrderedAndProject (distributed
+    // top-k), never a full Sort of corpus-sized data; the only window
+    // functions run over the already-limited k-row lists
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q01: partial (map-side) aggregation before the exchange") {
     val p = plan(RelationalOps.pricingSummary(spark, sf))
     val firstAgg = p.indexOf("HashAggregate")
