@@ -55,6 +55,40 @@ object CurationOps {
       .orderBy("doc_id")
   }
 
+  /** q82 — train-set DECONTAMINATION by long-n-gram overlap (the GPT-3
+    * appendix-C / Pile rule): a train doc is flagged for removal when ANY
+    * of its 13-gram windows appears verbatim in the held-out split. The
+    * complement of q56: q56 SCORES each test doc's 3-gram contamination
+    * share for reporting; this emits the train-side removal list — the
+    * artifact the pipeline actually applies before training.
+    *
+    * Shape: windows are hashed BEFORE exploding (the q65 kernel pattern —
+    * never carries token arrays into the exploded rows); the heldout
+    * index is the distinct window hashes of the test split (a bounded
+    * fraction of the corpus), probed by one equi-join of 8-byte keys; the
+    * verdict falls out of the probe aggregation. Docs shorter than k
+    * tokens have no window and cannot be contaminated. One scan per
+    * split, hash-key shuffles only — at 100 TB the heldout (benchmark)
+    * side is small enough to broadcast and the train side streams.
+    */
+  def decontaminate(s: SparkSession, d: String, k: Int = 13): DataFrame = {
+    val wins = Tables.documentsScaled(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("ts"))
+      .select(col("doc_id"), col("ts"), size(col("ts")).as("n"))
+      .filter(col("n") >= k)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, n - ${k - 1}), i -> cast(conv(substring(" +
+          s"md5(cast(concat_ws(' ', slice(ts, i, $k)) as binary)), 1, 15), 16, 10) as bigint))"))
+        .as("rh"))
+    val heldout = wins.filter(isTest).select("rh").distinct().withColumn("hit", lit(1))
+    wins.filter(!isTest)
+      .join(heldout, Seq("rh"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_ngrams"), count(col("hit")).as("n_hits"))
+      .withColumn("drop", col("n_hits") > 0)
+      .orderBy("doc_id")
+  }
+
   /** q57 — within-document duplicate-n-gram rate: the fraction of a doc's
     * 3-gram occurrences that are repeats (1 - distinct/total), the classic
     * repetition quality signal (boilerplate, template spam) used to filter
