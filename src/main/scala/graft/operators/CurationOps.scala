@@ -72,14 +72,7 @@ object CurationOps {
     * side is small enough to broadcast and the train side streams.
     */
   def decontaminate(s: SparkSession, d: String, k: Int = 13): DataFrame = {
-    val wins = Tables.documentsScaled(s, d)
-      .select(col("doc_id"), split(col("text"), " ").as("ts"))
-      .select(col("doc_id"), col("ts"), size(col("ts")).as("n"))
-      .filter(col("n") >= k)
-      .select(col("doc_id"), explode(expr(
-        s"transform(sequence(1, n - ${k - 1}), i -> cast(conv(substring(" +
-          s"md5(cast(concat_ws(' ', slice(ts, i, $k)) as binary)), 1, 15), 16, 10) as bigint))"))
-        .as("rh"))
+    val wins = windowHashes(s, d, k)
     val heldout = wins.filter(isTest).select("rh").distinct().withColumn("hit", lit(1))
     wins.filter(!isTest)
       .join(heldout, Seq("rh"), "left")
@@ -87,6 +80,27 @@ object CurationOps {
       .agg(count(lit(1)).as("n_ngrams"), count(col("hit")).as("n_hits"))
       .withColumn("drop", col("n_hits") > 0)
       .orderBy("doc_id")
+  }
+
+  /** THE k-token window-hash kernel q65 and q82 share: hash every window
+    * BEFORE exploding (exploding positions and slicing afterwards would
+    * carry the whole token array into each of ~n output rows — an
+    * O(n²)-bytes blowup per doc). The run key is the first 60 bits of the
+    * md5 parsed to a LONG: both shuffles move 8-byte keys instead of
+    * 32-char hex strings; a 60-bit birthday collision merges two distinct
+    * windows with probability ~n²/2^61 — noise for rate-valued signals,
+    * and the oracles apply the identical truncation so parity is exact by
+    * construction. One row per (doc_id, window) as `(doc_id, rh)`. */
+  private def windowHashes(s: SparkSession, d: String, k: Int): DataFrame = {
+    require(k >= 2, s"k must be >= 2; got $k")
+    Tables.documentsScaled(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("ts"))
+      .select(col("doc_id"), col("ts"), size(col("ts")).as("n"))
+      .filter(col("n") >= k)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, n - ${k - 1}), i -> cast(conv(substring(" +
+          s"md5(cast(concat_ws(' ', slice(ts, i, $k)) as binary)), 1, 15), 16, 10) as bigint))"))
+        .as("rh"))
   }
 
   /** q57 — within-document duplicate-n-gram rate: the fraction of a doc's
@@ -276,24 +290,7 @@ object CurationOps {
     * one: hot keys are linear, with no dfCap needed.
     */
   def dupRuns(s: SparkSession, d: String, k: Int = 8): DataFrame = {
-    require(k >= 2, s"k must be >= 2; got $k")
-    // hash every window BEFORE exploding: exploding positions and slicing
-    // afterwards would carry the whole token array into each of ~n output
-    // rows — an O(n^2)-bytes blowup per doc that the per-doc transform()
-    // avoids. The run key is the first 60 bits of the md5 parsed to a
-    // LONG: both shuffles move 8-byte keys instead of 32-char hex strings
-    // (4x less shuffle volume); a 60-bit birthday collision merges two
-    // distinct runs with probability ~n_runs^2/2^61 — noise for a
-    // rate-valued quality signal, and the oracle applies the identical
-    // truncation so parity is exact by construction.
-    val runs = Tables.documentsScaled(s, d)
-      .select(col("doc_id"), split(col("text"), " ").as("ts"))
-      .select(col("doc_id"), col("ts"), size(col("ts")).as("n"))
-      .filter(col("n") >= k)
-      .select(col("doc_id"), explode(expr(
-        s"transform(sequence(1, n - ${k - 1}), i -> cast(conv(substring(" +
-          s"md5(cast(concat_ws(' ', slice(ts, i, $k)) as binary)), 1, 15), 16, 10) as bigint))"))
-        .as("rh"))
+    val runs = windowHashes(s, d, k) // the shared 60-bit window-hash kernel
     // The extent aggregate + probe-side join DOES shuffle the runs table by
     // rh twice (aliased subtrees never unify under exchange reuse), and a
     // fused groupBy(rh) with a collected occurrence list would halve that —

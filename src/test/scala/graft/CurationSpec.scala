@@ -10,6 +10,29 @@ import graft.operators.CurationOps
   */
 class CurationSpec extends SparkSpec {
 
+  test("q82 decontamination: exact recompute of the removal list") {
+    val k = 13
+    val got = CurationOps.decontaminate(spark, sf, k).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val texts = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(t => t.getLong(0) -> t.getString(1).split(" ", -1))
+    def isTest(id: Long): Boolean = (id * 2654435761L) % 100 >= 80
+    val winsByDoc = texts.collect { case (id, ws) if ws.length >= k =>
+      id -> (0 to ws.length - k).map(i => ws.slice(i, i + k).mkString(" "))
+    }
+    val heldout = winsByDoc.collect { case (id, rs) if isTest(id) => rs }.flatten.toSet
+    val train = winsByDoc.filterNot { case (id, _) => isTest(id) }
+    assert(got.keySet === train.map(_._1).toSet) // only long-enough TRAIN docs
+    train.foreach { case (id, rs) =>
+      val hits = rs.count(heldout.contains)
+      val row = got(id)
+      assert(row.getAs[Long]("n_ngrams") === rs.length.toLong, s"doc $id")
+      assert(row.getAs[Long]("n_hits") === hits.toLong, s"doc $id")
+      assert(row.getAs[Boolean]("drop") === (hits > 0), s"doc $id")
+    }
+    intercept[IllegalArgumentException] { CurationOps.decontaminate(spark, sf, k = 1) }
+  }
+
   test("q56 contamination: test docs only, rates in [0,1], planted dups fully contaminated") {
     val rows = CurationOps.contamination(spark, sf).collect()
     assert(rows.nonEmpty)
