@@ -6,8 +6,22 @@ import org.apache.spark.sql.SparkSession
   * prints one JSON line. A warmup query first (JIT + codegen cache + file
   * index), then deterministic name order so timings are comparable across
   * rounds.
+  *
+  * Each query records WALL seconds (best of 3) and the PROCESS-CPU seconds
+  * of that same best run: wall time on a shared host inherits whatever else
+  * the machine is doing, while process-CPU time only counts this JVM's
+  * cycles — so a wall regression with flat CPU is host drift, and a CPU
+  * regression is real plan work. The JSON keeps `queries` as the historical
+  * name→wall map (cross-round comparability) and adds a parallel `cpu` map.
   */
 object Bench {
+
+  private def processCpuNs: Long =
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+      case os: com.sun.management.OperatingSystemMXBean => os.getProcessCpuTime
+      case _                                            => -1L
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // default 32 — the driver's shape. A 4-CPU default produced phantom
@@ -18,27 +32,41 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // warmup: touch every table + exercise codegen once
     SparkEntry.queries.get("q01_pricing_summary").foreach(f => f(spark, sfDir).count())
-    // SPARK_GRAFT_ONLY=q29_bbox_iou,q44_dedup_embedding — targeted audits
-    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').map(_.trim).toSet)
+    // SPARK_GRAFT_ONLY=q29_bbox_iou,q44_dedup_embedding — targeted audits.
+    // Unknown names fail loudly: a typo would otherwise produce an empty
+    // run that looks like a successful (instant) benchmark.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { names =>
+      val unknown = names.diff(SparkEntry.queries.keySet)
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_ONLY names match no query: ${unknown.toSeq.sorted.mkString(", ")} " +
+          s"(known: ${SparkEntry.queries.keySet.toSeq.sorted.mkString(", ")})")
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
-      // best of 3: the first run pays codegen/JIT for this query's shape,
-      // and the extra run tightens the noise floor (local totals otherwise
-      // drift double-digit percent with host load — see SURVEY §6)
-      val times = (1 to 3).map { _ =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        val dt = (System.nanoTime() - t0) / 1e9
-        spark.catalog.clearCache() // release any persisted intermediates
-        dt
+        // best of 3: the first run pays codegen/JIT for this query's shape,
+        // and the extra run tightens the noise floor (local totals otherwise
+        // drift double-digit percent with host load — see SURVEY §6)
+        val times = (1 to 3).map { _ =>
+          val c0 = processCpuNs
+          val t0 = System.nanoTime()
+          try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+          val wall = (System.nanoTime() - t0) / 1e9
+          val cpu = if (c0 < 0) -1.0 else (processCpuNs - c0) / 1e9
+          spark.catalog.clearCache() // release any persisted intermediates
+          (wall, cpu)
+        }
+        name -> times.minBy(_._1) // cpu of the SAME run that won on wall
       }
-      name -> times.min
-    }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, (w, _)) => s"\"" + k + "\":" + w }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val cs = results.map { case (k, (_, c)) => s"\"" + k + "\":" + c }
+      .mkString("{", ",", "}")
+    val total = if (results.nonEmpty) results.map(_._2._1).sum else 0.0
+    val cpuTotal = if (results.nonEmpty) results.map(_._2._2).sum else 0.0
+    println(s"""{"metric":"total","value":$total,"unit":"sec","cpu_total":$cpuTotal,"queries":$qs,"cpu":$cs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -34,8 +34,12 @@ object PngDecoder {
     val cm = img.getColorModel
     val raster = img.getRaster
     val nb = raster.getNumBands
+    // exactly 8 bits per component: a sub-8-bit source (1/2/4-bit gray)
+    // stores raw samples 0..(2^d-1), so emitting them as mono8 would decode
+    // a white 1-bit pixel to 1 instead of 255 — those fall through to the
+    // color-model-resolving general path, which scales correctly
     val plain8 = !cm.isInstanceOf[IndexColorModel] &&
-      cm.getComponentSize.forall(_ <= 8) && (nb == 1 || nb == 3 || nb == 4)
+      cm.getComponentSize.forall(_ == 8) && (nb == 1 || nb == 3 || nb == 4)
     if (plain8) {
       // fast path: samples are already 8-bit gray/RGB(A) in band order
       val encoding = nb match { case 1 => "mono8"; case 3 => "rgb8"; case _ => "rgba8" }

@@ -148,14 +148,17 @@ object SimilarityOps {
     val exact = knnBruteForce(s, d, k).select("q_id", "neighbor_id")
     val idx = knnLsh(s, d, k).select("q_id", "neighbor_id").withColumn("src", lit("lsh"))
       .unionByName(knnIvf(s, d, k).select("q_id", "neighbor_id").withColumn("src", lit("ivf")))
+      .unionByName(knnIvfPq(s, d, k).select("q_id", "neighbor_id").withColumn("src", lit("ivfpq")))
     exact.join(idx, Seq("q_id", "neighbor_id"), "left")
       .groupBy("q_id")
       .agg(
         countDistinct("neighbor_id").as("n_exact"),
         count(when(col("src") === "lsh", 1)).as("lsh_hits"),
-        count(when(col("src") === "ivf", 1)).as("ivf_hits"))
+        count(when(col("src") === "ivf", 1)).as("ivf_hits"),
+        count(when(col("src") === "ivfpq", 1)).as("ivfpq_hits"))
       .withColumn("lsh_recall", col("lsh_hits").cast("double") / col("n_exact").cast("double"))
       .withColumn("ivf_recall", col("ivf_hits").cast("double") / col("n_exact").cast("double"))
+      .withColumn("ivfpq_recall", col("ivfpq_hits").cast("double") / col("n_exact").cast("double"))
       .orderBy("q_id")
   }
 
@@ -299,6 +302,92 @@ object SimilarityOps {
       .withColumn("cos", cosine(col("qv"), col("v"), col("qnrm"), col("nrm")))
       .select(col("q_id"), col("vec_id").as("neighbor_id"), col("cos"))
       .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .orderBy("q_id", "rank")
+  }
+
+  /** q70b — IVF-probed PQ search (IVFADC, Jégou et al. TPAMI 2011 §IV):
+    * the composition a billion-vector index actually runs. q46b's trained
+    * coarse quantizer prunes WHICH vectors to score (each query probes its
+    * `IvfProbes` nearest inverted lists); q70's PQ codes decide HOW each
+    * survivor is scored (asymmetric distance to the 4-byte reconstruction).
+    * Neither half alone scales: flat PQ (q70) still touches every code,
+    * and IVF over raw floats (q46b) still reads full vectors — probe ×
+    * (corpus/lists) candidates at 4 bytes each is the shape that fits a
+    * 10⁹-vector index in cluster RAM and answers in milliseconds.
+    *
+    * Scale shape: coarse assignment and code assignment are both
+    * broadcast-join + map-side argmin/argmax aggregates (the corpus never
+    * shuffles except by its own vec_id partials); the probe join hits only
+    * the corpus rows whose list a query probes — candidates shrink by
+    * lists/probes (8× here) BEFORE any per-pair arithmetic, and the final
+    * aggregation moves probe-local 8-row partials only. The per-subspace
+    * sums are separate conditional aggregates added in fixed expression
+    * order (q70's bit-reproducibility discipline), so ADC distances are
+    * engine-exact against the oracle.
+    */
+  def knnIvfPq(s: SparkSession, d: String, k: Int = 3): DataFrame = {
+    import s.implicits._
+    val subDim = 8
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      .withColumn("nrm", norm(col("v")))
+    val centroids = centroidTable(s)
+
+    // coarse assignment — corpus keeps its single nearest list (max_by,
+    // map-side partials); queries keep their IvfProbes nearest (window
+    // over 16 broadcast centroids per query — a handful of rows)
+    val corpusList = e.filter(col("vec_id") >= 10)
+      .join(broadcast(centroids))
+      .withColumn("csim", cosine(col("v"), col("cv"), col("nrm"), col("cnrm")))
+      .groupBy("vec_id")
+      .agg(max_by(struct(col("v"), col("list_id")),
+        struct(col("csim"), -col("list_id"))).as("best"))
+      .select(col("vec_id"), col("best.v").as("v"), col("best.list_id").as("list_id"))
+    val wProbe = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("list_id"))
+    val queryProbes = e.filter(col("vec_id") < 10)
+      .join(broadcast(centroids))
+      .withColumn("csim", cosine(col("v"), col("cv"), col("nrm"), col("cnrm")))
+      .withColumn("crank", row_number().over(wProbe))
+      .filter(col("crank") <= IvfProbes)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("list_id"))
+
+    def subsOf(df: DataFrame, vec: String, out: String): DataFrame = df
+      .select(col("vec_id"), col("list_id"), explode(array((0 until 8).map(sub =>
+        struct(lit(sub.toLong).as("sub_idx"),
+          slice(col(vec), sub * subDim + 1, subDim).as(out))): _*)).as("e"))
+      .select(col("vec_id"), col("list_id"), col("e.sub_idx").as("sub_idx"), col(s"e.$out").as(out))
+
+    val booksDf = PqCodebooks.values.zipWithIndex.flatMap { case (book, sub) =>
+      book.zipWithIndex.map { case (cv, code) => (sub.toLong, code.toLong, cv.toSeq) }
+    }.toSeq.toDF("sub_idx", "code", "cv")
+
+    // PQ code assignment on the list-tagged corpus: min_by argmin with
+    // map-side partials (list_id rides the grouping key — it is functional
+    // on vec_id, so cardinality is unchanged and no rejoin is needed)
+    val recon = subsOf(corpusList, "v", "sv")
+      .join(broadcast(booksDf), Seq("sub_idx"))
+      .withColumn("sqd",
+        expr("aggregate(zip_with(sv, cv, (x, y) -> (x - y) * (x - y)), 0D, (acc, z) -> acc + z)"))
+      .groupBy("vec_id", "list_id", "sub_idx")
+      .agg(min_by(col("cv"), struct(col("sqd"), col("code"))).as("cv"))
+
+    // the probe join: only corpus rows in a probed list are ever scored
+    val querySubs = subsOf(
+      queryProbes.select(col("q_id").as("vec_id"), col("qv"), col("list_id")), "qv", "qsv")
+      .select(col("vec_id").as("q_id"), col("list_id"), col("sub_idx"), col("qsv"))
+    val partials = recon.join(broadcast(querySubs), Seq("list_id", "sub_idx"))
+      .withColumn("dsub",
+        expr("aggregate(zip_with(qsv, cv, (x, y) -> (x - y) * (x - y)), 0D, (acc, z) -> acc + z)"))
+    val perSub = (0 until 8).map(sub =>
+      sum(when(col("sub_idx") === sub.toLong, col("dsub"))).as(s"d$sub"))
+    val wr = Window.partitionBy("q_id").orderBy(col("adc_dist").asc, col("neighbor_id"))
+    partials
+      .groupBy(col("q_id"), col("vec_id").as("neighbor_id"))
+      .agg(perSub.head, perSub.tail: _*)
+      .withColumn("adc_dist", (0 until 8).map(sub => col(s"d$sub")).reduce(_ + _))
+      .select("q_id", "neighbor_id", "adc_dist")
+      .withColumn("rank", row_number().over(wr).cast("long"))
       .filter(col("rank") <= k)
       .orderBy("q_id", "rank")
   }

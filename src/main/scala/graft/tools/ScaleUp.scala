@@ -47,8 +47,14 @@ object ScaleUp {
       val crossed = df.crossJoin(reps)
       remap(crossed, col("__r")).drop("__r")
     }
-    def keyBase(df: DataFrame, key: String): Long =
-      pow10Above(df.agg(max(col(key))).collect()(0).getLong(0))
+    def keyBase(df: DataFrame, key: String): Long = {
+      // getAs[Number] (not getLong): an INT-typed key must widen, not
+      // throw; and an empty table yields SQL NULL — fail with a message
+      // naming the key instead of an opaque NPE
+      val row = df.agg(max(col(key))).collect()(0)
+      require(!row.isNullAt(0), s"ScaleUp: no rows under key '$key' — empty source table?")
+      pow10Above(row.getAs[Number](0).longValue())
+    }
 
     // dimension tables: fixed, copied verbatim
     write(read("region"), "region")
