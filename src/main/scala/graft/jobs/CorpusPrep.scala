@@ -22,9 +22,15 @@ import graft.operators.DedupOps
   *      paraphrases that share no n-grams, which lexical dedup cannot.
   *      Opt-in (`Config.semantic`): needs the corpus's embedding table,
   *      keyed by the vec_id = doc_id convention.
-  *   6. sliding-window chunking (training-example shaping)
+  *   6. decontamination (q82's GPT-3/Pile rule): drops every train doc
+  *      one of whose 13-gram windows appears verbatim in the held-out
+  *      split — a corpus that gates on quality and dedup but ships the
+  *      benchmark itself poisons every downstream eval. Opt-in
+  *      (`Config.decontaminate`); the removal list is q82's (hash-split
+  *      heldout convention), applied by broadcast anti-join on doc_id.
+  *   7. sliding-window chunking (training-example shaping)
   *
-  * Usage: CorpusPrep <sf-dir> <out-dir> [--no-neardup] [--semantic]
+  * Usage: CorpusPrep <sf-dir> <out-dir> [--no-neardup] [--semantic] [--decontaminate]
   *
   * Output layout:
   *   <out>/documents/  kept documents (redacted text, provenance columns)
@@ -44,6 +50,8 @@ object CorpusPrep {
       nearDup: Boolean = true,
       semantic: Boolean = false,
       semanticThreshold: Double = 0.3,
+      decontaminate: Boolean = false,
+      decontaminateNgram: Int = 13,
       chunkWindow: Int = 32,
       chunkStride: Int = 24)
 
@@ -129,12 +137,29 @@ object CorpusPrep {
       kept.join(drops, Seq("doc_id"), "left_anti")
     }
 
-    semKept.write.mode(SaveMode.Overwrite).parquet(s"$out/documents")
-    // count from the written parquet — a second execution of the semantic
-    // join DAG for a number the file footers already know would be waste
-    val nSemantic = spark.read.parquet(s"$out/documents").count()
+    // 6. decontamination: q82's removal list (any 13-gram window shared
+    // verbatim with the held-out split flags the TRAIN doc) applied by
+    // broadcast anti-join — flag discovery runs on the raw corpus (same
+    // raw-ids convention as group discovery above), the heldout window
+    // index is broadcastable at any train scale, and the list itself is a
+    // doc_id column small enough to broadcast against the kept frontier.
+    val (deconKept, nSemantic) =
+      if (!cfg.decontaminate) (semKept, -1L)
+      else {
+        val drops = graft.operators.CurationOps
+          .decontaminate(spark, sfDir, cfg.decontaminateNgram)
+          .filter(col("drop")).select("doc_id")
+        // the opt-in path pays one extra count of the semantic frontier so
+        // the attrition report can show the decon stage's own attrition
+        (semKept.join(broadcast(drops), Seq("doc_id"), "left_anti"), semKept.count())
+      }
 
-    // 6. chunk the kept docs for training-example shaping — the exact q60
+    deconKept.write.mode(SaveMode.Overwrite).parquet(s"$out/documents")
+    // count from the written parquet — a second execution of the curation
+    // join DAG for a number the file footers already know would be waste
+    val nFinal = spark.read.parquet(s"$out/documents").count()
+
+    // 7. chunk the kept docs for training-example shaping — the exact q60
     // chunker (shared implementation incl. its stride<=window guard), fed
     // from the just-written parquet so it never re-runs the curation DAG
     graft.operators.CurationOps
@@ -148,18 +173,21 @@ object CorpusPrep {
       ("01_quality_gate", nQuality),
       ("02_exact_dedup", nExact),
       ("03_neardup_groups", nKept),
-      ("04_semantic_dedup", nSemantic),
-      ("05_chunks", nChunks))
+      ("04_semantic_dedup", if (cfg.decontaminate) nSemantic else nFinal),
+      ("05_decontaminate", nFinal),
+      ("06_chunks", nChunks))
       .toDF("stage", "rows")
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$out/stats")
   }
 
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2, "usage: CorpusPrep <sf-dir> <out-dir> [--no-neardup] [--semantic]")
+    require(args.length >= 2,
+      "usage: CorpusPrep <sf-dir> <out-dir> [--no-neardup] [--semantic] [--decontaminate]")
     val spark = GraftSession.get()
     run(spark, args(0), args(1), Config(
       nearDup = !args.contains("--no-neardup"),
-      semantic = args.contains("--semantic")))
+      semantic = args.contains("--semantic"),
+      decontaminate = args.contains("--decontaminate")))
     spark.stop()
   }
 }

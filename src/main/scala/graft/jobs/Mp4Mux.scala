@@ -24,15 +24,20 @@ import graft.multimodal.PngEncoder
   *
   * DEPLOYMENT PREREQUISITE: the default command requires `ffmpeg` on every
   * EXECUTOR's PATH (the muxer runs task-side, not on the driver) — same
-  * binary the reference's container image installs. What is validated
-  * where: the distributed staging contract (per-recording co-location,
-  * frame_no-ordered %04d PNG layout, fps computation, per-recording
-  * invocation, non-zero-exit propagation, scratch cleanup) is spec-tested
-  * via the injectable stand-in; the ffmpeg execution itself has NOT run in
-  * this container and is validated by running `mux()` once in any
-  * ffmpeg-equipped deployment. The stand-in contract a substitute command
-  * must honor: consume `<dir>/image_raw-%04d.png` (0-based), write the
-  * given output path, exit 0 on success.
+  * binary the reference's container image installs. An ffmpeg-shaped
+  * command is probed (`ffmpeg -version`, once per executor JVM) before the
+  * first real invocation, so a deployment missing the binary fails
+  * immediately with an actionable message. What is validated where: the
+  * distributed staging contract (per-recording co-location, frame_no-
+  * ordered %04d PNG layout, fps computation, per-recording invocation,
+  * non-zero-exit propagation, scratch cleanup) is spec-tested via the
+  * injectable stand-in; the real ffmpeg execution is covered by
+  * Mp4MuxFfmpegSpec, whose mux-to-parseable-mp4 case runs wherever an
+  * ffmpeg binary exists (environment-gated via assume, never
+  * green-washed) and whose missing-binary case asserts the probe's
+  * actionable failure everywhere else. The stand-in contract a substitute
+  * command must honor: consume `<dir>/image_raw-%04d.png` (0-based),
+  * write the given output path, exit 0 on success.
   */
 object Mp4Mux {
 
@@ -43,6 +48,31 @@ object Mp4Mux {
 
   private def sanitize(s: String): String = s.replaceAll("[^A-Za-z0-9._-]", "_")
 
+  /** Muxer binaries already validated in this JVM (once per executor). */
+  private val probedOk = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Validate-on-first-run probe: `<bin> -version` must execute and exit 0
+    * BEFORE the first real invocation, so a deployment missing the binary
+    * fails immediately with a message naming the prerequisite — not with a
+    * per-recording exec error after frames were already staged, deep in a
+    * task retry loop. Cached per JVM; ffmpeg-shaped commands only (a
+    * custom stand-in need not support `-version`).
+    */
+  private[graft] def probeMuxer(bin: String): Unit =
+    if (!probedOk.contains(bin)) {
+      val ok =
+        try {
+          val p = new ProcessBuilder(bin, "-version").redirectErrorStream(true).start()
+          p.getInputStream.readAllBytes()
+          p.waitFor() == 0
+        } catch { case _: java.io.IOException => false }
+      require(ok,
+        s"muxer '$bin' is not runnable on this executor ('$bin -version' failed). " +
+          "Mp4Mux's default command needs ffmpeg installed on every EXECUTOR's PATH " +
+          "(see README) — or inject a custom `command` to use a different muxer.")
+      probedOk.add(bin)
+    }
+
   /** Mux every (bag, topic) recording in `images` (the RosbagReader.images
     * schema) into `outDir`. One muxer invocation per recording, recordings
     * processed in parallel across tasks.
@@ -50,11 +80,16 @@ object Mp4Mux {
   def mux(spark: SparkSession, images: DataFrame, outDir: String,
       command: (String, Double, String) => Seq[String] = ffmpegCommand): Unit = {
     new File(outDir).mkdirs()
+    // ffmpeg-shaped command (the default, or a custom path to an ffmpeg
+    // binary): probe it once per executor before muxing anything
+    val muxerBin = command("<probe>", 1.0, "<probe>").headOption.getOrElse("")
+    val probeBin = if (new File(muxerBin).getName == "ffmpeg") Some(muxerBin) else None
     images
       .select("bag", "topic", "time_ns", "frame_no", "width", "height", "encoding", "step", "pixels")
       .repartition(col("bag"), col("topic"))
       .sortWithinPartitions("bag", "topic", "frame_no")
       .foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
+        probeBin.foreach(probeMuxer)
         var key: (String, String) = null
         var dir: File = null
         var n = 0L; var tMin = Long.MaxValue; var tMax = Long.MinValue

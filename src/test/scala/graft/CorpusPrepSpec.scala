@@ -24,11 +24,52 @@ class CorpusPrepSpec extends SparkSpec {
     assert(stats("01_quality_gate") >= stats("02_exact_dedup"))
     assert(stats("02_exact_dedup") >= stats("03_neardup_groups"))
     assert(stats("03_neardup_groups") >= stats("04_semantic_dedup"))
-    // semantic stage off by default: a pass-through, not a silent gate
+    // semantic + decontamination stages off by default: pass-throughs, not
+    // silent gates
     assert(stats("04_semantic_dedup") === stats("03_neardup_groups"))
-    assert(stats("04_semantic_dedup") === spark.read.parquet(s"$out/documents").count())
-    assert(stats("05_chunks") === spark.read.parquet(s"$out/chunks").count())
+    assert(stats("05_decontaminate") === stats("04_semantic_dedup"))
+    assert(stats("05_decontaminate") === spark.read.parquet(s"$out/documents").count())
+    assert(stats("06_chunks") === spark.read.parquet(s"$out/chunks").count())
     assert(stats("03_neardup_groups") > 0)
+  }
+
+  test("decontamination drops a train doc sharing a 13-gram with the heldout split") {
+    import spark.implicits._
+    // doc_id * 2654435761 % 100: 3 -> 83 (heldout), everything else here is
+    // train (1->61, 2->22, 4->44, 5->5, 6->66). Doc 2 (train) contains doc
+    // 3's (heldout) 13-token window VERBATIM but with different surrounding
+    // text: distinct content hash (survives exact dedup), passes the
+    // quality gate (18 distinct tokens, dup_rate 0), and is its near-dup
+    // component's minimum id, so the lexical stages all keep it — only the
+    // decontamination stage can catch it.
+    val shared = (1 to 13).map(i => s"s$i").mkString(" ")
+    val corpus = java.nio.file.Files.createTempDirectory("deconcorpus").toString
+    Seq(
+      1L -> "alpha bravo charlie delta echo foxtrot golf hotel",
+      2L -> s"t1 t2 t3 t4 t5 $shared",
+      3L -> s"$shared h1 h2 h3 h4 h5",
+      4L -> "red orange yellow green blue indigo violet gray",
+      5L -> "north south east west up down left right",
+      6L -> "cat dog bird fish horse sheep goat cow")
+      .map { case (id, t) => (id, "en", "web", t, t.length.toLong) }
+      .toDF("doc_id", "lang", "source", "text", "n_chars")
+      .write.parquet(s"$corpus/documents.parquet")
+
+    val offOut = java.nio.file.Files.createTempDirectory("deconoff").toString
+    CorpusPrep.run(spark, corpus, offOut, CorpusPrep.Config())
+    val offIds = spark.read.parquet(s"$offOut/documents")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(offIds.contains(2L), "doc 2 must survive every non-decon stage")
+
+    val onOut = java.nio.file.Files.createTempDirectory("deconon").toString
+    CorpusPrep.run(spark, corpus, onOut, CorpusPrep.Config(decontaminate = true))
+    val onIds = spark.read.parquet(s"$onOut/documents")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // identical pipeline except the decon stage: exactly doc 2 drops
+    assert(onIds === offIds - 2L)
+    val stats = spark.read.parquet(s"$onOut/stats").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(stats("05_decontaminate") === stats("04_semantic_dedup") - 1)
   }
 
   test("semantic stage drops an embedding paraphrase that survives lexical dedup") {
