@@ -96,6 +96,7 @@ object SparkEntry {
     "q72b_range_join_rule" -> (TemporalOps.overlapJoinViaRule _),
     "q73_bm25"            -> ((s: SparkSession, d: String) => TextAnalysisOps.bm25(s, d)),
     "q81_hybrid_rrf"      -> ((s: SparkSession, d: String) => SimilarityOps.hybridRrf(s, d)),
+    "q81b_hybrid_rrf_multi" -> ((s: SparkSession, d: String) => SimilarityOps.hybridRrfMulti(s, d)),
     "q74_pps_sample"      -> ((s: SparkSession, d: String) => CurationOps.ppsSample(s, d)),
     "q75_scd2"            -> (TemporalOps.scd2 _),
     "q76_rolling_features" -> (TemporalOps.rollingFeatures _),
@@ -1304,6 +1305,37 @@ object SparkEntry {
          |  COALESCE(CAST(1 AS DOUBLE) / (60 + rank_sem), 0) AS rrf
          |FROM lexr FULL JOIN semr USING (doc_id)
          |ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin,
+
+    // q81 fanned over the query table vec_id < 3: per-query semantic
+    // ranks, the shared BM25 list cross-joined to every query, fusion and
+    // final rank PARTITIONED by query_id; FULL JOIN USING coalesces both
+    // keys exactly like Spark's full_outer on the two-column key
+    "q81b_hybrid_rrf_multi" ->
+      s"""WITH $EMB_NORM,
+         |bm AS (SELECT * FROM ($BM25_SQL)),
+         |lexr AS (SELECT doc_id,
+         |           CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank_lex
+         |         FROM bm),
+         |qv AS (SELECT vec_id AS query_id, v, nrm FROM n WHERE vec_id < 3),
+         |sem AS (SELECT qv.query_id, n.vec_id AS doc_id,
+         |          list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65),
+         |            i -> n.v[i]*qv.v[i])), (a2, b2) -> a2 + b2) / (n.nrm * qv.nrm) AS cos
+         |        FROM n, qv WHERE n.vec_id >= 10),
+         |semtop AS (SELECT query_id, doc_id, rank_sem FROM (
+         |             SELECT query_id, doc_id,
+         |               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         |                 ORDER BY cos DESC, doc_id) AS BIGINT) AS rank_sem
+         |             FROM sem) t WHERE rank_sem <= 20),
+         |lexq AS (SELECT q.query_id, l.doc_id, l.rank_lex
+         |         FROM lexr l, (SELECT DISTINCT query_id FROM qv) q),
+         |f AS (SELECT query_id, doc_id, rank_lex, rank_sem,
+         |        COALESCE(CAST(1 AS DOUBLE) / (60 + rank_lex), 0) +
+         |        COALESCE(CAST(1 AS DOUBLE) / (60 + rank_sem), 0) AS rrf
+         |      FROM lexq FULL JOIN semtop USING (query_id, doc_id))
+         |SELECT query_id, doc_id, rank_lex, rank_sem, rrf, rank FROM (
+         |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         |    ORDER BY rrf DESC, doc_id) AS BIGINT) AS rank FROM f) t
+         |WHERE rank <= 20 ORDER BY query_id, rank""".stripMargin,
 
     "q74_pps_sample" ->
       """WITH d2 AS (

@@ -407,27 +407,86 @@ object SimilarityOps {
     * the corpus. Double arithmetic is a fixed IEEE chain both engines
     * reproduce bit-identically.
     */
+  /** Rank an already-bounded k-row list by (score DESC, id ASC) WITHOUT a
+    * window: one global `graft_topk` aggregate over <= k rows. An empty
+    * partition spec on a rank window — even one provably fed k rows —
+    * plans a WindowExec that logs the "No Partition Defined" single-
+    * partition warning on every run; a literal partition key does not
+    * survive the optimizer (EliminateWindowPartitions folds it away), so
+    * the clean fix is no Window node at all. graft_topk's heap order is
+    * exactly ROW_NUMBER's (score DESC, id ASC) tiebreak.
+    */
+  private def rankBounded(df: DataFrame, score: Column, id: Column,
+      rankName: String, topK: Int): DataFrame =
+    df.agg(call_function("graft_topk", score, id, id, lit(topK)).as("top"))
+      .select(posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("t.id").as("doc_id"), (col("pos") + 1).cast("long").as(rankName))
+
   def hybridRrf(s: SparkSession, d: String, rrfK: Int = 60, topK: Int = 20): DataFrame = {
-    val wLex = Window.orderBy(col("score").desc, col("doc_id"))
-    val lex = TextAnalysisOps.bm25(s, d, topK = topK) // already top-k, k rows
-      .withColumn("rank_lex", row_number().over(wLex).cast("long"))
-      .select(col("doc_id"), col("rank_lex"))
+    val lex = rankBounded(TextAnalysisOps.bm25(s, d, topK = topK), // already top-k, k rows
+      col("score"), col("doc_id"), "rank_lex", topK)
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), toDouble(col("embedding")).as("v"))
       .withColumn("nrm", norm(col("v")))
     val q = e.filter(col("vec_id") === 0).select(col("v").as("qv"), col("nrm").as("qn"))
-    val wSem = Window.orderBy(col("cos").desc, col("doc_id"))
-    val sem = e.filter(col("vec_id") >= 10).crossJoin(broadcast(q))
-      .withColumn("cos", cosine(col("v"), col("qv"), col("nrm"), col("qn")))
-      .select(col("vec_id").as("doc_id"), col("cos"))
-      .orderBy(col("cos").desc, col("doc_id")).limit(topK) // distributed top-k
-      .withColumn("rank_sem", row_number().over(wSem).cast("long"))
-      .select(col("doc_id"), col("rank_sem"))
+    val sem = rankBounded(
+      e.filter(col("vec_id") >= 10).crossJoin(broadcast(q))
+        .withColumn("cos", cosine(col("v"), col("qv"), col("nrm"), col("qn")))
+        .select(col("vec_id").as("doc_id"), col("cos"))
+        .orderBy(col("cos").desc, col("doc_id")).limit(topK), // distributed top-k
+      col("cos"), col("doc_id"), "rank_sem", topK)
     lex.join(sem, Seq("doc_id"), "full_outer")
       .withColumn("rrf",
         coalesce(lit(1.0) / (lit(rrfK) + col("rank_lex")), lit(0.0)) +
           coalesce(lit(1.0) / (lit(rrfK) + col("rank_sem")), lit(0.0)))
       .orderBy(col("rrf").desc, col("doc_id"))
       .limit(topK)
+  }
+
+  /** q81b — hybrid RRF fanned over a QUERY TABLE: real hybrid search
+    * serves many queries per pass, not one hard-coded vector. Each
+    * query_id gets its own semantic ranking; the lexical ranking (q73's
+    * fixed benchmark term set) is query-independent here, so one bounded
+    * BM25 list joins every query's fusion — the standard shared-candidate
+    * layout when the lexical side is a filter/boost list.
+    *
+    * Scale shape: the semantic per-query top-k runs through `graft_topk`
+    * (bounded k-entry heaps in map-side partials, shuffle carries k rows
+    * per task×query — never a per-query sort of the corpus, exactly
+    * q11b's plan insensitive to corpus size); every rank window is
+    * PARTITIONED by query_id (or a literal for the k-row lexical list),
+    * so nothing plans a global window and driver logs stay quiet. Fusion
+    * joins queries × k-row lists — driver-sized no matter the corpus.
+    */
+  def hybridRrfMulti(s: SparkSession, d: String, nQueries: Int = 3,
+      rrfK: Int = 60, topK: Int = 20): DataFrame = {
+    require(nQueries >= 1 && nQueries <= 10, s"nQueries in [1,10]; got $nQueries")
+    val lex = rankBounded(TextAnalysisOps.bm25(s, d, topK = topK), // already top-k, k rows
+      col("score"), col("doc_id"), "rank_lex", topK)
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      .withColumn("nrm", norm(col("v")))
+    val qs = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+    // per-query semantic top-k: one corpus scan against the broadcast
+    // query table, reduced by the bounded graft_topk aggregate
+    val sem = e.filter(col("vec_id") >= 10).join(broadcast(qs))
+      .withColumn("cos", cosine(col("v"), col("qv"), col("nrm"), col("qn")))
+      .groupBy("query_id")
+      .agg(call_function("graft_topk",
+        col("cos"), col("vec_id"), col("vec_id"), lit(topK)).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("query_id"), col("t.id").as("doc_id"),
+        (col("pos") + 1).cast("long").as("rank_sem"))
+    val lexPerQuery = lex.crossJoin(broadcast(qs.select("query_id")))
+    val wr = Window.partitionBy("query_id").orderBy(col("rrf").desc, col("doc_id"))
+    lexPerQuery.join(sem, Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(rrfK) + col("rank_lex")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(rrfK) + col("rank_sem")), lit(0.0)))
+      .withColumn("rank", row_number().over(wr).cast("long"))
+      .filter(col("rank") <= topK)
+      .select("query_id", "doc_id", "rank_lex", "rank_sem", "rrf", "rank")
+      .orderBy("query_id", "rank")
   }
 }

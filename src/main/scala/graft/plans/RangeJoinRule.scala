@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.internal.SQLConf
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampType}
 
 /** Optimizer rule: rewrite an interval-overlap theta join into a binned
   * equi-join.
@@ -24,13 +24,17 @@ import org.apache.spark.sql.types.LongType
   * downstream aggregate.
   *
   * Scope guards, checked structurally: INNER joins whose condition carries
-  * the two long-typed overlap conjuncts with each bound fully on one side
-  * — strict (`<`) and non-strict (`<=`) bounds both qualify, in either
-  * spelling (`a.start < b.end` or `b.end > a.start`), because the exact
-  * original conjuncts always remain as the residual predicate and strict
-  * matches are a subset of the inclusive bins; fires only when
-  * `spark.graft.rangeJoin.binWidth` (same time
-  * unit as the bounds; pick ~ the typical interval span) is set positive;
+  * the two overlap conjuncts — LONG-typed (binned directly) or
+  * TIMESTAMP-typed (binned on epoch micros via UnixMicros; event-time
+  * overlap joins are written on timestamps and previously kept the nested
+  * loop silently) — with each bound fully on one side; strict (`<`) and
+  * non-strict (`<=`) bounds both qualify, in either spelling
+  * (`a.start < b.end` or `b.end > a.start`), because the exact original
+  * conjuncts always remain as the residual predicate and strict matches
+  * are a subset of the inclusive bins; fires only when
+  * `spark.graft.rangeJoin.binWidth` (same unit as the bounds — epoch
+  * MICROSECONDS for timestamp bounds; pick ~ the typical interval span)
+  * is set positive;
   * skips joins already carrying the first-bin marker so the fixed-point
   * optimizer batch stays idempotent. Bin count per row is
   * span/W + 1 — a pathologically wide interval costs explode rows, never
@@ -112,10 +116,18 @@ object RangeJoinRule extends Rule[LogicalPlan] {
           case GreaterThan(hi, lo)        => Some((lo, hi))
           case _                          => None
         }
+        // long-typed bounds bin directly; TIMESTAMP bounds bin on their
+        // epoch micros (UnixMicros — the internal value, monotonic, no
+        // timezone dependence), with binWidth then read in MICROSECONDS.
+        // The exact original conjuncts still form the residual either way.
+        def binnable(e: Expression): Boolean =
+          e.dataType == LongType || e.dataType == TimestampType
+        def asMicros(e: Expression): Expression =
+          if (e.dataType == TimestampType) UnixMicros(e) else e
         val bounds = cs.flatMap { c =>
           asBound(c).collect {
             case (lo, hi)
-                if lo.dataType == LongType && hi.dataType == LongType &&
+                if binnable(lo) && lo.dataType == hi.dataType &&
                   sideOf(lo).isDefined && sideOf(hi).isDefined &&
                   sideOf(lo) != sideOf(hi) && lo.deterministic && hi.deterministic =>
               (c, lo, hi, sideOf(lo).get)
@@ -125,28 +137,42 @@ object RangeJoinRule extends Rule[LogicalPlan] {
         // conjunct — with several candidates on a side the overlap pair is
         // structurally ambiguous (e.g. a dedup guard `a.id < b.id` next to
         // the real time bounds), and a mis-pick bins id-vs-timestamp spans
-        // into billions of rows. Preference order: the unique non-strict
-        // pair if one exists (ids are idiomatically strict, time bounds
-        // idiomatically <=), else the unique pair overall, else DON'T
-        // rewrite — a kept nested loop is slow, a wrong bin axis is fatal.
-        def unique(side: Boolean): Option[(Expression, Expression, Expression)] = {
+        // into billions of rows. Preference order, applied SYMMETRICALLY:
+        // the unique non-strict pick on BOTH sides first (ids are
+        // idiomatically strict, time bounds idiomatically <=), else the
+        // unique pick overall on both sides, else DON'T rewrite. Symmetric
+        // matters: mixing tiers would let a lone NON-strict dedup guard
+        // (`a.id <= b.id`) win one axis while the other comes from a
+        // strict time bound — the inverse hijack, binning an id-vs-time
+        // span. A kept nested loop is slow, a wrong bin axis is fatal.
+        def pick(side: Boolean, nonStrictOnly: Boolean): Option[(Expression, Expression, Expression)] = {
           val all = bounds.filter(_._4 == side)
-          val nonStrict = all.filter(_._1 match {
+          val cands = if (!nonStrictOnly) all else all.filter(_._1 match {
             case _: LessThanOrEqual | _: GreaterThanOrEqual => true
             case _                                          => false
           })
-          val pick = if (nonStrict.size == 1) nonStrict else all
-          if (pick.size == 1) Some((pick.head._1, pick.head._2, pick.head._3)) else None
+          if (cands.size == 1) Some((cands.head._1, cands.head._2, cands.head._3)) else None
         }
-        (unique(true), unique(false)) match {
-          case (Some((f, aStart, bEnd)), Some((b, bStart, aEnd))) if f != b =>
+        val picked = (pick(true, nonStrictOnly = true), pick(false, nonStrictOnly = true)) match {
+          case (Some(lp), Some(rp)) => Some((lp, rp))
+          case _ => (pick(true, nonStrictOnly = false), pick(false, nonStrictOnly = false)) match {
+            case (Some(lp), Some(rp)) => Some((lp, rp))
+            case _                    => None
+          }
+        }
+        picked match {
+          // both axes must live on the same type: a long bound paired with
+          // a timestamp bound is not an interval overlap
+          case Some(((f, aStart, bEnd), (b, bStart, aEnd)))
+              if f != b && aStart.dataType == bStart.dataType &&
+                aStart.dataType == aEnd.dataType =>
             val wLit = Literal(w, LongType)
             def binsOf(lo: Expression, hi: Expression, name: String, child: LogicalPlan) = {
               // Sequence is TimeZoneAwareExpression: the analyzer's
               // ResolveTimeZone has already run, so set the zone here or
               // the plan goes back to unresolved
               val seq = Sequence(
-                IntegralDivide(lo, wLit), IntegralDivide(hi, wLit),
+                IntegralDivide(asMicros(lo), wLit), IntegralDivide(asMicros(hi), wLit),
                 None, Some(SQLConf.get.sessionLocalTimeZone))
               val attr = AttributeReference(name, LongType, nullable = false)()
               (Generate(Explode(seq), Nil, outer = false, None, Seq(attr), child), attr)
@@ -154,7 +180,7 @@ object RangeJoinRule extends Rule[LogicalPlan] {
             val (lGen, binL) = binsOf(aStart, aEnd, "graft_bin_l", left)
             val (rGen, binR) = binsOf(bStart, bEnd, "graft_bin_r", right)
             val firstBin = EqualTo(binL,
-              IntegralDivide(Greatest(Seq(aStart, bStart)), wLit))
+              IntegralDivide(Greatest(Seq(asMicros(aStart), asMicros(bStart))), wLit))
             val newCond = (EqualTo(binL, binR) +: cs :+ firstBin).reduce(And)
             Project(j.output, Join(lGen, rGen, Inner, Some(newCond), hint))
           case _ => j

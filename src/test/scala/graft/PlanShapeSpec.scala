@@ -127,13 +127,39 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("collect_list"), p)
   }
 
-  test("q81: both retrieval sides are bounded top-k — no global sort of the corpus") {
-    val p = plan(operators.SimilarityOps.hybridRrf(spark, sf))
+  test("q81: both retrieval sides are bounded top-k — no global sort, no window at all") {
+    val df = operators.SimilarityOps.hybridRrf(spark, sf)
+    val p = plan(df)
     // the cosine side must rank via TakeOrderedAndProject (distributed
-    // top-k), never a full Sort of corpus-sized data; the only window
-    // functions run over the already-limited k-row lists
+    // top-k), never a full Sort of corpus-sized data; the k-row lists are
+    // then ranked by the bounded graft_topk aggregate, so the plan
+    // carries NO Window node — nothing to log the single-partition
+    // "No Partition Defined for Window" warning at scale
     assert(p.contains("TakeOrderedAndProject"), p)
     assert(!p.contains("CartesianProduct"), p)
+    val windows = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.isEmpty, s"q81 should rank via graft_topk, found:\n$windows")
+  }
+
+  test("q81b: per-query top-k via the bounded aggregate — no corpus sort, no global window") {
+    val df = operators.SimilarityOps.hybridRrfMulti(spark, sf)
+    val p = plan(df)
+    // the semantic side reduces through graft_topk (bounded map-side
+    // heaps), so the plan carries no Sort of corpus-sized data and no
+    // rank window over an unpartitioned corpus
+    assert(p.contains("graft_topk"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // every Window node is partitioned (query_id or the literal lexical
+    // key): an empty partition spec would be the single-partition
+    // bottleneck warning q81's windows used to log
+    val optimized = df.queryExecution.optimizedPlan
+    val emptySpecs = optimized.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window
+          if w.partitionSpec.isEmpty => w
+    }
+    assert(emptySpecs.isEmpty, s"unpartitioned windows:\n$emptySpecs")
   }
 
   test("q01: partial (map-side) aggregation before the exchange") {

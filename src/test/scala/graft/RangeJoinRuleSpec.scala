@@ -142,6 +142,57 @@ class RangeJoinRuleSpec extends SparkSpec {
     assert(plan.contains("graft_bin"), plan) // fired, on the ts axis
   }
 
+  test("a NON-strict dedup guard next to STRICT time bounds must not hijack the bin axis") {
+    // the inverse of the test above: here the lone non-strict conjunct is
+    // the id guard and the real time bounds are spelled strictly. A
+    // non-strict preference applied per-side would pick the id guard as
+    // the left axis and the strict time bound as the right — binning an
+    // id-vs-timestamp span (a sequence that can exceed the runtime's
+    // length limit on a query that ran fine unrewritten). The preference
+    // tiers must apply symmetrically, leaving this join un-rewritten.
+    val (l, r) = intervals
+    def q = l.join(r,
+      l("l_id") <= r("r_id") &&
+        l("l_start") < r("r_end") && r("r_start") < l("l_end"))
+    val baseline = rows(q)
+    assert(baseline.nonEmpty)
+    val (rewritten, plan) = withWidth(100) {
+      (rows(q), q.queryExecution.executedPlan.toString)
+    }
+    assert(rewritten === baseline)
+    assert(!plan.contains("graft_bin"), plan) // conservatively dormant
+  }
+
+  test("timestamp-typed intervals rewrite on the epoch-micros axis") {
+    // event-time overlap joins are written on TIMESTAMP columns; the rule
+    // bins them on their epoch micros (binWidth read in microseconds) and
+    // keeps the original timestamp comparisons as the residual
+    val (l0, r0) = intervals
+    val l = l0.selectExpr("l_id",
+      "timestamp_micros(l_start) AS l_start", "timestamp_micros(l_end) AS l_end")
+    val r = r0.selectExpr("r_id",
+      "timestamp_micros(r_start) AS r_start", "timestamp_micros(r_end) AS r_end")
+    val baseline = rows(thetaJoin(l, r))
+    assert(baseline.nonEmpty)
+    val (rewritten, plan) = withWidth(100) {
+      (rows(thetaJoin(l, r)), thetaJoin(l, r).queryExecution.executedPlan.toString)
+    }
+    assert(rewritten === baseline)
+    assert(plan.contains("graft_bin") && !plan.contains("BroadcastNestedLoopJoin"), plan)
+    // strictness preserved on the timestamp axis too: touching endpoints
+    import spark.implicits._
+    val tl = Seq((1L, 0L, 100L)).toDF("l_id", "s", "e")
+      .selectExpr("l_id", "timestamp_micros(s) AS l_start", "timestamp_micros(e) AS l_end")
+    val tr = Seq((2L, 100L, 200L)).toDF("r_id", "s", "e")
+      .selectExpr("r_id", "timestamp_micros(s) AS r_start", "timestamp_micros(e) AS r_end")
+    withWidth(64) {
+      assert(rows(tl.join(tr, tl("l_start") <= tr("r_end") && tr("r_start") <= tl("l_end")))
+        === Seq((1L, 2L)))
+      assert(rows(tl.join(tr, tl("l_start") < tr("r_end") && tr("r_start") < tl("l_end")))
+        === Seq.empty)
+    }
+  }
+
   test("structurally ambiguous bounds (two strict candidates per side) do not rewrite") {
     val (l, r) = intervals
     // both conjunct pairs are strict and bound-shaped; no safe pick exists
