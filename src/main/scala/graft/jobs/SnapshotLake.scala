@@ -15,7 +15,10 @@ import java.util.UUID
   *   <table>/_log/v%08d.manifest                 one relative path per line
   * }}}
   *
-  * A snapshot IS its manifest: readers list `_log`, pick a version, and
+  * A snapshot IS its manifest: readers resolve the latest version through
+  * the `_log/LATEST` pointer (+ forward existence probes; full listing
+  * only as a fallback — O(1) per read instead of O(commits)), pick a
+  * version, and
   * scan exactly the files it names — never the directory tree — so writers
   * can stage new data files freely (a half-written commit is invisible
   * until its manifest publishes) and maintenance can rewrite files without
@@ -60,11 +63,61 @@ object SnapshotLake {
       .sorted.toSeq
   }
 
-  /** Published versions, ascending (empty for a fresh/absent table). */
+  /** Published versions, ascending (empty for a fresh/absent table).
+    * Lists the log directory — O(total versions); the hot read path never
+    * calls this (see [[latestVersion]]), so full listings are paid only by
+    * genuine history walks (time-travel UIs, [[expire]]). */
   def versions(spark: SparkSession, table: String): Seq[Long] = {
     val (fs, root) = fsOf(spark, table)
     listLog(fs, root, ".manifest")
   }
+
+  private def latestPointerPath(root: Path) = new Path(logDir(root), "LATEST")
+
+  /** Bounded latest-version discovery: the `_log/LATEST` pointer names a
+    * FLOOR, then forward existence probes catch manifests published after
+    * the pointer was last bumped. The pointer is a HINT — written
+    * best-effort after each publish, possibly stale (a racing writer's
+    * overwrite can even regress it), never trusted as an upper bound —
+    * so correctness never depends on it: probes walk forward from any
+    * floor, and a missing/corrupt/dangling pointer falls back to the full
+    * directory listing (legacy tables, torn writes). Happy-path cost: one
+    * pointer read + lag+1 existence probes, vs an O(100k-entry) listing
+    * per query plan on a long-lived table. */
+  private[jobs] def latestVersion(fs: FileSystem, root: Path): Option[Long] =
+    latestVersionInstrumented(fs, root)._1
+
+  /** Test seam: (latest, existence probes paid, fell back to listing). */
+  private[graft] def latestVersionInstrumented(
+      fs: FileSystem, root: Path): (Option[Long], Int, Boolean) = {
+    val hint: Option[Long] =
+      try {
+        val in = fs.open(latestPointerPath(root))
+        val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+                finally in.close()
+        s.toLongOption
+      } catch { case _: java.io.IOException => None }
+    hint.filter(_ >= 1) match {
+      case Some(h) if fs.exists(manifestPath(root, h)) =>
+        var v = h
+        var probes = 1
+        while ({ probes += 1; fs.exists(manifestPath(root, v + 1)) }) v += 1
+        (Some(v), probes, false)
+      case dangling => // absent/corrupt/unpublished pointer: list instead
+        (listLog(fs, root, ".manifest").lastOption,
+          if (dangling.isDefined) 1 else 0, true)
+    }
+  }
+
+  /** Best-effort post-publish pointer bump. Failures are swallowed and
+    * racing writers may interleave overwrites out of order: the pointer is
+    * a read-path floor with probe/listing recovery, never part of the
+    * commit protocol's correctness. */
+  private def updateLatestPointer(fs: FileSystem, root: Path, v: Long): Unit =
+    try {
+      val out = fs.create(latestPointerPath(root), true)
+      try out.write(v.toString.getBytes(StandardCharsets.UTF_8)) finally out.close()
+    } catch { case _: java.io.IOException => () }
 
   /** What the manifest's per-file min/max values ARE: long decimal strings
     * compared numerically, or the RAW BYTES of the parquet binary stats,
@@ -236,12 +289,19 @@ object SnapshotLake {
       exact(spark.read.parquet(paths(kept): _*))
   }
 
+  /** O(1) per read: latest resolves via the pointer + forward probes, an
+    * explicit version via one existence check — never a full log listing. */
   private def resolveVersion(spark: SparkSession, table: String, version: Option[Long]): Long = {
-    val vs = versions(spark, table)
-    require(vs.nonEmpty, s"no snapshots at $table")
-    val v = version.getOrElse(vs.max)
-    require(vs.contains(v), s"version $v not in ${vs.mkString(",")} at $table")
-    v
+    val (fs, root) = fsOf(spark, table)
+    version match {
+      case Some(v) =>
+        require(fs.exists(manifestPath(root, v)), s"version $v not published at $table")
+        v
+      case None =>
+        val latest = latestVersion(fs, root)
+        require(latest.nonEmpty, s"no snapshots at $table")
+        latest.get
+    }
   }
 
   private def readEntries(spark: SparkSession, table: String, version: Option[Long],
@@ -445,6 +505,7 @@ object SnapshotLake {
               fs.delete(claimPath(root, target), false)
               throw e
           }
+          updateLatestPointer(fs, root, target)
           return target
         }
         // lost the claim race: loop re-lists and either waits on the
@@ -547,9 +608,9 @@ object SnapshotLake {
     requireAtomicClaims(table)
     val (fs, root) = fsOf(spark, table)
     requireAtomicClaims(fs)
-    val vs = versions(spark, table)
-    require(vs.nonEmpty, s"no snapshots at $table")
-    val basedOn = vs.max
+    val latest = latestVersion(fs, root)
+    require(latest.nonEmpty, s"no snapshots at $table")
+    val basedOn = latest.get
     val (baseStats, baseFiles) = readManifest(fs, root, basedOn)
     if (baseFiles.isEmpty) return None
     val bytes = baseFiles.map(f => fs.getFileStatus(new Path(root, f.path)).getLen).sum
@@ -581,10 +642,9 @@ object SnapshotLake {
     requireAtomicClaims(table)
     val (fs, root) = fsOf(spark, table)
     requireAtomicClaims(fs)
-    val vs = versions(spark, table)
-    if (vs.nonEmpty) {
-      val (headers, _) = readManifestRaw(fs, root, vs.max)
-      if (headers.contains(batchHeader + batchId)) return vs.max // re-delivery
+    latestVersion(fs, root).foreach { latest =>
+      val (headers, _) = readManifestRaw(fs, root, latest)
+      if (headers.contains(batchHeader + batchId)) return latest // re-delivery
     }
     val (dataDir, fresh, freshSpec) = stage(spark, fs, root, df, statsCol)
     try

@@ -32,6 +32,45 @@ class SnapshotLakeSpec extends SparkSpec {
     assert(ids(SnapshotLake.read(spark, t, Some(2))) === (0L until 25L))
   }
 
+  test("LATEST pointer: O(1) latest discovery, probe recovery, listing fallback") {
+    val t = freshTable()
+    (0 until 3).foreach(i => SnapshotLake.commitAppend(spark, t, batch(i * 10, i * 10 + 10)))
+    val root = new Path(t)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ptr = new Path(root, "_log/LATEST")
+    def writePtr(s: String): Unit = {
+      val out = fs.create(ptr, true)
+      try out.write(s.getBytes("UTF-8")) finally out.close()
+    }
+    def readPtr(): String = {
+      val in = fs.open(ptr)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim finally in.close()
+    }
+    // fresh pointer: every publish bumped it; discovery pays exactly 2
+    // existence probes (hit v3, miss v4) and never lists the log dir
+    assert(readPtr() === "3")
+    assert(SnapshotLake.latestVersionInstrumented(fs, root) === (Some(3L), 2, false))
+    // stale pointer (a writer died before its bump): forward probes walk
+    // to the true latest — 4 probes for a 2-version lag, still no listing
+    writePtr("1")
+    assert(SnapshotLake.latestVersionInstrumented(fs, root) === (Some(3L), 4, false))
+    assert(ids(SnapshotLake.read(spark, t)) === (0L until 30L)) // reads v3 data
+    // and the next commit re-bumps the pointer past the stale value
+    SnapshotLake.commitAppend(spark, t, batch(30, 35))
+    assert(readPtr() === "4")
+    // DANGLING pointer (names an unpublished version): one wasted probe,
+    // then the listing fallback still finds the truth
+    writePtr("99")
+    assert(SnapshotLake.latestVersionInstrumented(fs, root) === (Some(4L), 1, true))
+    // corrupt pointer: no probes, listing fallback
+    writePtr("not-a-number")
+    assert(SnapshotLake.latestVersionInstrumented(fs, root) === (Some(4L), 0, true))
+    // absent pointer (legacy table): listing fallback, reads still work
+    fs.delete(ptr, false)
+    assert(SnapshotLake.latestVersionInstrumented(fs, root) === (Some(4L), 0, true))
+    assert(ids(SnapshotLake.read(spark, t)) === (0L until 35L))
+  }
+
   test("compaction commits a new version; older snapshots are untouched") {
     val t = freshTable()
     (0 until 5).foreach(i => SnapshotLake.commitAppend(spark, t, batch(i * 10, i * 10 + 10)))
