@@ -112,6 +112,12 @@ object SparkEntry {
     s"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split($x, '')," +
       s" c -> ascii(c))), (acc, ch) -> (acc*31 + ch) % 1000000007)"
 
+  // Second independent polynomial hash (x131 mod 998244353) — mirrors the
+  // h2 half of ShingleKernels.simhash's 60-bit token hash H = h1 | h2<<30.
+  private def PH2(x: String) =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split($x, '')," +
+      s" c -> ascii(c))), (acc, ch) -> (acc*131 + ch) % 998244353)"
+
   // Distinct hashed 3-gram shingles per document (mirrors
   // DedupOps.hashedShingles: word-level charHash, arithmetic 3-gram combine).
   private def SHINGLES =
@@ -672,12 +678,13 @@ object SparkEntry {
 
     "q43_dedup_simhash" ->
       s"""WITH h AS (SELECT doc_id,
-         |    list_transform(string_split(text, ' '), t -> ${PH("t")}) AS hs
+         |    list_transform(string_split(text, ' '),
+         |      t -> ${PH("t")} + ${PH2("t")} * 1073741824) AS hs
          |  FROM documents),
          |bits AS (SELECT doc_id, j,
          |    CASE WHEN list_sum(list_transform(hs, v -> 2*((v >> j) & 1) - 1)) >= 0
          |         THEN (CAST(1 AS BIGINT) << j) ELSE 0 END AS bitval
-         |  FROM h, range(32) t(j)),
+         |  FROM h, range(60) t(j)),
          |sims AS (SELECT doc_id, CAST(SUM(bitval) AS BIGINT) AS simhash FROM bits GROUP BY doc_id)
          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming

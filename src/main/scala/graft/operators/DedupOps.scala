@@ -304,21 +304,42 @@ object DedupOps {
   }
 
   /** q43 — SimHash fingerprint + Hamming near-dup pairs via LOSSLESS
-    * banding: the 32-bit fingerprint splits into 4 bands of 8 bits, and by
-    * pigeonhole any pair within Hamming distance 3 agrees on at least one
-    * whole band — so joining on (band, band_value) finds every qualifying
-    * pair while pruning the quadratic cross product. The fingerprint is one
-    * native kernel call per row (graft_simhash — the round-1 explode +
-    * 32-sum groupBy paid a full shuffle for what is per-row arithmetic);
-    * candidates scale with band-bucket sizes.
+    * multi-block banding (Manku, Jain & Das Sarma, WWW 2007 §3): the
+    * 60-bit fingerprint splits into 6 blocks of 10 bits, and by
+    * pigeonhole any pair within Hamming distance 3 touches at most 3
+    * blocks, so at least 3 of 6 blocks agree — hence at least one of the
+    * C(6,3)=20 three-block COMBINATIONS agrees in full. Joining on
+    * (combo, packed 3-block key) therefore finds every qualifying pair,
+    * like single-band banding, but the key is 30 bits wide instead of 8:
+    * random (non-near-dup) bucket collisions fall as 20·n²/2^30 —
+    * negligible into the 10⁸-doc range. Both dials matter at scale and
+    * both were measured at sf10 (500k docs): single 8-bit bands on the old
+    * ~30-bit fingerprint ran 47× wall for 10× data (birthday-quadratic
+    * CANDIDATES), and the short fingerprint itself made unrelated docs
+    * collide within hd≤3 at ~n²·2^-30 (quadratic OUTPUT). The fingerprint
+    * is one native kernel call per row (graft_simhash — the round-1
+    * explode + per-bit-sum groupBy paid a full shuffle for what is per-row
+    * arithmetic); candidates scale with combo-bucket sizes.
     */
+  // (offset, width) of the 6 fingerprint blocks; three 10-bit block
+  // values pack into a 30-bit key with 10-bit lanes
+  private val simhashBlocks = (0 until 6).map(b => (b * 10, 10))
+  private val simhashCombos: Seq[Seq[Int]] = (0 until 6).combinations(3).toSeq
+
   def simhash(s: SparkSession, d: String): DataFrame = {
     val sims = scaledDocs(s, d)
       .select(col("doc_id"), call_function("graft_simhash", col("text")).as("simhash"))
+    def blockVal(sh: Column, i: Int): Column = {
+      val (off, w) = simhashBlocks(i)
+      shiftright(sh, off).bitwiseAND(lit((1L << w) - 1))
+    }
     val banded0 = sims.select(col("doc_id"), col("simhash"),
-      explode(array((0 until 4).map(b =>
-        struct(lit(b.toLong).as("band"),
-          shiftright(col("simhash"), b * 8).bitwiseAND(255L).as("bval"))): _*)).as("bb"))
+      explode(array(simhashCombos.zipWithIndex.map { case (c, ci) =>
+        struct(lit(ci.toLong).as("band"),
+          (shiftleft(blockVal(col("simhash"), c(0)), 20)
+            .bitwiseOR(shiftleft(blockVal(col("simhash"), c(1)), 10))
+            .bitwiseOR(blockVal(col("simhash"), c(2)))).as("bval"))
+      }: _*)).as("bb"))
       .select(col("doc_id"), col("simhash"), col("bb.band"), col("bb.bval"))
     // Band buckets are skewed by construction (high simhash bits are mostly
     // zero, so one (band, bval) bucket can hold most of the corpus). When
@@ -333,13 +354,18 @@ object DedupOps {
     val parallelism = s.sparkContext.defaultParallelism
     val banded = if (banded0.rdd.getNumPartitions < parallelism)
       banded0.repartition(parallelism, col("doc_id")) else banded0
-    // A pair agreeing on k bands is found k times by the bucket join; rather
-    // than shuffling the whole pair stream through distinct(), each pair is
-    // emitted exactly once — by its FIRST agreeing band, decided locally
-    // from the fingerprint XOR (band b agrees iff its 8 xor bits are zero).
+    // A pair agreeing on k combos is found k times by the bucket join;
+    // rather than shuffling the whole pair stream through distinct(), each
+    // pair is emitted exactly once — by its FIRST agreeing combo, decided
+    // locally from the fingerprint XOR (a combo agrees iff the xor bits
+    // under its three block masks are all zero).
     val z = col("a.simhash").bitwiseXOR(col("b.simhash"))
-    val firstAgree = (0 until 4).foldRight(lit(4L): Column) { (b, rest) =>
-      when(z.bitwiseAND(lit(255L << (b * 8))) === 0, lit(b.toLong)).otherwise(rest)
+    val comboMasks = simhashCombos.map(_.map { i =>
+      val (off, w) = simhashBlocks(i); ((1L << w) - 1) << off
+    }.reduce(_ | _))
+    val firstAgree = comboMasks.zipWithIndex.foldRight(lit(comboMasks.size.toLong): Column) {
+      case ((mask, ci), rest) =>
+        when(z.bitwiseAND(lit(mask)) === 0, lit(ci.toLong)).otherwise(rest)
     }
     banded.as("a").join(banded0.as("b"),
         col("a.band") === col("b.band") && col("a.bval") === col("b.bval") &&

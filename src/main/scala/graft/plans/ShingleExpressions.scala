@@ -65,29 +65,45 @@ object ShingleKernels {
     new GenericArrayData(if (nOut == out.length) out else java.util.Arrays.copyOf(out, nOut))
   }
 
-  /** 32-bit SimHash fingerprint of a document: per-bit counts of all token
+  /** 60-bit SimHash fingerprint of a document: per-bit counts of all token
     * hashes (+1/-1 per bit, every token occurrence counted), bit set where
     * the count is >= 0 — integer arithmetic, order-independent, identical
-    * to the row-1 explode+groupBy formulation and the DuckDB oracle. */
+    * to the explode+groupBy formulation and the DuckDB oracle.
+    *
+    * The per-token hash is H = h1 | (h2 << 30) from two independent
+    * polynomial hashes (x31 mod 1e9+7 — the shared charHash — and x131
+    * mod 998244353), giving 60 usable fingerprint bits. A single mod-1e9+7
+    * hash caps the fingerprint at ~30 real bits, and a short fingerprint
+    * saturates: unrelated documents land within Hamming 3 at rate
+    * ~n²·2^-fpBits, which measured as quadratic OUTPUT growth past ~10⁵
+    * docs at sf10. 64-bit fingerprints are exactly why Manku et al.
+    * (WWW 2007) scale to 8B docs; 60 is the clean two-hash analogue. */
+  private val M2 = 998244353L
   def simhash(text: UTF8String): Long = {
     val s = text.toString
-    val bits = new Array[Int](32)
-    var h = 0L
+    val bits = new Array[Int](60)
+    var h1 = 0L
+    var h2 = 0L
     var i = 0
     while (i <= s.length) {
       if (i == s.length || s.charAt(i) == ' ') {
+        val h = h1 | (h2 << 30)
         var j = 0
-        while (j < 32) {
+        while (j < 60) {
           bits(j) += (((h >> j) & 1L).toInt << 1) - 1
           j += 1
         }
-        h = 0L
-      } else h = (h * 31 + s.charAt(i)) % M
+        h1 = 0L
+        h2 = 0L
+      } else {
+        h1 = (h1 * 31 + s.charAt(i)) % M
+        h2 = (h2 * 131 + s.charAt(i)) % M2
+      }
       i += 1
     }
     var fp = 0L
     var j = 0
-    while (j < 32) {
+    while (j < 60) {
       if (bits(j) >= 0) fp |= 1L << j
       j += 1
     }
@@ -132,7 +148,7 @@ case class ShingleSet(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
-/** `graft_simhash(text)` — 32-bit SimHash fingerprint as a long. */
+/** `graft_simhash(text)` — 60-bit SimHash fingerprint as a long. */
 case class SimHashFingerprint(child: Expression) extends UnaryExpression {
   // callers guarantee a string input
   override def dataType: DataType = LongType

@@ -162,6 +162,17 @@ class PlanShapeSpec extends SparkSpec {
     assert(emptySpecs.isEmpty, s"unpartitioned windows:\n$emptySpecs")
   }
 
+  test("q70b: every join is broadcast-side (codebooks, centroids, probed queries) — corpus never shuffle-joins") {
+    val p = plan(operators.SimilarityOps.knnIvfPq(spark, sf))
+    // the corpus only ever joins against broadcast frames (16 centroids,
+    // 128 codebook rows, nprobe x queries probe subs); a SortMergeJoin
+    // would mean corpus-sized data shuffled for a join — the shape that
+    // dies first at 10^9 vectors
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("q01: partial (map-side) aggregation before the exchange") {
     val p = plan(RelationalOps.pricingSummary(spark, sf))
     val firstAgg = p.indexOf("HashAggregate")
