@@ -30,11 +30,10 @@ object Bench {
     val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // warmup: touch every table + exercise codegen once
-    SparkEntry.queries.get("q01_pricing_summary").foreach(f => f(spark, sfDir).count())
     // SPARK_GRAFT_ONLY=q29_bbox_iou,q44_dedup_embedding — targeted audits.
-    // Unknown names fail loudly: a typo would otherwise produce an empty
-    // run that looks like a successful (instant) benchmark.
+    // Unknown names fail loudly BEFORE the warmup query runs: a typo would
+    // otherwise pay a full warmup pass and then produce an empty run that
+    // looks like a successful (instant) benchmark.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
     only.foreach { names =>
@@ -43,6 +42,8 @@ object Bench {
         s"SPARK_GRAFT_ONLY names match no query: ${unknown.toSeq.sorted.mkString(", ")} " +
           s"(known: ${SparkEntry.queries.keySet.toSeq.sorted.mkString(", ")})")
     }
+    // warmup: touch every table + exercise codegen once
+    SparkEntry.queries.get("q01_pricing_summary").foreach(f => f(spark, sfDir).count())
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
@@ -52,7 +53,12 @@ object Bench {
         val times = (1 to 3).map { _ =>
           val c0 = processCpuNs
           val t0 = System.nanoTime()
-          try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+          // a throwing query must kill the bench, not record a near-zero
+          // "win": a swallowed failure ships a plan-breaking regression as
+          // an instant per-query improvement in the cross-round comparison
+          try fn(spark, sfDir).count()
+          catch { case e: Throwable =>
+            throw new RuntimeException(s"bench query $name failed", e) }
           val wall = (System.nanoTime() - t0) / 1e9
           val cpu = if (c0 < 0) -1.0 else (processCpuNs - c0) / 1e9
           spark.catalog.clearCache() // release any persisted intermediates

@@ -22,12 +22,13 @@ import graft.operators.DedupOps
   *      paraphrases that share no n-grams, which lexical dedup cannot.
   *      Opt-in (`Config.semantic`): needs the corpus's embedding table,
   *      keyed by the vec_id = doc_id convention.
-  *   6. decontamination (q82's GPT-3/Pile rule): drops every train doc
-  *      one of whose 13-gram windows appears verbatim in the held-out
-  *      split — a corpus that gates on quality and dedup but ships the
-  *      benchmark itself poisons every downstream eval. Opt-in
-  *      (`Config.decontaminate`); the removal list is q82's (hash-split
-  *      heldout convention), applied by broadcast anti-join on doc_id.
+  *   6. decontamination (q82's GPT-3/Pile rule): drops the held-out
+  *      split itself AND every train doc one of whose 13-gram windows
+  *      appears verbatim in it — a corpus that gates on quality and dedup
+  *      but ships the benchmark (or its train-side echoes) poisons every
+  *      downstream eval. Opt-in (`Config.decontaminate`); the removal
+  *      list is q82's (hash-split heldout convention), applied by
+  *      broadcast anti-join on doc_id.
   *   7. sliding-window chunking (training-example shaping)
   *
   * Usage: CorpusPrep <sf-dir> <out-dir> [--no-neardup] [--semantic] [--decontaminate]
@@ -137,12 +138,16 @@ object CorpusPrep {
       kept.join(drops, Seq("doc_id"), "left_anti")
     }
 
-    // 6. decontamination: q82's removal list (any 13-gram window shared
-    // verbatim with the held-out split flags the TRAIN doc) applied by
-    // broadcast anti-join — flag discovery runs on the raw corpus (same
-    // raw-ids convention as group discovery above), the heldout window
-    // index is broadcastable at any train scale, and the list itself is a
-    // doc_id column small enough to broadcast against the kept frontier.
+    // 6. decontamination: the held-out split ITSELF leaves the train
+    // corpus (shipping the benchmark verbatim is the worst contamination
+    // of all — removing only its train-side echoes while keeping the eval
+    // docs would poison every downstream eval), and q82's removal list
+    // (any 13-gram window shared verbatim with the held-out split flags
+    // the TRAIN doc) is applied by broadcast anti-join — flag discovery
+    // runs on the raw corpus (same raw-ids convention as group discovery
+    // above), the heldout window index is broadcastable at any train
+    // scale, and the list itself is a doc_id column small enough to
+    // broadcast against the kept frontier.
     val (deconKept, nSemantic) =
       if (!cfg.decontaminate) (semKept, -1L)
       else {
@@ -151,7 +156,8 @@ object CorpusPrep {
           .filter(col("drop")).select("doc_id")
         // the opt-in path pays one extra count of the semantic frontier so
         // the attrition report can show the decon stage's own attrition
-        (semKept.join(broadcast(drops), Seq("doc_id"), "left_anti"), semKept.count())
+        (semKept.filter(!graft.operators.CurationOps.heldoutSplit)
+          .join(broadcast(drops), Seq("doc_id"), "left_anti"), semKept.count())
       }
 
     deconKept.write.mode(SaveMode.Overwrite).parquet(s"$out/documents")

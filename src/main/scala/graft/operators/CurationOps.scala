@@ -19,8 +19,12 @@ import graft.functions.VectorFunctions.toDouble
   */
 object CurationOps {
 
-  /** The q30 multiplicative-hash split: stable under any partitioning. */
-  private def isTest = (col("doc_id") * lit(2654435761L)) % 100 >= 80
+  /** The q30 multiplicative-hash split: stable under any partitioning.
+    * Public within the library: CorpusPrep's decontamination stage must
+    * exclude the held-out docs THEMSELVES from a train corpus, not just
+    * the train docs that overlap them. */
+  private[graft] def heldoutSplit = (col("doc_id") * lit(2654435761L)) % 100 >= 80
+  private def isTest = heldoutSplit
 
   /** q56 — train/test contamination check: for every held-out (test) doc,
     * how many of its distinct 3-gram shingles also appear anywhere in the

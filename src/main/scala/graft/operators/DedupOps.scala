@@ -341,16 +341,17 @@ object DedupOps {
             .bitwiseOR(blockVal(col("simhash"), c(2)))).as("bval"))
       }: _*)).as("bb"))
       .select(col("doc_id"), col("simhash"), col("bb.band"), col("bb.bval"))
-    // Band buckets are skewed by construction (high simhash bits are mostly
-    // zero, so one (band, bval) bucket can hold most of the corpus). When
-    // the build side broadcasts, join parallelism follows the probe side's
-    // scan partitions — so ONLY when the scan has fewer splits than cores
-    // (a small input; exactly the broadcast-eligible case) the probe side is
-    // spread by the non-skewed doc_id. On a many-split input the scan
-    // already parallelizes and the join becomes a shuffle join on
-    // (band, bval), where AQE's skew-join splitting carves the hot buckets
-    // at runtime — the round-2 unconditional repartition was a pure wasted
-    // pass there.
+    // The 60-bit two-hash fingerprint fills all lanes with ~balanced sign
+    // bits, so combo buckets are no longer skewed by construction (the old
+    // ~30-bit fingerprint's dead high bits concentrated whole bands). The
+    // repartition below remains for one reason only: when the build side
+    // broadcasts, join parallelism follows the probe side's scan
+    // partitions, so a small few-split input (exactly the
+    // broadcast-eligible case) must be spread across cores by doc_id. On a
+    // many-split input the scan already parallelizes — and if a natural
+    // near-dup cluster still makes a bucket hot, AQE's skew-join splitting
+    // carves it at runtime; an unconditional repartition would be a pure
+    // wasted pass there.
     val parallelism = s.sparkContext.defaultParallelism
     val banded = if (banded0.rdd.getNumPartitions < parallelism)
       banded0.repartition(parallelism, col("doc_id")) else banded0

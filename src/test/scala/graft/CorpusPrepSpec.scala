@@ -65,11 +65,13 @@ class CorpusPrepSpec extends SparkSpec {
     CorpusPrep.run(spark, corpus, onOut, CorpusPrep.Config(decontaminate = true))
     val onIds = spark.read.parquet(s"$onOut/documents")
       .select("doc_id").collect().map(_.getLong(0)).toSet
-    // identical pipeline except the decon stage: exactly doc 2 drops
-    assert(onIds === offIds - 2L)
+    // identical pipeline except the decon stage: the contaminated train
+    // doc 2 drops AND the held-out doc 3 itself leaves the train corpus —
+    // shipping the benchmark verbatim would be the worst contamination
+    assert(onIds === offIds - 2L - 3L)
     val stats = spark.read.parquet(s"$onOut/stats").collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
-    assert(stats("05_decontaminate") === stats("04_semantic_dedup") - 1)
+    assert(stats("05_decontaminate") === stats("04_semantic_dedup") - 2)
   }
 
   test("semantic stage drops an embedding paraphrase that survives lexical dedup") {
