@@ -98,8 +98,9 @@ object SimilarityOps {
     * degrading toward a full scan at fleet scale — the classic recall/cost
     * dial: probes x (corpus / lists) candidates per query.
     */
-  /** The frozen trained quantizer as a broadcastable centroid table. */
-  private[operators] def centroidTable(s: SparkSession): DataFrame = {
+  /** The frozen trained quantizer as a broadcastable centroid table
+    * (private[graft]: jobs.AnnIndexBuild assigns with the same table). */
+  private[graft] def centroidTable(s: SparkSession): DataFrame = {
     import s.implicits._
     IvfCentroids.values.toSeq.zipWithIndex
       .map { case (cv, i) => (i.toLong, cv.toSeq) }

@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+
+import graft.jobs.AnnIndexBuild
+import graft.operators.SimilarityOps
+
+class AnnIndexSpec extends SparkSpec {
+
+  private def buildIndex(): String = {
+    val out = java.nio.file.Files.createTempDirectory("annindex").toString
+    AnnIndexBuild.build(spark, sf, out)
+    out
+  }
+
+  test("search over the prebuilt index is bit-identical to the recompute query (q70b)") {
+    val idx = buildIndex()
+    val fromIndex = AnnIndexBuild.search(spark, idx, sf).collect().toSeq
+    val recompute = SimilarityOps.knnIvfPq(spark, sf).collect().toSeq
+    // same rows, same order, same DOUBLE bits in adc_dist: the persisted
+    // codes + broadcast LUT reproduce the in-query ADC chain exactly
+    assert(fromIndex === recompute)
+    assert(fromIndex.nonEmpty)
+  }
+
+  test("probes become partition pruning: the scan carries a list_id partition filter") {
+    val idx = buildIndex()
+    val df = AnnIndexBuild.search(spark, idx, sf, k = 3, nProbe = 1)
+    // sparkPlan, not executedPlan: AQE wraps the tree in an
+    // AdaptiveSparkPlanExec leaf that collect() cannot see through
+    val scans = df.queryExecution.sparkPlan.collect {
+      case f: FileSourceScanExec if f.relation.location.rootPaths.exists(_.toString.contains(idx)) => f
+    }
+    assert(scans.nonEmpty, df.queryExecution.sparkPlan.toString)
+    val scan = scans.head
+    // the probe list is a literal IN over the list_id PARTITION column —
+    // pruning happens at planning, before any file opens
+    assert(scan.partitionFilters.exists(_.references.exists(_.name == "list_id")),
+      scan.partitionFilters.mkString("; "))
+    // 10 queries x 1 probe -> at most 10 of the 16 list directories open
+    assert(scan.selectedPartitions.partitionCount <= 10,
+      s"scan opened ${scan.selectedPartitions.partitionCount} partitions")
+    // the index itself carries the codes only — no float embedding column
+    assert(!spark.read.parquet(idx).columns.contains("v"))
+  }
+
+  test("index stores one row per corpus vector with 8 sub-codes in [0,16)") {
+    val idx = buildIndex()
+    val t = spark.read.parquet(idx)
+    val corpusN = Tables.embeddings(spark, sf).filter(col("vec_id") >= 10).count()
+    assert(t.count() === corpusN)
+    assert(t.filter(size(col("codes")) =!= 8).count() === 0)
+    assert(t.filter(exists(col("codes"), c => c < 0 || c > 15)).count() === 0)
+  }
+}
