@@ -108,6 +108,50 @@ object SimilarityOps {
       .withColumn("cnrm", norm(col("cv")))
   }
 
+  /** The frozen PQ codebooks as a broadcastable (sub_idx, code, cv)
+    * table — THE single construction (q69/q70/q70b and the persisted
+    * index build all join against this one helper, so a codebook schema
+    * change cannot silently diverge between them). */
+  private[graft] def codebookTable(s: SparkSession): DataFrame = {
+    import s.implicits._
+    PqCodebooks.values.zipWithIndex.flatMap { case (book, sub) =>
+      book.zipWithIndex.map { case (cv, code) => (sub.toLong, code.toLong, cv.toSeq) }
+    }.toSeq.toDF("sub_idx", "code", "cv")
+  }
+
+  /** The corpus under BOTH frozen quantizers: one row per (vec_id,
+    * list_id, sub_idx, code) — coarse argmax then per-subspace PQ argmin,
+    * each a broadcast join + map-side aggregate with deterministic total
+    * orders. This is the single source of assignment shared by q70b's
+    * in-query path and jobs.AnnIndexBuild's persisted index, so the
+    * spec-pinned bit-identity between them cannot drift apart. */
+  private[graft] def codedCorpusSubs(s: SparkSession, d: String): DataFrame = {
+    val subDim = 8
+    val e = Tables.embeddings(s, d)
+      .filter(col("vec_id") >= 10)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      .withColumn("nrm", norm(col("v")))
+    val corpusList = e.join(broadcast(centroidTable(s)))
+      .withColumn("csim", cosine(col("v"), col("cv"), col("nrm"), col("cnrm")))
+      .groupBy("vec_id")
+      .agg(max_by(struct(col("v"), col("list_id")),
+        struct(col("csim"), -col("list_id"))).as("best"))
+      .select(col("vec_id"), col("best.v").as("v"), col("best.list_id").as("list_id"))
+    // PQ code assignment on the list-tagged corpus: min_by argmin with
+    // map-side partials (list_id rides the grouping key — it is functional
+    // on vec_id, so cardinality is unchanged and no rejoin is needed)
+    corpusList.select(col("vec_id"), col("list_id"),
+      explode(array((0 until 8).map(sub =>
+        struct(lit(sub.toLong).as("sub_idx"),
+          slice(col("v"), sub * subDim + 1, subDim).as("sv"))): _*)).as("e"))
+      .select(col("vec_id"), col("list_id"), col("e.sub_idx").as("sub_idx"), col("e.sv").as("sv"))
+      .join(broadcast(codebookTable(s)), Seq("sub_idx"))
+      .withColumn("sqd",
+        expr("aggregate(zip_with(sv, cv, (x, y) -> (x - y) * (x - y)), 0D, (acc, z) -> acc + z)"))
+      .groupBy("vec_id", "list_id", "sub_idx")
+      .agg(min_by(col("code"), struct(col("sqd"), col("code"))).as("code"))
+  }
+
   /** q54 — IVF inverted-list balance: vectors per list under the trained
     * quantizer. This is the operational health check for the index — a
     * degenerate (untrained) quantizer concentrates the corpus in a few hot
@@ -179,11 +223,8 @@ object SimilarityOps {
     * engine-exact against the DuckDB oracle.
     */
   def pqStats(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
     val subDim = 8
-    val books = PqCodebooks.values.zipWithIndex.flatMap { case (book, sub) =>
-      book.zipWithIndex.map { case (cv, code) => (sub.toLong, code.toLong, cv.toSeq) }
-    }.toSeq.toDF("sub_idx", "code", "cv")
+    val books = codebookTable(s)
     val subs = Tables.embeddings(s, d)
       .select(col("vec_id"), toDouble(col("embedding")).as("v"))
       .select(col("vec_id"), explode(array((0 until 8).map(sub =>
@@ -235,11 +276,7 @@ object SimilarityOps {
     val queries = subsOf(e.filter(col("vec_id") < 10))
       .select(col("vec_id").as("q_id"), col("sub_idx"), col("sv").as("qsv"))
 
-    val books = PqCodebooks.values.zipWithIndex.flatMap { case (book, sub) =>
-      book.zipWithIndex.map { case (cv, code) => (sub.toLong, code.toLong, cv.toSeq) }
-    }.toSeq
-    import s.implicits._
-    val booksDf = books.toDF("sub_idx", "code", "cv")
+    val booksDf = codebookTable(s)
     // Code assignment: broadcast-codebook join, then argmin via min_by —
     // an ordinary aggregate with MAP-SIDE PARTIALS, so each mapper reduces
     // its corpus × codes candidates to one row per (vec, sub) before the
@@ -328,55 +365,33 @@ object SimilarityOps {
     * engine-exact against the oracle.
     */
   def knnIvfPq(s: SparkSession, d: String, k: Int = 3): DataFrame = {
-    import s.implicits._
     val subDim = 8
-    val e = Tables.embeddings(s, d)
+    // query probes — each query keeps its IvfProbes nearest lists (window
+    // over 16 broadcast centroids per query — a handful of rows)
+    val wProbe = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("list_id"))
+    val queryProbes = Tables.embeddings(s, d)
+      .filter(col("vec_id") < 10)
       .select(col("vec_id"), toDouble(col("embedding")).as("v"))
       .withColumn("nrm", norm(col("v")))
-    val centroids = centroidTable(s)
-
-    // coarse assignment — corpus keeps its single nearest list (max_by,
-    // map-side partials); queries keep their IvfProbes nearest (window
-    // over 16 broadcast centroids per query — a handful of rows)
-    val corpusList = e.filter(col("vec_id") >= 10)
-      .join(broadcast(centroids))
-      .withColumn("csim", cosine(col("v"), col("cv"), col("nrm"), col("cnrm")))
-      .groupBy("vec_id")
-      .agg(max_by(struct(col("v"), col("list_id")),
-        struct(col("csim"), -col("list_id"))).as("best"))
-      .select(col("vec_id"), col("best.v").as("v"), col("best.list_id").as("list_id"))
-    val wProbe = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("list_id"))
-    val queryProbes = e.filter(col("vec_id") < 10)
-      .join(broadcast(centroids))
+      .join(broadcast(centroidTable(s)))
       .withColumn("csim", cosine(col("v"), col("cv"), col("nrm"), col("cnrm")))
       .withColumn("crank", row_number().over(wProbe))
       .filter(col("crank") <= IvfProbes)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("list_id"))
 
-    def subsOf(df: DataFrame, vec: String, out: String): DataFrame = df
-      .select(col("vec_id"), col("list_id"), explode(array((0 until 8).map(sub =>
-        struct(lit(sub.toLong).as("sub_idx"),
-          slice(col(vec), sub * subDim + 1, subDim).as(out))): _*)).as("e"))
-      .select(col("vec_id"), col("list_id"), col("e.sub_idx").as("sub_idx"), col(s"e.$out").as(out))
-
-    val booksDf = PqCodebooks.values.zipWithIndex.flatMap { case (book, sub) =>
-      book.zipWithIndex.map { case (cv, code) => (sub.toLong, code.toLong, cv.toSeq) }
-    }.toSeq.toDF("sub_idx", "code", "cv")
-
-    // PQ code assignment on the list-tagged corpus: min_by argmin with
-    // map-side partials (list_id rides the grouping key — it is functional
-    // on vec_id, so cardinality is unchanged and no rejoin is needed)
-    val recon = subsOf(corpusList, "v", "sv")
-      .join(broadcast(booksDf), Seq("sub_idx"))
-      .withColumn("sqd",
-        expr("aggregate(zip_with(sv, cv, (x, y) -> (x - y) * (x - y)), 0D, (acc, z) -> acc + z)"))
-      .groupBy("vec_id", "list_id", "sub_idx")
-      .agg(min_by(col("cv"), struct(col("sqd"), col("code"))).as("cv"))
+    // corpus coarse + code assignment comes from THE shared helper
+    // (codedCorpusSubs — also what AnnIndexBuild persists); joining the
+    // codebook back on (sub_idx, code) recovers the reconstruction
+    val recon = codedCorpusSubs(s, d)
+      .join(broadcast(codebookTable(s)), Seq("sub_idx", "code"))
+      .select("vec_id", "list_id", "sub_idx", "cv")
 
     // the probe join: only corpus rows in a probed list are ever scored
-    val querySubs = subsOf(
-      queryProbes.select(col("q_id").as("vec_id"), col("qv"), col("list_id")), "qv", "qsv")
-      .select(col("vec_id").as("q_id"), col("list_id"), col("sub_idx"), col("qsv"))
+    val querySubs = queryProbes
+      .select(col("q_id"), col("list_id"), explode(array((0 until 8).map(sub =>
+        struct(lit(sub.toLong).as("sub_idx"),
+          slice(col("qv"), sub * subDim + 1, subDim).as("qsv"))): _*)).as("e"))
+      .select(col("q_id"), col("list_id"), col("e.sub_idx").as("sub_idx"), col("e.qsv").as("qsv"))
     val partials = recon.join(broadcast(querySubs), Seq("list_id", "sub_idx"))
       .withColumn("dsub",
         expr("aggregate(zip_with(qsv, cv, (x, y) -> (x - y) * (x - y)), 0D, (acc, z) -> acc + z)"))

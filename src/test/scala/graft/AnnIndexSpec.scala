@@ -8,14 +8,14 @@ import graft.operators.SimilarityOps
 
 class AnnIndexSpec extends SparkSpec {
 
-  private def buildIndex(): String = {
+  // one deterministic build shared by every test (same sf input each time)
+  private lazy val idx: String = {
     val out = java.nio.file.Files.createTempDirectory("annindex").toString
     AnnIndexBuild.build(spark, sf, out)
     out
   }
 
   test("search over the prebuilt index is bit-identical to the recompute query (q70b)") {
-    val idx = buildIndex()
     val fromIndex = AnnIndexBuild.search(spark, idx, sf).collect().toSeq
     val recompute = SimilarityOps.knnIvfPq(spark, sf).collect().toSeq
     // same rows, same order, same DOUBLE bits in adc_dist: the persisted
@@ -25,7 +25,6 @@ class AnnIndexSpec extends SparkSpec {
   }
 
   test("probes become partition pruning: the scan carries a list_id partition filter") {
-    val idx = buildIndex()
     val df = AnnIndexBuild.search(spark, idx, sf, k = 3, nProbe = 1)
     // sparkPlan, not executedPlan: AQE wraps the tree in an
     // AdaptiveSparkPlanExec leaf that collect() cannot see through
@@ -46,7 +45,6 @@ class AnnIndexSpec extends SparkSpec {
   }
 
   test("index stores one row per corpus vector with 8 sub-codes in [0,16)") {
-    val idx = buildIndex()
     val t = spark.read.parquet(idx)
     val corpusN = Tables.embeddings(spark, sf).filter(col("vec_id") >= 10).count()
     assert(t.count() === corpusN)
