@@ -126,9 +126,26 @@ object AnnIndexBuild {
   }
 
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2, "usage: AnnIndexBuild <sf-dir> <index-out-dir>")
+    require(args.length >= 2,
+      "usage: AnnIndexBuild <sf-dir> <index-out-dir> [--search]")
     val spark = GraftSession.get()
+    val t0 = System.nanoTime()
     build(spark, args(0), args(1))
+    val buildSec = (System.nanoTime() - t0) / 1e9
+    println(f"""{"job":"ann_index_build","build_sec":$buildSec%.3f}""")
+    if (args.contains("--search")) {
+      // timed amortization check: the serving read path over the
+      // prebuilt index vs q70b's recompute-everything query. Two runs:
+      // the first pays codegen/JIT, the second is the steady state a
+      // serving loop sees.
+      val times = (1 to 2).map { _ =>
+        val t1 = System.nanoTime()
+        val n = search(spark, args(1), args(0)).count()
+        ((System.nanoTime() - t1) / 1e9, n)
+      }
+      println(f"""{"job":"ann_index_search","rows":${times.last._2},""" +
+        f""""cold_sec":${times.head._1}%.3f,"warm_sec":${times.last._1}%.3f}""")
+    }
     spark.stop()
   }
 }
