@@ -322,9 +322,10 @@ object DedupOps {
     * arithmetic); candidates scale with combo-bucket sizes.
     */
   // (offset, width) of the 6 fingerprint blocks; three 10-bit block
-  // values pack into a 30-bit key with 10-bit lanes
-  private val simhashBlocks = (0 until 6).map(b => (b * 10, 10))
-  private val simhashCombos: Seq[Seq[Int]] = (0 until 6).combinations(3).toSeq
+  // values pack into a 30-bit key with 10-bit lanes (private[graft] for
+  // the losslessness property test)
+  private[graft] val simhashBlocks = (0 until 6).map(b => (b * 10, 10))
+  private[graft] val simhashCombos: Seq[Seq[Int]] = (0 until 6).combinations(3).toSeq
 
   def simhash(s: SparkSession, d: String): DataFrame = {
     val sims = scaledDocs(s, d)

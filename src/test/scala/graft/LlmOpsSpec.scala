@@ -285,6 +285,31 @@ class LlmOpsSpec extends SparkSpec {
     assert(v(2L) === "unique")
   }
 
+  test("q43 banding is lossless: every hd<=3 pair shares exactly one first-agreeing combo") {
+    // pigeonhole property the candidate join rests on, checked directly
+    // on the block/combo constants the operator uses: flip up to 3 random
+    // bits of a random 60-bit fingerprint — some C(6,3) combo's three
+    // blocks must all agree (the join finds the pair), and the
+    // first-agreeing-combo rule gives it exactly one emitting bucket
+    val rnd = new scala.util.Random(7)
+    val masks = DedupOps.simhashCombos.map(_.map { i =>
+      val (off, w) = DedupOps.simhashBlocks(i); ((1L << w) - 1) << off
+    }.reduce(_ | _))
+    for (_ <- 1 to 2000) {
+      val a = rnd.nextLong() & ((1L << 60) - 1)
+      val flips = rnd.nextInt(4) // 0..3 bit flips
+      val b = (1 to flips).foldLeft(a)((v, _) => v ^ (1L << rnd.nextInt(60)))
+      val z = a ^ b
+      if (java.lang.Long.bitCount(z) <= 3) {
+        val agreeing = masks.indices.filter(ci => (z & masks(ci)) == 0L)
+        assert(agreeing.nonEmpty, s"no combo agrees for z=$z")
+        // the join emits on every agreeing combo; the firstAgree filter
+        // keeps exactly the minimum index — exactly-once by construction
+        assert(agreeing.min >= 0 && agreeing.distinct.size == agreeing.size)
+      }
+    }
+  }
+
   test("q43 simhash: identical docs have identical fingerprints (hamming 0)") {
     // exact duplicates exist in the corpus; they must appear at hamming 0
     val dups = DedupOps.exact(spark, sf).filter(col("n_copies") > 1).count()
