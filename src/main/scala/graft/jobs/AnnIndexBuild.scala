@@ -36,6 +36,15 @@ import graft.operators.{PqCodebooks, SimilarityOps}
   * so each candidate costs 8 lookup-adds and results are bit-identical
   * to the recompute-everything query (spec-pinned).
   *
+  * VERSIONED variant ([[buildVersioned]]/[[searchVersioned]]): the same
+  * code table committed through SnapshotLake with list_id stats — index
+  * rebuilds are ATOMIC (a half-built index is invisible until its
+  * manifest publishes; a rebuild while serving never tears a reader) and
+  * searches can pin a version (reproduce yesterday's retrieval during an
+  * index migration). Probes prune via the manifest's per-file list_id
+  * ranges ([[SnapshotLake.readRange]] per probed list — O(1) file opens
+  * per list on the list-clustered layout) instead of directory names.
+  *
   * Reference counterpart: none — the reference pipeline has no vector
   * index; this extends the ANN family (q45/q46/q46b/q70/q70b) with the
   * lake-layout half a 100 TB deployment needs.
@@ -45,27 +54,39 @@ object AnnIndexBuild {
   private val SubDim = 8
   private val NSub = 8
 
-  /** One pass over the corpus embeddings -> the partitioned code table. */
-  def build(s: SparkSession, sfDir: String, out: String): Unit = {
+  /** The corpus as one row per (vec_id, list_id, codes[8]) — array_sort
+    * on (sub_idx, code) pairs so codes[i] is subspace i's code regardless
+    * of aggregation order. */
+  private def codedTable(s: SparkSession, sfDir: String): DataFrame =
     SimilarityOps.codedCorpusSubs(s, sfDir)
       .groupBy("vec_id", "list_id")
-      // array_sort on (sub_idx, code) pairs -> codes[i] is subspace i's
-      // code regardless of aggregation order
       .agg(transform(array_sort(collect_list(struct(col("sub_idx"), col("code")))),
         x => x.getField("code")).as("codes"))
+
+  /** One pass over the corpus embeddings -> the partitioned code table. */
+  def build(s: SparkSession, sfDir: String, out: String): Unit =
+    codedTable(s, sfDir)
       .repartition(col("list_id"))
       .write.mode(SaveMode.Overwrite).partitionBy("list_id").parquet(out)
-  }
 
-  /** ADC top-k over the prebuilt index; bit-identical to
-    * SimilarityOps.knnIvfPq on the same corpus + frozen constants. */
-  def search(s: SparkSession, indexDir: String, sfDir: String,
-      k: Int = 3, nProbe: Int = 2): DataFrame = {
-    // probe resolution AND query-vector collection in one bounded job:
-    // nQueries x nProbe rows, each carrying its query vector — sized by
-    // the query batch, not the corpus. Collected so the probed list ids
-    // become a LITERAL partition filter and the ADC LUT can be computed
-    // driver-side without touching the embeddings table again.
+  /** The code table committed through SnapshotLake (list_id-clustered,
+    * long stats on list_id): atomic publish, time travel, manifest-level
+    * probe pruning. Returns the published version. */
+  def buildVersioned(s: SparkSession, sfDir: String, table: String): Long =
+    SnapshotLake.commitOverwrite(s, table,
+      codedTable(s, sfDir).repartition(col("list_id")).sortWithinPartitions("list_id"),
+      statsCol = Some("list_id"))
+
+  /** Driver-side probe resolution + ADC lookup table, shared by both
+    * serving paths. ONE bounded job: nQueries x nProbe rows, each
+    * carrying its query vector — sized by the query batch, not the
+    * corpus. The LUT cells (||qsv - codebook(sub, code)||² for all 8x16
+    * cells per query) accumulate in the same left fold over (x-y)*(x-y)
+    * doubles as the Catalyst `aggregate(zip_with(...), 0D, acc + z)`
+    * chain in q70b, so every cell is bit-identical to the in-query
+    * computation. */
+  private def probeAndLut(s: SparkSession, sfDir: String, nProbe: Int)
+      : (Seq[(Long, Long)], Seq[(Long, Long, Long, Double)]) = {
     val wProbe = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("list_id"))
     val probeRows = Tables.embeddings(s, sfDir)
       .filter(col("vec_id") < 10)
@@ -77,19 +98,12 @@ object AnnIndexBuild {
       .filter(col("crank") <= nProbe)
       .select(col("vec_id").as("q_id"), col("list_id"), col("v"))
       .collect()
-    val probes = probeRows.map(r => (r.getLong(0), r.getLong(1)))
-    val probedLists = probes.map(_._2).distinct.sorted
+    val probes = probeRows.map(r => (r.getLong(0), r.getLong(1))).toSeq
     val queryVecs = probeRows.map(r => r.getLong(0) -> r.getSeq[Double](2)).toMap
-
-    // per-query ADC lookup table: ||qsv - codebook(sub, code)||² for all
-    // 8x16 cells, computed locally from the collected query vectors. The
-    // accumulation is the same left fold over (x-y)*(x-y) doubles as the
-    // Catalyst `aggregate(zip_with(...), 0D, acc + z)` chain in q70b, so
-    // every LUT cell is bit-identical to the in-query computation.
     val lutRows = for {
       (qid, v) <- queryVecs.toSeq
       sub <- 0 until NSub
-      (cv, code) <- PqCodebooks.values(sub).zipWithIndex
+      (cv, code) <- PqCodebooks.values(sub).zipWithIndex.toSeq
     } yield {
       var acc = 0.0
       var i = 0
@@ -100,15 +114,20 @@ object AnnIndexBuild {
       }
       (qid, sub.toLong, code.toLong, acc)
     }
+    (probes, lutRows)
+  }
+
+  /** ADC top-k over a (vec_id, list_id, codes) frame: 8 lookup-adds per
+    * candidate against the broadcast LUT, per-subspace conditional sums
+    * in q70b's fixed expression order. */
+  private def adcTopK(s: SparkSession, codes: DataFrame,
+      probes: Seq[(Long, Long)], lutRows: Seq[(Long, Long, Long, Double)],
+      k: Int): DataFrame = {
     import s.implicits._
     val lut = lutRows.toDF("q_id", "sub_idx", "code", "dsub")
-    val probePairs = probes.toSeq.toDF("q_id", "list_id")
-
-    // the pruned scan: list_id is a partition column, the IN-list a
-    // literal — only probed directories are ever listed or opened
-    val candidates = s.read.parquet(indexDir)
-      .filter(col("list_id").isin(probedLists: _*))
-      .select(col("vec_id"), col("list_id"),
+    val probePairs = probes.toDF("q_id", "list_id")
+    val candidates = codes
+      .select(col("vec_id"), col("list_id").cast("long").as("list_id"),
         posexplode(col("codes")).as(Seq("sub_idx", "code")))
       .join(broadcast(probePairs), Seq("list_id"))
       .join(broadcast(lut), Seq("q_id", "sub_idx", "code"))
@@ -123,6 +142,31 @@ object AnnIndexBuild {
       .withColumn("rank", row_number().over(wr).cast("long"))
       .filter(col("rank") <= k)
       .orderBy("q_id", "rank")
+  }
+
+  /** ADC top-k over the prebuilt index; bit-identical to
+    * SimilarityOps.knnIvfPq on the same corpus + frozen constants. */
+  def search(s: SparkSession, indexDir: String, sfDir: String,
+      k: Int = 3, nProbe: Int = 2): DataFrame = {
+    val (probes, lutRows) = probeAndLut(s, sfDir, nProbe)
+    val probedLists = probes.map(_._2).distinct.sorted
+    // the pruned scan: list_id is a partition column, the IN-list a
+    // literal — only probed directories are ever listed or opened
+    val codes = s.read.parquet(indexDir)
+      .filter(col("list_id").isin(probedLists: _*))
+    adcTopK(s, codes, probes, lutRows, k)
+  }
+
+  /** [[search]] over a [[buildVersioned]] table: one manifest-pruned
+    * [[SnapshotLake.readRange]] per probed list (O(1) file opens each on
+    * the clustered layout), optionally pinned to a version. */
+  def searchVersioned(s: SparkSession, table: String, sfDir: String,
+      k: Int = 3, nProbe: Int = 2, version: Option[Long] = None): DataFrame = {
+    val (probes, lutRows) = probeAndLut(s, sfDir, nProbe)
+    val codes = probes.map(_._2).distinct.sorted
+      .map(l => SnapshotLake.readRange(s, table, "list_id", l, l, version))
+      .reduce(_ unionByName _)
+    adcTopK(s, codes, probes, lutRows, k)
   }
 
   def main(args: Array[String]): Unit = {

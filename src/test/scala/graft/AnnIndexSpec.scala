@@ -51,4 +51,19 @@ class AnnIndexSpec extends SparkSpec {
     assert(t.filter(size(col("codes")) =!= 8).count() === 0)
     assert(t.filter(exists(col("codes"), c => c < 0 || c > 15)).count() === 0)
   }
+
+  test("versioned index: atomic publish, bit-identical search, pinned-version reads") {
+    val table = java.nio.file.Files.createTempDirectory("annlake").toString
+    val v1 = AnnIndexBuild.buildVersioned(spark, sf, table)
+    val recompute = SimilarityOps.knnIvfPq(spark, sf).collect().toSeq
+    assert(AnnIndexBuild.searchVersioned(spark, table, sf).collect().toSeq === recompute)
+    // a rebuild publishes a NEW version; the old one still serves
+    // pinned readers (index migration without a serving gap)
+    val v2 = AnnIndexBuild.buildVersioned(spark, sf, table)
+    assert(v2 === v1 + 1)
+    assert(AnnIndexBuild.searchVersioned(spark, table, sf, version = Some(v1))
+      .collect().toSeq === recompute)
+    assert(AnnIndexBuild.searchVersioned(spark, table, sf, version = Some(v2))
+      .collect().toSeq === recompute)
+  }
 }
