@@ -87,16 +87,10 @@ object AnnIndexBuild {
     * computation. */
   private def probeAndLut(s: SparkSession, sfDir: String, nProbe: Int)
       : (Seq[(Long, Long)], Seq[(Long, Long, Long, Double)]) = {
-    val wProbe = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("list_id"))
-    val probeRows = Tables.embeddings(s, sfDir)
-      .filter(col("vec_id") < 10)
-      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
-      .withColumn("nrm", norm(col("v")))
-      .join(broadcast(SimilarityOps.centroidTable(s)))
-      .withColumn("csim", cosine(col("v"), col("cv"), col("nrm"), col("cnrm")))
-      .withColumn("crank", row_number().over(wProbe))
-      .filter(col("crank") <= nProbe)
-      .select(col("vec_id").as("q_id"), col("list_id"), col("v"))
+    // THE shared probe resolver (SimilarityOps.queryProbeLists — also
+    // what q70b runs in-query), collected driver-side
+    val probeRows = SimilarityOps.queryProbeLists(s, sfDir, nProbe)
+      .select(col("q_id"), col("list_id"), col("qv"))
       .collect()
     val probes = probeRows.map(r => (r.getLong(0), r.getLong(1))).toSeq
     val queryVecs = probeRows.map(r => r.getLong(0) -> r.getSeq[Double](2)).toMap
@@ -144,11 +138,19 @@ object AnnIndexBuild {
       .orderBy("q_id", "rank")
   }
 
+  private def emptyResult(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Seq.empty[(Long, Long, Double, Long)].toDF("q_id", "neighbor_id", "adc_dist", "rank")
+  }
+
   /** ADC top-k over the prebuilt index; bit-identical to
-    * SimilarityOps.knnIvfPq on the same corpus + frozen constants. */
+    * SimilarityOps.knnIvfPq on the same corpus + frozen constants (the
+    * default nProbe IS q70b's constant, so the contract cannot drift on
+    * a recall-dial tune). */
   def search(s: SparkSession, indexDir: String, sfDir: String,
-      k: Int = 3, nProbe: Int = 2): DataFrame = {
+      k: Int = 3, nProbe: Int = SimilarityOps.IvfProbes): DataFrame = {
     val (probes, lutRows) = probeAndLut(s, sfDir, nProbe)
+    if (probes.isEmpty) return emptyResult(s)
     val probedLists = probes.map(_._2).distinct.sorted
     // the pruned scan: list_id is a partition column, the IN-list a
     // literal — only probed directories are ever listed or opened
@@ -157,20 +159,24 @@ object AnnIndexBuild {
     adcTopK(s, codes, probes, lutRows, k)
   }
 
-  /** [[search]] over a [[buildVersioned]] table: one manifest-pruned
-    * [[SnapshotLake.readRange]] per probed list (O(1) file opens each on
-    * the clustered layout), optionally pinned to a version. */
+  /** [[search]] over a [[buildVersioned]] table: ONE manifest-pruned
+    * [[SnapshotLake.readRangeIn]] over the probed lists (single manifest
+    * read, single version resolution — K per-list reads with
+    * version=None could each resolve a different latest under a
+    * concurrent rebuild and stitch a cross-version result no snapshot
+    * ever contained), optionally pinned to a version. */
   def searchVersioned(s: SparkSession, table: String, sfDir: String,
-      k: Int = 3, nProbe: Int = 2, version: Option[Long] = None): DataFrame = {
+      k: Int = 3, nProbe: Int = SimilarityOps.IvfProbes,
+      version: Option[Long] = None): DataFrame = {
     val (probes, lutRows) = probeAndLut(s, sfDir, nProbe)
-    val codes = probes.map(_._2).distinct.sorted
-      .map(l => SnapshotLake.readRange(s, table, "list_id", l, l, version))
-      .reduce(_ unionByName _)
+    if (probes.isEmpty) return emptyResult(s)
+    val codes = SnapshotLake.readRangeIn(s, table, "list_id",
+      probes.map(_._2).distinct.sorted, version)
     adcTopK(s, codes, probes, lutRows, k)
   }
 
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2,
+    require(args.length >= 2 && !args.take(2).exists(_.startsWith("--")),
       "usage: AnnIndexBuild <sf-dir> <index-out-dir> [--search]")
     val spark = GraftSession.get()
     val t0 = System.nanoTime()

@@ -246,6 +246,27 @@ object SnapshotLake {
         df.filter(c(statsCol) >= lo && c(statsCol) <= hi)
       })
 
+  /** [[readRange]] for a SET of values (an IN-list probe): ONE manifest
+    * read and ONE version resolution for the whole set — a file is kept
+    * when its [min, max] contains ANY of the values. The single
+    * resolution is a consistency property, not just a cost saving: K
+    * per-value readRange calls with version=None could each resolve a
+    * DIFFERENT latest version under a concurrent commit and stitch a
+    * cross-version result no snapshot ever contained. */
+  def readRangeIn(spark: SparkSession, table: String, statsCol: String,
+                  values: Seq[Long], version: Option[Long] = None): DataFrame = {
+    require(values.nonEmpty, "readRangeIn: empty value set")
+    readRangeImpl(spark, table, StatsSpec(statsCol, StatsKind.Longs), version,
+      (mn, mx) => {
+        val lo = mn.toLong; val hi = mx.toLong
+        values.exists(v => lo <= v && v <= hi)
+      },
+      df => {
+        import org.apache.spark.sql.functions.{col => c}
+        df.filter(c(statsCol).isin(values: _*))
+      })
+  }
+
   /** [[readRange]] for a STRING stats column (ISO dates, camera ids,
     * partition-style values): prune files by the manifest's raw-byte
     * min/max in unsigned byte order — the same order parquet computed the

@@ -86,7 +86,27 @@ object SimilarityOps {
       .orderBy("q_id", "rank")
   }
 
-  private val IvfProbes = 2
+  // private[graft]: jobs.AnnIndexBuild's search defaults reference this
+  // same constant, so tuning the recall dial cannot silently diverge the
+  // persisted-index path from the in-query path
+  private[graft] val IvfProbes = 2
+
+  /** Query-side probe resolution shared by q46b/q70b and the persisted
+    * index (one row per (q_id, qv, list_id), the query's `nProbe`
+    * nearest lists by cosine — window over 16 broadcast centroids per
+    * query, a handful of rows). */
+  private[graft] def queryProbeLists(s: SparkSession, d: String, nProbe: Int): DataFrame = {
+    val wProbe = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("list_id"))
+    Tables.embeddings(s, d)
+      .filter(col("vec_id") < 10)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      .withColumn("nrm", norm(col("v")))
+      .join(broadcast(centroidTable(s)))
+      .withColumn("csim", cosine(col("v"), col("cv"), col("nrm"), col("cnrm")))
+      .withColumn("crank", row_number().over(wProbe))
+      .filter(col("crank") <= nProbe)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("list_id"))
+  }
 
   /** q46b — IVF ANN with a TRAINED coarse quantizer: the frozen k-means
     * centroids (IvfCentroids — Kmeans.train output, the offline
@@ -366,18 +386,9 @@ object SimilarityOps {
     */
   def knnIvfPq(s: SparkSession, d: String, k: Int = 3): DataFrame = {
     val subDim = 8
-    // query probes — each query keeps its IvfProbes nearest lists (window
-    // over 16 broadcast centroids per query — a handful of rows)
-    val wProbe = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("list_id"))
-    val queryProbes = Tables.embeddings(s, d)
-      .filter(col("vec_id") < 10)
-      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
-      .withColumn("nrm", norm(col("v")))
-      .join(broadcast(centroidTable(s)))
-      .withColumn("csim", cosine(col("v"), col("cv"), col("nrm"), col("cnrm")))
-      .withColumn("crank", row_number().over(wProbe))
-      .filter(col("crank") <= IvfProbes)
-      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("list_id"))
+    // query probes — THE shared resolver (also what the persisted index's
+    // search collects driver-side)
+    val queryProbes = queryProbeLists(s, d, IvfProbes)
 
     // corpus coarse + code assignment comes from THE shared helper
     // (codedCorpusSubs — also what AnnIndexBuild persists); joining the

@@ -303,11 +303,13 @@ class LlmOpsSpec extends SparkSpec {
       if (java.lang.Long.bitCount(z) <= 3) {
         val agreeing = masks.indices.filter(ci => (z & masks(ci)) == 0L)
         assert(agreeing.nonEmpty, s"no combo agrees for z=$z")
-        // the join emits on every agreeing combo; the firstAgree filter
-        // keeps exactly the minimum index — exactly-once by construction
-        assert(agreeing.min >= 0 && agreeing.distinct.size == agreeing.size)
       }
     }
+    // exactly-once is asserted against the OPERATOR, not a re-derivation:
+    // the first-agreeing-combo filter must leave zero duplicate pairs
+    val pairs = DedupOps.simhash(spark, sf).select("doc_a", "doc_b")
+    assert(pairs.count() === pairs.distinct().count(),
+      "q43 emitted a pair more than once")
   }
 
   test("q43 simhash: identical docs have identical fingerprints (hamming 0)") {

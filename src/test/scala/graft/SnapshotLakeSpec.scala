@@ -145,6 +145,27 @@ class SnapshotLakeSpec extends SparkSpec {
     assert(ids(SnapshotLake.readRange(spark, t, "id", 0, 1000)) === ids(all))
   }
 
+  test("readRangeIn prunes to the files containing ANY probed value, one manifest read") {
+    val t = freshTable()
+    // 4 commits with disjoint id ranges -> per-file min/max are disjoint
+    (0 until 4).foreach { i =>
+      SnapshotLake.commitAppend(spark, t,
+        batch(i * 100, i * 100 + 50).repartition(2), statsCol = Some("id"))
+    }
+    val all = SnapshotLake.read(spark, t)
+    val total = all.inputFiles.length
+    // values from commits #0 and #3 only: #1/#2's files must be pruned
+    val hit = SnapshotLake.readRangeIn(spark, t, "id", Seq(10L, 330L))
+    assert(hit.inputFiles.length <= total / 2)
+    assert(ids(hit) === Seq(10L, 330L))
+    // values outside every range: zero rows, schema intact
+    val none = SnapshotLake.readRangeIn(spark, t, "id", Seq(5000L))
+    assert(none.count() === 0 && none.columns.toSeq === Seq("id", "payload"))
+    intercept[IllegalArgumentException] {
+      SnapshotLake.readRangeIn(spark, t, "id", Seq.empty)
+    }
+  }
+
   test("mixed-stats history disables pruning rather than corrupting it") {
     val t = freshTable()
     SnapshotLake.commitAppend(spark, t, batch(0, 50), statsCol = Some("id"))
