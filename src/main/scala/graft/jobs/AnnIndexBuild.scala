@@ -54,14 +54,17 @@ object AnnIndexBuild {
   private val SubDim = 8
   private val NSub = 8
 
-  /** The corpus as one row per (vec_id, list_id, codes[8]) — array_sort
-    * on (sub_idx, code) pairs so codes[i] is subspace i's code regardless
-    * of aggregation order. */
-  private def codedTable(s: SparkSession, sfDir: String): DataFrame =
-    SimilarityOps.codedCorpusSubs(s, sfDir)
-      .groupBy("vec_id", "list_id")
+  /** (vec_id, list_id, sub_idx, code) rows -> one row per vector with
+    * codes[8] — array_sort on (sub_idx, code) pairs so codes[i] is
+    * subspace i's code regardless of aggregation order. */
+  private def aggCodes(subs: DataFrame): DataFrame =
+    subs.groupBy("vec_id", "list_id")
       .agg(transform(array_sort(collect_list(struct(col("sub_idx"), col("code")))),
         x => x.getField("code")).as("codes"))
+
+  /** The corpus as one row per (vec_id, list_id, codes[8]). */
+  private def codedTable(s: SparkSession, sfDir: String): DataFrame =
+    aggCodes(SimilarityOps.codedCorpusSubs(s, sfDir))
 
   /** One pass over the corpus embeddings -> the partitioned code table. */
   def build(s: SparkSession, sfDir: String, out: String): Unit =
@@ -75,6 +78,19 @@ object AnnIndexBuild {
   def buildVersioned(s: SparkSession, sfDir: String, table: String): Long =
     SnapshotLake.commitOverwrite(s, table,
       codedTable(s, sfDir).repartition(col("list_id")).sortWithinPartitions("list_id"),
+      statsCol = Some("list_id"))
+
+  /** Incremental maintenance: code a batch of NEW vectors — (vec_id,
+    * embedding) rows, e.g. a day's arrivals — through the same shared
+    * kernel and APPEND them as one atomic snapshot. The index grows by
+    * a version per batch instead of rebuilding; the appended files are
+    * list_id-clustered with their own stats, so probe pruning keeps
+    * skipping at file granularity across the append history. */
+  def appendVersioned(s: SparkSession, newVectors: DataFrame, table: String): Long =
+    SnapshotLake.commitAppend(s, table,
+      aggCodes(SimilarityOps.codedSubsOf(s,
+        newVectors.select(col("vec_id"), toDouble(col("embedding")).as("v"))))
+        .repartition(col("list_id")).sortWithinPartitions("list_id"),
       statsCol = Some("list_id"))
 
   /** Driver-side probe resolution + ADC lookup table, shared by both

@@ -145,12 +145,17 @@ object SimilarityOps {
     * orders. This is the single source of assignment shared by q70b's
     * in-query path and jobs.AnnIndexBuild's persisted index, so the
     * spec-pinned bit-identity between them cannot drift apart. */
-  private[graft] def codedCorpusSubs(s: SparkSession, d: String): DataFrame = {
-    val subDim = 8
-    val e = Tables.embeddings(s, d)
+  private[graft] def codedCorpusSubs(s: SparkSession, d: String): DataFrame =
+    codedSubsOf(s, Tables.embeddings(s, d)
       .filter(col("vec_id") >= 10)
-      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
-      .withColumn("nrm", norm(col("v")))
+      .select(col("vec_id"), toDouble(col("embedding")).as("v")))
+
+  /** [[codedCorpusSubs]] over an arbitrary (vec_id, v) frame — the seam
+    * incremental index maintenance codes NEW arrivals through, so batch
+    * build and append produce identical codes by construction. */
+  private[graft] def codedSubsOf(s: SparkSession, emb: DataFrame): DataFrame = {
+    val subDim = 8
+    val e = emb.withColumn("nrm", norm(col("v")))
     val corpusList = e.join(broadcast(centroidTable(s)))
       .withColumn("csim", cosine(col("v"), col("cv"), col("nrm"), col("cnrm")))
       .groupBy("vec_id")

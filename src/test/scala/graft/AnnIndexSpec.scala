@@ -52,6 +52,25 @@ class AnnIndexSpec extends SparkSpec {
     assert(t.filter(exists(col("codes"), c => c < 0 || c > 15)).count() === 0)
   }
 
+  test("incremental append: build half, append the rest, search == full recompute") {
+    import spark.implicits._
+    // a corpus dir whose embeddings table holds the queries + EVEN corpus
+    // vectors only; the odd half arrives later as an append batch
+    val half = java.nio.file.Files.createTempDirectory("annhalf").toString
+    val emb = Tables.embeddings(spark, sf)
+    emb.filter(col("vec_id") < 10 || col("vec_id") % 2 === 0)
+      .write.parquet(s"$half/embeddings.parquet")
+    val table = java.nio.file.Files.createTempDirectory("annincr").toString
+    val v1 = AnnIndexBuild.buildVersioned(spark, half, table)
+    val v2 = AnnIndexBuild.appendVersioned(spark,
+      emb.filter(col("vec_id") >= 10 && col("vec_id") % 2 === 1), table)
+    assert(v2 === v1 + 1)
+    // incremental == batch: the appended codes come through the same
+    // kernel, so the grown index answers exactly like a full rebuild
+    assert(AnnIndexBuild.searchVersioned(spark, table, sf).collect().toSeq
+      === SimilarityOps.knnIvfPq(spark, sf).collect().toSeq)
+  }
+
   test("versioned index: atomic publish, bit-identical search, pinned-version reads") {
     val table = java.nio.file.Files.createTempDirectory("annlake").toString
     val v1 = AnnIndexBuild.buildVersioned(spark, sf, table)
