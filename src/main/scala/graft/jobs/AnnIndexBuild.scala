@@ -1,10 +1,9 @@
 package graft.jobs
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.{GraftSession, Tables}
+import graft.GraftSession
 import graft.functions.VectorFunctions._
 import graft.operators.{PqCodebooks, SimilarityOps}
 
@@ -42,8 +41,12 @@ import graft.operators.{PqCodebooks, SimilarityOps}
   * manifest publishes; a rebuild while serving never tears a reader) and
   * searches can pin a version (reproduce yesterday's retrieval during an
   * index migration). Probes prune via the manifest's per-file list_id
-  * ranges ([[SnapshotLake.readRange]] per probed list — O(1) file opens
-  * per list on the list-clustered layout) instead of directory names.
+  * ranges instead of directory names — ONE [[SnapshotLake.readRangeIn]]
+  * over ALL probed lists (single manifest read, single version
+  * resolution; per-list reads could each resolve a different latest
+  * under a concurrent rebuild and stitch a torn cross-version result —
+  * see [[searchVersioned]]), O(1) file opens per probed list on the
+  * list-clustered layout.
   *
   * Reference counterpart: none — the reference pipeline has no vector
   * index; this extends the ANN family (q45/q46/q46b/q70/q70b) with the
@@ -85,11 +88,19 @@ object AnnIndexBuild {
     * kernel and APPEND them as one atomic snapshot. The index grows by
     * a version per batch instead of rebuilding; the appended files are
     * list_id-clustered with their own stats, so probe pruning keeps
-    * skipping at file granularity across the append history. */
+    * skipping at file granularity across the append history.
+    *
+    * Query-convention rows (vec_id < [[SimilarityOps.QueryIdMax]]) are
+    * excluded HERE, exactly as the batch build excludes them inside
+    * codedCorpusSubs — so appending a raw embeddings table cannot index
+    * the query vectors as corpus (which would make every search return
+    * its own query at distance 0 and break the spec-pinned bit-identity
+    * with knnIvfPq). */
   def appendVersioned(s: SparkSession, newVectors: DataFrame, table: String): Long =
     SnapshotLake.commitAppend(s, table,
       aggCodes(SimilarityOps.codedSubsOf(s,
-        newVectors.select(col("vec_id"), toDouble(col("embedding")).as("v"))))
+        newVectors.filter(col("vec_id") >= SimilarityOps.QueryIdMax)
+          .select(col("vec_id"), toDouble(col("embedding")).as("v"))))
         .repartition(col("list_id")).sortWithinPartitions("list_id"),
       statsCol = Some("list_id"))
 
@@ -128,8 +139,10 @@ object AnnIndexBuild {
   }
 
   /** ADC top-k over a (vec_id, list_id, codes) frame: 8 lookup-adds per
-    * candidate against the broadcast LUT, per-subspace conditional sums
-    * in q70b's fixed expression order. */
+    * candidate against the broadcast LUT, then THE shared scoring tail
+    * ([[SimilarityOps.adcRank]] — the same conditional-sum order, reduce
+    * chain and tie-break q70/q70b rank through, so the spec-pinned
+    * bit-identity cannot drift on an edit to one copy). */
   private def adcTopK(s: SparkSession, codes: DataFrame,
       probes: Seq[(Long, Long)], lutRows: Seq[(Long, Long, Long, Double)],
       k: Int): DataFrame = {
@@ -141,17 +154,7 @@ object AnnIndexBuild {
         posexplode(col("codes")).as(Seq("sub_idx", "code")))
       .join(broadcast(probePairs), Seq("list_id"))
       .join(broadcast(lut), Seq("q_id", "sub_idx", "code"))
-    val perSub = (0 until NSub).map(sub =>
-      sum(when(col("sub_idx") === sub.toLong, col("dsub"))).as(s"d$sub"))
-    val wr = Window.partitionBy("q_id").orderBy(col("adc_dist").asc, col("neighbor_id"))
-    candidates
-      .groupBy(col("q_id"), col("vec_id").as("neighbor_id"))
-      .agg(perSub.head, perSub.tail: _*)
-      .withColumn("adc_dist", (0 until NSub).map(sub => col(s"d$sub")).reduce(_ + _))
-      .select("q_id", "neighbor_id", "adc_dist")
-      .withColumn("rank", row_number().over(wr).cast("long"))
-      .filter(col("rank") <= k)
-      .orderBy("q_id", "rank")
+    SimilarityOps.adcRank(candidates, k)
   }
 
   private def emptyResult(s: SparkSession): DataFrame = {

@@ -91,21 +91,29 @@ object SimilarityOps {
   // persisted-index path from the in-query path
   private[graft] val IvfProbes = 2
 
+  /** The query/corpus id convention: vec_id < QueryIdMax rows are the
+    * benchmark query set, vec_id >= QueryIdMax the searchable corpus.
+    * Single-sourced (private[graft]) so every corpus-ingest path — the
+    * batch index build AND incremental appends — excludes the query rows
+    * the same way; an ingest that coded them would return each query as
+    * its own zero-distance neighbor. */
+  private[graft] val QueryIdMax = 10L
+
   /** Query-side probe resolution shared by q46b/q70b and the persisted
-    * index (one row per (q_id, qv, list_id), the query's `nProbe`
+    * index (one row per (q_id, qv, qnrm, list_id), the query's `nProbe`
     * nearest lists by cosine — window over 16 broadcast centroids per
     * query, a handful of rows). */
   private[graft] def queryProbeLists(s: SparkSession, d: String, nProbe: Int): DataFrame = {
     val wProbe = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("list_id"))
     Tables.embeddings(s, d)
-      .filter(col("vec_id") < 10)
+      .filter(col("vec_id") < QueryIdMax)
       .select(col("vec_id"), toDouble(col("embedding")).as("v"))
       .withColumn("nrm", norm(col("v")))
       .join(broadcast(centroidTable(s)))
       .withColumn("csim", cosine(col("v"), col("cv"), col("nrm"), col("cnrm")))
       .withColumn("crank", row_number().over(wProbe))
       .filter(col("crank") <= nProbe)
-      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("list_id"))
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qnrm"), col("list_id"))
   }
 
   /** q46b — IVF ANN with a TRAINED coarse quantizer: the frozen k-means
@@ -147,7 +155,7 @@ object SimilarityOps {
     * spec-pinned bit-identity between them cannot drift apart. */
   private[graft] def codedCorpusSubs(s: SparkSession, d: String): DataFrame =
     codedSubsOf(s, Tables.embeddings(s, d)
-      .filter(col("vec_id") >= 10)
+      .filter(col("vec_id") >= QueryIdMax)
       .select(col("vec_id"), toDouble(col("embedding")).as("v")))
 
   /** [[codedCorpusSubs]] over an arbitrary (vec_id, v) frame — the seam
@@ -288,6 +296,31 @@ object SimilarityOps {
     * order, so the ADC distance is bit-reproducible against the oracle
     * (a plain SUM over subspaces would fold in partition order).
     */
+  /** THE shared ADC scoring tail — as bit-identity-load-bearing as the
+    * assignment kernel, and single-sourced for the same reason: q70, q70b
+    * and the persisted-index search (jobs.AnnIndexBuild) all rank through
+    * this one helper, so an edit to the tie-break or the summation order
+    * cannot silently break the spec-pinned search == knnIvfPq equality.
+    * Input: one row per scored (q_id, vec_id, sub_idx) carrying `dsub`
+    * (that subspace's squared distance). The 8 per-subspace sums are
+    * separate conditional aggregates (each aggregates exactly ONE row per
+    * (q_id, vec_id), so partial-aggregation order cannot perturb bits)
+    * added in a FIXED expression order; rank is (adc_dist ASC,
+    * neighbor_id ASC). */
+  private[graft] def adcRank(partials: DataFrame, k: Int): DataFrame = {
+    val perSub = (0 until 8).map(sub =>
+      sum(when(col("sub_idx") === sub.toLong, col("dsub"))).as(s"d$sub"))
+    val wr = Window.partitionBy("q_id").orderBy(col("adc_dist").asc, col("neighbor_id"))
+    partials
+      .groupBy(col("q_id"), col("vec_id").as("neighbor_id"))
+      .agg(perSub.head, perSub.tail: _*)
+      .withColumn("adc_dist", (0 until 8).map(sub => col(s"d$sub")).reduce(_ + _))
+      .select("q_id", "neighbor_id", "adc_dist")
+      .withColumn("rank", row_number().over(wr).cast("long"))
+      .filter(col("rank") <= k)
+      .orderBy("q_id", "rank")
+  }
+
   def knnPq(s: SparkSession, d: String, k: Int = 3): DataFrame = {
     val subDim = 8
     def subsOf(df: DataFrame): DataFrame = df
@@ -317,49 +350,29 @@ object SimilarityOps {
     val partials = recon.join(broadcast(queries), Seq("sub_idx"))
       .withColumn("dsub",
         expr("aggregate(zip_with(qsv, cv, (x, y) -> (x - y) * (x - y)), 0D, (acc, z) -> acc + z)"))
-    val perSub = (0 until 8).map(sub =>
-      sum(when(col("sub_idx") === sub.toLong, col("dsub"))).as(s"d$sub"))
-    val wr = Window.partitionBy("q_id").orderBy(col("adc_dist").asc, col("neighbor_id"))
-    partials
-      .groupBy(col("q_id"), col("vec_id").as("neighbor_id"))
-      .agg(perSub.head, perSub.tail: _*)
-      .withColumn("adc_dist", (0 until 8).map(sub => col(s"d$sub")).reduce(_ + _))
-      .select("q_id", "neighbor_id", "adc_dist")
-      .withColumn("rank", row_number().over(wr).cast("long"))
-      .filter(col("rank") <= k)
-      .orderBy("q_id", "rank")
+    adcRank(partials, k)
   }
 
   def knnIvf(s: SparkSession, d: String, k: Int = 3): DataFrame = {
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), toDouble(col("embedding")).as("v"))
       .withColumn("nrm", norm(col("v")))
-    val centroids = centroidTable(s)
 
-    // nearest-centroid assignment by cosine. keep=1 (the corpus side, the
-    // one that scales) is max_by — map-side partials, no per-vector sort;
-    // keep>1 (the probe side, a handful of query vectors) keeps the window
-    // rank. Ties keep the smallest list_id in both shapes.
-    def assign(df: DataFrame, idCol: String, keep: Int): DataFrame = {
-      val scored = df.join(broadcast(centroids))
-        .withColumn("csim", cosine(col("v"), col("cv"), col("nrm"), col("cnrm")))
-      if (keep == 1)
-        scored.groupBy(col(idCol))
-          .agg(max_by(struct(col("v"), col("nrm"), col("list_id")),
-            struct(col("csim"), -col("list_id"))).as("best"))
-          .select(col(idCol), col("best.v").as("v"), col("best.nrm").as("nrm"),
-            col("best.list_id").as("list_id"))
-      else {
-        val w = Window.partitionBy(idCol).orderBy(col("csim").desc, col("list_id"))
-        scored.withColumn("crank", row_number().over(w))
-          .filter(col("crank") <= keep)
-          .drop("cv", "cnrm", "csim", "crank")
-      }
-    }
-
-    val queries = assign(e.filter(col("vec_id") < 10), "vec_id", IvfProbes)
-      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qnrm"), col("list_id"))
-    val corpus = assign(e.filter(col("vec_id") >= 10), "vec_id", 1)
+    // probe side: THE shared resolver (queryProbeLists — also what q70b
+    // and the persisted index run), so a recall-dial or tie-break change
+    // reaches every probing path at once
+    val queries = queryProbeLists(s, d, IvfProbes)
+    // corpus side (the one that scales): nearest-centroid argmax via
+    // max_by — map-side partials, no per-vector sort; ties keep the
+    // smallest list_id, matching the resolver's window tie-break
+    val corpus = e.filter(col("vec_id") >= QueryIdMax)
+      .join(broadcast(centroidTable(s)))
+      .withColumn("csim", cosine(col("v"), col("cv"), col("nrm"), col("cnrm")))
+      .groupBy(col("vec_id"))
+      .agg(max_by(struct(col("v"), col("nrm"), col("list_id")),
+        struct(col("csim"), -col("list_id"))).as("best"))
+      .select(col("vec_id"), col("best.v").as("v"), col("best.nrm").as("nrm"),
+        col("best.list_id").as("list_id"))
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("neighbor_id"))
     corpus.join(broadcast(queries), Seq("list_id"))
       .withColumn("cos", cosine(col("qv"), col("v"), col("qnrm"), col("nrm")))
@@ -411,17 +424,7 @@ object SimilarityOps {
     val partials = recon.join(broadcast(querySubs), Seq("list_id", "sub_idx"))
       .withColumn("dsub",
         expr("aggregate(zip_with(qsv, cv, (x, y) -> (x - y) * (x - y)), 0D, (acc, z) -> acc + z)"))
-    val perSub = (0 until 8).map(sub =>
-      sum(when(col("sub_idx") === sub.toLong, col("dsub"))).as(s"d$sub"))
-    val wr = Window.partitionBy("q_id").orderBy(col("adc_dist").asc, col("neighbor_id"))
-    partials
-      .groupBy(col("q_id"), col("vec_id").as("neighbor_id"))
-      .agg(perSub.head, perSub.tail: _*)
-      .withColumn("adc_dist", (0 until 8).map(sub => col(s"d$sub")).reduce(_ + _))
-      .select("q_id", "neighbor_id", "adc_dist")
-      .withColumn("rank", row_number().over(wr).cast("long"))
-      .filter(col("rank") <= k)
-      .orderBy("q_id", "rank")
+    adcRank(partials, k)
   }
 
   /** q81 — hybrid retrieval fusion via Reciprocal Rank Fusion (Cormack et

@@ -62,9 +62,14 @@ class AnnIndexSpec extends SparkSpec {
       .write.parquet(s"$half/embeddings.parquet")
     val table = java.nio.file.Files.createTempDirectory("annincr").toString
     val v1 = AnnIndexBuild.buildVersioned(spark, half, table)
+    // the append batch is sourced NAIVELY — query-convention rows
+    // included, as a caller appending a day's arrivals straight off an
+    // embeddings table would: the filter inside appendVersioned must
+    // drop them, or every search returns its own query at distance 0
     val v2 = AnnIndexBuild.appendVersioned(spark,
-      emb.filter(col("vec_id") >= 10 && col("vec_id") % 2 === 1), table)
+      emb.filter(col("vec_id") < 10 || col("vec_id") % 2 === 1), table)
     assert(v2 === v1 + 1)
+    assert(jobs.SnapshotLake.read(spark, table).filter(col("vec_id") < 10).count() === 0)
     // incremental == batch: the appended codes come through the same
     // kernel, so the grown index answers exactly like a full rebuild
     assert(AnnIndexBuild.searchVersioned(spark, table, sf).collect().toSeq
