@@ -97,12 +97,76 @@ object AnnIndexBuild {
     * its own query at distance 0 and break the spec-pinned bit-identity
     * with knnIvfPq). */
   def appendVersioned(s: SparkSession, newVectors: DataFrame, table: String): Long =
-    SnapshotLake.commitAppend(s, table,
-      aggCodes(SimilarityOps.codedSubsOf(s,
-        newVectors.filter(col("vec_id") >= SimilarityOps.QueryIdMax)
-          .select(col("vec_id"), toDouble(col("embedding")).as("v"))))
-        .repartition(col("list_id")).sortWithinPartitions("list_id"),
+    SnapshotLake.commitAppend(s, table, codedBatch(s, newVectors),
       statsCol = Some("list_id"))
+
+  /** A raw (vec_id, embedding) batch -> committable code rows: the query-
+    * convention filter, THE shared assignment kernel, list-clustered
+    * layout. Single-sourced so batch appends and the streaming path below
+    * cannot drift. */
+  private def codedBatch(s: SparkSession, newVectors: DataFrame): DataFrame =
+    aggCodes(SimilarityOps.codedSubsOf(s,
+      newVectors.filter(col("vec_id") >= SimilarityOps.QueryIdMax)
+        .select(col("vec_id"), toDouble(col("embedding")).as("v"))))
+      .repartition(col("list_id")).sortWithinPartitions("list_id")
+
+  /** Continuous index maintenance: each micro-batch of arriving (vec_id,
+    * embedding) rows is coded through the same kernel as a batch append
+    * and committed as ONE idempotent snapshot per micro-batch
+    * ([[SnapshotLake.commitStreamBatch]] — a crash-redelivered batch sees
+    * its own id on the latest version and skips, so restarts cannot
+    * double-index a day's arrivals). Searches see each batch atomically:
+    * a snapshot either contains ALL of a micro-batch's codes or none. */
+  def appendStream(stream: DataFrame, table: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        SnapshotLake.commitStreamBatch(s, table, codedBatch(s, batch), batchId,
+          statsCol = Some("list_id"))
+        ()
+      }
+      .start()
+
+  /** Reserved tombstone partition id. Probed lists are always >= 0, so
+    * the probe IN-filter can never read tombstones as codes; search reads
+    * probed lists + this one in a SINGLE readRangeIn (one version
+    * resolution — a search can never see codes from one snapshot and
+    * deletes from another). */
+  private[graft] val TombstoneListId = -1L
+
+  /** Merge-on-read DELETE — the missing third of the index lifecycle
+    * (dedup and decontamination emit REMOVAL lists; a corpus that only
+    * grows serves deleted vectors forever): append the ids as tombstone
+    * rows in the reserved partition, O(batch) work regardless of index
+    * size — the deletion-bitmap/live-docs design, deferring the physical
+    * rewrite to [[compactVersioned]]. A tombstone hides every occurrence
+    * of the id (even codes appended AFTER it, across any version); to
+    * re-insert a deleted id, compact first — the fold drops the tombstone
+    * together with the rows it masks. `ids` is a 1-column (vec_id) frame:
+    * removal lists arrive as DataFrames, never driver arrays. */
+  def deleteVersioned(s: SparkSession, ids: DataFrame, table: String): Long =
+    SnapshotLake.commitAppend(s, table,
+      ids.select(col("vec_id").cast("long").as("vec_id"))
+        .withColumn("list_id", lit(TombstoneListId))
+        .withColumn("codes", lit(null).cast("array<bigint>")),
+      statsCol = Some("list_id"))
+
+  /** Fold tombstones physically: ONE reader-safe rewrite
+    * ([[SnapshotLake.commitRewrite]]) of the current snapshot without the
+    * masked rows or the tombstones themselves, re-clustered by list_id.
+    * Returns None (retry on fresh state) if a foreign commit raced in —
+    * never drops a raced append. Pinned readers of older versions still
+    * see the pre-compaction files (time travel is unaffected). */
+  def compactVersioned(s: SparkSession, table: String): Option[Long] =
+    SnapshotLake.commitRewrite(s, table, { rows =>
+      val tomb = rows.filter(col("list_id") === TombstoneListId).select("vec_id")
+      rows.filter(col("list_id") =!= TombstoneListId)
+        .join(tomb, Seq("vec_id"), "left_anti")
+        .repartition(col("list_id")).sortWithinPartitions("list_id")
+    }, statsCol = Some("list_id"))
 
   /** Driver-side probe resolution + ADC lookup table, shared by both
     * serving paths. ONE bounded job: nQueries x nProbe rows, each
@@ -179,18 +243,25 @@ object AnnIndexBuild {
   }
 
   /** [[search]] over a [[buildVersioned]] table: ONE manifest-pruned
-    * [[SnapshotLake.readRangeIn]] over the probed lists (single manifest
-    * read, single version resolution — K per-list reads with
-    * version=None could each resolve a different latest under a
-    * concurrent rebuild and stitch a cross-version result no snapshot
-    * ever contained), optionally pinned to a version. */
+    * [[SnapshotLake.readRangeIn]] over the probed lists PLUS the
+    * tombstone partition (single manifest read, single version
+    * resolution — K per-list reads with version=None could each resolve
+    * a different latest under a concurrent rebuild, or see codes from
+    * one snapshot and deletes from another, and stitch a cross-version
+    * result no snapshot ever contained), optionally pinned to a version.
+    * Tombstoned ids ([[deleteVersioned]]) drop by anti-join before
+    * scoring — the planner broadcasts the (small) tombstone side on its
+    * own statistics; no unbounded hint. */
   def searchVersioned(s: SparkSession, table: String, sfDir: String,
       k: Int = 3, nProbe: Int = SimilarityOps.IvfProbes,
       version: Option[Long] = None): DataFrame = {
     val (probes, lutRows) = probeAndLut(s, sfDir, nProbe)
     if (probes.isEmpty) return emptyResult(s)
-    val codes = SnapshotLake.readRangeIn(s, table, "list_id",
-      probes.map(_._2).distinct.sorted, version)
+    val rows = SnapshotLake.readRangeIn(s, table, "list_id",
+      probes.map(_._2).distinct.sorted :+ TombstoneListId, version)
+    val tomb = rows.filter(col("list_id") === TombstoneListId).select("vec_id")
+    val codes = rows.filter(col("list_id") =!= TombstoneListId)
+      .join(tomb, Seq("vec_id"), "left_anti")
     adcTopK(s, codes, probes, lutRows, k)
   }
 

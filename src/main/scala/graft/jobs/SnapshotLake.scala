@@ -631,18 +631,50 @@ object SnapshotLake {
     requireAtomicClaims(fs)
     val latest = latestVersion(fs, root)
     require(latest.nonEmpty, s"no snapshots at $table")
-    val basedOn = latest.get
-    val (baseStats, baseFiles) = readManifest(fs, root, basedOn)
+    val (_, baseFiles) = readManifest(fs, root, latest.get)
     if (baseFiles.isEmpty) return None
+    // file-count heuristic from the observed snapshot; if a commit races
+    // between here and the rewrite's own base read, nOut is merely stale
+    // (the rewrite itself still abandons on any raced base)
     val bytes = baseFiles.map(f => fs.getFileStatus(new Path(root, f.path)).getLen).sum
     val nOut = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
-    val compacted = read(spark, table, Some(basedOn)).coalesce(nOut)
-    val (dataDir, fresh, freshSpec) = stage(spark, fs, root, compacted, baseStats.map(_.col))
+    commitRewrite(spark, table, _.coalesce(nOut), None, beforePublish)
+  }
+
+  /** Reader-safe ROW-LEVEL rewrite: commit transform(current snapshot) as
+    * an overwrite of that SAME snapshot — the generalization of
+    * [[commitCompacted]] (which rewrites file layout, not rows) that
+    * tombstone folds, column drops, or re-clustering need. If any foreign
+    * commit lands between the base read and the publish, the rewrite
+    * ABANDONS (None) rather than silently dropping the raced commit's
+    * rows — the caller retries on fresh state; an overwrite here would
+    * lose data. Readers of published versions are untouched (their
+    * manifests still name the old files). `statsCol` defaults to the base
+    * snapshot's stats column so a rewrite preserves pruning. */
+  def commitRewrite(spark: SparkSession, table: String,
+                    transform: DataFrame => DataFrame,
+                    statsCol: Option[String] = None): Option[Long] =
+    commitRewrite(spark, table, transform, statsCol, () => ())
+
+  private[graft] def commitRewrite(spark: SparkSession, table: String,
+                                   transform: DataFrame => DataFrame,
+                                   statsCol: Option[String],
+                                   beforePublish: () => Unit): Option[Long] = {
+    requireAtomicClaims(table)
+    val (fs, root) = fsOf(spark, table)
+    requireAtomicClaims(fs)
+    val latest = latestVersion(fs, root)
+    require(latest.nonEmpty, s"no snapshots at $table")
+    val basedOn = latest.get
+    val (baseStats, baseFiles) = readManifest(fs, root, basedOn)
+    val rewritten = transform(read(spark, table, Some(basedOn)))
+    val (dataDir, fresh, freshSpec) =
+      stage(spark, fs, root, rewritten, statsCol.orElse(baseStats.map(_.col)))
     beforePublish()
     try
       Some(publish(fs, root, { (_, base) =>
-        // a commit raced in: abandon — publishing the observed base
-        // verbatim would burn a version slot on a no-op and churn the log
+        // a commit raced in: abandon — publishing would either drop its
+        // rows (data loss) or burn a version slot on stale output
         if (base.map(_.path) != baseFiles.map(_.path)) throw new CommitAbandoned
         (freshSpec, fresh)
       }))

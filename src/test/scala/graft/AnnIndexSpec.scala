@@ -76,6 +76,76 @@ class AnnIndexSpec extends SparkSpec {
       === SimilarityOps.knnIvfPq(spark, sf).collect().toSeq)
   }
 
+  test("delete lifecycle: tombstone hides the id even re-appended; compaction folds; re-insert works") {
+    import spark.implicits._
+    val table = java.nio.file.Files.createTempDirectory("anndel").toString
+    val v1 = AnnIndexBuild.buildVersioned(spark, sf, table)
+    val baseline = SimilarityOps.knnIvfPq(spark, sf).collect().toSeq
+    val victim = baseline.head.getLong(1) // somebody's ranked neighbor
+    val emb = Tables.embeddings(spark, sf)
+
+    AnnIndexBuild.deleteVersioned(spark, Seq(victim).toDF("vec_id"), table)
+    val after = AnnIndexBuild.searchVersioned(spark, table, sf).collect().toSeq
+    assert(!after.exists(_.getLong(1) == victim))
+    assert(after !== baseline)
+    // merge-on-read delete == the recompute query over a corpus that
+    // never contained the victim (next-best neighbors fill in, bit-exact)
+    val cut = java.nio.file.Files.createTempDirectory("anncut").toString
+    emb.filter(col("vec_id") =!= victim).write.parquet(s"$cut/embeddings.parquet")
+    assert(after === SimilarityOps.knnIvfPq(spark, cut).collect().toSeq)
+    // time travel: the pre-delete version still serves the victim
+    assert(AnnIndexBuild.searchVersioned(spark, table, sf, version = Some(v1))
+      .collect().toSeq === baseline)
+
+    // the tombstone masks codes appended AFTER it too
+    AnnIndexBuild.appendVersioned(spark, emb.filter(col("vec_id") === victim), table)
+    assert(AnnIndexBuild.searchVersioned(spark, table, sf).collect().toSeq === after)
+
+    // compaction folds tombstones and masked rows physically; search unchanged
+    assert(AnnIndexBuild.compactVersioned(spark, table).nonEmpty)
+    val t = jobs.SnapshotLake.read(spark, table)
+    assert(t.filter(col("list_id") < 0).count() === 0)
+    assert(t.filter(col("vec_id") === victim).count() === 0)
+    assert(AnnIndexBuild.searchVersioned(spark, table, sf).collect().toSeq === after)
+
+    // after the fold the id can re-enter the index
+    AnnIndexBuild.appendVersioned(spark, emb.filter(col("vec_id") === victim), table)
+    assert(AnnIndexBuild.searchVersioned(spark, table, sf).collect().toSeq === baseline)
+  }
+
+  test("streaming append: idempotent per-batch commits through the same kernel; search == recompute") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // base index from queries + EVEN corpus vectors; the odds arrive live
+    val half = java.nio.file.Files.createTempDirectory("annshalf").toString
+    val emb = Tables.embeddings(spark, sf)
+    emb.filter(col("vec_id") < 10 || col("vec_id") % 2 === 0)
+      .write.parquet(s"$half/embeddings.parquet")
+    val table = java.nio.file.Files.createTempDirectory("annstream").toString
+    AnnIndexBuild.buildVersioned(spark, half, table)
+    // the stream carries ALL odd ids — including query-convention ones,
+    // which the shared codedBatch filter must drop on this path too
+    val oddRows = emb.filter(col("vec_id") % 2 === 1)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+    val (b1, b2) = oddRows.splitAt(oddRows.length / 2)
+    val ckpt = java.nio.file.Files.createTempDirectory("annsckpt").toString
+    val mem = MemoryStream[(Long, Seq[Double])]
+    val q = AnnIndexBuild.appendStream(
+      mem.toDF().toDF("vec_id", "embedding"), table, ckpt)
+    try {
+      mem.addData(b1.toSeq: _*); q.processAllAvailable()
+      mem.addData(b2.toSeq: _*); q.processAllAvailable()
+    } finally q.stop()
+    // one snapshot per micro-batch on top of the build
+    assert(jobs.SnapshotLake.versions(spark, table) === Seq(1L, 2L, 3L))
+    assert(jobs.SnapshotLake.read(spark, table).filter(col("vec_id") < 10).count() === 0)
+    // the live-grown index answers exactly like a full batch rebuild
+    assert(AnnIndexBuild.searchVersioned(spark, table, sf).collect().toSeq
+      === SimilarityOps.knnIvfPq(spark, sf).collect().toSeq)
+  }
+
   test("versioned index: atomic publish, bit-identical search, pinned-version reads") {
     val table = java.nio.file.Files.createTempDirectory("annlake").toString
     val v1 = AnnIndexBuild.buildVersioned(spark, sf, table)

@@ -360,6 +360,24 @@ class SnapshotLakeSpec extends SparkSpec {
     assert(ids(SnapshotLake.read(spark, t)) === (0L until 30L))
   }
 
+  test("commitRewrite: row-level rewrite, stats preserved, raced commit abandons") {
+    val t = freshTable()
+    SnapshotLake.commitAppend(spark, t, batch(0, 10), statsCol = Some("id"))
+    SnapshotLake.commitAppend(spark, t, batch(10, 20), statsCol = Some("id"))
+    // the fold: drop even ids; stats column carries over from the base
+    assert(SnapshotLake.commitRewrite(spark, t, _.filter(col("id") % 2 === 1)) === Some(3L))
+    assert(ids(SnapshotLake.read(spark, t)) === (1L until 20L by 2))
+    // manifest pruning still works off the preserved stats spec
+    assert(ids(SnapshotLake.readRange(spark, t, "id", 3L, 7L)) === Seq(3L, 5L, 7L))
+    // published versions untouched (time travel)
+    assert(ids(SnapshotLake.read(spark, t, Some(2))) === (0L until 20L))
+    // a foreign commit in the stage->publish window: abandon, never drop it
+    val raced = SnapshotLake.commitRewrite(spark, t, _.filter(col("id") > 100), None,
+      () => { SnapshotLake.commitAppend(spark, t, batch(20, 25), statsCol = Some("id")); () })
+    assert(raced === None)
+    assert(ids(SnapshotLake.read(spark, t)) === ((1L until 20L by 2) ++ (20L until 25L)).sorted)
+  }
+
   test("commits on non-atomic-create schemes are rejected up front") {
     intercept[IllegalArgumentException] {
       SnapshotLake.commitAppend(spark, "s3a://some-bucket/table", batch(0, 5))
