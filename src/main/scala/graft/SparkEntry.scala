@@ -84,6 +84,8 @@ object SparkEntry {
     "q63_gopher_quality"  -> (CurationOps.gopherQuality _),
     "q64_source_mix"      -> (CurationOps.sourceMix _),
     "q65_dup_runs"        -> ((s: SparkSession, d: String) => CurationOps.dupRuns(s, d)),
+    "q83_dup_spans"       -> ((s: SparkSession, d: String) => CurationOps.dupSpans(s, d)),
+    "q83b_cut_dup_spans"  -> ((s: SparkSession, d: String) => CurationOps.cutDupSpans(s, d)),
     "q42b_minhash_est"    -> (DedupOps.minhashEst _),
     "q66_label_centroids" -> (TextAnalysisOps.labelCentroids _),
     "q67_semantic_dedup"  -> ((s: SparkSession, d: String) => DedupOps.semanticDedup(s, d)),
@@ -1085,6 +1087,52 @@ object SparkEntry {
         |  CAST(SUM(CASE WHEN g.mn <> r.doc_id OR g.mx <> r.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
         |    / CAST(COUNT(*) AS DOUBLE) AS shared_frac
         |FROM r JOIN g USING (rh) GROUP BY r.doc_id ORDER BY r.doc_id""".stripMargin,
+
+    // ExactSubstr spans: same 60-bit window construction as q65/q82;
+    // canonical first occurrence = ROW_NUMBER 1 over (doc_id, pos) per
+    // hash (Spark's struct-min), runs merged by gaps-and-islands
+    "q83_dup_spans" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts,
+        |                  len(string_split(text, ' ')) AS n FROM documents),
+        |r0 AS (SELECT doc_id, unnest(generate_series(1, n - 7)) AS i, ts
+        |       FROM t WHERE n >= 8),
+        |r AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+        |        ('0x' || substr(md5(array_to_string(ts[i:i+7], ' ')), 1, 15))::BIGINT AS rh FROM r0),
+        |m AS (SELECT doc_id, pos,
+        |        COUNT(*) OVER (PARTITION BY rh) AS cnt,
+        |        ROW_NUMBER() OVER (PARTITION BY rh ORDER BY doc_id, pos) AS rn
+        |      FROM r),
+        |x AS (SELECT doc_id, pos,
+        |        pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        |      FROM m WHERE cnt > 1 AND rn > 1)
+        |SELECT doc_id,
+        |  CAST(MIN(pos) AS BIGINT) AS start_token,
+        |  CAST(MAX(pos) + 7 AS BIGINT) AS end_token,
+        |  CAST(MAX(pos) + 7 - MIN(pos) + 1 AS BIGINT) AS n_tokens
+        |FROM x GROUP BY doc_id, grp ORDER BY doc_id, start_token""".stripMargin,
+
+    "q83b_cut_dup_spans" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts,
+        |                  len(string_split(text, ' ')) AS n FROM documents),
+        |r0 AS (SELECT doc_id, unnest(generate_series(1, n - 7)) AS i, ts
+        |       FROM t WHERE n >= 8),
+        |r AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+        |        ('0x' || substr(md5(array_to_string(ts[i:i+7], ' ')), 1, 15))::BIGINT AS rh FROM r0),
+        |m AS (SELECT doc_id, pos,
+        |        COUNT(*) OVER (PARTITION BY rh) AS cnt,
+        |        ROW_NUMBER() OVER (PARTITION BY rh ORDER BY doc_id, pos) AS rn
+        |      FROM r),
+        |x AS (SELECT doc_id, pos,
+        |        pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        |      FROM m WHERE cnt > 1 AND rn > 1),
+        |spans AS (SELECT doc_id, MIN(pos) AS s, MAX(pos) + 7 AS e
+        |          FROM x GROUP BY doc_id, grp),
+        |tok AS (SELECT doc_id, unnest(generate_series(1, n)) AS i, ts FROM t),
+        |keep AS (SELECT tk.doc_id, tk.i, tk.ts[tk.i] AS w FROM tok tk
+        |         WHERE NOT EXISTS (SELECT 1 FROM spans sp
+        |                           WHERE sp.doc_id = tk.doc_id AND tk.i BETWEEN sp.s AND sp.e))
+        |SELECT doc_id, string_agg(w, ' ' ORDER BY i) AS text
+        |FROM keep GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // SemDeDup: within-IVF-cluster cosine prune, min-id keeps the
     // representative (same frozen quantizer + fold order as q46b/q54)

@@ -97,14 +97,105 @@ object CurationOps {
     * construction. One row per (doc_id, window) as `(doc_id, rh)`. */
   private def windowHashes(s: SparkSession, d: String, k: Int): DataFrame = {
     require(k >= 2, s"k must be >= 2; got $k")
+    tokenized(s, d, k)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, n - ${k - 1}), i -> ${winHash(k)})")).as("rh"))
+  }
+
+  /** [[windowHashes]] carrying each window's 1-based start-token position
+    * — the span operators need WHERE a window sits, not just that it
+    * exists. Same lambda body ([[winHash]]), so the hash values cannot
+    * drift from the position-free kernel. */
+  private def windowHashesPos(s: SparkSession, d: String, k: Int): DataFrame = {
+    require(k >= 2, s"k must be >= 2; got $k")
+    tokenized(s, d, k)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, n - ${k - 1}), i -> named_struct('pos', cast(i as bigint), 'rh', ${winHash(k)}))"))
+        .as("w"))
+      .select(col("doc_id"), col("w.pos").as("pos"), col("w.rh").as("rh"))
+  }
+
+  /** THE window-hash lambda body (token window of k starting at 1-based
+    * `i` over token array `ts`) — single-sourced so every consumer
+    * (q56/q65/q82 and the span ops) computes byte-identical keys. */
+  private def winHash(k: Int): String =
+    s"cast(conv(substring(md5(cast(concat_ws(' ', slice(ts, i, $k)) as binary)), 1, 15), 16, 10) as bigint)"
+
+  private def tokenized(s: SparkSession, d: String, k: Int): DataFrame =
     Tables.documentsScaled(s, d)
       .select(col("doc_id"), split(col("text"), " ").as("ts"))
       .select(col("doc_id"), col("ts"), size(col("ts")).as("n"))
       .filter(col("n") >= k)
-      .select(col("doc_id"), explode(expr(
-        s"transform(sequence(1, n - ${k - 1}), i -> cast(conv(substring(" +
-          s"md5(cast(concat_ws(' ', slice(ts, i, $k)) as binary)), 1, 15), 16, 10) as bigint))"))
-        .as("rh"))
+
+  /** q83 — exact-substring duplicate spans (Lee et al. 2021,
+    * "Deduplicating Training Data Makes Language Models Better" — the
+    * ExactSubstr pass, as deployed for C4/RealNews): every MAXIMAL token
+    * span whose k-token windows all occur verbatim elsewhere in the
+    * corpus, with the corpus-wide first occurrence (min (doc_id, pos))
+    * exempt as the canonical copy. Cutting the reported spans removes
+    * every repeated substring while keeping exactly one copy of the text
+    * — the span-level complement of doc-level dedup (q40-q44) and of
+    * q65's per-doc coverage SCORE: this names the exact extents.
+    *
+    * Scale shape (why this replaces a suffix array at 100 TB): per-hash
+    * state is a constant-size (count, min-occurrence) aggregate — a
+    * boilerplate window shared by millions of docs costs the same as a
+    * rare one, no posting lists, no dfCap, never doc×doc. Two hash-key
+    * shuffles (aggregate + probe-back, q65's exact bound) + one doc_id
+    * shuffle for the gaps-and-islands merge, all linear; output is
+    * bounded by the corpus's duplicated fraction.
+    */
+  def dupSpans(s: SparkSession, d: String, k: Int = 8): DataFrame = {
+    val w = windowHashesPos(s, d, k)
+    // per window hash: occurrence count + the canonical first occurrence
+    // (struct min = lexicographic (doc_id, pos) — the corpus-order first)
+    val own = w.groupBy("rh").agg(
+      count(lit(1)).as("cnt"),
+      min(struct(col("doc_id"), col("pos"))).as("own"))
+    // non-canonical occurrences of shared windows, merged into maximal
+    // spans: consecutive marked positions have constant pos - row_number
+    // (gaps-and-islands), a run [p1..p2] covers tokens [p1, p2 + k - 1]
+    val marked = w.join(own, "rh")
+      .filter(col("cnt") > 1 &&
+        !(col("own.doc_id") === col("doc_id") && col("own.pos") === col("pos")))
+      .select("doc_id", "pos")
+    val wrun = Window.partitionBy("doc_id").orderBy("pos")
+    marked
+      .withColumn("grp", col("pos") - row_number().over(wrun))
+      .groupBy("doc_id", "grp")
+      .agg(min("pos").as("start_token"), (max("pos") + lit(k - 1)).as("end_token"))
+      .select(col("doc_id"), col("start_token"), col("end_token"),
+        (col("end_token") - col("start_token") + 1).as("n_tokens"))
+      .orderBy("doc_id", "start_token")
+  }
+
+  /** q83b — APPLY the ExactSubstr cut: re-emit each document's text with
+    * every [[dupSpans]] extent removed (the canonical copy of each
+    * duplicate survives somewhere in the corpus by construction). This is
+    * the transformation Lee et al. actually train on — cut the span, keep
+    * the remainder, never drop whole documents.
+    *
+    * Shape: one posexplode of the token array joined (left) against the
+    * per-doc span LIST (collect_list over the span rows — bounded by the
+    * doc's own span count), token-kept when no span covers it; reassembly
+    * is an array_sort + array_join per doc. Docs with no spans pass
+    * through the left join untouched; a fully-duplicated doc (every
+    * token covered) vanishes, exactly like its oracle.
+    */
+  def cutDupSpans(s: SparkSession, d: String, k: Int = 8): DataFrame = {
+    val spans = dupSpans(s, d, k)
+      .groupBy("doc_id")
+      .agg(collect_list(struct(col("start_token"), col("end_token"))).as("spans"))
+    Tables.documentsScaled(s, d)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("i0", "tok")))
+      .select(col("doc_id"), (col("i0") + 1).cast("long").as("pos"), col("tok"))
+      .join(spans, Seq("doc_id"), "left")
+      .filter(col("spans").isNull || !exists(col("spans"),
+        sp => col("pos") >= sp.getField("start_token") && col("pos") <= sp.getField("end_token")))
+      .groupBy("doc_id")
+      .agg(array_join(transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+        x => x.getField("tok")), " ").as("text"))
+      .orderBy("doc_id")
   }
 
   /** q57 — within-document duplicate-n-gram rate: the fraction of a doc's

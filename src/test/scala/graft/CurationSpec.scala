@@ -259,6 +259,39 @@ class CurationSpec extends SparkSpec {
       .foreach(id => assert(got(id).getAs[Double]("shared_frac") === 1.0))
   }
 
+  test("q83 dup spans: canonical survives, extents exact; q83b cut removes exactly the spans") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("spans").toString
+    val base = "a b c d e f g h i j" // 10 tokens
+    Seq(
+      (0L, base),                             // corpus-first: the canonical copy
+      (1L, s"x1 x2 $base y1"),                // copy at tokens 3..12
+      (2L, base),                             // full-document duplicate
+      (3L, "u1 u2 u3 u4 u5 u6 u7 u8 u9"),     // unique, no spans
+      (4L, "p q r s t u v w p q r s t u v w") // WITHIN-doc 8-token repeat
+    ).toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+
+    val spans = CurationOps.dupSpans(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // doc 1: marked windows 3,4,5 merge to one maximal span of the full
+    // 10-token copy; doc 2 is covered end-to-end; doc 4's SECOND
+    // occurrence is cut while the first stays (within-doc dedup)
+    assert(spans === Seq(
+      (1L, 3L, 12L, 10L),
+      (2L, 1L, 10L, 10L),
+      (4L, 9L, 16L, 8L)))
+
+    val cut = CurationOps.cutDupSpans(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // doc 2 vanishes (every token duplicated — its canonical lives in
+    // doc 0); everything else keeps exactly the uncovered tokens
+    assert(cut === Map(
+      0L -> base,
+      1L -> "x1 x2 y1",
+      3L -> "u1 u2 u3 u4 u5 u6 u7 u8 u9",
+      4L -> "p q r s t u v w"))
+  }
+
   test("redactPii: typed placeholders replace emails, phones, SSNs, IPs; clean text unchanged") {
     import spark.implicits._
     val cases = Seq(
