@@ -29,9 +29,17 @@ import graft.operators.DedupOps
   *      downstream eval. Opt-in (`Config.decontaminate`); the removal
   *      list is q82's (hash-split heldout convention), applied by
   *      broadcast anti-join on doc_id.
+  *   6b. ExactSubstr span cut (q83b, Lee et al. 2021): duplicated token
+  *       extents are CUT from the surviving docs' text (the canonical
+  *       first occurrence keeps each span) — the span-level pass that
+  *       removes boilerplate and partial copies doc-level dedup
+  *       structurally cannot (those drop whole docs or nothing).
+  *       Ownership is recomputed among the SURVIVORS, so the kept copy
+  *       of every cut span ships by construction. Opt-in
+  *       (`Config.spanCut`); a doc cut to nothing leaves the corpus.
   *   7. sliding-window chunking (training-example shaping)
   *
-  * Usage: CorpusPrep <sf-dir> <out-dir> [--no-neardup] [--semantic] [--decontaminate]
+  * Usage: CorpusPrep <sf-dir> <out-dir> [--no-neardup] [--semantic] [--decontaminate] [--span-cut]
   *
   * Output layout:
   *   <out>/documents/  kept documents (redacted text, provenance columns)
@@ -53,6 +61,8 @@ object CorpusPrep {
       semanticThreshold: Double = 0.3,
       decontaminate: Boolean = false,
       decontaminateNgram: Int = 13,
+      spanCut: Boolean = false,
+      spanCutNgram: Int = 8,
       chunkWindow: Int = 32,
       chunkStride: Int = 24)
 
@@ -160,10 +170,36 @@ object CorpusPrep {
           .join(broadcast(drops), Seq("doc_id"), "left_anti"), semKept.count())
       }
 
-    deconKept.write.mode(SaveMode.Overwrite).parquet(s"$out/documents")
+    // 6b. ExactSubstr span cut (q83b): opt-in text REWRITE of the
+    // surviving frontier — duplicated extents cut, canonical ownership
+    // recomputed among the survivors so the kept copy of every span
+    // ships. The frontier lands as parquet FIRST (the span pass scans
+    // its input three times — tokens, hash aggregate, probe-back — and
+    // re-running the curation join DAG per scan would dwarf one extra
+    // write); gate-time stats columns (n_tokens, dup_rate, ...) keep
+    // describing the text AS GATED; a doc cut to nothing leaves the
+    // corpus (its content survives in its canonical).
+    val nDecon =
+      if (!cfg.spanCut) {
+        deconKept.write.mode(SaveMode.Overwrite).parquet(s"$out/documents")
+        -1L
+      } else {
+        val staged = s"$out/_precut"
+        deconKept.write.mode(SaveMode.Overwrite).parquet(staged)
+        val precut = spark.read.parquet(staged)
+        val n = precut.count()
+        precut.drop("text")
+          .join(graft.operators.CurationOps.cutDupSpansOf(
+            precut.select("doc_id", "text"), cfg.spanCutNgram), Seq("doc_id"))
+          .write.mode(SaveMode.Overwrite).parquet(s"$out/documents")
+        val p = new org.apache.hadoop.fs.Path(staged)
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+        n
+      }
     // count from the written parquet — a second execution of the curation
     // join DAG for a number the file footers already know would be waste
     val nFinal = spark.read.parquet(s"$out/documents").count()
+    val nAfterDecon = if (cfg.spanCut) nDecon else nFinal
 
     // 7. chunk the kept docs for training-example shaping — the exact q60
     // chunker (shared implementation incl. its stride<=window guard), fed
@@ -179,8 +215,9 @@ object CorpusPrep {
       ("01_quality_gate", nQuality),
       ("02_exact_dedup", nExact),
       ("03_neardup_groups", nKept),
-      ("04_semantic_dedup", if (cfg.decontaminate) nSemantic else nFinal),
-      ("05_decontaminate", nFinal),
+      ("04_semantic_dedup", if (cfg.decontaminate) nSemantic else nAfterDecon),
+      ("05_decontaminate", nAfterDecon),
+      ("05b_span_cut", nFinal),
       ("06_chunks", nChunks))
       .toDF("stage", "rows")
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$out/stats")
@@ -188,12 +225,13 @@ object CorpusPrep {
 
   def main(args: Array[String]): Unit = {
     require(args.length >= 2,
-      "usage: CorpusPrep <sf-dir> <out-dir> [--no-neardup] [--semantic] [--decontaminate]")
+      "usage: CorpusPrep <sf-dir> <out-dir> [--no-neardup] [--semantic] [--decontaminate] [--span-cut]")
     val spark = GraftSession.get()
     run(spark, args(0), args(1), Config(
       nearDup = !args.contains("--no-neardup"),
       semantic = args.contains("--semantic"),
-      decontaminate = args.contains("--decontaminate")))
+      decontaminate = args.contains("--decontaminate"),
+      spanCut = args.contains("--span-cut")))
     spark.stop()
   }
 }

@@ -97,7 +97,7 @@ object CurationOps {
     * construction. One row per (doc_id, window) as `(doc_id, rh)`. */
   private def windowHashes(s: SparkSession, d: String, k: Int): DataFrame = {
     require(k >= 2, s"k must be >= 2; got $k")
-    tokenized(s, d, k)
+    tokenized(Tables.documentsScaled(s, d), k)
       .select(col("doc_id"), explode(expr(
         s"transform(sequence(1, n - ${k - 1}), i -> ${winHash(k)})")).as("rh"))
   }
@@ -106,9 +106,9 @@ object CurationOps {
     * — the span operators need WHERE a window sits, not just that it
     * exists. Same lambda body ([[winHash]]), so the hash values cannot
     * drift from the position-free kernel. */
-  private def windowHashesPos(s: SparkSession, d: String, k: Int): DataFrame = {
+  private def windowHashesPos(docs: DataFrame, k: Int): DataFrame = {
     require(k >= 2, s"k must be >= 2; got $k")
-    tokenized(s, d, k)
+    tokenized(docs, k)
       .select(col("doc_id"), explode(expr(
         s"transform(sequence(1, n - ${k - 1}), i -> named_struct('pos', cast(i as bigint), 'rh', ${winHash(k)}))"))
         .as("w"))
@@ -121,8 +121,8 @@ object CurationOps {
   private def winHash(k: Int): String =
     s"cast(conv(substring(md5(cast(concat_ws(' ', slice(ts, i, $k)) as binary)), 1, 15), 16, 10) as bigint)"
 
-  private def tokenized(s: SparkSession, d: String, k: Int): DataFrame =
-    Tables.documentsScaled(s, d)
+  private def tokenized(docs: DataFrame, k: Int): DataFrame =
+    docs
       .select(col("doc_id"), split(col("text"), " ").as("ts"))
       .select(col("doc_id"), col("ts"), size(col("ts")).as("n"))
       .filter(col("n") >= k)
@@ -145,8 +145,16 @@ object CurationOps {
     * shuffle for the gaps-and-islands merge, all linear; output is
     * bounded by the corpus's duplicated fraction.
     */
-  def dupSpans(s: SparkSession, d: String, k: Int = 8): DataFrame = {
-    val w = windowHashesPos(s, d, k)
+  def dupSpans(s: SparkSession, d: String, k: Int = 8): DataFrame =
+    dupSpansOf(Tables.documentsScaled(s, d).select(col("doc_id"), col("text")), k)
+
+  /** [[dupSpans]] over an arbitrary (doc_id, text) frame — the seam
+    * CorpusPrep's span-cut stage uses: canonical ownership is computed
+    * among exactly the docs given, so cutting a SURVIVING frontier keeps
+    * its own canonical copies by construction (a raw-corpus canonical may
+    * have fallen to an earlier gate). */
+  private[graft] def dupSpansOf(docs: DataFrame, k: Int): DataFrame = {
+    val w = windowHashesPos(docs, k)
     // per window hash: occurrence count + the canonical first occurrence
     // (struct min = lexicographic (doc_id, pos) — the corpus-order first)
     val own = w.groupBy("rh").agg(
@@ -182,11 +190,16 @@ object CurationOps {
     * through the left join untouched; a fully-duplicated doc (every
     * token covered) vanishes, exactly like its oracle.
     */
-  def cutDupSpans(s: SparkSession, d: String, k: Int = 8): DataFrame = {
-    val spans = dupSpans(s, d, k)
+  def cutDupSpans(s: SparkSession, d: String, k: Int = 8): DataFrame =
+    cutDupSpansOf(Tables.documentsScaled(s, d).select(col("doc_id"), col("text")), k)
+
+  /** [[cutDupSpans]] over an arbitrary (doc_id, text) frame (see
+    * [[dupSpansOf]] for why the frame matters: ownership is frame-local). */
+  private[graft] def cutDupSpansOf(docs: DataFrame, k: Int): DataFrame = {
+    val spans = dupSpansOf(docs, k)
       .groupBy("doc_id")
       .agg(collect_list(struct(col("start_token"), col("end_token"))).as("spans"))
-    Tables.documentsScaled(s, d)
+    docs
       .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("i0", "tok")))
       .select(col("doc_id"), (col("i0") + 1).cast("long").as("pos"), col("tok"))
       .join(spans, Seq("doc_id"), "left")

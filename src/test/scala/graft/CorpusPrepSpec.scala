@@ -74,6 +74,45 @@ class CorpusPrepSpec extends SparkSpec {
     assert(stats("05_decontaminate") === stats("04_semantic_dedup") - 2)
   }
 
+  test("span-cut stage: extents cut, ownership frontier-local, span-free docs untouched") {
+    import spark.implicits._
+    val span = (1 to 10).map(i => s"s$i").mkString(" ")
+    val corpus = java.nio.file.Files.createTempDirectory("spancorpus").toString
+    Seq(
+      // the RAW-corpus first occurrence of the span — but it dies at the
+      // quality gate (dup_rate 18/28 > 0.6), so it must NOT claim
+      // ownership: were ownership raw-corpus-global, docs 1 AND 2 would
+      // both be cut and the span's text would vanish from the corpus
+      0L -> s"$span $span $span",
+      1L -> span,                              // surviving canonical
+      2L -> s"w1 w2 w3 w4 w5 $span z1 z2 z3", // survivor with the copy at 6..15
+      3L -> "q1 q2 q3 q4 q5 q6 q7 q8 q9")     // span-free survivor
+      .map { case (id, t) => (id, "en", "web", t, t.length.toLong) }
+      .toDF("doc_id", "lang", "source", "text", "n_chars")
+      .write.parquet(s"$corpus/documents.parquet")
+    def docs(o: String): Map[Long, String] = spark.read.parquet(s"$o/documents")
+      .select("doc_id", "text").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+
+    val offOut = java.nio.file.Files.createTempDirectory("spanoff").toString
+    CorpusPrep.run(spark, corpus, offOut, CorpusPrep.Config(nearDup = false))
+    val off = docs(offOut)
+    assert(off.keySet === Set(1L, 2L, 3L))
+    assert(off(2L).contains(span), "no cut without the stage")
+
+    val onOut = java.nio.file.Files.createTempDirectory("spanon").toString
+    CorpusPrep.run(spark, corpus, onOut,
+      CorpusPrep.Config(nearDup = false, spanCut = true))
+    val on = docs(onOut)
+    assert(on.keySet === Set(1L, 2L, 3L))
+    assert(on(1L) === span)                      // frontier canonical keeps its text
+    assert(on(2L) === "w1 w2 w3 w4 w5 z1 z2 z3") // exactly the copy removed
+    assert(on(3L) === off(3L))                   // span-free doc byte-identical
+    val stats = spark.read.parquet(s"$onOut/stats").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(stats("05b_span_cut") === 3L)
+    assert(stats("05_decontaminate") === 3L) // the cut stage dropped no DOC here
+  }
+
   test("semantic stage drops an embedding paraphrase that survives lexical dedup") {
     import spark.implicits._
     // synthetic corpus dir: six lexically DISTINCT docs (no shared 3-grams,
