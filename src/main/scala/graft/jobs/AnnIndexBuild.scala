@@ -95,10 +95,31 @@ object AnnIndexBuild {
     * codedCorpusSubs — so appending a raw embeddings table cannot index
     * the query vectors as corpus (which would make every search return
     * its own query at distance 0 and break the spec-pinned bit-identity
-    * with knnIvfPq). */
+    * with knnIvfPq). Already-indexed ids are excluded too — see
+    * [[newIdsOnly]]. */
   def appendVersioned(s: SparkSession, newVectors: DataFrame, table: String): Long =
-    SnapshotLake.commitAppend(s, table, codedBatch(s, newVectors),
+    SnapshotLake.commitAppend(s, table, codedBatch(s, newIdsOnly(s, newVectors, table)),
       statsCol = Some("list_id"))
+
+  /** The RE-INGEST guard both append paths share: drop batch rows whose
+    * vec_id is already in the table — code rows OR tombstones. Without
+    * it, a re-run append (an operator retrying yesterday's job, or a
+    * crash-redelivered micro-batch whose batch-id skip was defeated by
+    * an interleaved compact/delete commit) lands a SECOND code row for
+    * the id across snapshots, and the ADC tail's per-(q_id, vec_id)
+    * conditional sums would silently double that id's distance — rank
+    * corruption with no error. Tombstoned ids are dropped for the same
+    * reason: re-inserting a deleted id requires [[compactVersioned]]
+    * first (the documented delete contract — the guard enforces it
+    * instead of surprising). Cost: one column-pruned scan of the index's
+    * vec_id column per batch; at 10⁹-id scale swap for a Bloom-filter
+    * sidecar. Concurrent appends of the SAME id can still race past the
+    * guard (the standard optimistic-commit caveat, as with
+    * commitStreamBatch's interleaving note). */
+  private def newIdsOnly(s: SparkSession, newVectors: DataFrame, table: String): DataFrame =
+    if (SnapshotLake.versions(s, table).isEmpty) newVectors
+    else newVectors.join(
+      SnapshotLake.read(s, table).select("vec_id"), Seq("vec_id"), "left_anti")
 
   /** A raw (vec_id, embedding) batch -> committable code rows: the query-
     * convention filter, THE shared assignment kernel, list-clustered
@@ -112,11 +133,14 @@ object AnnIndexBuild {
 
   /** Continuous index maintenance: each micro-batch of arriving (vec_id,
     * embedding) rows is coded through the same kernel as a batch append
-    * and committed as ONE idempotent snapshot per micro-batch
-    * ([[SnapshotLake.commitStreamBatch]] — a crash-redelivered batch sees
-    * its own id on the latest version and skips, so restarts cannot
-    * double-index a day's arrivals). Searches see each batch atomically:
-    * a snapshot either contains ALL of a micro-batch's codes or none. */
+    * and committed as ONE atomic snapshot per micro-batch. Restart
+    * safety is TWO stacked mechanisms: [[SnapshotLake.commitStreamBatch]]
+    * skips a crash-redelivered batch whose id is on the latest manifest
+    * (the fast path), and [[newIdsOnly]] drops already-indexed ids even
+    * when an interleaved compact/delete commit replaced that manifest in
+    * the crash window — so a redelivered batch can never double-index.
+    * Searches see each batch atomically: a snapshot either contains ALL
+    * of a micro-batch's codes or none. */
   def appendStream(stream: DataFrame, table: String, checkpoint: String)
       : org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
@@ -124,7 +148,8 @@ object AnnIndexBuild {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val s = batch.sparkSession
-        SnapshotLake.commitStreamBatch(s, table, codedBatch(s, batch), batchId,
+        SnapshotLake.commitStreamBatch(s, table,
+          codedBatch(s, newIdsOnly(s, batch, table)), batchId,
           statsCol = Some("list_id"))
         ()
       }

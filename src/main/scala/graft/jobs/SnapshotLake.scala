@@ -668,15 +668,25 @@ object SnapshotLake {
     val basedOn = latest.get
     val (baseStats, baseFiles) = readManifest(fs, root, basedOn)
     val rewritten = transform(read(spark, table, Some(basedOn)))
-    val (dataDir, fresh, freshSpec) =
-      stage(spark, fs, root, rewritten, statsCol.orElse(baseStats.map(_.col)))
+    val declared = statsCol.orElse(baseStats.map(_.col))
+    val (dataDir, fresh, freshSpec) = stage(spark, fs, root, rewritten, declared)
+    // a rewrite whose output carries no footer stats (e.g. rewritten to
+    // EMPTY by a full-turnover tombstone fold) must not permanently drop
+    // the table's stats spec: a later append would then merge against a
+    // spec-less base and mergedSpec would disable pruning for good. Safe
+    // to keep the base/declared spec — fresh entries without min/max are
+    // always scanned, so a preserved spec can never wrongly prune them.
+    val outSpec = freshSpec.orElse(
+      if (fresh.forall(e => e.min.isEmpty && e.max.isEmpty))
+        baseStats.filter(b => declared.contains(b.col))
+      else None)
     beforePublish()
     try
       Some(publish(fs, root, { (_, base) =>
         // a commit raced in: abandon — publishing would either drop its
         // rows (data loss) or burn a version slot on stale output
         if (base.map(_.path) != baseFiles.map(_.path)) throw new CommitAbandoned
-        (freshSpec, fresh)
+        (outSpec, fresh)
       }))
     catch {
       case _: CommitAbandoned => deleteStagedQuietly(fs, dataDir); None

@@ -28,7 +28,7 @@ object TrainQuantizers {
     spark.sparkContext.setLogLevel("WARN")
     // the searchable corpus, same slice the IVF/PQ queries index
     val corpus = Tables.embeddings(spark, sfDir)
-      .filter(col("vec_id") >= 10)
+      .filter(col("vec_id") >= graft.operators.SimilarityOps.QueryIdMax)
       .select(col("vec_id").as("id"), toDouble(col("embedding")).as("v"))
 
     val ivf = Kmeans.train(spark, corpus, k = 16, iters = 10, seed = 42L)

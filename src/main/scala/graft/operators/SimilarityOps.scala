@@ -21,8 +21,8 @@ object SimilarityOps {
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), toDouble(col("embedding")).as("v"))
       .withColumn("nrm", norm(col("v")))
-    val queries = e.filter(col("vec_id") < 10)
-    val corpus = e.filter(col("vec_id") >= 10)
+    val queries = e.filter(col("vec_id") < QueryIdMax)
+    val corpus = e.filter(col("vec_id") >= QueryIdMax)
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("neighbor_id"))
     corpus.as("c").join(broadcast(queries.as("q")))
       .withColumn("cos", cosine(col("q.v"), col("c.v"), col("q.nrm"), col("c.nrm")))
@@ -71,8 +71,8 @@ object SimilarityOps {
         if (tables == 1) bucketOf(col("v"), 0)
         else explode(array((0 until tables).map(t =>
           bucketOf(col("v"), t) + lit(t.toLong << 32)): _*)))
-    val queries = e.filter(col("vec_id") < 10)
-    val corpus = e.filter(col("vec_id") >= 10)
+    val queries = e.filter(col("vec_id") < QueryIdMax)
+    val corpus = e.filter(col("vec_id") >= QueryIdMax)
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("neighbor_id"))
     val pairs = corpus.as("c")
       .join(broadcast(queries.as("q")), col("q.bucket") === col("c.bucket"))
@@ -279,23 +279,6 @@ object SimilarityOps {
       .orderBy("sub_idx", "code")
   }
 
-  /** q70 — PQ compressed-domain ANN search (asymmetric distance
-    * computation, Jégou et al. 2011): the corpus exists only as 4-bit
-    * codes; a query ranks neighbors by its exact distance to each
-    * vector's RECONSTRUCTION (sum over subspaces of the squared distance
-    * from the query's subvector to the coded centroid). This is the scan
-    * that makes billion-vector search fit in RAM — at 100 TB the coded
-    * corpus is 64× smaller than the floats, and this query is the
-    * read path over it.
-    *
-    * Scale shape: code assignment and centroid reconstruction are
-    * map-side (broadcast codebook, corpus never shuffles); the per-
-    * (query, vector, subspace) partials aggregate on (q_id, vec_id) —
-    * the one shuffle, rows × queries × 8 narrow rows. The 8 per-subspace
-    * sums are separate conditional aggregates added in a FIXED expression
-    * order, so the ADC distance is bit-reproducible against the oracle
-    * (a plain SUM over subspaces would fold in partition order).
-    */
   /** THE shared ADC scoring tail — as bit-identity-load-bearing as the
     * assignment kernel, and single-sourced for the same reason: q70, q70b
     * and the persisted-index search (jobs.AnnIndexBuild) all rank through
@@ -321,6 +304,23 @@ object SimilarityOps {
       .orderBy("q_id", "rank")
   }
 
+  /** q70 — PQ compressed-domain ANN search (asymmetric distance
+    * computation, Jégou et al. 2011): the corpus exists only as 4-bit
+    * codes; a query ranks neighbors by its exact distance to each
+    * vector's RECONSTRUCTION (sum over subspaces of the squared distance
+    * from the query's subvector to the coded centroid). This is the scan
+    * that makes billion-vector search fit in RAM — at 100 TB the coded
+    * corpus is 64× smaller than the floats, and this query is the
+    * read path over it.
+    *
+    * Scale shape: code assignment and centroid reconstruction are
+    * map-side (broadcast codebook, corpus never shuffles); the per-
+    * (query, vector, subspace) partials aggregate on (q_id, vec_id) —
+    * the one shuffle, rows × queries × 8 narrow rows. The 8 per-subspace
+    * sums are separate conditional aggregates added in a FIXED expression
+    * order, so the ADC distance is bit-reproducible against the oracle
+    * (a plain SUM over subspaces would fold in partition order).
+    */
   def knnPq(s: SparkSession, d: String, k: Int = 3): DataFrame = {
     val subDim = 8
     def subsOf(df: DataFrame): DataFrame = df
@@ -330,8 +330,8 @@ object SimilarityOps {
           slice(col("v"), sub * subDim + 1, subDim).as("sv"))): _*)).as("e"))
       .select(col("vec_id"), col("e.sub_idx").as("sub_idx"), col("e.sv").as("sv"))
     val e = Tables.embeddings(s, d)
-    val corpus = subsOf(e.filter(col("vec_id") >= 10))
-    val queries = subsOf(e.filter(col("vec_id") < 10))
+    val corpus = subsOf(e.filter(col("vec_id") >= QueryIdMax))
+    val queries = subsOf(e.filter(col("vec_id") < QueryIdMax))
       .select(col("vec_id").as("q_id"), col("sub_idx"), col("sv").as("qsv"))
 
     val booksDf = codebookTable(s)
@@ -465,7 +465,7 @@ object SimilarityOps {
       .withColumn("nrm", norm(col("v")))
     val q = e.filter(col("vec_id") === 0).select(col("v").as("qv"), col("nrm").as("qn"))
     val sem = rankBounded(
-      e.filter(col("vec_id") >= 10).crossJoin(broadcast(q))
+      e.filter(col("vec_id") >= QueryIdMax).crossJoin(broadcast(q))
         .withColumn("cos", cosine(col("v"), col("qv"), col("nrm"), col("qn")))
         .select(col("vec_id").as("doc_id"), col("cos"))
         .orderBy(col("cos").desc, col("doc_id")).limit(topK), // distributed top-k
@@ -505,7 +505,7 @@ object SimilarityOps {
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
     // per-query semantic top-k: one corpus scan against the broadcast
     // query table, reduced by the bounded graft_topk aggregate
-    val sem = e.filter(col("vec_id") >= 10).join(broadcast(qs))
+    val sem = e.filter(col("vec_id") >= QueryIdMax).join(broadcast(qs))
       .withColumn("cos", cosine(col("v"), col("qv"), col("nrm"), col("qn")))
       .groupBy("query_id")
       .agg(call_function("graft_topk",

@@ -72,8 +72,17 @@ class AnnIndexSpec extends SparkSpec {
     assert(jobs.SnapshotLake.read(spark, table).filter(col("vec_id") < 10).count() === 0)
     // incremental == batch: the appended codes come through the same
     // kernel, so the grown index answers exactly like a full rebuild
-    assert(AnnIndexBuild.searchVersioned(spark, table, sf).collect().toSeq
-      === SimilarityOps.knnIvfPq(spark, sf).collect().toSeq)
+    val expected = SimilarityOps.knnIvfPq(spark, sf).collect().toSeq
+    assert(AnnIndexBuild.searchVersioned(spark, table, sf).collect().toSeq === expected)
+    // RE-RUN the whole append (operator retry): the re-ingest guard drops
+    // every already-indexed id, so no second code row lands and the ADC
+    // sums stay bit-identical (a duplicate row would silently double an
+    // id's distance)
+    AnnIndexBuild.appendVersioned(spark,
+      emb.filter(col("vec_id") < 10 || col("vec_id") % 2 === 1), table)
+    val t = jobs.SnapshotLake.read(spark, table)
+    assert(t.count() === t.select("vec_id").distinct().count())
+    assert(AnnIndexBuild.searchVersioned(spark, table, sf).collect().toSeq === expected)
   }
 
   test("delete lifecycle: tombstone hides the id even re-appended; compaction folds; re-insert works") {
@@ -97,7 +106,9 @@ class AnnIndexSpec extends SparkSpec {
     assert(AnnIndexBuild.searchVersioned(spark, table, sf, version = Some(v1))
       .collect().toSeq === baseline)
 
-    // the tombstone masks codes appended AFTER it too
+    // appending a deleted id is a no-op: the re-ingest guard sees the
+    // TOMBSTONE row and drops the batch row (re-insert requires the
+    // compaction below first — the delete contract, enforced)
     AnnIndexBuild.appendVersioned(spark, emb.filter(col("vec_id") === victim), table)
     assert(AnnIndexBuild.searchVersioned(spark, table, sf).collect().toSeq === after)
 

@@ -378,6 +378,24 @@ class SnapshotLakeSpec extends SparkSpec {
     assert(ids(SnapshotLake.read(spark, t)) === ((1L until 20L by 2) ++ (20L until 25L)).sorted)
   }
 
+  test("commitRewrite to EMPTY keeps the stats spec: later appends still prune") {
+    val t = freshTable()
+    SnapshotLake.commitAppend(spark, t, batch(0, 10), statsCol = Some("id"))
+    // full turnover: every row rewritten away — the staged output carries
+    // no footer stats, but the table's spec must survive
+    assert(SnapshotLake.commitRewrite(spark, t, _.filter(col("id") < 0)) === Some(2L))
+    assert(SnapshotLake.read(spark, t).count() === 0)
+    SnapshotLake.commitAppend(spark, t, batch(20, 30), statsCol = Some("id"))
+    SnapshotLake.commitAppend(spark, t, batch(40, 50), statsCol = Some("id"))
+    val pruned = SnapshotLake.readRange(spark, t, "id", 41L, 45L)
+    assert(ids(pruned) === (41L to 45L))
+    // manifest pruning still skips the 20-30 file — had the empty rewrite
+    // dropped the spec, mergedSpec would have disabled pruning for good
+    // and every file of the table would open here
+    assert(pruned.inputFiles.length < SnapshotLake.read(spark, t).inputFiles.length,
+      pruned.inputFiles.mkString(", "))
+  }
+
   test("commits on non-atomic-create schemes are rejected up front") {
     intercept[IllegalArgumentException] {
       SnapshotLake.commitAppend(spark, "s3a://some-bucket/table", batch(0, 5))
