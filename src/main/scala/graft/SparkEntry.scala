@@ -86,6 +86,7 @@ object SparkEntry {
     "q65_dup_runs"        -> ((s: SparkSession, d: String) => CurationOps.dupRuns(s, d)),
     "q83_dup_spans"       -> ((s: SparkSession, d: String) => CurationOps.dupSpans(s, d)),
     "q83b_cut_dup_spans"  -> ((s: SparkSession, d: String) => CurationOps.cutDupSpans(s, d)),
+    "q84_source_overlap"  -> ((s: SparkSession, d: String) => CurationOps.sourceOverlap(s, d)),
     "q42b_minhash_est"    -> (DedupOps.minhashEst _),
     "q66_label_centroids" -> (TextAnalysisOps.labelCentroids _),
     "q67_semantic_dedup"  -> ((s: SparkSession, d: String) => DedupOps.semanticDedup(s, d)),
@@ -1133,6 +1134,20 @@ object SparkEntry {
         |                           WHERE sp.doc_id = tk.doc_id AND tk.i BETWEEN sp.s AND sp.e))
         |SELECT doc_id, string_agg(w, ' ' ORDER BY i) AS text
         |FROM keep GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // cross-source duplication matrix: distinct (window hash, source),
+    // unordered source pairs per hash counted once
+    "q84_source_overlap" ->
+      """WITH t AS (SELECT source, string_split(text, ' ') AS ts,
+        |                  len(string_split(text, ' ')) AS n FROM documents),
+        |r0 AS (SELECT source, unnest(generate_series(1, n - 7)) AS i, ts
+        |       FROM t WHERE n >= 8),
+        |rs AS (SELECT DISTINCT source,
+        |         ('0x' || substr(md5(array_to_string(ts[i:i+7], ' ')), 1, 15))::BIGINT AS rh FROM r0)
+        |SELECT a.source AS source_a, b.source AS source_b,
+        |  CAST(COUNT(*) AS BIGINT) AS n_shared_windows
+        |FROM rs a JOIN rs b ON a.rh = b.rh AND a.source < b.source
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // SemDeDup: within-IVF-cluster cosine prune, min-id keeps the
     // representative (same frozen quantizer + fold order as q46b/q54)

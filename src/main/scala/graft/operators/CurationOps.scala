@@ -211,6 +211,40 @@ object CurationOps {
       .orderBy("doc_id")
   }
 
+  /** q84 — cross-source duplication matrix: for every PAIR of sources,
+    * how many distinct 8-token windows occur verbatim in BOTH — the
+    * corpus-forensics view (which sources mirror which, where the shared
+    * boilerplate lives) that informs per-source dedup aggressiveness and
+    * q64-style mixing weights before training.
+    *
+    * Scale shape: one kernel pass; the per-hash state is the DISTINCT
+    * source set, bounded by source CARDINALITY (tens), so the in-hash
+    * pair expansion is bounded at C(sources, 2) per window — never
+    * doc×doc, no posting lists, one shuffle on the hash key and one on
+    * the (a, b) matrix key. The sorted set keeps a < b, each unordered
+    * pair counted once per distinct window text.
+    */
+  def sourceOverlap(s: SparkSession, d: String, k: Int = 8): DataFrame =
+    Tables.documentsScaled(s, d)
+      .select(col("source"), split(col("text"), " ").as("ts"))
+      .select(col("source"), col("ts"), size(col("ts")).as("n"))
+      .filter(col("n") >= k)
+      .select(col("source"), explode(expr(
+        s"transform(sequence(1, n - ${k - 1}), i -> ${winHash(k)})")).as("rh"))
+      // distinct FIRST: the codegen'd hash-aggregate collapses the
+      // occurrence multiplicity (boilerplate repeats within a source)
+      // map-side before any object aggregation; collect_set then runs
+      // over already-distinct rows — per hash at most |sources| of them
+      .distinct()
+      .groupBy("rh").agg(sort_array(collect_set(col("source"))).as("ss"))
+      .filter(size(col("ss")) > 1)
+      .select(explode(expr(
+        "flatten(transform(ss, (x, i) -> transform(slice(ss, i + 2, size(ss)), " +
+          "y -> named_struct('a', x, 'b', y))))")).as("p"))
+      .groupBy(col("p.a").as("source_a"), col("p.b").as("source_b"))
+      .agg(count(lit(1)).as("n_shared_windows"))
+      .orderBy("source_a", "source_b")
+
   /** q57 — within-document duplicate-n-gram rate: the fraction of a doc's
     * 3-gram occurrences that are repeats (1 - distinct/total), the classic
     * repetition quality signal (boilerplate, template spam) used to filter

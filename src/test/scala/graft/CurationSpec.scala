@@ -292,6 +292,23 @@ class CurationSpec extends SparkSpec {
       4L -> "p q r s t u v w"))
   }
 
+  test("q84 source overlap: each source pair counted once per distinct shared window") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("srcover").toString
+    val s10 = (1 to 10).map(i => s"s$i").mkString(" ") // 3 8-token windows
+    val t8 = (1 to 8).map(i => s"t$i").mkString(" ")   // 1 window, in all 3 sources
+    Seq(
+      (10L, "srcA", s10), (11L, "srcA", t8),
+      (20L, "srcB", s"b1 b2 $s10"), (21L, "srcB", t8), // s10's 3 windows re-occur at 3..5
+      (30L, "srcC", t8), (31L, "srcC", "c1 c2 c3 c4 c5 c6 c7 c8 c9"))
+      .toDF("doc_id", "source", "text").write.parquet(s"$dir/documents.parquet")
+    val got = CurationOps.sourceOverlap(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    // A∩B = s10's 3 windows + t8; A∩C = B∩C = t8 only — counted once per
+    // pair per distinct window, regardless of occurrence multiplicity
+    assert(got === Seq(("srcA", "srcB", 4L), ("srcA", "srcC", 1L), ("srcB", "srcC", 1L)))
+  }
+
   test("redactPii: typed placeholders replace emails, phones, SSNs, IPs; clean text unchanged") {
     import spark.implicits._
     val cases = Seq(
