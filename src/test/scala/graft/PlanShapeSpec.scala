@@ -127,6 +127,28 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("collect_list"), p)
   }
 
+  test("q83/q83b: span discovery is equi-joins on the hash key — no cartesian, no posting lists") {
+    val p = plan(CurationOps.dupSpans(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // the ownership probe joins on the 8-byte run hash, never doc×doc
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"), p)
+    val pb = plan(CurationOps.cutDupSpans(spark, sf))
+    assert(!pb.contains("CartesianProduct") && !pb.contains("BroadcastNestedLoopJoin"), pb)
+  }
+
+  test("q84: occurrence rows collapse in a codegen'd distinct BEFORE the set aggregate") {
+    val p = plan(CurationOps.sourceOverlap(spark, sf))
+    // the distinct is a plain HashAggregate (whole-stage codegen, spills
+    // sanely); the bounded collect_set object aggregate must run AFTER it
+    // — aggregating sets over raw occurrences cost 22× CPU at sf1
+    assert(p.contains("ObjectHashAggregate"), p)
+    val firstObject = p.indexOf("ObjectHashAggregate")
+    assert(p.substring(firstObject).contains("HashAggregate"),
+      "expected the distinct HashAggregate below (upstream of) the object aggregate")
+    assert(!p.contains("CartesianProduct") && !p.contains("Join"), p)
+  }
+
   test("q81: both retrieval sides are bounded top-k — no global sort, no window at all") {
     val df = operators.SimilarityOps.hybridRrf(spark, sf)
     val p = plan(df)
