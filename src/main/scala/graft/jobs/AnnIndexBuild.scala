@@ -95,11 +95,28 @@ object AnnIndexBuild {
     * codedCorpusSubs — so appending a raw embeddings table cannot index
     * the query vectors as corpus (which would make every search return
     * its own query at distance 0 and break the spec-pinned bit-identity
-    * with knnIvfPq). Already-indexed ids are excluded too — see
-    * [[newIdsOnly]]. */
-  def appendVersioned(s: SparkSession, newVectors: DataFrame, table: String): Long =
-    SnapshotLake.commitAppend(s, table, codedBatch(s, newIdsOnly(s, newVectors, table)),
-      statsCol = Some("list_id"))
+    * with knnIvfPq). Already-indexed ids are excluded too (see
+    * [[newIdsOnly]]); a batch the guard empties out publishes NOTHING —
+    * the current latest version returns unchanged and a warning names
+    * the no-op, so a retry neither burns a version slot nor plants an
+    * empty scan-always file in every future manifest. To UPDATE a
+    * vector: deleteVersioned → compactVersioned → append (the guard
+    * makes in-place re-appends explicit no-ops, never silent
+    * half-updates). */
+  def appendVersioned(s: SparkSession, newVectors: DataFrame, table: String): Long = {
+    val fresh = newIdsOnly(s, newVectors, table)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      if (fresh.isEmpty) {
+        log.warn(s"appendVersioned($table): every batch id already indexed — no-op")
+        SnapshotLake.latestVersionOf(s, table)
+          .getOrElse(sys.error(s"appendVersioned: empty batch on empty table $table"))
+      } else
+        SnapshotLake.commitAppend(s, table, codedBatch(s, fresh), statsCol = Some("list_id"))
+    } finally { fresh.unpersist(blocking = false); () }
+  }
+
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
   /** The RE-INGEST guard both append paths share: drop batch rows whose
     * vec_id is already in the table — code rows OR tombstones. Without
@@ -113,11 +130,12 @@ object AnnIndexBuild {
     * first (the documented delete contract — the guard enforces it
     * instead of surprising). Cost: one column-pruned scan of the index's
     * vec_id column per batch; at 10⁹-id scale swap for a Bloom-filter
-    * sidecar. Concurrent appends of the SAME id can still race past the
-    * guard (the standard optimistic-commit caveat, as with
+    * sidecar. Table existence resolves via the O(1) LATEST pointer, not
+    * a log listing. Concurrent appends of the SAME id can still race
+    * past the guard (the standard optimistic-commit caveat, as with
     * commitStreamBatch's interleaving note). */
   private def newIdsOnly(s: SparkSession, newVectors: DataFrame, table: String): DataFrame =
-    if (SnapshotLake.versions(s, table).isEmpty) newVectors
+    if (SnapshotLake.latestVersionOf(s, table).isEmpty) newVectors
     else newVectors.join(
       SnapshotLake.read(s, table).select("vec_id"), Seq("vec_id"), "left_anti")
 
@@ -148,9 +166,16 @@ object AnnIndexBuild {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val s = batch.sparkSession
-        SnapshotLake.commitStreamBatch(s, table,
-          codedBatch(s, newIdsOnly(s, batch, table)), batchId,
-          statsCol = Some("list_id"))
+        val fresh = newIdsOnly(s, batch, table)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          // a batch the guard empties (full redelivery, or an empty
+          // source micro-batch) publishes nothing — no version burn, no
+          // empty scan-always file accreting into every manifest
+          if (!fresh.isEmpty)
+            SnapshotLake.commitStreamBatch(s, table, codedBatch(s, fresh), batchId,
+              statsCol = Some("list_id"))
+        } finally { fresh.unpersist(blocking = false); () }
         ()
       }
       .start()

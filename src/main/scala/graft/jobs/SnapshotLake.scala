@@ -72,6 +72,15 @@ object SnapshotLake {
     listLog(fs, root, ".manifest")
   }
 
+  /** O(1) latest-version lookup (LATEST pointer + forward probes; None
+    * when the table has no snapshot yet). Hot paths needing "does this
+    * table exist / what's current" should call THIS, not [[versions]] —
+    * the full log listing is O(commits) and exists for audit/expiry. */
+  def latestVersionOf(spark: SparkSession, table: String): Option[Long] = {
+    val (fs, root) = fsOf(spark, table)
+    latestVersion(fs, root)
+  }
+
   private def latestPointerPath(root: Path) = new Path(logDir(root), "LATEST")
 
   /** Bounded latest-version discovery: the `_log/LATEST` pointer names a
@@ -674,12 +683,11 @@ object SnapshotLake {
     // EMPTY by a full-turnover tombstone fold) must not permanently drop
     // the table's stats spec: a later append would then merge against a
     // spec-less base and mergedSpec would disable pruning for good. Safe
-    // to keep the base/declared spec — fresh entries without min/max are
-    // always scanned, so a preserved spec can never wrongly prune them.
-    val outSpec = freshSpec.orElse(
-      if (fresh.forall(e => e.min.isEmpty && e.max.isEmpty))
-        baseStats.filter(b => declared.contains(b.col))
-      else None)
+    // to keep the base/declared spec — freshSpec=None implies stage()
+    // recorded NO min/max on any fresh entry (kind undecided), so every
+    // fresh file scans-always and a preserved spec can never wrongly
+    // prune them.
+    val outSpec = freshSpec.orElse(baseStats.filter(b => declared.contains(b.col)))
     beforePublish()
     try
       Some(publish(fs, root, { (_, base) =>

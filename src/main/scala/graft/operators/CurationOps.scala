@@ -121,10 +121,13 @@ object CurationOps {
   private def winHash(k: Int): String =
     s"cast(conv(substring(md5(cast(concat_ws(' ', slice(ts, i, $k)) as binary)), 1, 15), 16, 10) as bigint)"
 
-  private def tokenized(docs: DataFrame, k: Int): DataFrame =
+  /** Tokenize + length-gate, keyed by `key` (doc_id for the per-doc
+    * kernels, source for q84) — single-sourced so a tokenization change
+    * (delimiter, the n >= k gate) reaches every window-hash consumer. */
+  private def tokenized(docs: DataFrame, k: Int, key: String = "doc_id"): DataFrame =
     docs
-      .select(col("doc_id"), split(col("text"), " ").as("ts"))
-      .select(col("doc_id"), col("ts"), size(col("ts")).as("n"))
+      .select(col(key), split(col("text"), " ").as("ts"))
+      .select(col(key), col("ts"), size(col("ts")).as("n"))
       .filter(col("n") >= k)
 
   /** q83 — exact-substring duplicate spans (Lee et al. 2021,
@@ -225,17 +228,16 @@ object CurationOps {
     * pair counted once per distinct window text.
     */
   def sourceOverlap(s: SparkSession, d: String, k: Int = 8): DataFrame =
-    Tables.documentsScaled(s, d)
-      .select(col("source"), split(col("text"), " ").as("ts"))
-      .select(col("source"), col("ts"), size(col("ts")).as("n"))
-      .filter(col("n") >= k)
+    tokenized(Tables.documentsScaled(s, d).select(col("source"), col("text")),
+      k, key = "source")
       .select(col("source"), explode(expr(
         s"transform(sequence(1, n - ${k - 1}), i -> ${winHash(k)})")).as("rh"))
-      // distinct FIRST: the codegen'd hash-aggregate collapses the
-      // occurrence multiplicity (boilerplate repeats within a source)
-      // map-side before any object aggregation; collect_set then runs
-      // over already-distinct rows — per hash at most |sources| of them
-      .distinct()
+      // collect_set IS the dedup: it ignores duplicate (rh, source)
+      // occurrences, and its ObjectHashAggregate runs map-side partials
+      // over the explode with bounded per-hash state. An explicit
+      // .distinct() here is a no-op — Catalyst folds a Deduplicate
+      // feeding only duplicate-insensitive aggregates away entirely
+      // (verified by plan walk in PlanShapeSpec)
       .groupBy("rh").agg(sort_array(collect_set(col("source"))).as("ss"))
       .filter(size(col("ss")) > 1)
       .select(explode(expr(

@@ -137,15 +137,23 @@ class PlanShapeSpec extends SparkSpec {
     assert(!pb.contains("CartesianProduct") && !pb.contains("BroadcastNestedLoopJoin"), pb)
   }
 
-  test("q84: occurrence rows collapse in a codegen'd distinct BEFORE the set aggregate") {
-    val p = plan(CurationOps.sourceOverlap(spark, sf))
-    // the distinct is a plain HashAggregate (whole-stage codegen, spills
-    // sanely); the bounded collect_set object aggregate must run AFTER it
-    // — aggregating sets over raw occurrences cost 22× CPU at sf1
-    assert(p.contains("ObjectHashAggregate"), p)
-    val firstObject = p.indexOf("ObjectHashAggregate")
-    assert(p.substring(firstObject).contains("HashAggregate"),
-      "expected the distinct HashAggregate below (upstream of) the object aggregate")
+  test("q84: one bounded set aggregate straight over the explode — no join, no extra pass") {
+    val df = CurationOps.sourceOverlap(spark, sf)
+    // walk the physical tree (pre-order: parents before children), not
+    // the explain STRING — "ObjectHashAggregate" contains the substring
+    // "HashAggregate", so string matching cannot distinguish them
+    val names = df.queryExecution.sparkPlan.collect { case n => n.nodeName }
+    // the per-hash source set is ONE partial+final object-aggregate pair
+    // with map-side dedup (collect_set ignores duplicate occurrences);
+    // an explicit pre-distinct would be a redundant third aggregation —
+    // Catalyst provably folds one away, so none may appear between the
+    // window explode (the deepest Generate) and the set partial
+    assert(names.count(_ == "ObjectHashAggregate") === 2, names.mkString(", "))
+    val lastObj = names.lastIndexWhere(_ == "ObjectHashAggregate")
+    val belowSetAgg = names.drop(lastObj + 1)
+    assert(belowSetAgg.contains("Generate"), names.mkString(", "))
+    assert(!belowSetAgg.exists(_.contains("Aggregate")), names.mkString(", "))
+    val p = plan(df)
     assert(!p.contains("CartesianProduct") && !p.contains("Join"), p)
   }
 
