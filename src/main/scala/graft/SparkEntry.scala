@@ -87,6 +87,7 @@ object SparkEntry {
     "q83_dup_spans"       -> ((s: SparkSession, d: String) => CurationOps.dupSpans(s, d)),
     "q83b_cut_dup_spans"  -> ((s: SparkSession, d: String) => CurationOps.cutDupSpans(s, d)),
     "q84_source_overlap"  -> ((s: SparkSession, d: String) => CurationOps.sourceOverlap(s, d)),
+    "q85_source_divergence" -> ((s: SparkSession, d: String) => CurationOps.sourceDivergence(s, d)),
     "q42b_minhash_est"    -> (DedupOps.minhashEst _),
     "q66_label_centroids" -> (TextAnalysisOps.labelCentroids _),
     "q67_semantic_dedup"  -> ((s: SparkSession, d: String) => DedupOps.semanticDedup(s, d)),
@@ -1148,6 +1149,24 @@ object SparkEntry {
         |  CAST(COUNT(*) AS BIGINT) AS n_shared_windows
         |FROM rs a JOIN rs b ON a.rh = b.rh AND a.source < b.source
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // per-source unigram KL vs the corpus: same fixed IEEE ratio chain,
+    // count-scaled terms through the shared DECIMAL(27,6) carrier
+    "q85_source_divergence" ->
+      """WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |st AS (SELECT source, tok, COUNT(*) AS n FROM tok GROUP BY 1, 2),
+        |bysrc AS (SELECT source, CAST(SUM(n) AS BIGINT) AS n_src,
+        |            CAST(COUNT(*) AS BIGINT) AS n_distinct FROM st GROUP BY 1),
+        |bytok AS (SELECT tok, CAST(SUM(n) AS BIGINT) AS n_tok FROM st GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS n_total FROM st),
+        |terms AS (SELECT st.source, bysrc.n_src, bysrc.n_distinct,
+        |            CAST(st.n AS DOUBLE) * ln(
+        |              (CAST(st.n AS DOUBLE) / CAST(bysrc.n_src AS DOUBLE))
+        |                / (CAST(bytok.n_tok AS DOUBLE) / CAST(tot.n_total AS DOUBLE))) AS term
+        |          FROM st JOIN bytok USING (tok) JOIN bysrc USING (source), tot)
+        |SELECT source, n_src AS n_tokens, n_distinct,
+        |  CAST(SUM(CAST(term AS DECIMAL(27,6))) AS DOUBLE) / CAST(n_src AS DOUBLE) AS kl
+        |FROM terms GROUP BY source, n_src, n_distinct ORDER BY source""".stripMargin,
 
     // SemDeDup: within-IVF-cluster cosine prune, min-id keeps the
     // representative (same frozen quantizer + fold order as q46b/q54)

@@ -214,6 +214,47 @@ object CurationOps {
       .orderBy("doc_id")
   }
 
+  /** q85 — per-source token-distribution divergence: KL(P_source ||
+    * P_corpus) over unigram distributions — the DoReMi-family domain-
+    * reweighting signal (Xie et al. 2023 reweight domains by how their
+    * distributions diverge from the mix; a high-KL source is
+    * distributionally distinctive, a near-zero one is redundant with the
+    * corpus average). Complements q64's size-based sqrt-temperature
+    * weights with a CONTENT-based signal.
+    *
+    * KL computed as (1/N_s) · Σ_t n_st · ln((n_st/N_s)/(n_t/N)) — the
+    * per-term magnitude is O(count · ln-ratio), safely above the
+    * DECIMAL(27,6) carrier's resolution (summing raw p·ln p terms of
+    * ~1e-7 would vanish in the shared truncation convention).
+    *
+    * Scale shape: one explode pass → one (source, token) count shuffle;
+    * the token-marginal aggregate shuffles those counts by token (rows =
+    * distinct (source, token), already collapsed); source totals and the
+    * 1-row corpus total broadcast. Fixed IEEE chain per term, exact-
+    * decimal reduction — bit-identical under any partitioning.
+    */
+  def sourceDivergence(s: SparkSession, d: String): DataFrame = {
+    val st = Tables.documentsScaled(s, d)
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("source", "tok").agg(count(lit(1)).as("n"))
+    val bySrc = st.groupBy("source")
+      .agg(sum("n").as("n_src"), count(lit(1)).as("n_distinct"))
+    val byTok = st.groupBy("tok").agg(sum("n").as("n_tok"))
+    val total = st.agg(sum("n").as("n_total"))
+    st.join(byTok, "tok")
+      .join(broadcast(bySrc), "source")
+      .crossJoin(broadcast(total))
+      .withColumn("term",
+        col("n").cast("double") * log(
+          (col("n").cast("double") / col("n_src").cast("double")) /
+            (col("n_tok").cast("double") / col("n_total").cast("double"))))
+      .groupBy("source", "n_src", "n_distinct")
+      .agg(Exact.dsum(col("term")).as("tsum"))
+      .select(col("source"), col("n_src").as("n_tokens"), col("n_distinct"),
+        (col("tsum") / col("n_src").cast("double")).as("kl"))
+      .orderBy("source")
+  }
+
   /** q84 — cross-source duplication matrix: for every PAIR of sources,
     * how many distinct 8-token windows occur verbatim in BOTH — the
     * corpus-forensics view (which sources mirror which, where the shared

@@ -292,6 +292,37 @@ class CurationSpec extends SparkSpec {
       4L -> "p q r s t u v w"))
   }
 
+  test("q85 source divergence: exact driver-side recompute, bit-identical") {
+    val rows = CurationOps.sourceDivergence(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val docs = Tables.documents(spark, sf).select("source", "text").collect()
+      .map(r => r.getString(0) -> r.getString(1))
+    val st = collection.mutable.Map[(String, String), Long]().withDefaultValue(0L)
+    docs.foreach { case (src, t) => t.split(" ", -1).foreach(tok => st(src -> tok) += 1) }
+    val nSrc = st.groupBy(_._1._1).map { case (s, m) => s -> m.values.sum }
+    val nDis = st.groupBy(_._1._1).map { case (s, m) => s -> m.size.toLong }
+    val nTok = st.groupBy(_._1._2).map { case (t, m) => t -> m.values.sum }
+    val nTot = st.values.sum
+    // the same fixed IEEE chain + DECIMAL(27,6) HALF_UP reduction the
+    // query (and its oracle) run — the result must match to the BIT
+    val expect = st.keys.toSeq.groupBy(_._1).map { case (src, keys) =>
+      val terms = keys.map { case (_, t) =>
+        val n = st(src -> t)
+        val term = n.toDouble *
+          math.log((n.toDouble / nSrc(src).toDouble) / (nTok(t).toDouble / nTot.toDouble))
+        BigDecimal(term).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      }
+      src -> (terms.sum.toDouble / nSrc(src).toDouble)
+    }
+    rows.foreach { r =>
+      val src = r.getString(0)
+      assert(r.getLong(1) === nSrc(src), src)
+      assert(r.getLong(2) === nDis(src), src)
+      assert(r.getDouble(3) === expect(src), src)
+    }
+    assert(rows.map(_.getString(0)).toSet === nSrc.keySet)
+  }
+
   test("q84 source overlap: each source pair counted once per distinct shared window") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("srcover").toString
