@@ -231,7 +231,12 @@ object CurationOps {
     * the token-marginal aggregate shuffles those counts by token (rows =
     * distinct (source, token), already collapsed); source totals and the
     * 1-row corpus total broadcast. Fixed IEEE chain per term, exact-
-    * decimal reduction — bit-identical under any partitioning.
+    * decimal reduction — bit-identical under any partitioning. Engine
+    * caveat (also applies to q73's ln): JVM Math.log and libm log can
+    * differ by 1 ulp on the same input; the DECIMAL(27,6) rounding
+    * absorbs that wiggle as long as n·ulp(ln r) stays well below the
+    * 5e-7 midpoint distance — true by orders of magnitude at every
+    * shipped scale, but not a law of nature at arbitrary counts.
     */
   def sourceDivergence(s: SparkSession, d: String): DataFrame = {
     val st = Tables.documentsScaled(s, d)
