@@ -157,6 +157,38 @@ class AnnIndexSpec extends SparkSpec {
       === SimilarityOps.knnIvfPq(spark, sf).collect().toSeq)
   }
 
+  test("searches racing a delete+compaction always see a LEGAL snapshot, never a torn mix") {
+    import spark.implicits._
+    val table = java.nio.file.Files.createTempDirectory("annrace").toString
+    AnnIndexBuild.buildVersioned(spark, sf, table)
+    val baseline = AnnIndexBuild.searchVersioned(spark, table, sf).collect().toSeq
+    val victim = baseline.head.getLong(1)
+
+    val mutator = new Thread(() => {
+      Thread.sleep(100)
+      AnnIndexBuild.deleteVersioned(spark, Seq(victim).toDF("vec_id"), table)
+      Thread.sleep(100)
+      AnnIndexBuild.compactVersioned(spark, table)
+      ()
+    })
+    mutator.start()
+    // searches overlap the delete commit AND the compaction rewrite; each
+    // must equal a published snapshot's result — pre-delete or post-delete
+    // (compaction never changes results) — the single-readRangeIn
+    // consistency property: codes and tombstones from ONE version
+    val seen = (1 to 10).map { _ =>
+      AnnIndexBuild.searchVersioned(spark, table, sf).collect().toSeq
+    }
+    mutator.join()
+    val finalResult = AnnIndexBuild.searchVersioned(spark, table, sf).collect().toSeq
+    assert(finalResult !== baseline) // the delete landed
+    assert(!finalResult.exists(_.getLong(1) == victim))
+    seen.foreach { r =>
+      assert(r === baseline || r === finalResult,
+        s"torn result: ${r.take(3)}... is neither pre- nor post-delete")
+    }
+  }
+
   test("versioned index: atomic publish, bit-identical search, pinned-version reads") {
     val table = java.nio.file.Files.createTempDirectory("annlake").toString
     val v1 = AnnIndexBuild.buildVersioned(spark, sf, table)
