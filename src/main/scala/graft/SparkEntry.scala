@@ -88,6 +88,8 @@ object SparkEntry {
     "q83b_cut_dup_spans"  -> ((s: SparkSession, d: String) => CurationOps.cutDupSpans(s, d)),
     "q84_source_overlap"  -> ((s: SparkSession, d: String) => CurationOps.sourceOverlap(s, d)),
     "q85_source_divergence" -> ((s: SparkSession, d: String) => CurationOps.sourceDivergence(s, d)),
+    "q44c_dedup_embedding_dense" -> ((s: SparkSession, d: String) => DedupOps.embeddingNearDup(s, d, subBlockBits = 8)),
+    "q67b_semantic_dedup_blocked" -> ((s: SparkSession, d: String) => DedupOps.semanticDedup(s, d, subBlockBits = 6)),
     "q42b_minhash_est"    -> (DedupOps.minhashEst _),
     "q66_label_centroids" -> (TextAnalysisOps.labelCentroids _),
     "q67_semantic_dedup"  -> ((s: SparkSession, d: String) => DedupOps.semanticDedup(s, d)),
@@ -716,6 +718,21 @@ object SparkEntry {
          |WHERE $DOT64 / (a.nrm * b.nrm) > 0.25
          |ORDER BY vec_a, vec_b""".stripMargin,
 
+    // the dense-corpus dial proven at oracle level: same construction as
+    // q44b with 8 planes instead of 3 (256 sub-blocks per label)
+    "q44c_dedup_embedding_dense" ->
+      s"""WITH $EMB_NORM,
+         |bk AS (SELECT vec_id, label, v, nrm,
+         |  ${(0 until 8).map(j =>
+             s"(CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65)," +
+             s" i -> v[i] * ((($j*131 + (i-1)*7919) % 1001) - 500))), (x2, y2) -> x2 + y2) > 0" +
+             s" THEN CAST(${1L << j} AS BIGINT) ELSE 0 END)").mkString(" + ")} AS blk
+         |  FROM n)
+         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, $DOT64 / (a.nrm * b.nrm) AS cos
+         |FROM bk a JOIN bk b ON a.label = b.label AND a.blk = b.blk AND a.vec_id < b.vec_id
+         |WHERE $DOT64 / (a.nrm * b.nrm) > 0.25
+         |ORDER BY vec_a, vec_b""".stripMargin,
+
     "q45_knn_bruteforce" ->
       s"""WITH $EMB_NORM,
          |j AS (SELECT a.vec_id AS q_id, b.vec_id AS neighbor_id,
@@ -1186,6 +1203,39 @@ object SparkEntry {
          |sc AS (SELECT p.vec_a, p.vec_b, $DOT64 / (a.nrm * b.nrm) AS cos
          |       FROM (SELECT x.vec_id AS vec_a, y.vec_id AS vec_b
          |             FROM a1 x JOIN a1 y ON x.list_id = y.list_id AND x.vec_id < y.vec_id) p
+         |       JOIN n a ON a.vec_id = p.vec_a JOIN n b ON b.vec_id = p.vec_b
+         |       WHERE $DOT64 / (a.nrm * b.nrm) >= 0.3)
+         |SELECT vec_b AS vec_id, CAST(COUNT(*) AS BIGINT) AS n_dups,
+         |  MIN(vec_a) AS rep_id, MAX(cos) AS max_cos
+         |FROM sc GROUP BY vec_b ORDER BY vec_id""".stripMargin,
+
+    // blocked SemDeDup: q67's construction with the q44b/q44c hyperplane
+    // sign-blocks (6 planes = 64 sub-blocks) added to the pair bucket —
+    // the density dial for a frozen cluster count
+    "q67b_semantic_dedup_blocked" ->
+      s"""WITH $EMB_NORM,
+         |cents AS (SELECT list_id, cv,
+         |            sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65),
+         |              i -> cv[i] * cv[i])), (x2, y2) -> x2 + y2)) AS cnrm
+         |          FROM ($ivfCentsValues) t(list_id, cv)),
+         |asg AS (SELECT vec_id, list_id,
+         |          ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, list_id) AS crank
+         |        FROM (SELECT n.vec_id, c.list_id,
+         |                list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65),
+         |                  i -> n.v[i] * c.cv[i])), (x2, y2) -> x2 + y2) / (n.nrm * c.cnrm) AS csim
+         |              FROM n, cents c) t),
+         |bk AS (SELECT vec_id,
+         |  ${(0 until 6).map(j =>
+             s"(CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65)," +
+             s" i -> v[i] * ((($j*131 + (i-1)*7919) % 1001) - 500))), (x2, y2) -> x2 + y2) > 0" +
+             s" THEN CAST(${1L << j} AS BIGINT) ELSE 0 END)").mkString(" + ")} AS blk
+         |  FROM n),
+         |a1 AS (SELECT asg.vec_id, asg.list_id, bk.blk
+         |       FROM asg JOIN bk ON asg.vec_id = bk.vec_id WHERE asg.crank = 1),
+         |sc AS (SELECT p.vec_a, p.vec_b, $DOT64 / (a.nrm * b.nrm) AS cos
+         |       FROM (SELECT x.vec_id AS vec_a, y.vec_id AS vec_b
+         |             FROM a1 x JOIN a1 y ON x.list_id = y.list_id AND x.blk = y.blk
+         |                                AND x.vec_id < y.vec_id) p
          |       JOIN n a ON a.vec_id = p.vec_a JOIN n b ON b.vec_id = p.vec_b
          |       WHERE $DOT64 / (a.nrm * b.nrm) >= 0.3)
          |SELECT vec_b AS vec_id, CAST(COUNT(*) AS BIGINT) AS n_dups,

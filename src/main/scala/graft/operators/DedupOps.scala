@@ -512,20 +512,26 @@ object DedupOps {
     * (cosine-LSH collision probability 1 - theta/pi per plane). 0 = exact
     * (the driver query, so the DuckDB oracle stays exact).
     */
+  /** Hyperplane sign-bit block id over `v` — THE shared dense-corpus
+    * blocking key (deterministic integer hyperplanes, same family as
+    * SimilarityOps.knnLsh): q44b/q44c and blocked SemDeDup all derive
+    * their sub-blocks from this one formula, so the dial is the same dial
+    * everywhere. bits MUST grow with per-partition density: a FIXED block
+    * count over a growing corpus is quadratic in disguise (measured at
+    * sf10 — see SURVEY §6). */
+  private[graft] def signBlocks(v: Column, bits: Int): Column =
+    if (bits == 0) lit(0L)
+    else (0 until bits).map { j =>
+      val plane = lit((0 until 64).map(i => (((j * 131 + i * 7919) % 1001) - 500).toDouble).toArray)
+      when(dot(v, plane) > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
   def embeddingNearDup(s: SparkSession, d: String, subBlockBits: Int = 0): DataFrame = {
     require(subBlockBits >= 0 && subBlockBits <= 16, s"subBlockBits in [0,16]; got $subBlockBits")
     val base = Tables.embeddings(s, d)
       .select(col("vec_id"), col("label"), toDouble(col("embedding")).as("v"))
       .withColumn("nrm", norm(col("v")))
-    // deterministic integer hyperplanes, same family as SimilarityOps.knnLsh
-    val e = if (subBlockBits == 0) base.withColumn("blk", lit(0L)) else {
-      val dim = 64
-      val bucket = (0 until subBlockBits).map { j =>
-        val plane = lit((0 until dim).map(i => (((j * 131 + i * 7919) % 1001) - 500).toDouble).toArray)
-        when(dot(col("v"), plane) > 0, lit(1L << j)).otherwise(lit(0L))
-      }.reduce(_ + _)
-      base.withColumn("blk", bucket)
-    }
+    val e = base.withColumn("blk", signBlocks(col("v"), subBlockBits))
     e.as("a").join(e.as("b"),
         col("a.label") === col("b.label") && col("a.blk") === col("b.blk") &&
           col("a.vec_id") < col("b.vec_id"))
@@ -553,27 +559,38 @@ object DedupOps {
     * join, the standard ANN-verify fetch, instead of carrying 512-byte
     * vectors through the groupBy buffer.
     */
-  def semanticDedup(s: SparkSession, d: String, threshold: Double = 0.3): DataFrame =
+  def semanticDedup(s: SparkSession, d: String, threshold: Double = 0.3,
+      subBlockBits: Int = 0): DataFrame =
     semanticDedupOf(s,
       Tables.embeddings(s, d)
         .select(col("vec_id"), toDouble(col("embedding")).as("v"))
         .withColumn("nrm", norm(col("v"))),
-      threshold)
+      threshold, subBlockBits)
 
   /** [[semanticDedup]] over an arbitrary prepared embedding frame
     * `(vec_id: long, v: array<double>, nrm: double)` — the entry point
     * pipeline stages use (CorpusPrep joins its surviving doc ids against
     * the emitted drop list with vec_id = doc_id). Same shape, same frozen
     * quantizer, same min-id-keeps-representative rule. */
-  def semanticDedupOf(s: SparkSession, e: DataFrame, threshold: Double): DataFrame = {
+  def semanticDedupOf(s: SparkSession, e: DataFrame, threshold: Double,
+      subBlockBits: Int = 0): DataFrame = {
+    require(subBlockBits >= 0 && subBlockBits <= 16, s"subBlockBits in [0,16]; got $subBlockBits")
     val cents = SimilarityOps.centroidTable(s)
     // argmax via max_by — map-side partials, no per-vector candidate sort
-    // (same rework as the q54/q46b assignment); ties keep the smallest list
-    val asg = e.join(broadcast(cents))
+    // (same rework as the q54/q46b assignment); ties keep the smallest
+    // list. `blk` (the shared hyperplane sign-block key) rides the
+    // grouping — functional on vec_id, cardinality unchanged. With the
+    // CLUSTER count frozen, per-cluster population grows linearly with
+    // the corpus and within-cluster pairs quadratically (129× wall for
+    // 10× data measured at sf10); sub-blocking caps pair growth exactly
+    // as q44b guards q44 — the standard density dial, traded against
+    // recall of cross-block neighbors.
+    val asg = e.withColumn("blk", signBlocks(col("v"), subBlockBits))
+      .join(broadcast(cents))
       .withColumn("csim", cosine(col("v"), col("cv"), col("nrm"), col("cnrm")))
-      .groupBy("vec_id")
+      .groupBy("vec_id", "blk")
       .agg(max_by(col("list_id"), struct(col("csim"), -col("list_id"))).as("list_id"))
-    val pairs = asg.groupBy("list_id")
+    val pairs = asg.groupBy("list_id", "blk")
       .agg(collect_list(struct(col("vec_id"), lit(0L).as("n"))).as("docs"))
       .filter(size(col("docs")) >= 2)
       .select(call_function("graft_doc_pairs", col("docs"))

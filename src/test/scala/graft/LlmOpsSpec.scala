@@ -77,6 +77,40 @@ class LlmOpsSpec extends SparkSpec {
       .foreach(r => assert(r.getAs[Long]("n_agree") === 16L))
   }
 
+  test("q44c/q67b density dials: blocked results nest; exact duplicates always survive blocking") {
+    import spark.implicits._
+    // q44c (8 planes) ⊆ q44b (3 planes) ⊆ q44: agreeing on 8 sign bits
+    // implies agreeing on the first 3, implies same label
+    val exact = DedupOps.embeddingNearDup(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b3 = DedupOps.embeddingNearDup(spark, sf, subBlockBits = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b8 = DedupOps.embeddingNearDup(spark, sf, subBlockBits = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(b8.subsetOf(b3) && b3.subsetOf(exact), s"nesting broken")
+    assert(b8.nonEmpty)
+
+    // q67b drop set ⊆ q67's (a blocked witness is also a cluster witness)
+    val full = DedupOps.semanticDedup(spark, sf)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val blocked = DedupOps.semanticDedup(spark, sf, subBlockBits = 6)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(blocked.subsetOf(full), s"blocked drops not in full: ${blocked -- full}")
+
+    // identical vectors share every plane sign AND every cluster — an
+    // EXACT duplicate can never escape through a block boundary
+    val dim = 64
+    val base = (0 until dim).map(k => (((k * 31) % 200) - 100) / 100.0f)
+    val tmp = java.nio.file.Files.createTempDirectory("exactdup").toString
+    (Seq((100L, base, 1), (101L, base, 1)) ++ (0 until 40).map { i =>
+      (200L + i, (0 until dim).map(k => (((i * 37 + k * 101) % 200) - 100) / 100.0f), 1)
+    }).toDF("vec_id", "embedding", "label").write.parquet(s"$tmp/embeddings.parquet")
+    assert(DedupOps.embeddingNearDup(spark, tmp, subBlockBits = 8)
+      .collect().exists(r => r.getLong(0) == 100L && r.getLong(1) == 101L))
+    assert(DedupOps.semanticDedup(spark, tmp, subBlockBits = 6)
+      .collect().exists(_.getAs[Long]("vec_id") == 101L))
+  }
+
   test("q67 semantic dedup: min-id rule, cluster-local witnesses, threshold honored") {
     val pruned = DedupOps.semanticDedup(spark, sf).collect()
     assert(pruned.nonEmpty)
