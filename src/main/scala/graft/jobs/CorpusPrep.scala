@@ -59,6 +59,7 @@ object CorpusPrep {
       nearDup: Boolean = true,
       semantic: Boolean = false,
       semanticThreshold: Double = 0.3,
+      semanticSubBlockBits: Int = 0,
       decontaminate: Boolean = false,
       decontaminateNgram: Int = 13,
       spanCut: Boolean = false,
@@ -143,7 +144,12 @@ object CorpusPrep {
           graft.functions.VectorFunctions.toDouble(col("embedding")).as("v"))
         .withColumn("nrm", graft.functions.VectorFunctions.norm(col("v")))
         .join(kept.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi")
-      val drops = DedupOps.semanticDedupOf(spark, emb, cfg.semanticThreshold)
+      // semanticSubBlockBits is the q67b density dial: at corpus scales
+      // where per-cluster populations make within-cluster pairs quadratic,
+      // set bits ~ log2(pop/target) — identical embeddings share every
+      // sign block, so exact semantic duplicates can never escape
+      val drops = DedupOps.semanticDedupOf(spark, emb, cfg.semanticThreshold,
+          cfg.semanticSubBlockBits)
         .select(col("vec_id").as("doc_id"))
       kept.join(drops, Seq("doc_id"), "left_anti")
     }

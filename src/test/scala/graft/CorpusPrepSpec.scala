@@ -150,6 +150,16 @@ class CorpusPrepSpec extends SparkSpec {
     val keptIds = spark.read.parquet(s"$semOut/documents")
       .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
     assert(keptIds === Seq(1L, 2L, 4L, 5L, 6L)) // min-id representative kept
+
+    // under the q67b density dial the outcome is identical here: the
+    // paraphrase's embedding is IDENTICAL to doc 1's, and identical
+    // vectors share every sign block — exact semantic dups cannot escape
+    val semOutB = java.nio.file.Files.createTempDirectory("semprepblk").toString
+    CorpusPrep.run(spark, corpus, semOutB, CorpusPrep.Config(
+      semantic = true, semanticThreshold = 0.9, semanticSubBlockBits = 6))
+    assert(spark.read.parquet(s"$semOutB/documents")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      === Seq(1L, 2L, 4L, 5L, 6L))
   }
 
   test("semantic stage keeps a doc whose lower-id representative died at an earlier gate") {
