@@ -248,6 +248,19 @@ object SparkEntry {
 
   // Exact-sum carrier used by every oracle: identical decimal cast chain as
   // graft.functions.Exact, so double aggregates are bit-identical.
+  /** Hyperplane sign-block SQL over column `v` (`bits` planes of table
+    * `t`) — mirrors SimilarityOps.hyperplane / DedupOps.signBlocks: the
+    * q44b/q44c blocks, q46/q68's LSH buckets, q46c's two tables and
+    * q67b's blocks all interpolate THIS one fragment, so the plane
+    * formula cannot drift between oracles (or from the Scala side). */
+  private def signBlocksSql(bits: Int, t: Int = 0): String =
+    (0 until bits).map { j =>
+      val base = (t * 977 + j) * 131
+      s"(CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65)," +
+        s" i -> v[i] * ((($base + (i-1)*7919) % 1001) - 500))), (x2, y2) -> x2 + y2) > 0" +
+        s" THEN CAST(${1L << j} AS BIGINT) ELSE 0 END)"
+    }.mkString(" + ")
+
   private def S(x: String)  = s"CAST(SUM(CAST($x AS DECIMAL(27,6))) AS DOUBLE)"
   private def A(x: String)  = s"CAST(SUM(CAST($x AS DECIMAL(27,6))) AS DOUBLE)/COUNT($x)"
 
@@ -708,10 +721,7 @@ object SparkEntry {
     "q44b_dedup_embedding_blocked" ->
       s"""WITH $EMB_NORM,
          |bk AS (SELECT vec_id, label, v, nrm,
-         |  ${(0 until 3).map(j =>
-             s"(CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65)," +
-             s" i -> v[i] * ((($j*131 + (i-1)*7919) % 1001) - 500))), (x2, y2) -> x2 + y2) > 0" +
-             s" THEN CAST(${1L << j} AS BIGINT) ELSE 0 END)").mkString(" + ")} AS blk
+         |  ${signBlocksSql(3)} AS blk
          |  FROM n)
          |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, $DOT64 / (a.nrm * b.nrm) AS cos
          |FROM bk a JOIN bk b ON a.label = b.label AND a.blk = b.blk AND a.vec_id < b.vec_id
@@ -723,10 +733,7 @@ object SparkEntry {
     "q44c_dedup_embedding_dense" ->
       s"""WITH $EMB_NORM,
          |bk AS (SELECT vec_id, label, v, nrm,
-         |  ${(0 until 8).map(j =>
-             s"(CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65)," +
-             s" i -> v[i] * ((($j*131 + (i-1)*7919) % 1001) - 500))), (x2, y2) -> x2 + y2) > 0" +
-             s" THEN CAST(${1L << j} AS BIGINT) ELSE 0 END)").mkString(" + ")} AS blk
+         |  ${signBlocksSql(8)} AS blk
          |  FROM n)
          |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, $DOT64 / (a.nrm * b.nrm) AS cos
          |FROM bk a JOIN bk b ON a.label = b.label AND a.blk = b.blk AND a.vec_id < b.vec_id
@@ -789,10 +796,7 @@ object SparkEntry {
     "q46_knn_lsh" ->
       s"""WITH $EMB_NORM,
          |bk AS (SELECT vec_id, v, nrm,
-         |  ${(0 until 8).map(j =>
-             s"(CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65)," +
-             s" i -> v[i] * ((($j*131 + (i-1)*7919) % 1001) - 500))), (x2, y2) -> x2 + y2) > 0" +
-             s" THEN CAST(${1L << j} AS BIGINT) ELSE 0 END)").mkString(" + ")} AS bucket
+         |  ${signBlocksSql(8)} AS bucket
          |  FROM n),
          |j AS (SELECT a.vec_id AS q_id, b.vec_id AS neighbor_id,
          |        $DOT64 / (a.nrm * b.nrm) AS cos
@@ -807,15 +811,9 @@ object SparkEntry {
     // bucket_t uses the plane family (((t*977 + j)*131 + i*7919) % 1001) - 500;
     // a pair colliding in both tables ranks ONCE (SELECT DISTINCT = the
     // Spark side's dropDuplicates) — parity proves the cross-table dedup exact
-    "q46c_knn_lsh_multi" -> {
-      def bucketT(t: Int): String = (0 until 8).map { j =>
-        val base = (t * 977 + j) * 131
-        s"(CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65)," +
-          s" i -> v[i] * ((($base + (i-1)*7919) % 1001) - 500))), (x2, y2) -> x2 + y2) > 0" +
-          s" THEN CAST(${1L << j} AS BIGINT) ELSE 0 END)"
-      }.mkString(" + ")
+    "q46c_knn_lsh_multi" ->
       s"""WITH $EMB_NORM,
-         |bk AS (SELECT vec_id, v, nrm, ${bucketT(0)} AS b0, ${bucketT(1)} AS b1
+         |bk AS (SELECT vec_id, v, nrm, ${signBlocksSql(8, t = 0)} AS b0, ${signBlocksSql(8, t = 1)} AS b1
          |  FROM n),
          |j AS (SELECT DISTINCT a.vec_id AS q_id, b.vec_id AS neighbor_id,
          |        $DOT64 / (a.nrm * b.nrm) AS cos
@@ -825,8 +823,7 @@ object SparkEntry {
          |  SELECT q_id, neighbor_id, cos,
          |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
          |  FROM j) t
-         |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
-    },
+         |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin,
 
     "q46b_knn_ivf" ->
       s"""WITH $EMB_NORM,
@@ -1225,10 +1222,7 @@ object SparkEntry {
          |                  i -> n.v[i] * c.cv[i])), (x2, y2) -> x2 + y2) / (n.nrm * c.cnrm) AS csim
          |              FROM n, cents c) t),
          |bk AS (SELECT vec_id,
-         |  ${(0 until 6).map(j =>
-             s"(CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65)," +
-             s" i -> v[i] * ((($j*131 + (i-1)*7919) % 1001) - 500))), (x2, y2) -> x2 + y2) > 0" +
-             s" THEN CAST(${1L << j} AS BIGINT) ELSE 0 END)").mkString(" + ")} AS blk
+         |  ${signBlocksSql(6)} AS blk
          |  FROM n),
          |a1 AS (SELECT asg.vec_id, asg.list_id, bk.blk
          |       FROM asg JOIN bk ON asg.vec_id = bk.vec_id WHERE asg.crank = 1),
@@ -1254,10 +1248,7 @@ object SparkEntry {
          |           ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS rank
          |         FROM exj) t WHERE rank <= 3),
          |bk AS (SELECT vec_id, v, nrm,
-         |  ${(0 until 8).map(j =>
-             s"(CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65)," +
-             s" i -> v[i] * ((($j*131 + (i-1)*7919) % 1001) - 500))), (x2, y2) -> x2 + y2) > 0" +
-             s" THEN CAST(${1L << j} AS BIGINT) ELSE 0 END)").mkString(" + ")} AS bucket
+         |  ${signBlocksSql(8)} AS bucket
          |  FROM n),
          |lshj AS (SELECT a.vec_id AS q_id, b.vec_id AS neighbor_id,
          |           $DOT64 / (a.nrm * b.nrm) AS cos

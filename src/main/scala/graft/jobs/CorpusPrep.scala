@@ -231,11 +231,18 @@ object CorpusPrep {
 
   def main(args: Array[String]): Unit = {
     require(args.length >= 2,
-      "usage: CorpusPrep <sf-dir> <out-dir> [--no-neardup] [--semantic] [--decontaminate] [--span-cut]")
+      "usage: CorpusPrep <sf-dir> <out-dir> [--no-neardup] [--semantic] " +
+        "[--semantic-bits=N] [--decontaminate] [--span-cut]")
     val spark = GraftSession.get()
     run(spark, args(0), args(1), Config(
       nearDup = !args.contains("--no-neardup"),
       semantic = args.contains("--semantic"),
+      // the q67b density dial — without a flag, spark-submit runs would
+      // be pinned to the unblocked quadratic shape on dense corpora
+      semanticSubBlockBits = args.collectFirst {
+        case a if a.startsWith("--semantic-bits=") =>
+          a.stripPrefix("--semantic-bits=").toInt
+      }.getOrElse(0),
       decontaminate = args.contains("--decontaminate"),
       spanCut = args.contains("--span-cut")))
     spark.stop()

@@ -498,6 +498,19 @@ object DedupOps {
       .orderBy("doc_id")
   }
 
+  /** Hyperplane sign-bit block id over `v` — THE shared dense-corpus
+    * blocking key: q44b/q44c and blocked SemDeDup all derive their
+    * sub-blocks from this one formula, and the planes themselves come
+    * from [[SimilarityOps.hyperplane]] (table 0) — the SAME family
+    * knnLsh buckets with, structurally, not by convention. bits MUST
+    * grow with per-partition density: a FIXED block count over a growing
+    * corpus is quadratic in disguise (measured at sf10 — see SURVEY §6). */
+  private[graft] def signBlocks(v: Column, bits: Int): Column =
+    if (bits == 0) lit(0L)
+    else (0 until bits).map { j =>
+      when(dot(v, lit(SimilarityOps.hyperplane(0, j))) > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
   /** q44 — embedding-cosine near-duplicate pairs, blocked on the label
     * column (standard ER blocking: pair generation only within blocks, so
     * candidates scale with the largest block, not the corpus).
@@ -510,22 +523,9 @@ object DedupOps {
     * hot label. Recall trade: only pairs on the same side of every plane
     * survive, which is exactly the high-cosine pairs the threshold keeps
     * (cosine-LSH collision probability 1 - theta/pi per plane). 0 = exact
-    * (the driver query, so the DuckDB oracle stays exact).
+    * (the driver query, so the DuckDB oracle stays exact); 8 = the q44c
+    * density setting.
     */
-  /** Hyperplane sign-bit block id over `v` — THE shared dense-corpus
-    * blocking key (deterministic integer hyperplanes, same family as
-    * SimilarityOps.knnLsh): q44b/q44c and blocked SemDeDup all derive
-    * their sub-blocks from this one formula, so the dial is the same dial
-    * everywhere. bits MUST grow with per-partition density: a FIXED block
-    * count over a growing corpus is quadratic in disguise (measured at
-    * sf10 — see SURVEY §6). */
-  private[graft] def signBlocks(v: Column, bits: Int): Column =
-    if (bits == 0) lit(0L)
-    else (0 until bits).map { j =>
-      val plane = lit((0 until 64).map(i => (((j * 131 + i * 7919) % 1001) - 500).toDouble).toArray)
-      when(dot(v, plane) > 0, lit(1L << j)).otherwise(lit(0L))
-    }.reduce(_ + _)
-
   def embeddingNearDup(s: SparkSession, d: String, subBlockBits: Int = 0): DataFrame = {
     require(subBlockBits >= 0 && subBlockBits <= 16, s"subBlockBits in [0,16]; got $subBlockBits")
     val base = Tables.embeddings(s, d)

@@ -35,6 +35,14 @@ object SimilarityOps {
   private val NumPlanes = 8
   private val Dim = 64
 
+  /** Deterministic integer hyperplane weights, table `t`, plane `j` —
+    * THE single plane family: knnLsh's buckets (any table) and the dedup
+    * density dials' sign blocks (DedupOps.signBlocks, table 0) all draw
+    * from here, so an edit to the weight formula reaches every consumer
+    * (the DuckDB oracles mirror the same closed form). */
+  private[graft] def hyperplane(t: Int, j: Int): Array[Double] =
+    (0 until Dim).map(i => ((((t * 977 + j) * 131 + i * 7919) % 1001) - 500).toDouble).toArray
+
   /** q46 — LSH (random-hyperplane) bucketed ANN: deterministic integer
     * hyperplanes, bucket = 8 sign bits computed map-side, then search only
     * within the query's bucket. At scale this replaces the corpus-wide scan
@@ -56,9 +64,7 @@ object SimilarityOps {
     // and pays per-element lambda dispatch outside whole-stage codegen.
     def bucketOf(v: org.apache.spark.sql.Column, t: Int) =
       (0 until NumPlanes).map { j =>
-        val plane = lit((0 until Dim).map(i =>
-          ((((t * 977 + j) * 131 + i * 7919) % 1001) - 500).toDouble).toArray)
-        when(dot(v, plane) > 0, lit(1L << j)).otherwise(lit(0L))
+        when(dot(v, lit(hyperplane(t, j))) > 0, lit(1L << j)).otherwise(lit(0L))
       }.reduce(_ + _)
 
     val e = Tables.embeddings(s, d)
