@@ -90,6 +90,7 @@ object SparkEntry {
     "q85_source_divergence" -> ((s: SparkSession, d: String) => CurationOps.sourceDivergence(s, d)),
     "q44c_dedup_embedding_dense" -> ((s: SparkSession, d: String) => DedupOps.embeddingNearDup(s, d, subBlockBits = 8)),
     "q67b_semantic_dedup_blocked" -> ((s: SparkSession, d: String) => DedupOps.semanticDedup(s, d, subBlockBits = 6)),
+    "q86_dedup_recall"    -> (DedupOps.dedupRecall _),
     "q42b_minhash_est"    -> (DedupOps.minhashEst _),
     "q66_label_centroids" -> (TextAnalysisOps.labelCentroids _),
     "q67_semantic_dedup"  -> ((s: SparkSession, d: String) => DedupOps.semanticDedup(s, d)),
@@ -670,6 +671,54 @@ object SparkEntry {
          |FROM bands a JOIN bands b
          |  ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
          |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // recall evaluation nests q41's exact pairs (ground truth), q42's
+    // banded candidates, and q43's simhash pairs verbatim, then joins on
+    // the pair keys — each CTE is its donor oracle's text (q43's `h`
+    // renamed h43 to avoid colliding with the minhash CTEs)
+    "q86_dedup_recall" ->
+      s"""WITH $SHINGLES,
+         |posting AS (SELECT doc_id, unnest(hs) AS s FROM sh),
+         |cnt AS (SELECT doc_id, CAST(len(hs) AS BIGINT) AS n FROM sh),
+         |jp AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+         |       FROM posting a JOIN posting b ON a.s = b.s AND a.doc_id < b.doc_id
+         |       GROUP BY a.doc_id, b.doc_id),
+         |exact AS (SELECT doc_a, doc_b FROM jp
+         |          JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id
+         |          WHERE shared / (ca.n + cb.n - shared) >= 0.5),
+         |sigs AS (SELECT doc_id, i,
+         |           list_min(list_transform(hs, v -> ((2*i+1)*v + 7919*i + 13) % 2147483647)) AS mh
+         |         FROM sh, range(16) t(i)),
+         |bands AS (SELECT doc_id, i // 4 AS band,
+         |            string_agg(mh::VARCHAR, ',' ORDER BY i) AS sig
+         |          FROM sigs GROUP BY doc_id, i // 4),
+         |mhp AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |        FROM bands a JOIN bands b
+         |          ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+         |h43 AS (SELECT doc_id,
+         |    list_transform(string_split(text, ' '),
+         |      t -> ${PH("t")} + ${PH2("t")} * 1073741824) AS hs
+         |  FROM documents),
+         |bits AS (SELECT doc_id, j,
+         |    CASE WHEN list_sum(list_transform(hs, v -> 2*((v >> j) & 1) - 1)) >= 0
+         |         THEN (CAST(1 AS BIGINT) << j) ELSE 0 END AS bitval
+         |  FROM h43, range(60) t(j)),
+         |sims AS (SELECT doc_id, CAST(SUM(bitval) AS BIGINT) AS simhash FROM bits GROUP BY doc_id),
+         |shp AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |        FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+         |        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+         |cand AS (SELECT 'minhash' AS method, doc_a, doc_b FROM mhp
+         |         UNION ALL SELECT 'simhash', doc_a, doc_b FROM shp),
+         |nex AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_exact FROM exact),
+         |agg AS (SELECT method, CAST(COUNT(*) AS BIGINT) AS n_candidates,
+         |          CAST(SUM(CASE WHEN e.doc_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_caught
+         |        FROM cand c LEFT JOIN exact e
+         |          ON c.doc_a = e.doc_a AND c.doc_b = e.doc_b
+         |        GROUP BY method)
+         |SELECT method, n_candidates, n_exact, n_caught,
+         |  CAST(n_caught AS DOUBLE) / CAST(n_exact AS DOUBLE) AS recall,
+         |  CAST(n_caught AS DOUBLE) / CAST(n_candidates AS DOUBLE) AS jaccard_precision
+         |FROM agg, nex ORDER BY method""".stripMargin,
 
     "q55_dedup_groups" ->
       s"""WITH RECURSIVE $SHINGLES,

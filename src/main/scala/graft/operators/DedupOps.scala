@@ -170,6 +170,44 @@ object DedupOps {
       .distinct()
       .orderBy("doc_a", "doc_b")
 
+  /** q86 — lexical dedup-index recall evaluation (the text counterpart
+    * of q68's ANN recall): what fraction of the EXACT high-Jaccard pairs
+    * (q41's inverted-index ground truth, Jaccard ≥ 0.5) each approximate
+    * candidate generator catches, and at what candidate volume — MinHash
+    * banding (q42) and SimHash multi-block banding (q43). The gate a
+    * 100 TB dedup run checks before trusting its band/bit dials: banding
+    * theory gives per-pair collision curves; this measures the corpus.
+    * `jaccard_precision` is agreement with the Jaccard ground truth, not
+    * a verdict on the candidates — SimHash targets hamming-near
+    * fingerprints, a DIFFERENT similarity, and its gap to Jaccard truth
+    * is exactly what this query makes visible. A method emitting zero
+    * candidates emits no row.
+    *
+    * Scale shape: the three arms are their own already-scale-audited
+    * queries; the evaluation adds one equi-join on 16-byte pair keys and
+    * a 2-group aggregate — negligible next to the arms.
+    */
+  def dedupRecall(s: SparkSession, d: String): DataFrame = {
+    val exact = ngramJaccard(s, d).select("doc_a", "doc_b")
+    val cands = minhashLsh(s, d).select("doc_a", "doc_b")
+      .withColumn("method", lit("minhash"))
+      .unionByName(simhash(s, d).select("doc_a", "doc_b")
+        .withColumn("method", lit("simhash")))
+    val nExact = exact.agg(count(lit(1)).as("n_exact"))
+    val caught = exact.join(cands, Seq("doc_a", "doc_b"))
+      .groupBy("method").agg(count(lit(1)).as("n_caught"))
+    cands.groupBy("method").agg(count(lit(1)).as("n_candidates"))
+      .join(caught, Seq("method"), "left")
+      .crossJoin(broadcast(nExact))
+      .select(col("method"), col("n_candidates"), col("n_exact"),
+        coalesce(col("n_caught"), lit(0L)).as("n_caught"),
+        (coalesce(col("n_caught"), lit(0L)).cast("double") /
+          col("n_exact").cast("double")).as("recall"),
+        (coalesce(col("n_caught"), lit(0L)).cast("double") /
+          col("n_candidates").cast("double")).as("jaccard_precision"))
+      .orderBy("method")
+  }
+
   /** The band-bucket candidate stream before distinct/ordering: a pair
     * agreeing on k bands appears k times. dedupGroups consumes this raw form
     * — duplicate symmetric edges cannot change a min-label propagation, so

@@ -111,6 +111,21 @@ class LlmOpsSpec extends SparkSpec {
       .collect().exists(_.getAs[Long]("vec_id") == 101L))
   }
 
+  test("q86 dedup recall: counts consistent, minhash catches the exact-duplicate pairs") {
+    val rows = DedupOps.dedupRecall(spark, sf).collect()
+    assert(rows.nonEmpty && rows.map(_.getString(0)).toSet.subsetOf(Set("minhash", "simhash")))
+    rows.foreach { r =>
+      val (nc, ne, caught) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(caught <= nc && caught <= ne, r.toString)
+      assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0)
+      assert(r.getDouble(5) >= 0.0 && r.getDouble(5) <= 1.0)
+    }
+    // identical texts share every band, so the planted exact duplicates
+    // (jaccard 1.0 ground-truth pairs) are guaranteed minhash candidates
+    val mh = rows.find(_.getString(0) == "minhash").get
+    assert(mh.getLong(3) > 0)
+  }
+
   test("q67 semantic dedup: min-id rule, cluster-local witnesses, threshold honored") {
     val pruned = DedupOps.semanticDedup(spark, sf).collect()
     assert(pruned.nonEmpty)
