@@ -716,7 +716,8 @@ object SparkEntry {
          |          ON c.doc_a = e.doc_a AND c.doc_b = e.doc_b
          |        GROUP BY method)
          |SELECT method, n_candidates, n_exact, n_caught,
-         |  CAST(n_caught AS DOUBLE) / CAST(n_exact AS DOUBLE) AS recall,
+         |  CASE WHEN n_exact > 0 THEN CAST(n_caught AS DOUBLE) / CAST(n_exact AS DOUBLE)
+         |       ELSE 0.0 END AS recall,
          |  CAST(n_caught AS DOUBLE) / CAST(n_candidates AS DOUBLE) AS jaccard_precision
          |FROM agg, nex ORDER BY method""".stripMargin,
 

@@ -188,22 +188,32 @@ object DedupOps {
     * a 2-group aggregate — negligible next to the arms.
     */
   def dedupRecall(s: SparkSession, d: String): DataFrame = {
+    // persisted: the ground truth feeds BOTH the 1-row total and the
+    // candidate join — without it the expensive q41 arm runs twice
+    // (aliased subtrees never unify by exchange reuse); Verify clears
+    // cache between queries, the established shared-intermediate pattern
     val exact = ngramJaccard(s, d).select("doc_a", "doc_b")
+      .withColumn("hit", lit(1))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cands = minhashLsh(s, d).select("doc_a", "doc_b")
       .withColumn("method", lit("minhash"))
       .unionByName(simhash(s, d).select("doc_a", "doc_b")
         .withColumn("method", lit("simhash")))
     val nExact = exact.agg(count(lit(1)).as("n_exact"))
-    val caught = exact.join(cands, Seq("doc_a", "doc_b"))
-      .groupBy("method").agg(count(lit(1)).as("n_caught"))
-    cands.groupBy("method").agg(count(lit(1)).as("n_candidates"))
-      .join(caught, Seq("method"), "left")
+    // ONE left join + ONE aggregate produce both counts (the oracle's own
+    // shape); n_candidates > 0 by construction (the group exists only
+    // with rows), n_exact CAN be 0 on a degenerate corpus — recall is
+    // then 0.0 by definition, never a 0/0 (whose NULL-vs-NaN engines
+    // disagree on)
+    cands.join(exact, Seq("doc_a", "doc_b"), "left")
+      .groupBy("method")
+      .agg(count(lit(1)).as("n_candidates"), count(col("hit")).as("n_caught"))
       .crossJoin(broadcast(nExact))
-      .select(col("method"), col("n_candidates"), col("n_exact"),
-        coalesce(col("n_caught"), lit(0L)).as("n_caught"),
-        (coalesce(col("n_caught"), lit(0L)).cast("double") /
-          col("n_exact").cast("double")).as("recall"),
-        (coalesce(col("n_caught"), lit(0L)).cast("double") /
+      .select(col("method"), col("n_candidates"), col("n_exact"), col("n_caught"),
+        when(col("n_exact") > 0,
+          col("n_caught").cast("double") / col("n_exact").cast("double"))
+          .otherwise(lit(0.0)).as("recall"),
+        (col("n_caught").cast("double") /
           col("n_candidates").cast("double")).as("jaccard_precision"))
       .orderBy("method")
   }
