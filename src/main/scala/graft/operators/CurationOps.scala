@@ -77,9 +77,8 @@ object CurationOps {
     */
   def decontaminate(s: SparkSession, d: String, k: Int = 13): DataFrame = {
     val wins = windowHashes(s, d, k)
-    val heldout = wins.filter(isTest).select("rh").distinct().withColumn("hit", lit(1))
     wins.filter(!isTest)
-      .join(heldout, Seq("rh"), "left")
+      .join(heldoutIndex(s, d, k).withColumn("hit", lit(1)), Seq("rh"), "left")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_ngrams"), count(col("hit")).as("n_hits"))
       .withColumn("drop", col("n_hits") > 0)
@@ -95,12 +94,28 @@ object CurationOps {
     * windows with probability ~n²/2^61 — noise for rate-valued signals,
     * and the oracles apply the identical truncation so parity is exact by
     * construction. One row per (doc_id, window) as `(doc_id, rh)`. */
-  private def windowHashes(s: SparkSession, d: String, k: Int): DataFrame = {
+  private def windowHashes(s: SparkSession, d: String, k: Int): DataFrame =
+    windowHashesOf(Tables.documentsScaled(s, d), k)
+
+  /** [[windowHashes]] over an arbitrary (doc_id, text, ...) frame,
+    * carrying `carry` columns through — the seam the STREAMING
+    * decontamination guard codes arriving docs through (one kernel for
+    * batch AND stream, so the hashes cannot drift). */
+  private[graft] def windowHashesOf(docs: DataFrame, k: Int,
+      carry: Seq[String] = Nil): DataFrame = {
     require(k >= 2, s"k must be >= 2; got $k")
-    tokenized(Tables.documentsScaled(s, d), k)
-      .select(col("doc_id"), explode(expr(
-        s"transform(sequence(1, n - ${k - 1}), i -> ${winHash(k)})")).as("rh"))
+    val keyCols = col("doc_id") +: carry.map(col)
+    tokenized(docs, k, "doc_id" +: carry)
+      .select(keyCols :+ explode(expr(
+        s"transform(sequence(1, n - ${k - 1}), i -> ${winHash(k)})")).as("rh"): _*)
   }
+
+  /** The held-out split's distinct k-token window-hash index — q82's
+    * probe index as a standalone artifact: build once per benchmark
+    * freeze, broadcast anywhere (the streaming ingest guard joins every
+    * arriving micro-batch against it). */
+  def heldoutIndex(s: SparkSession, d: String, k: Int = 13): DataFrame =
+    windowHashes(s, d, k).filter(isTest).select("rh").distinct()
 
   /** [[windowHashes]] carrying each window's 1-based start-token position
     * — the span operators need WHERE a window sits, not just that it
@@ -121,13 +136,15 @@ object CurationOps {
   private def winHash(k: Int): String =
     s"cast(conv(substring(md5(cast(concat_ws(' ', slice(ts, i, $k)) as binary)), 1, 15), 16, 10) as bigint)"
 
-  /** Tokenize + length-gate, keyed by `key` (doc_id for the per-doc
-    * kernels, source for q84) — single-sourced so a tokenization change
-    * (delimiter, the n >= k gate) reaches every window-hash consumer. */
-  private def tokenized(docs: DataFrame, k: Int, key: String = "doc_id"): DataFrame =
+  /** Tokenize + length-gate, carrying `keys` (doc_id for the per-doc
+    * kernels, source for q84, doc_id+event_time for the streaming guard)
+    * — single-sourced so a tokenization change (delimiter, the n >= k
+    * gate) reaches every window-hash consumer. */
+  private[graft] def tokenized(docs: DataFrame, k: Int,
+      keys: Seq[String] = Seq("doc_id")): DataFrame =
     docs
-      .select(col(key), split(col("text"), " ").as("ts"))
-      .select(col(key), col("ts"), size(col("ts")).as("n"))
+      .select(keys.map(col) :+ split(col("text"), " ").as("ts"): _*)
+      .withColumn("n", size(col("ts")))
       .filter(col("n") >= k)
 
   /** q83 — exact-substring duplicate spans (Lee et al. 2021,
@@ -275,7 +292,7 @@ object CurationOps {
     */
   def sourceOverlap(s: SparkSession, d: String, k: Int = 8): DataFrame =
     tokenized(Tables.documentsScaled(s, d).select(col("source"), col("text")),
-      k, key = "source")
+      k, keys = Seq("source"))
       .select(col("source"), explode(expr(
         s"transform(sequence(1, n - ${k - 1}), i -> ${winHash(k)})")).as("rh"))
       // collect_set IS the dedup: it ignores duplicate (rh, source)

@@ -99,4 +99,34 @@ object CorpusStreams {
           }
       }
   }
+
+  /** Streaming DECONTAMINATION guard — the streaming twin of q82: flag
+    * each arriving document whose k-token windows hit the held-out
+    * benchmark index, at ingest time, before a contaminated doc ever
+    * lands in the train lake. The index ([[graft.operators.CurationOps
+    * .heldoutIndex]] — built once per benchmark freeze) is a STATIC
+    * frame, so the probe is a stateless stream-static hash join on the
+    * 60-bit window keys; arriving docs hash through THE same kernel as
+    * the batch query (`CurationOps.windowHashesOf`), so a doc flagged
+    * here is exactly a doc q82 would flag. The only state is the
+    * watermark-bounded per-doc aggregation that folds window hits into
+    * one verdict row (q82's columns: n_ngrams, n_hits, drop), emitted
+    * when the watermark passes the doc's event time. Docs shorter than
+    * k tokens have no window and emit no row — same as the batch query.
+    */
+  def decontaminateStream(
+      spark: SparkSession,
+      docs: DataFrame,
+      heldout: DataFrame,
+      k: Int = 13,
+      watermarkDelay: String = "2 hours"): DataFrame = {
+    val wm = docs
+      .withColumn("event_time", timestamp_micros(call_function("div", col("ts"), lit(1000L))))
+      .withWatermark("event_time", watermarkDelay)
+    graft.operators.CurationOps.windowHashesOf(wm, k, carry = Seq("event_time"))
+      .join(broadcast(heldout.withColumn("hit", lit(1))), Seq("rh"), "left")
+      .groupBy(col("doc_id"), col("event_time"))
+      .agg(count(lit(1)).as("n_ngrams"), count(col("hit")).as("n_hits"))
+      .withColumn("drop", col("n_hits") > 0)
+  }
 }

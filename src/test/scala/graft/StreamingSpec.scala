@@ -206,6 +206,44 @@ class StreamingSpec extends SparkSpec {
       s"expected expired buckets to be re-claimed: ${d30.mkString(";")}")
   }
 
+  test("decontaminateStream: arriving docs flagged against the heldout index; clean docs pass") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // heldout index from a tiny corpus dir: doc 3 hashes to the heldout
+    // split ((3*2654435761) % 100 = 83) and carries a known 13-gram
+    val shared = (1 to 13).map(i => s"s$i").mkString(" ")
+    val corpus = java.nio.file.Files.createTempDirectory("deconidx").toString
+    Seq((3L, s"$shared h1 h2 h3"), (1L, (1 to 15).map(i => s"tr$i").mkString(" ")))
+      .toDF("doc_id", "text").write.parquet(s"$corpus/documents.parquet")
+    val heldout = graft.operators.CurationOps.heldoutIndex(spark, corpus)
+
+    val mem = MemoryStream[DocIn]
+    val out = CorpusStreams.decontaminateStream(spark, mem.toDF(), heldout)
+    val q = out.writeStream.format("memory").queryName("dcs").outputMode("append").start()
+    val base = 1700000000L * 1000000000L
+    mem.addData(
+      DocIn(100, base, s"t1 t2 $shared t3 t4"), // carries the heldout 13-gram verbatim
+      DocIn(101, base, (1 to 20).map(i => s"c$i").mkString(" "))) // clean
+    q.processAllAvailable()
+    // append-mode aggregation emits when the watermark passes the doc's
+    // event time: push it with two later batches
+    mem.addData(DocIn(900, base + 10 * H, (1 to 14).map(i => s"w$i").mkString(" ")))
+    q.processAllAvailable()
+    mem.addData(DocIn(901, base + 11 * H, (1 to 14).map(i => s"x$i").mkString(" ")))
+    q.processAllAvailable()
+    val rows = spark.sql("select * from dcs").collect()
+    q.stop()
+    val byId = rows.map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(byId.contains(100L) && byId.contains(101L), rows.mkString(";"))
+    // the contaminated arrival: exactly ONE of its 5 windows (17 tokens)
+    // is the heldout 13-gram — the batch kernel's arithmetic, streamed
+    assert(byId(100L).getAs[Boolean]("drop"))
+    assert(byId(100L).getAs[Long]("n_ngrams") === 5L)
+    assert(byId(100L).getAs[Long]("n_hits") === 1L)
+    assert(!byId(101L).getAs[Boolean]("drop"))
+    assert(byId(101L).getAs[Long]("n_hits") === 0L)
+  }
+
   test("neardupStream: a late arrival never shrinks a bucket's TTL expiry") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
