@@ -81,7 +81,21 @@ object CorpusPrep {
     // Persisted: this is the frontier every later stage (counts, dedup,
     // writes) reads — without it each of the job's actions would re-run
     // the redaction regex chain and shingle kernel over the whole corpus.
-    val quality = redacted
+    val quality = qualityFrontier(redacted, cfg.minTokens, cfg.maxDupNgramRate)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try runStages(spark, sfDir, out, cfg, total, quality)
+    finally quality.unpersist(blocking = false)
+  }
+
+  /** THE quality gate (q57 semantics: token floor + within-doc duplicate-
+    * 3-gram-rate ceiling), as a frame transform — single-sourced so the
+    * batch pipeline above and the streaming ingest guard
+    * ([[CorpusPrepStream]]) apply the identical rule: a doc the batch
+    * pipeline would ship cannot be one the stream guard rejects. Adds the
+    * gate-time provenance columns (n_tokens, dup_rate, ...) and filters. */
+  private[graft] def qualityFrontier(redacted: DataFrame, minTokens: Long,
+      maxDupNgramRate: Double): DataFrame =
+    redacted
       .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
       .withColumn("n_ngrams", greatest(col("n_tokens") - 2, lit(0L)))
       .withColumn("n_distinct",
@@ -90,11 +104,7 @@ object CorpusPrep {
         when(col("n_ngrams") > 0,
           (col("n_ngrams") - col("n_distinct")).cast("double") / col("n_ngrams"))
           .otherwise(lit(0.0)))
-      .filter(col("n_tokens") >= cfg.minTokens && col("dup_rate") <= cfg.maxDupNgramRate)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try runStages(spark, sfDir, out, cfg, total, quality)
-    finally quality.unpersist(blocking = false)
-  }
+      .filter(col("n_tokens") >= minTokens && col("dup_rate") <= maxDupNgramRate)
 
   private def runStages(spark: SparkSession, sfDir: String, out: String,
       cfg: Config, total: Long, quality: DataFrame): Unit = {
