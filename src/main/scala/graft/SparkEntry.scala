@@ -98,6 +98,7 @@ object SparkEntry {
     "q69_pq_stats"        -> (SimilarityOps.pqStats _),
     "q70_knn_pq"          -> ((s: SparkSession, d: String) => SimilarityOps.knnPq(s, d)),
     "q70b_knn_ivfpq"      -> ((s: SparkSession, d: String) => SimilarityOps.knnIvfPq(s, d)),
+    "q70c_knn_ivfpq_res"  -> ((s: SparkSession, d: String) => SimilarityOps.knnIvfPqResidual(s, d)),
     "q71_interp_align"    -> (TemporalOps.interpAlign _),
     "q72_overlap_join"    -> (TemporalOps.overlapJoin _),
     "q72b_range_join_rule" -> (TemporalOps.overlapJoinViaRule _),
@@ -155,40 +156,53 @@ object SparkEntry {
       }
     }.mkString("VALUES ", ", ", "")
 
-  /** The IVFADC pipeline as DuckDB CTEs (q70b, and q68's ivfpq arm):
-    * assumes CTEs `qs(q_id, qv, list_id)` (probed queries, crank <= 2),
-    * `cp(vec_id, v, list_id)` (corpus with its nearest list) and
-    * `books(sub_idx, code, cv)` are already in scope. Mirrors
-    * SimilarityOps.knnIvfPq: PQ code assignment within the list-tagged
-    * corpus, ADC only against probed lists, per-subspace sums added in
-    * fixed expression order.
+  /** The frozen RESIDUAL PQ codebooks (PqResidualCodebooks — q70c and
+    * q68's ivfpq_res arm) as a DuckDB VALUES table, same contract. */
+  private def pqResBooksValues: String =
+    graft.operators.PqResidualCodebooks.values.zipWithIndex.flatMap { case (book, sub) =>
+      book.zipWithIndex.map { case (cv, code) =>
+        s"(CAST($sub AS BIGINT), CAST($code AS BIGINT), [${cv.mkString(", ")}]::DOUBLE[])"
+      }
+    }.mkString("VALUES ", ", ", "")
+
+  /** The IVFADC pipeline as DuckDB CTEs (q70b/q70c, and q68's ivfpq +
+    * ivfpq_res arms): consumes `$cp(vec_id, v, list_id)` (corpus — raw
+    * vectors for q70b, residuals v - c(v) for q70c), `$qs(q_id, qv,
+    * list_id)` (probed queries, crank <= 2 — per-list residuals for
+    * q70c) and `$books(sub_idx, code, cv)`. CTE names carry prefix `p`
+    * so the raw and residual pipelines can coexist in one query (q68).
+    * Mirrors SimilarityOps.knnIvfPq/knnIvfPqResidual: PQ code assignment
+    * within the list-tagged corpus, ADC only against probed lists,
+    * per-subspace sums added in fixed expression order.
     */
-  private def ivfPqCtes: String =
-    s"""pqsubs AS (SELECT vec_id, list_id, i AS sub_idx, v[i*8+1 : i*8+8] AS sv
-       |           FROM cp, range(8) t(i)),
-       |pqasg AS (SELECT vec_id, list_id, sub_idx, code FROM (
+  private def ivfPqCtes: String = ivfPqCtesNamed("pq", "cp", "qs", "books")
+
+  private def ivfPqCtesNamed(p: String, cp: String, qs: String, books: String): String =
+    s"""${p}subs AS (SELECT vec_id, list_id, i AS sub_idx, v[i*8+1 : i*8+8] AS sv
+       |           FROM $cp, range(8) t(i)),
+       |${p}asg AS (SELECT vec_id, list_id, sub_idx, code FROM (
        |            SELECT s.vec_id, s.list_id, s.sub_idx, b.code,
        |              ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.sub_idx
        |                ORDER BY list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 9),
        |                  i -> (s.sv[i] - b.cv[i]) * (s.sv[i] - b.cv[i]))), (acc, z) -> acc + z) ASC,
        |                b.code ASC) AS rk
-       |            FROM pqsubs s JOIN books b ON s.sub_idx = b.sub_idx) t WHERE rk = 1),
-       |pqrecon AS (SELECT a.vec_id, a.list_id, a.sub_idx, b.cv FROM pqasg a
-       |            JOIN books b ON a.sub_idx = b.sub_idx AND a.code = b.code),
-       |pqqsubs AS (SELECT q_id, list_id, i AS sub_idx, qv[i*8+1 : i*8+8] AS qsv
-       |            FROM qs, range(8) t(i)),
-       |pqpair AS (SELECT q.q_id, r.vec_id AS neighbor_id, r.sub_idx,
+       |            FROM ${p}subs s JOIN $books b ON s.sub_idx = b.sub_idx) t WHERE rk = 1),
+       |${p}recon AS (SELECT a.vec_id, a.list_id, a.sub_idx, b.cv FROM ${p}asg a
+       |            JOIN $books b ON a.sub_idx = b.sub_idx AND a.code = b.code),
+       |${p}qsubs AS (SELECT q_id, list_id, i AS sub_idx, qv[i*8+1 : i*8+8] AS qsv
+       |            FROM $qs, range(8) t(i)),
+       |${p}pair AS (SELECT q.q_id, r.vec_id AS neighbor_id, r.sub_idx,
        |             list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 9),
        |               i -> (q.qsv[i] - r.cv[i]) * (q.qsv[i] - r.cv[i]))), (acc, z) -> acc + z) AS dsub
-       |           FROM pqrecon r JOIN pqqsubs q ON r.sub_idx = q.sub_idx AND r.list_id = q.list_id),
-       |pqagg AS (SELECT q_id, neighbor_id,
+       |           FROM ${p}recon r JOIN ${p}qsubs q ON r.sub_idx = q.sub_idx AND r.list_id = q.list_id),
+       |${p}agg AS (SELECT q_id, neighbor_id,
        |            ${(0 until 8).map(s0 => s"SUM(CASE WHEN sub_idx = $s0 THEN dsub END) AS d$s0").mkString(", ")}
-       |          FROM pqpair GROUP BY q_id, neighbor_id),
-       |pqtop AS (SELECT q_id, neighbor_id, adc_dist,
+       |          FROM ${p}pair GROUP BY q_id, neighbor_id),
+       |${p}top AS (SELECT q_id, neighbor_id, adc_dist,
        |            CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adc_dist ASC, neighbor_id) AS BIGINT) AS rank
        |          FROM (SELECT q_id, neighbor_id,
        |                  ${(0 until 8).map(s0 => s"d$s0").mkString(" + ")} AS adc_dist
-       |                FROM pqagg) t0)""".stripMargin
+       |                FROM ${p}agg) t0)""".stripMargin
 
   private val EMB_NORM =
     """e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -1331,18 +1345,32 @@ object SparkEntry {
          |books AS (SELECT sub_idx, code, cv FROM ($pqBooksValues) t(sub_idx, code, cv)),
          |$ivfPqCtes,
          |ivfpq AS (SELECT q_id, neighbor_id FROM pqtop WHERE rank <= 3),
+         |rbooks AS (SELECT sub_idx, code, cv FROM ($pqResBooksValues) t(sub_idx, code, cv)),
+         |qsr AS (SELECT a.vec_id AS q_id,
+         |          list_transform(range(1, 65), i -> a.v[i] - c.cv[i]) AS qv, a.list_id
+         |        FROM asg a JOIN cents c USING (list_id)
+         |        WHERE a.vec_id < 10 AND a.crank <= 2),
+         |cpr AS (SELECT a.vec_id,
+         |          list_transform(range(1, 65), i -> a.v[i] - c.cv[i]) AS v, a.list_id
+         |        FROM asg a JOIN cents c USING (list_id)
+         |        WHERE a.vec_id >= 10 AND a.crank = 1),
+         |${ivfPqCtesNamed("pqr", "cpr", "qsr", "rbooks")},
+         |ivfpqr AS (SELECT q_id, neighbor_id FROM pqrtop WHERE rank <= 3),
          |idx AS (SELECT q_id, neighbor_id, 'lsh' AS src FROM lsh
          |        UNION ALL SELECT q_id, neighbor_id, 'ivf' AS src FROM ivf
-         |        UNION ALL SELECT q_id, neighbor_id, 'ivfpq' AS src FROM ivfpq)
-         |SELECT q_id, n_exact, lsh_hits, ivf_hits, ivfpq_hits,
+         |        UNION ALL SELECT q_id, neighbor_id, 'ivfpq' AS src FROM ivfpq
+         |        UNION ALL SELECT q_id, neighbor_id, 'ivfpq_res' AS src FROM ivfpqr)
+         |SELECT q_id, n_exact, lsh_hits, ivf_hits, ivfpq_hits, ivfpq_res_hits,
          |  CAST(lsh_hits AS DOUBLE) / CAST(n_exact AS DOUBLE) AS lsh_recall,
          |  CAST(ivf_hits AS DOUBLE) / CAST(n_exact AS DOUBLE) AS ivf_recall,
-         |  CAST(ivfpq_hits AS DOUBLE) / CAST(n_exact AS DOUBLE) AS ivfpq_recall
+         |  CAST(ivfpq_hits AS DOUBLE) / CAST(n_exact AS DOUBLE) AS ivfpq_recall,
+         |  CAST(ivfpq_res_hits AS DOUBLE) / CAST(n_exact AS DOUBLE) AS ivfpq_res_recall
          |FROM (SELECT ex.q_id,
          |        CAST(COUNT(DISTINCT ex.neighbor_id) AS BIGINT) AS n_exact,
          |        CAST(COUNT(CASE WHEN idx.src = 'lsh' THEN 1 END) AS BIGINT) AS lsh_hits,
          |        CAST(COUNT(CASE WHEN idx.src = 'ivf' THEN 1 END) AS BIGINT) AS ivf_hits,
-         |        CAST(COUNT(CASE WHEN idx.src = 'ivfpq' THEN 1 END) AS BIGINT) AS ivfpq_hits
+         |        CAST(COUNT(CASE WHEN idx.src = 'ivfpq' THEN 1 END) AS BIGINT) AS ivfpq_hits,
+         |        CAST(COUNT(CASE WHEN idx.src = 'ivfpq_res' THEN 1 END) AS BIGINT) AS ivfpq_res_hits
          |      FROM ex LEFT JOIN idx
          |        ON ex.q_id = idx.q_id AND ex.neighbor_id = idx.neighbor_id
          |      GROUP BY ex.q_id) t
@@ -1420,6 +1448,34 @@ object SparkEntry {
          |       WHERE vec_id < 10 AND crank <= 2),
          |cp AS (SELECT vec_id, v, list_id FROM asg WHERE vec_id >= 10 AND crank = 1),
          |books AS (SELECT sub_idx, code, cv FROM ($pqBooksValues) t(sub_idx, code, cv)),
+         |$ivfPqCtes
+         |SELECT q_id, neighbor_id, adc_dist, rank FROM pqtop
+         |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin,
+
+    // residual IVFADC: identical pipeline to q70b, but cp/qs carry
+    // RESIDUALS against the assigned/probed list's coarse centroid and
+    // the books are the residual-trained constants (PqResidualCodebooks)
+    "q70c_knn_ivfpq_res" ->
+      s"""WITH $EMB_NORM,
+         |cents AS (SELECT list_id, cv,
+         |            sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65),
+         |              i -> cv[i] * cv[i])), (x2, y2) -> x2 + y2)) AS cnrm
+         |          FROM ($ivfCentsValues) t(list_id, cv)),
+         |asg AS (SELECT vec_id, v, nrm, list_id, csim,
+         |          ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, list_id) AS crank
+         |        FROM (SELECT n.vec_id, n.v, n.nrm, c.list_id,
+         |                list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65),
+         |                  i -> n.v[i] * c.cv[i])), (x2, y2) -> x2 + y2) / (n.nrm * c.cnrm) AS csim
+         |              FROM n, cents c) t),
+         |qs AS (SELECT a.vec_id AS q_id,
+         |         list_transform(range(1, 65), i -> a.v[i] - c.cv[i]) AS qv, a.list_id
+         |       FROM asg a JOIN cents c USING (list_id)
+         |       WHERE a.vec_id < 10 AND a.crank <= 2),
+         |cp AS (SELECT a.vec_id,
+         |         list_transform(range(1, 65), i -> a.v[i] - c.cv[i]) AS v, a.list_id
+         |       FROM asg a JOIN cents c USING (list_id)
+         |       WHERE a.vec_id >= 10 AND a.crank = 1),
+         |books AS (SELECT sub_idx, code, cv FROM ($pqResBooksValues) t(sub_idx, code, cv)),
          |$ivfPqCtes
          |SELECT q_id, neighbor_id, adc_dist, rank FROM pqtop
          |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin,

@@ -42,6 +42,29 @@ object TrainQuantizers {
       book.foreach(cv => println(s"      Array(${cv.map(fmt).mkString(", ")}),"))
       println("    ),")
     }
+
+    // Residual codebooks (IVFADC proper, Jégou et al. §IV.A: PQ trained on
+    // r = v - c(v), the vector MINUS its coarse centroid): assignment uses
+    // the FROZEN shipped quantizer (SimilarityOps.centroidTable, cosine
+    // argmax, smallest-list tie-break — the engine's one assignment
+    // kernel), so after an IVF retrain paste IvfCentroids first and rerun
+    // for the residual books. Same per-subspace recipe and seed as the raw
+    // books — the only difference is WHAT is coded.
+    val residuals = corpus
+      .withColumn("nrm", norm(col("v")))
+      .join(broadcast(graft.operators.SimilarityOps.centroidTable(spark)))
+      .withColumn("csim", cosine(col("v"), col("cv"), col("nrm"), col("cnrm")))
+      .groupBy(col("id"))
+      .agg(max_by(org.apache.spark.sql.functions.struct(col("v"), col("cv")),
+        org.apache.spark.sql.functions.struct(col("csim"), -col("list_id"))).as("best"))
+      .select(col("id"), expr("zip_with(best.v, best.cv, (x, y) -> x - y)").as("v"))
+    val pqr = Pq.train(spark, residuals, dim = 64, m = 8, k = 16, iters = 10, seed = 42L)
+    println("// PqResidualCodebooks.values:")
+    pqr.foreach { book =>
+      println("    Array(")
+      book.foreach(cv => println(s"      Array(${cv.map(fmt).mkString(", ")}),"))
+      println("    ),")
+    }
     spark.stop()
   }
 }
