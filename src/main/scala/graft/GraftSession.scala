@@ -29,9 +29,12 @@ object GraftSession {
       .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", (64 * 1024 * 1024).toString)
       .config("spark.sql.parquet.filterPushdown", "true")
-      // events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized
-      // reader rejects; read as epoch-nanos long (exact int64 — and the
-      // DuckDB oracle matches it via epoch_ns()).
+      // The lake has shipped events.ts both as TIMESTAMP(NANOS) and as
+      // timestamp[us]. This conf only affects nanos-typed files: it reads
+      // them as an epoch-nanos long instead of rejecting them in the
+      // vectorized reader. The engine-wide long-nanos `ts` convention is
+      // enforced schema-adaptively in Tables.normalizeTs, which also maps
+      // µs-typed timestamps to unix_micros*1000.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // DetectAmbiguousSelfJoin false-positives on rollup-after-join plans
       // (the Expand duplicates grouping attributes); no self-joins here rely

@@ -13,10 +13,16 @@ object GraftSql {
     Seq("region", "nation", "customer", "supplier", "part", "orders",
       "lineitem", "events", "documents", "embeddings")
 
-  /** Register every test-lake table as a temp view named after itself. */
+  /** Register every test-lake table as a temp view named after itself.
+    * `events` goes through [[Tables.events]] so SQL sees the engine-wide
+    * long-nanos `ts` convention regardless of the lake's physical type.
+    */
   def registerAll(spark: SparkSession, dir: String): Unit =
     tables.foreach { t =>
-      spark.read.parquet(s"$dir/$t.parquet").createOrReplaceTempView(t)
+      val df =
+        if (t == "events") Tables.events(spark, dir)
+        else spark.read.parquet(s"$dir/$t.parquet")
+      df.createOrReplaceTempView(t)
     }
 
   /** Convenience: register + run. */

@@ -1,6 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Typed loaders for the test-data lake (TESTDATA.md).
   *
@@ -19,7 +21,32 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = t(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = t(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = t(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame     = t(s, d, "events")
+  def events(s: SparkSession, d: String): DataFrame     = normalizeTs(t(s, d, "events"))
+
+  /** Engine-wide `ts` convention: epoch-nanoseconds as LONG.
+    *
+    * The lake's physical type for `events.ts` is not under our control and
+    * has shipped both as parquet TIMESTAMP(NANOS) (read as an epoch-nanos
+    * long via `spark.sql.legacy.parquet.nanosAsLong`) and as timestamp[us]
+    * (read as TIMESTAMP / TIMESTAMP_NTZ). Every operator downstream does
+    * integer arithmetic on `ts`, so normalize at the single load site:
+    * timestamp-typed columns become `unix_micros * 1000` (exact int64 —
+    * µs-precision data has nanos ≡ 0, and the DuckDB oracles use
+    * `epoch_ns()` which agrees bit-for-bit), long-typed columns pass
+    * through. Schema-adaptive, so a lake rewrite can never change query
+    * semantics again.
+    */
+  def normalizeTs(df: DataFrame, name: String = "ts"): DataFrame =
+    df.schema.find(_.name == name).map(_.dataType) match {
+      case Some(TimestampType) | Some(TimestampNTZType) =>
+        // NTZ first casts to TIMESTAMP: session TZ is pinned to UTC
+        // (GraftSession), so the wall-clock instant is preserved exactly.
+        df.withColumn(name, unix_micros(col(name).cast(TimestampType)) * lit(1000L))
+      case Some(LongType) | None => df
+      case Some(other) =>
+        throw new IllegalArgumentException(
+          s"events.$name has unsupported physical type $other; expected timestamp or long")
+    }
   def documents(s: SparkSession, d: String): DataFrame  = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
 

@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.types.LongType
+
+/** Pins the engine-wide `ts` convention (epoch-nanos LONG) against lake
+  * rewrites. The driver has shipped `events.ts` both as parquet
+  * TIMESTAMP(NANOS) and as timestamp[us]; round 7 went red because the
+  * engine assumed the former. [[Tables.normalizeTs]] must make every
+  * events-reading operator analyze AND produce identical results on both
+  * physical encodings — these fixtures (src/test/resources/ts-fixture) are
+  * independent of /root/testdata precisely so a driver-side regeneration
+  * can never silently regress this again.
+  */
+class TsConventionSpec extends SparkSpec {
+
+  private def fixture(kind: String): String = {
+    val url = getClass.getResource(s"/ts-fixture/$kind")
+    assert(url != null, s"ts-fixture/$kind missing from test classpath")
+    url.getPath
+  }
+  private lazy val usDir = fixture("us")
+  private lazy val nsDir = fixture("ns")
+
+  /** Every registered query whose only input is the events table. */
+  private val eventOnlyQueries = Seq(
+    "q08_window_running", "q08b_window_range", "q11_topk_per_group",
+    "q11b_topk_agg", "q13_case_pivot", "q16_json_extract",
+    "q20_frame_index", "q21_sessionize", "q22_frame_gaps",
+    "q23_detect_maxconf", "q24_vru_filter", "q25_label_search",
+    "q26_asof_join", "q27_monitor_status", "q35_funnel",
+    "q37_mp4_manifest", "q71_interp_align", "q72_overlap_join",
+    "q72b_range_join_rule", "q75_scd2", "q76_rolling_features",
+    "q77_cohort_retention", "q78_transitions", "q79_anomalies")
+
+  test("ts loads as epoch-nanos LONG from both µs- and ns-typed parquet") {
+    for (dir <- Seq(usDir, nsDir)) {
+      val df = Tables.events(spark, dir)
+      assert(df.schema("ts").dataType === LongType, s"ts not LONG for $dir")
+    }
+  }
+
+  test("µs and ns encodings of the same instants load bit-identically") {
+    val us = Tables.events(spark, usDir).orderBy("event_id").collect()
+    val ns = Tables.events(spark, nsDir).orderBy("event_id").collect()
+    assert(us.length === 200 && ns.length === 200)
+    us.zip(ns).foreach { case (a, b) => assert(a === b) }
+    // and the values really are nanos (µs-precision instants: ns % 1000 == 0)
+    us.foreach { r =>
+      val ts = r.getAs[Long]("ts")
+      assert(ts % 1000L === 0L && ts > 1600000000L * 1000000000L)
+    }
+  }
+
+  test("every events-only operator analyzes and agrees on both encodings") {
+    val missing = eventOnlyQueries.filterNot(SparkEntry.queries.contains)
+    assert(missing.isEmpty, s"unknown query names in spec list: $missing")
+    eventOnlyQueries.foreach { name =>
+      val fn = SparkEntry.queries(name)
+      val us = fn(spark, usDir).collect()
+      val ns = fn(spark, nsDir).collect()
+      assert(us.length === ns.length, s"$name row count differs µs vs ns")
+      us.zip(ns).zipWithIndex.foreach { case ((a, b), i) =>
+        assert(a === b, s"$name row $i differs µs vs ns")
+      }
+    }
+  }
+
+  test("an unsupported ts physical type fails loudly, not silently") {
+    import spark.implicits._
+    val bad = Seq(("x", 1.5)).toDF("event_id", "ts")
+    val e = intercept[IllegalArgumentException](Tables.normalizeTs(bad))
+    assert(e.getMessage.contains("unsupported physical type"))
+  }
+}
