@@ -89,7 +89,9 @@ object SparkEntry {
     "q84_source_overlap"  -> ((s: SparkSession, d: String) => CurationOps.sourceOverlap(s, d)),
     "q85_source_divergence" -> ((s: SparkSession, d: String) => CurationOps.sourceDivergence(s, d)),
     "q44c_dedup_embedding_dense" -> ((s: SparkSession, d: String) => DedupOps.embeddingNearDup(s, d, subBlockBits = 8)),
+    "q44d_dedup_embedding_auto" -> ((s: SparkSession, d: String) => DedupOps.embeddingNearDupAuto(s, d)),
     "q67b_semantic_dedup_blocked" -> ((s: SparkSession, d: String) => DedupOps.semanticDedup(s, d, subBlockBits = 6)),
+    "q67c_semantic_dedup_auto" -> ((s: SparkSession, d: String) => DedupOps.semanticDedupAuto(s, d)),
     "q86_dedup_recall"    -> (DedupOps.dedupRecall _),
     "q42b_minhash_est"    -> (DedupOps.minhashEst _),
     "q66_label_centroids" -> (TextAnalysisOps.labelCentroids _),
@@ -804,6 +806,26 @@ object SparkEntry {
          |WHERE $DOT64 / (a.nrm * b.nrm) > 0.25
          |ORDER BY vec_a, vec_b""".stripMargin,
 
+    // the AUTO dial: bits = min b in [0,16] with maxLabelPop <= 32·2^b —
+    // the same exact-integer predicate DedupOps.autoBits evaluates, over
+    // the same count; block key = 16-plane key masked to the low `bits`
+    // (signBlocks(v, b) == signBlocks(v, 16) & (2^b - 1) by construction)
+    "q44d_dedup_embedding_auto" ->
+      s"""WITH $EMB_NORM,
+         |mp AS (SELECT MAX(cnt) AS maxpop
+         |       FROM (SELECT COUNT(*) AS cnt FROM n GROUP BY label)),
+         |prm AS (SELECT COALESCE(MIN(b), 16) AS bits
+         |        FROM range(0, 17) r(b), mp WHERE mp.maxpop <= 32 * (1 << b)),
+         |bk AS (SELECT vec_id, label, v, nrm,
+         |  ${signBlocksSql(16)} AS blk16
+         |  FROM n),
+         |bk2 AS (SELECT vec_id, label, v, nrm,
+         |         blk16 & ((1 << (SELECT bits FROM prm)) - 1) AS blk FROM bk)
+         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, $DOT64 / (a.nrm * b.nrm) AS cos
+         |FROM bk2 a JOIN bk2 b ON a.label = b.label AND a.blk = b.blk AND a.vec_id < b.vec_id
+         |WHERE $DOT64 / (a.nrm * b.nrm) > 0.25
+         |ORDER BY vec_a, vec_b""".stripMargin,
+
     "q45_knn_bruteforce" ->
       s"""WITH $EMB_NORM,
          |j AS (SELECT a.vec_id AS q_id, b.vec_id AS neighbor_id,
@@ -1290,6 +1312,42 @@ object SparkEntry {
          |  FROM n),
          |a1 AS (SELECT asg.vec_id, asg.list_id, bk.blk
          |       FROM asg JOIN bk ON asg.vec_id = bk.vec_id WHERE asg.crank = 1),
+         |sc AS (SELECT p.vec_a, p.vec_b, $DOT64 / (a.nrm * b.nrm) AS cos
+         |       FROM (SELECT x.vec_id AS vec_a, y.vec_id AS vec_b
+         |             FROM a1 x JOIN a1 y ON x.list_id = y.list_id AND x.blk = y.blk
+         |                                AND x.vec_id < y.vec_id) p
+         |       JOIN n a ON a.vec_id = p.vec_a JOIN n b ON b.vec_id = p.vec_b
+         |       WHERE $DOT64 / (a.nrm * b.nrm) >= 0.3)
+         |SELECT vec_b AS vec_id, CAST(COUNT(*) AS BIGINT) AS n_dups,
+         |  MIN(vec_a) AS rep_id, MAX(cos) AS max_cos
+         |FROM sc GROUP BY vec_b ORDER BY vec_id""".stripMargin,
+
+    // AUTO-dial SemDeDup: bits = min b in [0,16] with maxClusterPop <=
+    // 32·2^b (the q54 histogram's max, same exact-integer predicate as
+    // DedupOps.autoBits), block key = 16-plane key masked to `bits`
+    "q67c_semantic_dedup_auto" ->
+      s"""WITH $EMB_NORM,
+         |cents AS (SELECT list_id, cv,
+         |            sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65),
+         |              i -> cv[i] * cv[i])), (x2, y2) -> x2 + y2)) AS cnrm
+         |          FROM ($ivfCentsValues) t(list_id, cv)),
+         |asg AS (SELECT vec_id, list_id,
+         |          ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, list_id) AS crank
+         |        FROM (SELECT n.vec_id, c.list_id,
+         |                list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65),
+         |                  i -> n.v[i] * c.cv[i])), (x2, y2) -> x2 + y2) / (n.nrm * c.cnrm) AS csim
+         |              FROM n, cents c) t),
+         |a0 AS (SELECT vec_id, list_id FROM asg WHERE crank = 1),
+         |mp AS (SELECT MAX(cnt) AS maxpop
+         |       FROM (SELECT COUNT(*) AS cnt FROM a0 GROUP BY list_id)),
+         |prm AS (SELECT COALESCE(MIN(b), 16) AS bits
+         |        FROM range(0, 17) r(b), mp WHERE mp.maxpop <= 32 * (1 << b)),
+         |bk AS (SELECT vec_id,
+         |  ${signBlocksSql(16)} AS blk16
+         |  FROM n),
+         |a1 AS (SELECT a0.vec_id, a0.list_id,
+         |         bk.blk16 & ((1 << (SELECT bits FROM prm)) - 1) AS blk
+         |       FROM a0 JOIN bk ON a0.vec_id = bk.vec_id),
          |sc AS (SELECT p.vec_a, p.vec_b, $DOT64 / (a.nrm * b.nrm) AS cos
          |       FROM (SELECT x.vec_id AS vec_a, y.vec_id AS vec_b
          |             FROM a1 x JOIN a1 y ON x.list_id = y.list_id AND x.blk = y.blk

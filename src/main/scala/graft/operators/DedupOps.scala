@@ -574,6 +574,36 @@ object DedupOps {
     * (the driver query, so the DuckDB oracle stays exact); 8 = the q44c
     * density setting.
     */
+  /** The data-dependent density dial: smallest `bits` whose dominant block
+    * shrinks to ≤ targetPop expected members — `bits = min b : maxPop ≤
+    * target·2^b`, i.e. ceil(log2(maxPop/target)) computed in exact integer
+    * arithmetic (no float log at a power-of-two boundary), clamped to the
+    * 16-plane family. SURVEY §6 proved any FIXED block count is quadratic
+    * in disguise: 10× data with constant bits is 100× pairs; with this
+    * dial, bits grows by log2(10) ≈ 3.3 and per-block pair volume stays
+    * flat. The DuckDB oracles reproduce the same choice with the same
+    * integer predicate over the same counts.
+    */
+  private[graft] def autoBits(maxPop: Long, targetPop: Long): Int = {
+    require(targetPop > 0, s"targetPop must be positive; got $targetPop")
+    (0 to 16).find(b => maxPop <= (targetPop << b)).getOrElse(16)
+  }
+
+  /** q44d — [[embeddingNearDup]] with the dial chosen from the data: one
+    * cheap driver-side aggregation (max label-block population over a
+    * 1-column scan — at 100 TB this comes from the lake's partition/
+    * manifest stats instead) picks `subBlockBits` via [[autoBits]]. The
+    * fleet-scale contract: re-running the same job on 10× the corpus
+    * re-derives a dial ~3.3 bits higher and keeps per-block pair volume
+    * constant, with no human re-tuning the constant.
+    */
+  def embeddingNearDupAuto(s: SparkSession, d: String, targetPop: Long = 32): DataFrame = {
+    val maxPop = Tables.embeddings(s, d)
+      .groupBy("label").agg(count(lit(1)).as("cnt"))
+      .agg(max("cnt")).head.getLong(0)
+    embeddingNearDup(s, d, autoBits(maxPop, targetPop))
+  }
+
   def embeddingNearDup(s: SparkSession, d: String, subBlockBits: Int = 0): DataFrame = {
     require(subBlockBits >= 0 && subBlockBits <= 16, s"subBlockBits in [0,16]; got $subBlockBits")
     val base = Tables.embeddings(s, d)
@@ -607,6 +637,20 @@ object DedupOps {
     * join, the standard ANN-verify fetch, instead of carrying 512-byte
     * vectors through the groupBy buffer.
     */
+  /** q67c — [[semanticDedup]] with the dial chosen from the data: the
+    * dominant CLUSTER population under the frozen quantizer (exactly
+    * q54's health histogram — one broadcast-assign pass, no pairs) picks
+    * `subBlockBits` via [[autoBits]]. The assignment pass runs twice
+    * (once to count, once inside the dedup) — both are the linear stage;
+    * the dial exists to keep the quadratic stage from growing at all.
+    */
+  def semanticDedupAuto(s: SparkSession, d: String, threshold: Double = 0.3,
+      targetPop: Long = 32): DataFrame = {
+    val maxPop = SimilarityOps.ivfListBalance(s, d)
+      .agg(max("n_vectors")).head.getLong(0)
+    semanticDedup(s, d, threshold, autoBits(maxPop, targetPop))
+  }
+
   def semanticDedup(s: SparkSession, d: String, threshold: Double = 0.3,
       subBlockBits: Int = 0): DataFrame =
     semanticDedupOf(s,

@@ -111,6 +111,35 @@ class LlmOpsSpec extends SparkSpec {
       .collect().exists(_.getAs[Long]("vec_id") == 101L))
   }
 
+  test("q44d/q67c auto dial: exact-integer bit choice, log2 growth, nesting preserved") {
+    // the dial predicate: smallest b with maxPop <= target·2^b
+    assert(DedupOps.autoBits(0, 32) === 0)
+    assert(DedupOps.autoBits(32, 32) === 0)      // boundary: fits already
+    assert(DedupOps.autoBits(33, 32) === 1)
+    assert(DedupOps.autoBits(64, 32) === 1)      // exact power-of-two boundary
+    assert(DedupOps.autoBits(65, 32) === 2)
+    assert(DedupOps.autoBits(Long.MaxValue, 32) === 16) // clamp to the plane family
+    // THE scale contract: 10x the dominant block adds ~log2(10) bits —
+    // per-block pair volume stays flat instead of growing 100x
+    for (pop <- Seq(100L, 1000L, 10000L, 100000L)) {
+      val b = DedupOps.autoBits(pop, 32)
+      val b10 = DedupOps.autoBits(pop * 10, 32)
+      assert(b10 - b >= 3 && b10 - b <= 4, s"pop=$pop: $b -> $b10")
+    }
+    // the auto arms are the SAME constructions as the fixed arms: their
+    // pair/drop sets nest inside the exact ones like any other dial value
+    val exact = DedupOps.embeddingNearDup(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val auto = DedupOps.embeddingNearDupAuto(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(auto.subsetOf(exact) && auto.nonEmpty)
+    val full = DedupOps.semanticDedup(spark, sf)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val autoSem = DedupOps.semanticDedupAuto(spark, sf)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(autoSem.subsetOf(full) && autoSem.nonEmpty)
+  }
+
   test("q86 dedup recall: counts consistent, minhash catches the exact-duplicate pairs") {
     val rows = DedupOps.dedupRecall(spark, sf).collect()
     assert(rows.nonEmpty && rows.map(_.getString(0)).toSet.subsetOf(Set("minhash", "simhash")))
