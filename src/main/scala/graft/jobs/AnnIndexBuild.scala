@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.GraftSession
 import graft.functions.VectorFunctions._
-import graft.operators.{PqCodebooks, SimilarityOps}
+import graft.operators.{IvfCentroids, PqCodebooks, PqResidualCodebooks, SimilarityOps}
 
 /** Persisted IVFADC index as a partitioned lake table — the build-once /
   * query-many serving shape a production vector index actually runs
@@ -65,22 +65,55 @@ object AnnIndexBuild {
       .agg(transform(array_sort(collect_list(struct(col("sub_idx"), col("code")))),
         x => x.getField("code")).as("codes"))
 
-  /** The corpus as one row per (vec_id, list_id, codes[8]). */
-  private def codedTable(s: SparkSession, sfDir: String): DataFrame =
-    aggCodes(SimilarityOps.codedCorpusSubs(s, sfDir))
+  /** The corpus as one row per (vec_id, list_id, codes[8]).
+    * `residual = true` codes r = v - c(v) against the residual-trained
+    * books (IVFADC proper, q70c's coding — the production default per
+    * Jégou §IV.A); false codes v against the raw books (q70b). A table's
+    * coding is an INVARIANT: every build/append/search against it must
+    * pass the same flag, or ADC scores silently rank against the wrong
+    * reconstruction (the directory build records a `_coding` marker and
+    * search validates it; versioned tables document the contract). */
+  private def codedTable(s: SparkSession, sfDir: String, residual: Boolean): DataFrame =
+    aggCodes(SimilarityOps.codedCorpusSubs(s, sfDir, residual))
+
+  /** Coding-marker sidecar for directory indexes: what the codes MEAN. */
+  private def codingName(residual: Boolean) = if (residual) "residual" else "raw"
+
+  private def writeCodingMarker(s: SparkSession, out: String, residual: Boolean): Unit = {
+    val path = new org.apache.hadoop.fs.Path(out, "_coding")
+    val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val os = fs.create(path, true)
+    try os.write(codingName(residual).getBytes("UTF-8")) finally os.close()
+  }
+
+  private def checkCodingMarker(s: SparkSession, indexDir: String, residual: Boolean): Unit = {
+    val path = new org.apache.hadoop.fs.Path(indexDir, "_coding")
+    val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(path)) {
+      val in = fs.open(path)
+      val stored = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+      require(stored == codingName(residual),
+        s"index $indexDir was built with $stored coding; searched as ${codingName(residual)} " +
+          "— ADC scores would rank against the wrong reconstruction")
+    }
+  }
 
   /** One pass over the corpus embeddings -> the partitioned code table. */
-  def build(s: SparkSession, sfDir: String, out: String): Unit =
-    codedTable(s, sfDir)
+  def build(s: SparkSession, sfDir: String, out: String, residual: Boolean = false): Unit = {
+    codedTable(s, sfDir, residual)
       .repartition(col("list_id"))
       .write.mode(SaveMode.Overwrite).partitionBy("list_id").parquet(out)
+    writeCodingMarker(s, out, residual)
+  }
 
   /** The code table committed through SnapshotLake (list_id-clustered,
     * long stats on list_id): atomic publish, time travel, manifest-level
     * probe pruning. Returns the published version. */
-  def buildVersioned(s: SparkSession, sfDir: String, table: String): Long =
+  def buildVersioned(s: SparkSession, sfDir: String, table: String,
+      residual: Boolean = false): Long =
     SnapshotLake.commitOverwrite(s, table,
-      codedTable(s, sfDir).repartition(col("list_id")).sortWithinPartitions("list_id"),
+      codedTable(s, sfDir, residual).repartition(col("list_id")).sortWithinPartitions("list_id"),
       statsCol = Some("list_id"))
 
   /** Incremental maintenance: code a batch of NEW vectors — (vec_id,
@@ -103,7 +136,8 @@ object AnnIndexBuild {
     * vector: deleteVersioned → compactVersioned → append (the guard
     * makes in-place re-appends explicit no-ops, never silent
     * half-updates). */
-  def appendVersioned(s: SparkSession, newVectors: DataFrame, table: String): Long = {
+  def appendVersioned(s: SparkSession, newVectors: DataFrame, table: String,
+      residual: Boolean = false): Long = {
     val fresh = newIdsOnly(s, newVectors, table)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -112,7 +146,8 @@ object AnnIndexBuild {
         SnapshotLake.latestVersionOf(s, table)
           .getOrElse(sys.error(s"appendVersioned: empty batch on empty table $table"))
       } else
-        SnapshotLake.commitAppend(s, table, codedBatch(s, fresh), statsCol = Some("list_id"))
+        SnapshotLake.commitAppend(s, table, codedBatch(s, fresh, residual),
+          statsCol = Some("list_id"))
     } finally { fresh.unpersist(blocking = false); () }
   }
 
@@ -143,10 +178,11 @@ object AnnIndexBuild {
     * convention filter, THE shared assignment kernel, list-clustered
     * layout. Single-sourced so batch appends and the streaming path below
     * cannot drift. */
-  private def codedBatch(s: SparkSession, newVectors: DataFrame): DataFrame =
+  private def codedBatch(s: SparkSession, newVectors: DataFrame,
+      residual: Boolean = false): DataFrame =
     aggCodes(SimilarityOps.codedSubsOf(s,
       newVectors.filter(col("vec_id") >= SimilarityOps.QueryIdMax)
-        .select(col("vec_id"), toDouble(col("embedding")).as("v"))))
+        .select(col("vec_id"), toDouble(col("embedding")).as("v")), residual))
       .repartition(col("list_id")).sortWithinPartitions("list_id")
 
   /** Continuous index maintenance: each micro-batch of arriving (vec_id,
@@ -159,7 +195,8 @@ object AnnIndexBuild {
     * the crash window — so a redelivered batch can never double-index.
     * Searches see each batch atomically: a snapshot either contains ALL
     * of a micro-batch's codes or none. */
-  def appendStream(stream: DataFrame, table: String, checkpoint: String)
+  def appendStream(stream: DataFrame, table: String, checkpoint: String,
+      residual: Boolean = false)
       : org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .outputMode("append")
@@ -173,7 +210,7 @@ object AnnIndexBuild {
           // source micro-batch) publishes nothing — no version burn, no
           // empty scan-always file accreting into every manifest
           if (!fresh.isEmpty)
-            SnapshotLake.commitStreamBatch(s, table, codedBatch(s, fresh), batchId,
+            SnapshotLake.commitStreamBatch(s, table, codedBatch(s, fresh, residual), batchId,
               statsCol = Some("list_id"))
         } finally { fresh.unpersist(blocking = false); () }
         ()
@@ -221,33 +258,48 @@ object AnnIndexBuild {
   /** Driver-side probe resolution + ADC lookup table, shared by both
     * serving paths. ONE bounded job: nQueries x nProbe rows, each
     * carrying its query vector — sized by the query batch, not the
-    * corpus. The LUT cells (||qsv - codebook(sub, code)||² for all 8x16
-    * cells per query) accumulate in the same left fold over (x-y)*(x-y)
-    * doubles as the Catalyst `aggregate(zip_with(...), 0D, acc + z)`
-    * chain in q70b, so every cell is bit-identical to the in-query
-    * computation. */
-  private def probeAndLut(s: SparkSession, sfDir: String, nProbe: Int)
-      : (Seq[(Long, Long)], Seq[(Long, Long, Long, Double)]) = {
+    * corpus. LUT cells are keyed (q_id, list_id, sub, code): for raw
+    * coding the cell is ||qsv - codebook(sub, code)||² (identical across
+    * a query's probed lists — the key is just wider than it needs to
+    * be); for residual coding the query side is its PER-LIST residual
+    * (q - c_list) first, exactly q70c's zip_with subtraction, so the
+    * list_id key is load-bearing. Every cell accumulates in the same
+    * left fold over (x-y)*(x-y) doubles as the Catalyst
+    * `aggregate(zip_with(...), 0D, acc + z)` chain, so cells are
+    * bit-identical to the in-query computation (spec-pinned for both
+    * codings). */
+  private def probeAndLut(s: SparkSession, sfDir: String, nProbe: Int,
+      residual: Boolean)
+      : (Seq[(Long, Long)], Seq[(Long, Long, Long, Long, Double)]) = {
     // THE shared probe resolver (SimilarityOps.queryProbeLists — also
     // what q70b runs in-query), collected driver-side
     val probeRows = SimilarityOps.queryProbeLists(s, sfDir, nProbe)
       .select(col("q_id"), col("list_id"), col("qv"))
       .collect()
     val probes = probeRows.map(r => (r.getLong(0), r.getLong(1))).toSeq
-    val queryVecs = probeRows.map(r => r.getLong(0) -> r.getSeq[Double](2)).toMap
+    val books = if (residual) PqResidualCodebooks.values else PqCodebooks.values
     val lutRows = for {
-      (qid, v) <- queryVecs.toSeq
+      r <- probeRows.toSeq
+      qid = r.getLong(0)
+      lid = r.getLong(1)
+      v = r.getSeq[Double](2)
       sub <- 0 until NSub
-      (cv, code) <- PqCodebooks.values(sub).zipWithIndex.toSeq
+      (cv, code) <- books(sub).zipWithIndex.toSeq
     } yield {
       var acc = 0.0
       var i = 0
       while (i < SubDim) {
-        val x = v(sub * SubDim + i) - cv(i)
+        // residual: (q - c_list) first, THEN minus the book entry — the
+        // same two IEEE subtractions, same order, as q70c's
+        // zip_with(qv, cv, x - y) feeding zip_with(qsv, cv, (x-y)*(x-y))
+        val q =
+          if (residual) v(sub * SubDim + i) - IvfCentroids.values(lid.toInt)(sub * SubDim + i)
+          else v(sub * SubDim + i)
+        val x = q - cv(i)
         acc += x * x
         i += 1
       }
-      (qid, sub.toLong, code.toLong, acc)
+      (qid, lid, sub.toLong, code.toLong, acc)
     }
     (probes, lutRows)
   }
@@ -258,16 +310,16 @@ object AnnIndexBuild {
     * chain and tie-break q70/q70b rank through, so the spec-pinned
     * bit-identity cannot drift on an edit to one copy). */
   private def adcTopK(s: SparkSession, codes: DataFrame,
-      probes: Seq[(Long, Long)], lutRows: Seq[(Long, Long, Long, Double)],
+      probes: Seq[(Long, Long)], lutRows: Seq[(Long, Long, Long, Long, Double)],
       k: Int): DataFrame = {
     import s.implicits._
-    val lut = lutRows.toDF("q_id", "sub_idx", "code", "dsub")
+    val lut = lutRows.toDF("q_id", "list_id", "sub_idx", "code", "dsub")
     val probePairs = probes.toDF("q_id", "list_id")
     val candidates = codes
       .select(col("vec_id"), col("list_id").cast("long").as("list_id"),
         posexplode(col("codes")).as(Seq("sub_idx", "code")))
       .join(broadcast(probePairs), Seq("list_id"))
-      .join(broadcast(lut), Seq("q_id", "sub_idx", "code"))
+      .join(broadcast(lut), Seq("q_id", "list_id", "sub_idx", "code"))
     SimilarityOps.adcRank(candidates, k)
   }
 
@@ -277,12 +329,16 @@ object AnnIndexBuild {
   }
 
   /** ADC top-k over the prebuilt index; bit-identical to
-    * SimilarityOps.knnIvfPq on the same corpus + frozen constants (the
-    * default nProbe IS q70b's constant, so the contract cannot drift on
-    * a recall-dial tune). */
+    * SimilarityOps.knnIvfPq (raw) / knnIvfPqResidual (residual) on the
+    * same corpus + frozen constants (the default nProbe IS q70b's
+    * constant, so the contract cannot drift on a recall-dial tune).
+    * `residual` must match the build's flag — enforced via the index's
+    * `_coding` marker. */
   def search(s: SparkSession, indexDir: String, sfDir: String,
-      k: Int = 3, nProbe: Int = SimilarityOps.IvfProbes): DataFrame = {
-    val (probes, lutRows) = probeAndLut(s, sfDir, nProbe)
+      k: Int = 3, nProbe: Int = SimilarityOps.IvfProbes,
+      residual: Boolean = false): DataFrame = {
+    checkCodingMarker(s, indexDir, residual)
+    val (probes, lutRows) = probeAndLut(s, sfDir, nProbe, residual)
     if (probes.isEmpty) return emptyResult(s)
     val probedLists = probes.map(_._2).distinct.sorted
     // the pruned scan: list_id is a partition column, the IN-list a
@@ -304,8 +360,8 @@ object AnnIndexBuild {
     * own statistics; no unbounded hint. */
   def searchVersioned(s: SparkSession, table: String, sfDir: String,
       k: Int = 3, nProbe: Int = SimilarityOps.IvfProbes,
-      version: Option[Long] = None): DataFrame = {
-    val (probes, lutRows) = probeAndLut(s, sfDir, nProbe)
+      version: Option[Long] = None, residual: Boolean = false): DataFrame = {
+    val (probes, lutRows) = probeAndLut(s, sfDir, nProbe, residual)
     if (probes.isEmpty) return emptyResult(s)
     val rows = SnapshotLake.readRangeIn(s, table, "list_id",
       probes.map(_._2).distinct.sorted :+ TombstoneListId, version)
@@ -317,12 +373,14 @@ object AnnIndexBuild {
 
   def main(args: Array[String]): Unit = {
     require(args.length >= 2 && !args.take(2).exists(_.startsWith("--")),
-      "usage: AnnIndexBuild <sf-dir> <index-out-dir> [--search]")
+      "usage: AnnIndexBuild <sf-dir> <index-out-dir> [--search] [--residual]")
+    val residual = args.contains("--residual")
     val spark = GraftSession.get()
     val t0 = System.nanoTime()
-    build(spark, args(0), args(1))
+    build(spark, args(0), args(1), residual)
     val buildSec = (System.nanoTime() - t0) / 1e9
-    println(f"""{"job":"ann_index_build","build_sec":$buildSec%.3f}""")
+    println(f"""{"job":"ann_index_build","build_sec":$buildSec%.3f,""" +
+      f""""coding":"${codingName(residual)}"}""")
     if (args.contains("--search")) {
       // timed amortization check: the serving read path over the
       // prebuilt index vs q70b's recompute-everything query. Two runs:
@@ -330,7 +388,7 @@ object AnnIndexBuild {
       // serving loop sees.
       val times = (1 to 2).map { _ =>
         val t1 = System.nanoTime()
-        val n = search(spark, args(1), args(0)).count()
+        val n = search(spark, args(1), args(0), residual = residual).count()
         ((System.nanoTime() - t1) / 1e9, n)
       }
       println(f"""{"job":"ann_index_search","rows":${times.last._2},""" +

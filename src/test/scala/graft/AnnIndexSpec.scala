@@ -44,6 +44,51 @@ class AnnIndexSpec extends SparkSpec {
     assert(!spark.read.parquet(idx).columns.contains("v"))
   }
 
+  test("residual index: search is bit-identical to the recompute query (q70c)") {
+    val out = java.nio.file.Files.createTempDirectory("annres").toString
+    AnnIndexBuild.build(spark, sf, out, residual = true)
+    val fromIndex = AnnIndexBuild.search(spark, out, sf, residual = true).collect().toSeq
+    val recompute = SimilarityOps.knnIvfPqResidual(spark, sf).collect().toSeq
+    // the persisted residual codes + per-(query, list) LUT reproduce
+    // q70c's two-subtraction ADC chain exactly, double bits included
+    assert(fromIndex === recompute)
+    assert(fromIndex.nonEmpty)
+    // residual coding genuinely differs from raw — identical results
+    // would mean the flag reached neither the books nor the LUT
+    assert(fromIndex !== SimilarityOps.knnIvfPq(spark, sf).collect().toSeq)
+
+    // probes still prune: the residual path keeps the partition-filter scan
+    val df = AnnIndexBuild.search(spark, out, sf, k = 3, nProbe = 1, residual = true)
+    val scans = df.queryExecution.sparkPlan.collect {
+      case f: FileSourceScanExec if f.relation.location.rootPaths.exists(_.toString.contains(out)) => f
+    }
+    assert(scans.nonEmpty, df.queryExecution.sparkPlan.toString)
+    assert(scans.head.partitionFilters.exists(_.references.exists(_.name == "list_id")),
+      scans.head.partitionFilters.mkString("; "))
+
+    // the coding marker refuses a cross-coded search outright
+    val e = intercept[IllegalArgumentException](AnnIndexBuild.search(spark, out, sf))
+    assert(e.getMessage.contains("residual"))
+    val e2 = intercept[IllegalArgumentException](
+      AnnIndexBuild.search(spark, idx, sf, residual = true))
+    assert(e2.getMessage.contains("raw"))
+  }
+
+  test("residual versioned index: append + search match the residual recompute") {
+    import spark.implicits._
+    val half = java.nio.file.Files.createTempDirectory("annreshalf").toString
+    val emb = Tables.embeddings(spark, sf)
+    emb.filter(col("vec_id") < 10 || col("vec_id") % 2 === 0)
+      .write.parquet(s"$half/embeddings.parquet")
+    val table = java.nio.file.Files.createTempDirectory("annresincr").toString
+    val v1 = AnnIndexBuild.buildVersioned(spark, half, table, residual = true)
+    val v2 = AnnIndexBuild.appendVersioned(spark,
+      emb.filter(col("vec_id") < 10 || col("vec_id") % 2 === 1), table, residual = true)
+    assert(v2 === v1 + 1)
+    assert(AnnIndexBuild.searchVersioned(spark, table, sf, residual = true).collect().toSeq
+      === SimilarityOps.knnIvfPqResidual(spark, sf).collect().toSeq)
+  }
+
   test("index stores one row per corpus vector with 8 sub-codes in [0,16)") {
     val t = spark.read.parquet(idx)
     val corpusN = Tables.embeddings(spark, sf).filter(col("vec_id") >= 10).count()
