@@ -97,6 +97,7 @@ object SparkEntry {
     "q66_label_centroids" -> (TextAnalysisOps.labelCentroids _),
     "q67_semantic_dedup"  -> ((s: SparkSession, d: String) => DedupOps.semanticDedup(s, d)),
     "q68_ann_recall"      -> ((s: SparkSession, d: String) => SimilarityOps.annRecall(s, d)),
+    "q68b_ann_recall_wide" -> ((s: SparkSession, d: String) => SimilarityOps.annRecall(s, d, queryIdMax = 300)),
     "q69_pq_stats"        -> (SimilarityOps.pqStats _),
     "q70_knn_pq"          -> ((s: SparkSession, d: String) => SimilarityOps.knnPq(s, d)),
     "q70b_knn_ivfpq"      -> ((s: SparkSession, d: String) => SimilarityOps.knnIvfPq(s, d)),
@@ -205,6 +206,85 @@ object SparkEntry {
        |          FROM (SELECT q_id, neighbor_id,
        |                  ${(0 until 8).map(s0 => s"d$s0").mkString(" + ")} AS adc_dist
        |                FROM ${p}agg) t0)""".stripMargin
+
+  /** The q68 recall-evaluation oracle as a function of the query/corpus
+    * split: q68 uses the frozen serving convention (QueryIdMax = 10);
+    * q68b widens to 300 query points so the per-arm recall means carry
+    * enough sample to actually RANK the four arms (30 pairs could not
+    * separate residual from raw — SURVEY §6). */
+  private def annRecallOracleSql(qmax: Int): String =
+    s"""WITH $EMB_NORM,
+         |exj AS (SELECT a.vec_id AS q_id, b.vec_id AS neighbor_id,
+         |          $DOT64 / (a.nrm * b.nrm) AS cos
+         |        FROM n a JOIN n b ON a.vec_id < $qmax AND b.vec_id >= $qmax),
+         |ex AS (SELECT q_id, neighbor_id FROM (
+         |         SELECT q_id, neighbor_id,
+         |           ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS rank
+         |         FROM exj) t WHERE rank <= 3),
+         |bk AS (SELECT vec_id, v, nrm,
+         |  ${signBlocksSql(8)} AS bucket
+         |  FROM n),
+         |lshj AS (SELECT a.vec_id AS q_id, b.vec_id AS neighbor_id,
+         |           $DOT64 / (a.nrm * b.nrm) AS cos
+         |         FROM bk a JOIN bk b ON a.vec_id < $qmax AND b.vec_id >= $qmax AND a.bucket = b.bucket),
+         |lsh AS (SELECT q_id, neighbor_id FROM (
+         |          SELECT q_id, neighbor_id,
+         |            ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS rank
+         |          FROM lshj) t WHERE rank <= 3),
+         |cents AS (SELECT list_id, cv,
+         |            sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65),
+         |              i -> cv[i] * cv[i])), (x2, y2) -> x2 + y2)) AS cnrm
+         |          FROM ($ivfCentsValues) t(list_id, cv)),
+         |asg AS (SELECT vec_id, v, nrm, list_id, csim,
+         |          ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, list_id) AS crank
+         |        FROM (SELECT n.vec_id, n.v, n.nrm, c.list_id,
+         |                list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65),
+         |                  i -> n.v[i] * c.cv[i])), (x2, y2) -> x2 + y2) / (n.nrm * c.cnrm) AS csim
+         |              FROM n, cents c) t),
+         |qs AS (SELECT vec_id AS q_id, v AS qv, nrm AS qnrm, list_id FROM asg
+         |       WHERE vec_id < $qmax AND crank <= 2),
+         |cp AS (SELECT vec_id, v, nrm, list_id FROM asg WHERE vec_id >= $qmax AND crank = 1),
+         |ivfj AS (SELECT q_id, cp.vec_id AS neighbor_id,
+         |           list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65),
+         |             i -> qs.qv[i] * cp.v[i])), (x2, y2) -> x2 + y2) / (qs.qnrm * cp.nrm) AS cos
+         |         FROM cp JOIN qs USING (list_id)),
+         |ivf AS (SELECT q_id, neighbor_id FROM (
+         |          SELECT q_id, neighbor_id,
+         |            ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS rank
+         |          FROM ivfj) t WHERE rank <= 3),
+         |books AS (SELECT sub_idx, code, cv FROM ($pqBooksValues) t(sub_idx, code, cv)),
+         |$ivfPqCtes,
+         |ivfpq AS (SELECT q_id, neighbor_id FROM pqtop WHERE rank <= 3),
+         |rbooks AS (SELECT sub_idx, code, cv FROM ($pqResBooksValues) t(sub_idx, code, cv)),
+         |qsr AS (SELECT a.vec_id AS q_id,
+         |          list_transform(range(1, 65), i -> a.v[i] - c.cv[i]) AS qv, a.list_id
+         |        FROM asg a JOIN cents c USING (list_id)
+         |        WHERE a.vec_id < $qmax AND a.crank <= 2),
+         |cpr AS (SELECT a.vec_id,
+         |          list_transform(range(1, 65), i -> a.v[i] - c.cv[i]) AS v, a.list_id
+         |        FROM asg a JOIN cents c USING (list_id)
+         |        WHERE a.vec_id >= $qmax AND a.crank = 1),
+         |${ivfPqCtesNamed("pqr", "cpr", "qsr", "rbooks")},
+         |ivfpqr AS (SELECT q_id, neighbor_id FROM pqrtop WHERE rank <= 3),
+         |idx AS (SELECT q_id, neighbor_id, 'lsh' AS src FROM lsh
+         |        UNION ALL SELECT q_id, neighbor_id, 'ivf' AS src FROM ivf
+         |        UNION ALL SELECT q_id, neighbor_id, 'ivfpq' AS src FROM ivfpq
+         |        UNION ALL SELECT q_id, neighbor_id, 'ivfpq_res' AS src FROM ivfpqr)
+         |SELECT q_id, n_exact, lsh_hits, ivf_hits, ivfpq_hits, ivfpq_res_hits,
+         |  CAST(lsh_hits AS DOUBLE) / CAST(n_exact AS DOUBLE) AS lsh_recall,
+         |  CAST(ivf_hits AS DOUBLE) / CAST(n_exact AS DOUBLE) AS ivf_recall,
+         |  CAST(ivfpq_hits AS DOUBLE) / CAST(n_exact AS DOUBLE) AS ivfpq_recall,
+         |  CAST(ivfpq_res_hits AS DOUBLE) / CAST(n_exact AS DOUBLE) AS ivfpq_res_recall
+         |FROM (SELECT ex.q_id,
+         |        CAST(COUNT(DISTINCT ex.neighbor_id) AS BIGINT) AS n_exact,
+         |        CAST(COUNT(CASE WHEN idx.src = 'lsh' THEN 1 END) AS BIGINT) AS lsh_hits,
+         |        CAST(COUNT(CASE WHEN idx.src = 'ivf' THEN 1 END) AS BIGINT) AS ivf_hits,
+         |        CAST(COUNT(CASE WHEN idx.src = 'ivfpq' THEN 1 END) AS BIGINT) AS ivfpq_hits,
+         |        CAST(COUNT(CASE WHEN idx.src = 'ivfpq_res' THEN 1 END) AS BIGINT) AS ivfpq_res_hits
+         |      FROM ex LEFT JOIN idx
+         |        ON ex.q_id = idx.q_id AND ex.neighbor_id = idx.neighbor_id
+         |      GROUP BY ex.q_id) t
+         |ORDER BY q_id""".stripMargin
 
   private val EMB_NORM =
     """e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -1360,79 +1440,9 @@ object SparkEntry {
 
     // per-query recall@3 of the LSH and IVF indexes vs exact brute force
     // (each arm is its own oracle's formulation, k=3 throughout)
-    "q68_ann_recall" ->
-      s"""WITH $EMB_NORM,
-         |exj AS (SELECT a.vec_id AS q_id, b.vec_id AS neighbor_id,
-         |          $DOT64 / (a.nrm * b.nrm) AS cos
-         |        FROM n a JOIN n b ON a.vec_id < 10 AND b.vec_id >= 10),
-         |ex AS (SELECT q_id, neighbor_id FROM (
-         |         SELECT q_id, neighbor_id,
-         |           ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS rank
-         |         FROM exj) t WHERE rank <= 3),
-         |bk AS (SELECT vec_id, v, nrm,
-         |  ${signBlocksSql(8)} AS bucket
-         |  FROM n),
-         |lshj AS (SELECT a.vec_id AS q_id, b.vec_id AS neighbor_id,
-         |           $DOT64 / (a.nrm * b.nrm) AS cos
-         |         FROM bk a JOIN bk b ON a.vec_id < 10 AND b.vec_id >= 10 AND a.bucket = b.bucket),
-         |lsh AS (SELECT q_id, neighbor_id FROM (
-         |          SELECT q_id, neighbor_id,
-         |            ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS rank
-         |          FROM lshj) t WHERE rank <= 3),
-         |cents AS (SELECT list_id, cv,
-         |            sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65),
-         |              i -> cv[i] * cv[i])), (x2, y2) -> x2 + y2)) AS cnrm
-         |          FROM ($ivfCentsValues) t(list_id, cv)),
-         |asg AS (SELECT vec_id, v, nrm, list_id, csim,
-         |          ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, list_id) AS crank
-         |        FROM (SELECT n.vec_id, n.v, n.nrm, c.list_id,
-         |                list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65),
-         |                  i -> n.v[i] * c.cv[i])), (x2, y2) -> x2 + y2) / (n.nrm * c.cnrm) AS csim
-         |              FROM n, cents c) t),
-         |qs AS (SELECT vec_id AS q_id, v AS qv, nrm AS qnrm, list_id FROM asg
-         |       WHERE vec_id < 10 AND crank <= 2),
-         |cp AS (SELECT vec_id, v, nrm, list_id FROM asg WHERE vec_id >= 10 AND crank = 1),
-         |ivfj AS (SELECT q_id, cp.vec_id AS neighbor_id,
-         |           list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65),
-         |             i -> qs.qv[i] * cp.v[i])), (x2, y2) -> x2 + y2) / (qs.qnrm * cp.nrm) AS cos
-         |         FROM cp JOIN qs USING (list_id)),
-         |ivf AS (SELECT q_id, neighbor_id FROM (
-         |          SELECT q_id, neighbor_id,
-         |            ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS rank
-         |          FROM ivfj) t WHERE rank <= 3),
-         |books AS (SELECT sub_idx, code, cv FROM ($pqBooksValues) t(sub_idx, code, cv)),
-         |$ivfPqCtes,
-         |ivfpq AS (SELECT q_id, neighbor_id FROM pqtop WHERE rank <= 3),
-         |rbooks AS (SELECT sub_idx, code, cv FROM ($pqResBooksValues) t(sub_idx, code, cv)),
-         |qsr AS (SELECT a.vec_id AS q_id,
-         |          list_transform(range(1, 65), i -> a.v[i] - c.cv[i]) AS qv, a.list_id
-         |        FROM asg a JOIN cents c USING (list_id)
-         |        WHERE a.vec_id < 10 AND a.crank <= 2),
-         |cpr AS (SELECT a.vec_id,
-         |          list_transform(range(1, 65), i -> a.v[i] - c.cv[i]) AS v, a.list_id
-         |        FROM asg a JOIN cents c USING (list_id)
-         |        WHERE a.vec_id >= 10 AND a.crank = 1),
-         |${ivfPqCtesNamed("pqr", "cpr", "qsr", "rbooks")},
-         |ivfpqr AS (SELECT q_id, neighbor_id FROM pqrtop WHERE rank <= 3),
-         |idx AS (SELECT q_id, neighbor_id, 'lsh' AS src FROM lsh
-         |        UNION ALL SELECT q_id, neighbor_id, 'ivf' AS src FROM ivf
-         |        UNION ALL SELECT q_id, neighbor_id, 'ivfpq' AS src FROM ivfpq
-         |        UNION ALL SELECT q_id, neighbor_id, 'ivfpq_res' AS src FROM ivfpqr)
-         |SELECT q_id, n_exact, lsh_hits, ivf_hits, ivfpq_hits, ivfpq_res_hits,
-         |  CAST(lsh_hits AS DOUBLE) / CAST(n_exact AS DOUBLE) AS lsh_recall,
-         |  CAST(ivf_hits AS DOUBLE) / CAST(n_exact AS DOUBLE) AS ivf_recall,
-         |  CAST(ivfpq_hits AS DOUBLE) / CAST(n_exact AS DOUBLE) AS ivfpq_recall,
-         |  CAST(ivfpq_res_hits AS DOUBLE) / CAST(n_exact AS DOUBLE) AS ivfpq_res_recall
-         |FROM (SELECT ex.q_id,
-         |        CAST(COUNT(DISTINCT ex.neighbor_id) AS BIGINT) AS n_exact,
-         |        CAST(COUNT(CASE WHEN idx.src = 'lsh' THEN 1 END) AS BIGINT) AS lsh_hits,
-         |        CAST(COUNT(CASE WHEN idx.src = 'ivf' THEN 1 END) AS BIGINT) AS ivf_hits,
-         |        CAST(COUNT(CASE WHEN idx.src = 'ivfpq' THEN 1 END) AS BIGINT) AS ivfpq_hits,
-         |        CAST(COUNT(CASE WHEN idx.src = 'ivfpq_res' THEN 1 END) AS BIGINT) AS ivfpq_res_hits
-         |      FROM ex LEFT JOIN idx
-         |        ON ex.q_id = idx.q_id AND ex.neighbor_id = idx.neighbor_id
-         |      GROUP BY ex.q_id) t
-         |ORDER BY q_id""".stripMargin,
+    "q68_ann_recall" -> annRecallOracleSql(10),
+
+    "q68b_ann_recall_wide" -> annRecallOracleSql(300),
 
     // PQ codebook QA: per-(subspace, code) population + mean squared
     // reconstruction error under the frozen trained codebooks

@@ -17,12 +17,13 @@ object SimilarityOps {
     * per-query window. The exactness baseline the LSH path is judged
     * against.
     */
-  def knnBruteForce(s: SparkSession, d: String, k: Int = 5): DataFrame = {
+  def knnBruteForce(s: SparkSession, d: String, k: Int = 5,
+      queryIdMax: Long = QueryIdMax): DataFrame = {
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), toDouble(col("embedding")).as("v"))
       .withColumn("nrm", norm(col("v")))
-    val queries = e.filter(col("vec_id") < QueryIdMax)
-    val corpus = e.filter(col("vec_id") >= QueryIdMax)
+    val queries = e.filter(col("vec_id") < queryIdMax)
+    val corpus = e.filter(col("vec_id") >= queryIdMax)
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("neighbor_id"))
     corpus.as("c").join(broadcast(queries.as("q")))
       .withColumn("cos", cosine(col("q.v"), col("c.v"), col("q.nrm"), col("c.nrm")))
@@ -55,7 +56,8 @@ object SimilarityOps {
     * query runs L=1 so the DuckDB oracle stays the single-table
     * formulation.
     */
-  def knnLsh(s: SparkSession, d: String, k: Int = 3, tables: Int = 1): DataFrame = {
+  def knnLsh(s: SparkSession, d: String, k: Int = 3, tables: Int = 1,
+      queryIdMax: Long = QueryIdMax): DataFrame = {
     require(tables >= 1, s"tables must be >= 1; got $tables")
     // hyperplane weights: w(t,j,i) = (((t*977 + j)*131 + i*7919) % 1001) - 500.
     // Plane dots run through the native codegen graft_dot against constant
@@ -77,8 +79,8 @@ object SimilarityOps {
         if (tables == 1) bucketOf(col("v"), 0)
         else explode(array((0 until tables).map(t =>
           bucketOf(col("v"), t) + lit(t.toLong << 32)): _*)))
-    val queries = e.filter(col("vec_id") < QueryIdMax)
-    val corpus = e.filter(col("vec_id") >= QueryIdMax)
+    val queries = e.filter(col("vec_id") < queryIdMax)
+    val corpus = e.filter(col("vec_id") >= queryIdMax)
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("neighbor_id"))
     val pairs = corpus.as("c")
       .join(broadcast(queries.as("q")), col("q.bucket") === col("c.bucket"))
@@ -109,10 +111,11 @@ object SimilarityOps {
     * index (one row per (q_id, qv, qnrm, list_id), the query's `nProbe`
     * nearest lists by cosine — window over 16 broadcast centroids per
     * query, a handful of rows). */
-  private[graft] def queryProbeLists(s: SparkSession, d: String, nProbe: Int): DataFrame = {
+  private[graft] def queryProbeLists(s: SparkSession, d: String, nProbe: Int,
+      queryIdMax: Long = QueryIdMax): DataFrame = {
     val wProbe = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("list_id"))
     Tables.embeddings(s, d)
-      .filter(col("vec_id") < QueryIdMax)
+      .filter(col("vec_id") < queryIdMax)
       .select(col("vec_id"), toDouble(col("embedding")).as("v"))
       .withColumn("nrm", norm(col("v")))
       .join(broadcast(centroidTable(s)))
@@ -173,9 +176,9 @@ object SimilarityOps {
     * (q70c) instead of v against the raw books — same assignment kernel,
     * different WHAT. */
   private[graft] def codedCorpusSubs(s: SparkSession, d: String,
-      residual: Boolean = false): DataFrame =
+      residual: Boolean = false, queryIdMax: Long = QueryIdMax): DataFrame =
     codedSubsOf(s, Tables.embeddings(s, d)
-      .filter(col("vec_id") >= QueryIdMax)
+      .filter(col("vec_id") >= queryIdMax)
       .select(col("vec_id"), toDouble(col("embedding")).as("v")), residual)
 
   /** [[codedCorpusSubs]] over an arbitrary (vec_id, v) frame — the seam
@@ -251,12 +254,13 @@ object SimilarityOps {
     * index to the join, so hits are conditional counts and n_exact is the
     * distinct-neighbor count.
     */
-  def annRecall(s: SparkSession, d: String, k: Int = 3): DataFrame = {
-    val exact = knnBruteForce(s, d, k).select("q_id", "neighbor_id")
-    val idx = knnLsh(s, d, k).select("q_id", "neighbor_id").withColumn("src", lit("lsh"))
-      .unionByName(knnIvf(s, d, k).select("q_id", "neighbor_id").withColumn("src", lit("ivf")))
-      .unionByName(knnIvfPq(s, d, k).select("q_id", "neighbor_id").withColumn("src", lit("ivfpq")))
-      .unionByName(knnIvfPqResidual(s, d, k).select("q_id", "neighbor_id").withColumn("src", lit("ivfpq_res")))
+  def annRecall(s: SparkSession, d: String, k: Int = 3,
+      queryIdMax: Long = QueryIdMax): DataFrame = {
+    val exact = knnBruteForce(s, d, k, queryIdMax).select("q_id", "neighbor_id")
+    val idx = knnLsh(s, d, k, queryIdMax = queryIdMax).select("q_id", "neighbor_id").withColumn("src", lit("lsh"))
+      .unionByName(knnIvf(s, d, k, queryIdMax).select("q_id", "neighbor_id").withColumn("src", lit("ivf")))
+      .unionByName(knnIvfPq(s, d, k, queryIdMax).select("q_id", "neighbor_id").withColumn("src", lit("ivfpq")))
+      .unionByName(knnIvfPqResidual(s, d, k, queryIdMax).select("q_id", "neighbor_id").withColumn("src", lit("ivfpq_res")))
     exact.join(idx, Seq("q_id", "neighbor_id"), "left")
       .groupBy("q_id")
       .agg(
@@ -385,7 +389,8 @@ object SimilarityOps {
     adcRank(partials, k)
   }
 
-  def knnIvf(s: SparkSession, d: String, k: Int = 3): DataFrame = {
+  def knnIvf(s: SparkSession, d: String, k: Int = 3,
+      queryIdMax: Long = QueryIdMax): DataFrame = {
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), toDouble(col("embedding")).as("v"))
       .withColumn("nrm", norm(col("v")))
@@ -393,11 +398,11 @@ object SimilarityOps {
     // probe side: THE shared resolver (queryProbeLists — also what q70b
     // and the persisted index run), so a recall-dial or tie-break change
     // reaches every probing path at once
-    val queries = queryProbeLists(s, d, IvfProbes)
+    val queries = queryProbeLists(s, d, IvfProbes, queryIdMax)
     // corpus side (the one that scales): nearest-centroid argmax via
     // max_by — map-side partials, no per-vector sort; ties keep the
     // smallest list_id, matching the resolver's window tie-break
-    val corpus = e.filter(col("vec_id") >= QueryIdMax)
+    val corpus = e.filter(col("vec_id") >= queryIdMax)
       .join(broadcast(centroidTable(s)))
       .withColumn("csim", cosine(col("v"), col("cv"), col("nrm"), col("cnrm")))
       .groupBy(col("vec_id"))
@@ -434,16 +439,17 @@ object SimilarityOps {
     * order (q70's bit-reproducibility discipline), so ADC distances are
     * engine-exact against the oracle.
     */
-  def knnIvfPq(s: SparkSession, d: String, k: Int = 3): DataFrame = {
+  def knnIvfPq(s: SparkSession, d: String, k: Int = 3,
+      queryIdMax: Long = QueryIdMax): DataFrame = {
     val subDim = 8
     // query probes — THE shared resolver (also what the persisted index's
     // search collects driver-side)
-    val queryProbes = queryProbeLists(s, d, IvfProbes)
+    val queryProbes = queryProbeLists(s, d, IvfProbes, queryIdMax)
 
     // corpus coarse + code assignment comes from THE shared helper
     // (codedCorpusSubs — also what AnnIndexBuild persists); joining the
     // codebook back on (sub_idx, code) recovers the reconstruction
-    val recon = codedCorpusSubs(s, d)
+    val recon = codedCorpusSubs(s, d, queryIdMax = queryIdMax)
       .join(broadcast(codebookTable(s)), Seq("sub_idx", "code"))
       .select("vec_id", "list_id", "sub_idx", "cv")
 
@@ -483,11 +489,12 @@ object SimilarityOps {
     * is one zip_with subtraction per query x probed list (a handful of
     * rows) and per corpus vector at coding time.
     */
-  def knnIvfPqResidual(s: SparkSession, d: String, k: Int = 3): DataFrame = {
+  def knnIvfPqResidual(s: SparkSession, d: String, k: Int = 3,
+      queryIdMax: Long = QueryIdMax): DataFrame = {
     val subDim = 8
-    val queryProbes = queryProbeLists(s, d, IvfProbes)
+    val queryProbes = queryProbeLists(s, d, IvfProbes, queryIdMax)
 
-    val recon = codedCorpusSubs(s, d, residual = true)
+    val recon = codedCorpusSubs(s, d, residual = true, queryIdMax = queryIdMax)
       .join(broadcast(residualCodebookTable(s)), Seq("sub_idx", "code"))
       .select("vec_id", "list_id", "sub_idx", "cv")
 
