@@ -80,6 +80,26 @@ class PlanShapeSpec extends SparkSpec {
     assert(exchanges <= 1, s"manifest shuffles $exchanges times:\n$p")
   }
 
+  test("q21: sessionize rides ONE user_id shuffle — lag, flag, running sum, agg share it") {
+    val p = plan(RosbagDomainOps.sessionize(spark, sf))
+    // lag -> new-session flag -> running session id are all windows over
+    // user_id; the closing aggregation groups by (user_id, session);
+    // everything after the first hashpartitioning is partition-local
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges <= 1, s"sessionize shuffles $exchanges times:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
+  }
+
+  test("q26: as-of join is one user_id-partitioned merge — no cartesian, no per-row probe join") {
+    val p = plan(RosbagDomainOps.asofJoin(spark, sf))
+    // both event streams hash-partition by user_id and the as-of match
+    // resolves inside the partition (union + window, or a single
+    // partitioned join) — never a cross product or a nested-loop probe
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges <= 2, s"asof join shuffles $exchanges times:\n$p")
+  }
+
   test("q56: contamination is an inverted-index join on the shingle hash, no doc-by-doc compare") {
     val p = plan(CurationOps.contamination(spark, sf))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
