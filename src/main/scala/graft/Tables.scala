@@ -56,9 +56,21 @@ object Tables {
     * small/single-file input. A many-split corpus (the 100 TB case) already
     * parallelizes and no shuffle is added.
     */
-  def documentsScaled(s: SparkSession, d: String): DataFrame = {
-    val docs = documents(s, d)
-    if (docs.rdd.getNumPartitions < s.sparkContext.defaultParallelism)
-      docs.repartition(s.sparkContext.defaultParallelism) else docs
-  }
+  def documentsScaled(s: SparkSession, d: String): DataFrame =
+    spreadScan(s, documents(s, d))
+
+  /** `embeddings` under the same few-split guard: the embedding-dedup
+    * family verifies millions of candidate pairs with per-row cosines
+    * downstream of the scan, and a single-file input would run that work
+    * on one or two cores (measured at sf10: CPU/wall 1.26 on 32 cores —
+    * the blocked self-join's verify stage inherited the scan's 1-split
+    * parallelism). A many-split corpus (the 100 TB case) already
+    * parallelizes and no shuffle is added.
+    */
+  def embeddingsScaled(s: SparkSession, d: String): DataFrame =
+    spreadScan(s, embeddings(s, d))
+
+  private def spreadScan(s: SparkSession, df: DataFrame): DataFrame =
+    if (df.rdd.getNumPartitions < s.sparkContext.defaultParallelism)
+      df.repartition(s.sparkContext.defaultParallelism) else df
 }

@@ -606,11 +606,17 @@ object DedupOps {
 
   def embeddingNearDup(s: SparkSession, d: String, subBlockBits: Int = 0): DataFrame = {
     require(subBlockBits >= 0 && subBlockBits <= 16, s"subBlockBits in [0,16]; got $subBlockBits")
-    val base = Tables.embeddings(s, d)
+    val base = Tables.embeddingsScaled(s, d)
       .select(col("vec_id"), col("label"), toDouble(col("embedding")).as("v"))
       .withColumn("nrm", norm(col("v")))
     val e = base.withColumn("blk", signBlocks(col("v"), subBlockBits))
-    e.as("a").join(e.as("b"),
+    // shuffle_hash, NEVER broadcast: this is a self-join of the CORPUS —
+    // the one table that grows without bound. Catalyst's size estimate of
+    // the compressed parquet scan sits under the broadcast threshold at
+    // test SFs and would ship the whole vector table to every task; at
+    // 100 TB that plan is an OOM, and even locally the hash build of the
+    // full corpus serializes what the (label, blk) shuffle parallelizes.
+    e.as("a").hint("shuffle_hash").join(e.as("b"),
         col("a.label") === col("b.label") && col("a.blk") === col("b.blk") &&
           col("a.vec_id") < col("b.vec_id"))
       .withColumn("cos", cosine(col("a.v"), col("b.v"), col("a.nrm"), col("b.nrm")))
@@ -654,7 +660,7 @@ object DedupOps {
   def semanticDedup(s: SparkSession, d: String, threshold: Double = 0.3,
       subBlockBits: Int = 0): DataFrame =
     semanticDedupOf(s,
-      Tables.embeddings(s, d)
+      Tables.embeddingsScaled(s, d)
         .select(col("vec_id"), toDouble(col("embedding")).as("v"))
         .withColumn("nrm", norm(col("v"))),
       threshold, subBlockBits)
