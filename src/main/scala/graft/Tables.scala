@@ -70,7 +70,11 @@ object Tables {
   def embeddingsScaled(s: SparkSession, d: String): DataFrame =
     spreadScan(s, embeddings(s, d))
 
-  private def spreadScan(s: SparkSession, df: DataFrame): DataFrame =
+  /** The few-split guard itself (private[graft]): operators apply it to
+    * exactly the CORPUS side of a query — never to a pushed-filter query
+    * side, where the repartition would shuffle the whole table to keep a
+    * handful of rows. */
+  private[graft] def spreadScan(s: SparkSession, df: DataFrame): DataFrame =
     if (df.rdd.getNumPartitions < s.sparkContext.defaultParallelism)
       df.repartition(s.sparkContext.defaultParallelism) else df
 }

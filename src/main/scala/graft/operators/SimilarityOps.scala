@@ -23,7 +23,10 @@ object SimilarityOps {
       .select(col("vec_id"), toDouble(col("embedding")).as("v"))
       .withColumn("nrm", norm(col("v")))
     val queries = e.filter(col("vec_id") < queryIdMax)
-    val corpus = e.filter(col("vec_id") >= queryIdMax)
+    // few-split guard on the CORPUS side only: every corpus row pays a
+    // per-query cosine downstream of this scan, and a 1-split input would
+    // run all of it on one core (the query side keeps its pushed filter)
+    val corpus = Tables.spreadScan(s, e.filter(col("vec_id") >= queryIdMax))
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("neighbor_id"))
     corpus.as("c").join(broadcast(queries.as("q")))
       .withColumn("cos", cosine(col("q.v"), col("c.v"), col("q.nrm"), col("c.nrm")))
@@ -80,7 +83,7 @@ object SimilarityOps {
         else explode(array((0 until tables).map(t =>
           bucketOf(col("v"), t) + lit(t.toLong << 32)): _*)))
     val queries = e.filter(col("vec_id") < queryIdMax)
-    val corpus = e.filter(col("vec_id") >= queryIdMax)
+    val corpus = Tables.spreadScan(s, e.filter(col("vec_id") >= queryIdMax))
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("neighbor_id"))
     val pairs = corpus.as("c")
       .join(broadcast(queries.as("q")), col("q.bucket") === col("c.bucket"))
@@ -177,9 +180,9 @@ object SimilarityOps {
     * different WHAT. */
   private[graft] def codedCorpusSubs(s: SparkSession, d: String,
       residual: Boolean = false, queryIdMax: Long = QueryIdMax): DataFrame =
-    codedSubsOf(s, Tables.embeddings(s, d)
+    codedSubsOf(s, Tables.spreadScan(s, Tables.embeddings(s, d)
       .filter(col("vec_id") >= queryIdMax)
-      .select(col("vec_id"), toDouble(col("embedding")).as("v")), residual)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))), residual)
 
   /** [[codedCorpusSubs]] over an arbitrary (vec_id, v) frame — the seam
     * incremental index maintenance codes NEW arrivals through, so batch
@@ -225,7 +228,7 @@ object SimilarityOps {
     * one small aggregation.
     */
   def ivfListBalance(s: SparkSession, d: String): DataFrame = {
-    val e = Tables.embeddings(s, d)
+    val e = Tables.embeddingsScaled(s, d)
       .select(col("vec_id"), toDouble(col("embedding")).as("v"))
       .withColumn("nrm", norm(col("v")))
     // argmax via max_by (map-side partials; (csim, -list_id) is a total
@@ -294,7 +297,7 @@ object SimilarityOps {
   def pqStats(s: SparkSession, d: String): DataFrame = {
     val subDim = 8
     val books = codebookTable(s)
-    val subs = Tables.embeddings(s, d)
+    val subs = Tables.embeddingsScaled(s, d)
       .select(col("vec_id"), toDouble(col("embedding")).as("v"))
       .select(col("vec_id"), explode(array((0 until 8).map(sub =>
         struct(lit(sub.toLong).as("sub_idx"),
@@ -366,7 +369,7 @@ object SimilarityOps {
           slice(col("v"), sub * subDim + 1, subDim).as("sv"))): _*)).as("e"))
       .select(col("vec_id"), col("e.sub_idx").as("sub_idx"), col("e.sv").as("sv"))
     val e = Tables.embeddings(s, d)
-    val corpus = subsOf(e.filter(col("vec_id") >= QueryIdMax))
+    val corpus = subsOf(Tables.spreadScan(s, e.filter(col("vec_id") >= QueryIdMax)))
     val queries = subsOf(e.filter(col("vec_id") < QueryIdMax))
       .select(col("vec_id").as("q_id"), col("sub_idx"), col("sv").as("qsv"))
 
@@ -402,7 +405,7 @@ object SimilarityOps {
     // corpus side (the one that scales): nearest-centroid argmax via
     // max_by — map-side partials, no per-vector sort; ties keep the
     // smallest list_id, matching the resolver's window tie-break
-    val corpus = e.filter(col("vec_id") >= queryIdMax)
+    val corpus = Tables.spreadScan(s, e.filter(col("vec_id") >= queryIdMax))
       .join(broadcast(centroidTable(s)))
       .withColumn("csim", cosine(col("v"), col("cv"), col("nrm"), col("cnrm")))
       .groupBy(col("vec_id"))
