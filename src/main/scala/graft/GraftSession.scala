@@ -28,6 +28,14 @@ object GraftSession {
       // default change can silently disable it
       .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", (64 * 1024 * 1024).toString)
+      // scan-split sizing for the core count: the default 128 MB cuts a
+      // ~700 MB single-file table (events at the sf10 audit scale) into
+      // ~6 splits, so every pre-shuffle map stage (filters, per-row
+      // expressions feeding the first groupBy/window exchange) runs on 6
+      // of 32 cores (measured: q23 at CPU/wall 1.5). 32 MB keeps map
+      // stages core-saturated at audit scale and is a no-op on the small
+      // SFs; a real cluster sizes this against ITS executor count.
+      .config("spark.sql.files.maxPartitionBytes", (32 * 1024 * 1024).toString)
       .config("spark.sql.parquet.filterPushdown", "true")
       // The lake has shipped events.ts both as TIMESTAMP(NANOS) and as
       // timestamp[us]. This conf only affects nanos-typed files: it reads
