@@ -55,9 +55,22 @@ object Bench {
           val t0 = System.nanoTime()
           // a throwing query must kill the bench, not record a near-zero
           // "win": a swallowed failure ships a plan-breaking regression as
-          // an instant per-query improvement in the cross-round comparison
+          // an instant per-query improvement in the cross-round comparison.
+          // Before dying, emit ONE self-describing JSON line naming the
+          // query and the root error — the round-7 artifact was a raw
+          // stack fragment that never named the failing query, and the
+          // postmortem had to re-run every query to find it.
           try fn(spark, sfDir).count()
           catch { case e: Throwable =>
+            def rootOf(t: Throwable): Throwable =
+              if (t.getCause == null || (t.getCause eq t)) t else rootOf(t.getCause)
+            def j(x: String) = x.replace("\\", "\\\\").replace("\"", "\\\"")
+              .replace("\n", "\\n").replace("\r", "\\r").replace("\t", "\\t")
+            val root = rootOf(e)
+            val firstLine = Option(root.getMessage).getOrElse(root.getClass.getName)
+              .linesIterator.take(1).mkString
+            println(s"""{"metric":"bench_failure","failed_query":"${j(name)}",""" +
+              s""""error":"${j(firstLine)}","error_class":"${j(root.getClass.getName)}"}""")
             throw new RuntimeException(s"bench query $name failed", e) }
           val wall = (System.nanoTime() - t0) / 1e9
           val cpu = if (c0 < 0) -1.0 else (processCpuNs - c0) / 1e9
