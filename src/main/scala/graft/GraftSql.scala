@@ -14,16 +14,12 @@ object GraftSql {
       "lineitem", "events", "documents", "embeddings")
 
   /** Register every test-lake table as a temp view named after itself.
-    * `events` goes through [[Tables.events]] so SQL sees the engine-wide
-    * long-nanos `ts` convention regardless of the lake's physical type.
+    * Every view goes through [[Tables.byName]] so SQL sees the engine's
+    * normalized conventions (long-nanos `ts`, long-widened key columns)
+    * regardless of the lake's physical encoding.
     */
   def registerAll(spark: SparkSession, dir: String): Unit =
-    tables.foreach { t =>
-      val df =
-        if (t == "events") Tables.events(spark, dir)
-        else spark.read.parquet(s"$dir/$t.parquet")
-      df.createOrReplaceTempView(t)
-    }
+    tables.foreach(t => Tables.byName(spark, dir, t).createOrReplaceTempView(t))
 
   /** Convenience: register + run. */
   def sql(spark: SparkSession, dir: String, query: String): DataFrame = {

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType, TimestampNTZType, TimestampType}
 
 /** Typed loaders for the test-data lake (TESTDATA.md).
   *
@@ -11,8 +11,37 @@ import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
   * downstream is agnostic to that.
   */
 object Tables {
+  /** Key/count columns the engine reads with `getLong` driver-side and
+    * joins across tables: widened to LONG at load when the lake ships a
+    * narrower integral width (int32 ids would crash every collect site;
+    * widening an already-long column is a no-op, which is today's case).
+    * The same round-7 lesson as the `ts` convention: the lake's physical
+    * widths are driver-controlled and can change between rounds; the
+    * engine's conventions are enforced at the single load site.
+    */
+  private val LongCols: Map[String, Seq[String]] = Map(
+    "events"     -> Seq("event_id", "user_id"),
+    "documents"  -> Seq("doc_id", "n_chars"),
+    "embeddings" -> Seq("vec_id"),
+    "orders"     -> Seq("o_orderkey", "o_custkey"),
+    "lineitem"   -> Seq("l_orderkey", "l_partkey", "l_suppkey"),
+    "customer"   -> Seq("c_custkey", "c_nationkey"),
+    "supplier"   -> Seq("s_suppkey", "s_nationkey"),
+    "part"       -> Seq("p_partkey", "p_size"),
+    "nation"     -> Seq("n_nationkey", "n_regionkey"),
+    "region"     -> Seq("r_regionkey"))
+
+  private def widenIds(df: DataFrame, name: String): DataFrame =
+    LongCols.getOrElse(name, Nil).foldLeft(df) { (d, c) =>
+      d.schema.find(_.name == c).map(_.dataType) match {
+        case Some(ByteType) | Some(ShortType) | Some(IntegerType) =>
+          d.withColumn(c, col(c).cast(LongType))
+        case _ => d
+      }
+    }
+
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    widenIds(spark.read.parquet(s"$dir/$name.parquet"), name)
 
   def region(s: SparkSession, d: String): DataFrame     = t(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame     = t(s, d, "nation")
@@ -22,6 +51,11 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame     = t(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = t(s, d, "lineitem")
   def events(s: SparkSession, d: String): DataFrame     = normalizeTs(t(s, d, "events"))
+
+  /** Loader by table name — GraftSql's views route through this so SQL
+    * sees the same normalized conventions as the DataFrame surface. */
+  def byName(s: SparkSession, d: String, name: String): DataFrame =
+    if (name == "events") events(s, d) else t(s, d, name)
 
   /** Engine-wide `ts` convention: epoch-nanoseconds as LONG.
     *

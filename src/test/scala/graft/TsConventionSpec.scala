@@ -65,6 +65,28 @@ class TsConventionSpec extends SparkSpec {
     }
   }
 
+  test("narrow-typed lake (int32 ids, float64 embeddings): conventions still hold") {
+    // the same driver-controlled drift as the ts encoding, one axis over:
+    // key/count columns shipped at a narrower integral width, embeddings
+    // shipped as double instead of float. Loaders widen ids to LONG at
+    // the single load site; toDouble at use sites is width-agnostic.
+    val dir = fixture("narrow")
+    for ((t, cols) <- Seq(
+        "events" -> Seq("event_id", "user_id", "ts"),
+        "documents" -> Seq("doc_id", "n_chars"),
+        "embeddings" -> Seq("vec_id"))) {
+      val df = Tables.byName(spark, dir, t)
+      cols.foreach(c => assert(df.schema(c).dataType === LongType, s"$t.$c not LONG"))
+    }
+    // one representative per family runs end-to-end, incl. driver-side
+    // getLong collect paths (q71's interp align collects measurement rows)
+    for (q <- Seq("q21_sessionize", "q71_interp_align", "q40_dedup_exact",
+        "q47_langid", "q45_knn_bruteforce", "q51_embed_stats")) {
+      val rows = SparkEntry.queries(q)(spark, dir).collect()
+      assert(rows.nonEmpty, s"$q returned nothing on the narrow lake")
+    }
+  }
+
   test("an unsupported ts physical type fails loudly, not silently") {
     import spark.implicits._
     val bad = Seq(("x", 1.5)).toDF("event_id", "ts")
