@@ -59,6 +59,18 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p44b.contains("CartesianProduct"), p44b)
   }
 
+  test("q44: the corpus self-join shuffles on (label, blk) — NEVER broadcasts the corpus") {
+    // Catalyst's compressed-scan estimate sits under the broadcast
+    // threshold at test SFs and would ship the whole vector table to
+    // every task — an OOM at 100 TB. The shuffle_hash hint must hold.
+    for (bits <- Seq(0, 8)) {
+      val p = plan(DedupOps.embeddingNearDup(spark, sf, subBlockBits = bits))
+      assert(!p.contains("BroadcastHashJoin") && !p.contains("BroadcastNestedLoopJoin"),
+        s"bits=$bits: corpus self-join broadcasts\n$p")
+      assert(p.contains("ShuffledHashJoin") || p.contains("SortMergeJoin"), p)
+    }
+  }
+
   test("q69: the 128-row codebook broadcasts; assignment stays map-side") {
     val p = plan(SimilarityOps.pqStats(spark, sf))
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p)
