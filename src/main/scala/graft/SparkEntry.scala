@@ -95,6 +95,7 @@ object SparkEntry {
     "q86_dedup_recall"    -> (DedupOps.dedupRecall _),
     "q42b_minhash_est"    -> (DedupOps.minhashEst _),
     "q66_label_centroids" -> (TextAnalysisOps.labelCentroids _),
+    "q87_bpe_pairs"       -> ((s: SparkSession, d: String) => TextAnalysisOps.bpePairs(s, d)),
     "q67_semantic_dedup"  -> ((s: SparkSession, d: String) => DedupOps.semanticDedup(s, d)),
     "q68_ann_recall"      -> ((s: SparkSession, d: String) => SimilarityOps.annRecall(s, d)),
     "q68b_ann_recall_wide" -> ((s: SparkSession, d: String) => SimilarityOps.annRecall(s, d, queryIdMax = 300)),
@@ -1254,6 +1255,16 @@ object SparkEntry {
          |  CAST(COUNT(*) AS BIGINT) AS n_vectors,
          |  ${A("x")} AS mean_x
          |FROM u GROUP BY label, dim_idx ORDER BY label, dim_idx""".stripMargin,
+
+    // BPE merge-candidate statistics: adjacent char-pair counts within
+    // whitespace tokens, deterministic (count DESC, pair ASC) top-50
+    "q87_bpe_pairs" ->
+      """WITH words AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+        |pairs AS (SELECT unnest(list_transform(range(1, length(w)), i -> substr(w, CAST(i AS INT), 2))) AS pair
+        |          FROM words WHERE length(w) >= 2)
+        |SELECT pair, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM pairs GROUP BY pair
+        |ORDER BY n DESC, pair LIMIT 50""".stripMargin,
 
     // duplicated 8-token-run coverage per doc (exact-substring dedup signal)
     "q65_dup_runs" ->

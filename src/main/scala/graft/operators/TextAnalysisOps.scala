@@ -137,6 +137,33 @@ object TextAnalysisOps {
         max(col("nrm")).as("max_norm"))
       .orderBy("label")
 
+  /** q87 — BPE merge-candidate statistics: corpus-wide counts of adjacent
+    * character pairs within whitespace tokens, top-k by count — the
+    * per-iteration signal a byte-pair-encoding tokenizer trainer
+    * maximizes (Sennrich et al. 2016, arXiv:1508.07909: each merge step
+    * promotes the most frequent adjacent symbol pair). One distributed
+    * iteration of the inner loop, the piece that must see the WHOLE
+    * corpus; the sequential merge loop around it is driver-side and
+    * k-bounded by construction.
+    *
+    * Scale shape: token explode and the per-word pair transform are
+    * map-side; the only shuffle is the pair-count aggregation, whose
+    * group count is bounded by charset² regardless of corpus size (ideal
+    * partial aggregation); top-k is TakeOrdered — no global sort.
+    * Deterministic (count DESC, pair ASC) ranking so the boundary of the
+    * top-k cut is engine-exact.
+    */
+  def bpePairs(s: SparkSession, d: String, k: Int = 50): DataFrame =
+    Tables.documentsScaled(s, d)
+      .select(explode(tokens(col("text"))).as("w"))
+      .filter(length(col("w")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")).as("pair"))
+      .groupBy("pair")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(k)
+
   /** q66 — per-label mean embedding (class prototype/centroid vectors, long
     * format): the per-dimension averages go through the exact-decimal
     * carrier so the centroid is bit-identical under any partitioning —

@@ -581,6 +581,31 @@ class LlmOpsSpec extends SparkSpec {
     assert(ivf.forall { case (q, n) => n >= 10 && q < 10 })
   }
 
+  test("q87 bpe pairs: matches a driver-side recompute; ranking deterministic") {
+    import spark.implicits._
+    // independent recompute on a tiny corpus written as a lake dir
+    val tmp = java.nio.file.Files.createTempDirectory("bpe").toString
+    val texts = Seq("the there then", "banana bandana", "a bb the")
+    texts.zipWithIndex.map { case (t, i) => (i.toLong, t, "en", "web", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$tmp/documents.parquet")
+    val expected = texts.flatMap(_.split(" ")).filter(_.length >= 2)
+      .flatMap(w => w.sliding(2))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = TextAnalysisOps.bpePairs(spark, tmp).collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    assert(got.toMap === expected.toSeq.sortBy { case (p, n) => (-n, p) }.take(50).toMap)
+    // "an" (banana+bandana), "th"/"he" (the-family) all count 4; the
+    // (n DESC, pair ASC) tie-break puts "an" first — the boundary rule
+    // that keeps the top-k cut engine-exact
+    assert(got.head === ("an" -> 4L))
+    // ranking is (n DESC, pair ASC) — a total order, so repeat runs agree
+    assert(got.toSeq === got.toSeq.sortBy { case (p, n) => (-n, p) })
+    // and on the real lake: top-k bound respected, counts positive
+    val lake = TextAnalysisOps.bpePairs(spark, sf).collect()
+    assert(lake.length <= 50 && lake.forall(_.getLong(1) > 0))
+  }
+
   test("q47 langid emits only known labels") {
     val labels = TextAnalysisOps.langId(spark, sf)
       .select("lang_pred").distinct().collect().map(_.getString(0)).toSet
