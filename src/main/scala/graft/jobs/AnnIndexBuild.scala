@@ -89,15 +89,41 @@ object AnnIndexBuild {
   private def checkCodingMarker(s: SparkSession, indexDir: String, residual: Boolean): Unit = {
     val path = new org.apache.hadoop.fs.Path(indexDir, "_coding")
     val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (fs.exists(path)) {
-      val in = fs.open(path)
-      val stored = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-        finally in.close()
-      require(stored == codingName(residual),
-        s"index $indexDir was built with $stored coding; searched as ${codingName(residual)} " +
-          "— ADC scores would rank against the wrong reconstruction")
-    }
+    // a MISSING marker fails too (advisor finding, round 8): every build
+    // writes one, so its absence means this is not a directory this tool
+    // built (or the marker was deleted) — scoring against guessed
+    // reconstruction semantics is exactly the silent mis-ranking the
+    // marker exists to prevent
+    require(fs.exists(path),
+      s"index $indexDir carries no _coding marker — not an index directory " +
+        "written by AnnIndexBuild.build (or the marker was deleted); refusing " +
+        "to guess whether its codes are raw or residual")
+    val in = fs.open(path)
+    val stored = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+    require(stored == codingName(residual),
+      s"index $indexDir was built with $stored coding; searched as ${codingName(residual)} " +
+        "— ADC scores would rank against the wrong reconstruction")
   }
+
+  /** Table-property key recording a versioned index's coding — the same
+    * invariant the directory `_coding` marker pins, but carried in each
+    * snapshot's manifest (SnapshotLake propagates properties across
+    * append/rewrite/compaction commits, so a tombstone fold can't strip
+    * it), and validated per pinned VERSION: a v1 built raw stays
+    * searchable as raw after a residual v2 rebuild overwrites the table. */
+  private val CodingProp = "coding"
+
+  private def checkVersionedCoding(s: SparkSession, table: String,
+      version: Option[Long], residual: Boolean): Unit =
+    SnapshotLake.propsOf(s, table, version).get(CodingProp) match {
+      case Some(stored) => require(stored == codingName(residual),
+        s"index table $table (version ${version.map(_.toString).getOrElse("latest")}) " +
+          s"was committed with $stored coding; searched as ${codingName(residual)} " +
+          "— ADC scores would rank against the wrong reconstruction")
+      case None => log.warn(s"index table $table carries no '$CodingProp' property " +
+        s"(committed by an older writer?) — cannot verify ${codingName(residual)} coding")
+    }
 
   /** One pass over the corpus embeddings -> the partitioned code table. */
   def build(s: SparkSession, sfDir: String, out: String, residual: Boolean = false): Unit = {
@@ -114,7 +140,8 @@ object AnnIndexBuild {
       residual: Boolean = false): Long =
     SnapshotLake.commitOverwrite(s, table,
       codedTable(s, sfDir, residual).repartition(col("list_id")).sortWithinPartitions("list_id"),
-      statsCol = Some("list_id"))
+      statsCol = Some("list_id"),
+      props = Map(CodingProp -> codingName(residual)))
 
   /** Incremental maintenance: code a batch of NEW vectors — (vec_id,
     * embedding) rows, e.g. a day's arrivals — through the same shared
@@ -138,6 +165,10 @@ object AnnIndexBuild {
     * half-updates). */
   def appendVersioned(s: SparkSession, newVectors: DataFrame, table: String,
       residual: Boolean = false): Long = {
+    // appending raw codes into a residual table (or vice versa) corrupts
+    // ranks exactly like a cross-coded search — validate BEFORE coding
+    if (SnapshotLake.latestVersionOf(s, table).nonEmpty)
+      checkVersionedCoding(s, table, None, residual)
     val fresh = newIdsOnly(s, newVectors, table)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -147,7 +178,8 @@ object AnnIndexBuild {
           .getOrElse(sys.error(s"appendVersioned: empty batch on empty table $table"))
       } else
         SnapshotLake.commitAppend(s, table, codedBatch(s, fresh, residual),
-          statsCol = Some("list_id"))
+          statsCol = Some("list_id"),
+          props = Map(CodingProp -> codingName(residual)))
     } finally { fresh.unpersist(blocking = false); () }
   }
 
@@ -209,9 +241,13 @@ object AnnIndexBuild {
           // a batch the guard empties (full redelivery, or an empty
           // source micro-batch) publishes nothing — no version burn, no
           // empty scan-always file accreting into every manifest
-          if (!fresh.isEmpty)
+          if (!fresh.isEmpty) {
+            if (SnapshotLake.latestVersionOf(s, table).nonEmpty)
+              checkVersionedCoding(s, table, None, residual)
             SnapshotLake.commitStreamBatch(s, table, codedBatch(s, fresh, residual), batchId,
-              statsCol = Some("list_id"))
+              statsCol = Some("list_id"),
+              props = Map(CodingProp -> codingName(residual)))
+          }
         } finally { fresh.unpersist(blocking = false); () }
         ()
       }
@@ -361,10 +397,16 @@ object AnnIndexBuild {
   def searchVersioned(s: SparkSession, table: String, sfDir: String,
       k: Int = 3, nProbe: Int = SimilarityOps.IvfProbes,
       version: Option[Long] = None, residual: Boolean = false): DataFrame = {
+    // resolve the version ONCE so the coding check and the data read see
+    // the same snapshot (version=None checked then read could straddle a
+    // concurrent rebuild), then validate the snapshot's coding property
+    val pinned = version.orElse(SnapshotLake.latestVersionOf(s, table))
+    require(pinned.nonEmpty, s"no snapshots at $table")
+    checkVersionedCoding(s, table, pinned, residual)
     val (probes, lutRows) = probeAndLut(s, sfDir, nProbe, residual)
     if (probes.isEmpty) return emptyResult(s)
     val rows = SnapshotLake.readRangeIn(s, table, "list_id",
-      probes.map(_._2).distinct.sorted :+ TombstoneListId, version)
+      probes.map(_._2).distinct.sorted :+ TombstoneListId, pinned)
     val tomb = rows.filter(col("list_id") === TombstoneListId).select("vec_id")
     val codes = rows.filter(col("list_id") =!= TombstoneListId)
       .join(tomb, Seq("vec_id"), "left_anti")

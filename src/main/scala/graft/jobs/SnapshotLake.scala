@@ -200,14 +200,52 @@ object SnapshotLake {
   private val statsHeader = "#stats="
   private val statsKindHeader = "#statskind=" // absent = long (the original format)
   private val batchHeader = "#batchid="
+  private val propHeader = "#prop:" // "#prop:key=value" — per-version table properties
+
+  /** Encode caller-supplied table properties as manifest headers. Keys and
+    * values live on one manifest line each, so newlines are structurally
+    * impossible and '=' may not appear in the key (it delimits). */
+  private def propHeaders(props: Map[String, String]): Seq[String] = {
+    props.foreach { case (k, v) =>
+      require(k.nonEmpty && !k.contains('=') && !k.contains('\n') && !v.contains('\n'),
+        s"table property key/value must be newline-free and the key '='-free: '$k' -> '$v'")
+    }
+    props.toSeq.sortBy(_._1).map { case (k, v) => s"$propHeader$k=$v" }
+  }
+
+  private def parseProps(headers: Seq[String]): Map[String, String] =
+    headers.collect {
+      case h if h.startsWith(propHeader) =>
+        val kv = h.stripPrefix(propHeader)
+        val i = kv.indexOf('=')
+        kv.take(i) -> kv.drop(i + 1)
+    }.toMap
+
+  /** The table properties of a snapshot (`version = None` -> latest):
+    * commit-time key/value metadata carried in the manifest — what the
+    * table's bytes MEAN (e.g. the ANN index's PQ coding). Properties
+    * persist across commits: [[publish]] carries the base snapshot's
+    * properties forward unless the new commit overrides the same key, so
+    * compaction/rewrite/append can never silently strip them. */
+  def propsOf(spark: SparkSession, table: String, version: Option[Long] = None): Map[String, String] = {
+    val (fs, root) = fsOf(spark, table)
+    val v = version.getOrElse(latestVersion(fs, root)
+      .getOrElse(sys.error(s"no snapshots at $table")))
+    version.foreach(v => require(fs.exists(manifestPath(root, v)), s"version $v not published at $table"))
+    parseProps(readManifestRaw(fs, root, v)._1)
+  }
+
+  private def specOf(headers: Seq[String]): Option[StatsSpec] = {
+    val col = headers.collectFirst { case h if h.startsWith(statsHeader) => h.stripPrefix(statsHeader) }
+    val kind =
+      if (headers.contains(statsKindHeader + "string")) StatsKind.Strings else StatsKind.Longs
+    col.map(StatsSpec(_, kind))
+  }
 
   /** (stats spec, file entries) of a manifest. */
   private def readManifest(fs: FileSystem, root: Path, v: Long): (Option[StatsSpec], Seq[FileEntry]) = {
     val (headers, entries) = readManifestRaw(fs, root, v)
-    val col = headers.collectFirst { case h if h.startsWith(statsHeader) => h.stripPrefix(statsHeader) }
-    val kind =
-      if (headers.contains(statsKindHeader + "string")) StatsKind.Strings else StatsKind.Longs
-    (col.map(StatsSpec(_, kind)), entries)
+    (specOf(headers), entries)
   }
 
   private def statsHeaders(spec: Option[StatsSpec]): Seq[String] =
@@ -509,10 +547,16 @@ object SnapshotLake {
       } else {
         attempt += 1
         val target = latest + 1
-        val (baseSpec, base) =
-          if (latest == 0L) (None, Nil) else readManifest(fs, root, latest)
-        val (outSpec, manifest) = merge(baseSpec, base)
-        val lines = statsHeaders(outSpec) ++ extraHeaders ++ manifest.map(_.line)
+        val (baseHeaders, base) =
+          if (latest == 0L) (Seq.empty[String], Seq.empty[FileEntry])
+          else readManifestRaw(fs, root, latest)
+        val (outSpec, manifest) = merge(specOf(baseHeaders), base)
+        // table properties survive every commit kind (append, overwrite,
+        // rewrite, compaction, stream batch): carry the base snapshot's
+        // #prop: headers forward, new values for the same key override
+        val overridden = parseProps(extraHeaders).keySet
+        val carried = propHeaders(parseProps(baseHeaders) -- overridden)
+        val lines = statsHeaders(outSpec) ++ carried ++ extraHeaders ++ manifest.map(_.line)
         if (createExclusive(fs, claimPath(root, target))) {
           // claim won. Claim files are PERMANENT once their manifest
           // publishes: deleting them would re-open the version slot for a
@@ -594,7 +638,8 @@ object SnapshotLake {
     else None
 
   def commitAppend(spark: SparkSession, table: String, df: DataFrame,
-                   statsCol: Option[String] = None): Long = {
+                   statsCol: Option[String] = None,
+                   props: Map[String, String] = Map.empty): Long = {
     requireAtomicClaims(table)
     val (fs, root) = fsOf(spark, table)
     requireAtomicClaims(fs)
@@ -602,7 +647,7 @@ object SnapshotLake {
     try
       publish(fs, root, { (baseSpec, base) =>
         (mergedSpec(baseSpec, base, freshSpec, statsCol), base ++ fresh)
-      })
+      }, extraHeaders = propHeaders(props))
     catch { case e: Throwable => deleteStagedQuietly(fs, dataDir); throw e }
   }
 
@@ -610,12 +655,13 @@ object SnapshotLake {
     * disk for time travel until [[expire]] drops the versions naming them.
     * Filesystem contract: see [[commitAppend]]. */
   def commitOverwrite(spark: SparkSession, table: String, df: DataFrame,
-                      statsCol: Option[String] = None): Long = {
+                      statsCol: Option[String] = None,
+                      props: Map[String, String] = Map.empty): Long = {
     requireAtomicClaims(table)
     val (fs, root) = fsOf(spark, table)
     requireAtomicClaims(fs)
     val (dataDir, fresh, freshSpec) = stage(spark, fs, root, df, statsCol)
-    try publish(fs, root, (_, _) => (freshSpec, fresh))
+    try publish(fs, root, (_, _) => (freshSpec, fresh), extraHeaders = propHeaders(props))
     catch { case e: Throwable => deleteStagedQuietly(fs, dataDir); throw e }
   }
 
@@ -709,7 +755,8 @@ object SnapshotLake {
     * foreign commits between the failure and the retry are the standard
     * foreachBatch caveat and out of scope. */
   def commitStreamBatch(spark: SparkSession, table: String, df: DataFrame,
-                        batchId: Long, statsCol: Option[String] = None): Long = {
+                        batchId: Long, statsCol: Option[String] = None,
+                        props: Map[String, String] = Map.empty): Long = {
     requireAtomicClaims(table)
     val (fs, root) = fsOf(spark, table)
     requireAtomicClaims(fs)
@@ -721,7 +768,7 @@ object SnapshotLake {
     try
       publish(fs, root, { (baseSpec, base) =>
         (mergedSpec(baseSpec, base, freshSpec, statsCol), base ++ fresh)
-      }, extraHeaders = Seq(batchHeader + batchId))
+      }, extraHeaders = Seq(batchHeader + batchId) ++ propHeaders(props))
     catch { case e: Throwable => deleteStagedQuietly(fs, dataDir); throw e }
   }
 

@@ -597,11 +597,22 @@ object DedupOps {
     * re-derives a dial ~3.3 bits higher and keeps per-block pair volume
     * constant, with no human re-tuning the constant.
     */
+  /** max over zero groups is NULL — an empty embeddings table must pick a
+    * dial, not NPE. The DuckDB oracles' COALESCE(MIN(b), 16) yields 16
+    * in that case (no b satisfies a NULL predicate), so the Scala side
+    * mirrors 16 exactly; on an empty corpus every dial produces the same
+    * empty pair set, but the dial VALUES staying equal keeps the
+    * oracle-vs-engine choice from ever diverging. */
+  private def maxPopOf(agged: DataFrame): Option[Long] = {
+    val row = agged.head
+    if (row.isNullAt(0)) None else Some(row.getLong(0))
+  }
+
   def embeddingNearDupAuto(s: SparkSession, d: String, targetPop: Long = 32): DataFrame = {
-    val maxPop = Tables.embeddings(s, d)
+    val maxPop = maxPopOf(Tables.embeddings(s, d)
       .groupBy("label").agg(count(lit(1)).as("cnt"))
-      .agg(max("cnt")).head.getLong(0)
-    embeddingNearDup(s, d, autoBits(maxPop, targetPop))
+      .agg(max("cnt")))
+    embeddingNearDup(s, d, maxPop.map(autoBits(_, targetPop)).getOrElse(16))
   }
 
   def embeddingNearDup(s: SparkSession, d: String, subBlockBits: Int = 0): DataFrame = {
@@ -652,9 +663,8 @@ object DedupOps {
     */
   def semanticDedupAuto(s: SparkSession, d: String, threshold: Double = 0.3,
       targetPop: Long = 32): DataFrame = {
-    val maxPop = SimilarityOps.ivfListBalance(s, d)
-      .agg(max("n_vectors")).head.getLong(0)
-    semanticDedup(s, d, threshold, autoBits(maxPop, targetPop))
+    val maxPop = maxPopOf(SimilarityOps.ivfListBalance(s, d).agg(max("n_vectors")))
+    semanticDedup(s, d, threshold, maxPop.map(autoBits(_, targetPop)).getOrElse(16))
   }
 
   def semanticDedup(s: SparkSession, d: String, threshold: Double = 0.3,

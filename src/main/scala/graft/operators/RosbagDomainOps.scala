@@ -24,15 +24,22 @@ object RosbagDomainOps {
   private def iso(ts: Column, fmt: String = "yyyy-MM-dd'T'HH:mm:ss"): Column =
     date_format(timestamp_micros(call_function("div", ts, lit(1000L))), fmt)
 
-  /** Epoch-day number of a long-nanos ts (codegen'd integer division) —
+  /** Epoch-day number of a long-nanos ts (codegen'd integer arithmetic) —
     * the grouping key day-bucketed aggregates use so the expensive
     * per-row date STRING format runs once per OUTPUT group instead
-    * (UTC session: same buckets either way). */
-  private def dayNum(ts: Column): Column =
-    call_function("div", ts, lit(86_400_000_000_000L))
+    * (UTC session: same buckets either way). FLOOR division, not `div`'s
+    * truncation toward zero: a pre-1970 ts (negative nanos) must land on
+    * its calendar day (ts=-1ns → 1969-12-31), matching what the
+    * date_format path and the DuckDB oracle would compute — pmod's
+    * non-negative remainder makes the subtraction exactly divisible, so
+    * the whole thing stays exact int64 (no float log anywhere). */
+  private[graft] def dayNum(ts: Column): Column = {
+    val day = lit(86_400_000_000_000L)
+    call_function("div", ts - pmod(ts, day), day)
+  }
 
   /** The "yyyy-MM-dd" string of an epoch-day number. */
-  private def dayStr(dayn: Column): Column =
+  private[graft] def dayStr(dayn: Column): Column =
     date_format(timestamp_micros(dayn * lit(86_400_000_000L)), "yyyy-MM-dd")
 
   /** q20 — per-camera frame index: monotonically numbered frames + ISO time

@@ -72,6 +72,38 @@ class AnnIndexSpec extends SparkSpec {
     val e2 = intercept[IllegalArgumentException](
       AnnIndexBuild.search(spark, idx, sf, residual = true))
     assert(e2.getMessage.contains("raw"))
+    // ... and a MISSING marker fails too (advisor finding): an index dir
+    // this tool didn't write must not be scored with guessed semantics
+    val fs = new org.apache.hadoop.fs.Path(out).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(out, "_coding"), false)
+    val e3 = intercept[IllegalArgumentException](
+      AnnIndexBuild.search(spark, out, sf, residual = true))
+    assert(e3.getMessage.contains("_coding"))
+  }
+
+  test("versioned coding guard: cross-coded search/append fail; pinned versions keep their own coding") {
+    val table = java.nio.file.Files.createTempDirectory("anncoding").toString
+    val v1 = AnnIndexBuild.buildVersioned(spark, sf, table) // raw
+    // cross-coded search fails on the manifest property, before any scan
+    val e = intercept[IllegalArgumentException](
+      AnnIndexBuild.searchVersioned(spark, table, sf, residual = true))
+    assert(e.getMessage.contains("raw"))
+    // cross-coded APPEND fails the same way (raw codes mixed into a
+    // residual table would corrupt ranks exactly like a cross-coded read)
+    val e2 = intercept[IllegalArgumentException](AnnIndexBuild.appendVersioned(spark,
+      Tables.embeddings(spark, sf).limit(5), table, residual = true))
+    assert(e2.getMessage.contains("raw"))
+    // a residual v2 rebuild flips the table's coding; v1 pinned stays raw
+    val v2 = AnnIndexBuild.buildVersioned(spark, sf, table, residual = true)
+    assert(AnnIndexBuild.searchVersioned(spark, table, sf, residual = true).collect().toSeq
+      === SimilarityOps.knnIvfPqResidual(spark, sf).collect().toSeq)
+    val e3 = intercept[IllegalArgumentException](
+      AnnIndexBuild.searchVersioned(spark, table, sf, version = Some(v1), residual = true))
+    assert(e3.getMessage.contains("raw"))
+    assert(AnnIndexBuild.searchVersioned(spark, table, sf, version = Some(v1)).collect().toSeq
+      === SimilarityOps.knnIvfPq(spark, sf).collect().toSeq)
+    assert(v2 === v1 + 1)
   }
 
   test("residual versioned index: append + search match the residual recompute") {

@@ -405,6 +405,41 @@ class SnapshotLakeSpec extends SparkSpec {
     }
   }
 
+  test("table properties: set on commit, carried across every commit kind, per-version") {
+    val t = freshTable()
+    SnapshotLake.commitOverwrite(spark, t, batch(0, 10), statsCol = Some("id"),
+      props = Map("coding" -> "raw", "owner" -> "graft"))
+    assert(SnapshotLake.propsOf(spark, t) === Map("coding" -> "raw", "owner" -> "graft"))
+    // append WITHOUT props: base properties carry forward (a tombstone
+    // append must not strip the index's coding)
+    SnapshotLake.commitAppend(spark, t, batch(10, 15), statsCol = Some("id"))
+    assert(SnapshotLake.propsOf(spark, t) === Map("coding" -> "raw", "owner" -> "graft"))
+    // rewrite + compaction preserve them too (publish-level carry, not
+    // caller cooperation)
+    assert(SnapshotLake.commitRewrite(spark, t, df => df.filter(col("id") < 12)).nonEmpty)
+    assert(SnapshotLake.propsOf(spark, t) === Map("coding" -> "raw", "owner" -> "graft"))
+    SnapshotLake.commitCompacted(spark, t)
+    assert(SnapshotLake.propsOf(spark, t) === Map("coding" -> "raw", "owner" -> "graft"))
+    // stream batches as well
+    SnapshotLake.commitStreamBatch(spark, t, batch(20, 22), batchId = 7L)
+    assert(SnapshotLake.propsOf(spark, t) === Map("coding" -> "raw", "owner" -> "graft"))
+    // override replaces ONE key, keeps the rest; old versions still carry
+    // what they were committed with (time travel reads v1's properties)
+    val vLast = SnapshotLake.commitOverwrite(spark, t, batch(0, 5),
+      props = Map("coding" -> "residual"))
+    assert(SnapshotLake.propsOf(spark, t, Some(vLast)) ===
+      Map("coding" -> "residual", "owner" -> "graft"))
+    assert(SnapshotLake.propsOf(spark, t, Some(1L)) ===
+      Map("coding" -> "raw", "owner" -> "graft"))
+    // malformed keys/values rejected up front
+    intercept[IllegalArgumentException] {
+      SnapshotLake.commitAppend(spark, t, batch(0, 1), props = Map("a=b" -> "x"))
+    }
+    intercept[IllegalArgumentException] {
+      SnapshotLake.commitAppend(spark, t, batch(0, 1), props = Map("k" -> "a\nb"))
+    }
+  }
+
   test("a staged-but-unpublished write is invisible to readers") {
     val t = freshTable()
     SnapshotLake.commitAppend(spark, t, batch(0, 10))

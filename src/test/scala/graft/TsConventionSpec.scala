@@ -108,4 +108,29 @@ class TsConventionSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException](Tables.normalizeTs(bad))
     assert(e.getMessage.contains("unsupported physical type"))
   }
+
+  test("day bucketing FLOORS: pre-1970 nanos land on their calendar day") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val day = 86_400_000_000_000L
+    // -1ns is 1969-12-31T23:59:59.999999999 — truncating `div` would
+    // bucket it to day 0 (1970-01-01); floor division must not (advisor
+    // finding, round 8: the date_format path and the DuckDB oracle both
+    // floor)
+    val rows = Seq(-1L, -day, -day - 1L, 0L, 1L, day - 1L, day, 1704067200L * 1_000_000_000L)
+      .toDF("ts")
+      .select(col("ts"),
+        operators.RosbagDomainOps.dayNum(col("ts")).as("dayn"))
+      .withColumn("day", operators.RosbagDomainOps.dayStr(col("dayn")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    assert(rows === Seq(
+      (-1L, -1L, "1969-12-31"),
+      (-day, -1L, "1969-12-31"),
+      (-day - 1L, -2L, "1969-12-30"),
+      (0L, 0L, "1970-01-01"),
+      (1L, 0L, "1970-01-01"),
+      (day - 1L, 0L, "1970-01-01"),
+      (day, 1L, "1970-01-02"),
+      (1704067200L * 1_000_000_000L, 19723L, "2024-01-01")))
+  }
 }
