@@ -59,7 +59,13 @@ object CorpusPrep {
       nearDup: Boolean = true,
       semantic: Boolean = false,
       semanticThreshold: Double = 0.3,
-      semanticSubBlockBits: Int = 0,
+      // None = MEASURE the dial (DedupOps.autoSemanticBitsOf over the
+      // surviving frontier's embeddings — one cheap aggregation). The
+      // previous fixed default of 0 was the unblocked q67 shape, measured
+      // 129× wall for 10× data at sf10: a production job must never ship
+      // the scale-killer configuration as its default. Some(n) pins an
+      // explicit dial (0 = unblocked, for small/sparse corpora).
+      semanticSubBlockBits: Option[Int] = None,
       decontaminate: Boolean = false,
       decontaminateNgram: Int = 13,
       spanCut: Boolean = false,
@@ -148,18 +154,27 @@ object CorpusPrep {
     // keeps its smallest surviving member instead of vanishing entirely.
     // Drop-list discovery is cluster-bounded under the frozen quantizer
     // (q67's shape); applying it is one anti-join on doc_id.
+    var semanticBitsUsed = -1L // recorded in the stats table for auditability
     val semKept = if (!cfg.semantic) kept else {
       val emb = graft.Tables.embeddings(spark, sfDir)
         .select(col("vec_id"),
           graft.functions.VectorFunctions.toDouble(col("embedding")).as("v"))
         .withColumn("nrm", graft.functions.VectorFunctions.norm(col("v")))
         .join(kept.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi")
-      // semanticSubBlockBits is the q67b density dial: at corpus scales
-      // where per-cluster populations make within-cluster pairs quadratic,
-      // set bits ~ log2(pop/target) — identical embeddings share every
-      // sign block, so exact semantic duplicates can never escape
-      val drops = DedupOps.semanticDedupOf(spark, emb, cfg.semanticThreshold,
-          cfg.semanticSubBlockBits)
+      // the q67b/q67c density dial: identical embeddings share every sign
+      // block, so exact semantic duplicates can never escape a block
+      // boundary. By DEFAULT the dial is MEASURED from this frontier's
+      // dominant-cluster population (autoSemanticBitsOf — one broadcast-
+      // assign aggregation over the exact frame the quadratic stage is
+      // about to pair up; q67c's design — the extra linear pass is the
+      // price of keeping the quadratic stage from growing at all), so
+      // per-cluster pair volume stays bounded at any corpus size with no
+      // hand-tuned constant. An explicit Config value overrides for
+      // pinned-dial runs (0 = unblocked, for small/sparse corpora).
+      val bits = cfg.semanticSubBlockBits
+        .getOrElse(DedupOps.autoSemanticBitsOf(spark, emb))
+      semanticBitsUsed = bits.toLong
+      val drops = DedupOps.semanticDedupOf(spark, emb, cfg.semanticThreshold, bits)
         .select(col("vec_id").as("doc_id"))
       kept.join(drops, Seq("doc_id"), "left_anti")
     }
@@ -232,6 +247,10 @@ object CorpusPrep {
       ("02_exact_dedup", nExact),
       ("03_neardup_groups", nKept),
       ("04_semantic_dedup", if (cfg.decontaminate) nSemantic else nAfterDecon),
+      // the dial the semantic stage actually ran with (-1 = stage off):
+      // the auditable record that a run measured its density instead of
+      // silently pairing the unblocked shape
+      ("04b_semantic_bits", semanticBitsUsed),
       ("05_decontaminate", nAfterDecon),
       ("05b_span_cut", nFinal),
       ("06_chunks", nChunks))
@@ -247,12 +266,12 @@ object CorpusPrep {
     run(spark, args(0), args(1), Config(
       nearDup = !args.contains("--no-neardup"),
       semantic = args.contains("--semantic"),
-      // the q67b density dial — without a flag, spark-submit runs would
-      // be pinned to the unblocked quadratic shape on dense corpora
+      // explicit dial pin; absent = measure it from the frontier (the
+      // default a 100 TB run should take)
       semanticSubBlockBits = args.collectFirst {
         case a if a.startsWith("--semantic-bits=") =>
           a.stripPrefix("--semantic-bits=").toInt
-      }.getOrElse(0),
+      },
       decontaminate = args.contains("--decontaminate"),
       spanCut = args.contains("--span-cut")))
     spark.stop()

@@ -661,11 +661,25 @@ object DedupOps {
     * (once to count, once inside the dedup) — both are the linear stage;
     * the dial exists to keep the quadratic stage from growing at all.
     */
-  def semanticDedupAuto(s: SparkSession, d: String, threshold: Double = 0.3,
-      targetPop: Long = 32): DataFrame = {
-    val maxPop = maxPopOf(SimilarityOps.ivfListBalance(s, d).agg(max("n_vectors")))
-    semanticDedup(s, d, threshold, maxPop.map(autoBits(_, targetPop)).getOrElse(16))
+  /** The semantic density dial measured from an arbitrary prepared
+    * embedding frame `(vec_id, v, nrm)`: histogram the frame under the
+    * frozen quantizer (q54's health check — one broadcast-assign pass, no
+    * pairs) and pick the min bits that bound the dominant cluster to
+    * ≤ targetPop expected members. This is what [[semanticDedupAuto]]
+    * runs on the whole corpus and what CorpusPrep's semantic stage runs
+    * on ITS surviving frontier — the dial always measures the population
+    * the quadratic stage will actually see. */
+  def autoSemanticBitsOf(s: SparkSession, e: DataFrame, targetPop: Long = 32): Int = {
+    val maxPop = maxPopOf(SimilarityOps.ivfListBalanceOf(s, e).agg(max("n_vectors")))
+    maxPop.map(autoBits(_, targetPop)).getOrElse(16)
   }
+
+  def semanticDedupAuto(s: SparkSession, d: String, threshold: Double = 0.3,
+      targetPop: Long = 32): DataFrame =
+    semanticDedup(s, d, threshold, autoSemanticBitsOf(s,
+      Tables.embeddingsScaled(s, d)
+        .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+        .withColumn("nrm", norm(col("v"))), targetPop))
 
   def semanticDedup(s: SparkSession, d: String, threshold: Double = 0.3,
       subBlockBits: Int = 0): DataFrame =

@@ -227,10 +227,16 @@ object SimilarityOps {
     * the histogram flat. Pure map-side assignment (broadcast centroids) +
     * one small aggregation.
     */
-  def ivfListBalance(s: SparkSession, d: String): DataFrame = {
-    val e = Tables.embeddingsScaled(s, d)
+  def ivfListBalance(s: SparkSession, d: String): DataFrame =
+    ivfListBalanceOf(s, Tables.embeddingsScaled(s, d)
       .select(col("vec_id"), toDouble(col("embedding")).as("v"))
-      .withColumn("nrm", norm(col("v")))
+      .withColumn("nrm", norm(col("v"))))
+
+  /** [[ivfListBalance]] over an arbitrary prepared embedding frame
+    * `(vec_id, v: array<double>, nrm)` — the entry point pipeline stages
+    * use to measure THEIR frontier's density (CorpusPrep's auto dial
+    * histograms the surviving docs' embeddings, not the raw corpus). */
+  def ivfListBalanceOf(s: SparkSession, e: DataFrame): DataFrame =
     // argmax via max_by (map-side partials; (csim, -list_id) is a total
     // order so ties keep the smallest list, matching the old window rank)
     e.join(broadcast(centroidTable(s)))
@@ -240,7 +246,6 @@ object SimilarityOps {
       .groupBy("list_id")
       .agg(count(lit(1)).as("n_vectors"))
       .orderBy("list_id")
-  }
 
   /** q68 — ANN index-quality evaluation: per-query recall@k of BOTH
     * approximate indexes (LSH buckets, trained IVF) against the exact

@@ -156,10 +156,53 @@ class CorpusPrepSpec extends SparkSpec {
     // vectors share every sign block — exact semantic dups cannot escape
     val semOutB = java.nio.file.Files.createTempDirectory("semprepblk").toString
     CorpusPrep.run(spark, corpus, semOutB, CorpusPrep.Config(
-      semantic = true, semanticThreshold = 0.9, semanticSubBlockBits = 6))
+      semantic = true, semanticThreshold = 0.9, semanticSubBlockBits = Some(6)))
     assert(spark.read.parquet(s"$semOutB/documents")
       .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
       === Seq(1L, 2L, 4L, 5L, 6L))
+    // explicit pin is recorded in the stats table
+    val statsB = spark.read.parquet(s"$semOutB/stats").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(statsB("04b_semantic_bits") === 6L)
+  }
+
+  test("semantic stage MEASURES its density dial by default: dense corpus gets non-zero bits in-job") {
+    import spark.implicits._
+    // 40 lexically distinct docs that are all SEMANTIC copies (identical
+    // embedding direction — one dominant cluster of 40 > the 32-member
+    // target), plus two singleton-cluster docs. With the retired fixed
+    // default of 0 the stage would pair the whole hot cluster unblocked;
+    // the auto dial must measure the frontier and pick bits >= 1 — and
+    // identical embeddings share every sign block, so the blocked run
+    // still drops every dense-cluster copy except the min-id survivor.
+    val corpus = java.nio.file.Files.createTempDirectory("semauto").toString
+    val dense = (1L to 40L).map(i =>
+      (i, s"a$i b$i c$i d$i e$i f$i g$i h$i"))
+    val texts = dense ++ Seq(
+      98L -> "one two three four five six seven eight",
+      99L -> "red orange yellow green blue indigo violet gray")
+    texts.map { case (id, t) => (id, "en", "web", t, t.length.toLong) }
+      .toDF("doc_id", "lang", "source", "text", "n_chars")
+      .write.parquet(s"$corpus/documents.parquet")
+    def basis(dim: Int): Array[Float] =
+      Array.tabulate(64)(i => if (i == dim) 1.0f else 0.0f)
+    (dense.map { case (id, _) => (id, basis(0)) } ++
+      Seq((98L, basis(7)), (99L, basis(21))))
+      .map { case (id, v) => (id, "synthetic", v.toSeq) }
+      .toDF("vec_id", "label", "embedding")
+      .write.parquet(s"$corpus/embeddings.parquet")
+
+    val outDir = java.nio.file.Files.createTempDirectory("semautoout").toString
+    CorpusPrep.run(spark, corpus, outDir,
+      CorpusPrep.Config(nearDup = false, semantic = true, semanticThreshold = 0.9))
+    val stats = spark.read.parquet(s"$outDir/stats").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // the dial was measured, not defaulted: maxPop=40 > 32 -> bits=1
+    assert(stats("04b_semantic_bits") === 1L, stats.toString)
+    // and the blocked dedup still collapses the dense cluster exactly
+    assert(spark.read.parquet(s"$outDir/documents")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      === Seq(1L, 98L, 99L))
   }
 
   test("semantic stage keeps a doc whose lower-id representative died at an earlier gate") {
