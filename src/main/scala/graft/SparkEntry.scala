@@ -107,6 +107,7 @@ object SparkEntry {
     "q72_overlap_join"    -> (TemporalOps.overlapJoin _),
     "q72b_range_join_rule" -> (TemporalOps.overlapJoinViaRule _),
     "q73_bm25"            -> ((s: SparkSession, d: String) => TextAnalysisOps.bm25(s, d)),
+    "q73b_bm25_multi"     -> ((s: SparkSession, d: String) => TextAnalysisOps.bm25PerQuery(s, d)),
     "q81_hybrid_rrf"      -> ((s: SparkSession, d: String) => SimilarityOps.hybridRrf(s, d)),
     "q81b_hybrid_rrf_multi" -> ((s: SparkSession, d: String) => SimilarityOps.hybridRrfMulti(s, d)),
     "q74_pps_sample"      -> ((s: SparkSession, d: String) => CurationOps.ppsSample(s, d)),
@@ -335,6 +336,53 @@ object SparkEntry {
         |     ELSE 0.0 END) AS score
         |  FROM perdoc p CROSS JOIN stats2 s) t
         |WHERE score > 0.0 ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+
+  // q73b: generated from TextAnalysisOps.Bm25QuerySet — the query table
+  // lives in ONE place, so the Spark side and this SQL cannot disagree on
+  // which terms belong to which query. Per-term arithmetic is BM25_SQL's
+  // exact chain, but each term passes through the DECIMAL(27,6) carrier
+  // before the (exact) decimal sum, then one cast back to double — JVM
+  // Math.log and DuckDB ln differ by 1 ulp on some of this term set's
+  // inputs, and the carrier rounds that sub-resolution noise away on
+  // both sides identically (the q85 ln discipline).
+  private val BM25_MULTI_SQL: String = {
+    val queries = graft.operators.TextAnalysisOps.Bm25QuerySet
+    val allTerms = queries.flatMap(_._2).distinct
+    val tfCols = allTerms.map(t =>
+      s"CAST(len(list_filter(string_split(text, ' '), x -> x = '$t')) AS BIGINT) AS tf_$t")
+      .mkString(",\n    ")
+    val dfCols = allTerms.map(t =>
+      s"SUM(CASE WHEN tf_$t > 0 THEN 1 ELSE 0 END) AS df_$t").mkString(",\n    ")
+    def termExpr(t: String) =
+      s"""CAST((CASE WHEN p.tf_$t > 0 THEN
+         |       ln((CAST(s.n_docs AS DOUBLE) - s.df_$t + 0.5) / (CAST(s.df_$t AS DOUBLE) + 0.5) + 1.0)
+         |       * (CAST(p.tf_$t AS DOUBLE) * (1.2 + 1.0))
+         |       / (CAST(p.tf_$t AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(p.dl AS DOUBLE) / s.avgdl))
+         |     ELSE 0.0 END) AS DECIMAL(27,6))""".stripMargin
+    val qSelects = queries.map { case (qid, terms) =>
+      s"""SELECT CAST($qid AS BIGINT) AS query_id, p.doc_id,
+         |    CAST(${terms.map(termExpr).mkString(" +\n    ")} AS DOUBLE) AS score
+         |  FROM perdoc p CROSS JOIN stats2 s""".stripMargin
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH perdoc AS (
+       |  SELECT doc_id,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
+       |    $tfCols
+       |  FROM documents),
+       |stats AS (
+       |  SELECT COUNT(*) AS n_docs,
+       |    CAST(SUM(CAST(dl AS DECIMAL(27,6))) AS DOUBLE) AS dl_sum,
+       |    $dfCols
+       |  FROM perdoc),
+       |stats2 AS (SELECT *, dl_sum / n_docs AS avgdl FROM stats),
+       |scored AS (
+       |  $qSelects)
+       |SELECT query_id, doc_id, score, rank FROM (
+       |  SELECT query_id, doc_id, score,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+       |  FROM scored WHERE score > 0.0) t
+       |WHERE rank <= 20 ORDER BY query_id, rank""".stripMargin
+  }
 
   // Shared oracle CTE: deterministic synthetic bounding boxes from `part`
   // (mirrors RosbagDomainOps.boxes).
@@ -1596,6 +1644,7 @@ object SparkEntry {
     "q72b_range_join_rule" -> q72OverlapOracle,
 
     "q73_bm25" -> BM25_SQL,
+    "q73b_bm25_multi" -> BM25_MULTI_SQL,
 
     // RRF fusion of q73's lexical top-20 and the vec-0 cosine top-20
     // (vec_id = doc_id convention). 1.0/(K+rank) is a fixed IEEE chain;

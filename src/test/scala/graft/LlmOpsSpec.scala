@@ -624,4 +624,36 @@ class LlmOpsSpec extends SparkSpec {
     val total = rows.map(_.getAs[Long]("n_docs")).sum
     assert(train.toDouble / total > 0.7 && train.toDouble / total < 0.9)
   }
+
+  test("q73b per-query BM25: query 0 reproduces q73's list; every query ranks its own terms") {
+    // query 0 IS q73's term set — the multi-query fan-out must reproduce
+    // the single-query operator's ranked doc list exactly; scores agree
+    // to the DECIMAL(27,6) carrier's resolution (q73b rounds each term
+    // through it so the oracle's ln can't drift a ulp — see the operator)
+    val single = TextAnalysisOps.bm25(spark, sf)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("score"))).toSeq
+    val multi = TextAnalysisOps.bm25PerQuery(spark, sf).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("doc_id"),
+        r.getAs[Double]("score"), r.getAs[Long]("rank")))
+    val q0 = multi.filter(_._1 == 0L).sortBy(_._4).map(t => (t._2, t._3)).toSeq
+    assert(q0.map(_._1) === single.map(_._1))
+    // each of the 3 term contributions rounds independently through the
+    // carrier (half-ulp 5e-7), so the summed drift bound is 3 x 5e-7
+    q0.zip(single).foreach { case ((_, a), (_, b)) =>
+      assert(math.abs(a - b) <= 1.5e-6, s"score drift beyond the carrier: $a vs $b")
+    }
+    // per-query invariants: ranks are 1..k dense, scores non-increasing,
+    // all three queries produced a non-empty list
+    val byQ = multi.groupBy(_._1)
+    assert(byQ.keySet === Set(0L, 1L, 2L))
+    byQ.foreach { case (q, rows) =>
+      val sorted = rows.sortBy(_._4)
+      assert(sorted.map(_._4).toSeq === (1L to sorted.length), s"query $q ranks")
+      assert(sorted.sliding(2).forall {
+        case Array(a, b) => a._3 >= b._3
+        case _           => true
+      }, s"query $q scores not sorted")
+      assert(rows.forall(_._3 > 0.0), s"query $q non-positive score")
+    }
+  }
 }

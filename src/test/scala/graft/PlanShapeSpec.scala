@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.execution.ExplainMode
+import org.apache.spark.sql.execution.{ExplainMode, FileSourceScanExec}
 
 import graft.operators._
 
@@ -222,6 +222,28 @@ class PlanShapeSpec extends SparkSpec {
           if w.partitionSpec.isEmpty => w
     }
     assert(emptySpecs.isEmpty, s"unpartitioned windows:\n$emptySpecs")
+  }
+
+  test("q73b: one corpus scan serves every query — no Window, no per-query pass, stats broadcast") {
+    val df = operators.TextAnalysisOps.bm25PerQuery(spark, sf)
+    val p = plan(df)
+    // per-query ranking rides graft_topk's bounded heaps: NO Window node
+    // at all (logical plan), no sort of corpus-sized data
+    assert(p.contains("graft_topk"), p)
+    val windows = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.isEmpty, s"q73b should rank via graft_topk, found:\n$windows")
+    // scan count of the documents table must not grow with the query
+    // count: q73's shape is 2 scans (stats pass + scoring pass) and q73b
+    // serves 3 queries from the same 2 — a per-query design would show 6
+    val scans = df.queryExecution.sparkPlan.collect {
+      case f: FileSourceScanExec if f.relation.location.rootPaths
+        .exists(_.toString.contains("documents")) => f
+    }
+    assert(scans.length == 2, s"expected 2 documents scans, got ${scans.length}:\n$p")
+    // the 1-row stats side reaches the scoring pass as a broadcast
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
   }
 
   test("q70b: every join is broadcast-side (codebooks, centroids, probed queries) — corpus never shuffle-joins") {
