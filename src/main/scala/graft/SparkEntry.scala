@@ -99,6 +99,7 @@ object SparkEntry {
     "q67_semantic_dedup"  -> ((s: SparkSession, d: String) => DedupOps.semanticDedup(s, d)),
     "q68_ann_recall"      -> ((s: SparkSession, d: String) => SimilarityOps.annRecall(s, d)),
     "q68b_ann_recall_wide" -> ((s: SparkSession, d: String) => SimilarityOps.annRecall(s, d, queryIdMax = 300)),
+    "q68c_ann_recall_curve" -> ((s: SparkSession, d: String) => SimilarityOps.annRecallCurve(s, d)),
     "q69_pq_stats"        -> (SimilarityOps.pqStats _),
     "q70_knn_pq"          -> ((s: SparkSession, d: String) => SimilarityOps.knnPq(s, d)),
     "q70b_knn_ivfpq"      -> ((s: SparkSession, d: String) => SimilarityOps.knnIvfPq(s, d)),
@@ -287,6 +288,92 @@ object SparkEntry {
          |        ON ex.q_id = idx.q_id AND ex.neighbor_id = idx.neighbor_id
          |      GROUP BY ex.q_id) t
          |ORDER BY q_id""".stripMargin
+
+  /** The q68c recall-vs-nprobe curve oracle: the q68 oracle's exact arm
+    * arithmetic (same asg/qs/cp CTEs, same IVFADC chain) with the probe
+    * RANK carried onto every candidate, fanned over the curve points by a
+    * VALUES join, per-(point, query) ROW_NUMBER top-k, integer hit counts
+    * vs the brute-force truth, one final double division per recall. */
+  private def annRecallCurveOracleSql(qmax: Int, k: Int, probes: Seq[Int]): String = {
+    val maxProbe = probes.max
+    val pointsValues = probes.map(p => s"(CAST($p AS BIGINT))").mkString("VALUES ", ", ", "")
+    s"""WITH $EMB_NORM,
+       |exj AS (SELECT a.vec_id AS q_id, b.vec_id AS neighbor_id,
+       |          $DOT64 / (a.nrm * b.nrm) AS cos
+       |        FROM n a JOIN n b ON a.vec_id < $qmax AND b.vec_id >= $qmax),
+       |ex AS (SELECT q_id, neighbor_id FROM (
+       |         SELECT q_id, neighbor_id,
+       |           ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS rank
+       |         FROM exj) t WHERE rank <= $k),
+       |points AS (SELECT nprobe FROM ($pointsValues) t(nprobe)),
+       |cents AS (SELECT list_id, cv,
+       |            sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65),
+       |              i -> cv[i] * cv[i])), (x2, y2) -> x2 + y2)) AS cnrm
+       |          FROM ($ivfCentsValues) t(list_id, cv)),
+       |asg AS (SELECT vec_id, v, nrm, list_id, csim,
+       |          ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, list_id) AS crank
+       |        FROM (SELECT n.vec_id, n.v, n.nrm, c.list_id,
+       |                list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65),
+       |                  i -> n.v[i] * c.cv[i])), (x2, y2) -> x2 + y2) / (n.nrm * c.cnrm) AS csim
+       |              FROM n, cents c) t),
+       |qs AS (SELECT vec_id AS q_id, v AS qv, nrm AS qnrm, list_id, CAST(crank AS BIGINT) AS crank
+       |       FROM asg WHERE vec_id < $qmax AND crank <= $maxProbe),
+       |cp AS (SELECT vec_id, v, nrm, list_id FROM asg WHERE vec_id >= $qmax AND crank = 1),
+       |ivfj AS (SELECT q_id, cp.vec_id AS neighbor_id, qs.crank,
+       |           list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65),
+       |             i -> qs.qv[i] * cp.v[i])), (x2, y2) -> x2 + y2) / (qs.qnrm * cp.nrm) AS cos
+       |         FROM cp JOIN qs USING (list_id)),
+       |ivf_p AS (SELECT nprobe, q_id, neighbor_id FROM (
+       |            SELECT p.nprobe, i.q_id, i.neighbor_id,
+       |              ROW_NUMBER() OVER (PARTITION BY p.nprobe, i.q_id
+       |                ORDER BY i.cos DESC, i.neighbor_id) AS rk
+       |            FROM ivfj i JOIN points p ON i.crank <= p.nprobe) t WHERE rk <= $k),
+       |books AS (SELECT sub_idx, code, cv FROM ($pqBooksValues) t(sub_idx, code, cv)),
+       |pqsubs AS (SELECT vec_id, list_id, i AS sub_idx, v[i*8+1 : i*8+8] AS sv
+       |           FROM cp, range(8) t(i)),
+       |pqasg AS (SELECT vec_id, list_id, sub_idx, code FROM (
+       |            SELECT s.vec_id, s.list_id, s.sub_idx, b.code,
+       |              ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.sub_idx
+       |                ORDER BY list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 9),
+       |                  i -> (s.sv[i] - b.cv[i]) * (s.sv[i] - b.cv[i]))), (acc, z) -> acc + z) ASC,
+       |                b.code ASC) AS rk
+       |            FROM pqsubs s JOIN books b ON s.sub_idx = b.sub_idx) t WHERE rk = 1),
+       |pqrecon AS (SELECT a.vec_id, a.list_id, a.sub_idx, b.cv FROM pqasg a
+       |            JOIN books b ON a.sub_idx = b.sub_idx AND a.code = b.code),
+       |pqqsubs AS (SELECT q_id, list_id, crank, i AS sub_idx, qv[i*8+1 : i*8+8] AS qsv
+       |            FROM qs, range(8) t(i)),
+       |pqpair AS (SELECT q.q_id, r.vec_id AS neighbor_id, q.crank, r.sub_idx,
+       |             list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 9),
+       |               i -> (q.qsv[i] - r.cv[i]) * (q.qsv[i] - r.cv[i]))), (acc, z) -> acc + z) AS dsub
+       |           FROM pqrecon r JOIN pqqsubs q ON r.sub_idx = q.sub_idx AND r.list_id = q.list_id),
+       |pqagg AS (SELECT q_id, neighbor_id, crank,
+       |            ${(0 until 8).map(s0 => s"SUM(CASE WHEN sub_idx = $s0 THEN dsub END) AS d$s0").mkString(", ")}
+       |          FROM pqpair GROUP BY q_id, neighbor_id, crank),
+       |adc AS (SELECT q_id, neighbor_id, crank,
+       |          ${(0 until 8).map(s0 => s"d$s0").mkString(" + ")} AS adc_dist
+       |        FROM pqagg),
+       |adc_p AS (SELECT nprobe, q_id, neighbor_id FROM (
+       |            SELECT p.nprobe, a.q_id, a.neighbor_id,
+       |              ROW_NUMBER() OVER (PARTITION BY p.nprobe, a.q_id
+       |                ORDER BY a.adc_dist ASC, a.neighbor_id) AS rk
+       |            FROM adc a JOIN points p ON a.crank <= p.nprobe) t WHERE rk <= $k),
+       |ivf_hits AS (SELECT nprobe, CAST(COUNT(*) AS BIGINT) AS ivf_hits
+       |             FROM ivf_p JOIN ex USING (q_id, neighbor_id) GROUP BY nprobe),
+       |adc_hits AS (SELECT nprobe, CAST(COUNT(*) AS BIGINT) AS ivfadc_hits
+       |             FROM adc_p JOIN ex USING (q_id, neighbor_id) GROUP BY nprobe),
+       |truth AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_truth FROM ex)
+       |SELECT p.nprobe,
+       |  COALESCE(i.ivf_hits, 0) AS ivf_hits,
+       |  COALESCE(a.ivfadc_hits, 0) AS ivfadc_hits,
+       |  t.n_truth,
+       |  CAST(COALESCE(i.ivf_hits, 0) AS DOUBLE) / CAST(t.n_truth AS DOUBLE) AS ivf_recall,
+       |  CAST(COALESCE(a.ivfadc_hits, 0) AS DOUBLE) / CAST(t.n_truth AS DOUBLE) AS ivfadc_recall
+       |FROM points p
+       |LEFT JOIN ivf_hits i USING (nprobe)
+       |LEFT JOIN adc_hits a USING (nprobe)
+       |CROSS JOIN truth t
+       |ORDER BY p.nprobe""".stripMargin
+  }
 
   private val EMB_NORM =
     """e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -1502,6 +1589,7 @@ object SparkEntry {
     "q68_ann_recall" -> annRecallOracleSql(10),
 
     "q68b_ann_recall_wide" -> annRecallOracleSql(300),
+    "q68c_ann_recall_curve" -> annRecallCurveOracleSql(300, 3, Seq(1, 2, 4, 8, 16)),
 
     // PQ codebook QA: per-(subspace, code) population + mean squared
     // reconstruction error under the frozen trained codebooks

@@ -115,9 +115,9 @@ object SimilarityOps {
     * nearest lists by cosine — window over 16 broadcast centroids per
     * query, a handful of rows). */
   private[graft] def queryProbeLists(s: SparkSession, d: String, nProbe: Int,
-      queryIdMax: Long = QueryIdMax): DataFrame = {
+      queryIdMax: Long = QueryIdMax, keepRank: Boolean = false): DataFrame = {
     val wProbe = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("list_id"))
-    Tables.embeddings(s, d)
+    val base = Tables.embeddings(s, d)
       .filter(col("vec_id") < queryIdMax)
       .select(col("vec_id"), toDouble(col("embedding")).as("v"))
       .withColumn("nrm", norm(col("v")))
@@ -125,7 +125,12 @@ object SimilarityOps {
       .withColumn("csim", cosine(col("v"), col("cv"), col("nrm"), col("cnrm")))
       .withColumn("crank", row_number().over(wProbe))
       .filter(col("crank") <= nProbe)
-      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qnrm"), col("list_id"))
+    val cols = Seq(col("vec_id").as("q_id"), col("v").as("qv"),
+      col("nrm").as("qnrm"), col("list_id")) ++
+      // the probe RANK, for callers sweeping the nprobe dial (q68c): a
+      // candidate probed at rank r belongs to every curve point p >= r
+      (if (keepRank) Seq(col("crank").cast("long").as("crank")) else Nil)
+    base.select(cols: _*)
   }
 
   /** q46b — IVF ANN with a TRAINED coarse quantizer: the frozen k-means
@@ -282,6 +287,120 @@ object SimilarityOps {
       .withColumn("ivfpq_recall", col("ivfpq_hits").cast("double") / col("n_exact").cast("double"))
       .withColumn("ivfpq_res_recall", col("ivfpq_res_hits").cast("double") / col("n_exact").cast("double"))
       .orderBy("q_id")
+  }
+
+  /** q68c — the recall-vs-nprobe CURVE: q68b ranks the arms at the frozen
+    * serving point (nprobe=2/16) but never explores the dial, and at that
+    * point the best index arm sits at 0.23 mean recall@3 — unusable as a
+    * production operating point. This query sweeps nprobe over
+    * {1, 2, 4, 8, 16} for the raw-float IVF arm and the coded IVFADC arm
+    * (the persisted index's exact math — AnnIndexBuild.search is
+    * spec-pinned bit-identical to knnIvfPq, so this curve IS the
+    * persisted index's curve) against brute-force truth, one row per
+    * curve point. At nprobe = 16 = all lists the IVF arm probes the whole
+    * corpus and MUST hit the brute-force ceiling (recall 1.0) — the
+    * sweep separates PROBE loss (rises with nprobe) from CODING loss
+    * (the IVFADC gap that remains at nprobe=16). The operating point a
+    * production index picks is the smallest nprobe clearing >= 0.9 of
+    * its arm's ceiling (SURVEY §6 records the measured choice).
+    *
+    * Scale shape: everything is computed ONCE at the widest point —
+    * corpus coarse assignment (one broadcast-argmax pass), PQ coding
+    * (one pass through THE shared codedCorpusSubs kernel), and the
+    * candidate scoring at nprobe=16 (which is the whole corpus — an
+    * evaluation query pays brute-force cost by definition, exactly like
+    * q68's ground-truth arm; run it on a sample in production). Each
+    * scored candidate carries the probe RANK of its list, and a lazy
+    * explode fans it only to the curve points that include it (~2x row
+    * growth, not 5x); per-(query, point) top-k rides graft_topk's
+    * bounded heaps — no per-point rescan, no corpus sort, no Window.
+    * Recall aggregates integer hit counts; the single final division is
+    * the only double arithmetic, so the oracle is value-exact.
+    */
+  def annRecallCurve(s: SparkSession, d: String, k: Int = 3,
+      queryIdMax: Long = 300L, probes: Seq[Int] = Seq(1, 2, 4, 8, 16)): DataFrame = {
+    require(probes.nonEmpty && probes == probes.sorted.distinct,
+      s"probes must be sorted distinct: $probes")
+    val subDim = 8
+    val exact = knnBruteForce(s, d, k, queryIdMax).select("q_id", "neighbor_id")
+
+    val qp = queryProbeLists(s, d, probes.max, queryIdMax, keepRank = true)
+    val probeArr = array(probes.map(p => lit(p.toLong)): _*)
+    // fan a candidate (probed at rank crank) to every curve point >= crank
+    def fanPoints(df: DataFrame): DataFrame =
+      df.withColumn("nprobe", explode(filter(probeArr, p => p >= col("crank"))))
+
+    // ---- raw-float IVF arm: corpus assignment once (q46b's shape) ----
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      .withColumn("nrm", norm(col("v")))
+    val corpus = Tables.spreadScan(s, e.filter(col("vec_id") >= queryIdMax))
+      .join(broadcast(centroidTable(s)))
+      .withColumn("csim", cosine(col("v"), col("cv"), col("nrm"), col("cnrm")))
+      .groupBy(col("vec_id"))
+      .agg(max_by(struct(col("v"), col("nrm"), col("list_id")),
+        struct(col("csim"), -col("list_id"))).as("best"))
+      .select(col("vec_id"), col("best.v").as("v"), col("best.nrm").as("nrm"),
+        col("best.list_id").as("list_id"))
+    val ivfTop = fanPoints(
+      corpus.join(broadcast(qp), Seq("list_id"))
+        .withColumn("cos", cosine(col("qv"), col("v"), col("qnrm"), col("nrm")))
+        .select(col("q_id"), col("vec_id").as("neighbor_id"), col("cos"), col("crank")))
+      .groupBy("q_id", "nprobe")
+      .agg(call_function("graft_topk",
+        col("cos"), col("neighbor_id"), col("neighbor_id"), lit(k)).as("top"))
+      .select(col("q_id"), col("nprobe"), explode(col("top")).as("t"))
+      .select(col("q_id"), col("nprobe"), col("t.id").as("neighbor_id"))
+      .withColumn("src", lit("ivf"))
+
+    // ---- coded IVFADC arm: q70b's exact pipeline, crank carried ----
+    val recon = codedCorpusSubs(s, d, queryIdMax = queryIdMax)
+      .join(broadcast(codebookTable(s)), Seq("sub_idx", "code"))
+      .select("vec_id", "list_id", "sub_idx", "cv")
+    val querySubs = qp
+      .select(col("q_id"), col("list_id"), col("crank"),
+        explode(array((0 until 8).map(sub =>
+          struct(lit(sub.toLong).as("sub_idx"),
+            slice(col("qv"), sub * subDim + 1, subDim).as("qsv"))): _*)).as("e"))
+      .select(col("q_id"), col("list_id"), col("crank"),
+        col("e.sub_idx").as("sub_idx"), col("e.qsv").as("qsv"))
+    val perSub = (0 until 8).map(sub =>
+      sum(when(col("sub_idx") === sub.toLong, col("dsub"))).as(s"d$sub"))
+    val adcCand = recon.join(broadcast(querySubs), Seq("list_id", "sub_idx"))
+      .withColumn("dsub",
+        expr("aggregate(zip_with(qsv, cv, (x, y) -> (x - y) * (x - y)), 0D, (acc, z) -> acc + z)"))
+      // crank is functional on (q_id, neighbor): a corpus vector lives in
+      // ONE list, probed by this query at one rank — adcRank's fixed-order
+      // sums with the rank riding the grouping
+      .groupBy(col("q_id"), col("vec_id").as("neighbor_id"), col("crank"))
+      .agg(perSub.head, perSub.tail: _*)
+      .withColumn("adc_dist", (0 until 8).map(sub => col(s"d$sub")).reduce(_ + _))
+      .select("q_id", "neighbor_id", "adc_dist", "crank")
+    val adcTop = fanPoints(adcCand)
+      .groupBy("q_id", "nprobe")
+      // graft_topk keeps the max by (score DESC, id ASC); negating the
+      // distance makes that (adc_dist ASC, id ASC) — adcRank's exact order
+      .agg(call_function("graft_topk",
+        -col("adc_dist"), col("neighbor_id"), col("neighbor_id"), lit(k)).as("top"))
+      .select(col("q_id"), col("nprobe"), explode(col("top")).as("t"))
+      .select(col("q_id"), col("nprobe"), col("t.id").as("neighbor_id"))
+      .withColumn("src", lit("ivfadc"))
+
+    // ---- hits vs truth, one row per curve point ----
+    import s.implicits._
+    val hits = ivfTop.unionByName(adcTop)
+      .join(exact, Seq("q_id", "neighbor_id"), "left_semi")
+      .groupBy("nprobe")
+      .agg(count(when(col("src") === "ivf", 1)).as("ivf_hits"),
+        count(when(col("src") === "ivfadc", 1)).as("ivfadc_hits"))
+    val points = probes.map(_.toLong).toDF("nprobe")
+    points.join(hits, Seq("nprobe"), "left")
+      .na.fill(0L, Seq("ivf_hits", "ivfadc_hits"))
+      .crossJoin(broadcast(exact.agg(count(lit(1)).as("n_truth"))))
+      .select(col("nprobe"), col("ivf_hits"), col("ivfadc_hits"), col("n_truth"),
+        (col("ivf_hits").cast("double") / col("n_truth").cast("double")).as("ivf_recall"),
+        (col("ivfadc_hits").cast("double") / col("n_truth").cast("double")).as("ivfadc_recall"))
+      .orderBy("nprobe")
   }
 
   /** q69 — product-quantization codebook QA (PqCodebooks = Pq.train

@@ -625,6 +625,34 @@ class LlmOpsSpec extends SparkSpec {
     assert(train.toDouble / total > 0.7 && train.toDouble / total < 0.9)
   }
 
+  test("q68c recall curve: monotone in nprobe, IVF hits the brute-force ceiling at nprobe=lists, coding only loses") {
+    val rows = SimilarityOps.annRecallCurve(spark, sf).collect()
+      .map(r => (r.getAs[Long]("nprobe"), r.getAs[Double]("ivf_recall"),
+        r.getAs[Double]("ivfadc_recall"))).sortBy(_._1)
+    assert(rows.map(_._1).toSeq === Seq(1L, 2L, 4L, 8L, 16L))
+    // recall rises monotonically with probes for BOTH arms (a candidate
+    // set only grows with nprobe, and top-k over a superset can only gain
+    // true neighbors ... per-query top-k can in principle swap a true hit
+    // out for a closer false one ONLY in the coded arm; the raw arm ranks
+    // by true cosine so its top-k at p' > p contains at least as many
+    // truth hits)
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(b._2 >= a._2, s"ivf recall fell ${a._1}->${b._1}: ${a._2} -> ${b._2}")
+      case _ => ()
+    }
+    // at nprobe = 16 = all lists, the raw-float arm IS brute force
+    assert(rows.last._2 === 1.0, s"ivf recall at nprobe=16: ${rows.last._2}")
+    // the coded arm can never out-recall raw floats on the same probes
+    // (q68's invariant, now pinned along the whole curve)
+    rows.foreach { case (p, ivf, adc) =>
+      assert(adc <= ivf, s"ivfadc $adc > ivf $ivf at nprobe=$p")
+    }
+    // the coding gap at nprobe=16 is pure quantization loss and must be
+    // non-trivial on this corpus (otherwise the curve proves nothing)
+    assert(rows.last._3 < 1.0 && rows.last._3 > 0.0)
+  }
+
   test("q73b per-query BM25: query 0 reproduces q73's list; every query ranks its own terms") {
     // query 0 IS q73's term set — the multi-query fan-out must reproduce
     // the single-query operator's ranked doc list exactly; scores agree
