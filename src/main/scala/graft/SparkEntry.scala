@@ -112,6 +112,7 @@ object SparkEntry {
     "q81_hybrid_rrf"      -> ((s: SparkSession, d: String) => SimilarityOps.hybridRrf(s, d)),
     "q81b_hybrid_rrf_multi" -> ((s: SparkSession, d: String) => SimilarityOps.hybridRrfMulti(s, d)),
     "q74_pps_sample"      -> ((s: SparkSession, d: String) => CurationOps.ppsSample(s, d)),
+    "q88_bpe_train"       -> ((s: SparkSession, d: String) => operators.Bpe.bpeTrainTable(s, d)),
     "q75_scd2"            -> (TemporalOps.scd2 _),
     "q76_rolling_features" -> (TemporalOps.rollingFeatures _),
     "q77_cohort_retention" -> (TemporalOps.cohortRetention _),
@@ -1400,6 +1401,19 @@ object SparkEntry {
         |SELECT pair, CAST(COUNT(*) AS BIGINT) AS n
         |FROM pairs GROUP BY pair
         |ORDER BY n DESC, pair LIMIT 50""".stripMargin,
+
+    // q88: the frozen trained merge table (BpeMerges — jobs.BpeTrain over
+    // the correctness-gate lake) as a VALUES oracle, the PqCodebooks
+    // pattern: the Spark side re-runs the whole distributed k-round
+    // trainer, so parity pins its counts, tie-breaks and merge
+    // application engine-exactly against the committed artifact
+    "q88_bpe_train" ->
+      graft.operators.BpeMerges.values.map { case (rank, l, r, n) =>
+        s"(CAST($rank AS BIGINT), '${l.replace("'", "''")}', '${r.replace("'", "''")}', CAST($n AS BIGINT))"
+      }.mkString(
+        "SELECT * FROM (VALUES ",
+        ", ",
+        ") t(rank, \"left\", \"right\", n) ORDER BY rank"),
 
     // duplicated 8-token-run coverage per doc (exact-substring dedup signal)
     "q65_dup_runs" ->

@@ -1,0 +1,117 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextFunctions.tokens
+
+/** Distributed byte-pair-encoding tokenizer trainer (Sennrich et al. 2016,
+  * arXiv:1508.07909) — the k-round loop around q87's one-iteration pair
+  * statistics. Each round: count adjacent SYMBOL pairs corpus-wide
+  * (bounded aggregation — group count ≤ live-vocabulary², in practice a
+  * few thousand), promote the most frequent pair to the merge table
+  * (driver-side, deterministic (count DESC, left ASC, right ASC)
+  * tie-break), and rewrite the token stream with that pair fused —
+  * exactly the reference algorithm, with the corpus-wide count as the
+  * distributed stage and the k-bounded merge table as driver state (the
+  * Kmeans/dedupGroups iteration pattern).
+  *
+  * Scale shape per round: the merge application is one map-side
+  * `aggregate` fold per word (left-to-right non-overlapping, the
+  * reference semantics — a just-fused symbol never re-fuses as the LEFT
+  * of the same pair in the same round); the pair count is one shuffle
+  * with ideal partial aggregation; the working set persists between
+  * rounds and unpersists its parent (bounded lineage, bounded cache —
+  * k corpus passes total, which IS the reference trainer's cost shape).
+  * Driver state is the k-row merge table, never corpus-sized.
+  */
+object Bpe {
+
+  /** One trained merge: rank r means "the r-th most valuable fusion". */
+  final case class Merge(rank: Int, left: String, right: String, n: Long)
+
+  private def sqlStr(x: String): String = "'" + x.replace("'", "''") + "'"
+
+  /** The left-to-right non-overlapping fusion of (l, r) over a symbol
+    * array, as one codegen'd fold: walking symbols left to right, fuse
+    * when the accumulator's LAST symbol is `l` and the next is `r` — the
+    * fused symbol `lr` can then only match as a whole, so "aaa" under
+    * (a,a) becomes [aa, a], never [a, aa] or [aaa] (the reference
+    * implementation's exact greedy semantics). */
+  private[graft] def applyMerge(l: String, r: String): Column = {
+    val (lq, rq, fq) = (sqlStr(l), sqlStr(r), sqlStr(l + r))
+    expr(
+      s"""aggregate(w, cast(array() as array<string>),
+         |  (acc, x) -> if(size(acc) > 0 and element_at(acc, -1) = $lq and x = $rq,
+         |    concat(slice(acc, 1, size(acc) - 1), array($fq)),
+         |    concat(acc, array(x))))""".stripMargin)
+  }
+
+  /** The corpus as one row per word, symbols initially single characters. */
+  private[graft] def initialWords(docs: DataFrame): DataFrame =
+    docs.select(explode(tokens(col("text"))).as("t"))
+      .filter(length(col("t")) >= 1)
+      .select(split(col("t"), "").as("w"))
+
+  /** The most frequent adjacent pair of the current symbol stream, with
+    * its count — q87's aggregation generalized to multi-char symbols. */
+  private def bestPair(words: DataFrame): Option[(String, String, Long)] =
+    words.filter(size(col("w")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(w) - 1), i -> struct(element_at(w, i) AS l, element_at(w, i + 1) AS r))")).as("p"))
+      .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("l"), col("r"))
+      .limit(1)
+      .collect()
+      .headOption
+      .map(row => (row.getString(0), row.getString(1), row.getLong(2)))
+
+  /** Train `rounds` merges over the documents' whitespace tokens. Stops
+    * early when the best remaining pair's count falls below `minCount`
+    * (nothing left worth fusing). Deterministic: counts are exact
+    * integers and the (n DESC, left ASC, right ASC) argmax is a total
+    * order, so the merge SEQUENCE is engine- and partitioning-exact. */
+  def train(s: SparkSession, docs: DataFrame, rounds: Int,
+      minCount: Long = 2L): Seq[Merge] = {
+    require(rounds >= 1 && rounds <= 4096, s"rounds in [1,4096]; got $rounds")
+    val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
+    var words = initialWords(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var round = 1
+      var continue = true
+      while (continue && round <= rounds) {
+        bestPair(words) match {
+          case Some((l, r, n)) if n >= minCount =>
+            merges += Merge(round, l, r, n)
+            val next = words.select(applyMerge(l, r).as("w"))
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            next.count() // materialize BEFORE dropping the parent's cache
+            words.unpersist(blocking = false)
+            words = next
+            round += 1
+          case _ => continue = false
+        }
+      }
+    } finally words.unpersist(blocking = false)
+    merges.toSeq
+  }
+
+  /** q88 — the trained merge table as a driver query: runs the FULL
+    * k-round trainer on the given lake and emits (rank, left, right, n).
+    * Oracled by the frozen [[BpeMerges]] VALUES table (the PqCodebooks
+    * pattern: the constants were trained by jobs.BpeTrain on the
+    * correctness-gate lake with this exact code, so parity pins the
+    * whole distributed loop — counts, tie-breaks, and merge application —
+    * engine-exactly; retraining = rerun jobs.BpeTrain, refresh the file).
+    */
+  def bpeTrainTable(s: SparkSession, d: String,
+      rounds: Int = BpeMerges.Rounds): DataFrame = {
+    import s.implicits._
+    train(s, Tables.documents(s, d), rounds)
+      .map(m => (m.rank.toLong, m.left, m.right, m.n))
+      .toDF("rank", "left", "right", "n")
+  }
+}

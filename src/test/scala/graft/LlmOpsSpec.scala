@@ -625,6 +625,51 @@ class LlmOpsSpec extends SparkSpec {
     assert(train.toDouble / total > 0.7 && train.toDouble / total < 0.9)
   }
 
+  test("Bpe.train matches a reference BPE implementation's merge sequence exactly") {
+    import spark.implicits._
+    // obviously-correct driver-side reference (Sennrich et al. 2016's
+    // algorithm verbatim): count adjacent pairs, promote the max with
+    // (count DESC, left ASC, right ASC) ties, fuse left-to-right
+    // non-overlapping, repeat
+    def refMergeWord(w: Vector[String], l: String, r: String): Vector[String] =
+      w.foldLeft(Vector.empty[String]) { (acc, x) =>
+        if (acc.nonEmpty && acc.last == l && x == r) acc.init :+ (l + r)
+        else acc :+ x
+      }
+    def refBpe(words: Seq[String], rounds: Int, minCount: Long): Seq[(String, String, Long)] = {
+      var syms = words.map(_.map(_.toString).toVector)
+      val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+      var continue = true
+      while (continue && out.length < rounds) {
+        val counts = scala.collection.mutable.Map.empty[(String, String), Long].withDefaultValue(0L)
+        syms.foreach(w => w.zip(w.drop(1)).foreach(p => counts(p) += 1))
+        val best = counts.toSeq.sortBy { case ((l, r), n) => (-n, l, r) }.headOption
+        best match {
+          case Some(((l, r), n)) if n >= minCount =>
+            out += ((l, r, n))
+            syms = syms.map(refMergeWord(_, l, r))
+          case _ => continue = false
+        }
+      }
+      out.toSeq
+    }
+
+    // the Sennrich paper's corpus shape: repeated words with shared
+    // suffixes, plus an "aaaa" run to pin the non-overlapping greedy rule
+    val words = Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest") ++ Seq.fill(2)("aaaa")
+    val docs = Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+    val expected = refBpe(words, rounds = 10, minCount = 2L)
+    val got = operators.Bpe.train(spark, docs, rounds = 10)
+      .map(m => (m.left, m.right, m.n))
+    assert(got === expected, s"\n got: $got\n exp: $expected")
+    // sanity on the reference itself: "es"+"t" style suffix merges formed
+    assert(expected.exists { case (l, r, _) => l + r == "es" })
+    // early stop: a corpus with no repeated pair trains zero merges
+    val uniq = Seq((1L, "ab cd ef")).toDF("doc_id", "text")
+    assert(operators.Bpe.train(spark, uniq, rounds = 5).isEmpty)
+  }
+
   test("q68c recall curve: monotone in nprobe, IVF hits the brute-force ceiling at nprobe=lists, coding only loses") {
     val rows = SimilarityOps.annRecallCurve(spark, sf).collect()
       .map(r => (r.getAs[Long]("nprobe"), r.getAs[Double]("ivf_recall"),
