@@ -52,19 +52,96 @@ import graft.operators.{CurationOps, DedupOps}
   * still caught — its landed copy carries a different batch id, so the
   * exact-hash probe sees it.
   *
-  * Scale shape: each batch does batch-sized kernel work (redact, shingle,
-  * minhash, window-hash) plus three joins against the lake — the hash and
-  * bucket probes are equi-joins on short keys against columnar tables
-  * that Spark shuffles by key, and the heldout index broadcasts. Nothing
-  * driver-side grows with corpus age except the O(1)-discovery version
-  * log.
+  * Scale shape — why per-batch work stays BATCH-sized at corpus age ≫
+  * batch size (the q62 contract, continuous). Kernel work (redact,
+  * shingle, minhash, window-hash) is per-arriving-doc. The two lake
+  * probes are the corpus-age hazard: a naive equi-join re-scans the full
+  * accepted-hash / band-index tables every micro-batch, O(corpus) IO per
+  * batch. Instead both tables are PROBE INDEXES:
+  *
+  *   - every committed row carries a uniform 64-bit probe key (`hash_key`
+  *     = xxhash64 of the content hash on `documents`; `bkey` = xxhash64
+  *     of (band, sig) on `bands`), and every commit declares that key as
+  *     the SnapshotLake stats column, so the manifest records each data
+  *     file's [min, max] key range from the parquet footers;
+  *   - [[compactIndexes]] (run periodically, like any lake compaction)
+  *     re-clusters each table `repartitionByRange` over the probe key —
+  *     after it, each file covers a narrow disjoint slice of the key
+  *     space (width keyspace/F for F files);
+  *   - the batch probe collects its own DISTINCT probe keys (bounded:
+  *     ≤ docs-per-batch hashes + bands-per-doc × docs-per-batch sigs —
+  *     the AnnIndexBuild bounded-driver-state pattern) and reads the lake
+  *     via [[SnapshotLake.readRangeIn]]: only files whose key range
+  *     contains a batch key are scanned. Against a compacted index a
+  *     batch with K keys reads ≤ K of the F clustered files plus the
+  *     small uncompacted tail (commits since the last compaction) —
+  *     per-batch IO is O(K · corpus/F + tail), proportional to the BATCH,
+  *     not the corpus, and F grows with the corpus so the per-file slice
+  *     is capped by compaction's target file size.
+  *
+  * Pruning is correctness-free by construction: equal content hash (or
+  * equal (band, sig)) implies equal probe key, so the pruned read is a
+  * superset of every true match, and the exact join downstream discards
+  * the rest; files without recorded stats always scan. A batch whose key
+  * set exceeds `Config.maxProbeKeys` falls back to the full-scan join —
+  * at that size the lake scan is amortized over the batch anyway.
+  * Nothing driver-side grows with corpus age except the O(1)-discovery
+  * version log.
   */
 object CorpusPrepStream {
 
   final case class Config(
       minTokens: Long = 5,
       maxDupNgramRate: Double = 0.6,
-      deconNgram: Int = 13)
+      deconNgram: Int = 13,
+      maxProbeKeys: Int = 1 << 16)
+
+  /** The probe key every `documents` commit carries + declares as its
+    * stats column: a uniform 64-bit image of the content hash, so range-
+    * clustered files prune on batch key sets (see the scale-shape note). */
+  private def docProbeKey: Column = xxhash64(col("text_hash"))
+
+  /** The probe key of the `bands` index: one uniform long per (band, sig)
+    * bucket — equal bucket implies equal key, so pruning by it is a
+    * superset of every true bucket collision. */
+  private def bandProbeKey: Column = xxhash64(col("band"), col("sig"))
+
+  /** Periodic index maintenance: re-cluster both probe indexes
+    * `repartitionByRange` over their probe keys so each data file covers
+    * a narrow disjoint key slice and the per-batch [[SnapshotLake.readRangeIn]]
+    * probes touch O(batch-keys) files instead of the whole table. The
+    * rewrite abandons (None per table) if an ingest commit races it —
+    * rerun on fresh state, exactly the [[SnapshotLake.commitRewrite]]
+    * contract; the stream never pauses for maintenance. */
+  def compactIndexes(spark: SparkSession, lake: String,
+      targetFileRows: Long = 4L << 20): Map[String, Option[Long]] =
+    Map(
+      s"$lake/documents" -> recluster(spark, s"$lake/documents", "hash_key", targetFileRows),
+      s"$lake/bands" -> recluster(spark, s"$lake/bands", "bkey", targetFileRows))
+
+  private def recluster(spark: SparkSession, table: String, key: String,
+      targetFileRows: Long): Option[Long] =
+    SnapshotLake.latestVersionOf(spark, table).flatMap { _ =>
+      val n = SnapshotLake.read(spark, table).count()
+      val files = math.max(1L, (n + targetFileRows - 1) / targetFileRows).toInt
+      SnapshotLake.commitRewrite(spark, table,
+        df => df.repartitionByRange(files, col(key)).sortWithinPartitions(key),
+        Some(key))
+    }
+
+  /** Stats-pruned lake state for a batch probe: the rows of `table` (less
+    * this batch's own partial-commit rows) whose probe-key stats column
+    * may contain one of `keys`. None when the table has no snapshot yet.
+    * Falls back to the full snapshot when the batch's key set is too
+    * large to ship as an IN-probe. */
+  private def settledPruned(spark: SparkSession, table: String, statsCol: String,
+      keys: Seq[Long], overflow: Boolean, batchId: Long): Option[DataFrame] =
+    SnapshotLake.latestVersionOf(spark, table).map { _ =>
+      val snap =
+        if (overflow) SnapshotLake.read(spark, table)
+        else SnapshotLake.readRangeIn(spark, table, statsCol, keys)
+      snap.filter(col("ingest_batch") =!= batchId)
+    }
 
   /** Start the guard on a streaming `docs` frame with columns
     * (doc_id: long, ts: long epoch-nanos, text: string). `heldout` is the
@@ -84,7 +161,8 @@ object CorpusPrepStream {
     * failure, and redelivery deterministically. */
   private[graft] def processBatch(spark: SparkSession, batch: DataFrame,
       batchId: Long, heldout: DataFrame, lake: String, cfg: Config,
-      beforeBands: () => Unit = () => ()): Unit = {
+      beforeBands: () => Unit = () => (),
+      probeObserver: (String, DataFrame) => Unit = (_, _) => ()): Unit = {
     import spark.implicits._
     val docsTable = s"$lake/documents"
     val bandsTable = s"$lake/bands"
@@ -101,23 +179,30 @@ object CorpusPrepStream {
     try {
       val nQuality = quality.count()
 
-      // lake state as of the LAST batch: rows this same batch id landed
-      // (a partially-committed earlier delivery) are excluded, so a
-      // redelivery recomputes against the exact pre-delivery lake
-      def settled(table: String): Option[DataFrame] =
-        SnapshotLake.latestVersionOf(spark, table)
-          .map(_ => SnapshotLake.read(spark, table)
-            .filter(col("ingest_batch") =!= batchId))
+      // lake state as of the LAST batch, pruned to the files this batch's
+      // probe keys can touch (see the scale-shape note); rows this same
+      // batch id landed (a partially-committed earlier delivery) are
+      // excluded, so a redelivery recomputes against the exact
+      // pre-delivery lake. Key collection is bounded driver-side state:
+      // at most maxProbeKeys + 1 longs, the overflow sentinel included.
+      def probeKeys(df: DataFrame, key: Column): (Seq[Long], Boolean) = {
+        val rows = df.select(key.as("k")).distinct().take(cfg.maxProbeKeys + 1)
+        (rows.map(_.getLong(0)).toSeq, rows.length > cfg.maxProbeKeys)
+      }
 
       // 2. exact dedup: batch-internal canonical, then the lake probe
       val wHash = Window.partitionBy("text_hash").orderBy("doc_id")
       val batchCanonical = quality
         .withColumn("rk", row_number().over(wHash))
         .filter(col("rk") === 1).drop("rk")
-      val exact = settled(docsTable) match {
+      val (hashKeys, hashOverflow) = probeKeys(batchCanonical, docProbeKey)
+      val exact = settledPruned(spark, docsTable, "hash_key",
+          hashKeys, hashOverflow, batchId) match {
         case None => batchCanonical
-        case Some(lakeDocs) => batchCanonical.join(
-          lakeDocs.select("text_hash"), Seq("text_hash"), "left_anti")
+        case Some(lakeDocs) =>
+          probeObserver("documents", lakeDocs)
+          batchCanonical.join(
+            lakeDocs.select("text_hash"), Seq("text_hash"), "left_anti")
       }
       val nExact = exact.count()
 
@@ -126,11 +211,15 @@ object CorpusPrepStream {
       val bands = DedupOps.bandRows(exact.select("doc_id", "text"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
-        val hitLake: DataFrame = settled(bandsTable) match {
+        val (bandKeys, bandOverflow) = probeKeys(bands, bandProbeKey)
+        val hitLake: DataFrame = settledPruned(spark, bandsTable, "bkey",
+            bandKeys, bandOverflow, batchId) match {
           case None => spark.emptyDataset[Long].toDF("doc_id")
-          case Some(lakeBands) => bands.join(
-            lakeBands.select("band", "sig"), Seq("band", "sig"), "left_semi")
-            .select("doc_id").distinct()
+          case Some(lakeBands) =>
+            probeObserver("bands", lakeBands)
+            bands.join(
+              lakeBands.select("band", "sig"), Seq("band", "sig"), "left_semi")
+              .select("doc_id").distinct()
         }
         val wBucket = Window.partitionBy("band", "sig")
         val hitBatch = bands
@@ -159,12 +248,16 @@ object CorpusPrepStream {
           // above reconstructs exactly on redelivery)
           SnapshotLake.commitStreamBatch(spark, docsTable,
             survivors.select("doc_id", "ts", "text", "text_hash",
-              "n_tokens", "dup_rate", "ingest_batch"), batchId)
+              "n_tokens", "dup_rate", "ingest_batch")
+              .withColumn("hash_key", docProbeKey),
+            batchId, statsCol = Some("hash_key"))
           beforeBands()
           SnapshotLake.commitStreamBatch(spark, bandsTable,
             bands.join(survivors.select("doc_id"), Seq("doc_id"), "left_semi")
               .select(col("band"), col("sig"), col("doc_id").as("owner"))
-              .withColumn("ingest_batch", lit(batchId)), batchId)
+              .withColumn("bkey", bandProbeKey)
+              .withColumn("ingest_batch", lit(batchId)),
+            batchId, statsCol = Some("bkey"))
           SnapshotLake.commitStreamBatch(spark, attritionTable,
             Seq(
               ("00_input", nInput),

@@ -152,4 +152,72 @@ class CorpusPrepStreamSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().sorted
     assert(after.toSeq === Seq(10L, 15L, 22L), s"got ${after.mkString(",")}")
   }
+
+  test("probe scale shape: at 100x corpus / 1x batch, compacted indexes prune lake probes to O(batch-keys) files") {
+    import spark.implicits._
+    val heldout = heldoutIndexDir()
+    val lake = tmp("cps-lake3")
+    val cfg = CorpusPrepStream.Config()
+
+    // Build a 200-doc accepted corpus DIRECTLY (the lake's age is just its
+    // table contents — commitStreamBatch with the job's own schema and
+    // stats columns), then re-cluster with compactIndexes so each data
+    // file covers a narrow disjoint probe-key slice.
+    val corpusTexts =
+      (1 to 199).map(i => (500L + i, (1 to 30).map(j => s"c${i}x$j").mkString(" "))) :+
+        (400L -> textA) // a landed doc the probe batch will near-dup against
+    corpusTexts.grouped(50).zipWithIndex.foreach { case (chunk, ci) =>
+      val docs = chunk.toDF("doc_id", "text")
+        .withColumn("ts", lit(1L))
+        .withColumn("text_hash", md5(col("text").cast("binary")))
+        .withColumn("n_tokens", lit(30L))
+        .withColumn("dup_rate", lit(0.0))
+        .withColumn("ingest_batch", lit(100L + ci))
+        .withColumn("hash_key", xxhash64(col("text_hash")))
+      SnapshotLake.commitStreamBatch(spark, s"$lake/documents",
+        docs.select("doc_id", "ts", "text", "text_hash", "n_tokens",
+          "dup_rate", "ingest_batch", "hash_key"),
+        100L + ci, statsCol = Some("hash_key"))
+      val bands = DedupOps.bandRows(chunk.toDF("doc_id", "text"))
+        .select(col("band"), col("sig"), col("doc_id").as("owner"))
+        .withColumn("bkey", xxhash64(col("band"), col("sig")))
+        .withColumn("ingest_batch", lit(100L + ci))
+      SnapshotLake.commitStreamBatch(spark, s"$lake/bands", bands,
+        100L + ci, statsCol = Some("bkey"))
+    }
+    CorpusPrepStream.compactIndexes(spark, lake, targetFileRows = 16)
+    val totalDocFiles = SnapshotLake.read(spark, s"$lake/documents").inputFiles.length
+    val totalBandFiles = SnapshotLake.read(spark, s"$lake/bands").inputFiles.length
+    assert(totalDocFiles >= 10, s"corpus must be many-filed, got $totalDocFiles")
+    assert(totalBandFiles >= 40, s"band index must be many-filed, got $totalBandFiles")
+
+    // One 2-doc batch (1% of corpus age): an exact re-arrival of a landed
+    // doc + a fresh doc. The probes must touch only the files the batch's
+    // own keys can live in — disjoint ranges after compaction, so at most
+    // one file per key (+1 for a key sitting on a range boundary).
+    var probeFiles = Map.empty[String, Int]
+    val b = Seq((900L, 5L, textA), (901L, 5L, textC)).toDF("doc_id", "ts", "text")
+    CorpusPrepStream.processBatch(spark, b, 0L, heldout, lake, cfg,
+      probeObserver = (table, df) => probeFiles += table -> df.inputFiles.length)
+
+    // correctness through the pruned probes: the re-arrival dropped (its
+    // hash lives in exactly one pruned-in file), the fresh doc landed
+    val landed = SnapshotLake.read(spark, s"$lake/documents")
+      .filter(col("ingest_batch") === 0L).select("doc_id").as[Long].collect()
+    assert(landed.toSeq === Seq(901L), s"got ${landed.mkString(",")}")
+
+    // plan shape: probe IO is batch-sized, not corpus-sized
+    assert(probeFiles("documents") <= 4,
+      s"docs probe read ${probeFiles("documents")} of $totalDocFiles files — 2 hash keys must touch <= 4")
+    // bands probe runs on the exact-surviving doc only: <= 4 band keys
+    assert(probeFiles("bands") <= 8,
+      s"bands probe read ${probeFiles("bands")} of $totalBandFiles files — 4 band keys must touch <= 8")
+
+    // and a near-dup of a LANDED doc still drops through the pruned probe
+    val b2 = Seq((910L, 6L, textA1)).toDF("doc_id", "ts", "text")
+    CorpusPrepStream.processBatch(spark, b2, 1L, heldout, lake, cfg)
+    val landed2 = SnapshotLake.read(spark, s"$lake/documents")
+      .filter(col("ingest_batch") === 1L).count()
+    assert(landed2 === 0L, "near-dup of a landed doc must drop via the pruned band probe")
+  }
 }
