@@ -61,15 +61,21 @@ object Bench {
         s"SPARK_GRAFT_ONLY names match no query: ${unknown.toSeq.sorted.mkString(", ")} " +
           s"(known: ${SparkEntry.queries.keySet.toSeq.sorted.mkString(", ")})")
     }
+    // SPARK_GRAFT_RUNS: repeats per query (best-of-N wall). Default 3 —
+    // the sub-second sf0.1 shapes need the noise floor. Large-SF audits
+    // set 1-2: a multi-second run carries proportionally little host
+    // noise, and 3 runs of a quadratic baseline is an hour of re-proof.
+    val runs = sys.env.get("SPARK_GRAFT_RUNS").map(_.toInt).getOrElse(3)
+    require(runs >= 1, s"SPARK_GRAFT_RUNS must be >= 1, got $runs")
     // warmup: touch every table + exercise codegen once
     SparkEntry.queries.get("q01_pricing_summary").foreach(f => f(spark, sfDir).count())
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
-        // best of 3: the first run pays codegen/JIT for this query's shape,
-        // and the extra run tightens the noise floor (local totals otherwise
+        // best of N: the first run pays codegen/JIT for this query's shape,
+        // and the extra runs tighten the noise floor (local totals otherwise
         // drift double-digit percent with host load — see SURVEY §6)
-        val times = (1 to 3).map { _ =>
+        val times = (1 to runs).map { _ =>
           val c0 = processCpuNs
           val t0 = System.nanoTime()
           // a throwing query must kill the bench, not record a near-zero
