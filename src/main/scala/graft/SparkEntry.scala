@@ -113,6 +113,7 @@ object SparkEntry {
     "q81b_hybrid_rrf_multi" -> ((s: SparkSession, d: String) => SimilarityOps.hybridRrfMulti(s, d)),
     "q74_pps_sample"      -> ((s: SparkSession, d: String) => CurationOps.ppsSample(s, d)),
     "q88_bpe_train"       -> ((s: SparkSession, d: String) => operators.Bpe.bpeTrainTable(s, d)),
+    "q89_bpe_encode"      -> ((s: SparkSession, d: String) => operators.Bpe.bpeEncodeHistogram(s, d)),
     "q75_scd2"            -> (TemporalOps.scd2 _),
     "q76_rolling_features" -> (TemporalOps.rollingFeatures _),
     "q77_cohort_retention" -> (TemporalOps.cohortRetention _),
@@ -1414,6 +1415,31 @@ object SparkEntry {
         "SELECT * FROM (VALUES ",
         ", ",
         ") t(rank, \"left\", \"right\", n) ORDER BY rank"),
+
+    // q89: encode the corpus with the frozen merges and histogram the
+    // resulting symbols. The oracle re-implements the replace-chain
+    // encoder verbatim: each symbol travels chr(1)+sym+chr(2), and each
+    // merge is ONE literal replace — left-to-right non-overlapping in
+    // both engines, which on the bracket form IS the trainer's greedy
+    // fold (the brackets make partial-symbol matches impossible and no
+    // match shares characters with its neighbor)
+    "q89_bpe_encode" -> {
+      val encChain = graft.operators.BpeMerges.values.sortBy(_._1)
+        .foldLeft("s") { case (c, (_, l, r, _)) =>
+          def q(x: String) = "'" + x.replace("'", "''") + "'"
+          s"replace($c, chr(1)||${q(l)}||chr(2)||chr(1)||${q(r)}||chr(2), " +
+            s"chr(1)||${q(l + r)}||chr(2))"
+        }
+      s"""WITH words AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+         |wr AS (SELECT chr(1) || array_to_string(
+         |         list_transform(range(1, length(w) + 1), i -> substr(w, CAST(i AS INT), 1)),
+         |         chr(2)||chr(1)) || chr(2) AS s
+         |       FROM words WHERE length(w) >= 1),
+         |enc AS (SELECT $encChain AS s FROM wr),
+         |syms AS (SELECT unnest(string_split(substr(s, 2, length(s) - 2), chr(2)||chr(1))) AS sym FROM enc)
+         |SELECT sym, CAST(COUNT(*) AS BIGINT) AS n
+         |FROM syms GROUP BY sym ORDER BY n DESC, sym LIMIT 50""".stripMargin
+    },
 
     // duplicated 8-token-run coverage per doc (exact-substring dedup signal)
     "q65_dup_runs" ->

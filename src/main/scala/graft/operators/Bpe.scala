@@ -114,4 +114,61 @@ object Bpe {
       .map(m => (m.rank.toLong, m.left, m.right, m.n))
       .toDF("rank", "left", "right", "n")
   }
+
+  // Symbol-boundary delimiters for the replace-chain encoder: each symbol
+  // travels as SO+sym+SC, so a literal string replace of SO+l+SC+SO+r+SC
+  // can only ever consume two WHOLE adjacent symbols (the brackets make a
+  // partial-symbol match impossible), and because the match shares no
+  // characters with its neighbors, java.lang.String/DuckDB left-to-right
+  // non-overlapping replace IS the trainer's greedy fold ("aaaa" under
+  // (a,a) -> [aa][aa], "aaa" -> [aa][a]). Control chars: absent from
+  // whitespace-tokenized text by construction.
+  private[graft] val SO = "\u0001"
+  private[graft] val SC = "\u0002"
+
+  /** The replace-chain encode of token column `w`, still in wrapped form. */
+  private def encodeCol(merges: Seq[(Int, String, String, Long)]): Column = {
+    val wrapped = concat(lit(SO),
+      array_join(split(col("w"), ""), SC + SO), lit(SC))
+    merges.sortBy(_._1).foldLeft(wrapped) {
+      case (c, (_, l, r, _)) =>
+        replace(c, lit(SO + l + SC + SO + r + SC), lit(SO + l + r + SC))
+    }
+  }
+
+  /** The corpus token stream ENCODED with a frozen merge table, applied in
+    * rank order — the inference half of the tokenizer (train = q88,
+    * encode = this). One chain of k literal `replace` calls over the
+    * bracket-delimited symbol string: pure codegen'd string ops, one
+    * corpus scan, zero shuffles until the caller aggregates. Returns one
+    * row per token: (w, syms) — the raw token and its encoded symbols. */
+  private[graft] def encodeWords(docs: DataFrame,
+      merges: Seq[(Int, String, String, Long)]): DataFrame =
+    docs.select(explode(tokens(col("text"))).as("w"))
+      .filter(length(col("w")) >= 1)
+      .select(col("w"), encodeCol(merges).as("enc"))
+      .select(col("w"), split(
+        expr("substring(enc, 2, length(enc) - 2)"), SC + SO).as("syms"))
+
+  /** q89 — corpus-wide symbol-usage histogram under the frozen trained
+    * merges ([[BpeMerges]], rank order): the tokenizer-QA artifact that
+    * shows which learned symbols actually fire at encode time (a merge
+    * that never appears in the histogram is dead vocabulary). Top-k by
+    * (count DESC, symbol ASC) — deterministic cut.
+    *
+    * Scale shape: the encode is a fixed chain of k literal `replace`
+    * calls per token (map-side, whole-stage codegen, no UDF, no regex in
+    * the hot loop); the only shuffle is the histogram aggregation whose
+    * group count is bounded by the live vocabulary (charset + k merged
+    * symbols) regardless of corpus size — ideal partial aggregation —
+    * and the top-k is TakeOrdered, no global sort. Cost is one corpus
+    * scan for any k.
+    */
+  def bpeEncodeHistogram(s: SparkSession, d: String, k: Int = 50): DataFrame =
+    encodeWords(Tables.documentsScaled(s, d), BpeMerges.values)
+      .select(explode(col("syms")).as("sym"))
+      .groupBy("sym")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("sym"))
+      .limit(k)
 }

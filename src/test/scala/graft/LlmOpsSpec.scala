@@ -670,6 +670,51 @@ class LlmOpsSpec extends SparkSpec {
     assert(operators.Bpe.train(spark, uniq, rounds = 5).isEmpty)
   }
 
+  test("q89 replace-chain encoder == the trainer's fold semantics, merge by merge") {
+    import spark.implicits._
+    // Two INDEPENDENT implementations of merge application must agree on
+    // every token: the trainer's per-merge array fold (applyMerge — the
+    // spec-verified reference semantics above) vs the encoder's literal
+    // replace chain over the bracket-delimited string. The corpus is
+    // built to trip every known replace-encoding trap: adjacent runs
+    // ("aaaa" must fuse pairwise-left), multi-char merges, a left-partial
+    // trap (token "xm-er" shape where a symbol ENDS with a merge's left),
+    // and a right-partial trap (symbol starting with a merge's right).
+    val merges = Seq((1, "a", "a", 0L), (2, "aa", "a", 0L),
+      (3, "m", "e", 0L), (4, "me", "r", 0L), (5, "b", "mer", 0L))
+    val words = Seq("aaaa", "aaa", "aaaaa", "mer", "mmer", "xmer", "bmer",
+      "merb", "ammera", "aamer", "emer", "mere", "bbmer", "aab")
+    val docs = Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+    val got = operators.Bpe.encodeWords(docs, merges)
+      .collect().map(r => r.getAs[String]("w") ->
+        r.getAs[scala.collection.Seq[String]]("syms").toSeq).toMap
+    // fold reference: run applyMerge (already proven against the
+    // driver-side reference in the trainer test) merge-by-merge
+    var ref = docs.select(explode(split(col("text"), " ")).as("t"))
+      .select(split(col("t"), "").as("w"), col("t"))
+    for ((_, l, r, _) <- merges)
+      ref = ref.select(operators.Bpe.applyMerge(l, r).as("w"), col("t"))
+    val refMap = ref.collect().map(r => r.getAs[String]("t") ->
+      r.getAs[scala.collection.Seq[String]]("w").toSeq).toMap
+    for (w <- words)
+      assert(got(w) === refMap(w), s"token '$w': ${got(w)} vs ${refMap(w)}")
+    // and the decode invariant: concatenating symbols restores the token
+    for (w <- words) assert(got(w).mkString === w)
+    // pin the canonical trap outputs explicitly (hand-derived):
+    // "aaaa": (a,a) pairwise-left -> [aa,aa]; (aa,a) needs right="a" -> stays
+    assert(got("aaaa") === Seq("aa", "aa"))
+    // "aaa": (a,a) -> [aa,a]; (aa,a) fuses -> [aaa]
+    assert(got("aaa") === Seq("aaa"))
+    // "xmer": 'm' is preceded by 'x' as a SEPARATE symbol, so (m,e)(me,r)
+    // fuse fine: [x,m,e,r] -> [x,me,r] -> [x,mer]; (b,mer) has no b
+    assert(got("xmer") === Seq("x", "mer"))
+    // "bmer": [b,m,e,r] -> ... -> [b,mer] -> (b,mer) fuses -> [bmer]
+    assert(got("bmer") === Seq("bmer"))
+    // "emer": [e,m,e,r] — (m,e) fuses at position 2 -> [e,me,r] -> [e,mer];
+    // (b,mer): no b. The leading 'e' must NOT be consumed by any merge.
+    assert(got("emer") === Seq("e", "mer"))
+  }
+
   test("q68c recall curve: monotone in nprobe, IVF hits the brute-force ceiling at nprobe=lists, coding only loses") {
     val rows = SimilarityOps.annRecallCurve(spark, sf).collect()
       .map(r => (r.getAs[Long]("nprobe"), r.getAs[Double]("ivf_recall"),
