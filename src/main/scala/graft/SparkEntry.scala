@@ -114,6 +114,7 @@ object SparkEntry {
     "q74_pps_sample"      -> ((s: SparkSession, d: String) => CurationOps.ppsSample(s, d)),
     "q88_bpe_train"       -> ((s: SparkSession, d: String) => operators.Bpe.bpeTrainTable(s, d)),
     "q89_bpe_encode"      -> ((s: SparkSession, d: String) => operators.Bpe.bpeEncodeHistogram(s, d)),
+    "q90_lm_perplexity"   -> ((s: SparkSession, d: String) => CurationOps.lmPerplexity(s, d)),
     "q75_scd2"            -> (TemporalOps.scd2 _),
     "q76_rolling_features" -> (TemporalOps.rollingFeatures _),
     "q77_cohort_retention" -> (TemporalOps.cohortRetention _),
@@ -1440,6 +1441,38 @@ object SparkEntry {
          |SELECT sym, CAST(COUNT(*) AS BIGINT) AS n
          |FROM syms GROUP BY sym ORDER BY n DESC, sym LIMIT 50""".stripMargin
     },
+
+    // q90: CCNet-style bigram-LM perplexity scoring. LM trained on the
+    // src0 reference source with add-one smoothing; each doc's score is
+    // the exact-decimal sum of per-bigram -ln((c12+1)/(c1+V)) over its
+    // bigram multiset, divided once. Docs with < 2 tokens have no bigram
+    // and are absent in both engines.
+    "q90_lm_perplexity" ->
+      s"""WITH d AS (SELECT doc_id, source,
+         |            list_filter(string_split(text, ' '), x -> x <> '') AS t
+         |          FROM documents),
+         |bg AS (SELECT doc_id, source, t[i] AS w1, t[i+1] AS w2
+         |       FROM (SELECT doc_id, source, t,
+         |               unnest(generate_series(1, len(t) - 1)) AS i
+         |             FROM d WHERE len(t) >= 2)),
+         |k AS (SELECT doc_id, source, w1, w2, COUNT(*) AS k
+         |      FROM bg GROUP BY doc_id, source, w1, w2),
+         |uni AS (SELECT w, COUNT(*) AS c1
+         |        FROM (SELECT unnest(t) AS w FROM d WHERE source = 'src0')
+         |        GROUP BY w),
+         |bi AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg
+         |       WHERE source = 'src0' GROUP BY w1, w2),
+         |vv AS (SELECT COUNT(*) AS v FROM uni),
+         |sc AS (SELECT k.doc_id, k.source, k.k,
+         |         -ln(CAST(COALESCE(bi.c12, 0) + 1 AS DOUBLE) /
+         |             CAST(COALESCE(uni.c1, 0) + vv.v AS DOUBLE)) AS nll
+         |       FROM k LEFT JOIN bi ON k.w1 = bi.w1 AND k.w2 = bi.w2
+         |              LEFT JOIN uni ON k.w1 = uni.w
+         |              CROSS JOIN vv)
+         |SELECT doc_id, source,
+         |  CAST(SUM(k) AS BIGINT) AS n_bigrams,
+         |  ${S("CAST(k AS DOUBLE) * nll")} / CAST(SUM(k) AS DOUBLE) AS avg_nll
+         |FROM sc GROUP BY doc_id, source ORDER BY doc_id""".stripMargin,
 
     // duplicated 8-token-run coverage per doc (exact-substring dedup signal)
     "q65_dup_runs" ->

@@ -573,4 +573,69 @@ object CurationOps {
       .select(col("source"), col("pick"), col("doc_id"), col("n_chars"))
       .orderBy("source", "pick")
   }
+
+  /** q90 — n-gram LM perplexity scoring (the CCNet quality filter, Wenzek
+    * et al. 2020 arXiv:1911.00359): train a smoothed bigram LM on a clean
+    * REFERENCE source, score every document by its average token-bigram
+    * negative log-likelihood under that LM — low = looks like the
+    * reference (keep), high = off-distribution (junk, boilerplate,
+    * wrong-language). CCNet trains KenLM on Wikipedia and buckets the
+    * crawl by perplexity; this is the same pipeline shape with the LM
+    * itself expressed relationally (counts are IN the engine, not an
+    * external artifact): p(w2|w1) = (c(w1,w2) + 1) / (c(w1) + V),
+    * add-one smoothing over the reference vocabulary V, unseen tokens
+    * and bigrams degrade smoothly to ~ -ln(1/V).
+    *
+    * Scale shape: the corpus explodes to DISTINCT (doc, w1, w2, k)
+    * bigram-count rows first (map-side partial agg collapses within-doc
+    * repeats before any join); the LM tables are bounded by the REFERENCE
+    * source's size — at a 100 TB corpus with a curated reference these
+    * are the broadcast side (AQE picks it; nothing here forces a
+    * shuffle-join of the corpus against itself); the per-doc reduce is
+    * one aggregation with map-side partials. Float determinism: each
+    * bigram's nll is a fixed IEEE chain (int adds -> one divide -> ln —
+    * JVM log and DuckDB ln bit-identical on these inputs, the q73
+    * precedent) and the per-doc sum rides the exact-decimal carrier, so
+    * the score is bit-stable under any partitioning. Perplexity is
+    * exp(avg_nll), left to the consumer: exp's last-ulp behavior is the
+    * one engine-divergence risk and it adds no ranking information.
+    */
+  def lmPerplexity(s: SparkSession, d: String,
+      refSource: String = "src0"): DataFrame = {
+    val docs = Tables.documentsScaled(s, d)
+    val toks = expr("filter(split(text, ' '), x -> x <> '')")
+    val bigrams = docs
+      .select(col("doc_id"), col("source"), toks.as("t"))
+      .filter(size(col("t")) >= 2) // sequence(1,0) would DESCEND in Spark
+      .select(col("doc_id"), col("source"), explode(expr(
+        "transform(sequence(1, size(t) - 1), i -> struct(element_at(t, i) AS w1, element_at(t, i + 1) AS w2))")).as("b"))
+      .select(col("doc_id"), col("source"), col("b.w1"), col("b.w2"))
+      .groupBy("doc_id", "source", "w1", "w2")
+      .agg(count(lit(1)).as("k"))
+
+    val uni = docs.filter(col("source") === refSource)
+      .select(explode(toks).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c1"))
+    val refBi = docs.filter(col("source") === refSource)
+      .select(toks.as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(t) - 1), i -> struct(element_at(t, i) AS w1, element_at(t, i + 1) AS w2))")).as("b"))
+      .groupBy(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .agg(count(lit(1)).as("c12"))
+    val vocab = uni.agg(count(lit(1)).as("v"))
+
+    bigrams
+      .join(refBi, Seq("w1", "w2"), "left")
+      .join(uni.withColumnRenamed("w", "w1"), Seq("w1"), "left")
+      .crossJoin(broadcast(vocab))
+      .withColumn("nll",
+        -log((coalesce(col("c12"), lit(0L)) + lit(1L)).cast("double") /
+             (coalesce(col("c1"), lit(0L)) + col("v")).cast("double")))
+      .groupBy("doc_id", "source")
+      .agg(sum(col("k")).as("n_bigrams"),
+        (Exact.dsum(col("k").cast("double") * col("nll")) /
+          sum(col("k")).cast("double")).as("avg_nll"))
+      .orderBy("doc_id")
+  }
 }

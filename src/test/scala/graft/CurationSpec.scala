@@ -407,4 +407,56 @@ class CurationSpec extends SparkSpec {
         r.getAs[Long]("doc_id"), r.getAs[Long]("n_chars"))).toList
     assert(got === naive)
   }
+
+  test("q90 LM perplexity: hand-computed scores, unseen-doc ln(V) pin, in-distribution ranks lower") {
+    import spark.implicits._
+    // reference source: "a b" x3 and "a c" — V = {a,b,c} = 3
+    //   unigram counts: a=4, b=3, c=1 (token stream "a b a b a b a c")
+    //   bigram counts:  (a,b)=3, (b,a)=2, (b,c)=0, (a,c)=1, (c,a)=1... recomputed below
+    val dir = java.nio.file.Files.createTempDirectory("lmppl").toString
+    Seq(
+      (1L, "src0", "a b a b a b a c"),
+      (2L, "other", "a b a b"),   // in-distribution bigrams
+      (3L, "other", "x y z"),     // fully unseen: every bigram scores ln(V)
+      (4L, "other", "solo")       // single token: no bigram -> absent
+    ).toDF("doc_id", "source", "text")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = CurationOps.lmPerplexity(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_bigrams"), r.getAs[Double]("avg_nll"))).toMap
+
+    // driver-side reference: count from the same text, add-one smoothing
+    val refToks = "a b a b a b a c".split(" ").toSeq
+    val c1 = refToks.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val c12 = refToks.zip(refToks.tail).groupBy(identity)
+      .view.mapValues(_.size.toLong).toMap
+    val v = c1.size.toLong
+    def nll(w1: String, w2: String): Double =
+      -math.log((c12.getOrElse((w1, w2), 0L) + 1).toDouble /
+        (c1.getOrElse(w1, 0L) + v).toDouble)
+    def score(text: String): (Long, Double) = {
+      val t = text.split(" ").toSeq
+      val bs = t.zip(t.tail)
+      // replicate the engine's exact-decimal carrier: each doc groups its
+      // bigrams to (pair, k) and accumulates k*nll as DECIMAL(27,6)
+      val terms = bs.groupBy(identity).map { case (p, g) =>
+        BigDecimal(g.size.toDouble * nll(p._1, p._2))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      }
+      (bs.size.toLong, terms.sum.toDouble / bs.size)
+    }
+    for (d <- Seq(1L, 2L, 3L)) {
+      val txt = Map(1L -> "a b a b a b a c", 2L -> "a b a b", 3L -> "x y z")(d)
+      val (en, enll) = score(txt)
+      assert(got(d)._1 === en, s"doc $d n_bigrams")
+      assert(math.abs(got(d)._2 - enll) < 1e-12, s"doc $d: ${got(d)._2} vs $enll")
+    }
+    // the fully-unseen doc scores ln(V) (to carrier precision):
+    // -ln((0+1)/(0+V)) for every bigram
+    assert(math.abs(got(3L)._2 - math.log(v.toDouble)) < 1e-5)
+    // in-distribution text scores strictly lower than off-distribution
+    assert(got(2L)._2 < got(3L)._2)
+    // a single-token doc has no bigram and is absent, both engines
+    assert(!got.contains(4L))
+  }
 }
