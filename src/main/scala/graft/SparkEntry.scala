@@ -115,6 +115,7 @@ object SparkEntry {
     "q88_bpe_train"       -> ((s: SparkSession, d: String) => operators.Bpe.bpeTrainTable(s, d)),
     "q89_bpe_encode"      -> ((s: SparkSession, d: String) => operators.Bpe.bpeEncodeHistogram(s, d)),
     "q90_lm_perplexity"   -> ((s: SparkSession, d: String) => CurationOps.lmPerplexity(s, d)),
+    "q91_dsir"            -> ((s: SparkSession, d: String) => CurationOps.dsirWeights(s, d)),
     "q75_scd2"            -> (TemporalOps.scd2 _),
     "q76_rolling_features" -> (TemporalOps.rollingFeatures _),
     "q77_cohort_retention" -> (TemporalOps.cohortRetention _),
@@ -1440,6 +1441,40 @@ object SparkEntry {
          |syms AS (SELECT unnest(string_split(substr(s, 2, length(s) - 2), chr(2)||chr(1))) AS sym FROM enc)
          |SELECT sym, CAST(COUNT(*) AS BIGINT) AS n
          |FROM syms GROUP BY sym ORDER BY n DESC, sym LIMIT 50""".stripMargin
+    },
+
+    // q91: DSIR hashed-n-gram importance weights. Target = src0, raw =
+    // everything else; features are unigram+bigram charHash % 1024, so
+    // both distribution tables are <= 1024 rows by construction. Raw
+    // docs only; log-ratio per bucket is the fixed IEEE ln chain, the
+    // per-doc sum rides the exact-decimal carrier.
+    "q91_dsir" -> {
+      val B = 1024
+      s"""WITH d AS (SELECT doc_id, source,
+         |            list_filter(string_split(text, ' '), x -> x <> '') AS t
+         |          FROM documents),
+         |unig AS (SELECT doc_id, source, unnest(t) AS g FROM d),
+         |bigr AS (SELECT doc_id, source, t[i] || ' ' || t[i+1] AS g
+         |         FROM (SELECT doc_id, source, t,
+         |                 unnest(generate_series(1, len(t) - 1)) AS i
+         |               FROM d WHERE len(t) >= 2)),
+         |feats AS (SELECT doc_id, source, ${PH("g")} % $B AS b, COUNT(*) AS k
+         |          FROM (SELECT * FROM unig UNION ALL SELECT * FROM bigr)
+         |          GROUP BY doc_id, source, b),
+         |ctt AS (SELECT b, SUM(k) AS ct FROM feats WHERE source = 'src0' GROUP BY b),
+         |crr AS (SELECT b, SUM(k) AS cr FROM feats WHERE source <> 'src0' GROUP BY b),
+         |ratio AS (SELECT COALESCE(ctt.b, crr.b) AS b, COALESCE(ct, 0) AS ct,
+         |                 COALESCE(cr, 0) AS cr
+         |          FROM ctt FULL OUTER JOIN crr ON ctt.b = crr.b),
+         |tot AS (SELECT SUM(ct) AS tt, SUM(cr) AS tr FROM ratio),
+         |lrt AS (SELECT b,
+         |          ln(CAST(ct + 1 AS DOUBLE) / CAST(tt + $B AS DOUBLE)) -
+         |          ln(CAST(cr + 1 AS DOUBLE) / CAST(tr + $B AS DOUBLE)) AS lr
+         |        FROM ratio CROSS JOIN tot)
+         |SELECT f.doc_id, f.source, CAST(SUM(f.k) AS BIGINT) AS n_feats,
+         |  ${S("CAST(f.k AS DOUBLE) * lrt.lr")} AS logweight
+         |FROM feats f JOIN lrt ON f.b = lrt.b WHERE f.source <> 'src0'
+         |GROUP BY f.doc_id, f.source ORDER BY f.doc_id""".stripMargin
     },
 
     // q90: CCNet-style bigram-LM perplexity scoring. LM trained on the

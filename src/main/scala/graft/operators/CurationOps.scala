@@ -574,6 +574,67 @@ object CurationOps {
       .orderBy("source", "pick")
   }
 
+  /** q91 — DSIR importance weighting (Xie et al. 2023, arXiv:2302.03169,
+    * "Data Selection for Language Models via Importance Resampling"):
+    * score every RAW document by its log importance weight
+    * log p_target(doc) − log p_raw(doc) under hashed-n-gram bag-of-words
+    * models of the target (clean reference source) and raw
+    * distributions — the principled selection dial that upweights docs
+    * that look like the target relative to the crawl background
+    * (resampling = rank by this weight, optionally with Gumbel noise;
+    * the deterministic score is the artifact, the noise is the
+    * consumer's one line).
+    *
+    * Features are unigrams AND bigrams hashed into B buckets (the
+    * paper's hashed n-gram model), which makes the scale shape strictly
+    * better than a vocabulary-keyed LM: BOTH distribution tables are
+    * ≤ B rows BY CONSTRUCTION regardless of corpus size, so the scoring
+    * join is an explicit broadcast — the corpus-side stream never
+    * shuffles on a token key at all. Per-bucket log-ratio
+    * lr = ln((ct+1)/(tt+B)) − ln((cr+1)/(tr+B)) (add-one smoothing) is
+    * a fixed IEEE chain; within-doc feature repeats collapse map-side;
+    * the per-doc sum rides the exact-decimal carrier — bit-stable under
+    * any partitioning.
+    */
+  def dsirWeights(s: SparkSession, d: String, refSource: String = "src0",
+      buckets: Int = 1024): DataFrame = {
+    import graft.functions.TextFunctions.charHash
+    val docs = Tables.documentsScaled(s, d)
+      .select(col("doc_id"), col("source"),
+        expr("filter(split(text, ' '), x -> x <> '')").as("t"))
+    val unig = docs.select(col("doc_id"), col("source"),
+      explode(col("t")).as("g"))
+    val bigr = docs.filter(size(col("t")) >= 2)
+      .select(col("doc_id"), col("source"), explode(expr(
+        "transform(sequence(1, size(t) - 1), i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))")).as("g"))
+    val feats = unig.unionAll(bigr)
+      .select(col("doc_id"), col("source"),
+        (charHash(col("g")) % buckets).as("b"))
+      .groupBy("doc_id", "source", "b")
+      .agg(count(lit(1)).as("k"))
+
+    val isRef = col("source") === refSource
+    val ct = feats.filter(isRef).groupBy("b").agg(sum("k").as("ct"))
+    val cr = feats.filter(!isRef).groupBy("b").agg(sum("k").as("cr"))
+    val ratio = ct.join(cr, Seq("b"), "full_outer")
+      .select(col("b"), coalesce(col("ct"), lit(0L)).as("ct"),
+        coalesce(col("cr"), lit(0L)).as("cr"))
+    val totals = ratio.agg(sum("ct").as("tt"), sum("cr").as("tr"))
+    val lr = ratio.crossJoin(broadcast(totals))
+      .select(col("b"),
+        (log((col("ct") + lit(1L)).cast("double") /
+             (col("tt") + lit(buckets.toLong)).cast("double")) -
+         log((col("cr") + lit(1L)).cast("double") /
+             (col("tr") + lit(buckets.toLong)).cast("double"))).as("lr"))
+
+    feats.filter(!isRef)
+      .join(broadcast(lr), Seq("b"))
+      .groupBy("doc_id", "source")
+      .agg(sum(col("k")).as("n_feats"),
+        Exact.dsum(col("k").cast("double") * col("lr")).as("logweight"))
+      .orderBy("doc_id")
+  }
+
   /** q90 — n-gram LM perplexity scoring (the CCNet quality filter, Wenzek
     * et al. 2020 arXiv:1911.00359): train a smoothed bigram LM on a clean
     * REFERENCE source, score every document by its average token-bigram

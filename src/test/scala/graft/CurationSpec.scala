@@ -459,4 +459,59 @@ class CurationSpec extends SparkSpec {
     // a single-token doc has no bigram and is absent, both engines
     assert(!got.contains(4L))
   }
+
+  test("q91 DSIR: target-like raw docs outrank junk; exact in-memory recompute") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("dsir").toString
+    val target = "the quick brown fox jumps over the lazy dog"
+    Seq(
+      (1L, "src0", target),
+      (2L, "src0", "the quick brown fox runs over the lazy cat"),
+      (10L, "raw", target),                        // verbatim target text
+      (11L, "raw", "zq wx kv jm qq zz xx yy ww vv"), // junk, disjoint tokens
+      (12L, "raw", "the quick brown fox")          // partial target prefix
+    ).toDF("doc_id", "source", "text")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = CurationOps.dsirWeights(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_feats"), r.getAs[Double]("logweight"))).toMap
+    assert(got.keySet === Set(10L, 11L, 12L)) // raw docs only
+
+    // driver-side reference: same hash, same smoothing, same carrier
+    val B = 1024
+    def ph(x: String): Long = {
+      var acc = 0L; var i = 0
+      while (i < x.length) { acc = (acc * 31 + x.charAt(i)) % 1000000007L; i += 1 }
+      acc
+    }
+    def featsOf(text: String): Seq[Long] = {
+      val t = text.split(" ").filter(_.nonEmpty).toSeq
+      (t ++ t.zip(t.tail).map { case (a, b) => a + " " + b }).map(g => ph(g) % B)
+    }
+    val lake = Seq((1L, "src0", target),
+      (2L, "src0", "the quick brown fox runs over the lazy cat"),
+      (10L, "raw", target), (11L, "raw", "zq wx kv jm qq zz xx yy ww vv"),
+      (12L, "raw", "the quick brown fox"))
+    def countsOf(src: Boolean): Map[Long, Long] =
+      lake.filter(d => (d._2 == "src0") == src).flatMap(d => featsOf(d._3))
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val (ct, cr) = (countsOf(true), countsOf(false))
+    val (tt, tr) = (ct.values.sum, cr.values.sum)
+    def lr(b: Long): Double =
+      math.log((ct.getOrElse(b, 0L) + 1).toDouble / (tt + B).toDouble) -
+        math.log((cr.getOrElse(b, 0L) + 1).toDouble / (tr + B).toDouble)
+    for ((id, _, text) <- lake if got.contains(id)) {
+      val fs = featsOf(text)
+      val terms = fs.groupBy(identity).map { case (b, g) =>
+        BigDecimal(g.size.toDouble * lr(b))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      }
+      assert(got(id)._1 === fs.size.toLong, s"doc $id n_feats")
+      assert(math.abs(got(id)._2 - terms.sum.toDouble) < 1e-12,
+        s"doc $id: ${got(id)._2} vs ${terms.sum.toDouble}")
+    }
+    // the selection property DSIR exists for: verbatim-target > partial > junk
+    assert(got(10L)._2 > got(12L)._2 && got(12L)._2 > got(11L)._2,
+      s"ranking broken: $got")
+  }
 }
