@@ -14,6 +14,11 @@ import graft.operators.DedupOps
   *
   *   1. PII redaction (TextFunctions.redactPii — blur for text)
   *   2. quality gate (min tokens, max within-doc duplicate-3-gram rate)
+  *   2b. LM perplexity filter (q90's CCNet-style kernel, opt-in): a
+  *       bigram LM trained on the frontier's reference-source docs
+  *       scores every frontier doc; the off-distribution tail above
+  *       `lmMaxAvgNll` drops. Runs BEFORE dedup — scoring is linear,
+  *       dedup is the expensive stage, so junk leaves first.
   *   3. exact dedup (content-hash canonical, cheapest first)
   *   4. near-dup group dedup (MinHash pairs -> connected components ->
   *      keep each group's canonical) — skippable for small/clean corpora
@@ -39,7 +44,7 @@ import graft.operators.DedupOps
   *       (`Config.spanCut`); a doc cut to nothing leaves the corpus.
   *   7. sliding-window chunking (training-example shaping)
   *
-  * Usage: CorpusPrep <sf-dir> <out-dir> [--no-neardup] [--semantic] [--decontaminate] [--span-cut]
+  * Usage: CorpusPrep <sf-dir> <out-dir> [--no-neardup] [--semantic] [--decontaminate] [--span-cut] [--lm-filter=MAX_AVG_NLL]
   *
   * Output layout:
   *   <out>/documents/  kept documents (redacted text, provenance columns)
@@ -66,6 +71,16 @@ object CorpusPrep {
       // the scale-killer configuration as its default. Some(n) pins an
       // explicit dial (0 = unblocked, for small/sparse corpora).
       semanticSubBlockBits: Option[Int] = None,
+      // CCNet-style LM filter (q90 kernel): opt-in; drops frontier docs
+      // whose avg bigram NLL under the reference-source LM exceeds the
+      // threshold. The LM trains on the FRONTIER's reference docs (a doc
+      // the quality gate dropped can't teach the LM). Threshold is
+      // explicit by design: the right cut is corpus-specific (CCNet
+      // buckets by perplexity terciles; a fixed default would silently
+      // mean something different on every corpus).
+      lmFilter: Boolean = false,
+      lmRefSource: String = "src0",
+      lmMaxAvgNll: Double = Double.PositiveInfinity,
       decontaminate: Boolean = false,
       decontaminateNgram: Int = 13,
       spanCut: Boolean = false,
@@ -113,8 +128,24 @@ object CorpusPrep {
       .filter(col("n_tokens") >= minTokens && col("dup_rate") <= maxDupNgramRate)
 
   private def runStages(spark: SparkSession, sfDir: String, out: String,
-      cfg: Config, total: Long, quality: DataFrame): Unit = {
-    val nQuality = quality.count()
+      cfg: Config, total: Long, qualityIn: DataFrame): Unit = {
+    val nQuality = qualityIn.count()
+
+    // 2b. LM perplexity filter (opt-in; q90's kernel over the frontier):
+    // score every frontier doc under a bigram LM trained on the
+    // frontier's reference-source docs and drop the off-distribution
+    // tail. Frontier docs the scorer can't see (< 2 tokens — impossible
+    // under the default minTokens, possible under a permissive config)
+    // KEEP: absence of evidence is not a junk verdict. The drop list is
+    // a doc_id column, applied by one anti-join.
+    val quality = if (!cfg.lmFilter) qualityIn else {
+      val drops = graft.operators.CurationOps
+        .lmPerplexityOf(qualityIn.select("doc_id", "source", "text"), cfg.lmRefSource)
+        .filter(col("avg_nll") > cfg.lmMaxAvgNll)
+        .select("doc_id")
+      qualityIn.join(drops, Seq("doc_id"), "left_anti")
+    }
+    val nLm = if (cfg.lmFilter) quality.count() else -1L
 
     // 3. exact dedup: keep the minimum doc_id per content hash
     val exactKeep = quality
@@ -244,6 +275,8 @@ object CorpusPrep {
     Seq(
       ("00_input", total),
       ("01_quality_gate", nQuality),
+      // -1 = stage off (the convention the semantic rows use)
+      ("01b_lm_filter", nLm),
       ("02_exact_dedup", nExact),
       ("03_neardup_groups", nKept),
       ("04_semantic_dedup", if (cfg.decontaminate) nSemantic else nAfterDecon),
@@ -261,11 +294,18 @@ object CorpusPrep {
   def main(args: Array[String]): Unit = {
     require(args.length >= 2,
       "usage: CorpusPrep <sf-dir> <out-dir> [--no-neardup] [--semantic] " +
-        "[--semantic-bits=N] [--decontaminate] [--span-cut]")
+        "[--semantic-bits=N] [--decontaminate] [--span-cut] " +
+        "[--lm-filter=MAX_AVG_NLL]")
     val spark = GraftSession.get()
+    val lmMax = args.collectFirst {
+      case a if a.startsWith("--lm-filter=") =>
+        a.stripPrefix("--lm-filter=").toDouble
+    }
     run(spark, args(0), args(1), Config(
       nearDup = !args.contains("--no-neardup"),
       semantic = args.contains("--semantic"),
+      lmFilter = lmMax.isDefined,
+      lmMaxAvgNll = lmMax.getOrElse(Double.PositiveInfinity),
       // explicit dial pin; absent = measure it from the frontier (the
       // default a 100 TB run should take)
       semanticSubBlockBits = args.collectFirst {

@@ -662,8 +662,15 @@ object CurationOps {
     * one engine-divergence risk and it adds no ranking information.
     */
   def lmPerplexity(s: SparkSession, d: String,
-      refSource: String = "src0"): DataFrame = {
-    val docs = Tables.documentsScaled(s, d)
+      refSource: String = "src0"): DataFrame =
+    lmPerplexityOf(Tables.documentsScaled(s, d), refSource)
+
+  /** [[lmPerplexity]] over an arbitrary (doc_id, source, text, ...) frame
+    * — the seam CorpusPrep's LM-filter stage scores its own surviving
+    * frontier through (LM trained on the frontier's reference-source
+    * docs, so a doc the quality gate dropped can't teach the LM). */
+  private[graft] def lmPerplexityOf(docs: DataFrame,
+      refSource: String): DataFrame = {
     val toks = expr("filter(split(text, ' '), x -> x <> '')")
     val bigrams = docs
       .select(col("doc_id"), col("source"), toks.as("t"))

@@ -74,6 +74,54 @@ class CorpusPrepSpec extends SparkSpec {
     assert(stats("05_decontaminate") === stats("04_semantic_dedup") - 2)
   }
 
+  test("LM-filter stage drops the off-distribution doc, keeps in-distribution; off by default") {
+    import spark.implicits._
+    // reference source 'src0' teaches the LM; doc 20 repeats the
+    // reference's bigrams (low NLL), doc 21 shares no token with it
+    // (every bigram at the ln(V) ceiling). All docs pass the quality
+    // gate and are lexically distinct, so only the LM stage separates
+    // them.
+    val corpus = java.nio.file.Files.createTempDirectory("lmcorpus").toString
+    Seq(
+      (1L, "src0", "the quick brown fox jumps over the lazy dog again"),
+      (2L, "src0", "the quick brown fox runs past the lazy dog today"),
+      (20L, "web", "the quick brown fox naps near the lazy dog"),
+      (21L, "web", "zz qq ww vv kk jj xx yy uu pp"))
+      .map { case (id, src, t) => (id, "en", src, t, t.length.toLong) }
+      .toDF("doc_id", "lang", "source", "text", "n_chars")
+      .write.parquet(s"$corpus/documents.parquet")
+
+    // pick the cut between the two raw docs' measured scores: the junk
+    // doc sits at the unseen ceiling ln(V); in-distribution text is far
+    // below it. V here = distinct ref tokens, comfortably < 32 -> use a
+    // threshold just under ln(V) by scoring first.
+    val scores = graft.operators.CurationOps
+      .lmPerplexityOf(spark.read.parquet(s"$corpus/documents.parquet")
+        .select("doc_id", "source", "text"), "src0")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("avg_nll")).toMap
+    assert(scores(20L) < scores(21L), s"scores: $scores")
+    val cut = (scores(20L) + scores(21L)) / 2
+
+    val offOut = java.nio.file.Files.createTempDirectory("lmoff").toString
+    CorpusPrep.run(spark, corpus, offOut, CorpusPrep.Config())
+    val offStats = spark.read.parquet(s"$offOut/stats").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(offStats("01b_lm_filter") === -1L, "stage must be off by default")
+    val offIds = spark.read.parquet(s"$offOut/documents")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(offIds.contains(21L), "junk doc survives without the LM stage")
+
+    val onOut = java.nio.file.Files.createTempDirectory("lmon").toString
+    CorpusPrep.run(spark, corpus, onOut,
+      CorpusPrep.Config(lmFilter = true, lmMaxAvgNll = cut))
+    val onIds = spark.read.parquet(s"$onOut/documents")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(onIds === offIds - 21L, s"on: $onIds vs off: $offIds")
+    val onStats = spark.read.parquet(s"$onOut/stats").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(onStats("01b_lm_filter") === onStats("01_quality_gate") - 1)
+  }
+
   test("span-cut stage: extents cut, ownership frontier-local, span-free docs untouched") {
     import spark.implicits._
     val span = (1 to 10).map(i => s"s$i").mkString(" ")
