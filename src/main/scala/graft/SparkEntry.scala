@@ -1461,11 +1461,10 @@ object SparkEntry {
          |feats AS (SELECT doc_id, source, ${PH("g")} % $B AS b, COUNT(*) AS k
          |          FROM (SELECT * FROM unig UNION ALL SELECT * FROM bigr)
          |          GROUP BY doc_id, source, b),
-         |ctt AS (SELECT b, SUM(k) AS ct FROM feats WHERE source = 'src0' GROUP BY b),
-         |crr AS (SELECT b, SUM(k) AS cr FROM feats WHERE source <> 'src0' GROUP BY b),
-         |ratio AS (SELECT COALESCE(ctt.b, crr.b) AS b, COALESCE(ct, 0) AS ct,
-         |                 COALESCE(cr, 0) AS cr
-         |          FROM ctt FULL OUTER JOIN crr ON ctt.b = crr.b),
+         |ratio AS (SELECT b,
+         |            SUM(CASE WHEN source = 'src0' THEN k ELSE 0 END) AS ct,
+         |            SUM(CASE WHEN source <> 'src0' THEN k ELSE 0 END) AS cr
+         |          FROM feats GROUP BY b),
          |tot AS (SELECT SUM(ct) AS tt, SUM(cr) AS tr FROM ratio),
          |lrt AS (SELECT b,
          |          ln(CAST(ct + 1 AS DOUBLE) / CAST(tt + $B AS DOUBLE)) -

@@ -614,11 +614,11 @@ object CurationOps {
       .agg(count(lit(1)).as("k"))
 
     val isRef = col("source") === refSource
-    val ct = feats.filter(isRef).groupBy("b").agg(sum("k").as("ct"))
-    val cr = feats.filter(!isRef).groupBy("b").agg(sum("k").as("cr"))
-    val ratio = ct.join(cr, Seq("b"), "full_outer")
-      .select(col("b"), coalesce(col("ct"), lit(0L)).as("ct"),
-        coalesce(col("cr"), lit(0L)).as("cr"))
+    // both model tables in ONE pass over the bucketed features (a
+    // conditional-sum pivot, not two aggregations + a full-outer join)
+    val ratio = feats.groupBy("b").agg(
+      sum(when(isRef, col("k")).otherwise(lit(0L))).as("ct"),
+      sum(when(!isRef, col("k")).otherwise(lit(0L))).as("cr"))
     val totals = ratio.agg(sum("ct").as("tt"), sum("cr").as("tr"))
     val lr = ratio.crossJoin(broadcast(totals))
       .select(col("b"),

@@ -257,6 +257,25 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("q91: the B-bounded ratio table broadcasts; the corpus stream never sort-merge-joins") {
+    val p = plan(CurationOps.dsirWeights(spark, sf))
+    // the whole point of hashed features: both model tables are <= B rows
+    // by construction, so scoring is a broadcast join at ANY corpus size
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("q89: the encode is one scan - no join, no shuffle before the bounded histogram") {
+    val p = plan(operators.Bpe.bpeEncodeHistogram(spark, sf))
+    assert(!p.contains("Join"), p)
+    // scan -> explode/encode/explode -> partial agg -> ONE exchange ->
+    // final agg -> TakeOrdered; the spread-scan repartition of a
+    // single-file test input adds at most one round-robin exchange
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashEx <= 1, s"encode histogram shuffles $hashEx times: $p")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("q01: partial (map-side) aggregation before the exchange") {
     val p = plan(RelationalOps.pricingSummary(spark, sf))
     val firstAgg = p.indexOf("HashAggregate")
