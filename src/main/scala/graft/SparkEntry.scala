@@ -116,6 +116,7 @@ object SparkEntry {
     "q89_bpe_encode"      -> ((s: SparkSession, d: String) => operators.Bpe.bpeEncodeHistogram(s, d)),
     "q90_lm_perplexity"   -> ((s: SparkSession, d: String) => CurationOps.lmPerplexity(s, d)),
     "q91_dsir"            -> ((s: SparkSession, d: String) => CurationOps.dsirWeights(s, d)),
+    "q92_pca_top"         -> ((s: SparkSession, d: String) => operators.Pca.topComponentTable(s, d)),
     "q75_scd2"            -> (TemporalOps.scd2 _),
     "q76_rolling_features" -> (TemporalOps.rollingFeatures _),
     "q77_cohort_retention" -> (TemporalOps.cohortRetention _),
@@ -1442,6 +1443,25 @@ object SparkEntry {
          |SELECT sym, CAST(COUNT(*) AS BIGINT) AS n
          |FROM syms GROUP BY sym ORDER BY n DESC, sym LIMIT 50""".stripMargin
     },
+
+    // q92: the frozen trained top principal component (PcaComponents —
+    // jobs.PcaTrain over the correctness-gate lake) as a VALUES oracle,
+    // the q88/PqCodebooks pattern: the Spark side re-runs the whole
+    // distributed power iteration, so parity pins its carrier sums, dot
+    // order, normalize and sign rule bit-exactly (Double.toString
+    // round-trips; DuckDB's literal parser returns identical bits)
+    // NOTE the string-cast literals: a bare decimal literal materializes
+    // as DECIMAL first and the DECIMAL->DOUBLE conversion can lose the
+    // last ulp; CAST('..' AS DOUBLE) takes the correctly-rounded
+    // string->double path and returns the exact committed bits.
+    "q92_pca_top" ->
+      graft.operators.PcaComponents.values.zipWithIndex.map { case (x, i) =>
+        s"(CAST(${i + 1} AS BIGINT), CAST('$x' AS DOUBLE), " +
+          s"CAST('${graft.operators.PcaComponents.Eigenvalue}' AS DOUBLE))"
+      }.mkString(
+        "SELECT * FROM (VALUES ",
+        ", ",
+        ") t(dim_idx, component, eigenvalue) ORDER BY dim_idx"),
 
     // q91: DSIR hashed-n-gram importance weights. Target = src0, raw =
     // everything else; features are unigram+bigram charHash % 1024, so

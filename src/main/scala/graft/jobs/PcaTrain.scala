@@ -1,0 +1,29 @@
+package graft.jobs
+
+import graft.GraftSession
+import graft.operators.Pca
+
+/** Offline trainer for the frozen [[graft.operators.PcaComponents]]
+  * artifact: runs the full power iteration on the given lake and prints
+  * the component as Scala source — `run PcaTrain <sfDir>`, paste the
+  * output over the checked-in file. Values print via Double.toString
+  * (shortest round-trip), so the committed literals are the EXACT bits
+  * the deterministic recompute produces — q92's parity is equality, not
+  * tolerance.
+  */
+object PcaTrain {
+  def main(args: Array[String]): Unit = {
+    val Array(sfDir) = args
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val (v, lambda, n) = Pca.topComponent(spark, sfDir)
+    println(s"  val Iters: Int = 8")
+    println(s"  val Eigenvalue: Double = $lambda")
+    println(s"  val N: Long = ${n}L")
+    println(s"  val values: Seq[Double] = Seq(")
+    v.grouped(4).foreach(g => println("    " + g.mkString(", ") + ","))
+    println("  )")
+    spark.stop()
+  }
+}
