@@ -19,6 +19,10 @@ import graft.operators.{CurationOps, DedupOps}
   *
   *   1. PII redaction + quality gate — STATELESS, the exact batch kernels
   *      ([[TextFunctions.redactPii]], [[CorpusPrep.qualityFrontier]]).
+  *   1b. LM perplexity filter (opt-in, CorpusPrep's stage 2b): arriving
+  *      docs score against a FROZEN [[CurationOps.LmModel]] the caller
+  *      trained offline (q90's kernel, single-sourced) — the
+  *      train-offline/score-online split KenLM deployments use.
   *   2. exact dedup — min-doc_id-per-content-hash within the batch, then
   *      an anti-join against the content hashes ALREADY ACCEPTED into the
   *      lake (q62's batch-vs-corpus contract, made continuous).
@@ -94,7 +98,10 @@ object CorpusPrepStream {
       minTokens: Long = 5,
       maxDupNgramRate: Double = 0.6,
       deconNgram: Int = 13,
-      maxProbeKeys: Int = 1 << 16)
+      maxProbeKeys: Int = 1 << 16,
+      // LM-filter threshold, used only when start() receives a frozen
+      // model — the stream twin of CorpusPrep's stage 2b
+      lmMaxAvgNll: Double = Double.PositiveInfinity)
 
   /** The probe key every `documents` commit carries + declares as its
     * stats column: a uniform 64-bit image of the content hash, so range-
@@ -147,12 +154,14 @@ object CorpusPrepStream {
     * (doc_id: long, ts: long epoch-nanos, text: string). `heldout` is the
     * frozen benchmark window-hash index ([[CurationOps.heldoutIndex]]). */
   def start(spark: SparkSession, docs: DataFrame, heldout: DataFrame,
-      lake: String, checkpoint: String, cfg: Config = Config()): StreamingQuery =
+      lake: String, checkpoint: String, cfg: Config = Config(),
+      lm: Option[CurationOps.LmModel] = None): StreamingQuery =
     docs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        processBatch(batch.sparkSession, batch, id, heldout, lake, cfg); ()
+        processBatch(batch.sparkSession, batch, id, heldout, lake, cfg,
+          lm = lm); ()
       }
       .start()
 
@@ -162,7 +171,8 @@ object CorpusPrepStream {
   private[graft] def processBatch(spark: SparkSession, batch: DataFrame,
       batchId: Long, heldout: DataFrame, lake: String, cfg: Config,
       beforeBands: () => Unit = () => (),
-      probeObserver: (String, DataFrame) => Unit = (_, _) => ()): Unit = {
+      probeObserver: (String, DataFrame) => Unit = (_, _) => (),
+      lm: Option[CurationOps.LmModel] = None): Unit = {
     import spark.implicits._
     val docsTable = s"$lake/documents"
     val bandsTable = s"$lake/bands"
@@ -179,6 +189,24 @@ object CorpusPrepStream {
     try {
       val nQuality = quality.count()
 
+      // 1b. LM filter (the batch pipeline's stage 2b, against a FROZEN
+      // model the caller trained offline — the train-offline/score-online
+      // split KenLM deployments use; persist the model frames). A doc the
+      // scorer can't see (< 2 tokens) keeps — absence of evidence is not
+      // a junk verdict. Static-frame joins are batch semantics inside
+      // foreachBatch, and a redelivered batch rescoring against the same
+      // frozen model recomputes the identical verdicts.
+      val lmKept = lm match {
+        case None => quality
+        case Some(m) =>
+          val drops = CurationOps
+            .lmScoreOf(quality.select("doc_id", "text"), m, carry = Nil)
+            .filter(col("avg_nll") > cfg.lmMaxAvgNll)
+            .select("doc_id")
+          quality.join(drops, Seq("doc_id"), "left_anti")
+      }
+      val nLm = if (lm.isDefined) lmKept.count() else -1L
+
       // lake state as of the LAST batch, pruned to the files this batch's
       // probe keys can touch (see the scale-shape note); rows this same
       // batch id landed (a partially-committed earlier delivery) are
@@ -192,7 +220,7 @@ object CorpusPrepStream {
 
       // 2. exact dedup: batch-internal canonical, then the lake probe
       val wHash = Window.partitionBy("text_hash").orderBy("doc_id")
-      val batchCanonical = quality
+      val batchCanonical = lmKept
         .withColumn("rk", row_number().over(wHash))
         .filter(col("rk") === 1).drop("rk")
       val (hashKeys, hashOverflow) = probeKeys(batchCanonical, docProbeKey)
@@ -262,6 +290,7 @@ object CorpusPrepStream {
             Seq(
               ("00_input", nInput),
               ("01_quality_gate", nQuality),
+              ("01b_lm_filter", nLm),
               ("02_exact_dedup", nExact),
               ("03_neardup_guard", nNear),
               ("04_decontaminate", nFinal))

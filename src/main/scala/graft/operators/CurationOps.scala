@@ -670,17 +670,20 @@ object CurationOps {
     * frontier through (LM trained on the frontier's reference-source
     * docs, so a doc the quality gate dropped can't teach the LM). */
   private[graft] def lmPerplexityOf(docs: DataFrame,
-      refSource: String): DataFrame = {
-    val toks = expr("filter(split(text, ' '), x -> x <> '')")
-    val bigrams = docs
-      .select(col("doc_id"), col("source"), toks.as("t"))
-      .filter(size(col("t")) >= 2) // sequence(1,0) would DESCEND in Spark
-      .select(col("doc_id"), col("source"), explode(expr(
-        "transform(sequence(1, size(t) - 1), i -> struct(element_at(t, i) AS w1, element_at(t, i + 1) AS w2))")).as("b"))
-      .select(col("doc_id"), col("source"), col("b.w1"), col("b.w2"))
-      .groupBy("doc_id", "source", "w1", "w2")
-      .agg(count(lit(1)).as("k"))
+      refSource: String): DataFrame =
+    lmScoreOf(docs, lmModelOf(docs, refSource))
 
+  /** A trained bigram LM as three frames: the model artifact
+    * [[lmScoreOf]] consumes. Built from `docs`'s `refSource` rows; the
+    * STREAMING guard builds it once from the settled corpus and scores
+    * every arriving micro-batch against the frozen frames — the same
+    * split KenLM deployments use (train offline, score online). */
+  private[graft] final case class LmModel(
+      bi: DataFrame, uni: DataFrame, vocab: DataFrame)
+
+  private[graft] def lmModelOf(docs: DataFrame,
+      refSource: String): LmModel = {
+    val toks = expr("filter(split(text, ' '), x -> x <> '')")
     val uni = docs.filter(col("source") === refSource)
       .select(explode(toks).as("w"))
       .groupBy("w").agg(count(lit(1)).as("c1"))
@@ -691,16 +694,34 @@ object CurationOps {
         "transform(sequence(1, size(t) - 1), i -> struct(element_at(t, i) AS w1, element_at(t, i + 1) AS w2))")).as("b"))
       .groupBy(col("b.w1").as("w1"), col("b.w2").as("w2"))
       .agg(count(lit(1)).as("c12"))
-    val vocab = uni.agg(count(lit(1)).as("v"))
+    LmModel(refBi, uni, uni.agg(count(lit(1)).as("v")))
+  }
 
+  /** Score each (doc_id, text, `carry`...) row of `docs` under a trained
+    * [[LmModel]]: per-doc average bigram NLL with add-one smoothing.
+    * Docs with < 2 tokens emit no row (no bigram, no evidence). `carry`
+    * columns pass through the aggregation untouched (q90 carries
+    * `source`; the streaming guard carries nothing). */
+  private[graft] def lmScoreOf(docs: DataFrame, m: LmModel,
+      carry: Seq[String] = Seq("source")): DataFrame = {
+    val keys = "doc_id" +: carry
+    val toks = expr("filter(split(text, ' '), x -> x <> '')")
+    val bigrams = docs
+      .select(keys.map(col) :+ toks.as("t"): _*)
+      .filter(size(col("t")) >= 2) // sequence(1,0) would DESCEND in Spark
+      .select(keys.map(col) :+ explode(expr(
+        "transform(sequence(1, size(t) - 1), i -> struct(element_at(t, i) AS w1, element_at(t, i + 1) AS w2))")).as("b"): _*)
+      .select(keys.map(col) :+ col("b.w1") :+ col("b.w2"): _*)
+      .groupBy((keys :+ "w1" :+ "w2").map(col): _*)
+      .agg(count(lit(1)).as("k"))
     bigrams
-      .join(refBi, Seq("w1", "w2"), "left")
-      .join(uni.withColumnRenamed("w", "w1"), Seq("w1"), "left")
-      .crossJoin(broadcast(vocab))
+      .join(m.bi, Seq("w1", "w2"), "left")
+      .join(m.uni.withColumnRenamed("w", "w1"), Seq("w1"), "left")
+      .crossJoin(broadcast(m.vocab))
       .withColumn("nll",
         -log((coalesce(col("c12"), lit(0L)) + lit(1L)).cast("double") /
              (coalesce(col("c1"), lit(0L)) + col("v")).cast("double")))
-      .groupBy("doc_id", "source")
+      .groupBy(keys.map(col): _*)
       .agg(sum(col("k")).as("n_bigrams"),
         (Exact.dsum(col("k").cast("double") * col("nll")) /
           sum(col("k")).cast("double")).as("avg_nll"))

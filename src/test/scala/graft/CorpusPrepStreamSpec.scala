@@ -82,7 +82,8 @@ class CorpusPrepStreamSpec extends SparkSpec {
         .filter(col("ingest_batch") === 0)
         .collect().map(r => r.getAs[String]("stage") -> r.getAs[Long]("rows")).toMap
       assert(att1 === Map(
-        "00_input" -> 6L, "01_quality_gate" -> 5L, "02_exact_dedup" -> 4L,
+        "00_input" -> 6L, "01_quality_gate" -> 5L, "01b_lm_filter" -> -1L,
+        "02_exact_dedup" -> 4L,
         "03_neardup_guard" -> 3L, "04_decontaminate" -> 2L), att1.toString)
 
       // batch 2: the lake is the dedup state — re-arrivals and near-dups
@@ -100,9 +101,45 @@ class CorpusPrepStreamSpec extends SparkSpec {
         .filter(col("ingest_batch") === 1)
         .collect().map(r => r.getAs[String]("stage") -> r.getAs[Long]("rows")).toMap
       assert(att2 === Map(
-        "00_input" -> 3L, "01_quality_gate" -> 3L, "02_exact_dedup" -> 2L,
+        "00_input" -> 3L, "01_quality_gate" -> 3L, "01b_lm_filter" -> -1L,
+        "02_exact_dedup" -> 2L,
         "03_neardup_guard" -> 1L, "04_decontaminate" -> 1L), att2.toString)
     } finally q.stop()
+  }
+
+  test("LM guard: arriving junk drops against the frozen offline model; scores match the batch kernel") {
+    import spark.implicits._
+    val heldout = heldoutIndexDir()
+    val lake = tmp("cps-lmlake")
+    // frozen model: trained OFFLINE on a reference corpus frame (the
+    // caller's artifact), exactly how the batch pipeline trains its
+    // stage-2b LM — same kernel, so scores cannot drift between twins
+    val refText = (1 to 30).map(i => s"ref$i").mkString(" ")
+    val refDocs = Seq((900L, "src0", refText), (901L, "src0", refText))
+      .toDF("doc_id", "source", "text")
+    val model = CurationOps.lmModelOf(refDocs, "src0")
+    // threshold between the in-distribution score and the ln(V) ceiling,
+    // measured through the BATCH scorer (the single-sourced kernel)
+    val sIn = CurationOps.lmScoreOf(
+        Seq((1L, refText)).toDF("doc_id", "text"), model, carry = Nil)
+      .collect()(0).getAs[Double]("avg_nll")
+    val junk = (1 to 30).map(i => s"junk$i").mkString(" ")
+    val sJunk = CurationOps.lmScoreOf(
+        Seq((1L, junk)).toDF("doc_id", "text"), model, carry = Nil)
+      .collect()(0).getAs[Double]("avg_nll")
+    assert(sIn < sJunk)
+    val cfg = CorpusPrepStream.Config(lmMaxAvgNll = (sIn + sJunk) / 2)
+
+    val b = Seq((10L, 1L, refText), (11L, 1L, junk))
+      .toDF("doc_id", "ts", "text")
+    CorpusPrepStream.processBatch(spark, b, 0L, heldout, lake, cfg,
+      lm = Some(model))
+    val docs = SnapshotLake.read(spark, s"$lake/documents")
+      .select("doc_id").as[Long].collect().sorted
+    assert(docs.toSeq === Seq(10L), s"survivors: ${docs.mkString(",")}")
+    val att = SnapshotLake.read(spark, s"$lake/attrition")
+      .collect().map(r => r.getAs[String]("stage") -> r.getAs[Long]("rows")).toMap
+    assert(att("01_quality_gate") === 2L && att("01b_lm_filter") === 1L)
   }
 
   test("redelivery after a crash between commits is exactly-once per table") {
