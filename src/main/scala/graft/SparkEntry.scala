@@ -117,6 +117,7 @@ object SparkEntry {
     "q90_lm_perplexity"   -> ((s: SparkSession, d: String) => CurationOps.lmPerplexity(s, d)),
     "q91_dsir"            -> ((s: SparkSession, d: String) => CurationOps.dsirWeights(s, d)),
     "q92_pca_top"         -> ((s: SparkSession, d: String) => operators.Pca.topComponentTable(s, d)),
+    "q93_fertility"       -> ((s: SparkSession, d: String) => operators.Bpe.fertilityByLang(s, d)),
     "q75_scd2"            -> (TemporalOps.scd2 _),
     "q76_rolling_features" -> (TemporalOps.rollingFeatures _),
     "q77_cohort_retention" -> (TemporalOps.cohortRetention _),
@@ -136,6 +137,17 @@ object SparkEntry {
   private def PH2(x: String) =
     s"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split($x, '')," +
       s" c -> ascii(c))), (acc, ch) -> (acc*131 + ch) % 998244353)"
+
+  // The q89/q93 replace-chain BPE encoder in DuckDB SQL: expression
+  // over column `s` (the chr(1)/chr(2)-wrapped symbol string) applying
+  // the frozen merges in rank order — mirrors operators.Bpe.encodeCol.
+  private def BPE_ENC: String =
+    graft.operators.BpeMerges.values.sortBy(_._1)
+      .foldLeft("s") { case (c, (_, l, r, _)) =>
+        def q(x: String) = "'" + x.replace("'", "''") + "'"
+        s"replace($c, chr(1)||${q(l)}||chr(2)||chr(1)||${q(r)}||chr(2), " +
+          s"chr(1)||${q(l + r)}||chr(2))"
+      }
 
   // Distinct hashed 3-gram shingles per document (mirrors
   // DedupOps.hashedShingles: word-level charHash, arithmetic 3-gram combine).
@@ -1427,12 +1439,7 @@ object SparkEntry {
     // fold (the brackets make partial-symbol matches impossible and no
     // match shares characters with its neighbor)
     "q89_bpe_encode" -> {
-      val encChain = graft.operators.BpeMerges.values.sortBy(_._1)
-        .foldLeft("s") { case (c, (_, l, r, _)) =>
-          def q(x: String) = "'" + x.replace("'", "''") + "'"
-          s"replace($c, chr(1)||${q(l)}||chr(2)||chr(1)||${q(r)}||chr(2), " +
-            s"chr(1)||${q(l + r)}||chr(2))"
-        }
+      val encChain = BPE_ENC
       s"""WITH words AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
          |wr AS (SELECT chr(1) || array_to_string(
          |         list_transform(range(1, length(w) + 1), i -> substr(w, CAST(i AS INT), 1)),
@@ -1442,6 +1449,39 @@ object SparkEntry {
          |syms AS (SELECT unnest(string_split(substr(s, 2, length(s) - 2), chr(2)||chr(1))) AS sym FROM enc)
          |SELECT sym, CAST(COUNT(*) AS BIGINT) AS n
          |FROM syms GROUP BY sym ORDER BY n DESC, sym LIMIT 50""".stripMargin
+    },
+
+    // q93: tokenizer fertility (symbols per token under the frozen
+    // merges) by q47's language verdict — the q47 CASE and the q89
+    // encode chain composed verbatim, integer sums + one division
+    "q93_fertility" -> {
+      val encChain = BPE_ENC
+      s"""WITH lang AS (
+         |  SELECT doc_id, text,
+         |    CASE WHEN n_en = GREATEST(n_en, n_es, n_de, n_fr) AND n_en > 0 THEN 'en'
+         |         WHEN n_es = GREATEST(n_en, n_es, n_de, n_fr) AND n_es > 0 THEN 'es'
+         |         WHEN n_de = GREATEST(n_en, n_es, n_de, n_fr) AND n_de > 0 THEN 'de'
+         |         WHEN n_fr = GREATEST(n_en, n_es, n_de, n_fr) AND n_fr > 0 THEN 'fr'
+         |         ELSE 'und' END AS lang_pred
+         |  FROM (SELECT doc_id, text,
+         |    len(list_filter(string_split(text,' '), t -> t IN ('the','a','of','and','to','is'))) AS n_en,
+         |    len(list_filter(string_split(text,' '), t -> t IN ('el','la','de','los','que'))) AS n_es,
+         |    len(list_filter(string_split(text,' '), t -> t IN ('der','die','und','das','ist'))) AS n_de,
+         |    len(list_filter(string_split(text,' '), t -> t IN ('le','les','des','et','une'))) AS n_fr
+         |   FROM documents)),
+         |words AS (SELECT lang_pred, unnest(string_split(text, ' ')) AS w FROM lang),
+         |wr AS (SELECT lang_pred, chr(1) || array_to_string(
+         |         list_transform(range(1, length(w) + 1), i -> substr(w, CAST(i AS INT), 1)),
+         |         chr(2)||chr(1)) || chr(2) AS s
+         |       FROM words WHERE length(w) >= 1),
+         |enc AS (SELECT lang_pred, $encChain AS s FROM wr),
+         |tok AS (SELECT lang_pred,
+         |          len(string_split(substr(s, 2, length(s) - 2), chr(2)||chr(1))) AS ns
+         |        FROM enc)
+         |SELECT lang_pred, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         |  CAST(SUM(ns) AS BIGINT) AS n_syms,
+         |  CAST(SUM(ns) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS fertility
+         |FROM tok GROUP BY lang_pred ORDER BY lang_pred""".stripMargin
     },
 
     // q92: the frozen trained top principal component (PcaComponents —

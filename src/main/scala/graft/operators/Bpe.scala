@@ -143,12 +143,15 @@ object Bpe {
     * corpus scan, zero shuffles until the caller aggregates. Returns one
     * row per token: (w, syms) — the raw token and its encoded symbols. */
   private[graft] def encodeWords(docs: DataFrame,
-      merges: Seq[(Int, String, String, Long)]): DataFrame =
-    docs.select(explode(tokens(col("text"))).as("w"))
+      merges: Seq[(Int, String, String, Long)],
+      carry: Seq[String] = Nil): DataFrame = {
+    val cs = carry.map(col)
+    docs.select(cs :+ explode(tokens(col("text"))).as("w"): _*)
       .filter(length(col("w")) >= 1)
-      .select(col("w"), encodeCol(merges).as("enc"))
-      .select(col("w"), split(
-        expr("substring(enc, 2, length(enc) - 2)"), SC + SO).as("syms"))
+      .select(cs :+ col("w") :+ encodeCol(merges).as("enc"): _*)
+      .select(cs :+ col("w") :+ split(
+        expr("substring(enc, 2, length(enc) - 2)"), SC + SO).as("syms"): _*)
+  }
 
   /** q89 — corpus-wide symbol-usage histogram under the frozen trained
     * merges ([[BpeMerges]], rank order): the tokenizer-QA artifact that
@@ -171,4 +174,29 @@ object Bpe {
       .agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("sym"))
       .limit(k)
+
+  /** q93 — tokenizer fertility by language: symbols-per-token under the
+    * frozen trained merges, broken down by the q47 language verdict —
+    * THE tokenizer-QA number multilingual pipelines watch (a tokenizer
+    * trained on one language family over-fragments the others; fertility
+    * >> 1.5 on a language means its text pays more sequence length per
+    * word). Composition of two shipped kernels (langIdOf × encodeWords),
+    * so verdicts and symbol counts cannot drift from q47/q89.
+    *
+    * Scale shape: classify + encode are map-side over one corpus scan;
+    * the only shuffle is the per-language aggregation (≤ 5 groups).
+    * Determinism: integer sums and one IEEE division — no carrier
+    * needed.
+    */
+  def fertilityByLang(s: SparkSession, d: String): DataFrame =
+    encodeWords(
+      TextAnalysisOps.langIdOf(Tables.documentsScaled(s, d))
+        .select(col("lang_pred"), col("text")),
+      BpeMerges.values, carry = Seq("lang_pred"))
+      .select(col("lang_pred"), size(col("syms")).cast("long").as("ns"))
+      .groupBy("lang_pred")
+      .agg(count(lit(1)).as("n_tokens"), sum(col("ns")).as("n_syms"))
+      .select(col("lang_pred"), col("n_tokens"), col("n_syms"),
+        (col("n_syms").cast("double") / col("n_tokens").cast("double")).as("fertility"))
+      .orderBy("lang_pred")
 }

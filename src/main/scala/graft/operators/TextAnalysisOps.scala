@@ -24,8 +24,17 @@ object TextAnalysisOps {
   /** q47 — stopword-profile language ID: one vocabulary-hit count per
     * language, argmax with a fixed priority order, 'und' when no evidence.
     */
-  def langId(s: SparkSession, d: String): DataFrame = {
-    val base = Stopsets.foldLeft(Tables.documents(s, d).select(col("doc_id"), col("text"))) {
+  def langId(s: SparkSession, d: String): DataFrame =
+    langIdOf(Tables.documents(s, d).select(col("doc_id"), col("text")))
+      .select("doc_id", "n_en", "n_es", "n_de", "n_fr", "lang_pred")
+      .orderBy("doc_id")
+
+  /** [[langId]] as a frame transform (adds the n_* counts and
+    * `lang_pred`, keeps the input columns) — the seam q93's fertility
+    * breakdown classifies through, so its verdicts cannot drift from
+    * q47's. */
+  private[graft] def langIdOf(docs: DataFrame): DataFrame = {
+    val base = Stopsets.foldLeft(docs) {
       case (df, (langName, words)) => df.withColumn(s"n_$langName", vocabCount(col("text"), words).cast("long"))
     }
     val scores = Stopsets.map { case (l, _) => col(s"n_$l") }
@@ -33,8 +42,6 @@ object TextAnalysisOps {
       when(col(s"n_$l") === greatest(scores: _*) && col(s"n_$l") > 0, lit(l)).otherwise(acc)
     }
     base.withColumn("lang_pred", pred)
-      .select("doc_id", "n_en", "n_es", "n_de", "n_fr", "lang_pred")
-      .orderBy("doc_id")
   }
 
   /** q48 — document quality score: token count, type-token ratio, stopword

@@ -715,6 +715,29 @@ class LlmOpsSpec extends SparkSpec {
     assert(got("emer") === Seq("e", "mer"))
   }
 
+  test("q93 fertility: partition of the corpus token stream, bounds, q47-consistent verdicts") {
+    val rows = operators.Bpe.fertilityByLang(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // every row: fertility = n_syms / n_tokens, 1 <= fertility (a token
+    // encodes to at least one symbol), and the ratio recomputes exactly
+    rows.foreach { r =>
+      val (nt, ns, f) = (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_syms"),
+        r.getAs[Double]("fertility"))
+      assert(ns >= nt, s"$r")
+      assert(f === ns.toDouble / nt.toDouble, s"$r")
+    }
+    // the language groups partition the corpus's nonempty tokens
+    val totalTokens = rows.map(_.getAs[Long]("n_tokens")).sum
+    val expected = Tables.documents(spark, sf)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) >= 1).count()
+    assert(totalTokens === expected)
+    // verdict set matches q47's on the same lake
+    val langs = TextAnalysisOps.langId(spark, sf)
+      .select("lang_pred").distinct().collect().map(_.getString(0)).toSet
+    assert(rows.map(_.getAs[String]("lang_pred")).toSet === langs)
+  }
+
   test("q68c recall curve: monotone in nprobe, IVF hits the brute-force ceiling at nprobe=lists, coding only loses") {
     val rows = SimilarityOps.annRecallCurve(spark, sf).collect()
       .map(r => (r.getAs[Long]("nprobe"), r.getAs[Double]("ivf_recall"),
