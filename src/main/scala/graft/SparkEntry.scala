@@ -1559,7 +1559,7 @@ object SparkEntry {
          |vv AS (SELECT COUNT(*) AS v FROM uni),
          |sc AS (SELECT k.doc_id, k.source, k.k,
          |         -ln(CAST(COALESCE(bi.c12, 0) + 1 AS DOUBLE) /
-         |             CAST(COALESCE(uni.c1, 0) + vv.v AS DOUBLE)) AS nll
+         |             CAST(GREATEST(COALESCE(uni.c1, 0) + vv.v, 1) AS DOUBLE)) AS nll
          |       FROM k LEFT JOIN bi ON k.w1 = bi.w1 AND k.w2 = bi.w2
          |              LEFT JOIN uni ON k.w1 = uni.w
          |              CROSS JOIN vv)

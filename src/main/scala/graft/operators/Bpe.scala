@@ -121,8 +121,11 @@ object Bpe {
   // partial-symbol match impossible), and because the match shares no
   // characters with its neighbors, java.lang.String/DuckDB left-to-right
   // non-overlapping replace IS the trainer's greedy fold ("aaaa" under
-  // (a,a) -> [aa][aa], "aaa" -> [aa][a]). Control chars: absent from
-  // whitespace-tokenized text by construction.
+  // (a,a) -> [aa][aa], "aaa" -> [aa][a]). A token CONTAINING the
+  // delimiter chars would mis-bracket — both engines apply the identical
+  // transform so oracle parity still holds, but the decode invariant
+  // wouldn't; real tokenizer pipelines strip control chars upstream
+  // (the quality gate's redaction stage is the natural place).
   private[graft] val SO = "\u0001"
   private[graft] val SC = "\u0002"
 

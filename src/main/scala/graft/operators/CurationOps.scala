@@ -718,9 +718,12 @@ object CurationOps {
       .join(m.bi, Seq("w1", "w2"), "left")
       .join(m.uni.withColumnRenamed("w", "w1"), Seq("w1"), "left")
       .crossJoin(broadcast(m.vocab))
+      // greatest(..,1): an EMPTY reference source (V=0) degrades to
+      // p=1/nll=0 for every bigram instead of ln(inf) — an infinity
+      // would go NULL through the decimal carrier and silently drop
       .withColumn("nll",
         -log((coalesce(col("c12"), lit(0L)) + lit(1L)).cast("double") /
-             (coalesce(col("c1"), lit(0L)) + col("v")).cast("double")))
+             greatest(coalesce(col("c1"), lit(0L)) + col("v"), lit(1L)).cast("double")))
       .groupBy(keys.map(col): _*)
       .agg(sum(col("k")).as("n_bigrams"),
         (Exact.dsum(col("k").cast("double") * col("nll")) /
