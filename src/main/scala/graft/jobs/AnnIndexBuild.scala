@@ -177,9 +177,15 @@ object AnnIndexBuild {
         SnapshotLake.latestVersionOf(s, table)
           .getOrElse(sys.error(s"appendVersioned: empty batch on empty table $table"))
       } else
+        // requireProps closes the check-then-commit race: the pre-check
+        // above fails fast with the guard's rich message, and the commit
+        // itself re-validates against the version it actually rebases
+        // onto — an opposite-coding rebuild landing in between aborts
+        // the append instead of stamping a mixed-coding snapshot
         SnapshotLake.commitAppend(s, table, codedBatch(s, fresh, residual),
           statsCol = Some("list_id"),
-          props = Map(CodingProp -> codingName(residual)))
+          props = Map(CodingProp -> codingName(residual)),
+          requireProps = Map(CodingProp -> codingName(residual)))
     } finally { fresh.unpersist(blocking = false); () }
   }
 
@@ -246,7 +252,8 @@ object AnnIndexBuild {
               checkVersionedCoding(s, table, None, residual)
             SnapshotLake.commitStreamBatch(s, table, codedBatch(s, fresh, residual), batchId,
               statsCol = Some("list_id"),
-              props = Map(CodingProp -> codingName(residual)))
+              props = Map(CodingProp -> codingName(residual)),
+              requireProps = Map(CodingProp -> codingName(residual)))
           }
         } finally { fresh.unpersist(blocking = false); () }
         ()

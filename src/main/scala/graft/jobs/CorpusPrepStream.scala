@@ -131,8 +131,19 @@ object CorpusPrepStream {
     SnapshotLake.latestVersionOf(spark, table).flatMap { _ =>
       val n = SnapshotLake.read(spark, table).count()
       val files = math.max(1L, (n + targetFileRows - 1) / targetFileRows).toInt
+      // fill: rows from pre-upgrade files carry no probe key (NULL, or
+      // the column is absent entirely) — the key derives from committed
+      // columns, so compaction IS the migration: one recluster backfills
+      // every old row and the whole lake prunes from then on
+      val fill: Column =
+        if (key == "hash_key") docProbeKey else bandProbeKey
       SnapshotLake.commitRewrite(spark, table,
-        df => df.repartitionByRange(files, col(key)).sortWithinPartitions(key),
+        df => {
+          val keyed =
+            if (!df.columns.contains(key)) df.withColumn(key, fill)
+            else df.withColumn(key, coalesce(col(key), fill))
+          keyed.repartitionByRange(files, col(key)).sortWithinPartitions(key)
+        },
         Some(key))
     }
 
@@ -143,11 +154,23 @@ object CorpusPrepStream {
     * large to ship as an IN-probe. */
   private def settledPruned(spark: SparkSession, table: String, statsCol: String,
       keys: Seq[Long], overflow: Boolean, batchId: Long): Option[DataFrame] =
-    SnapshotLake.latestVersionOf(spark, table).map { _ =>
-      val snap =
-        if (overflow) SnapshotLake.read(spark, table)
-        else SnapshotLake.readRangeIn(spark, table, statsCol, keys)
-      snap.filter(col("ingest_batch") =!= batchId)
+    SnapshotLake.latestVersionOf(spark, table).flatMap { _ =>
+      // an EMPTY key set means the batch frontier itself is empty — there
+      // is nothing to probe, and readRangeIn would (rightly) refuse the
+      // empty IN-list; None short-circuits to the no-drops path
+      if (keys.isEmpty && !overflow) None
+      else Some {
+        // rowFilter=false: file-level pruning only. The probes' contract
+        // is SUPERSET + exact join downstream, and rows from pre-upgrade
+        // files (no probe-key column yet — NULL on read) must flow
+        // through, not be silently dropped by an isin(); those files
+        // carry no stats and always scan, so they are always included.
+        val snap =
+          if (overflow) SnapshotLake.read(spark, table)
+          else SnapshotLake.readRangeIn(spark, table, statsCol, keys,
+            rowFilter = false)
+        snap.filter(col("ingest_batch") =!= batchId)
+      }
     }
 
   /** Start the guard on a streaming `docs` frame with columns

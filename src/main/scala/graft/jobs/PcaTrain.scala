@@ -17,8 +17,9 @@ object PcaTrain {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val (v, lambda, n) = Pca.topComponent(spark, sfDir)
-    println(s"  val Iters: Int = 8")
+    val (v, lambda, n) = Pca.topComponent(spark, sfDir,
+      graft.operators.PcaComponents.Iters)
+    println(s"  val Iters: Int = ${graft.operators.PcaComponents.Iters}")
     println(s"  val Eigenvalue: Double = $lambda")
     println(s"  val N: Long = ${n}L")
     println(s"  val values: Seq[Double] = Seq(")

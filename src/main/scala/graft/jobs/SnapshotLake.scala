@@ -301,7 +301,8 @@ object SnapshotLake {
     * DIFFERENT latest version under a concurrent commit and stitch a
     * cross-version result no snapshot ever contained. */
   def readRangeIn(spark: SparkSession, table: String, statsCol: String,
-                  values: Seq[Long], version: Option[Long] = None): DataFrame = {
+                  values: Seq[Long], version: Option[Long] = None,
+                  rowFilter: Boolean = true): DataFrame = {
     require(values.nonEmpty, "readRangeIn: empty value set")
     readRangeImpl(spark, table, StatsSpec(statsCol, StatsKind.Longs), version,
       (mn, mx) => {
@@ -309,8 +310,12 @@ object SnapshotLake {
         values.exists(v => lo <= v && v <= hi)
       },
       df => {
+        // rowFilter=false returns every row of the pruned FILES — the
+        // superset a caller with its own exact join downstream wants:
+        // rows from stat-less (pre-upgrade) files carry a NULL stats
+        // column that isin() would silently drop
         import org.apache.spark.sql.functions.{col => c}
-        df.filter(c(statsCol).isin(values: _*))
+        if (rowFilter) df.filter(c(statsCol).isin(values: _*)) else df
       })
   }
 
@@ -528,7 +533,8 @@ object SnapshotLake {
 
   private def publish(fs: FileSystem, root: Path,
                       merge: (Option[StatsSpec], Seq[FileEntry]) => (Option[StatsSpec], Seq[FileEntry]),
-                      extraHeaders: Seq[String] = Nil): Long = {
+                      extraHeaders: Seq[String] = Nil,
+                      requireBaseProps: Map[String, String] = Map.empty): Long = {
     fs.mkdirs(logDir(root))
     var attempt = 0
     var waitedMs = 0L
@@ -550,6 +556,19 @@ object SnapshotLake {
         val (baseHeaders, base) =
           if (latest == 0L) (Seq.empty[String], Seq.empty[FileEntry])
           else readManifestRaw(fs, root, latest)
+        // validated INSIDE the claim loop, against the version this
+        // attempt actually rebases onto: a pre-commit check outside the
+        // loop is check-then-act — a foreign commit (e.g. an opposite-
+        // coding index rebuild) landing between check and publish would
+        // silently produce a snapshot violating the caller's invariant
+        requireBaseProps.foreach { case (k, want) =>
+          parseProps(baseHeaders).get(k).foreach { have =>
+            if (have != want) throw new IllegalStateException(
+              s"commit at $root requires base property $k=$want but the " +
+                s"current latest (v$latest) carries $k=$have — the table " +
+                "changed under this writer; re-validate and retry")
+          }
+        }
         val (outSpec, manifest) = merge(specOf(baseHeaders), base)
         // table properties survive every commit kind (append, overwrite,
         // rewrite, compaction, stream batch): carry the base snapshot's
@@ -637,9 +656,15 @@ object SnapshotLake {
     else if (freshSpec.isEmpty && declared.exists(c => baseSpec.exists(_.col == c))) baseSpec
     else None
 
+  /** `requireProps`: base-snapshot property values this commit insists
+    * on — checked against the version each publish attempt REBASES onto
+    * (not just the one the caller looked at), so an invariant like an
+    * index's coding cannot be broken by a commit racing in between. A
+    * base that lacks the key passes (first commit, legacy table). */
   def commitAppend(spark: SparkSession, table: String, df: DataFrame,
                    statsCol: Option[String] = None,
-                   props: Map[String, String] = Map.empty): Long = {
+                   props: Map[String, String] = Map.empty,
+                   requireProps: Map[String, String] = Map.empty): Long = {
     requireAtomicClaims(table)
     val (fs, root) = fsOf(spark, table)
     requireAtomicClaims(fs)
@@ -647,7 +672,7 @@ object SnapshotLake {
     try
       publish(fs, root, { (baseSpec, base) =>
         (mergedSpec(baseSpec, base, freshSpec, statsCol), base ++ fresh)
-      }, extraHeaders = propHeaders(props))
+      }, extraHeaders = propHeaders(props), requireBaseProps = requireProps)
     catch { case e: Throwable => deleteStagedQuietly(fs, dataDir); throw e }
   }
 
@@ -756,7 +781,8 @@ object SnapshotLake {
     * foreachBatch caveat and out of scope. */
   def commitStreamBatch(spark: SparkSession, table: String, df: DataFrame,
                         batchId: Long, statsCol: Option[String] = None,
-                        props: Map[String, String] = Map.empty): Long = {
+                        props: Map[String, String] = Map.empty,
+                        requireProps: Map[String, String] = Map.empty): Long = {
     requireAtomicClaims(table)
     val (fs, root) = fsOf(spark, table)
     requireAtomicClaims(fs)
@@ -768,7 +794,8 @@ object SnapshotLake {
     try
       publish(fs, root, { (baseSpec, base) =>
         (mergedSpec(baseSpec, base, freshSpec, statsCol), base ++ fresh)
-      }, extraHeaders = Seq(batchHeader + batchId) ++ propHeaders(props))
+      }, extraHeaders = Seq(batchHeader + batchId) ++ propHeaders(props),
+        requireBaseProps = requireProps)
     catch { case e: Throwable => deleteStagedQuietly(fs, dataDir); throw e }
   }
 

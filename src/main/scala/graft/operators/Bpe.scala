@@ -31,22 +31,23 @@ object Bpe {
   /** One trained merge: rank r means "the r-th most valuable fusion". */
   final case class Merge(rank: Int, left: String, right: String, n: Long)
 
-  private def sqlStr(x: String): String = "'" + x.replace("'", "''") + "'"
-
   /** The left-to-right non-overlapping fusion of (l, r) over a symbol
     * array, as one codegen'd fold: walking symbols left to right, fuse
     * when the accumulator's LAST symbol is `l` and the next is `r` — the
     * fused symbol `lr` can then only match as a whole, so "aaa" under
     * (a,a) becomes [aa, a], never [a, aa] or [aaa] (the reference
-    * implementation's exact greedy semantics). */
-  private[graft] def applyMerge(l: String, r: String): Column = {
-    val (lq, rq, fq) = (sqlStr(l), sqlStr(r), sqlStr(l + r))
-    expr(
-      s"""aggregate(w, cast(array() as array<string>),
-         |  (acc, x) -> if(size(acc) > 0 and element_at(acc, -1) = $lq and x = $rq,
-         |    concat(slice(acc, 1, size(acc) - 1), array($fq)),
-         |    concat(acc, array(x))))""".stripMargin)
-  }
+    * implementation's exact greedy semantics). Built with Column
+    * lambdas + lit(), NOT an expr() SQL string: symbols come from the
+    * corpus, and a symbol containing a quote or backslash would be
+    * mis-parsed by the SQL literal path (silently diverging from the
+    * lit()-based replace-chain encoder). */
+  private[graft] def applyMerge(l: String, r: String): Column =
+    aggregate(col("w"),
+      array().cast("array<string>"),
+      (acc, x) => when(
+        size(acc) > 0 && element_at(acc, -1) === lit(l) && x === lit(r),
+        concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+        .otherwise(concat(acc, array(x))))
 
   /** The corpus as one row per word, symbols initially single characters. */
   private[graft] def initialWords(docs: DataFrame): DataFrame =

@@ -66,7 +66,7 @@ object Pca {
     * positive) so the artifact does not depend on the init's sign.
     */
   def topComponent(s: SparkSession, d: String,
-      iters: Int = 8): (Array[Double], Double, Long) = {
+      iters: Int = PcaComponents.Iters): (Array[Double], Double, Long) = {
     require(iters >= 1 && iters <= 256, s"iters in [1,256]; got $iters")
     val vecs = Tables.embeddingsScaled(s, d)
       .select(toDouble(col("embedding")).as("v"))

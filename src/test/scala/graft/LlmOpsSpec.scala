@@ -670,6 +670,37 @@ class LlmOpsSpec extends SparkSpec {
     assert(operators.Bpe.train(spark, uniq, rounds = 5).isEmpty)
   }
 
+  test("BPE survives symbols containing quotes and backslashes (no SQL-literal path)") {
+    import spark.implicits._
+    // corpus tokens with SQL-hostile characters: under the old expr()-
+    // string applyMerge, a promoted symbol containing ' was a parse
+    // error and a backslash was silently unescaped (e.g. '\t' parsed as
+    // TAB — the fold never matched and the trainer looped on one pair)
+    val words = Seq.fill(4)("a'b") ++ Seq.fill(3)("x\\ty") ++ Seq.fill(2)("c''d")
+    val docs = Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+    val merges = operators.Bpe.train(spark, docs, rounds = 6)
+    assert(merges.nonEmpty)
+    // the trainer's merge sequence has no repeats (the old failure mode
+    // re-promoted the same unapplicable pair every round)
+    val pairs = merges.map(m => (m.left, m.right))
+    assert(pairs.distinct === pairs, s"repeated merge: $pairs")
+    // fold == replace-chain on the hostile corpus, and decode restores
+    val mt = merges.map(m => (m.rank, m.left, m.right, m.n))
+    val enc = operators.Bpe.encodeWords(docs, mt).collect()
+      .map(r => r.getAs[String]("w") ->
+        r.getAs[scala.collection.Seq[String]]("syms").toSeq)
+    var ref = docs.select(explode(split(col("text"), " ")).as("t"))
+      .select(split(col("t"), "").as("w"), col("t"))
+    for ((_, l, r, _) <- mt)
+      ref = ref.select(operators.Bpe.applyMerge(l, r).as("w"), col("t"))
+    val refMap = ref.collect().map(r => r.getAs[String]("t") ->
+      r.getAs[scala.collection.Seq[String]]("w").toSeq).toMap
+    enc.foreach { case (w, syms) =>
+      assert(syms === refMap(w), s"token '$w': $syms vs ${refMap(w)}")
+      assert(syms.mkString === w)
+    }
+  }
+
   test("q89 replace-chain encoder == the trainer's fold semantics, merge by merge") {
     import spark.implicits._
     // Two INDEPENDENT implementations of merge application must agree on
