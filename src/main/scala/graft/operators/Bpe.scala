@@ -111,7 +111,13 @@ object Bpe {
   def bpeTrainTable(s: SparkSession, d: String,
       rounds: Int = BpeMerges.Rounds): DataFrame = {
     import s.implicits._
-    train(s, Tables.documents(s, d), rounds)
+    // documentsScaled, not documents: every trainer round inherits the
+    // scan's partitioning (the fold output keeps its parent's splits),
+    // so a few-split input would run all k corpus passes on a handful
+    // of cores — measured 3-way-parallel on 32 cores at sf10 before
+    // this. Counts and argmax are partitioning-independent, so the
+    // trained sequence (and the frozen-artifact parity) is unchanged.
+    train(s, Tables.documentsScaled(s, d), rounds)
       .map(m => (m.rank.toLong, m.left, m.right, m.n))
       .toDF("rank", "left", "right", "n")
   }
