@@ -101,7 +101,12 @@ object Bench {
           spark.catalog.clearCache() // release any persisted intermediates
           (wall, cpu)
         }
-        name -> times.minBy(_._1) // cpu of the SAME run that won on wall
+        val best = times.minBy(_._1)
+        // stream per-query progress to stderr: a killed/crashed run keeps
+        // its partial measurements (the one JSON line only prints at the
+        // end, which made a 45-min partial run worthless once)
+        System.err.println(f"bench: $name ${best._1}%.3f s wall ${best._2}%.2f s cpu")
+        name -> best
       }
     val qs = results.map { case (k, (w, _)) => s"\"" + k + "\":" + w }
       .mkString("{", ",", "}")
