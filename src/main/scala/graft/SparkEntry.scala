@@ -118,6 +118,9 @@ object SparkEntry {
     "q91_dsir"            -> ((s: SparkSession, d: String) => CurationOps.dsirWeights(s, d)),
     "q92_pca_top"         -> ((s: SparkSession, d: String) => operators.Pca.topComponentTable(s, d)),
     "q93_fertility"       -> ((s: SparkSession, d: String) => operators.Bpe.fertilityByLang(s, d)),
+    "q94_clf_train"       -> ((s: SparkSession, d: String) => operators.Clf.trainTable(s, d)),
+    "q95_quality_clf"     -> ((s: SparkSession, d: String) => operators.Clf.scoreTable(s, d)),
+    "q96_band_curve"      -> (DedupOps.bandCurve _),
     "q75_scd2"            -> (TemporalOps.scd2 _),
     "q76_rolling_features" -> (TemporalOps.rollingFeatures _),
     "q77_cohort_retention" -> (TemporalOps.cohortRetention _),
@@ -148,6 +151,92 @@ object SparkEntry {
         s"replace($c, chr(1)||${q(l)}||chr(2)||chr(1)||${q(r)}||chr(2), " +
           s"chr(1)||${q(l + r)}||chr(2))"
       }
+
+  // The q94 oracle: the frozen ClfWeights artifact as a VALUES table —
+  // parity pins the distributed trainer bit-exactly (see Clf.trainTable).
+  private def clfTrainOracleSql: String = {
+    val rows = ((-1, graft.operators.ClfWeights.Bias) +:
+      graft.operators.ClfWeights.values)
+      .map { case (b, w) => s"(CAST($b AS BIGINT), CAST('$w' AS DOUBLE))" }
+      .mkString(", ")
+    s"SELECT * FROM (VALUES $rows) t(feature, weight) ORDER BY feature"
+  }
+
+  // The q95 oracle: q91's hashed-feature CTE at the classifier's bucket
+  // width + the frozen weights as a VALUES table + the exact-decimal
+  // per-doc reduce — mirrors Clf.scoreOf term for term.
+  private def qualityClfOracleSql: String = {
+    val B = graft.operators.ClfWeights.Buckets
+    val vs = graft.operators.ClfWeights.values
+    // a placeholder row outside [0,B) keeps the SQL valid pre-freeze
+    val rows = (if (vs.isEmpty) Seq((-2, 0.0)) else vs)
+      .map { case (b, w) => s"(CAST($b AS BIGINT), CAST('$w' AS DOUBLE))" }
+      .mkString(", ")
+    val bias = graft.operators.ClfWeights.Bias
+    s"""WITH d AS (SELECT doc_id, source,
+       |            list_filter(string_split(text, ' '), x -> x <> '') AS t
+       |          FROM documents),
+       |unig AS (SELECT doc_id, source, unnest(t) AS g FROM d),
+       |bigr AS (SELECT doc_id, source, t[i] || ' ' || t[i+1] AS g
+       |         FROM (SELECT doc_id, source, t,
+       |                 unnest(generate_series(1, len(t) - 1)) AS i
+       |               FROM d WHERE len(t) >= 2)),
+       |feats AS (SELECT doc_id, source, ${PH("g")} % $B AS b, COUNT(*) AS k
+       |          FROM (SELECT * FROM unig UNION ALL SELECT * FROM bigr)
+       |          GROUP BY doc_id, source, b),
+       |wt AS (SELECT b, w FROM (VALUES $rows) t(b, w)),
+       |sc AS (SELECT f.doc_id, f.source, CAST(SUM(f.k) AS BIGINT) AS n_feats,
+       |         CAST('$bias' AS DOUBLE) + ${S("CAST(f.k AS DOUBLE) * COALESCE(wt.w, 0.0)")} /
+       |           CAST(SUM(f.k) AS DOUBLE) AS logit
+       |       FROM feats f LEFT JOIN wt USING (b)
+       |       GROUP BY f.doc_id, f.source)
+       |SELECT doc_id, source, n_feats, logit,
+       |  CAST(logit > 0 AS INT) AS keep
+       |FROM sc ORDER BY doc_id""".stripMargin
+  }
+
+  // The q96 oracle: q86's ground-truth construction + one banded-pairs
+  // CTE per layout over the same 16-hash signature, unioned and scored.
+  private def bandCurveOracleSql: String = {
+    val layoutCtes = graft.operators.DedupOps.CurveLayouts.map { case (nb, r) =>
+      s"""b$nb AS (SELECT doc_id, i // $r AS band,
+         |            string_agg(mh::VARCHAR, ',' ORDER BY i) AS sig
+         |          FROM sigs GROUP BY doc_id, i // $r),
+         |p$nb AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |        FROM b$nb a JOIN b$nb b
+         |          ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id)""".stripMargin
+    }.mkString(",\n")
+    val armUnion = graft.operators.DedupOps.CurveLayouts.map { case (nb, r) =>
+      s"SELECT $nb AS n_bands, $r AS rows_per_band, doc_a, doc_b FROM p$nb"
+    }.mkString(" UNION ALL ")
+    s"""WITH $SHINGLES,
+       |posting AS (SELECT doc_id, unnest(hs) AS s FROM sh),
+       |cnt AS (SELECT doc_id, CAST(len(hs) AS BIGINT) AS n FROM sh),
+       |jp AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+       |       FROM posting a JOIN posting b ON a.s = b.s AND a.doc_id < b.doc_id
+       |       GROUP BY a.doc_id, b.doc_id),
+       |exact AS (SELECT doc_a, doc_b FROM jp
+       |          JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id
+       |          WHERE shared / (ca.n + cb.n - shared) >= 0.5),
+       |sigs AS (SELECT doc_id, i,
+       |           list_min(list_transform(hs, v -> ((2*i+1)*v + 7919*i + 13) % 2147483647)) AS mh
+       |         FROM sh, range(16) t(i)),
+       |$layoutCtes,
+       |cand AS ($armUnion),
+       |nex AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_exact FROM exact),
+       |agg AS (SELECT n_bands, rows_per_band, CAST(COUNT(*) AS BIGINT) AS n_candidates,
+       |          CAST(SUM(CASE WHEN e.doc_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_caught
+       |        FROM cand c LEFT JOIN exact e
+       |          ON c.doc_a = e.doc_a AND c.doc_b = e.doc_b
+       |        GROUP BY n_bands, rows_per_band)
+       |SELECT CAST(n_bands AS BIGINT) AS n_bands,
+       |  CAST(rows_per_band AS BIGINT) AS rows_per_band,
+       |  n_candidates, n_exact, n_caught,
+       |  CASE WHEN n_exact > 0 THEN CAST(n_caught AS DOUBLE) / CAST(n_exact AS DOUBLE)
+       |       ELSE 0.0 END AS recall,
+       |  CAST(n_caught AS DOUBLE) / CAST(n_candidates AS DOUBLE) AS jaccard_precision
+       |FROM agg, nex ORDER BY rows_per_band""".stripMargin
+  }
 
   // Distinct hashed 3-gram shingles per document (mirrors
   // DedupOps.hashedShingles: word-level charHash, arithmetic 3-gram combine).
@@ -1494,6 +1583,12 @@ object SparkEntry {
     // as DECIMAL first and the DECIMAL->DOUBLE conversion can lose the
     // last ulp; CAST('..' AS DOUBLE) takes the correctly-rounded
     // string->double path and returns the exact committed bits.
+    // q94/q95: the frozen trained classifier (trainer parity + the
+    // scoring stage); q96: the LSH banding operating curve vs q41 truth
+    "q94_clf_train" -> clfTrainOracleSql,
+    "q95_quality_clf" -> qualityClfOracleSql,
+    "q96_band_curve" -> bandCurveOracleSql,
+
     "q92_pca_top" ->
       graft.operators.PcaComponents.values.zipWithIndex.map { case (x, i) =>
         s"(CAST(${i + 1} AS BIGINT), CAST('$x' AS DOUBLE), " +

@@ -19,6 +19,10 @@ import graft.operators.DedupOps
   *       scores every frontier doc; the off-distribution tail above
   *       `lmMaxAvgNll` drops. Runs BEFORE dedup — scoring is linear,
   *       dedup is the expensive stage, so junk leaves first.
+  *   2c. model-based quality filter (q95's kernel, opt-in): every
+  *       frontier doc scored under the FROZEN trained classifier
+  *       (ClfWeights — the train-offline/score-online deployment split);
+  *       docs below `clfMinLogit` drop. Same placement rationale as 2b.
   *   3. exact dedup (content-hash canonical, cheapest first)
   *   4. near-dup group dedup (MinHash pairs -> connected components ->
   *      keep each group's canonical) — skippable for small/clean corpora
@@ -44,7 +48,7 @@ import graft.operators.DedupOps
   *       (`Config.spanCut`); a doc cut to nothing leaves the corpus.
   *   7. sliding-window chunking (training-example shaping)
   *
-  * Usage: CorpusPrep <sf-dir> <out-dir> [--no-neardup] [--semantic] [--decontaminate] [--span-cut] [--lm-filter=MAX_AVG_NLL]
+  * Usage: CorpusPrep <sf-dir> <out-dir> [--no-neardup] [--semantic] [--decontaminate] [--span-cut] [--lm-filter=MAX_AVG_NLL] [--clf-filter[=MIN_LOGIT]]
   *
   * Output layout:
   *   <out>/documents/  kept documents (redacted text, provenance columns)
@@ -81,6 +85,14 @@ object CorpusPrep {
       lmFilter: Boolean = false,
       lmRefSource: String = "src0",
       lmMaxAvgNll: Double = Double.PositiveInfinity,
+      // Model-based quality filter (q95's kernel): opt-in; scores every
+      // frontier doc under the FROZEN trained classifier (ClfWeights —
+      // train offline, score online, the production deployment split)
+      // and drops docs below the logit threshold. 0.0 is the calibrated
+      // midpoint between the reference and background class means — a
+      // meaningful default, unlike the LM stage's corpus-specific NLL.
+      clfFilter: Boolean = false,
+      clfMinLogit: Double = 0.0,
       decontaminate: Boolean = false,
       decontaminateNgram: Int = 13,
       spanCut: Boolean = false,
@@ -138,14 +150,31 @@ object CorpusPrep {
     // under the default minTokens, possible under a permissive config)
     // KEEP: absence of evidence is not a junk verdict. The drop list is
     // a doc_id column, applied by one anti-join.
-    val quality = if (!cfg.lmFilter) qualityIn else {
+    val lmKept = if (!cfg.lmFilter) qualityIn else {
       val drops = graft.operators.CurationOps
         .lmPerplexityOf(qualityIn.select("doc_id", "source", "text"), cfg.lmRefSource)
         .filter(col("avg_nll") > cfg.lmMaxAvgNll)
         .select("doc_id")
       qualityIn.join(drops, Seq("doc_id"), "left_anti")
     }
-    val nLm = if (cfg.lmFilter) quality.count() else -1L
+    val nLm = if (cfg.lmFilter) lmKept.count() else -1L
+
+    // 2c. model-based quality filter (opt-in; q95's kernel over the
+    // frontier under the FROZEN ClfWeights): docs whose calibrated logit
+    // falls below the threshold drop. Frontier docs the scorer can't see
+    // (zero non-empty tokens — impossible under the default minTokens)
+    // KEEP: absence of evidence is not a junk verdict (the LM stage's
+    // rule). The drop list is a doc_id column, one anti-join.
+    val quality = if (!cfg.clfFilter) lmKept else {
+      import graft.operators.{Clf, ClfWeights}
+      val drops = Clf.scoreOf(
+        lmKept.select("doc_id", "source", "text"),
+        Clf.frozen, ClfWeights.Buckets)
+        .filter(col("logit") < cfg.clfMinLogit)
+        .select("doc_id")
+      lmKept.join(drops, Seq("doc_id"), "left_anti")
+    }
+    val nClf = if (cfg.clfFilter) quality.count() else -1L
 
     // 3. exact dedup: keep the minimum doc_id per content hash
     val exactKeep = quality
@@ -277,6 +306,7 @@ object CorpusPrep {
       ("01_quality_gate", nQuality),
       // -1 = stage off (the convention the semantic rows use)
       ("01b_lm_filter", nLm),
+      ("01c_clf_filter", nClf),
       ("02_exact_dedup", nExact),
       ("03_neardup_groups", nKept),
       ("04_semantic_dedup", if (cfg.decontaminate) nSemantic else nAfterDecon),
@@ -295,17 +325,24 @@ object CorpusPrep {
     require(args.length >= 2,
       "usage: CorpusPrep <sf-dir> <out-dir> [--no-neardup] [--semantic] " +
         "[--semantic-bits=N] [--decontaminate] [--span-cut] " +
-        "[--lm-filter=MAX_AVG_NLL]")
+        "[--lm-filter=MAX_AVG_NLL] [--clf-filter[=MIN_LOGIT]]")
     val spark = GraftSession.get()
     val lmMax = args.collectFirst {
       case a if a.startsWith("--lm-filter=") =>
         a.stripPrefix("--lm-filter=").toDouble
+    }
+    val clfMin = args.collectFirst {
+      case a if a.startsWith("--clf-filter=") =>
+        a.stripPrefix("--clf-filter=").toDouble
+      case "--clf-filter" => 0.0
     }
     run(spark, args(0), args(1), Config(
       nearDup = !args.contains("--no-neardup"),
       semantic = args.contains("--semantic"),
       lmFilter = lmMax.isDefined,
       lmMaxAvgNll = lmMax.getOrElse(Double.PositiveInfinity),
+      clfFilter = clfMin.isDefined,
+      clfMinLogit = clfMin.getOrElse(0.0),
       // explicit dial pin; absent = measure it from the frontier (the
       // default a 100 TB run should take)
       semanticSubBlockBits = args.collectFirst {

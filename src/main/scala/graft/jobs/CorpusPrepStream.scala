@@ -101,7 +101,11 @@ object CorpusPrepStream {
       maxProbeKeys: Int = 1 << 16,
       // LM-filter threshold, used only when start() receives a frozen
       // model — the stream twin of CorpusPrep's stage 2b
-      lmMaxAvgNll: Double = Double.PositiveInfinity)
+      lmMaxAvgNll: Double = Double.PositiveInfinity,
+      // model-based quality filter (the batch pipeline's stage 2c):
+      // Some(minLogit) scores every arriving doc under the FROZEN
+      // committed ClfWeights and drops below-threshold docs; None = off
+      clfMinLogit: Option[Double] = None)
 
   /** The probe key every `documents` commit carries + declares as its
     * stats column: a uniform 64-bit image of the content hash, so range-
@@ -230,6 +234,22 @@ object CorpusPrepStream {
       }
       val nLm = if (lm.isDefined) lmKept.count() else -1L
 
+      // 1c. model-based quality filter (the batch pipeline's stage 2c,
+      // against the FROZEN committed ClfWeights — no caller-supplied
+      // model needed: the artifact ships with the library). Same
+      // redelivery determinism as 1b: frozen weights, identical verdicts.
+      val clfKept = cfg.clfMinLogit match {
+        case None => lmKept
+        case Some(minLogit) =>
+          val drops = graft.operators.Clf
+            .scoreOf(lmKept.select("doc_id", "text"), graft.operators.Clf.frozen,
+              graft.operators.ClfWeights.Buckets, carry = Nil)
+            .filter(col("logit") < minLogit)
+            .select("doc_id")
+          lmKept.join(drops, Seq("doc_id"), "left_anti")
+      }
+      val nClf = if (cfg.clfMinLogit.isDefined) clfKept.count() else -1L
+
       // lake state as of the LAST batch, pruned to the files this batch's
       // probe keys can touch (see the scale-shape note); rows this same
       // batch id landed (a partially-committed earlier delivery) are
@@ -243,7 +263,7 @@ object CorpusPrepStream {
 
       // 2. exact dedup: batch-internal canonical, then the lake probe
       val wHash = Window.partitionBy("text_hash").orderBy("doc_id")
-      val batchCanonical = lmKept
+      val batchCanonical = clfKept
         .withColumn("rk", row_number().over(wHash))
         .filter(col("rk") === 1).drop("rk")
       val (hashKeys, hashOverflow) = probeKeys(batchCanonical, docProbeKey)
@@ -314,6 +334,7 @@ object CorpusPrepStream {
               ("00_input", nInput),
               ("01_quality_gate", nQuality),
               ("01b_lm_filter", nLm),
+              ("01c_clf_filter", nClf),
               ("02_exact_dedup", nExact),
               ("03_neardup_guard", nNear),
               ("04_decontaminate", nFinal))

@@ -1,0 +1,185 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Exact
+
+/** Distributed model-based quality classifier — the fastText-style linear
+  * filter every large-scale pretraining pipeline runs after the rule-based
+  * gates (GPT-3's WebText-vs-crawl logistic regression, LLaMA's Wikipedia
+  * -reference classifier, CCNet's companion to the LM filter): a logistic
+  * model over hashed unigram+bigram bag-of-words features, trained to
+  * discriminate the clean REFERENCE source from the crawl background, then
+  * applied to score every document. Complements q90 (generative LM score)
+  * and q91 (importance ratio of two count models) with the DISCRIMINATIVE
+  * member of the family — the only one of the three that optimizes
+  * separation directly.
+  *
+  * Training is full-batch gradient ascent on the log-likelihood, expressed
+  * as the Kmeans/Bpe/Pca bounded-iteration pattern: per round ONE broadcast
+  * join of the persisted feature table against the ≤B-row weight vector,
+  * one per-doc aggregation (the dot products), one per-bucket aggregation
+  * (the gradient), and a driver-side update of B+1 doubles. The feature
+  * table is built once (one corpus pass); every round is feature-table
+  * -sized, never corpus-text-sized. At 100 TB the weight vector is B
+  * doubles BY CONSTRUCTION — always the broadcast side.
+  *
+  * Bit-stable by construction, which is what lets the frozen artifact BE
+  * the oracle: the squashing function is the ALGEBRAIC sigmoid
+  * σ(z) = 0.5 + 0.5·z/(1+|z|) — one fixed IEEE chain of +,×,÷,|·| with no
+  * transcendental calls, so scores cannot drift by a libm ulp across
+  * engines or platforms (same monotone S-shape onto (0,1); gradient ascent
+  * with err = y − σ(z) is then exact gradient ascent on the matching
+  * proper composite loss). Every cross-row reduction (per-doc dot,
+  * per-bucket gradient, bias gradient) rides the exact-decimal carrier,
+  * and the driver update is a fixed IEEE chain — a retrain on the same
+  * lake reproduces [[ClfWeights]] bit-for-bit under ANY partitioning.
+  */
+object Clf {
+
+  /** A trained model: intercept + sparse bucket weights (untouched
+    * buckets are implicitly 0). */
+  final case class Model(bias: Double, weights: Seq[(Int, Double)])
+
+  /** The frozen model as a (feature, weight) frame: feature −1 is the
+    * bias, features 0..B−1 the hashed buckets. */
+  private def modelDf(s: SparkSession, m: Model): DataFrame = {
+    import s.implicits._
+    m.weights.toDF("b", "w")
+  }
+
+  /** Train `rounds` of full-batch gradient ascent over `docs`'s hashed
+    * n-gram features, label y = (source == refSource). Returns the model;
+    * deterministic for a fixed lake (see object doc). */
+  def train(s: SparkSession, docs: DataFrame,
+      buckets: Int = ClfWeights.Buckets,
+      rounds: Int = ClfWeights.Rounds,
+      lr: Double = ClfWeights.LearningRate,
+      refSource: String = ClfWeights.RefSource): Model = {
+    require(rounds >= 1 && rounds <= 1024, s"rounds in [1,1024]; got $rounds")
+    import s.implicits._
+    val feats = CurationOps.hashedNgramFeats(docs, buckets)
+      .withColumn("y", when(col("source") === refSource, 1.0).otherwise(0.0))
+      .select("doc_id", "y", "b", "k")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // class-BALANCED mean gradients (the GPT-3-style classifier trains
+      // reference-vs-crawl where positives are a sliver of the corpus):
+      // each doc carries weight N/(2·N_class), so both classes pull
+      // equally and the step size is corpus-size-INDEPENDENT — the same
+      // lr/rounds dial works at sf0.001 and at 100 TB. One tiny count
+      // aggregate up front; exact integers, so the weights are exact.
+      val classCounts = feats.groupBy("doc_id", "y").count()
+        .groupBy("y").agg(count(lit(1)).as("nd")).collect()
+      val nPos = classCounts.find(_.getDouble(0) == 1.0).map(_.getLong(1)).getOrElse(0L)
+      val nNeg = classCounts.find(_.getDouble(0) == 0.0).map(_.getLong(1)).getOrElse(0L)
+      require(nPos > 0 && nNeg > 0,
+        s"need both classes to train: $nPos docs of '$refSource', $nNeg others")
+      val n = (nPos + nNeg).toDouble
+      val cwPos = n / (2.0 * nPos)
+      val cwNeg = n / (2.0 * nNeg)
+
+      var bias = 0.0
+      var w = Map.empty[Int, Double]
+      for (_ <- 1 to rounds) {
+        val wdf = if (w.isEmpty) Seq.empty[(Int, Double)].toDF("b", "w")
+          else w.toSeq.toDF("b", "w")
+        // err_d = cw_d·(y − σ(bias + (Σ_b k·w_b)/n_d)): left join (round 1
+        // has an EMPTY weight table — an inner join would drop every doc),
+        // one per-doc aggregation producing dot and n together.
+        val scored = feats.join(broadcast(wdf), Seq("b"), "left")
+          .groupBy("doc_id", "y")
+          .agg(Exact.dsum(col("k").cast("double") * coalesce(col("w"), lit(0.0))).as("dk"),
+            sum(col("k")).as("n"))
+          .withColumn("z", lit(bias) + col("dk") / col("n").cast("double"))
+          .withColumn("err",
+            when(col("y") === 1.0, lit(cwPos)).otherwise(lit(cwNeg)) *
+              (col("y") - (lit(0.5) + lit(0.5) * col("z") / (lit(1.0) + abs(col("z"))))))
+          .select(col("doc_id"), col("err"), col("n"))
+        val joined = feats.join(scored, "doc_id")
+        // both gradient reductions ride the exact-decimal carrier; the
+        // bias gradient gets its own tiny aggregate (recovering it from
+        // the per-bucket rows would double-count multi-bucket docs)
+        val grads = joined
+          .groupBy("b")
+          .agg(Exact.dsum(col("k").cast("double") / col("n").cast("double") * col("err")).as("g"))
+          .collect()
+        val gBias = scored.agg(Exact.dsum(col("err"))).head().getDouble(0)
+        val upd = collection.mutable.Map(w.toSeq: _*)
+        grads.sortBy(_.getLong(0)).foreach { r =>
+          val b = r.getLong(0).toInt // charHash % buckets: always in [0, B)
+          upd(b) = upd.getOrElse(b, 0.0) + lr * (r.getDouble(1) / n)
+        }
+        bias += lr * (gBias / n)
+        w = upd.toMap
+      }
+      // Threshold calibration: full-batch GD fixes the DIRECTION but its
+      // finite-lr limit cycle leaves the intercept anywhere within ±lr/4
+      // of equilibrium — useless as a keep/drop threshold. Center it:
+      // bias := −(mean_ref dot + mean_background dot)/2, so logit 0 is
+      // the midpoint between the class means (Platt-style calibration,
+      // standard after any quality-classifier fit). One aggregation;
+      // class means ride the exact-decimal carrier, the midpoint is a
+      // fixed IEEE chain — determinism unchanged.
+      val wdf = w.toSeq.toDF("b", "w")
+      val classMeans = feats.join(broadcast(wdf), Seq("b"), "left")
+        .groupBy("doc_id", "y")
+        .agg((Exact.dsum(col("k").cast("double") * coalesce(col("w"), lit(0.0))) /
+          sum(col("k")).cast("double")).as("dot"))
+        .groupBy("y").agg(Exact.davg(col("dot")).as("m"))
+        .collect()
+      val mPos = classMeans.find(_.getDouble(0) == 1.0).get.getDouble(1)
+      val mNeg = classMeans.find(_.getDouble(0) == 0.0).get.getDouble(1)
+      Model(-(mPos + mNeg) / 2.0, w.toSeq.sortBy(_._1))
+    } finally feats.unpersist(blocking = false)
+  }
+
+  /** q94 — the trained model as a driver query: re-runs the FULL
+    * distributed trainer on the given lake and emits (feature, weight),
+    * feature −1 = bias. Oracled by the frozen [[ClfWeights]] VALUES table
+    * (the BpeMerges/PcaComponents pattern: the constants were produced by
+    * jobs.ClfTrain on the correctness-gate lake with this exact code, so
+    * parity pins the whole distributed loop — carrier sums, the algebraic
+    * sigmoid, update order — bit-exactly; retraining = rerun
+    * jobs.ClfTrain, refresh the file). */
+  def trainTable(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val m = train(s, Tables.documentsScaled(s, d))
+    ((-1L, m.bias) +: m.weights.map { case (b, x) => (b.toLong, x) })
+      .toDF("feature", "weight")
+      .orderBy("feature")
+  }
+
+  /** Score `docs` under a model: logit_d = bias + (Σ_b k_b·w_b)/n_d.
+    * One corpus featurization pass + one broadcast join + one per-doc
+    * aggregation; docs with zero features emit no row (no evidence).
+    * `keep` is the binary verdict at the natural logit-0 threshold. */
+  private[graft] def scoreOf(docs: DataFrame, m: Model, buckets: Int,
+      carry: Seq[String] = Seq("source")): DataFrame = {
+    val keys = "doc_id" +: carry
+    CurationOps.hashedNgramFeats(docs, buckets, carry)
+      .join(broadcast(modelDf(docs.sparkSession, m)), Seq("b"), "left")
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col("k")).as("n_feats"),
+        Exact.dsum(col("k").cast("double") * coalesce(col("w"), lit(0.0))).as("dk"))
+      .select(keys.map(col) :+ col("n_feats") :+
+        (lit(m.bias) + col("dk") / col("n_feats").cast("double")).as("logit"): _*)
+      .withColumn("keep", (col("logit") > 0).cast("int"))
+      .orderBy("doc_id")
+  }
+
+  /** The frozen [[ClfWeights]] as a [[Model]] — the single seam every
+    * consumer of the committed artifact (q95, the batch and streaming
+    * pipeline stages) goes through. */
+  def frozen: Model = Model(ClfWeights.Bias, ClfWeights.values)
+
+  /** q95 — every document scored under the FROZEN trained classifier
+    * ([[ClfWeights]]): the pipeline filter stage itself (train offline,
+    * score the crawl online — the split every production quality
+    * classifier deploys with). One corpus scan; the model is a ≤B-row
+    * broadcast; the per-doc reduce rides the exact-decimal carrier. */
+  def scoreTable(s: SparkSession, d: String): DataFrame =
+    scoreOf(Tables.documentsScaled(s, d), frozen, ClfWeights.Buckets)
+}

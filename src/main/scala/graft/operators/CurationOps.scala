@@ -598,20 +598,7 @@ object CurationOps {
     */
   def dsirWeights(s: SparkSession, d: String, refSource: String = "src0",
       buckets: Int = 1024): DataFrame = {
-    import graft.functions.TextFunctions.charHash
-    val docs = Tables.documentsScaled(s, d)
-      .select(col("doc_id"), col("source"),
-        expr("filter(split(text, ' '), x -> x <> '')").as("t"))
-    val unig = docs.select(col("doc_id"), col("source"),
-      explode(col("t")).as("g"))
-    val bigr = docs.filter(size(col("t")) >= 2)
-      .select(col("doc_id"), col("source"), explode(expr(
-        "transform(sequence(1, size(t) - 1), i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))")).as("g"))
-    val feats = unig.unionAll(bigr)
-      .select(col("doc_id"), col("source"),
-        (charHash(col("g")) % buckets).as("b"))
-      .groupBy("doc_id", "source", "b")
-      .agg(count(lit(1)).as("k"))
+    val feats = hashedNgramFeats(Tables.documentsScaled(s, d), buckets)
 
     val isRef = col("source") === refSource
     // both model tables in ONE pass over the bucketed features (a
@@ -633,6 +620,31 @@ object CurationOps {
       .agg(sum(col("k")).as("n_feats"),
         Exact.dsum(col("k").cast("double") * col("lr")).as("logweight"))
       .orderBy("doc_id")
+  }
+
+  /** Hashed unigram+bigram bag-of-words features — the DSIR paper's
+    * hashed-n-gram featurization, shared verbatim by q91's importance
+    * model and the q94/q95 quality classifier so the feature space can
+    * never drift between the selection and filtering stages. One row per
+    * (doc, bucket) with the within-doc count `k`; total bucket
+    * cardinality ≤ `buckets` BY CONSTRUCTION regardless of corpus size,
+    * which is what keeps every model table broadcast-sized at 100 TB.
+    * Docs with zero non-empty tokens emit no rows. */
+  private[graft] def hashedNgramFeats(docsIn: DataFrame, buckets: Int,
+      carry: Seq[String] = Seq("source")): DataFrame = {
+    import graft.functions.TextFunctions.charHash
+    val keys = "doc_id" +: carry
+    val docs = docsIn
+      .select(keys.map(col) :+
+        expr("filter(split(text, ' '), x -> x <> '')").as("t"): _*)
+    val unig = docs.select(keys.map(col) :+ explode(col("t")).as("g"): _*)
+    val bigr = docs.filter(size(col("t")) >= 2)
+      .select(keys.map(col) :+ explode(expr(
+        "transform(sequence(1, size(t) - 1), i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))")).as("g"): _*)
+    unig.unionAll(bigr)
+      .select(keys.map(col) :+ (charHash(col("g")) % buckets).as("b"): _*)
+      .groupBy((keys :+ "b").map(col): _*)
+      .agg(count(lit(1)).as("k"))
   }
 
   /** q90 — n-gram LM perplexity scoring (the CCNet quality filter, Wenzek

@@ -238,9 +238,18 @@ object DedupOps {
 
   /** The 4 LSH band keys of a signature column `mh`, exploded to one
     * (band, sig) row each — the single definition of the band layout. */
-  private def bandsOfSigs(sigs: DataFrame, keep: Seq[Column]): DataFrame = {
-    val bandStructs = (0 until Bands).map { b =>
-      val parts = (0 until RowsPerBand).map(r => element_at(col("mh"), b * RowsPerBand + r + 1))
+  private def bandsOfSigs(sigs: DataFrame, keep: Seq[Column]): DataFrame =
+    bandsOfSigsLayout(sigs, keep, Bands, RowsPerBand)
+
+  /** [[bandsOfSigs]] under an arbitrary (nBands × rowsPerBand) layout of
+    * the same 16-hash signature — the dial q96's operating curve sweeps.
+    * nBands·rowsPerBand must tile the signature exactly. */
+  private def bandsOfSigsLayout(sigs: DataFrame, keep: Seq[Column],
+      nBands: Int, rowsPerBand: Int): DataFrame = {
+    require(nBands * rowsPerBand == NumHashes,
+      s"band layout $nBands x $rowsPerBand must tile $NumHashes hashes")
+    val bandStructs = (0 until nBands).map { b =>
+      val parts = (0 until rowsPerBand).map(r => element_at(col("mh"), b * rowsPerBand + r + 1))
       struct(lit(b.toLong).as("band"), concat_ws(",", parts: _*).as("sig"))
     }
     sigs.select(keep :+ explode(array(bandStructs: _*)).as("bb"): _*)
@@ -309,6 +318,55 @@ object DedupOps {
       .select(col("doc_a"), col("doc_b"), col("n_agree"),
         (col("n_agree").cast("double") / lit(NumHashes.toDouble)).as("est_jaccard"))
       .orderBy("doc_a", "doc_b")
+  }
+
+  /** The band layouts q96 sweeps: every exact tiling of the 16-hash
+    * signature, from 16 bands of 1 (max recall, max candidates) to 2
+    * bands of 8 (min candidates, only near-identical docs collide). */
+  private[graft] val CurveLayouts: Seq[(Int, Int)] =
+    Seq((16, 1), (8, 2), (4, 4), (2, 8))
+
+  /** q96 — the LSH banding OPERATING CURVE: q86's recall evaluation swept
+    * over every band layout of the same 16-hash signature — the dial
+    * table an operator reads before committing a 100 TB dedup run to one
+    * banding (banding theory gives the per-pair collision probability
+    * 1−(1−j^r)^b; this measures the corpus: candidate volume, recall
+    * against q41's exact Jaccard ground truth, and Jaccard precision per
+    * layout). The ANN side has q68c's recall-vs-nprobe curve; this is the
+    * lexical twin. A layout emitting zero candidates emits no row (the
+    * q86 convention).
+    *
+    * Scale shape: ONE signature computation (persisted — it feeds all
+    * four layouts), each arm one band-bucket aggregation + the lazy pair
+    * generator (never doc×doc), ground truth computed once (persisted)
+    * and joined once per arm on 16-byte pair keys. The sweep costs ~4×
+    * one q42, not 4× (signatures + ground truth amortize).
+    */
+  def bandCurve(s: SparkSession, d: String): DataFrame = {
+    val sigs = signatures(scaledDocs(s, d))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val exact = ngramJaccard(s, d).select("doc_a", "doc_b")
+      .withColumn("hit", lit(1))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nExact = exact.agg(count(lit(1)).as("n_exact"))
+    val arms = CurveLayouts.map { case (nb, r) =>
+      pairsFromBuckets(bandsOfSigsLayout(sigs, Seq(col("doc_id")), nb, r))
+        .distinct()
+        .withColumn("n_bands", lit(nb.toLong))
+        .withColumn("rows_per_band", lit(r.toLong))
+    }.reduce(_ unionByName _)
+    arms.join(exact, Seq("doc_a", "doc_b"), "left")
+      .groupBy("n_bands", "rows_per_band")
+      .agg(count(lit(1)).as("n_candidates"), count(col("hit")).as("n_caught"))
+      .crossJoin(broadcast(nExact))
+      .select(col("n_bands"), col("rows_per_band"),
+        col("n_candidates"), col("n_exact"), col("n_caught"),
+        when(col("n_exact") > 0,
+          col("n_caught").cast("double") / col("n_exact").cast("double"))
+          .otherwise(lit(0.0)).as("recall"),
+        (col("n_caught").cast("double") /
+          col("n_candidates").cast("double")).as("jaccard_precision"))
+      .orderBy("rows_per_band")
   }
 
   /** q62 — incremental dedup: triage one incoming source batch against the

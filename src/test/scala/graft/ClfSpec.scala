@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Clf, ClfWeights}
+
+/** Quality classifier (q94/q95): partitioning-invariant training,
+  * separation on the proxy task, scoring contract.
+  */
+class ClfSpec extends SparkSpec {
+
+  test("train is bit-identical under repartitioning") {
+    val docs = Tables.documents(spark, sf)
+    val a = Clf.train(spark, docs, rounds = 4)
+    val b = Clf.train(spark, docs.repartition(7), rounds = 4)
+    assert(a.bias === b.bias)
+    assert(a.weights === b.weights)
+  }
+
+  test("trained model separates the reference source from the background") {
+    val docs = Tables.documents(spark, sf)
+    val m = Clf.train(spark, docs)
+    val scored = Clf.scoreOf(docs, m, ClfWeights.Buckets)
+      .select(col("source"), col("logit"))
+      .collect()
+    val (ref, rest) = scored.partition(_.getString(0) == ClfWeights.RefSource)
+    assert(ref.nonEmpty && rest.nonEmpty)
+    val mRef = ref.map(_.getDouble(1)).sum / ref.length
+    val mRest = rest.map(_.getDouble(1)).sum / rest.length
+    assert(mRef > mRest,
+      s"no separation: ref mean $mRef vs background mean $mRest")
+    // the logit-0 threshold must be a usable operating point on the
+    // training task, not just a rank ordering
+    val acc = scored.count(r =>
+      (r.getDouble(1) > 0) == (r.getString(0) == ClfWeights.RefSource)
+    ).toDouble / scored.length
+    assert(acc >= 0.6, s"training accuracy $acc below 0.6")
+  }
+
+  test("scoring contract: one row per doc with features, keep = logit > 0") {
+    val docs = Tables.documents(spark, sf)
+    val m = Clf.train(spark, docs, rounds = 2)
+    val scored = Clf.scoreOf(docs, m, ClfWeights.Buckets).collect()
+    val nDocs = docs
+      .filter(size(expr("filter(split(text, ' '), x -> x <> '')")) > 0)
+      .count()
+    assert(scored.length.toLong === nDocs)
+    scored.foreach { r =>
+      assert(!r.getDouble(3).isNaN && !r.getDouble(3).isInfinite)
+      assert(r.getInt(4) === (if (r.getDouble(3) > 0) 1 else 0))
+      assert(r.getLong(2) > 0L)
+    }
+  }
+
+  test("frozen artifact invariants: bucket range, finite weights") {
+    assert(ClfWeights.values.forall { case (b, w) =>
+      b >= 0 && b < ClfWeights.Buckets && !w.isNaN && !w.isInfinite
+    })
+    assert(!ClfWeights.Bias.isNaN && !ClfWeights.Bias.isInfinite)
+  }
+}

@@ -122,6 +122,55 @@ class CorpusPrepSpec extends SparkSpec {
     assert(onStats("01b_lm_filter") === onStats("01_quality_gate") - 1)
   }
 
+  test("clf-filter stage drops the below-threshold doc under the frozen classifier; off by default") {
+    import spark.implicits._
+    import graft.operators.{Clf, ClfWeights}
+    // all three docs pass the quality gate and are lexically distinct;
+    // only the frozen classifier's logit separates them — the threshold
+    // is picked between two measured scores so the test is independent
+    // of what the committed weights happen to be
+    val corpus = java.nio.file.Files.createTempDirectory("clfcorpus").toString
+    Seq(
+      (1L, "src0", "the quick brown fox jumps over the lazy dog again"),
+      (20L, "web", "market prices rose while traders watched the board"),
+      (21L, "web", "zz qq ww vv kk jj xx yy uu pp"))
+      .map { case (id, src, t) => (id, "en", src, t, t.length.toLong) }
+      .toDF("doc_id", "lang", "source", "text", "n_chars")
+      .write.parquet(s"$corpus/documents.parquet")
+    val scores = Clf.scoreOf(
+        spark.read.parquet(s"$corpus/documents.parquet")
+          .select("doc_id", "source", "text"),
+        Clf.frozen, ClfWeights.Buckets)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("logit")).toMap
+    assert(scores(20L) !== scores(21L), s"degenerate fixture: $scores")
+    val (dropId, keepId) =
+      if (scores(20L) < scores(21L)) (20L, 21L) else (21L, 20L)
+    val cut = (scores(20L) + scores(21L)) / 2
+
+    val offOut = java.nio.file.Files.createTempDirectory("clfoff").toString
+    CorpusPrep.run(spark, corpus, offOut, CorpusPrep.Config())
+    val offStats = spark.read.parquet(s"$offOut/stats").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(offStats("01c_clf_filter") === -1L, "stage must be off by default")
+    val offIds = spark.read.parquet(s"$offOut/documents")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(offIds.contains(dropId), "below-threshold doc survives with the stage off")
+
+    val onOut = java.nio.file.Files.createTempDirectory("clfon").toString
+    CorpusPrep.run(spark, corpus, onOut,
+      CorpusPrep.Config(clfFilter = true, clfMinLogit = cut))
+    val onIds = spark.read.parquet(s"$onOut/documents")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // the stage must keep EXACTLY the measured at-or-above-cut docs
+    // (docs other than the pinned pair fall wherever their logit says)
+    val expected = offIds.filter(id => scores(id) >= cut)
+    assert(onIds === expected, s"on: $onIds vs expected: $expected")
+    assert(onIds.contains(keepId) && !onIds.contains(dropId))
+    val onStats = spark.read.parquet(s"$onOut/stats").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(onStats("01c_clf_filter") === onStats("01_quality_gate") - (offIds.size - expected.size))
+  }
+
   test("span-cut stage: extents cut, ownership frontier-local, span-free docs untouched") {
     import spark.implicits._
     val span = (1 to 10).map(i => s"s$i").mkString(" ")

@@ -83,7 +83,7 @@ class CorpusPrepStreamSpec extends SparkSpec {
         .collect().map(r => r.getAs[String]("stage") -> r.getAs[Long]("rows")).toMap
       assert(att1 === Map(
         "00_input" -> 6L, "01_quality_gate" -> 5L, "01b_lm_filter" -> -1L,
-        "02_exact_dedup" -> 4L,
+        "01c_clf_filter" -> -1L, "02_exact_dedup" -> 4L,
         "03_neardup_guard" -> 3L, "04_decontaminate" -> 2L), att1.toString)
 
       // batch 2: the lake is the dedup state — re-arrivals and near-dups
@@ -102,7 +102,7 @@ class CorpusPrepStreamSpec extends SparkSpec {
         .collect().map(r => r.getAs[String]("stage") -> r.getAs[Long]("rows")).toMap
       assert(att2 === Map(
         "00_input" -> 3L, "01_quality_gate" -> 3L, "01b_lm_filter" -> -1L,
-        "02_exact_dedup" -> 2L,
+        "01c_clf_filter" -> -1L, "02_exact_dedup" -> 2L,
         "03_neardup_guard" -> 1L, "04_decontaminate" -> 1L), att2.toString)
     } finally q.stop()
   }
@@ -140,6 +140,35 @@ class CorpusPrepStreamSpec extends SparkSpec {
     val att = SnapshotLake.read(spark, s"$lake/attrition")
       .collect().map(r => r.getAs[String]("stage") -> r.getAs[Long]("rows")).toMap
     assert(att("01_quality_gate") === 2L && att("01b_lm_filter") === 1L)
+  }
+
+  test("clf guard: below-threshold arrivals drop against the frozen committed classifier") {
+    import spark.implicits._
+    import graft.operators.{Clf, ClfWeights}
+    val heldout = heldoutIndexDir()
+    val lake = tmp("cps-clflake")
+    // measure both candidate texts through the BATCH scorer (the
+    // single-sourced kernel) and cut between them — twin-drift-proof
+    // and independent of the committed weight values
+    val tLo = (1 to 30).map(i => s"low$i").mkString(" ")
+    val tHi = (1 to 30).map(i => s"high$i").mkString(" ")
+    val s = Clf.scoreOf(
+        Seq((1L, tLo), (2L, tHi)).toDF("doc_id", "text"),
+        Clf.frozen, ClfWeights.Buckets, carry = Nil)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("logit")).toMap
+    assert(s(1L) !== s(2L), s"degenerate fixture: $s")
+    val keepId = if (s(1L) < s(2L)) 11L else 10L
+    val cfg = CorpusPrepStream.Config(
+      clfMinLogit = Some((s(1L) + s(2L)) / 2))
+
+    val b = Seq((10L, 1L, tLo), (11L, 1L, tHi)).toDF("doc_id", "ts", "text")
+    CorpusPrepStream.processBatch(spark, b, 0L, heldout, lake, cfg)
+    val docs = SnapshotLake.read(spark, s"$lake/documents")
+      .select("doc_id").as[Long].collect().sorted
+    assert(docs.toSeq === Seq(keepId), s"survivors: ${docs.mkString(",")}")
+    val att = SnapshotLake.read(spark, s"$lake/attrition")
+      .collect().map(r => r.getAs[String]("stage") -> r.getAs[Long]("rows")).toMap
+    assert(att("01_quality_gate") === 2L && att("01c_clf_filter") === 1L)
   }
 
   test("redelivery after a crash between commits is exactly-once per table") {

@@ -155,6 +155,32 @@ class LlmOpsSpec extends SparkSpec {
     assert(mh.getLong(3) > 0)
   }
 
+  test("q96 band curve: nested candidate sets, recall monotone, 4x4 row is q86's minhash row") {
+    val rows = DedupOps.bandCurve(spark, sf).collect()
+      .map(r => (r.getLong(1), // rows_per_band
+        (r.getLong(2), r.getLong(4), r.getDouble(5), r.getDouble(6))))
+      .toMap
+    // aligned layouts nest exactly: an 8-row-band collision implies both
+    // 4-row sub-band collisions, so candidates (and caught) can only
+    // shrink as rows_per_band doubles — the theory the curve exists to
+    // measure, assertable without tolerance
+    val present = Seq(1L, 2L, 4L, 8L).filter(rows.contains)
+    present.sliding(2).foreach {
+      case Seq(lo, hi) =>
+        assert(rows(lo)._1 >= rows(hi)._1, s"candidates grew $lo -> $hi rows/band")
+        assert(rows(lo)._2 >= rows(hi)._2, s"caught grew $lo -> $hi rows/band")
+        assert(rows(lo)._3 >= rows(hi)._3, s"recall grew $lo -> $hi rows/band")
+      case _ => ()
+    }
+    // the (4 bands x 4 rows) arm IS q42's shipped layout: its counts must
+    // equal q86's minhash row exactly (same candidates, same ground truth)
+    val q86mh = DedupOps.dedupRecall(spark, sf).collect()
+      .find(_.getString(0) == "minhash").get
+    assert(rows.contains(4L), "shipped 4x4 layout emitted no candidates")
+    assert(rows(4L)._1 === q86mh.getLong(1))
+    assert(rows(4L)._2 === q86mh.getLong(3))
+  }
+
   test("q67 semantic dedup: min-id rule, cluster-local witnesses, threshold honored") {
     val pruned = DedupOps.semanticDedup(spark, sf).collect()
     assert(pruned.nonEmpty)
