@@ -265,6 +265,15 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
   }
 
+  test("q95: the frozen model broadcasts; the corpus stream never sort-merge-joins") {
+    // the scoring stage's contract at 100 TB: the <= B-row weight table
+    // is always the broadcast side, and the corpus featurization never
+    // shuffles on a token key — its only exchange is the per-doc rollup
+    val p = plan(graft.operators.Clf.scoreTable(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
+
   test("q89: the encode is one scan - no join, no shuffle before the bounded histogram") {
     val p = plan(operators.Bpe.bpeEncodeHistogram(spark, sf))
     assert(!p.contains("Join"), p)
