@@ -121,6 +121,7 @@ object SparkEntry {
     "q94_clf_train"       -> ((s: SparkSession, d: String) => operators.Clf.trainTable(s, d)),
     "q95_quality_clf"     -> ((s: SparkSession, d: String) => operators.Clf.scoreTable(s, d)),
     "q96_band_curve"      -> (DedupOps.bandCurve _),
+    "q97_decon_curve"     -> ((s: SparkSession, d: String) => CurationOps.deconCurve(s, d)),
     "q75_scd2"            -> (TemporalOps.scd2 _),
     "q76_rolling_features" -> (TemporalOps.rollingFeatures _),
     "q77_cohort_retention" -> (TemporalOps.cohortRetention _),
@@ -236,6 +237,35 @@ object SparkEntry {
        |       ELSE 0.0 END AS recall,
        |  CAST(n_caught AS DOUBLE) / CAST(n_candidates AS DOUBLE) AS jaccard_precision
        |FROM agg, nex ORDER BY rows_per_band""".stripMargin
+  }
+
+  // The q97 oracle: q82's removal-list SQL per window size, reduced to
+  // the per-arm summary and unioned — mirrors CurationOps.deconCurve.
+  private def deconCurveOracleSql: String = {
+    val armCtes = graft.operators.CurationOps.DeconCurveKs.map { k =>
+      s"""r0_$k AS (SELECT doc_id, unnest(generate_series(1, n - ${k - 1})) AS i, ts
+         |       FROM t WHERE n >= $k),
+         |wins_$k AS (SELECT doc_id, ('0x' || substr(md5(array_to_string(ts[i:i+${k - 1}], ' ')), 1, 15))::BIGINT AS rh FROM r0_$k),
+         |held_$k AS (SELECT DISTINCT rh FROM wins_$k WHERE (doc_id * 2654435761) % 100 >= 80),
+         |idx_$k AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_index FROM held_$k),
+         |doc_$k AS (SELECT w.doc_id, SUM(CASE WHEN h.rh IS NOT NULL THEN 1 ELSE 0 END) > 0 AS drop
+         |          FROM wins_$k w LEFT JOIN held_$k h ON w.rh = h.rh
+         |          WHERE (w.doc_id * 2654435761) % 100 < 80 GROUP BY w.doc_id),
+         |agg_$k AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_train_docs,
+         |            CAST(COALESCE(SUM(CASE WHEN drop THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_flagged
+         |          FROM doc_$k),
+         |arm_$k AS (SELECT CAST($k AS BIGINT) AS k, i.n_index, a.n_train_docs, a.n_flagged,
+         |            CASE WHEN a.n_train_docs > 0
+         |                 THEN CAST(a.n_flagged AS DOUBLE) / CAST(a.n_train_docs AS DOUBLE)
+         |                 ELSE 0.0 END AS flag_rate
+         |          FROM agg_$k a CROSS JOIN idx_$k i)""".stripMargin
+    }.mkString(",\n")
+    val union = graft.operators.CurationOps.DeconCurveKs
+      .map(k => s"SELECT * FROM arm_$k").mkString(" UNION ALL ")
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts,
+       |                  len(string_split(text, ' ')) AS n FROM documents),
+       |$armCtes
+       |$union ORDER BY k""".stripMargin
   }
 
   // Distinct hashed 3-gram shingles per document (mirrors
@@ -1588,6 +1618,7 @@ object SparkEntry {
     "q94_clf_train" -> clfTrainOracleSql,
     "q95_quality_clf" -> qualityClfOracleSql,
     "q96_band_curve" -> bandCurveOracleSql,
+    "q97_decon_curve" -> deconCurveOracleSql,
 
     "q92_pca_top" ->
       graft.operators.PcaComponents.values.zipWithIndex.map { case (x, i) =>

@@ -85,6 +85,46 @@ object CurationOps {
       .orderBy("doc_id")
   }
 
+  /** The window sizes q97 sweeps: the Pile's 13-gram default bracketed
+    * by a stricter short window and a laxer long one. */
+  private[graft] val DeconCurveKs: Seq[Int] = Seq(8, 13, 21)
+
+  /** q97 — the decontamination WINDOW-SIZE operating curve: q82's
+    * removal-list computation swept over the n-gram dial (8, 13, 21
+    * tokens) with, per window size, the heldout-index volume, the
+    * flagged-doc count, and the flag rate — the third operating-curve
+    * next to q68c (ANN nprobe) and q96 (LSH bands): GPT-3 froze 13
+    * without publishing the sweep; this IS the sweep, the table an
+    * operator reads before freezing the dial for a 100 TB run (short
+    * windows over-flag boilerplate; long windows miss real leakage).
+    * Flag sets nest downward: a shared 21-token window contains shared
+    * 13-token sub-windows, so every doc flagged at k=21 is flagged at
+    * k=13 — n_flagged is provably non-increasing in k (spec-asserted).
+    *
+    * Scale shape: one windowHashes pass + one hash-key probe join per
+    * arm (the q82 shape exactly — the heldout side is broadcastable at
+    * any train scale); arms differ in k so the kernel passes cannot
+    * share, and the per-arm reduce is a 1-row aggregate.
+    */
+  def deconCurve(s: SparkSession, d: String,
+      ks: Seq[Int] = DeconCurveKs): DataFrame =
+    ks.map { k =>
+      val flags = decontaminate(s, d, k)
+      val idx = heldoutIndex(s, d, k).agg(count(lit(1)).as("n_index"))
+      flags.agg(
+          count(lit(1)).as("n_train_docs"),
+          // coalesce: an all-short-doc corpus has zero probe rows and a
+          // NULL sum — report 0 flagged, rate 0.0 (never a NULL/NaN
+          // engines could disagree on)
+          coalesce(sum(when(col("drop"), 1L).otherwise(0L)), lit(0L)).as("n_flagged"))
+        .crossJoin(broadcast(idx))
+        .select(lit(k.toLong).as("k"), col("n_index"),
+          col("n_train_docs"), col("n_flagged"),
+          when(col("n_train_docs") > 0,
+            col("n_flagged").cast("double") / col("n_train_docs").cast("double"))
+            .otherwise(lit(0.0)).as("flag_rate"))
+    }.reduce(_ unionByName _).orderBy("k")
+
   /** THE k-token window-hash kernel q65 and q82 share: hash every window
     * BEFORE exploding (exploding positions and slicing afterwards would
     * carry the whole token array into each of ~n output rows — an

@@ -33,6 +33,25 @@ class CurationSpec extends SparkSpec {
     intercept[IllegalArgumentException] { CurationOps.decontaminate(spark, sf, k = 1) }
   }
 
+  test("q97 decon curve: flags monotone non-increasing in k; 13-arm matches q82 exactly") {
+    val rows = CurationOps.deconCurve(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(rows.keySet === Set(8L, 13L, 21L))
+    // a shared 21-token window contains shared 13-token sub-windows, so
+    // the flagged set can only SHRINK as the window grows (the nesting
+    // argument — exact modulo 60-bit hash collisions, absent here)
+    assert(rows(8L)._3 >= rows(13L)._3 && rows(13L)._3 >= rows(21L)._3,
+      s"flag counts not monotone: $rows")
+    rows.foreach { case (k, (nIdx, nDocs, nFlag)) =>
+      assert(nFlag <= nDocs, s"k=$k flags exceed train docs")
+      assert(nIdx >= 0 && nDocs > 0)
+    }
+    // the k=13 arm IS q82: its flag count must equal the removal list's
+    val q82flags = CurationOps.decontaminate(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("drop")).count()
+    assert(rows(13L)._3 === q82flags)
+  }
+
   test("q56 contamination: test docs only, rates in [0,1], planted dups fully contaminated") {
     val rows = CurationOps.contamination(spark, sf).collect()
     assert(rows.nonEmpty)
