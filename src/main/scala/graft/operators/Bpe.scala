@@ -51,29 +51,39 @@ object Bpe {
         .otherwise(concat(acc, array(x))))
 
   /** The corpus as its DISTINCT-word multiset: one row per distinct
-    * word with its corpus frequency, symbols initially single
-    * characters. This is the reference trainer's own representation
-    * (Sennrich's implementation trains on a {word: freq} dict), and it
-    * is THE scale design for the loop: after this one corpus pass,
-    * every round's work is O(distinct vocabulary) — sub-linear in the
-    * corpus by Heaps' law and corpus-size-INDEPENDENT once the
-    * vocabulary saturates — instead of re-folding every word instance
-    * k times (measured 62 s at sf1 instance-level vs vocabulary-level
-    * rounds that no longer grow with the lake). Pair counts are
-    * freq-weighted sums — the same exact integers, so the trained
-    * sequence and the frozen artifact are unchanged. */
+    * word with its corpus frequency. This is the reference trainer's own
+    * representation (Sennrich's implementation trains on a {word: freq}
+    * dict), and it is THE scale design for the loop: after this one
+    * corpus pass, every round's work is O(distinct vocabulary) —
+    * sub-linear in the corpus by Heaps' law — instead of re-folding
+    * every word instance k times. Pair counts are freq-weighted sums —
+    * the same exact integers, so the trained sequence is unchanged.
+    *
+    * Words travel in the q89 encoder's bracket-delimited symbol-STRING
+    * form (SO+sym+SC per symbol), so each round's merge application is
+    * ONE codegen'd literal `replace` — the first trainer's interpreted
+    * per-element array fold ([[applyMerge]], kept as the spec-verified
+    * reference semantics) cost 65 CPU-s per round at sf1 for identical
+    * output (fold == replace-chain is spec-pinned merge by merge). The
+    * encoder's delimiter caveat now covers the trainer too: a token
+    * CONTAINING the delimiter control chars would mis-bracket (real
+    * tokenizer pipelines strip control chars upstream). */
   private[graft] def initialWords(docs: DataFrame): DataFrame =
     docs.select(explode(tokens(col("text"))).as("t"))
       .filter(length(col("t")) >= 1)
       .groupBy("t").agg(count(lit(1)).as("freq"))
-      .select(split(col("t"), "").as("w"), col("freq"))
+      .select(concat(lit(SO),
+        array_join(split(col("t"), ""), SC + SO), lit(SC)).as("w"),
+        col("freq"))
 
   /** The most frequent adjacent pair of the current symbol stream, with
     * its count — q87's aggregation generalized to multi-char symbols. */
   private def bestPair(words: DataFrame): Option[(String, String, Long)] =
-    words.filter(size(col("w")) >= 2)
+    words.select(col("freq"),
+        split(expr("substring(w, 2, length(w) - 2)"), SC + SO).as("s"))
+      .filter(size(col("s")) >= 2)
       .select(col("freq"), explode(expr(
-        "transform(sequence(1, size(w) - 1), i -> struct(element_at(w, i) AS l, element_at(w, i + 1) AS r))")).as("p"))
+        "transform(sequence(1, size(s) - 1), i -> struct(element_at(s, i) AS l, element_at(s, i + 1) AS r))")).as("p"))
       .groupBy(col("p.l").as("l"), col("p.r").as("r"))
       .agg(sum(col("freq")).as("n"))
       .orderBy(col("n").desc, col("l"), col("r"))
@@ -91,8 +101,22 @@ object Bpe {
       minCount: Long = 2L): Seq[Merge] = {
     require(rounds >= 1 && rounds <= 4096, s"rounds in [1,4096]; got $rounds")
     val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
-    var words = initialWords(docs)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // materialize-and-truncate each round (the dedupGroups pattern):
+    // snapshot the rows as a persisted RDD and rebuild the DataFrame over
+    // it (a flat LogicalRDD plan). With plain persist, round r's plan is
+    // an r-deep chain whose analysis/plan-description cost grows with the
+    // round — by round 16 the driver spent more time stringifying plans
+    // than the cluster spent merging (measured 6.5 min at sf0.1 vs 30 s
+    // with the snapshot). Content is identical — determinism unchanged.
+    def snapshot(df: DataFrame)
+        : (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]) = {
+      val rdd = df.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try rdd.count() catch {
+        case e: Throwable => rdd.unpersist(blocking = false); throw e
+      }
+      (s.createDataFrame(rdd, df.schema), rdd)
+    }
+    var (words, wordsRdd) = snapshot(initialWords(docs))
     try {
       var round = 1
       var continue = true
@@ -100,16 +124,19 @@ object Bpe {
         bestPair(words) match {
           case Some((l, r, n)) if n >= minCount =>
             merges += Merge(round, l, r, n)
-            val next = words.select(applyMerge(l, r).as("w"), col("freq"))
-              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-            next.count() // materialize BEFORE dropping the parent's cache
-            words.unpersist(blocking = false)
+            // one codegen'd literal replace == the greedy fold for a
+            // single merge (the q89 equivalence, spec-pinned)
+            val (next, nextRdd) = snapshot(words.select(
+              replace(col("w"), lit(SO + l + SC + SO + r + SC),
+                lit(SO + l + r + SC)).as("w"), col("freq")))
+            wordsRdd.unpersist(blocking = false)
             words = next
+            wordsRdd = nextRdd
             round += 1
           case _ => continue = false
         }
       }
-    } finally words.unpersist(blocking = false)
+    } finally wordsRdd.unpersist(blocking = false)
     merges.toSeq
   }
 

@@ -60,9 +60,17 @@ object Clf {
       refSource: String = ClfWeights.RefSource): Model = {
     require(rounds >= 1 && rounds <= 1024, s"rounds in [1,1024]; got $rounds")
     import s.implicits._
+    // repartition(doc_id) BEFORE persisting: every round's per-doc dot
+    // aggregation and its err join-back both key on doc_id, and a cached
+    // HashPartitioning(doc_id) satisfies both — so the k training rounds
+    // run with ZERO exchanges of the feature table (only the ≤B-row
+    // gradient shuffle and the broadcast of the weight vector move data).
+    // Without it each round re-shuffles the corpus-sized features twice —
+    // measured 1445 CPU-s for 32 rounds at sf1 before this.
     val feats = CurationOps.hashedNgramFeats(docs, buckets)
       .withColumn("y", when(col("source") === refSource, 1.0).otherwise(0.0))
       .select("doc_id", "y", "b", "k")
+      .repartition(col("doc_id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       // class-BALANCED mean gradients (the GPT-3-style classifier trains
@@ -89,6 +97,10 @@ object Clf {
         // err_d = cw_d·(y − σ(bias + (Σ_b k·w_b)/n_d)): left join (round 1
         // has an EMPTY weight table — an inner join would drop every doc),
         // one per-doc aggregation producing dot and n together.
+        // persisted: the per-doc err frame feeds BOTH the per-bucket
+        // gradient join and the bias-gradient sentinel rows — without it
+        // the whole scoring subtree runs twice (aliased subtrees never
+        // unify under exchange reuse)
         val scored = feats.join(broadcast(wdf), Seq("b"), "left")
           .groupBy("doc_id", "y")
           .agg(Exact.dsum(col("k").cast("double") * coalesce(col("w"), lit(0.0))).as("dk"),
@@ -98,21 +110,38 @@ object Clf {
             when(col("y") === 1.0, lit(cwPos)).otherwise(lit(cwNeg)) *
               (col("y") - (lit(0.5) + lit(0.5) * col("z") / (lit(1.0) + abs(col("z"))))))
           .select(col("doc_id"), col("err"), col("n"))
-        val joined = feats.join(scored, "doc_id")
-        // both gradient reductions ride the exact-decimal carrier; the
-        // bias gradient gets its own tiny aggregate (recovering it from
-        // the per-bucket rows would double-count multi-bucket docs)
-        val grads = joined
-          .groupBy("b")
-          .agg(Exact.dsum(col("k").cast("double") / col("n").cast("double") * col("err")).as("g"))
-          .collect()
-        val gBias = scored.agg(Exact.dsum(col("err"))).head().getDouble(0)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // BOTH gradient reductions in ONE action: the bias gradient
+        // Σ_d err_d rides the same per-bucket aggregation as sentinel
+        // bucket −1 (one err row per doc — recovering it from the
+        // per-bucket rows would double-count multi-bucket docs). Same
+        // decimal-carrier sums over the same addends as two separate
+        // aggregates — bit-identical, at half the jobs per round.
+        // shuffle_hash on the per-doc side: both inputs already carry
+        // HashPartitioning(doc_id) (the cached repartition + the agg that
+        // preserved it), so the join needs NO exchange — and the hint
+        // picks a per-partition hash build over SMJ, which would re-SORT
+        // the corpus-sized feature table every round (measured 5234
+        // CPU-s for 32 rounds at sf1 — the sorts were the whole bill).
+        // Build side is the per-doc err frame: bounded per partition by
+        // docs/partitions, never the feature table, never a broadcast.
+        val grads = try {
+          feats.join(scored.hint("shuffle_hash"), "doc_id")
+            .select(col("b"),
+              (col("k").cast("double") / col("n").cast("double") * col("err")).as("g0"))
+            .unionAll(scored.select(lit(-1L).as("b"), col("err").as("g0")))
+            .groupBy("b")
+            .agg(Exact.dsum(col("g0")).as("g"))
+            .collect()
+        } finally scored.unpersist(blocking = false)
         val upd = collection.mutable.Map(w.toSeq: _*)
         grads.sortBy(_.getLong(0)).foreach { r =>
-          val b = r.getLong(0).toInt // charHash % buckets: always in [0, B)
-          upd(b) = upd.getOrElse(b, 0.0) + lr * (r.getDouble(1) / n)
+          if (r.getLong(0) < 0) bias += lr * (r.getDouble(1) / n)
+          else {
+            val b = r.getLong(0).toInt // charHash % buckets: always in [0, B)
+            upd(b) = upd.getOrElse(b, 0.0) + lr * (r.getDouble(1) / n)
+          }
         }
-        bias += lr * (gBias / n)
         w = upd.toMap
       }
       // Threshold calibration: full-batch GD fixes the DIRECTION but its
