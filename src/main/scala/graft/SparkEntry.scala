@@ -122,6 +122,7 @@ object SparkEntry {
     "q95_quality_clf"     -> ((s: SparkSession, d: String) => operators.Clf.scoreTable(s, d)),
     "q96_band_curve"      -> (DedupOps.bandCurve _),
     "q97_decon_curve"     -> ((s: SparkSession, d: String) => CurationOps.deconCurve(s, d)),
+    "q98_quality_agreement" -> ((s: SparkSession, d: String) => CurationOps.qualityAgreement(s, d)),
     "q75_scd2"            -> (TemporalOps.scd2 _),
     "q76_rolling_features" -> (TemporalOps.rollingFeatures _),
     "q77_cohort_retention" -> (TemporalOps.cohortRetention _),
@@ -266,6 +267,94 @@ object SparkEntry {
        |                  len(string_split(text, ' ')) AS n FROM documents),
        |$armCtes
        |$union ORDER BY k""".stripMargin
+  }
+
+  // The q98 oracle: the q90/q91/q95 score constructions nested verbatim
+  // (the q86 donor-oracle pattern), each pair ranked by ROW_NUMBER over
+  // (score, doc_id) — the same total order as the Spark side's
+  // distributed sort — and the Spearman arithmetic mirrored IEEE-op for
+  // IEEE-op (exact-decimal Σd², one final division chain).
+  private def qualityAgreementOracleSql: String = {
+    val B = graft.operators.ClfWeights.Buckets
+    val vs = graft.operators.ClfWeights.values
+    val wRows = (if (vs.isEmpty) Seq((-2, 0.0)) else vs)
+      .map { case (b, w) => s"(CAST($b AS BIGINT), CAST('$w' AS DOUBLE))" }
+      .mkString(", ")
+    val bias = graft.operators.ClfWeights.Bias
+    def arm(tag: String, na: String, nb: String, a: String, b: String) =
+      s"""j$tag AS (SELECT l.doc_id, l.score AS sa, r.score AS sb
+         |        FROM $a l JOIN $b r USING (doc_id)),
+         |r$tag AS (SELECT doc_id,
+         |          ROW_NUMBER() OVER (ORDER BY sa, doc_id) AS ra,
+         |          ROW_NUMBER() OVER (ORDER BY sb, doc_id) AS rb FROM j$tag),
+         |arm$tag AS (SELECT '$na' AS method_a, '$nb' AS method_b,
+         |          CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |          CASE WHEN COUNT(*) > 1 THEN
+         |            1.0 - 6.0 * CAST(SUM(CAST(ra - rb AS DECIMAL(19,0)) *
+         |                              CAST(ra - rb AS DECIMAL(19,0))) AS DOUBLE) /
+         |              (CAST(COUNT(*) AS DOUBLE) *
+         |               (CAST(COUNT(*) AS DOUBLE) * CAST(COUNT(*) AS DOUBLE) - 1.0))
+         |          ELSE 0.0 END AS spearman
+         |        FROM r$tag)""".stripMargin
+    s"""WITH d AS (SELECT doc_id, source,
+       |            list_filter(string_split(text, ' '), x -> x <> '') AS t
+       |          FROM documents),
+       |bg AS (SELECT doc_id, source, t[i] AS w1, t[i+1] AS w2
+       |       FROM (SELECT doc_id, source, t,
+       |               unnest(generate_series(1, len(t) - 1)) AS i
+       |             FROM d WHERE len(t) >= 2)),
+       |kk AS (SELECT doc_id, source, w1, w2, COUNT(*) AS k
+       |      FROM bg GROUP BY doc_id, source, w1, w2),
+       |uni AS (SELECT w, COUNT(*) AS c1
+       |        FROM (SELECT unnest(t) AS w FROM d WHERE source = 'src0')
+       |        GROUP BY w),
+       |bi AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg
+       |       WHERE source = 'src0' GROUP BY w1, w2),
+       |vv AS (SELECT COUNT(*) AS v FROM uni),
+       |lmrows AS (SELECT kk.doc_id, kk.k,
+       |         -ln(CAST(COALESCE(bi.c12, 0) + 1 AS DOUBLE) /
+       |             CAST(GREATEST(COALESCE(uni.c1, 0) + vv.v, 1) AS DOUBLE)) AS nll
+       |       FROM kk LEFT JOIN bi ON kk.w1 = bi.w1 AND kk.w2 = bi.w2
+       |              LEFT JOIN uni ON kk.w1 = uni.w
+       |              CROSS JOIN vv),
+       |lmsc AS (SELECT doc_id,
+       |  -(${S("CAST(k AS DOUBLE) * nll")} / CAST(SUM(k) AS DOUBLE)) AS score
+       |  FROM lmrows GROUP BY doc_id),
+       |unig AS (SELECT doc_id, source, unnest(t) AS g FROM d),
+       |bigr AS (SELECT doc_id, source, t[i] || ' ' || t[i+1] AS g
+       |         FROM (SELECT doc_id, source, t,
+       |                 unnest(generate_series(1, len(t) - 1)) AS i
+       |               FROM d WHERE len(t) >= 2)),
+       |featsd AS (SELECT doc_id, source, ${PH("g")} % 1024 AS b, COUNT(*) AS k
+       |          FROM (SELECT * FROM unig UNION ALL SELECT * FROM bigr)
+       |          GROUP BY doc_id, source, b),
+       |ratio AS (SELECT b,
+       |            SUM(CASE WHEN source = 'src0' THEN k ELSE 0 END) AS ct,
+       |            SUM(CASE WHEN source <> 'src0' THEN k ELSE 0 END) AS cr
+       |          FROM featsd GROUP BY b),
+       |tot AS (SELECT SUM(ct) AS tt, SUM(cr) AS tr FROM ratio),
+       |lrt AS (SELECT b,
+       |          ln(CAST(ct + 1 AS DOUBLE) / CAST(tt + 1024 AS DOUBLE)) -
+       |          ln(CAST(cr + 1 AS DOUBLE) / CAST(tr + 1024 AS DOUBLE)) AS lr
+       |        FROM ratio CROSS JOIN tot),
+       |dsirsc AS (SELECT f.doc_id,
+       |  ${S("CAST(f.k AS DOUBLE) * lrt.lr")} AS score
+       |  FROM featsd f JOIN lrt ON f.b = lrt.b WHERE f.source <> 'src0'
+       |  GROUP BY f.doc_id),
+       |featsc AS (SELECT doc_id, source, ${PH("g")} % $B AS b, COUNT(*) AS k
+       |          FROM (SELECT * FROM unig UNION ALL SELECT * FROM bigr)
+       |          GROUP BY doc_id, source, b),
+       |wt AS (SELECT b, w FROM (VALUES $wRows) t(b, w)),
+       |clfsc AS (SELECT f.doc_id,
+       |         CAST('$bias' AS DOUBLE) + ${S("CAST(f.k AS DOUBLE) * COALESCE(wt.w, 0.0)")} /
+       |           CAST(SUM(f.k) AS DOUBLE) AS score
+       |       FROM featsc f LEFT JOIN wt USING (b)
+       |       GROUP BY f.doc_id),
+       |${arm("1", "lm", "dsir", "lmsc", "dsirsc")},
+       |${arm("2", "lm", "clf", "lmsc", "clfsc")},
+       |${arm("3", "dsir", "clf", "dsirsc", "clfsc")}
+       |SELECT * FROM arm1 UNION ALL SELECT * FROM arm2
+       |UNION ALL SELECT * FROM arm3 ORDER BY method_a, method_b""".stripMargin
   }
 
   // Distinct hashed 3-gram shingles per document (mirrors
@@ -1619,6 +1708,7 @@ object SparkEntry {
     "q95_quality_clf" -> qualityClfOracleSql,
     "q96_band_curve" -> bandCurveOracleSql,
     "q97_decon_curve" -> deconCurveOracleSql,
+    "q98_quality_agreement" -> qualityAgreementOracleSql,
 
     "q92_pca_top" ->
       graft.operators.PcaComponents.values.zipWithIndex.map { case (x, i) =>

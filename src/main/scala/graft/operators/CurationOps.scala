@@ -125,6 +125,79 @@ object CurationOps {
             .otherwise(lit(0.0)).as("flag_rate"))
     }.reduce(_ unionByName _).orderBy("k")
 
+  /** q98 — quality-filter AGREEMENT matrix: pairwise Spearman rank
+    * correlation between the three quality scores the library ships —
+    * q90's LM perplexity (negated: higher = better everywhere), q91's
+    * DSIR importance weight, q95's classifier logit — the forensics a
+    * pipeline owner reads before stacking filters (two filters that
+    * agree at ρ≈1 are redundant; a pair near 0 prunes DIFFERENT junk
+    * and earns its cost; strongly negative means one of them is
+    * mis-calibrated). Each pair correlates over the docs BOTH scorers
+    * see (DSIR scores only the non-reference split by construction —
+    * n_docs records each arm's overlap).
+    *
+    * Scale shape: global ranks come from a distributed sort +
+    * zipWithIndex (the Terasort shape: range-partitioned sort, one
+    * extra pass for partition offsets) — NEVER a partition-less Window,
+    * which would collapse the corpus onto one task. Ties break by
+    * doc_id, so ranks are total and deterministic (the pinned variant
+    * of Spearman — both engines compute identical ranks). The ρ
+    * arithmetic is exact integers end to end (Σd² as DECIMAL(38,0) —
+    * longs overflow at ~2B docs since Σd² ~ n³) with ONE final IEEE
+    * division, so the matrix is bit-stable under any partitioning.
+    */
+  def qualityAgreement(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val lm = lmPerplexity(s, d)
+      .select(col("doc_id"), (-col("avg_nll")).as("score"))
+    val dsir = dsirWeights(s, d)
+      .select(col("doc_id"), col("logweight").as("score"))
+    val clf = Clf.scoreTable(s, d)
+      .select(col("doc_id"), col("logit").as("score"))
+
+    def ranks(j: DataFrame, c: String): DataFrame = {
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType, nullable = false),
+        StructField(s"r_$c", LongType, nullable = false)))
+      val rdd = j.select(col("doc_id"), col(c))
+        .orderBy(col(c), col("doc_id"))
+        .rdd.zipWithIndex()
+        .map { case (r, i) => Row(r.getLong(0), i + 1L) }
+      s.createDataFrame(rdd, schema)
+    }
+
+    val arms = Seq(("lm", lm, "dsir", dsir), ("lm", lm, "clf", clf),
+      ("dsir", dsir, "clf", clf)).map { case (na, a, nb, b) =>
+      // persisted: the joined pair feeds BOTH rank sorts (aliased
+      // subtrees never unify), and each rank sort feeds the final join
+      val j = a.select(col("doc_id"), col("score").as("sa"))
+        .join(b.select(col("doc_id"), col("score").as("sb")), "doc_id")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val joined = ranks(j, "sa").join(ranks(j, "sb"), "doc_id")
+        .select((col("r_sa") - col("r_sb")).as("dd"))
+      // cast BEFORE multiplying: dd² as long×long overflows at ~3e9
+      // docs; DECIMAL(19,0)×DECIMAL(19,0) → DECIMAL(38,0) is exact
+      val out = joined.agg(count(lit(1)).as("n_docs"),
+          sum(col("dd").cast("decimal(19,0)") *
+            col("dd").cast("decimal(19,0)")).as("sd2"))
+        .select(lit(na).as("method_a"), lit(nb).as("method_b"),
+          col("n_docs"),
+          when(col("n_docs") > 1,
+            lit(1.0) - lit(6.0) * col("sd2").cast("double") /
+              (col("n_docs").cast("double") * (col("n_docs").cast("double") *
+                col("n_docs").cast("double") - lit(1.0))))
+            .otherwise(lit(0.0)).as("spearman"))
+        .collect() // 1 row per arm; unpersisting j before the union
+      j.unpersist(blocking = false)
+      out(0)
+    }
+    import s.implicits._
+    arms.map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toDF("method_a", "method_b", "n_docs", "spearman")
+      .orderBy("method_a", "method_b")
+  }
+
   /** THE k-token window-hash kernel q65 and q82 share: hash every window
     * BEFORE exploding (exploding positions and slicing afterwards would
     * carry the whole token array into each of ~n output rows — an

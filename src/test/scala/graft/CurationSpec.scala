@@ -52,6 +52,27 @@ class CurationSpec extends SparkSpec {
     assert(rows(13L)._3 === q82flags)
   }
 
+  test("q98 quality agreement: three arms, bounds, overlap counts, deterministic") {
+    val rows = CurationOps.qualityAgreement(spark, sf).collect()
+    assert(rows.length === 3)
+    val byPair = rows.map(r =>
+      (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(byPair.keySet === Set(("lm", "dsir"), ("lm", "clf"), ("dsir", "clf")))
+    byPair.values.foreach { case (n, rho) =>
+      assert(n > 1, "degenerate overlap")
+      assert(rho >= -1.0 && rho <= 1.0, s"spearman out of range: $rho")
+    }
+    // arms with DSIR cover only the non-reference split; lm-clf covers it
+    // all (lm needs >= 2 tokens, so lm-dsir can be a strict subset of
+    // dsir-clf on a corpus with 1-token docs)
+    assert(byPair(("lm", "dsir"))._1 < byPair(("lm", "clf"))._1)
+    assert(byPair(("lm", "dsir"))._1 <= byPair(("dsir", "clf"))._1)
+    // bit-stable: a second run reproduces the matrix exactly
+    val again = CurationOps.qualityAgreement(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(again === byPair)
+  }
+
   test("q56 contamination: test docs only, rates in [0,1], planted dups fully contaminated") {
     val rows = CurationOps.contamination(spark, sf).collect()
     assert(rows.nonEmpty)
