@@ -123,6 +123,7 @@ object SparkEntry {
     "q96_band_curve"      -> (DedupOps.bandCurve _),
     "q97_decon_curve"     -> ((s: SparkSession, d: String) => CurationOps.deconCurve(s, d)),
     "q98_quality_agreement" -> ((s: SparkSession, d: String) => CurationOps.qualityAgreement(s, d)),
+    "q99_repetition_profile" -> ((s: SparkSession, d: String) => CurationOps.repetitionProfile(s, d)),
     "q75_scd2"            -> (TemporalOps.scd2 _),
     "q76_rolling_features" -> (TemporalOps.rollingFeatures _),
     "q77_cohort_retention" -> (TemporalOps.cohortRetention _),
@@ -355,6 +356,51 @@ object SparkEntry {
        |${arm("3", "dsir", "clf", "dsirsc", "clfsc")}
        |SELECT * FROM arm1 UNION ALL SELECT * FROM arm2
        |UNION ALL SELECT * FROM arm3 ORDER BY method_a, method_b""".stripMargin
+  }
+
+  // The q99 oracle: per window size k the q65/q83 60-bit window-hash
+  // construction verbatim, per-(doc, gram) counts + sorted position
+  // lists, the deterministic argmax gram (cnt DESC, rh ASC — mirrors
+  // Spark's max_by(ps, struct(cnt, -rh))), and merged-interval coverage
+  // as list arithmetic (mirrors CurationOps.coveredTokens exactly:
+  // Σ min(k, nextStart − start), last window contributes k).
+  private def repetitionProfileOracleSql(ns: Seq[Int]): String = {
+    def cov(l: String, k: Int) =
+      s"""CASE WHEN len($l) = 0 THEN 0 ELSE CAST(list_sum(
+         |  list_transform(range(1, len($l) + 1), i ->
+         |    CASE WHEN i < len($l) THEN least($k, $l[i + 1] - $l[i]) ELSE $k END))
+         | AS BIGINT) END""".stripMargin
+    val blocks = ns.map { k =>
+      s"""r$k AS (SELECT doc_id, CAST(unnest(generate_series(1, n - ${k - 1})) AS BIGINT) AS pos, ts
+         |       FROM t WHERE n >= $k),
+         |h$k AS (SELECT doc_id, pos,
+         |         ('0x' || substr(md5(array_to_string(ts[pos:pos+${k - 1}], ' ')), 1, 15))::BIGINT AS rh
+         |       FROM r$k),
+         |g$k AS (SELECT doc_id, rh, CAST(COUNT(*) AS BIGINT) AS cnt,
+         |         list_sort(list(pos)) AS ps
+         |       FROM h$k GROUP BY doc_id, rh),
+         |a$k AS (SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_windows,
+         |         CAST(MAX(cnt) AS BIGINT) AS top_count,
+         |         list_sort(COALESCE(flatten(list(ps) FILTER (WHERE cnt >= 2)),
+         |                            CAST([] AS BIGINT[]))) AS dup_ps
+         |       FROM g$k GROUP BY doc_id),
+         |tp$k AS (SELECT doc_id, ps AS top_ps FROM
+         |         (SELECT doc_id, ps, ROW_NUMBER() OVER
+         |            (PARTITION BY doc_id ORDER BY cnt DESC, rh) AS rn FROM g$k) s
+         |        WHERE rn = 1),
+         |arm$k AS (SELECT a.doc_id, CAST($k AS BIGINT) AS n,
+         |         a.n_windows + ${k - 1} AS n_tokens, a.n_windows, a.top_count,
+         |         CAST(${cov("tp.top_ps", k)} AS DOUBLE) /
+         |           CAST(a.n_windows + ${k - 1} AS DOUBLE) AS top_cover_frac,
+         |         CAST(${cov("a.dup_ps", k)} AS DOUBLE) /
+         |           CAST(a.n_windows + ${k - 1} AS DOUBLE) AS dup_cover_frac
+         |       FROM a$k a JOIN tp$k tp USING (doc_id))""".stripMargin
+    }.mkString(",\n")
+    val union = ns.map(k => s"SELECT * FROM arm$k").mkString(" UNION ALL ")
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts,
+       |            len(string_split(text, ' ')) AS n FROM documents),
+       |$blocks
+       |$union ORDER BY doc_id, n""".stripMargin
   }
 
   // Distinct hashed 3-gram shingles per document (mirrors
@@ -1709,6 +1755,7 @@ object SparkEntry {
     "q96_band_curve" -> bandCurveOracleSql,
     "q97_decon_curve" -> deconCurveOracleSql,
     "q98_quality_agreement" -> qualityAgreementOracleSql,
+    "q99_repetition_profile" -> repetitionProfileOracleSql(Seq(2, 3, 4, 5, 10)),
 
     "q92_pca_top" ->
       graft.operators.PcaComponents.values.zipWithIndex.map { case (x, i) =>

@@ -149,12 +149,18 @@ object CurationOps {
   def qualityAgreement(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    // each scorer feeds TWO arms — persist the (doc_id, score) outputs
+    // (16 bytes/doc, the cheap side of every downstream join) so the
+    // corpus-scan scoring pipelines run ONCE, not once per arm
     val lm = lmPerplexity(s, d)
       .select(col("doc_id"), (-col("avg_nll")).as("score"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dsir = dsirWeights(s, d)
       .select(col("doc_id"), col("logweight").as("score"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val clf = Clf.scoreTable(s, d)
       .select(col("doc_id"), col("logit").as("score"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     def ranks(j: DataFrame, c: String): DataFrame = {
       val schema = StructType(Seq(
@@ -192,6 +198,7 @@ object CurationOps {
       j.unpersist(blocking = false)
       out(0)
     }
+    Seq(lm, dsir, clf).foreach(_.unpersist(blocking = false))
     import s.implicits._
     arms.map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
       .toDF("method_a", "method_b", "n_docs", "spearman")
@@ -628,6 +635,69 @@ object CurationOps {
       .select(col("doc_id"), col("n_runs"), col("n_shared"),
         (col("n_shared").cast("double") / col("n_runs").cast("double")).as("shared_frac"))
       .orderBy("doc_id")
+  }
+
+  /** Merged-interval coverage of token windows: given `src` (a SORTED
+    * array of distinct 1-based window start positions, each covering
+    * `n` tokens), the number of DISTINCT token positions covered —
+    * Σ min(n, nextStart − start) with the last window contributing n.
+    * Pure per-row array arithmetic; `src` is bounded by the doc's own
+    * window count. sequence(1, 0) DESCENDS in Spark — the empty case
+    * is guarded explicitly. */
+  private def coveredTokens(src: String, n: Int): org.apache.spark.sql.Column =
+    expr(s"""CASE WHEN size($src) = 0 THEN CAST(0 AS BIGINT)
+      ELSE aggregate(transform(sequence(1, size($src)), i ->
+        IF(i < size($src),
+           least(CAST($n AS BIGINT), element_at($src, i + 1) - element_at($src, i)),
+           CAST($n AS BIGINT))),
+        CAST(0 AS BIGINT), (acc, x) -> acc + x) END""")
+
+  /** q99 — the Gopher repetition profile (Rae et al. 2021 arXiv:2112.11446
+    * §A1.1): per (doc, n) the POSITIONAL repetition metrics the Gopher/
+    * MassiveText quality gate thresholds — `top_cover_frac` (fraction of
+    * token positions covered by occurrences of the single most frequent
+    * n-gram; Gopher gates n = 2,3,4 — catches "subscribe subscribe
+    * subscribe…" loops) and `dup_cover_frac` (fraction of token positions
+    * covered by ANY n-gram that occurs more than once in the doc; Gopher
+    * gates n = 5..10 — catches template/boilerplate interleave). Both are
+    * COVERAGE fractions (merged intervals, always in [0,1]) rather than
+    * Gopher's occurrence-count×length ratio, which exceeds 1 on
+    * overlapping repeats; q57 already ships the occurrence-ratio variant
+    * for n=3. Token positions stand in for Gopher's characters — the
+    * corpus is a uniform word stream, and the signal (how much of the doc
+    * is repeated material) is the same dial.
+    *
+    * Scale shape: per n, windows hash BEFORE exploding through THE shared
+    * 60-bit window-hash kernel (q65/q82/q83's — byte-identical keys), and
+    * BOTH aggregations key on doc_id (+rh): no corpus-wide hot key is
+    * possible, partial aggregation combines map-side, and the collected
+    * position lists are bounded by a doc's own window count (the q83b
+    * state-bound argument). The most-frequent gram ties break by smallest
+    * rh — deterministic argmax, so both engines pick the same gram. One
+    * corpus scan per n (|ns| bounded passes, embarrassingly parallel);
+    * integer sums end-to-end with ONE final IEEE division per metric.
+    */
+  def repetitionProfile(s: SparkSession, d: String,
+      ns: Seq[Int] = Seq(2, 3, 4, 5, 10)): DataFrame = {
+    require(ns.nonEmpty && ns == ns.sorted.distinct && ns.forall(_ >= 2),
+      s"ns must be sorted distinct >= 2: $ns")
+    ns.map { n =>
+      val perGram = windowHashesPos(Tables.documentsScaled(s, d), n)
+        .groupBy("doc_id", "rh")
+        .agg(count(lit(1)).as("cnt"), sort_array(collect_list(col("pos"))).as("ps"))
+      perGram.groupBy("doc_id")
+        .agg(sum("cnt").as("n_windows"),
+          max("cnt").as("top_count"),
+          max_by(col("ps"), struct(col("cnt"), -col("rh"))).as("top_ps"),
+          sort_array(flatten(collect_list(when(col("cnt") >= 2, col("ps"))))).as("dup_ps"))
+        .select(col("doc_id"), lit(n.toLong).as("n"),
+          (col("n_windows") + lit((n - 1).toLong)).as("n_tokens"),
+          col("n_windows"), col("top_count"),
+          (coveredTokens("top_ps", n).cast("double") /
+            (col("n_windows") + lit((n - 1).toLong)).cast("double")).as("top_cover_frac"),
+          (coveredTokens("dup_ps", n).cast("double") /
+            (col("n_windows") + lit((n - 1).toLong)).cast("double")).as("dup_cover_frac"))
+    }.reduce(_ unionByName _).orderBy("doc_id", "n")
   }
 
   /** q59 — int8 embedding-quantization QA: per-label reconstruction error of

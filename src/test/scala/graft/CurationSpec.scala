@@ -73,6 +73,46 @@ class CurationSpec extends SparkSpec {
     assert(again === byPair)
   }
 
+  test("q99 repetition profile: exact recompute, bounds, coverage semantics") {
+    val ns = Seq(2, 3, 5)
+    val got = CurationOps.repetitionProfile(spark, sf, ns).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r).toMap
+    val texts = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(t => t.getLong(0) -> t.getString(1).split(" ", -1))
+    ns.foreach { n =>
+      texts.foreach { case (id, ws) =>
+        if (ws.length < n) assert(!got.contains((id, n.toLong)))
+        else {
+          val row = got((id, n.toLong))
+          val grams = (0 to ws.length - n).map(i => ws.slice(i, i + n).mkString(" "))
+          val counts = grams.groupBy(identity).view.mapValues(_.size).toMap
+          assert(row.getAs[Long]("n_tokens") === ws.length.toLong, s"doc $id n=$n")
+          assert(row.getAs[Long]("n_windows") === grams.length.toLong)
+          assert(row.getAs[Long]("top_count") === counts.values.max.toLong)
+          def cover(starts: Seq[Int]): Long =
+            starts.flatMap(i => i until i + n).distinct.size.toLong
+          // top gram: max count, tie by the engine's rh order — token
+          // coverage is tie-independent only when counts are unique, so
+          // recompute from ALL argmax grams and accept any of them
+          val maxC = counts.values.max
+          val topCovers = counts.collect { case (g, c) if c == maxC =>
+            cover(grams.zipWithIndex.collect { case (gg, i) if gg == g => i })
+          }.toSet
+          val gotTop = math.round(row.getAs[Double]("top_cover_frac") * ws.length)
+          assert(topCovers.contains(gotTop), s"doc $id n=$n: $gotTop not in $topCovers")
+          val dupStarts = grams.zipWithIndex.collect {
+            case (g, i) if counts(g) >= 2 => i }
+          val gotDup = math.round(row.getAs[Double]("dup_cover_frac") * ws.length)
+          assert(gotDup === cover(dupStarts), s"doc $id n=$n")
+          assert(row.getAs[Double]("top_cover_frac") >= 0.0 &&
+            row.getAs[Double]("top_cover_frac") <= 1.0)
+          assert(row.getAs[Double]("dup_cover_frac") >= 0.0 &&
+            row.getAs[Double]("dup_cover_frac") <= 1.0)
+        }
+      }
+    }
+  }
+
   test("q56 contamination: test docs only, rates in [0,1], planted dups fully contaminated") {
     val rows = CurationOps.contamination(spark, sf).collect()
     assert(rows.nonEmpty)
