@@ -210,12 +210,20 @@ object TextAnalysisOps {
   def bm25(s: SparkSession, d: String,
            terms: Seq[String] = Seq("spark", "window", "merge"),
            k1: Double = 1.2, b: Double = 0.75, topK: Int = 20): DataFrame = {
-    val docs = Tables.documents(s, d)
+    // documentsScaled: the per-doc tf kernel runs on the scan's splits —
+    // a single-row-group lake file would run the whole corpus single-task
+    // (measured CPU/wall 1.2 on 32 cores at sf10 before this)
+    val docs = Tables.documentsScaled(s, d)
     def tf(t: String): Column = size(filter(tokens(col("text")), x => x === t)).cast("long")
 
+    // persisted: stats AND scoring consume perDoc, and column pruning
+    // rewrites the stats side's scan to text-only — without the persist
+    // the corpus (and the 10-way tf kernel) is scanned twice, serially
+    // on a single-row-group lake file
     val perDoc = docs.select(
       col("doc_id") +: size(tokens(col("text"))).cast("long").as("dl") +:
         terms.map(t => tf(t).as(s"tf_$t")): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val aggs = count(lit(1)).as("n_docs") +: sum(acc(col("dl"))).cast("double").as("dl_sum") +:
       terms.map(t => sum(when(col(s"tf_$t") > 0, 1L).otherwise(0L)).as(s"df_$t"))
@@ -279,12 +287,15 @@ object TextAnalysisOps {
     require(queries.nonEmpty && queries.map(_._1).distinct.size == queries.size,
       "queries must be non-empty with distinct query ids")
     val allTerms = queries.flatMap(_._2).distinct
-    val docs = Tables.documents(s, d)
+    val docs = Tables.documentsScaled(s, d) // the q73 few-split guard
     def tf(t: String): Column = size(filter(tokens(col("text")), x => x === t)).cast("long")
 
+    // persisted for the same two-consumer reason as q73's perDoc: the
+    // frame is all-long (no text), so the cache is ~100 bytes/doc
     val perDoc = docs.select(
       col("doc_id") +: size(tokens(col("text"))).cast("long").as("dl") +:
         allTerms.map(t => tf(t).as(s"tf_$t")): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val aggs = count(lit(1)).as("n_docs") +: sum(acc(col("dl"))).cast("double").as("dl_sum") +:
       allTerms.map(t => sum(when(col(s"tf_$t") > 0, 1L).otherwise(0L)).as(s"df_$t"))
