@@ -120,6 +120,8 @@ object SparkEntry {
     "q93_fertility"       -> ((s: SparkSession, d: String) => operators.Bpe.fertilityByLang(s, d)),
     "q94_clf_train"       -> ((s: SparkSession, d: String) => operators.Clf.trainTable(s, d)),
     "q95_quality_clf"     -> ((s: SparkSession, d: String) => operators.Clf.scoreTable(s, d)),
+    "q95b_clf_curve"      -> ((s: SparkSession, d: String) => operators.Clf.thresholdCurve(s, d)),
+    "q64b_epoch_mix"      -> ((s: SparkSession, d: String) => CurationOps.epochMix(s, d)),
     "q96_band_curve"      -> (DedupOps.bandCurve _),
     "q97_decon_curve"     -> ((s: SparkSession, d: String) => CurationOps.deconCurve(s, d)),
     "q98_quality_agreement" -> ((s: SparkSession, d: String) => CurationOps.qualityAgreement(s, d)),
@@ -165,10 +167,11 @@ object SparkEntry {
     s"SELECT * FROM (VALUES $rows) t(feature, weight) ORDER BY feature"
   }
 
-  // The q95 oracle: q91's hashed-feature CTE at the classifier's bucket
-  // width + the frozen weights as a VALUES table + the exact-decimal
-  // per-doc reduce — mirrors Clf.scoreOf term for term.
-  private def qualityClfOracleSql: String = {
+  // The shared q95/q95b scoring CTE chain (ends at `sc`): q91's
+  // hashed-feature CTE at the classifier's bucket width + the frozen
+  // weights as a VALUES table + the exact-decimal per-doc reduce —
+  // mirrors Clf.scoreOf term for term.
+  private def clfScoreCtes: String = {
     val B = graft.operators.ClfWeights.Buckets
     val vs = graft.operators.ClfWeights.values
     // a placeholder row outside [0,B) keeps the SQL valid pre-freeze
@@ -176,7 +179,7 @@ object SparkEntry {
       .map { case (b, w) => s"(CAST($b AS BIGINT), CAST('$w' AS DOUBLE))" }
       .mkString(", ")
     val bias = graft.operators.ClfWeights.Bias
-    s"""WITH d AS (SELECT doc_id, source,
+    s"""d AS (SELECT doc_id, source,
        |            list_filter(string_split(text, ' '), x -> x <> '') AS t
        |          FROM documents),
        |unig AS (SELECT doc_id, source, unnest(t) AS g FROM d),
@@ -192,10 +195,37 @@ object SparkEntry {
        |         CAST('$bias' AS DOUBLE) + ${S("CAST(f.k AS DOUBLE) * COALESCE(wt.w, 0.0)")} /
        |           CAST(SUM(f.k) AS DOUBLE) AS logit
        |       FROM feats f LEFT JOIN wt USING (b)
-       |       GROUP BY f.doc_id, f.source)
+       |       GROUP BY f.doc_id, f.source)""".stripMargin
+  }
+
+  // The q95 oracle: the shared scoring chain + the calibrated logit-0
+  // verdict.
+  private def qualityClfOracleSql: String =
+    s"""WITH $clfScoreCtes
        |SELECT doc_id, source, n_feats, logit,
        |  CAST(logit > 0 AS INT) AS keep
        |FROM sc ORDER BY doc_id""".stripMargin
+
+  // The q95b oracle: the shared scoring chain swept over the frozen
+  // threshold list — mirrors Clf.thresholdCurve (counts are integers,
+  // each rate one final IEEE division, null on an empty denominator).
+  private def clfCurveOracleSql: String = {
+    val ref = graft.operators.ClfWeights.RefSource
+    val thrRows = graft.operators.Clf.CurveThresholds
+      .map(t => s"(CAST('$t' AS DOUBLE))").mkString(", ")
+    s"""WITH $clfScoreCtes,
+       |thr AS (SELECT * FROM (VALUES $thrRows) t(threshold)),
+       |agg AS (SELECT thr.threshold,
+       |          CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |          CAST(SUM(CASE WHEN sc.logit > thr.threshold THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+       |          CAST(SUM(CASE WHEN sc.source = '$ref' THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+       |          CAST(SUM(CASE WHEN sc.logit > thr.threshold AND sc.source = '$ref' THEN 1 ELSE 0 END) AS BIGINT) AS n_ref_keep
+       |        FROM sc, thr GROUP BY thr.threshold)
+       |SELECT threshold, n_docs, n_keep,
+       |  CASE WHEN n_docs > 0 THEN CAST(n_keep AS DOUBLE) / CAST(n_docs AS DOUBLE) END AS keep_rate,
+       |  CASE WHEN n_ref > 0 THEN CAST(n_ref_keep AS DOUBLE) / CAST(n_ref AS DOUBLE) END AS ref_recall,
+       |  CASE WHEN n_docs - n_ref > 0 THEN CAST(n_keep - n_ref_keep AS DOUBLE) / CAST(n_docs - n_ref AS DOUBLE) END AS bg_keep_rate
+       |FROM agg ORDER BY threshold""".stripMargin
   }
 
   // The q96 oracle: q86's ground-truth construction + one banded-pairs
@@ -1632,6 +1662,30 @@ object SparkEntry {
         |SELECT source, CAST(n_docs AS BIGINT) AS n_docs, n_tokens, sw / total_sw AS weight
         |FROM s, tot ORDER BY source""".stripMargin,
 
+    // the mix applied as an epoch repetition plan: q64's IEEE weight
+    // shares fix the integer quotas, everything after is integer
+    // arithmetic on the multiplicative-hash line
+    "q64b_epoch_mix" ->
+      """WITH d AS (SELECT doc_id, source,
+        |             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |             (doc_id * 2654435761) % 1000000007 AS h
+        |           FROM documents),
+        |t AS (SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS src_tokens FROM d GROUP BY source),
+        |sq AS (SELECT source, src_tokens, sqrt(CAST(src_tokens AS DOUBLE)) AS sw FROM t),
+        |tot AS (SELECT CAST(SUM(CAST(sw AS DECIMAL(27,6))) AS DOUBLE) AS total_sw,
+        |               CAST(SUM(src_tokens) AS BIGINT) AS corpus_tokens FROM sq),
+        |q AS (SELECT source, src_tokens,
+        |        CAST(FLOOR(CAST(corpus_tokens AS DOUBLE) * (sw / total_sw)) AS BIGINT) AS quota
+        |      FROM sq, tot),
+        |c AS (SELECT doc_id, source, n_tokens,
+        |        COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+        |      FROM d)
+        |SELECT c.doc_id, c.source, c.n_tokens,
+        |  CAST(q.quota // q.src_tokens
+        |    + CASE WHEN c.cum_before < q.quota % q.src_tokens THEN 1 ELSE 0 END AS BIGINT) AS repeats
+        |FROM c JOIN q USING (source) ORDER BY doc_id""".stripMargin,
+
     // signature-agreement Jaccard estimate over the q42 candidate pairs
     "q42b_minhash_est" ->
       s"""WITH $SHINGLES,
@@ -1752,6 +1806,7 @@ object SparkEntry {
     // scoring stage); q96: the LSH banding operating curve vs q41 truth
     "q94_clf_train" -> clfTrainOracleSql,
     "q95_quality_clf" -> qualityClfOracleSql,
+    "q95b_clf_curve" -> clfCurveOracleSql,
     "q96_band_curve" -> bandCurveOracleSql,
     "q97_decon_curve" -> deconCurveOracleSql,
     "q98_quality_agreement" -> qualityAgreementOracleSql,

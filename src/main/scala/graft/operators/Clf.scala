@@ -211,4 +211,50 @@ object Clf {
     * broadcast; the per-doc reduce rides the exact-decimal carrier. */
   def scoreTable(s: SparkSession, d: String): DataFrame =
     scoreOf(Tables.documentsScaled(s, d), frozen, ClfWeights.Buckets)
+
+  /** The q95b threshold sweep, frozen with the model: logit cut points
+    * spanning the trained score range (the calibrated natural threshold 0
+    * is one of them, so the curve pins q95's keep count as its middle
+    * row). */
+  val CurveThresholds: Seq[Double] =
+    Seq(-0.5, -0.2, -0.1, -0.05, 0.0, 0.05, 0.1, 0.2, 0.5)
+
+  /** q95b — the classifier's THRESHOLD operating curve: keep volume,
+    * reference recall (fraction of the clean reference source kept — the
+    * quantity the filter exists to preserve), and background keep rate
+    * (the crawl share surviving — what it exists to cut) at each logit
+    * cut point in [[CurveThresholds]]. The fourth operating curve next to
+    * q68c (ANN nprobe), q96 (LSH bands) and q97 (decontamination window):
+    * a production run picks its quality/volume trade-off off this table,
+    * not off the single calibrated point q95 ships.
+    *
+    * Scale shape: ONE scoring pass (q95's scan + broadcast-model join),
+    * then a map-side explode over the bounded threshold list feeding a
+    * partial aggregation — the shuffle carries |thresholds| rows per task
+    * and the result is |thresholds| rows at any corpus size. Counts are
+    * integers; each rate is one final IEEE division (null when its
+    * denominator is empty, mirrored in the oracle).
+    */
+  def thresholdCurve(s: SparkSession, d: String): DataFrame = {
+    val scored = scoreOf(Tables.documentsScaled(s, d), frozen, ClfWeights.Buckets)
+    val kept = (col("logit") > col("threshold")).cast("long")
+    def rate(num: org.apache.spark.sql.Column, den: org.apache.spark.sql.Column) =
+      when(den > 0L, num.cast("double") / den.cast("double"))
+    scored
+      .select(col("logit"),
+        (col("source") === lit(ClfWeights.RefSource)).cast("long").as("is_ref"),
+        explode(array(CurveThresholds.map(lit(_)): _*)).as("threshold"))
+      .groupBy("threshold")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(kept).as("n_keep"),
+        sum(col("is_ref")).as("n_ref"),
+        sum(kept * col("is_ref")).as("n_ref_keep"))
+      .select(col("threshold"), col("n_docs"), col("n_keep"),
+        rate(col("n_keep"), col("n_docs")).as("keep_rate"),
+        rate(col("n_ref_keep"), col("n_ref")).as("ref_recall"),
+        rate(col("n_keep") - col("n_ref_keep"), col("n_docs") - col("n_ref"))
+          .as("bg_keep_rate"))
+      .orderBy("threshold")
+  }
 }

@@ -602,6 +602,56 @@ object CurationOps {
       .orderBy("source")
   }
 
+  /** q64b — the √-temperature mix APPLIED as an epoch repetition plan:
+    * per document, how many times it ships in one training epoch whose
+    * token budget equals the corpus total but whose per-source shares are
+    * q64's weights — small sources upsample (every doc at least
+    * quota div T_s ≥ 1 times, a hash-prefix one extra), large sources
+    * downsample (repeats ∈ {0,1}). This is the materialization step
+    * between q64's weight vector and a training run — the "epochs per
+    * source" table the LLaMA/DoReMi-style mixing recipes publish.
+    *
+    * Semantics (all integer once the quota is fixed): quota_s =
+    * floor(corpus_tokens · w_s) with w_s = q64's IEEE share; each
+    * source's docs line up on the multiplicative-hash line (q36/q58's
+    * deterministic order, doc_id tiebreak); repeats = quota_s div T_s
+    * + 1 for the prefix of docs whose cumulative token start sits below
+    * quota_s mod T_s. So Σ repeats·n_tokens per source lands in
+    * [quota_s, quota_s + max_doc_tokens) — spec-pinned — and the whole
+    * plan is bit-stable under any partitioning.
+    *
+    * Scale shape: per-source stats are tens of rows (broadcast both
+    * ways); the corpus takes ONE shuffle — the per-source window
+    * carrying the prefix sum, the same per-stratum window q58 rides.
+    * Range-partitioning the hash line inside a source is the 100 TB
+    * refinement if one source dominates the corpus.
+    */
+  def epochMix(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        ((col("doc_id") * lit(2654435761L)) % lit(1000000007L)).as("h"))
+    val bySource = docs.groupBy("source")
+      .agg(sum(col("n_tokens")).as("src_tokens"))
+      .withColumn("sw", sqrt(col("src_tokens").cast("double")))
+    val tot = bySource.agg(
+      Exact.dsum(col("sw")).as("total_sw"),
+      sum(col("src_tokens")).as("corpus_tokens"))
+    val quotas = bySource.crossJoin(broadcast(tot))
+      .select(col("source"), col("src_tokens"),
+        floor(col("corpus_tokens").cast("double") * (col("sw") / col("total_sw")))
+          .as("quota"))
+    val w = Window.partitionBy("source").orderBy("h", "doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .withColumn("cum_before", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .join(broadcast(quotas), "source")
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        expr("quota div src_tokens" +
+          " + IF(cum_before < quota % src_tokens, 1L, 0L)").as("repeats"))
+      .orderBy("doc_id")
+  }
+
   /** q65 — duplicated-run coverage (the exact-substring dedup signal of
     * Lee et al., "Deduplicating Training Data Makes Language Models
     * Better"): for every doc, the fraction of its k-token runs (k=8,

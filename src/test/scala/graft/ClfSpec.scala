@@ -58,4 +58,28 @@ class ClfSpec extends SparkSpec {
     })
     assert(!ClfWeights.Bias.isNaN && !ClfWeights.Bias.isInfinite)
   }
+
+  test("q95b threshold curve: monotone keep counts, rates in [0,1], " +
+    "threshold-0 row equals q95's calibrated verdict") {
+    val curve = Clf.thresholdCurve(spark, sf).collect()
+    assert(curve.length === Clf.CurveThresholds.length)
+    // the threshold column comes back sorted; keep volume can only fall
+    // as the cut rises, and every row sees the same corpus
+    val thresholds = curve.map(_.getDouble(0)).toSeq
+    assert(thresholds === Clf.CurveThresholds.sorted)
+    val nDocs = curve.map(_.getLong(1)).distinct
+    assert(nDocs.length === 1)
+    val keeps = curve.map(_.getLong(2)).toSeq
+    assert(keeps === keeps.sorted.reverse, s"n_keep not non-increasing: $keeps")
+    curve.foreach { r =>
+      Seq(3, 4, 5).foreach { i =>
+        if (!r.isNullAt(i)) assert(r.getDouble(i) >= 0.0 && r.getDouble(i) <= 1.0)
+      }
+    }
+    // the middle row IS q95: same corpus, same model, cut at logit 0
+    val q95Keep = Clf.scoreTable(spark, sf)
+      .agg(sum(col("keep"))).collect()(0).getLong(0)
+    val zeroRow = curve.find(_.getDouble(0) == 0.0).get
+    assert(zeroRow.getLong(2) === q95Keep)
+  }
 }

@@ -594,4 +594,30 @@ class CurationSpec extends SparkSpec {
     assert(got(10L)._2 > got(12L)._2 && got(12L)._2 > got(11L)._2,
       s"ranking broken: $got")
   }
+
+  test("q64b epoch mix: per-source token output hits the sqrt-temperature " +
+    "quota within one document, repeats within one of the floor") {
+    import org.apache.spark.sql.functions._
+    val plan = CurationOps.epochMix(spark, sf).collect()
+    assert(plan.nonEmpty)
+    // recompute the quotas exactly as the operator defines them
+    val bySrc = plan.groupBy(_.getString(1))
+    val srcTokens = bySrc.view.mapValues(_.map(_.getLong(2)).sum).toMap
+    val totalSw = srcTokens.values.toSeq.sorted // carrier is order-insensitive
+      .map(t => BigDecimal(math.sqrt(t.toDouble)).setScale(6, BigDecimal.RoundingMode.HALF_UP))
+      .sum.toDouble
+    val corpus = srcTokens.values.sum
+    bySrc.foreach { case (src, rows) =>
+      val ts = srcTokens(src)
+      val quota = math.floor(corpus.toDouble *
+        (math.sqrt(ts.toDouble) / totalSw)).toLong
+      val shipped = rows.map(r => r.getLong(3) * r.getLong(2)).sum
+      val maxTok = rows.map(_.getLong(2)).max
+      assert(shipped >= quota && shipped < quota + maxTok,
+        s"$src: shipped $shipped outside [$quota, ${quota + maxTok})")
+      // every doc repeats either floor(quota/T) or one more
+      val full = quota / ts
+      assert(rows.forall(r => r.getLong(3) == full || r.getLong(3) == full + 1))
+    }
+  }
 }
