@@ -46,6 +46,7 @@ object SparkEntry {
     "q27_monitor_status"  -> (RosbagDomainOps.monitorStatus _),
     "q28_bbox_normalize"  -> (RosbagDomainOps.bboxNormalize _),
     "q29_bbox_iou"        -> (RosbagDomainOps.bboxIou _),
+    "q29b_det_eval"       -> ((s: SparkSession, d: String) => RosbagDomainOps.detEval(s, d)),
     "q30_train_val_split" -> (RosbagDomainOps.trainValSplit _),
     "q34_salted_join"     -> ((s: SparkSession, d: String) => SkewOps.saltedJoin(s, d)),
     "q37_mp4_manifest"    -> (RosbagDomainOps.mp4ManifestIndex _),
@@ -1096,6 +1097,42 @@ object SparkEntry {
          |    * GREATEST(0, LEAST(a.y + a.h, b.y + b.h) - GREATEST(a.y, b.y)) AS uni) t
          |WHERE inter > 0
          |ORDER BY image_id, box_a, box_b""".stripMargin,
+
+    // detection evaluation under deterministic mutual-best matching: both
+    // engines compute the identical iou doubles from integer geometry, the
+    // >= 0.5 gate and the (iou DESC, id) argmax are total-order exact
+    "q29b_det_eval" ->
+      s"""WITH $BOXES,
+         |cb AS (SELECT *, box_id % 3 AS class_id FROM boxes),
+         |gt AS (SELECT image_id, class_id, box_id AS gt_id, x AS gx, y AS gy, w AS gw, h AS gh
+         |       FROM cb WHERE box_id % 2 = 0),
+         |pr AS (SELECT image_id, class_id, box_id AS pred_id, x AS px, y AS py, w AS pw, h AS ph
+         |       FROM cb WHERE box_id % 2 = 1),
+         |pairs AS (SELECT g.class_id, g.gt_id, p.pred_id, CAST(inter AS DOUBLE) / uni AS iou
+         |          FROM gt g JOIN pr p ON g.image_id = p.image_id AND g.class_id = p.class_id,
+         |          LATERAL (SELECT
+         |            GREATEST(0, LEAST(g.gx + g.gw, p.px + p.pw) - GREATEST(g.gx, p.px))
+         |            * GREATEST(0, LEAST(g.gy + g.gh, p.py + p.ph) - GREATEST(g.gy, p.py)) AS inter,
+         |            g.gw * g.gh + p.pw * p.ph
+         |            - GREATEST(0, LEAST(g.gx + g.gw, p.px + p.pw) - GREATEST(g.gx, p.px))
+         |              * GREATEST(0, LEAST(g.gy + g.gh, p.py + p.ph) - GREATEST(g.gy, p.py)) AS uni) t
+         |          WHERE CAST(inter AS DOUBLE) / uni >= 0.5),
+         |m AS (SELECT class_id, CAST(COUNT(*) AS BIGINT) AS n_matched FROM (
+         |        SELECT class_id,
+         |          ROW_NUMBER() OVER (PARTITION BY pred_id ORDER BY iou DESC, gt_id) AS rp,
+         |          ROW_NUMBER() OVER (PARTITION BY gt_id ORDER BY iou DESC, pred_id) AS rg
+         |        FROM pairs) WHERE rp = 1 AND rg = 1 GROUP BY class_id),
+         |ng AS (SELECT class_id, CAST(COUNT(*) AS BIGINT) AS n_gt FROM gt GROUP BY class_id),
+         |np AS (SELECT class_id, CAST(COUNT(*) AS BIGINT) AS n_pred FROM pr GROUP BY class_id)
+         |SELECT class_id,
+         |  COALESCE(n_gt, 0) AS n_gt, COALESCE(n_pred, 0) AS n_pred,
+         |  COALESCE(n_matched, 0) AS n_matched,
+         |  CASE WHEN COALESCE(n_pred, 0) > 0
+         |    THEN CAST(COALESCE(n_matched, 0) AS DOUBLE) / CAST(n_pred AS DOUBLE) END AS precision,
+         |  CASE WHEN COALESCE(n_gt, 0) > 0
+         |    THEN CAST(COALESCE(n_matched, 0) AS DOUBLE) / CAST(n_gt AS DOUBLE) END AS recall
+         |FROM ng FULL JOIN np USING (class_id) LEFT JOIN m USING (class_id)
+         |ORDER BY class_id""".stripMargin,
 
     "q30_train_val_split" ->
       """SELECT lang,

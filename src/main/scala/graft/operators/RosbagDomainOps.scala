@@ -282,6 +282,65 @@ object RosbagDomainOps {
       .orderBy("image_id", "box_a", "box_b")
   }
 
+  /** q29b — detection evaluation (the consumer of ground_truth_od.py's IoU:
+    * score a detector's boxes against the Ground-Truth manifest): per
+    * class, precision/recall/F1 at IoU ≥ 0.5 under MUTUAL-BEST matching —
+    * a prediction and a ground-truth box match iff each is the other's
+    * best-IoU candidate within (image, class), ties broken by id so the
+    * matching is total-order deterministic (no sequential greedy state,
+    * which is what makes the operator distributable AND oracle-exact).
+    * The deterministic even/odd split of the synthetic boxes stands in
+    * for the (ground truth, prediction) table pair.
+    *
+    * Scale shape: candidate pairs are keyed on (image, class) — bounded
+    * per image at any corpus size (the q29 join contract); the two
+    * best-candidate windows partition on box ids (high cardinality, no
+    * hot key); the rollup is |classes| rows. Counts are integers, each
+    * metric one IEEE division.
+    */
+  def detEval(s: SparkSession, d: String, iouMin: Double = 0.5): DataFrame = {
+    val b = boxes(s, d).withColumn("class_id", col("box_id") % 3)
+    val gt = b.filter(col("box_id") % 2 === 0).select(
+      col("image_id"), col("class_id"), col("box_id").as("gt_id"),
+      col("x").as("gx"), col("y").as("gy"), col("w").as("gw"), col("h").as("gh"))
+    val pr = b.filter(col("box_id") % 2 === 1).select(
+      col("image_id").as("p_image_id"), col("class_id").as("p_class_id"),
+      col("box_id").as("pred_id"),
+      col("x").as("px"), col("y").as("py"), col("w").as("pw"), col("h").as("ph"))
+    val iw = greatest(lit(0L), least(col("gx") + col("gw"), col("px") + col("pw")) - greatest(col("gx"), col("px")))
+    val ih = greatest(lit(0L), least(col("gy") + col("gh"), col("py") + col("ph")) - greatest(col("gy"), col("py")))
+    val pairs = gt.join(pr,
+        col("image_id") === col("p_image_id") && col("class_id") === col("p_class_id"))
+      .withColumn("inter", iw * ih)
+      .withColumn("uni", col("gw") * col("gh") + col("pw") * col("ph") - col("inter"))
+      .withColumn("iou", col("inter").cast("double") / col("uni"))
+      .filter(col("iou") >= iouMin)
+      .select(col("class_id"), col("gt_id"), col("pred_id"), col("iou"))
+    val bestForPred = Window.partitionBy("pred_id")
+      .orderBy(col("iou").desc, col("gt_id"))
+    val bestForGt = Window.partitionBy("gt_id")
+      .orderBy(col("iou").desc, col("pred_id"))
+    val matched = pairs
+      .withColumn("rp", row_number().over(bestForPred))
+      .withColumn("rg", row_number().over(bestForGt))
+      .filter(col("rp") === 1 && col("rg") === 1)
+      .groupBy("class_id").agg(count(lit(1)).as("n_matched"))
+    val nGt = gt.groupBy("class_id").agg(count(lit(1)).as("n_gt"))
+    val nPr = pr.groupBy(col("p_class_id").as("class_id"))
+      .agg(count(lit(1)).as("n_pred"))
+    nGt.join(nPr, Seq("class_id"), "full")
+      .join(matched, Seq("class_id"), "left")
+      .select(col("class_id"),
+        coalesce(col("n_gt"), lit(0L)).as("n_gt"),
+        coalesce(col("n_pred"), lit(0L)).as("n_pred"),
+        coalesce(col("n_matched"), lit(0L)).as("n_matched"))
+      .withColumn("precision",
+        when(col("n_pred") > 0, col("n_matched").cast("double") / col("n_pred").cast("double")))
+      .withColumn("recall",
+        when(col("n_gt") > 0, col("n_matched").cast("double") / col("n_gt").cast("double")))
+      .orderBy("class_id")
+  }
+
   /** q35 — sessionized conversion funnel: per user, the first 'click' and
     * whether a 'purchase' follows within 48h — the "image selected ->
     * labeled" conversion tracking of the reference's labeling flow,

@@ -64,4 +64,44 @@ class DomainOpsSpec extends SparkSpec {
     assert(spark.sql("select graft_dot(a, b) from vecs").collect()(0).getDouble(0) === 32.0)
     assert(spark.sql("select graft_charhash('abc')").collect()(0).getLong(0) === 96354L)
   }
+
+  test("q29b detection eval: mutual-best matching matches a naive recompute") {
+    import org.apache.spark.sql.functions._
+    val got = operators.RosbagDomainOps.detEval(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got.nonEmpty)
+    // naive driver-side recompute from the same synthetic box model
+    case class Box(id: Long, img: Long, cls: Long, x: Long, y: Long, w: Long, h: Long)
+    val all = Tables.part(spark, sf)
+      .select(col("p_partkey"), col("p_size")).collect().map { r =>
+        val k = r.getLong(0)
+        val sz = r.get(1) match { case i: Int => i.toLong; case l: Long => l }
+        Box(k, k / 40, k % 3, (k * 37) % 700, (k * 53) % 500,
+          (sz * 7) % 100 + 20, (sz * 11) % 80 + 20)
+      }
+    val (gt, pr) = all.partition(_.id % 2 == 0)
+    def iou(a: Box, b: Box): Double = {
+      val iw = math.max(0L, math.min(a.x + a.w, b.x + b.w) - math.max(a.x, b.x))
+      val ih = math.max(0L, math.min(a.y + a.h, b.y + b.h) - math.max(a.y, b.y))
+      val inter = iw * ih
+      inter.toDouble / (a.w * a.h + b.w * b.h - inter)
+    }
+    val pairs = for {
+      g <- gt; p <- pr
+      if g.img == p.img && g.cls == p.cls && iou(g, p) >= 0.5
+    } yield (g, p, iou(g, p))
+    def best[K](side: ((Box, Box, Double)) => Long, other: ((Box, Box, Double)) => Long) =
+      pairs.groupBy(side).map { case (k, ps) =>
+        k -> other(ps.minBy(t => (-t._3, other(t))))
+      }
+    val bp = best(t => t._2.id, t => t._1.id) // pred -> its best gt
+    val bg = best(t => t._1.id, t => t._2.id) // gt -> its best pred
+    val matched = bp.toSeq.filter { case (p, g) => bg.get(g).contains(p) }
+    val expect = (0L to 2L).map { c =>
+      c -> ((gt.count(_.cls == c).toLong, pr.count(_.cls == c).toLong,
+        matched.count { case (p, _) => p % 3 == c }.toLong))
+    }.toMap
+    assert(got === expect)
+    got.values.foreach { case (ng, np, nm) => assert(nm <= math.min(ng, np)) }
+  }
 }
