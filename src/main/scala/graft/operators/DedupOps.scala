@@ -496,7 +496,40 @@ object DedupOps {
     * one join + one aggregation on the (small) edge set. The convergence
     * check is a single driver-side count per round.
     */
-  def dedupGroups(s: SparkSession, d: String, maxRounds: Int = 50): DataFrame = {
+  def dedupGroups(s: SparkSession, d: String, maxRounds: Int = 50): DataFrame =
+    dedupGroupsImpl(s, d, maxRounds, keys = None)
+
+  /** q55b — duplicate groups with a PRIORITY canonical: the same connected
+    * components as q55, but the kept copy of each group is the member with
+    * the most-trusted SOURCE (ties by doc_id) instead of the min doc_id —
+    * the policy real pipelines want when the same document arrives from a
+    * curated dump and a noisy crawl (q84's overlap matrix is exactly the
+    * evidence that cross-source duplicates exist). Trust = the source's
+    * rank in sorted source order (deterministic; a production run passes
+    * its own trust table).
+    *
+    * Implementation: the SAME min-label propagation, over packed keys
+    * trust·2⁴⁰ + doc_id — a total order, so the fixpoint/convergence proof
+    * is q55's verbatim and the group PARTITION is provably identical to
+    * q55's (spec-pinned); only the decoded representative differs. Costs
+    * one broadcast rank join on the corpus and two bounded key joins on
+    * the edge-node set over q55.
+    */
+  def dedupGroupsPriority(s: SparkSession, d: String, maxRounds: Int = 50): DataFrame = {
+    val docs = Tables.documents(s, d)
+    // bounded source vocabulary -> deterministic trust table, driver-side
+    val srcs = docs.select("source").distinct().collect()
+      .map(_.getString(0)).sorted.zipWithIndex
+    import s.implicits._
+    val ranks = srcs.toSeq.toDF("source", "trust")
+    val keys = docs.join(broadcast(ranks), "source")
+      .select(col("doc_id"),
+        (col("trust").cast("long") * lit(1L << 40) + col("doc_id")).as("k"))
+    dedupGroupsImpl(s, d, maxRounds, keys = Some(keys))
+  }
+
+  private def dedupGroupsImpl(s: SparkSession, d: String, maxRounds: Int,
+      keys: Option[DataFrame]): DataFrame = {
     require(maxRounds >= 1, s"maxRounds must be >= 1; got $maxRounds")
     // materialize-and-truncate: persist the rows as an RDD, rebuild the
     // DataFrame over it (a flat LogicalRDD plan). This keeps per-round
@@ -553,8 +586,21 @@ object DedupOps {
     // below starts one round ahead (its first pass is pure verification on
     // star-shaped components, the common near-dup case).
     var (labels, labelsRdd, _) = materialize(
-      edges.groupBy(col("u")).agg(least(col("u"), min(col("v"))).as("canonical"))
-        .select(col("u").as("doc_id"), col("canonical")), k)
+      keys match {
+        case None =>
+          edges.groupBy(col("u")).agg(least(col("u"), min(col("v"))).as("canonical"))
+            .select(col("u").as("doc_id"), col("canonical"))
+        case Some(kdf) =>
+          // label VALUES are the packed priority keys; the same min-label
+          // fixpoint over a different total order. Both key joins touch
+          // only the edge-node set (small by construction).
+          edges
+            .join(kdf.select(col("doc_id").as("u"), col("k").as("ku")), Seq("u"))
+            .join(kdf.select(col("doc_id").as("v"), col("k").as("kv")), Seq("v"))
+            .groupBy(col("u"))
+            .agg(least(min(col("ku")), min(col("kv"))).as("canonical"))
+            .select(col("u").as("doc_id"), col("canonical"))
+      }, k)
     var round = 0
     var converged = false
     try {
@@ -597,9 +643,21 @@ object DedupOps {
       case prev if (prev ne null) && (prev ne labelsRdd) => prev.unpersist(blocking = false)
       case _ => ()
     }
-    Tables.documents(s, d).select("doc_id")
-      .join(labels.withColumnRenamed("canonical", "c"), Seq("doc_id"), "left")
-      .select(col("doc_id"), coalesce(col("c"), col("doc_id")).as("canonical"))
+    val joined = keys match {
+      case None =>
+        Tables.documents(s, d).select("doc_id")
+          .join(labels.withColumnRenamed("canonical", "c"), Seq("doc_id"), "left")
+          .select(col("doc_id"), coalesce(col("c"), col("doc_id")).as("canonical"))
+      case Some(kdf) =>
+        // decode the packed key back to the winning doc_id; a doc outside
+        // every pair is its own canonical (its own key decodes to itself)
+        Tables.documents(s, d).select("doc_id")
+          .join(kdf, Seq("doc_id"))
+          .join(labels.withColumnRenamed("canonical", "c"), Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            (coalesce(col("c"), col("k")) % lit(1L << 40)).as("canonical"))
+    }
+    joined
       .withColumn("is_canonical", (col("doc_id") === col("canonical")).cast("boolean"))
       .orderBy("doc_id")
   }

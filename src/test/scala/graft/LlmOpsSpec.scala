@@ -367,6 +367,27 @@ class LlmOpsSpec extends SparkSpec {
     canon.values.toSet.foreach { c: Long => assert(canon(c) === c) }
   }
 
+  test("q55b priority dedup: q55's exact group partition; canonical minimizes (trust, doc_id)") {
+    val base = DedupOps.dedupGroups(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val prio = DedupOps.dedupGroupsPriority(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(prio.keySet === base.keySet)
+    // same connected components: the partition into groups is identical,
+    // only the chosen representative may differ
+    val byBase = base.groupBy(_._2).values.map(_.keySet).toSet
+    val byPrio = prio.groupBy(_._2).values.map(_.keySet).toSet
+    assert(byBase === byPrio)
+    // the representative is the member minimizing (source trust, doc_id)
+    val src = Tables.documents(spark, sf).select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val trust = src.values.toSet.toSeq.sorted.zipWithIndex.toMap
+    byPrio.foreach { grp =>
+      val want = grp.minBy(d => (trust(src(d)), d))
+      grp.foreach(d => assert(prio(d) === want, s"group $grp canonical ${prio(d)} != $want"))
+    }
+  }
+
   test("q55 dedup groups: refuses to return a non-converged labeling") {
     import spark.implicits._
     // a chain a~b~c~d: the min label needs 3 rounds to reach the far end
