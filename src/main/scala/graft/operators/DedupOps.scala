@@ -834,9 +834,19 @@ object DedupOps {
       .select(call_function("graft_doc_pairs", col("docs"))
         .as(Seq("vec_a", "vec_b", "na", "nb")))
       .select("vec_a", "vec_b")
+    // shuffle_hash on BOTH verify joins, NEVER broadcast (the q44 rule one
+    // join over): the pair stream's size estimate is the ≤lists·2^bits-row
+    // aggregate feeding the generator, so Catalyst would happily pick a
+    // broadcast — and collecting the generated pairs materializes the
+    // dominant block's quadratic blowup in one driver-bound task (measured:
+    // a 6 GiB single-task result at sf10 under bits=0). The corpus side's
+    // compressed-scan estimate can dip under the threshold too. Hinting the
+    // embedding sides keeps the join shuffled with a bounded per-task build.
     pairs
-      .join(e.select(col("vec_id").as("vec_a"), col("v").as("va"), col("nrm").as("nra")), "vec_a")
-      .join(e.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("nrm").as("nrb")), "vec_b")
+      .join(e.select(col("vec_id").as("vec_a"), col("v").as("va"), col("nrm").as("nra"))
+        .hint("shuffle_hash"), "vec_a")
+      .join(e.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("nrm").as("nrb"))
+        .hint("shuffle_hash"), "vec_b")
       .withColumn("cos", cosine(col("va"), col("vb"), col("nra"), col("nrb")))
       .filter(col("cos") >= threshold)
       .groupBy(col("vec_b").as("vec_id"))

@@ -71,6 +71,24 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("q67: the pair-verify joins shuffle — NEVER broadcast pairs or corpus") {
+    // The pair stream's size estimate is the ≤lists·2^bits-row aggregate
+    // feeding the generator, so Catalyst would broadcast it — and
+    // collecting the generated pairs materializes the dominant block's
+    // quadratic blowup in one driver-bound task (a measured 6 GiB
+    // single-task result at sf10 under bits=0). The embedding sides'
+    // compressed-scan estimate can dip under the threshold too. Only the
+    // 16-centroid assignment join may broadcast.
+    for (bits <- Seq(0, 6)) {
+      val p = plan(DedupOps.semanticDedup(spark, sf, subBlockBits = bits))
+      // count node headers, not tree lines (formatted explain lists each
+      // node twice)
+      val broadcasts = """\(\d+\) Broadcast(?:Hash|NestedLoop)Join""".r.findAllIn(p).size
+      assert(broadcasts <= 1, s"bits=$bits: a verify join broadcasts\n$p")
+      assert("""\(\d+\) ShuffledHashJoin""".r.findAllIn(p).size >= 2, p)
+    }
+  }
+
   test("q69: the 128-row codebook broadcasts; assignment stays map-side") {
     val p = plan(SimilarityOps.pqStats(spark, sf))
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p)
