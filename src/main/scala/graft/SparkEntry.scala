@@ -119,6 +119,7 @@ object SparkEntry {
     "q90_lm_perplexity"   -> ((s: SparkSession, d: String) => CurationOps.lmPerplexity(s, d)),
     "q91_dsir"            -> ((s: SparkSession, d: String) => CurationOps.dsirWeights(s, d)),
     "q92_pca_top"         -> ((s: SparkSession, d: String) => operators.Pca.topComponentTable(s, d)),
+    "q92b_pca_spectrum"   -> ((s: SparkSession, d: String) => operators.Pca.topComponentsTable(s, d)),
     "q93_fertility"       -> ((s: SparkSession, d: String) => operators.Bpe.fertilityByLang(s, d)),
     "q94_clf_train"       -> ((s: SparkSession, d: String) => operators.Clf.trainTable(s, d)),
     "q95_quality_clf"     -> ((s: SparkSession, d: String) => operators.Clf.scoreTable(s, d)),
@@ -1891,6 +1892,25 @@ object SparkEntry {
         "SELECT * FROM (VALUES ",
         ", ",
         ") t(dim_idx, component, eigenvalue) ORDER BY dim_idx"),
+
+    // q92b: the frozen K-component spectrum (same provenance/parity
+    // pattern as q92 — string-cast literals return the exact bits)
+    "q92b_pca_spectrum" -> {
+      val ks = graft.operators.PcaComponents.componentsK
+      // a placeholder row keeps the SQL valid pre-freeze
+      val rows = if (ks.isEmpty)
+        Seq("(CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE))")
+      else ks.zipWithIndex.flatMap { case ((lam, u), ci) =>
+        u.zipWithIndex.map { case (x, i) =>
+          s"(CAST(${ci + 1} AS BIGINT), CAST(${i + 1} AS BIGINT), " +
+            s"CAST('$x' AS DOUBLE), CAST('$lam' AS DOUBLE))"
+        }
+      }
+      rows.mkString(
+        "SELECT * FROM (VALUES ",
+        ", ",
+        ") t(comp_idx, dim_idx, component, eigenvalue) ORDER BY comp_idx, dim_idx")
+    },
 
     // q91: DSIR hashed-n-gram importance weights. Target = src0, raw =
     // everything else; features are unigram+bigram charHash % 1024, so

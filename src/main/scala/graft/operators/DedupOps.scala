@@ -79,10 +79,29 @@ object DedupOps {
     require(dfCap >= 2, s"dfCap must be >= 2 (a shingle needs df >= 2 to form a pair); got $dfCap")
     val posting = shingleSets(s, d)
       .select(col("doc_id"), size(col("sh")).cast("long").as("n"), explode(col("sh")).as("sh"))
-    val lists = posting
-      .groupBy("sh")
-      .agg(collect_list(struct(col("doc_id"), col("n"))).as("docs"))
-      .filter(size(col("docs")) >= 2 && size(col("docs")) <= lit(dfCap))
+    // Capped runs keep BOUNDED aggregation state: a dfCap+1-entry
+    // graft_topk heap per shingle instead of collect_list. The old
+    // collect-then-filter built the FULL posting buffer for a hot
+    // boilerplate shingle and then threw it away — linear in df per key
+    // in memory/GC exactly where the cap exists to bound work (measured:
+    // 30x CPU across a corpus decade at sf10). A group survives only
+    // when NOTHING was evicted (size <= dfCap < k), so kept groups carry
+    // their complete posting list and the selection is bit-identical to
+    // the unbounded construction. Uncapped runs need every posting
+    // (C(df,2) pair generation is the query) — collect_list stays.
+    val lists =
+      if (dfCap < Int.MaxValue)
+        posting.groupBy("sh")
+          .agg(call_function("graft_topk",
+            col("doc_id").cast("double"), col("doc_id"), col("n"),
+            lit((dfCap + 1).toInt)).as("l"))
+          .filter(size(col("l")) >= 2 && size(col("l")) <= lit(dfCap))
+          .select(expr(
+            "transform(l, e -> named_struct('doc_id', e.id, 'n', e.aux))").as("docs"))
+      else
+        posting.groupBy("sh")
+          .agg(collect_list(struct(col("doc_id"), col("n"))).as("docs"))
+          .filter(size(col("docs")) >= 2 && size(col("docs")) <= lit(dfCap))
     val pairs = lists
       .select(call_function("graft_doc_pairs", col("docs"))
         .as(Seq("doc_a", "doc_b", "na", "nb")))

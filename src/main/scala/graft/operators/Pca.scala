@@ -113,4 +113,72 @@ object Pca {
       .map { case (x, i) => ((i + 1).toLong, x, lambda) }
       .toDF("dim_idx", "component", "eigenvalue")
   }
+
+  /** The top K principal components by DEFLATED power iteration
+    * (Hotelling deflation): after component (u_j, λ_j) converges, every
+    * later covariance application subtracts λ_j·(u_j·v)·u_j. The
+    * deflation is pure driver arithmetic over the d-vector state in
+    * fixed component/index order — the distributed work per round stays
+    * ONE covApply pass, and the whole loop remains bit-stable under any
+    * partitioning. Component 1 runs with an empty deflation set, so it
+    * is bit-identical to [[topComponent]] (spec-pinned): the K-artifact
+    * cannot drift from the q92 artifact.
+    */
+  def topComponents(s: SparkSession, d: String, k: Int = PcaComponents.K,
+      iters: Int = PcaComponents.Iters): (Seq[(Array[Double], Double)], Long) = {
+    require(k >= 1 && k <= 16, s"k in [1,16]; got $k")
+    require(iters >= 1 && iters <= 256, s"iters in [1,256]; got $iters")
+    val vecs = Tables.embeddingsScaled(s, d)
+      .select(toDouble(col("embedding")).as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = vecs.count()
+      require(n > 0, "empty embeddings table")
+      val dims = vecs.select(size(col("v"))).head().getInt(0)
+      val mu = vecs
+        .select(posexplode(col("v")).as(Seq("p", "x")))
+        .groupBy("p").agg(Exact.davg(col("x")).as("m"))
+        .collect().sortBy(_.getInt(0)).map(_.getDouble(1))
+      require(mu.length == dims, s"ragged embedding dims: ${mu.length} vs $dims")
+      val found = scala.collection.mutable.ArrayBuffer.empty[(Array[Double], Double)]
+      for (_ <- 1 to k) {
+        var v = Array.fill(dims)(1.0 / math.sqrt(dims.toDouble))
+        var lambda = 0.0
+        for (_ <- 1 to iters) {
+          val w = covApply(vecs, mu, v, n)
+          found.foreach { case (u, lam) =>
+            var uv = 0.0
+            var i = 0
+            while (i < dims) { uv += u(i) * v(i); i += 1 }
+            i = 0
+            while (i < dims) { w(i) -= lam * uv * u(i); i += 1 }
+          }
+          lambda = normOf(w)
+          require(lambda > 0.0,
+            s"deflated covariance annihilated the iterate at component ${found.size + 1}")
+          v = w.map(_ / lambda)
+        }
+        val am = v.indices.maxBy(i => math.abs(v(i)))
+        found += (((if (v(am) < 0) v.map(x => -x) else v), lambda))
+      }
+      (found.toSeq, n)
+    } finally vecs.unpersist(blocking = false)
+  }
+
+  /** q92b — the top-K spectrum as a driver query: re-runs the deflated
+    * iteration and emits (comp_idx, dim_idx, component, eigenvalue) rows.
+    * Oracled by the frozen [[PcaComponents.componentsK]] VALUES table
+    * (same provenance pattern as q92: jobs.PcaTrain on the gate lake,
+    * bit-exact parity).
+    */
+  def topComponentsTable(s: SparkSession, d: String,
+      k: Int = PcaComponents.K, iters: Int = PcaComponents.Iters): DataFrame = {
+    import s.implicits._
+    val (comps, _) = topComponents(s, d, k, iters)
+    comps.zipWithIndex.flatMap { case ((v, lam), ci) =>
+      v.toSeq.zipWithIndex.map { case (x, i) =>
+        ((ci + 1).toLong, (i + 1).toLong, x, lam)
+      }
+    }.toDF("comp_idx", "dim_idx", "component", "eigenvalue")
+  }
 }

@@ -75,6 +75,52 @@ class PcaSpec extends SparkSpec {
     assert(math.abs(gotLambda - lambda) < 1e-12)
   }
 
+  test("q92b recovers two planted directions in variance order, near-orthogonal") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("pcaplant2").toString
+    val dims = 16
+    // coordinate 7 carries ~4x the variance of coordinate 3; both dwarf
+    // the jitter — a decaying spectrum, where the fixed iteration budget
+    // converges sharply (unlike the near-isotropic gate corpus)
+    (0 until 200).map { i =>
+      val a = ((i % 21) - 10).toDouble            // sd ~6
+      val b = (((i * 7) % 13) - 6).toDouble / 2.0 // sd ~1.9, decorrelated
+      val v = (0 until dims).map { k =>
+        val eps = (((i * 31 + k * 17) % 19) - 9) / 90.0
+        (if (k == 7) a else if (k == 3) b else 0.0) + eps
+      }.map(_.toFloat)
+      (i.toLong, v, 1)
+    }.toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val (comps, n) = Pca.topComponents(spark, dir, k = 2, iters = 16)
+    assert(n === 200L)
+    val (u1, l1) = comps(0)
+    val (u2, l2) = comps(1)
+    assert(l1 > l2, s"eigenvalues out of order: $l1 <= $l2")
+    assert(math.abs(u1(7)) > 0.99, s"rank 1 missed the planted axis: ${u1(7)}")
+    assert(math.abs(u2(3)) > 0.99, s"rank 2 missed the planted axis: ${u2(3)}")
+    val d12 = u1.zip(u2).map { case (a, b) => a * b }.sum
+    assert(math.abs(d12) < 1e-3, s"components not orthogonal: $d12")
+    comps.foreach { case (u, _) => assert(math.abs(normSq(u) - 1.0) < 1e-12) }
+  }
+
+  test("q92b rank 1 is bit-identical to q92; the frozen K artifact is in sync") {
+    // same lake as the q92 artifact test — one distributed run covers both
+    val (comps, n) = Pca.topComponents(spark, "/root/testdata/sf0.01")
+    assert(n === PcaComponents.N)
+    val (v1, l1) = comps.head
+    assert(l1 === PcaComponents.Eigenvalue)
+    assert(v1.toSeq === PcaComponents.values)
+    assert(comps.map { case (u, lam) => (lam, u.toSeq) } === PcaComponents.componentsK)
+    // every rank is unit-norm; orthogonality on this near-isotropic corpus
+    // is convergence-bounded (documented), so only sanity-bound it
+    comps.foreach { case (u, _) => assert(math.abs(normSq(u) - 1.0) < 1e-12) }
+    for (i <- comps.indices; j <- comps.indices if i < j) {
+      val d = comps(i)._1.zip(comps(j)._1).map { case (a, b) => a * b }.sum
+      assert(math.abs(d) < 0.2, s"ranks $i,$j wildly non-orthogonal: $d")
+    }
+  }
+
   test("the frozen artifact is in sync with a retrain on the gate lake") {
     // the q92 oracle compares against PcaComponents — this catches a code
     // change that silently alters the iteration without a retrain. The
