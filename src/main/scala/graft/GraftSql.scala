@@ -32,7 +32,8 @@ object GraftSql {
     * the full computation and leaves its result cached. Excluded from
     * registerQueries by default so building the catalog stays free.
     */
-  val eagerQueries: Set[String] = Set("q55_dedup_groups")
+  val eagerQueries: Set[String] =
+    Set("q55_dedup_groups", "q55b_dedup_priority", "q32_track_stitch")
 
   /** Register every operator in the library as a temp view, so the whole
     * catalog is composable from SQL:

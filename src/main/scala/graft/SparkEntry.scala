@@ -47,6 +47,7 @@ object SparkEntry {
     "q28_bbox_normalize"  -> (RosbagDomainOps.bboxNormalize _),
     "q29_bbox_iou"        -> (RosbagDomainOps.bboxIou _),
     "q29b_det_eval"       -> ((s: SparkSession, d: String) => RosbagDomainOps.detEval(s, d)),
+    "q32_track_stitch"    -> ((s: SparkSession, d: String) => RosbagDomainOps.trackStitch(s, d)),
     "q30_train_val_split" -> (RosbagDomainOps.trainValSplit _),
     "q34_salted_join"     -> ((s: SparkSession, d: String) => SkewOps.saltedJoin(s, d)),
     "q37_mp4_manifest"    -> (RosbagDomainOps.mp4ManifestIndex _),
@@ -1135,6 +1136,46 @@ object SparkEntry {
          |    THEN CAST(COALESCE(n_matched, 0) AS DOUBLE) / CAST(n_gt AS DOUBLE) END AS recall
          |FROM ng FULL JOIN np USING (class_id) LEFT JOIN m USING (class_id)
          |ORDER BY class_id""".stripMargin,
+
+    // track stitching: identical frame numbering, box synthesis, IoU gate,
+    // mutual-best links, then DuckDB's recursive closure in place of the
+    // distributed min-label propagation (the q55 oracle pattern)
+    "q32_track_stitch" ->
+      """WITH RECURSIVE det AS (
+        |  SELECT event_id AS det_id, user_id,
+        |    (ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1) AS fno
+        |  FROM events),
+        |g AS (SELECT det_id, user_id, fno // 4 AS tstep,
+        |        ((fno % 4) * 160 + (fno // 4) * 5) % 700 AS x,
+        |        ((fno % 4) * 120 + (fno // 4) * 3) % 500 AS y,
+        |        40 + ((fno % 4) * 7) % 30 AS wd,
+        |        40 + ((fno % 4) * 11) % 25 AS ht
+        |      FROM det),
+        |links AS (SELECT a.det_id AS cur_id, b.det_id AS nxt_id,
+        |            CAST(inter AS DOUBLE) / (a.wd * a.ht + b.wd * b.ht - inter) AS iou
+        |          FROM g a JOIN g b ON a.user_id = b.user_id AND b.tstep = a.tstep + 1,
+        |          LATERAL (SELECT
+        |            GREATEST(0, LEAST(a.x + a.wd, b.x + b.wd) - GREATEST(a.x, b.x))
+        |            * GREATEST(0, LEAST(a.y + a.ht, b.y + b.ht) - GREATEST(a.y, b.y)) AS inter) t
+        |          WHERE CAST(inter AS DOUBLE) / (a.wd * a.ht + b.wd * b.ht - inter) >= 0.3),
+        |mutual AS (SELECT cur_id, nxt_id FROM (
+        |             SELECT cur_id, nxt_id,
+        |               ROW_NUMBER() OVER (PARTITION BY cur_id ORDER BY iou DESC, nxt_id) AS rp,
+        |               ROW_NUMBER() OVER (PARTITION BY nxt_id ORDER BY iou DESC, cur_id) AS rg
+        |             FROM links) WHERE rp = 1 AND rg = 1),
+        |nodes AS (SELECT DISTINCT cur_id AS u FROM mutual UNION SELECT DISTINCT nxt_id FROM mutual),
+        |edges AS (SELECT cur_id AS u, nxt_id AS v FROM mutual UNION SELECT nxt_id, cur_id FROM mutual),
+        |reach(src, dst) AS (
+        |  SELECT u, u FROM nodes
+        |  UNION
+        |  SELECT r.src, e.v FROM reach r JOIN edges e ON r.dst = e.u),
+        |canon AS (SELECT src AS det_id, MIN(dst) AS track_id FROM reach GROUP BY src),
+        |asg AS (SELECT g.det_id, g.user_id, g.tstep, COALESCE(c.track_id, g.det_id) AS track_id
+        |        FROM g LEFT JOIN canon c USING (det_id))
+        |SELECT track_id, CAST(MIN(user_id) AS BIGINT) AS camera_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_dets,
+        |  CAST(MIN(tstep) AS BIGINT) AS t_first, CAST(MAX(tstep) AS BIGINT) AS t_last
+        |FROM asg GROUP BY track_id ORDER BY track_id""".stripMargin,
 
     "q30_train_val_split" ->
       """SELECT lang,

@@ -549,6 +549,38 @@ object DedupOps {
 
   private def dedupGroupsImpl(s: SparkSession, d: String, maxRounds: Int,
       keys: Option[DataFrame]): DataFrame = {
+    val labels = propagateMin(s, minhashPairsRaw(s, d), maxRounds, keys)
+    val joined = keys match {
+      case None =>
+        Tables.documents(s, d).select("doc_id")
+          .join(labels.withColumnRenamed("canonical", "c"), Seq("doc_id"), "left")
+          .select(col("doc_id"), coalesce(col("c"), col("doc_id")).as("canonical"))
+      case Some(kdf) =>
+        // decode the packed key back to the winning doc_id; a doc outside
+        // every pair is its own canonical (its own key decodes to itself)
+        Tables.documents(s, d).select("doc_id")
+          .join(kdf, Seq("doc_id"))
+          .join(labels.withColumnRenamed("canonical", "c"), Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            (coalesce(col("c"), col("k")) % lit(1L << 40)).as("canonical"))
+    }
+    joined
+      .withColumn("is_canonical", (col("doc_id") === col("canonical")).cast("boolean"))
+      .orderBy("doc_id")
+  }
+
+  /** Min-label propagation over an undirected pair stream — the shared
+    * connected-components engine of q55/q55b (duplicate groups) and q32
+    * (track stitching). `pairsIn` carries one row per undirected edge
+    * (first two columns are the endpoints); `keys` optionally remaps the
+    * propagated total order (doc_id -> packed priority key). Returns
+    * (doc_id, canonical) for every node incident to an edge — canonical
+    * is the component's minimum label (key when remapped). The returned
+    * frame's snapshot stays cached for the caller's lazy consumption;
+    * each invocation releases the previous call's snapshot (one live
+    * labeling per session). */
+  private[graft] def propagateMin(s: SparkSession, pairsIn: DataFrame,
+      maxRounds: Int, keys: Option[DataFrame] = None): DataFrame = {
     require(maxRounds >= 1, s"maxRounds must be >= 1; got $maxRounds")
     // materialize-and-truncate: persist the rows as an RDD, rebuild the
     // DataFrame over it (a flat LogicalRDD plan). This keeps per-round
@@ -581,7 +613,8 @@ object DedupOps {
       }
       (s.createDataFrame(rdd, df.schema), rdd, acc.map(_.value.longValue).getOrElse(n))
     }
-    val pairs = minhashPairsRaw(s, d)
+    val pcols = pairsIn.columns
+    val pairs = pairsIn.select(col(pcols(0)).as("doc_a"), col(pcols(1)).as("doc_b"))
     var (edges, edgesRdd, edgeCount) = materialize(
       pairs.union(pairs.select(col("doc_b"), col("doc_a"))).toDF("u", "v"))
     // The edge set is orders of magnitude smaller than the corpus (it is the
@@ -662,23 +695,7 @@ object DedupOps {
       case prev if (prev ne null) && (prev ne labelsRdd) => prev.unpersist(blocking = false)
       case _ => ()
     }
-    val joined = keys match {
-      case None =>
-        Tables.documents(s, d).select("doc_id")
-          .join(labels.withColumnRenamed("canonical", "c"), Seq("doc_id"), "left")
-          .select(col("doc_id"), coalesce(col("c"), col("doc_id")).as("canonical"))
-      case Some(kdf) =>
-        // decode the packed key back to the winning doc_id; a doc outside
-        // every pair is its own canonical (its own key decodes to itself)
-        Tables.documents(s, d).select("doc_id")
-          .join(kdf, Seq("doc_id"))
-          .join(labels.withColumnRenamed("canonical", "c"), Seq("doc_id"), "left")
-          .select(col("doc_id"),
-            (coalesce(col("c"), col("k")) % lit(1L << 40)).as("canonical"))
-    }
-    joined
-      .withColumn("is_canonical", (col("doc_id") === col("canonical")).cast("boolean"))
-      .orderBy("doc_id")
+    labels
   }
 
   /** Hyperplane sign-bit block id over `v` — THE shared dense-corpus

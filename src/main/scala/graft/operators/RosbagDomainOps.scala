@@ -341,6 +341,77 @@ object RosbagDomainOps {
       .orderBy("class_id")
   }
 
+  /** q32 — multi-object track stitching over the detection stream: the
+    * tracking-by-detection baseline an AV data lake runs to give per-frame
+    * detections a temporal identity (the tracklets labeling and training
+    * pipelines consume). Detections on CONSECUTIVE time steps of one
+    * camera link when each is the other's best-IoU candidate (q29b's
+    * total-order mutual-best rule, IoU >= `iouMin`); a track is a
+    * connected chain of links — components via THE shared min-label
+    * propagation engine ([[DedupOps.propagateMin]], q55's machinery over
+    * a different edge set). Mutual-best keeps the matching 1:1, so
+    * components are paths and propagation converges in O(max track
+    * length) rounds — bounded by a camera's recording length, never by
+    * corpus size.
+    *
+    * The detection boxes are synthesized deterministically from the event
+    * stream: each event is one detection on its camera's frame timeline
+    * (q20's numbering), 4 objects interleaved round-robin, each object's
+    * geometry a linear motion of the time step (wrap-around teleports
+    * legitimately split tracks). The tracker sees ONLY geometry —
+    * re-discovering the object partition from IoU is the point.
+    *
+    * Scale shape: frame numbering is one user_id window; the link join
+    * keys on (camera, tstep) — bounded candidates per frame pair; the two
+    * mutual-best argmax windows partition on detection ids (no hot key);
+    * propagation cost rides the link set.
+    */
+  def trackStitch(s: SparkSession, d: String, iouMin: Double = 0.3): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "det_id")
+    val det = Tables.events(s, d)
+      .select(col("event_id").as("det_id"), col("user_id"), col("ts"))
+      .withColumn("fno", (row_number().over(w) - 1).cast("long"))
+      .withColumn("tstep", expr("fno div 4"))
+      .withColumn("obj", col("fno") % 4)
+      .select(col("det_id"), col("user_id"), col("tstep"),
+        ((col("obj") * 160 + col("tstep") * 5) % 700).as("x"),
+        ((col("obj") * 120 + col("tstep") * 3) % 500).as("y"),
+        (lit(40L) + (col("obj") * 7) % 30).as("wd"),
+        (lit(40L) + (col("obj") * 11) % 25).as("ht"))
+    val a = det.select(col("det_id").as("cur_id"), col("user_id"), col("tstep"),
+      col("x").as("ax"), col("y").as("ay"), col("wd").as("aw"), col("ht").as("ah"))
+    val b = det.select(col("det_id").as("nxt_id"), col("user_id").as("ub"),
+      (col("tstep") - 1).as("tb"),
+      col("x").as("bx"), col("y").as("by"), col("wd").as("bw"), col("ht").as("bh"))
+    val iw = greatest(lit(0L),
+      least(col("ax") + col("aw"), col("bx") + col("bw")) - greatest(col("ax"), col("bx")))
+    val ih = greatest(lit(0L),
+      least(col("ay") + col("ah"), col("by") + col("bh")) - greatest(col("ay"), col("by")))
+    val links = a.join(b, col("user_id") === col("ub") && col("tstep") === col("tb"))
+      .withColumn("inter", iw * ih)
+      .withColumn("iou", col("inter").cast("double") /
+        (col("aw") * col("ah") + col("bw") * col("bh") - col("inter")))
+      .filter(col("iou") >= iouMin)
+      .select("cur_id", "nxt_id", "iou")
+    val rp = Window.partitionBy("cur_id").orderBy(col("iou").desc, col("nxt_id"))
+    val rg = Window.partitionBy("nxt_id").orderBy(col("iou").desc, col("cur_id"))
+    val mutual = links
+      .withColumn("rp", row_number().over(rp))
+      .withColumn("rg", row_number().over(rg))
+      .filter(col("rp") === 1 && col("rg") === 1)
+      .select(col("cur_id"), col("nxt_id"))
+    val labels = DedupOps.propagateMin(s, mutual, maxRounds = 200)
+    det
+      .join(labels.withColumnRenamed("doc_id", "det_id")
+        .withColumnRenamed("canonical", "c"), Seq("det_id"), "left")
+      .select(col("det_id"), col("user_id"), col("tstep"),
+        coalesce(col("c"), col("det_id")).as("track_id"))
+      .groupBy("track_id")
+      .agg(min("user_id").as("camera_id"), count(lit(1)).as("n_dets"),
+        min("tstep").as("t_first"), max("tstep").as("t_last"))
+      .orderBy("track_id")
+  }
+
   /** q35 — sessionized conversion funnel: per user, the first 'click' and
     * whether a 'purchase' follows within 48h — the "image selected ->
     * labeled" conversion tracking of the reference's labeling flow,

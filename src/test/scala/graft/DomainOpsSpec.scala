@@ -65,6 +65,23 @@ class DomainOpsSpec extends SparkSpec {
     assert(spark.sql("select graft_charhash('abc')").collect()(0).getLong(0) === 96354L)
   }
 
+  test("q32 track stitch: tracks are gap-free chains that conserve detections") {
+    val tracks = operators.RosbagDomainOps.trackStitch(spark, sf).collect()
+    assert(tracks.nonEmpty)
+    val nEvents = Tables.events(spark, sf).count()
+    // every detection lands in exactly one track
+    assert(tracks.map(_.getLong(2)).sum === nEvents)
+    tracks.foreach { r =>
+      val (track, n, tf, tl) = (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4))
+      // mutual-best links advance the time step by exactly 1 and a
+      // detection carries at most one link per side, so a track occupies
+      // consecutive tsteps with one detection each
+      assert(n === tl - tf + 1, s"track $track: $n dets over [$tf,$tl]")
+    }
+    // the stitcher actually links (not all-singleton) on the gate lake
+    assert(tracks.exists(_.getLong(2) > 1L), "no multi-detection tracks")
+  }
+
   test("q29b detection eval: mutual-best matching matches a naive recompute") {
     import org.apache.spark.sql.functions._
     val got = operators.RosbagDomainOps.detEval(spark, sf).collect()
