@@ -47,12 +47,16 @@ import graft.operators.DedupOps
   *       of every cut span ships by construction. Opt-in
   *       (`Config.spanCut`); a doc cut to nothing leaves the corpus.
   *   7. sliding-window chunking (training-example shaping)
+  *   8. opt-in q64b epoch repetition plan over the kept docs — the
+  *      sqrt-temperature mixing table a training run consumes, computed
+  *      on the CURATED corpus (`--epoch-plan`)
   *
-  * Usage: CorpusPrep <sf-dir> <out-dir> [--no-neardup] [--semantic] [--decontaminate] [--span-cut] [--lm-filter=MAX_AVG_NLL] [--clf-filter[=MIN_LOGIT]]
+  * Usage: CorpusPrep <sf-dir> <out-dir> [--no-neardup] [--semantic] [--decontaminate] [--span-cut] [--lm-filter=MAX_AVG_NLL] [--clf-filter[=MIN_LOGIT]] [--epoch-plan]
   *
   * Output layout:
   *   <out>/documents/  kept documents (redacted text, provenance columns)
   *   <out>/chunks/     window/stride chunks of the kept docs
+  *   <out>/epoch_plan/ per-doc epoch repeats (only with --epoch-plan)
   *   <out>/stats/      one row per pipeline stage: rows in -> rows out
   *
   * Every stage is a deterministic DataFrame transform — the whole pipeline
@@ -98,7 +102,12 @@ object CorpusPrep {
       spanCut: Boolean = false,
       spanCutNgram: Int = 8,
       chunkWindow: Int = 32,
-      chunkStride: Int = 24)
+      chunkStride: Int = 24,
+      // q64b's epoch repetition plan over the SURVIVING corpus: opt-in;
+      // emits <out>/epoch_plan — per kept doc, how many times it ships
+      // in one sqrt-temperature epoch (the mixing weights a training run
+      // should use are the curated corpus's, not the raw crawl's)
+      epochPlan: Boolean = false)
 
   def run(spark: SparkSession, sfDir: String, out: String,
       cfg: Config = Config()): Unit = {
@@ -300,6 +309,17 @@ object CorpusPrep {
       .write.mode(SaveMode.Overwrite).parquet(s"$out/chunks")
     val nChunks = spark.read.parquet(s"$out/chunks").count()
 
+    // 8. opt-in epoch repetition plan (q64b) over the kept docs — fed
+    // from the written parquet like the chunker, one per-source window
+    val nPlan =
+      if (!cfg.epochPlan) -1L
+      else {
+        graft.operators.CurationOps
+          .epochMixOf(spark.read.parquet(s"$out/documents"))
+          .write.mode(SaveMode.Overwrite).parquet(s"$out/epoch_plan")
+        spark.read.parquet(s"$out/epoch_plan").count()
+      }
+
     import spark.implicits._
     Seq(
       ("00_input", total),
@@ -316,7 +336,8 @@ object CorpusPrep {
       ("04b_semantic_bits", semanticBitsUsed),
       ("05_decontaminate", nAfterDecon),
       ("05b_span_cut", nFinal),
-      ("06_chunks", nChunks))
+      ("06_chunks", nChunks),
+      ("07_epoch_plan", nPlan))
       .toDF("stage", "rows")
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$out/stats")
   }
@@ -325,7 +346,7 @@ object CorpusPrep {
     require(args.length >= 2,
       "usage: CorpusPrep <sf-dir> <out-dir> [--no-neardup] [--semantic] " +
         "[--semantic-bits=N] [--decontaminate] [--span-cut] " +
-        "[--lm-filter=MAX_AVG_NLL] [--clf-filter[=MIN_LOGIT]]")
+        "[--lm-filter=MAX_AVG_NLL] [--clf-filter[=MIN_LOGIT]] [--epoch-plan]")
     val spark = GraftSession.get()
     val lmMax = args.collectFirst {
       case a if a.startsWith("--lm-filter=") =>
@@ -350,7 +371,8 @@ object CorpusPrep {
           a.stripPrefix("--semantic-bits=").toInt
       },
       decontaminate = args.contains("--decontaminate"),
-      spanCut = args.contains("--span-cut")))
+      spanCut = args.contains("--span-cut"),
+      epochPlan = args.contains("--epoch-plan")))
     spark.stop()
   }
 }

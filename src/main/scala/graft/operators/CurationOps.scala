@@ -626,8 +626,15 @@ object CurationOps {
     * Range-partitioning the hash line inside a source is the 100 TB
     * refinement if one source dominates the corpus.
     */
-  def epochMix(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
+  def epochMix(s: SparkSession, d: String): DataFrame =
+    epochMixOf(Tables.documents(s, d))
+
+  /** [[epochMix]] over an arbitrary (doc_id, source, text) frame — the
+    * seam CorpusPrep's opt-in epoch-plan stage feeds its SURVIVING
+    * frontier through (the mix weights a training run should use are the
+    * curated corpus's, not the raw crawl's). */
+  def epochMixOf(docsIn: DataFrame): DataFrame = {
+    val docs = docsIn
       .select(col("doc_id"), col("source"),
         size(split(col("text"), " ")).cast("long").as("n_tokens"),
         ((col("doc_id") * lit(2654435761L)) % lit(1000000007L)).as("h"))

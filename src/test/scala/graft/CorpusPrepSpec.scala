@@ -33,6 +33,40 @@ class CorpusPrepSpec extends SparkSpec {
     assert(stats("03_neardup_groups") > 0)
   }
 
+  test("epoch-plan stage: plan covers exactly the kept docs, quota-consistent; off by default") {
+    import org.apache.spark.sql.functions._
+    // default run (the shared fixture) has no plan table and a -1 stats row
+    val defStats = spark.read.parquet(s"$out/stats").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(defStats("07_epoch_plan") === -1L)
+    assert(!new java.io.File(s"$out/epoch_plan").exists())
+
+    val pOut = java.nio.file.Files.createTempDirectory("prep-plan").toString
+    CorpusPrep.run(spark, sf, pOut, CorpusPrep.Config(epochPlan = true))
+    val kept = spark.read.parquet(s"$pOut/documents")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val plan = spark.read.parquet(s"$pOut/epoch_plan").collect()
+    assert(plan.map(_.getAs[Long]("doc_id")).toSet === kept)
+    val stats = spark.read.parquet(s"$pOut/stats").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(stats("07_epoch_plan") === kept.size.toLong)
+    // per-source sqrt-temperature quota invariant over the SURVIVORS
+    val bySrc = plan.groupBy(_.getAs[String]("source"))
+    val srcTokens = bySrc.view.mapValues(_.map(_.getAs[Long]("n_tokens")).sum).toMap
+    val totalSw = srcTokens.values.toSeq.sorted
+      .map(t => BigDecimal(math.sqrt(t.toDouble)).setScale(6, BigDecimal.RoundingMode.HALF_UP))
+      .sum.toDouble
+    val corpus = srcTokens.values.sum
+    bySrc.foreach { case (src, rows) =>
+      val ts = srcTokens(src)
+      val quota = math.floor(corpus.toDouble * (math.sqrt(ts.toDouble) / totalSw)).toLong
+      val shipped = rows.map(r => r.getAs[Long]("repeats") * r.getAs[Long]("n_tokens")).sum
+      val maxTok = rows.map(_.getAs[Long]("n_tokens")).max
+      assert(shipped >= quota && shipped < quota + maxTok,
+        s"$src: shipped $shipped outside [$quota, ${quota + maxTok})")
+    }
+  }
+
   test("decontamination drops a train doc sharing a 13-gram with the heldout split") {
     import spark.implicits._
     // doc_id * 2654435761 % 100: 3 -> 83 (heldout), everything else here is
