@@ -549,7 +549,11 @@ object DedupOps {
 
   private def dedupGroupsImpl(s: SparkSession, d: String, maxRounds: Int,
       keys: Option[DataFrame]): DataFrame = {
-    val labels = propagateMin(s, minhashPairsRaw(s, d), maxRounds, keys)
+    // packed priority keys decode back to their node via the low 40 bits —
+    // the pointer-jump step needs label values to resolve to node ids
+    val decode: Column => Column =
+      if (keys.isEmpty) identity else (c: Column) => c % lit(1L << 40)
+    val labels = propagateMin(s, minhashPairsRaw(s, d), maxRounds, keys, decode)
     val joined = keys match {
       case None =>
         Tables.documents(s, d).select("doc_id")
@@ -580,7 +584,8 @@ object DedupOps {
     * each invocation releases the previous call's snapshot (one live
     * labeling per session). */
   private[graft] def propagateMin(s: SparkSession, pairsIn: DataFrame,
-      maxRounds: Int, keys: Option[DataFrame] = None): DataFrame = {
+      maxRounds: Int, keys: Option[DataFrame] = None,
+      decodeKey: Column => Column = identity): DataFrame = {
     require(maxRounds >= 1, s"maxRounds must be >= 1; got $maxRounds")
     // materialize-and-truncate: persist the rows as an RDD, rebuild the
     // DataFrame over it (a flat LogicalRDD plan). This keeps per-round
@@ -659,14 +664,28 @@ object DedupOps {
       while (!converged && round < maxRounds) {
         val nbrMin = edges.join(labels, edges("v") === labels("doc_id"))
           .groupBy(col("u")).agg(min("canonical").as("nbr_min"))
-        // change detection is inline (nbr_min < old canonical) — no extra
-        // join against the previous labels, and the changed count rides the
-        // snapshot's own persist pass (materialize's accumulator)
+        val stepped = labels.join(nbrMin, labels("doc_id") === nbrMin("u"), "left")
+          .select(labels("doc_id"),
+            col("canonical").as("c0"),
+            least(col("canonical"), coalesce(col("nbr_min"), col("canonical"))).as("c1"))
+        // POINTER JUMP (path doubling): c1 names a node in this component
+        // (decodeKey inverts a packed priority key back to its node), and
+        // that node's own label may already be smaller — taking it makes
+        // labels hop 2^round edges instead of one, so convergence is
+        // O(log diameter) rounds. Chain-shaped components (q32's tracks)
+        // would otherwise pay one round PER EDGE of track length; min is
+        // monotone and label(c1) sits in the same component, so the
+        // fixpoint — the component minimum — is untouched. Change
+        // detection stays inline (final < previous) and rides the
+        // snapshot's own persist pass (materialize's accumulator).
+        val jumped = least(col("c1"), coalesce(col("jc"), col("c1")))
         val (next, nextRdd, changed) = materialize(
-          labels.join(nbrMin, labels("doc_id") === nbrMin("u"), "left")
-            .select(labels("doc_id"),
-              least(col("canonical"), coalesce(col("nbr_min"), col("canonical"))).as("canonical"),
-              (coalesce(col("nbr_min"), col("canonical")) < col("canonical")).as("__changed")),
+          stepped.join(
+            labels.select(col("doc_id").as("jd"), col("canonical").as("jc")),
+            decodeKey(stepped("c1")) === col("jd"), "left")
+            .select(stepped("doc_id"),
+              jumped.as("canonical"),
+              (jumped < col("c0")).as("__changed")),
           k, changedCol = Some("__changed"))
         labelsRdd.unpersist(blocking = false) // exactly one label snapshot live
         labels = next.drop("__changed")
