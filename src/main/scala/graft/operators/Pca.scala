@@ -1,11 +1,12 @@
 package graft.operators
 
+import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 import graft.Tables
-import graft.functions.Exact
-import graft.functions.VectorFunctions.{dot, toDouble}
+import graft.functions.VectorFunctions.toDouble
 
 /** Distributed PCA by power iteration — the top principal direction of the
   * embedding corpus, the whitening/QA primitive of embedding pipelines
@@ -14,41 +15,111 @@ import graft.functions.VectorFunctions.{dot, toDouble}
   *
   * The covariance matrix is never materialized: each iteration applies
   * C·v = (Σᵢ sᵢ·xᵢ − (Σᵢ sᵢ)·μ) / n with sᵢ = xᵢ·v − μ·v, i.e. one
-  * scalar dot per row (native codegen, fixed IEEE fold order) plus one
-  * posexplode aggregation of d rows per vector — O(n·d) per round, never
-  * O(n·d²) or a d×d shuffle. Driver state is the d-vector itself (the
-  * Kmeans/BpeTrain bounded-iteration pattern: k corpus passes, k·d
-  * driver doubles).
+  * scalar dot per row (fixed IEEE fold order) feeding d+1 per-dimension
+  * accumulators in ONE treeAggregate over the vector column — the Kmeans
+  * shape: no shuffle, no posexplode (the first covApply exploded n·d rows
+  * per round into an aggregation exchange; the round-9 bench measured
+  * q92b at 149 CPU-s on sf0.1 from exactly that), map-side partials only,
+  * d+1 longs per partition back to the driver. O(n·d) work per round,
+  * never O(n·d²) or a d×d shuffle. Driver state is the d-vector itself
+  * (the Kmeans/BpeTrain bounded-iteration pattern).
   *
   * Bit-stable by construction: every cross-row reduction (mean vector,
-  * Σ sᵢ·xᵢ, Σ sᵢ) rides the exact-decimal carrier, the per-row dot is the
-  * fixed-order graft_dot fold, and the driver-side normalize is a fixed
-  * IEEE chain — so a retrain on the same lake reproduces the frozen
+  * Σ sᵢ·xᵢ, Σ sᵢ) rides the exact-decimal carrier — each per-row term is
+  * rounded to scale-6 decimal exactly as Spark's `cast(x AS
+  * DECIMAL(27,6))` does (shortest-decimal repr of the double, HALF_UP —
+  * see [[q6u]]) and accumulated as an unscaled long, so the sum is exact
+  * and order-independent — the per-row dot is the ascending-index fold
+  * (graft_dot's order), and the driver-side normalize is a fixed IEEE
+  * chain. A retrain on the same lake therefore reproduces the frozen
   * [[PcaComponents]] artifact bit-for-bit under ANY partitioning, which
-  * is what lets q92's oracle be the committed values themselves.
+  * is what lets q92's oracle be the committed values themselves (the
+  * treeAggregate rework was proven against the artifact frozen under the
+  * old posexplode plan: same bits).
   */
 object Pca {
 
-  /** One application of the centered covariance to `v` (not normalized).
-    * Returns (C·v, through the exact-decimal carrier). */
-  private def covApply(vecs: DataFrame, mu: Array[Double],
-      v: Array[Double], n: Long): Array[Double] = {
-    val vLit = array(v.map(lit): _*)
+  /** Spark's exact-carrier term, replicated: `cast(x AS DECIMAL(27,6))`
+    * converts via the double's shortest decimal representation
+    * (java.math.BigDecimal.valueOf) then rounds HALF_UP to scale 6.
+    * Returned as the unscaled long; overflow (|x| ≳ 9.2e12) throws
+    * instead of corrupting (Spark would null the cast — our embeddings
+    * are O(1) and a blown-up iterate should fail loudly).
+    */
+  private def q6u(x: Double): Long =
+    java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP)
+      .unscaledValue().longValueExact()
+
+  /** DECIMAL(·,6) → DOUBLE, as Spark's final `.cast("double")`. */
+  private def dec6(unscaled: Long): Double =
+    new java.math.BigDecimal(java.math.BigInteger.valueOf(unscaled), 6)
+      .doubleValue()
+
+  private def mergeAcc(a: Array[Long], b: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < a.length) { a(i) = Math.addExact(a(i), b(i)); i += 1 }
+    a
+  }
+
+  /** The persisted corpus + its exact-carrier mean: shared prep for the
+    * iteration loops. One scan counts; one treeAggregate computes μ
+    * (Exact.davg semantics: exact scale-6 sum → double, one IEEE divide).
+    */
+  private final case class Corpus(rdd: RDD[Array[Double]], n: Long,
+      dims: Int, mu: Array[Double]) {
+    def unpersist(): Unit = rdd.unpersist(blocking = false)
+  }
+
+  private def load(s: SparkSession, d: String): Corpus = {
+    import s.implicits._
+    val rdd = Tables.embeddingsScaled(s, d)
+      .select(toDouble(col("embedding")).as("v"))
+      .as[Seq[Double]].rdd.map(_.toArray)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val n = rdd.count()
+    require(n > 0, "empty embeddings table")
+    val dims = rdd.first().length
+    val acc = rdd.treeAggregate(new Array[Long](dims))(
+      (a, x) => {
+        require(x.length == dims, s"ragged embedding dims: ${x.length} vs $dims")
+        var p = 0
+        while (p < dims) { a(p) = Math.addExact(a(p), q6u(x(p))); p += 1 }
+        a
+      },
+      mergeAcc)
+    Corpus(rdd, n, dims, acc.map(u => dec6(u) / n))
+  }
+
+  /** One application of the centered covariance to `v` (not normalized),
+    * through the exact-decimal carrier: one broadcast + one treeAggregate,
+    * zero shuffles. */
+  private def covApply(c: Corpus, v: Array[Double]): Array[Double] = {
+    val dims = c.dims
     var muDotV = 0.0
     var i = 0
-    while (i < v.length) { muDotV += mu(i) * v(i); i += 1 }
-    val agg = vecs
-      .select(col("v"), (dot(col("v"), vLit) - lit(muDotV)).as("s"))
-      .select(col("s"), posexplode(col("v")).as(Seq("p", "x")))
-      .groupBy("p")
-      .agg(Exact.dsum(col("s") * col("x")).as("sx"),
-        Exact.dsum(col("s")).as("ss"))
-      .collect()
-    val w = new Array[Double](v.length)
-    agg.foreach { r =>
-      val p = r.getInt(0)
-      w(p) = (r.getDouble(1) - r.getDouble(2) * mu(p)) / n
-    }
+    while (i < dims) { muDotV += c.mu(i) * v(i); i += 1 }
+    val bcV = c.rdd.sparkContext.broadcast(v)
+    val mdv = muDotV
+    // slots [0,dims) = Σ q6(s·x_p); slot dims = Σ q6(s)
+    val acc = c.rdd.treeAggregate(new Array[Long](dims + 1))(
+      (a, x) => {
+        val vv = bcV.value
+        var s = 0.0
+        var j = 0
+        while (j < dims) { s += x(j) * vv(j); j += 1 } // graft_dot's ascending fold
+        s -= mdv
+        var p = 0
+        while (p < dims) { a(p) = Math.addExact(a(p), q6u(s * x(p))); p += 1 }
+        a(dims) = Math.addExact(a(dims), q6u(s))
+        a
+      },
+      mergeAcc)
+    bcV.destroy()
+    val ss = dec6(acc(dims))
+    val w = new Array[Double](dims)
+    var p = 0
+    while (p < dims) { w(p) = (dec6(acc(p)) - ss * c.mu(p)) / c.n; p += 1 }
     w
   }
 
@@ -68,23 +139,12 @@ object Pca {
   def topComponent(s: SparkSession, d: String,
       iters: Int = PcaComponents.Iters): (Array[Double], Double, Long) = {
     require(iters >= 1 && iters <= 256, s"iters in [1,256]; got $iters")
-    val vecs = Tables.embeddingsScaled(s, d)
-      .select(toDouble(col("embedding")).as("v"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val c = load(s, d)
     try {
-      val n = vecs.count()
-      require(n > 0, "empty embeddings table")
-      val dims = vecs.select(size(col("v"))).head().getInt(0)
-      val mu = vecs
-        .select(posexplode(col("v")).as(Seq("p", "x")))
-        .groupBy("p").agg(Exact.davg(col("x")).as("m"))
-        .collect().sortBy(_.getInt(0)).map(_.getDouble(1))
-      require(mu.length == dims, s"ragged embedding dims: ${mu.length} vs $dims")
-
-      var v = Array.fill(dims)(1.0 / math.sqrt(dims.toDouble))
+      var v = Array.fill(c.dims)(1.0 / math.sqrt(c.dims.toDouble))
       var lambda = 0.0
       for (_ <- 1 to iters) {
-        val w = covApply(vecs, mu, v, n)
+        val w = covApply(c, v)
         lambda = normOf(w)
         require(lambda > 0.0, "covariance annihilated the iterate (degenerate corpus)")
         v = w.map(_ / lambda)
@@ -92,8 +152,8 @@ object Pca {
       // canonical sign: the largest-magnitude coordinate is positive
       val am = v.indices.maxBy(i => math.abs(v(i)))
       if (v(am) < 0) v = v.map(x => -x)
-      (v, lambda, n)
-    } finally vecs.unpersist(blocking = false)
+      (v, lambda, c.n)
+    } finally c.unpersist()
   }
 
   /** q92 — the trained top component as a driver query: re-runs the FULL
@@ -128,24 +188,15 @@ object Pca {
       iters: Int = PcaComponents.Iters): (Seq[(Array[Double], Double)], Long) = {
     require(k >= 1 && k <= 16, s"k in [1,16]; got $k")
     require(iters >= 1 && iters <= 256, s"iters in [1,256]; got $iters")
-    val vecs = Tables.embeddingsScaled(s, d)
-      .select(toDouble(col("embedding")).as("v"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val c = load(s, d)
     try {
-      val n = vecs.count()
-      require(n > 0, "empty embeddings table")
-      val dims = vecs.select(size(col("v"))).head().getInt(0)
-      val mu = vecs
-        .select(posexplode(col("v")).as(Seq("p", "x")))
-        .groupBy("p").agg(Exact.davg(col("x")).as("m"))
-        .collect().sortBy(_.getInt(0)).map(_.getDouble(1))
-      require(mu.length == dims, s"ragged embedding dims: ${mu.length} vs $dims")
+      val dims = c.dims
       val found = scala.collection.mutable.ArrayBuffer.empty[(Array[Double], Double)]
       for (_ <- 1 to k) {
         var v = Array.fill(dims)(1.0 / math.sqrt(dims.toDouble))
         var lambda = 0.0
         for (_ <- 1 to iters) {
-          val w = covApply(vecs, mu, v, n)
+          val w = covApply(c, v)
           found.foreach { case (u, lam) =>
             var uv = 0.0
             var i = 0
@@ -161,8 +212,8 @@ object Pca {
         val am = v.indices.maxBy(i => math.abs(v(i)))
         found += (((if (v(am) < 0) v.map(x => -x) else v), lambda))
       }
-      (found.toSeq, n)
-    } finally vecs.unpersist(blocking = false)
+      (found.toSeq, c.n)
+    } finally c.unpersist()
   }
 
   /** q92b — the top-K spectrum as a driver query: re-runs the deflated
