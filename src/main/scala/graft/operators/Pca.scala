@@ -180,9 +180,20 @@ object Pca {
     * deflation is pure driver arithmetic over the d-vector state in
     * fixed component/index order — the distributed work per round stays
     * ONE covApply pass, and the whole loop remains bit-stable under any
-    * partitioning. Component 1 runs with an empty deflation set, so it
-    * is bit-identical to [[topComponent]] (spec-pinned): the K-artifact
-    * cannot drift from the q92 artifact.
+    * partitioning.
+    *
+    * Output ranks are SORTED by eigenvalue estimate (descending; ties by
+    * discovery order), so a consumer reading `componentsK` as a spectrum
+    * sees it non-increasing even when the fixed iteration budget has not
+    * fully converged on a near-isotropic corpus (where deflation
+    * DISCOVERY order can interleave within the unconverged tolerance —
+    * the estimates are Rayleigh quotients after Iters rounds). Deflation
+    * itself always runs in discovery order; sorting is output-only
+    * relabeling. The first DISCOVERED component runs with an empty
+    * deflation set and is bit-identical to [[topComponent]]; since
+    * undeflated power iteration converges to the TOP eigenvalue, it also
+    * sorts first (spec-pinned on the gate corpus): the K-artifact cannot
+    * drift from the q92 artifact.
     */
   def topComponents(s: SparkSession, d: String, k: Int = PcaComponents.K,
       iters: Int = PcaComponents.Iters): (Seq[(Array[Double], Double)], Long) = {
@@ -212,7 +223,12 @@ object Pca {
         val am = v.indices.maxBy(i => math.abs(v(i)))
         found += (((if (v(am) < 0) v.map(x => -x) else v), lambda))
       }
-      (found.toSeq, c.n)
+      // non-increasing spectrum out; discovery-index tiebreak keeps the
+      // sort deterministic (and a fully-converged run is already sorted)
+      val sorted = found.zipWithIndex
+        .sortBy { case ((_, lam), i) => (-lam, i) }
+        .map(_._1)
+      (sorted.toSeq, c.n)
     } finally c.unpersist()
   }
 

@@ -112,6 +112,13 @@ class PcaSpec extends SparkSpec {
     assert(l1 === PcaComponents.Eigenvalue)
     assert(v1.toSeq === PcaComponents.values)
     assert(comps.map { case (u, lam) => (lam, u.toSeq) } === PcaComponents.componentsK)
+    // the shipped spectrum is a sorted spectrum: a consumer treating
+    // componentsK as "top K" must see non-increasing eigenvalues — both
+    // in the live recompute and in the frozen artifact itself
+    assert(comps.map(_._2).sliding(2).forall(p => p.head >= p.last),
+      s"recomputed spectrum not non-increasing: ${comps.map(_._2)}")
+    assert(PcaComponents.componentsK.map(_._1).sliding(2).forall(p => p.head >= p.last),
+      "frozen componentsK not non-increasing")
     // every rank is unit-norm; orthogonality on this near-isotropic corpus
     // is convergence-bounded (documented), so only sanity-bound it
     comps.foreach { case (u, _) => assert(math.abs(normSq(u) - 1.0) < 1e-12) }
