@@ -372,13 +372,17 @@ object AnnIndexBuild {
   }
 
   /** ADC top-k over the prebuilt index; bit-identical to
-    * SimilarityOps.knnIvfPq (raw) / knnIvfPqResidual (residual) on the
-    * same corpus + frozen constants (the default nProbe IS q70b's
-    * constant, so the contract cannot drift on a recall-dial tune).
-    * `residual` must match the build's flag — enforced via the index's
-    * `_coding` marker. */
+    * SimilarityOps.knnIvfPq (raw) / knnIvfPqResidual (residual) at the
+    * SAME nProbe on the same corpus + frozen constants (spec-pinned at
+    * both the serving default and q70b's oracle constant). The default
+    * nProbe is the q68c-curve SERVING operating point
+    * ([[SimilarityOps.IvfProbesServing]] — >=0.9 of the brute-force
+    * ceiling on the gate corpus), NOT q70b's oracle-pinned 2: defaults
+    * are what operators actually run, and the recompute queries keep
+    * their own pinned value explicitly. `residual` must match the
+    * build's flag — enforced via the index's `_coding` marker. */
   def search(s: SparkSession, indexDir: String, sfDir: String,
-      k: Int = 3, nProbe: Int = SimilarityOps.IvfProbes,
+      k: Int = 3, nProbe: Int = SimilarityOps.IvfProbesServing,
       residual: Boolean = false): DataFrame = {
     checkCodingMarker(s, indexDir, residual)
     val (probes, lutRows) = probeAndLut(s, sfDir, nProbe, residual)
@@ -402,7 +406,7 @@ object AnnIndexBuild {
     * scoring — the planner broadcasts the (small) tombstone side on its
     * own statistics; no unbounded hint. */
   def searchVersioned(s: SparkSession, table: String, sfDir: String,
-      k: Int = 3, nProbe: Int = SimilarityOps.IvfProbes,
+      k: Int = 3, nProbe: Int = SimilarityOps.IvfProbesServing,
       version: Option[Long] = None, residual: Boolean = false): DataFrame = {
     // resolve the version ONCE so the coding check and the data read see
     // the same snapshot (version=None checked then read could straddle a

@@ -97,10 +97,26 @@ object SimilarityOps {
       .orderBy("q_id", "rank")
   }
 
-  // private[graft]: jobs.AnnIndexBuild's search defaults reference this
-  // same constant, so tuning the recall dial cannot silently diverge the
-  // persisted-index path from the in-query path
+  // The ORACLE-PINNED probe count of the q46b/q70b/q70c driver queries:
+  // their DuckDB oracles freeze nprobe=2, so this constant is part of
+  // those queries' spec and does NOT move with the recall dial.
   private[graft] val IvfProbes = 2
+
+  /** The persisted index's default SERVING operating point, read off the
+    * q68c recall-vs-nprobe curve: the smallest nprobe whose raw-IVF
+    * recall@3 clears >= 0.9 of the brute-force ceiling on the gate
+    * corpus — nprobe=10 of 16 lists on the current lake (recall 0.901;
+    * 8 reads 0.841). The synthetic gate embeddings are near-isotropic,
+    * so recall tracks the probed fraction almost linearly — a genuinely
+    * clustered corpus saturates far earlier and would re-derive a
+    * smaller dial from the same curve. AnnIndexSpec asserts the >=0.9
+    * property against a live curve run, so a retrained quantizer or a
+    * regenerated lake that invalidates the choice fails the suite
+    * instead of silently serving a stale dial.
+    * jobs.AnnIndexBuild.search/searchVersioned default to THIS — defaults
+    * are what operators actually run — while the q70b/q70c recompute
+    * queries keep their own oracle-pinned [[IvfProbes]] explicitly. */
+  private[graft] val IvfProbesServing = 10
 
   /** The query/corpus id convention: vec_id < QueryIdMax rows are the
     * benchmark query set, vec_id >= QueryIdMax the searchable corpus.
@@ -567,11 +583,13 @@ object SimilarityOps {
     * engine-exact against the oracle.
     */
   def knnIvfPq(s: SparkSession, d: String, k: Int = 3,
-      queryIdMax: Long = QueryIdMax): DataFrame = {
+      queryIdMax: Long = QueryIdMax, nProbe: Int = IvfProbes): DataFrame = {
     val subDim = 8
     // query probes — THE shared resolver (also what the persisted index's
-    // search collects driver-side)
-    val queryProbes = queryProbeLists(s, d, IvfProbes, queryIdMax)
+    // search collects driver-side). The q70b driver query runs the
+    // oracle-pinned IvfProbes default; AnnIndexSpec's bit-identity tests
+    // also instantiate the serving operating point here.
+    val queryProbes = queryProbeLists(s, d, nProbe, queryIdMax)
 
     // corpus coarse + code assignment comes from THE shared helper
     // (codedCorpusSubs — also what AnnIndexBuild persists); joining the
@@ -617,9 +635,9 @@ object SimilarityOps {
     * rows) and per corpus vector at coding time.
     */
   def knnIvfPqResidual(s: SparkSession, d: String, k: Int = 3,
-      queryIdMax: Long = QueryIdMax): DataFrame = {
+      queryIdMax: Long = QueryIdMax, nProbe: Int = IvfProbes): DataFrame = {
     val subDim = 8
-    val queryProbes = queryProbeLists(s, d, IvfProbes, queryIdMax)
+    val queryProbes = queryProbeLists(s, d, nProbe, queryIdMax)
 
     val recon = codedCorpusSubs(s, d, residual = true, queryIdMax = queryIdMax)
       .join(broadcast(residualCodebookTable(s)), Seq("sub_idx", "code"))

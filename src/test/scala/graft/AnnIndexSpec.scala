@@ -16,12 +16,33 @@ class AnnIndexSpec extends SparkSpec {
   }
 
   test("search over the prebuilt index is bit-identical to the recompute query (q70b)") {
+    // at the SERVING default (the q68c operating point — what a bare
+    // search() actually runs)...
     val fromIndex = AnnIndexBuild.search(spark, idx, sf).collect().toSeq
-    val recompute = SimilarityOps.knnIvfPq(spark, sf).collect().toSeq
+    val recompute = SimilarityOps.knnIvfPq(spark, sf, nProbe = SimilarityOps.IvfProbesServing).collect().toSeq
     // same rows, same order, same DOUBLE bits in adc_dist: the persisted
     // codes + broadcast LUT reproduce the in-query ADC chain exactly
     assert(fromIndex === recompute)
     assert(fromIndex.nonEmpty)
+    // ...and at q70b's oracle-pinned constant, explicitly
+    assert(AnnIndexBuild.search(spark, idx, sf, nProbe = SimilarityOps.IvfProbes)
+      .collect().toSeq === SimilarityOps.knnIvfPq(spark, sf).collect().toSeq)
+  }
+
+  test("the serving default nprobe is the q68c operating point: >= 0.9 of brute force on the gate corpus") {
+    // the q68c curve on the gate corpus (sf0.01, 300-query split): the
+    // raw-IVF arm's recall@3 at the serving default must clear 0.9 of
+    // the brute-force ceiling (= recall 1.0 at nprobe = lists). A
+    // retrained quantizer that invalidates the documented operating
+    // point fails here instead of silently serving a stale dial.
+    val curve = SimilarityOps.annRecallCurve(spark, "/root/testdata/sf0.01",
+        probes = Seq(SimilarityOps.IvfProbesServing, 16))
+      .collect().map(r => r.getAs[Long]("nprobe") -> r.getAs[Double]("ivf_recall")).toMap
+    val ceiling = curve(16L)
+    val atDefault = curve(SimilarityOps.IvfProbesServing.toLong)
+    assert(ceiling === 1.0, s"nprobe=lists must hit the exact ceiling, got $ceiling")
+    assert(atDefault >= 0.9 * ceiling,
+      s"serving default nprobe=${SimilarityOps.IvfProbesServing} recall $atDefault < 0.9*$ceiling")
   }
 
   test("probes become partition pruning: the scan carries a list_id partition filter") {
@@ -48,14 +69,14 @@ class AnnIndexSpec extends SparkSpec {
     val out = java.nio.file.Files.createTempDirectory("annres").toString
     AnnIndexBuild.build(spark, sf, out, residual = true)
     val fromIndex = AnnIndexBuild.search(spark, out, sf, residual = true).collect().toSeq
-    val recompute = SimilarityOps.knnIvfPqResidual(spark, sf).collect().toSeq
+    val recompute = SimilarityOps.knnIvfPqResidual(spark, sf, nProbe = SimilarityOps.IvfProbesServing).collect().toSeq
     // the persisted residual codes + per-(query, list) LUT reproduce
     // q70c's two-subtraction ADC chain exactly, double bits included
     assert(fromIndex === recompute)
     assert(fromIndex.nonEmpty)
     // residual coding genuinely differs from raw — identical results
     // would mean the flag reached neither the books nor the LUT
-    assert(fromIndex !== SimilarityOps.knnIvfPq(spark, sf).collect().toSeq)
+    assert(fromIndex !== SimilarityOps.knnIvfPq(spark, sf, nProbe = SimilarityOps.IvfProbesServing).collect().toSeq)
 
     // probes still prune: the residual path keeps the partition-filter scan
     val df = AnnIndexBuild.search(spark, out, sf, k = 3, nProbe = 1, residual = true)
@@ -97,12 +118,12 @@ class AnnIndexSpec extends SparkSpec {
     // a residual v2 rebuild flips the table's coding; v1 pinned stays raw
     val v2 = AnnIndexBuild.buildVersioned(spark, sf, table, residual = true)
     assert(AnnIndexBuild.searchVersioned(spark, table, sf, residual = true).collect().toSeq
-      === SimilarityOps.knnIvfPqResidual(spark, sf).collect().toSeq)
+      === SimilarityOps.knnIvfPqResidual(spark, sf, nProbe = SimilarityOps.IvfProbesServing).collect().toSeq)
     val e3 = intercept[IllegalArgumentException](
       AnnIndexBuild.searchVersioned(spark, table, sf, version = Some(v1), residual = true))
     assert(e3.getMessage.contains("raw"))
     assert(AnnIndexBuild.searchVersioned(spark, table, sf, version = Some(v1)).collect().toSeq
-      === SimilarityOps.knnIvfPq(spark, sf).collect().toSeq)
+      === SimilarityOps.knnIvfPq(spark, sf, nProbe = SimilarityOps.IvfProbesServing).collect().toSeq)
     assert(v2 === v1 + 1)
   }
 
@@ -118,7 +139,7 @@ class AnnIndexSpec extends SparkSpec {
       emb.filter(col("vec_id") < 10 || col("vec_id") % 2 === 1), table, residual = true)
     assert(v2 === v1 + 1)
     assert(AnnIndexBuild.searchVersioned(spark, table, sf, residual = true).collect().toSeq
-      === SimilarityOps.knnIvfPqResidual(spark, sf).collect().toSeq)
+      === SimilarityOps.knnIvfPqResidual(spark, sf, nProbe = SimilarityOps.IvfProbesServing).collect().toSeq)
   }
 
   test("index stores one row per corpus vector with 8 sub-codes in [0,16)") {
@@ -149,7 +170,7 @@ class AnnIndexSpec extends SparkSpec {
     assert(jobs.SnapshotLake.read(spark, table).filter(col("vec_id") < 10).count() === 0)
     // incremental == batch: the appended codes come through the same
     // kernel, so the grown index answers exactly like a full rebuild
-    val expected = SimilarityOps.knnIvfPq(spark, sf).collect().toSeq
+    val expected = SimilarityOps.knnIvfPq(spark, sf, nProbe = SimilarityOps.IvfProbesServing).collect().toSeq
     assert(AnnIndexBuild.searchVersioned(spark, table, sf).collect().toSeq === expected)
     // RE-RUN the whole append (operator retry): the re-ingest guard drops
     // every already-indexed id, so no second code row lands and the ADC
@@ -166,7 +187,7 @@ class AnnIndexSpec extends SparkSpec {
     import spark.implicits._
     val table = java.nio.file.Files.createTempDirectory("anndel").toString
     val v1 = AnnIndexBuild.buildVersioned(spark, sf, table)
-    val baseline = SimilarityOps.knnIvfPq(spark, sf).collect().toSeq
+    val baseline = SimilarityOps.knnIvfPq(spark, sf, nProbe = SimilarityOps.IvfProbesServing).collect().toSeq
     val victim = baseline.head.getLong(1) // somebody's ranked neighbor
     val emb = Tables.embeddings(spark, sf)
 
@@ -178,7 +199,7 @@ class AnnIndexSpec extends SparkSpec {
     // never contained the victim (next-best neighbors fill in, bit-exact)
     val cut = java.nio.file.Files.createTempDirectory("anncut").toString
     emb.filter(col("vec_id") =!= victim).write.parquet(s"$cut/embeddings.parquet")
-    assert(after === SimilarityOps.knnIvfPq(spark, cut).collect().toSeq)
+    assert(after === SimilarityOps.knnIvfPq(spark, cut, nProbe = SimilarityOps.IvfProbesServing).collect().toSeq)
     // time travel: the pre-delete version still serves the victim
     assert(AnnIndexBuild.searchVersioned(spark, table, sf, version = Some(v1))
       .collect().toSeq === baseline)
@@ -231,7 +252,7 @@ class AnnIndexSpec extends SparkSpec {
     assert(jobs.SnapshotLake.read(spark, table).filter(col("vec_id") < 10).count() === 0)
     // the live-grown index answers exactly like a full batch rebuild
     assert(AnnIndexBuild.searchVersioned(spark, table, sf).collect().toSeq
-      === SimilarityOps.knnIvfPq(spark, sf).collect().toSeq)
+      === SimilarityOps.knnIvfPq(spark, sf, nProbe = SimilarityOps.IvfProbesServing).collect().toSeq)
   }
 
   test("searches racing a delete+compaction always see a LEGAL snapshot, never a torn mix") {
@@ -269,7 +290,7 @@ class AnnIndexSpec extends SparkSpec {
   test("versioned index: atomic publish, bit-identical search, pinned-version reads") {
     val table = java.nio.file.Files.createTempDirectory("annlake").toString
     val v1 = AnnIndexBuild.buildVersioned(spark, sf, table)
-    val recompute = SimilarityOps.knnIvfPq(spark, sf).collect().toSeq
+    val recompute = SimilarityOps.knnIvfPq(spark, sf, nProbe = SimilarityOps.IvfProbesServing).collect().toSeq
     assert(AnnIndexBuild.searchVersioned(spark, table, sf).collect().toSeq === recompute)
     // a rebuild publishes a NEW version; the old one still serves
     // pinned readers (index migration without a serving gap)
