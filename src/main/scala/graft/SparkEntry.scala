@@ -1126,16 +1126,19 @@ object SparkEntry {
          |          ROW_NUMBER() OVER (PARTITION BY gt_id ORDER BY iou DESC, pred_id) AS rg
          |        FROM pairs) WHERE rp = 1 AND rg = 1 GROUP BY class_id),
          |ng AS (SELECT class_id, CAST(COUNT(*) AS BIGINT) AS n_gt FROM gt GROUP BY class_id),
-         |np AS (SELECT class_id, CAST(COUNT(*) AS BIGINT) AS n_pred FROM pr GROUP BY class_id)
-         |SELECT class_id,
+         |np AS (SELECT class_id, CAST(COUNT(*) AS BIGINT) AS n_pred FROM pr GROUP BY class_id),
+         |sel AS (SELECT class_id,
          |  COALESCE(n_gt, 0) AS n_gt, COALESCE(n_pred, 0) AS n_pred,
          |  COALESCE(n_matched, 0) AS n_matched,
          |  CASE WHEN COALESCE(n_pred, 0) > 0
          |    THEN CAST(COALESCE(n_matched, 0) AS DOUBLE) / CAST(n_pred AS DOUBLE) END AS precision,
          |  CASE WHEN COALESCE(n_gt, 0) > 0
          |    THEN CAST(COALESCE(n_matched, 0) AS DOUBLE) / CAST(n_gt AS DOUBLE) END AS recall
-         |FROM ng FULL JOIN np USING (class_id) LEFT JOIN m USING (class_id)
-         |ORDER BY class_id""".stripMargin,
+         |FROM ng FULL JOIN np USING (class_id) LEFT JOIN m USING (class_id))
+         |SELECT *,
+         |  CASE WHEN precision IS NOT NULL AND recall IS NOT NULL AND precision + recall > 0
+         |    THEN 2.0 * precision * recall / (precision + recall) END AS f1
+         |FROM sel ORDER BY class_id""".stripMargin,
 
     // track stitching: identical frame numbering, box synthesis, IoU gate,
     // mutual-best links, then DuckDB's recursive closure in place of the

@@ -21,9 +21,14 @@ object DedupOps {
   private val prefixSetsCaches =
     new java.util.concurrent.ConcurrentHashMap[SparkSession, DataFrame]()
 
-  /** Most recent persisted label snapshot per session (see dedupGroups). */
+  /** Most recent persisted label snapshot per (session, propagation
+    * caller) — keyed by caller so the eager q55/q55b/q32 views can each
+    * keep their own labeling cached (a session-only key meant registering
+    * all three left only the last one live, and re-reading an earlier
+    * eager view replayed its whole convergence loop through lineage —
+    * correct but defeating the "leaves its result cached" contract). */
   private val groupsCaches =
-    new java.util.concurrent.ConcurrentHashMap[SparkSession, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]]()
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]]()
 
   /** q40 — exact duplicate groups by content hash (md5 is the portable
     * content key). One shuffle on the hash; at 100 TB this is the cheapest
@@ -536,9 +541,26 @@ object DedupOps {
     */
   def dedupGroupsPriority(s: SparkSession, d: String, maxRounds: Int = 50): DataFrame = {
     val docs = Tables.documents(s, d)
-    // bounded source vocabulary -> deterministic trust table, driver-side
-    val srcs = docs.select("source").distinct().collect()
-      .map(_.getString(0)).sorted.zipWithIndex
+    // bounded source vocabulary -> deterministic trust table, driver-side;
+    // max(doc_id) rides the same one-pass aggregation to validate the
+    // packed-key layout BEFORE packing: a doc_id >= 2^40 (or a trust rank
+    // >= 2^23) would silently corrupt both the min ordering and the
+    // decoded canonical — fail loudly instead (hash-derived ids at corpus
+    // scale can genuinely exceed 40 bits; a caller with such ids must
+    // densify them first).
+    val head = docs.agg(
+      collect_set(col("source")).as("srcs"),
+      max(col("doc_id")).as("max_doc"), min(col("doc_id")).as("min_doc"))
+      .collect()(0)
+    val srcs = head.getSeq[String](0).sorted.zipWithIndex
+    val maxDoc = head.getLong(1)
+    require(maxDoc < (1L << 40),
+      s"dedupGroupsPriority packs trust*2^40 + doc_id; max(doc_id)=$maxDoc >= 2^40 " +
+        "would corrupt the packed order — densify doc ids first")
+    require(!head.isNullAt(2) && head.getLong(2) >= 0,
+      s"dedupGroupsPriority requires non-negative doc ids; min=${head.get(2)}")
+    require(srcs.length < (1 << 23),
+      s"trust rank ${srcs.length} sources >= 2^23 overflows the packed key")
     import s.implicits._
     val ranks = srcs.toSeq.toDF("source", "trust")
     val keys = docs.join(broadcast(ranks), "source")
@@ -553,7 +575,8 @@ object DedupOps {
     // the pointer-jump step needs label values to resolve to node ids
     val decode: Column => Column =
       if (keys.isEmpty) identity else (c: Column) => c % lit(1L << 40)
-    val labels = propagateMin(s, minhashPairsRaw(s, d), maxRounds, keys, decode)
+    val labels = propagateMin(s, minhashPairsRaw(s, d), maxRounds, keys, decode,
+      cacheKey = if (keys.isEmpty) "groups-min" else "groups-priority")
     val joined = keys match {
       case None =>
         Tables.documents(s, d).select("doc_id")
@@ -581,11 +604,13 @@ object DedupOps {
     * (doc_id, canonical) for every node incident to an edge — canonical
     * is the component's minimum label (key when remapped). The returned
     * frame's snapshot stays cached for the caller's lazy consumption;
-    * each invocation releases the previous call's snapshot (one live
-    * labeling per session). */
+    * each invocation releases the previous snapshot under the SAME
+    * `cacheKey` (one live labeling per (session, caller), so the eager
+    * q55/q55b/q32 views never evict each other). */
   private[graft] def propagateMin(s: SparkSession, pairsIn: DataFrame,
       maxRounds: Int, keys: Option[DataFrame] = None,
-      decodeKey: Column => Column = identity): DataFrame = {
+      decodeKey: Column => Column = identity,
+      cacheKey: String = "default"): DataFrame = {
     require(maxRounds >= 1, s"maxRounds must be >= 1; got $maxRounds")
     // materialize-and-truncate: persist the rows as an RDD, rebuild the
     // DataFrame over it (a flat LogicalRDD plan). This keeps per-round
@@ -708,9 +733,9 @@ object DedupOps {
     // the converged fixpoint is unique; the final snapshot stays cached for
     // the caller's (lazy) consumption — so this call cannot free it itself.
     // As with postingCaches, each invocation instead releases the PREVIOUS
-    // call's snapshot, bounding repeat callers (Bench best-of-3,
-    // registerQueries) to one live labeling per session.
-    groupsCaches.put(s, labelsRdd) match {
+    // call's snapshot under the same key, bounding repeat callers (Bench
+    // best-of-3, registerQueries) to one live labeling per (session, caller).
+    groupsCaches.put((s, cacheKey), labelsRdd) match {
       case prev if (prev ne null) && (prev ne labelsRdd) => prev.unpersist(blocking = false)
       case _ => ()
     }

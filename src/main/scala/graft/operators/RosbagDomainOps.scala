@@ -338,6 +338,12 @@ object RosbagDomainOps {
         when(col("n_pred") > 0, col("n_matched").cast("double") / col("n_pred").cast("double")))
       .withColumn("recall",
         when(col("n_gt") > 0, col("n_matched").cast("double") / col("n_gt").cast("double")))
+      // harmonic mean of the two computed doubles — null when either side
+      // is undefined or both are zero (0/0), matching the oracle's CASE
+      .withColumn("f1",
+        when(col("precision").isNotNull && col("recall").isNotNull &&
+            (col("precision") + col("recall")) > 0,
+          lit(2.0) * col("precision") * col("recall") / (col("precision") + col("recall"))))
       .orderBy("class_id")
   }
 
@@ -400,7 +406,8 @@ object RosbagDomainOps {
       .withColumn("rg", row_number().over(rg))
       .filter(col("rp") === 1 && col("rg") === 1)
       .select(col("cur_id"), col("nxt_id"))
-    val labels = DedupOps.propagateMin(s, mutual, maxRounds = 200)
+    val labels = DedupOps.propagateMin(s, mutual, maxRounds = 200,
+      cacheKey = "track-stitch")
     det
       .join(labels.withColumnRenamed("doc_id", "det_id")
         .withColumnRenamed("canonical", "c"), Seq("det_id"), "left")
