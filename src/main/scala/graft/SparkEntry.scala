@@ -125,6 +125,7 @@ object SparkEntry {
     "q94_clf_train"       -> ((s: SparkSession, d: String) => operators.Clf.trainTable(s, d)),
     "q95_quality_clf"     -> ((s: SparkSession, d: String) => operators.Clf.scoreTable(s, d)),
     "q95b_clf_curve"      -> ((s: SparkSession, d: String) => operators.Clf.thresholdCurve(s, d)),
+    "q95c_clf_eval"       -> ((s: SparkSession, d: String) => operators.Clf.evalTable(s, d)),
     "q64b_epoch_mix"      -> ((s: SparkSession, d: String) => CurationOps.epochMix(s, d)),
     "q96_band_curve"      -> (DedupOps.bandCurve _),
     "q97_decon_curve"     -> ((s: SparkSession, d: String) => CurationOps.deconCurve(s, d)),
@@ -230,6 +231,41 @@ object SparkEntry {
        |  CASE WHEN n_ref > 0 THEN CAST(n_ref_keep AS DOUBLE) / CAST(n_ref AS DOUBLE) END AS ref_recall,
        |  CASE WHEN n_docs - n_ref > 0 THEN CAST(n_keep - n_ref_keep AS DOUBLE) / CAST(n_docs - n_ref AS DOUBLE) END AS bg_keep_rate
        |FROM agg ORDER BY threshold""".stripMargin
+  }
+
+  // The q95c oracle: the shared scoring chain + ROW_NUMBER global ranks
+  // (logit, doc_id — the identical total order), midranks per tied-logit
+  // group, Mann-Whitney AUC and the calibrated-threshold metrics —
+  // mirrors Clf.evalTable term for term (carrier sum over group terms,
+  // same IEEE chains).
+  private def clfEvalOracleSql: String = {
+    val ref = graft.operators.ClfWeights.RefSource
+    s"""WITH $clfScoreCtes,
+       |ranked AS (SELECT doc_id, source, logit,
+       |             ROW_NUMBER() OVER (ORDER BY logit, doc_id) AS r FROM sc),
+       |grp AS (SELECT logit,
+       |          CAST(SUM(r) AS BIGINT) AS sum_ranks,
+       |          CAST(COUNT(*) AS BIGINT) AS cnt,
+       |          CAST(SUM(CASE WHEN source = '$ref' THEN 1 ELSE 0 END) AS BIGINT) AS pos_g
+       |        FROM ranked GROUP BY logit),
+       |mid AS (SELECT CAST(SUM(CAST(
+       |          CAST(pos_g AS DOUBLE) * CAST(sum_ranks AS DOUBLE) / CAST(cnt AS DOUBLE)
+       |          AS DECIMAL(27,6))) AS DOUBLE) AS sum_pos_midrank FROM grp),
+       |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |         CAST(SUM(CASE WHEN source = '$ref' THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+       |         CAST(SUM(CASE WHEN logit > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+       |         CAST(SUM(CASE WHEN logit > 0 AND source = '$ref' THEN 1 ELSE 0 END) AS BIGINT) AS n_ref_keep
+       |       FROM sc)
+       |SELECT n_docs, n_pos, n_docs - n_pos AS n_neg, n_keep, n_ref_keep,
+       |  CASE WHEN n_pos > 0 AND n_docs - n_pos > 0 THEN
+       |    (sum_pos_midrank - CAST(n_pos AS DOUBLE) * (CAST(n_pos AS DOUBLE) + 1.0) / 2.0)
+       |    / (CAST(n_pos AS DOUBLE) * CAST(n_docs - n_pos AS DOUBLE)) END AS auc,
+       |  CASE WHEN n_keep > 0 THEN CAST(n_ref_keep AS DOUBLE) / CAST(n_keep AS DOUBLE) END AS precision,
+       |  CASE WHEN n_pos > 0 THEN CAST(n_ref_keep AS DOUBLE) / CAST(n_pos AS DOUBLE) END AS recall,
+       |  CASE WHEN n_docs > 0 THEN
+       |    CAST(n_ref_keep + (n_docs - n_pos) - (n_keep - n_ref_keep) AS DOUBLE)
+       |    / CAST(n_docs AS DOUBLE) END AS accuracy
+       |FROM st, mid""".stripMargin
   }
 
   // The q96 oracle: q86's ground-truth construction + one banded-pairs
@@ -1923,6 +1959,7 @@ object SparkEntry {
     "q94_clf_train" -> clfTrainOracleSql,
     "q95_quality_clf" -> qualityClfOracleSql,
     "q95b_clf_curve" -> clfCurveOracleSql,
+    "q95c_clf_eval" -> clfEvalOracleSql,
     "q96_band_curve" -> bandCurveOracleSql,
     "q97_decon_curve" -> deconCurveOracleSql,
     "q98_quality_agreement" -> qualityAgreementOracleSql,

@@ -235,6 +235,83 @@ object Clf {
     * integers; each rate is one final IEEE division (null when its
     * denominator is empty, mirrored in the oracle).
     */
+  /** q95c — the classifier's OFFLINE EVALUATION under the frozen weights
+    * (the q68c of quality filtering): rank-based ROC AUC plus
+    * precision/recall/accuracy at the calibrated logit-0 threshold, one
+    * row out. The freeze diagnostics lived in a code comment (AUC 0.889,
+    * accuracy 0.814, reference recall 0.76 on the gate lake); this makes
+    * the same numbers an ORACLED query, so classifier drift — a retrain,
+    * a featurization change, a corpus regeneration — is parity-visible
+    * instead of doc-visible.
+    *
+    * AUC is the Mann-Whitney U statistic with MIDRANK tie handling
+    * (P(s⁺>s⁻) + ½·P(s⁺=s⁻) — exactly the freeze diagnostic's
+    * wins + 0.5·ties formula): U = Σ₊ midrank − n₊(n₊+1)/2 over the
+    * combined score order. Global ranks come from the q98 machinery — a
+    * range-partitioned sort + zipWithIndex with doc_id tiebreak (never a
+    * partition-less Window) — and midranks from a per-tied-logit-group
+    * aggregation (sum_ranks/cnt is tiebreak-independent: tied ranks are
+    * consecutive integers). Σ₊ midrank rides the exact-decimal carrier;
+    * each group's term and the final AUC are fixed IEEE chains, so the
+    * number is bit-stable under any partitioning and the DuckDB oracle
+    * mirrors it value-exactly (ROW_NUMBER ranks, same group arithmetic).
+    *
+    * Scale shape: ONE scoring pass (q95's scan + broadcast model), one
+    * distributed sort of (logit, doc_id) 16-byte rows, two bounded
+    * aggregations — no doc×doc, no driver-side score collection (the
+    * freeze diagnostic collected; this does not).
+    */
+  def evalTable(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val scored = scoreOf(Tables.documentsScaled(s, d), frozen, ClfWeights.Buckets)
+      .select(col("doc_id"), col("logit"),
+        (col("source") === lit(ClfWeights.RefSource)).cast("long").as("is_ref"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // global 1-based ranks over (logit, doc_id) — the Terasort shape
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType, nullable = false),
+        StructField("rank", LongType, nullable = false)))
+      val rrdd = scored.select(col("doc_id"), col("logit"))
+        .orderBy(col("logit"), col("doc_id"))
+        .rdd.zipWithIndex().map { case (r, i) => Row(r.getLong(0), i + 1L) }
+      val ranks = s.createDataFrame(rrdd, schema)
+      // midrank per tied-logit group: ranks in a tied group are
+      // consecutive, so sum/cnt IS the midrank regardless of tiebreak
+      val mid = scored.join(ranks, "doc_id")
+        .groupBy(col("logit"))
+        .agg(sum(col("rank")).as("sum_ranks"), count(lit(1)).as("cnt"),
+          sum(col("is_ref")).as("pos_g"))
+        .agg(Exact.dsum(col("pos_g").cast("double") * col("sum_ranks").cast("double")
+          / col("cnt").cast("double")).as("sum_pos_midrank"))
+      val stats = scored.agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("is_ref")).as("n_pos"),
+        sum(when(col("logit") > 0, 1L).otherwise(0L)).as("n_keep"),
+        sum(when(col("logit") > 0, col("is_ref")).otherwise(0L)).as("n_ref_keep"))
+      val nPosD = col("n_pos").cast("double")
+      val nNegD = col("n_neg").cast("double")
+      val out = stats.crossJoin(mid)
+        .withColumn("n_neg", col("n_docs") - col("n_pos"))
+        .select(col("n_docs"), col("n_pos"), col("n_neg"), col("n_keep"), col("n_ref_keep"),
+          when(col("n_pos") > 0 && col("n_neg") > 0,
+            (col("sum_pos_midrank") - nPosD * (nPosD + lit(1.0)) / lit(2.0))
+              / (nPosD * nNegD)).as("auc"),
+          when(col("n_keep") > 0,
+            col("n_ref_keep").cast("double") / col("n_keep").cast("double")).as("precision"),
+          when(col("n_pos") > 0,
+            col("n_ref_keep").cast("double") / col("n_pos").cast("double")).as("recall"),
+          when(col("n_docs") > 0,
+            (col("n_ref_keep") + col("n_neg") - (col("n_keep") - col("n_ref_keep")))
+              .cast("double") / col("n_docs").cast("double")).as("accuracy"))
+      // one row by construction — materialize it before releasing the
+      // scored cache (a lazy return would rescan uncached)
+      val rows = out.collect()
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+    } finally scored.unpersist(blocking = false)
+  }
+
   def thresholdCurve(s: SparkSession, d: String): DataFrame = {
     val scored = scoreOf(Tables.documentsScaled(s, d), frozen, ClfWeights.Buckets)
     val kept = (col("logit") > col("threshold")).cast("long")

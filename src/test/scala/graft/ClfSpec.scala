@@ -82,4 +82,34 @@ class ClfSpec extends SparkSpec {
     val zeroRow = curve.find(_.getDouble(0) == 0.0).get
     assert(zeroRow.getLong(2) === q95Keep)
   }
+
+  test("q95c eval: rank-based AUC matches the freeze diagnostic's wins formula; " +
+    "threshold metrics agree with q95") {
+    val r = Clf.evalTable(spark, sf).collect()(0)
+    // driver-side recompute with the EXACT formula jobs.ClfTrain froze
+    // its diagnostics with: wins = Σ₊ (#neg below + 0.5·#neg tied)
+    val scored = Clf.scoreTable(spark, sf).select("source", "logit").collect()
+    val (ref, rest) = scored.partition(_.getString(0) == graft.operators.ClfWeights.RefSource)
+    val rs = ref.map(_.getDouble(1)); val bs = rest.map(_.getDouble(1))
+    val wins = rs.map(x => bs.count(_ < x) + 0.5 * bs.count(_ == x)).sum
+    val aucRef = wins / (rs.length.toDouble * bs.length)
+    assert(r.getLong(0) === scored.length.toLong)      // n_docs
+    assert(r.getLong(1) === rs.length.toLong)          // n_pos
+    assert(r.getLong(2) === bs.length.toLong)          // n_neg
+    assert(math.abs(r.getDouble(5) - aucRef) < 1e-9, s"auc ${r.getDouble(5)} vs $aucRef")
+    // the calibrated-threshold row agrees with q95's verdicts exactly
+    val nKeep = scored.count(_.getDouble(1) > 0).toLong
+    val tp = ref.count(_.getDouble(1) > 0).toLong
+    assert(r.getLong(3) === nKeep)
+    assert(r.getLong(4) === tp)
+    assert(r.getDouble(7) === tp.toDouble / rs.length) // recall
+    // the freeze bar lives on the GATE lake (the corpus the artifact was
+    // trained and diagnosed on — this suite's sf is a different, tiny
+    // lake where near-chance AUC is expected): AUC must clear chance
+    // decisively there, or the frozen artifact has drifted from its
+    // documented diagnostics
+    val gate = Clf.evalTable(spark, "/root/testdata/sf0.01").collect()(0)
+    assert(gate.getDouble(5) > 0.8, s"frozen classifier AUC degraded: ${gate.getDouble(5)}")
+    assert(gate.getDouble(7) > 0.5, s"reference recall degraded: ${gate.getDouble(7)}")
+  }
 }
