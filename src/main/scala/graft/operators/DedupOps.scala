@@ -739,8 +739,14 @@ object DedupOps {
       case prev if (prev ne null) && (prev ne labelsRdd) => prev.unpersist(blocking = false)
       case _ => ()
     }
+    lastPropagationRounds.set(round)
     labels
   }
+
+  /** Diagnostic seam: the round count of the most recent [[propagateMin]]
+    * convergence (test-only — DomainOpsSpec pins the pointer-jumping
+    * log₂(diameter) bound through it). */
+  private[graft] val lastPropagationRounds = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** Hyperplane sign-bit block id over `v` — THE shared dense-corpus
     * blocking key: q44b/q44c and blocked SemDeDup all derive their

@@ -356,9 +356,20 @@ object RosbagDomainOps {
     * connected chain of links — components via THE shared min-label
     * propagation engine ([[DedupOps.propagateMin]], q55's machinery over
     * a different edge set). Mutual-best keeps the matching 1:1, so
-    * components are paths and propagation converges in O(max track
-    * length) rounds — bounded by a camera's recording length, never by
-    * corpus size.
+    * components are paths; propagateMin's POINTER JUMPING (path doubling)
+    * closes a path of length L in ~log₂(L)+1 rounds — bounded by the log
+    * of a camera's recording length, never by corpus size — and each
+    * round runs a CONSTANT handful of Spark jobs (the change-detecting
+    * snapshot count plus its joins' broadcast collects and AQE
+    * materializations), so end-to-end latency is (log₂ max track
+    * length)·(a few driver round-trips). Locally those round-trips
+    * dominate (the 5.7 s wall / 11.7 CPU-s sf0.1 bench reading is
+    * latency, not work); on a cluster the round count is the same while
+    * each round moves only the link set. DomainOpsSpec pins BOTH bounds
+    * on a worst-case path graph — rounds ≤ log₂(L)+verification via the
+    * lastPropagationRounds seam, and total jobs ≤ a constant multiple of
+    * rounds — so a regression to O(diameter) rounds or to
+    * lineage-replaying rounds fails the suite.
     *
     * The detection boxes are synthesized deterministically from the event
     * stream: each event is one detection on its camera's frame timeline

@@ -82,6 +82,44 @@ class DomainOpsSpec extends SparkSpec {
     assert(tracks.exists(_.getLong(2) > 1L), "no multi-detection tracks")
   }
 
+  test("q32 propagation latency bound: jobs are logarithmic in track length (pointer jumping)") {
+    import spark.implicits._
+    // a single 65-node PATH — the worst case for min-label propagation
+    // (diameter 64). One-hop propagation would need ~64 rounds at one
+    // job each; pointer jumping needs ~log2(64)+1. Counting JOBS bounds
+    // both failure modes at once: O(diameter) rounds, or a round that
+    // stops fusing its change detection into the single snapshot count.
+    val pairs = (0L until 64L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    @volatile var jobs = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(s: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs += 1
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val labels = DedupOps.propagateMin(spark, pairs, maxRounds = 200,
+        cacheKey = "latency-spec").collect()
+      // the whole path collapses onto node 0
+      assert(labels.length === 65)
+      assert(labels.forall(_.getLong(1) === 0L), labels.take(5).mkString(","))
+      // ROUNDS are the latency bound: path doubling closes distance
+      // 2^(r+1)-1 after r rounds, so a 64-edge path needs 6 doubling
+      // rounds + 1 verification — O(diameter) would need ~64
+      val rounds = DedupOps.lastPropagationRounds.get()
+      assert(rounds <= 9, s"propagateMin took $rounds rounds on a 64-edge path — " +
+        "pointer jumping should close it in ~log2(L)+1")
+      // listener events are async — wait for the count to go stable
+      var last = -1; var spins = 0
+      while (jobs != last && spins < 50) { last = jobs; Thread.sleep(100); spins += 1 }
+      // jobs-per-round must stay CONSTANT (snapshot count + its joins'
+      // broadcast collects + AQE materializations — ~8 on this tiny
+      // input): a round that starts re-counting its snapshot or
+      // re-planning the whole lineage would multiply this
+      assert(jobs <= 12 * rounds + 10, s"propagateMin ran $jobs jobs over $rounds " +
+        "rounds — per-round job count is no longer constant")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("q29b detection eval: mutual-best matching matches a naive recompute") {
     import org.apache.spark.sql.functions._
     val got = operators.RosbagDomainOps.detEval(spark, sf).collect()
