@@ -162,6 +162,29 @@ object SparkEntry {
           s"chr(1)||${q(l + r)}||chr(2))"
       }
 
+  // The q47/q93 language-score expressions and verdict CASE, generated
+  // from the SAME constants the operator classifies with
+  // (TextAnalysisOps.Stopsets/ScriptRanges) — the two sides cannot
+  // drift. Stopword languages count token hits; script languages count
+  // characters in their BMP block (length minus length-with-block-
+  // removed, DuckDB regexp_replace with the 'g' flag = Spark's global
+  // default).
+  private def langCountSqls: Seq[(String, String)] = {
+    def q(w: String) = "'" + w.replace("'", "''") + "'"
+    graft.operators.TextAnalysisOps.Stopsets.map { case (l, ws) =>
+      l -> s"CAST(len(list_filter(string_split(text,' '), t -> t IN (${ws.map(q).mkString(",")}))) AS BIGINT)"
+    } ++ graft.operators.TextAnalysisOps.ScriptRanges.map { case (l, lo, hi) =>
+      l -> f"CAST(length(text) - length(regexp_replace(text, '[\\x{$lo%04x}-\\x{$hi%04x}]', '', 'g')) AS BIGINT)"
+    }
+  }
+
+  private def langCaseSql: String = {
+    val langs = graft.operators.TextAnalysisOps.AllLangs
+    val gr = s"GREATEST(${langs.map(l => s"n_$l").mkString(", ")})"
+    langs.map(l => s"WHEN n_$l = $gr AND n_$l > 0 THEN '$l'")
+      .mkString("CASE ", " ", " ELSE 'und' END")
+  }
+
   // The q94 oracle: the frozen ClfWeights artifact as a VALUES table —
   // parity pins the distributed trainer bit-exactly (see Clf.trainTable).
   private def clfTrainOracleSql: String = {
@@ -1506,18 +1529,13 @@ object SparkEntry {
          |  FROM j) t
          |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
 
-    "q47_langid" ->
-      """SELECT doc_id,
-        |  CAST(len(list_filter(string_split(text,' '), t -> t IN ('the','a','of','and','to','is'))) AS BIGINT) AS n_en,
-        |  CAST(len(list_filter(string_split(text,' '), t -> t IN ('el','la','de','los','que'))) AS BIGINT) AS n_es,
-        |  CAST(len(list_filter(string_split(text,' '), t -> t IN ('der','die','und','das','ist'))) AS BIGINT) AS n_de,
-        |  CAST(len(list_filter(string_split(text,' '), t -> t IN ('le','les','des','et','une'))) AS BIGINT) AS n_fr,
-        |  CASE WHEN n_en = GREATEST(n_en, n_es, n_de, n_fr) AND n_en > 0 THEN 'en'
-        |       WHEN n_es = GREATEST(n_en, n_es, n_de, n_fr) AND n_es > 0 THEN 'es'
-        |       WHEN n_de = GREATEST(n_en, n_es, n_de, n_fr) AND n_de > 0 THEN 'de'
-        |       WHEN n_fr = GREATEST(n_en, n_es, n_de, n_fr) AND n_fr > 0 THEN 'fr'
-        |       ELSE 'und' END AS lang_pred
-        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q47_langid" -> {
+      val counts = langCountSqls.map { case (l, e) => s"  $e AS n_$l" }.mkString(",\n")
+      s"""SELECT doc_id,
+         |$counts,
+         |  $langCaseSql AS lang_pred
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
 
     "q48_quality_score" ->
       """SELECT doc_id,
@@ -1916,18 +1934,12 @@ object SparkEntry {
     // encode chain composed verbatim, integer sums + one division
     "q93_fertility" -> {
       val encChain = BPE_ENC
+      val counts = langCountSqls.map { case (l, e) => s"    $e AS n_$l" }.mkString(",\n")
       s"""WITH lang AS (
          |  SELECT doc_id, text,
-         |    CASE WHEN n_en = GREATEST(n_en, n_es, n_de, n_fr) AND n_en > 0 THEN 'en'
-         |         WHEN n_es = GREATEST(n_en, n_es, n_de, n_fr) AND n_es > 0 THEN 'es'
-         |         WHEN n_de = GREATEST(n_en, n_es, n_de, n_fr) AND n_de > 0 THEN 'de'
-         |         WHEN n_fr = GREATEST(n_en, n_es, n_de, n_fr) AND n_fr > 0 THEN 'fr'
-         |         ELSE 'und' END AS lang_pred
+         |    $langCaseSql AS lang_pred
          |  FROM (SELECT doc_id, text,
-         |    len(list_filter(string_split(text,' '), t -> t IN ('the','a','of','and','to','is'))) AS n_en,
-         |    len(list_filter(string_split(text,' '), t -> t IN ('el','la','de','los','que'))) AS n_es,
-         |    len(list_filter(string_split(text,' '), t -> t IN ('der','die','und','das','ist'))) AS n_de,
-         |    len(list_filter(string_split(text,' '), t -> t IN ('le','les','des','et','une'))) AS n_fr
+         |$counts
          |   FROM documents)),
          |words AS (SELECT lang_pred, unnest(string_split(text, ' ')) AS w FROM lang),
          |wr AS (SELECT lang_pred, chr(1) || array_to_string(

@@ -234,7 +234,7 @@ object Bpe {
     * so verdicts and symbol counts cannot drift from q47/q89.
     *
     * Scale shape: classify + encode are map-side over one corpus scan;
-    * the only shuffle is the per-language aggregation (≤ 5 groups).
+    * the only shuffle is the per-language aggregation (≤ 24 groups).
     * Determinism: integer sums and one IEEE division — no carrier
     * needed.
     */

@@ -15,18 +15,64 @@ import graft.functions.VectorFunctions.{norm, toDouble}
   */
 object TextAnalysisOps {
 
-  private val Stopsets: Seq[(String, Seq[String])] = Seq(
+  /** Function-word profiles for the space-tokenized languages — a handful
+    * of the highest-frequency function words per language (public
+    * knowledge: these are the classic top-of-any-frequency-list words).
+    * The en/es/de/fr sets are the original four and stay byte-identical
+    * (q48's stop_ratio shares the en set; its oracle pins it).
+    * private[graft]: SparkEntry generates the q47/q93 oracle SQL from
+    * THESE constants, so the two sides cannot drift. */
+  private[graft] val Stopsets: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "a", "of", "and", "to", "is"),
     "es" -> Seq("el", "la", "de", "los", "que"),
     "de" -> Seq("der", "die", "und", "das", "ist"),
-    "fr" -> Seq("le", "les", "des", "et", "une"))
+    "fr" -> Seq("le", "les", "des", "et", "une"),
+    "it" -> Seq("il", "di", "che", "per", "non", "sono"),
+    "pt" -> Seq("o", "do", "da", "em", "um", "uma"),
+    "nl" -> Seq("het", "een", "van", "ik", "dat", "niet"),
+    "sv" -> Seq("och", "att", "det", "som", "på", "av"),
+    "pl" -> Seq("i", "w", "nie", "na", "się", "jest"),
+    "tr" -> Seq("bir", "ve", "bu", "için", "olarak", "çok"),
+    "id" -> Seq("yang", "dan", "di", "ini", "untuk", "dengan"),
+    "vi" -> Seq("và", "của", "là", "có", "không", "người"),
+    "ro" -> Seq("și", "în", "la", "este", "cu", "pentru"),
+    "fi" -> Seq("ja", "on", "ei", "että", "se", "hän"),
+    "ru" -> Seq("и", "в", "не", "на", "что", "как"))
 
-  /** q47 — stopword-profile language ID: one vocabulary-hit count per
-    * language, argmax with a fixed priority order, 'und' when no evidence.
+  /** Unicode script blocks for the non-space-tokenized / non-Latin-script
+    * languages: (lang, BMP codepoint range). The score is the CHARACTER
+    * count in the block (length minus length-with-block-removed — one
+    * codegen'd regexp_replace, no array build), which is the decisive
+    * signal where stopword tokenization cannot apply (zh/ja/th have no
+    * spaces; ar/he/hi/el/ko are script-exclusive). Kanji is shared zh/ja:
+    * kana (the ja block) is the discriminator, so mixed kanji+kana text
+    * must out-count its kana over the zh block to flip — Japanese prose
+    * is majority kana, Chinese prose has zero. All ranges are BMP, where
+    * Spark (UTF-16 regex) and DuckDB (RE2 codepoints) count identically. */
+  private[graft] val ScriptRanges: Seq[(String, Int, Int)] = Seq(
+    ("zh", 0x4e00, 0x9fff), // CJK Unified Ideographs
+    ("ja", 0x3040, 0x30ff), // Hiragana + Katakana
+    ("ko", 0xac00, 0xd7af), // Hangul syllables
+    ("ar", 0x0600, 0x06ff), // Arabic
+    ("hi", 0x0900, 0x097f), // Devanagari
+    ("el", 0x0370, 0x03ff), // Greek and Coptic
+    ("he", 0x0590, 0x05ff), // Hebrew
+    ("th", 0x0e00, 0x0e7f)) // Thai
+
+  /** Verdict priority order: declaration order, stopword languages first
+    * (ties between a stopword hit count and a script char count resolve
+    * to the earlier language — deterministic, mirrored in the oracle). */
+  private[graft] val AllLangs: Seq[String] =
+    Stopsets.map(_._1) ++ ScriptRanges.map(_._1)
+
+  /** q47 — language ID over ~23 languages: stopword-profile hit counts
+    * for the space-tokenized languages + Unicode-script character counts
+    * for the non-Latin scripts, argmax with a fixed priority order,
+    * 'und' (unknown) still the first-class verdict when no evidence.
     */
   def langId(s: SparkSession, d: String): DataFrame =
     langIdOf(Tables.documents(s, d).select(col("doc_id"), col("text")))
-      .select("doc_id", "n_en", "n_es", "n_de", "n_fr", "lang_pred")
+      .select(("doc_id" +: AllLangs.map(l => s"n_$l") :+ "lang_pred").map(col): _*)
       .orderBy("doc_id")
 
   /** [[langId]] as a frame transform (adds the n_* counts and
@@ -34,11 +80,17 @@ object TextAnalysisOps {
     * breakdown classifies through, so its verdicts cannot drift from
     * q47's. */
   private[graft] def langIdOf(docs: DataFrame): DataFrame = {
-    val base = Stopsets.foldLeft(docs) {
+    val withStops = Stopsets.foldLeft(docs) {
       case (df, (langName, words)) => df.withColumn(s"n_$langName", vocabCount(col("text"), words).cast("long"))
     }
-    val scores = Stopsets.map { case (l, _) => col(s"n_$l") }
-    val pred = Stopsets.map(_._1).foldRight(lit("und"): Column) { (l, acc) =>
+    val base = ScriptRanges.foldLeft(withStops) {
+      case (df, (langName, lo, hi)) =>
+        val pattern = s"[${lo.toChar}-${hi.toChar}]"
+        df.withColumn(s"n_$langName",
+          (length(col("text")) - length(regexp_replace(col("text"), pattern, ""))).cast("long"))
+    }
+    val scores = AllLangs.map(l => col(s"n_$l"))
+    val pred = AllLangs.foldRight(lit("und"): Column) { (l, acc) =>
       when(col(s"n_$l") === greatest(scores: _*) && col(s"n_$l") > 0, lit(l)).otherwise(acc)
     }
     base.withColumn("lang_pred", pred)

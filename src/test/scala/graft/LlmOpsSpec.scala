@@ -656,7 +656,48 @@ class LlmOpsSpec extends SparkSpec {
   test("q47 langid emits only known labels") {
     val labels = TextAnalysisOps.langId(spark, sf)
       .select("lang_pred").distinct().collect().map(_.getString(0)).toSet
-    assert(labels.subsetOf(Set("en", "es", "de", "fr", "und")))
+    assert(labels.subsetOf(TextAnalysisOps.AllLangs.toSet + "und"))
+  }
+
+  test("q47 langid classifies all ~23 languages incl. non-Latin scripts; und stays first-class") {
+    import spark.implicits._
+    val samples = Seq(
+      "en" -> "the cat is on the mat and the dog is in the house",
+      "es" -> "el perro de la casa que los gatos ven",
+      "de" -> "der hund und die katze das ist gut",
+      "fr" -> "le chat et les chiens des maisons une porte",
+      "it" -> "il gatto di casa che non sono per sempre",
+      "pt" -> "o gato do mato da serra em um dia uma vez",
+      "nl" -> "ik denk dat het een goed idee niet waar",
+      "sv" -> "och det att se som en dag på havet av",
+      "pl" -> "i w nie na się jest dom",
+      "tr" -> "bu bir şey ve çok güzel için olarak",
+      "id" -> "yang dan di ini untuk dengan kita",
+      "vi" -> "và đây là một câu của người không có",
+      "ro" -> "și este în la casă cu pentru",
+      "fi" -> "ja se on ei että hän tulee",
+      "ru" -> "и он не знал что это было на самом деле как всегда",
+      // non-Latin scripts: character-count verdicts (no space tokens at all
+      // for zh/ja/th — exactly what the stopword profile cannot see)
+      "zh" -> "这是一个中文句子没有空格但是很长的一段文字",
+      "ja" -> "これはひらがなとカタカナのぶんしょうです",
+      "ko" -> "안녕하세요 한국어 문장입니다",
+      "ar" -> "هذه جملة باللغة العربية",
+      "hi" -> "यह एक हिंदी वाक्य है",
+      "el" -> "αυτή είναι μια ελληνική πρόταση",
+      "he" -> "זה משפט בעברית",
+      "th" -> "นี่คือประโยคภาษาไทย",
+      "und" -> "12345 67890 zz9x qq7y",
+      "und" -> "")
+    val df = samples.zipWithIndex
+      .map { case ((l, t), i) => (i.toLong, l, t) }.toDF("doc_id", "want", "text")
+    val got = TextAnalysisOps.langIdOf(df)
+      .select("want", "lang_pred", "doc_id").collect()
+    got.foreach { r =>
+      assert(r.getString(1) === r.getString(0),
+        s"doc ${r.getLong(2)}: predicted ${r.getString(1)}, wanted ${r.getString(0)}")
+    }
+    assert(TextAnalysisOps.AllLangs.length === 23)
   }
 
   test("q50 fingerprint is deterministic across runs") {
