@@ -51,12 +51,14 @@ import graft.operators.DedupOps
   *      sqrt-temperature mixing table a training run consumes, computed
   *      on the CURATED corpus (`--epoch-plan`)
   *
-  * Usage: CorpusPrep <sf-dir> <out-dir> [--no-neardup] [--semantic] [--decontaminate] [--span-cut] [--lm-filter=MAX_AVG_NLL] [--clf-filter[=MIN_LOGIT]] [--epoch-plan]
+  * Usage: CorpusPrep <sf-dir> <out-dir> [--no-neardup] [--semantic] [--decontaminate] [--span-cut] [--lm-filter=MAX_AVG_NLL] [--clf-filter[=MIN_LOGIT]] [--epoch-plan] [--train-shards]
   *
   * Output layout:
   *   <out>/documents/  kept documents (redacted text, provenance columns)
   *   <out>/chunks/     window/stride chunks of the kept docs
   *   <out>/epoch_plan/ per-doc epoch repeats (only with --epoch-plan)
+  *   <out>/train_shards/ packed WebDataset tar shards + manifest + stats
+  *                     (only with --train-shards; see jobs.TrainingShards)
   *   <out>/stats/      one row per pipeline stage: rows in -> rows out
   *
   * Every stage is a deterministic DataFrame transform — the whole pipeline
@@ -107,7 +109,17 @@ object CorpusPrep {
       // emits <out>/epoch_plan — per kept doc, how many times it ships
       // in one sqrt-temperature epoch (the mixing weights a training run
       // should use are the curated corpus's, not the raw crawl's)
-      epochPlan: Boolean = false)
+      epochPlan: Boolean = false,
+      // 9. opt-in TRAINING-SHARD export (jobs.TrainingShards): the
+      // curated corpus epoch-replicated (the q64b plan — read from this
+      // run's epoch_plan output, recomputed by the same kernel if the
+      // plan stage was off), hash-line shuffled, token-budget packed and
+      // written as WebDataset tar shards under <out>/train_shards — the
+      // artifact a trainer's loader mounts, completing lake → training
+      // set (the reference's Transfer-Learning → im2rec → RecordIO
+      // hand-off, for text)
+      trainShards: Boolean = false,
+      trainShardsCfg: TrainingShards.Config = TrainingShards.Config())
 
   def run(spark: SparkSession, sfDir: String, out: String,
       cfg: Config = Config()): Unit = {
@@ -320,6 +332,18 @@ object CorpusPrep {
         spark.read.parquet(s"$out/epoch_plan").count()
       }
 
+    // 9. opt-in training-shard export off the just-written curated lake
+    // (documents + epoch_plan when present) — one job, its own attrition
+    // row set under <out>/train_shards/stats
+    val nShards =
+      if (!cfg.trainShards) -1L
+      else {
+        TrainingShards.run(spark, out, s"$out/train_shards", cfg.trainShardsCfg)
+        spark.read.parquet(s"$out/train_shards/stats")
+          .filter(col("stage") === "04_sequences")
+          .collect()(0).getLong(1)
+      }
+
     import spark.implicits._
     Seq(
       ("00_input", total),
@@ -337,7 +361,8 @@ object CorpusPrep {
       ("05_decontaminate", nAfterDecon),
       ("05b_span_cut", nFinal),
       ("06_chunks", nChunks),
-      ("07_epoch_plan", nPlan))
+      ("07_epoch_plan", nPlan),
+      ("08_train_sequences", nShards))
       .toDF("stage", "rows")
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$out/stats")
   }
@@ -346,7 +371,7 @@ object CorpusPrep {
     require(args.length >= 2,
       "usage: CorpusPrep <sf-dir> <out-dir> [--no-neardup] [--semantic] " +
         "[--semantic-bits=N] [--decontaminate] [--span-cut] " +
-        "[--lm-filter=MAX_AVG_NLL] [--clf-filter[=MIN_LOGIT]] [--epoch-plan]")
+        "[--lm-filter=MAX_AVG_NLL] [--clf-filter[=MIN_LOGIT]] [--epoch-plan] [--train-shards]")
     val spark = GraftSession.get()
     val lmMax = args.collectFirst {
       case a if a.startsWith("--lm-filter=") =>
@@ -372,7 +397,8 @@ object CorpusPrep {
       },
       decontaminate = args.contains("--decontaminate"),
       spanCut = args.contains("--span-cut"),
-      epochPlan = args.contains("--epoch-plan")))
+      epochPlan = args.contains("--epoch-plan"),
+      trainShards = args.contains("--train-shards")))
     spark.stop()
   }
 }

@@ -131,6 +131,56 @@ object TarShards {
     }
   }
 
+  /** Write samples under EXPLICIT logical shard ids (column layout
+    * `(shard int, key, json, ext, payload)`): files named
+    * `shard-SSSSS-NNN.tar`, rolling on shard change and on
+    * `maxShardBytes` — so the file set is a deterministic function of the
+    * logical sharding, not of Spark's partition count (the property a
+    * resumable training run needs: re-exporting the same corpus yields
+    * byte-identical shards). The caller must have the frame repartitioned
+    * by `shard` and sorted within partitions by (shard, key); this method
+    * asserts per-partition shard/key monotonicity rather than trusting it.
+    */
+  def writeSharded(rows: DataFrame, outDir: String,
+      maxShardBytes: Long = 64L * 1024 * 1024): Unit = {
+    require(maxShardBytes >= Block * 4, s"maxShardBytes too small: $maxShardBytes")
+    new File(outDir).mkdirs()
+    rows.foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
+      var shard = -1
+      var sub = -1
+      var lastKey: String = null
+      var out: BufferedOutputStream = null
+      var written = 0L
+      def roll(newShard: Int): Unit = {
+        if (out != null) { out.write(new Array[Byte](Block * 2)); out.close() }
+        if (newShard != shard) { sub = 0; shard = newShard } else sub += 1
+        out = new BufferedOutputStream(new FileOutputStream(
+          new File(outDir, f"shard-$shard%05d-$sub%03d.tar")))
+        written = 0L
+      }
+      try {
+        it.foreach { r =>
+          val sh = r.getInt(0)
+          val s = Sample(r.getString(1), r.getString(2), r.getString(3),
+            r.getAs[Array[Byte]](4))
+          require(sh >= shard, s"shard order violated: $sh after $shard — " +
+            "sortWithinPartitions(shard, key) missing")
+          if (sh == shard) {
+            require(lastKey == null || s.key > lastKey,
+              s"key order violated in shard $sh: ${s.key} after $lastKey")
+          } else lastKey = null
+          val bytes = sampleBytes(s)
+          if (out == null || sh != shard ||
+              (written > 0 && written + bytes.length + Block * 2 > maxShardBytes))
+            roll(sh)
+          out.write(bytes)
+          written += bytes.length
+          lastKey = s.key
+        }
+      } finally if (out != null) { out.write(new Array[Byte](Block * 2)); out.close() }
+    }
+  }
+
   /** Distributed read-back: one task per shard, members regrouped into
     * samples by basename key (whole-shard sequential reads are the native
     * WebDataset access pattern).
