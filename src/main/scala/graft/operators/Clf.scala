@@ -184,7 +184,13 @@ object Clf {
   /** Score `docs` under a model: logit_d = bias + (Σ_b k_b·w_b)/n_d.
     * One corpus featurization pass + one broadcast join + one per-doc
     * aggregation; docs with zero features emit no row (no evidence).
-    * `keep` is the binary verdict at the natural logit-0 threshold. */
+    * `keep` is the binary verdict at the natural logit-0 threshold.
+    * UNORDERED by design: every aggregating consumer (q95b's curve,
+    * q95c's eval, q98's agreement arm, the pipeline filter stages) is
+    * order-insensitive, and an orderBy here survived into their physical
+    * plans as a full corpus range-sort exchange (found by plan audit —
+    * EliminateSorts does not fire across the explode/join subtrees).
+    * [[scoreTable]] adds the q95 driver query's ordering itself. */
   private[graft] def scoreOf(docs: DataFrame, m: Model, buckets: Int,
       carry: Seq[String] = Seq("source")): DataFrame = {
     val keys = "doc_id" +: carry
@@ -196,7 +202,6 @@ object Clf {
       .select(keys.map(col) :+ col("n_feats") :+
         (lit(m.bias) + col("dk") / col("n_feats").cast("double")).as("logit"): _*)
       .withColumn("keep", (col("logit") > 0).cast("int"))
-      .orderBy("doc_id")
   }
 
   /** The frozen [[ClfWeights]] as a [[Model]] — the single seam every
@@ -211,6 +216,7 @@ object Clf {
     * broadcast; the per-doc reduce rides the exact-decimal carrier. */
   def scoreTable(s: SparkSession, d: String): DataFrame =
     scoreOf(Tables.documentsScaled(s, d), frozen, ClfWeights.Buckets)
+      .orderBy("doc_id")
 
   /** The q95b threshold sweep, frozen with the model: logit cut points
     * spanning the trained score range (the calibrated natural threshold 0

@@ -152,13 +152,21 @@ object CurationOps {
     // each scorer feeds TWO arms — persist the (doc_id, score) outputs
     // (16 bytes/doc, the cheap side of every downstream join) so the
     // corpus-scan scoring pipelines run ONCE, not once per arm
-    val lm = lmPerplexity(s, d)
+    // the UNORDERED scoring seams (lmPerplexityOf/dsirScores/scoreOf),
+    // not the driver queries: each score frame feeds rank sorts, so the
+    // driver queries' doc_id ordering would be three wasted corpus-wide
+    // range-sort exchanges here (found by plan audit)
+    val lm = lmPerplexityOf(Tables.documentsScaled(s, d), "src0")
       .select(col("doc_id"), (-col("avg_nll")).as("score"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val dsir = dsirWeights(s, d)
+    val dsir = dsirScores(s, d)
       .select(col("doc_id"), col("logweight").as("score"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val clf = Clf.scoreTable(s, d)
+    // scoreOf, not scoreTable: the score frame feeds rank sorts, so the
+    // q95 driver query's doc_id ordering would be a wasted corpus-wide
+    // range-sort exchange here
+    val clf = Clf.scoreOf(Tables.documentsScaled(s, d), Clf.frozen,
+        ClfWeights.Buckets)
       .select(col("doc_id"), col("logit").as("score"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
@@ -836,8 +844,8 @@ object CurationOps {
     * the per-doc sum rides the exact-decimal carrier — bit-stable under
     * any partitioning.
     */
-  def dsirWeights(s: SparkSession, d: String, refSource: String = "src0",
-      buckets: Int = 1024): DataFrame = {
+  private[graft] def dsirScores(s: SparkSession, d: String,
+      refSource: String = "src0", buckets: Int = 1024): DataFrame = {
     val feats = hashedNgramFeats(Tables.documentsScaled(s, d), buckets)
 
     val isRef = col("source") === refSource
@@ -859,8 +867,12 @@ object CurationOps {
       .groupBy("doc_id", "source")
       .agg(sum(col("k")).as("n_feats"),
         Exact.dsum(col("k").cast("double") * col("lr")).as("logweight"))
-      .orderBy("doc_id")
   }
+
+  /** q91 as the driver query: [[dsirScores]] in doc order. */
+  def dsirWeights(s: SparkSession, d: String, refSource: String = "src0",
+      buckets: Int = 1024): DataFrame =
+    dsirScores(s, d, refSource, buckets).orderBy("doc_id")
 
   /** Hashed unigram+bigram bag-of-words features — the DSIR paper's
     * hashed-n-gram featurization, shared verbatim by q91's importance
@@ -916,6 +928,7 @@ object CurationOps {
   def lmPerplexity(s: SparkSession, d: String,
       refSource: String = "src0"): DataFrame =
     lmPerplexityOf(Tables.documentsScaled(s, d), refSource)
+      .orderBy("doc_id")
 
   /** [[lmPerplexity]] over an arbitrary (doc_id, source, text, ...) frame
     * — the seam CorpusPrep's LM-filter stage scores its own surviving
@@ -980,6 +993,9 @@ object CurationOps {
       .agg(sum(col("k")).as("n_bigrams"),
         (Exact.dsum(col("k").cast("double") * col("nll")) /
           sum(col("k")).cast("double")).as("avg_nll"))
-      .orderBy("doc_id")
+    // UNORDERED by design (the Clf.scoreOf rule): the aggregating /
+    // filtering consumers — CorpusPrep's LM gate, the streaming guard,
+    // q98's rank arm — must not inherit a corpus-wide range-sort
+    // exchange; q90's driver query adds its own ordering.
   }
 }
