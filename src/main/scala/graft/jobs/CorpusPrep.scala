@@ -50,6 +50,10 @@ import graft.operators.DedupOps
   *   8. opt-in q64b epoch repetition plan over the kept docs — the
   *      sqrt-temperature mixing table a training run consumes, computed
   *      on the CURATED corpus (`--epoch-plan`)
+  *   9. opt-in training-shard export (`--train-shards`,
+  *      jobs.TrainingShards): the curated corpus epoch-replicated,
+  *      hash-line shuffled, token-budget packed and written as
+  *      WebDataset tar shards — lake → training set, completed
   *
   * Usage: CorpusPrep <sf-dir> <out-dir> [--no-neardup] [--semantic] [--decontaminate] [--span-cut] [--lm-filter=MAX_AVG_NLL] [--clf-filter[=MIN_LOGIT]] [--epoch-plan] [--train-shards]
   *
@@ -324,8 +328,16 @@ object CorpusPrep {
     // 8. opt-in epoch repetition plan (q64b) over the kept docs — fed
     // from the written parquet like the chunker, one per-source window
     val nPlan =
-      if (!cfg.epochPlan) -1L
-      else {
+      if (!cfg.epochPlan) {
+        // remove a stale plan from a previous run of the same out dir:
+        // the opt-in train-shard export below (and any later consumer)
+        // must not silently honor a mix computed over a DIFFERENT
+        // curation configuration's survivors
+        val p = new org.apache.hadoop.fs.Path(s"$out/epoch_plan")
+        val hfs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (hfs.exists(p)) hfs.delete(p, true)
+        -1L
+      } else {
         graft.operators.CurationOps
           .epochMixOf(spark.read.parquet(s"$out/documents"))
           .write.mode(SaveMode.Overwrite).parquet(s"$out/epoch_plan")

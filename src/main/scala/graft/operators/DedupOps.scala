@@ -553,12 +553,14 @@ object DedupOps {
       max(col("doc_id")).as("max_doc"), min(col("doc_id")).as("min_doc"))
       .collect()(0)
     val srcs = head.getSeq[String](0).sorted.zipWithIndex
-    val maxDoc = head.getLong(1)
-    require(maxDoc < (1L << 40),
-      s"dedupGroupsPriority packs trust*2^40 + doc_id; max(doc_id)=$maxDoc >= 2^40 " +
-        "would corrupt the packed order — densify doc ids first")
-    require(!head.isNullAt(2) && head.getLong(2) >= 0,
-      s"dedupGroupsPriority requires non-negative doc ids; min=${head.get(2)}")
+    if (!head.isNullAt(1)) { // empty corpus: nothing to pack, no hazard
+      val maxDoc = head.getLong(1)
+      require(maxDoc < (1L << 40),
+        s"dedupGroupsPriority packs trust*2^40 + doc_id; max(doc_id)=$maxDoc >= 2^40 " +
+          "would corrupt the packed order — densify doc ids first")
+      require(head.getLong(2) >= 0,
+        s"dedupGroupsPriority requires non-negative doc ids; min=${head.getLong(2)}")
+    }
     require(srcs.length < (1 << 23),
       s"trust rank ${srcs.length} sources >= 2^23 overflows the packed key")
     import s.implicits._

@@ -317,4 +317,22 @@ class PlanShapeSpec extends SparkSpec {
     // exist in addition to the final one
     assert(p.sliding("HashAggregate".length).count(_ == "HashAggregate") >= 2)
   }
+
+  test("q95b/q95c: the scoring kernel is UNORDERED — no corpus sort reaches the aggregating consumers") {
+    // the round-10 review found Clf.scoreOf/lmScoreOf/dsirWeights ending
+    // in orderBy(doc_id), which survived into every aggregating
+    // consumer's physical plan as a corpus-wide range-sort exchange
+    // (EliminateSorts does not fire across the explode/join subtrees).
+    // Pin the fix: the only Sort in q95b's plan is its 9-row output
+    // ordering (by threshold), never one keyed on doc_id.
+    val curve = plan(operators.Clf.thresholdCurve(spark, sf))
+    val sorts = curve.split('\n').filter(_.contains("Sort ["))
+    assert(!sorts.exists(_.contains("doc_id")),
+      s"scoring kernel leaked a doc_id sort into q95b:\n${sorts.mkString("\n")}")
+    // q95c executes eagerly (1-row result) — assert on the stats subtree
+    // it builds instead: scoreOf itself must carry no Sort at all
+    val score = plan(operators.Clf.scoreTable(spark, sf))
+    assert(score.split('\n').count(_.contains("Sort [")) <= 2,
+      s"scoreTable should carry only its own output ordering:\n$score")
+  }
 }
