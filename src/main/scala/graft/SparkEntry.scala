@@ -118,6 +118,8 @@ object SparkEntry {
     "q88_bpe_train"       -> ((s: SparkSession, d: String) => operators.Bpe.bpeTrainTable(s, d)),
     "q89_bpe_encode"      -> ((s: SparkSession, d: String) => operators.Bpe.bpeEncodeHistogram(s, d)),
     "q90_lm_perplexity"   -> ((s: SparkSession, d: String) => CurationOps.lmPerplexity(s, d)),
+    "q90b_ccnet_buckets"  -> ((s: SparkSession, d: String) => CurationOps.ccnetBuckets(s, d)),
+    "q100_hard_negatives" -> ((s: SparkSession, d: String) => SimilarityOps.hardNegatives(s, d)),
     "q91_dsir"            -> ((s: SparkSession, d: String) => CurationOps.dsirWeights(s, d)),
     "q92_pca_top"         -> ((s: SparkSession, d: String) => operators.Pca.topComponentTable(s, d)),
     "q92b_pca_spectrum"   -> ((s: SparkSession, d: String) => operators.Pca.topComponentsTable(s, d)),
@@ -255,6 +257,37 @@ object SparkEntry {
        |  CASE WHEN n_docs - n_ref > 0 THEN CAST(n_keep - n_ref_keep AS DOUBLE) / CAST(n_docs - n_ref AS DOUBLE) END AS bg_keep_rate
        |FROM agg ORDER BY threshold""".stripMargin
   }
+
+  // The shared q90/q90b LM-scoring chain (CTE list ending at `lmsc`,
+  // one row per scored doc) — mirrors CurationOps.lmScoreOf term for
+  // term (reference source 'src0', add-one smoothing, the greatest(..,1)
+  // empty-reference guard, carrier-exact per-doc reduce).
+  private def lmScoreCtes: String =
+    s"""d AS (SELECT doc_id, source,
+       |            list_filter(string_split(text, ' '), x -> x <> '') AS t
+       |          FROM documents),
+       |bg AS (SELECT doc_id, source, t[i] AS w1, t[i+1] AS w2
+       |       FROM (SELECT doc_id, source, t,
+       |               unnest(generate_series(1, len(t) - 1)) AS i
+       |             FROM d WHERE len(t) >= 2)),
+       |k AS (SELECT doc_id, source, w1, w2, COUNT(*) AS k
+       |      FROM bg GROUP BY doc_id, source, w1, w2),
+       |uni AS (SELECT w, COUNT(*) AS c1
+       |        FROM (SELECT unnest(t) AS w FROM d WHERE source = 'src0')
+       |        GROUP BY w),
+       |bi AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg
+       |       WHERE source = 'src0' GROUP BY w1, w2),
+       |vv AS (SELECT COUNT(*) AS v FROM uni),
+       |sc AS (SELECT k.doc_id, k.source, k.k,
+       |         -ln(CAST(COALESCE(bi.c12, 0) + 1 AS DOUBLE) /
+       |             CAST(GREATEST(COALESCE(uni.c1, 0) + vv.v, 1) AS DOUBLE)) AS nll
+       |       FROM k LEFT JOIN bi ON k.w1 = bi.w1 AND k.w2 = bi.w2
+       |              LEFT JOIN uni ON k.w1 = uni.w
+       |              CROSS JOIN vv),
+       |lmsc AS (SELECT doc_id, source,
+       |  CAST(SUM(k) AS BIGINT) AS n_bigrams,
+       |  ${S("CAST(k AS DOUBLE) * nll")} / CAST(SUM(k) AS DOUBLE) AS avg_nll
+       |FROM sc GROUP BY doc_id, source)""".stripMargin
 
   // The q95c oracle: the shared scoring chain + ROW_NUMBER global ranks
   // (logit, doc_id — the identical total order), midranks per tied-logit
@@ -1529,6 +1562,20 @@ object SparkEntry {
          |  FROM j) t
          |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
 
+    // q100: q45's exact scan restricted to the hard band [0.1, 0.25) —
+    // below q44's near-dup threshold by construction — ranked per query
+    "q100_hard_negatives" ->
+      s"""WITH $EMB_NORM,
+         |j AS (SELECT a.vec_id AS q_id, b.vec_id AS neighbor_id,
+         |        $DOT64 / (a.nrm * b.nrm) AS cos
+         |      FROM n a JOIN n b ON a.vec_id < 10 AND b.vec_id >= 10),
+         |f AS (SELECT * FROM j WHERE cos >= 0.1 AND cos < 0.25)
+         |SELECT q_id, neighbor_id, cos, rank FROM (
+         |  SELECT q_id, neighbor_id, cos,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+         |  FROM f) t
+         |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+
     "q47_langid" -> {
       val counts = langCountSqls.map { case (l, e) => s"  $e AS n_$l" }.mkString(",\n")
       s"""SELECT doc_id,
@@ -2044,31 +2091,24 @@ object SparkEntry {
     // bigram multiset, divided once. Docs with < 2 tokens have no bigram
     // and are absent in both engines.
     "q90_lm_perplexity" ->
-      s"""WITH d AS (SELECT doc_id, source,
-         |            list_filter(string_split(text, ' '), x -> x <> '') AS t
-         |          FROM documents),
-         |bg AS (SELECT doc_id, source, t[i] AS w1, t[i+1] AS w2
-         |       FROM (SELECT doc_id, source, t,
-         |               unnest(generate_series(1, len(t) - 1)) AS i
-         |             FROM d WHERE len(t) >= 2)),
-         |k AS (SELECT doc_id, source, w1, w2, COUNT(*) AS k
-         |      FROM bg GROUP BY doc_id, source, w1, w2),
-         |uni AS (SELECT w, COUNT(*) AS c1
-         |        FROM (SELECT unnest(t) AS w FROM d WHERE source = 'src0')
-         |        GROUP BY w),
-         |bi AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg
-         |       WHERE source = 'src0' GROUP BY w1, w2),
-         |vv AS (SELECT COUNT(*) AS v FROM uni),
-         |sc AS (SELECT k.doc_id, k.source, k.k,
-         |         -ln(CAST(COALESCE(bi.c12, 0) + 1 AS DOUBLE) /
-         |             CAST(GREATEST(COALESCE(uni.c1, 0) + vv.v, 1) AS DOUBLE)) AS nll
-         |       FROM k LEFT JOIN bi ON k.w1 = bi.w1 AND k.w2 = bi.w2
-         |              LEFT JOIN uni ON k.w1 = uni.w
-         |              CROSS JOIN vv)
-         |SELECT doc_id, source,
-         |  CAST(SUM(k) AS BIGINT) AS n_bigrams,
-         |  ${S("CAST(k AS DOUBLE) * nll")} / CAST(SUM(k) AS DOUBLE) AS avg_nll
-         |FROM sc GROUP BY doc_id, source ORDER BY doc_id""".stripMargin,
+      s"""WITH $lmScoreCtes
+         |SELECT * FROM lmsc ORDER BY doc_id""".stripMargin,
+
+    // q90b: CCNet's head/middle/tail buckets over the q90 score — the
+    // shared scoring chain + quantile_cont terciles (the q14 percentile
+    // convention), ties at a cut landing LOW in both engines
+    "q90b_ccnet_buckets" ->
+      s"""WITH $lmScoreCtes,
+         |cuts AS (SELECT quantile_cont(avg_nll, 0.3333333333333333) AS cut1,
+         |                quantile_cont(avg_nll, 0.6666666666666666) AS cut2 FROM lmsc),
+         |b AS (SELECT lmsc.source, cuts.cut1, cuts.cut2,
+         |        CASE WHEN avg_nll <= cut1 THEN 'head'
+         |             WHEN avg_nll <= cut2 THEN 'middle'
+         |             ELSE 'tail' END AS bucket
+         |      FROM lmsc CROSS JOIN cuts)
+         |SELECT source, bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  MIN(cut1) AS cut1, MIN(cut2) AS cut2
+         |FROM b GROUP BY source, bucket ORDER BY source, bucket""".stripMargin,
 
     // duplicated 8-token-run coverage per doc (exact-substring dedup signal)
     "q65_dup_runs" ->

@@ -930,6 +930,40 @@ object CurationOps {
     lmPerplexityOf(Tables.documentsScaled(s, d), refSource)
       .orderBy("doc_id")
 
+  /** q90b — CCNet's perplexity BUCKETING (Wenzek et al. 2020 §4.3, the
+    * half of CCNet q90's raw score stops short of): the corpus
+    * partitioned into head / middle / tail by the global TERCILES of the
+    * q90 LM score — CCNet ships the head+middle of each language and
+    * lets consumers choose their quality/volume point; the cut VALUES
+    * travel in the output so a downstream filter applies the same
+    * thresholds without rescoring. Emits one row per (source, bucket)
+    * with its doc count plus the two cuts.
+    *
+    * Scale shape: the q90 scoring pipeline runs twice (once under the
+    * 1-row tercile aggregate, once under the bucket rollup — the q79
+    * two-scan shape; the cut table broadcasts back), each pass linear
+    * with broadcast LM tables; the rollup is ≤ 3·|sources| rows. Exact
+    * percentile over bit-identical scores (the q14 percentile ↔
+    * quantile_cont convention), ties at a cut land LOW in both engines
+    * (avg_nll <= cut), so the bucketing is value-exact.
+    */
+  def ccnetBuckets(s: SparkSession, d: String,
+      refSource: String = "src0"): DataFrame = {
+    def scored = lmPerplexityOf(Tables.documentsScaled(s, d), refSource)
+    val cuts = scored.agg(
+      percentile(col("avg_nll"), lit(0.3333333333333333)).as("cut1"),
+      percentile(col("avg_nll"), lit(0.6666666666666666)).as("cut2"))
+    scored.crossJoin(broadcast(cuts))
+      .withColumn("bucket",
+        when(col("avg_nll") <= col("cut1"), lit("head"))
+          .when(col("avg_nll") <= col("cut2"), lit("middle"))
+          .otherwise(lit("tail")))
+      .groupBy("source", "bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        first(col("cut1")).as("cut1"), first(col("cut2")).as("cut2"))
+      .orderBy("source", "bucket")
+  }
+
   /** [[lmPerplexity]] over an arbitrary (doc_id, source, text, ...) frame
     * — the seam CorpusPrep's LM-filter stage scores its own surviving
     * frontier through (LM trained on the frontier's reference-source

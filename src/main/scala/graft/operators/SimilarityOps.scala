@@ -36,6 +36,46 @@ object SimilarityOps {
       .orderBy("q_id", "rank")
   }
 
+  /** q100 — contrastive HARD-NEGATIVE mining over the embedding corpus:
+    * for every query vector, the top-k corpus neighbors whose cosine
+    * falls in the hard band [bandLo, bandHi) — similar enough to be
+    * informative negatives for contrastive retriever/embedder training
+    * (the DPR/ANCE-family mining pass), but strictly below the
+    * near-duplicate region: bandHi defaults to q44's 0.25 near-dup
+    * threshold, so the mined negatives and the dedup drop set partition
+    * the similarity axis by construction — a near-dup mined as a
+    * negative is a FALSE negative that poisons the contrastive loss,
+    * which is exactly the failure mode the band guard exists for.
+    *
+    * Scale shape: one corpus scan against broadcast queries (q45's
+    * join), the band filter runs BEFORE ranking so only band rows reach
+    * the heaps, and per-query top-k rides `graft_topk` (bounded map-side
+    * heaps — no Window over corpus-sized data, no global sort). At 100 TB
+    * the brute-force scan is the baseline arm; the IVF/LSH bucketed
+    * variants compose exactly as they do for q45/q46.
+    */
+  def hardNegatives(s: SparkSession, d: String, k: Int = 5,
+      bandLo: Double = 0.1, bandHi: Double = 0.25,
+      queryIdMax: Long = QueryIdMax): DataFrame = {
+    require(bandLo < bandHi, s"need bandLo < bandHi; got [$bandLo, $bandHi)")
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      .withColumn("nrm", norm(col("v")))
+    val queries = e.filter(col("vec_id") < queryIdMax)
+    val corpus = Tables.spreadScan(s, e.filter(col("vec_id") >= queryIdMax))
+    corpus.as("c").join(broadcast(queries.as("q")))
+      .withColumn("cos", cosine(col("q.v"), col("c.v"), col("q.nrm"), col("c.nrm")))
+      .filter(col("cos") >= bandLo && col("cos") < bandHi)
+      .select(col("q.vec_id").as("q_id"), col("c.vec_id").as("neighbor_id"), col("cos"))
+      .groupBy("q_id")
+      .agg(call_function("graft_topk",
+        col("cos"), col("neighbor_id"), col("neighbor_id"), lit(k)).as("top"))
+      .select(col("q_id"), posexplode(col("top")).as(Seq("i", "t")))
+      .select(col("q_id"), col("t.id").as("neighbor_id"), col("t.score").as("cos"),
+        (col("i") + 1).cast("long").as("rank"))
+      .orderBy("q_id", "rank")
+  }
+
   private val NumPlanes = 8
   private val Dim = 64
 

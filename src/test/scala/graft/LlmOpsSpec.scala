@@ -700,6 +700,43 @@ class LlmOpsSpec extends SparkSpec {
     assert(TextAnalysisOps.AllLangs.length === 23)
   }
 
+  test("q100 hard negatives: mined pairs stay inside the band, ranks dense, scores ordered") {
+    val rows = SimilarityOps.hardNegatives(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // the band bound IS the false-negative guard: nothing mined may sit
+    // in q44's near-dup region (cos >= 0.25), nothing below the easy floor
+    rows.foreach { r =>
+      val cos = r.getDouble(2)
+      assert(cos >= 0.1 && cos < 0.25, s"out of band: $cos")
+    }
+    rows.groupBy(_.getLong(0)).foreach { case (q, rs) =>
+      val sorted = rs.sortBy(_.getLong(3))
+      assert(sorted.map(_.getLong(3)).toSeq == (1L to sorted.length).toSeq,
+        s"query $q ranks not dense")
+      val cs = sorted.map(_.getDouble(2)).toSeq
+      assert(cs == cs.sorted.reverse, s"query $q scores not non-increasing")
+    }
+  }
+
+  test("q90b ccnet buckets: partition of the scored corpus, tercile-balanced, cuts ordered") {
+    val rows = CurationOps.ccnetBuckets(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val n = CurationOps.lmPerplexity(spark, sf).count()
+    assert(rows.map(_.getLong(2)).sum === n, "buckets must partition the scored corpus")
+    val cut1 = rows.head.getDouble(3)
+    val cut2 = rows.head.getDouble(4)
+    assert(cut1 <= cut2, s"cuts out of order: $cut1 > $cut2")
+    assert(rows.forall(r => r.getDouble(3) == cut1 && r.getDouble(4) == cut2),
+      "cut values must be global constants")
+    // tercile balance across ALL sources (exact thirds up to interpolation
+    // and ties; the suite corpus has no mass points so the slack is small)
+    val byBucket = rows.groupBy(_.getString(1)).view.mapValues(_.map(_.getLong(2)).sum).toMap
+    assert(byBucket.keySet === Set("head", "middle", "tail"))
+    byBucket.foreach { case (b, c) =>
+      assert(math.abs(c - n / 3.0) <= 2.0, s"bucket $b holds $c of $n docs")
+    }
+  }
+
   test("q50 fingerprint is deterministic across runs") {
     val a = TextAnalysisOps.fingerprint(spark, sf).collect().map(r => (r.getLong(0), r.getLong(1)))
     val b = TextAnalysisOps.fingerprint(spark, sf).collect().map(r => (r.getLong(0), r.getLong(1)))
