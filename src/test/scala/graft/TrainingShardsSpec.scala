@@ -106,9 +106,13 @@ class TrainingShardsSpec extends SparkSpec {
       repeats.map { case (d, r) => docTokens(d)._1 * r }.sum)
     assert(stats("06_shards") > 1L, "everything landed in one shard")
 
-    // (5) deterministic byte-for-byte re-export: same files, same md5s
+    // (5) deterministic byte-for-byte re-export: same files, same md5s —
+    // and INDEPENDENT of the input's partitioning (the hash-line order
+    // and logical-shard-named writer make bytes a pure function of the
+    // data, the property a resumable/reproducible training run needs)
     val out2 = java.nio.file.Files.createTempDirectory("tshards2").toString
-    TrainingShards.writeShards(spark, docs, plan.select("doc_id", "repeats"), out2, cfg)
+    TrainingShards.writeShards(spark, docs.repartition(7),
+      plan.select("doc_id", "repeats").repartition(3), out2, cfg)
     def fileMd5s(dir: String): Map[String, String] = {
       val d = new java.io.File(s"$dir/shards")
       d.listFiles().filter(_.getName.endsWith(".tar")).map { f =>
@@ -117,7 +121,8 @@ class TrainingShardsSpec extends SparkSpec {
           .map("%02x".format(_)).mkString
       }.toMap
     }
-    assert(fileMd5s(out) === fileMd5s(out2), "re-export not byte-identical")
+    assert(fileMd5s(out) === fileMd5s(out2),
+      "re-export not byte-identical under a different input partitioning")
   }
 
   test("a doc with repeats = 0 ships zero instances") {
