@@ -58,21 +58,33 @@ import graft.operators.CurationOps
   *
   * Usage: TrainingShards <prep-out-dir> <export-out-dir>
   *          [--budget=512] [--shards=32] [--max-shard-mb=64]
+  *          [--epoch-seed=0]
   * where <prep-out-dir> is a CorpusPrep output directory (documents/ and
-  * optionally epoch_plan/).
+  * optionally epoch_plan/). `--epoch-seed=e` materializes epoch e's
+  * shuffle: a different deterministic permutation of the same instance
+  * multiset per seed (trainers reshuffle between epochs).
   */
 object TrainingShards {
 
   final case class Config(
       budget: Int = 512,
       shards: Int = 32,
-      maxShardBytes: Long = 64L * 1024 * 1024)
+      maxShardBytes: Long = 64L * 1024 * 1024,
+      // Which epoch's shuffle to materialize: the seed folds into the
+      // hash line, so each epoch gets a DIFFERENT deterministic
+      // permutation of the same instance multiset (trainers reshuffle
+      // between epochs; a run exports epoch e with epochSeed = e and
+      // every worker regenerates identical bytes). 0 = the default
+      // single-epoch export.
+      epochSeed: Long = 0L)
 
   /** The multiplicative-hash line for (doc, repeat) instances: the same
     * constant family as q36/q58/q64b, with the repeat folded in so a
-    * doc's copies scatter. Non-negative by construction. */
-  private def instHash = (col("doc_id") * lit(2654435761L) +
-    col("rep") * lit(1000003L)) % lit(1000000007L)
+    * doc's copies scatter and the epoch seed folded in so each epoch
+    * shuffles differently. Non-negative by construction. */
+  private def instHash(epochSeed: Long) =
+    (col("doc_id") * lit(2654435761L) + col("rep") * lit(1000003L) +
+      lit(epochSeed) * lit(7919L)) % lit(1000000007L)
 
   def run(spark: SparkSession, prepDir: String, out: String,
       cfg: Config = Config()): Unit = {
@@ -99,7 +111,7 @@ object TrainingShards {
       .filter(col("repeats") > 0)
       .select(col("doc_id"), col("source"), col("text"),
         explode(sequence(lit(1L), col("repeats"))).as("rep"))
-      .withColumn("h", instHash)
+      .withColumn("h", instHash(cfg.epochSeed))
       .withColumn("shard", (col("h") % cfg.shards).cast("int"))
       .withColumn("ts", split(col("text"), " "))
       .withColumn("n_tokens", size(col("ts")).cast("long"))
@@ -179,7 +191,7 @@ object TrainingShards {
   def main(args: Array[String]): Unit = {
     require(args.length >= 2,
       "usage: TrainingShards <prep-out-dir> <export-out-dir> " +
-        "[--budget=N] [--shards=N] [--max-shard-mb=N]")
+        "[--budget=N] [--shards=N] [--max-shard-mb=N] [--epoch-seed=N]")
     def num(prefix: String, default: Long): Long = args.collectFirst {
       case a if a.startsWith(prefix) => a.stripPrefix(prefix).toLong
     }.getOrElse(default)
@@ -187,7 +199,8 @@ object TrainingShards {
     run(spark, args(0), args(1), Config(
       budget = num("--budget=", 512).toInt,
       shards = num("--shards=", 32).toInt,
-      maxShardBytes = num("--max-shard-mb=", 64) * 1024 * 1024))
+      maxShardBytes = num("--max-shard-mb=", 64) * 1024 * 1024,
+      epochSeed = num("--epoch-seed=", 0)))
     spark.stop()
   }
 }

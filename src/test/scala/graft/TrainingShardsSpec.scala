@@ -125,6 +125,30 @@ class TrainingShardsSpec extends SparkSpec {
       "re-export not byte-identical under a different input partitioning")
   }
 
+  test("epoch seeds: different deterministic shuffles of the SAME instance multiset") {
+    import spark.implicits._
+    val docs = mkDocs()
+    val plan = CurationOps.epochMixOf(docs).select(col("doc_id"), col("repeats"))
+    def export(seed: Long): (Map[(Long, Long), Long], Seq[String]) = {
+      val out = java.nio.file.Files.createTempDirectory(s"tse$seed").toString
+      TrainingShards.writeShards(spark, docs, plan, out,
+        TrainingShards.Config(budget = 32, shards = 4, epochSeed = seed))
+      val metas = TarShards.read(spark, s"$out/shards").collect().map(_.json).toSeq
+      val insts = metas.toDF("json")
+        .select(explode(from_json(col("json"), MetaSchema).getField("docs")).as("d"))
+        .groupBy(col("d.doc_id"), col("d.rep")).agg(sum("d.n_frag").as("n"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      (insts, metas.sorted)
+    }
+    val (i0, m0) = export(0L)
+    val (i1, m1) = export(1L)
+    // identical instance multiset (every (doc, rep) with its full token
+    // count) under both seeds...
+    assert(i0 === i1, "epoch seeds must permute, not change, the instance set")
+    // ...but a genuinely different layout (the reshuffle is real)
+    assert(m0 !== m1, "different epoch seeds produced identical layouts")
+  }
+
   test("a doc with repeats = 0 ships zero instances") {
     import spark.implicits._
     val docs = Seq((1L, "a", "x y z"), (2L, "a", "p q r")).toDF("doc_id", "source", "text")
