@@ -78,6 +78,7 @@ object SparkEntry {
     "q56_contamination"   -> (CurationOps.contamination _),
     "q57_dup_ngram_rate"  -> (CurationOps.dupNgramRate _),
     "q82_decontaminate"   -> ((s: SparkSession, d: String) => CurationOps.decontaminate(s, d)),
+    "q82b_decon_fuzzy"    -> ((s: SparkSession, d: String) => CurationOps.deconFuzzy(s, d)),
     "q58_stratified_sample" -> ((s: SparkSession, d: String) => CurationOps.stratifiedSample(s, d)),
     "q59_quantize_int8"   -> (CurationOps.quantizeStats _),
     "q60_chunk_docs"      -> ((s: SparkSession, d: String) => CurationOps.chunkDocs(s, d)),
@@ -1740,6 +1741,33 @@ object SparkEntry {
         |  CAST(SUM(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
         |  SUM(CASE WHEN hit THEN 1 ELSE 0 END) > 0 AS drop
         |FROM probe GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // q82b: fuzzy decon — q42's minhash/band construction, candidates
+    // restricted to train x held-out across the same 80/20 hash split,
+    // q42b's position-agreement estimate, integer-exact drop at
+    // n_agree >= 8 (= ceil(0.5 * 16))
+    "q82b_decon_fuzzy" ->
+      s"""WITH $SHINGLES,
+         |sigs AS (SELECT doc_id, i,
+         |           list_min(list_transform(hs, v -> ((2*i+1)*v + 7919*i + 13) % 2147483647)) AS mh
+         |         FROM sh, range(16) t(i)),
+         |bands AS (SELECT doc_id, i // 4 AS band,
+         |            string_agg(mh::VARCHAR, ',' ORDER BY i) AS sig
+         |          FROM sigs GROUP BY doc_id, i // 4),
+         |cand AS (SELECT DISTINCT tr.doc_id AS doc_id, h.doc_id AS h_id
+         |         FROM bands tr JOIN bands h ON tr.band = h.band AND tr.sig = h.sig
+         |         WHERE (tr.doc_id * 2654435761) % 100 < 80
+         |           AND (h.doc_id * 2654435761) % 100 >= 80),
+         |ag AS (SELECT c.doc_id, c.h_id,
+         |         CAST(SUM(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) AS BIGINT) AS n_agree
+         |       FROM cand c JOIN sigs sa ON sa.doc_id = c.doc_id
+         |            JOIN sigs sb ON sb.doc_id = c.h_id AND sb.i = sa.i
+         |       GROUP BY c.doc_id, c.h_id)
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_candidates,
+         |  MAX(n_agree) AS n_agree_max,
+         |  CAST(MAX(n_agree) AS DOUBLE) / 16.0 AS best_est,
+         |  MAX(n_agree) >= 8 AS drop
+         |FROM ag GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q57_dup_ngram_rate" ->
       s"""WITH $SHINGLES

@@ -85,6 +85,47 @@ object CurationOps {
       .orderBy("doc_id")
   }
 
+  /** q82b — FUZZY decontamination, the MinHash companion of q82's
+    * verbatim rule: a train doc is reported when it shares an LSH band
+    * bucket with a HELD-OUT doc, with q42b's signature-estimated Jaccard
+    * as the score and an integer-exact drop verdict (n_agree ≥
+    * ceil(minEst·16)) — catching paraphrased or partially-rewritten
+    * benchmark leakage whose doc-level similarity survives but whose
+    * k-gram windows no longer match verbatim (the case q82's
+    * exact-window rule structurally misses). Exact-substring decon and
+    * fuzzy doc-level decon are the two standard passes a benchmark-clean
+    * corpus runs.
+    *
+    * Scale shape: signatures come from THE shared per-session table
+    * (DedupOps.sigTable — 64 bytes/doc, also q42b's); the held-out band
+    * index is bounded by the benchmark suite (always the broadcastable
+    * side at train scale); candidates are band-collision-bounded (the
+    * q62 batch-vs-corpus shape, never train×held); the estimate reads
+    * only signatures, never text. Output is one row per train doc with
+    * ≥1 candidate.
+    */
+  def deconFuzzy(s: SparkSession, d: String, minEst: Double = 0.5): DataFrame = {
+    require(minEst > 0.0 && minEst <= 1.0, s"minEst in (0,1]; got $minEst")
+    val minAgree = math.ceil(minEst * DedupOps.NumHashes).toLong
+    val sigs = DedupOps.sigTable(s, d)
+    val trainB = DedupOps.bandsOfSigTable(sigs.filter(!isTest))
+    val heldB = DedupOps.bandsOfSigTable(sigs.filter(isTest))
+      .select(col("band"), col("sig"), col("doc_id").as("h_id"))
+    val cand = trainB.join(heldB, Seq("band", "sig"))
+      .select("doc_id", "h_id").distinct()
+    cand
+      .join(sigs.select(col("doc_id"), col("mh").as("ma")), "doc_id")
+      .join(sigs.select(col("doc_id").as("h_id"), col("mh").as("mb")), "h_id")
+      .withColumn("n_agree",
+        size(filter(zip_with(col("ma"), col("mb"), (x, y) => x === y), b => b)).cast("long"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_candidates"), max(col("n_agree")).as("n_agree_max"))
+      .select(col("doc_id"), col("n_candidates"), col("n_agree_max"),
+        (col("n_agree_max").cast("double") / lit(DedupOps.NumHashes.toDouble)).as("best_est"),
+        (col("n_agree_max") >= minAgree).as("drop"))
+      .orderBy("doc_id")
+  }
+
   /** The window sizes q97 sweeps: the Pile's 13-gram default bracketed
     * by a stricter short window and a laxer long one. */
   private[graft] val DeconCurveKs: Seq[Int] = Seq(8, 13, 21)

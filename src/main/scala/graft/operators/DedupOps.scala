@@ -176,7 +176,7 @@ object DedupOps {
       .orderBy("doc_a", "doc_b")
   }
 
-  private val NumHashes = 16
+  private[graft] val NumHashes = 16
   private val Bands = 4
   private val RowsPerBand = NumHashes / Bands
 
@@ -313,6 +313,26 @@ object DedupOps {
   private val sigCaches =
     new java.util.concurrent.ConcurrentHashMap[SparkSession, DataFrame]()
 
+  /** THE per-session persisted (doc_id, mh) signature table — one live
+    * copy shared by every signature consumer (q42b's estimate, q82b's
+    * fuzzy decontamination): the 64-byte/doc index a production corpus
+    * materializes once. Each call re-derives the frame and releases the
+    * previous session copy (the established one-live-copy policy). */
+  private[graft] def sigTable(s: SparkSession, d: String): DataFrame = {
+    val sigs = signatures(scaledDocs(s, d))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    sigCaches.put(s, sigs) match {
+      case prev: DataFrame if prev ne sigs => prev.unpersist(blocking = false)
+      case _ => ()
+    }
+    sigs
+  }
+
+  /** [[bandsOfSigs]] over an external signature table, doc_id carried —
+    * the q82b seam (band layout single-sourced). */
+  private[graft] def bandsOfSigTable(sigs: DataFrame): DataFrame =
+    bandsOfSigs(sigs, Seq(col("doc_id")))
+
   /** q42b — signature-estimated Jaccard for the LSH candidate pairs: the
     * fraction of the 16 MinHash positions on which a candidate pair agrees
     * is an unbiased estimate of its true Jaccard — the standard
@@ -327,12 +347,7 @@ object DedupOps {
     * index, same one-live-copy cache policy.
     */
   def minhashEst(s: SparkSession, d: String): DataFrame = {
-    val sigs = signatures(scaledDocs(s, d))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    sigCaches.put(s, sigs) match {
-      case prev: DataFrame if prev ne sigs => prev.unpersist(blocking = false)
-      case _ => ()
-    }
+    val sigs = sigTable(s, d)
     val pairs = pairsFromBuckets(bandsOfSigs(sigs, Seq(col("doc_id")))).distinct()
     pairs
       .join(sigs.select(col("doc_id").as("doc_a"), col("mh").as("ma")), "doc_a")

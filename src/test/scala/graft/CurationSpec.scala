@@ -33,6 +33,43 @@ class CurationSpec extends SparkSpec {
     intercept[IllegalArgumentException] { CurationOps.decontaminate(spark, sf, k = 1) }
   }
 
+  test("q82b fuzzy decon: a paraphrased held-out doc flags its train echo; clean docs pass") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("fuzzydecon").toString
+    // split sides under the 80/20 hash rule: ids 3/8 are HELD-OUT,
+    // 1/2/4 are TRAIN. Doc 1 is a light paraphrase of held-out doc 3
+    // (one token changed — shares most shingles but NOT every 13-gram,
+    // the case q82's verbatim rule exists to miss); doc 2 shares
+    // nothing; doc 4 is a verbatim copy of held-out doc 8.
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val para = (1 to 40).map(i => if (i == 20) "CHANGED" else s"w$i").mkString(" ")
+    val other = (1 to 40).map(i => s"z$i").mkString(" ")
+    val copy = (100 to 140).map(i => s"c$i").mkString(" ")
+    val docs = Seq(
+      (1L, "en", "src0", para),  // train: paraphrase of 3
+      (2L, "en", "src0", other), // train: clean
+      (4L, "en", "src0", copy),  // train: verbatim copy of 8
+      (3L, "en", "src0", base),  // held-out
+      (8L, "en", "src0", copy))  // held-out
+    docs.toDF("doc_id", "lang", "source", "text")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = CurationOps.deconFuzzy(spark, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // the verbatim copy: all 16 positions agree, est 1.0, dropped
+    assert(got.contains(4L), s"verbatim train copy not even a candidate: ${got.keySet}")
+    assert(got(4L).getAs[Long]("n_agree_max") === 16L)
+    assert(got(4L).getAs[Boolean]("drop"))
+    // the paraphrase: flagged with a high (but < 1) estimate
+    assert(got.contains(1L), s"paraphrase not a candidate: ${got.keySet}")
+    assert(got(1L).getAs[Boolean]("drop"),
+      s"paraphrase estimate ${got(1L).getAs[Double]("best_est")} under the cut")
+    assert(got(1L).getAs[Long]("n_agree_max") < 16L, "a paraphrase cannot agree on all positions")
+    // the clean doc shares no band with any held-out doc
+    assert(!got.contains(2L), "clean train doc flagged")
+    // held-out docs are never reported (the list is a TRAIN removal list)
+    assert(!got.contains(3L) && !got.contains(8L))
+  }
+
   test("q97 decon curve: flags monotone non-increasing in k; 13-arm matches q82 exactly") {
     val rows = CurationOps.deconCurve(spark, sf).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
