@@ -38,6 +38,11 @@ import graft.operators.DedupOps
   *      downstream eval. Opt-in (`Config.decontaminate`); the removal
   *      list is q82's (hash-split heldout convention), applied by
   *      broadcast anti-join on doc_id.
+  *   6a. fuzzy decontamination (q82b, opt-in): MinHash doc-level pass —
+  *       a surviving train doc whose signature-estimated Jaccard against
+  *       any held-out doc clears the cut drops (the paraphrase catch the
+  *       verbatim window rule structurally misses); the held-out split
+  *       itself leaves even when only this stage is on.
   *   6b. ExactSubstr span cut (q83b, Lee et al. 2021): duplicated token
   *       extents are CUT from the surviving docs' text (the canonical
   *       first occurrence keeps each span) — the span-level pass that
@@ -55,7 +60,7 @@ import graft.operators.DedupOps
   *      hash-line shuffled, token-budget packed and written as
   *      WebDataset tar shards — lake → training set, completed
   *
-  * Usage: CorpusPrep <sf-dir> <out-dir> [--no-neardup] [--semantic] [--decontaminate] [--span-cut] [--lm-filter=MAX_AVG_NLL] [--clf-filter[=MIN_LOGIT]] [--epoch-plan] [--train-shards]
+  * Usage: CorpusPrep <sf-dir> <out-dir> [--no-neardup] [--semantic] [--decontaminate] [--fuzzy-decon[=MIN_EST]] [--span-cut] [--lm-filter=MAX_AVG_NLL] [--clf-filter[=MIN_LOGIT]] [--epoch-plan] [--train-shards]
   *
   * Output layout:
   *   <out>/documents/  kept documents (redacted text, provenance columns)
@@ -105,6 +110,11 @@ object CorpusPrep {
       clfMinLogit: Double = 0.0,
       decontaminate: Boolean = false,
       decontaminateNgram: Int = 13,
+      // q82b's fuzzy MinHash decon pass (opt-in): drops surviving train
+      // docs whose signature-estimated Jaccard against any held-out doc
+      // clears the cut — the paraphrase catch the verbatim rule misses
+      fuzzyDecon: Boolean = false,
+      fuzzyDeconMinEst: Double = 0.5,
       spanCut: Boolean = false,
       spanCutNgram: Int = 8,
       chunkWindow: Int = 32,
@@ -274,8 +284,11 @@ object CorpusPrep {
     // above), the heldout window index is broadcastable at any train
     // scale, and the list itself is a doc_id column small enough to
     // broadcast against the kept frontier.
-    val (deconKept, nSemantic) =
-      if (!cfg.decontaminate) (semKept, -1L)
+    val (exactDeconKept, nSemantic) =
+      if (!cfg.decontaminate) (semKept,
+        // the semantic-frontier count feeds the attrition report whenever
+        // ANY decon stage runs after it
+        if (cfg.fuzzyDecon) semKept.count() else -1L)
       else {
         val drops = graft.operators.CurationOps
           .decontaminate(spark, sfDir, cfg.decontaminateNgram)
@@ -284,6 +297,27 @@ object CorpusPrep {
         // the attrition report can show the decon stage's own attrition
         (semKept.filter(!graft.operators.CurationOps.heldoutSplit)
           .join(broadcast(drops), Seq("doc_id"), "left_anti"), semKept.count())
+      }
+
+    // 6a. FUZZY decontamination (q82b): opt-in MinHash doc-level pass —
+    // a surviving train doc sharing an LSH band bucket with a held-out
+    // doc at signature-estimated Jaccard >= the cut drops (catches
+    // paraphrased benchmark leakage the verbatim window rule misses).
+    // Same raw-ids flag discovery + broadcast anti-join pattern; when
+    // the exact stage is off, the held-out split itself still leaves
+    // (the fuzzy stage is still a DECONTAMINATION stage — shipping the
+    // benchmark because only the fuzzy dial was chosen would be absurd).
+    val (deconKept, nExactDecon) =
+      if (!cfg.fuzzyDecon) (exactDeconKept, -1L)
+      else {
+        val drops = graft.operators.CurationOps
+          .deconFuzzy(spark, sfDir, cfg.fuzzyDeconMinEst)
+          .filter(col("drop")).select("doc_id")
+        val base =
+          if (cfg.decontaminate) exactDeconKept
+          else exactDeconKept.filter(!graft.operators.CurationOps.heldoutSplit)
+        (base.join(broadcast(drops), Seq("doc_id"), "left_anti"),
+          if (cfg.decontaminate) exactDeconKept.count() else -1L)
       }
 
     // 6b. ExactSubstr span cut (q83b): opt-in text REWRITE of the
@@ -365,12 +399,16 @@ object CorpusPrep {
       ("01c_clf_filter", nClf),
       ("02_exact_dedup", nExact),
       ("03_neardup_groups", nKept),
-      ("04_semantic_dedup", if (cfg.decontaminate) nSemantic else nAfterDecon),
+      ("04_semantic_dedup",
+        if (cfg.decontaminate || cfg.fuzzyDecon) nSemantic else nAfterDecon),
       // the dial the semantic stage actually ran with (-1 = stage off):
       // the auditable record that a run measured its density instead of
       // silently pairing the unblocked shape
       ("04b_semantic_bits", semanticBitsUsed),
-      ("05_decontaminate", nAfterDecon),
+      ("05_decontaminate",
+        if (!cfg.fuzzyDecon) nAfterDecon
+        else if (cfg.decontaminate) nExactDecon else -1L),
+      ("05a_fuzzy_decon", if (cfg.fuzzyDecon) nAfterDecon else -1L),
       ("05b_span_cut", nFinal),
       ("06_chunks", nChunks),
       ("07_epoch_plan", nPlan),
@@ -382,12 +420,17 @@ object CorpusPrep {
   def main(args: Array[String]): Unit = {
     require(args.length >= 2,
       "usage: CorpusPrep <sf-dir> <out-dir> [--no-neardup] [--semantic] " +
-        "[--semantic-bits=N] [--decontaminate] [--span-cut] " +
+        "[--semantic-bits=N] [--decontaminate] [--fuzzy-decon[=MIN_EST]] [--span-cut] " +
         "[--lm-filter=MAX_AVG_NLL] [--clf-filter[=MIN_LOGIT]] [--epoch-plan] [--train-shards]")
     val spark = GraftSession.get()
     val lmMax = args.collectFirst {
       case a if a.startsWith("--lm-filter=") =>
         a.stripPrefix("--lm-filter=").toDouble
+    }
+    val fuzzyMin = args.collectFirst {
+      case a if a.startsWith("--fuzzy-decon=") =>
+        a.stripPrefix("--fuzzy-decon=").toDouble
+      case "--fuzzy-decon" => 0.5
     }
     val clfMin = args.collectFirst {
       case a if a.startsWith("--clf-filter=") =>
@@ -408,6 +451,8 @@ object CorpusPrep {
           a.stripPrefix("--semantic-bits=").toInt
       },
       decontaminate = args.contains("--decontaminate"),
+      fuzzyDecon = fuzzyMin.isDefined,
+      fuzzyDeconMinEst = fuzzyMin.getOrElse(0.5),
       spanCut = args.contains("--span-cut"),
       epochPlan = args.contains("--epoch-plan"),
       trainShards = args.contains("--train-shards")))

@@ -108,6 +108,62 @@ class CorpusPrepSpec extends SparkSpec {
     assert(stats("05_decontaminate") === stats("04_semantic_dedup") - 2)
   }
 
+  test("fuzzy-decon stage drops a PARAPHRASE of a held-out doc that the verbatim rule misses") {
+    import spark.implicits._
+    // doc 3 is held-out (3 -> 83); train doc 2 paraphrases it with an
+    // edit every 13th token (positions 13/26/39/52 of 60): any 13
+    // consecutive tokens contain exactly one multiple of 13, so EVERY
+    // 13-gram window crosses an edit and the verbatim rule structurally
+    // cannot fire — while ~46 of 58 shingles still agree. LSH banding at
+    // that Jaccard is probabilistic by nature (q86 measures the recall);
+    // this fixture is a deterministic instance verified to collide
+    // (n_agree = 8 of 16 under the frozen kernels), and the stage runs
+    // at minEst = 0.4 for margin. Doc 3 itself falls to the NEAR-DUP
+    // stage (2 is its component's canonical), but fuzzy flag discovery
+    // runs on raw ids, so the train echo still flags.
+    val base = (1 to 60).map(i => s"p$i")
+    val para = Seq(13, 26, 39, 52).foldLeft(base)((b, i) => b.updated(i - 1, s"A$i"))
+    val corpus = java.nio.file.Files.createTempDirectory("fuzzycorpus").toString
+    Seq(
+      (2L, para.mkString(" ")),            // train paraphrase of 3
+      (3L, base.mkString(" ")),            // held-out original
+      (1L, "alpha bravo charlie delta echo foxtrot golf hotel"),
+      (4L, "red orange yellow green blue indigo violet gray"))
+      .map { case (id, t) => (id, "en", "web", t, t.length.toLong) }
+      .toDF("doc_id", "lang", "source", "text", "n_chars")
+      .write.parquet(s"$corpus/documents.parquet")
+
+    // the VERBATIM stage alone cannot catch doc 2 (no shared 13-window),
+    // but it does remove held-out doc 3 itself
+    val exOut = java.nio.file.Files.createTempDirectory("fuzzoff").toString
+    CorpusPrep.run(spark, corpus, exOut, CorpusPrep.Config(decontaminate = true))
+    val exIds = spark.read.parquet(s"$exOut/documents")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(exIds.contains(2L), "the paraphrase must slip past the verbatim rule")
+
+    // the fuzzy stage catches it — with or without the exact stage on
+    val onOut = java.nio.file.Files.createTempDirectory("fuzzon").toString
+    CorpusPrep.run(spark, corpus, onOut,
+      CorpusPrep.Config(decontaminate = true, fuzzyDecon = true,
+        fuzzyDeconMinEst = 0.4))
+    val onIds = spark.read.parquet(s"$onOut/documents")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(onIds === exIds - 2L)
+    val stats = spark.read.parquet(s"$onOut/stats").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(stats("05a_fuzzy_decon") === stats("05_decontaminate") - 1)
+
+    // fuzzy WITHOUT exact: the held-out split still leaves the corpus
+    val soloOut = java.nio.file.Files.createTempDirectory("fuzzsolo").toString
+    CorpusPrep.run(spark, corpus, soloOut,
+      CorpusPrep.Config(fuzzyDecon = true, fuzzyDeconMinEst = 0.4))
+    val soloIds = spark.read.parquet(s"$soloOut/documents")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(!soloIds.contains(3L), "held-out docs must never ship")
+    assert(!soloIds.contains(2L))
+    assert(soloIds.contains(1L) && soloIds.contains(4L))
+  }
+
   test("LM-filter stage drops the off-distribution doc, keeps in-distribution; off by default") {
     import spark.implicits._
     // reference source 'src0' teaches the LM; doc 20 repeats the
