@@ -109,13 +109,22 @@ object CurationOps {
     val minAgree = math.ceil(minEst * DedupOps.NumHashes).toLong
     val sigs = DedupOps.sigTable(s, d)
     val trainB = DedupOps.bandsOfSigTable(sigs.filter(!isTest))
+    // the held-out side is ALWAYS the broadcast side — benchmark-bounded
+    // by construction, while the train side is the corpus. Explicit
+    // broadcasts down the whole chain: Catalyst's compressed-scan size
+    // estimates under-count the corpus at test SFs and would pick the
+    // corpus-sized signature table as the hash build (the q44 lesson) —
+    // at 100 TB that plan is an OOM. The candidate frame and its
+    // signature-carrying successor are band-collision-bounded (≤ held ×
+    // colliding train docs), the side a production run CAN broadcast.
     val heldB = DedupOps.bandsOfSigTable(sigs.filter(isTest))
       .select(col("band"), col("sig"), col("doc_id").as("h_id"))
-    val cand = trainB.join(heldB, Seq("band", "sig"))
+    val cand = trainB.join(broadcast(heldB), Seq("band", "sig"))
       .select("doc_id", "h_id").distinct()
-    cand
-      .join(sigs.select(col("doc_id"), col("mh").as("ma")), "doc_id")
-      .join(sigs.select(col("doc_id").as("h_id"), col("mh").as("mb")), "h_id")
+    val withMa = sigs.select(col("doc_id"), col("mh").as("ma"))
+      .join(broadcast(cand), Seq("doc_id"))
+    sigs.select(col("doc_id").as("h_id"), col("mh").as("mb"))
+      .join(broadcast(withMa), Seq("h_id"))
       .withColumn("n_agree",
         size(filter(zip_with(col("ma"), col("mb"), (x, y) => x === y), b => b)).cast("long"))
       .groupBy("doc_id")

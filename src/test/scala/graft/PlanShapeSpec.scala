@@ -318,6 +318,31 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.sliding("HashAggregate".length).count(_ == "HashAggregate") >= 2)
   }
 
+  test("q100: band filter feeds bounded topk partials — no Window, no cartesian pair blowup") {
+    val df = operators.SimilarityOps.hardNegatives(spark, sf)
+    val p = plan(df)
+    // ranking rides graft_topk's map-side partials (partial_graft_topk
+    // before the exchange); the only join is the broadcast of the
+    // bounded query set with the band predicate applied IN the join
+    assert(p.contains("partial_graft_topk"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    val windows = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.isEmpty, s"q100 should rank via graft_topk, found:\n$windows")
+  }
+
+  test("q82b: every hash build is a bounded frame — the corpus signature table never broadcasts") {
+    val p = plan(operators.CurationOps.deconFuzzy(spark, sf))
+    // three explicit broadcasts (held bands, candidates, candidates+sig),
+    // no sort-merge join, no cartesian: the estimate-driven plan at test
+    // SFs picked the corpus-sized signature table as the hash build (the
+    // q44 lesson) before the explicit pins
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+    // formatted mode lists operators twice (tree + details): 3 joins
+    assert(p.sliding("BroadcastHashJoin".length).count(_ == "BroadcastHashJoin") >= 3, p)
+  }
+
   test("q95b/q95c: the scoring kernel is UNORDERED — no corpus sort reaches the aggregating consumers") {
     // the round-10 review found Clf.scoreOf/lmScoreOf/dsirWeights ending
     // in orderBy(doc_id), which survived into every aggregating
