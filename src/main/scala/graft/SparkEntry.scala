@@ -67,6 +67,7 @@ object SparkEntry {
     "q46b_knn_ivf"        -> ((s: SparkSession, d: String) => SimilarityOps.knnIvf(s, d)),
     "q54_ivf_balance"     -> (SimilarityOps.ivfListBalance _),
     "q55_dedup_groups"    -> ((s: SparkSession, d: String) => DedupOps.dedupGroups(s, d)),
+    "q55c_group_sizes"    -> ((s: SparkSession, d: String) => DedupOps.dedupGroupSizes(s, d)),
     "q55b_dedup_priority" -> ((s: SparkSession, d: String) => DedupOps.dedupGroupsPriority(s, d)),
     "q47_langid"          -> (TextAnalysisOps.langId _),
     "q48_quality_score"   -> (TextAnalysisOps.qualityScore _),
@@ -1453,6 +1454,33 @@ object SparkEntry {
          |  (d.doc_id = COALESCE(c.canonical, d.doc_id)) AS is_canonical
          |FROM documents d LEFT JOIN canon c USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
+
+    // q55c: q55's closure reduced to the cluster-size histogram
+    "q55c_group_sizes" ->
+      s"""WITH RECURSIVE $SHINGLES,
+         |h AS (SELECT doc_id, hs FROM sh),
+         |sigs AS (SELECT doc_id, i,
+         |           list_min(list_transform(hs, v -> ((2*i+1)*v + 7919*i + 13) % 2147483647)) AS mh
+         |         FROM h, range(16) t(i)),
+         |bands AS (SELECT doc_id, i // 4 AS band,
+         |            string_agg(mh::VARCHAR, ',' ORDER BY i) AS sig
+         |          FROM sigs GROUP BY doc_id, i // 4),
+         |p AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |      FROM bands a JOIN bands b
+         |        ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+         |nodes AS (SELECT DISTINCT doc_a AS u FROM p UNION SELECT DISTINCT doc_b FROM p),
+         |edges AS (SELECT doc_a AS u, doc_b AS v FROM p UNION SELECT doc_b, doc_a FROM p),
+         |reach(src, dst) AS (
+         |  SELECT u, u FROM nodes
+         |  UNION
+         |  SELECT r.src, e.v FROM reach r JOIN edges e ON r.dst = e.u),
+         |canon AS (SELECT src AS doc_id, MIN(dst) AS canonical FROM reach GROUP BY src),
+         |lab AS (SELECT d.doc_id, COALESCE(c.canonical, d.doc_id) AS canonical
+         |        FROM documents d LEFT JOIN canon c USING (doc_id)),
+         |gs AS (SELECT canonical, CAST(COUNT(*) AS BIGINT) AS group_size
+         |       FROM lab GROUP BY canonical)
+         |SELECT group_size, CAST(COUNT(*) AS BIGINT) AS n_groups
+         |FROM gs GROUP BY group_size ORDER BY group_size""".stripMargin,
 
     // the same transitive closure; the representative minimizes the packed
     // (source-trust, doc_id) key instead of bare doc_id

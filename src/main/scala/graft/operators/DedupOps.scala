@@ -538,6 +538,21 @@ object DedupOps {
   def dedupGroups(s: SparkSession, d: String, maxRounds: Int = 50): DataFrame =
     dedupGroupsImpl(s, d, maxRounds, keys = None)
 
+  /** q55c — the duplicate-cluster SIZE HISTOGRAM: how many groups of
+    * each size the near-dup graph contains (size 1 = the non-duplicated
+    * mass) — the forensics figure a dedup report leads with: a heavy
+    * tail means boilerplate families, and the histogram decides how
+    * aggressive group dedup must be before a 100 TB run commits.
+    * q55's labeling + two bounded aggregations (group count ≤ corpus,
+    * histogram rows ≤ max group size); its propagation snapshot caches
+    * under its OWN key so the eager q55/q55b views are not evicted.
+    */
+  def dedupGroupSizes(s: SparkSession, d: String, maxRounds: Int = 50): DataFrame =
+    dedupGroupsImpl(s, d, maxRounds, keys = None, cacheKeyOverride = Some("groups-sizes"))
+      .groupBy("canonical").agg(count(lit(1)).as("group_size"))
+      .groupBy("group_size").agg(count(lit(1)).as("n_groups"))
+      .orderBy("group_size")
+
   /** q55b — duplicate groups with a PRIORITY canonical: the same connected
     * components as q55, but the kept copy of each group is the member with
     * the most-trusted SOURCE (ties by doc_id) instead of the min doc_id —
@@ -587,13 +602,14 @@ object DedupOps {
   }
 
   private def dedupGroupsImpl(s: SparkSession, d: String, maxRounds: Int,
-      keys: Option[DataFrame]): DataFrame = {
+      keys: Option[DataFrame], cacheKeyOverride: Option[String] = None): DataFrame = {
     // packed priority keys decode back to their node via the low 40 bits —
     // the pointer-jump step needs label values to resolve to node ids
     val decode: Column => Column =
       if (keys.isEmpty) identity else (c: Column) => c % lit(1L << 40)
     val labels = propagateMin(s, minhashPairsRaw(s, d), maxRounds, keys, decode,
-      cacheKey = if (keys.isEmpty) "groups-min" else "groups-priority")
+      cacheKey = cacheKeyOverride.getOrElse(
+        if (keys.isEmpty) "groups-min" else "groups-priority"))
     val joined = keys match {
       case None =>
         Tables.documents(s, d).select("doc_id")

@@ -700,6 +700,18 @@ class LlmOpsSpec extends SparkSpec {
     assert(TextAnalysisOps.AllLangs.length === 23)
   }
 
+  test("q55c group sizes: histogram partitions the corpus and matches q55's labeling") {
+    val hist = DedupOps.dedupGroupSizes(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val n = Tables.documents(spark, sf).count()
+    assert(hist.map { case (sz, k) => sz * k }.sum === n,
+      "every doc must land in exactly one cluster")
+    val groupSizes = DedupOps.dedupGroups(spark, sf).collect()
+      .groupBy(_.getLong(1)).map(_._2.length.toLong)
+    val expect = groupSizes.groupBy(identity).map { case (sz, xs) => sz -> xs.size.toLong }
+    assert(hist === expect, s"histogram disagrees with q55's own labeling")
+  }
+
   test("q100 hard negatives: mined pairs stay inside the band, ranks dense, scores ordered") {
     val rows = SimilarityOps.hardNegatives(spark, sf).collect()
     assert(rows.nonEmpty)
