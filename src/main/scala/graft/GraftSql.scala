@@ -33,7 +33,8 @@ object GraftSql {
     * registerQueries by default so building the catalog stays free.
     */
   val eagerQueries: Set[String] =
-    Set("q55_dedup_groups", "q55b_dedup_priority", "q32_track_stitch")
+    Set("q55_dedup_groups", "q55b_dedup_priority", "q55c_group_sizes",
+      "q32_track_stitch", "q95c_clf_eval")
 
   /** Register every operator in the library as a temp view, so the whole
     * catalog is composable from SQL:
