@@ -1039,6 +1039,16 @@ object SparkEntry {
         |  COUNT(DISTINCT l_orderkey) AS n_orders
         |FROM lineitem""".stripMargin,
 
+    // q12b: HLL estimates are engine-specific, so the oracled surface is
+    // the portable half — exact counts plus the ≤5% error VERDICT (DuckDB
+    // asserts the verdict is TRUE; a drifted Spark sketch flips a boolean
+    // and hash-mismatches)
+    "q12b_approx_distinct" ->
+      """SELECT COUNT(DISTINCT l_partkey) AS exact_parts,
+        |  COUNT(DISTINCT l_orderkey) AS exact_orders,
+        |  TRUE AS parts_within_5pct, TRUE AS orders_within_5pct
+        |FROM lineitem""".stripMargin,
+
     "q13_case_pivot" ->
       s"""SELECT user_id,
          |  CAST(SUM(CASE WHEN event_type='click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -220,13 +220,29 @@ object RelationalOps {
       countDistinct(col("l_suppkey")).as("n_supps"),
       countDistinct(col("l_orderkey")).as("n_orders"))
 
-  /** q12b — sketch-based distinct (HLL): constant memory at any scale;
-    * rows-only check (sketch estimates are engine-specific).
+  /** q12b — sketch-based distinct (HLL) with its accuracy contract made
+    * driver-checkable: the production operator is `approx_count_distinct`
+    * (constant memory at any scale); the QUERY also computes the exact
+    * counts and emits the ≤5% relative-error VERDICT as booleans. The raw
+    * sketch estimates are engine-specific (never hash-comparable across
+    * engines), but the exact counts and the error predicate are portable —
+    * so the oracle pins rows+schema+hash on (exact, within_5pct), and an
+    * HLL kernel drifting past its documented rsd flips a boolean and fails
+    * the gate instead of hiding behind a rows-only check.
     */
-  def approxDistinct(s: SparkSession, d: String): DataFrame =
+  def approxDistinct(s: SparkSession, d: String): DataFrame = {
+    def within(approx: Column, exact: Column): Column =
+      (abs(approx.cast("double") - exact.cast("double")) <=
+        lit(0.05) * exact.cast("double")).as("w")
     Tables.lineitem(s, d).agg(
-      approx_count_distinct(col("l_partkey")).as("approx_parts"),
-      approx_count_distinct(col("l_orderkey")).as("approx_orders"))
+      countDistinct(col("l_partkey")).as("exact_parts"),
+      countDistinct(col("l_orderkey")).as("exact_orders"),
+      approx_count_distinct(col("l_partkey")).as("ap"),
+      approx_count_distinct(col("l_orderkey")).as("ao"))
+      .select(col("exact_parts"), col("exact_orders"),
+        within(col("ap"), col("exact_parts")).as("parts_within_5pct"),
+        within(col("ao"), col("exact_orders")).as("orders_within_5pct"))
+  }
 
   /** q13 — conditional pivot: event type -> columns (the reference's
     * DynamoDB label-pivot shape). Single shuffle on user_id.

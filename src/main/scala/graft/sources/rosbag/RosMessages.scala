@@ -15,6 +15,14 @@ object RosMessages {
       header: RosHeader, height: Long, width: Long, encoding: String,
       isBigendian: Int, step: Long, data: Array[Byte])
 
+  /** sensor_msgs/CompressedImage: header, format string ("png", "jpeg",
+    * or PIL-style "bgr8; png compressed bgr8"), length-prefixed payload —
+    * the topic type bandwidth-limited rigs actually record (the raw Image
+    * layout above is what the reference's bagstream.py:249 handles; the
+    * compressed twin is the same header + an opaque codec payload).
+    */
+  final case class CompressedImageMsg(header: RosHeader, format: String, data: Array[Byte])
+
   final case class LaserScanMsg(
       header: RosHeader, angleMin: Float, angleMax: Float, angleIncrement: Float,
       timeIncrement: Float, scanTime: Float, rangeMin: Float, rangeMax: Float,
@@ -65,6 +73,16 @@ object RosMessages {
     val px = new Array[Byte](len)
     b.get(px)
     ImageMsg(h, height, width, encoding, isBig, step, px)
+  }
+
+  def compressedImage(data: Array[Byte]): CompressedImageMsg = {
+    val b = buf(data)
+    val h = readHeaderMsg(b)
+    val format = readString(b)
+    val len = b.getInt
+    val payload = new Array[Byte](len)
+    b.get(payload)
+    CompressedImageMsg(h, format, payload)
   }
 
   def laserScan(data: Array[Byte]): LaserScanMsg = {

@@ -127,10 +127,14 @@ object RosbagFormat {
               val compression = header.get("compression").map(str).getOrElse("none")
               val chunkIn: InputStream = compression match {
                 case "bz2"  => new BZip2CompressorInputStream(new ByteArrayInputStream(data))
+                // `rosbag record --lz4` (roslz4) writes standard LZ4 FRAME
+                // format inside each chunk (magic 0x184D2204 + 64 KiB
+                // independent blocks) — the common AV-logging default
+                case "lz4"  => new net.jpountz.lz4.LZ4FrameInputStream(new ByteArrayInputStream(data))
                 case "none" => new ByteArrayInputStream(data)
                 case other  => // never parse compressed bytes as records
                   throw new IllegalArgumentException(
-                    s"unsupported chunk compression: $other (only none/bz2)")
+                    s"unsupported chunk compression: $other (only none/bz2/lz4)")
               }
               stack = new DataInputStream(chunkIn) :: stack
             case 7 => // connection: data section holds the connection header

@@ -103,10 +103,24 @@ object RosbagReader {
   def imagesOf(spark: SparkSession, msgs: Dataset[RawMessage]): DataFrame = {
     import spark.implicits._
     val rows = msgs
-      .filter(_.datatype == "sensor_msgs/Image")
+      .filter(m => m.datatype == "sensor_msgs/Image" ||
+        m.datatype == "sensor_msgs/CompressedImage")
       .map { m =>
-        val img = RosMessages.image(m.data)
-        (m.path, m.topic, m.time_ns, img.width, img.height, img.encoding, img.step, img.data)
+        if (m.datatype == "sensor_msgs/Image") {
+          val img = RosMessages.image(m.data)
+          (m.path, m.topic, m.time_ns, img.width, img.height, img.encoding, img.step, img.data)
+        } else {
+          // CompressedImage (png/jpeg payload — what bandwidth-limited rigs
+          // record): decode map-side to the SAME raw channels-last frame
+          // convention as the raw-Image rows, so everything downstream
+          // (PII blur, resize, PNG landing, mp4 manifest) is type-blind to
+          // how the camera topic was recorded. Decode failures throw — a
+          // corrupt frame must surface in ingest, not land as garbage.
+          val c = RosMessages.compressedImage(m.data)
+          val d = graft.multimodal.PngDecoder.decode(c.data)
+          (m.path, m.topic, m.time_ns, d.width.toLong, d.height.toLong,
+            d.encoding, d.step.toLong, d.pixels)
+        }
       }
       .toDF("bag", "topic", "time_ns", "width", "height", "encoding", "step", "pixels")
     val w = Window.partitionBy("bag", "topic").orderBy("time_ns")

@@ -3,20 +3,17 @@ package graft
 class GraftSqlSpec extends SparkSpec {
 
   test("q12b: HLL estimates land within 5% of q12's exact counts at sf0.01 and sf0.1") {
-    // rows-only in the driver gate by design (sketches are engine-
-    // specific); THIS is the accuracy contract — approx_count_distinct's
-    // default rsd is 5%, so a drifted kernel or a wrong column wiring
-    // shows up as an error-bound breach here
+    // the accuracy contract, now driver-oracled too: the query itself
+    // emits the ≤5% verdict booleans the DuckDB oracle pins to TRUE —
+    // this spec checks them at BOTH gate SFs plus exact-count agreement
+    // with q12 (same column wiring)
     for (dir <- Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
       val exact = operators.RelationalOps.distinctCount(spark, dir).collect()(0)
-      val approx = operators.RelationalOps.approxDistinct(spark, dir).collect()(0)
-      val pairs = Seq(
-        ("l_partkey", exact.getLong(0), approx.getLong(0)),
-        ("l_orderkey", exact.getLong(2), approx.getLong(1)))
-      for ((colName, ex, ap) <- pairs) {
-        val relErr = math.abs(ap - ex).toDouble / ex
-        assert(relErr <= 0.05, s"$dir $colName: exact=$ex approx=$ap relErr=$relErr")
-      }
+      val r = operators.RelationalOps.approxDistinct(spark, dir).collect()(0)
+      assert(r.getAs[Long]("exact_parts") === exact.getLong(0), dir)
+      assert(r.getAs[Long]("exact_orders") === exact.getLong(2), dir)
+      assert(r.getAs[Boolean]("parts_within_5pct"), s"$dir parts HLL drifted past 5%")
+      assert(r.getAs[Boolean]("orders_within_5pct"), s"$dir orders HLL drifted past 5%")
     }
   }
 

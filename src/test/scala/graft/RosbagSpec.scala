@@ -51,16 +51,31 @@ object BagWriter {
   def message(conn: Int, sec: Long, nsec: Long, payload: Array[Byte]): Array[Byte] =
     record(Seq(field("op", Array(2.toByte)), field("conn", le32(conn)), field("time", time(sec, nsec))), payload)
 
-  def chunk(inner: Array[Byte], bz2: Boolean): Array[Byte] = {
-    val data = if (!bz2) inner else {
-      val bos = new ByteArrayOutputStream()
-      val z = new BZip2CompressorOutputStream(bos)
-      z.write(inner); z.close()
-      bos.toByteArray
+  def chunk(inner: Array[Byte], bz2: Boolean): Array[Byte] =
+    chunkCompressed(inner, if (bz2) "bz2" else "none")
+
+  /** Chunk record under a named codec ("none"/"bz2"/"lz4") — lz4 mirrors
+    * roslz4's on-disk bytes: the standard LZ4 FRAME format with 64 KiB
+    * independent blocks, which is what `rosbag record --lz4` writes. */
+  def chunkCompressed(inner: Array[Byte], compression: String): Array[Byte] = {
+    val data = compression match {
+      case "none" => inner
+      case "bz2" =>
+        val bos = new ByteArrayOutputStream()
+        val z = new BZip2CompressorOutputStream(bos)
+        z.write(inner); z.close()
+        bos.toByteArray
+      case "lz4" =>
+        val bos = new ByteArrayOutputStream()
+        val z = new net.jpountz.lz4.LZ4FrameOutputStream(bos,
+          net.jpountz.lz4.LZ4FrameOutputStream.BLOCKSIZE.SIZE_64KB)
+        z.write(inner); z.close()
+        bos.toByteArray
+      case other => throw new IllegalArgumentException(s"test writer: $other")
     }
     record(Seq(
       field("op", Array(5.toByte)),
-      field("compression", (if (bz2) "bz2" else "none").getBytes),
+      field("compression", compression.getBytes),
       field("size", le32(inner.length))), data)
   }
 
@@ -106,6 +121,11 @@ object BagWriter {
   }
 
   def stdStringPayload(s: String): Array[Byte] = rosString(s)
+
+  /** sensor_msgs/CompressedImage: header + format string + u32-prefixed
+    * codec payload (png/jpeg bytes). */
+  def compressedImagePayload(seq: Int, format: String, payload: Array[Byte]): Array[Byte] =
+    rosHeader(seq, 100, 0, "cam") ++ rosString(format) ++ le32(payload.length) ++ payload
 }
 
 class RosbagSpec extends SparkSpec {
@@ -162,15 +182,48 @@ class RosbagSpec extends SparkSpec {
   test("unsupported chunk compression fails loudly, not silently") {
     val inner = BagWriter.connection(0, "/t", "std_msgs/String")
     val badChunk = {
-      // build a chunk record claiming lz4 compression
+      // build a chunk record claiming zstd compression (same name length
+      // as "none" so the record framing stays byte-consistent)
       val bytes = BagWriter.chunk(inner, bz2 = false)
       new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1)
-        .replace("compression=none", "compression=lz4.")
+        .replace("compression=none", "compression=zstd")
         .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
     }
     val bag = BagWriter.bag(BagWriter.bagHeader, badChunk)
     val e = intercept[IllegalArgumentException](RosbagFormat.parse(bag))
     assert(e.getMessage.contains("unsupported chunk compression"))
+  }
+
+  test("parses lz4-compressed chunks (rosbag record --lz4)") {
+    val dir = Files.createTempDirectory("graftlz4")
+    val pixels = Array.tabulate[Byte](2 * 2 * 3)(i => i.toByte)
+    val inner =
+      BagWriter.connection(0, "/cam0/image_raw", "sensor_msgs/Image") ++
+        BagWriter.connection(1, "/chatter", "std_msgs/String") ++
+        BagWriter.message(0, 1600000000L, 500, BagWriter.imagePayload(0, 2, 2, "rgb8", pixels)) ++
+        BagWriter.message(1, 1600000004L, 0, BagWriter.stdStringPayload("hello lz4"))
+    val bytes = BagWriter.bag(BagWriter.bagHeader,
+      BagWriter.chunkCompressed(inner, "lz4"))
+    val f = dir.resolve("lz4.bag")
+    Files.write(f, bytes)
+    val msgs = RosbagFormat.parse(Files.readAllBytes(f))
+    assert(msgs.size === 2)
+    assert(msgs.map(_.topic).toSet === Set("/cam0/image_raw", "/chatter"))
+    // payloads survive the codec byte-exactly: the image deserializes
+    val img = RosMessages.image(msgs.find(_.datatype == "sensor_msgs/Image").get.data)
+    assert(img.width === 2 && img.height === 2 && img.encoding === "rgb8")
+    assert(img.data.toSeq === pixels.toSeq)
+  }
+
+  test("lz4 and bz2 chunks interleave in one bag") {
+    val conn = BagWriter.connection(0, "/t", "std_msgs/String")
+    def m(s: String) = BagWriter.message(0, 1600000000L, 0, BagWriter.stdStringPayload(s))
+    val bag = BagWriter.bag(BagWriter.bagHeader,
+      BagWriter.chunkCompressed(conn ++ m("a"), "lz4"),
+      BagWriter.chunkCompressed(m("b"), "bz2"),
+      BagWriter.chunkCompressed(m("c"), "none"))
+    val msgs = RosbagFormat.parse(bag)
+    assert(msgs.map(x => RosMessages.stdString(x.data)) === Seq("a", "b", "c"))
   }
 
   test("parses bz2-compressed chunks") {
@@ -190,6 +243,57 @@ class RosbagSpec extends SparkSpec {
     assert(r0.getAs[Array[Byte]]("pixels").length === 12)
     assert(r0.getAs[String]("file_name") === "cam0/image_raw-2020-09-13T12_26_40-0000.png")
     assert(rows(1).getAs[String]("file_name").endsWith("-0001.png"))
+  }
+
+  test("CompressedImage topics land as typed frames next to raw Image rows") {
+    val dir = Files.createTempDirectory("graftcimg")
+    val pixels = Array.tabulate[Byte](2 * 2 * 3)(i => (i * 7).toByte)
+    val png = graft.multimodal.PngEncoder.encode(pixels, 2, 2, "rgb8")
+    val inner =
+      BagWriter.connection(0, "/cam0/image_raw", "sensor_msgs/Image") ++
+        BagWriter.connection(1, "/cam1/image_raw/compressed", "sensor_msgs/CompressedImage") ++
+        BagWriter.message(0, 1600000000L, 0, BagWriter.imagePayload(0, 2, 2, "rgb8", pixels)) ++
+        BagWriter.message(1, 1600000001L, 0, BagWriter.compressedImagePayload(0, "png", png)) ++
+        BagWriter.message(1, 1600000002L, 0, BagWriter.compressedImagePayload(1, "png", png))
+    val f = dir.resolve("cimg.bag")
+    Files.write(f, BagWriter.bag(BagWriter.bagHeader, BagWriter.chunk(inner, bz2 = false)))
+    val df = RosbagReader.images(spark, f.toString).orderBy("topic", "frame_no")
+    val rows = df.collect()
+    assert(rows.length === 3)
+    // the compressed topic decodes to the SAME raw-frame convention: PNG is
+    // lossless, so its pixels are byte-identical to the raw-Image row's
+    val comp = rows.filter(_.getAs[String]("topic") === "/cam1/image_raw/compressed")
+    assert(comp.length === 2)
+    assert(comp(0).getAs[Long]("width") === 2 && comp(0).getAs[Long]("height") === 2)
+    assert(comp(0).getAs[String]("encoding") === "rgb8")
+    assert(comp(0).getAs[Array[Byte]]("pixels").toSeq === pixels.toSeq)
+    // per-topic frame numbering covers the compressed topic too
+    assert(comp.map(_.getAs[Int]("frame_no")).toSeq === Seq(0, 1))
+    assert(comp(1).getAs[String]("file_name").endsWith("-0001.png"))
+  }
+
+  test("bag_ingest lands decoded PNGs for CompressedImage topics") {
+    val dir = Files.createTempDirectory("graftcimg2")
+    val pixels = Array.tabulate[Byte](2 * 2 * 3)(i => (i * 11).toByte)
+    val png = graft.multimodal.PngEncoder.encode(pixels, 2, 2, "rgb8")
+    val inner =
+      BagWriter.connection(0, "/cam/compressed", "sensor_msgs/CompressedImage") ++
+        BagWriter.message(0, 1600000000L, 0, BagWriter.compressedImagePayload(0, "png", png))
+    val bagDir = dir.resolve("bags"); Files.createDirectories(bagDir)
+    Files.write(bagDir.resolve("a.bag"), BagWriter.bag(BagWriter.bagHeader, BagWriter.chunk(inner, bz2 = false)))
+    val out = dir.resolve("lake").toString
+    graft.jobs.BagIngest.run(spark, bagDir.toString, out, writePng = true)
+    // the landed PNG decodes back to the original pixels (lossless round
+    // trip: camera png -> raw frame -> lake png)
+    val pngFiles = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(Paths.get(s"$out/png")).iterator().asScala
+        .map(_.toFile).filter(f => f.isFile && f.getName.endsWith(".png")).toArray
+    }
+    assert(pngFiles.nonEmpty)
+    val back = graft.multimodal.PngDecoder.decode(
+      Files.readAllBytes(pngFiles.head.toPath))
+    assert(back.pixels.toSeq === pixels.toSeq)
   }
 
   test("odometry(): pose/twist values round-trip") {

@@ -97,9 +97,10 @@ class TsConventionSpec extends SparkSpec {
     assert(m.nonEmpty, "SURVEY §7 no longer states the registry count in the pinned form")
     assert(m.get.group(1).toInt === SparkEntry.queries.size,
       s"SURVEY says ${m.get.group(1)}, registry holds ${SparkEntry.queries.size}")
-    // every query has an oracle or is the one documented rows-only check
+    // every registered query carries a DuckDB oracle (q12b's sketch got a
+    // portable exact+verdict surface in round 11 — nothing is rows-only)
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(noOracle === Set("q12b_approx_distinct"), s"un-oracled queries: $noOracle")
+    assert(noOracle.isEmpty, s"un-oracled queries: $noOracle")
   }
 
   test("an unsupported ts physical type fails loudly, not silently") {
