@@ -61,6 +61,22 @@ object Bench {
         s"SPARK_GRAFT_ONLY names match no query: ${unknown.toSeq.sorted.mkString(", ")} " +
           s"(known: ${SparkEntry.queries.keySet.toSeq.sorted.mkString(", ")})")
     }
+    // SPARK_GRAFT_SKIP_QUADRATIC_BASELINES=1: exclude the four documented
+    // fixed-dial embedding-dedup baselines (q44/q44b/q67/q67b — kept as
+    // the oracled teaching exhibits their auto dials q44d/q67c are judged
+    // against, but measured quadratic across corpus decades: 812 s of the
+    // 2149 s sf10 r10 artifact). A >=sf10 full-registry decade bench sets
+    // this so the headline measures the RECOMMENDED engine; the skip is
+    // named in the JSON line so an artifact can never silently pass off
+    // a gated run as a full one.
+    val skipQuadratic = sys.env.get("SPARK_GRAFT_SKIP_QUADRATIC_BASELINES")
+      .exists(v => v == "1" || v.equalsIgnoreCase("true"))
+    val quadraticBaselines = Set("q44_dedup_embedding",
+      "q44b_dedup_embedding_blocked", "q67_semantic_dedup",
+      "q67b_semantic_dedup_blocked")
+    if (skipQuadratic)
+      System.err.println(s"bench: skipping quadratic baselines: " +
+        quadraticBaselines.toSeq.sorted.mkString(", "))
     // SPARK_GRAFT_RUNS: repeats per query (best-of-N wall). Default 3 —
     // the sub-second sf0.1 shapes need the noise floor. Large-SF audits
     // set 1-2: a multi-second run carries proportionally little host
@@ -71,6 +87,7 @@ object Bench {
     SparkEntry.queries.get("q01_pricing_summary").foreach(f => f(spark, sfDir).count())
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
+      .filterNot { case (name, _) => skipQuadratic && quadraticBaselines(name) }
       .map { case (name, fn) =>
         // best of N: the first run pays codegen/JIT for this query's shape,
         // and the extra runs tighten the noise floor (local totals otherwise
@@ -114,7 +131,11 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2._1).sum else 0.0
     val cpuTotal = if (results.nonEmpty) results.map(_._2._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","cpu_total":$cpuTotal,"queries":$qs,"cpu":$cs,"sf":"$sfDir"}""")
+    val skipped =
+      if (skipQuadratic) quadraticBaselines.toSeq.sorted
+        .map(n => s"\"${jsonEscape(n)}\"").mkString(""","skipped":[""", ",", "]")
+      else ""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","cpu_total":$cpuTotal$skipped,"queries":$qs,"cpu":$cs,"sf":"$sfDir"}""")
     // Truncation-safe trailing summary: the driver keeps only a TAIL of the
     // run log, and the giant single line above loses its head first — the
     // round-8 artifact kept only the cpu map and the judge had to re-bench

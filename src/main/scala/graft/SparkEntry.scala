@@ -131,7 +131,7 @@ object SparkEntry {
     "q95b_clf_curve"      -> ((s: SparkSession, d: String) => operators.Clf.thresholdCurve(s, d)),
     "q95c_clf_eval"       -> ((s: SparkSession, d: String) => operators.Clf.evalTable(s, d)),
     "q64b_epoch_mix"      -> ((s: SparkSession, d: String) => CurationOps.epochMix(s, d)),
-    "q96_band_curve"      -> (DedupOps.bandCurve _),
+    "q96_band_curve"      -> ((s: SparkSession, d: String) => DedupOps.bandCurve(s, d)),
     "q97_decon_curve"     -> ((s: SparkSession, d: String) => CurationOps.deconCurve(s, d)),
     "q98_quality_agreement" -> ((s: SparkSession, d: String) => CurationOps.qualityAgreement(s, d)),
     "q99_repetition_profile" -> ((s: SparkSession, d: String) => CurationOps.repetitionProfile(s, d)),

@@ -111,4 +111,23 @@ object Tables {
   private[graft] def spreadScan(s: SparkSession, df: DataFrame): DataFrame =
     if (df.rdd.getNumPartitions < s.sparkContext.defaultParallelism)
       df.repartition(s.sparkContext.defaultParallelism) else df
+
+  /** q36's deterministic multiplicative-hash sample line as a reusable
+    * predicate: keep a row iff h(id) lands under frac (ppm-exact integer
+    * threshold — never rand(), stable under any partitioning/cluster
+    * size, and the SAME ids are kept by every operator that samples at
+    * the same frac, so cross-operator joins over a shared sample stay
+    * aligned). frac = 1.0 keeps everything (a literal TRUE the optimizer
+    * erases). The operating-curve queries (q96/q97/q68c) take this as
+    * their documented `sampleFrac` dial: a 100 TB operator derives the
+    * dial tables from a corpus sample at 1/frac of the cost.
+    */
+  private[graft] def sampleLine(id: org.apache.spark.sql.Column, frac: Double): org.apache.spark.sql.Column = {
+    require(frac > 0.0 && frac <= 1.0, s"sampleFrac in (0, 1]; got $frac")
+    if (frac >= 1.0) org.apache.spark.sql.functions.lit(true)
+    else org.apache.spark.sql.functions.pmod(
+      id * org.apache.spark.sql.functions.lit(2654435761L),
+      org.apache.spark.sql.functions.lit(1000000L)) <
+      org.apache.spark.sql.functions.lit(math.round(frac * 1e6))
+  }
 }

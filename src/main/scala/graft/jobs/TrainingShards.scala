@@ -58,11 +58,16 @@ import graft.operators.CurationOps
   *
   * Usage: TrainingShards <prep-out-dir> <export-out-dir>
   *          [--budget=512] [--shards=32] [--max-shard-mb=64]
-  *          [--epoch-seed=0]
+  *          [--epoch-seed=0] [--epochs=1]
   * where <prep-out-dir> is a CorpusPrep output directory (documents/ and
   * optionally epoch_plan/). `--epoch-seed=e` materializes epoch e's
   * shuffle: a different deterministic permutation of the same instance
-  * multiset per seed (trainers reshuffle between epochs).
+  * multiset per seed (trainers reshuffle between epochs). `--epochs=N`
+  * materializes N epochs in one invocation as `epoch-0/ … epoch-(N-1)/`
+  * directories (seeds epoch-seed+0 … epoch-seed+N-1), each with its own
+  * shards/shardlist/manifest/stats. Every export also writes
+  * `shardlist.txt` — the WebDataset loader-facing index (one relative
+  * tar path per line, sorted), so a trainer never directory-lists.
   */
 object TrainingShards {
 
@@ -86,9 +91,19 @@ object TrainingShards {
     (col("doc_id") * lit(2654435761L) + col("rep") * lit(1000003L) +
       lit(epochSeed) * lit(7919L)) % lit(1000000007L)
 
+  /** Export `epochs` training epochs in ONE invocation: epoch e lands
+    * under `<out>/epoch-e/` with the full per-epoch layout (shards/,
+    * shardlist.txt, manifest/, stats/), its shuffle materialized via the
+    * existing epochSeed device at seed = cfg.epochSeed + e — so the
+    * N-epoch export is BYTE-IDENTICAL to N single-epoch exports at those
+    * seeds (spec-pinned), and a trainer consumes epoch directories in
+    * order with no coordination beyond the path. `epochs = 1` keeps the
+    * historical single-epoch layout directly under `out`.
+    */
   def run(spark: SparkSession, prepDir: String, out: String,
-      cfg: Config = Config()): Unit = {
+      cfg: Config = Config(), epochs: Int = 1): Unit = {
     require(cfg.budget >= 1 && cfg.shards >= 1, s"budget/shards must be >= 1")
+    require(epochs >= 1, s"epochs must be >= 1, got $epochs")
     val docs = spark.read.parquet(s"$prepDir/documents")
       .select(col("doc_id"), col("source"), col("text"))
     val fs = new org.apache.hadoop.fs.Path(s"$prepDir/epoch_plan")
@@ -97,7 +112,12 @@ object TrainingShards {
       if (fs.exists(new org.apache.hadoop.fs.Path(s"$prepDir/epoch_plan")))
         spark.read.parquet(s"$prepDir/epoch_plan")
       else CurationOps.epochMixOf(docs)
-    writeShards(spark, docs, plan.select("doc_id", "repeats"), out, cfg)
+    if (epochs == 1)
+      writeShards(spark, docs, plan.select("doc_id", "repeats"), out, cfg)
+    else (0 until epochs).foreach { e =>
+      writeShards(spark, docs, plan.select("doc_id", "repeats"),
+        s"$out/epoch-$e", cfg.copy(epochSeed = cfg.epochSeed + e))
+    }
   }
 
   /** The export over explicit (doc_id, source, text) + (doc_id, repeats)
@@ -161,6 +181,7 @@ object TrainingShards {
         .repartition(cfg.shards, col("shard"))
         .sortWithinPartitions("shard", "key")
       TarShards.writeSharded(samples, s"$out/shards", cfg.maxShardBytes)
+      writeShardlist(spark, out)
 
       // the loader-facing manifest: one row per sequence
       seqs.select("shard", "bin", "n_frags", "n_tokens")
@@ -188,10 +209,27 @@ object TrainingShards {
     } finally seqs.unpersist(blocking = false)
   }
 
+  /** WebDataset shardlist manifest: one relative tar path per line in
+    * sorted (shard, roll) order — the loader-facing index, so a trainer
+    * consumes the export from ONE small file instead of a directory
+    * listing (object stores bill and throttle LIST; a 100 TB export is
+    * thousands of tars). Driver-side single small file, bounded by the
+    * shard count; deterministic because the names are logical. */
+  private def writeShardlist(spark: SparkSession, out: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$out/shards")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val names = fs.listStatus(p).map(_.getPath.getName)
+      .filter(_.endsWith(".tar")).sorted
+    val body = names.map(n => s"shards/$n").mkString("", "\n", "\n")
+    val f = fs.create(new org.apache.hadoop.fs.Path(s"$out/shardlist.txt"), true)
+    try f.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally f.close()
+  }
+
   def main(args: Array[String]): Unit = {
     require(args.length >= 2,
       "usage: TrainingShards <prep-out-dir> <export-out-dir> " +
-        "[--budget=N] [--shards=N] [--max-shard-mb=N] [--epoch-seed=N]")
+        "[--budget=N] [--shards=N] [--max-shard-mb=N] [--epoch-seed=N] [--epochs=N]")
     def num(prefix: String, default: Long): Long = args.collectFirst {
       case a if a.startsWith(prefix) => a.stripPrefix(prefix).toLong
     }.getOrElse(default)
@@ -200,7 +238,8 @@ object TrainingShards {
       budget = num("--budget=", 512).toInt,
       shards = num("--shards=", 32).toInt,
       maxShardBytes = num("--max-shard-mb=", 64) * 1024 * 1024,
-      epochSeed = num("--epoch-seed=", 0)))
+      epochSeed = num("--epoch-seed=", 0)),
+      epochs = num("--epochs=", 1).toInt)
     spark.stop()
   }
 }

@@ -75,9 +75,16 @@ object CurationOps {
     * split, hash-key shuffles only — at 100 TB the heldout (benchmark)
     * side is small enough to broadcast and the train side streams.
     */
-  def decontaminate(s: SparkSession, d: String, k: Int = 13): DataFrame = {
+  def decontaminate(s: SparkSession, d: String, k: Int = 13,
+      sampleFrac: Double = 1.0): DataFrame = {
     val wins = windowHashes(s, d, k)
-    wins.filter(!isTest)
+    // sampleFrac samples the TRAIN side only (q97's sampled sweep —
+    // flag_rate over a deterministic doc sample estimates the full
+    // rate); the held-out index is the benchmark and is NEVER sampled.
+    // The doc_id predicate pushes below the window explode (Catalyst
+    // moves filters on non-generated attributes through Generate), so
+    // the kernel pass rides the sample.
+    wins.filter(!isTest && graft.Tables.sampleLine(col("doc_id"), sampleFrac))
       .join(heldoutIndex(s, d, k).withColumn("hit", lit(1)), Seq("rh"), "left")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_ngrams"), count(col("hit")).as("n_hits"))
@@ -157,9 +164,9 @@ object CurationOps {
     * share, and the per-arm reduce is a 1-row aggregate.
     */
   def deconCurve(s: SparkSession, d: String,
-      ks: Seq[Int] = DeconCurveKs): DataFrame =
+      ks: Seq[Int] = DeconCurveKs, sampleFrac: Double = 1.0): DataFrame =
     ks.map { k =>
-      val flags = decontaminate(s, d, k)
+      val flags = decontaminate(s, d, k, sampleFrac)
       val idx = heldoutIndex(s, d, k).agg(count(lit(1)).as("n_index"))
       flags.agg(
           count(lit(1)).as("n_train_docs"),

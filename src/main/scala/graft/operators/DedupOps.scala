@@ -78,11 +78,18 @@ object DedupOps {
     * no pathological stop-shingle, and the generator keeps memory O(df)
     * per shingle regardless (the pair stream is never materialized).
     */
-  def ngramJaccard(s: SparkSession, d: String, dfCap: Long = Long.MaxValue): DataFrame = {
+  def ngramJaccard(s: SparkSession, d: String, dfCap: Long = Long.MaxValue,
+      sampleFrac: Double = 1.0): DataFrame = {
     // df < 2 can never form a pair, so a cap below 2 would silently select
     // nothing — reject it rather than hand back an empty "dedup".
     require(dfCap >= 2, s"dfCap must be >= 2 (a shingle needs df >= 2 to form a pair); got $dfCap")
+    // sampleFrac < 1 (q96's sampled sweep): the doc filter lands BEFORE
+    // the shingle explode, so the whole pair pipeline rides the sample;
+    // Jaccard between two docs is independent of the rest of the corpus,
+    // so sampled pairs are exactly the full run's pairs with both ends
+    // in the sample
     val posting = shingleSets(s, d)
+      .filter(graft.Tables.sampleLine(col("doc_id"), sampleFrac))
       .select(col("doc_id"), size(col("sh")).cast("long").as("n"), explode(col("sh")).as("sh"))
     // Capped runs keep BOUNDED aggregation state: a dfCap+1-entry
     // graft_topk heap per shingle instead of collect_list. The old
@@ -381,10 +388,18 @@ object DedupOps {
     * and joined once per arm on 16-byte pair keys. The sweep costs ~4×
     * one q42, not 4× (signatures + ground truth amortize).
     */
-  def bandCurve(s: SparkSession, d: String): DataFrame = {
-    val sigs = signatures(scaledDocs(s, d))
+  def bandCurve(s: SparkSession, d: String, sampleFrac: Double = 1.0): DataFrame = {
+    // sampleFrac < 1: the documented sampled-sweep dial — a 100 TB
+    // operator derives the banding table from a deterministic corpus
+    // sample (Tables.sampleLine, the q36 device). BOTH the candidate
+    // arms and the exact ground truth run on the same sampled doc set
+    // (sampling only one side would corrupt recall); pair-valued
+    // quantities shrink ~frac², rate-valued ones (recall, precision)
+    // estimate the full corpus (spec pins agreement on the gate lake).
+    val sigs = signatures(scaledDocs(s, d)
+        .filter(graft.Tables.sampleLine(col("doc_id"), sampleFrac)))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val exact = ngramJaccard(s, d).select("doc_a", "doc_b")
+    val exact = ngramJaccard(s, d, sampleFrac = sampleFrac).select("doc_a", "doc_b")
       .withColumn("hit", lit(1))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nExact = exact.agg(count(lit(1)).as("n_exact"))

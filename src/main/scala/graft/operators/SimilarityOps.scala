@@ -18,15 +18,19 @@ object SimilarityOps {
     * against.
     */
   def knnBruteForce(s: SparkSession, d: String, k: Int = 5,
-      queryIdMax: Long = QueryIdMax): DataFrame = {
+      queryIdMax: Long = QueryIdMax, sampleFrac: Double = 1.0): DataFrame = {
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), toDouble(col("embedding")).as("v"))
       .withColumn("nrm", norm(col("v")))
     val queries = e.filter(col("vec_id") < queryIdMax)
     // few-split guard on the CORPUS side only: every corpus row pays a
     // per-query cosine downstream of this scan, and a 1-split input would
-    // run all of it on one core (the query side keeps its pushed filter)
-    val corpus = Tables.spreadScan(s, e.filter(col("vec_id") >= queryIdMax))
+    // run all of it on one core (the query side keeps its pushed filter).
+    // sampleFrac < 1 samples the CORPUS deterministically (q68c's sampled
+    // sweep — queries are never sampled); truth is then exact top-k over
+    // the sampled corpus, the right denominator for sampled recall.
+    val corpus = Tables.spreadScan(s, e.filter(col("vec_id") >= queryIdMax &&
+      Tables.sampleLine(col("vec_id"), sampleFrac)))
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("neighbor_id"))
     corpus.as("c").join(broadcast(queries.as("q")))
       .withColumn("cos", cosine(col("q.v"), col("c.v"), col("q.nrm"), col("c.nrm")))
@@ -240,9 +244,11 @@ object SimilarityOps {
     * (q70c) instead of v against the raw books — same assignment kernel,
     * different WHAT. */
   private[graft] def codedCorpusSubs(s: SparkSession, d: String,
-      residual: Boolean = false, queryIdMax: Long = QueryIdMax): DataFrame =
+      residual: Boolean = false, queryIdMax: Long = QueryIdMax,
+      sampleFrac: Double = 1.0): DataFrame =
     codedSubsOf(s, Tables.spreadScan(s, Tables.embeddings(s, d)
-      .filter(col("vec_id") >= queryIdMax)
+      .filter(col("vec_id") >= queryIdMax &&
+        Tables.sampleLine(col("vec_id"), sampleFrac))
       .select(col("vec_id"), toDouble(col("embedding")).as("v"))), residual)
 
   /** [[codedCorpusSubs]] over an arbitrary (vec_id, v) frame — the seam
@@ -374,11 +380,21 @@ object SimilarityOps {
     * the only double arithmetic, so the oracle is value-exact.
     */
   def annRecallCurve(s: SparkSession, d: String, k: Int = 3,
-      queryIdMax: Long = 300L, probes: Seq[Int] = Seq(1, 2, 4, 8, 16)): DataFrame = {
+      queryIdMax: Long = 300L, probes: Seq[Int] = Seq(1, 2, 4, 8, 16),
+      sampleFrac: Double = 1.0): DataFrame = {
     require(probes.nonEmpty && probes == probes.sorted.distinct,
       s"probes must be sorted distinct: $probes")
+    // sampleFrac < 1 (the documented sampled-sweep dial): the CORPUS is
+    // sampled deterministically (Tables.sampleLine) in all three arms —
+    // brute-force truth, raw IVF, coded IVFADC — so recall stays
+    // well-defined (truth and candidates see the same corpus) and the
+    // sweep's brute-force-by-definition widest point costs frac of the
+    // full run. Queries are never sampled. The nprobe=16 == ceiling
+    // invariant survives sampling by construction (probing all lists IS
+    // the sampled brute force).
     val subDim = 8
-    val exact = knnBruteForce(s, d, k, queryIdMax).select("q_id", "neighbor_id")
+    val exact = knnBruteForce(s, d, k, queryIdMax, sampleFrac)
+      .select("q_id", "neighbor_id")
 
     val qp = queryProbeLists(s, d, probes.max, queryIdMax, keepRank = true)
     val probeArr = array(probes.map(p => lit(p.toLong)): _*)
@@ -390,7 +406,8 @@ object SimilarityOps {
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), toDouble(col("embedding")).as("v"))
       .withColumn("nrm", norm(col("v")))
-    val corpus = Tables.spreadScan(s, e.filter(col("vec_id") >= queryIdMax))
+    val corpus = Tables.spreadScan(s, e.filter(col("vec_id") >= queryIdMax &&
+        Tables.sampleLine(col("vec_id"), sampleFrac)))
       .join(broadcast(centroidTable(s)))
       .withColumn("csim", cosine(col("v"), col("cv"), col("nrm"), col("cnrm")))
       .groupBy(col("vec_id"))
@@ -410,7 +427,8 @@ object SimilarityOps {
       .withColumn("src", lit("ivf"))
 
     // ---- coded IVFADC arm: q70b's exact pipeline, crank carried ----
-    val recon = codedCorpusSubs(s, d, queryIdMax = queryIdMax)
+    val recon = codedCorpusSubs(s, d, queryIdMax = queryIdMax,
+      sampleFrac = sampleFrac)
       .join(broadcast(codebookTable(s)), Seq("sub_idx", "code"))
       .select("vec_id", "list_id", "sub_idx", "cv")
     val querySubs = qp

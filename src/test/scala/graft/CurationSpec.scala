@@ -70,6 +70,26 @@ class CurationSpec extends SparkSpec {
     assert(!got.contains(3L) && !got.contains(8L))
   }
 
+  test("q97 sampled sweep: heldout index never sampled; flag_rate agrees on the gate lake") {
+    val full = CurationOps.deconCurve(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(4))).toMap
+    val one = CurationOps.deconCurve(spark, sf, sampleFrac = 1.0).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(4))).toMap
+    assert(one === full, "frac=1.0 must be the full curve")
+    val half = CurationOps.deconCurve(spark, sf, sampleFrac = 0.5).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(4))).toMap
+    assert(half.keySet === full.keySet)
+    half.foreach { case (k, (nIdx, nDocs, rate)) =>
+      // the benchmark index is NEVER sampled — identical per arm
+      assert(nIdx === full(k)._1, s"k=$k heldout index changed under sampling")
+      // the train side genuinely shrank
+      assert(nDocs < full(k)._2, s"k=$k train side did not shrink")
+      // the dial read (flag rate per window size) estimates the full run
+      assert(math.abs(rate - full(k)._3) <= 0.15,
+        s"k=$k sampled flag_rate $rate vs full ${full(k)._3}")
+    }
+  }
+
   test("q97 decon curve: flags monotone non-increasing in k; 13-arm matches q82 exactly") {
     val rows = CurationOps.deconCurve(spark, sf).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap

@@ -155,6 +155,35 @@ class LlmOpsSpec extends SparkSpec {
     assert(mh.getLong(3) > 0)
   }
 
+  test("q96 sampled sweep: frac=1 is the full curve; frac=0.5 agrees on the gate lake") {
+    val full = DedupOps.bandCurve(spark, sf).collect()
+      .map(r => r.getLong(1) -> (r.getLong(2), r.getDouble(5))).toMap
+    // frac = 1.0 IS the full curve (the predicate folds to TRUE)
+    val one = DedupOps.bandCurve(spark, sf, sampleFrac = 1.0).collect()
+      .map(r => r.getLong(1) -> (r.getLong(2), r.getDouble(5))).toMap
+    assert(one === full)
+    // frac = 0.5: deterministic half-corpus sweep — pair-valued counts
+    // shrink, rate-valued recall agrees with the full dial table (the
+    // property that makes the sampled sweep a usable 100 TB dial read)
+    val half = DedupOps.bandCurve(spark, sf, sampleFrac = 0.5).collect()
+      .map(r => r.getLong(1) -> (r.getLong(2), r.getDouble(5))).toMap
+    assert(half.nonEmpty)
+    half.foreach { case (rpb, (cand, recall)) =>
+      assert(cand <= full(rpb)._1, s"sampled candidates grew at rows_per_band=$rpb")
+      assert(math.abs(recall - full(rpb)._2) <= 0.25,
+        s"sampled recall disagrees at rows_per_band=$rpb: $recall vs ${full(rpb)._2}")
+    }
+    // and the sampled sweep keeps the curve's defining monotonicity
+    // (recall non-increasing as rows_per_band grows), so the operating
+    // read — where the recall knee sits — survives sampling
+    val sortedHalf = half.toSeq.sortBy(_._1)
+    sortedHalf.sliding(2).foreach {
+      case Seq((_, (_, lo)), (_, (_, hi))) =>
+        assert(lo >= hi, s"sampled recall not monotone: $sortedHalf")
+      case _ => ()
+    }
+  }
+
   test("q96 band curve: nested candidate sets, recall monotone, 4x4 row is q86's minhash row") {
     val rows = DedupOps.bandCurve(spark, sf).collect()
       .map(r => (r.getLong(1), // rows_per_band
@@ -904,6 +933,36 @@ class LlmOpsSpec extends SparkSpec {
     val langs = TextAnalysisOps.langId(spark, sf)
       .select("lang_pred").distinct().collect().map(_.getString(0)).toSet
     assert(rows.map(_.getAs[String]("lang_pred")).toSet === langs)
+  }
+
+  test("q68c sampled sweep: ceiling + monotonicity survive; truth set matches the sample") {
+    val full = SimilarityOps.annRecallCurve(spark, sf).collect()
+      .map(r => (r.getAs[Long]("nprobe"),
+        (r.getAs[Long]("n_truth"), r.getAs[Double]("ivf_recall"),
+          r.getAs[Double]("ivfadc_recall")))).toMap
+    val one = SimilarityOps.annRecallCurve(spark, sf, sampleFrac = 1.0).collect()
+      .map(r => (r.getAs[Long]("nprobe"),
+        (r.getAs[Long]("n_truth"), r.getAs[Double]("ivf_recall"),
+          r.getAs[Double]("ivfadc_recall")))).toMap
+    assert(one === full, "frac=1.0 must be the full curve")
+    val half = SimilarityOps.annRecallCurve(spark, sf, sampleFrac = 0.5).collect()
+      .map(r => (r.getAs[Long]("nprobe"),
+        (r.getAs[Long]("n_truth"), r.getAs[Double]("ivf_recall"),
+          r.getAs[Double]("ivfadc_recall")))).sortBy(_._1)
+    // truth recomputes over the SAME sampled corpus (recall well-defined)
+    assert(half.nonEmpty && half.forall(_._2._1 > 0))
+    // the structural invariants hold on any sample: nprobe=16 probes all
+    // lists, which IS sampled brute force -> recall exactly 1.0; raw-arm
+    // recall monotone in nprobe
+    assert(half.last._2._2 === 1.0, s"sampled ivf ceiling: ${half.last._2._2}")
+    half.sliding(2).foreach {
+      case Array(a, b) => assert(b._2._2 >= a._2._2, s"sampled ivf recall fell ${a._1}->${b._1}")
+      case _ => ()
+    }
+    // the coded arm's widest-point recall (the coding-loss read an
+    // operator takes off the curve) agrees with the full sweep
+    assert(math.abs(half.last._2._3 - full(16L)._3) <= 0.25,
+      s"sampled coding loss ${half.last._2._3} vs full ${full(16L)._3}")
   }
 
   test("q68c recall curve: monotone in nprobe, IVF hits the brute-force ceiling at nprobe=lists, coding only loses") {

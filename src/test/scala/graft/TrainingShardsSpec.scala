@@ -149,6 +149,56 @@ class TrainingShardsSpec extends SparkSpec {
     assert(m0 !== m1, "different epoch seeds produced identical layouts")
   }
 
+  test("--epochs=N: one invocation == N single-epoch exports, byte-identically") {
+    val docs = mkDocs()
+    // a prep-dir layout run() consumes (documents/, no epoch_plan —
+    // the plan recomputes through the same kernel both ways)
+    val prep = java.nio.file.Files.createTempDirectory("tsprep").toString
+    docs.write.parquet(s"$prep/documents")
+    val cfg = TrainingShards.Config(budget = 32, shards = 4)
+
+    val multi = java.nio.file.Files.createTempDirectory("tsmulti").toString
+    TrainingShards.run(spark, prep, multi, cfg, epochs = 2)
+
+    def md5s(dir: String): Map[String, String] = {
+      val d = new java.io.File(s"$dir/shards")
+      d.listFiles().filter(_.getName.endsWith(".tar")).map { f =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        f.getName -> md.digest(java.nio.file.Files.readAllBytes(f.toPath))
+          .map("%02x".format(_)).mkString
+      }.toMap
+    }
+    for (e <- 0 to 1) {
+      val single = java.nio.file.Files.createTempDirectory(s"tssingle$e").toString
+      TrainingShards.run(spark, prep, single, cfg.copy(epochSeed = e.toLong))
+      assert(md5s(s"$multi/epoch-$e") === md5s(single),
+        s"epoch-$e differs from the single-epoch export at seed $e")
+      // shardlist rides along per epoch and matches too
+      assert(java.nio.file.Files.readString(
+        java.nio.file.Paths.get(s"$multi/epoch-$e/shardlist.txt")) ===
+        java.nio.file.Files.readString(
+          java.nio.file.Paths.get(s"$single/shardlist.txt")))
+    }
+    // the two epochs are genuinely different shuffles
+    assert(md5s(s"$multi/epoch-0") !== md5s(s"$multi/epoch-1"),
+      "epoch directories carry identical bytes — the reshuffle is vacuous")
+  }
+
+  test("shardlist.txt enumerates exactly the tar files, sorted, as relative paths") {
+    import org.apache.spark.sql.functions.col
+    val docs = mkDocs()
+    val plan = CurationOps.epochMixOf(docs).select(col("doc_id"), col("repeats"))
+    val out = java.nio.file.Files.createTempDirectory("tslist").toString
+    TrainingShards.writeShards(spark, docs, plan, out,
+      TrainingShards.Config(budget = 32, shards = 4))
+    val listed = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$out/shardlist.txt")).split("\n").filter(_.nonEmpty).toSeq
+    val onDisk = new java.io.File(s"$out/shards").listFiles()
+      .map(_.getName).filter(_.endsWith(".tar")).sorted.map(n => s"shards/$n").toSeq
+    assert(listed === onDisk)
+    assert(listed.nonEmpty)
+  }
+
   test("a doc with repeats = 0 ships zero instances") {
     import spark.implicits._
     val docs = Seq((1L, "a", "x y z"), (2L, "a", "p q r")).toDF("doc_id", "source", "text")
