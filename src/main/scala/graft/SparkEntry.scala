@@ -65,7 +65,10 @@ object SparkEntry {
     "q46_knn_lsh"         -> ((s: SparkSession, d: String) => SimilarityOps.knnLsh(s, d)),
     "q46c_knn_lsh_multi"  -> ((s: SparkSession, d: String) => SimilarityOps.knnLsh(s, d, tables = 2)),
     "q46b_knn_ivf"        -> ((s: SparkSession, d: String) => SimilarityOps.knnIvf(s, d)),
+    "q46d_knn_ivf_auto"   -> ((s: SparkSession, d: String) => SimilarityOps.knnIvfAuto(s, d)),
     "q54_ivf_balance"     -> (SimilarityOps.ivfListBalance _),
+    "q54b_ivf_balance_auto" -> (SimilarityOps.ivfListBalanceAuto _),
+    "q68d_ann_recall_auto" -> ((s: SparkSession, d: String) => SimilarityOps.annRecallAuto(s, d)),
     "q55_dedup_groups"    -> ((s: SparkSession, d: String) => DedupOps.dedupGroups(s, d)),
     "q55c_group_sizes"    -> ((s: SparkSession, d: String) => DedupOps.dedupGroupSizes(s, d)),
     "q55b_dedup_priority" -> ((s: SparkSession, d: String) => DedupOps.dedupGroupsPriority(s, d)),
@@ -549,6 +552,18 @@ object SparkEntry {
     graft.operators.IvfCentroids.values.zipWithIndex.map { case (cv, i) =>
       s"(CAST($i AS BIGINT), [${cv.mkString(", ")}]::DOUBLE[])"
     }.mkString("VALUES ", ", ", "")
+
+  /** The AUTO-k quantizer's frozen gate-lake centroids as a DuckDB VALUES
+    * table (IvfCentroidsAuto — full-precision shortest-repr doubles, so
+    * SQL literals parse back to the identical bits the live trainer
+    * produces; a spec pins live == frozen). Fails loudly pre-freeze. */
+  private def ivfCentsAutoValues: String = {
+    require(graft.operators.IvfCentroidsAuto.values.nonEmpty,
+      "IvfCentroidsAuto not frozen — run TrainQuantizers --auto and paste")
+    graft.operators.IvfCentroidsAuto.values.zipWithIndex.map { case (cv, i) =>
+      s"(CAST($i AS BIGINT), [${cv.mkString(", ")}]::DOUBLE[])"
+    }.mkString("VALUES ", ", ", "")
+  }
 
   /** The trained PQ codebooks as a DuckDB VALUES table — generated from the
     * SAME frozen constants the Spark query broadcasts (PqCodebooks), so
@@ -1708,6 +1723,89 @@ object SparkEntry {
          |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
          |  FROM j) t
          |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin,
+
+    // q46d: q46b's probe-then-rank construction against the FROZEN auto-k
+    // gate artifact (generated-oracle pattern — live training is pinned
+    // bit-equal to the artifact by AnnIndexSpec, so assignment here is
+    // engine-exact)
+    "q46d_knn_ivf_auto" ->
+      s"""WITH $EMB_NORM,
+         |cents AS (SELECT list_id, cv,
+         |            sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65),
+         |              i -> cv[i] * cv[i])), (x2, y2) -> x2 + y2)) AS cnrm
+         |          FROM ($ivfCentsAutoValues) t(list_id, cv)),
+         |asg AS (SELECT vec_id, v, nrm, list_id, csim,
+         |          ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, list_id) AS crank
+         |        FROM (SELECT n.vec_id, n.v, n.nrm, c.list_id,
+         |                list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65),
+         |                  i -> n.v[i] * c.cv[i])), (x2, y2) -> x2 + y2) / (n.nrm * c.cnrm) AS csim
+         |              FROM n, cents c) t),
+         |qs AS (SELECT vec_id AS q_id, v AS qv, nrm AS qnrm, list_id FROM asg
+         |       WHERE vec_id < 10 AND crank <= 2),
+         |cp AS (SELECT vec_id, v, nrm, list_id FROM asg WHERE vec_id >= 10 AND crank = 1),
+         |j AS (SELECT q_id, cp.vec_id AS neighbor_id,
+         |        list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65),
+         |          i -> qs.qv[i] * cp.v[i])), (x2, y2) -> x2 + y2) / (qs.qnrm * cp.nrm) AS cos
+         |      FROM cp JOIN qs USING (list_id))
+         |SELECT q_id, neighbor_id, cos, rank FROM (
+         |  SELECT q_id, neighbor_id, cos,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+         |  FROM j) t
+         |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin,
+
+    // q54b: q54's health histogram under the frozen auto-k artifact,
+    // over the searchable corpus only (what the index holds)
+    "q54b_ivf_balance_auto" ->
+      s"""WITH $EMB_NORM,
+         |cents AS (SELECT list_id, cv,
+         |            sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65),
+         |              i -> cv[i] * cv[i])), (x2, y2) -> x2 + y2)) AS cnrm
+         |          FROM ($ivfCentsAutoValues) t(list_id, cv)),
+         |asg AS (SELECT vec_id, list_id,
+         |          ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, list_id) AS crank
+         |        FROM (SELECT n.vec_id, c.list_id,
+         |                list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65),
+         |                  i -> n.v[i] * c.cv[i])), (x2, y2) -> x2 + y2) / (n.nrm * c.cnrm) AS csim
+         |              FROM (SELECT * FROM n WHERE vec_id >= 10) n, cents c) t)
+         |SELECT list_id, CAST(COUNT(*) AS BIGINT) AS n_vectors
+         |FROM asg WHERE crank = 1 GROUP BY list_id ORDER BY list_id""".stripMargin,
+
+    // q68d: the auto arm's per-query recall vs exact brute force — both
+    // arms replayed from the frozen artifact / the shared scan
+    "q68d_ann_recall_auto" ->
+      s"""WITH $EMB_NORM,
+         |cents AS (SELECT list_id, cv,
+         |            sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65),
+         |              i -> cv[i] * cv[i])), (x2, y2) -> x2 + y2)) AS cnrm
+         |          FROM ($ivfCentsAutoValues) t(list_id, cv)),
+         |asg AS (SELECT vec_id, v, nrm, list_id, csim,
+         |          ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, list_id) AS crank
+         |        FROM (SELECT n.vec_id, n.v, n.nrm, c.list_id,
+         |                list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65),
+         |                  i -> n.v[i] * c.cv[i])), (x2, y2) -> x2 + y2) / (n.nrm * c.cnrm) AS csim
+         |              FROM n, cents c) t),
+         |qs AS (SELECT vec_id AS q_id, v AS qv, nrm AS qnrm, list_id FROM asg
+         |       WHERE vec_id < 10 AND crank <= 2),
+         |cp AS (SELECT vec_id, v, nrm, list_id FROM asg WHERE vec_id >= 10 AND crank = 1),
+         |ivf AS (SELECT q_id, neighbor_id FROM (
+         |    SELECT q_id, neighbor_id,
+         |      ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS rank
+         |    FROM (SELECT q_id, cp.vec_id AS neighbor_id,
+         |            list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65),
+         |              i -> qs.qv[i] * cp.v[i])), (x2, y2) -> x2 + y2) / (qs.qnrm * cp.nrm) AS cos
+         |          FROM cp JOIN qs USING (list_id)) j) t
+         |  WHERE rank <= 3),
+         |bf AS (SELECT q_id, neighbor_id FROM (
+         |    SELECT a.vec_id AS q_id, b.vec_id AS neighbor_id,
+         |      ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY $DOT64 / (a.nrm * b.nrm) DESC, b.vec_id) AS rank
+         |    FROM n a JOIN n b ON a.vec_id < 10 AND b.vec_id >= 10) t
+         |  WHERE rank <= 3)
+         |SELECT bf.q_id,
+         |  CAST(COUNT(DISTINCT bf.neighbor_id) AS BIGINT) AS n_exact,
+         |  CAST(COUNT(i.neighbor_id) AS BIGINT) AS auto_hits,
+         |  CAST(COUNT(i.neighbor_id) AS DOUBLE) / CAST(COUNT(DISTINCT bf.neighbor_id) AS DOUBLE) AS auto_recall
+         |FROM bf LEFT JOIN ivf i ON bf.q_id = i.q_id AND bf.neighbor_id = i.neighbor_id
+         |GROUP BY bf.q_id ORDER BY bf.q_id""".stripMargin,
 
     "q54_ivf_balance" ->
       s"""WITH $EMB_NORM,

@@ -22,10 +22,28 @@ object TrainQuantizers {
   }
 
   def main(args: Array[String]): Unit = {
-    val Array(sfDir) = args
+    val auto = args.contains("--auto")
+    val sfDir = args.filterNot(_.startsWith("--")).head
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark: SparkSession = GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    if (auto) {
+      // --auto: freeze the AUTO-k gate artifact (IvfCentroidsAuto) at
+      // FULL precision — shortest-repr doubles round-trip bit-exactly in
+      // both Scala source and DuckDB SQL literals, which the q46d parity
+      // construction depends on (1e-6 display rounding would break the
+      // live-trained == frozen spec).
+      val (k, cents) = graft.operators.SimilarityOps.autoQuantizer(spark, sfDir)
+      println(s"// IvfCentroidsAuto (k = $k):")
+      println(s"  val k: Int = $k")
+      println("  val values: Array[Array[Double]] = Array(")
+      cents.foreach(cv => println(s"    Array(${cv.mkString(", ")}),"))
+      println("  )")
+      spark.stop()
+      return
+    }
+
     // the searchable corpus, same slice the IVF/PQ queries index
     val corpus = Tables.embeddings(spark, sfDir)
       .filter(col("vec_id") >= graft.operators.SimilarityOps.QueryIdMax)

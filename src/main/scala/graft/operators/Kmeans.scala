@@ -118,6 +118,45 @@ object Kmeans {
     local
   }
 
+  /** `iters` distributed Lloyd passes from `init`: each pass broadcasts
+    * the centroid matrix and treeAggregates per-cluster (sum, count) —
+    * map-side partials only, no shuffle, k×(dim+1) doubles to the driver
+    * per pass. Empty clusters keep their previous centroid. */
+  private def lloyd(spark: SparkSession,
+      rdd: org.apache.spark.rdd.RDD[Array[Double]],
+      init: Array[Array[Double]], iters: Int): Array[Array[Double]] = {
+    val k = init.length
+    val dim = init(0).length
+    var centroids = init
+    for (_ <- 0 until iters) {
+      val bc = spark.sparkContext.broadcast(centroids)
+      // per-cluster (sum, count) in one pass, combined tree-wise
+      val agg = rdd.treeAggregate(Array.fill(k)(new Array[Double](dim + 1)))(
+        (acc, v) => {
+          val c = nearest(bc.value, v)
+          var i = 0
+          while (i < dim) { acc(c)(i) += v(i); i += 1 }
+          acc(c)(dim) += 1.0
+          acc
+        },
+        (a, b) => {
+          var c = 0
+          while (c < k) {
+            var i = 0
+            while (i <= dim) { a(c)(i) += b(c)(i); i += 1 }
+            c += 1
+          }
+          a
+        })
+      centroids = Array.tabulate(k) { c =>
+        val n = agg(c)(dim)
+        if (n == 0) centroids(c) else Array.tabulate(dim)(i => agg(c)(i) / n)
+      }
+      bc.destroy()
+    }
+    centroids
+  }
+
   /** Train k centroids on `vecs` (columns `id: long`, `v: array<double>`):
     * k-means|| init, then `iters` distributed Lloyd iterations.
     * Deterministic for a fixed (k, iters, seed) and input set. Empty
@@ -130,37 +169,38 @@ object Kmeans {
     // expensive part at corpus scale) runs once, ids ride along for the
     // hash-uniform draws
     val idRdd = data.rdd.map { case (id, v) => (id, v.toArray) }.cache()
+    try lloyd(spark, idRdd.map(_._2), initParallel(spark, idRdd, k, seed), iters)
+    finally idRdd.unpersist()
+  }
+
+  /** LARGE-k trainer for the auto coarse quantizer: k-means||'s finishing
+    * step reduces ~10k candidates against k centroids DRIVER-SIDE, which
+    * is O(k²·dim) and stops scaling once k follows the corpus (k ≈ √n).
+    * This variant replaces it with the standard big-index recipe:
+    * deterministic sample-init — the k input points with the smallest
+    * hash-uniform draw (one distributed takeOrdered; ties by id) — then
+    * `iters` distributed Lloyd passes over the (already sampled) input.
+    * The caller bounds the input to ~mppc points per centroid (FAISS's
+    * max_points_per_centroid device), so training costs O(k·mppc·d·iters)
+    * = O(n·d·iters) when k ≈ √n — never O(n·k). Deterministic for a
+    * fixed (k, iters, seed) and input set; fewer distinct points than k
+    * pads by cycling (duplicate centroids are the correct degenerate
+    * answer, matching initParallel's convention).
+    */
+  def trainSampled(spark: SparkSession, vecs: DataFrame, k: Int, iters: Int,
+      seed: Long): Array[Array[Double]] = {
+    import spark.implicits._
+    val data = vecs.select(col("id").cast("long"), col("v")).as[(Long, Seq[Double])]
+    val idRdd = data.rdd.map { case (id, v) => (id, v.toArray) }.cache()
     try {
-      var centroids = initParallel(spark, idRdd, k, seed)
-      val dim = centroids(0).length
-      val rdd = idRdd.map(_._2)
-      for (_ <- 0 until iters) {
-        val bc = spark.sparkContext.broadcast(centroids)
-        // per-cluster (sum, count) in one pass, combined tree-wise
-        val agg = rdd.treeAggregate(Array.fill(k)(new Array[Double](dim + 1)))(
-          (acc, v) => {
-            val c = nearest(bc.value, v)
-            var i = 0
-            while (i < dim) { acc(c)(i) += v(i); i += 1 }
-            acc(c)(dim) += 1.0
-            acc
-          },
-          (a, b) => {
-            var c = 0
-            while (c < k) {
-              var i = 0
-              while (i <= dim) { a(c)(i) += b(c)(i); i += 1 }
-              c += 1
-            }
-            a
-          })
-        centroids = Array.tabulate(k) { c =>
-          val n = agg(c)(dim)
-          if (n == 0) centroids(c) else Array.tabulate(dim)(i => agg(c)(i) / n)
-        }
-        bc.destroy()
-      }
-      centroids
+      val seeds = idRdd
+        .takeOrdered(k)(Ordering.by { case (id, _) => (hashUniform(id, seed, -1), id) })
+        .map(_._2)
+      require(seeds.nonEmpty, "trainSampled: empty training input")
+      val init =
+        if (seeds.length >= k) seeds
+        else Array.tabulate(k)(i => seeds(i % seeds.length))
+      lloyd(spark, idRdd.map(_._2), init, iters)
     } finally idRdd.unpersist()
   }
 

@@ -175,13 +175,14 @@ object SimilarityOps {
     * nearest lists by cosine — window over 16 broadcast centroids per
     * query, a handful of rows). */
   private[graft] def queryProbeLists(s: SparkSession, d: String, nProbe: Int,
-      queryIdMax: Long = QueryIdMax, keepRank: Boolean = false): DataFrame = {
+      queryIdMax: Long = QueryIdMax, keepRank: Boolean = false,
+      cents: DataFrame = null): DataFrame = {
     val wProbe = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("list_id"))
     val base = Tables.embeddings(s, d)
       .filter(col("vec_id") < queryIdMax)
       .select(col("vec_id"), toDouble(col("embedding")).as("v"))
       .withColumn("nrm", norm(col("v")))
-      .join(broadcast(centroidTable(s)))
+      .join(broadcast(Option(cents).getOrElse(centroidTable(s))))
       .withColumn("csim", cosine(col("v"), col("cv"), col("nrm"), col("cnrm")))
       .withColumn("crank", row_number().over(wProbe))
       .filter(col("crank") <= nProbe)
@@ -205,9 +206,17 @@ object SimilarityOps {
     */
   /** The frozen trained quantizer as a broadcastable centroid table
     * (private[graft]: jobs.AnnIndexBuild assigns with the same table). */
-  private[graft] def centroidTable(s: SparkSession): DataFrame = {
+  private[graft] def centroidTable(s: SparkSession): DataFrame =
+    centroidTableOf(s, IvfCentroids.values)
+
+  /** An arbitrary centroid matrix as the same broadcastable (list_id,
+    * cv, cnrm) table — the parametric seam the AUTO-k arm (q46d) feeds
+    * its live-trained quantizer through, so frozen and auto paths share
+    * one construction. */
+  private[graft] def centroidTableOf(s: SparkSession,
+      cents: Array[Array[Double]]): DataFrame = {
     import s.implicits._
-    IvfCentroids.values.toSeq.zipWithIndex
+    cents.toSeq.zipWithIndex
       .map { case (cv, i) => (i.toLong, cv.toSeq) }
       .toDF("list_id", "cv")
       .withColumn("cnrm", norm(col("cv")))
@@ -618,6 +627,185 @@ object SimilarityOps {
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .orderBy("q_id", "rank")
+  }
+
+  // ---------- AUTO-k coarse quantizer (q46d / q54b / q68d) ----------
+
+  /** Auto-k recipe constants: the training seed/iters are the frozen
+    * provenance of [[graft.operators.IvfCentroidsAuto]]; AutoMppc is
+    * FAISS's max_points_per_centroid device — the trainer sees ~64
+    * points per centroid, so with k ≈ √n training costs O(n·d·iters),
+    * never O(n·k). */
+  private[graft] val AutoSeed = 42L
+  private[graft] val AutoIters = 10
+  private[graft] val AutoMppc = 64
+
+  /** The auto list-count dial: k = the smallest power of two (≥ 16) with
+    * k² ≥ n — the √n rule every flat-IVF sizing guide converges on
+    * (per-query scan cost k + nprobe·n/k is minimized at k ~ √n; FAISS
+    * recommends nlist ∈ [4√n, 16√n]). Exact integer arithmetic — no
+    * float log at power-of-two boundaries (the autoBits adjudication,
+    * DedupOps.autoBits). A frozen k means per-list population grows
+    * linearly with the corpus and probing degrades toward a full scan
+    * (the q44b/q67b genus — the round-10 verdict's last frozen scale
+    * dial); under this rule per-list population grows only as √n.
+    */
+  private[graft] def autoK(n: Long): Int = {
+    require(n >= 0, s"corpus size must be >= 0; got $n")
+    var k = 16
+    while (k.toLong * k < n && k < (1 << 20)) k <<= 1
+    k
+  }
+
+  /** Most recent trained auto quantizer per (session, lake, corpus
+    * convention) — q46d/q54b/q68d share one training run (the
+    * established one-live-copy policy, DedupOps.sigTable's pattern);
+    * the cache holds k×64 doubles (≤ 512 KiB), never rows. */
+  private val autoQuantCaches =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Long), (Int, Array[Array[Double]])]()
+
+  /** Train (or fetch) the AUTO coarse quantizer for lake `d`: measure the
+    * searchable corpus size, derive k via [[autoK]], bound the training
+    * set to ~[[AutoMppc]] points per centroid on the deterministic q36
+    * hash line, and run the sampled trainer ([[Kmeans.trainSampled]]:
+    * deterministic sample-init + distributed Lloyd). Fully deterministic
+    * for a fixed lake — reruns (and the frozen gate artifact
+    * [[graft.operators.IvfCentroidsAuto]]) reproduce it bit-exactly.
+    */
+  private[graft] def autoQuantizer(s: SparkSession, d: String,
+      queryIdMax: Long = QueryIdMax): (Int, Array[Array[Double]]) =
+    autoQuantCaches.computeIfAbsent((s, d, queryIdMax), _ => {
+      val corpus = Tables.embeddings(s, d)
+        .filter(col("vec_id") >= queryIdMax)
+        .select(col("vec_id").as("id"), toDouble(col("embedding")).as("v"))
+      val n = corpus.count()
+      require(n > 0, s"auto quantizer: empty searchable corpus under $d")
+      val k = autoK(n)
+      val frac = math.min(1.0, AutoMppc.toDouble * k / n)
+      val sample = Tables.spreadScan(s, corpus.filter(Tables.sampleLine(col("id"), frac)))
+      (k, Kmeans.trainSampled(s, sample, k, AutoIters, AutoSeed))
+    })
+
+  /** Corpus coarse assignment against an in-memory centroid matrix — the
+    * auto arm's one deliberate mapPartitions kernel: the DataFrame
+    * formulation (broadcast-join + max_by, q46b's shape) materializes
+    * n×k joined rows each carrying two 64-double arrays, which at
+    * k = 512 / n = 200k is ~10⁸ rows of pure churn for 6.5×10⁹ multiplies
+    * this kernel does in-register in one streaming pass (k is no longer
+    * the constant 16 that made the join shape cheap). Bit-exactness with
+    * the DuckDB oracle is preserved by construction: ascending-index IEEE
+    * folds for dot/norm (the graft_dot order) and strict `>` argmax
+    * keeping the smallest list on ties (the (csim DESC, list_id) window
+    * rank). Emits (vec_id, v, nrm, list_id).
+    */
+  private[graft] def assignListsKernel(s: SparkSession, emb: DataFrame,
+      cents: Array[Array[Double]]): DataFrame = {
+    import s.implicits._
+    val bc = s.sparkContext.broadcast(cents)
+    emb.select(col("vec_id").cast("long"), col("v"))
+      .as[(Long, Seq[Double])]
+      .mapPartitions { it =>
+        val cs = bc.value
+        val k = cs.length
+        val cnrm = Array.tabulate(k) { c =>
+          var t = 0.0; var i = 0
+          val cv = cs(c)
+          while (i < cv.length) { t += cv(i) * cv(i); i += 1 }
+          math.sqrt(t)
+        }
+        it.map { case (id, sv) =>
+          val v = sv.toArray
+          var t = 0.0; var i = 0
+          while (i < v.length) { t += v(i) * v(i); i += 1 }
+          val nrm = math.sqrt(t)
+          var best = 0; var bestCos = Double.NegativeInfinity
+          var c = 0
+          while (c < k) {
+            var dot = 0.0; var j = 0
+            val cv = cs(c)
+            while (j < v.length) { dot += v(j) * cv(j); j += 1 }
+            val cos = dot / (nrm * cnrm(c))
+            if (cos > bestCos) { bestCos = cos; best = c }
+            c += 1
+          }
+          (id, sv, nrm, best.toLong)
+        }
+      }
+      .toDF("vec_id", "v", "nrm", "list_id")
+  }
+
+  /** q46d — IVF ANN under the AUTO-k trained quantizer: the same search
+    * as q46b (probe the query's [[IvfProbes]] nearest lists, rank within
+    * them) with the quantizer's list count derived FROM THE CORPUS at
+    * query time ([[autoK]]: k = min 2^b with k² ≥ n) and the centroids
+    * trained live by the deterministic sampled trainer. q46b keeps its
+    * pinned k=16 oracle as the frozen baseline; THIS is the arm a
+    * growing corpus operates — per-list population grows √n, probed
+    * rows per query ~nprobe·√n (sub-linear), and no human retunes
+    * anything. Oracled via the generated-oracle pattern: the gate lake's
+    * trained centroids are frozen at full precision
+    * ([[graft.operators.IvfCentroidsAuto]], TrainQuantizers --auto) and
+    * the DuckDB side replays assignment/probe/rank from those constants;
+    * a spec pins live-trained == frozen bit-exactly, so a drifted
+    * trainer or a stale freeze fails the suite, not just parity.
+    */
+  def knnIvfAuto(s: SparkSession, d: String, k: Int = 3,
+      queryIdMax: Long = QueryIdMax): DataFrame = {
+    val (_, cents) = autoQuantizer(s, d, queryIdMax)
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      .withColumn("nrm", norm(col("v")))
+    val queries = queryProbeLists(s, d, IvfProbes, queryIdMax,
+      cents = centroidTableOf(s, cents))
+    val corpus = assignListsKernel(s,
+      Tables.spreadScan(s, e.filter(col("vec_id") >= queryIdMax)
+        .select(col("vec_id"), col("v"))), cents)
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("neighbor_id"))
+    corpus.join(broadcast(queries), Seq("list_id"))
+      .withColumn("cos", cosine(col("qv"), col("v"), col("qnrm"), col("nrm")))
+      .select(col("q_id"), col("vec_id").as("neighbor_id"), col("cos"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .orderBy("q_id", "rank")
+  }
+
+  /** q54b — the auto-k index health histogram: q54's list-balance check
+    * under the AUTO quantizer, over the searchable corpus (what the
+    * index actually holds — the auto arm trains and assigns corpus-only,
+    * like the persisted index). The decade evidence for the auto dial:
+    * k grows with the corpus, so per-list population stays ~√n where the
+    * frozen 16-list arm's grows linearly. One kernel pass + one ≤k-group
+    * aggregation.
+    */
+  def ivfListBalanceAuto(s: SparkSession, d: String): DataFrame = {
+    val (_, cents) = autoQuantizer(s, d)
+    val corpus = Tables.embeddingsScaled(s, d)
+      .filter(col("vec_id") >= QueryIdMax)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    assignListsKernel(s, corpus, cents)
+      .groupBy("list_id")
+      .agg(count(lit(1)).as("n_vectors"))
+      .orderBy("list_id")
+  }
+
+  /** q68d — the auto arm's recall row (q68's evaluation shape): per
+    * query, recall@k of the auto-k IVF search against exact brute-force
+    * truth — the gate a retrained auto quantizer passes before serving.
+    * Arms are their own scale-audited queries; the evaluation adds one
+    * left join + one aggregation over queries×k rows.
+    */
+  def annRecallAuto(s: SparkSession, d: String, k: Int = 3,
+      queryIdMax: Long = QueryIdMax): DataFrame = {
+    val exact = knnBruteForce(s, d, k, queryIdMax).select("q_id", "neighbor_id")
+    val auto = knnIvfAuto(s, d, k, queryIdMax)
+      .select("q_id", "neighbor_id").withColumn("hit", lit(1))
+    exact.join(auto, Seq("q_id", "neighbor_id"), "left")
+      .groupBy("q_id")
+      .agg(countDistinct("neighbor_id").as("n_exact"),
+        count(col("hit")).as("auto_hits"))
+      .withColumn("auto_recall",
+        col("auto_hits").cast("double") / col("n_exact").cast("double"))
+      .orderBy("q_id")
   }
 
   /** q70b — IVF-probed PQ search (IVFADC, Jégou et al. TPAMI 2011 §IV):

@@ -29,6 +29,72 @@ class AnnIndexSpec extends SparkSpec {
       .collect().toSeq === SimilarityOps.knnIvfPq(spark, sf).collect().toSeq)
   }
 
+  test("autoK: exact power-of-two boundaries, floor 16") {
+    import SimilarityOps.autoK
+    assert(autoK(0) === 16 && autoK(1) === 16 && autoK(256) === 16)
+    assert(autoK(257) === 32)           // 16² = 256 < 257
+    assert(autoK(1024) === 32)          // 32² = 1024 covers exactly
+    assert(autoK(1025) === 64)
+    assert(autoK(490) === 32)           // the sf0.01 gate corpus
+    assert(autoK(199990) === 512)       // the sf10 scale lake
+    // k grows as √n: per-decade growth ~√10, never the corpus's 10×
+    assert(autoK(199990) <= 4 * autoK(19990))
+  }
+
+  test("auto quantizer: live training reproduces the frozen gate artifact bit-exactly") {
+    // the generated-oracle contract behind q46d/q54b/q68d: the DuckDB
+    // side replays assignment from IvfCentroidsAuto, the Spark side
+    // trains live — parity only means anything if these are THE SAME
+    // doubles. A drifted trainer, a changed dial constant, or a stale
+    // freeze after a lake regeneration all fail HERE with a named cause
+    // (refreeze via TrainQuantizers --auto).
+    val (k, live) = SimilarityOps.autoQuantizer(spark, "/root/testdata/sf0.01")
+    assert(k === graft.operators.IvfCentroidsAuto.k,
+      s"auto k drifted: live $k vs frozen ${graft.operators.IvfCentroidsAuto.k}")
+    val frozen = graft.operators.IvfCentroidsAuto.values
+    assert(live.length === frozen.length)
+    live.indices.foreach { c =>
+      assert(live(c).toSeq === frozen(c).toSeq, s"centroid $c drifted from the freeze")
+    }
+  }
+
+  test("auto balance: every corpus vector lands in exactly one list; pop beats the frozen-16 arm") {
+    val d = "/root/testdata/sf0.01"
+    val auto = SimilarityOps.ivfListBalanceAuto(spark, d).collect()
+      .map(r => r.getAs[Long]("list_id") -> r.getAs[Long]("n_vectors")).toMap
+    val n = Tables.embeddings(spark, d).filter(col("vec_id") >= 10).count()
+    assert(auto.values.sum === n, "assignment lost or duplicated vectors")
+    // the point of the auto dial: more lists than the frozen 16 on this
+    // corpus (k=32 at n=490), so the dominant list is strictly smaller
+    // than the frozen arm's — per-list pop tracks √n instead of n
+    val frozenMax = SimilarityOps.ivfListBalance(spark, d).collect()
+      .map(_.getAs[Long]("n_vectors")).max
+    assert(auto.values.max < frozenMax,
+      s"auto max pop ${auto.values.max} not below frozen-16 max $frozenMax")
+  }
+
+  test("q68d recall row: sane bounds and agreement with an independent recompute") {
+    val d = "/root/testdata/sf0.01"
+    val rows = SimilarityOps.annRecallAuto(spark, d).collect()
+    assert(rows.length === 10) // the 10-query convention
+    rows.foreach { r =>
+      val nExact = r.getAs[Long]("n_exact")
+      val hits = r.getAs[Long]("auto_hits")
+      assert(nExact === 3L)
+      assert(hits >= 0L && hits <= nExact)
+      assert(r.getAs[Double]("auto_recall") === hits.toDouble / nExact)
+    }
+    // independent recompute: hits = |bruteforce top-3 ∩ auto top-3|
+    val bf = SimilarityOps.knnBruteForce(spark, d, k = 3).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val auto = SimilarityOps.knnIvfAuto(spark, d).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val expect = bf.intersect(auto).groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    rows.foreach { r =>
+      assert(r.getAs[Long]("auto_hits") === expect.getOrElse(r.getAs[Long]("q_id"), 0L))
+    }
+  }
+
   test("the serving default nprobe is the q68c operating point: >= 0.9 of brute force on the gate corpus") {
     // the q68c curve on the gate corpus (sf0.01, 300-query split): the
     // raw-IVF arm's recall@3 at the serving default must clear 0.9 of
