@@ -79,14 +79,20 @@ object AnnIndexBuild {
   /** Coding-marker sidecar for directory indexes: what the codes MEAN. */
   private def codingName(residual: Boolean) = if (residual) "residual" else "raw"
 
-  private def writeCodingMarker(s: SparkSession, out: String, residual: Boolean): Unit = {
+  private def writeCodingMarker(s: SparkSession, out: String, residual: Boolean): Unit =
+    writeMarker(s, out, codingName(residual))
+
+  private def writeMarker(s: SparkSession, out: String, name: String): Unit = {
     val path = new org.apache.hadoop.fs.Path(out, "_coding")
     val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
     val os = fs.create(path, true)
-    try os.write(codingName(residual).getBytes("UTF-8")) finally os.close()
+    try os.write(name.getBytes("UTF-8")) finally os.close()
   }
 
-  private def checkCodingMarker(s: SparkSession, indexDir: String, residual: Boolean): Unit = {
+  private def checkCodingMarker(s: SparkSession, indexDir: String, residual: Boolean): Unit =
+    checkMarkerIs(s, indexDir, codingName(residual))
+
+  private def checkMarkerIs(s: SparkSession, indexDir: String, expected: String): Unit = {
     val path = new org.apache.hadoop.fs.Path(indexDir, "_coding")
     val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
     // a MISSING marker fails too (advisor finding, round 8): every build
@@ -101,9 +107,10 @@ object AnnIndexBuild {
     val in = fs.open(path)
     val stored = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
       finally in.close()
-    require(stored == codingName(residual),
-      s"index $indexDir was built with $stored coding; searched as ${codingName(residual)} " +
-        "— ADC scores would rank against the wrong reconstruction")
+    require(stored == expected,
+      s"index $indexDir was built with $stored coding; searched as $expected " +
+        "— ADC scores would rank against the wrong reconstruction (an auto-k " +
+        "index must be searched with searchAuto, a frozen one with search)")
   }
 
   /** Table-property key recording a versioned index's coding — the same
@@ -131,6 +138,63 @@ object AnnIndexBuild {
       .repartition(col("list_id"))
       .write.mode(SaveMode.Overwrite).partitionBy("list_id").parquet(out)
     writeCodingMarker(s, out, residual)
+  }
+
+  /** Marker value for auto-k indexes: a frozen-quantizer `search` against
+    * auto-partitioned lists would resolve probes with the WRONG quantizer
+    * and silently rank against the wrong candidates — the marker makes
+    * the mismatch loud in both directions. */
+  private val AutoCoding = "raw-auto"
+
+  /** The persisted index under the AUTO-k quantizer (q46d's dial carried
+    * to the serving side — the frozen build's 16 lists mean the serving
+    * nprobe probes a constant FRACTION of a growing corpus; here k ≈ √n,
+    * so probed rows per query grow ~√n): trains the quantizer
+    * deterministically (SimilarityOps.autoQuantizer — cached per
+    * session/lake), assigns lists through the in-register kernel, PQ-codes
+    * through THE shared tail, lands `partitionBy(list_id)` with the
+    * centroids as a `_quantizer` parquet SIDECAR (underscore-prefixed:
+    * invisible to the main partitioned read) so the index is
+    * self-describing — search needs no session-level frozen constant.
+    * Raw coding only: the shipped residual books are trained against the
+    * FROZEN quantizer's residuals (see codedSubsAuto).
+    */
+  def buildAuto(s: SparkSession, sfDir: String, out: String): Unit = {
+    val (_, cents) = SimilarityOps.autoQuantizer(s, sfDir)
+    val emb = graft.Tables.embeddings(s, sfDir)
+      .filter(col("vec_id") >= SimilarityOps.QueryIdMax)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    aggCodes(SimilarityOps.codedSubsAuto(s, graft.Tables.spreadScan(s, emb), cents))
+      .repartition(col("list_id"))
+      .write.mode(SaveMode.Overwrite).partitionBy("list_id").parquet(out)
+    import s.implicits._
+    cents.toSeq.zipWithIndex.map { case (cv, i) => (i.toLong, cv.toSeq) }
+      .toDF("list_id", "cv")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$out/_quantizer")
+    writeMarker(s, out, AutoCoding)
+  }
+
+  /** [[search]] over a [[buildAuto]] index: probes resolve against the
+    * SIDECAR quantizer (parquet doubles round-trip bit-exactly, so
+    * assignment-time and search-time centroids are THE same numbers);
+    * the ADC LUT is raw-mode (centroid-free), so scoring is unchanged.
+    * Default nProbe keeps the frozen serving point's probed FRACTION
+    * (ceil(k/8) lists — 2/16 at the pinned baseline); derive a
+    * corpus-specific dial from a q68c-style curve before production.
+    */
+  def searchAuto(s: SparkSession, indexDir: String, sfDir: String,
+      k: Int = 3, nProbe: Int = -1): DataFrame = {
+    checkMarkerIs(s, indexDir, AutoCoding)
+    val cents = s.read.parquet(s"$indexDir/_quantizer")
+      .withColumn("cnrm", graft.functions.VectorFunctions.norm(col("cv")))
+    val nLists = cents.count()
+    val probe = if (nProbe > 0) nProbe else math.max(1, (nLists / 8).toInt)
+    val (probes, lutRows) = probeAndLut(s, sfDir, probe, residual = false, cents = cents)
+    if (probes.isEmpty) return emptyResult(s)
+    val probedLists = probes.map(_._2).distinct.sorted
+    val codes = s.read.parquet(indexDir)
+      .filter(col("list_id").isin(probedLists: _*))
+    adcTopK(s, codes, probes, lutRows, k)
   }
 
   /** The code table committed through SnapshotLake (list_id-clustered,
@@ -312,11 +376,16 @@ object AnnIndexBuild {
     * bit-identical to the in-query computation (spec-pinned for both
     * codings). */
   private def probeAndLut(s: SparkSession, sfDir: String, nProbe: Int,
-      residual: Boolean)
+      residual: Boolean, cents: DataFrame = null)
       : (Seq[(Long, Long)], Seq[(Long, Long, Long, Long, Double)]) = {
+    // auto-k indexes are raw-only (their residual books don't exist);
+    // the marker check upstream makes this unreachable, but the LUT's
+    // IvfCentroids lookup below would silently mis-rank, so belt+braces
+    require(!(residual && cents != null),
+      "residual LUT against a custom quantizer: no trained residual books")
     // THE shared probe resolver (SimilarityOps.queryProbeLists — also
     // what q70b runs in-query), collected driver-side
-    val probeRows = SimilarityOps.queryProbeLists(s, sfDir, nProbe)
+    val probeRows = SimilarityOps.queryProbeLists(s, sfDir, nProbe, cents = cents)
       .select(col("q_id"), col("list_id"), col("qv"))
       .collect()
     val probes = probeRows.map(r => (r.getLong(0), r.getLong(1))).toSeq

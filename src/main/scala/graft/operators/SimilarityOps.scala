@@ -281,9 +281,18 @@ object SimilarityOps {
       else assigned.select(col("vec_id"), col("best.v").as("v"),
         col("best.list_id").as("list_id"))
     val books = if (residual) residualCodebookTable(s) else codebookTable(s)
-    // PQ code assignment on the list-tagged corpus: min_by argmin with
-    // map-side partials (list_id rides the grouping key — it is functional
-    // on vec_id, so cardinality is unchanged and no rejoin is needed)
+    pqCodeSubs(corpusList, books)
+  }
+
+  /** THE PQ-code-assignment tail over a list-tagged (vec_id, v, list_id)
+    * frame — single-sourced so the frozen-quantizer path
+    * ([[codedSubsOf]]) and the AUTO-quantizer index build
+    * ([[codedSubsAuto]]) produce codes through identical math: min_by
+    * argmin with map-side partials (list_id rides the grouping key — it
+    * is functional on vec_id, so cardinality is unchanged and no rejoin
+    * is needed). */
+  private def pqCodeSubs(corpusList: DataFrame, books: DataFrame): DataFrame = {
+    val subDim = 8
     corpusList.select(col("vec_id"), col("list_id"),
       explode(array((0 until 8).map(sub =>
         struct(lit(sub.toLong).as("sub_idx"),
@@ -295,6 +304,20 @@ object SimilarityOps {
       .groupBy("vec_id", "list_id", "sub_idx")
       .agg(min_by(col("code"), struct(col("sqd"), col("code"))).as("code"))
   }
+
+  /** [[codedSubsOf]] under an ARBITRARY coarse quantizer (the auto-k
+    * persisted index, raw coding only): list assignment through the
+    * in-register kernel ([[assignListsKernel]] — k grows with the
+    * corpus, so the broadcast-join shape is out), PQ codes through THE
+    * shared tail. Residual coding is structurally excluded here: the
+    * shipped residual codebooks are trained against the FROZEN
+    * quantizer's residuals, so coding r = v − c_auto(v) against them
+    * would rank against the wrong reconstruction — the caller enforces
+    * the raw-only contract loudly. */
+  private[graft] def codedSubsAuto(s: SparkSession, emb: DataFrame,
+      cents: Array[Array[Double]]): DataFrame =
+    pqCodeSubs(assignListsKernel(s, emb, cents).select("vec_id", "v", "list_id"),
+      codebookTable(s))
 
   /** q54 — IVF inverted-list balance: vectors per list under the trained
     * quantizer. This is the operational health check for the index — a

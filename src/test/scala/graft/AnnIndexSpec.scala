@@ -131,6 +131,68 @@ class AnnIndexSpec extends SparkSpec {
     assert(!spark.read.parquet(idx).columns.contains("v"))
   }
 
+  test("auto-k persisted index: sidecar quantizer, partition pruning, bit-exact ADC, loud cross-search") {
+    val out = java.nio.file.Files.createTempDirectory("annauto").toString
+    graft.jobs.AnnIndexBuild.buildAuto(spark, sf, out)
+
+    val res = graft.jobs.AnnIndexBuild.searchAuto(spark, out, sf, k = 3, nProbe = 2)
+    // partition pruning holds with the sidecar-resolved probe list
+    val scans = res.queryExecution.sparkPlan.collect {
+      case f: FileSourceScanExec if f.relation.location.rootPaths.exists(_.toString.contains(out)) => f
+    }
+    assert(scans.nonEmpty)
+    assert(scans.head.partitionFilters.exists(_.references.exists(_.name == "list_id")),
+      scans.head.partitionFilters.mkString("; "))
+    val got = res.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+
+    // INDEPENDENT driver-side recompute, same IEEE fold orders: sidecar
+    // centroids -> probe top-2 lists per query -> ADC over the probed
+    // codes against PqCodebooks -> (adc ASC, id ASC) top-3
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var t = 0.0; var i = 0
+      while (i < a.length) { t += a(i) * b(i); i += 1 }; t
+    }
+    val cents = spark.read.parquet(s"$out/_quantizer").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).sortBy(_._1)
+    val queries = Tables.embeddings(spark, sf).filter(col("vec_id") < 10)
+      .selectExpr("vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS v")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+    val codes = spark.read.parquet(out).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Number]("list_id").longValue(),
+        r.getAs[scala.collection.Seq[Long]]("codes").toArray))
+    val books = graft.operators.PqCodebooks.values
+    val expect = queries.flatMap { case (qid, qv) =>
+      val qnrm = math.sqrt(dot(qv, qv))
+      val probed = cents.map { case (lid, cv) =>
+        (lid, dot(qv, cv) / (qnrm * math.sqrt(dot(cv, cv))))
+      }.sortBy { case (lid, cos) => (-cos, lid) }.take(2).map(_._1).toSet
+      val scored = codes.filter(c => probed(c._2)).map { case (vid, _, cs) =>
+        // per-sub fold then fixed-order d0..d7 reduce, as adcRank does
+        val dsubs = Array.tabulate(8) { sub =>
+          var acc = 0.0; var i = 0
+          while (i < 8) {
+            val x = qv(sub * 8 + i) - books(sub)(cs(sub).toInt)(i)
+            acc += x * x; i += 1
+          }
+          acc
+        }
+        (vid, dsubs.reduceLeft(_ + _))
+      }.sortBy { case (vid, d) => (d, vid) }.take(3)
+      scored.zipWithIndex.map { case ((vid, d), i) => (qid, vid, d, (i + 1).toLong) }
+    }.sortBy(t => (t._1, t._4))
+    assert(got.sortBy(t => (t._1, t._4)).toSeq === expect.toSeq)
+    assert(got.nonEmpty)
+
+    // cross-search fails LOUDLY in both directions (wrong quantizer would
+    // silently rank against wrong candidates)
+    val e1 = intercept[IllegalArgumentException](
+      graft.jobs.AnnIndexBuild.search(spark, out, sf))
+    assert(e1.getMessage.contains("raw-auto"))
+    val e2 = intercept[IllegalArgumentException](
+      graft.jobs.AnnIndexBuild.searchAuto(spark, idx, sf))
+    assert(e2.getMessage.contains("raw"))
+  }
+
   test("residual index: search is bit-identical to the recompute query (q70c)") {
     val out = java.nio.file.Files.createTempDirectory("annres").toString
     AnnIndexBuild.build(spark, sf, out, residual = true)
