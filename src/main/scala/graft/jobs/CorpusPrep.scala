@@ -133,7 +133,10 @@ object CorpusPrep {
       // set (the reference's Transfer-Learning → im2rec → RecordIO
       // hand-off, for text)
       trainShards: Boolean = false,
-      trainShardsCfg: TrainingShards.Config = TrainingShards.Config())
+      trainShardsCfg: TrainingShards.Config = TrainingShards.Config(),
+      // N > 1 materializes N training epochs in one run (epoch-e dirs,
+      // per-epoch deterministic reshuffles — see TrainingShards --epochs)
+      trainEpochs: Int = 1)
 
   def run(spark: SparkSession, sfDir: String, out: String,
       cfg: Config = Config()): Unit = {
@@ -384,10 +387,17 @@ object CorpusPrep {
     val nShards =
       if (!cfg.trainShards) -1L
       else {
-        TrainingShards.run(spark, out, s"$out/train_shards", cfg.trainShardsCfg)
-        spark.read.parquet(s"$out/train_shards/stats")
+        TrainingShards.run(spark, out, s"$out/train_shards",
+          cfg.trainShardsCfg, cfg.trainEpochs)
+        // total packed sequences across every exported epoch (per-epoch
+        // counts may differ by a shard-tail: packing follows each
+        // epoch's own shuffle)
+        val statsDirs =
+          if (cfg.trainEpochs == 1) Seq(s"$out/train_shards/stats")
+          else (0 until cfg.trainEpochs).map(e => s"$out/train_shards/epoch-$e/stats")
+        statsDirs.map(p => spark.read.parquet(p)
           .filter(col("stage") === "04_sequences")
-          .collect()(0).getLong(1)
+          .collect()(0).getLong(1)).sum
       }
 
     import spark.implicits._
@@ -455,7 +465,11 @@ object CorpusPrep {
       fuzzyDeconMinEst = fuzzyMin.getOrElse(0.5),
       spanCut = args.contains("--span-cut"),
       epochPlan = args.contains("--epoch-plan"),
-      trainShards = args.contains("--train-shards")))
+      trainShards = args.contains("--train-shards"),
+      trainEpochs = args.collectFirst {
+        case a if a.startsWith("--train-epochs=") =>
+          a.stripPrefix("--train-epochs=").toInt
+      }.getOrElse(1)))
     spark.stop()
   }
 }

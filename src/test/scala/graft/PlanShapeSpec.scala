@@ -269,6 +269,37 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
   }
 
+  test("q46d/q54b: auto-k CORPUS assignment is the in-register kernel — no corpus×centroid join") {
+    // the frozen-16 arms legitimately broadcast-nested-loop the corpus
+    // against the centroid table (k is a constant 16); once k grows with
+    // the corpus that shape is n×k row churn, so in the auto arms the
+    // only nested-loop join allowed is the BOUNDED probe resolution
+    // (10 queries × k centroids — every embeddings scan under it must
+    // carry the pushed vec_id < 10 query filter); the corpus reaches its
+    // list through MapPartitions (the kernel), never a join
+    val exec46d = SimilarityOps.knnIvfAuto(spark, sf).queryExecution.sparkPlan
+    val nlj = exec46d.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+      case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
+    }
+    nlj.foreach { j =>
+      val scans = j.collect { case f: FileSourceScanExec => f }
+      scans.foreach { f =>
+        assert(f.metadata.get("PushedFilters").exists(_.contains("LessThan(vec_id,10)")),
+          s"corpus-side scan under a nested-loop join: ${f.metadata.get("PushedFilters")}")
+      }
+    }
+    // the kernel is genuinely in the plan, and the probe join on list_id
+    // broadcasts the bounded query side
+    assert(exec46d.collect {
+      case m: org.apache.spark.sql.execution.MapPartitionsExec => m }.nonEmpty)
+    assert(plan(SimilarityOps.knnIvfAuto(spark, sf)).contains("BroadcastHashJoin"))
+    // q54b: pure kernel + one bounded aggregation — no join of any kind
+    val p54b = plan(SimilarityOps.ivfListBalanceAuto(spark, sf))
+    assert(!p54b.contains("Join"), p54b)
+    assert(p54b.contains("HashAggregate"), p54b)
+  }
+
   test("q70b: every join is broadcast-side (codebooks, centroids, probed queries) — corpus never shuffle-joins") {
     val p = plan(operators.SimilarityOps.knnIvfPq(spark, sf))
     // the corpus only ever joins against broadcast frames (16 centroids,

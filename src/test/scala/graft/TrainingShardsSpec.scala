@@ -213,6 +213,23 @@ class TrainingShardsSpec extends SparkSpec {
     assert(texts.count(_ == "p") === 2, "repeats=2 doc should appear twice")
   }
 
+  test("CorpusPrep --train-epochs=2: the pipeline lands both epoch dirs; stats sum across epochs") {
+    val out = java.nio.file.Files.createTempDirectory("prepepochs").toString
+    CorpusPrep.run(spark, sf, out, CorpusPrep.Config(
+      epochPlan = true, trainShards = true, trainEpochs = 2,
+      trainShardsCfg = TrainingShards.Config(budget = 64, shards = 4)))
+    val perEpoch = (0 to 1).map { e =>
+      val n = TarShards.read(spark, s"$out/train_shards/epoch-$e/shards").count()
+      assert(n > 0, s"epoch-$e empty")
+      assert(java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$out/train_shards/epoch-$e/shardlist.txt")))
+      n
+    }
+    val prepStats = spark.read.parquet(s"$out/stats").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(prepStats("08_train_sequences") === perEpoch.sum)
+  }
+
   test("CorpusPrep --train-shards: the curated lake lands as a mounted-ready training artifact") {
     val out = java.nio.file.Files.createTempDirectory("prepshards").toString
     CorpusPrep.run(spark, sf, out, CorpusPrep.Config(
