@@ -37,7 +37,8 @@ object GraftSql {
       "q32_track_stitch", "q95c_clf_eval",
       // auto-k IVF arms: construction measures the corpus and trains the
       // quantizer (count + takeOrdered + Lloyd passes) up front
-      "q46d_knn_ivf_auto", "q54b_ivf_balance_auto", "q68d_ann_recall_auto")
+      "q46d_knn_ivf_auto", "q54b_ivf_balance_auto", "q68d_ann_recall_auto",
+      "q68e_ann_recall_curve_auto")
 
   /** Register every operator in the library as a temp view, so the whole
     * catalog is composable from SQL:

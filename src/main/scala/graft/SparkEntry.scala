@@ -69,6 +69,7 @@ object SparkEntry {
     "q54_ivf_balance"     -> (SimilarityOps.ivfListBalance _),
     "q54b_ivf_balance_auto" -> (SimilarityOps.ivfListBalanceAuto _),
     "q68d_ann_recall_auto" -> ((s: SparkSession, d: String) => SimilarityOps.annRecallAuto(s, d)),
+    "q68e_ann_recall_curve_auto" -> ((s: SparkSession, d: String) => SimilarityOps.annRecallCurveAuto(s, d)),
     "q55_dedup_groups"    -> ((s: SparkSession, d: String) => DedupOps.dedupGroups(s, d)),
     "q55c_group_sizes"    -> ((s: SparkSession, d: String) => DedupOps.dedupGroupSizes(s, d)),
     "q55b_dedup_priority" -> ((s: SparkSession, d: String) => DedupOps.dedupGroupsPriority(s, d)),
@@ -785,6 +786,56 @@ object SparkEntry {
        |FROM points p
        |LEFT JOIN ivf_hits i USING (nprobe)
        |LEFT JOIN adc_hits a USING (nprobe)
+       |CROSS JOIN truth t
+       |ORDER BY p.nprobe""".stripMargin
+  }
+
+  /** The q68e curve oracle: q68c's probe-rank/VALUES-fan construction
+    * against the FROZEN auto-k artifact, raw-float arm only (the auto
+    * index is raw-coded). */
+  private def annRecallCurveAutoOracleSql(qmax: Int, k: Int, probes: Seq[Int]): String = {
+    val maxProbe = probes.max
+    val pointsValues = probes.map(p => s"(CAST($p AS BIGINT))").mkString("VALUES ", ", ", "")
+    s"""WITH $EMB_NORM,
+       |exj AS (SELECT a.vec_id AS q_id, b.vec_id AS neighbor_id,
+       |          $DOT64 / (a.nrm * b.nrm) AS cos
+       |        FROM n a JOIN n b ON a.vec_id < $qmax AND b.vec_id >= $qmax),
+       |ex AS (SELECT q_id, neighbor_id FROM (
+       |         SELECT q_id, neighbor_id,
+       |           ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS rank
+       |         FROM exj) t WHERE rank <= $k),
+       |points AS (SELECT nprobe FROM ($pointsValues) t(nprobe)),
+       |cents AS (SELECT list_id, cv,
+       |            sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65),
+       |              i -> cv[i] * cv[i])), (x2, y2) -> x2 + y2)) AS cnrm
+       |          FROM ($ivfCentsAutoValues) t(list_id, cv)),
+       |asg AS (SELECT vec_id, v, nrm, list_id, csim,
+       |          ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, list_id) AS crank
+       |        FROM (SELECT n.vec_id, n.v, n.nrm, c.list_id,
+       |                list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65),
+       |                  i -> n.v[i] * c.cv[i])), (x2, y2) -> x2 + y2) / (n.nrm * c.cnrm) AS csim
+       |              FROM n, cents c) t),
+       |qs AS (SELECT vec_id AS q_id, v AS qv, nrm AS qnrm, list_id, CAST(crank AS BIGINT) AS crank
+       |       FROM asg WHERE vec_id < $qmax AND crank <= $maxProbe),
+       |cp AS (SELECT vec_id, v, nrm, list_id FROM asg WHERE vec_id >= $qmax AND crank = 1),
+       |ivfj AS (SELECT q_id, cp.vec_id AS neighbor_id, qs.crank,
+       |           list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65),
+       |             i -> qs.qv[i] * cp.v[i])), (x2, y2) -> x2 + y2) / (qs.qnrm * cp.nrm) AS cos
+       |         FROM cp JOIN qs USING (list_id)),
+       |ivf_p AS (SELECT nprobe, q_id, neighbor_id FROM (
+       |            SELECT p.nprobe, i.q_id, i.neighbor_id,
+       |              ROW_NUMBER() OVER (PARTITION BY p.nprobe, i.q_id
+       |                ORDER BY i.cos DESC, i.neighbor_id) AS rk
+       |            FROM ivfj i JOIN points p ON i.crank <= p.nprobe) t WHERE rk <= $k),
+       |hits AS (SELECT nprobe, CAST(COUNT(*) AS BIGINT) AS auto_hits
+       |         FROM ivf_p JOIN ex USING (q_id, neighbor_id) GROUP BY nprobe),
+       |truth AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_truth FROM ex)
+       |SELECT p.nprobe,
+       |  COALESCE(h.auto_hits, 0) AS auto_hits,
+       |  t.n_truth,
+       |  CAST(COALESCE(h.auto_hits, 0) AS DOUBLE) / CAST(t.n_truth AS DOUBLE) AS auto_recall
+       |FROM points p
+       |LEFT JOIN hits h USING (nprobe)
        |CROSS JOIN truth t
        |ORDER BY p.nprobe""".stripMargin
   }
@@ -1769,6 +1820,11 @@ object SparkEntry {
          |              FROM (SELECT * FROM n WHERE vec_id >= 10) n, cents c) t)
          |SELECT list_id, CAST(COUNT(*) AS BIGINT) AS n_vectors
          |FROM asg WHERE crank = 1 GROUP BY list_id ORDER BY list_id""".stripMargin,
+
+    // q68e: the auto arm's recall-vs-nprobe curve — q68c's oracle device
+    // (probe RANK fanned over a VALUES points table) against the frozen
+    // auto artifact, raw-float arm
+    "q68e_ann_recall_curve_auto" -> annRecallCurveAutoOracleSql(10, 3, Seq(1, 2, 4, 8, 16, 32)),
 
     // q68d: the auto arm's per-query recall vs exact brute force — both
     // arms replayed from the frozen artifact / the shared scan

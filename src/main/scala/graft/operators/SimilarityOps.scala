@@ -831,6 +831,57 @@ object SimilarityOps {
       .orderBy("q_id")
   }
 
+  /** q68e — the auto arm's recall-vs-nprobe operating CURVE (q68c's
+    * device pointed at the AUTO quantizer): the table an operator reads
+    * to derive `searchAuto`'s corpus-specific serving dial — probed
+    * fraction is nprobe/k with k now data-derived, so the dial must be
+    * re-read per corpus, which is exactly what this query does. Sweep
+    * points default to powers of two up to the GATE k (32); on a larger
+    * corpus the same points simply probe a smaller fraction. At
+    * nprobe = k (all lists probed) the arm IS brute force and recall
+    * must hit 1.0 — the spec pins that ceiling on the gate lake.
+    *
+    * Scale shape: corpus assignment once through the kernel, candidates
+    * carry their probe RANK and fan lazily to the curve points that
+    * include them (q68c's device), per-(query, point) top-k on bounded
+    * graft_topk heaps — no per-point rescan, no corpus sort.
+    */
+  def annRecallCurveAuto(s: SparkSession, d: String, k: Int = 3,
+      queryIdMax: Long = QueryIdMax,
+      probes: Seq[Int] = Seq(1, 2, 4, 8, 16, 32)): DataFrame = {
+    require(probes.nonEmpty && probes == probes.sorted.distinct,
+      s"probes must be sorted distinct: $probes")
+    val (_, cents) = autoQuantizer(s, d, queryIdMax)
+    val exact = knnBruteForce(s, d, k, queryIdMax).select("q_id", "neighbor_id")
+    val qp = queryProbeLists(s, d, probes.max, queryIdMax, keepRank = true,
+      cents = centroidTableOf(s, cents))
+    val corpus = assignListsKernel(s,
+      Tables.spreadScan(s, Tables.embeddings(s, d)
+        .filter(col("vec_id") >= queryIdMax)
+        .select(col("vec_id"), toDouble(col("embedding")).as("v"))), cents)
+    val probeArr = array(probes.map(p => lit(p.toLong)): _*)
+    val hits = corpus.join(broadcast(qp), Seq("list_id"))
+      .withColumn("cos", cosine(col("qv"), col("v"), col("qnrm"), col("nrm")))
+      .select(col("q_id"), col("vec_id").as("neighbor_id"), col("cos"), col("crank"))
+      .withColumn("nprobe", explode(filter(probeArr, p => p >= col("crank"))))
+      .groupBy("q_id", "nprobe")
+      .agg(call_function("graft_topk",
+        col("cos"), col("neighbor_id"), col("neighbor_id"), lit(k)).as("top"))
+      .select(col("q_id"), col("nprobe"), explode(col("top")).as("t"))
+      .select(col("q_id"), col("nprobe"), col("t.id").as("neighbor_id"))
+      .join(exact, Seq("q_id", "neighbor_id"), "left_semi")
+      .groupBy("nprobe")
+      .agg(count(lit(1)).as("auto_hits"))
+    import s.implicits._
+    probes.map(_.toLong).toDF("nprobe")
+      .join(hits, Seq("nprobe"), "left")
+      .na.fill(0L, Seq("auto_hits"))
+      .crossJoin(broadcast(exact.agg(count(lit(1)).as("n_truth"))))
+      .select(col("nprobe"), col("auto_hits"), col("n_truth"),
+        (col("auto_hits").cast("double") / col("n_truth").cast("double")).as("auto_recall"))
+      .orderBy("nprobe")
+  }
+
   /** q70b — IVF-probed PQ search (IVFADC, Jégou et al. TPAMI 2011 §IV):
     * the composition a billion-vector index actually runs. q46b's trained
     * coarse quantizer prunes WHICH vectors to score (each query probes its

@@ -95,6 +95,22 @@ class AnnIndexSpec extends SparkSpec {
     }
   }
 
+  test("q68e auto curve: monotone in nprobe, exact brute-force ceiling at nprobe = k") {
+    val d = "/root/testdata/sf0.01"
+    val (k, _) = SimilarityOps.autoQuantizer(spark, d)
+    val rows = SimilarityOps.annRecallCurveAuto(spark, d).collect()
+      .map(r => (r.getAs[Long]("nprobe"), r.getAs[Double]("auto_recall"))).sortBy(_._1)
+    assert(rows.map(_._1) === Seq(1L, 2L, 4L, 8L, 16L, 32L))
+    rows.sliding(2).foreach {
+      case Array(a, b) => assert(b._2 >= a._2, s"recall fell ${a._1}->${b._1}")
+      case _ => ()
+    }
+    // the sweep's last point probes ALL k lists on the gate corpus
+    // (autoK(490) = 32) — that IS brute force, recall exactly 1.0
+    assert(rows.last._1 === k.toLong, s"gate sweep should end at k=$k")
+    assert(rows.last._2 === 1.0, s"ceiling: ${rows.last._2}")
+  }
+
   test("the serving default nprobe is the q68c operating point: >= 0.9 of brute force on the gate corpus") {
     // the q68c curve on the gate corpus (sf0.01, 300-query split): the
     // raw-IVF arm's recall@3 at the serving default must clear 0.9 of
