@@ -179,8 +179,15 @@ object AnnIndexBuild {
     * assignment-time and search-time centroids are THE same numbers);
     * the ADC LUT is raw-mode (centroid-free), so scoring is unchanged.
     * Default nProbe keeps the frozen serving point's probed FRACTION
-    * (ceil(k/8) lists — 2/16 at the pinned baseline); derive a
-    * corpus-specific dial from a q68c-style curve before production.
+    * (ceil(k/8) lists — 2/16 at the pinned baseline). Note the scale
+    * trade the dial controls: a FIXED nprobe scans nprobe·n/k ≈
+    * nprobe·√n rows per query (sub-linear — what q46d's oracled arm
+    * runs at nprobe=2) but its probed fraction shrinks as the corpus
+    * grows, costing recall on weakly-clustered data; a fixed FRACTION
+    * (this default) holds recall but scans linearly. The resolution is
+    * measurement, not a constant: read the serving dial off
+    * `SimilarityOps.annRecallCurveAuto` (q68e) for YOUR corpus — the
+    * smallest nprobe clearing the target recall — before production.
     */
   def searchAuto(s: SparkSession, indexDir: String, sfDir: String,
       k: Int = 3, nProbe: Int = -1): DataFrame = {

@@ -73,6 +73,36 @@ class AnnIndexSpec extends SparkSpec {
       s"auto max pop ${auto.values.max} not below frozen-16 max $frozenMax")
   }
 
+  test("property: assignListsKernel == the declarative broadcast-join argmax (ties included)") {
+    // the kernel replaced q46b's join shape for corpus-sized k — this
+    // differential pins that the two formulations are the SAME function
+    // (same cosine folds, same smallest-list tie-break) on random inputs
+    // plus a deliberate duplicate-centroid tie
+    import spark.implicits._
+    import graft.functions.VectorFunctions._
+    val rng = new scala.util.Random(42)
+    for (k <- Seq(3, 17, 32)) {
+      val dim = 64
+      val base = Array.fill(k - 1)(Array.fill(dim)(rng.nextDouble() - 0.5))
+      val cents = base :+ base(0).clone() // last centroid duplicates list 0
+      val emb = (0 until 200).map(i =>
+        (i.toLong, Seq.fill(dim)(rng.nextDouble() - 0.5))).toDF("vec_id", "v")
+      val kernel = SimilarityOps.assignListsKernel(spark, emb, cents)
+        .select("vec_id", "list_id").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val decl = emb.withColumn("nrm", norm(col("v")))
+        .join(broadcast(SimilarityOps.centroidTableOf(spark, cents)))
+        .withColumn("csim", cosine(col("v"), col("cv"), col("nrm"), col("cnrm")))
+        .groupBy("vec_id")
+        .agg(max_by(col("list_id"), struct(col("csim"), -col("list_id"))).as("list_id"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(kernel === decl, s"k=$k")
+      // every vector nearest the duplicated direction must resolve to
+      // list 0, never the duplicate — proving the tie-break is exercised
+      assert(!kernel.values.exists(_ == (k - 1).toLong), s"k=$k: tie went to the duplicate")
+    }
+  }
+
   test("q68d recall row: sane bounds and agreement with an independent recompute") {
     val d = "/root/testdata/sf0.01"
     val rows = SimilarityOps.annRecallAuto(spark, d).collect()
