@@ -84,6 +84,7 @@ object SparkEntry {
     "q57_dup_ngram_rate"  -> (CurationOps.dupNgramRate _),
     "q82_decontaminate"   -> ((s: SparkSession, d: String) => CurationOps.decontaminate(s, d)),
     "q82b_decon_fuzzy"    -> ((s: SparkSession, d: String) => CurationOps.deconFuzzy(s, d)),
+    "q82c_decon_bloom"    -> ((s: SparkSession, d: String) => CurationOps.deconBloom(s, d)),
     "q58_stratified_sample" -> ((s: SparkSession, d: String) => CurationOps.stratifiedSample(s, d)),
     "q59_quantize_int8"   -> (CurationOps.quantizeStats _),
     "q60_chunk_docs"      -> ((s: SparkSession, d: String) => CurationOps.chunkDocs(s, d)),
@@ -1919,6 +1920,24 @@ object SparkEntry {
     // train-side removal list: any 13-gram window shared with the heldout
     // split drops the train doc (same md5-60-bit window hash as q65)
     "q82_decontaminate" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts,
+        |                  len(string_split(text, ' ')) AS n FROM documents),
+        |r0 AS (SELECT doc_id, unnest(generate_series(1, n - 12)) AS i, ts
+        |       FROM t WHERE n >= 13),
+        |wins AS (SELECT doc_id, ('0x' || substr(md5(array_to_string(ts[i:i+12], ' ')), 1, 15))::BIGINT AS rh FROM r0),
+        |heldout AS (SELECT DISTINCT rh FROM wins WHERE (doc_id * 2654435761) % 100 >= 80),
+        |probe AS (SELECT w.doc_id, w.rh, h.rh IS NOT NULL AS hit
+        |          FROM wins w LEFT JOIN heldout h ON w.rh = h.rh
+        |          WHERE (w.doc_id * 2654435761) % 100 < 80)
+        |SELECT doc_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_ngrams,
+        |  CAST(SUM(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+        |  SUM(CASE WHEN hit THEN 1 ELSE 0 END) > 0 AS drop
+        |FROM probe GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // q82c: the Bloom-prefiltered plan computes the SAME answer as q82
+    // (the sketch is exact-verified away) — the oracle is q82's verbatim
+    "q82c_decon_bloom" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts,
         |                  len(string_split(text, ' ')) AS n FROM documents),
         |r0 AS (SELECT doc_id, unnest(generate_series(1, n - 12)) AS i, ts

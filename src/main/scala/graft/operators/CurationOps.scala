@@ -142,6 +142,56 @@ object CurationOps {
       .orderBy("doc_id")
   }
 
+  /** q82c — q82's decontamination behind a BLOOM pre-filter: the
+    * benchmark window-hash index is sketched into a ~[[DeconBloomBpk]]
+    * bits-per-key Bloom bitset ([[graft.plans.BloomKernels]]), every
+    * corpus window probes the sketch IN the scan (a codegen'd filter,
+    * no join), and only the surviving ~fp-rate fraction reaches the
+    * exact verify join that kills false positives. Output is therefore
+    * BIT-IDENTICAL to q82 (same oracle) — the sketch can never change
+    * an answer, only the plan.
+    *
+    * Why this is the 100 TB shape: q82 builds a broadcast hash relation
+    * of the heldout index (~50 bytes/entry) probed by EVERY corpus
+    * window. Here the per-executor resident state is m ≈ 12 bits/entry
+    * (~50× smaller — a 10⁹-window benchmark index is ~1.5 GB as a hash
+    * relation but ~1.8 GB→37 MB as bits), and the join moves only
+    * ε·corpus windows (ε ≈ 0.3% at 12 bits/key). Per-doc totals come
+    * from the token count alone (n_ngrams = n−k+1 — no second exploded
+    * scan). The bitset rides the plan as a literal; at benchmark scale
+    * that is KBs–MBs, the same bound q82b's broadcast already assumes.
+    */
+  def deconBloom(s: SparkSession, d: String, k: Int = 13): DataFrame = {
+    import s.implicits._
+    val held = heldoutIndex(s, d, k).persist()
+    val nKeys = held.count()
+    val words = graft.plans.BloomKernels.sizedWords(nKeys, DeconBloomBpk)
+    val kh = graft.plans.BloomKernels.numHashes(DeconBloomBpk)
+    // the sketch build: one treeAggregate over the (benchmark-bounded)
+    // index — the driver receives m/8 bytes of bits, never the keys
+    val bits = held.select(col("rh")).as[Long].rdd.treeAggregate(new Array[Long](words))(
+      (acc, key) => { graft.plans.BloomKernels.add(acc, kh, key); acc },
+      (a, b) => { var i = 0; while (i < a.length) { a(i) |= b(i); i += 1 }; a })
+    val maybe = windowHashes(s, d, k)
+      .filter(!isTest)
+      .filter(call_function("graft_bloom_contains", lit(bits), lit(kh), col("rh")))
+    val hits = maybe.join(broadcast(held), Seq("rh"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+    val totals = tokenized(Tables.documentsScaled(s, d), k)
+      .filter(!isTest)
+      .select(col("doc_id"), (col("n") - lit(k - 1)).cast("long").as("n_ngrams"))
+    // held stays persisted: the verify join re-reads the (benchmark-
+    // bounded) index it was counted from — KBs of cache, one per lake
+    totals.join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_ngrams"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+      .withColumn("drop", col("n_hits") > 0)
+      .orderBy("doc_id")
+  }
+
+  /** q82c's sketch density: 12 bits/key ⇒ k=8 probes, fp ≈ 0.3%. */
+  private[graft] val DeconBloomBpk = 12
+
   /** The window sizes q97 sweeps: the Pile's 13-gram default bracketed
     * by a stricter short window and a laxer long one. */
   private[graft] val DeconCurveKs: Seq[Int] = Seq(8, 13, 21)

@@ -2,10 +2,10 @@ package graft.plans
 
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, GenericInternalRow, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType, LongType, StructType}
+import org.apache.spark.sql.types.{BooleanType, DataType, DoubleType, LongType, StructType}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -201,6 +201,105 @@ case class Int8QuantStats(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Blocked Bloom-filter kernel over 8-byte keys (Bloom 1970; double
+  * hashing per Kirsch–Mitzenmacher 2006: g_i = h1 + i·h2 probes a single
+  * bit array). The membership pre-filter for benchmark-bounded probe
+  * indexes: ~`bitsPerKey` BITS per key where a broadcast hash relation
+  * costs ~50 bytes/entry, so an index that no longer fits executor memory
+  * as a join build still fits as a Bloom bitset — false positives are
+  * killed by a (now tiny) exact verify join, false negatives are
+  * structurally impossible. Mixing is splitmix64's public finalizer
+  * constants; everything is deterministic, and consumers never expose
+  * bloom-dependent values (outputs are exact-verified), so no oracle ever
+  * sees the sketch.
+  */
+object BloomKernels {
+  /** splitmix64 finalizer — full-avalanche 64-bit mix. */
+  def mix(z0: Long): Long = {
+    var z = z0
+    z ^= z >>> 30; z *= 0xbf58476d1ce4e5b9L
+    z ^= z >>> 27; z *= 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** Bit-array words for n keys at `bitsPerKey` bits/key (≥ 64 bits). */
+  def sizedWords(n: Long, bitsPerKey: Int): Int = {
+    require(n >= 0 && bitsPerKey > 0, s"bad bloom sizing: n=$n bpk=$bitsPerKey")
+    val bits = math.max(64L, n * bitsPerKey)
+    ((bits + 63) / 64).toInt
+  }
+
+  /** Hash-function count minimizing fp at a given fill: k ≈ bpk·ln2. */
+  def numHashes(bitsPerKey: Int): Int =
+    math.max(1, math.round(bitsPerKey * math.log(2.0)).toInt)
+
+  private def probe(key: Long, i: Int, mBits: Long): Long = {
+    val h1 = mix(key)
+    val h2 = mix(key ^ 0x9e3779b97f4a7c15L) | 1L
+    java.lang.Long.remainderUnsigned(h1 + i.toLong * h2, mBits)
+  }
+
+  def add(bits: Array[Long], k: Int, key: Long): Unit = {
+    val m = bits.length.toLong * 64L
+    var i = 0
+    while (i < k) {
+      val b = probe(key, i, m)
+      bits((b >>> 6).toInt) |= 1L << (b & 63L)
+      i += 1
+    }
+  }
+
+  def contains(bits: Array[Long], k: Int, key: Long): Boolean = {
+    val m = bits.length.toLong * 64L
+    var i = 0
+    while (i < k) {
+      val b = probe(key, i, m)
+      if ((bits((b >>> 6).toInt) & (1L << (b & 63L))) == 0L) return false
+      i += 1
+    }
+    true
+  }
+}
+
+/** `graft_bloom_contains(bits, k, key)` — Bloom membership probe of a
+  * long key against a LITERAL array<long> bitset (the bounded side's
+  * sketch, baked into the plan like any broadcast-scale literal). bits
+  * and k must be foldable: the bitset is extracted ONCE at codegen/first
+  * eval and referenced per row — the generated loop touches only the
+  * key.
+  */
+case class BloomMightContain(bits: Expression, numHash: Expression, key: Expression)
+    extends TernaryExpression {
+
+  override def first: Expression = bits
+  override def second: Expression = numHash
+  override def third: Expression = key
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "graft_bloom_contains"
+
+  @transient private lazy val bitsArr: Array[Long] = {
+    require(bits.foldable, "graft_bloom_contains: bits must be a literal")
+    bits.eval(null).asInstanceOf[ArrayData].toLongArray()
+  }
+  @transient private lazy val kHash: Int = {
+    require(numHash.foldable, "graft_bloom_contains: k must be a literal")
+    numHash.eval(null).asInstanceOf[Int]
+  }
+
+  override protected def nullSafeEval(b: Any, k: Any, keyV: Any): Any =
+    BloomKernels.contains(bitsArr, kHash, keyV.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bloomBits", bitsArr, "long[]")
+    nullSafeCodeGen(ctx, ev, (_, _, keyCode) =>
+      s"${ev.value} = graft.plans.BloomKernels.contains($ref, $kHash, $keyCode);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): Expression =
+    copy(bits = newFirst, numHash = newSecond, key = newThird)
+}
+
 /** Session extension registering the native functions so they resolve by
   * name (`call_function("graft_dot", ...)` or SQL `graft_dot(a, b)`).
   */
@@ -234,6 +333,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_q8_stats"),
       new ExpressionInfo(classOf[Int8QuantStats].getName, "graft_q8_stats"),
       (children: Seq[Expression]) => Int8QuantStats(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_bloom_contains"),
+      new ExpressionInfo(classOf[BloomMightContain].getName, "graft_bloom_contains"),
+      (children: Seq[Expression]) => BloomMightContain(children(0), children(1), children(2))))
     ext.injectFunction((
       new FunctionIdentifier("graft_overlap"),
       new ExpressionInfo(classOf[SortedOverlap].getName, "graft_overlap"),

@@ -70,6 +70,35 @@ class CurationSpec extends SparkSpec {
     assert(!got.contains(3L) && !got.contains(8L))
   }
 
+  test("bloom kernel: zero false negatives; fp rate near the 12-bits/key design point") {
+    import graft.plans.BloomKernels
+    val rnd = new scala.util.Random(42)
+    val keys = Array.fill(5000)(rnd.nextLong())
+    val bits = new Array[Long](BloomKernels.sizedWords(keys.length, 12))
+    val k = BloomKernels.numHashes(12)
+    keys.foreach(BloomKernels.add(bits, k, _))
+    // a Bloom filter can NEVER miss an inserted key
+    keys.foreach(key => assert(BloomKernels.contains(bits, k, key)))
+    // false positives on a disjoint probe set stay near the design point
+    // (~0.3% at 12 bits/key, k=8); 2% is a 6x safety margin
+    val probes = Array.fill(20000)(rnd.nextLong()).filterNot(keys.contains)
+    val fp = probes.count(BloomKernels.contains(bits, k, _))
+    assert(fp.toDouble / probes.length < 0.02, s"fp rate ${fp.toDouble / probes.length}")
+  }
+
+  test("q82c bloom decon: bit-identical to q82; sketch probe sits below the verify join") {
+    val q82 = CurationOps.decontaminate(spark, sf).collect().map(_.toSeq).toSeq
+    val q82c = CurationOps.deconBloom(spark, sf).collect().map(_.toSeq).toSeq
+    // the sketch is exact-verified away: SAME rows, SAME values, SAME order
+    assert(q82c === q82)
+    val plan = CurationOps.deconBloom(spark, sf).queryExecution.executedPlan.toString
+    // the membership probe is a scan-side FILTER (pre-join), and the
+    // exact verify join is a broadcast of the benchmark-bounded index
+    assert(plan.contains("graft_bloom_contains"), "bloom probe missing from the physical plan")
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      "exact verify should be a broadcast left-semi join of the heldout index")
+  }
+
   test("q97 sampled sweep: heldout index never sampled; flag_rate agrees on the gate lake") {
     val full = CurationOps.deconCurve(spark, sf).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(4))).toMap
