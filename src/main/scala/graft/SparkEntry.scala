@@ -70,6 +70,7 @@ object SparkEntry {
     "q54b_ivf_balance_auto" -> (SimilarityOps.ivfListBalanceAuto _),
     "q68d_ann_recall_auto" -> ((s: SparkSession, d: String) => SimilarityOps.annRecallAuto(s, d)),
     "q68e_ann_recall_curve_auto" -> ((s: SparkSession, d: String) => SimilarityOps.annRecallCurveAuto(s, d)),
+    "q101_prototype_prune" -> ((s: SparkSession, d: String) => SimilarityOps.prototypePrune(s, d)),
     "q55_dedup_groups"    -> ((s: SparkSession, d: String) => DedupOps.dedupGroups(s, d)),
     "q55c_group_sizes"    -> ((s: SparkSession, d: String) => DedupOps.dedupGroupSizes(s, d)),
     "q55b_dedup_priority" -> ((s: SparkSession, d: String) => DedupOps.dedupGroupsPriority(s, d)),
@@ -562,8 +563,13 @@ object SparkEntry {
   private def ivfCentsAutoValues: String = {
     require(graft.operators.IvfCentroidsAuto.values.nonEmpty,
       "IvfCentroidsAuto not frozen — run TrainQuantizers --auto and paste")
+    // each element rides as a STRING cast to DOUBLE: DuckDB lexes a bare
+    // decimal literal as DECIMAL and then converts (double rounding — 1
+    // ulp off shortest-repr on ~20% of values, caught when q101 first
+    // exposed raw csim values); '…'::DOUBLE is a direct strtod parse and
+    // recovers the exact frozen bits
     graft.operators.IvfCentroidsAuto.values.zipWithIndex.map { case (cv, i) =>
-      s"(CAST($i AS BIGINT), [${cv.mkString(", ")}]::DOUBLE[])"
+      s"(CAST($i AS BIGINT), [${cv.map(x => s"'$x'::DOUBLE").mkString(", ")}]::DOUBLE[])"
     }.mkString("VALUES ", ", ", "")
   }
 
@@ -1821,6 +1827,29 @@ object SparkEntry {
          |              FROM (SELECT * FROM n WHERE vec_id >= 10) n, cents c) t)
          |SELECT list_id, CAST(COUNT(*) AS BIGINT) AS n_vectors
          |FROM asg WHERE crank = 1 GROUP BY list_id ORDER BY list_id""".stripMargin,
+
+    // q101: D4 prototypicality pruning — assignment replayed from the
+    // frozen auto-k artifact (q54b's CTE keeping csim), then the
+    // within-cluster prototypicality rank and the ceil(frac·n) cut
+    "q101_prototype_prune" ->
+      s"""WITH $EMB_NORM,
+         |cents AS (SELECT list_id, cv,
+         |            sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65),
+         |              i -> cv[i] * cv[i])), (x2, y2) -> x2 + y2)) AS cnrm
+         |          FROM ($ivfCentsAutoValues) t(list_id, cv)),
+         |asg AS (SELECT vec_id, list_id, csim,
+         |          ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, list_id) AS crank
+         |        FROM (SELECT n.vec_id, c.list_id,
+         |                list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65),
+         |                  i -> n.v[i] * c.cv[i])), (x2, y2) -> x2 + y2) / (n.nrm * c.cnrm) AS csim
+         |              FROM (SELECT * FROM n WHERE vec_id >= 10) n, cents c) t),
+         |r AS (SELECT vec_id, list_id, csim AS proto_cos,
+         |        CAST(ROW_NUMBER() OVER (PARTITION BY list_id ORDER BY csim DESC, vec_id) AS BIGINT) AS proto_rank,
+         |        CAST(COUNT(*) OVER (PARTITION BY list_id) AS BIGINT) AS n_list
+         |      FROM asg WHERE crank = 1)
+         |SELECT vec_id, list_id, proto_cos, proto_rank, n_list,
+         |  CAST(proto_rank AS DOUBLE) > CEIL(0.25 * CAST(n_list AS DOUBLE)) AS keep
+         |FROM r ORDER BY vec_id""".stripMargin,
 
     // q68e: the auto arm's recall-vs-nprobe curve — q68c's oracle device
     // (probe RANK fanned over a VALUES points table) against the frozen

@@ -882,6 +882,52 @@ object SimilarityOps {
       .orderBy("nprobe")
   }
 
+  /** q101 — cluster-prototypicality pruning (SSL-prototype scoring per
+    * Sorscher et al. NeurIPS 2022; the diversify half of D4, Tirumala et
+    * al. 2023): assign every corpus vector to its nearest AUTO-k
+    * centroid, score prototypicality as cosine to the assigned centroid,
+    * and mark the most-prototypical `pruneFrac` of each cluster for
+    * removal — D4's recipe drops the easy/redundant core of each
+    * semantic cluster and keeps the informative boundary, the
+    * data-pruning step that beats power-law scaling on over-sampled
+    * corpora. SemDeDup (q67) removes near-IDENTICAL pairs; this removes
+    * REPRESENTATIVE mass — the two compose into the full D4 pass.
+    *
+    * Output: one row per corpus vector with its cluster, score,
+    * within-cluster rank (1 = most prototypical), cluster size, and the
+    * keep verdict `proto_rank > ceil(pruneFrac · n_list)`.
+    *
+    * Scale shape: one assignment-kernel pass (O(n·d·k) in-register, the
+    * auto arm's kernel), one broadcast join of k centroid rows to score
+    * the assigned cosine, then a rank window PARTITIONED BY list_id —
+    * per-partition sort of ~n/k ≈ √n rows under the auto-k rule, never
+    * a global sort. Oracled via the frozen-centroid generated-oracle
+    * device (IvfCentroidsAuto), like q46d/q54b.
+    */
+  def prototypePrune(s: SparkSession, d: String, pruneFrac: Double = 0.25,
+      queryIdMax: Long = QueryIdMax): DataFrame = {
+    require(pruneFrac >= 0.0 && pruneFrac < 1.0, s"pruneFrac in [0,1); got $pruneFrac")
+    val (_, cents) = autoQuantizer(s, d, queryIdMax)
+    val corpus = Tables.embeddingsScaled(s, d)
+      .filter(col("vec_id") >= queryIdMax)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    val asg = assignListsKernel(s, Tables.spreadScan(s, corpus), cents)
+    // re-derive the assigned cosine via the shared helpers — the same
+    // ascending-index dot fold the kernel's argmax used, so the score is
+    // bit-equal to the assignment decision (and to the DuckDB replay)
+    val scored = asg.join(broadcast(centroidTableOf(s, cents)), Seq("list_id"))
+      .withColumn("proto_cos", cosine(col("v"), col("cv"), col("nrm"), col("cnrm")))
+    val wRank = Window.partitionBy("list_id")
+      .orderBy(col("proto_cos").desc, col("vec_id"))
+    val wList = Window.partitionBy("list_id")
+    scored.select(col("vec_id"), col("list_id"), col("proto_cos"))
+      .withColumn("proto_rank", row_number().over(wRank).cast("long"))
+      .withColumn("n_list", count(lit(1)).over(wList))
+      .withColumn("keep",
+        col("proto_rank").cast("double") > ceil(lit(pruneFrac) * col("n_list").cast("double")))
+      .orderBy("vec_id")
+  }
+
   /** q70b — IVF-probed PQ search (IVFADC, Jégou et al. TPAMI 2011 §IV):
     * the composition a billion-vector index actually runs. q46b's trained
     * coarse quantizer prunes WHICH vectors to score (each query probes its

@@ -141,6 +141,44 @@ class AnnIndexSpec extends SparkSpec {
     assert(rows.last._2 === 1.0, s"ceiling: ${rows.last._2}")
   }
 
+  test("q101 prototype prune: per-cluster cut exact, ranks dense, the cluster core is what leaves") {
+    val d = "/root/testdata/sf0.01"
+    val rows = SimilarityOps.prototypePrune(spark, d).collect()
+    // one row per searchable corpus vector (the 490-vector gate split)
+    assert(rows.length === 490)
+    val byList = rows.groupBy(_.getAs[Long]("list_id"))
+    byList.foreach { case (lid, rs) =>
+      val n = rs.length.toLong
+      rs.foreach(r => assert(r.getAs[Long]("n_list") === n, s"list $lid"))
+      // ranks are a dense 1..n permutation ordered by descending score
+      val sorted = rs.sortBy(_.getAs[Long]("proto_rank"))
+      assert(sorted.map(_.getAs[Long]("proto_rank")).toSeq === (1L to n).toSeq, s"list $lid")
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[Double]("proto_cos") >= b.getAs[Double]("proto_cos"), s"list $lid")
+        case _ => ()
+      }
+      // EXACTLY ceil(0.25·n) rows pruned, and they are the TOP ranks —
+      // D4 removes the prototypical core, keeps the boundary
+      val cut = math.ceil(0.25 * n).toLong
+      val (pruned, kept) = rs.partition(!_.getAs[Boolean]("keep"))
+      assert(pruned.length.toLong === cut, s"list $lid: ${pruned.length} != $cut")
+      assert(pruned.forall(_.getAs[Long]("proto_rank") <= cut), s"list $lid")
+      assert(kept.forall(_.getAs[Long]("proto_rank") > cut), s"list $lid")
+    }
+    // clusters are the auto quantizer's assignment — same kernel, same
+    // centroids (the differential kernel property pins the kernel itself)
+    val (_, cents) = SimilarityOps.autoQuantizer(spark, d)
+    val expect = SimilarityOps.assignListsKernel(spark,
+        Tables.embeddings(spark, d).filter(col("vec_id") >= 10)
+          .select(col("vec_id"), graft.functions.VectorFunctions.toDouble(col("embedding")).as("v")),
+        cents)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("list_id")).toMap
+    rows.foreach(r => assert(
+      r.getAs[Long]("list_id") === expect(r.getAs[Long]("vec_id"))))
+    intercept[IllegalArgumentException] { SimilarityOps.prototypePrune(spark, d, pruneFrac = 1.0) }
+  }
+
   test("the serving default nprobe is the q68c operating point: >= 0.9 of brute force on the gate corpus") {
     // the q68c curve on the gate corpus (sf0.01, 300-query split): the
     // raw-IVF arm's recall@3 at the serving default must clear 0.9 of
