@@ -71,6 +71,7 @@ object SparkEntry {
     "q68d_ann_recall_auto" -> ((s: SparkSession, d: String) => SimilarityOps.annRecallAuto(s, d)),
     "q68e_ann_recall_curve_auto" -> ((s: SparkSession, d: String) => SimilarityOps.annRecallCurveAuto(s, d)),
     "q101_prototype_prune" -> ((s: SparkSession, d: String) => SimilarityOps.prototypePrune(s, d)),
+    "q103_cluster_map"    -> ((s: SparkSession, d: String) => SimilarityOps.clusterMap(s, d)),
     "q55_dedup_groups"    -> ((s: SparkSession, d: String) => DedupOps.dedupGroups(s, d)),
     "q55c_group_sizes"    -> ((s: SparkSession, d: String) => DedupOps.dedupGroupSizes(s, d)),
     "q55b_dedup_priority" -> ((s: SparkSession, d: String) => DedupOps.dedupGroupsPriority(s, d)),
@@ -1850,6 +1851,45 @@ object SparkEntry {
          |SELECT vec_id, list_id, proto_cos, proto_rank, n_list,
          |  CAST(proto_rank AS DOUBLE) > CEIL(0.25 * CAST(n_list AS DOUBLE)) AS keep
          |FROM r ORDER BY vec_id""".stripMargin,
+
+    // q103: the per-cluster corpus map — frozen-artifact assignment
+    // (q54b's CTE) joined to the q48 score formula on vec_id = doc_id;
+    // mean/entropy through the DECIMAL(27,6) exact carrier
+    "q103_cluster_map" ->
+      s"""WITH $EMB_NORM,
+         |cents AS (SELECT list_id, cv,
+         |            sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65),
+         |              i -> cv[i] * cv[i])), (x2, y2) -> x2 + y2)) AS cnrm
+         |          FROM ($ivfCentsAutoValues) t(list_id, cv)),
+         |asg AS (SELECT vec_id, list_id,
+         |          ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, list_id) AS crank
+         |        FROM (SELECT n.vec_id, c.list_id,
+         |                list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65),
+         |                  i -> n.v[i] * c.cv[i])), (x2, y2) -> x2 + y2) / (n.nrm * c.cnrm) AS csim
+         |              FROM (SELECT * FROM n WHERE vec_id >= 10) n, cents c) t),
+         |docs AS (SELECT a.list_id, d.source,
+         |           CAST(len(string_split(d.text,' ')) AS BIGINT) AS n_tokens,
+         |           LEAST(1.0, len(string_split(d.text,' ')) / 100.0)
+         |             * (len(list_distinct(string_split(d.text,' '))) / len(string_split(d.text,' '))) AS score
+         |         FROM documents d
+         |         JOIN (SELECT vec_id, list_id FROM asg WHERE crank = 1) a ON d.doc_id = a.vec_id),
+         |base AS (SELECT list_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+         |           CAST(SUM(CAST(score AS DECIMAL(27,6))) AS DOUBLE) / COUNT(score) AS avg_score
+         |         FROM docs GROUP BY list_id),
+         |src AS (SELECT list_id, source, CAST(COUNT(*) AS BIGINT) AS n_src
+         |        FROM docs GROUP BY list_id, source),
+         |ent AS (SELECT s.list_id,
+         |          -CAST(SUM(CAST((CAST(n_src AS DOUBLE)/CAST(n_docs AS DOUBLE))
+         |            * ln(CAST(n_src AS DOUBLE)/CAST(n_docs AS DOUBLE)) AS DECIMAL(27,6))) AS DOUBLE) AS src_entropy
+         |        FROM src s JOIN base b ON s.list_id = b.list_id GROUP BY s.list_id),
+         |top AS (SELECT list_id, source AS top_source FROM (
+         |          SELECT list_id, source,
+         |            ROW_NUMBER() OVER (PARTITION BY list_id ORDER BY n_src DESC, source) AS rn
+         |          FROM src) t WHERE rn = 1)
+         |SELECT b.list_id, n_docs, n_tokens, avg_score, src_entropy, top_source
+         |FROM base b JOIN ent ON b.list_id = ent.list_id JOIN top ON b.list_id = top.list_id
+         |ORDER BY b.list_id""".stripMargin,
 
     // q68e: the auto arm's recall-vs-nprobe curve — q68c's oracle device
     // (probe RANK fanned over a VALUES points table) against the frozen

@@ -928,6 +928,53 @@ object SimilarityOps {
       .orderBy("vec_id")
   }
 
+  /** q103 — the corpus CARTOGRAPHY table: one row per auto-k semantic
+    * cluster with its population, token mass, mean q48 quality score,
+    * source-mix Shannon entropy, and dominant source — the "what is in
+    * this corpus, and where" report an operator reads before deciding
+    * which clusters to prune (q101), dedup harder (q67), or up/down-mix
+    * (q64). The cross-modal join every cluster-level curation decision
+    * needs: embeddings give the clusters, documents give the content
+    * stats, linked by the established vec_id = doc_id convention.
+    *
+    * Scale shape: one assignment-kernel pass over the embeddings, one
+    * equi-join with the scored documents on the id (both sides shuffle
+    * once on the key — co-located at any scale), then aggregations whose
+    * output is k + k·|sources| rows; the entropy/top-source joins touch
+    * only those bounded frames. Mean score and entropy go through the
+    * exact DECIMAL carrier (Exact.dsum), so the report is bit-stable
+    * under any partitioning.
+    */
+  def clusterMap(s: SparkSession, d: String,
+      queryIdMax: Long = QueryIdMax): DataFrame = {
+    val (_, cents) = autoQuantizer(s, d, queryIdMax)
+    val corpus = Tables.embeddingsScaled(s, d)
+      .filter(col("vec_id") >= queryIdMax)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    val asg = assignListsKernel(s, Tables.spreadScan(s, corpus), cents)
+      .select(col("vec_id").as("doc_id"), col("list_id"))
+    val docs = TextAnalysisOps.qualityScoredOf(
+        Tables.documentsScaled(s, d), carry = Seq("source"))
+      .select("doc_id", "source", "n_tokens", "score")
+    val joined = asg.join(docs, Seq("doc_id"))
+    val base = joined.groupBy("list_id").agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("n_tokens")).as("n_tokens"),
+      graft.functions.Exact.davg(col("score")).as("avg_score"))
+    val bySrc = joined.groupBy("list_id", "source")
+      .agg(count(lit(1)).as("n_src"))
+    val p = col("n_src").cast("double") / col("n_docs").cast("double")
+    val ent = bySrc.join(broadcast(base.select("list_id", "n_docs")), Seq("list_id"))
+      .withColumn("term", p * log(p))
+      .groupBy("list_id")
+      .agg((-graft.functions.Exact.dsum(col("term"))).as("src_entropy"))
+    val top = bySrc.groupBy("list_id")
+      .agg(min_by(col("source"), struct(-col("n_src"), col("source"))).as("top_source"))
+    base.join(ent, Seq("list_id")).join(top, Seq("list_id"))
+      .select("list_id", "n_docs", "n_tokens", "avg_score", "src_entropy", "top_source")
+      .orderBy("list_id")
+  }
+
   /** q70b — IVF-probed PQ search (IVFADC, Jégou et al. TPAMI 2011 §IV):
     * the composition a billion-vector index actually runs. q46b's trained
     * coarse quantizer prunes WHICH vectors to score (each query probes its

@@ -99,16 +99,24 @@ object TextAnalysisOps {
   /** q48 — document quality score: token count, type-token ratio, stopword
     * ratio, composite score. The curation filter every corpus pass runs.
     */
-  def qualityScore(s: SparkSession, d: String): DataFrame = {
+  def qualityScore(s: SparkSession, d: String): DataFrame =
+    qualityScoredOf(Tables.documents(s, d)).orderBy("doc_id")
+
+  /** q48's kernel over an arbitrary (doc_id, text, ...) frame, carrying
+    * `carry` columns through — the single source for the score formula
+    * (q103's cluster map aggregates it per cluster; a formula change
+    * reaches every consumer and its generated oracle together).
+    * UNORDERED: driver queries order on top.
+    */
+  private[graft] def qualityScoredOf(docs: DataFrame,
+      carry: Seq[String] = Nil): DataFrame = {
     val ts = tokens(col("text"))
-    Tables.documents(s, d)
-      .select(
-        col("doc_id"),
-        size(ts).cast("long").as("n_tokens"),
-        (size(array_distinct(ts)) / size(ts)).as("ttr"),
-        (vocabCount(col("text"), Stopsets.head._2) / size(ts)).as("stop_ratio"))
+    docs
+      .select(col("doc_id") +: carry.map(col) :+
+        size(ts).cast("long").as("n_tokens") :+
+        (size(array_distinct(ts)) / size(ts)).as("ttr") :+
+        (vocabCount(col("text"), Stopsets.head._2) / size(ts)).as("stop_ratio"): _*)
       .withColumn("score", least(lit(1.0), col("n_tokens") / 100.0) * col("ttr"))
-      .orderBy("doc_id")
   }
 
   /** q49 — token statistics per language: whitespace tokens + regex word

@@ -179,6 +179,41 @@ class AnnIndexSpec extends SparkSpec {
     intercept[IllegalArgumentException] { SimilarityOps.prototypePrune(spark, d, pruneFrac = 1.0) }
   }
 
+  test("q103 cluster map: partitions the corpus; entropy/top-source agree with a recompute") {
+    val d = "/root/testdata/sf0.01"
+    val rows = SimilarityOps.clusterMap(spark, d).collect()
+    // every searchable vector has a doc (vec_id = doc_id) — the map
+    // partitions the 490-vector gate corpus across clusters
+    assert(rows.map(_.getAs[Long]("n_docs")).sum === 490L)
+    // independent recompute of the per-cluster source distribution
+    val (_, cents) = SimilarityOps.autoQuantizer(spark, d)
+    val asg = SimilarityOps.assignListsKernel(spark,
+        Tables.embeddings(spark, d).filter(col("vec_id") >= 10)
+          .select(col("vec_id"), graft.functions.VectorFunctions.toDouble(col("embedding")).as("v")),
+        cents)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("list_id")).toMap
+    val srcOf = Tables.documents(spark, d).select("doc_id", "source").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("source")).toMap
+    val byList = asg.toSeq.groupBy(_._2).view
+      .mapValues(_.map { case (id, _) => srcOf(id) }).toMap
+    rows.foreach { r =>
+      val lid = r.getAs[Long]("list_id")
+      val srcs = byList(lid)
+      assert(r.getAs[Long]("n_docs") === srcs.size.toLong, s"list $lid")
+      // entropy within [0, ln(#distinct sources)] (+ carrier rounding)
+      val ent = r.getAs[Double]("src_entropy")
+      val nDistinct = srcs.distinct.size
+      assert(ent >= -1e-6 && ent <= math.log(nDistinct.toDouble) + 1e-6,
+        s"list $lid: entropy $ent outside [0, ln($nDistinct)]")
+      // dominant source: max count, ties to the lexicographically least
+      val counts = srcs.groupBy(identity).view.mapValues(_.size).toMap
+      val best = counts.toSeq.sortBy { case (src, n) => (-n, src) }.head._1
+      assert(r.getAs[String]("top_source") === best, s"list $lid")
+      val sc = r.getAs[Double]("avg_score")
+      assert(sc > 0.0 && sc <= 1.0, s"list $lid: avg_score $sc")
+    }
+  }
+
   test("the serving default nprobe is the q68c operating point: >= 0.9 of brute force on the gate corpus") {
     // the q68c curve on the gate corpus (sf0.01, 300-query split): the
     // raw-IVF arm's recall@3 at the serving default must clear 0.9 of
