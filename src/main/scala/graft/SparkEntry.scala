@@ -138,6 +138,7 @@ object SparkEntry {
     "q95b_clf_curve"      -> ((s: SparkSession, d: String) => operators.Clf.thresholdCurve(s, d)),
     "q95c_clf_eval"       -> ((s: SparkSession, d: String) => operators.Clf.evalTable(s, d)),
     "q64b_epoch_mix"      -> ((s: SparkSession, d: String) => CurationOps.epochMix(s, d)),
+    "q64c_temperature_mix" -> ((s: SparkSession, d: String) => CurationOps.temperatureMix(s, d)),
     "q96_band_curve"      -> ((s: SparkSession, d: String) => DedupOps.bandCurve(s, d)),
     "q97_decon_curve"     -> ((s: SparkSession, d: String) => CurationOps.deconCurve(s, d)),
     "q98_quality_agreement" -> ((s: SparkSession, d: String) => CurationOps.qualityAgreement(s, d)),
@@ -2186,6 +2187,28 @@ object SparkEntry {
         |tot AS (SELECT CAST(SUM(CAST(sw AS DECIMAL(27,6))) AS DOUBLE) AS total_sw FROM s)
         |SELECT source, CAST(n_docs AS BIGINT) AS n_docs, n_tokens, sw / total_sw AS weight
         |FROM s, tot ORDER BY source""".stripMargin,
+
+    // q64c: the temperature curve — exponents by sqrt composition only
+    // (the one correctly-rounded power primitive; pow() never appears),
+    // per-alpha normalizers through the DECIMAL carrier
+    "q64c_temperature_mix" ->
+      """WITH t AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |             CAST(SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS BIGINT) AS n_tokens
+        |           FROM documents GROUP BY source),
+        |arms AS (SELECT CAST(a.alpha AS DOUBLE) AS alpha, source, n_docs, n_tokens,
+        |           CASE CAST(a.alpha AS DOUBLE)
+        |             WHEN 0.25 THEN sqrt(sqrt(CAST(n_tokens AS DOUBLE)))
+        |             WHEN 0.5  THEN sqrt(CAST(n_tokens AS DOUBLE))
+        |             WHEN 0.75 THEN sqrt(CAST(n_tokens AS DOUBLE)) * sqrt(sqrt(CAST(n_tokens AS DOUBLE)))
+        |             ELSE CAST(n_tokens AS DOUBLE) END AS sw
+        |         FROM t, (VALUES (0.25), (0.5), (0.75), (1.0)) a(alpha)),
+        |tot AS (SELECT alpha, CAST(SUM(CAST(sw AS DECIMAL(27,6))) AS DOUBLE) AS tsw
+        |        FROM arms GROUP BY alpha),
+        |tt AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS n_total FROM t)
+        |SELECT arms.alpha, source, n_docs, n_tokens, sw / tsw AS weight,
+        |  (sw / tsw) / (CAST(n_tokens AS DOUBLE) / CAST(n_total AS DOUBLE)) AS boost
+        |FROM arms JOIN tot ON arms.alpha = tot.alpha, tt
+        |ORDER BY arms.alpha, source""".stripMargin,
 
     // the mix applied as an epoch repetition plan: q64's IEEE weight
     // shares fix the integer quotas, everything after is integer

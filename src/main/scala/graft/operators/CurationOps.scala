@@ -717,6 +717,50 @@ object CurationOps {
       .orderBy("source")
   }
 
+  /** q64c — the temperature-sampling OPERATING CURVE: q64's mixing rule
+    * swept over the temperature exponent α ∈ {0.25, 0.5, 0.75, 1.0}
+    * (p_s ∝ T_s^α — the multilingual/multi-source rebalancing dial of
+    * mT5/XLM-R; α=1 is proportional sampling, α→0 is uniform; q64's
+    * fixed rule is the α=0.5 row). One row per (α, source) with the
+    * normalized weight and the boost over the natural share — the table
+    * an operator reads to pick how hard to upsample small sources
+    * before committing to a q64b epoch plan.
+    *
+    * Exponents are computed ONLY by sqrt composition (t^¼ = √√t,
+    * t^¾ = √t·√√t): sqrt is the one correctly-rounded IEEE power
+    * primitive, so every engine reproduces the curve bit-exactly —
+    * pow() carries no such guarantee and never appears. Per-α
+    * normalizers go through the exact DECIMAL carrier.
+    *
+    * Scale shape: one corpus scan into the per-source aggregate
+    * (|sources| rows); the α fan-out, normalizers, and joins all run on
+    * that bounded frame — the curve costs the same one scan q64 does.
+    */
+  def temperatureMix(s: SparkSession, d: String): DataFrame = {
+    val alphas = Seq(0.25, 0.5, 0.75, 1.0)
+    val bySource = Tables.documentsScaled(s, d)
+      .select(col("source"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+    val t = col("n_tokens").cast("double")
+    val arms = bySource
+      .withColumn("alpha", explode(array(alphas.map(lit): _*)))
+      .withColumn("sw",
+        when(col("alpha") === 0.25, sqrt(sqrt(t)))
+          .when(col("alpha") === 0.5, sqrt(t))
+          .when(col("alpha") === 0.75, sqrt(t) * sqrt(sqrt(t)))
+          .otherwise(t))
+    val tot = arms.groupBy("alpha").agg(Exact.dsum(col("sw")).as("tsw"))
+    val totalTokens = bySource.agg(sum(col("n_tokens")).as("n_total"))
+    arms.join(broadcast(tot), Seq("alpha"))
+      .crossJoin(broadcast(totalTokens))
+      .select(col("alpha"), col("source"), col("n_docs"), col("n_tokens"),
+        (col("sw") / col("tsw")).as("weight"),
+        ((col("sw") / col("tsw")) /
+          (t / col("n_total").cast("double"))).as("boost"))
+      .orderBy("alpha", "source")
+  }
+
   /** q64b — the √-temperature mix APPLIED as an epoch repetition plan:
     * per document, how many times it ships in one training epoch whose
     * token budget equals the corpus total but whose per-source shares are

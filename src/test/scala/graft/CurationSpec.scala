@@ -391,6 +391,37 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("q64c temperature curve: per-alpha normalization, alpha=0.5 == q64, compression ordering") {
+    val rows = CurationOps.temperatureMix(spark, sf).collect()
+    val byAlpha = rows.groupBy(_.getAs[Double]("alpha"))
+    assert(byAlpha.keySet === Set(0.25, 0.5, 0.75, 1.0))
+    byAlpha.foreach { case (a, rs) =>
+      val tot = rs.map(_.getAs[Double]("weight")).sum
+      // the scale-6 DECIMAL carrier rounds the normalizer at 1e-6
+      assert(math.abs(tot - 1.0) < 1e-6, s"alpha=$a weights sum to $tot")
+    }
+    // the alpha=0.5 arm IS q64's rule
+    val q64 = operators.CurationOps.sourceMix(spark, sf).collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Double]("weight")).toMap
+    byAlpha(0.5).foreach { r =>
+      assert(r.getAs[Double]("weight") === q64(r.getAs[String]("source")),
+        s"alpha=0.5 drifted from q64 for ${r.getAs[String]("source")}")
+    }
+    // alpha=1 is proportional sampling: boost exactly 1 for every source
+    byAlpha(1.0).foreach(r => assert(math.abs(r.getAs[Double]("boost") - 1.0) < 1e-6))
+    // lower temperature exponent upsamples the smallest source harder
+    // and downsamples the largest harder — the dial's whole point
+    val smallest = rows.minBy(_.getAs[Long]("n_tokens")).getAs[String]("source")
+    val largest = rows.maxBy(_.getAs[Long]("n_tokens")).getAs[String]("source")
+    def boostsOf(src: String): Seq[Double] =
+      rows.filter(_.getAs[String]("source") == src).sortBy(_.getAs[Double]("alpha"))
+        .map(_.getAs[Double]("boost")).toSeq
+    assert(boostsOf(smallest) === boostsOf(smallest).sorted.reverse,
+      s"smallest source $smallest: boost should fall as alpha rises")
+    assert(boostsOf(largest) === boostsOf(largest).sorted,
+      s"largest source $largest: boost should rise toward 1 as alpha rises")
+  }
+
   test("q65 dup-run coverage: exact recompute; exact duplicates read 100% shared") {
     val got = CurationOps.dupRuns(spark, sf).collect()
       .map(r => r.getAs[Long]("doc_id") -> r).toMap
