@@ -31,6 +31,7 @@ object SparkEntry {
     "q12b_approx_distinct" -> (RelationalOps.approxDistinct _),
     "q13_case_pivot"      -> (RelationalOps.casePivot _),
     "q14_percentiles"     -> (RelationalOps.percentiles _),
+    "q14b_approx_percentiles" -> (RelationalOps.approxPercentiles _),
     "q15_union_dedup"     -> (RelationalOps.unionDedup _),
     "q16_json_extract"    -> (RelationalOps.jsonExtract _),
     "q17_string_funcs"    -> (RelationalOps.stringFuncs _),
@@ -1140,6 +1141,16 @@ object SparkEntry {
         |  quantile_cont(l_quantity, 0.5) AS median_qty,
         |  quantile_cont(l_quantity, 0.9) AS p90_qty,
         |  quantile_cont(l_extendedprice, 0.25) AS p25_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // q14b: exact values + TRUE verdicts — the sketch's rank-error
+    // contract is the portable surface (q12b's device); sketch values
+    // themselves never reach the output
+    "q14b_approx_percentiles" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.5) AS median_qty,
+        |  quantile_cont(l_quantity, 0.9) AS p90_qty,
+        |  TRUE AS median_within, TRUE AS p90_within
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q15_union_dedup" ->

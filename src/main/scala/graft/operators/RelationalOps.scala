@@ -268,6 +268,36 @@ object RelationalOps {
         percentile(col("l_extendedprice"), lit(0.25)).as("p25_price"))
       .orderBy("l_returnflag")
 
+  /** q14b — SKETCHED percentiles with a portable accuracy verdict (the
+    * q12b device): approx_percentile's GK-style sketch is the percentile
+    * a 100 TB scan can actually afford (bounded memory, one pass,
+    * mergeable partials — where exact `percentile` materializes the
+    * value multiset per group), but its values are engine-specific, so
+    * the output carries the EXACT percentiles plus booleans asserting
+    * the sketch landed inside its contracted rank window — Spark
+    * guarantees rank error ≤ 1/accuracy, so the value must lie between
+    * the exact (p−ε) and (p+ε) percentiles. The oracle recomputes the
+    * exact values and pins the verdicts TRUE; the sketch values
+    * themselves never leave the query.
+    */
+  def approxPercentiles(s: SparkSession, d: String): DataFrame = {
+    val acc = 10000
+    val eps = 1.0 / acc
+    def q(p: Double) = percentile(col("l_quantity"), lit(p))
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        q(0.5).as("median_qty"), q(0.9).as("p90_qty"),
+        q(0.5 - eps).as("lo50"), q(0.5 + eps).as("hi50"),
+        q(0.9 - eps).as("lo90"), q(0.9 + eps).as("hi90"),
+        approx_percentile(col("l_quantity"),
+          array(lit(0.5), lit(0.9)), lit(acc)).as("ap"))
+      .select(col("l_returnflag"), col("median_qty"), col("p90_qty"),
+        (col("ap")(0) >= col("lo50") && col("ap")(0) <= col("hi50")).as("median_within"),
+        (col("ap")(1) >= col("lo90") && col("ap")(1) <= col("hi90")).as("p90_within"))
+      .orderBy("l_returnflag")
+  }
+
   /** q15 — union + exact content-hash dedup across sources (md5 is the
     * portable content key; grouping on it is one shuffle).
     */

@@ -17,6 +17,27 @@ class GraftSqlSpec extends SparkSpec {
     }
   }
 
+  test("q14b: the percentile sketch honors its rank-error contract at sf0.01 and sf0.1") {
+    // same device as q12b: the query emits verdict booleans the oracle
+    // pins TRUE; here they assert the GK sketch landed inside its
+    // contracted ±1/accuracy rank window around each exact percentile
+    for (dir <- Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
+      val exact = operators.RelationalOps.percentiles(spark, dir).collect()
+        .map(r => r.getAs[String]("l_returnflag") ->
+          (r.getAs[Double]("median_qty"), r.getAs[Double]("p90_qty"))).toMap
+      val rows = operators.RelationalOps.approxPercentiles(spark, dir).collect()
+      assert(rows.length === exact.size, dir)
+      rows.foreach { r =>
+        val flag = r.getAs[String]("l_returnflag")
+        // exact columns agree with q14 (same percentile kernel)
+        assert(r.getAs[Double]("median_qty") === exact(flag)._1, s"$dir $flag")
+        assert(r.getAs[Double]("p90_qty") === exact(flag)._2, s"$dir $flag")
+        assert(r.getAs[Boolean]("median_within"), s"$dir $flag: sketch median out of window")
+        assert(r.getAs[Boolean]("p90_within"), s"$dir $flag: sketch p90 out of window")
+      }
+    }
+  }
+
   test("SQL surface: joins + native functions through spark.sql") {
     GraftSql.registerAll(spark, sf)
     val top = spark.sql(
