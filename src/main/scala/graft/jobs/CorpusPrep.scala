@@ -31,6 +31,13 @@ import graft.operators.DedupOps
   *      paraphrases that share no n-grams, which lexical dedup cannot.
   *      Opt-in (`Config.semantic`): needs the corpus's embedding table,
   *      keyed by the vec_id = doc_id convention.
+  *   5a. D4 prototype pruning (q101, opt-in `--prototype-prune[=FRAC]`):
+  *       drops the most-PROTOTYPICAL frac of each semantic cluster among
+  *       the survivors (quantizer auto-k-trained on the frontier itself)
+  *       — SemDeDup removes near-identical pairs, this removes redundant
+  *       representative mass; together they are the D4 recipe
+  *       (Tirumala et al. 2023). The drop list is frac·corpus sized:
+  *       applied by a plain key anti-join, never broadcast.
   *   6. decontamination (q82's GPT-3/Pile rule): drops the held-out
   *      split itself AND every train doc one of whose 13-gram windows
   *      appears verbatim in it — a corpus that gates on quality and dedup
@@ -60,7 +67,7 @@ import graft.operators.DedupOps
   *      hash-line shuffled, token-budget packed and written as
   *      WebDataset tar shards — lake → training set, completed
   *
-  * Usage: CorpusPrep <sf-dir> <out-dir> [--no-neardup] [--semantic] [--decontaminate] [--fuzzy-decon[=MIN_EST]] [--span-cut] [--lm-filter=MAX_AVG_NLL] [--clf-filter[=MIN_LOGIT]] [--epoch-plan] [--train-shards]
+  * Usage: CorpusPrep <sf-dir> <out-dir> [--no-neardup] [--semantic] [--prototype-prune[=FRAC]] [--decontaminate] [--fuzzy-decon[=MIN_EST]] [--span-cut] [--lm-filter=MAX_AVG_NLL] [--clf-filter[=MIN_LOGIT]] [--epoch-plan] [--train-shards]
   *
   * Output layout:
   *   <out>/documents/  kept documents (redacted text, provenance columns)
@@ -108,6 +115,13 @@ object CorpusPrep {
       // meaningful default, unlike the LM stage's corpus-specific NLL.
       clfFilter: Boolean = false,
       clfMinLogit: Double = 0.0,
+      // q101's D4 prototype-prune pass (opt-in): after semantic dedup
+      // removed near-identical pairs, drop the most-PROTOTYPICAL
+      // protoFrac of each semantic cluster (quantizer trained on the
+      // surviving frontier — clusters describe survivors, not the raw
+      // lake). SemDeDup + prototype pruning IS the D4 recipe.
+      protoPrune: Boolean = false,
+      protoFrac: Double = 0.25,
       decontaminate: Boolean = false,
       decontaminateNgram: Int = 13,
       // q82b's fuzzy MinHash decon pass (opt-in): drops surviving train
@@ -277,6 +291,25 @@ object CorpusPrep {
       kept.join(drops, Seq("doc_id"), "left_anti")
     }
 
+    // 5a. D4 prototype pruning (q101): opt-in — drop the most-
+    // prototypical protoFrac of each semantic cluster among the
+    // SURVIVORS (quantizer trained on this frontier, so clusters
+    // describe what is actually shipping). The drop list is a frac-of-
+    // corpus-sized id column: applied by a plain key anti-join, NEVER
+    // broadcast (unlike the decon lists, it does not stay small).
+    val (protoKept, nSemantic) =
+      if (!cfg.protoPrune) (semKept, -1L)
+      else {
+        val emb = graft.Tables.embeddings(spark, sfDir)
+          .select(col("vec_id"),
+            graft.functions.VectorFunctions.toDouble(col("embedding")).as("v"))
+          .join(semKept.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi")
+        val drops = graft.operators.SimilarityOps
+          .prototypePruneOf(spark, emb, cfg.protoFrac)
+          .filter(!col("keep")).select(col("vec_id").as("doc_id"))
+        (semKept.join(drops, Seq("doc_id"), "left_anti"), semKept.count())
+      }
+
     // 6. decontamination: the held-out split ITSELF leaves the train
     // corpus (shipping the benchmark verbatim is the worst contamination
     // of all — removing only its train-side echoes while keeping the eval
@@ -287,19 +320,19 @@ object CorpusPrep {
     // above), the heldout window index is broadcastable at any train
     // scale, and the list itself is a doc_id column small enough to
     // broadcast against the kept frontier.
-    val (exactDeconKept, nSemantic) =
-      if (!cfg.decontaminate) (semKept,
-        // the semantic-frontier count feeds the attrition report whenever
-        // ANY decon stage runs after it
-        if (cfg.fuzzyDecon) semKept.count() else -1L)
+    val (exactDeconKept, nPreDecon) =
+      if (!cfg.decontaminate) (protoKept,
+        // the pre-decon frontier count feeds the attrition report
+        // whenever ANY decon stage runs after it
+        if (cfg.fuzzyDecon) protoKept.count() else -1L)
       else {
         val drops = graft.operators.CurationOps
           .decontaminate(spark, sfDir, cfg.decontaminateNgram)
           .filter(col("drop")).select("doc_id")
-        // the opt-in path pays one extra count of the semantic frontier so
-        // the attrition report can show the decon stage's own attrition
-        (semKept.filter(!graft.operators.CurationOps.heldoutSplit)
-          .join(broadcast(drops), Seq("doc_id"), "left_anti"), semKept.count())
+        // the opt-in path pays one extra count of the pre-decon frontier
+        // so the attrition report can show the decon stage's own attrition
+        (protoKept.filter(!graft.operators.CurationOps.heldoutSplit)
+          .join(broadcast(drops), Seq("doc_id"), "left_anti"), protoKept.count())
       }
 
     // 6a. FUZZY decontamination (q82b): opt-in MinHash doc-level pass —
@@ -410,11 +443,17 @@ object CorpusPrep {
       ("02_exact_dedup", nExact),
       ("03_neardup_groups", nKept),
       ("04_semantic_dedup",
-        if (cfg.decontaminate || cfg.fuzzyDecon) nSemantic else nAfterDecon),
+        if (cfg.protoPrune) nSemantic
+        else if (cfg.decontaminate || cfg.fuzzyDecon) nPreDecon
+        else nAfterDecon),
       // the dial the semantic stage actually ran with (-1 = stage off):
       // the auditable record that a run measured its density instead of
       // silently pairing the unblocked shape
       ("04b_semantic_bits", semanticBitsUsed),
+      ("04c_prototype_prune",
+        if (!cfg.protoPrune) -1L
+        else if (cfg.decontaminate || cfg.fuzzyDecon) nPreDecon
+        else nAfterDecon),
       ("05_decontaminate",
         if (!cfg.fuzzyDecon) nAfterDecon
         else if (cfg.decontaminate) nExactDecon else -1L),
@@ -430,7 +469,8 @@ object CorpusPrep {
   def main(args: Array[String]): Unit = {
     require(args.length >= 2,
       "usage: CorpusPrep <sf-dir> <out-dir> [--no-neardup] [--semantic] " +
-        "[--semantic-bits=N] [--decontaminate] [--fuzzy-decon[=MIN_EST]] [--span-cut] " +
+        "[--semantic-bits=N] [--prototype-prune[=FRAC]] [--decontaminate] " +
+        "[--fuzzy-decon[=MIN_EST]] [--span-cut] " +
         "[--lm-filter=MAX_AVG_NLL] [--clf-filter[=MIN_LOGIT]] [--epoch-plan] [--train-shards]")
     val spark = GraftSession.get()
     val lmMax = args.collectFirst {
@@ -447,6 +487,11 @@ object CorpusPrep {
         a.stripPrefix("--clf-filter=").toDouble
       case "--clf-filter" => 0.0
     }
+    val protoFrac = args.collectFirst {
+      case a if a.startsWith("--prototype-prune=") =>
+        a.stripPrefix("--prototype-prune=").toDouble
+      case "--prototype-prune" => 0.25
+    }
     run(spark, args(0), args(1), Config(
       nearDup = !args.contains("--no-neardup"),
       semantic = args.contains("--semantic"),
@@ -460,6 +505,8 @@ object CorpusPrep {
         case a if a.startsWith("--semantic-bits=") =>
           a.stripPrefix("--semantic-bits=").toInt
       },
+      protoPrune = protoFrac.isDefined,
+      protoFrac = protoFrac.getOrElse(0.25),
       decontaminate = args.contains("--decontaminate"),
       fuzzyDecon = fuzzyMin.isDefined,
       fuzzyDeconMinEst = fuzzyMin.getOrElse(0.5),

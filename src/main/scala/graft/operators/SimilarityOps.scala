@@ -697,17 +697,24 @@ object SimilarityOps {
     */
   private[graft] def autoQuantizer(s: SparkSession, d: String,
       queryIdMax: Long = QueryIdMax): (Int, Array[Array[Double]]) =
-    autoQuantCaches.computeIfAbsent((s, d, queryIdMax), _ => {
-      val corpus = Tables.embeddings(s, d)
+    autoQuantCaches.computeIfAbsent((s, d, queryIdMax), _ =>
+      autoQuantizerOf(s, Tables.embeddings(s, d)
         .filter(col("vec_id") >= queryIdMax)
-        .select(col("vec_id").as("id"), toDouble(col("embedding")).as("v"))
-      val n = corpus.count()
-      require(n > 0, s"auto quantizer: empty searchable corpus under $d")
-      val k = autoK(n)
-      val frac = math.min(1.0, AutoMppc.toDouble * k / n)
-      val sample = Tables.spreadScan(s, corpus.filter(Tables.sampleLine(col("id"), frac)))
-      (k, Kmeans.trainSampled(s, sample, k, AutoIters, AutoSeed))
-    })
+        .select(col("vec_id").as("id"), toDouble(col("embedding")).as("v"))))
+
+  /** The auto-k training recipe over an arbitrary `(id, v)` frame — the
+    * seam pipeline stages train through (CorpusPrep's prototype-prune
+    * stage quantizes its SURVIVING frontier, not the raw lake). Uncached:
+    * a frontier is run-specific. */
+  private[graft] def autoQuantizerOf(s: SparkSession,
+      corpus: DataFrame): (Int, Array[Array[Double]]) = {
+    val n = corpus.count()
+    require(n > 0, "auto quantizer: empty corpus")
+    val k = autoK(n)
+    val frac = math.min(1.0, AutoMppc.toDouble * k / n)
+    val sample = Tables.spreadScan(s, corpus.filter(Tables.sampleLine(col("id"), frac)))
+    (k, Kmeans.trainSampled(s, sample, k, AutoIters, AutoSeed))
+  }
 
   /** Corpus coarse assignment against an in-memory centroid matrix — the
     * auto arm's one deliberate mapPartitions kernel: the DataFrame
@@ -906,11 +913,29 @@ object SimilarityOps {
     */
   def prototypePrune(s: SparkSession, d: String, pruneFrac: Double = 0.25,
       queryIdMax: Long = QueryIdMax): DataFrame = {
-    require(pruneFrac >= 0.0 && pruneFrac < 1.0, s"pruneFrac in [0,1); got $pruneFrac")
     val (_, cents) = autoQuantizer(s, d, queryIdMax)
     val corpus = Tables.embeddingsScaled(s, d)
       .filter(col("vec_id") >= queryIdMax)
       .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    prototypeRank(s, corpus, cents, pruneFrac).orderBy("vec_id")
+  }
+
+  /** [[prototypePrune]] over an arbitrary `(vec_id, v)` frame with a
+    * quantizer trained ON THAT frame — the pipeline seam (CorpusPrep's
+    * opt-in D4 stage prunes its surviving frontier; clusters must
+    * describe the survivors, not the raw lake). UNORDERED — driver
+    * queries order on top. */
+  def prototypePruneOf(s: SparkSession, emb: DataFrame,
+      pruneFrac: Double): DataFrame = {
+    val (_, cents) = autoQuantizerOf(s,
+      emb.select(col("vec_id").as("id"), col("v")))
+    prototypeRank(s, emb.select("vec_id", "v"), cents, pruneFrac)
+  }
+
+  /** The shared assignment → score → within-cluster rank → cut body. */
+  private def prototypeRank(s: SparkSession, corpus: DataFrame,
+      cents: Array[Array[Double]], pruneFrac: Double): DataFrame = {
+    require(pruneFrac >= 0.0 && pruneFrac < 1.0, s"pruneFrac in [0,1); got $pruneFrac")
     val asg = assignListsKernel(s, Tables.spreadScan(s, corpus), cents)
     // re-derive the assigned cosine via the shared helpers — the same
     // ascending-index dot fold the kernel's argmax used, so the score is
@@ -925,7 +950,6 @@ object SimilarityOps {
       .withColumn("n_list", count(lit(1)).over(wList))
       .withColumn("keep",
         col("proto_rank").cast("double") > ceil(lit(pruneFrac) * col("n_list").cast("double")))
-      .orderBy("vec_id")
   }
 
   /** q103 — the corpus CARTOGRAPHY table: one row per auto-k semantic

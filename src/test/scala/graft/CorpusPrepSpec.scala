@@ -67,6 +67,39 @@ class CorpusPrepSpec extends SparkSpec {
     }
   }
 
+  test("prototype-prune stage: D4 cut applied to the frontier exactly; off by default") {
+    // off by default: -1 stats row, no silent gate
+    val defStats = spark.read.parquet(s"$out/stats").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(defStats("04c_prototype_prune") === -1L)
+
+    val pOut = java.nio.file.Files.createTempDirectory("prep-proto").toString
+    CorpusPrep.run(spark, sf, pOut, CorpusPrep.Config(protoPrune = true))
+    val keptAfter = spark.read.parquet(s"$pOut/documents")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // the frontier entering the stage is the default run's output (all
+    // stages before 5a identical); the stage must remove EXACTLY the
+    // keep=false ids of prototypePruneOf over that frontier's embeddings
+    val frontier = spark.read.parquet(s"$out/documents")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id"),
+        graft.functions.VectorFunctions.toDouble(col("embedding")).as("v"))
+      .join(frontier.toSeq.toDF("vec_id"), Seq("vec_id"), "left_semi")
+    val pruned = operators.SimilarityOps.prototypePruneOf(spark, emb, 0.25)
+      .filter(!col("keep")).collect().map(_.getAs[Long]("vec_id")).toSet
+    assert(keptAfter === frontier -- pruned)
+    assert(pruned.nonEmpty, "the D4 stage should cut something on the gate lake")
+    // attrition report: the stage row carries its own output count and
+    // sits between the semantic row and the written corpus
+    val stats = spark.read.parquet(s"$pOut/stats").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(stats("04_semantic_dedup") === frontier.size.toLong)
+    assert(stats("04c_prototype_prune") === keptAfter.size.toLong)
+    assert(stats("04c_prototype_prune") < stats("04_semantic_dedup"))
+  }
+
   test("decontamination drops a train doc sharing a 13-gram with the heldout split") {
     import spark.implicits._
     // doc_id * 2654435761 % 100: 3 -> 83 (heldout), everything else here is
