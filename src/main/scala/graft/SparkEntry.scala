@@ -88,6 +88,7 @@ object SparkEntry {
     "q82_decontaminate"   -> ((s: SparkSession, d: String) => CurationOps.decontaminate(s, d)),
     "q82b_decon_fuzzy"    -> ((s: SparkSession, d: String) => CurationOps.deconFuzzy(s, d)),
     "q82c_decon_bloom"    -> ((s: SparkSession, d: String) => CurationOps.deconBloom(s, d)),
+    "q82d_decon_fraction" -> ((s: SparkSession, d: String) => CurationOps.deconFraction(s, d)),
     "q58_stratified_sample" -> ((s: SparkSession, d: String) => CurationOps.stratifiedSample(s, d)),
     "q59_quantize_int8"   -> (CurationOps.quantizeStats _),
     "q60_chunk_docs"      -> ((s: SparkSession, d: String) => CurationOps.chunkDocs(s, d)),
@@ -2033,6 +2034,34 @@ object SparkEntry {
         |  CAST(SUM(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
         |  SUM(CASE WHEN hit THEN 1 ELSE 0 END) > 0 AS drop
         |FROM probe GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // q82d: token-coverage decon — q82's window probe carrying positions,
+    // merged-interval coverage (q99's cov arithmetic), >= 0.5 cut
+    "q82d_decon_fraction" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts,
+        |                  len(string_split(text, ' ')) AS n FROM documents),
+        |r AS (SELECT doc_id, CAST(unnest(generate_series(1, n - 12)) AS BIGINT) AS pos, ts
+        |      FROM t WHERE n >= 13),
+        |h AS (SELECT doc_id, pos, ('0x' || substr(md5(array_to_string(ts[pos:pos+12], ' ')), 1, 15))::BIGINT AS rh
+        |      FROM r),
+        |heldout AS (SELECT DISTINCT rh FROM h WHERE (doc_id * 2654435761) % 100 >= 80),
+        |m AS (SELECT h.doc_id, list_sort(list(pos)) AS ps
+        |      FROM h JOIN heldout USING (rh)
+        |      WHERE (h.doc_id * 2654435761) % 100 < 80 GROUP BY h.doc_id),
+        |mc AS (SELECT doc_id,
+        |         CASE WHEN len(ps) = 0 THEN CAST(0 AS BIGINT) ELSE CAST(list_sum(
+        |           list_transform(range(1, len(ps) + 1), i ->
+        |             CASE WHEN i < len(ps) THEN least(13, ps[i + 1] - ps[i]) ELSE 13 END))
+        |          AS BIGINT) END AS n_covered
+        |       FROM m),
+        |tot AS (SELECT doc_id, CAST(n AS BIGINT) AS n_tokens FROM t
+        |        WHERE n >= 13 AND (doc_id * 2654435761) % 100 < 80)
+        |SELECT tot.doc_id AS doc_id, n_tokens,
+        |  COALESCE(n_covered, 0) AS n_covered,
+        |  CAST(COALESCE(n_covered, 0) AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS contam_frac,
+        |  CAST(COALESCE(n_covered, 0) AS DOUBLE) / CAST(n_tokens AS DOUBLE) >= 0.5 AS drop
+        |FROM tot LEFT JOIN mc ON tot.doc_id = mc.doc_id
+        |ORDER BY doc_id""".stripMargin,
 
     // q82b: fuzzy decon — q42's minhash/band construction, candidates
     // restricted to train x held-out across the same 80/20 hash split,

@@ -192,6 +192,45 @@ object CurationOps {
   /** q82c's sketch density: 12 bits/key ⇒ k=8 probes, fp ≈ 0.3%. */
   private[graft] val DeconBloomBpk = 12
 
+  /** q82d — decontamination by contaminated-token FRACTION (the
+    * Llama-family rule): instead of q82's any-window verdict, each train
+    * doc is scored by the fraction of its TOKENS covered by at least one
+    * benchmark-matching k-gram window (merged intervals — overlapping
+    * matches never double-count), and drops only when that coverage
+    * clears `threshold`. The dial between the two standard policies:
+    * any-window (GPT-3/Pile, q82) removes a 10k-token doc over one
+    * 13-gram collision; fraction-based keeps mostly-clean docs and
+    * removes only substantially-contaminated ones. q82's flag set is
+    * exactly this query at threshold → 0⁺.
+    *
+    * Scale shape: q82's probe join carrying the window position; matched
+    * positions aggregate per doc (bounded by the doc's own window count
+    * — the q99 state-bound argument) into the shared merged-interval
+    * coverage kernel ([[coveredTokens]]); totals ride the token count
+    * (n_ngrams = n−k+1 needs no explode). One corpus kernel pass, one
+    * broadcastable index probe, hash-key shuffles only.
+    */
+  def deconFraction(s: SparkSession, d: String, k: Int = 13,
+      threshold: Double = 0.5): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0, s"threshold in (0,1]; got $threshold")
+    val matched = windowHashesPos(Tables.documentsScaled(s, d), k)
+      .filter(!isTest)
+      .join(broadcast(heldoutIndex(s, d, k)), Seq("rh"), "left_semi")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(col("pos"))).as("ps"))
+      .select(col("doc_id"), coveredTokens("ps", k).as("n_covered"))
+    val totals = tokenized(Tables.documentsScaled(s, d), k)
+      .filter(!isTest)
+      .select(col("doc_id"), col("n").cast("long").as("n_tokens"))
+    totals.join(matched, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_covered"), lit(0L)).as("n_covered"))
+      .withColumn("contam_frac",
+        col("n_covered").cast("double") / col("n_tokens").cast("double"))
+      .withColumn("drop", col("contam_frac") >= lit(threshold))
+      .orderBy("doc_id")
+  }
+
   /** The window sizes q97 sweeps: the Pile's 13-gram default bracketed
     * by a stricter short window and a laxer long one. */
   private[graft] val DeconCurveKs: Seq[Int] = Seq(8, 13, 21)

@@ -99,6 +99,55 @@ class CurationSpec extends SparkSpec {
       "exact verify should be a broadcast left-semi join of the heldout index")
   }
 
+  test("q82d fraction decon: coverage bounds vs q82; drops the copy, keeps the brush-past") {
+    // gate-lake differential against q82: coverage and flags must cohere
+    val q82 = CurationOps.decontaminate(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val q82d = CurationOps.deconFraction(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(q82d.keySet === q82.keySet) // same train-side doc universe
+    q82d.foreach { case (id, r) =>
+      val cov = r.getAs[Long]("n_covered")
+      assert(cov >= 0L && cov <= r.getAs[Long]("n_tokens"), s"doc $id")
+      val anyHit = q82(id).getAs[Long]("n_hits") > 0
+      // a doc has covered tokens iff q82 found at least one window hit,
+      // and one hit covers at least the 13 tokens of its window
+      assert((cov > 0L) === anyHit, s"doc $id")
+      if (anyHit) assert(cov >= 13L, s"doc $id")
+      // fraction-drop implies any-window-drop: q82d is strictly laxer
+      if (r.getAs[Boolean]("drop")) assert(q82(id).getAs[Boolean]("drop"), s"doc $id")
+    }
+
+    // planted contrast: doc 4 is a verbatim copy of held-out doc 8
+    // (coverage 1.0 — drops under BOTH rules); doc 1 shares exactly one
+    // 13-gram with held-out doc 3 inside a long clean doc (any-window
+    // flags it, fraction keeps it — the policy difference this operator
+    // exists to offer)
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("fracdecon").toString
+    val shared = (1 to 13).map(i => s"s$i").mkString(" ")
+    val longClean = (1 to 80).map(i => s"c$i").mkString(" ")
+    val copy = (100 to 140).map(i => s"v$i").mkString(" ")
+    Seq(
+      (1L, "en", "src0", s"$longClean $shared"), // train: brush-past
+      (4L, "en", "src0", copy),                  // train: full copy
+      (3L, "en", "src0", s"$shared " + (1 to 40).map(i => s"z$i").mkString(" ")), // held-out
+      (8L, "en", "src0", copy))                  // held-out
+      .toDF("doc_id", "lang", "source", "text")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = CurationOps.deconFraction(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(got(4L).getAs[Double]("contam_frac") === 1.0)
+    assert(got(4L).getAs[Boolean]("drop"))
+    assert(got(1L).getAs[Long]("n_covered") === 13L)
+    assert(!got(1L).getAs[Boolean]("drop"),
+      s"brush-past at frac ${got(1L).getAs[Double]("contam_frac")} should survive")
+    // while the any-window rule flags it
+    val strict = CurationOps.decontaminate(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("drop")).toMap
+    assert(strict(1L))
+  }
+
   test("q97 sampled sweep: heldout index never sampled; flag_rate agrees on the gate lake") {
     val full = CurationOps.deconCurve(spark, sf).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(4))).toMap
