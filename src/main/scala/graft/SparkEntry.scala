@@ -80,6 +80,7 @@ object SparkEntry {
     "q48_quality_score"   -> (TextAnalysisOps.qualityScore _),
     "q49_token_count"     -> (TextAnalysisOps.tokenCount _),
     "q50_fingerprint"     -> (TextAnalysisOps.fingerprint _),
+    "q50b_winnow"         -> ((s: SparkSession, d: String) => CurationOps.winnow(s, d)),
     "q51_embed_stats"     -> (TextAnalysisOps.embedStats _),
     "q52_top_terms"       -> (TextAnalysisOps.topTerms _),
     "q53_normalize"       -> (TextAnalysisOps.normalizeTokens _),
@@ -1731,6 +1732,30 @@ object SparkEntry {
     "q50_fingerprint" ->
       s"""SELECT doc_id, ${PH("text")} AS fingerprint
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // q50b winnowing: k=5 token window hashes (the shared md5-60-bit
+    // kernel), w=4 sliding window, rightmost-min via the HUGEINT packed
+    // key mirroring Spark's DECIMAL(38,0) carrier bit-for-bit
+    "q50b_winnow" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts,
+        |                  len(string_split(text, ' ')) AS n FROM documents),
+        |r AS (SELECT doc_id, CAST(unnest(generate_series(1, n - 4)) AS BIGINT) AS pos, ts
+        |      FROM t WHERE n >= 5),
+        |h AS (SELECT doc_id, pos,
+        |        ('0x' || substr(md5(array_to_string(ts[pos:pos+4], ' ')), 1, 15))::BIGINT AS rh
+        |      FROM r),
+        |p AS (SELECT doc_id, pos,
+        |        rh::HUGEINT * 4294967296 + (4294967296 - pos) AS pack FROM h),
+        |mw AS (SELECT doc_id, pos,
+        |        MIN(pack) OVER (PARTITION BY doc_id ORDER BY pos
+        |          ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS minpack,
+        |        COUNT(*) OVER (PARTITION BY doc_id) AS m
+        |      FROM p)
+        |SELECT DISTINCT doc_id,
+        |  CAST(4294967296 - minpack % 4294967296 AS BIGINT) AS fp_pos,
+        |  CAST(minpack // 4294967296 AS BIGINT) AS fp
+        |FROM mw WHERE pos <= greatest(1, m - 3)
+        |ORDER BY doc_id, fp_pos""".stripMargin,
 
     "q51_embed_stats" ->
       s"""WITH $EMB_NORM

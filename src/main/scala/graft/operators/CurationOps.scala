@@ -471,6 +471,57 @@ object CurationOps {
       .orderBy("doc_id", "start_token")
   }
 
+  /** q50b — winnowing fingerprints (Schleimer, Wilkerson, Aiken, SIGMOD
+    * 2003 — the MOSS local fingerprinting scheme): over each document's
+    * k-token window-hash stream h_1..h_m ([[winHash]] — the shared
+    * kernel, so fingerprints join directly against q65/q82/q83's keys),
+    * slide a w-hash window and keep each window's RIGHTMOST MINIMUM; the
+    * distinct selected (position, hash) pairs are the document's
+    * fingerprints. The paper's guarantee: any token run of length
+    * >= w + k - 1 shared between two documents yields at least one
+    * SHARED fingerprint, at expected density 2/(w+1) of the hash stream
+    * — the position-local dedup/match keys q50's single whole-document
+    * hash cannot provide (one edited token voids q50's id; winnowing
+    * still matches every untouched region).
+    *
+    * Tie-break carrier: rightmost-min is one windowed MIN over the
+    * packed key rh * 2^32 + (2^32 - pos) on DECIMAL(38,0) (min rh,
+    * ties -> max pos — the q55b packed-total-order device); the oracle
+    * mirrors it on HUGEINT, so selection is bit-portable. A document
+    * whose hash stream is shorter than w still fingerprints (its single
+    * truncated window is the whole stream), preserving "every document
+    * with >= k tokens has >= 1 fingerprint".
+    *
+    * Scale shape: everything is PARTITIONED BY doc_id — per-doc sorts
+    * of token-bounded streams, one shuffle, no corpus-global window, no
+    * doc×doc stage; output rides the ~2m/(w+1) selected rows.
+    */
+  def winnow(s: SparkSession, d: String, k: Int = 5, w: Int = 4): DataFrame =
+    winnowOf(Tables.documentsScaled(s, d), k, w)
+
+  /** [[winnow]] over an arbitrary (doc_id, text, ...) frame. */
+  private[graft] def winnowOf(docs: DataFrame, k: Int, w: Int): DataFrame = {
+    require(w >= 1, s"winnow window must be >= 1; got $w")
+    val B = 4294967296L // 2^32 — positions are token offsets, far below
+    val wh = windowHashesPos(docs, k)
+      .withColumn("pack",
+        col("rh").cast("decimal(38,0)") * lit(B) + (lit(B) - col("pos")))
+    val wSel = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.currentRow, w - 1)
+    wh
+      .withColumn("minpack", min(col("pack")).over(wSel))
+      .withColumn("m", count(lit(1)).over(Window.partitionBy("doc_id")))
+      // valid window starts only: [1, m-w+1], clamped to >= 1 so a short
+      // stream (m < w) keeps its single truncated whole-stream window
+      .filter(col("pos") <= greatest(lit(1L), col("m") - lit(w - 1L)))
+      .withColumn("rem", col("minpack") % lit(B))
+      .select(col("doc_id"),
+        (lit(B) - col("rem")).cast("long").as("fp_pos"),
+        ((col("minpack") - col("rem")) / lit(B)).cast("long").as("fp"))
+      .distinct()
+      .orderBy("doc_id", "fp_pos")
+  }
+
   /** q83b — APPLY the ExactSubstr cut: re-emit each document's text with
     * every [[dupSpans]] extent removed (the canonical copy of each
     * duplicate survives somewhere in the corpus by construction). This is

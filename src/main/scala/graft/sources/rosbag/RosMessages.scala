@@ -39,6 +39,21 @@ object RosMessages {
       forceX: Double, forceY: Double, forceZ: Double,
       torqueX: Double, torqueY: Double, torqueZ: Double)
 
+  /** sensor_msgs/PointField: one channel of a PointCloud2's packed point
+    * record. `datatype` is the ROS constant (INT8=1 … FLOAT64=8). */
+  final case class PointField(name: String, offset: Long, datatype: Int, count: Long)
+
+  /** sensor_msgs/PointCloud2 — the lidar/radar topic type AV rigs record
+    * (the reference demuxes cameras only; point clouds are the other half
+    * of an AV lake's sensor volume). Points stay a packed opaque byte
+    * array here; [[RosbagReader.pointCloudPoints]] unpacks per-point rows
+    * through the self-describing `fields` table.
+    */
+  final case class PointCloud2Msg(
+      header: RosHeader, height: Long, width: Long, fields: Seq[PointField],
+      isBigendian: Boolean, pointStep: Long, rowStep: Long,
+      data: Array[Byte], isDense: Boolean)
+
   private def buf(data: Array[Byte]): ByteBuffer =
     ByteBuffer.wrap(data).order(ByteOrder.LITTLE_ENDIAN)
 
@@ -102,6 +117,53 @@ object RosMessages {
     val lx = b.getDouble; val ly = b.getDouble; val lz = b.getDouble
     val ax = b.getDouble; val ay = b.getDouble; val az = b.getDouble
     OdometryMsg(h, child, px, py, pz, ox, oy, oz, ow, lx, ly, lz, ax, ay, az)
+  }
+
+  def pointCloud2(data: Array[Byte]): PointCloud2Msg = {
+    val b = buf(data)
+    val h = readHeaderMsg(b)
+    val height = b.getInt.toLong & 0xffffffffL
+    val width = b.getInt.toLong & 0xffffffffL
+    val nFields = b.getInt
+    val fields = Seq.fill(nFields) {
+      val name = readString(b)
+      val offset = b.getInt.toLong & 0xffffffffL
+      val dt = b.get() & 0xff
+      val count = b.getInt.toLong & 0xffffffffL
+      PointField(name, offset, dt, count)
+    }
+    val isBig = (b.get() & 0xff) != 0
+    val pointStep = b.getInt.toLong & 0xffffffffL
+    val rowStep = b.getInt.toLong & 0xffffffffL
+    val len = b.getInt
+    val pts = new Array[Byte](len)
+    b.get(pts)
+    val isDense = (b.get() & 0xff) != 0
+    PointCloud2Msg(h, height, width, fields, isBig, pointStep, rowStep, pts, isDense)
+  }
+
+  /** Read one numeric channel value at `base + field.offset` from a packed
+    * point record, by the PointField datatype constant. Endianness follows
+    * the cloud's is_bigendian flag (the wire header/metadata layer is
+    * always little-endian; only the point PAYLOAD honors the flag).
+    */
+  private[rosbag] def pointValue(data: Array[Byte], base: Int,
+      f: PointField, bigendian: Boolean): Double = {
+    val b = ByteBuffer.wrap(data)
+      .order(if (bigendian) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN)
+    val p = base + f.offset.toInt
+    f.datatype match {
+      case 1 => b.get(p).toDouble                      // INT8
+      case 2 => (b.get(p) & 0xff).toDouble             // UINT8
+      case 3 => b.getShort(p).toDouble                 // INT16
+      case 4 => (b.getShort(p) & 0xffff).toDouble      // UINT16
+      case 5 => b.getInt(p).toDouble                   // INT32
+      case 6 => (b.getInt(p).toLong & 0xffffffffL).toDouble // UINT32
+      case 7 => b.getFloat(p).toDouble                 // FLOAT32
+      case 8 => b.getDouble(p)                         // FLOAT64
+      case other => throw new IllegalArgumentException(
+        s"PointField ${f.name}: unknown datatype constant $other")
+    }
   }
 
   def wrench(data: Array[Byte]): WrenchMsg = {

@@ -150,6 +150,70 @@ object RosbagReader {
         "angle_increment", "time_increment", "scan_time", "range_min", "range_max", "ranges"))
   }
 
+  /** sensor_msgs/PointCloud2 -> one row per CLOUD: shape/layout metadata,
+    * the self-describing field table, and the packed point payload as an
+    * opaque binary column (the images convention — decode rides a later,
+    * explicitly-requested pass). The lidar half of an AV rig's sensor
+    * volume; the reference extracts cameras only, so this is
+    * beyond-parity like the bz2/lz4 chunk codecs.
+    */
+  def pointClouds(spark: SparkSession, path: String): DataFrame =
+    pointCloudsOf(spark, messages(spark, path))
+
+  def pointCloudsOf(spark: SparkSession, msgs: Dataset[RawMessage]): DataFrame = {
+    import spark.implicits._
+    withIso(msgs
+      .filter(_.datatype == "sensor_msgs/PointCloud2")
+      .map { m =>
+        val c = RosMessages.pointCloud2(m.data)
+        val n = if (c.pointStep > 0) (c.data.length / c.pointStep).toLong else 0L
+        (m.path, m.topic, m.time_ns, c.header.seq, c.header.frameId,
+          c.height, c.width, n, c.pointStep, c.isBigendian, c.isDense,
+          c.fields.map(f => (f.name, f.offset, f.datatype, f.count)), c.data)
+      }
+      .toDF("bag", "topic", "time_ns", "seq", "frame_id", "height", "width",
+        "n_points", "point_step", "is_bigendian", "is_dense", "fields", "data"))
+  }
+
+  /** sensor_msgs/PointCloud2 -> one row per POINT: (x, y, z) resolved
+    * through each cloud's own field table (offset + datatype per channel
+    * — any numeric width, either endianness), `intensity` NULL when the
+    * rig doesn't record one. A cloud missing an x/y/z channel fails
+    * loudly (ingest integrity, the images-decode convention).
+    *
+    * Scale shape: one flatMap off the demux scan — per-bag tasks, no
+    * shuffle; the ~100× row fan-out streams through the iterator, never
+    * materializing a cloud's points in memory beyond its own binary blob.
+    */
+  def pointCloudPoints(spark: SparkSession, path: String): DataFrame =
+    pointCloudPointsOf(spark, messages(spark, path))
+
+  def pointCloudPointsOf(spark: SparkSession, msgs: Dataset[RawMessage]): DataFrame = {
+    import spark.implicits._
+    msgs
+      .filter(_.datatype == "sensor_msgs/PointCloud2")
+      .flatMap { m =>
+        val c = RosMessages.pointCloud2(m.data)
+        def fieldOf(n: String) = c.fields.find(_.name == n)
+        def required(n: String) = fieldOf(n).getOrElse(throw new IllegalArgumentException(
+          s"PointCloud2 on ${m.topic}: missing required field '$n' " +
+            s"(has: ${c.fields.map(_.name).mkString(", ")})"))
+        val (fx, fy, fz) = (required("x"), required("y"), required("z"))
+        val fi = fieldOf("intensity")
+        val step = c.pointStep.toInt
+        val n = if (step > 0) c.data.length / step else 0
+        (0 until n).iterator.map { i =>
+          val base = i * step
+          (m.path, m.topic, m.time_ns, i.toLong,
+            RosMessages.pointValue(c.data, base, fx, c.isBigendian),
+            RosMessages.pointValue(c.data, base, fy, c.isBigendian),
+            RosMessages.pointValue(c.data, base, fz, c.isBigendian),
+            fi.map(f => RosMessages.pointValue(c.data, base, f, c.isBigendian)))
+        }
+      }
+      .toDF("bag", "topic", "time_ns", "point_idx", "x", "y", "z", "intensity")
+  }
+
   /** nav_msgs/Odometry -> pose/twist columns (bagstream.py:291). */
   def odometry(spark: SparkSession, path: String): DataFrame =
     odometryOf(spark, messages(spark, path))

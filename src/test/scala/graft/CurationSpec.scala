@@ -786,4 +786,53 @@ class CurationSpec extends SparkSpec {
       assert(rows.forall(r => r.getLong(3) == full || r.getLong(3) == full + 1))
     }
   }
+
+  test("q50b winnow: the SIGMOD-2003 guarantee, rightmost ties, short docs, coverage") {
+    import spark.implicits._
+    val k = 5; val w = 4
+    // docs 1 and 2 share a 8-token run (= w + k - 1, the guarantee
+    // threshold) embedded in otherwise-disjoint text; doc 3 is 6 tokens
+    // (hash stream m = 2 < w); doc 4 is one repeated token (all window
+    // hashes equal -> every window's rightmost element is selected)
+    val shared = (1 to 8).map(i => s"s$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"a1 a2 a3 a4 a5 a6 $shared a7 a8 a9 a10"),
+      (2L, s"b1 b2 $shared b3 b4 b5 b6 b7 b8 b9 b10 b11"),
+      (3L, "c1 c2 c3 c4 c5 c6"),
+      (4L, (1 to 12).map(_ => "x").mkString(" "))
+    ).toDF("doc_id", "text")
+    val got = CurationOps.winnowOf(docs, k, w).collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("fp_pos"), r.getAs[Long]("fp")))
+    val byDoc = got.groupBy(_._1)
+    // guarantee: a shared run of length w + k - 1 shares >= 1 fingerprint
+    val f1 = byDoc(1L).map(_._3).toSet
+    val f2 = byDoc(2L).map(_._3).toSet
+    assert((f1 & f2).nonEmpty, "shared 8-token run must share a fingerprint")
+    // short doc: m = 2 < w -> exactly one fingerprint (whole-stream min)
+    assert(byDoc(3L).length === 1)
+    // all-equal hashes: rightmost-min tie-break selects pos p + w - 1 for
+    // each window start p in [1, m - w + 1] -> positions {w .. m}
+    val m4 = 12 - (k - 1)
+    assert(byDoc(4L).map(_._2).sorted.toSeq === (w.toLong to m4.toLong))
+    // coverage invariant (the guarantee's mechanism): every valid window
+    // [p, p + w - 1] contains a selected position
+    byDoc.foreach { case (id, rows) =>
+      val sel = rows.map(_._2).toSet
+      val m = Map(1L -> 13, 2L -> 15, 3L -> 2, 4L -> m4)(id)
+      (1 to math.max(1, m - w + 1)).foreach { p =>
+        assert((p until p + w).exists(q => sel(q.toLong)), s"doc $id window $p uncovered")
+      }
+      assert(rows.length <= m)
+    }
+    // positions carry real hash-stream offsets: fp at (doc, pos) equals the
+    // independent md5-60-bit recompute of that k-gram
+    val texts = docs.collect().map(r => r.getLong(0) -> r.getString(1).split(" ")).toMap
+    got.foreach { case (id, pos, fp) =>
+      val gram = texts(id).slice(pos.toInt - 1, pos.toInt - 1 + k).mkString(" ")
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+        .digest(gram.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      assert(fp === java.lang.Long.parseLong(md5.take(15), 16), s"doc $id pos $pos")
+    }
+    intercept[IllegalArgumentException] { CurationOps.winnowOf(docs, k, 0) }
+  }
 }

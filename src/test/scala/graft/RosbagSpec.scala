@@ -126,6 +126,35 @@ object BagWriter {
     * codec payload (png/jpeg bytes). */
   def compressedImagePayload(seq: Int, format: String, payload: Array[Byte]): Array[Byte] =
     rosHeader(seq, 100, 0, "cam") ++ rosString(format) ++ le32(payload.length) ++ payload
+
+  /** sensor_msgs/PointCloud2: header + shape + PointField table + packed
+    * float32 points. Metadata stays little-endian (the wire layer); only
+    * the point payload honors `bigendian`. */
+  def pointCloud2Payload(points: Seq[(Float, Float, Float, Float)],
+      bigendian: Boolean = false, withIntensity: Boolean = true,
+      fieldNames: Seq[String] = Seq("x", "y", "z")): Array[Byte] = {
+    val fields = fieldNames.zipWithIndex.map { case (n, i) => (n, i * 4) } ++
+      (if (withIntensity) Seq(("intensity", fieldNames.length * 4)) else Nil)
+    val step = fields.length * 4
+    val payload = ByteBuffer.allocate(step * points.length)
+      .order(if (bigendian) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN)
+    points.foreach { case (x, y, z, in) =>
+      payload.putFloat(x).putFloat(y).putFloat(z)
+      if (withIntensity) payload.putFloat(in)
+    }
+    val b = ByteBuffer.allocate(4096 + step * points.length).order(ByteOrder.LITTLE_ENDIAN)
+    b.put(rosHeader(3, 100, 0, "lidar"))
+    b.putInt(1).putInt(points.length) // height = 1 (unorganized), width = n
+    b.putInt(fields.length)
+    fields.foreach { case (n, off) =>
+      b.put(rosString(n)); b.putInt(off); b.put(7.toByte); b.putInt(1) // FLOAT32 x1
+    }
+    b.put((if (bigendian) 1 else 0).toByte)
+    b.putInt(step).putInt(step * points.length)
+    b.putInt(step * points.length).put(payload.array())
+    b.put(1.toByte) // is_dense
+    java.util.Arrays.copyOf(b.array(), b.position())
+  }
 }
 
 class RosbagSpec extends SparkSpec {
@@ -451,5 +480,94 @@ class RosbagSpec extends SparkSpec {
     // scalability guard: no array-typed column anywhere in the manifest
     assert(!RosbagReader.mp4Manifest(spark, path).schema.exists(
       _.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType]))
+  }
+
+  private def writeCloudBag(payloads: Seq[Array[Byte]], topic: String = "/lidar/points"): String = {
+    val dir = Files.createTempDirectory("graftpc")
+    val inner = BagWriter.connection(0, topic, "sensor_msgs/PointCloud2") ++
+      payloads.zipWithIndex.map { case (p, i) =>
+        BagWriter.message(0, 1600000000L + i, 0, p)
+      }.reduce(_ ++ _)
+    val f = dir.resolve("pc.bag")
+    Files.write(f, BagWriter.bag(BagWriter.bagHeader, BagWriter.chunk(inner, bz2 = false)))
+    f.toString
+  }
+
+  test("pointClouds(): metadata + self-describing field table round-trip") {
+    val pts = Seq((1.5f, -2.25f, 0.5f, 10.0f), (3.0f, 4.0f, 5.0f, 20.0f))
+    val path = writeCloudBag(Seq(BagWriter.pointCloud2Payload(pts)))
+    val rows = RosbagReader.pointClouds(spark, path).collect()
+    assert(rows.length === 1)
+    val c = rows.head
+    assert(c.getAs[String]("topic") === "/lidar/points")
+    assert(c.getAs[Long]("n_points") === 2L)
+    assert(c.getAs[Long]("point_step") === 16L)
+    assert(c.getAs[Boolean]("is_dense"))
+    val fields = c.getSeq[org.apache.spark.sql.Row](c.fieldIndex("fields"))
+    assert(fields.map(_.getString(0)) === Seq("x", "y", "z", "intensity"))
+    assert(fields.map(_.getLong(1)) === Seq(0L, 4L, 8L, 12L)) // offsets
+    assert(fields.forall(_.getInt(2) === 7)) // FLOAT32
+    assert(c.getAs[Array[Byte]]("data").length === 32)
+  }
+
+  test("pointCloudPoints(): exact values, both endiannesses, null intensity") {
+    val pts = Seq((1.5f, -2.25f, 0.5f, 10.0f), (3.0f, 4.0f, 5.0f, 20.0f))
+    val path = writeCloudBag(Seq(
+      BagWriter.pointCloud2Payload(pts),
+      BagWriter.pointCloud2Payload(pts, bigendian = true),
+      BagWriter.pointCloud2Payload(pts.take(1), withIntensity = false)))
+    val df = RosbagReader.pointCloudPoints(spark, path).orderBy("time_ns", "point_idx")
+    val rows = df.collect()
+    assert(rows.length === 5)
+    // little- and big-endian payloads decode to the SAME values
+    Seq(0, 2).foreach { base =>
+      assert(rows(base).getAs[Double]("x") === 1.5 &&
+        rows(base).getAs[Double]("y") === -2.25 &&
+        rows(base).getAs[Double]("z") === 0.5 &&
+        rows(base).getAs[Double]("intensity") === 10.0)
+      assert(rows(base + 1).getAs[Double]("x") === 3.0 &&
+        rows(base + 1).getAs[Double]("intensity") === 20.0)
+    }
+    // a rig that records no intensity channel lands honest NULLs
+    assert(rows(4).isNullAt(rows(4).fieldIndex("intensity")))
+    assert(rows(4).getAs[Double]("x") === 1.5)
+  }
+
+  test("pointCloudPoints(): a cloud missing x/y/z fails loudly") {
+    val pts = Seq((1.0f, 2.0f, 3.0f, 0.0f))
+    val path = writeCloudBag(Seq(BagWriter.pointCloud2Payload(
+      pts, fieldNames = Seq("x", "y", "w"))))
+    val e = intercept[Exception] {
+      RosbagReader.pointCloudPoints(spark, path).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("missing required field 'z'")))
+  }
+
+  test("voxelDownsample + cloudStats: PCL VoxelGrid semantics") {
+    val pts = Seq( // voxel (0,0,0): two points; voxel (-1,0,0): one; (2,2,2): one
+      (0.2f, 0.3f, 0.4f, 1.0f), (0.8f, 0.5f, 0.1f, 3.0f),
+      (-0.5f, 0.5f, 0.5f, 5.0f), (2.5f, 2.5f, 2.5f, 7.0f))
+    val path = writeCloudBag(Seq(BagWriter.pointCloud2Payload(pts)))
+    val points = RosbagReader.pointCloudPoints(spark, path)
+    val vox = graft.operators.PointCloudOps.voxelDownsample(points, 1.0)
+      .orderBy("vx", "vy", "vz").collect()
+    assert(vox.length === 3)
+    val v0 = vox.find(r => r.getAs[Long]("vx") === 0L).get
+    assert(v0.getAs[Long]("n_points") === 2L)
+    assert(math.abs(v0.getAs[Double]("cx") - 0.5) < 1e-9) // (0.2 + 0.8) / 2
+    assert(math.abs(v0.getAs[Double]("mean_intensity") - 2.0) < 1e-9)
+    // floor semantics on negatives: -0.5 lands in voxel -1, not 0
+    assert(vox.head.getAs[Long]("vx") === -1L)
+    val stats = graft.operators.PointCloudOps.cloudStats(points).collect()
+    assert(stats.length === 1)
+    assert(stats.head.getAs[Long]("n_points") === 4L)
+    assert(stats.head.getAs[Double]("min_x") === -0.5 &&
+      stats.head.getAs[Double]("max_x") === 2.5)
+    assert(stats.head.getAs[Double]("max_intensity") === 7.0)
+    intercept[IllegalArgumentException] {
+      graft.operators.PointCloudOps.voxelDownsample(points, 0.0)
+    }
   }
 }
