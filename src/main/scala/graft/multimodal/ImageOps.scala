@@ -97,6 +97,69 @@ object ImageOps {
       })
   }
 
+  /** Per-frame 64-bit dHash ([[PixelKernels.dhash]]) — the perceptual
+    * near-dup fingerprint for image corpora (grayscale → 9×8 → gradient
+    * signs). One map over the frame scan, no shuffle; 8 bytes per frame
+    * of state downstream instead of the pixel buffer.
+    */
+  def dhashFrames(spark: SparkSession, frames: DataFrame): DataFrame = {
+    import spark.implicits._
+    frames
+      .select("bag", "topic", "time_ns", "width", "height", "encoding", "step", "pixels")
+      .as[Frame]
+      .mapPartitions(_.map { f =>
+        (f.bag, f.topic, f.time_ns,
+          PixelKernels.dhash(f.pixels, f.width.toInt, f.height.toInt,
+            channelsForStats(f.encoding), f.step.toInt))
+      })
+      .toDF("bag", "topic", "time_ns", "dhash")
+  }
+
+  /** Image near-duplicate pairs within a Hamming radius of the dHash —
+    * image dedup for a multimodal training corpus (re-encoded, mildly
+    * noised, or brightness-shifted copies of a frame land a few bits
+    * apart; exact copies at distance 0).
+    *
+    * Scale shape — the q43 SimHash recipe, never frame×frame: the 64-bit
+    * hash splits into maxHamming+1 bit blocks (pigeonhole: ≤ maxHamming
+    * differing bits ⟹ at least one block identical — Manku et al. WWW
+    * 2007), candidate pairs form per (block index, block value) bucket
+    * via a self-equi-join on the banded table, then one exact
+    * `bit_count(xor)` verify. Shuffle volume is rows×blocks; candidate
+    * volume is within-bucket only.
+    */
+  def nearDupFrames(spark: SparkSession, frames: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 15,
+      s"maxHamming must be in [0, 15]; got $maxHamming")
+    val nBlocks = maxHamming + 1
+    val hashes = dhashFrames(spark, frames)
+    val blocks = (0 until nBlocks).map { i =>
+      val lo = i * 64 / nBlocks
+      val hi = (i + 1) * 64 / nBlocks // blocks partition all 64 bits
+      val width = hi - lo
+      val mask = if (width >= 64) -1L else (1L << width) - 1L
+      struct(lit(i).as("b"),
+        (shiftrightunsigned(col("dhash"), lo) bitwiseAND lit(mask)).as("v"))
+    }
+    val banded = hashes.select(col("bag"), col("topic"), col("time_ns"),
+      col("dhash"), explode(array(blocks: _*)).as("bk"))
+    def side(p: String) = banded.select(
+      struct(col("bag"), col("topic"), col("time_ns")).as(s"${p}_key"),
+      col("dhash").as(s"${p}_dhash"), col("bk").as(s"${p}_bk"))
+    side("a").join(side("b"),
+        col("a_bk") === col("b_bk") && col("a_key") < col("b_key"))
+      .select("a_key", "b_key", "a_dhash", "b_dhash")
+      .dropDuplicates("a_key", "b_key") // pairs colliding in >1 block rank once
+      .withColumn("hamming",
+        bit_count(col("a_dhash").bitwiseXOR(col("b_dhash"))).cast("int"))
+      .filter(col("hamming") <= maxHamming)
+      .select(
+        col("a_key.bag").as("a_bag"), col("a_key.topic").as("a_topic"),
+        col("a_key.time_ns").as("a_time_ns"),
+        col("b_key.bag").as("b_bag"), col("b_key.topic").as("b_topic"),
+        col("b_key.time_ns").as("b_time_ns"), col("hamming"))
+  }
+
   final case class PngFrame(bag: String, topic: String, time_ns: Long, file_name: String, png: Array[Byte])
 
   /** Encode frames to real PNG bytes (PngEncoder) partition-parallel — the

@@ -201,6 +201,66 @@ object PixelKernels {
     out
   }
 
+  /** Grayscale reduction to a tight 1-channel buffer: the ITU-R BT.601
+    * luma weights in EXACT integer arithmetic —
+    * (299·R + 587·G + 114·B + 500) / 1000 — so the value is
+    * engine/platform-reproducible (no float rounding drift between runs).
+    * mono8 passes through (stride stripped); rgba8's alpha is ignored;
+    * bgr8/8UC3 note: luma weights are applied in buffer order (R↔B swap
+    * changes luma slightly but near-dup hashing only needs a DETERMINISTIC
+    * projection, not a colorimetric one — same policy as channelsForStats).
+    */
+  def grayscale(pixels: Array[Byte], width: Int, height: Int, channels: Int,
+      step: Int): Array[Byte] = {
+    val stride = if (step >= width * channels) step else width * channels
+    val out = new Array[Byte](width * height)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val p = y * stride + x * channels
+        val g =
+          if (channels == 1) pixels(p) & 0xff
+          else {
+            val r = pixels(p) & 0xff
+            val gg = pixels(p + 1) & 0xff
+            val b = pixels(p + 2) & 0xff
+            (299 * r + 587 * gg + 114 * b + 500) / 1000
+          }
+        out(y * width + x) = g.toByte
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** dHash — the difference perceptual hash (the standard 64-bit image
+    * near-dup fingerprint: grayscale → 9×8 downsample → bit per
+    * horizontal-neighbor gradient sign). Robust to re-encoding, mild
+    * noise, and uniform brightness shifts; one bit flips per local
+    * gradient-sign change, so near-duplicate frames land within a small
+    * Hamming distance. Bit (y·8 + x) is set iff g[y][x+1] > g[y][x].
+    */
+  def dhash(pixels: Array[Byte], width: Int, height: Int, channels: Int,
+      step: Int): Long = {
+    val gray = grayscale(pixels, width, height, channels, step)
+    val small = resizeBilinear(gray, width, height, 1, width, 9, 8)
+    var bits = 0L
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        val a = small(y * 9 + x) & 0xff
+        val b = small(y * 9 + x + 1) & 0xff
+        if (b > a) bits |= 1L << (y * 8 + x)
+        x += 1
+      }
+      y += 1
+    }
+    bits
+  }
+
   /** Crop the [x1, x2) × [y1, y2) window to a tight buffer (stride =
     * width × channels, no alignment padding) — one System.arraycopy per
     * row. Bounds must be pre-clamped to the frame.

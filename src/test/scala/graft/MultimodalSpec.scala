@@ -227,4 +227,58 @@ class MultimodalSpec extends SparkSpec {
     val second = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(back(1).payload))
     assert((second.getRGB(0, 0) & 0xffffff) === ((50 << 16) | (60 << 8) | 70))
   }
+
+  test("PixelKernels.grayscale + dhash: exact luma, gradient fixed points") {
+    // BT.601 integer luma: (299*10 + 587*20 + 114*30 + 500) / 1000 = 18
+    val g = PixelKernels.grayscale(Array[Byte](10, 20, 30), 1, 1, 3, 3)
+    assert((g(0) & 0xff) === (299 * 10 + 587 * 20 + 114 * 30 + 500) / 1000)
+    // mono8 passes through, stride padding skipped
+    val g2 = PixelKernels.grayscale(Array[Byte](7, 0, 0, 9, 0, 0), 1, 2, 1, 3)
+    assert(g2.toSeq === Seq(7.toByte, 9.toByte))
+    // a 9x8 image hits the resize's identity path: hand-computable bits.
+    // strictly-increasing rows -> every gradient sign positive -> all 64
+    // bits set; strictly-decreasing -> none
+    def img(f: Int => Int): Array[Byte] =
+      Array.tabulate[Byte](9 * 8)(i => f(i % 9).toByte)
+    assert(PixelKernels.dhash(img(x => x * 28), 9, 8, 1, 9) === -1L)
+    assert(PixelKernels.dhash(img(x => 224 - x * 28), 9, 8, 1, 9) === 0L)
+  }
+
+  private def frameRow(id: Long, px: Array[Byte]) =
+    ("bags/a.bag", "/cam0/image_raw", id, 9L, 8L, "mono8", 9L, px)
+
+  test("nearDupFrames: banded dHash pairs within the Hamming radius, never frame x frame") {
+    import spark.implicits._
+    def grad(mod: Map[(Int, Int), Int]): Array[Byte] =
+      Array.tabulate[Byte](9 * 8) { i =>
+        mod.getOrElse((i / 9, i % 9), (i % 9) * 28).toByte
+      }
+    val a = grad(Map.empty)                      // dhash = all bits set
+    val b = grad(Map((0, 1) -> 0))               // flips bit (0,0) only -> hamming 1
+    val b3 = grad(Map((0, 1) -> 0, (1, 1) -> 0, (2, 1) -> 0)) // 3 bits, rows 0..2
+    val c = Array.tabulate[Byte](9 * 8)(i => (224 - (i % 9) * 28).toByte) // all clear
+    val frames = Seq(
+      frameRow(1L, a), frameRow(2L, a), frameRow(3L, b),
+      frameRow(4L, b3), frameRow(5L, c)
+    ).toDF("bag", "topic", "time_ns", "width", "height", "encoding", "step", "pixels")
+    val pairs = ImageOps.nearDupFrames(spark, frames, maxHamming = 3)
+      .orderBy("a_time_ns", "b_time_ns").collect()
+      .map(r => (r.getAs[Long]("a_time_ns"), r.getAs[Long]("b_time_ns"),
+        r.getAs[Int]("hamming")))
+    // exact copy at 0; single-bit at 1; the 3-bit pair sits AT the radius
+    // (pigeonhole across the 4 blocks must still surface it); the inverted
+    // frame (hamming 64/61/62) never pairs
+    assert(pairs.toSeq === Seq((1L, 2L, 0), (1L, 3L, 1), (1L, 4L, 3),
+      (2L, 3L, 1), (2L, 4L, 3), (3L, 4L, 2)))
+    // verify stage: a candidate surviving banding but beyond the radius is
+    // rejected — at maxHamming=1 the 3-bit pair bands together (its three
+    // differing bits share one 32-bit block) yet must not be reported
+    val tight = ImageOps.nearDupFrames(spark, frames, maxHamming = 1)
+      .orderBy("a_time_ns", "b_time_ns").collect()
+      .map(r => (r.getAs[Long]("a_time_ns"), r.getAs[Long]("b_time_ns")))
+    assert(tight.toSeq === Seq((1L, 2L), (1L, 3L), (2L, 3L)))
+    intercept[IllegalArgumentException] {
+      ImageOps.nearDupFrames(spark, frames, maxHamming = 16)
+    }
+  }
 }
