@@ -81,6 +81,7 @@ object SparkEntry {
     "q49_token_count"     -> (TextAnalysisOps.tokenCount _),
     "q50_fingerprint"     -> (TextAnalysisOps.fingerprint _),
     "q50b_winnow"         -> ((s: SparkSession, d: String) => CurationOps.winnow(s, d)),
+    "q50c_winnow_dedup"   -> ((s: SparkSession, d: String) => CurationOps.winnowDedup(s, d)),
     "q51_embed_stats"     -> (TextAnalysisOps.embedStats _),
     "q52_top_terms"       -> (TextAnalysisOps.topTerms _),
     "q53_normalize"       -> (TextAnalysisOps.normalizeTokens _),
@@ -1756,6 +1757,38 @@ object SparkEntry {
         |  CAST(minpack // 4294967296 AS BIGINT) AS fp
         |FROM mw WHERE pos <= greatest(1, m - 3)
         |ORDER BY doc_id, fp_pos""".stripMargin,
+
+    // q50c: Jaccard near-dup pairs over the winnow fingerprint index —
+    // df-capped informative keys (<= 64), universe-consistent denominator,
+    // minShared 2, threshold 0.35
+    "q50c_winnow_dedup" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts,
+        |                  len(string_split(text, ' ')) AS n FROM documents),
+        |r AS (SELECT doc_id, CAST(unnest(generate_series(1, n - 4)) AS BIGINT) AS pos, ts
+        |      FROM t WHERE n >= 5),
+        |h AS (SELECT doc_id, pos,
+        |        ('0x' || substr(md5(array_to_string(ts[pos:pos+4], ' ')), 1, 15))::BIGINT AS rh
+        |      FROM r),
+        |p AS (SELECT doc_id, pos,
+        |        rh::HUGEINT * 4294967296 + (4294967296 - pos) AS pack FROM h),
+        |mw AS (SELECT doc_id, pos,
+        |        MIN(pack) OVER (PARTITION BY doc_id ORDER BY pos
+        |          ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS minpack,
+        |        COUNT(*) OVER (PARTITION BY doc_id) AS m
+        |      FROM p),
+        |sel AS (SELECT DISTINCT doc_id, CAST(minpack // 4294967296 AS BIGINT) AS fp
+        |        FROM mw WHERE pos <= greatest(1, m - 3)),
+        |dft AS (SELECT fp, COUNT(*) AS df FROM sel GROUP BY fp),
+        |kept AS (SELECT s.doc_id, s.fp FROM sel s JOIN dft USING (fp) WHERE df <= 64),
+        |nf AS (SELECT doc_id, COUNT(*) AS nf FROM kept GROUP BY doc_id),
+        |pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+        |       FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |       GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, CAST(shared AS BIGINT) AS shared,
+        |  CAST(shared AS DOUBLE) / (na.nf + nb.nf - shared) AS jaccard
+        |FROM pr JOIN nf na ON pr.doc_a = na.doc_id JOIN nf nb ON pr.doc_b = nb.doc_id
+        |WHERE shared >= 2 AND CAST(shared AS DOUBLE) / (na.nf + nb.nf - shared) >= 0.35
+        |ORDER BY doc_a, doc_b""".stripMargin,
 
     "q51_embed_stats" ->
       s"""WITH $EMB_NORM

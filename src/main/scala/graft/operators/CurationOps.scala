@@ -522,6 +522,59 @@ object CurationOps {
       .orderBy("doc_id", "fp_pos")
   }
 
+  /** q50c — near-duplicate pairs over the [[winnow]] fingerprint index:
+    * the use the MOSS scheme exists for. Jaccard over each document's
+    * SELECTED fingerprint set — a 2/(w+1)-density sample of the shingle
+    * universe that still carries the winnowing guarantee (any shared run
+    * ≥ w+k−1 tokens contributes ≥ 1 shared key), so the inverted index
+    * is ~(w+1)/2× smaller than q41's every-shingle index at the same
+    * match floor.
+    *
+    * dfCap is the stop-key guard at the FINGERPRINT level (the q41b
+    * dial): a boilerplate fingerprint shared by >dfCap docs is excluded,
+    * and the Jaccard universe restricts to the kept (informative) keys on
+    * BOTH numerator and denominator, so the score stays a true Jaccard
+    * over the indexed universe. minShared kills single-key coincidence
+    * pairs (two short docs sharing their only fingerprint would score
+    * 1.0 on one hash collision's evidence).
+    *
+    * Scale shape: posting-list joins only — df per key, keys ≤ dfCap
+    * survive, per-key pair generation via the lazy `graft_doc_pairs`
+    * stream (never a self-join, C(df,2) ≤ C(dfCap,2) bounded per key),
+    * one (doc_a, doc_b) aggregation. Never doc×doc.
+    */
+  def winnowDedup(s: SparkSession, d: String, k: Int = 5, w: Int = 4,
+      dfCap: Long = 64, minShared: Long = 2, threshold: Double = 0.35): DataFrame =
+    winnowDedupOf(Tables.documentsScaled(s, d), k, w, dfCap, minShared, threshold)
+
+  /** [[winnowDedup]] over an arbitrary (doc_id, text, ...) frame. */
+  private[graft] def winnowDedupOf(docs: DataFrame, k: Int, w: Int,
+      dfCap: Long, minShared: Long, threshold: Double): DataFrame = {
+    require(dfCap >= 2, s"dfCap must be >= 2 (a key needs df >= 2 to pair); got $dfCap")
+    // the same fingerprint can be selected at several positions of one
+    // doc — the pair index is over distinct (doc, fp)
+    val sel = winnowOf(docs, k, w)
+      .select("doc_id", "fp").distinct()
+    val dft = sel.groupBy("fp").agg(count(lit(1)).as("df"))
+    val kept = sel.join(dft.filter(col("df") <= dfCap), "fp")
+    val nf = kept.groupBy("doc_id").agg(count(lit(1)).as("nf"))
+    val posting = kept.join(nf, "doc_id")
+    // df <= dfCap is already enforced, so collect_list state is bounded
+    // per key by construction (no heap needed, unlike q41's uncapped path)
+    val pairs = posting.groupBy("fp")
+      .agg(collect_list(struct(col("doc_id"), col("nf").as("n"))).as("docs"))
+      .filter(size(col("docs")) >= 2)
+      .select(call_function("graft_doc_pairs", col("docs"))
+        .as(Seq("doc_a", "doc_b", "na", "nb")))
+    pairs
+      .groupBy("doc_a", "doc_b", "na", "nb")
+      .agg(count(lit(1)).as("shared"))
+      .withColumn("jaccard", col("shared") / (col("na") + col("nb") - col("shared")))
+      .filter(col("shared") >= minShared && col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "shared", "jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** q83b — APPLY the ExactSubstr cut: re-emit each document's text with
     * every [[dupSpans]] extent removed (the canonical copy of each
     * duplicate survives somewhere in the corpus by construction). This is

@@ -835,4 +835,44 @@ class CurationSpec extends SparkSpec {
     }
     intercept[IllegalArgumentException] { CurationOps.winnowOf(docs, k, 0) }
   }
+
+  test("q50c winnow dedup: exact dups at 1.0, dfCap stop keys, minShared coincidence guard") {
+    import spark.implicits._
+    def run(docs: org.apache.spark.sql.DataFrame, dfCap: Long = 64,
+        minShared: Long = 2, threshold: Double = 0.35) =
+      CurationOps.winnowDedupOf(docs, 5, 4, dfCap, minShared, threshold).collect()
+        .map(r => ((r.getLong(0), r.getLong(1)),
+          (r.getAs[Long]("shared"), r.getAs[Double]("jaccard")))).toMap
+    val textA = (1 to 30).map(i => s"a$i").mkString(" ")
+    val textB = (1 to 30).map(i => s"b$i").mkString(" ")
+    // docs 1/2 identical -> full fingerprint overlap, jaccard exactly 1.0;
+    // doc 3 unrelated -> no pair
+    val base = Seq((1L, textA), (2L, textA), (3L, textB)).toDF("doc_id", "text")
+    val got = run(base)
+    assert(got.keySet === Set((1L, 2L)))
+    assert(got((1L, 2L))._2 === 1.0)
+    // dfCap: a boilerplate run shared by FIVE docs is a stop key at
+    // dfCap=4 — its fingerprints pair nobody, while the two docs that
+    // ALSO share a distinctive run still pair on the distinctive keys
+    val boiler = (1 to 30).map(i => s"c$i").mkString(" ")
+    val distinct8 = (1 to 20).map(i => s"d$i").mkString(" ")
+    val capped = Seq(
+      (1L, s"$boiler $distinct8"), (2L, s"$boiler $distinct8"),
+      (3L, boiler), (4L, boiler), (5L, boiler)).toDF("doc_id", "text")
+    val cappedGot = run(capped, dfCap = 4, threshold = 0.1)
+    // pairs among 3/4/5 (only boilerplate keys, all df=5 > 4) are gone;
+    // 1-2 pair on the distinctive-run keys with a CONSISTENT universe
+    // (denominator counts kept keys only -> jaccard 1.0, not diluted)
+    assert(cappedGot.keySet === Set((1L, 2L)))
+    assert(cappedGot((1L, 2L))._2 === 1.0)
+    // uncapped, all C(5,2) boilerplate pairs + the 1-2 pair appear
+    assert(run(capped, threshold = 0.1).keySet.size === 10)
+    // minShared: force single-fingerprint docs (5 tokens = one window
+    // hash) sharing that one key — one key's evidence is a coincidence,
+    // not a duplicate verdict
+    val tiny = Seq((1L, "t1 t2 t3 t4 t5"), (2L, "t1 t2 t3 t4 t5"))
+      .toDF("doc_id", "text")
+    assert(run(tiny).isEmpty)
+    assert(run(tiny, minShared = 1).keySet === Set((1L, 2L)))
+  }
 }
