@@ -111,6 +111,7 @@ object SparkEntry {
     "q86_dedup_recall"    -> (DedupOps.dedupRecall _),
     "q42b_minhash_est"    -> (DedupOps.minhashEst _),
     "q66_label_centroids" -> (TextAnalysisOps.labelCentroids _),
+    "q66b_label_outliers" -> (TextAnalysisOps.labelOutliers _),
     "q87_bpe_pairs"       -> ((s: SparkSession, d: String) => TextAnalysisOps.bpePairs(s, d)),
     "q67_semantic_dedup"  -> ((s: SparkSession, d: String) => DedupOps.semanticDedup(s, d)),
     "q68_ann_recall"      -> ((s: SparkSession, d: String) => SimilarityOps.annRecall(s, d)),
@@ -2361,6 +2362,28 @@ object SparkEntry {
          |  CAST(COUNT(*) AS BIGINT) AS n_vectors,
          |  ${A("x")} AS mean_x
          |FROM u GROUP BY label, dim_idx ORDER BY label, dim_idx""".stripMargin,
+
+    // q66b: vectors anti-aligned (cosine < 0) with their own label
+    // centroid — exact-decimal means, the DOT64 fold chain, one divide
+    "q66b_label_outliers" ->
+      s"""WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |           FROM embeddings),
+         |u AS (SELECT label, i AS p, v[i] AS x FROM e, range(1, 65) t(i)),
+         |cm AS (SELECT label, p, ${A("x")} AS m FROM u GROUP BY label, p),
+         |ca AS (SELECT label, list(m ORDER BY p) AS cv FROM cm GROUP BY label),
+         |nl AS (SELECT label, COUNT(*) AS n_label FROM e GROUP BY label),
+         |sc AS (SELECT e.vec_id, e.label,
+         |  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |    list_transform(range(1, 65), i -> e.v[i]*cv[i])), (a2, b2) -> a2 + b2) /
+         |  (sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |    list_transform(range(1, 65), i -> e.v[i]*e.v[i])), (a2, b2) -> a2 + b2)) *
+         |   sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |    list_transform(range(1, 65), i -> cv[i]*cv[i])), (a2, b2) -> a2 + b2))) AS csim
+         |  FROM e JOIN ca USING (label))
+         |SELECT sc.label AS label, vec_id, csim, n_label
+         |FROM sc JOIN nl ON sc.label = nl.label
+         |WHERE csim < 0.0
+         |ORDER BY label, vec_id""".stripMargin,
 
     // BPE merge-candidate statistics: adjacent char-pair counts within
     // whitespace tokens, deterministic (count DESC, pair ASC) top-50

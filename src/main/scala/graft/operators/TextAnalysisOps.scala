@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.Exact._
 import graft.functions.TextFunctions._
-import graft.functions.VectorFunctions.{norm, toDouble}
+import graft.functions.VectorFunctions.{cosine, norm, toDouble}
 
 /** Text-analysis operators for corpus curation (SURVEY.md §2.C). All pure
   * per-row expressions (map-side, codegen'd) followed by at most one
@@ -247,6 +247,42 @@ object TextAnalysisOps {
       .groupBy(col("label"), (col("p") + 1).cast("long").as("dim_idx"))
       .agg(count(lit(1)).as("n_vectors"), davg(col("x")).as("mean_x"))
       .orderBy("label", "dim_idx")
+
+  /** q66b — label-noise audit: embeddings ANTI-ALIGNED with their own
+    * label's centroid (cosine < 0) — the vectors most likely mislabeled
+    * or corrupt, surfaced before a classifier trains on them (the
+    * centroid-distance noisy-label screen; q66's centroids put to work).
+    *
+    * Shape: the q66 (label, dim) exact-decimal mean collapses to one
+    * centroid array per label, BROADCAST (|labels|×64 doubles — tiny at
+    * any corpus scale); the cosine is then map-side per vector (one
+    * corpus scan, zero windows, zero per-label sorts — an absolute
+    * threshold needs no rank); label populations ride a second broadcast
+    * of |labels| rows. Output is the flagged set only.
+    *
+    * Determinism: centroid means on the DECIMAL(27,6) carrier; dot/norm
+    * through graft_dot's fixed ascending IEEE fold (the DOT64 oracle
+    * chain); one multiply + one divide — bit-portable.
+    */
+  def labelOutliers(s: SparkSession, d: String): DataFrame = {
+    val cent = Tables.embeddings(s, d)
+      .select(col("label"), posexplode(toDouble(col("embedding"))).as(Seq("p", "x")))
+      .groupBy("label", "p")
+      .agg(davg(col("x")).as("m"))
+      .groupBy("label")
+      .agg(array_sort(collect_list(struct(col("p"), col("m")))).as("pm"))
+      .select(col("label"), expr("transform(pm, e -> e.m)").as("cv"))
+    val nlab = Tables.embeddings(s, d)
+      .groupBy("label").agg(count(lit(1)).as("n_label"))
+    Tables.embeddingsScaled(s, d)
+      .select(col("vec_id"), col("label"), toDouble(col("embedding")).as("v"))
+      .join(broadcast(cent), "label")
+      .withColumn("csim", cosine(col("v"), col("cv"), norm(col("v")), norm(col("cv"))))
+      .filter(col("csim") < 0.0)
+      .join(broadcast(nlab), "label")
+      .select("label", "vec_id", "csim", "n_label")
+      .orderBy("label", "vec_id")
+  }
 
   /** q73 — BM25 keyword retrieval (Robertson/Okapi, k1=1.2 b=0.75): top-20
     * documents for a fixed query-term set, the lexical-search counterpart

@@ -381,6 +381,46 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("q66b label outliers: exactly the anti-aligned vectors, centroid-consistent, no sorts/windows") {
+    def lbl(r: org.apache.spark.sql.Row, name: String): Long =
+      r.getAs[Number](name).longValue
+    val got = TextAnalysisOps.labelOutliers(spark, sf).collect()
+    assert(got.nonEmpty, "audit must be non-vacuous on the gate lake")
+    got.foreach(r => assert(r.getAs[Double]("csim") < 0.0))
+    // independent recompute: centroid = naive per-dim mean (within the
+    // 6-dp carrier), flag set = exactly the csim < 0 vectors
+    val all = Tables.embeddings(spark, sf).collect().map { r =>
+      (r.getAs[Long]("vec_id"), r.getAs[Number]("label").longValue,
+        r.getSeq[Float](r.fieldIndex("embedding")).map(_.toDouble).toArray)
+    }
+    val cents = all.groupBy(_._2).view.mapValues { vs =>
+      val d = vs.head._3.length
+      Array.tabulate(d)(i => vs.map(_._3(i)).sum / vs.length)
+    }.toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      def dot(x: Array[Double], y: Array[Double]) =
+        x.indices.foldLeft(0.0)((acc, i) => acc + x(i) * y(i))
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    }
+    val expect = all.filter { case (_, l, v) => cos(v, cents(l)) < -1e-7 }.map(_._1).toSet
+    val gotIds = got.map(_.getAs[Long]("vec_id")).toSet
+    // carrier truncation can only flip verdicts within ~1e-7 of zero
+    assert(expect.subsetOf(gotIds) || (expect -- gotIds).isEmpty)
+    val hard = all.filter { case (_, l, v) => cos(v, cents(l)) < -1e-4 }.map(_._1).toSet
+    assert(hard.subsetOf(gotIds))
+    val safe = all.filter { case (_, l, v) => cos(v, cents(l)) > 1e-4 }.map(_._1).toSet
+    assert((gotIds & safe).isEmpty)
+    // n_label matches the true label population
+    val perLabel = all.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    got.foreach(r => assert(r.getAs[Long]("n_label") === perLabel(lbl(r, "label"))))
+    // scale-shape pin: an absolute threshold needs NO sort/window below
+    // the final presentation orderBy, and both joins broadcast
+    val plan = TextAnalysisOps.labelOutliers(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"))
+    assert(!plan.contains("Window"))
+  }
+
   test("q55 dedup groups: pair endpoints share a canonical; canonical is the min member") {
     val pairs = DedupOps.minhashLsh(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
