@@ -78,12 +78,14 @@ object SparkEntry {
     "q55b_dedup_priority" -> ((s: SparkSession, d: String) => DedupOps.dedupGroupsPriority(s, d)),
     "q47_langid"          -> (TextAnalysisOps.langId _),
     "q48_quality_score"   -> (TextAnalysisOps.qualityScore _),
+    "q48b_length_outliers" -> (TextAnalysisOps.lengthOutliers _),
     "q49_token_count"     -> (TextAnalysisOps.tokenCount _),
     "q50_fingerprint"     -> (TextAnalysisOps.fingerprint _),
     "q50b_winnow"         -> ((s: SparkSession, d: String) => CurationOps.winnow(s, d)),
     "q50c_winnow_dedup"   -> ((s: SparkSession, d: String) => CurationOps.winnowDedup(s, d)),
     "q51_embed_stats"     -> (TextAnalysisOps.embedStats _),
     "q52_top_terms"       -> (TextAnalysisOps.topTerms _),
+    "q52b_vocab_growth"   -> ((s: SparkSession, d: String) => TextAnalysisOps.vocabGrowth(s, d)),
     "q53_normalize"       -> (TextAnalysisOps.normalizeTokens _),
     "q56_contamination"   -> (CurationOps.contamination _),
     "q57_dup_ngram_rate"  -> (CurationOps.dupNgramRate _),
@@ -104,6 +106,7 @@ object SparkEntry {
     "q83b_cut_dup_spans"  -> ((s: SparkSession, d: String) => CurationOps.cutDupSpans(s, d)),
     "q84_source_overlap"  -> ((s: SparkSession, d: String) => CurationOps.sourceOverlap(s, d)),
     "q85_source_divergence" -> ((s: SparkSession, d: String) => CurationOps.sourceDivergence(s, d)),
+    "q85b_doremi_weights" -> ((s: SparkSession, d: String) => CurationOps.doremiWeights(s, d)),
     "q44c_dedup_embedding_dense" -> ((s: SparkSession, d: String) => DedupOps.embeddingNearDup(s, d, subBlockBits = 8)),
     "q44d_dedup_embedding_auto" -> ((s: SparkSession, d: String) => DedupOps.embeddingNearDupAuto(s, d)),
     "q67b_semantic_dedup_blocked" -> ((s: SparkSession, d: String) => DedupOps.semanticDedup(s, d, subBlockBits = 6)),
@@ -2032,6 +2035,51 @@ object SparkEntry {
         |      FROM scored) t
         |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
 
+    // q48b: median/MAD robust z audit — Spark percentile == DuckDB
+    // quantile_cont (the q14 convention); COUNT sums cast (HUGEINT)
+    "q48b_length_outliers" ->
+      """WITH m AS (SELECT source, quantile_cont(n_chars, 0.5) AS med_chars
+        |           FROM documents GROUP BY source),
+        |d AS (SELECT doc.source, doc.n_chars, m.med_chars,
+        |        abs(doc.n_chars - m.med_chars) AS ad
+        |      FROM documents doc JOIN m USING (source)),
+        |md AS (SELECT source, quantile_cont(ad, 0.5) AS mad_chars FROM d GROUP BY source),
+        |z AS (SELECT d.source, d.med_chars, md.mad_chars,
+        |        CASE WHEN md.mad_chars > 0 THEN 0.6745 * d.ad / md.mad_chars END AS z
+        |      FROM d JOIN md USING (source))
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  MIN(med_chars) AS med_chars, MIN(mad_chars) AS mad_chars,
+        |  CAST(SUM(CASE WHEN z > 2.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_mild,
+        |  CAST(SUM(CASE WHEN z > 3.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_extreme,
+        |  MAX(z) AS max_z
+        |FROM z GROUP BY source ORDER BY source""".stripMargin,
+
+    // q52b: the Heaps-law curve via the first-occurrence trick — vocab at
+    // cutoff c = |{terms: min(doc_id) <= c}|; SUM OVER windows cast to
+    // BIGINT (DuckDB SUM(BIGINT) is HUGEINT — the round-4 q61 lesson)
+    "q52b_vocab_growth" ->
+      """WITH h AS (SELECT MAX(doc_id) + 1 AS horizon FROM documents),
+        |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |ft AS (SELECT term, MIN(doc_id) AS first_doc FROM tok GROUP BY term),
+        |nt AS (SELECT LEAST(10, CAST(FLOOR(first_doc * 10 / horizon) AS BIGINT) + 1) AS bucket,
+        |         CAST(COUNT(*) AS BIGINT) AS new_terms FROM ft, h GROUP BY 1),
+        |pb AS (SELECT LEAST(10, CAST(FLOOR(doc_id * 10 / horizon) AS BIGINT) + 1) AS bucket,
+        |         CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |       FROM documents, h GROUP BY 1),
+        |j AS (SELECT COALESCE(pb.bucket, nt.bucket) AS bucket,
+        |        COALESCE(n_docs, 0) AS n_docs, COALESCE(n_tokens, 0) AS n_tokens,
+        |        COALESCE(new_terms, 0) AS new_terms
+        |      FROM pb FULL OUTER JOIN nt ON pb.bucket = nt.bucket)
+        |SELECT bucket,
+        |  CAST(SUM(n_docs) OVER w AS BIGINT) AS n_docs_cum,
+        |  CAST(SUM(n_tokens) OVER w AS BIGINT) AS n_tokens_cum,
+        |  new_terms,
+        |  CAST(SUM(new_terms) OVER w AS BIGINT) AS vocab_size
+        |FROM j
+        |WINDOW w AS (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY bucket""".stripMargin,
+
     "q53_normalize" ->
       """SELECT doc_id,
         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_raw,
@@ -2654,6 +2702,30 @@ object SparkEntry {
         |SELECT source, n_src AS n_tokens, n_distinct,
         |  CAST(SUM(CAST(term AS DECIMAL(27,6))) AS DOUBLE) / CAST(n_src AS DOUBLE) AS kl
         |FROM terms GROUP BY source, n_src, n_distinct ORDER BY source""".stripMargin,
+
+    // q85b: DoReMi reweighting over the shared q90 LM chain — per-source
+    // token-weighted mean NLL, excess over the corpus mean, linear
+    // surrogate update (exp avoided: libm last-ulp is not portable);
+    // every cross-row double reduce rides the DECIMAL(27,6) carrier
+    "q85b_doremi_weights" ->
+      s"""WITH $lmScoreCtes,
+         |bys AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |          CAST(SUM(n_bigrams) AS BIGINT) AS n_bigrams,
+         |          ${S("avg_nll * CAST(n_bigrams AS DOUBLE)")} AS sum_nll
+         |        FROM lmsc GROUP BY source),
+         |bys2 AS (SELECT *, sum_nll / CAST(n_bigrams AS DOUBLE) AS mean_nll FROM bys),
+         |tot AS (SELECT ${S("sum_nll")} AS tot_nll,
+         |          CAST(SUM(n_bigrams) AS BIGINT) AS tot_bigrams FROM bys2),
+         |w AS (SELECT source, n_docs, n_bigrams,
+         |        CAST(n_bigrams AS DOUBLE) / CAST(tot_bigrams AS DOUBLE) AS token_share,
+         |        mean_nll,
+         |        GREATEST(0.0, mean_nll - tot_nll / CAST(tot_bigrams AS DOUBLE)) AS excess
+         |      FROM bys2, tot),
+         |w2 AS (SELECT *, token_share * (1.0 + 1.0 * excess) AS w_raw FROM w),
+         |norm AS (SELECT ${S("w_raw")} AS z FROM w2)
+         |SELECT source, n_docs, n_bigrams, token_share, mean_nll, excess,
+         |  w_raw / z AS weight
+         |FROM w2, norm ORDER BY source""".stripMargin,
 
     // SemDeDup: within-IVF-cluster cosine prune, min-id keeps the
     // representative (same frozen quantizer + fold order as q46b/q54)

@@ -1258,6 +1258,50 @@ object CurationOps {
       .orderBy("source", "bucket")
   }
 
+  /** q85b — DoReMi-style source reweighting (Xie et al. 2023,
+    * arXiv:2305.10429): upweight the sources whose LM loss EXCEEDS the
+    * corpus average — the Group-DRO signal DoReMi's proxy run feeds its
+    * domain-weight update. The loss is the q90 bigram-LM NLL (the same
+    * trained-on-`refSource` kernel, single-sourced through
+    * [[lmPerplexityOf]]), token-weighted per source; the update is the
+    * first-order surrogate of DoReMi's exponentiated step —
+    * w ∝ share·(1 + η·excess) instead of share·exp(η·excess) — because
+    * exp's last-ulp varies across libm implementations while +/·/÷ are
+    * IEEE-exact, and the two updates rank and direct the reweighting
+    * identically (monotone in excess).
+    *
+    * Scale shape: the corpus-sized work is exactly q90's scoring chain;
+    * everything after it runs on the catalog-bounded per-source frame
+    * (two tiny aggregates + broadcast cross joins). Cross-doc double
+    * reductions ride the DECIMAL carrier (Exact.dsum) so the weights are
+    * partitioning-independent.
+    */
+  def doremiWeights(s: SparkSession, d: String, eta: Double = 1.0,
+      refSource: String = "src0"): DataFrame = {
+    val scored = lmPerplexityOf(Tables.documentsScaled(s, d), refSource)
+    val bySource = scored.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("n_bigrams")).as("n_bigrams"),
+      Exact.dsum(col("avg_nll") * col("n_bigrams").cast("double")).as("sum_nll"))
+      .withColumn("mean_nll", col("sum_nll") / col("n_bigrams").cast("double"))
+    val tot = bySource.agg(
+      Exact.dsum(col("sum_nll")).as("tot_nll"),
+      sum(col("n_bigrams")).as("tot_bigrams"))
+    val w = bySource.crossJoin(broadcast(tot))
+      .withColumn("token_share",
+        col("n_bigrams").cast("double") / col("tot_bigrams").cast("double"))
+      .withColumn("excess", greatest(lit(0.0),
+        col("mean_nll") - col("tot_nll") / col("tot_bigrams").cast("double")))
+      .withColumn("w_raw",
+        col("token_share") * (lit(1.0) + lit(eta) * col("excess")))
+    val z = w.agg(Exact.dsum(col("w_raw")).as("z"))
+    w.crossJoin(broadcast(z))
+      .select(col("source"), col("n_docs"), col("n_bigrams"),
+        col("token_share"), col("mean_nll"), col("excess"),
+        (col("w_raw") / col("z")).as("weight"))
+      .orderBy("source")
+  }
+
   /** [[lmPerplexity]] over an arbitrary (doc_id, source, text, ...) frame
     * — the seam CorpusPrep's LM-filter stage scores its own surviving
     * frontier through (LM trained on the frontier's reference-source

@@ -119,6 +119,49 @@ object TextAnalysisOps {
       .withColumn("score", least(lit(1.0), col("n_tokens") / 100.0) * col("ttr"))
   }
 
+  /** q48b — robust per-source length-outlier audit: median/MAD robust
+    * z-scores (Iglewicz & Hoaglin's modified z, 0.6745·(x−med)/MAD) over
+    * `n_chars`, reported as a per-source dashboard — doc counts at the
+    * standard mild (|z|>2) and extreme (|z|>3.5) cuts plus the max z.
+    * Mean/stddev outlier rules (q79's 3-sigma) break down on the
+    * heavy-tailed length distributions real crawls have (the outliers
+    * inflate the sigma that is supposed to catch them); median/MAD is
+    * the standard robust replacement.
+    *
+    * Scale shape: two grouped exact percentiles (per-source value
+    * multiset — at 100 TB swap in approx_percentile, the q14b device)
+    * + one broadcast join of the catalog-bounded per-source stats frame
+    * + one final per-source aggregation. No corpus sort, no window.
+    */
+  def lengthOutliers(s: SparkSession, d: String): DataFrame =
+    lengthOutliersOf(
+      Tables.documents(s, d).select(col("source"), col("doc_id"), col("n_chars")))
+
+  /** [[lengthOutliers]] over an arbitrary (source, doc_id, n_chars) frame
+    * — the seam the planted-outlier spec drives. */
+  private[graft] def lengthOutliersOf(docs: DataFrame): DataFrame = {
+    val med = docs.groupBy("source")
+      .agg(percentile(col("n_chars"), lit(0.5)).as("med_chars"))
+    // per-source stats are catalog-bounded (one row per source): broadcast
+    val withMed = docs.join(broadcast(med), "source")
+      .withColumn("ad", abs(col("n_chars") - col("med_chars")))
+    val mad = withMed.groupBy("source")
+      .agg(percentile(col("ad"), lit(0.5)).as("mad_chars"))
+    withMed.join(broadcast(mad), "source")
+      // MAD=0 (constant-length source): z undefined, contributes nothing
+      .withColumn("z", when(col("mad_chars") > 0.0,
+        lit(0.6745) * col("ad") / col("mad_chars")))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        min(col("med_chars")).as("med_chars"),
+        min(col("mad_chars")).as("mad_chars"),
+        sum(when(col("z") > 2.0, 1L).otherwise(0L)).as("n_mild"),
+        sum(when(col("z") > 3.5, 1L).otherwise(0L)).as("n_extreme"),
+        max(col("z")).as("max_z"))
+      .orderBy("source")
+  }
+
   /** q49 — token statistics per language: whitespace tokens + regex word
     * tokens (the BPE-ish pre-tokenizer count).
     */
@@ -171,6 +214,57 @@ object TextAnalysisOps {
       .filter(col("rank") <= 3)
       .select("doc_id", "rank", "term", "tf", "df", "score")
       .orderBy("doc_id", "rank")
+  }
+
+  /** q52b — Heaps-law vocabulary-growth curve: cumulative distinct-term
+    * count as the corpus grows doc by doc, reported at `buckets` evenly
+    * spaced doc_id cutoffs (Heaps 1978: V(n) ≈ K·n^β — the curve a
+    * tokenizer/corpus-QA pass reads to decide whether vocabulary is
+    * saturating or still growing, and the canary for boilerplate-heavy
+    * crawls where it flattens early).
+    *
+    * Scale shape: the naive form rescans the corpus once per cutoff;
+    * this one uses the first-occurrence trick — vocab at cutoff c is
+    * |{terms with min(doc_id) ≤ c}| — so the whole curve costs ONE token
+    * explode + ONE groupBy(term), then B-row arithmetic. The only
+    * unbounded shuffle is the per-term min (vocabulary-sized, partial
+    * aggregation applies); the cumulative window runs over B rows.
+    */
+  def vocabGrowth(s: SparkSession, d: String, buckets: Int = 10): DataFrame = {
+    val docs = Tables.documents(s, d)
+    // one-row horizon frame: bucket cutoffs derive from max(doc_id)+1
+    val h = docs.select((max(col("doc_id")) + lit(1L)).as("horizon"))
+    def bucketOf(c: Column): Column =
+      least(lit(buckets.toLong), floor(c * buckets / col("horizon")) + lit(1L))
+        .cast("long")
+
+    val newTerms = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy("term").agg(min(col("doc_id")).as("first_doc"))
+      .crossJoin(broadcast(h))
+      .groupBy(bucketOf(col("first_doc")).as("bucket"))
+      .agg(count(lit(1)).as("new_terms"))
+
+    val perBucket = docs
+      .crossJoin(broadcast(h))
+      .groupBy(bucketOf(col("doc_id")).as("bucket"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(tokens(col("text"))).cast("long")).as("n_tokens"))
+
+    // B rows total: the unpartitioned cumulative window is bounded by
+    // construction (buckets, not corpus rows)
+    val w = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perBucket.join(newTerms, Seq("bucket"), "full_outer")
+      .na.fill(0L, Seq("n_docs", "n_tokens", "new_terms"))
+      .select(
+        col("bucket"),
+        sum(col("n_docs")).over(w).as("n_docs_cum"),
+        sum(col("n_tokens")).over(w).as("n_tokens_cum"),
+        col("new_terms"),
+        sum(col("new_terms")).over(w).as("vocab_size"))
+      .orderBy("bucket")
   }
 
   /** q53 — token normalization: lowercase, strip non-alphanumerics, drop

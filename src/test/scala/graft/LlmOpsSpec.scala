@@ -1064,4 +1064,90 @@ class LlmOpsSpec extends SparkSpec {
       assert(rows.forall(_._3 > 0.0), s"query $q non-positive score")
     }
   }
+
+  test("q48b length outliers: planted outlier flagged; constant-length source degrades safely") {
+    import spark.implicits._
+    // src A: 21 docs at ~100 chars, one at 100000 -> med 100, MAD small,
+    // the plant lands far beyond the extreme cut. src B: constant length
+    // -> MAD 0 -> z undefined -> zero counts, null max_z (never Inf/NaN).
+    val rows = (0 until 21).map(i => ("A", i.toLong, 100L + (i % 5))) :+
+      (("A", 21L, 100000L))
+    val const = (0 until 10).map(i => ("B", 100L + i, 250L))
+    val df = (rows ++ const).toDF("source", "doc_id", "n_chars")
+    val out = operators.TextAnalysisOps.lengthOutliersOf(df)
+      .orderBy("source").collect()
+    val a = out(0); val b = out(1)
+    assert(a.getAs[Long]("n_extreme") === 1L)
+    assert(a.getAs[Long]("n_mild") >= 1L)
+    assert(a.getAs[Double]("max_z") > 3.5)
+    assert(b.getAs[Long]("n_mild") === 0L && b.getAs[Long]("n_extreme") === 0L)
+    assert(b.isNullAt(b.fieldIndex("max_z")))
+    assert(b.getAs[Double]("mad_chars") === 0.0)
+    // gate-lake sanity: doc counts partition the corpus, extreme <= mild
+    val lake = operators.TextAnalysisOps.lengthOutliers(spark, sf).collect()
+    assert(lake.map(_.getAs[Long]("n_docs")).sum === Tables.documents(spark, sf).count())
+    assert(lake.forall(r => r.getAs[Long]("n_extreme") <= r.getAs[Long]("n_mild")))
+  }
+
+  test("q85b doremi weights: a proper distribution that upweights exactly the excess-loss sources") {
+    val rows = operators.CurationOps.doremiWeights(spark, sf).collect()
+    assert(rows.length > 1)
+    val wsum = rows.map(_.getAs[Double]("weight")).sum
+    // the normalizer rides the DECIMAL(27,6) carrier: each w_raw rounds at
+    // 1e-6 before the sum, so the unit-sum holds to half-ulp x n_sources
+    assert(math.abs(wsum - 1.0) < rows.length * 5e-7 + 1e-9, s"weights sum to $wsum")
+    assert(rows.forall(_.getAs[Double]("weight") > 0.0))
+    // corpus mean nll = token-weighted mean of the per-source means
+    val totB = rows.map(_.getAs[Long]("n_bigrams")).sum.toDouble
+    val corpusMean = rows.map(r =>
+      r.getAs[Double]("mean_nll") * r.getAs[Long]("n_bigrams")).sum / totB
+    rows.foreach { r =>
+      val excess = r.getAs[Double]("excess")
+      val aboveMean = r.getAs[Double]("mean_nll") > corpusMean
+      assert(excess >= 0.0)
+      if (excess > 1e-12) assert(aboveMean, s"${r.getString(0)} has excess but mean below corpus")
+    }
+    // closed form: weight/share == (1 + excess) / z with z the
+    // share-weighted mean of (1 + excess) — recomputed from the rows
+    val zEmp = rows.map(r =>
+      r.getAs[Double]("token_share") * (1.0 + r.getAs[Double]("excess"))).sum
+    rows.foreach { r =>
+      val ratio = r.getAs[Double]("weight") / r.getAs[Double]("token_share")
+      val expected = (1.0 + r.getAs[Double]("excess")) / zEmp
+      assert(math.abs(ratio - expected) < 1e-4, s"${r.getString(0)}: $ratio vs $expected")
+    }
+    // monotone: more excess => larger weight-to-share ratio
+    val byExcess = rows.sortBy(_.getAs[Double]("excess"))
+    val ratios = byExcess.map(r => r.getAs[Double]("weight") / r.getAs[Double]("token_share"))
+    assert(ratios.zip(ratios.tail).forall { case (x, y) => x <= y + 1e-12 })
+  }
+
+  test("q52b vocab growth: first-occurrence curve == per-cutoff brute force; monotone") {
+    val rows = TextAnalysisOps.vocabGrowth(spark, sf).orderBy("bucket").collect()
+    assert(rows.map(_.getAs[Long]("bucket")).toSeq === (1L to 10L))
+    val vocab = rows.map(_.getAs[Long]("vocab_size")).toSeq
+    assert(vocab.zip(vocab.tail).forall { case (a, b) => a <= b }, s"vocab not monotone: $vocab")
+    // new_terms is the discrete derivative of vocab_size
+    val fresh = rows.map(_.getAs[Long]("new_terms")).toSeq
+    assert(fresh.scanLeft(0L)(_ + _).tail === vocab)
+
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), split(col("text"), " ").as("ts"))
+    val horizon = docs.agg(max("doc_id")).head.getLong(0) + 1
+    def bucketOf(c: org.apache.spark.sql.Column) =
+      least(lit(10L), floor(c * 10 / lit(horizon)) + lit(1L)).cast("long")
+    // brute force: re-derive the cutoff prefix and count distinct terms in it
+    for (b <- Seq(1L, 5L, 10L)) {
+      val r = rows(b.toInt - 1)
+      val prefix = docs.filter(bucketOf(col("doc_id")) <= b).cache()
+      try {
+        assert(r.getAs[Long]("n_docs_cum") === prefix.count())
+        assert(r.getAs[Long]("n_tokens_cum") ===
+          prefix.agg(sum(size(col("ts")).cast("long"))).head.getLong(0))
+        assert(r.getAs[Long]("vocab_size") ===
+          prefix.select(explode(col("ts")).as("t")).agg(countDistinct("t")).head.getLong(0),
+          s"bucket $b vocab")
+      } finally prefix.unpersist()
+    }
+  }
 }
