@@ -26,6 +26,15 @@ import graft.operators.DedupOps
   *   3. exact dedup (content-hash canonical, cheapest first)
   *   4. near-dup group dedup (MinHash pairs -> connected components ->
   *      keep each group's canonical) — skippable for small/clean corpora
+  *   4a. winnow near-dup catch (q50c, opt-in `--winnow-dedup[=THRESH]`):
+  *       a surviving doc drops when it shares winnow-fingerprint Jaccard
+  *       >= the threshold with a lower-id survivor (min-id rule, the
+  *       SemDeDup convention). The position-local fingerprints catch
+  *       partial-overlap near-dups — a doc that EMBEDS a copied block
+  *       inside fresh text — which whole-doc MinHash signatures dilute
+  *       below their band floor. Pairs form over the surviving
+  *       frontier's posting-list-bounded fingerprint index, so the kept
+  *       side of every pair is a survivor by construction.
   *   5. semantic dedup (SemDeDup, q67): drops docs whose EMBEDDING has an
   *      above-threshold cosine neighbor with a lower id — catches
   *      paraphrases that share no n-grams, which lexical dedup cannot.
@@ -67,7 +76,7 @@ import graft.operators.DedupOps
   *      hash-line shuffled, token-budget packed and written as
   *      WebDataset tar shards — lake → training set, completed
   *
-  * Usage: CorpusPrep <sf-dir> <out-dir> [--no-neardup] [--semantic] [--prototype-prune[=FRAC]] [--decontaminate] [--fuzzy-decon[=MIN_EST]] [--span-cut] [--lm-filter=MAX_AVG_NLL] [--clf-filter[=MIN_LOGIT]] [--epoch-plan] [--train-shards]
+  * Usage: CorpusPrep <sf-dir> <out-dir> [--no-neardup] [--winnow-dedup[=THRESH]] [--semantic] [--prototype-prune[=FRAC]] [--decontaminate] [--fuzzy-decon[=MIN_EST]] [--span-cut] [--lm-filter=MAX_AVG_NLL] [--clf-filter[=MIN_LOGIT]] [--epoch-plan] [--train-shards]
   *
   * Output layout:
   *   <out>/documents/  kept documents (redacted text, provenance columns)
@@ -88,6 +97,12 @@ object CorpusPrep {
       minTokens: Long = 5,
       maxDupNgramRate: Double = 0.6,
       nearDup: Boolean = true,
+      // q50c's winnow fingerprint pass (opt-in): position-local near-dup
+      // catch over the surviving frontier — drops docs sharing winnow
+      // Jaccard >= winnowThreshold with a lower-id survivor (partial
+      // copies whole-doc MinHash dilutes below its band floor)
+      winnowDedup: Boolean = false,
+      winnowThreshold: Double = 0.35,
       semantic: Boolean = false,
       semanticThreshold: Double = 0.3,
       // None = MEASURE the dial (DedupOps.autoSemanticBitsOf over the
@@ -256,6 +271,23 @@ object CorpusPrep {
     }
     val nKept = kept.count()
 
+    // 4a. winnow near-dup catch (q50c): opt-in — a surviving doc drops
+    // when it shares winnow-fingerprint Jaccard >= the threshold with a
+    // LOWER-id survivor (min-id rule, the SemDeDup convention; doc_a <
+    // doc_b is the pair-stream invariant, so dropping the b side keeps
+    // the min). Pairs form over the SURVIVING frontier's fingerprint
+    // index — posting-list bounded, never doc×doc — so the kept side of
+    // every pair is a survivor by construction. The drop list is a
+    // frac-of-corpus id column: plain anti-join, never broadcast.
+    val winKept = if (!cfg.winnowDedup) kept else {
+      val drops = graft.operators.CurationOps
+        .winnowDedupOf(kept.select(col("doc_id"), col("text")),
+          k = 5, w = 4, dfCap = 64, minShared = 2, cfg.winnowThreshold)
+        .select(col("doc_b").as("doc_id")).distinct()
+      kept.join(drops, Seq("doc_id"), "left_anti")
+    }
+    val nWinnow = if (cfg.winnowDedup) winKept.count() else -1L
+
     // 5. semantic dedup (SemDeDup): a doc whose embedding has an
     // above-threshold cosine neighbor with a LOWER id drops — the
     // paraphrase catch lexical dedup structurally cannot make. The
@@ -267,12 +299,12 @@ object CorpusPrep {
     // Drop-list discovery is cluster-bounded under the frozen quantizer
     // (q67's shape); applying it is one anti-join on doc_id.
     var semanticBitsUsed = -1L // recorded in the stats table for auditability
-    val semKept = if (!cfg.semantic) kept else {
+    val semKept = if (!cfg.semantic) winKept else {
       val emb = graft.Tables.embeddings(spark, sfDir)
         .select(col("vec_id"),
           graft.functions.VectorFunctions.toDouble(col("embedding")).as("v"))
         .withColumn("nrm", graft.functions.VectorFunctions.norm(col("v")))
-        .join(kept.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi")
+        .join(winKept.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi")
       // the q67b/q67c density dial: identical embeddings share every sign
       // block, so exact semantic duplicates can never escape a block
       // boundary. By DEFAULT the dial is MEASURED from this frontier's
@@ -288,7 +320,7 @@ object CorpusPrep {
       semanticBitsUsed = bits.toLong
       val drops = DedupOps.semanticDedupOf(spark, emb, cfg.semanticThreshold, bits)
         .select(col("vec_id").as("doc_id"))
-      kept.join(drops, Seq("doc_id"), "left_anti")
+      winKept.join(drops, Seq("doc_id"), "left_anti")
     }
 
     // 5a. D4 prototype pruning (q101): opt-in — drop the most-
@@ -442,6 +474,7 @@ object CorpusPrep {
       ("01c_clf_filter", nClf),
       ("02_exact_dedup", nExact),
       ("03_neardup_groups", nKept),
+      ("03b_winnow_dedup", nWinnow),
       ("04_semantic_dedup",
         if (cfg.protoPrune) nSemantic
         else if (cfg.decontaminate || cfg.fuzzyDecon) nPreDecon
@@ -468,7 +501,7 @@ object CorpusPrep {
 
   def main(args: Array[String]): Unit = {
     require(args.length >= 2,
-      "usage: CorpusPrep <sf-dir> <out-dir> [--no-neardup] [--semantic] " +
+      "usage: CorpusPrep <sf-dir> <out-dir> [--no-neardup] [--winnow-dedup[=THRESH]] [--semantic] " +
         "[--semantic-bits=N] [--prototype-prune[=FRAC]] [--decontaminate] " +
         "[--fuzzy-decon[=MIN_EST]] [--span-cut] " +
         "[--lm-filter=MAX_AVG_NLL] [--clf-filter[=MIN_LOGIT]] [--epoch-plan] [--train-shards]")
@@ -487,6 +520,11 @@ object CorpusPrep {
         a.stripPrefix("--clf-filter=").toDouble
       case "--clf-filter" => 0.0
     }
+    val winnowThresh = args.collectFirst {
+      case a if a.startsWith("--winnow-dedup=") =>
+        a.stripPrefix("--winnow-dedup=").toDouble
+      case "--winnow-dedup" => 0.35
+    }
     val protoFrac = args.collectFirst {
       case a if a.startsWith("--prototype-prune=") =>
         a.stripPrefix("--prototype-prune=").toDouble
@@ -494,6 +532,8 @@ object CorpusPrep {
     }
     run(spark, args(0), args(1), Config(
       nearDup = !args.contains("--no-neardup"),
+      winnowDedup = winnowThresh.isDefined,
+      winnowThreshold = winnowThresh.getOrElse(0.35),
       semantic = args.contains("--semantic"),
       lmFilter = lmMax.isDefined,
       lmMaxAvgNll = lmMax.getOrElse(Double.PositiveInfinity),

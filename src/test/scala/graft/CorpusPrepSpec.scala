@@ -197,6 +197,57 @@ class CorpusPrepSpec extends SparkSpec {
     assert(soloIds.contains(1L) && soloIds.contains(4L))
   }
 
+  test("winnow-dedup stage drops a partial-copy doc the whole-doc MinHash stage misses; off by default") {
+    import spark.implicits._
+    // doc 20 embeds a 30-token block copied verbatim from doc 10 inside
+    // 60 fresh tokens: whole-doc shingle Jaccard ~0.18 — far below the
+    // MinHash band floor, so the near-dup group stage structurally
+    // misses it — while the copied run (>= w+k-1) guarantees shared
+    // winnow fingerprints (position-local evidence).
+    val a = (1 to 90).map(i => s"a$i")
+    val b = (1 to 60).map(i => s"b$i")
+    val copied = a.slice(30, 60) // a31..a60
+    val doc20 = (b.take(30) ++ copied ++ b.drop(30)).mkString(" ")
+    val corpus = java.nio.file.Files.createTempDirectory("winnowcorpus").toString
+    Seq(
+      (10L, a.mkString(" ")),
+      (20L, doc20),
+      (1L, (1 to 20).map(i => s"c$i").mkString(" ")),
+      (2L, (1 to 20).map(i => s"d$i").mkString(" ")))
+      .map { case (id, t) => (id, "en", "web", t, t.length.toLong) }
+      .toDF("doc_id", "lang", "source", "text", "n_chars")
+      .write.parquet(s"$corpus/documents.parquet")
+
+    // default pipeline (winnow off): the partial copy SURVIVES
+    val offOut = java.nio.file.Files.createTempDirectory("winnowoff").toString
+    CorpusPrep.run(spark, corpus, offOut)
+    val offIds = spark.read.parquet(s"$offOut/documents")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(offIds === Set(1L, 2L, 10L, 20L),
+      "the partial copy must slip past whole-doc MinHash dedup")
+    val offStats = spark.read.parquet(s"$offOut/stats").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(offStats("03b_winnow_dedup") === -1L)
+
+    // winnow stage on: doc 20 drops (its lower-id source survives), and
+    // the surviving set equals the frontier minus q50c's own drop list
+    val onOut = java.nio.file.Files.createTempDirectory("winnowon").toString
+    CorpusPrep.run(spark, corpus, onOut,
+      CorpusPrep.Config(winnowDedup = true, winnowThreshold = 0.1))
+    val onIds = spark.read.parquet(s"$onOut/documents")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(onIds === Set(1L, 2L, 10L))
+    val expectedDrops = operators.CurationOps.winnowDedupOf(
+      spark.read.parquet(s"$offOut/documents").select("doc_id", "text"),
+      k = 5, w = 4, dfCap = 64, minShared = 2, threshold = 0.1)
+      .select("doc_b").collect().map(_.getLong(0)).toSet
+    assert(onIds === offIds -- expectedDrops)
+    val onStats = spark.read.parquet(s"$onOut/stats").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(onStats("03b_winnow_dedup") === onIds.size.toLong)
+    assert(onStats("03_neardup_groups") === offIds.size.toLong)
+  }
+
   test("LM-filter stage drops the off-distribution doc, keeps in-distribution; off by default") {
     import spark.implicits._
     // reference source 'src0' teaches the LM; doc 20 repeats the
