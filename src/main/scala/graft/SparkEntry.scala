@@ -115,6 +115,7 @@ object SparkEntry {
     "q42b_minhash_est"    -> (DedupOps.minhashEst _),
     "q66_label_centroids" -> (TextAnalysisOps.labelCentroids _),
     "q66b_label_outliers" -> (TextAnalysisOps.labelOutliers _),
+    "q66c_class_separation" -> (TextAnalysisOps.classSeparation _),
     "q87_bpe_pairs"       -> ((s: SparkSession, d: String) => TextAnalysisOps.bpePairs(s, d)),
     "q67_semantic_dedup"  -> ((s: SparkSession, d: String) => DedupOps.semanticDedup(s, d)),
     "q68_ann_recall"      -> ((s: SparkSession, d: String) => SimilarityOps.annRecall(s, d)),
@@ -2432,6 +2433,42 @@ object SparkEntry {
          |FROM sc JOIN nl ON sc.label = nl.label
          |WHERE csim < 0.0
          |ORDER BY label, vec_id""".stripMargin,
+
+    // q66c: Fisher-style class separation — q66b's centroid/cosine
+    // chains aggregated per label + the bounded centroid×centroid
+    // nearest-confusable pass (ties -> smaller label, both engines)
+    "q66c_class_separation" ->
+      s"""WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |           FROM embeddings),
+         |u AS (SELECT label, i AS p, v[i] AS x FROM e, range(1, 65) t(i)),
+         |cm AS (SELECT label, p, ${A("x")} AS m FROM u GROUP BY label, p),
+         |ca AS (SELECT label, list(m ORDER BY p) AS cv FROM cm GROUP BY label),
+         |sc AS (SELECT e.vec_id, e.label,
+         |  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |    list_transform(range(1, 65), i -> e.v[i]*cv[i])), (a2, b2) -> a2 + b2) /
+         |  (sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |    list_transform(range(1, 65), i -> e.v[i]*e.v[i])), (a2, b2) -> a2 + b2)) *
+         |   sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |    list_transform(range(1, 65), i -> cv[i]*cv[i])), (a2, b2) -> a2 + b2))) AS csim
+         |  FROM e JOIN ca USING (label)),
+         |self AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vectors,
+         |           ${A("csim")} AS mean_self_cos, MIN(csim) AS min_self_cos
+         |         FROM sc GROUP BY label),
+         |cc AS (SELECT a.label, b.label AS nearest_label,
+         |  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |    list_transform(range(1, 65), i -> a.cv[i]*b.cv[i])), (a2, b2) -> a2 + b2) /
+         |  (sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |    list_transform(range(1, 65), i -> a.cv[i]*a.cv[i])), (a2, b2) -> a2 + b2)) *
+         |   sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |    list_transform(range(1, 65), i -> b.cv[i]*b.cv[i])), (a2, b2) -> a2 + b2))) AS nearest_cos
+         |  FROM ca a JOIN ca b ON a.label <> b.label),
+         |nr AS (SELECT label, nearest_label, nearest_cos,
+         |         ROW_NUMBER() OVER (PARTITION BY label
+         |           ORDER BY nearest_cos DESC, nearest_label) AS rk FROM cc)
+         |SELECT self.label AS label, n_vectors, mean_self_cos, min_self_cos,
+         |  nr.nearest_label, nr.nearest_cos, mean_self_cos - nr.nearest_cos AS margin
+         |FROM self JOIN nr ON self.label = nr.label AND nr.rk = 1
+         |ORDER BY label""".stripMargin,
 
     // BPE merge-candidate statistics: adjacent char-pair counts within
     // whitespace tokens, deterministic (count DESC, pair ASC) top-50

@@ -378,6 +378,58 @@ object TextAnalysisOps {
       .orderBy("label", "vec_id")
   }
 
+  /** q66c — class-separation audit (the Fisher-criterion companion of
+    * q66b's per-vector screen): per label, the mean/min cosine of its
+    * OWN vectors to the label centroid (within-class cohesion) vs the
+    * highest centroid-to-centroid cosine against any OTHER label
+    * (nearest confusable class), and the margin between them — the
+    * one-table answer to "which classes are clean, which pair will the
+    * classifier confuse, and is the label space separable at all",
+    * read BEFORE training (q94) instead of from its confusion matrix
+    * after.
+    *
+    * Shape: q66's exact-decimal centroids collapse to |labels| arrays;
+    * the self-cosine pass is ONE corpus scan with the centroids
+    * broadcast (q66b's shape, aggregated per label instead of
+    * filtered); the centroid×centroid frame is |labels|² rows — both
+    * sides bounded, broadcast, windowed only over that tiny frame.
+    * Cosines ride graft_dot's fixed IEEE fold; means ride the carrier.
+    */
+  def classSeparation(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"), toDouble(col("embedding")).as("v"))
+    val cent = emb
+      .select(col("label"), posexplode(col("v")).as(Seq("p", "x")))
+      .groupBy("label", "p")
+      .agg(davg(col("x")).as("m"))
+      .groupBy("label")
+      .agg(array_sort(collect_list(struct(col("p"), col("m")))).as("pm"))
+      .select(col("label"), expr("transform(pm, e -> e.m)").as("cv"))
+    val self = emb.join(broadcast(cent), "label")
+      .withColumn("csim", cosine(col("v"), col("cv"), norm(col("v")), norm(col("cv"))))
+      .groupBy("label")
+      .agg(
+        count(lit(1)).as("n_vectors"),
+        davg(col("csim")).as("mean_self_cos"),
+        min(col("csim")).as("min_self_cos"))
+    val other = cent.select(col("label").as("nearest_label"), col("cv").as("cv2"))
+    // |labels|² rows: bounded frame, bounded window (ties -> smaller label)
+    val w = Window.partitionBy("label")
+      .orderBy(col("nearest_cos").desc, col("nearest_label"))
+    val nearest = cent.crossJoin(broadcast(other))
+      .filter(col("label") =!= col("nearest_label"))
+      .withColumn("nearest_cos",
+        cosine(col("cv"), col("cv2"), norm(col("cv")), norm(col("cv2"))))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select("label", "nearest_label", "nearest_cos")
+    self.join(nearest, "label")
+      .withColumn("margin", col("mean_self_cos") - col("nearest_cos"))
+      .select("label", "n_vectors", "mean_self_cos", "min_self_cos",
+        "nearest_label", "nearest_cos", "margin")
+      .orderBy("label")
+  }
+
   /** q73 — BM25 keyword retrieval (Robertson/Okapi, k1=1.2 b=0.75): top-20
     * documents for a fixed query-term set, the lexical-search counterpart
     * of the ANN queries (q45/q46/q70) and the retrieval half of a hybrid

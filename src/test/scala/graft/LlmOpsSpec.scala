@@ -1122,6 +1122,38 @@ class LlmOpsSpec extends SparkSpec {
     assert(ratios.zip(ratios.tail).forall { case (x, y) => x <= y + 1e-12 })
   }
 
+  test("q66c class separation: nearest-confusable matches a driver recompute from q66's centroids") {
+    val rows = TextAnalysisOps.classSeparation(spark, sf).collect()
+    val emb = Tables.embeddings(spark, sf)
+    assert(rows.map(_.getAs[Long]("n_vectors")).sum === emb.count())
+    rows.foreach { r =>
+      assert(r.getAs[Int]("label") !== r.getAs[Int]("nearest_label"))
+      val m = r.getAs[Double]("mean_self_cos")
+      assert(m >= -1.0 - 1e-9 && m <= 1.0 + 1e-9)
+      assert(r.getAs[Double]("min_self_cos") <= m + 1e-9)
+      assert(math.abs(r.getAs[Double]("margin") -
+        (m - r.getAs[Double]("nearest_cos"))) < 1e-12)
+    }
+    // brute-force the centroid geometry from q66's own (label, dim) output
+    val cent = TextAnalysisOps.labelCentroids(spark, sf).collect()
+      .groupBy(_.getAs[Int]("label"))
+      .view.mapValues(_.sortBy(_.getAs[Long]("dim_idx")).map(_.getAs[Double]("mean_x")))
+      .toMap
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    rows.foreach { r =>
+      val l = r.getAs[Int]("label")
+      val best = cent.keys.filter(_ != l)
+        .map(o => (o, cos(cent(l).toSeq, cent(o).toSeq)))
+        .minBy { case (o, c) => (-c, o) }
+      assert(best._1 === r.getAs[Int]("nearest_label"), s"label $l nearest")
+      // driver fold order differs from graft_dot's fixed fold: tolerance
+      assert(math.abs(best._2 - r.getAs[Double]("nearest_cos")) < 1e-9)
+    }
+  }
+
   test("q52b vocab growth: first-occurrence curve == per-cutoff brute force; monotone") {
     val rows = TextAnalysisOps.vocabGrowth(spark, sf).orderBy("bucket").collect()
     assert(rows.map(_.getAs[Long]("bucket")).toSeq === (1L to 10L))
