@@ -500,26 +500,43 @@ object CurationOps {
     winnowOf(Tables.documentsScaled(s, d), k, w)
 
   /** [[winnow]] over an arbitrary (doc_id, text, ...) frame. */
-  private[graft] def winnowOf(docs: DataFrame, k: Int, w: Int): DataFrame = {
+  private[graft] def winnowOf(docs: DataFrame, k: Int, w: Int): DataFrame =
+    winnowSelectedOf(docs, k, w)
+      .orderBy("doc_id", "fp_pos")
+
+  /** The winnow selection as a PER-ROW array kernel, exploded to
+    * (doc_id, `carry`..., fp_pos, fp) rows. A document's whole hash
+    * stream lives in its own row, so the w-window minima need no
+    * partitioned Window at all: the selection is three chained
+    * higher-order array expressions (hash stream → packed keys →
+    * per-start slice minima), whole-stage codegen'd, ZERO shuffles.
+    * This is also what makes the kernel STREAMING-SAFE — the streaming
+    * winnow guard runs arriving docs through this exact expression
+    * (window functions are unsupported mid-stream), so batch and
+    * stream fingerprints cannot drift.
+    */
+  private[graft] def winnowSelectedOf(docs: DataFrame, k: Int, w: Int,
+      carry: Seq[String] = Nil): DataFrame = {
     require(w >= 1, s"winnow window must be >= 1; got $w")
     val B = 4294967296L // 2^32 — positions are token offsets, far below
-    val wh = windowHashesPos(docs, k)
-      .withColumn("pack",
-        col("rh").cast("decimal(38,0)") * lit(B) + (lit(B) - col("pos")))
-    val wSel = Window.partitionBy("doc_id").orderBy("pos")
-      .rowsBetween(Window.currentRow, w - 1)
-    wh
-      .withColumn("minpack", min(col("pack")).over(wSel))
-      .withColumn("m", count(lit(1)).over(Window.partitionBy("doc_id")))
-      // valid window starts only: [1, m-w+1], clamped to >= 1 so a short
-      // stream (m < w) keeps its single truncated whole-stream window
-      .filter(col("pos") <= greatest(lit(1L), col("m") - lit(w - 1L)))
-      .withColumn("rem", col("minpack") % lit(B))
-      .select(col("doc_id"),
-        (lit(B) - col("rem")).cast("long").as("fp_pos"),
-        ((col("minpack") - col("rem")) / lit(B)).cast("long").as("fp"))
-      .distinct()
-      .orderBy("doc_id", "fp_pos")
+    val keyCols = (("doc_id" +: carry)).map(col)
+    tokenized(docs, k, "doc_id" +: carry)
+      // the packed per-window key stream: rh·2³² + (2³² − pos) — min rh,
+      // ties → max pos (the q55b packed-total-order device)
+      .withColumn("whs", expr(
+        s"transform(sequence(1, n - ${k - 1}), i -> " +
+          s"CAST(${winHash(k)} AS DECIMAL(38,0)) * $B + ($B - i))"))
+      // valid window starts [1, m-w+1] clamped to >= 1 (a short stream
+      // m < w keeps one truncated whole-stream window: slice returns the
+      // available tail); array_distinct = the old per-doc distinct
+      .withColumn("mins", expr(
+        s"array_distinct(transform(sequence(1, greatest(1, size(whs) - ${w - 1})), " +
+          s"p -> array_min(slice(whs, p, $w))))"))
+      .select(keyCols :+ explode(expr(
+        s"transform(mins, mp -> named_struct(" +
+          s"'fp_pos', CAST($B - (mp % $B) AS BIGINT), " +
+          s"'fp', CAST((mp - (mp % $B)) / $B AS BIGINT)))")).as("s"): _*)
+      .select(keyCols :+ col("s.fp_pos").as("fp_pos") :+ col("s.fp").as("fp"): _*)
   }
 
   /** q50c — near-duplicate pairs over the [[winnow]] fingerprint index:

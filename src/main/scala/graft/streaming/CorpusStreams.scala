@@ -100,6 +100,84 @@ object CorpusStreams {
       }
   }
 
+  /** Per-(doc, fingerprint) ingest verdict from [[winnowStream]]:
+    * `neardup` iff the winnow fingerprint was already claimed by a
+    * DIFFERENT document. A doc is a partial-copy suspect when >=
+    * minShared of its fingerprints report neardup — the same evidence
+    * rule as the batch q50c (single-fp coincidences are noise).
+    */
+  final case class FpVerdict(doc_id: Long, fp: Long, neardup: Boolean, owner: Long)
+
+  /** Streaming WINNOW guard — the streaming twin of q50c (and of
+    * CorpusPrep's stage 4a): each arriving document's winnow
+    * fingerprints (Schleimer/Wilkerson/Aiken selection, computed
+    * map-side by THE batch array kernel `CurationOps.winnowSelectedOf`
+    * — one code path, fingerprints cannot drift between twins) claim
+    * keyed state; a later document landing on a claimed fingerprint is
+    * flagged against the owner. Position-local evidence: a copied block
+    * >= w+k−1 tokens INSIDE otherwise-fresh text shares fingerprints by
+    * the winnowing guarantee, which whole-doc MinHash bands
+    * ([[neardupStream]]) dilute below their band floor — the two guards
+    * catch structurally different duplicates and compose.
+    *
+    * Scale/state design: identical to [[neardupStream]] — two longs per
+    * occupied fingerprint (owner, last-touch), event-time TTL expiry, so
+    * state rides the fingerprint density (~2/(w+1) per token) of docs
+    * active inside the retention horizon. Within a micro-batch rows
+    * apply in (ts, doc_id) order — deterministic under replay; a late
+    * watermark-admissible arrival never shrinks an expiry.
+    */
+  def winnowStream(
+      spark: SparkSession,
+      docs: DataFrame,
+      k: Int = 5,
+      w: Int = 4,
+      watermarkDelay: String = "2 hours",
+      fpTtlMs: Long = 24L * 3600 * 1000): Dataset[FpVerdict] = {
+    import spark.implicits._
+    val selected = graft.operators.CurationOps.winnowSelectedOf(
+      docs
+        .withColumn("event_time", timestamp_micros(call_function("div", col("ts"), lit(1000L))))
+        .withWatermark("event_time", watermarkDelay),
+      k, w, carry = Seq("event_time"))
+    selected
+      .select(col("doc_id"), col("event_time"), col("fp"))
+      .as[(Long, java.sql.Timestamp, Long)]
+      .groupByKey { case (_, _, fp) => fp }
+      .flatMapGroupsWithState[BucketState, FpVerdict](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (_: Long, rows: Iterator[(Long, java.sql.Timestamp, Long)],
+         state: GroupState[BucketState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            // the same fp can be selected at several positions of one doc:
+            // one claim/verdict per (doc, fp) — dedupe here (a streaming
+            // .distinct() upstream would be a second stateful operator)
+            val sorted = rows.toSeq.sortBy { case (id, ts, _) => (ts.getTime, id) }
+              .distinctBy(_._1)
+            var cur = state.getOption
+            val out = sorted.map { case (id, ts, fp) =>
+              cur match {
+                case Some(st) =>
+                  cur = Some(st.copy(lastTouchMs = math.max(st.lastTouchMs, ts.getTime)))
+                  FpVerdict(id, fp, neardup = st.owner != id, owner = st.owner)
+                case None =>
+                  cur = Some(BucketState(id, ts.getTime))
+                  FpVerdict(id, fp, neardup = false, owner = id)
+              }
+            }
+            cur.foreach { st =>
+              state.update(st)
+              state.setTimeoutTimestamp(math.max(
+                st.lastTouchMs + fpTtlMs, state.getCurrentWatermarkMs() + 1))
+            }
+            out.iterator
+          }
+      }
+  }
+
   /** Streaming DECONTAMINATION guard — the streaming twin of q82: flag
     * each arriving document whose k-token windows hit the held-out
     * benchmark index, at ingest time, before a contaminated doc ever

@@ -275,6 +275,60 @@ class StreamingSpec extends SparkSpec {
       s"late arrival shrank the TTL: ${d30.mkString(";")}")
   }
 
+  test("winnowStream: a copied block claims fingerprints, flags the partial copy, expires by TTL") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[DocIn]
+    val out = CorpusStreams.winnowStream(spark, mem.toDF(),
+      watermarkDelay = "2 hours", fpTtlMs = 24L * 3600 * 1000)
+    val q = out.writeStream.format("memory").queryName("wns").outputMode("append").start()
+    val base = 1700000000L * 1000000000L
+    val a = (1 to 40).map(i => s"a$i")
+    // doc 11 embeds a 20-token block of doc 10 (>= w+k-1 = 8: shared
+    // fingerprints GUARANTEED) inside fresh text; doc 12 is disjoint
+    val partial = ((1 to 10).map(i => s"b$i") ++ a.slice(10, 30) ++
+      (11 to 20).map(i => s"b$i")).mkString(" ")
+    mem.addData(DocIn(10, base, a.mkString(" ")))
+    q.processAllAvailable()
+    mem.addData(
+      DocIn(11, base + H / 4, partial),
+      DocIn(12, base + H / 4, (1 to 30).map(i => s"c$i").mkString(" ")))
+    q.processAllAvailable()
+    mem.addData(DocIn(10, base + H / 2, a.mkString(" "))) // owner re-delivery
+    q.processAllAvailable()
+    def rows() = spark.sql("select * from wns").collect()
+    val first = rows()
+    // the batch kernel agrees: the stream's claimed fps for doc 10 ==
+    // winnowOf over the same text (one code path, but pin it anyway)
+    val batchFps = graft.operators.CurationOps.winnowOf(
+      Seq((10L, a.mkString(" "))).toDF("doc_id", "text"), 5, 4)
+      .select("fp").collect().map(_.getLong(0)).toSet
+    assert(first.filter(_.getAs[Long]("doc_id") == 10L)
+      .map(_.getAs[Long]("fp")).toSet === batchFps)
+    // doc 11: the copied block's fps flag against owner 10 (>= minShared
+    // evidence); its fresh-text fps claim cleanly
+    val d11 = first.filter(_.getAs[Long]("doc_id") == 11L)
+    val flagged = d11.filter(_.getAs[Boolean]("neardup"))
+    assert(flagged.length >= 2, s"expected >= 2 shared fps, got ${flagged.length}")
+    assert(flagged.forall(_.getAs[Long]("owner") === 10L))
+    assert(d11.exists(!_.getAs[Boolean]("neardup")), "fresh-text fps must claim cleanly")
+    // disjoint doc 12 clean; owner re-delivery never flagged
+    assert(first.filter(_.getAs[Long]("doc_id") == 12L).forall(!_.getAs[Boolean]("neardup")))
+    assert(first.filter(_.getAs[Long]("doc_id") == 10L).forall(!_.getAs[Boolean]("neardup")))
+    // push the watermark past TTL; the expired fps re-claim freshly
+    mem.addData(DocIn(90, base + 30 * H, (1 to 30).map(i => s"d$i").mkString(" ")))
+    q.processAllAvailable()
+    mem.addData(DocIn(91, base + 31 * H, (1 to 30).map(i => s"e$i").mkString(" ")))
+    q.processAllAvailable()
+    mem.addData(DocIn(30, base + 31 * H, a.mkString(" ")))
+    q.processAllAvailable()
+    val d30 = rows().filter(_.getAs[Long]("doc_id") == 30L)
+    q.stop()
+    assert(d30.nonEmpty && d30.forall(r =>
+      !r.getAs[Boolean]("neardup") && r.getAs[Long]("owner") === 30L),
+      s"expected expired fingerprints to re-claim: ${d30.take(5).mkString(";")}")
+  }
+
   test("monitorTable: latest status per worker on a static frame") {
     // the same aggregation works in batch mode (streaming-batch parity)
     val e = Tables.events(spark, sf)
