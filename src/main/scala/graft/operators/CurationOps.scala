@@ -1301,18 +1301,24 @@ object CurationOps {
       sum(col("n_bigrams")).as("n_bigrams"),
       Exact.dsum(col("avg_nll") * col("n_bigrams").cast("double")).as("sum_nll"))
       .withColumn("mean_nll", col("sum_nll") / col("n_bigrams").cast("double"))
-    val tot = bySource.agg(
-      Exact.dsum(col("sum_nll")).as("tot_nll"),
-      sum(col("n_bigrams")).as("tot_bigrams"))
-    val w = bySource.crossJoin(broadcast(tot))
+    // the corpus totals and the weight normalizer as UNPARTITIONED window
+    // aggregates over the catalog-bounded per-source frame: bySource is
+    // consumed exactly ONCE, so the corpus-sized q90 scoring chain runs
+    // once (the agg + crossJoin(broadcast) formulation consumed it four
+    // times — ReuseExchange deduped them at sf1 but raced/recomputed at
+    // sf10: measured 26x CPU per decade before this, one-chain after; a
+    // global window over tens of rows is the q52b bounded-frame pattern)
+    val wAll = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    bySource
+      .withColumn("tot_nll", sum(Exact.acc(col("sum_nll"))).over(wAll).cast("double"))
+      .withColumn("tot_bigrams", sum(col("n_bigrams")).over(wAll))
       .withColumn("token_share",
         col("n_bigrams").cast("double") / col("tot_bigrams").cast("double"))
       .withColumn("excess", greatest(lit(0.0),
         col("mean_nll") - col("tot_nll") / col("tot_bigrams").cast("double")))
       .withColumn("w_raw",
         col("token_share") * (lit(1.0) + lit(eta) * col("excess")))
-    val z = w.agg(Exact.dsum(col("w_raw")).as("z"))
-    w.crossJoin(broadcast(z))
+      .withColumn("z", sum(Exact.acc(col("w_raw"))).over(wAll).cast("double"))
       .select(col("source"), col("n_docs"), col("n_bigrams"),
         col("token_share"), col("mean_nll"), col("excess"),
         (col("w_raw") / col("z")).as("weight"))
