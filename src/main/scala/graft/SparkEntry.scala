@@ -1009,6 +1009,42 @@ object SparkEntry {
         |  ON s.user_id = w.user_id AND s.s_start <= w.w_end AND w.w_start <= s.s_end
         |GROUP BY 1, 2, 3 ORDER BY 1, 2""".stripMargin
 
+  // The shared q50b/q50c/q86 winnowing CTE chain (t/r/h/p/mw — token
+  // stream, md5-60-bit k=5 window hashes, HUGEINT packed keys, w=4
+  // sliding minima) mirroring CurationOps.winnowSelectedOf term for term.
+  private def winnowCtes: String =
+    """t AS (SELECT doc_id, string_split(text, ' ') AS ts,
+      |                  len(string_split(text, ' ')) AS n FROM documents),
+      |r AS (SELECT doc_id, CAST(unnest(generate_series(1, n - 4)) AS BIGINT) AS pos, ts
+      |      FROM t WHERE n >= 5),
+      |h AS (SELECT doc_id, pos,
+      |        ('0x' || substr(md5(array_to_string(ts[pos:pos+4], ' ')), 1, 15))::BIGINT AS rh
+      |      FROM r),
+      |p AS (SELECT doc_id, pos,
+      |        rh::HUGEINT * 4294967296 + (4294967296 - pos) AS pack FROM h),
+      |mw AS (SELECT doc_id, pos,
+      |        MIN(pack) OVER (PARTITION BY doc_id ORDER BY pos
+      |          ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS minpack,
+      |        COUNT(*) OVER (PARTITION BY doc_id) AS m
+      |      FROM p)""".stripMargin
+
+  // The q50c pair tail over the winnow chain (sel...wnp) — q86 nests it
+  // as its third candidate arm.
+  private def winnowPairCtes: String =
+    """sel AS (SELECT DISTINCT doc_id, CAST(minpack // 4294967296 AS BIGINT) AS fp
+      |        FROM mw WHERE pos <= greatest(1, m - 3)),
+      |dft AS (SELECT fp, COUNT(*) AS df FROM sel GROUP BY fp),
+      |kept AS (SELECT s.doc_id, s.fp FROM sel s JOIN dft USING (fp) WHERE df <= 64),
+      |nf AS (SELECT doc_id, COUNT(*) AS nf FROM kept GROUP BY doc_id),
+      |pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+      |       FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      |       GROUP BY 1, 2),
+      |wnp AS (SELECT doc_a, doc_b, CAST(shared AS BIGINT) AS shared,
+      |          CAST(shared AS DOUBLE) / (na.nf + nb.nf - shared) AS jaccard
+      |        FROM pr JOIN nf na ON pr.doc_a = na.doc_id JOIN nf nb ON pr.doc_b = nb.doc_id
+      |        WHERE shared >= 2 AND CAST(shared AS DOUBLE) / (na.nf + nb.nf - shared) >= 0.35)""".stripMargin
+
+
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
@@ -1491,7 +1527,8 @@ object SparkEntry {
     // the pair keys — each CTE is its donor oracle's text (q43's `h`
     // renamed h43 to avoid colliding with the minhash CTEs)
     "q86_dedup_recall" ->
-      s"""WITH $SHINGLES,
+      s"""WITH $SHINGLES, $winnowCtes,
+         |$winnowPairCtes,
          |posting AS (SELECT doc_id, unnest(hs) AS s FROM sh),
          |cnt AS (SELECT doc_id, CAST(len(hs) AS BIGINT) AS n FROM sh),
          |jp AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
@@ -1522,7 +1559,8 @@ object SparkEntry {
          |        FROM sims a JOIN sims b ON a.doc_id < b.doc_id
          |        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
          |cand AS (SELECT 'minhash' AS method, doc_a, doc_b FROM mhp
-         |         UNION ALL SELECT 'simhash', doc_a, doc_b FROM shp),
+         |         UNION ALL SELECT 'simhash', doc_a, doc_b FROM shp
+         |         UNION ALL SELECT 'winnow', doc_a, doc_b FROM wnp),
          |nex AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_exact FROM exact),
          |agg AS (SELECT method, CAST(COUNT(*) AS BIGINT) AS n_candidates,
          |          CAST(SUM(CASE WHEN e.doc_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_caught
@@ -1743,57 +1781,21 @@ object SparkEntry {
     // kernel), w=4 sliding window, rightmost-min via the HUGEINT packed
     // key mirroring Spark's DECIMAL(38,0) carrier bit-for-bit
     "q50b_winnow" ->
-      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts,
-        |                  len(string_split(text, ' ')) AS n FROM documents),
-        |r AS (SELECT doc_id, CAST(unnest(generate_series(1, n - 4)) AS BIGINT) AS pos, ts
-        |      FROM t WHERE n >= 5),
-        |h AS (SELECT doc_id, pos,
-        |        ('0x' || substr(md5(array_to_string(ts[pos:pos+4], ' ')), 1, 15))::BIGINT AS rh
-        |      FROM r),
-        |p AS (SELECT doc_id, pos,
-        |        rh::HUGEINT * 4294967296 + (4294967296 - pos) AS pack FROM h),
-        |mw AS (SELECT doc_id, pos,
-        |        MIN(pack) OVER (PARTITION BY doc_id ORDER BY pos
-        |          ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS minpack,
-        |        COUNT(*) OVER (PARTITION BY doc_id) AS m
-        |      FROM p)
-        |SELECT DISTINCT doc_id,
-        |  CAST(4294967296 - minpack % 4294967296 AS BIGINT) AS fp_pos,
-        |  CAST(minpack // 4294967296 AS BIGINT) AS fp
-        |FROM mw WHERE pos <= greatest(1, m - 3)
-        |ORDER BY doc_id, fp_pos""".stripMargin,
+      s"""WITH $winnowCtes
+         |SELECT DISTINCT doc_id,
+         |  CAST(4294967296 - minpack % 4294967296 AS BIGINT) AS fp_pos,
+         |  CAST(minpack // 4294967296 AS BIGINT) AS fp
+         |FROM mw WHERE pos <= greatest(1, m - 3)
+         |ORDER BY doc_id, fp_pos""".stripMargin,
 
     // q50c: Jaccard near-dup pairs over the winnow fingerprint index —
     // df-capped informative keys (<= 64), universe-consistent denominator,
     // minShared 2, threshold 0.35
     "q50c_winnow_dedup" ->
-      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts,
-        |                  len(string_split(text, ' ')) AS n FROM documents),
-        |r AS (SELECT doc_id, CAST(unnest(generate_series(1, n - 4)) AS BIGINT) AS pos, ts
-        |      FROM t WHERE n >= 5),
-        |h AS (SELECT doc_id, pos,
-        |        ('0x' || substr(md5(array_to_string(ts[pos:pos+4], ' ')), 1, 15))::BIGINT AS rh
-        |      FROM r),
-        |p AS (SELECT doc_id, pos,
-        |        rh::HUGEINT * 4294967296 + (4294967296 - pos) AS pack FROM h),
-        |mw AS (SELECT doc_id, pos,
-        |        MIN(pack) OVER (PARTITION BY doc_id ORDER BY pos
-        |          ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS minpack,
-        |        COUNT(*) OVER (PARTITION BY doc_id) AS m
-        |      FROM p),
-        |sel AS (SELECT DISTINCT doc_id, CAST(minpack // 4294967296 AS BIGINT) AS fp
-        |        FROM mw WHERE pos <= greatest(1, m - 3)),
-        |dft AS (SELECT fp, COUNT(*) AS df FROM sel GROUP BY fp),
-        |kept AS (SELECT s.doc_id, s.fp FROM sel s JOIN dft USING (fp) WHERE df <= 64),
-        |nf AS (SELECT doc_id, COUNT(*) AS nf FROM kept GROUP BY doc_id),
-        |pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
-        |       FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
-        |       GROUP BY 1, 2)
-        |SELECT doc_a, doc_b, CAST(shared AS BIGINT) AS shared,
-        |  CAST(shared AS DOUBLE) / (na.nf + nb.nf - shared) AS jaccard
-        |FROM pr JOIN nf na ON pr.doc_a = na.doc_id JOIN nf nb ON pr.doc_b = nb.doc_id
-        |WHERE shared >= 2 AND CAST(shared AS DOUBLE) / (na.nf + nb.nf - shared) >= 0.35
-        |ORDER BY doc_a, doc_b""".stripMargin,
+      s"""WITH $winnowCtes,
+         |$winnowPairCtes
+         |SELECT doc_a, doc_b, shared, jaccard
+         |FROM wnp ORDER BY doc_a, doc_b""".stripMargin,
 
     "q51_embed_stats" ->
       s"""WITH $EMB_NORM

@@ -230,6 +230,10 @@ object DedupOps {
       .withColumn("method", lit("minhash"))
       .unionByName(simhash(s, d).select("doc_a", "doc_b")
         .withColumn("method", lit("simhash")))
+      // round 11: the winnow fingerprint index (q50c) as the third
+      // candidate arm — position-local keys vs the whole-doc signatures
+      .unionByName(CurationOps.winnowDedup(s, d).select("doc_a", "doc_b")
+        .withColumn("method", lit("winnow")))
     val nExact = exact.agg(count(lit(1)).as("n_exact"))
     // ONE left join + ONE aggregate produce both counts (the oracle's own
     // shape); n_candidates > 0 by construction (the group exists only

@@ -140,9 +140,10 @@ class LlmOpsSpec extends SparkSpec {
     assert(autoSem.subsetOf(full) && autoSem.nonEmpty)
   }
 
-  test("q86 dedup recall: counts consistent, minhash catches the exact-duplicate pairs") {
+  test("q86 dedup recall: counts consistent, minhash and winnow catch the exact-duplicate pairs") {
     val rows = DedupOps.dedupRecall(spark, sf).collect()
-    assert(rows.nonEmpty && rows.map(_.getString(0)).toSet.subsetOf(Set("minhash", "simhash")))
+    assert(rows.nonEmpty &&
+      rows.map(_.getString(0)).toSet.subsetOf(Set("minhash", "simhash", "winnow")))
     rows.foreach { r =>
       val (nc, ne, caught) = (r.getLong(1), r.getLong(2), r.getLong(3))
       assert(caught <= nc && caught <= ne, r.toString)
@@ -153,6 +154,10 @@ class LlmOpsSpec extends SparkSpec {
     // (jaccard 1.0 ground-truth pairs) are guaranteed minhash candidates
     val mh = rows.find(_.getString(0) == "minhash").get
     assert(mh.getLong(3) > 0)
+    // ... and identical texts share every winnow fingerprint (the
+    // SIGMOD-2003 guarantee makes the exact pair a winnow candidate too)
+    val wn = rows.find(_.getString(0) == "winnow").get
+    assert(wn.getLong(3) > 0)
   }
 
   test("q96 sampled sweep: frac=1 is the full curve; frac=0.5 agrees on the gate lake") {

@@ -339,6 +339,19 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("q50b: the winnow selection kernel is shuffle-free — no Exchange, no Window, no Join") {
+    // the round-11 array-kernel claim, pinned: a doc's whole hash stream
+    // lives in its own row, so selection needs no partitioned Window and
+    // no shuffle at all (the driver query's presentation orderBy is the
+    // only exchange in q50b itself — the KERNEL must stay map-side, which
+    // is also what makes it legal mid-stream for the winnow guard)
+    val p = plan(operators.CurationOps.winnowSelectedOf(
+      Tables.documents(spark, sf), 5, 4))
+    assert(!p.contains("Exchange"), p)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("Join"), p)
+  }
+
   test("q01: partial (map-side) aggregation before the exchange") {
     val p = plan(RelationalOps.pricingSummary(spark, sf))
     val firstAgg = p.indexOf("HashAggregate")
