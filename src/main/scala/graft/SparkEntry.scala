@@ -112,6 +112,7 @@ object SparkEntry {
     "q67b_semantic_dedup_blocked" -> ((s: SparkSession, d: String) => DedupOps.semanticDedup(s, d, subBlockBits = 6)),
     "q67c_semantic_dedup_auto" -> ((s: SparkSession, d: String) => DedupOps.semanticDedupAuto(s, d)),
     "q86_dedup_recall"    -> (DedupOps.dedupRecall _),
+    "q96b_winnow_curve"   -> ((s: SparkSession, d: String) => CurationOps.winnowCurve(s, d)),
     "q42b_minhash_est"    -> (DedupOps.minhashEst _),
     "q66_label_centroids" -> (TextAnalysisOps.labelCentroids _),
     "q66b_label_outliers" -> (TextAnalysisOps.labelOutliers _),
@@ -1013,6 +1014,16 @@ object SparkEntry {
   // stream, md5-60-bit k=5 window hashes, HUGEINT packed keys, w=4
   // sliding minima) mirroring CurationOps.winnowSelectedOf term for term.
   private def winnowCtes: String =
+    s"""$winnowHashCtes,
+       |mw AS (SELECT doc_id, pos,
+       |        MIN(pack) OVER (PARTITION BY doc_id ORDER BY pos
+       |          ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS minpack,
+       |        COUNT(*) OVER (PARTITION BY doc_id) AS m
+       |      FROM p)""".stripMargin
+
+  // The w-independent half of the winnow chain (token stream + packed
+  // per-window keys) — q96b's per-w arms all hang off the same `p`.
+  private def winnowHashCtes: String =
     """t AS (SELECT doc_id, string_split(text, ' ') AS ts,
       |                  len(string_split(text, ' ')) AS n FROM documents),
       |r AS (SELECT doc_id, CAST(unnest(generate_series(1, n - 4)) AS BIGINT) AS pos, ts
@@ -1021,12 +1032,29 @@ object SparkEntry {
       |        ('0x' || substr(md5(array_to_string(ts[pos:pos+4], ' ')), 1, 15))::BIGINT AS rh
       |      FROM r),
       |p AS (SELECT doc_id, pos,
-      |        rh::HUGEINT * 4294967296 + (4294967296 - pos) AS pack FROM h),
-      |mw AS (SELECT doc_id, pos,
-      |        MIN(pack) OVER (PARTITION BY doc_id ORDER BY pos
-      |          ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS minpack,
-      |        COUNT(*) OVER (PARTITION BY doc_id) AS m
-      |      FROM p)""".stripMargin
+      |        rh::HUGEINT * 4294967296 + (4294967296 - pos) AS pack FROM h)""".stripMargin
+
+  // One q96b arm at winnow window `w`: the mw/sel/dft/kept/nf/pr/wnp
+  // chain with w-suffixed names (the q50c tail parameterized by w).
+  private def winnowArmCtes(w: Int): String = {
+    val x = w.toString
+    s"""mw$x AS (SELECT doc_id, pos,
+       |        MIN(pack) OVER (PARTITION BY doc_id ORDER BY pos
+       |          ROWS BETWEEN CURRENT ROW AND ${w - 1} FOLLOWING) AS minpack,
+       |        COUNT(*) OVER (PARTITION BY doc_id) AS m
+       |      FROM p),
+       |sel$x AS (SELECT DISTINCT doc_id, CAST(minpack // 4294967296 AS BIGINT) AS fp
+       |        FROM mw$x WHERE pos <= greatest(1, m - ${w - 1})),
+       |dft$x AS (SELECT fp, COUNT(*) AS df FROM sel$x GROUP BY fp),
+       |kept$x AS (SELECT s.doc_id, s.fp FROM sel$x s JOIN dft$x USING (fp) WHERE df <= 64),
+       |nf$x AS (SELECT doc_id, COUNT(*) AS nf FROM kept$x GROUP BY doc_id),
+       |pr$x AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+       |       FROM kept$x a JOIN kept$x b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       |       GROUP BY 1, 2),
+       |wnp$x AS (SELECT doc_a, doc_b
+       |        FROM pr$x JOIN nf$x na ON pr$x.doc_a = na.doc_id JOIN nf$x nb ON pr$x.doc_b = nb.doc_id
+       |        WHERE shared >= 2 AND CAST(shared AS DOUBLE) / (na.nf + nb.nf - shared) >= 0.35)""".stripMargin
+  }
 
   // The q50c pair tail over the winnow chain (sel...wnp) — q86 nests it
   // as its third candidate arm.
@@ -1526,6 +1554,46 @@ object SparkEntry {
     // banded candidates, and q43's simhash pairs verbatim, then joins on
     // the pair keys — each CTE is its donor oracle's text (q43's `h`
     // renamed h43 to avoid colliding with the minhash CTEs)
+    // q96b: the winnow operating curve — per-w q50c arms (suffixed CTE
+    // chains off the shared hash stream) vs q41's exact >=0.5 truth;
+    // a pair-less arm keeps its row with zero counts (LEFT JOIN + 0.0,
+    // never a 0/0)
+    "q96b_winnow_curve" ->
+      s"""WITH $SHINGLES, $winnowHashCtes,
+         |${winnowArmCtes(2)},
+         |${winnowArmCtes(4)},
+         |${winnowArmCtes(8)},
+         |posting AS (SELECT doc_id, unnest(hs) AS s FROM sh),
+         |cnt AS (SELECT doc_id, CAST(len(hs) AS BIGINT) AS n FROM sh),
+         |jp AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+         |       FROM posting a JOIN posting b ON a.s = b.s AND a.doc_id < b.doc_id
+         |       GROUP BY a.doc_id, b.doc_id),
+         |exact AS (SELECT doc_a, doc_b FROM jp
+         |          JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id
+         |          WHERE shared / (ca.n + cb.n - shared) >= 0.5),
+         |nex AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_exact FROM exact),
+         |idx AS (SELECT CAST(2 AS BIGINT) AS w, CAST(COUNT(*) AS BIGINT) AS n_index FROM sel2
+         |        UNION ALL SELECT CAST(4 AS BIGINT), CAST(COUNT(*) AS BIGINT) FROM sel4
+         |        UNION ALL SELECT CAST(8 AS BIGINT), CAST(COUNT(*) AS BIGINT) FROM sel8),
+         |cand AS (SELECT CAST(2 AS BIGINT) AS w, doc_a, doc_b FROM wnp2
+         |         UNION ALL SELECT CAST(4 AS BIGINT), doc_a, doc_b FROM wnp4
+         |         UNION ALL SELECT CAST(8 AS BIGINT), doc_a, doc_b FROM wnp8),
+         |agg AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n_candidates,
+         |          CAST(SUM(CASE WHEN e.doc_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_caught
+         |        FROM cand c LEFT JOIN exact e
+         |          ON c.doc_a = e.doc_a AND c.doc_b = e.doc_b
+         |        GROUP BY w)
+         |SELECT idx.w AS w, n_index,
+         |  COALESCE(n_candidates, 0) AS n_candidates, n_exact,
+         |  COALESCE(n_caught, 0) AS n_caught,
+         |  CASE WHEN n_exact > 0
+         |       THEN CAST(COALESCE(n_caught, 0) AS DOUBLE) / CAST(n_exact AS DOUBLE)
+         |       ELSE 0.0 END AS recall,
+         |  CASE WHEN COALESCE(n_candidates, 0) > 0
+         |       THEN CAST(n_caught AS DOUBLE) / CAST(n_candidates AS DOUBLE)
+         |       ELSE 0.0 END AS "precision"
+         |FROM idx LEFT JOIN agg ON idx.w = agg.w, nex ORDER BY w""".stripMargin,
+
     "q86_dedup_recall" ->
       s"""WITH $SHINGLES, $winnowCtes,
          |$winnowPairCtes,

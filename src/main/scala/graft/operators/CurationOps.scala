@@ -592,6 +592,61 @@ object CurationOps {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** q96b — the WINNOW operating curve (the q96 device for the q50c
+    * index): index size, candidate volume, recall vs q41's exact ≥0.5
+    * ground truth, and precision at each winnow window w ∈ {2,4,8} —
+    * the SIGMOD-2003 density law 2/(w+1) made measurable, so the dial
+    * table says what index size buys what recall BEFORE a 100 TB run
+    * freezes its w. Larger w = sparser fingerprints = smaller index and
+    * fewer candidates, at the cost of the guarantee threshold (shared
+    * runs must reach w+k−1 tokens to be caught).
+    *
+    * sampleFrac < 1: the documented sampled-sweep dial (q96's
+    * convention) — arms AND ground truth ride the same deterministic
+    * q36 hash-line sample; pair-valued quantities shrink ~frac²,
+    * rate-valued ones estimate the full corpus.
+    *
+    * Shape: each arm is q50c's posting-list-bounded pair pass over the
+    * zero-shuffle selection kernel; the exact arm (the expensive side)
+    * is persisted once and shared by every w.
+    */
+  def winnowCurve(s: SparkSession, d: String,
+      ws: Seq[Int] = Seq(2, 4, 8), sampleFrac: Double = 1.0): DataFrame = {
+    require(ws.nonEmpty, "winnowCurve needs at least one window arm")
+    val docs = Tables.documentsScaled(s, d)
+      .filter(Tables.sampleLine(col("doc_id"), sampleFrac))
+    val exact = DedupOps.ngramJaccard(s, d, sampleFrac = sampleFrac)
+      .select("doc_a", "doc_b")
+      .withColumn("hit", lit(1))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nExact = exact.agg(count(lit(1)).as("n_exact"))
+    val idx = ws.map { w =>
+      winnowSelectedOf(docs, 5, w).select("doc_id", "fp").distinct()
+        .agg(count(lit(1)).as("n_index")).withColumn("w", lit(w.toLong))
+    }.reduce(_ unionByName _)
+    val cands = ws.map { w =>
+      winnowDedupOf(docs, 5, w, dfCap = 64, minShared = 2, threshold = 0.35)
+        .select("doc_a", "doc_b").withColumn("w", lit(w.toLong))
+    }.reduce(_ unionByName _)
+    val agg = cands.join(exact, Seq("doc_a", "doc_b"), "left")
+      .groupBy("w")
+      .agg(count(lit(1)).as("n_candidates"), count(col("hit")).as("n_caught"))
+    // idx always has one row per arm: a pair-less arm keeps its row with
+    // zero counts (and a 0.0 precision, never a 0/0)
+    idx.join(agg, Seq("w"), "left")
+      .na.fill(0L, Seq("n_candidates", "n_caught"))
+      .crossJoin(broadcast(nExact))
+      .select(col("w"), col("n_index"), col("n_candidates"), col("n_exact"),
+        col("n_caught"),
+        when(col("n_exact") > 0,
+          col("n_caught").cast("double") / col("n_exact").cast("double"))
+          .otherwise(lit(0.0)).as("recall"),
+        when(col("n_candidates") > 0,
+          col("n_caught").cast("double") / col("n_candidates").cast("double"))
+          .otherwise(lit(0.0)).as("precision"))
+      .orderBy("w")
+  }
+
   /** q83b — APPLY the ExactSubstr cut: re-emit each document's text with
     * every [[dupSpans]] extent removed (the canonical copy of each
     * duplicate survives somewhere in the corpus by construction). This is

@@ -160,6 +160,31 @@ class LlmOpsSpec extends SparkSpec {
     assert(wn.getLong(3) > 0)
   }
 
+  test("q96b winnow curve: density law, recall monotone in w, w=4 row is q86's winnow arm") {
+    val rows = operators.CurationOps.winnowCurve(spark, sf).collect()
+      .map(r => r.getAs[Long]("w") -> r).toMap
+    assert(rows.keySet === Set(2L, 4L, 8L))
+    // SIGMOD-2003 density ~2/(w+1): the index strictly shrinks as w grows
+    val idx = Seq(2L, 4L, 8L).map(w => rows(w).getAs[Long]("n_index"))
+    assert(idx(0) > idx(1) && idx(1) > idx(2), s"index not shrinking: $idx")
+    // sparser fingerprints can only lose evidence: recall non-increasing
+    val rec = Seq(2L, 4L, 8L).map(w => rows(w).getAs[Double]("recall"))
+    assert(rec(0) >= rec(1) && rec(1) >= rec(2), s"recall not monotone: $rec")
+    rows.values.foreach { r =>
+      assert(r.getAs[Long]("n_caught") <= r.getAs[Long]("n_candidates"))
+      assert(r.getAs[Long]("n_caught") <= r.getAs[Long]("n_exact"))
+    }
+    // cross-pin: the w=4 arm IS q86's winnow candidate set
+    val q86w = DedupOps.dedupRecall(spark, sf).collect()
+      .find(_.getString(0) == "winnow").get
+    assert(rows(4L).getAs[Long]("n_candidates") === q86w.getLong(1))
+    assert(rows(4L).getAs[Long]("n_caught") === q86w.getLong(3))
+    // frac = 1.0 is the full curve (the sampled-sweep convention)
+    val one = operators.CurationOps.winnowCurve(spark, sf, sampleFrac = 1.0).collect()
+      .map(r => r.getAs[Long]("w") -> r.getAs[Long]("n_candidates")).toMap
+    assert(one === rows.view.mapValues(_.getAs[Long]("n_candidates")).toMap)
+  }
+
   test("q96 sampled sweep: frac=1 is the full curve; frac=0.5 agrees on the gate lake") {
     val full = DedupOps.bandCurve(spark, sf).collect()
       .map(r => r.getLong(1) -> (r.getLong(2), r.getDouble(5))).toMap
