@@ -160,6 +160,58 @@ object ImageOps {
         col("b_key.time_ns").as("b_time_ns"), col("hamming"))
   }
 
+  /** Image DEDUP GROUPS: connected components over the [[nearDupFrames]]
+    * dHash pair index — the q55 device for images. A burst of
+    * near-identical frames (a stopped vehicle, a parked recording rig)
+    * chains a>b>c even when a and c drift past the Hamming radius; the
+    * component view dedups the whole burst to ONE canonical frame where
+    * the pair view would keep dropping b twice. Canonical = the
+    * lexicographically smallest (bag, topic, time_ns) key in the
+    * component (a deterministic, meaningful representative: the earliest
+    * frame of the earliest topic).
+    *
+    * Shape: frame keys incident to an edge get dense surrogate ids via
+    * range-partitioned sort + zipWithIndex (the q98 Terasort shape,
+    * bounded by 2·|pairs| — never corpus-sized); labels ride THE shared
+    * min-label propagation engine (DedupOps.propagateMin — O(log n)
+    * rounds, its own cache key so q55/q32 snapshots are untouched); ids
+    * map back by two joins. Output: one row per incident frame with its
+    * canonical key — frames with no near-dup at all are absent (they are
+    * their own canonical trivially).
+    */
+  def dedupGroupsFrames(spark: SparkSession, frames: DataFrame,
+      maxHamming: Int = 3, maxRounds: Int = 50): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val pairs = nearDupFrames(spark, frames, maxHamming)
+      .select(
+        struct(col("a_bag").as("bag"), col("a_topic").as("topic"),
+          col("a_time_ns").as("time_ns")).as("ka"),
+        struct(col("b_bag").as("bag"), col("b_topic").as("topic"),
+          col("b_time_ns").as("time_ns")).as("kb"))
+    val nodes = pairs.select(col("ka").as("k"))
+      .unionByName(pairs.select(col("kb").as("k"))).distinct()
+    val withId = spark.createDataFrame(
+      nodes.repartitionByRange(col("k")).sortWithinPartitions("k").rdd
+        .zipWithIndex.map { case (r, i) => org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i) },
+      StructType(nodes.schema.fields :+ StructField("nid", LongType, nullable = false)))
+    val edges = pairs
+      .join(withId.select(col("k").as("ka"), col("nid").as("na")), Seq("ka"))
+      .join(withId.select(col("k").as("kb"), col("nid").as("nb")), Seq("kb"))
+      .select("na", "nb")
+    val labels = graft.operators.DedupOps.propagateMin(
+      spark, edges, maxRounds, cacheKey = "image-groups")
+    labels
+      .join(withId.select(col("nid").as("doc_id"), col("k")), Seq("doc_id"))
+      .join(withId.select(col("nid").as("canonical"), col("k").as("ck")), Seq("canonical"))
+      .select(
+        col("k.bag").as("bag"), col("k.topic").as("topic"),
+        col("k.time_ns").as("time_ns"),
+        col("ck.bag").as("canon_bag"), col("ck.topic").as("canon_topic"),
+        col("ck.time_ns").as("canon_time_ns"),
+        (col("doc_id") === col("canonical")).as("is_canonical"))
+      .orderBy("bag", "topic", "time_ns")
+  }
+
   final case class PngFrame(bag: String, topic: String, time_ns: Long, file_name: String, png: Array[Byte])
 
   /** Encode frames to real PNG bytes (PngEncoder) partition-parallel — the

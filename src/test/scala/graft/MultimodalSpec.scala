@@ -281,4 +281,40 @@ class MultimodalSpec extends SparkSpec {
       ImageOps.nearDupFrames(spark, frames, maxHamming = 16)
     }
   }
+
+  test("dedupGroupsFrames: a drift chain collapses to one component; canonical is the min key") {
+    import spark.implicits._
+    def grad(mod: Map[(Int, Int), Int]): Array[Byte] =
+      Array.tabulate[Byte](9 * 8) { i =>
+        mod.getOrElse((i / 9, i % 9), (i % 9) * 28).toByte
+      }
+    // a ~ b (hamming 1), b ~ b3 (hamming 2) — but a ~ b3 is hamming 3: at
+    // maxHamming=2 the PAIR view never links a to b3; the COMPONENT view
+    // must chain them through b. The inverted frame is its own world.
+    val a = grad(Map.empty)
+    val b = grad(Map((0, 1) -> 0))
+    val b3 = grad(Map((0, 1) -> 0, (1, 1) -> 0, (2, 1) -> 0))
+    val c = Array.tabulate[Byte](9 * 8)(i => (224 - (i % 9) * 28).toByte)
+    val frames = Seq(
+      frameRow(1L, a), frameRow(2L, b), frameRow(3L, b3),
+      frameRow(4L, c), frameRow(5L, c)
+    ).toDF("bag", "topic", "time_ns", "width", "height", "encoding", "step", "pixels")
+    // sanity: at radius 2 the a-b3 pair itself is absent
+    val rawPairs = ImageOps.nearDupFrames(spark, frames, maxHamming = 2)
+      .select("a_time_ns", "b_time_ns").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!rawPairs.contains((1L, 3L)), s"fixture broken: $rawPairs")
+    val groups = ImageOps.dedupGroupsFrames(spark, frames, maxHamming = 2)
+      .collect()
+      .map(r => r.getAs[Long]("time_ns") ->
+        (r.getAs[Long]("canon_time_ns"), r.getAs[Boolean]("is_canonical"))).toMap
+    // the drift chain 1-2-3 is ONE component with frame 1 canonical
+    assert(groups(1L) === (1L, true))
+    assert(groups(2L) === (1L, false))
+    assert(groups(3L) === (1L, false))
+    // the exact-copy pair 4-5 is its own component, 4 canonical
+    assert(groups(4L) === (4L, true))
+    assert(groups(5L) === (4L, false))
+    assert(groups.size === 5)
+  }
 }
