@@ -182,24 +182,38 @@ object ImageOps {
   def dedupGroupsFrames(spark: SparkSession, frames: DataFrame,
       maxHamming: Int = 3, maxRounds: Int = 50): DataFrame = {
     import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    // persisted: the banded dHash self-join is the dominant cost and
+    // feeds the node set, the id assignment, and both edge-join sides —
+    // uncached, each consumer (plus zipWithIndex's eager count job)
+    // would re-run it; released below once propagation has consumed it
     val pairs = nearDupFrames(spark, frames, maxHamming)
       .select(
         struct(col("a_bag").as("bag"), col("a_topic").as("topic"),
           col("a_time_ns").as("time_ns")).as("ka"),
         struct(col("b_bag").as("bag"), col("b_topic").as("topic"),
           col("b_time_ns").as("time_ns")).as("kb"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nodes = pairs.select(col("ka").as("k"))
       .unionByName(pairs.select(col("kb").as("k"))).distinct()
-    val withId = spark.createDataFrame(
-      nodes.repartitionByRange(col("k")).sortWithinPartitions("k").rdd
-        .zipWithIndex.map { case (r, i) => org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i) },
+    // the id RDD persists too (withId is read by the edge build AND the
+    // two decode joins of the lazily-consumed result, so it outlives
+    // this call — the q86 shared-intermediate convention: the caller's
+    // clearCache releases it; it holds only the edge-incident keys)
+    val idRdd = nodes.repartitionByRange(col("k")).sortWithinPartitions("k").rdd
+      .zipWithIndex.map { case (r, i) => org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i) }
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val withId = spark.createDataFrame(idRdd,
       StructType(nodes.schema.fields :+ StructField("nid", LongType, nullable = false)))
     val edges = pairs
       .join(withId.select(col("k").as("ka"), col("nid").as("na")), Seq("ka"))
       .join(withId.select(col("k").as("kb"), col("nid").as("nb")), Seq("kb"))
       .select("na", "nb")
+    // propagateMin is eager (it runs its convergence loop and caches the
+    // labeling snapshot), so by the time it returns every pairs consumer
+    // has run — the dominant intermediate can be released here
     val labels = graft.operators.DedupOps.propagateMin(
       spark, edges, maxRounds, cacheKey = "image-groups")
+    pairs.unpersist()
     labels
       .join(withId.select(col("nid").as("doc_id"), col("k")), Seq("doc_id"))
       .join(withId.select(col("nid").as("canonical"), col("k").as("ck")), Seq("canonical"))

@@ -518,6 +518,9 @@ object CurationOps {
   private[graft] def winnowSelectedOf(docs: DataFrame, k: Int, w: Int,
       carry: Seq[String] = Nil): DataFrame = {
     require(w >= 1, s"winnow window must be >= 1; got $w")
+    // the guard the old windowHashesPos path enforced: k <= 1 would make
+    // every slice empty and hash every doc to one constant fingerprint
+    require(k >= 2, s"k must be >= 2; got $k")
     val B = 4294967296L // 2^32 — positions are token offsets, far below
     val keyCols = (("doc_id" +: carry)).map(col)
     tokenized(docs, k, "doc_id" +: carry)
@@ -615,6 +618,9 @@ object CurationOps {
     require(ws.nonEmpty, "winnowCurve needs at least one window arm")
     val docs = Tables.documentsScaled(s, d)
       .filter(Tables.sampleLine(col("doc_id"), sampleFrac))
+    // persisted: the expensive exact arm feeds the 1-row total and every
+    // per-w candidate join; released by the caller's clearCache between
+    // queries (the q86/dedupRecall shared-intermediate convention)
     val exact = DedupOps.ngramJaccard(s, d, sampleFrac = sampleFrac)
       .select("doc_a", "doc_b")
       .withColumn("hit", lit(1))

@@ -153,19 +153,25 @@ object CorpusStreams {
             Iterator.empty
           } else {
             // the same fp can be selected at several positions of one doc:
-            // one claim/verdict per (doc, fp) — dedupe here (a streaming
-            // .distinct() upstream would be a second stateful operator)
+            // ONE verdict per (doc, fp) — but every row still advances
+            // last-touch (dropping later-ts duplicates before the
+            // math.max would shrink the TTL expiry, the invariant the
+            // band guard's late-arrival rule protects). A streaming
+            // .distinct() upstream would be a second stateful operator.
             val sorted = rows.toSeq.sortBy { case (id, ts, _) => (ts.getTime, id) }
-              .distinctBy(_._1)
             var cur = state.getOption
-            val out = sorted.map { case (id, ts, fp) =>
+            val emitted = scala.collection.mutable.Set.empty[Long]
+            val out = sorted.flatMap { case (id, ts, fp) =>
               cur match {
                 case Some(st) =>
                   cur = Some(st.copy(lastTouchMs = math.max(st.lastTouchMs, ts.getTime)))
-                  FpVerdict(id, fp, neardup = st.owner != id, owner = st.owner)
+                  if (emitted.add(id))
+                    Some(FpVerdict(id, fp, neardup = st.owner != id, owner = st.owner))
+                  else None
                 case None =>
                   cur = Some(BucketState(id, ts.getTime))
-                  FpVerdict(id, fp, neardup = false, owner = id)
+                  emitted.add(id)
+                  Some(FpVerdict(id, fp, neardup = false, owner = id))
               }
             }
             cur.foreach { st =>
