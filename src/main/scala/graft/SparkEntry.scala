@@ -86,6 +86,7 @@ object SparkEntry {
     "q51_embed_stats"     -> (TextAnalysisOps.embedStats _),
     "q52_top_terms"       -> (TextAnalysisOps.topTerms _),
     "q52b_vocab_growth"   -> ((s: SparkSession, d: String) => TextAnalysisOps.vocabGrowth(s, d)),
+    "q52c_zipf_fit"       -> ((s: SparkSession, d: String) => TextAnalysisOps.zipfFit(s, d)),
     "q53_normalize"       -> (TextAnalysisOps.normalizeTokens _),
     "q56_contamination"   -> (CurationOps.contamination _),
     "q57_dup_ngram_rate"  -> (CurationOps.dupNgramRate _),
@@ -2150,6 +2151,29 @@ object SparkEntry {
         |FROM j
         |WINDOW w AS (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |ORDER BY bucket""".stripMargin,
+
+    // q52c: Zipf log-log least squares over the K-bounded head — fit
+    // sums on the carrier; a spread-less head yields NULL, never 0/0
+    "q52c_zipf_fit" ->
+      s"""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+         |tc AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS n FROM tok GROUP BY term),
+         |top AS (SELECT term, n FROM tc ORDER BY n DESC, term LIMIT 100),
+         |l AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY n DESC, term) AS BIGINT) AS rank,
+         |        term, n FROM top),
+         |l2 AS (SELECT rank, term, n,
+         |         CAST(CAST(ln(CAST(rank AS DOUBLE)) AS DECIMAL(27,6)) AS DOUBLE) AS ln_rank,
+         |         CAST(CAST(ln(CAST(n AS DOUBLE)) AS DECIMAL(27,6)) AS DOUBLE) AS ln_n FROM l),
+         |f AS (SELECT CAST(COUNT(*) AS DOUBLE) AS kk,
+         |        ${S("ln_rank")} AS sx, ${S("ln_n")} AS sy,
+         |        ${S("ln_rank * ln_n")} AS sxy, ${S("ln_rank * ln_rank")} AS sxx
+         |      FROM l2)
+         |SELECT rank, term, n, ln_rank, ln_n,
+         |  CASE WHEN kk * sxx - sx * sx <> 0.0
+         |       THEN (kk * sxy - sx * sy) / (kk * sxx - sx * sx) END AS slope,
+         |  CASE WHEN kk * sxx - sx * sx <> 0.0
+         |       THEN (sy - ((kk * sxy - sx * sy) / (kk * sxx - sx * sx)) * sx) / kk
+         |       END AS intercept
+         |FROM l2, f ORDER BY rank""".stripMargin,
 
     "q53_normalize" ->
       """SELECT doc_id,

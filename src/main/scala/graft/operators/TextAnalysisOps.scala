@@ -267,6 +267,55 @@ object TextAnalysisOps {
       .orderBy("bucket")
   }
 
+  /** q52c — Zipf rank-frequency fit (Zipf 1949; the companion law to
+    * q52b's Heaps curve): the top-K terms by corpus frequency with their
+    * log-log coordinates and the least-squares slope/intercept of
+    * ln(freq) on ln(rank) — the Zipf exponent is THE one-number
+    * distributional fingerprint of a corpus (natural language sits near
+    * −1; boilerplate-heavy or templated crawls flatten the head and
+    * steepen the tail, so drift across corpus versions is a QA signal).
+    *
+    * Scale shape: one token explode + one vocabulary-sized count (the
+    * q52 df shape, partial-agg friendly), then TakeOrdered to the
+    * K-bounded head — the window, the fit sums (DECIMAL carrier), and
+    * the final join all run on ≤K rows. Deterministic: the (n DESC,
+    * term) total order pins the boundary; ln/×/÷ are the q73-verified
+    * IEEE chains.
+    */
+  def zipfFit(s: SparkSession, d: String, k: Int = 100): DataFrame = {
+    require(k >= 2, s"zipf fit needs k >= 2 ranks; got $k")
+    val tc = Tables.documents(s, d)
+      .select(explode(tokens(col("text"))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("n"))
+    // bounded head: TakeOrdered (no global sort materialization); the
+    // rank window then runs over <= k rows
+    val top = tc.orderBy(col("n").desc, col("term")).limit(k)
+    val w = Window.orderBy(col("n").desc, col("term"))
+    // q85's ln discipline: JVM Math.log and DuckDB ln agree only to
+    // within 1 ulp on arbitrary inputs — each log rides the carrier
+    val l = top
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("ln_rank", acc(log(col("rank").cast("double"))).cast("double"))
+      .withColumn("ln_n", acc(log(col("n").cast("double"))).cast("double"))
+    val f = l.agg(
+      count(lit(1)).cast("double").as("kk"),
+      dsum(col("ln_rank")).as("sx"),
+      dsum(col("ln_n")).as("sy"),
+      dsum(col("ln_rank") * col("ln_n")).as("sxy"),
+      dsum(col("ln_rank") * col("ln_rank")).as("sxx"))
+    val denom = col("kk") * col("sxx") - col("sx") * col("sx")
+    l.crossJoin(broadcast(f))
+      // a single-rank (or degenerate) head has no spread: NULL fit, not 0/0
+      .withColumn("slope",
+        when(denom =!= 0.0,
+          (col("kk") * col("sxy") - col("sx") * col("sy")) / denom))
+      .withColumn("intercept",
+        when(denom =!= 0.0,
+          (col("sy") - col("slope") * col("sx")) / col("kk")))
+      .select("rank", "term", "n", "ln_rank", "ln_n", "slope", "intercept")
+      .orderBy("rank")
+  }
+
   /** q53 — token normalization: lowercase, strip non-alphanumerics, drop
     * stopwords and empties, dedupe — the canonical cleaning pass before any
     * dedup/index stage; emitted as per-doc stats so it is oracle-checkable.

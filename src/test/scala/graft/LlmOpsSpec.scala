@@ -1186,6 +1186,32 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("q52c zipf fit: dense ranks, negative slope, fit matches a driver least-squares recompute") {
+    val rows = TextAnalysisOps.zipfFit(spark, sf).orderBy("rank").collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getAs[Long]("rank")).toSeq === (1L to rows.length))
+    // frequencies non-increasing by construction of the rank order
+    val ns = rows.map(_.getAs[Long]("n"))
+    assert(ns.zip(ns.tail).forall { case (a, b) => a >= b })
+    val slope = rows.head.getAs[Double]("slope")
+    val icept = rows.head.getAs[Double]("intercept")
+    assert(rows.forall(r => r.getAs[Double]("slope") === slope))
+    // a frequency-ranked head always fits with non-positive slope
+    assert(slope <= 0.0, s"zipf slope $slope")
+    // driver-side least squares over the emitted (ln_rank, ln_n) points
+    val x = rows.map(_.getAs[Double]("ln_rank")); val y = rows.map(_.getAs[Double]("ln_n"))
+    val k = rows.length.toDouble
+    val (sx, sy) = (x.sum, y.sum)
+    val sxy = x.zip(y).map { case (a, b) => a * b }.sum
+    val sxx = x.map(a => a * a).sum
+    val bfSlope = (k * sxy - sx * sy) / (k * sxx - sx * sx)
+    val bfIcept = (sy - bfSlope * sx) / k
+    // driver fold order differs from the carrier sums: tolerance
+    assert(math.abs(slope - bfSlope) < 1e-4, s"$slope vs $bfSlope")
+    assert(math.abs(icept - bfIcept) < 1e-4, s"$icept vs $bfIcept")
+    assertThrows[IllegalArgumentException](TextAnalysisOps.zipfFit(spark, sf, k = 1))
+  }
+
   test("q52b vocab growth: first-occurrence curve == per-cutoff brute force; monotone") {
     val rows = TextAnalysisOps.vocabGrowth(spark, sf).orderBy("bucket").collect()
     assert(rows.map(_.getAs[Long]("bucket")).toSeq === (1L to 10L))
