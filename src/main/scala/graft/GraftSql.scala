@@ -34,6 +34,7 @@ object GraftSql {
     */
   val eagerQueries: Set[String] =
     Set("q55_dedup_groups", "q55b_dedup_priority", "q55c_group_sizes",
+      "q55d_dedup_savings",
       "q32_track_stitch", "q95c_clf_eval",
       // auto-k IVF arms: construction measures the corpus and trains the
       // quantizer (count + takeOrdered + Lloyd passes) up front

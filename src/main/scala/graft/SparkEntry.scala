@@ -75,6 +75,7 @@ object SparkEntry {
     "q103_cluster_map"    -> ((s: SparkSession, d: String) => SimilarityOps.clusterMap(s, d)),
     "q55_dedup_groups"    -> ((s: SparkSession, d: String) => DedupOps.dedupGroups(s, d)),
     "q55c_group_sizes"    -> ((s: SparkSession, d: String) => DedupOps.dedupGroupSizes(s, d)),
+    "q55d_dedup_savings"  -> ((s: SparkSession, d: String) => DedupOps.dedupSavings(s, d)),
     "q55b_dedup_priority" -> ((s: SparkSession, d: String) => DedupOps.dedupGroupsPriority(s, d)),
     "q47_langid"          -> (TextAnalysisOps.langId _),
     "q48_quality_score"   -> (TextAnalysisOps.qualityScore _),
@@ -1665,6 +1666,39 @@ object SparkEntry {
          |  (d.doc_id = COALESCE(c.canonical, d.doc_id)) AS is_canonical
          |FROM documents d LEFT JOIN canon c USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
+
+    // q55d: the q55 closure joined back to the corpus — per-source doc
+    // and token attrition if every non-canonical member dropped
+    "q55d_dedup_savings" ->
+      s"""WITH RECURSIVE $SHINGLES,
+         |h AS (SELECT doc_id, hs FROM sh),
+         |sigs AS (SELECT doc_id, i,
+         |           list_min(list_transform(hs, v -> ((2*i+1)*v + 7919*i + 13) % 2147483647)) AS mh
+         |         FROM h, range(16) t(i)),
+         |bands AS (SELECT doc_id, i // 4 AS band,
+         |            string_agg(mh::VARCHAR, ',' ORDER BY i) AS sig
+         |          FROM sigs GROUP BY doc_id, i // 4),
+         |p AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |      FROM bands a JOIN bands b
+         |        ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+         |nodes AS (SELECT DISTINCT doc_a AS u FROM p UNION SELECT DISTINCT doc_b FROM p),
+         |edges AS (SELECT doc_a AS u, doc_b AS v FROM p UNION SELECT doc_b, doc_a FROM p),
+         |reach(src, dst) AS (
+         |  SELECT u, u FROM nodes
+         |  UNION
+         |  SELECT r.src, e.v FROM reach r JOIN edges e ON r.dst = e.u),
+         |canon AS (SELECT src AS doc_id, MIN(dst) AS canonical FROM reach GROUP BY src),
+         |lab AS (SELECT d.doc_id, d.source,
+         |          CAST(len(string_split(d.text, ' ')) AS BIGINT) AS nt,
+         |          (d.doc_id = COALESCE(c.canonical, d.doc_id)) AS is_can
+         |        FROM documents d LEFT JOIN canon c USING (doc_id))
+         |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(CASE WHEN NOT is_can THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+         |  CAST(SUM(nt) AS BIGINT) AS tokens_total,
+         |  CAST(SUM(CASE WHEN NOT is_can THEN nt ELSE 0 END) AS BIGINT) AS tokens_dropped,
+         |  CAST(SUM(CASE WHEN NOT is_can THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS doc_drop_frac,
+         |  CAST(SUM(CASE WHEN NOT is_can THEN nt ELSE 0 END) AS DOUBLE) / CAST(SUM(nt) AS DOUBLE) AS token_drop_frac
+         |FROM lab GROUP BY source ORDER BY source""".stripMargin,
 
     // q55c: q55's closure reduced to the cluster-size histogram
     "q55c_group_sizes" ->

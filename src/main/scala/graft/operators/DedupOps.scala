@@ -572,6 +572,38 @@ object DedupOps {
       .groupBy("group_size").agg(count(lit(1)).as("n_groups"))
       .orderBy("group_size")
 
+  /** q55d — the DEDUP-SAVINGS dashboard: what group dedup would actually
+    * remove, per source — doc and token attrition if every non-canonical
+    * member of a q55 component dropped. The figure a dedup report pairs
+    * with q55c's histogram (the histogram says how duplication is
+    * SHAPED; this says what it COSTS and which sources carry it — the
+    * budget evidence for per-source dedup aggressiveness and for q64's
+    * mixing weights). q55's labeling + one corpus join on doc_id + one
+    * catalog-bounded rollup; its propagation snapshot caches under its
+    * OWN key so the eager q55/q55b/q55c views are not evicted.
+    */
+  def dedupSavings(s: SparkSession, d: String, maxRounds: Int = 50): DataFrame = {
+    val labels = dedupGroupsImpl(s, d, maxRounds, keys = None,
+      cacheKeyOverride = Some("savings"))
+      .select(col("doc_id"), col("is_canonical"))
+    import graft.functions.TextFunctions.tokens
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        size(tokens(col("text"))).cast("long").as("nt"))
+      .join(labels, Seq("doc_id"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(!col("is_canonical"), 1L).otherwise(0L)).as("n_dropped"),
+        sum(col("nt")).as("tokens_total"),
+        sum(when(!col("is_canonical"), col("nt")).otherwise(0L)).as("tokens_dropped"))
+      .withColumn("doc_drop_frac",
+        col("n_dropped").cast("double") / col("n_docs").cast("double"))
+      .withColumn("token_drop_frac",
+        col("tokens_dropped").cast("double") / col("tokens_total").cast("double"))
+      .orderBy("source")
+  }
+
   /** q55b — duplicate groups with a PRIORITY canonical: the same connected
     * components as q55, but the kept copy of each group is the member with
     * the most-trusted SOURCE (ties by doc_id) instead of the min doc_id —

@@ -1186,6 +1186,30 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("q55d dedup savings: per-source attrition matches a driver recompute from q55's labels") {
+    val rows = DedupOps.dedupSavings(spark, sf).collect()
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"), size(split(col("text"), " ")).cast("long").as("nt"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    val canon = DedupOps.dedupGroups(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getAs[Boolean]("is_canonical")).toMap
+    assert(rows.map(_.getAs[Long]("n_docs")).sum === docs.size.toLong)
+    // at least one source genuinely loses docs on the gate lake
+    assert(rows.map(_.getAs[Long]("n_dropped")).sum > 0L)
+    rows.foreach { r =>
+      val src = r.getString(0)
+      val mine = docs.filter(_._2._1 == src)
+      assert(r.getAs[Long]("n_docs") === mine.size.toLong)
+      val dropped = mine.keys.filterNot(canon(_))
+      assert(r.getAs[Long]("n_dropped") === dropped.size.toLong, s"$src dropped")
+      assert(r.getAs[Long]("tokens_total") === mine.values.map(_._2).sum)
+      assert(r.getAs[Long]("tokens_dropped") === dropped.map(docs(_)._2).sum, s"$src tokens")
+      assert(r.getAs[Long]("tokens_dropped") <= r.getAs[Long]("tokens_total"))
+      assert(math.abs(r.getAs[Double]("doc_drop_frac") -
+        r.getAs[Long]("n_dropped").toDouble / r.getAs[Long]("n_docs")) < 1e-12)
+    }
+  }
+
   test("q52c zipf fit: dense ranks, negative slope, fit matches a driver least-squares recompute") {
     val rows = TextAnalysisOps.zipfFit(spark, sf).orderBy("rank").collect()
     assert(rows.nonEmpty)
