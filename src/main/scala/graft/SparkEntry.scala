@@ -1036,8 +1036,8 @@ object SparkEntry {
       |p AS (SELECT doc_id, pos,
       |        rh::HUGEINT * 4294967296 + (4294967296 - pos) AS pack FROM h)""".stripMargin
 
-  // One q96b arm at winnow window `w`: the mw/sel/dft/kept/nf/pr/wnp
-  // chain with w-suffixed names (the q50c tail parameterized by w).
+  // One q96b arm at winnow window `w`: the w-specific sliding-minimum
+  // CTE + THE shared pair tail, all names w-suffixed.
   private def winnowArmCtes(w: Int): String = {
     val x = w.toString
     s"""mw$x AS (SELECT doc_id, pos,
@@ -1045,34 +1045,27 @@ object SparkEntry {
        |          ROWS BETWEEN CURRENT ROW AND ${w - 1} FOLLOWING) AS minpack,
        |        COUNT(*) OVER (PARTITION BY doc_id) AS m
        |      FROM p),
-       |sel$x AS (SELECT DISTINCT doc_id, CAST(minpack // 4294967296 AS BIGINT) AS fp
-       |        FROM mw$x WHERE pos <= greatest(1, m - ${w - 1})),
-       |dft$x AS (SELECT fp, COUNT(*) AS df FROM sel$x GROUP BY fp),
-       |kept$x AS (SELECT s.doc_id, s.fp FROM sel$x s JOIN dft$x USING (fp) WHERE df <= 64),
-       |nf$x AS (SELECT doc_id, COUNT(*) AS nf FROM kept$x GROUP BY doc_id),
-       |pr$x AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
-       |       FROM kept$x a JOIN kept$x b ON a.fp = b.fp AND a.doc_id < b.doc_id
-       |       GROUP BY 1, 2),
-       |wnp$x AS (SELECT doc_a, doc_b
-       |        FROM pr$x JOIN nf$x na ON pr$x.doc_a = na.doc_id JOIN nf$x nb ON pr$x.doc_b = nb.doc_id
-       |        WHERE shared >= 2 AND CAST(shared AS DOUBLE) / (na.nf + nb.nf - shared) >= 0.35)""".stripMargin
+       |${winnowPairTail(w, x)}""".stripMargin
   }
 
-  // The q50c pair tail over the winnow chain (sel...wnp) — q86 nests it
-  // as its third candidate arm.
-  private def winnowPairCtes: String =
-    """sel AS (SELECT DISTINCT doc_id, CAST(minpack // 4294967296 AS BIGINT) AS fp
-      |        FROM mw WHERE pos <= greatest(1, m - 3)),
-      |dft AS (SELECT fp, COUNT(*) AS df FROM sel GROUP BY fp),
-      |kept AS (SELECT s.doc_id, s.fp FROM sel s JOIN dft USING (fp) WHERE df <= 64),
-      |nf AS (SELECT doc_id, COUNT(*) AS nf FROM kept GROUP BY doc_id),
-      |pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
-      |       FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
-      |       GROUP BY 1, 2),
-      |wnp AS (SELECT doc_a, doc_b, CAST(shared AS BIGINT) AS shared,
-      |          CAST(shared AS DOUBLE) / (na.nf + nb.nf - shared) AS jaccard
-      |        FROM pr JOIN nf na ON pr.doc_a = na.doc_id JOIN nf nb ON pr.doc_b = nb.doc_id
-      |        WHERE shared >= 2 AND CAST(shared AS DOUBLE) / (na.nf + nb.nf - shared) >= 0.35)""".stripMargin
+  // The q50c pair tail over a w-window's mw$sfx chain (sel...wnp, the
+  // df<=64 / shared>=2 / jaccard>=0.35 constants in ONE place) — q50c
+  // and q86 use the unsuffixed instance; q96b's per-w arms suffix it.
+  private def winnowPairTail(w: Int, sfx: String): String =
+    s"""sel$sfx AS (SELECT DISTINCT doc_id, CAST(minpack // 4294967296 AS BIGINT) AS fp
+       |        FROM mw$sfx WHERE pos <= greatest(1, m - ${w - 1})),
+       |dft$sfx AS (SELECT fp, COUNT(*) AS df FROM sel$sfx GROUP BY fp),
+       |kept$sfx AS (SELECT s.doc_id, s.fp FROM sel$sfx s JOIN dft$sfx USING (fp) WHERE df <= 64),
+       |nf$sfx AS (SELECT doc_id, COUNT(*) AS nf FROM kept$sfx GROUP BY doc_id),
+       |pr$sfx AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+       |       FROM kept$sfx a JOIN kept$sfx b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       |       GROUP BY 1, 2),
+       |wnp$sfx AS (SELECT doc_a, doc_b, CAST(shared AS BIGINT) AS shared,
+       |          CAST(shared AS DOUBLE) / (na.nf + nb.nf - shared) AS jaccard
+       |        FROM pr$sfx JOIN nf$sfx na ON pr$sfx.doc_a = na.doc_id JOIN nf$sfx nb ON pr$sfx.doc_b = nb.doc_id
+       |        WHERE shared >= 2 AND CAST(shared AS DOUBLE) / (na.nf + nb.nf - shared) >= 0.35)""".stripMargin
+
+  private def winnowPairCtes: String = winnowPairTail(4, "")
 
 
   def oracleSql: Map[String, String] = Map(

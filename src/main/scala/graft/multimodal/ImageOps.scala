@@ -18,6 +18,12 @@ import org.apache.spark.sql.types.{BinaryType, IntegerType, LongType, StringType
   */
 object ImageOps {
 
+  // dedupGroupsFrames' live id snapshot per session (RDD persists are
+  // invisible to spark.catalog.clearCache — released on the next call)
+  private val idRddCache = new java.util.concurrent.ConcurrentHashMap[
+    org.apache.spark.sql.SparkSession,
+    org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]]()
+
   /** Channel count for the uint8 channels-last encodings the pixel
     * REWRITING paths (blur/resize/png) understand. Anything else (mono16,
     * bgra8, 16UC1, ...) fails loudly — rewriting a buffer under a wrong
@@ -197,11 +203,14 @@ object ImageOps {
       .unionByName(pairs.select(col("kb").as("k"))).distinct()
     // the id RDD persists too (withId is read by the edge build AND the
     // two decode joins of the lazily-consumed result, so it outlives
-    // this call — the q86 shared-intermediate convention: the caller's
-    // clearCache releases it; it holds only the edge-incident keys)
+    // this call). RDD-level persists are NOT released by
+    // spark.catalog.clearCache() (that clears only the SQL CacheManager),
+    // so this follows propagateMin's discipline instead: one live id
+    // snapshot per session — each invocation releases the previous one.
     val idRdd = nodes.repartitionByRange(col("k")).sortWithinPartitions("k").rdd
       .zipWithIndex.map { case (r, i) => org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i) }
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    Option(idRddCache.put(spark, idRdd)).foreach(_.unpersist(blocking = false))
     val withId = spark.createDataFrame(idRdd,
       StructType(nodes.schema.fields :+ StructField("nid", LongType, nullable = false)))
     val edges = pairs

@@ -569,12 +569,19 @@ object CurationOps {
 
   /** [[winnowDedup]] over an arbitrary (doc_id, text, ...) frame. */
   private[graft] def winnowDedupOf(docs: DataFrame, k: Int, w: Int,
-      dfCap: Long, minShared: Long, threshold: Double): DataFrame = {
-    require(dfCap >= 2, s"dfCap must be >= 2 (a key needs df >= 2 to pair); got $dfCap")
+      dfCap: Long, minShared: Long, threshold: Double): DataFrame =
     // the same fingerprint can be selected at several positions of one
     // doc — the pair index is over distinct (doc, fp)
-    val sel = winnowOf(docs, k, w)
-      .select("doc_id", "fp").distinct()
+    winnowPairsFromSelected(
+      winnowSelectedOf(docs, k, w).select("doc_id", "fp").distinct(),
+      dfCap, minShared, threshold)
+
+  /** The q50c pair pass over an already-selected (doc_id, fp) index —
+    * the seam q96b's per-w arms reuse so each arm hashes the corpus
+    * exactly once (index size and pair pass both read `sel`). */
+  private[graft] def winnowPairsFromSelected(sel: DataFrame,
+      dfCap: Long, minShared: Long, threshold: Double): DataFrame = {
+    require(dfCap >= 2, s"dfCap must be >= 2 (a key needs df >= 2 to pair); got $dfCap")
     val dft = sel.groupBy("fp").agg(count(lit(1)).as("df"))
     val kept = sel.join(dft.filter(col("df") <= dfCap), "fp")
     val nf = kept.groupBy("doc_id").agg(count(lit(1)).as("nf"))
@@ -626,12 +633,18 @@ object CurationOps {
       .withColumn("hit", lit(1))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nExact = exact.agg(count(lit(1)).as("n_exact"))
-    val idx = ws.map { w =>
-      winnowSelectedOf(docs, 5, w).select("doc_id", "fp").distinct()
-        .agg(count(lit(1)).as("n_index")).withColumn("w", lit(w.toLong))
+    // each arm's selected index persists: n_index AND the pair pass read
+    // it, so the corpus is md5-hashed exactly once per arm (released by
+    // the caller's clearCache, the shared-intermediate convention)
+    val arms = ws.map { w =>
+      w -> winnowSelectedOf(docs, 5, w).select("doc_id", "fp").distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+    val idx = arms.map { case (w, sel) =>
+      sel.agg(count(lit(1)).as("n_index")).withColumn("w", lit(w.toLong))
     }.reduce(_ unionByName _)
-    val cands = ws.map { w =>
-      winnowDedupOf(docs, 5, w, dfCap = 64, minShared = 2, threshold = 0.35)
+    val cands = arms.map { case (w, sel) =>
+      winnowPairsFromSelected(sel, dfCap = 64, minShared = 2, threshold = 0.35)
         .select("doc_a", "doc_b").withColumn("w", lit(w.toLong))
     }.reduce(_ unionByName _)
     val agg = cands.join(exact, Seq("doc_a", "doc_b"), "left")

@@ -297,14 +297,18 @@ object TextAnalysisOps {
       .withColumn("rank", row_number().over(w).cast("long"))
       .withColumn("ln_rank", acc(log(col("rank").cast("double"))).cast("double"))
       .withColumn("ln_n", acc(log(col("n").cast("double"))).cast("double"))
-    val f = l.agg(
-      count(lit(1)).cast("double").as("kk"),
-      dsum(col("ln_rank")).as("sx"),
-      dsum(col("ln_n")).as("sy"),
-      dsum(col("ln_rank") * col("ln_n")).as("sxy"),
-      dsum(col("ln_rank") * col("ln_rank")).as("sxx"))
+    // fit sums as unpartitioned window aggregates over the <= K-row
+    // frame: `l` is consumed ONCE (the q85b lesson — agg + crossJoin
+    // duplicates the corpus-scale count/TakeOrdered subtree and relies
+    // on ReuseExchange, which races at scale)
+    val wAll = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val denom = col("kk") * col("sxx") - col("sx") * col("sx")
-    l.crossJoin(broadcast(f))
+    l
+      .withColumn("kk", count(lit(1)).over(wAll).cast("double"))
+      .withColumn("sx", sum(acc(col("ln_rank"))).over(wAll).cast("double"))
+      .withColumn("sy", sum(acc(col("ln_n"))).over(wAll).cast("double"))
+      .withColumn("sxy", sum(acc(col("ln_rank") * col("ln_n"))).over(wAll).cast("double"))
+      .withColumn("sxx", sum(acc(col("ln_rank") * col("ln_rank"))).over(wAll).cast("double"))
       // a single-rank (or degenerate) head has no spread: NULL fit, not 0/0
       .withColumn("slope",
         when(denom =!= 0.0,
@@ -447,6 +451,11 @@ object TextAnalysisOps {
   def classSeparation(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
       .select(col("vec_id"), col("label"), toDouble(col("embedding")).as("v"))
+    // persisted: the |labels|-row centroid frame is consumed three times
+    // (self-cosine broadcast, both sides of the nearest pass) — uncached,
+    // each branch re-runs the corpus-wide posexplode aggregate (the q85b
+    // ReuseExchange-races-at-scale lesson); released by the caller's
+    // clearCache (the shared-intermediate convention)
     val cent = emb
       .select(col("label"), posexplode(col("v")).as(Seq("p", "x")))
       .groupBy("label", "p")
@@ -454,6 +463,7 @@ object TextAnalysisOps {
       .groupBy("label")
       .agg(array_sort(collect_list(struct(col("p"), col("m")))).as("pm"))
       .select(col("label"), expr("transform(pm, e -> e.m)").as("cv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val self = emb.join(broadcast(cent), "label")
       .withColumn("csim", cosine(col("v"), col("cv"), norm(col("v")), norm(col("cv"))))
       .groupBy("label")

@@ -31,6 +31,57 @@ object CorpusStreams {
     * expiry below last-touch + TTL. */
   final case class BucketState(owner: Long, lastTouchMs: Long)
 
+  /** THE ownership/TTL state machine both ingest guards fold through —
+    * single-sourced so the subtle invariants (rows apply in (ts, id)
+    * order; a late watermark-admissible arrival never SHRINKS the
+    * expiry; the timeout clamps just past the current watermark so
+    * setTimeoutTimestamp cannot throw) cannot drift between the band
+    * guard and the fingerprint guard. `oncePerDoc` dedupes verdicts per
+    * claiming doc (the winnow guard's per-(doc,fp) contract) while every
+    * row still advances last-touch.
+    */
+  private def claimFold[V](
+      rows: Seq[(Long, java.sql.Timestamp)],
+      state: GroupState[BucketState],
+      ttlMs: Long,
+      oncePerDoc: Boolean)(emit: (Long, Boolean, Long) => V): Iterator[V] = {
+    if (state.hasTimedOut) {
+      // the watermark passed last-touch + TTL: the claim expires and the
+      // next arrival starts a fresh ownership
+      state.remove()
+      Iterator.empty
+    } else {
+      val sorted = rows.sortBy { case (id, ts) => (ts.getTime, id) }
+      var cur = state.getOption
+      val emitted = scala.collection.mutable.Set.empty[Long]
+      val out = sorted.flatMap { case (id, ts) =>
+        cur match {
+          case Some(st) =>
+            // a LATE arrival (ts before lastTouch) must not shrink the
+            // expiry — last-touch only ever advances
+            cur = Some(st.copy(lastTouchMs = math.max(st.lastTouchMs, ts.getTime)))
+            if (!oncePerDoc || emitted.add(id))
+              Some(emit(id, st.owner != id, st.owner))
+            else None
+          case None =>
+            cur = Some(BucketState(id, ts.getTime))
+            emitted.add(id)
+            Some(emit(id, false, id))
+        }
+      }
+      cur.foreach { st =>
+        state.update(st)
+        // a watermark-admissible arrival can still sit further behind the
+        // watermark than the TTL is long (small TTL, generous delay):
+        // clamp the expiry just past the current watermark or
+        // setTimeoutTimestamp throws and kills the query
+        state.setTimeoutTimestamp(math.max(
+          st.lastTouchMs + ttlMs, state.getCurrentWatermarkMs() + 1))
+      }
+      out.iterator
+    }
+  }
+
   /** Streaming near-dup triage: each document's MinHash band buckets
     * (computed map-side by the same `graft_shingles |> graft_minhash`
     * kernels as the batch path — one code path for both) claim keyed state;
@@ -66,36 +117,13 @@ object CorpusStreams {
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         (_: String, rows: Iterator[(Long, java.sql.Timestamp, Long, String)],
          state: GroupState[BucketState]) =>
-          if (state.hasTimedOut) {
-            // the watermark passed last-touch + TTL: the bucket's claim
-            // expires and the next arrival starts a fresh ownership
-            state.remove()
-            Iterator.empty
-          } else {
-            val sorted = rows.toSeq.sortBy { case (id, ts, _, _) => (ts.getTime, id) }
-            var cur = state.getOption
-            val out = sorted.map { case (id, ts, band, _) =>
-              cur match {
-                case Some(st) =>
-                  // a LATE arrival (ts before lastTouch) must not shrink
-                  // the expiry — last-touch only ever advances
-                  cur = Some(st.copy(lastTouchMs = math.max(st.lastTouchMs, ts.getTime)))
-                  BandVerdict(id, band, neardup = st.owner != id, owner = st.owner)
-                case None =>
-                  cur = Some(BucketState(id, ts.getTime))
-                  BandVerdict(id, band, neardup = false, owner = id)
-              }
-            }
-            cur.foreach { st =>
-              state.update(st)
-              // a watermark-admissible arrival can still sit further behind
-              // the watermark than the TTL is long (small TTL, generous
-              // delay): clamp the expiry just past the current watermark or
-              // setTimeoutTimestamp throws and kills the query
-              state.setTimeoutTimestamp(math.max(
-                st.lastTouchMs + bucketTtlMs, state.getCurrentWatermarkMs() + 1))
-            }
-            out.iterator
+          val rs = rows.toSeq
+          // every row emits a verdict (band-level granularity); the
+          // band value is constant within the group key
+          val band = rs.headOption.map(_._3).getOrElse(0L)
+          claimFold(rs.map { case (id, ts, _, _) => (id, ts) },
+            state, bucketTtlMs, oncePerDoc = false) { (id, nd, owner) =>
+            BandVerdict(id, band, neardup = nd, owner = owner)
           }
       }
   }
@@ -146,40 +174,13 @@ object CorpusStreams {
       .groupByKey { case (_, _, fp) => fp }
       .flatMapGroupsWithState[BucketState, FpVerdict](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
-        (_: Long, rows: Iterator[(Long, java.sql.Timestamp, Long)],
+        (fp: Long, rows: Iterator[(Long, java.sql.Timestamp, Long)],
          state: GroupState[BucketState]) =>
-          if (state.hasTimedOut) {
-            state.remove()
-            Iterator.empty
-          } else {
-            // the same fp can be selected at several positions of one doc:
-            // ONE verdict per (doc, fp) — but every row still advances
-            // last-touch (dropping later-ts duplicates before the
-            // math.max would shrink the TTL expiry, the invariant the
-            // band guard's late-arrival rule protects). A streaming
-            // .distinct() upstream would be a second stateful operator.
-            val sorted = rows.toSeq.sortBy { case (id, ts, _) => (ts.getTime, id) }
-            var cur = state.getOption
-            val emitted = scala.collection.mutable.Set.empty[Long]
-            val out = sorted.flatMap { case (id, ts, fp) =>
-              cur match {
-                case Some(st) =>
-                  cur = Some(st.copy(lastTouchMs = math.max(st.lastTouchMs, ts.getTime)))
-                  if (emitted.add(id))
-                    Some(FpVerdict(id, fp, neardup = st.owner != id, owner = st.owner))
-                  else None
-                case None =>
-                  cur = Some(BucketState(id, ts.getTime))
-                  emitted.add(id)
-                  Some(FpVerdict(id, fp, neardup = false, owner = id))
-              }
-            }
-            cur.foreach { st =>
-              state.update(st)
-              state.setTimeoutTimestamp(math.max(
-                st.lastTouchMs + fpTtlMs, state.getCurrentWatermarkMs() + 1))
-            }
-            out.iterator
+          // ONE verdict per (doc, fp) — oncePerDoc dedupes the multi-
+          // position selections while every row still advances last-touch
+          claimFold(rows.toSeq.map { case (id, ts, _) => (id, ts) },
+            state, fpTtlMs, oncePerDoc = true) { (id, nd, owner) =>
+            FpVerdict(id, fp, neardup = nd, owner = owner)
           }
       }
   }
