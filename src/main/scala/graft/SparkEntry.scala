@@ -48,6 +48,8 @@ object SparkEntry {
     "q28_bbox_normalize"  -> (RosbagDomainOps.bboxNormalize _),
     "q29_bbox_iou"        -> (RosbagDomainOps.bboxIou _),
     "q29b_det_eval"       -> ((s: SparkSession, d: String) => RosbagDomainOps.detEval(s, d)),
+    "q29c_det_ap"         -> ((s: SparkSession, d: String) => RosbagDomainOps.detAveragePrecision(s, d)),
+    "q29d_nms"            -> (RosbagDomainOps.nmsTable _),
     "q32_track_stitch"    -> ((s: SparkSession, d: String) => RosbagDomainOps.trackStitch(s, d)),
     "q30_train_val_split" -> (RosbagDomainOps.trainValSplit _),
     "q34_salted_join"     -> ((s: SparkSession, d: String) => SkewOps.saltedJoin(s, d)),
@@ -965,6 +967,60 @@ object SparkEntry {
       |  CAST((p_size * 7) % 100 + 20 AS BIGINT) AS w,
       |  CAST((p_size * 11) % 80 + 20 AS BIGINT) AS h FROM part)""".stripMargin
 
+  // Shared oracle CTEs for the ranked-detection pair q29c/q29d: the scored
+  // three-proposals-per-object detection model + the greedy NMS replay
+  // (mirrors RosbagDomainOps.scoredDetections / nms). DuckDB has no
+  // sequential loop, so NMS — greedy by definition — replays as a
+  // recursive CTE stepping one score rank at a time per (image, class),
+  // carrying the kept-box list; queries embedding this must open with
+  // WITH RECURSIVE.
+  private val SCORED_DET =
+    """gt AS (SELECT p_partkey AS gt_id, p_partkey // 40 AS image_id, p_partkey % 3 AS class_id,
+      |  (p_partkey * 37) % 700 AS gx, (p_partkey * 53) % 500 AS gy,
+      |  CAST((p_size * 7) % 100 + 20 AS BIGINT) AS gw,
+      |  CAST((p_size * 11) % 80 + 20 AS BIGINT) AS gh FROM part),
+      |det AS (
+      |  SELECT gt_id * 3 AS pred_id, image_id, class_id,
+      |    gx + (gt_id % 11) - 5 AS x, gy + (gt_id * 3) % 11 - 5 AS y,
+      |    gw + (gt_id % 7) - 3 AS w, gh + (gt_id * 5) % 7 - 3 AS h,
+      |    600 + (gt_id * 13) % 400 AS si FROM gt
+      |  UNION ALL
+      |  SELECT gt_id * 3 + 1, image_id, class_id,
+      |    gx + (gt_id * 5) % 15 - 7, gy + (gt_id * 7) % 15 - 7,
+      |    gw + (gt_id % 9) - 4, gh + (gt_id * 11) % 9 - 4,
+      |    300 + (gt_id * 17) % 400 FROM gt
+      |  UNION ALL
+      |  SELECT gt_id * 3 + 2, image_id, class_id,
+      |    (gx + 200 + (gt_id * 19) % 300) % 700, (gy + 150 + (gt_id * 23) % 200) % 500,
+      |    (gt_id * 29) % 80 + 20, (gt_id * 31) % 60 + 20,
+      |    (gt_id * 37) % 1000 FROM gt)""".stripMargin
+
+  private val NMS_CTES =
+    s"""$SCORED_DET,
+       |ranked AS (SELECT *,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY image_id, class_id ORDER BY si DESC, pred_id) AS BIGINT) AS rk
+       |  FROM det),
+       |grp AS (SELECT image_id, class_id, MAX(rk) AS nrk FROM ranked GROUP BY 1, 2),
+       |step AS (
+       |  SELECT image_id, class_id, CAST(0 AS BIGINT) AS rk,
+       |    CAST([] AS STRUCT(pred_id BIGINT, x BIGINT, y BIGINT, w BIGINT, h BIGINT, si BIGINT)[]) AS kept
+       |  FROM grp
+       |  UNION ALL
+       |  SELECT r.image_id, r.class_id, r.rk,
+       |    CASE WHEN r.rk <= 400 AND COALESCE(list_max(list_transform(s.kept, k ->
+       |        CAST(GREATEST(0, LEAST(k.x + k.w, r.x + r.w) - GREATEST(k.x, r.x))
+       |           * GREATEST(0, LEAST(k.y + k.h, r.y + r.h) - GREATEST(k.y, r.y)) AS DOUBLE)
+       |        / (k.w * k.h + r.w * r.h
+       |           - GREATEST(0, LEAST(k.x + k.w, r.x + r.w) - GREATEST(k.x, r.x))
+       |             * GREATEST(0, LEAST(k.y + k.h, r.y + r.h) - GREATEST(k.y, r.y))))), 0.0) <= 0.45
+       |      THEN list_append(s.kept, {'pred_id': r.pred_id, 'x': r.x, 'y': r.y, 'w': r.w, 'h': r.h, 'si': r.si})
+       |      ELSE s.kept END
+       |  FROM step s JOIN ranked r
+       |    ON r.image_id = s.image_id AND r.class_id = s.class_id AND r.rk = s.rk + 1),
+       |keptd AS (SELECT s.image_id, s.class_id, u.pred_id, u.x, u.y, u.w, u.h, u.si
+       |        FROM step s JOIN grp g ON s.image_id = g.image_id AND s.class_id = g.class_id AND s.rk = g.nrk,
+       |        LATERAL (SELECT unnest(s.kept, recursive := true)) u)""".stripMargin
+
   // Exact-sum carrier used by every oracle: identical decimal cast chain as
   // graft.functions.Exact, so double aggregates are bit-identical.
   /** Hyperplane sign-block SQL over column `v` (`bits` planes of table
@@ -1396,6 +1452,60 @@ object SparkEntry {
          |  CASE WHEN precision IS NOT NULL AND recall IS NOT NULL AND precision + recall > 0
          |    THEN 2.0 * precision * recall / (precision + recall) END AS f1
          |FROM sel ORDER BY class_id""".stripMargin,
+
+    // greedy NMS: DuckDB replays the sequential suppression loop as a
+    // recursive CTE (one score rank per step, kept-list carried as a
+    // struct list), same integer ranking + IoU gate as the Spark kernel
+    "q29d_nms" ->
+      s"""WITH RECURSIVE $NMS_CTES
+         |SELECT image_id, class_id, pred_id, CAST(si AS DOUBLE) / 1000.0 AS score
+         |FROM keptd ORDER BY image_id, class_id, pred_id""".stripMargin,
+
+    // per-class average precision over post-NMS detections: mutual-best
+    // matching (q29b's device) -> score-ranked cumulative TP -> precision
+    // envelope -> VOC2010 continuous AP; the AP sum rides the decimal
+    // carrier over interp-precision terms, divided by n_gt once
+    "q29c_det_ap" ->
+      s"""WITH RECURSIVE $NMS_CTES,
+         |pairs AS (SELECT g.class_id, g.gt_id, p.pred_id, CAST(inter AS DOUBLE) / uni AS iou
+         |          FROM gt g JOIN keptd p ON g.image_id = p.image_id AND g.class_id = p.class_id,
+         |          LATERAL (SELECT
+         |            GREATEST(0, LEAST(g.gx + g.gw, p.x + p.w) - GREATEST(g.gx, p.x))
+         |            * GREATEST(0, LEAST(g.gy + g.gh, p.y + p.h) - GREATEST(g.gy, p.y)) AS inter,
+         |            g.gw * g.gh + p.w * p.h
+         |            - GREATEST(0, LEAST(g.gx + g.gw, p.x + p.w) - GREATEST(g.gx, p.x))
+         |              * GREATEST(0, LEAST(g.gy + g.gh, p.y + p.h) - GREATEST(g.gy, p.y)) AS uni) t
+         |          WHERE CAST(inter AS DOUBLE) / uni >= 0.5),
+         |m AS (SELECT pred_id FROM (
+         |        SELECT pred_id,
+         |          ROW_NUMBER() OVER (PARTITION BY pred_id ORDER BY iou DESC, gt_id) AS rp,
+         |          ROW_NUMBER() OVER (PARTITION BY gt_id ORDER BY iou DESC, pred_id) AS rg
+         |        FROM pairs) WHERE rp = 1 AND rg = 1),
+         |ng AS (SELECT class_id, CAST(COUNT(*) AS BIGINT) AS n_gt FROM gt GROUP BY class_id),
+         |rk2 AS (SELECT p.class_id, p.pred_id, p.si,
+         |         CASE WHEN m.pred_id IS NOT NULL THEN 1 ELSE 0 END AS is_tp
+         |       FROM keptd p LEFT JOIN m ON p.pred_id = m.pred_id),
+         |cum AS (SELECT class_id, pred_id, si, is_tp,
+         |         SUM(is_tp) OVER (PARTITION BY class_id ORDER BY si DESC, pred_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tp,
+         |         CAST(ROW_NUMBER() OVER (PARTITION BY class_id ORDER BY si DESC, pred_id) AS BIGINT) AS rnk
+         |       FROM rk2),
+         |ip AS (SELECT class_id, is_tp,
+         |         MAX(CAST(cum_tp AS DOUBLE) / rnk) OVER (PARTITION BY class_id ORDER BY si DESC, pred_id
+         |           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS iprec
+         |       FROM cum),
+         |percls AS (SELECT i.class_id, ng.n_gt,
+         |    CAST(COUNT(*) AS BIGINT) AS n_pred,
+         |    CAST(SUM(i.is_tp) AS BIGINT) AS n_tp,
+         |    CAST(SUM(CAST(CASE WHEN i.is_tp = 1 THEN i.iprec END AS DECIMAL(27,6))) AS DOUBLE) / ng.n_gt AS ap
+         |  FROM ip i JOIN ng ON i.class_id = ng.class_id
+         |  GROUP BY i.class_id, ng.n_gt)
+         |SELECT class_id, n_gt, n_pred, n_tp, ap FROM percls
+         |UNION ALL
+         |SELECT CAST(-1 AS BIGINT), CAST(SUM(n_gt) AS BIGINT), CAST(SUM(n_pred) AS BIGINT),
+         |  CAST(SUM(n_tp) AS BIGINT),
+         |  CAST(SUM(CAST(ap AS DECIMAL(27,6))) AS DOUBLE) / COUNT(ap)
+         |FROM percls ORDER BY class_id""".stripMargin,
 
     // track stitching: identical frame numbering, box synthesis, IoU gate,
     // mutual-best links, then DuckDB's recursive closure in place of the

@@ -159,4 +159,118 @@ class DomainOpsSpec extends SparkSpec {
     assert(got === expect)
     got.values.foreach { case (ng, np, nm) => assert(nm <= math.min(ng, np)) }
   }
+
+  // The q29c/q29d scored-detection model, recomputed driver-side from
+  // `part` — three proposals per GT object (tight/loose/background), the
+  // mirror of RosbagDomainOps.scoredDetections for independent naive
+  // recomputes below.
+  private case class Det(id: Long, img: Long, cls: Long, x: Long, y: Long,
+      w: Long, h: Long, si: Long)
+
+  private def naiveModel(): (Seq[Det], Seq[Det]) = {
+    import org.apache.spark.sql.functions._
+    val gts = Tables.part(spark, sf).select(col("p_partkey"), col("p_size")).collect().map { r =>
+      val k = r.getLong(0)
+      val sz = r.get(1) match { case i: Int => i.toLong; case l: Long => l }
+      Det(k, k / 40, k % 3, (k * 37) % 700, (k * 53) % 500,
+        (sz * 7) % 100 + 20, (sz * 11) % 80 + 20, 0L)
+    }.toSeq
+    val dets = gts.flatMap { g =>
+      val k = g.id
+      Seq(
+        Det(k * 3, g.img, g.cls, g.x + k % 11 - 5, g.y + (k * 3) % 11 - 5,
+          g.w + k % 7 - 3, g.h + (k * 5) % 7 - 3, 600 + (k * 13) % 400),
+        Det(k * 3 + 1, g.img, g.cls, g.x + (k * 5) % 15 - 7, g.y + (k * 7) % 15 - 7,
+          g.w + k % 9 - 4, g.h + (k * 11) % 9 - 4, 300 + (k * 17) % 400),
+        Det(k * 3 + 2, g.img, g.cls, (g.x + 200 + (k * 19) % 300) % 700,
+          (g.y + 150 + (k * 23) % 200) % 500,
+          (k * 29) % 80 + 20, (k * 31) % 60 + 20, (k * 37) % 1000))
+    }
+    (gts, dets)
+  }
+
+  private def iouD(a: Det, b: Det): Double = {
+    val iw = math.max(0L, math.min(a.x + a.w, b.x + b.w) - math.max(a.x, b.x))
+    val ih = math.max(0L, math.min(a.y + a.h, b.y + b.h) - math.max(a.y, b.y))
+    val inter = iw * ih
+    inter.toDouble / (a.w * a.h + b.w * b.h - inter)
+  }
+
+  // Plain sequential greedy NMS per (image, class) — the textbook loop the
+  // distributed kernel must reproduce exactly.
+  private def naiveNms(dets: Seq[Det], thresh: Double = 0.45): Seq[Det] =
+    dets.groupBy(d => (d.img, d.cls)).toSeq.flatMap { case (_, ds) =>
+      val ranked = ds.sortBy(d => (-d.si, d.id))
+      ranked.foldLeft(Vector.empty[Det]) { (kept, c) =>
+        if (kept.forall(k => iouD(k, c) <= thresh)) kept :+ c else kept
+      }
+    }
+
+  test("q29d nms: exact parity with sequential greedy + suppression invariants") {
+    val (_, dets) = naiveModel()
+    val expect = naiveNms(dets).map(_.id).toSet
+    val got = operators.RosbagDomainOps.nmsTable(spark, sf).collect()
+      .map(_.getAs[Long]("pred_id")).toSet
+    assert(got === expect)
+    assert(got.size < dets.size, "NMS must actually suppress on this model")
+    // no two kept boxes of one (image, class) group overlap past the gate
+    val byId = dets.map(d => d.id -> d).toMap
+    val kept = got.toSeq.map(byId)
+    kept.groupBy(d => (d.img, d.cls)).foreach { case (_, ks) =>
+      for (a <- ks; b <- ks if a.id < b.id)
+        assert(iouD(a, b) <= 0.45, s"kept pair ${a.id},${b.id} overlaps")
+    }
+    // greedy completeness: every suppressed box overlaps some kept box
+    // that outranks it
+    dets.filterNot(d => got(d.id)).foreach { s =>
+      val winners = kept.filter(k => k.img == s.img && k.cls == s.cls &&
+        (k.si > s.si || (k.si == s.si && k.id < s.id)) && iouD(k, s) > 0.45)
+      assert(winners.nonEmpty, s"suppressed ${s.id} has no dominating kept box")
+    }
+  }
+
+  test("q29c det AP: matches a naive driver-side ranked-sweep recompute") {
+    val (gts, dets) = naiveModel()
+    val kept = naiveNms(dets)
+    // mutual-best matching at IoU >= 0.5 within (image, class)
+    val pairs = for {
+      g <- gts; p <- kept
+      if g.img == p.img && g.cls == p.cls && iouD(g, p) >= 0.5
+    } yield (g, p, iouD(g, p))
+    val bp = pairs.groupBy(_._2.id).map { case (pid, ps) =>
+      pid -> ps.minBy(t => (-t._3, t._1.id))._1.id }
+    val bg = pairs.groupBy(_._1.id).map { case (gid, ps) =>
+      gid -> ps.minBy(t => (-t._3, t._2.id))._2.id }
+    val tp = bp.filter { case (p, g) => bg.get(g).contains(p) }.keySet
+    // ranked sweep per class: cumulative precision, envelope, VOC2010 AP
+    val expect = (0L to 2L).map { c =>
+      val ranked = kept.filter(_.cls == c).sortBy(d => (-d.si, d.id))
+      val nGt = gts.count(_.cls == c)
+      val isTp = ranked.map(d => tp(d.id))
+      val cumTp = isTp.scanLeft(0)((a, t) => a + (if (t) 1 else 0)).tail
+      val prec = cumTp.zipWithIndex.map { case (ct, i) => ct.toDouble / (i + 1) }
+      val env = prec.scanRight(0.0)(math.max).init
+      val ap = isTp.zip(env).filter(_._1).map(_._2).sum / nGt
+      c -> ((nGt.toLong, ranked.size.toLong, cumTp.lastOption.getOrElse(0).toLong, ap))
+    }.toMap
+    val got = operators.RosbagDomainOps.detAveragePrecision(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    (0L to 2L).foreach { c =>
+      val (eng, enp, entp, eap) = expect(c)
+      val (gng, gnp, gntp, gap) = got(c)
+      assert((gng, gnp, gntp) === ((eng, enp, entp)), s"class $c counts")
+      // Spark's AP rides the DECIMAL(27,6) carrier (per-term 1e-6
+      // rounding); the naive double sum is the reference within that
+      assert(math.abs(gap - eap) < 1e-4, s"class $c ap: $gap vs $eap")
+    }
+    // mAP rollup row: totals + macro mean of the class APs
+    val (mng, mnp, mntp, map) = got(-1L)
+    assert(mng === expect.values.map(_._1).sum)
+    assert(mnp === expect.values.map(_._2).sum)
+    assert(mntp === expect.values.map(_._3).sum)
+    val expMap = expect.values.map(_._4).sum / 3.0
+    assert(math.abs(map - expMap) < 1e-4, s"mAP $map vs $expMap")
+    assert(map > 0.0 && map < 1.0, "mAP must be a non-degenerate curve point")
+  }
 }
