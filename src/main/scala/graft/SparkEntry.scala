@@ -162,6 +162,7 @@ object SparkEntry {
     "q77_cohort_retention" -> (TemporalOps.cohortRetention _),
     "q78_transitions"     -> (TemporalOps.transitionMatrix _),
     "q79_anomalies"       -> (QualityOps.anomalies _),
+    "q104_voxel_downsample" -> (PointCloudOps.voxelTable _),
     "q80_expectations"    -> ((s: SparkSession, d: String) => QualityOps.expectationAudit(s, d)),
   )
 
@@ -1125,6 +1126,25 @@ object SparkEntry {
 
 
   def oracleSql: Map[String, String] = Map(
+    // voxel-grid downsampling over the synthesized lidar sweeps: identical
+    // integer->double coordinate chains, floor voxel assignment, decimal-
+    // carrier centroids with one final IEEE division per voxel
+    "q104_voxel_downsample" ->
+      s"""WITH pts AS (SELECT l_orderkey % 20 AS sweep,
+         |  CAST((l_partkey * 31) % 2000 AS DOUBLE) / 10.0 - 100.0 AS x,
+         |  CAST((l_suppkey * 17) % 2000 AS DOUBLE) / 10.0 - 100.0 AS y,
+         |  CAST((CAST(l_linenumber AS BIGINT) * 13) % 40 AS DOUBLE) / 10.0 - 2.0 AS z,
+         |  l_quantity / 50.0 AS intensity FROM lineitem)
+         |SELECT sweep,
+         |  CAST(FLOOR(x / 5.0) AS BIGINT) AS vx,
+         |  CAST(FLOOR(y / 5.0) AS BIGINT) AS vy,
+         |  CAST(FLOOR(z / 5.0) AS BIGINT) AS vz,
+         |  CAST(COUNT(*) AS BIGINT) AS n_points,
+         |  ${S("x")} / COUNT(*) AS cx,
+         |  ${S("y")} / COUNT(*) AS cy,
+         |  ${S("z")} / COUNT(*) AS cz,
+         |  ${S("intensity")} / COUNT(intensity) AS mean_intensity
+         |FROM pts GROUP BY 1, 2, 3, 4 ORDER BY 1, 2, 3, 4""".stripMargin,
     "q01_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
          |  ${S("l_quantity")} AS sum_qty,

@@ -19,10 +19,33 @@ import org.apache.spark.sql.types.{BinaryType, IntegerType, LongType, StringType
 object ImageOps {
 
   // dedupGroupsFrames' live id snapshot per session (RDD persists are
-  // invisible to spark.catalog.clearCache — released on the next call)
+  // invisible to spark.catalog.clearCache). Cache contract, mirroring
+  // propagateMin's discipline: ONE outstanding dedupGroupsFrames result
+  // per session — the next call unpersists the previous call's id RDD,
+  // so a still-held earlier result silently recomputes its zipWithIndex
+  // lineage (correct, just slower; ids are deterministic under the
+  // range-sort). Entries are evicted when their session closes (the
+  // listener below), so a long-lived JVM cycling sessions doesn't
+  // accumulate dead SparkSession keys.
   private val idRddCache = new java.util.concurrent.ConcurrentHashMap[
     org.apache.spark.sql.SparkSession,
     org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]]()
+
+  private def cacheIdRdd(spark: SparkSession,
+      rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]): Unit = {
+    val prev = idRddCache.put(spark, rdd)
+    if (prev != null) prev.unpersist(blocking = false)
+    else
+      // first entry for this session: hook its end so the map entry (not
+      // just the persist) is released — registered once per session, not
+      // per call, to avoid stacking identical listeners on the context
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onApplicationEnd(
+              e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
+            Option(idRddCache.remove(spark)).foreach(_.unpersist(blocking = false))
+        })
+  }
 
   /** Channel count for the uint8 channels-last encodings the pixel
     * REWRITING paths (blur/resize/png) understand. Anything else (mono16,
@@ -210,7 +233,7 @@ object ImageOps {
     val idRdd = nodes.repartitionByRange(col("k")).sortWithinPartitions("k").rdd
       .zipWithIndex.map { case (r, i) => org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i) }
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    Option(idRddCache.put(spark, idRdd)).foreach(_.unpersist(blocking = false))
+    cacheIdRdd(spark, idRdd)
     val withId = spark.createDataFrame(idRdd,
       StructType(nodes.schema.fields :+ StructField("nid", LongType, nullable = false)))
     val edges = pairs

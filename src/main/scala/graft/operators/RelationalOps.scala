@@ -274,27 +274,40 @@ object RelationalOps {
     * mergeable partials — where exact `percentile` materializes the
     * value multiset per group), but its values are engine-specific, so
     * the output carries the EXACT percentiles plus booleans asserting
-    * the sketch landed inside its contracted rank window — Spark
-    * guarantees rank error ≤ 1/accuracy, so the value must lie between
-    * the exact (p−ε) and (p+ε) percentiles. The oracle recomputes the
-    * exact values and pins the verdicts TRUE; the sketch values
-    * themselves never leave the query.
+    * the sketch landed inside its contracted window. The window is a
+    * RANK window, bounded by ORDER STATISTICS — the sketch's guarantee
+    * is that its value's rank r satisfies |r − p·n| ≤ ε·n, so the value
+    * must lie between sorted[max(1, ⌊(p−ε)·n⌋)] and
+    * sorted[min(n, ⌈(p+ε)·n⌉)]. (The earlier interpolated-percentile
+    * bounds were WRONG in principle: interpolation between adjacent
+    * order statistics can land strictly inside the value gap the rank
+    * contract permits, yielding a spurious FALSE on small or
+    * all-distinct groups.) The exact sorted multiset is the verdict
+    * arm's cost, same class as the exact `percentile` columns beside it.
+    * The oracle recomputes the exact values and pins the verdicts TRUE;
+    * the sketch values themselves never leave the query.
     */
   def approxPercentiles(s: SparkSession, d: String): DataFrame = {
     val acc = 10000
     val eps = 1.0 / acc
     def q(p: Double) = percentile(col("l_quantity"), lit(p))
+    def within(i: Int, p: Double) = {
+      val loR = greatest(lit(1L), floor(lit(p - eps) * col("n")).cast("long"))
+      val hiR = least(col("n"), ceil(lit(p + eps) * col("n")).cast("long"))
+      (col("ap")(i) >= element_at(col("vals"), loR.cast("int")) &&
+        col("ap")(i) <= element_at(col("vals"), hiR.cast("int")))
+    }
     Tables.lineitem(s, d)
       .groupBy("l_returnflag")
       .agg(
         q(0.5).as("median_qty"), q(0.9).as("p90_qty"),
-        q(0.5 - eps).as("lo50"), q(0.5 + eps).as("hi50"),
-        q(0.9 - eps).as("lo90"), q(0.9 + eps).as("hi90"),
+        sort_array(collect_list(col("l_quantity"))).as("vals"),
+        count(col("l_quantity")).as("n"),
         approx_percentile(col("l_quantity"),
           array(lit(0.5), lit(0.9)), lit(acc)).as("ap"))
       .select(col("l_returnflag"), col("median_qty"), col("p90_qty"),
-        (col("ap")(0) >= col("lo50") && col("ap")(0) <= col("hi50")).as("median_within"),
-        (col("ap")(1) >= col("lo90") && col("ap")(1) <= col("hi90")).as("p90_within"))
+        within(0, 0.5).as("median_within"),
+        within(1, 0.9).as("p90_within"))
       .orderBy("l_returnflag")
   }
 

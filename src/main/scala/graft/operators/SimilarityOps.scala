@@ -673,17 +673,35 @@ object SimilarityOps {
     * (the q44b/q67b genus — the round-10 verdict's last frozen scale
     * dial); under this rule per-list population grows only as √n.
     */
+  /** Flat-IVF sizing ceiling: k caps at 2^20 lists. The cap is where the
+    * FLAT coarse quantizer's own model stops fitting: the centroid table
+    * is k × 64 dims × 8 B — 512 MB of driver- and executor-resident
+    * doubles at the cap — and k²=n puts that corpus at n ≈ 10^12
+    * vectors (~a quarter-petabyte of raw fp32 at d=64). Past it, a flat
+    * table is the wrong structure regardless of memory: the escape
+    * hatch is a hierarchical quantizer (IMI — two 2^10 codebooks whose
+    * PRODUCT spans 2^20 cells from 16 MB of centroids, Babenko &
+    * Lempitsky CVPR 2012 — or a two-level coarse tree), which composes
+    * with everything downstream of the assignment kernel since lists
+    * are still just ids. [[autoK]] clamps silently (a bigger corpus
+    * still gets a working, if coarser-than-√n, index); [[autoQuantizer]]
+    * warns when the clamp engages so a 100 TB run sees the dial pinned.
+    */
+  private[graft] val AutoKCap = 1 << 20
+
   private[graft] def autoK(n: Long): Int = {
     require(n >= 0, s"corpus size must be >= 0; got $n")
     var k = 16
-    while (k.toLong * k < n && k < (1 << 20)) k <<= 1
+    while (k.toLong * k < n && k < AutoKCap) k <<= 1
     k
   }
 
   /** Most recent trained auto quantizer per (session, lake, corpus
     * convention) — q46d/q54b/q68d share one training run (the
     * established one-live-copy policy, DedupOps.sigTable's pattern);
-    * the cache holds k×64 doubles (≤ 512 KiB), never rows. */
+    * the cache holds k×64 doubles — 512 KiB at the gate lake's k=1024,
+    * and bounded by [[AutoKCap]]'s 512 MB worst case (the flat-IVF
+    * model's own ceiling, see there), never rows. */
   private val autoQuantCaches =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Long), (Int, Array[Array[Double]])]()
 
@@ -711,6 +729,10 @@ object SimilarityOps {
     val n = corpus.count()
     require(n > 0, "auto quantizer: empty corpus")
     val k = autoK(n)
+    if (k.toLong * k < n)
+      System.err.println(s"[graft] autoK clamped at $k lists for n=$n vectors " +
+        "(k^2 < n): per-list population now grows past sqrt(n) — switch to " +
+        "a hierarchical (IMI-style) coarse quantizer at this scale")
     val frac = math.min(1.0, AutoMppc.toDouble * k / n)
     val sample = Tables.spreadScan(s, corpus.filter(Tables.sampleLine(col("id"), frac)))
     (k, Kmeans.trainSampled(s, sample, k, AutoIters, AutoSeed))

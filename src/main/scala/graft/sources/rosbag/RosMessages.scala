@@ -142,15 +142,23 @@ object RosMessages {
     PointCloud2Msg(h, height, width, fields, isBig, pointStep, rowStep, pts, isDense)
   }
 
-  /** Read one numeric channel value at `base + field.offset` from a packed
-    * point record, by the PointField datatype constant. Endianness follows
-    * the cloud's is_bigendian flag (the wire header/metadata layer is
-    * always little-endian; only the point PAYLOAD honors the flag).
+  /** One endian-ordered view over a cloud's point payload — created ONCE
+    * per cloud and passed into the per-point loop (the loop reads
+    * ~channels × points values; wrapping a fresh buffer per read was ~4
+    * allocations per point on a path documented as a ~100× row fan-out).
+    * The wire header/metadata layer is always little-endian; only the
+    * point PAYLOAD honors the cloud's is_bigendian flag.
     */
-  private[rosbag] def pointValue(data: Array[Byte], base: Int,
-      f: PointField, bigendian: Boolean): Double = {
-    val b = ByteBuffer.wrap(data)
+  private[rosbag] def pointBuffer(data: Array[Byte], bigendian: Boolean): ByteBuffer =
+    ByteBuffer.wrap(data)
       .order(if (bigendian) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN)
+
+  /** Read one numeric channel value at `base + field.offset` from a packed
+    * point record, by the PointField datatype constant, via absolute gets
+    * on a [[pointBuffer]] (no per-read allocation, thread-confined to the
+    * decoding task).
+    */
+  private[rosbag] def pointValue(b: ByteBuffer, base: Int, f: PointField): Double = {
     val p = base + f.offset.toInt
     f.datatype match {
       case 1 => b.get(p).toDouble                      // INT8

@@ -166,9 +166,11 @@ object RosbagReader {
       .filter(_.datatype == "sensor_msgs/PointCloud2")
       .map { m =>
         val c = RosMessages.pointCloud2(m.data)
-        val n = if (c.pointStep > 0) (c.data.length / c.pointStep).toLong else 0L
+        // the cloud's declared shape, not data.length/point_step: a spec-
+        // valid organized cloud pads rows to row_step, and padding bytes
+        // are NOT points
         (m.path, m.topic, m.time_ns, c.header.seq, c.header.frameId,
-          c.height, c.width, n, c.pointStep, c.isBigendian, c.isDense,
+          c.height, c.width, c.height * c.width, c.pointStep, c.isBigendian, c.isDense,
           c.fields.map(f => (f.name, f.offset, f.datatype, f.count)), c.data)
       }
       .toDF("bag", "topic", "time_ns", "seq", "frame_id", "height", "width",
@@ -201,14 +203,33 @@ object RosbagReader {
         val (fx, fy, fz) = (required("x"), required("y"), required("z"))
         val fi = fieldOf("intensity")
         val step = c.pointStep.toInt
-        val n = if (step > 0) c.data.length / step else 0
-        (0 until n).iterator.map { i =>
-          val base = i * step
-          (m.path, m.topic, m.time_ns, i.toLong,
-            RosMessages.pointValue(c.data, base, fx, c.isBigendian),
-            RosMessages.pointValue(c.data, base, fy, c.isBigendian),
-            RosMessages.pointValue(c.data, base, fz, c.isBigendian),
-            fi.map(f => RosMessages.pointValue(c.data, base, f, c.isBigendian)))
+        val h = c.height.toInt
+        val wd = c.width.toInt
+        // rows advance by row_step, points within a row by point_step —
+        // a spec-valid organized cloud may pad rows (row_step >
+        // width*point_step); indexing by data.length/point_step would
+        // decode phantom points from the padding and misalign every row
+        // after the first. row_step = 0 (common from unorganized-cloud
+        // producers) means densely packed.
+        val rowStep = if (c.rowStep > 0) c.rowStep.toInt else wd * step
+        require(rowStep >= wd * step,
+          s"PointCloud2 on ${m.topic}: row_step $rowStep < width x point_step " +
+            s"(${wd} x $step) — corrupt layout")
+        require(h == 0 || wd == 0 ||
+          (h - 1).toLong * rowStep + wd.toLong * step <= c.data.length,
+          s"PointCloud2 on ${m.topic}: declared ${h}x$wd points exceed the " +
+            s"${c.data.length}-byte payload (row_step $rowStep, point_step $step)")
+        val bb = RosMessages.pointBuffer(c.data, c.isBigendian)
+        (0 until h).iterator.flatMap { r =>
+          val rowBase = r * rowStep
+          (0 until wd).iterator.map { j =>
+            val base = rowBase + j * step
+            (m.path, m.topic, m.time_ns, r.toLong * wd + j,
+              RosMessages.pointValue(bb, base, fx),
+              RosMessages.pointValue(bb, base, fy),
+              RosMessages.pointValue(bb, base, fz),
+              fi.map(f => RosMessages.pointValue(bb, base, f)))
+          }
         }
       }
       .toDF("bag", "topic", "time_ns", "point_idx", "x", "y", "z", "intensity")

@@ -132,26 +132,34 @@ object BagWriter {
     * the point payload honors `bigendian`. */
   def pointCloud2Payload(points: Seq[(Float, Float, Float, Float)],
       bigendian: Boolean = false, withIntensity: Boolean = true,
-      fieldNames: Seq[String] = Seq("x", "y", "z")): Array[Byte] = {
+      fieldNames: Seq[String] = Seq("x", "y", "z"),
+      rows: Int = 1, rowPad: Int = 0,
+      declaredWidth: Option[Int] = None): Array[Byte] = {
+    require(points.length % rows == 0, "points must fill rows evenly")
     val fields = fieldNames.zipWithIndex.map { case (n, i) => (n, i * 4) } ++
       (if (withIntensity) Seq(("intensity", fieldNames.length * 4)) else Nil)
     val step = fields.length * 4
-    val payload = ByteBuffer.allocate(step * points.length)
+    val width = points.length / rows
+    val rowStep = width * step + rowPad // spec-valid row padding when > 0
+    val payload = ByteBuffer.allocate(rows * rowStep)
       .order(if (bigendian) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN)
-    points.foreach { case (x, y, z, in) =>
-      payload.putFloat(x).putFloat(y).putFloat(z)
-      if (withIntensity) payload.putFloat(in)
+    points.grouped(width).foreach { row =>
+      row.foreach { case (x, y, z, in) =>
+        payload.putFloat(x).putFloat(y).putFloat(z)
+        if (withIntensity) payload.putFloat(in)
+      }
+      payload.position(payload.position() + rowPad) // padding bytes stay 0
     }
-    val b = ByteBuffer.allocate(4096 + step * points.length).order(ByteOrder.LITTLE_ENDIAN)
+    val b = ByteBuffer.allocate(4096 + rows * rowStep).order(ByteOrder.LITTLE_ENDIAN)
     b.put(rosHeader(3, 100, 0, "lidar"))
-    b.putInt(1).putInt(points.length) // height = 1 (unorganized), width = n
+    b.putInt(rows).putInt(declaredWidth.getOrElse(width)) // declaredWidth: corrupt-shape tests
     b.putInt(fields.length)
     fields.foreach { case (n, off) =>
       b.put(rosString(n)); b.putInt(off); b.put(7.toByte); b.putInt(1) // FLOAT32 x1
     }
     b.put((if (bigendian) 1 else 0).toByte)
-    b.putInt(step).putInt(step * points.length)
-    b.putInt(step * points.length).put(payload.array())
+    b.putInt(step).putInt(rowStep)
+    b.putInt(rows * rowStep).put(payload.array())
     b.put(1.toByte) // is_dense
     java.util.Arrays.copyOf(b.array(), b.position())
   }
@@ -543,6 +551,41 @@ class RosbagSpec extends SparkSpec {
     def msgs(t: Throwable): Seq[String] =
       if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
     assert(msgs(e).exists(_.contains("missing required field 'z'")))
+  }
+
+  test("pointCloudPoints(): organized cloud with row padding decodes by row_step") {
+    // 2 rows x 2 cols, each row padded by 8 bytes: row_step (40) >
+    // width x point_step (32). Indexing by data.length/point_step would
+    // decode 10 phantom "points" and misalign row 2.
+    val pts = Seq((1.0f, 2.0f, 3.0f, 4.0f), (5.0f, 6.0f, 7.0f, 8.0f),
+      (9.0f, 10.0f, 11.0f, 12.0f), (13.0f, 14.0f, 15.0f, 16.0f))
+    val path = writeCloudBag(Seq(
+      BagWriter.pointCloud2Payload(pts, rows = 2, rowPad = 8)))
+    val clouds = RosbagReader.pointClouds(spark, path).collect()
+    assert(clouds.head.getAs[Long]("n_points") === 4L) // height x width, not bytes/step
+    val rows = RosbagReader.pointCloudPoints(spark, path)
+      .orderBy("point_idx").collect()
+    assert(rows.length === 4)
+    assert(rows.map(_.getAs[Double]("x")).toSeq === Seq(1.0, 5.0, 9.0, 13.0))
+    assert(rows.map(_.getAs[Double]("intensity")).toSeq === Seq(4.0, 8.0, 12.0, 16.0))
+    assert(rows.map(_.getAs[Long]("point_idx")).toSeq === Seq(0L, 1L, 2L, 3L))
+  }
+
+  test("pointCloudPoints(): declared shape exceeding the payload fails loudly") {
+    // corrupt shape: claim 3 points per row but ship payload for 2
+    val bad = BagWriter.pointCloud2Payload(
+      Seq((1.0f, 2.0f, 3.0f, 4.0f), (5.0f, 6.0f, 7.0f, 8.0f)),
+      declaredWidth = Some(3))
+    val path = writeCloudBag(Seq(bad))
+    val e = intercept[Exception] {
+      RosbagReader.pointCloudPoints(spark, path).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    // the layout guards fire before any byte is decoded: either the
+    // row_step consistency check or the payload-capacity check, depending
+    // on which invariant the corruption violates first
+    assert(msgs(e).exists(m => m.contains("corrupt layout") || m.contains("exceed")))
   }
 
   test("voxelDownsample + cloudStats: PCL VoxelGrid semantics") {
