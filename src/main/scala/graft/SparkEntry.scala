@@ -148,6 +148,7 @@ object SparkEntry {
     "q92b_pca_spectrum"   -> ((s: SparkSession, d: String) => operators.Pca.topComponentsTable(s, d)),
     "q93_fertility"       -> ((s: SparkSession, d: String) => operators.Bpe.fertilityByLang(s, d)),
     "q94_clf_train"       -> ((s: SparkSession, d: String) => operators.Clf.trainTable(s, d)),
+    "q94b_clf_train_sampled" -> ((s: SparkSession, d: String) => operators.Clf.trainTableSampled(s, d)),
     "q95_quality_clf"     -> ((s: SparkSession, d: String) => operators.Clf.scoreTable(s, d)),
     "q95b_clf_curve"      -> ((s: SparkSession, d: String) => operators.Clf.thresholdCurve(s, d)),
     "q95c_clf_eval"       -> ((s: SparkSession, d: String) => operators.Clf.evalTable(s, d)),
@@ -212,15 +213,20 @@ object SparkEntry {
       .mkString("CASE ", " ", " ELSE 'und' END")
   }
 
-  // The q94 oracle: the frozen ClfWeights artifact as a VALUES table —
-  // parity pins the distributed trainer bit-exactly (see Clf.trainTable).
-  private def clfTrainOracleSql: String = {
-    val rows = ((-1, graft.operators.ClfWeights.Bias) +:
-      graft.operators.ClfWeights.values)
+  // The q94/q94b oracles: the frozen ClfWeights / ClfWeightsSampled
+  // artifacts as VALUES tables — parity pins each distributed trainer
+  // bit-exactly (see Clf.trainTable / Clf.trainTableSampled).
+  private def clfOracleOf(bias: Double, values: Seq[(Int, Double)]): String = {
+    val rows = ((-1, bias) +: values)
       .map { case (b, w) => s"(CAST($b AS BIGINT), CAST('$w' AS DOUBLE))" }
       .mkString(", ")
     s"SELECT * FROM (VALUES $rows) t(feature, weight) ORDER BY feature"
   }
+  private def clfTrainOracleSql: String =
+    clfOracleOf(graft.operators.ClfWeights.Bias, graft.operators.ClfWeights.values)
+  private def clfTrainSampledOracleSql: String =
+    clfOracleOf(graft.operators.ClfWeightsSampled.Bias,
+      graft.operators.ClfWeightsSampled.values)
 
   // The shared q95/q95b scoring CTE chain (ends at `sc`): q91's
   // hashed-feature CTE at the classifier's bucket width + the frozen
@@ -2804,6 +2810,7 @@ object SparkEntry {
     // q94/q95: the frozen trained classifier (trainer parity + the
     // scoring stage); q96: the LSH banding operating curve vs q41 truth
     "q94_clf_train" -> clfTrainOracleSql,
+    "q94b_clf_train_sampled" -> clfTrainSampledOracleSql,
     "q95_quality_clf" -> qualityClfOracleSql,
     "q95b_clf_curve" -> clfCurveOracleSql,
     "q95c_clf_eval" -> clfEvalOracleSql,

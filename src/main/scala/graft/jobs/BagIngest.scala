@@ -1,6 +1,7 @@
 package graft.jobs
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.{coalesce, col, lit}
 
 import graft.GraftSession
 import graft.multimodal.ImageOps
@@ -11,31 +12,36 @@ import graft.sources.rosbag.RosbagReader
   * Fargate-task-per-bag architecture collapsed into a cluster job where
   * each executor task demuxes whole bags in parallel.
   *
-  * Usage: BagIngest <bag-path-or-glob> <out-dir> [--png] [--blur-regions <parquet>]
+  * Usage: BagIngest <bag-path-or-glob> <out-dir> [--png]
+  *          [--blur-regions <parquet>] [--image-dedup[=HAMMING]]
   *
   * Output layout:
   *   <out>/images/      frame metadata + pixel payloads (parquet)
   *   <out>/laser/ odometry/ wrench/ std_msgs/   typed topic tables
   *   <out>/manifest/    per-recording mp4/frame manifest
+  *   <out>/frame_dedup/ canonical-frame manifest (with --image-dedup)
   *   <out>/png/         one real PNG file per frame (with --png)
   */
 object BagIngest {
 
   def run(spark: SparkSession, bags: String, out: String, writePng: Boolean,
-      piiRegions: Option[DataFrame] = None): Unit =
-    writeTables(spark, bags, out, SaveMode.Overwrite, writePng, piiRegions)
+      piiRegions: Option[DataFrame] = None, imageDedup: Option[Int] = None): Unit =
+    writeTables(spark, bags, out, SaveMode.Overwrite, writePng, piiRegions,
+      imageDedup = imageDedup)
 
   /** One demux pass over `bags` -> all seven lake tables written with
     * `mode` (Overwrite for the batch job; the streaming job overwrites a
     * per-batch subdirectory via `tableSuffix` for idempotent retries).
     */
   def writeTables(spark: SparkSession, bags: String, out: String, mode: SaveMode,
-      writePng: Boolean, piiRegions: Option[DataFrame]): Unit =
-    writeTablesOf(spark, RosbagReader.messages(spark, bags), out, mode, writePng, piiRegions)
+      writePng: Boolean, piiRegions: Option[DataFrame],
+      imageDedup: Option[Int] = None): Unit =
+    writeTablesOf(spark, RosbagReader.messages(spark, bags), out, mode, writePng,
+      piiRegions, imageDedup = imageDedup)
 
   def writeTablesOf(spark: SparkSession, rawMsgs: org.apache.spark.sql.Dataset[RosbagReader.RawMessage],
       out: String, mode: SaveMode, writePng: Boolean, piiRegions: Option[DataFrame],
-      tableSuffix: String = ""): Unit = {
+      tableSuffix: String = "", imageDedup: Option[Int] = None): Unit = {
     def save(df: DataFrame, name: String): Unit =
       df.write.mode(mode).parquet(s"$out/$name$tableSuffix")
 
@@ -61,6 +67,28 @@ object BagIngest {
     // so the manifest sink never re-executes the blur pipeline (Catalyst
     // cannot prune columns through the opaque mapPartitions lambda)
     save(RosbagReader.mp4ManifestOf(rawImages), "manifest")
+    // image dedup (--image-dedup[=HAMMING]): the multimodal analogue of
+    // CorpusPrep's text-dedup stages — dHash + banded Hamming join +
+    // connected components (ImageOps.dedupGroupsFrames) over the RAW
+    // frames (blur must not perturb fingerprints), landing a
+    // canonical-frame manifest NEXT TO the images table: one row per
+    // frame with its canonical key + is_canonical, so downstream
+    // consumers (blur, resize, mp4, shard export) join against it and
+    // process each burst of near-identical frames ONCE. A left join back
+    // to the frame index makes the manifest TOTAL (frames with no
+    // near-dup are trivially their own canonical) — consumers filter
+    // is_canonical without a second anti-join against the pair table.
+    imageDedup.foreach { maxHamming =>
+      val groups = ImageOps.dedupGroupsFrames(spark, rawImages, maxHamming)
+      val manifest = rawImages.select("bag", "topic", "time_ns")
+        .join(groups, Seq("bag", "topic", "time_ns"), "left")
+        .select(col("bag"), col("topic"), col("time_ns"),
+          coalesce(col("canon_bag"), col("bag")).as("canon_bag"),
+          coalesce(col("canon_topic"), col("topic")).as("canon_topic"),
+          coalesce(col("canon_time_ns"), col("time_ns")).as("canon_time_ns"),
+          coalesce(col("is_canonical"), lit(true)).as("is_canonical"))
+      save(manifest, "frame_dedup")
+    }
     msgs.unpersist()
 
     if (writePng) {
@@ -80,7 +108,8 @@ object BagIngest {
 
   def main(args: Array[String]): Unit = {
     require(args.length >= 2,
-      "usage: BagIngest <bags> <out-dir> [--png] [--blur-regions <parquet>]")
+      "usage: BagIngest <bags> <out-dir> [--png] [--blur-regions <parquet>] " +
+        "[--image-dedup[=HAMMING]]")
     val spark = GraftSession.get()
     val regions = args.indexOf("--blur-regions") match {
       case -1 => None
@@ -89,7 +118,11 @@ object BagIngest {
           "--blur-regions requires a parquet path argument")
         Some(spark.read.parquet(args(i + 1)))
     }
-    run(spark, args(0), args(1), args.contains("--png"), regions)
+    val dedup = args.collectFirst {
+      case "--image-dedup"                          => 3
+      case a if a.startsWith("--image-dedup=")      => a.stripPrefix("--image-dedup=").toInt
+    }
+    run(spark, args(0), args(1), args.contains("--png"), regions, dedup)
     spark.stop()
   }
 }

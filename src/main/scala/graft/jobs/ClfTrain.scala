@@ -14,14 +14,20 @@ import graft.operators.{Clf, ClfWeights}
 object ClfTrain {
 
   def main(args: Array[String]): Unit = {
-    require(args.nonEmpty, "usage: ClfTrain <sf-dir> [rounds] [lr]")
+    require(args.nonEmpty, "usage: ClfTrain <sf-dir> [rounds] [lr] [sampleFrac]")
     val rounds = if (args.length > 1) args(1).toInt else ClfWeights.Rounds
     val lr = if (args.length > 2) args(2).toDouble else ClfWeights.LearningRate
+    // sampleFrac < 1: train on the q94b stratified hash-line sample (all
+    // reference docs + sampleFrac of the background — see
+    // Clf.sampledTrainSet), but DIAGNOSE on the full lake: the sampled
+    // model's job is to score everything, so its evidence is full-lake AUC
+    val sample = if (args.length > 3) args(3).toDouble else 1.0
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark: SparkSession = GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val docs = Tables.documents(spark, args(0))
-    val m = Clf.train(spark, docs, rounds = rounds, lr = lr)
+    val trainDocs = if (sample >= 1.0) docs else Clf.sampledTrainSet(docs, sample)
+    val m = Clf.train(spark, trainDocs, rounds = rounds, lr = lr)
     // training-set diagnostics so the dial freeze is evidence, not vibes
     val scored = Clf.scoreOf(docs, m, ClfWeights.Buckets)
       .select("source", "logit").collect()
@@ -37,9 +43,9 @@ object ClfTrain {
       (r.getDouble(1) > 0) == (r.getString(0) == ClfWeights.RefSource)
     ).toDouble / scored.length
     val refRecall = ref.count(_.getDouble(1) > 0).toDouble / ref.length
-    println(f"// rounds=$rounds lr=$lr meanRef=$mRef%.4f meanRest=$mRest%.4f " +
+    println(f"// rounds=$rounds lr=$lr sample=$sample meanRef=$mRef%.4f meanRest=$mRest%.4f " +
       f"auc=$auc%.4f acc=$acc%.4f refRecall=$refRecall%.4f")
-    println(s"// ClfWeights trained on ${args(0)}, rounds = $rounds:")
+    println(s"// ClfWeights trained on ${args(0)}, rounds = $rounds, sample = $sample:")
     println(s"  val Bias: Double = ${m.bias}")
     println(s"  val values: Seq[(Int, Double)] = Seq(")
     m.weights.foreach { case (b, w) => println(s"    ($b, $w),") }

@@ -181,6 +181,41 @@ object Clf {
       .orderBy("feature")
   }
 
+  /** The q94b STRATIFIED training sample: every reference-source doc +
+    * the q36 deterministic hash-line sample of the background. The cost
+    * lever on a real lake is the background class (the crawl IS the
+    * corpus; the curated reference set is fixed and tiny by comparison),
+    * so sampling only the majority class cuts per-round cost by ~frac
+    * while keeping every scarce positive — the standard shape for
+    * reference-vs-crawl classifier training. Deterministic under any
+    * partitioning (hash line, never rand()), so the frozen
+    * [[ClfWeightsSampled]] artifact reproduces bit-exactly.
+    */
+  def sampledTrainSet(docs: DataFrame, frac: Double,
+      refSource: String = ClfWeights.RefSource): DataFrame =
+    docs.filter(col("source") === refSource ||
+      graft.Tables.sampleLine(col("doc_id"), frac))
+
+  /** q94b — the SAMPLED trainer as a driver query (q94's cost-contained
+    * sibling: q94 is ~15% of the whole bench, and nothing about the
+    * 32-round loop needs the full background class): re-runs the
+    * distributed trainer on [[sampledTrainSet]] at the frozen
+    * [[ClfWeightsSampled.SampleFrac]] and emits (feature, weight).
+    * Oracled by the frozen [[ClfWeightsSampled]] VALUES table — the q94
+    * pattern, pinning the stratified sample line + the whole training
+    * loop bit-exactly. ClfSpec pins what the artifact is FOR: the
+    * sampled model scores the full lake within a stated AUC margin of
+    * the full trainer.
+    */
+  def trainTableSampled(s: SparkSession, d: String,
+      frac: Double = ClfWeightsSampled.SampleFrac): DataFrame = {
+    import s.implicits._
+    val m = train(s, sampledTrainSet(Tables.documentsScaled(s, d), frac))
+    ((-1L, m.bias) +: m.weights.map { case (b, x) => (b.toLong, x) })
+      .toDF("feature", "weight")
+      .orderBy("feature")
+  }
+
   /** Score `docs` under a model: logit_d = bias + (Σ_b k_b·w_b)/n_d.
     * One corpus featurization pass + one broadcast join + one per-doc
     * aggregation; docs with zero features emit no row (no evidence).

@@ -57,6 +57,42 @@ class ClfSpec extends SparkSpec {
       b >= 0 && b < ClfWeights.Buckets && !w.isNaN && !w.isInfinite
     })
     assert(!ClfWeights.Bias.isNaN && !ClfWeights.Bias.isInfinite)
+    assert(graft.operators.ClfWeightsSampled.values.forall { case (b, w) =>
+      b >= 0 && b < ClfWeights.Buckets && !w.isNaN && !w.isInfinite
+    })
+    assert(!graft.operators.ClfWeightsSampled.Bias.isNaN)
+  }
+
+  test("q94b sampled trainer: trains on all ref docs + sampled background, " +
+    "scores the FULL lake within an AUC margin of the full trainer") {
+    val docs = Tables.documents(spark, sf)
+    val frac = graft.operators.ClfWeightsSampled.SampleFrac
+    val trainSet = Clf.sampledTrainSet(docs, frac)
+    // stratification contract: every reference doc survives; the
+    // background shrinks to ~frac
+    val nRef = docs.filter(col("source") === ClfWeights.RefSource).count()
+    assert(trainSet.filter(col("source") === ClfWeights.RefSource).count() === nRef)
+    val nBg = docs.filter(col("source") =!= ClfWeights.RefSource).count()
+    val nBgSampled = trainSet.filter(col("source") =!= ClfWeights.RefSource).count()
+    assert(nBgSampled < nBg && nBgSampled > 0)
+    // rank-AUC of a model scoring the FULL lake (what q94b exists for:
+    // train cheap, score everything)
+    def aucOf(m: Clf.Model): Double = {
+      val scored = Clf.scoreOf(docs, m, ClfWeights.Buckets)
+        .select("source", "logit").collect()
+      val (ref, rest) = scored.partition(_.getString(0) == ClfWeights.RefSource)
+      val rs = ref.map(_.getDouble(1)); val bs = rest.map(_.getDouble(1))
+      rs.map(r => bs.count(_ < r) + 0.5 * bs.count(_ == r)).sum /
+        (rs.length.toDouble * bs.length)
+    }
+    val sampled = Clf.train(spark, trainSet)
+    val full = Clf.frozen // the committed full-train artifact
+    val aucS = aucOf(sampled)
+    val aucF = aucOf(full)
+    // the freeze evidence: sampled-training costs ~frac of a round but
+    // gives up at most this much full-lake ranking quality
+    assert(aucS >= aucF - 0.08, s"sampled AUC $aucS vs full $aucF")
+    assert(aucS > 0.7, s"sampled AUC $aucS not a usable ranker")
   }
 
   test("q95b threshold curve: monotone keep counts, rates in [0,1], " +

@@ -333,6 +333,56 @@ class RosbagSpec extends SparkSpec {
     assert(back.pixels.toSeq === pixels.toSeq)
   }
 
+  test("bag_ingest --image-dedup lands a total canonical-frame manifest; " +
+    "downstream consumers read the deduped set unchanged") {
+    val dir = Files.createTempDirectory("graftimgdedup")
+    // 9x8 rgb8 gradients: a burst of three near-identical frames (a, b, a
+    // — b differs in one cell, a stopped-rig shape) + one inverted frame
+    def grad(mod: Map[Int, Int], invert: Boolean = false): Array[Byte] =
+      Array.tabulate[Byte](9 * 8 * 3) { i =>
+        val px = i / 3
+        val g = mod.getOrElse(px, if (invert) 224 - (px % 9) * 28 else (px % 9) * 28)
+        g.toByte
+      }
+    val a = grad(Map.empty)
+    val b = grad(Map(10 -> 0))
+    val c = grad(Map.empty, invert = true)
+    val inner =
+      BagWriter.connection(0, "/cam0/image_raw", "sensor_msgs/Image") ++
+        BagWriter.message(0, 1600000000L, 100, BagWriter.imagePayload(0, 9, 8, "rgb8", a)) ++
+        BagWriter.message(0, 1600000000L, 200, BagWriter.imagePayload(1, 9, 8, "rgb8", b)) ++
+        BagWriter.message(0, 1600000000L, 300, BagWriter.imagePayload(2, 9, 8, "rgb8", a)) ++
+        BagWriter.message(0, 1600000000L, 400, BagWriter.imagePayload(3, 9, 8, "rgb8", c))
+    val bagDir = dir.resolve("bags"); Files.createDirectories(bagDir)
+    Files.write(bagDir.resolve("a.bag"),
+      BagWriter.bag(BagWriter.bagHeader, BagWriter.chunk(inner, bz2 = false)))
+    val out = dir.resolve("lake").toString
+    graft.jobs.BagIngest.run(spark, bagDir.toString, out,
+      writePng = false, imageDedup = Some(3))
+    val manifest = spark.read.parquet(s"$out/frame_dedup").collect()
+      .map(r => r.getAs[Long]("time_ns") ->
+        (r.getAs[Long]("canon_time_ns"), r.getAs[Boolean]("is_canonical"))).toMap
+    // TOTAL: one row per ingested frame, including the no-near-dup one
+    assert(manifest.size === 4)
+    val burstTs = Seq(100L, 200L, 300L).map(1600000000L * 1000000000L + _)
+    val cTs = 1600000000L * 1000000000L + 400L
+    // the burst collapses to ONE canonical (the earliest frame)
+    assert(manifest(burstTs.head) === (burstTs.head, true))
+    burstTs.tail.foreach(t => assert(manifest(t) === (burstTs.head, false)))
+    // the distinct frame is trivially its own canonical
+    assert(manifest(cTs) === (cTs, true))
+    // downstream consumption: the png/resize/mp4 stages read images joined
+    // against is_canonical and process each burst once — 2 frames survive
+    val images = spark.read.parquet(s"$out/images")
+    val canon = spark.read.parquet(s"$out/frame_dedup")
+      .filter(org.apache.spark.sql.functions.col("is_canonical"))
+      .select("bag", "topic", "time_ns")
+    val deduped = images.join(canon, Seq("bag", "topic", "time_ns"))
+    val pngs = graft.multimodal.ImageOps.toPng(spark, deduped).collect()
+    assert(pngs.length === 2)
+    pngs.foreach(p => assert(p.png.nonEmpty))
+  }
+
   test("odometry(): pose/twist values round-trip") {
     val path = writeTestBag(bz2 = false)
     val r = RosbagReader.odometry(spark, path).collect()(0)
