@@ -50,6 +50,7 @@ object SparkEntry {
     "q29b_det_eval"       -> ((s: SparkSession, d: String) => RosbagDomainOps.detEval(s, d)),
     "q29c_det_ap"         -> ((s: SparkSession, d: String) => RosbagDomainOps.detAveragePrecision(s, d)),
     "q29d_nms"            -> (RosbagDomainOps.nmsTable _),
+    "q29e_det_map_coco"   -> (RosbagDomainOps.detApCoco _),
     "q32_track_stitch"    -> ((s: SparkSession, d: String) => RosbagDomainOps.trackStitch(s, d)),
     "q30_train_val_split" -> (RosbagDomainOps.trainValSplit _),
     "q34_salted_join"     -> ((s: SparkSession, d: String) => SkewOps.saltedJoin(s, d)),
@@ -1532,6 +1533,57 @@ object SparkEntry {
          |  CAST(SUM(n_tp) AS BIGINT),
          |  CAST(SUM(CAST(ap AS DECIMAL(27,6))) AS DOUBLE) / COUNT(ap)
          |FROM percls ORDER BY class_id""".stripMargin,
+
+    // COCO mAP@[.5:.95]: q29c's chain with the integer threshold index ti
+    // joining every window partition; pairs materialize once at the
+    // loosest gate and re-gate per ti; zero-TP cells coalesce to ap 0
+    // (COCO semantics); the rollup row's ap is the decimal-carrier mean
+    // over the 30 cells
+    "q29e_det_map_coco" ->
+      s"""WITH RECURSIVE $NMS_CTES,
+         |pairs0 AS (SELECT g.class_id, g.gt_id, p.pred_id, CAST(inter AS DOUBLE) / uni AS iou
+         |          FROM gt g JOIN keptd p ON g.image_id = p.image_id AND g.class_id = p.class_id,
+         |          LATERAL (SELECT
+         |            GREATEST(0, LEAST(g.gx + g.gw, p.x + p.w) - GREATEST(g.gx, p.x))
+         |            * GREATEST(0, LEAST(g.gy + g.gh, p.y + p.h) - GREATEST(g.gy, p.y)) AS inter,
+         |            g.gw * g.gh + p.w * p.h
+         |            - GREATEST(0, LEAST(g.gx + g.gw, p.x + p.w) - GREATEST(g.gx, p.x))
+         |              * GREATEST(0, LEAST(g.gy + g.gh, p.y + p.h) - GREATEST(g.gy, p.y)) AS uni) t
+         |          WHERE CAST(inter AS DOUBLE) / uni >= 0.5),
+         |tis AS (SELECT CAST(unnest(generate_series(10, 19)) AS BIGINT) AS ti),
+         |pairs AS (SELECT ti, class_id, gt_id, pred_id, iou FROM pairs0 CROSS JOIN tis
+         |          WHERE iou >= CAST(ti AS DOUBLE) / 20.0),
+         |m AS (SELECT ti, pred_id FROM (
+         |        SELECT ti, pred_id,
+         |          ROW_NUMBER() OVER (PARTITION BY ti, pred_id ORDER BY iou DESC, gt_id) AS rp,
+         |          ROW_NUMBER() OVER (PARTITION BY ti, gt_id ORDER BY iou DESC, pred_id) AS rg
+         |        FROM pairs) WHERE rp = 1 AND rg = 1),
+         |ng AS (SELECT class_id, CAST(COUNT(*) AS BIGINT) AS n_gt FROM gt GROUP BY class_id),
+         |rk2 AS (SELECT t.ti, p.class_id, p.pred_id, p.si,
+         |         CASE WHEN m.pred_id IS NOT NULL THEN 1 ELSE 0 END AS is_tp
+         |       FROM keptd p CROSS JOIN tis t
+         |       LEFT JOIN m ON m.ti = t.ti AND m.pred_id = p.pred_id),
+         |cum AS (SELECT ti, class_id, pred_id, si, is_tp,
+         |         SUM(is_tp) OVER (PARTITION BY ti, class_id ORDER BY si DESC, pred_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tp,
+         |         CAST(ROW_NUMBER() OVER (PARTITION BY ti, class_id ORDER BY si DESC, pred_id) AS BIGINT) AS rnk
+         |       FROM rk2),
+         |ip AS (SELECT ti, class_id, is_tp,
+         |         MAX(CAST(cum_tp AS DOUBLE) / rnk) OVER (PARTITION BY ti, class_id ORDER BY si DESC, pred_id
+         |           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS iprec
+         |       FROM cum),
+         |percell AS (SELECT CAST(i.ti AS DOUBLE) / 20.0 AS iou_thr, i.class_id, ng.n_gt,
+         |    CAST(COUNT(*) AS BIGINT) AS n_pred,
+         |    CAST(SUM(i.is_tp) AS BIGINT) AS n_tp,
+         |    COALESCE(CAST(SUM(CAST(CASE WHEN i.is_tp = 1 THEN i.iprec END AS DECIMAL(27,6))) AS DOUBLE) / ng.n_gt, 0.0) AS ap
+         |  FROM ip i JOIN ng ON i.class_id = ng.class_id
+         |  GROUP BY i.ti, i.class_id, ng.n_gt)
+         |SELECT iou_thr, class_id, n_gt, n_pred, n_tp, ap FROM percell
+         |UNION ALL
+         |SELECT -1.0, CAST(-1 AS BIGINT), CAST(SUM(n_gt) AS BIGINT), CAST(SUM(n_pred) AS BIGINT),
+         |  CAST(SUM(n_tp) AS BIGINT),
+         |  CAST(SUM(CAST(ap AS DECIMAL(27,6))) AS DOUBLE) / COUNT(ap)
+         |FROM percell ORDER BY iou_thr, class_id""".stripMargin,
 
     // track stitching: identical frame numbering, box synthesis, IoU gate,
     // mutual-best links, then DuckDB's recursive closure in place of the

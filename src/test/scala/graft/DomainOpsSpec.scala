@@ -273,4 +273,50 @@ class DomainOpsSpec extends SparkSpec {
     assert(math.abs(map - expMap) < 1e-4, s"mAP $map vs $expMap")
     assert(map > 0.0 && map < 1.0, "mAP must be a non-degenerate curve point")
   }
+
+  test("q29e COCO mAP: per-(threshold, class) cells match a naive sweep; " +
+    "rollup is the cell mean") {
+    val (gts, dets) = naiveModel()
+    val kept = naiveNms(dets)
+    def cell(ti: Int, c: Long): (Long, Long, Double) = {
+      val thr = ti / 20.0
+      val pairs = for {
+        g <- gts; p <- kept
+        if g.img == p.img && g.cls == p.cls && iouD(g, p) >= thr
+      } yield (g, p, iouD(g, p))
+      val bp = pairs.groupBy(_._2.id).map { case (pid, ps) =>
+        pid -> ps.minBy(t => (-t._3, t._1.id))._1.id }
+      val bg = pairs.groupBy(_._1.id).map { case (gid, ps) =>
+        gid -> ps.minBy(t => (-t._3, t._2.id))._2.id }
+      val tp = bp.filter { case (p, g) => bg.get(g).contains(p) }.keySet
+      val ranked = kept.filter(_.cls == c).sortBy(d => (-d.si, d.id))
+      val nGt = gts.count(_.cls == c)
+      val isTp = ranked.map(d => tp(d.id))
+      val cumTp = isTp.scanLeft(0)((a, t) => a + (if (t) 1 else 0)).tail
+      val prec = cumTp.zipWithIndex.map { case (ct, i) => ct.toDouble / (i + 1) }
+      val env = prec.scanRight(0.0)(math.max).init
+      val ap = isTp.zip(env).filter(_._1).map(_._2).sum / nGt
+      (nGt.toLong, cumTp.lastOption.getOrElse(0).toLong, ap)
+    }
+    val got = operators.RosbagDomainOps.detApCoco(spark, sf).collect()
+      .map(r => (r.getDouble(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(4), r.getDouble(5)))).toMap
+    assert(got.size === 31) // 10 thresholds x 3 classes + rollup
+    var cellApSum = 0.0
+    for (ti <- 10 to 19; c <- 0L to 2L) {
+      val (eng, entp, eap) = cell(ti, c)
+      val (gng, gntp, gap) = got((ti / 20.0, c))
+      assert(gng === eng && gntp === entp, s"ti=$ti class=$c counts")
+      assert(math.abs(gap - eap) < 1e-4, s"ti=$ti class=$c ap: $gap vs $eap")
+      cellApSum += gap
+    }
+    val (_, _, cocoMap) = got((-1.0, -1L))
+    assert(math.abs(cocoMap - cellApSum / 30.0) < 1e-4,
+      s"rollup $cocoMap vs cell mean ${cellApSum / 30.0}")
+    // strict-localization arms must actually bite on this model
+    val map50 = (0L to 2L).map(c => got((0.5, c))._3).sum / 3.0
+    val map95 = (0L to 2L).map(c => got((0.95, c))._3).sum / 3.0
+    assert(map95 < map50, s"0.95 arm ($map95) not stricter than 0.5 arm ($map50)")
+    assert(cocoMap > 0.0 && cocoMap < map50)
+  }
 }
