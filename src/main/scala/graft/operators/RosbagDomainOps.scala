@@ -517,7 +517,7 @@ object RosbagDomainOps {
     val (gt, det) = scoredDetections(s, d)
     // persisted: the NMS pass (shuffle + per-group suppression loop) feeds
     // BOTH the matching join and the ranked sweep — aliased subtrees never
-    // unify, so uncached it runs twice (measured 13.1 s -> 7.4 s at sf0.1)
+    // unify, so uncached it runs twice
     val kept = nms(det).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val iw = greatest(lit(0L), least(col("gx") + col("gw"), col("x") + col("w")) - greatest(col("gx"), col("x")))
     val ih = greatest(lit(0L), least(col("gy") + col("gh"), col("y") + col("h")) - greatest(col("gy"), col("y")))

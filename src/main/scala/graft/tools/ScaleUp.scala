@@ -42,6 +42,25 @@ object ScaleUp {
     def read(t: String) = spark.read.parquet(s"$src/$t.parquet")
     def write(df: DataFrame, t: String): Unit =
       df.write.mode(SaveMode.Overwrite).parquet(s"$dst/$t.parquet")
+    // Fact outputs land as ~64 MB FILES with a cores-wide floor, matching
+    // how a real N x corpus arrives (N x the files, never one blob). A
+    // broadcast cross of a single-file source otherwise keeps ONE output
+    // partition — the sf10 lake landed as one 1.2 GB parquet file, every
+    // derived scan ran on ~2 maxPartitionBytes splits, and the decade
+    // bench read 3x wall on FLAT CPU (q41c 18 -> 61 s with CPU 394 -> 397):
+    // a skewed-LAYOUT artifact, not a plan property. Sizing by estimated
+    // output bytes (src bytes x factor) rather than factor x splits keeps
+    // the file count from exploding into the small-files problem at high
+    // factors.
+    def writeFact(df: DataFrame, t: String): Unit = {
+      val srcPath = new org.apache.hadoop.fs.Path(s"$src/$t.parquet")
+      val fs = srcPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val srcBytes = fs.getContentSummary(srcPath).getLength
+      val target = 64L << 20
+      val parts = math.max(spark.sparkContext.defaultParallelism.toLong,
+        (srcBytes * factor + target - 1) / target).min(4096L).toInt
+      write(df.repartition(parts), t)
+    }
     val reps = spark.range(factor).select(col("id").as("__r"))
     def replicate(df: DataFrame)(remap: (DataFrame, org.apache.spark.sql.Column) => DataFrame): DataFrame = {
       val crossed = df.crossJoin(reps)
@@ -70,16 +89,16 @@ object ScaleUp {
     val bP = keyBase(part, "p_partkey")
     val bO = keyBase(orders, "o_orderkey")
 
-    write(replicate(customer)((d, r) =>
+    writeFact(replicate(customer)((d, r) =>
       d.withColumn("c_custkey", col("c_custkey") + r * bC)), "customer")
-    write(replicate(supplier)((d, r) =>
+    writeFact(replicate(supplier)((d, r) =>
       d.withColumn("s_suppkey", col("s_suppkey") + r * bS)), "supplier")
-    write(replicate(part)((d, r) =>
+    writeFact(replicate(part)((d, r) =>
       d.withColumn("p_partkey", col("p_partkey") + r * bP)), "part")
-    write(replicate(orders)((d, r) =>
+    writeFact(replicate(orders)((d, r) =>
       d.withColumn("o_orderkey", col("o_orderkey") + r * bO)
         .withColumn("o_custkey", col("o_custkey") + r * bC)), "orders")
-    write(replicate(lineitem)((d, r) =>
+    writeFact(replicate(lineitem)((d, r) =>
       d.withColumn("l_orderkey", col("l_orderkey") + r * bO)
         .withColumn("l_partkey", col("l_partkey") + r * bP)
         .withColumn("l_suppkey", col("l_suppkey") + r * bS)), "lineitem")
@@ -87,7 +106,7 @@ object ScaleUp {
     val events = read("events")
     val bEv = keyBase(events, "event_id")
     val bU = keyBase(events, "user_id")
-    write(replicate(events)((d, r) =>
+    writeFact(replicate(events)((d, r) =>
       d.withColumn("event_id", col("event_id") + r * bEv)
         .withColumn("user_id", col("user_id") + r * bU)), "events")
 
@@ -97,7 +116,7 @@ object ScaleUp {
     val documents = read("documents")
     val embeddings = read("embeddings")
     val bD = math.max(keyBase(documents, "doc_id"), keyBase(embeddings, "vec_id"))
-    write(replicate(documents)((d, r) =>
+    writeFact(replicate(documents)((d, r) =>
       d.withColumn("doc_id", col("doc_id") + r * bD)
         .withColumn("text",
           when(r === 0, col("text")).otherwise(
@@ -106,7 +125,7 @@ object ScaleUp {
         .withColumn("n_chars", length(col("text")).cast("long"))), "documents")
 
     val dim = 64
-    write(replicate(embeddings)((d, r) => {
+    writeFact(replicate(embeddings)((d, r) => {
       val shift = ((r * 5) % dim).cast("int")
       d.withColumn("vec_id", col("vec_id") + r * bD)
         .withColumn("embedding",

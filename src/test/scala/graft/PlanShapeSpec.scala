@@ -130,6 +130,28 @@ class PlanShapeSpec extends SparkSpec {
     assert(exchanges <= 2, s"asof join shuffles $exchanges times:\n$p")
   }
 
+  test("q104: voxel downsample is ONE partial-agg shuffle with a pruned scan") {
+    val p = plan(PointCloudOps.voxelTable(spark, sf))
+    // map-side partial aggregation on (sweep, voxel) -> one exchange ->
+    // final aggregate; the sort is the driver-output convention over the
+    // grid-bounded result, never a second hash shuffle
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges <= 1, s"voxel downsample shuffles $exchanges times:\n$p")
+    assert(!p.contains("Join"), p)
+    // projection pruned to the five lineitem columns the sweep synthesis
+    // reads, not the full 11-column schema
+    assert(p.contains("l_partkey") && !p.contains("l_shipdate"), p)
+  }
+
+  test("q29d: greedy NMS rides ONE (image, class) shuffle into the typed kernel") {
+    val p = plan(RosbagDomainOps.nmsTable(spark, sf))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    // one exchange keys the groups; the rangepartitioning sort after it is
+    // the driver-output ordering convention
+    assert(exchanges <= 1, s"nms shuffles $exchanges times:\n$p")
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"), p)
+  }
+
   test("q56: contamination is an inverted-index join on the shingle hash, no doc-by-doc compare") {
     val p = plan(CurationOps.contamination(spark, sf))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
