@@ -1029,6 +1029,75 @@ object SparkEntry {
        |        FROM step s JOIN grp g ON s.image_id = g.image_id AND s.class_id = g.class_id AND s.rk = g.nrk,
        |        LATERAL (SELECT unnest(s.kept, recursive := true)) u)""".stripMargin
 
+  // The SHARED q29c/q29e AP-sweep oracle builder (mirrors
+  // RosbagDomainOps.apSweepCells): candidate pairs at the loosest gate,
+  // a tis-CTE re-gate, per-ti mutual-best matching, the ranked sweep,
+  // and the per-(ti, class) AP cells — ONE chain, parameterized by the
+  // threshold-index list and the output shape, so the matching rule and
+  // the decimal carrier can never drift between the two oracles (or
+  // from the Scala side, which parameterizes identically).
+  private def apSweepOracleSql(tis: Seq[Int], coco: Boolean): String = {
+    val cells =
+      s"""pairs0 AS (SELECT g.class_id, g.gt_id, p.pred_id, CAST(inter AS DOUBLE) / uni AS iou
+         |          FROM gt g JOIN keptd p ON g.image_id = p.image_id AND g.class_id = p.class_id,
+         |          LATERAL (SELECT
+         |            GREATEST(0, LEAST(g.gx + g.gw, p.x + p.w) - GREATEST(g.gx, p.x))
+         |            * GREATEST(0, LEAST(g.gy + g.gh, p.y + p.h) - GREATEST(g.gy, p.y)) AS inter,
+         |            g.gw * g.gh + p.w * p.h
+         |            - GREATEST(0, LEAST(g.gx + g.gw, p.x + p.w) - GREATEST(g.gx, p.x))
+         |              * GREATEST(0, LEAST(g.gy + g.gh, p.y + p.h) - GREATEST(g.gy, p.y)) AS uni) t
+         |          WHERE CAST(inter AS DOUBLE) / uni >= 0.5),
+         |tis AS (SELECT CAST(unnest([${tis.mkString(", ")}]) AS BIGINT) AS ti),
+         |pairs AS (SELECT ti, class_id, gt_id, pred_id, iou FROM pairs0 CROSS JOIN tis
+         |          WHERE iou >= CAST(ti AS DOUBLE) / 20.0),
+         |m AS (SELECT ti, pred_id FROM (
+         |        SELECT ti, pred_id,
+         |          ROW_NUMBER() OVER (PARTITION BY ti, pred_id ORDER BY iou DESC, gt_id) AS rp,
+         |          ROW_NUMBER() OVER (PARTITION BY ti, gt_id ORDER BY iou DESC, pred_id) AS rg
+         |        FROM pairs) WHERE rp = 1 AND rg = 1),
+         |ng AS (SELECT class_id, CAST(COUNT(*) AS BIGINT) AS n_gt FROM gt GROUP BY class_id),
+         |rk2 AS (SELECT t.ti, p.class_id, p.pred_id, p.si,
+         |         CASE WHEN m.pred_id IS NOT NULL THEN 1 ELSE 0 END AS is_tp
+         |       FROM keptd p CROSS JOIN tis t
+         |       LEFT JOIN m ON m.ti = t.ti AND m.pred_id = p.pred_id),
+         |cum AS (SELECT ti, class_id, pred_id, si, is_tp,
+         |         SUM(is_tp) OVER (PARTITION BY ti, class_id ORDER BY si DESC, pred_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tp,
+         |         CAST(ROW_NUMBER() OVER (PARTITION BY ti, class_id ORDER BY si DESC, pred_id) AS BIGINT) AS rnk
+         |       FROM rk2),
+         |ip AS (SELECT ti, class_id, is_tp,
+         |         MAX(CAST(cum_tp AS DOUBLE) / rnk) OVER (PARTITION BY ti, class_id ORDER BY si DESC, pred_id
+         |           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS iprec
+         |       FROM cum),
+         |rawap AS (SELECT i.ti, i.class_id, ng.n_gt,
+         |    CAST(COUNT(*) AS BIGINT) AS n_pred,
+         |    CAST(SUM(i.is_tp) AS BIGINT) AS n_tp,
+         |    CAST(SUM(CAST(CASE WHEN i.is_tp = 1 THEN i.iprec END AS DECIMAL(27,6))) AS DOUBLE) / ng.n_gt AS ap
+         |  FROM ip i JOIN ng ON i.class_id = ng.class_id
+         |  GROUP BY i.ti, i.class_id, ng.n_gt)""".stripMargin
+    if (coco)
+      s"""WITH RECURSIVE $NMS_CTES,
+         |$cells,
+         |percell AS (SELECT CAST(ti AS DOUBLE) / 20.0 AS iou_thr, class_id, n_gt, n_pred, n_tp,
+         |    COALESCE(ap, 0.0) AS ap FROM rawap)
+         |SELECT iou_thr, class_id, n_gt, n_pred, n_tp, ap FROM percell
+         |UNION ALL
+         |SELECT -1.0, CAST(-1 AS BIGINT), CAST(SUM(n_gt) AS BIGINT), CAST(SUM(n_pred) AS BIGINT),
+         |  CAST(SUM(n_tp) AS BIGINT),
+         |  CAST(SUM(CAST(ap AS DECIMAL(27,6))) AS DOUBLE) / COUNT(ap)
+         |FROM percell ORDER BY iou_thr, class_id""".stripMargin
+    else
+      s"""WITH RECURSIVE $NMS_CTES,
+         |$cells,
+         |percls AS (SELECT class_id, n_gt, n_pred, n_tp, ap FROM rawap)
+         |SELECT class_id, n_gt, n_pred, n_tp, ap FROM percls
+         |UNION ALL
+         |SELECT CAST(-1 AS BIGINT), CAST(SUM(n_gt) AS BIGINT), CAST(SUM(n_pred) AS BIGINT),
+         |  CAST(SUM(n_tp) AS BIGINT),
+         |  CAST(SUM(CAST(ap AS DECIMAL(27,6))) AS DOUBLE) / COUNT(ap)
+         |FROM percls ORDER BY class_id""".stripMargin
+  }
+
   // Exact-sum carrier used by every oracle: identical decimal cast chain as
   // graft.functions.Exact, so double aggregates are bit-identical.
   /** Hyperplane sign-block SQL over column `v` (`bits` planes of table
@@ -1488,102 +1557,13 @@ object SparkEntry {
          |SELECT image_id, class_id, pred_id, CAST(si AS DOUBLE) / 1000.0 AS score
          |FROM keptd ORDER BY image_id, class_id, pred_id""".stripMargin,
 
-    // per-class average precision over post-NMS detections: mutual-best
-    // matching (q29b's device) -> score-ranked cumulative TP -> precision
-    // envelope -> VOC2010 continuous AP; the AP sum rides the decimal
-    // carrier over interp-precision terms, divided by n_gt once
-    "q29c_det_ap" ->
-      s"""WITH RECURSIVE $NMS_CTES,
-         |pairs AS (SELECT g.class_id, g.gt_id, p.pred_id, CAST(inter AS DOUBLE) / uni AS iou
-         |          FROM gt g JOIN keptd p ON g.image_id = p.image_id AND g.class_id = p.class_id,
-         |          LATERAL (SELECT
-         |            GREATEST(0, LEAST(g.gx + g.gw, p.x + p.w) - GREATEST(g.gx, p.x))
-         |            * GREATEST(0, LEAST(g.gy + g.gh, p.y + p.h) - GREATEST(g.gy, p.y)) AS inter,
-         |            g.gw * g.gh + p.w * p.h
-         |            - GREATEST(0, LEAST(g.gx + g.gw, p.x + p.w) - GREATEST(g.gx, p.x))
-         |              * GREATEST(0, LEAST(g.gy + g.gh, p.y + p.h) - GREATEST(g.gy, p.y)) AS uni) t
-         |          WHERE CAST(inter AS DOUBLE) / uni >= 0.5),
-         |m AS (SELECT pred_id FROM (
-         |        SELECT pred_id,
-         |          ROW_NUMBER() OVER (PARTITION BY pred_id ORDER BY iou DESC, gt_id) AS rp,
-         |          ROW_NUMBER() OVER (PARTITION BY gt_id ORDER BY iou DESC, pred_id) AS rg
-         |        FROM pairs) WHERE rp = 1 AND rg = 1),
-         |ng AS (SELECT class_id, CAST(COUNT(*) AS BIGINT) AS n_gt FROM gt GROUP BY class_id),
-         |rk2 AS (SELECT p.class_id, p.pred_id, p.si,
-         |         CASE WHEN m.pred_id IS NOT NULL THEN 1 ELSE 0 END AS is_tp
-         |       FROM keptd p LEFT JOIN m ON p.pred_id = m.pred_id),
-         |cum AS (SELECT class_id, pred_id, si, is_tp,
-         |         SUM(is_tp) OVER (PARTITION BY class_id ORDER BY si DESC, pred_id
-         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tp,
-         |         CAST(ROW_NUMBER() OVER (PARTITION BY class_id ORDER BY si DESC, pred_id) AS BIGINT) AS rnk
-         |       FROM rk2),
-         |ip AS (SELECT class_id, is_tp,
-         |         MAX(CAST(cum_tp AS DOUBLE) / rnk) OVER (PARTITION BY class_id ORDER BY si DESC, pred_id
-         |           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS iprec
-         |       FROM cum),
-         |percls AS (SELECT i.class_id, ng.n_gt,
-         |    CAST(COUNT(*) AS BIGINT) AS n_pred,
-         |    CAST(SUM(i.is_tp) AS BIGINT) AS n_tp,
-         |    CAST(SUM(CAST(CASE WHEN i.is_tp = 1 THEN i.iprec END AS DECIMAL(27,6))) AS DOUBLE) / ng.n_gt AS ap
-         |  FROM ip i JOIN ng ON i.class_id = ng.class_id
-         |  GROUP BY i.class_id, ng.n_gt)
-         |SELECT class_id, n_gt, n_pred, n_tp, ap FROM percls
-         |UNION ALL
-         |SELECT CAST(-1 AS BIGINT), CAST(SUM(n_gt) AS BIGINT), CAST(SUM(n_pred) AS BIGINT),
-         |  CAST(SUM(n_tp) AS BIGINT),
-         |  CAST(SUM(CAST(ap AS DECIMAL(27,6))) AS DOUBLE) / COUNT(ap)
-         |FROM percls ORDER BY class_id""".stripMargin,
+    // per-class VOC AP over post-NMS detections: the shared AP-sweep
+    // chain at the single threshold index 10 (IoU >= 0.5)
+    "q29c_det_ap" -> apSweepOracleSql(Seq(10), coco = false),
 
-    // COCO mAP@[.5:.95]: q29c's chain with the integer threshold index ti
-    // joining every window partition; pairs materialize once at the
-    // loosest gate and re-gate per ti; zero-TP cells coalesce to ap 0
-    // (COCO semantics); the rollup row's ap is the decimal-carrier mean
-    // over the 30 cells
-    "q29e_det_map_coco" ->
-      s"""WITH RECURSIVE $NMS_CTES,
-         |pairs0 AS (SELECT g.class_id, g.gt_id, p.pred_id, CAST(inter AS DOUBLE) / uni AS iou
-         |          FROM gt g JOIN keptd p ON g.image_id = p.image_id AND g.class_id = p.class_id,
-         |          LATERAL (SELECT
-         |            GREATEST(0, LEAST(g.gx + g.gw, p.x + p.w) - GREATEST(g.gx, p.x))
-         |            * GREATEST(0, LEAST(g.gy + g.gh, p.y + p.h) - GREATEST(g.gy, p.y)) AS inter,
-         |            g.gw * g.gh + p.w * p.h
-         |            - GREATEST(0, LEAST(g.gx + g.gw, p.x + p.w) - GREATEST(g.gx, p.x))
-         |              * GREATEST(0, LEAST(g.gy + g.gh, p.y + p.h) - GREATEST(g.gy, p.y)) AS uni) t
-         |          WHERE CAST(inter AS DOUBLE) / uni >= 0.5),
-         |tis AS (SELECT CAST(unnest(generate_series(10, 19)) AS BIGINT) AS ti),
-         |pairs AS (SELECT ti, class_id, gt_id, pred_id, iou FROM pairs0 CROSS JOIN tis
-         |          WHERE iou >= CAST(ti AS DOUBLE) / 20.0),
-         |m AS (SELECT ti, pred_id FROM (
-         |        SELECT ti, pred_id,
-         |          ROW_NUMBER() OVER (PARTITION BY ti, pred_id ORDER BY iou DESC, gt_id) AS rp,
-         |          ROW_NUMBER() OVER (PARTITION BY ti, gt_id ORDER BY iou DESC, pred_id) AS rg
-         |        FROM pairs) WHERE rp = 1 AND rg = 1),
-         |ng AS (SELECT class_id, CAST(COUNT(*) AS BIGINT) AS n_gt FROM gt GROUP BY class_id),
-         |rk2 AS (SELECT t.ti, p.class_id, p.pred_id, p.si,
-         |         CASE WHEN m.pred_id IS NOT NULL THEN 1 ELSE 0 END AS is_tp
-         |       FROM keptd p CROSS JOIN tis t
-         |       LEFT JOIN m ON m.ti = t.ti AND m.pred_id = p.pred_id),
-         |cum AS (SELECT ti, class_id, pred_id, si, is_tp,
-         |         SUM(is_tp) OVER (PARTITION BY ti, class_id ORDER BY si DESC, pred_id
-         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tp,
-         |         CAST(ROW_NUMBER() OVER (PARTITION BY ti, class_id ORDER BY si DESC, pred_id) AS BIGINT) AS rnk
-         |       FROM rk2),
-         |ip AS (SELECT ti, class_id, is_tp,
-         |         MAX(CAST(cum_tp AS DOUBLE) / rnk) OVER (PARTITION BY ti, class_id ORDER BY si DESC, pred_id
-         |           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS iprec
-         |       FROM cum),
-         |percell AS (SELECT CAST(i.ti AS DOUBLE) / 20.0 AS iou_thr, i.class_id, ng.n_gt,
-         |    CAST(COUNT(*) AS BIGINT) AS n_pred,
-         |    CAST(SUM(i.is_tp) AS BIGINT) AS n_tp,
-         |    COALESCE(CAST(SUM(CAST(CASE WHEN i.is_tp = 1 THEN i.iprec END AS DECIMAL(27,6))) AS DOUBLE) / ng.n_gt, 0.0) AS ap
-         |  FROM ip i JOIN ng ON i.class_id = ng.class_id
-         |  GROUP BY i.ti, i.class_id, ng.n_gt)
-         |SELECT iou_thr, class_id, n_gt, n_pred, n_tp, ap FROM percell
-         |UNION ALL
-         |SELECT -1.0, CAST(-1 AS BIGINT), CAST(SUM(n_gt) AS BIGINT), CAST(SUM(n_pred) AS BIGINT),
-         |  CAST(SUM(n_tp) AS BIGINT),
-         |  CAST(SUM(CAST(ap AS DECIMAL(27,6))) AS DOUBLE) / COUNT(ap)
-         |FROM percell ORDER BY iou_thr, class_id""".stripMargin,
+    // COCO mAP@[.5:.95]: the same chain over the ten indices, zero-TP
+    // cells coalesced to ap 0, rollup = decimal-carrier cell mean
+    "q29e_det_map_coco" -> apSweepOracleSql(10 to 19, coco = true),
 
     // track stitching: identical frame numbering, box synthesis, IoU gate,
     // mutual-best links, then DuckDB's recursive closure in place of the

@@ -24,27 +24,43 @@ object ImageOps {
   // per session — the next call unpersists the previous call's id RDD,
   // so a still-held earlier result silently recomputes its zipWithIndex
   // lineage (correct, just slower; ids are deterministic under the
-  // range-sort). Entries are evicted when their session closes (the
-  // listener below), so a long-lived JVM cycling sessions doesn't
-  // accumulate dead SparkSession keys.
+  // range-sort). Lifecycle: Spark has NO per-session close event, so
+  // entries are released when the owning SparkContext stops (one
+  // listener per CONTEXT, sweeping every session of that context) or
+  // explicitly via [[releaseFrameDedupCache]] — a long-lived JVM that
+  // CYCLES sessions on one context should call the latter when it
+  // retires a session, otherwise each retired session leaves one
+  // persisted id RDD behind until application end.
   private val idRddCache = new java.util.concurrent.ConcurrentHashMap[
     org.apache.spark.sql.SparkSession,
     org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]]()
+  private val sweepHooked = java.util.concurrent.ConcurrentHashMap.newKeySet[
+    org.apache.spark.SparkContext]()
+
+  /** Release the session's cached frame-dedup id snapshot (safe to call
+    * any time; the next dedupGroupsFrames call rebuilds it). */
+  def releaseFrameDedupCache(spark: SparkSession): Unit =
+    Option(idRddCache.remove(spark)).foreach(_.unpersist(blocking = false))
 
   private def cacheIdRdd(spark: SparkSession,
       rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]): Unit = {
     val prev = idRddCache.put(spark, rdd)
     if (prev != null) prev.unpersist(blocking = false)
-    else
-      // first entry for this session: hook its end so the map entry (not
-      // just the persist) is released — registered once per session, not
-      // per call, to avoid stacking identical listeners on the context
-      spark.sparkContext.addSparkListener(
-        new org.apache.spark.scheduler.SparkListener {
-          override def onApplicationEnd(
-              e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
-            Option(idRddCache.remove(spark)).foreach(_.unpersist(blocking = false))
-        })
+    val sc = spark.sparkContext
+    if (sweepHooked.add(sc))
+      // one sweep listener per CONTEXT (never per session/call): on
+      // context stop, drop every entry whose session rode it
+      sc.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onApplicationEnd(
+            e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
+          idRddCache.forEach { (s, r) =>
+            if (s.sparkContext eq sc) {
+              idRddCache.remove(s); r.unpersist(blocking = false)
+            }
+          }
+          sweepHooked.remove(sc)
+        }
+      })
   }
 
   /** Channel count for the uint8 channels-last encodings the pixel

@@ -513,55 +513,82 @@ object RosbagDomainOps {
     * bounded by labeling budget, not by the 100 TB lake the detector
     * later scores.
     */
-  def detAveragePrecision(s: SparkSession, d: String, iouMin: Double = 0.5): DataFrame = {
+  /** The SHARED AP machinery under q29c and q29e — one parameterized
+    * pipeline, never two copies of the matching rule or the window
+    * frames: scored detections → [[nms]] (persisted: feeds BOTH the
+    * matching join and the ranked sweep — aliased subtrees never unify)
+    * → candidate pairs at the LOOSEST gate (IoU ≥ 0.5) → a bounded
+    * |tis|-way explode re-gates per threshold (thr = ti/20 — exact
+    * integer index, one IEEE division; never a float key) → per-ti
+    * mutual-best matching → per-(ti, class) score-ranked cumulative TP,
+    * precision, and the interpolated envelope. The envelope max(prec
+    * over ranks ≥ r) runs as a RUNNING max over the REVERSED rank
+    * order: an unbounded-FOLLOWING frame makes WindowExec rescan the
+    * whole suffix per row — O(n²) per partition (measured: the whole
+    * q29c CPU bill at sf0.1) — while the reversed running frame is one
+    * O(n) pass over the same total order.
+    *
+    * Returns the persisted per-(ti, class) cell frame
+    * (ti, class_id, n_gt, n_pred, n_tp, ap) with ap NULL when the cell
+    * has no TP — each caller applies its own null policy and rollup.
+    */
+  private def apSweepCells(s: SparkSession, d: String, tis: Seq[Int]): DataFrame = {
+    require(tis.nonEmpty && tis.forall(t => t >= 10 && t <= 19),
+      s"IoU threshold indices must lie in [10, 19] (thr = ti/20); got $tis")
     val (gt, det) = scoredDetections(s, d)
-    // persisted: the NMS pass (shuffle + per-group suppression loop) feeds
-    // BOTH the matching join and the ranked sweep — aliased subtrees never
-    // unify, so uncached it runs twice
     val kept = nms(det).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val iw = greatest(lit(0L), least(col("gx") + col("gw"), col("x") + col("w")) - greatest(col("gx"), col("x")))
     val ih = greatest(lit(0L), least(col("gy") + col("gh"), col("y") + col("h")) - greatest(col("gy"), col("y")))
+    val tiCol = explode(array(tis.map(i => lit(i.toLong)): _*))
     val pairs = gt.join(kept.withColumnRenamed("image_id", "p_image_id")
         .withColumnRenamed("class_id", "p_class_id"),
         col("image_id") === col("p_image_id") && col("class_id") === col("p_class_id"))
       .withColumn("inter", iw * ih)
       .withColumn("uni", col("gw") * col("gh") + col("w") * col("h") - col("inter"))
       .withColumn("iou", col("inter").cast("double") / col("uni"))
-      .filter(col("iou") >= iouMin)
+      .filter(col("iou") >= 0.5)
       .select(col("gt_id"), col("pred_id"), col("iou"))
-    val bestForPred = Window.partitionBy("pred_id").orderBy(col("iou").desc, col("gt_id"))
-    val bestForGt = Window.partitionBy("gt_id").orderBy(col("iou").desc, col("pred_id"))
+      .withColumn("ti", tiCol)
+      .filter(col("iou") >= col("ti").cast("double") / 20.0)
+    val bestForPred = Window.partitionBy("ti", "pred_id").orderBy(col("iou").desc, col("gt_id"))
+    val bestForGt = Window.partitionBy("ti", "gt_id").orderBy(col("iou").desc, col("pred_id"))
     val matched = pairs
       .withColumn("rp", row_number().over(bestForPred))
       .withColumn("rg", row_number().over(bestForGt))
       .filter(col("rp") === 1 && col("rg") === 1)
-      .select(col("pred_id"), lit(1L).as("is_tp"))
+      .select(col("ti"), col("pred_id"), lit(1L).as("is_tp"))
     val ng = gt.groupBy("class_id").agg(count(lit(1)).as("n_gt"))
-    val wRank = Window.partitionBy("class_id").orderBy(col("si").desc, col("pred_id"))
+    val wRank = Window.partitionBy("ti", "class_id").orderBy(col("si").desc, col("pred_id"))
     val wCum = wRank.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    // the precision ENVELOPE max(prec over ranks >= r) as a RUNNING max
-    // over the REVERSED rank order: an unbounded-FOLLOWING frame makes
-    // WindowExec rescan the whole suffix per row — O(n²) per class
-    // partition (measured: the whole q29c CPU bill at sf0.1) — while the
-    // reversed running frame is one O(n) pass over the same total order
-    val wEnvRev = Window.partitionBy("class_id").orderBy(col("si").asc, col("pred_id").desc)
+    val wEnvRev = Window.partitionBy("ti", "class_id")
+      .orderBy(col("si").asc, col("pred_id").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val ranked = kept.join(matched, Seq("pred_id"), "left")
+    val ranked = kept.withColumn("ti", tiCol)
+      .join(matched, Seq("ti", "pred_id"), "left")
       .withColumn("is_tp", coalesce(col("is_tp"), lit(0L)))
       .withColumn("cum_tp", sum(col("is_tp")).over(wCum))
       .withColumn("rnk", row_number().over(wRank).cast("long"))
       .withColumn("iprec",
         max(col("cum_tp").cast("double") / col("rnk").cast("double")).over(wEnvRev))
-    // persisted: the |classes|-row summary feeds BOTH union branches (its
-    // own rows + the mAP rollup) — uncached, the NMS + matching + window
+    // persisted: the bounded cell summary feeds each caller's own rows
+    // AND its rollup branch — uncached, the NMS + matching + window
     // subtree would run twice
-    val perClass = ranked.join(ng, "class_id")
-      .groupBy("class_id", "n_gt")
+    ranked.join(ng, "class_id")
+      .groupBy("ti", "class_id", "n_gt")
       .agg(count(lit(1)).as("n_pred"), sum(col("is_tp")).as("n_tp"),
         (dsum(when(col("is_tp") === 1L, col("iprec"))) /
           col("n_gt").cast("double")).as("ap"))
-      .select("class_id", "n_gt", "n_pred", "n_tp", "ap")
+      .select("ti", "class_id", "n_gt", "n_pred", "n_tp", "ap")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+
+  def detAveragePrecision(s: SparkSession, d: String): DataFrame = {
+    // the VOC single-gate case IS the sweep at the one index ti = 10
+    // (thr = 0.5): ti is only a partition column, so the windows, the
+    // matching, and the decimal-carrier AP are bit-identical to a
+    // dedicated single-threshold plan
+    val perClass = apSweepCells(s, d, Seq(10))
+      .select("class_id", "n_gt", "n_pred", "n_tp", "ap")
     perClass.unionByName(
       perClass.agg(sum(col("n_gt")).as("n_gt"), sum(col("n_pred")).as("n_pred"),
           sum(col("n_tp")).as("n_tp"), davg(col("ap")).as("ap"))
@@ -584,51 +611,12 @@ object RosbagDomainOps {
     * cell APs). Same eval-set contract as q29c.
     */
   def detApCoco(s: SparkSession, d: String): DataFrame = {
-    val (gt, det) = scoredDetections(s, d)
-    val kept = nms(det).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val iw = greatest(lit(0L), least(col("gx") + col("gw"), col("x") + col("w")) - greatest(col("gx"), col("x")))
-    val ih = greatest(lit(0L), least(col("gy") + col("gh"), col("y") + col("h")) - greatest(col("gy"), col("y")))
-    val tis = (10 to 19).map(i => lit(i.toLong))
-    val pairs = gt.join(kept.withColumnRenamed("image_id", "p_image_id")
-        .withColumnRenamed("class_id", "p_class_id"),
-        col("image_id") === col("p_image_id") && col("class_id") === col("p_class_id"))
-      .withColumn("inter", iw * ih)
-      .withColumn("uni", col("gw") * col("gh") + col("w") * col("h") - col("inter"))
-      .withColumn("iou", col("inter").cast("double") / col("uni"))
-      .filter(col("iou") >= 0.5)
-      .select(col("gt_id"), col("pred_id"), col("iou"))
-      .withColumn("ti", explode(array(tis: _*)))
-      .filter(col("iou") >= col("ti").cast("double") / 20.0)
-    val rp = Window.partitionBy("ti", "pred_id").orderBy(col("iou").desc, col("gt_id"))
-    val rg = Window.partitionBy("ti", "gt_id").orderBy(col("iou").desc, col("pred_id"))
-    val matched = pairs
-      .withColumn("rp", row_number().over(rp))
-      .withColumn("rg", row_number().over(rg))
-      .filter(col("rp") === 1 && col("rg") === 1)
-      .select(col("ti"), col("pred_id"), lit(1L).as("is_tp"))
-    val ng = gt.groupBy("class_id").agg(count(lit(1)).as("n_gt"))
-    val wRank = Window.partitionBy("ti", "class_id").orderBy(col("si").desc, col("pred_id"))
-    val wCum = wRank.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wEnvRev = Window.partitionBy("ti", "class_id")
-      .orderBy(col("si").asc, col("pred_id").desc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val ranked = kept.withColumn("ti", explode(array(tis: _*)))
-      .join(matched, Seq("ti", "pred_id"), "left")
-      .withColumn("is_tp", coalesce(col("is_tp"), lit(0L)))
-      .withColumn("cum_tp", sum(col("is_tp")).over(wCum))
-      .withColumn("rnk", row_number().over(wRank).cast("long"))
-      .withColumn("iprec",
-        max(col("cum_tp").cast("double") / col("rnk").cast("double")).over(wEnvRev))
-    // persisted: the 30-cell summary feeds its own rows AND the mAP rollup
-    val perCell = ranked.join(ng, "class_id")
-      .groupBy("ti", "class_id", "n_gt")
-      .agg(count(lit(1)).as("n_pred"), sum(col("is_tp")).as("n_tp"),
-        (dsum(when(col("is_tp") === 1L, col("iprec"))) /
-          col("n_gt").cast("double")).as("ap"))
+    val perCell = apSweepCells(s, d, (10 to 19))
       .select((col("ti").cast("double") / 20.0).as("iou_thr"),
         col("class_id"), col("n_gt"), col("n_pred"), col("n_tp"),
+        // COCO semantics: a zero-TP cell contributes AP 0 to the mean,
+        // never a null (q29c's single-gate form keeps the null)
         coalesce(col("ap"), lit(0.0)).as("ap"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     perCell.unionByName(
       perCell.agg(sum(col("n_gt")).as("n_gt"), sum(col("n_pred")).as("n_pred"),
           sum(col("n_tp")).as("n_tp"), davg(col("ap")).as("ap"))

@@ -150,6 +150,30 @@ object RosbagReader {
         "angle_increment", "time_increment", "scan_time", "range_min", "range_max", "ranges"))
   }
 
+  /** PointCloud2 layout guards, shared by BOTH cloud views so they can
+    * never disagree about a corrupt bag: rows advance by row_step, points
+    * within a row by point_step — a spec-valid organized cloud may pad
+    * rows (row_step > width*point_step), and indexing by
+    * data.length/point_step would decode phantom points from the padding
+    * and misalign every row after the first. row_step = 0 (common from
+    * unorganized-cloud producers) means densely packed. Returns the
+    * effective row step; throws on a layout the payload cannot hold.
+    */
+  private def validateCloudLayout(topic: String, c: RosMessages.PointCloud2Msg): Int = {
+    val step = c.pointStep.toInt
+    val h = c.height.toInt
+    val wd = c.width.toInt
+    val rowStep = if (c.rowStep > 0) c.rowStep.toInt else wd * step
+    require(rowStep >= wd * step,
+      s"PointCloud2 on $topic: row_step $rowStep < width x point_step " +
+        s"($wd x $step) — corrupt layout")
+    require(h == 0 || wd == 0 ||
+      (h - 1).toLong * rowStep + wd.toLong * step <= c.data.length,
+      s"PointCloud2 on $topic: declared ${h}x$wd points exceed the " +
+        s"${c.data.length}-byte payload (row_step $rowStep, point_step $step)")
+    rowStep
+  }
+
   /** sensor_msgs/PointCloud2 -> one row per CLOUD: shape/layout metadata,
     * the self-describing field table, and the packed point payload as an
     * opaque binary column (the images convention — decode rides a later,
@@ -168,7 +192,11 @@ object RosbagReader {
         val c = RosMessages.pointCloud2(m.data)
         // the cloud's declared shape, not data.length/point_step: a spec-
         // valid organized cloud pads rows to row_step, and padding bytes
-        // are NOT points
+        // are NOT points. Validated against the payload HERE too — the
+        // metadata table and the point view must agree about a corrupt
+        // bag (a truncated cloud must not silently report phantom
+        // n_points while the point view rejects it loudly).
+        validateCloudLayout(m.topic, c)
         (m.path, m.topic, m.time_ns, c.header.seq, c.header.frameId,
           c.height, c.width, c.height * c.width, c.pointStep, c.isBigendian, c.isDense,
           c.fields.map(f => (f.name, f.offset, f.datatype, f.count)), c.data)
@@ -205,20 +233,7 @@ object RosbagReader {
         val step = c.pointStep.toInt
         val h = c.height.toInt
         val wd = c.width.toInt
-        // rows advance by row_step, points within a row by point_step —
-        // a spec-valid organized cloud may pad rows (row_step >
-        // width*point_step); indexing by data.length/point_step would
-        // decode phantom points from the padding and misalign every row
-        // after the first. row_step = 0 (common from unorganized-cloud
-        // producers) means densely packed.
-        val rowStep = if (c.rowStep > 0) c.rowStep.toInt else wd * step
-        require(rowStep >= wd * step,
-          s"PointCloud2 on ${m.topic}: row_step $rowStep < width x point_step " +
-            s"(${wd} x $step) — corrupt layout")
-        require(h == 0 || wd == 0 ||
-          (h - 1).toLong * rowStep + wd.toLong * step <= c.data.length,
-          s"PointCloud2 on ${m.topic}: declared ${h}x$wd points exceed the " +
-            s"${c.data.length}-byte payload (row_step $rowStep, point_step $step)")
+        val rowStep = validateCloudLayout(m.topic, c)
         val bb = RosMessages.pointBuffer(c.data, c.isBigendian)
         (0 until h).iterator.flatMap { r =>
           val rowBase = r * rowStep

@@ -621,21 +621,25 @@ class RosbagSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("point_idx")).toSeq === Seq(0L, 1L, 2L, 3L))
   }
 
-  test("pointCloudPoints(): declared shape exceeding the payload fails loudly") {
+  test("corrupt PointCloud2 shape fails loudly in BOTH cloud views") {
     // corrupt shape: claim 3 points per row but ship payload for 2
     val bad = BagWriter.pointCloud2Payload(
       Seq((1.0f, 2.0f, 3.0f, 4.0f), (5.0f, 6.0f, 7.0f, 8.0f)),
       declaredWidth = Some(3))
     val path = writeCloudBag(Seq(bad))
-    val e = intercept[Exception] {
-      RosbagReader.pointCloudPoints(spark, path).collect()
-    }
     def msgs(t: Throwable): Seq[String] =
       if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
     // the layout guards fire before any byte is decoded: either the
     // row_step consistency check or the payload-capacity check, depending
-    // on which invariant the corruption violates first
-    assert(msgs(e).exists(m => m.contains("corrupt layout") || m.contains("exceed")))
+    // on which invariant the corruption violates first — and the METADATA
+    // view applies the same guards, so the clouds table can never report
+    // phantom n_points for a bag the point view rejects
+    Seq(
+      intercept[Exception] { RosbagReader.pointCloudPoints(spark, path).collect() },
+      intercept[Exception] { RosbagReader.pointClouds(spark, path).collect() }
+    ).foreach { e =>
+      assert(msgs(e).exists(m => m.contains("corrupt layout") || m.contains("exceed")))
+    }
   }
 
   test("voxelDownsample + cloudStats: PCL VoxelGrid semantics") {
