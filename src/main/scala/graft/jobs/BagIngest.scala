@@ -14,20 +14,23 @@ import graft.sources.rosbag.RosbagReader
   *
   * Usage: BagIngest <bag-path-or-glob> <out-dir> [--png]
   *          [--blur-regions <parquet>] [--image-dedup[=HAMMING]]
+  *          [--voxel=EDGE_METERS]
   *
   * Output layout:
   *   <out>/images/      frame metadata + pixel payloads (parquet)
   *   <out>/laser/ odometry/ wrench/ std_msgs/   typed topic tables
   *   <out>/manifest/    per-recording mp4/frame manifest
   *   <out>/frame_dedup/ canonical-frame manifest (with --image-dedup)
+  *   <out>/lidar_voxel/ voxel-downsampled PointCloud2 points (with --voxel)
   *   <out>/png/         one real PNG file per frame (with --png)
   */
 object BagIngest {
 
   def run(spark: SparkSession, bags: String, out: String, writePng: Boolean,
-      piiRegions: Option[DataFrame] = None, imageDedup: Option[Int] = None): Unit =
+      piiRegions: Option[DataFrame] = None, imageDedup: Option[Int] = None,
+      voxel: Option[Double] = None): Unit =
     writeTables(spark, bags, out, SaveMode.Overwrite, writePng, piiRegions,
-      imageDedup = imageDedup)
+      imageDedup = imageDedup, voxel = voxel)
 
   /** One demux pass over `bags` -> all seven lake tables written with
     * `mode` (Overwrite for the batch job; the streaming job overwrites a
@@ -35,13 +38,14 @@ object BagIngest {
     */
   def writeTables(spark: SparkSession, bags: String, out: String, mode: SaveMode,
       writePng: Boolean, piiRegions: Option[DataFrame],
-      imageDedup: Option[Int] = None): Unit =
+      imageDedup: Option[Int] = None, voxel: Option[Double] = None): Unit =
     writeTablesOf(spark, RosbagReader.messages(spark, bags), out, mode, writePng,
-      piiRegions, imageDedup = imageDedup)
+      piiRegions, imageDedup = imageDedup, voxel = voxel)
 
   def writeTablesOf(spark: SparkSession, rawMsgs: org.apache.spark.sql.Dataset[RosbagReader.RawMessage],
       out: String, mode: SaveMode, writePng: Boolean, piiRegions: Option[DataFrame],
-      tableSuffix: String = "", imageDedup: Option[Int] = None): Unit = {
+      tableSuffix: String = "", imageDedup: Option[Int] = None,
+      voxel: Option[Double] = None): Unit = {
     def save(df: DataFrame, name: String): Unit =
       df.write.mode(mode).parquet(s"$out/$name$tableSuffix")
 
@@ -78,6 +82,16 @@ object BagIngest {
     // to the frame index makes the manifest TOTAL (frames with no
     // near-dup are trivially their own canonical) — consumers filter
     // is_canonical without a second anti-join against the pair table.
+    // lidar densification control (--voxel=EDGE): PointCloud2 topics land
+    // voxel-downsampled (PointCloudOps.voxelDownsample — one groupBy on
+    // cloud+voxel, DECIMAL-carrier centroids) instead of point-exact —
+    // THE pass a 100 TB lidar lake runs at ingest, since nothing
+    // downstream wants raw beam density. The full-fidelity payload stays
+    // available in the bags; the lake holds the normalized working set.
+    voxel.foreach { edge =>
+      save(graft.operators.PointCloudOps.voxelDownsample(
+        RosbagReader.pointCloudPointsOf(spark, msgs), edge), "lidar_voxel")
+    }
     imageDedup.foreach { maxHamming =>
       val groups = ImageOps.dedupGroupsFrames(spark, rawImages, maxHamming)
       val manifest = rawImages.select("bag", "topic", "time_ns")
@@ -122,7 +136,10 @@ object BagIngest {
       case "--image-dedup"                          => 3
       case a if a.startsWith("--image-dedup=")      => a.stripPrefix("--image-dedup=").toInt
     }
-    run(spark, args(0), args(1), args.contains("--png"), regions, dedup)
+    val voxel = args.collectFirst {
+      case a if a.startsWith("--voxel=") => a.stripPrefix("--voxel=").toDouble
+    }
+    run(spark, args(0), args(1), args.contains("--png"), regions, dedup, voxel)
     spark.stop()
   }
 }

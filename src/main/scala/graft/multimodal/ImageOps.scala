@@ -262,6 +262,11 @@ object ImageOps {
     val labels = graft.operators.DedupOps.propagateMin(
       spark, edges, maxRounds, cacheKey = "image-groups")
     pairs.unpersist()
+    // UNORDERED by design (the cloudStats/scoreOf convention): output is
+    // one row per incident frame — corpus-scale — and every consumer
+    // (BagIngest's frame_dedup join, the spec's map lookup) is
+    // order-insensitive; a global sort here is an unbounded range
+    // exchange for nothing
     labels
       .join(withId.select(col("nid").as("doc_id"), col("k")), Seq("doc_id"))
       .join(withId.select(col("nid").as("canonical"), col("k").as("ck")), Seq("canonical"))
@@ -271,7 +276,6 @@ object ImageOps {
         col("ck.bag").as("canon_bag"), col("ck.topic").as("canon_topic"),
         col("ck.time_ns").as("canon_time_ns"),
         (col("doc_id") === col("canonical")).as("is_canonical"))
-      .orderBy("bag", "topic", "time_ns")
   }
 
   final case class PngFrame(bag: String, topic: String, time_ns: Long, file_name: String, png: Array[Byte])

@@ -642,6 +642,23 @@ class RosbagSpec extends SparkSpec {
     }
   }
 
+  test("bag_ingest --voxel lands the downsampled lidar table") {
+    val pts = Seq( // voxel (0,0,0): two points; (-1,0,0): one; (2,2,2): one
+      (0.2f, 0.3f, 0.4f, 1.0f), (0.8f, 0.5f, 0.1f, 3.0f),
+      (-0.5f, 0.5f, 0.5f, 5.0f), (2.5f, 2.5f, 2.5f, 7.0f))
+    val bag = writeCloudBag(Seq(BagWriter.pointCloud2Payload(pts)))
+    val out = Files.createTempDirectory("graftvoxlake").toString
+    graft.jobs.BagIngest.run(spark, bag, out, writePng = false,
+      voxel = Some(1.0))
+    val vox = spark.read.parquet(s"$out/lidar_voxel")
+      .orderBy("vx", "vy", "vz").collect()
+    assert(vox.length === 3)
+    val v0 = vox.find(r => r.getAs[Long]("vx") === 0L).get
+    assert(v0.getAs[Long]("n_points") === 2L)
+    assert(math.abs(v0.getAs[Double]("cx") - 0.5) < 1e-9)
+    assert(vox.head.getAs[Long]("vx") === -1L) // floor on negatives survives the job
+  }
+
   test("voxelDownsample + cloudStats: PCL VoxelGrid semantics") {
     val pts = Seq( // voxel (0,0,0): two points; voxel (-1,0,0): one; (2,2,2): one
       (0.2f, 0.3f, 0.4f, 1.0f), (0.8f, 0.5f, 0.1f, 3.0f),
