@@ -38,7 +38,8 @@ object BagIngestStream {
     StructField("content", BinaryType)))
 
   def start(spark: SparkSession, watchDir: String, out: String, checkpoint: String,
-      piiRegions: Option[DataFrame] = None): StreamingQuery =
+      piiRegions: Option[DataFrame] = None, imageDedup: Option[Int] = None,
+      voxel: Option[Double] = None): StreamingQuery =
     spark.readStream.format("binaryFile")
       .option("pathGlobFilter", "*.bag")
       .schema(fileSchema)
@@ -54,8 +55,14 @@ object BagIngestStream {
           // per-path reads unioned (a comma in a filename must not be
           // treated as Hadoop's input-path delimiter)
           val msgs = paths.map(p => RosbagReader.messages(sp, p)).reduce(_ union _)
+          // the batch job's optional stages ride per-batch too: dedup
+          // groups are WITHIN-batch (the arriving recording's own bursts
+          // — cross-batch image identity is CorpusPrep-style maintenance,
+          // not ingest), voxel downsampling is per-cloud and thus
+          // batch-boundary-free by construction
           BagIngest.writeTablesOf(sp, msgs, out, SaveMode.Overwrite,
-            writePng = false, piiRegions, tableSuffix = s"/batch=$batchId")
+            writePng = false, piiRegions, tableSuffix = s"/batch=$batchId",
+            imageDedup = imageDedup, voxel = voxel)
         }
       }
       .start()

@@ -465,6 +465,24 @@ class RosbagSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("BagIngestStream: the optional voxel stage lands per arriving batch") {
+    val watch = Files.createTempDirectory("bagwatchvox")
+    val out = Files.createTempDirectory("baglakevox").toString
+    val ckpt = Files.createTempDirectory("bagckptvox").toString
+    val pts = Seq((0.2f, 0.3f, 0.4f, 1.0f), (0.8f, 0.5f, 0.1f, 3.0f),
+      (-0.5f, 0.5f, 0.5f, 5.0f))
+    Files.copy(java.nio.file.Paths.get(
+      writeCloudBag(Seq(BagWriter.pointCloud2Payload(pts)))), watch.resolve("a.bag"))
+    val q = graft.jobs.BagIngestStream.start(spark, watch.toString, out, ckpt,
+      voxel = Some(1.0))
+    try {
+      q.processAllAvailable()
+      val vox = spark.read.parquet(s"$out/lidar_voxel").collect()
+      assert(vox.length === 2) // voxels (0,0,0) x2pts and (-1,0,0)
+      assert(vox.map(_.getAs[Long]("n_points")).sum === 3L)
+    } finally q.stop()
+  }
+
   test("BagIngestStream: restart from checkpoint does not reprocess old bags") {
     val watch = Files.createTempDirectory("bagwatch2")
     val out = Files.createTempDirectory("baglake2").toString
