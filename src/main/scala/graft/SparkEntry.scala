@@ -153,6 +153,7 @@ object SparkEntry {
     "q95_quality_clf"     -> ((s: SparkSession, d: String) => operators.Clf.scoreTable(s, d)),
     "q95b_clf_curve"      -> ((s: SparkSession, d: String) => operators.Clf.thresholdCurve(s, d)),
     "q95c_clf_eval"       -> ((s: SparkSession, d: String) => operators.Clf.evalTable(s, d)),
+    "q95d_clf_calibration" -> ((s: SparkSession, d: String) => operators.Clf.calibrationTable(s, d)),
     "q64b_epoch_mix"      -> ((s: SparkSession, d: String) => CurationOps.epochMix(s, d)),
     "q64c_temperature_mix" -> ((s: SparkSession, d: String) => CurationOps.temperatureMix(s, d)),
     "q96_band_curve"      -> ((s: SparkSession, d: String) => DedupOps.bandCurve(s, d)),
@@ -288,6 +289,34 @@ object SparkEntry {
        |  CASE WHEN n_ref > 0 THEN CAST(n_ref_keep AS DOUBLE) / CAST(n_ref AS DOUBLE) END AS ref_recall,
        |  CASE WHEN n_docs - n_ref > 0 THEN CAST(n_keep - n_ref_keep AS DOUBLE) / CAST(n_docs - n_ref AS DOUBLE) END AS bg_keep_rate
        |FROM agg ORDER BY threshold""".stripMargin
+  }
+
+  // The q95d oracle: the shared scoring chain -> algebraic-sigmoid
+  // confidence deciles -> reliability rows + the ECE rollup (bin = -1),
+  // decimal-carrier means and the identical fixed IEEE sigmoid chain.
+  private def clfCalibrationOracleSql: String = {
+    val ref = graft.operators.ClfWeights.RefSource
+    s"""WITH $clfScoreCtes,
+       |pb AS (SELECT
+       |         LEAST(9, CAST(FLOOR((0.5 + 0.5 * logit / (1 + ABS(logit))) * 10) AS BIGINT)) AS bin,
+       |         0.5 + 0.5 * logit / (1 + ABS(logit)) AS p,
+       |         CASE WHEN source = '$ref' THEN 1 ELSE 0 END AS is_ref
+       |       FROM sc),
+       |bins AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |           CAST(SUM(is_ref) AS BIGINT) AS n_ref,
+       |           ${A("p")} AS mean_conf
+       |         FROM pb GROUP BY bin),
+       |bins2 AS (SELECT bin, n_docs, n_ref, mean_conf,
+       |            CAST(n_ref AS DOUBLE) / CAST(n_docs AS DOUBLE) AS ref_rate,
+       |            ABS(mean_conf - CAST(n_ref AS DOUBLE) / CAST(n_docs AS DOUBLE)) AS gap
+       |          FROM bins)
+       |SELECT bin, n_docs, n_ref, mean_conf, ref_rate, gap FROM bins2
+       |UNION ALL
+       |SELECT CAST(-1 AS BIGINT), CAST(SUM(n_docs) AS BIGINT), CAST(SUM(n_ref) AS BIGINT),
+       |  ${S("CAST(n_docs AS DOUBLE) * mean_conf")} / CAST(SUM(n_docs) AS DOUBLE),
+       |  CAST(SUM(n_ref) AS DOUBLE) / CAST(SUM(n_docs) AS DOUBLE),
+       |  ${S("CAST(n_docs AS DOUBLE) * gap")} / CAST(SUM(n_docs) AS DOUBLE)
+       |FROM bins2 ORDER BY bin""".stripMargin
   }
 
   // The shared q90/q90b LM-scoring chain (CTE list ending at `lmsc`,
@@ -2846,6 +2875,7 @@ object SparkEntry {
     "q95_quality_clf" -> qualityClfOracleSql,
     "q95b_clf_curve" -> clfCurveOracleSql,
     "q95c_clf_eval" -> clfEvalOracleSql,
+    "q95d_clf_calibration" -> clfCalibrationOracleSql,
     "q96_band_curve" -> bandCurveOracleSql,
     "q97_decon_curve" -> deconCurveOracleSql,
     "q98_quality_agreement" -> qualityAgreementOracleSql,

@@ -353,6 +353,48 @@ object Clf {
     } finally scored.unpersist(blocking = false)
   }
 
+  /** q95d — CALIBRATION audit of the frozen classifier (reliability
+    * diagram + expected calibration error; Guo et al. ICML 2017 §2):
+    * per confidence decile, how often is a doc the classifier scores
+    * p ≈ 0.x actually reference-class? The fourth member of the eval
+    * family (q95c ranks via AUC; this measures whether the SCORES mean
+    * what they say — the property a downstream pipeline needs before
+    * using p as a sampling weight or a mixing dial, not just as a
+    * ranker). Confidence is the same ALGEBRAIC sigmoid the trainer
+    * optimizes (one fixed IEEE chain — engine-portable), binned into
+    * ten deciles; the bin = −1 rollup row carries the corpus totals and
+    * ECE = Σ_b (n_b/N)·|mean_conf_b − ref_rate_b| as its `gap`.
+    *
+    * Scale shape: ONE scoring pass (q95's scan + broadcast model) into
+    * a ≤10-group aggregation — output is bounded at any corpus size;
+    * mean confidences and the ECE both ride the exact decimal carrier.
+    */
+  def calibrationTable(s: SparkSession, d: String): DataFrame = {
+    val scored = scoreOf(Tables.documentsScaled(s, d), frozen, ClfWeights.Buckets)
+    val p = lit(0.5) + lit(0.5) * col("logit") / (lit(1.0) + abs(col("logit")))
+    // persisted: the ≤10-row bin table feeds its own rows AND the ECE
+    // rollup — uncached, the scoring pass would run twice
+    val perBin = scored
+      .select(least(lit(9L), floor(p * 10).cast("long")).as("bin"), p.as("p"),
+        (col("source") === lit(ClfWeights.RefSource)).cast("long").as("is_ref"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_docs"), sum(col("is_ref")).as("n_ref"),
+        Exact.davg(col("p")).as("mean_conf"))
+      .withColumn("ref_rate", col("n_ref").cast("double") / col("n_docs").cast("double"))
+      .withColumn("gap", abs(col("mean_conf") - col("ref_rate")))
+      .select("bin", "n_docs", "n_ref", "mean_conf", "ref_rate", "gap")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    perBin.unionByName(
+      perBin.agg(sum(col("n_docs")).as("n"), sum(col("n_ref")).as("nr"),
+          Exact.dsum(col("n_docs").cast("double") * col("mean_conf")).as("sp"),
+          Exact.dsum(col("n_docs").cast("double") * col("gap")).as("sg"))
+        .select(lit(-1L).as("bin"), col("n").as("n_docs"), col("nr").as("n_ref"),
+          (col("sp") / col("n").cast("double")).as("mean_conf"),
+          (col("nr").cast("double") / col("n").cast("double")).as("ref_rate"),
+          (col("sg") / col("n").cast("double")).as("gap")))
+      .orderBy("bin")
+  }
+
   def thresholdCurve(s: SparkSession, d: String): DataFrame = {
     val scored = scoreOf(Tables.documentsScaled(s, d), frozen, ClfWeights.Buckets)
     val kept = (col("logit") > col("threshold")).cast("long")

@@ -63,6 +63,35 @@ class ClfSpec extends SparkSpec {
     assert(!graft.operators.ClfWeightsSampled.Bias.isNaN)
   }
 
+  test("q95d calibration: bins partition the scored corpus; rollup gap IS " +
+    "the population-weighted ECE; confidences live in their own decile") {
+    val rows = Clf.calibrationTable(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5)))).toMap
+    val bins = rows.filter(_._1 >= 0)
+    val (totN, totRef, _, totRefRate, ece) = rows(-1L)
+    // partition: bin doc counts sum to the rollup's corpus total, which
+    // equals the scoring contract's row count
+    assert(bins.values.map(_._1).sum === totN)
+    assert(bins.values.map(_._2).sum === totRef)
+    val scoredN = Clf.scoreOf(Tables.documents(spark, sf), Clf.frozen,
+      ClfWeights.Buckets).count()
+    assert(totN === scoredN)
+    assert(math.abs(totRefRate - totRef.toDouble / totN) < 1e-12)
+    // each bin's mean confidence lies inside its own decile, and its
+    // ref_rate is a probability
+    bins.foreach { case (b, (n, nr, mc, rr, gap)) =>
+      assert(mc >= b / 10.0 - 1e-9 && mc < (b + 1) / 10.0 + 1e-9, s"bin $b conf $mc")
+      assert(rr >= 0.0 && rr <= 1.0 && nr <= n)
+      assert(math.abs(gap - math.abs(mc - rr)) < 1e-12)
+    }
+    // the rollup's gap is exactly the population-weighted mean of bin
+    // gaps (ECE), within the decimal carrier's per-term rounding
+    val expEce = bins.values.map { case (n, _, _, _, g) => n * g }.sum / totN
+    assert(math.abs(ece - expEce) < 1e-5, s"ece $ece vs $expEce")
+    assert(ece >= 0.0 && ece <= 1.0)
+  }
+
   test("q94b sampled trainer: trains on all ref docs + sampled background, " +
     "scores the FULL lake within an AUC margin of the full trainer") {
     val docs = Tables.documents(spark, sf)
