@@ -444,34 +444,42 @@ object RosbagDomainOps {
       .as[Det]
       .groupByKey(d => (d.image_id, d.class_id))
       .flatMapGroups { (_: (Long, Long), it: Iterator[Det]) =>
-        val cands = it.toArray
-        // score DESC, pred_id ASC — the same total order as the oracle's
-        // recursive-CTE rank
-        java.util.Arrays.sort(cands, Ordering.by((d: Det) => (-d.si, d.pred_id)))
-        val n = math.min(topk, cands.length)
-        val kept = new scala.collection.mutable.ArrayBuffer[Det](n)
-        var i = 0
-        while (i < n) {
-          val b = cands(i)
-          var dominated = false
-          var j = 0
-          while (j < kept.length && !dominated) {
-            val k = kept(j)
-            val iw = math.min(k.x + k.w, b.x + b.w) - math.max(k.x, b.x)
-            val ih = math.min(k.y + k.h, b.y + b.h) - math.max(k.y, b.y)
-            if (iw > 0 && ih > 0) {
-              val inter = iw * ih
-              val iou = inter.toDouble / (k.w * k.h + b.w * b.h - inter)
-              dominated = iou > iouThresh
-            }
-            j += 1
-          }
-          if (!dominated) kept += b
-          i += 1
-        }
-        kept.iterator
+        nmsGroup(it.toArray, iouThresh, topk).iterator
       }
       .toDF()
+  }
+
+  /** One group's greedy suppression loop — pure and Spark-free so the
+    * property suite can fuzz it directly against an independent naive
+    * implementation. Total order: score DESC, pred_id ASC (the oracle's
+    * recursive-CTE rank); all geometry primitive longs, one IEEE
+    * division per comparison.
+    */
+  private[graft] def nmsGroup(cands: Array[Det], iouThresh: Double,
+      topk: Int): scala.collection.Seq[Det] = {
+    java.util.Arrays.sort(cands, Ordering.by((d: Det) => (-d.si, d.pred_id)))
+    val n = math.min(topk, cands.length)
+    val kept = new scala.collection.mutable.ArrayBuffer[Det](n)
+    var i = 0
+    while (i < n) {
+      val b = cands(i)
+      var dominated = false
+      var j = 0
+      while (j < kept.length && !dominated) {
+        val k = kept(j)
+        val iw = math.min(k.x + k.w, b.x + b.w) - math.max(k.x, b.x)
+        val ih = math.min(k.y + k.h, b.y + b.h) - math.max(k.y, b.y)
+        if (iw > 0 && ih > 0) {
+          val inter = iw * ih
+          val iou = inter.toDouble / (k.w * k.h + b.w * b.h - inter)
+          dominated = iou > iouThresh
+        }
+        j += 1
+      }
+      if (!dominated) kept += b
+      i += 1
+    }
+    kept
   }
 
   /** q29d — the NMS pass as a driver query: the [[scoredDetections]] model

@@ -197,4 +197,46 @@ class KernelPropertySpec extends AnyFunSuite {
       assert(out.length === expected, s"from $from to $to n $n")
     }
   }
+
+  test("property: greedy NMS kernel matches an independent naive sweep on random boxes") {
+    import graft.operators.RosbagDomainOps
+    import graft.operators.RosbagDomainOps.Det
+    val rng = new Rng(0xD0D0)
+    def iou(a: Det, b: Det): Double = {
+      val iw = math.min(a.x + a.w, b.x + b.w) - math.max(a.x, b.x)
+      val ih = math.min(a.y + a.h, b.y + b.h) - math.max(a.y, b.y)
+      val inter = math.max(0L, iw) * math.max(0L, ih)
+      inter.toDouble / (a.w * a.h + b.w * b.h - inter)
+    }
+    for (trial <- 0 until 120) {
+      val n = rng.int(0, 60)
+      val thresh = Seq(0.0, 0.3, 0.45, 0.7, 0.99)(trial % 5)
+      val topk = if (trial % 7 == 0) rng.int(1, 10) else 400
+      // clustered boxes so overlaps actually occur; duplicate scores so
+      // the pred_id tie-break is exercised
+      val cands = Array.tabulate(n) { i =>
+        Det(0L, 0L, i.toLong,
+          rng.int(0, 60).toLong, rng.int(0, 60).toLong,
+          rng.int(5, 40).toLong, rng.int(5, 40).toLong,
+          rng.int(0, 15).toLong)
+      }
+      // independent naive: explicit sorted fold, fresh comparison code
+      val ranked = cands.sortBy(d => (-d.si, d.pred_id)).take(topk)
+      val naive = ranked.foldLeft(Vector.empty[Det]) { (kept, c) =>
+        if (kept.exists(k => iou(k, c) > thresh)) kept else kept :+ c
+      }
+      val got = RosbagDomainOps.nmsGroup(cands.clone(), thresh, topk)
+      assert(got.toSeq === naive.toSeq, s"trial $trial n=$n thresh=$thresh topk=$topk")
+      // invariants: kept boxes pairwise within the gate; every suppressed
+      // candidate is dominated by a kept box that outranks it
+      for (a <- got; b <- got if a.pred_id < b.pred_id)
+        assert(iou(a, b) <= thresh, s"trial $trial kept overlap")
+      val keptIds = got.map(_.pred_id).toSet
+      ranked.filterNot(d => keptIds(d.pred_id)).foreach { sdet =>
+        assert(got.exists(k => (k.si > sdet.si ||
+            (k.si == sdet.si && k.pred_id < sdet.pred_id))
+          && iou(k, sdet) > thresh), s"trial $trial undominated suppression")
+      }
+    }
+  }
 }
