@@ -120,10 +120,29 @@ object BagIngest {
     }
   }
 
+  /** Option parsing shared with [[BagIngestStream.main]] — the streaming
+    * job threads the SAME optional stages, so the flag grammar must not
+    * drift between the two CLIs. A bare `--voxel` (no =EDGE) fails
+    * loudly: there is no sensible default edge length, and a silently
+    * ignored flag would run the whole ingest without the table the
+    * operator asked for. */
+  private[jobs] def parseStageFlags(args: Array[String]): (Option[Int], Option[Double]) = {
+    require(!args.contains("--voxel"),
+      "--voxel requires an edge length: --voxel=EDGE_METERS")
+    val dedup = args.collectFirst {
+      case "--image-dedup"                     => 3
+      case a if a.startsWith("--image-dedup=") => a.stripPrefix("--image-dedup=").toInt
+    }
+    val voxel = args.collectFirst {
+      case a if a.startsWith("--voxel=") => a.stripPrefix("--voxel=").toDouble
+    }
+    (dedup, voxel)
+  }
+
   def main(args: Array[String]): Unit = {
     require(args.length >= 2,
       "usage: BagIngest <bags> <out-dir> [--png] [--blur-regions <parquet>] " +
-        "[--image-dedup[=HAMMING]]")
+        "[--image-dedup[=HAMMING]] [--voxel=EDGE_METERS]")
     val spark = GraftSession.get()
     val regions = args.indexOf("--blur-regions") match {
       case -1 => None
@@ -132,13 +151,7 @@ object BagIngest {
           "--blur-regions requires a parquet path argument")
         Some(spark.read.parquet(args(i + 1)))
     }
-    val dedup = args.collectFirst {
-      case "--image-dedup"                          => 3
-      case a if a.startsWith("--image-dedup=")      => a.stripPrefix("--image-dedup=").toInt
-    }
-    val voxel = args.collectFirst {
-      case a if a.startsWith("--voxel=") => a.stripPrefix("--voxel=").toDouble
-    }
+    val (dedup, voxel) = parseStageFlags(args)
     run(spark, args(0), args(1), args.contains("--png"), regions, dedup, voxel)
     spark.stop()
   }

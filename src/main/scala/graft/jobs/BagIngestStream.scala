@@ -68,8 +68,12 @@ object BagIngestStream {
       .start()
 
   def main(args: Array[String]): Unit = {
-    require(args.length >= 3, "usage: BagIngestStream <watch-dir> <out-dir> <checkpoint-dir>")
+    require(args.length >= 3,
+      "usage: BagIngestStream <watch-dir> <out-dir> <checkpoint-dir> " +
+        "[--image-dedup[=HAMMING]] [--voxel=EDGE_METERS]")
     val spark = GraftSession.get()
-    start(spark, args(0), args(1), args(2)).awaitTermination()
+    val (dedup, voxel) = BagIngest.parseStageFlags(args)
+    start(spark, args(0), args(1), args(2),
+      imageDedup = dedup, voxel = voxel).awaitTermination()
   }
 }

@@ -373,7 +373,10 @@ object Clf {
     val scored = scoreOf(Tables.documentsScaled(s, d), frozen, ClfWeights.Buckets)
     val p = lit(0.5) + lit(0.5) * col("logit") / (lit(1.0) + abs(col("logit")))
     // persisted: the ≤10-row bin table feeds its own rows AND the ECE
-    // rollup — uncached, the scoring pass would run twice
+    // rollup — uncached, the scoring pass would run twice. Released in
+    // the finally after materializing the bounded output (the evalTable
+    // discipline: a long-lived session calling this repeatedly must not
+    // accumulate cache entries).
     val perBin = scored
       .select(least(lit(9L), floor(p * 10).cast("long")).as("bin"), p.as("p"),
         (col("source") === lit(ClfWeights.RefSource)).cast("long").as("is_ref"))
@@ -384,15 +387,21 @@ object Clf {
       .withColumn("gap", abs(col("mean_conf") - col("ref_rate")))
       .select("bin", "n_docs", "n_ref", "mean_conf", "ref_rate", "gap")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    perBin.unionByName(
-      perBin.agg(sum(col("n_docs")).as("n"), sum(col("n_ref")).as("nr"),
-          Exact.dsum(col("n_docs").cast("double") * col("mean_conf")).as("sp"),
-          Exact.dsum(col("n_docs").cast("double") * col("gap")).as("sg"))
-        .select(lit(-1L).as("bin"), col("n").as("n_docs"), col("nr").as("n_ref"),
-          (col("sp") / col("n").cast("double")).as("mean_conf"),
-          (col("nr").cast("double") / col("n").cast("double")).as("ref_rate"),
-          (col("sg") / col("n").cast("double")).as("gap")))
-      .orderBy("bin")
+    try {
+      val out = perBin.unionByName(
+        perBin.agg(sum(col("n_docs")).as("n"), sum(col("n_ref")).as("nr"),
+            Exact.dsum(col("n_docs").cast("double") * col("mean_conf")).as("sp"),
+            Exact.dsum(col("n_docs").cast("double") * col("gap")).as("sg"))
+          .select(lit(-1L).as("bin"), col("n").as("n_docs"), col("nr").as("n_ref"),
+            (col("sp") / col("n").cast("double")).as("mean_conf"),
+            (col("nr").cast("double") / col("n").cast("double")).as("ref_rate"),
+            (col("sg") / col("n").cast("double")).as("gap")))
+        .orderBy("bin")
+      // ≤11 rows by construction — materialize before releasing the cache
+      // (a lazy return would rescan uncached)
+      val rows = out.collect()
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+    } finally perBin.unpersist(blocking = false)
   }
 
   def thresholdCurve(s: SparkSession, d: String): DataFrame = {

@@ -453,7 +453,8 @@ object RosbagDomainOps {
     * property suite can fuzz it directly against an independent naive
     * implementation. Total order: score DESC, pred_id ASC (the oracle's
     * recursive-CTE rank); all geometry primitive longs, one IEEE
-    * division per comparison.
+    * division per comparison. MUTATES `cands` (sorted in place) — pass a
+    * fresh or cloned array if the caller needs its original order.
     */
   private[graft] def nmsGroup(cands: Array[Det], iouThresh: Double,
       topk: Int): scala.collection.Seq[Det] = {
