@@ -282,29 +282,55 @@ object RelationalOps {
     * bounds were WRONG in principle: interpolation between adjacent
     * order statistics can land strictly inside the value gap the rank
     * contract permits, yielding a spurious FALSE on small or
-    * all-distinct groups.) The exact sorted multiset is the verdict
-    * arm's cost, same class as the exact `percentile` columns beside it.
-    * The oracle recomputes the exact values and pins the verdicts TRUE;
-    * the sketch values themselves never leave the query.
+    * all-distinct groups.) The order statistics come from a BOUNDED
+    * (value, count) aggregation — l_quantity has ~50 distinct values, so
+    * the per-group verdict state is O(distinct), not O(rows) (an earlier
+    * sort_array(collect_list(...)) form buffered the whole multiset per
+    * group: ~20M elements per group at sf10, heading for the 2 GB
+    * single-value limit at 100 TB). sorted[r] over (value, count) pairs
+    * is "the smallest value whose cumulative count reaches r" — a fold
+    * over the ≤|distinct|-element array. The oracle recomputes the exact
+    * values and pins the verdicts TRUE; the sketch values themselves
+    * never leave the query.
     */
   def approxPercentiles(s: SparkSession, d: String): DataFrame = {
     val acc = 10000
     val eps = 1.0 / acc
-    def q(p: Double) = percentile(col("l_quantity"), lit(p))
-    def within(i: Int, p: Double) = {
-      val loR = greatest(lit(1L), floor(lit(p - eps) * col("n")).cast("long"))
-      val hiR = least(col("n"), ceil(lit(p + eps) * col("n")).cast("long"))
-      (col("ap")(i) >= element_at(col("vals"), loR.cast("int")) &&
-        col("ap")(i) <= element_at(col("vals"), hiR.cast("int")))
-    }
-    Tables.lineitem(s, d)
-      .groupBy("l_returnflag")
+    val li = Tables.lineitem(s, d).select("l_returnflag", "l_quantity")
+    // Sketch arm: the one-pass bounded-memory aggregation a 100 TB scan
+    // actually runs (plus n for the rank window).
+    val sketch = li.groupBy("l_returnflag")
       .agg(
-        q(0.5).as("median_qty"), q(0.9).as("p90_qty"),
-        sort_array(collect_list(col("l_quantity"))).as("vals"),
         count(col("l_quantity")).as("n"),
         approx_percentile(col("l_quantity"),
           array(lit(0.5), lit(0.9)), lit(acc)).as("ap"))
+    // Verdict arm: bounded (value, count) histogram per group — exact
+    // percentiles via the frequency-weighted percentile, order
+    // statistics via a fold over the sorted histogram.
+    val hist = li.groupBy("l_returnflag", "l_quantity")
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy("l_returnflag")
+      .agg(
+        percentile(col("l_quantity"), lit(0.5), col("cnt")).as("median_qty"),
+        percentile(col("l_quantity"), lit(0.9), col("cnt")).as("p90_qty"),
+        sort_array(collect_list(struct(col("l_quantity").as("v"), col("cnt"))))
+          .as("vc"))
+    // sorted[r] = first v (ascending) whose running cumulative count >= r.
+    def orderStat(vc: Column, r: Column): Column = {
+      val z = struct(lit(0L).as("cum"), lit(null).cast("double").as("ans"))
+      aggregate(vc, z,
+        (st, x) => struct(
+          (st("cum") + x("cnt")).as("cum"),
+          when(st("ans").isNull && (st("cum") + x("cnt")) >= r,
+            x("v").cast("double")).otherwise(st("ans")).as("ans")))("ans")
+    }
+    def within(i: Int, p: Double) = {
+      val loR = greatest(lit(1L), floor(lit(p - eps) * col("n")).cast("long"))
+      val hiR = least(col("n"), ceil(lit(p + eps) * col("n")).cast("long"))
+      (col("ap")(i).cast("double") >= orderStat(col("vc"), loR) &&
+        col("ap")(i).cast("double") <= orderStat(col("vc"), hiR))
+    }
+    hist.join(sketch, Seq("l_returnflag"))
       .select(col("l_returnflag"), col("median_qty"), col("p90_qty"),
         within(0, 0.5).as("median_within"),
         within(1, 0.9).as("p90_within"))

@@ -537,9 +537,14 @@ object RosbagDomainOps {
     * q29c CPU bill at sf0.1) — while the reversed running frame is one
     * O(n) pass over the same total order.
     *
-    * Returns the persisted per-(ti, class) cell frame
-    * (ti, class_id, n_gt, n_pred, n_tp, ap) with ap NULL when the cell
-    * has no TP — each caller applies its own null policy and rollup.
+    * Returns the per-(ti, class) cell frame (ti, class_id, n_gt, n_pred,
+    * n_tp, ap) with ap NULL when the cell has no TP — each caller applies
+    * its own null policy and rollup. The frame is a LOCAL relation: cells
+    * are bounded at ≤ |tis|·|classes| rows by construction, so they are
+    * materialized here and every cache entry (the NMS output feeding both
+    * the matching join and the ranked sweep) is released in the finally —
+    * the Clf.calibrationTable discipline: a long-lived session calling
+    * q29c/q29e repeatedly must not accumulate cache entries.
     */
   private def apSweepCells(s: SparkSession, d: String, tis: Seq[Int]): DataFrame = {
     require(tis.nonEmpty && tis.forall(t => t >= 10 && t <= 19),
@@ -579,16 +584,19 @@ object RosbagDomainOps {
       .withColumn("rnk", row_number().over(wRank).cast("long"))
       .withColumn("iprec",
         max(col("cum_tp").cast("double") / col("rnk").cast("double")).over(wEnvRev))
-    // persisted: the bounded cell summary feeds each caller's own rows
-    // AND its rollup branch — uncached, the NMS + matching + window
-    // subtree would run twice
-    ranked.join(ng, "class_id")
+    val cells = ranked.join(ng, "class_id")
       .groupBy("ti", "class_id", "n_gt")
       .agg(count(lit(1)).as("n_pred"), sum(col("is_tp")).as("n_tp"),
         (dsum(when(col("is_tp") === 1L, col("iprec"))) /
           col("n_gt").cast("double")).as("ap"))
       .select("ti", "class_id", "n_gt", "n_pred", "n_tp", "ap")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // bounded at ≤ |tis|·|classes| rows — materialize so each caller's
+      // own-rows + rollup branches never re-run the NMS/matching subtree,
+      // then release the kept-frame cache (nothing persisted survives)
+      val rows = cells.collect()
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), cells.schema)
+    } finally kept.unpersist(blocking = false)
   }
 
   def detAveragePrecision(s: SparkSession, d: String): DataFrame = {

@@ -160,18 +160,33 @@ object RosbagReader {
     * effective row step; throws on a layout the payload cannot hold.
     */
   private def validateCloudLayout(topic: String, c: RosMessages.PointCloud2Msg): Int = {
-    val step = c.pointStep.toInt
-    val h = c.height.toInt
-    val wd = c.width.toInt
-    val rowStep = if (c.rowStep > 0) c.rowStep.toInt else wd * step
-    require(rowStep >= wd * step,
-      s"PointCloud2 on $topic: row_step $rowStep < width x point_step " +
+    // The wire dims are UNSIGNED uint32 carried as Long — a dim past
+    // Int.MaxValue cannot be addressed inside a <2 GB payload, and a bare
+    // .toInt would wrap it NEGATIVE, silently skipping both the payload
+    // check and decoding while n_points reports a huge value. All
+    // arithmetic below stays in Long until the dims are proven in range.
+    def dim(name: String, v: Long): Int = {
+      require(v <= Int.MaxValue,
+        s"PointCloud2 on $topic: $name $v exceeds Int.MaxValue — corrupt layout")
+      v.toInt
+    }
+    val h = dim("height", c.height)
+    val wd = dim("width", c.width)
+    val step = dim("point_step", c.pointStep)
+    // point_step = 0 with declared points would make every payload check
+    // pass trivially and decode h*w phantom points all read from offset 0
+    require(h.toLong * wd == 0 || step > 0,
+      s"PointCloud2 on $topic: point_step 0 with ${h}x$wd declared points " +
+        "— corrupt layout")
+    val rowStepL = if (c.rowStep > 0) c.rowStep else wd.toLong * step
+    require(rowStepL >= wd.toLong * step,
+      s"PointCloud2 on $topic: row_step $rowStepL < width x point_step " +
         s"($wd x $step) — corrupt layout")
     require(h == 0 || wd == 0 ||
-      (h - 1).toLong * rowStep + wd.toLong * step <= c.data.length,
+      (h - 1).toLong * rowStepL + wd.toLong * step <= c.data.length,
       s"PointCloud2 on $topic: declared ${h}x$wd points exceed the " +
-        s"${c.data.length}-byte payload (row_step $rowStep, point_step $step)")
-    rowStep
+        s"${c.data.length}-byte payload (row_step $rowStepL, point_step $step)")
+    dim("row_step", rowStepL)
   }
 
   /** sensor_msgs/PointCloud2 -> one row per CLOUD: shape/layout metadata,
@@ -230,10 +245,12 @@ object RosbagReader {
             s"(has: ${c.fields.map(_.name).mkString(", ")})"))
         val (fx, fy, fz) = (required("x"), required("y"), required("z"))
         val fi = fieldOf("intensity")
+        val rowStep = validateCloudLayout(m.topic, c)
+        // in-range after validation — the guard rejects unsigned dims
+        // past Int.MaxValue before any truncation
         val step = c.pointStep.toInt
         val h = c.height.toInt
         val wd = c.width.toInt
-        val rowStep = validateCloudLayout(m.topic, c)
         val bb = RosMessages.pointBuffer(c.data, c.isBigendian)
         (0 until h).iterator.flatMap { r =>
           val rowBase = r * rowStep

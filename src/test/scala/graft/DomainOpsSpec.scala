@@ -319,4 +319,17 @@ class DomainOpsSpec extends SparkSpec {
     assert(map95 < map50, s"0.95 arm ($map95) not stricter than 0.5 arm ($map50)")
     assert(cocoMap > 0.0 && cocoMap < map50)
   }
+
+  test("q29c/q29e leave zero cache entries behind (apSweepCells lifecycle)") {
+    // the AP sweep persists the NMS output internally (it feeds both the
+    // matching join and the ranked sweep); a long-lived session calling
+    // the AP queries repeatedly must not accumulate cache entries — the
+    // bounded cell table is materialized and every persist released
+    val before = spark.sparkContext.getPersistentRDDs.size
+    operators.RosbagDomainOps.detAveragePrecision(spark, sf).collect()
+    operators.RosbagDomainOps.detApCoco(spark, sf).collect()
+    operators.RosbagDomainOps.detAveragePrecision(spark, sf).collect()
+    assert(spark.sparkContext.getPersistentRDDs.size === before,
+      "repeated AP-sweep calls accumulated persisted RDDs")
+  }
 }

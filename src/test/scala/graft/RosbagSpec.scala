@@ -134,7 +134,8 @@ object BagWriter {
       bigendian: Boolean = false, withIntensity: Boolean = true,
       fieldNames: Seq[String] = Seq("x", "y", "z"),
       rows: Int = 1, rowPad: Int = 0,
-      declaredWidth: Option[Int] = None): Array[Byte] = {
+      declaredWidth: Option[Int] = None,
+      declaredStep: Option[Int] = None): Array[Byte] = {
     require(points.length % rows == 0, "points must fill rows evenly")
     val fields = fieldNames.zipWithIndex.map { case (n, i) => (n, i * 4) } ++
       (if (withIntensity) Seq(("intensity", fieldNames.length * 4)) else Nil)
@@ -158,7 +159,7 @@ object BagWriter {
       b.put(rosString(n)); b.putInt(off); b.put(7.toByte); b.putInt(1) // FLOAT32 x1
     }
     b.put((if (bigendian) 1 else 0).toByte)
-    b.putInt(step).putInt(rowStep)
+    b.putInt(declaredStep.getOrElse(step)).putInt(rowStep) // declaredStep: corrupt-layout tests
     b.putInt(rows * rowStep).put(payload.array())
     b.put(1.toByte) // is_dense
     java.util.Arrays.copyOf(b.array(), b.position())
@@ -657,6 +658,44 @@ class RosbagSpec extends SparkSpec {
       intercept[Exception] { RosbagReader.pointClouds(spark, path).collect() }
     ).foreach { e =>
       assert(msgs(e).exists(m => m.contains("corrupt layout") || m.contains("exceed")))
+    }
+  }
+
+  test("PointCloud2 with point_step 0 but declared points fails loudly in both views") {
+    // point_step = 0 makes every payload-capacity check pass trivially
+    // (0 >= 0, 0 <= data.length) — an unguarded decode would then read
+    // height*width phantom points all from offset 0
+    val bad = BagWriter.pointCloud2Payload(
+      Seq((1.0f, 2.0f, 3.0f, 4.0f), (5.0f, 6.0f, 7.0f, 8.0f)),
+      declaredStep = Some(0))
+    val path = writeCloudBag(Seq(bad))
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    Seq(
+      intercept[Exception] { RosbagReader.pointCloudPoints(spark, path).collect() },
+      intercept[Exception] { RosbagReader.pointClouds(spark, path).collect() }
+    ).foreach { e =>
+      assert(msgs(e).exists(_.contains("corrupt layout")))
+    }
+  }
+
+  test("PointCloud2 with an unsigned dim past Int.MaxValue fails loudly, never wraps") {
+    // width on the wire is uint32; 2^31 .toInt-truncates to Int.MinValue,
+    // which silently skips both the payload check and decoding while
+    // n_points reports a huge value — the guard must reject it instead
+    val bad = BagWriter.pointCloud2Payload(
+      Seq((1.0f, 2.0f, 3.0f, 4.0f)),
+      declaredWidth = Some(Int.MinValue)) // wire-encodes as unsigned 2^31
+    val path = writeCloudBag(Seq(bad))
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    Seq(
+      intercept[Exception] { RosbagReader.pointCloudPoints(spark, path).collect() },
+      intercept[Exception] { RosbagReader.pointClouds(spark, path).collect() }
+    ).foreach { e =>
+      assert(msgs(e).exists(m =>
+        m.contains("exceeds Int.MaxValue") || m.contains("corrupt layout") ||
+          m.contains("exceed")))
     }
   }
 
