@@ -77,6 +77,24 @@ object Bench {
     if (skipQuadratic)
       System.err.println(s"bench: skipping quadratic baselines: " +
         quadraticBaselines.toSeq.sorted.mkString(", "))
+    // The headline bench carries ONE ~20 s trainer, not two: q94 and q94b
+    // are the same bounded-iteration model trained twice (the 32-round
+    // loop is driver-latency-bound locally, so the pair was 26% of the
+    // round-12 headline wall while measuring one plan). The RECOMMENDED
+    // sampled arm q94b stays (0.37x of q94's wall at sf10); the full-scan
+    // arm q94 stays fully oracled in CORRECTNESS and re-enters the bench
+    // with SPARK_GRAFT_BENCH_FULL_TRAINERS=1 (or via SPARK_GRAFT_ONLY).
+    // Gated names are recorded in the JSON `skipped` list — an artifact
+    // can never silently pass off a gated run as a full one.
+    val fullTrainers = sys.env.get("SPARK_GRAFT_BENCH_FULL_TRAINERS")
+      .exists(v => v == "1" || v.equalsIgnoreCase("true"))
+    val gatedTrainers =
+      if (fullTrainers || only.isDefined) Set.empty[String]
+      else Set("q94_clf_train")
+    if (gatedTrainers.nonEmpty)
+      System.err.println("bench: gating duplicate trainer arm: " +
+        gatedTrainers.toSeq.sorted.mkString(", ") +
+        " (SPARK_GRAFT_BENCH_FULL_TRAINERS=1 re-includes)")
     // SPARK_GRAFT_RUNS: repeats per query (best-of-N wall). Default 3 —
     // the sub-second sf0.1 shapes need the noise floor. Large-SF audits
     // set 1-2: a multi-second run carries proportionally little host
@@ -87,7 +105,8 @@ object Bench {
     SparkEntry.queries.get("q01_pricing_summary").foreach(f => f(spark, sfDir).count())
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .filterNot { case (name, _) => skipQuadratic && quadraticBaselines(name) }
+      .filterNot { case (name, _) =>
+        (skipQuadratic && quadraticBaselines(name)) || gatedTrainers(name) }
       .map { case (name, fn) =>
         // best of N: the first run pays codegen/JIT for this query's shape,
         // and the extra runs tighten the noise floor (local totals otherwise
@@ -131,8 +150,10 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2._1).sum else 0.0
     val cpuTotal = if (results.nonEmpty) results.map(_._2._2).sum else 0.0
+    val skippedNames =
+      (if (skipQuadratic) quadraticBaselines else Set.empty[String]) ++ gatedTrainers
     val skipped =
-      if (skipQuadratic) quadraticBaselines.toSeq.sorted
+      if (skippedNames.nonEmpty) skippedNames.toSeq.sorted
         .map(n => s"\"${jsonEscape(n)}\"").mkString(""","skipped":[""", ",", "]")
       else ""
     println(s"""{"metric":"total","value":$total,"unit":"sec","cpu_total":$cpuTotal$skipped,"queries":$qs,"cpu":$cs,"sf":"$sfDir"}""")

@@ -51,6 +51,7 @@ object SparkEntry {
     "q29c_det_ap"         -> ((s: SparkSession, d: String) => RosbagDomainOps.detAveragePrecision(s, d)),
     "q29d_nms"            -> (RosbagDomainOps.nmsTable _),
     "q29e_det_map_coco"   -> (RosbagDomainOps.detApCoco _),
+    "q29f_det_ap_voc07"   -> ((s: SparkSession, d: String) => RosbagDomainOps.detAveragePrecisionVoc07(s, d)),
     "q32_track_stitch"    -> ((s: SparkSession, d: String) => RosbagDomainOps.trackStitch(s, d)),
     "q30_train_val_split" -> (RosbagDomainOps.trainValSplit _),
     "q34_salted_join"     -> ((s: SparkSession, d: String) => SkewOps.saltedJoin(s, d)),
@@ -1065,7 +1066,20 @@ object SparkEntry {
   // threshold-index list and the output shape, so the matching rule and
   // the decimal carrier can never drift between the two oracles (or
   // from the Scala side, which parameterizes identically).
-  private def apSweepOracleSql(tis: Seq[Int], coco: Boolean): String = {
+  private def apSweepOracleSql(tis: Seq[Int], coco: Boolean,
+      elevenPoint: Boolean = false): String = {
+    // VOC07 11-point (q29f): mean of the envelope sampled at the eleven
+    // recall points — p_interp(j/10) = MAX(iprec) over rows whose
+    // 10·cum_tp ≥ j·n_gt (exact integer gate); a recall point past the
+    // curve contributes 0. Left-assoc 11-term sum = the Scala side's
+    // reduceLeft chain, bit-identical IEEE order.
+    val apExpr =
+      if (elevenPoint)
+        "(" + (0 to 10).map(j =>
+          s"COALESCE(MAX(CASE WHEN i.cum_tp * 10 >= $j * ng.n_gt THEN i.iprec END), 0.0)")
+          .mkString(" + ") + ") / 11.0 AS ap"
+      else
+        "CAST(SUM(CAST(CASE WHEN i.is_tp = 1 THEN i.iprec END AS DECIMAL(27,6))) AS DOUBLE) / ng.n_gt AS ap"
     val cells =
       s"""pairs0 AS (SELECT g.class_id, g.gt_id, p.pred_id, CAST(inter AS DOUBLE) / uni AS iou
          |          FROM gt g JOIN keptd p ON g.image_id = p.image_id AND g.class_id = p.class_id,
@@ -1094,14 +1108,14 @@ object SparkEntry {
          |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tp,
          |         CAST(ROW_NUMBER() OVER (PARTITION BY ti, class_id ORDER BY si DESC, pred_id) AS BIGINT) AS rnk
          |       FROM rk2),
-         |ip AS (SELECT ti, class_id, is_tp,
+         |ip AS (SELECT ti, class_id, is_tp, cum_tp,
          |         MAX(CAST(cum_tp AS DOUBLE) / rnk) OVER (PARTITION BY ti, class_id ORDER BY si DESC, pred_id
          |           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS iprec
          |       FROM cum),
          |rawap AS (SELECT i.ti, i.class_id, ng.n_gt,
          |    CAST(COUNT(*) AS BIGINT) AS n_pred,
          |    CAST(SUM(i.is_tp) AS BIGINT) AS n_tp,
-         |    CAST(SUM(CAST(CASE WHEN i.is_tp = 1 THEN i.iprec END AS DECIMAL(27,6))) AS DOUBLE) / ng.n_gt AS ap
+         |    $apExpr
          |  FROM ip i JOIN ng ON i.class_id = ng.class_id
          |  GROUP BY i.ti, i.class_id, ng.n_gt)""".stripMargin
     if (coco)
@@ -1593,6 +1607,10 @@ object SparkEntry {
     // COCO mAP@[.5:.95]: the same chain over the ten indices, zero-TP
     // cells coalesced to ap 0, rollup = decimal-carrier cell mean
     "q29e_det_map_coco" -> apSweepOracleSql(10 to 19, coco = true),
+
+    // VOC07 11-point AP (the reference's own training metric): the q29c
+    // chain with the envelope sampled at recall in {0, 0.1, ..., 1}
+    "q29f_det_ap_voc07" -> apSweepOracleSql(Seq(10), coco = false, elevenPoint = true),
 
     // track stitching: identical frame numbering, box synthesis, IoU gate,
     // mutual-best links, then DuckDB's recursive closure in place of the

@@ -546,7 +546,8 @@ object RosbagDomainOps {
     * the Clf.calibrationTable discipline: a long-lived session calling
     * q29c/q29e repeatedly must not accumulate cache entries.
     */
-  private def apSweepCells(s: SparkSession, d: String, tis: Seq[Int]): DataFrame = {
+  private def apSweepCells(s: SparkSession, d: String, tis: Seq[Int],
+      elevenPoint: Boolean = false): DataFrame = {
     require(tis.nonEmpty && tis.forall(t => t >= 10 && t <= 19),
       s"IoU threshold indices must lie in [10, 19] (thr = ti/20); got $tis")
     val (gt, det) = scoredDetections(s, d)
@@ -584,11 +585,29 @@ object RosbagDomainOps {
       .withColumn("rnk", row_number().over(wRank).cast("long"))
       .withColumn("iprec",
         max(col("cum_tp").cast("double") / col("rnk").cast("double")).over(wEnvRev))
+    // Two interpolation modes over the SAME envelope, both one aggregate:
+    // VOC2010 continuous (every TP contributes iprec/n_gt) vs VOC07
+    // 11-point (mean of the envelope sampled at recall ∈ {0, 0.1, …, 1};
+    // Everingham et al. IJCV 2010 §4.2 — the reference's actual training
+    // metric is VOC07MApMetric, object-detection/train_yolov3.py:110).
+    // p_interp(r) = max prec over rows with recall ≥ r = max iprec over
+    // rows with 10·cum_tp ≥ j·n_gt (exact integer gate, recall = j/10) —
+    // eleven conditional-max columns in the one groupBy, no explode. A
+    // recall point past the curve contributes 0 (COALESCE). The 11-term
+    // sum is a fixed left-assoc IEEE chain — engine-portable as-is.
+    val apCol =
+      if (elevenPoint)
+        ((0 to 10).map { j =>
+          coalesce(
+            max(when(col("cum_tp") * 10 >= lit(j.toLong) * col("n_gt"), col("iprec"))),
+            lit(0.0))
+        }.reduceLeft(_ + _) / 11.0).as("ap")
+      else
+        (dsum(when(col("is_tp") === 1L, col("iprec"))) /
+          col("n_gt").cast("double")).as("ap")
     val cells = ranked.join(ng, "class_id")
       .groupBy("ti", "class_id", "n_gt")
-      .agg(count(lit(1)).as("n_pred"), sum(col("is_tp")).as("n_tp"),
-        (dsum(when(col("is_tp") === 1L, col("iprec"))) /
-          col("n_gt").cast("double")).as("ap"))
+      .agg(count(lit(1)).as("n_pred"), sum(col("is_tp")).as("n_tp"), apCol)
       .select("ti", "class_id", "n_gt", "n_pred", "n_tp", "ap")
     try {
       // bounded at ≤ |tis|·|classes| rows — materialize so each caller's
@@ -599,12 +618,31 @@ object RosbagDomainOps {
     } finally kept.unpersist(blocking = false)
   }
 
-  def detAveragePrecision(s: SparkSession, d: String): DataFrame = {
+  def detAveragePrecision(s: SparkSession, d: String): DataFrame =
+    detApSingleGate(s, d, elevenPoint = false)
+
+  /** q29f — the VOC07 11-POINT variant of q29c: identical pipeline
+    * (NMS → mutual-best matching at IoU ≥ 0.5 → ranked envelope), but
+    * AP = mean of the interpolated precision sampled at the eleven
+    * recall points {0, 0.1, …, 1.0} instead of the continuous integral —
+    * the metric the reference's training loop ACTUALLY validates with
+    * (`VOC07MApMetric(iou_thresh=0.5)`,
+    * object-detection/train_yolov3.py:110; q29c ships the VOC2010
+    * continuous form modern tooling defaults to). A user reproducing the
+    * reference's training-curve number needs THIS arm — the 11-point
+    * sample is systematically a coarser (usually slightly higher) read
+    * of the same envelope. Output shape identical to q29c.
+    */
+  def detAveragePrecisionVoc07(s: SparkSession, d: String): DataFrame =
+    detApSingleGate(s, d, elevenPoint = true)
+
+  private def detApSingleGate(s: SparkSession, d: String,
+      elevenPoint: Boolean): DataFrame = {
     // the VOC single-gate case IS the sweep at the one index ti = 10
     // (thr = 0.5): ti is only a partition column, so the windows, the
     // matching, and the decimal-carrier AP are bit-identical to a
     // dedicated single-threshold plan
-    val perClass = apSweepCells(s, d, Seq(10))
+    val perClass = apSweepCells(s, d, Seq(10), elevenPoint)
       .select("class_id", "n_gt", "n_pred", "n_tp", "ap")
     perClass.unionByName(
       perClass.agg(sum(col("n_gt")).as("n_gt"), sum(col("n_pred")).as("n_pred"),
@@ -626,6 +664,20 @@ object RosbagDomainOps {
     * one per (threshold, class) cell + the class_id = −1 / iou_thr = −1
     * rollup whose ap IS mAP@[.5:.95] (decimal-carrier mean over the 30
     * cell APs). Same eval-set contract as q29c.
+    *
+    * DOCUMENTED DEVIATION from pycocotools: matching here is q29b's
+    * MUTUAL-BEST rule (a pair survives only when each side is the
+    * other's best by (IoU desc, id)), while COCO's reference
+    * implementation assigns GREEDILY IN SCORE ORDER — each detection,
+    * highest score first, claims the free GT with the highest IoU. The
+    * rules agree except when a higher-scored detection's best GT is
+    * better-claimed by another detection AND a lower-IoU GT remains
+    * free: greedy still matches it (TP), mutual-best does not (FP) —
+    * so pycocotools reports a slightly HIGHER mAP on the same
+    * detections. Mutual-best stays this engine's default because it is
+    * order-free and window-expressible (two rank-1 filters, no
+    * sequential per-group state) and shared with q29b/q29c, so every
+    * detection metric in the registry matches the same way.
     */
   def detApCoco(s: SparkSession, d: String): DataFrame = {
     val perCell = apSweepCells(s, d, (10 to 19))

@@ -320,6 +320,54 @@ class DomainOpsSpec extends SparkSpec {
     assert(cocoMap > 0.0 && cocoMap < map50)
   }
 
+  test("q29f VOC07 11-point AP: matches a naive sample of the envelope; " +
+    "distinct from the continuous integral on this curve") {
+    val (gts, dets) = naiveModel()
+    val kept = naiveNms(dets)
+    val pairs = for {
+      g <- gts; p <- kept
+      if g.img == p.img && g.cls == p.cls && iouD(g, p) >= 0.5
+    } yield (g, p, iouD(g, p))
+    val bp = pairs.groupBy(_._2.id).map { case (pid, ps) =>
+      pid -> ps.minBy(t => (-t._3, t._1.id))._1.id }
+    val bg = pairs.groupBy(_._1.id).map { case (gid, ps) =>
+      gid -> ps.minBy(t => (-t._3, t._2.id))._2.id }
+    val tp = bp.filter { case (p, g) => bg.get(g).contains(p) }.keySet
+    // per class: envelope as in q29c, then BOTH interpolation modes
+    val naive = (0L to 2L).map { c =>
+      val ranked = kept.filter(_.cls == c).sortBy(d => (-d.si, d.id))
+      val nGt = gts.count(_.cls == c)
+      val isTp = ranked.map(d => tp(d.id))
+      val cumTp = isTp.scanLeft(0)((a, t) => a + (if (t) 1 else 0)).tail
+      val prec = cumTp.zipWithIndex.map { case (ct, i) => ct.toDouble / (i + 1) }
+      val env = prec.scanRight(0.0)(math.max).init
+      val apCont = isTp.zip(env).filter(_._1).map(_._2).sum / nGt
+      // VOC07: mean of the envelope sampled at recall = j/10 — the first
+      // rank reaching that recall carries max prec over the suffix
+      val ap11 = (0 to 10).map { j =>
+        env.zip(cumTp).collect { case (e, ct) if ct * 10 >= j * nGt => e }
+          .maxOption.getOrElse(0.0)
+      }.sum / 11.0
+      c -> ((ap11, apCont))
+    }.toMap
+    val got = operators.RosbagDomainOps.detAveragePrecisionVoc07(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    (0L to 2L).foreach { c =>
+      assert(math.abs(got(c) - naive(c)._1) < 1e-9,
+        s"class $c 11-point ap: ${got(c)} vs ${naive(c)._1}")
+      // the arm must be a genuinely different metric on this curve —
+      // otherwise the spec can't tell the modes apart
+      assert(math.abs(naive(c)._1 - naive(c)._2) > 1e-6,
+        s"class $c: 11-point equals continuous — degenerate curve")
+    }
+    val exp11Map = naive.values.map(_._1).sum / 3.0
+    assert(math.abs(got(-1L) - exp11Map) < 1e-6, s"mAP ${got(-1L)} vs $exp11Map")
+    // on a sawtooth PR curve the coarse 11-point sample reads the
+    // envelope only at its plateaus — pin the direction vs continuous
+    val expContMap = naive.values.map(_._2).sum / 3.0
+    assert((got(-1L) > expContMap) === (exp11Map > expContMap))
+  }
+
   test("q29c/q29e leave zero cache entries behind (apSweepCells lifecycle)") {
     // the AP sweep persists the NMS output internally (it feeds both the
     // matching join and the ranked sweep); a long-lived session calling
