@@ -1,7 +1,6 @@
 package graft.jobs
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
-import org.apache.spark.sql.functions.{coalesce, col, lit}
 
 import graft.GraftSession
 import graft.multimodal.ImageOps
@@ -45,7 +44,8 @@ object BagIngest {
   def writeTablesOf(spark: SparkSession, rawMsgs: org.apache.spark.sql.Dataset[RosbagReader.RawMessage],
       out: String, mode: SaveMode, writePng: Boolean, piiRegions: Option[DataFrame],
       tableSuffix: String = "", imageDedup: Option[Int] = None,
-      voxel: Option[Double] = None): Unit = {
+      voxel: Option[Double] = None,
+      frameIndex: Option[(String, Long)] = None): Unit = {
     def save(df: DataFrame, name: String): Unit =
       df.write.mode(mode).parquet(s"$out/$name$tableSuffix")
 
@@ -93,15 +93,21 @@ object BagIngest {
         RosbagReader.pointCloudPointsOf(spark, msgs), edge), "lidar_voxel")
     }
     imageDedup.foreach { maxHamming =>
-      val groups = ImageOps.dedupGroupsFrames(spark, rawImages, maxHamming)
-      val manifest = rawImages.select("bag", "topic", "time_ns")
-        .join(groups, Seq("bag", "topic", "time_ns"), "left")
-        .select(col("bag"), col("topic"), col("time_ns"),
-          coalesce(col("canon_bag"), col("bag")).as("canon_bag"),
-          coalesce(col("canon_topic"), col("topic")).as("canon_topic"),
-          coalesce(col("canon_time_ns"), col("time_ns")).as("canon_time_ns"),
-          coalesce(col("is_canonical"), lit(true)).as("is_canonical"))
-      save(manifest, "frame_dedup")
+      frameIndex match {
+        case Some((lake, batchId)) =>
+          // streaming ingest with a persisted fingerprint index: the
+          // manifest gains CROSS-BATCH canonical identity — a burst
+          // re-arriving in a later micro-batch collapses onto the landed
+          // canonical (first-claim), exactly as the text side's band
+          // guard. Runs over the RAW frames (blur must not perturb
+          // fingerprints), same as the batch path below.
+          FrameDedupIndex.probeAndCommit(spark, rawImages, lake, batchId,
+            maxHamming, sink = m => save(m, "frame_dedup"))
+        case None =>
+          val groups = ImageOps.dedupGroupsFrames(spark, rawImages, maxHamming)
+          save(ImageOps.totalFrameManifest(
+            rawImages.select("bag", "topic", "time_ns"), groups), "frame_dedup")
+      }
     }
     msgs.unpersist()
 

@@ -39,7 +39,8 @@ object BagIngestStream {
 
   def start(spark: SparkSession, watchDir: String, out: String, checkpoint: String,
       piiRegions: Option[DataFrame] = None, imageDedup: Option[Int] = None,
-      voxel: Option[Double] = None): StreamingQuery =
+      voxel: Option[Double] = None,
+      frameIndexLake: Option[String] = None): StreamingQuery =
     spark.readStream.format("binaryFile")
       .option("pathGlobFilter", "*.bag")
       .schema(fileSchema)
@@ -55,14 +56,20 @@ object BagIngestStream {
           // per-path reads unioned (a comma in a filename must not be
           // treated as Hadoop's input-path delimiter)
           val msgs = paths.map(p => RosbagReader.messages(sp, p)).reduce(_ union _)
-          // the batch job's optional stages ride per-batch too: dedup
-          // groups are WITHIN-batch (the arriving recording's own bursts
-          // — cross-batch image identity is CorpusPrep-style maintenance,
-          // not ingest), voxel downsampling is per-cloud and thus
-          // batch-boundary-free by construction
+          // the batch job's optional stages ride per-batch too. Image
+          // dedup has two modes: WITHOUT a frame index, groups are
+          // within-batch only (the arriving recording's own bursts);
+          // WITH --frame-index=LAKE, per-frame dHash fingerprints persist
+          // to a versioned SnapshotLake probe index and the manifest
+          // gains CROSS-BATCH canonical identity — a burst re-arriving in
+          // a later batch collapses onto the landed canonical
+          // (FrameDedupIndex, the text band guard's multimodal twin).
+          // Voxel downsampling is per-cloud and thus batch-boundary-free
+          // by construction.
           BagIngest.writeTablesOf(sp, msgs, out, SaveMode.Overwrite,
             writePng = false, piiRegions, tableSuffix = s"/batch=$batchId",
-            imageDedup = imageDedup, voxel = voxel)
+            imageDedup = imageDedup, voxel = voxel,
+            frameIndex = frameIndexLake.map(l => (l, batchId)))
         }
       }
       .start()
@@ -70,10 +77,16 @@ object BagIngestStream {
   def main(args: Array[String]): Unit = {
     require(args.length >= 3,
       "usage: BagIngestStream <watch-dir> <out-dir> <checkpoint-dir> " +
-        "[--image-dedup[=HAMMING]] [--voxel=EDGE_METERS]")
+        "[--image-dedup[=HAMMING]] [--voxel=EDGE_METERS] [--frame-index=LAKE_DIR]")
     val spark = GraftSession.get()
     val (dedup, voxel) = BagIngest.parseStageFlags(args)
+    val frameIndex = args.collectFirst {
+      case a if a.startsWith("--frame-index=") => a.stripPrefix("--frame-index=")
+    }
+    require(frameIndex.isEmpty || dedup.isDefined,
+      "--frame-index requires --image-dedup (the index persists the dedup fingerprints)")
     start(spark, args(0), args(1), args(2),
-      imageDedup = dedup, voxel = voxel).awaitTermination()
+      imageDedup = dedup, voxel = voxel,
+      frameIndexLake = frameIndex).awaitTermination()
   }
 }

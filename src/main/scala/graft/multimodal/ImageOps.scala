@@ -173,12 +173,20 @@ object ImageOps {
     * `bit_count(xor)` verify. Shuffle volume is rows×blocks; candidate
     * volume is within-bucket only.
     */
-  def nearDupFrames(spark: SparkSession, frames: DataFrame, maxHamming: Int = 3): DataFrame = {
+  def nearDupFrames(spark: SparkSession, frames: DataFrame, maxHamming: Int = 3): DataFrame =
+    nearDupFromHashes(dhashFrames(spark, frames), maxHamming)
+
+  /** The pigeonhole bit blocks of a 64-bit `dhash` column: maxHamming+1
+    * (index, value) structs partitioning all 64 bits — ≤ maxHamming
+    * differing bits ⟹ at least one block identical. ONE definition,
+    * shared by the batch pair join and the streaming lake probe
+    * (FrameDedupIndex), so the banding can never drift between the
+    * within-batch and cross-batch paths. */
+  private[graft] def hammingBlocks(maxHamming: Int): Seq[org.apache.spark.sql.Column] = {
     require(maxHamming >= 0 && maxHamming <= 15,
       s"maxHamming must be in [0, 15]; got $maxHamming")
     val nBlocks = maxHamming + 1
-    val hashes = dhashFrames(spark, frames)
-    val blocks = (0 until nBlocks).map { i =>
+    (0 until nBlocks).map { i =>
       val lo = i * 64 / nBlocks
       val hi = (i + 1) * 64 / nBlocks // blocks partition all 64 bits
       val width = hi - lo
@@ -186,8 +194,14 @@ object ImageOps {
       struct(lit(i).as("b"),
         (shiftrightunsigned(col("dhash"), lo) bitwiseAND lit(mask)).as("v"))
     }
+  }
+
+  /** [[nearDupFrames]] over a precomputed (bag, topic, time_ns, dhash)
+    * table — the streaming guard hashes once and feeds both the
+    * within-batch pair join and the lake probe. */
+  private[graft] def nearDupFromHashes(hashes: DataFrame, maxHamming: Int): DataFrame = {
     val banded = hashes.select(col("bag"), col("topic"), col("time_ns"),
-      col("dhash"), explode(array(blocks: _*)).as("bk"))
+      col("dhash"), explode(array(hammingBlocks(maxHamming): _*)).as("bk"))
     def side(p: String) = banded.select(
       struct(col("bag"), col("topic"), col("time_ns")).as(s"${p}_key"),
       col("dhash").as(s"${p}_dhash"), col("bk").as(s"${p}_bk"))
@@ -225,13 +239,19 @@ object ImageOps {
     * their own canonical trivially).
     */
   def dedupGroupsFrames(spark: SparkSession, frames: DataFrame,
+      maxHamming: Int = 3, maxRounds: Int = 50): DataFrame =
+    dedupGroupsFromHashes(spark, dhashFrames(spark, frames), maxHamming, maxRounds)
+
+  /** [[dedupGroupsFrames]] over a precomputed (bag, topic, time_ns, dhash)
+    * table (the streaming guard's single-hash-pass path). */
+  private[graft] def dedupGroupsFromHashes(spark: SparkSession, hashes: DataFrame,
       maxHamming: Int = 3, maxRounds: Int = 50): DataFrame = {
     import org.apache.spark.sql.types.{LongType, StructField, StructType}
     // persisted: the banded dHash self-join is the dominant cost and
     // feeds the node set, the id assignment, and both edge-join sides —
     // uncached, each consumer (plus zipWithIndex's eager count job)
     // would re-run it; released below once propagation has consumed it
-    val pairs = nearDupFrames(spark, frames, maxHamming)
+    val pairs = nearDupFromHashes(hashes, maxHamming)
       .select(
         struct(col("a_bag").as("bag"), col("a_topic").as("topic"),
           col("a_time_ns").as("time_ns")).as("ka"),
@@ -277,6 +297,22 @@ object ImageOps {
         col("ck.time_ns").as("canon_time_ns"),
         (col("doc_id") === col("canonical")).as("is_canonical"))
   }
+
+  /** TOTALIZE a [[dedupGroupsFrames]] result over a frame index: frames
+    * with no near-dup at all are absent from the pair-derived groups, so a
+    * left join back fills them in as trivially their own canonical —
+    * consumers filter `is_canonical` without a second anti-join against
+    * the pair table. ONE definition, shared by BagIngest's frame_dedup
+    * manifest and the streaming guard. `frameKeys` needs columns
+    * (bag, topic, time_ns). */
+  def totalFrameManifest(frameKeys: DataFrame, groups: DataFrame): DataFrame =
+    frameKeys.select("bag", "topic", "time_ns")
+      .join(groups, Seq("bag", "topic", "time_ns"), "left")
+      .select(col("bag"), col("topic"), col("time_ns"),
+        coalesce(col("canon_bag"), col("bag")).as("canon_bag"),
+        coalesce(col("canon_topic"), col("topic")).as("canon_topic"),
+        coalesce(col("canon_time_ns"), col("time_ns")).as("canon_time_ns"),
+        coalesce(col("is_canonical"), lit(true)).as("is_canonical"))
 
   final case class PngFrame(bag: String, topic: String, time_ns: Long, file_name: String, png: Array[Byte])
 
