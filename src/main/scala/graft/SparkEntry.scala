@@ -71,6 +71,7 @@ object SparkEntry {
     "q46c_knn_lsh_multi"  -> ((s: SparkSession, d: String) => SimilarityOps.knnLsh(s, d, tables = 2)),
     "q46b_knn_ivf"        -> ((s: SparkSession, d: String) => SimilarityOps.knnIvf(s, d)),
     "q46d_knn_ivf_auto"   -> ((s: SparkSession, d: String) => SimilarityOps.knnIvfAuto(s, d)),
+    "q46e_knn_imi"        -> ((s: SparkSession, d: String) => SimilarityOps.knnImi(s, d)),
     "q54_ivf_balance"     -> (SimilarityOps.ivfListBalance _),
     "q54b_ivf_balance_auto" -> (SimilarityOps.ivfListBalanceAuto _),
     "q68d_ann_recall_auto" -> ((s: SparkSession, d: String) => SimilarityOps.annRecallAuto(s, d)),
@@ -623,6 +624,17 @@ object SparkEntry {
     // exposed raw csim values); '…'::DOUBLE is a direct strtod parse and
     // recovers the exact frozen bits
     graft.operators.IvfCentroidsAuto.values.zipWithIndex.map { case (cv, i) =>
+      s"(CAST($i AS BIGINT), [${cv.map(x => s"'$x'::DOUBLE").mkString(", ")}]::DOUBLE[])"
+    }.mkString("VALUES ", ", ", "")
+  }
+
+  /** One IMI half codebook as a DuckDB VALUES table (ImiCodebooks —
+    * full-precision '…'::DOUBLE literals, the ivfCentsAutoValues device).
+    * Fails loudly pre-freeze. */
+  private def imiHalfValues(cb: Array[Array[Double]]): String = {
+    require(cb.nonEmpty,
+      "ImiCodebooks not frozen — run TrainQuantizers --imi and paste")
+    cb.zipWithIndex.map { case (cv, i) =>
       s"(CAST($i AS BIGINT), [${cv.map(x => s"'$x'::DOUBLE").mkString(", ")}]::DOUBLE[])"
     }.mkString("VALUES ", ", ", "")
   }
@@ -2200,6 +2212,50 @@ object SparkEntry {
          |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
          |  FROM j) t
          |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin,
+
+    // q46e: ANN under the INVERTED MULTI-INDEX quantizer — per-half L2
+    // argmin assignment (cell = i1*K + i2) and additive cell-grid query
+    // probing replayed from the frozen ImiCodebooks artifact (the q46d
+    // generated-oracle pattern; live training pinned bit-equal by
+    // AnnIndexSpec), then q46b's cosine probe-then-rank tail
+    "q46e_knn_imi" -> {
+      val kk = graft.operators.ImiCodebooks.k
+      s"""WITH $EMB_NORM,
+         |cb1 AS (SELECT i1, c FROM (${imiHalfValues(graft.operators.ImiCodebooks.half1)}) t(i1, c)),
+         |cb2 AS (SELECT i2, c FROM (${imiHalfValues(graft.operators.ImiCodebooks.half2)}) t(i2, c)),
+         |d1 AS (SELECT n.vec_id, b.i1,
+         |         list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 33),
+         |           i -> (n.v[i] - b.c[i]) * (n.v[i] - b.c[i]))), (x2, y2) -> x2 + y2) AS dd
+         |       FROM n, cb1 b),
+         |d2 AS (SELECT n.vec_id, b.i2,
+         |         list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 33),
+         |           i -> (n.v[i + 32] - b.c[i]) * (n.v[i + 32] - b.c[i]))), (x2, y2) -> x2 + y2) AS dd
+         |       FROM n, cb2 b),
+         |a1 AS (SELECT vec_id, i1 FROM (SELECT vec_id, i1,
+         |         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dd, i1) AS rk FROM d1) WHERE rk = 1),
+         |a2 AS (SELECT vec_id, i2 FROM (SELECT vec_id, i2,
+         |         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dd, i2) AS rk FROM d2) WHERE rk = 1),
+         |asg AS (SELECT a1.vec_id, CAST(a1.i1 * $kk + a2.i2 AS BIGINT) AS list_id
+         |        FROM a1 JOIN a2 ON a1.vec_id = a2.vec_id),
+         |probe AS (SELECT d1.vec_id, CAST(d1.i1 * $kk + d2.i2 AS BIGINT) AS list_id,
+         |            ROW_NUMBER() OVER (PARTITION BY d1.vec_id
+         |              ORDER BY d1.dd + d2.dd, d1.i1 * $kk + d2.i2) AS crank
+         |          FROM d1 JOIN d2 ON d1.vec_id = d2.vec_id
+         |          WHERE d1.vec_id < 10),
+         |qs AS (SELECT p.vec_id AS q_id, n.v AS qv, n.nrm AS qnrm, p.list_id
+         |       FROM probe p JOIN n ON n.vec_id = p.vec_id WHERE p.crank <= 4),
+         |cp AS (SELECT n.vec_id, n.v, n.nrm, a.list_id
+         |       FROM asg a JOIN n ON n.vec_id = a.vec_id WHERE n.vec_id >= 10),
+         |j AS (SELECT q_id, cp.vec_id AS neighbor_id,
+         |        list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65),
+         |          i -> qs.qv[i] * cp.v[i])), (x2, y2) -> x2 + y2) / (qs.qnrm * cp.nrm) AS cos
+         |      FROM cp JOIN qs USING (list_id))
+         |SELECT q_id, neighbor_id, cos, rank FROM (
+         |  SELECT q_id, neighbor_id, cos,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+         |  FROM j) t
+         |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
+    },
 
     // q54b: q54's health histogram under the frozen auto-k artifact,
     // over the searchable corpus only (what the index holds)

@@ -23,10 +23,28 @@ object TrainQuantizers {
 
   def main(args: Array[String]): Unit = {
     val auto = args.contains("--auto")
+    val imi = args.contains("--imi")
     val sfDir = args.filterNot(_.startsWith("--")).head
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark: SparkSession = GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    if (imi) {
+      // --imi: freeze the multi-index gate artifact (ImiCodebooks) at
+      // FULL precision — the q46e parity construction depends on bit
+      // equality, exactly like --auto's IvfCentroidsAuto.
+      val (k, h1, h2) = graft.operators.SimilarityOps.imiQuantizer(spark, sfDir)
+      println(s"// ImiCodebooks (K = $k per half, cells = ${k * k}):")
+      println(s"  val k: Int = $k")
+      println("  val half1: Array[Array[Double]] = Array(")
+      h1.foreach(cv => println(s"    Array(${cv.mkString(", ")}),"))
+      println("  )")
+      println("  val half2: Array[Array[Double]] = Array(")
+      h2.foreach(cv => println(s"    Array(${cv.mkString(", ")}),"))
+      println("  )")
+      spark.stop()
+      return
+    }
 
     if (auto) {
       // --auto: freeze the AUTO-k gate artifact (IvfCentroidsAuto) at

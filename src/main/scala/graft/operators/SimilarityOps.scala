@@ -911,6 +911,191 @@ object SimilarityOps {
       .orderBy("nprobe")
   }
 
+  // ---------- IMI multi-index coarse quantizer (q46e) ----------
+
+  /** IMI per-half sub-codebook sizing: K = the smallest power of two
+    * (≥ 4) with K⁴ ≥ n, capped at [[ImiKCap]] — cells = K² then follows
+    * the same √n rule as [[autoK]], but the stored model is 2·K·(d/2)
+    * doubles instead of K²·d. At the [[AutoKCap]] frontier (cells = 2^20,
+    * n ≈ 10^12) the two codebooks are 2·2^10·32·8 B = 512 KiB where the
+    * flat table is 512 MB — THE documented escape hatch past the flat
+    * quantizer's model-size ceiling (Babenko & Lempitsky CVPR 2012,
+    * "The inverted multi-index"). Exact integer arithmetic, the autoK
+    * convention. */
+  private[graft] val ImiKCap = 1 << 10
+  private[graft] def autoImiK(n: Long): Int = {
+    require(n >= 0, s"corpus size must be >= 0; got $n")
+    var k = 4
+    while (k.toLong * k * k * k < n && k < ImiKCap) k <<= 1
+    k
+  }
+
+  /** q46e's probe dial: IMI cells are ~K× finer than flat auto-k lists
+    * at the same corpus (K² ≈ √n·K cells vs √n lists), so probing the
+    * same corpus FRACTION takes proportionally more cells. 4 cells of
+    * the gate lake's 64 probes 1/16 of the corpus — the fraction q46b's
+    * 2-of-16 and q46d's 2-of-32 dials land around. */
+  private[graft] val ImiProbes = 4
+
+  /** Most recent trained IMI quantizer per (session, lake, corpus
+    * convention) — the [[autoQuantizer]] cache policy; the cached model
+    * is 2·K·32 doubles, KiB at any corpus size (that smallness is the
+    * whole point of IMI). */
+  private val imiQuantCaches =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Long),
+      (Int, Array[Array[Double]], Array[Array[Double]])]()
+
+  private[graft] def imiQuantizer(s: SparkSession, d: String,
+      queryIdMax: Long = QueryIdMax): (Int, Array[Array[Double]], Array[Array[Double]]) =
+    imiQuantCaches.computeIfAbsent((s, d, queryIdMax), _ =>
+      imiQuantizerOf(s, Tables.embeddings(s, d)
+        .filter(col("vec_id") >= queryIdMax)
+        .select(col("vec_id").as("id"), toDouble(col("embedding")).as("v"))))
+
+  /** Train the two per-half codebooks: K = [[autoImiK]](n), ONE
+    * deterministic q36-hash-line sample bounded to ~[[AutoMppc]]·K points
+    * feeds both halves (slice(v, 1, 32) / slice(v, 33, 32)), trained by
+    * the same sampled trainer as the flat auto arm with seeds
+    * [[AutoSeed]] / [[AutoSeed]]+1 — fully deterministic for a fixed
+    * lake, so the frozen gate artifact ([[ImiCodebooks]], TrainQuantizers
+    * --imi) reproduces it bit-exactly. */
+  private[graft] def imiQuantizerOf(s: SparkSession,
+      corpus: DataFrame): (Int, Array[Array[Double]], Array[Array[Double]]) = {
+    val n = corpus.count()
+    require(n > 0, "IMI quantizer: empty corpus")
+    val k = autoImiK(n)
+    val frac = math.min(1.0, AutoMppc.toDouble * k / n)
+    val sample = Tables.spreadScan(s, corpus.filter(Tables.sampleLine(col("id"), frac)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val h1 = Kmeans.trainSampled(s,
+        sample.select(col("id"), slice(col("v"), 1, 32).as("v")), k, AutoIters, AutoSeed)
+      val h2 = Kmeans.trainSampled(s,
+        sample.select(col("id"), slice(col("v"), 33, 32).as("v")), k, AutoIters, AutoSeed + 1)
+      (k, h1, h2)
+    } finally sample.unpersist(blocking = false)
+  }
+
+  /** IMI coarse assignment against the two in-memory half codebooks —
+    * the [[assignListsKernel]] genus: cell id = i1·K + i2 where i_h is
+    * the per-half L2 argmin (STANDARD IMI — the coarse quantizer is a
+    * bucketing device, L2 per half is additive where per-half cosine is
+    * not; final candidate ranking stays cosine like every other arm).
+    * Ascending-index IEEE distance folds, strict `<` argmin keeping the
+    * smallest index on ties — the (dist ASC, idx) oracle window order.
+    * Emits (vec_id, v, nrm, list_id). */
+  private[graft] def assignImiKernel(s: SparkSession, emb: DataFrame,
+      cb1: Array[Array[Double]], cb2: Array[Array[Double]]): DataFrame = {
+    import s.implicits._
+    require(cb1.length == cb2.length, "IMI halves must share K")
+    val b1 = s.sparkContext.broadcast(cb1)
+    val b2 = s.sparkContext.broadcast(cb2)
+    emb.select(col("vec_id").cast("long"), col("v"))
+      .as[(Long, Seq[Double])]
+      .mapPartitions { it =>
+        val c1 = b1.value; val c2 = b2.value
+        val k = c1.length
+        val half = c1(0).length
+        def argmin(cs: Array[Array[Double]], v: Array[Double], off: Int): Int = {
+          var best = 0; var bestD = Double.PositiveInfinity
+          var c = 0
+          while (c < k) {
+            var t = 0.0; var j = 0
+            val cv = cs(c)
+            while (j < half) { val dd = v(off + j) - cv(j); t += dd * dd; j += 1 }
+            if (t < bestD) { bestD = t; best = c }
+            c += 1
+          }
+          best
+        }
+        it.map { case (id, sv) =>
+          val v = sv.toArray
+          var t = 0.0; var i = 0
+          while (i < v.length) { t += v(i) * v(i); i += 1 }
+          val i1 = argmin(c1, v, 0)
+          val i2 = argmin(c2, v, half)
+          (id, sv, math.sqrt(t), i1.toLong * k + i2)
+        }
+      }
+      .toDF("vec_id", "v", "nrm", "list_id")
+  }
+
+  /** A half codebook as a broadcastable (idx, c) table. */
+  private def halfTable(s: SparkSession, cb: Array[Array[Double]]): DataFrame = {
+    import s.implicits._
+    cb.toSeq.zipWithIndex.map { case (cv, i) => (i.toLong, cv.toSeq) }.toDF("idx", "c")
+  }
+
+  /** Query-side IMI probe resolution: per query, the per-half distance
+    * tables (K rows each) join into the K² cell grid, rank by
+    * (d1 + d2 ASC, cell id) — additivity is exactly why the coarse
+    * metric is per-half L2 — and the top `nProbe` cells probe. K² rows
+    * per QUERY (the benchmark query set is bounded); a production
+    * serving path would walk the multi-sequence frontier instead of
+    * enumerating the grid (Babenko & Lempitsky §3.1) — same cells,
+    * streaming enumeration. */
+  private[graft] def imiQueryProbes(s: SparkSession, d: String, nProbe: Int,
+      k: Int, cb1: Array[Array[Double]], cb2: Array[Array[Double]],
+      queryIdMax: Long = QueryIdMax): DataFrame = {
+    def sqDist(v: Column, c: Column) =
+      aggregate(zip_with(v, c, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, z) => acc + z)
+    val q = Tables.embeddings(s, d)
+      .filter(col("vec_id") < queryIdMax)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      .withColumn("nrm", norm(col("v")))
+    val d1 = q.join(broadcast(halfTable(s, cb1).withColumnRenamed("idx", "i1")))
+      .withColumn("d1", sqDist(slice(col("v"), 1, 32), col("c"))).drop("c")
+    val d2 = q.select(col("vec_id"), col("v"))
+      .join(broadcast(halfTable(s, cb2).withColumnRenamed("idx", "i2")))
+      .withColumn("d2", sqDist(slice(col("v"), 33, 32), col("c")))
+      .select("vec_id", "i2", "d2")
+    val wProbe = Window.partitionBy("vec_id")
+      .orderBy(col("ds").asc, col("list_id").asc)
+    d1.join(d2, Seq("vec_id"))
+      .withColumn("ds", col("d1") + col("d2"))
+      .withColumn("list_id", col("i1") * k + col("i2"))
+      .withColumn("crank", row_number().over(wProbe))
+      .filter(col("crank") <= nProbe)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("nrm").as("qnrm"), col("list_id"))
+  }
+
+  /** q46e — ANN under the INVERTED MULTI-INDEX coarse quantizer
+    * (Babenko & Lempitsky CVPR 2012): the documented escape hatch past
+    * [[AutoKCap]], now implemented — two per-half codebooks of
+    * [[autoImiK]](n) centroids each span K² cells from 2·K·32 doubles of
+    * model, so the √n-cells rule keeps holding where the flat table's
+    * OWN SIZE stops fitting (512 MB at 2^20 lists; IMI spans the same
+    * cells from 512 KiB). Corpus assignment is one in-register kernel
+    * pass ([[assignImiKernel]] — and CHEAPER than flat at equal cells:
+    * 2·K half-distances per vector vs K² full ones); queries rank the
+    * cell grid by additive per-half L2 and probe [[ImiProbes]] cells;
+    * candidate ranking inside probed cells is the engine-wide cosine
+    * top-k, identical to q46b/q46d downstream — lists are just ids, so
+    * everything downstream of assignment (the partitioned persisted
+    * index, PQ/ADC coding, recall gates) composes unchanged. Oracled via
+    * the frozen-artifact pattern ([[ImiCodebooks]], TrainQuantizers
+    * --imi); a spec pins live-trained == frozen plus kernel-vs-naive
+    * assignment and the recall relation against flat quantizers at equal
+    * cell count. */
+  def knnImi(s: SparkSession, d: String, k: Int = 3,
+      queryIdMax: Long = QueryIdMax, nProbe: Int = ImiProbes): DataFrame = {
+    val (kk, cb1, cb2) = imiQuantizer(s, d, queryIdMax)
+    val queries = imiQueryProbes(s, d, nProbe, kk, cb1, cb2, queryIdMax)
+    val corpus = assignImiKernel(s,
+      Tables.spreadScan(s, Tables.embeddings(s, d)
+        .filter(col("vec_id") >= queryIdMax)
+        .select(col("vec_id"), toDouble(col("embedding")).as("v"))), cb1, cb2)
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("neighbor_id"))
+    corpus.join(broadcast(queries), Seq("list_id"))
+      .withColumn("cos", cosine(col("qv"), col("v"), col("qnrm"), col("nrm")))
+      .select(col("q_id"), col("vec_id").as("neighbor_id"), col("cos"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .orderBy("q_id", "rank")
+  }
+
   /** q101 — cluster-prototypicality pruning (SSL-prototype scoring per
     * Sorscher et al. NeurIPS 2022; the diversify half of D4, Tirumala et
     * al. 2023): assign every corpus vector to its nearest AUTO-k
