@@ -168,6 +168,7 @@ object SparkEntry {
     "q78_transitions"     -> (TemporalOps.transitionMatrix _),
     "q79_anomalies"       -> (QualityOps.anomalies _),
     "q104_voxel_downsample" -> (PointCloudOps.voxelTable _),
+    "q105_audio_spectral" -> (graft.multimodal.AudioOps.spectralTable _),
     "q80_expectations"    -> ((s: SparkSession, d: String) => QualityOps.expectationAudit(s, d)),
   )
 
@@ -1276,6 +1277,43 @@ object SparkEntry {
          |  ${S("z")} / COUNT(*) AS cz,
          |  ${S("intensity")} / COUNT(intensity) AS mean_intensity
          |FROM pts GROUP BY 1, 2, 3, 4 ORDER BY 1, 2, 3, 4""".stripMargin,
+    // q105: the audio spectral kernel replayed over the same synthesized
+    // PCM table — window 8 is the one DFT basis whose twiddles are exact
+    // IEEE doubles ({0, +-1, +-sqrt(0.5)}), so power bins / rms /
+    // centroid are fixed chains both engines reproduce bit-exactly
+    "q105_audio_spectral" -> {
+      def re(m: Int) =
+        s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 9), " +
+          s"i -> vs[i] * C[(($m * (i - 1)) % 8) + 1])), (x2, y2) -> x2 + y2)"
+      def im(m: Int) =
+        s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 9), " +
+          s"i -> vs[i] * S[(($m * (i - 1)) % 8) + 1])), (x2, y2) -> x2 + y2)"
+      def p(m: Int) = s"(${re(m)}) * (${re(m)}) + (${im(m)}) * (${im(m)}) AS p$m"
+      s"""WITH clips AS (SELECT DISTINCT l_orderkey % 8 AS clip_id FROM lineitem),
+         |samp AS (SELECT clip_id, t,
+         |           ((clip_id * 37 + t * t * 29 + 11) % 401) - 200 AS s
+         |         FROM clips, (SELECT unnest(range(0, 32)) AS t) ts),
+         |win AS (SELECT clip_id, t // 8 AS win_no, t % 8 AS pos,
+         |          CAST(s AS DOUBLE) / 32768.0 AS v
+         |        FROM samp),
+         |w AS (SELECT clip_id, CAST(win_no AS BIGINT) AS win_no,
+         |        list(v ORDER BY pos) AS vs
+         |      FROM win GROUP BY clip_id, win_no),
+         |tw AS (SELECT
+         |  [1.0, sqrt(0.5), 0.0, -sqrt(0.5), -1.0, -sqrt(0.5), 0.0, sqrt(0.5)] AS C,
+         |  [0.0, sqrt(0.5), 1.0, sqrt(0.5), 0.0, -sqrt(0.5), -1.0, -sqrt(0.5)] AS S),
+         |p AS (SELECT clip_id, win_no,
+         |        sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 9),
+         |          i -> vs[i] * vs[i])), (x2, y2) -> x2 + y2) / 8.0) AS rms,
+         |        ${p(0)}, ${p(1)}, ${p(2)}, ${p(3)}, ${p(4)}
+         |      FROM w, tw)
+         |SELECT clip_id, win_no, rms, p0, p1, p2, p3, p4,
+         |  CASE WHEN (p1 + p2 + p3 + p4) > 0
+         |       THEN (1 * p1 + 2 * p2 + 3 * p3 + 4 * p4) / (p1 + p2 + p3 + p4)
+         |       ELSE 0.0 END AS centroid
+         |FROM p ORDER BY clip_id, win_no""".stripMargin
+    },
+
     "q01_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
          |  ${S("l_quantity")} AS sum_qty,

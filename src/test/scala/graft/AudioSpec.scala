@@ -53,4 +53,108 @@ class AudioSpec extends SparkSpec {
     assert(segs.filter(_.clip_id == 0L).map(_.pcm.length).sum === 8000 * 2)
     assert(segs.map(_.seg_no).max === 3)
   }
+
+  test("twiddles: the N=8 basis is the exact {0, ±1, ±sqrt(0.5)} table") {
+    val r = math.sqrt(0.5)
+    val (c, s) = AudioOps.twiddles(8)
+    assert(c.toSeq === Seq(1.0, r, 0.0, -r, -1.0, -r, 0.0, r))
+    assert(s.toSeq === Seq(0.0, r, 1.0, r, 0.0, -r, -1.0, -r))
+    // general N falls back to Math trig but agrees with the exact table
+    // wherever both are defined (within an ulp of the libm values)
+    val (c16, _) = AudioOps.twiddles(16)
+    (0 until 8).foreach(a =>
+      assert(math.abs(c16(2 * a) - c(a)) < 1e-15, s"angle $a"))
+  }
+
+  test("spectral(): bit-exact vs a naive in-memory DFT + mel recompute (general N)") {
+    val n = 16
+    val got = AudioOps.spectral(spark, clips, window = n, nMels = 6)
+      .collect().map(w => (w.clip_id, w.win_no) -> w).toMap
+    // naive recompute from the same PCM bytes, same Math functions —
+    // pins the kernel's fold orders and window/offset arithmetic
+    val (cosT, sinT) = AudioOps.twiddles(n)
+    Seq(0L -> sine(8000, 100.0, 0.5), 1L -> new Array[Byte](8000 * 2)).foreach {
+      case (id, pcm) =>
+        val mono = (0 until pcm.length / 2).map { i =>
+          (((pcm(2 * i) & 0xff) | (pcm(2 * i + 1) << 8)).toShort / 32768.0f).toDouble
+        }.toArray
+        (0 until mono.length / n).foreach { w =>
+          val v = mono.slice(w * n, (w + 1) * n)
+          val power = (0 to n / 2).map { m =>
+            var re = 0.0; var im = 0.0
+            (0 until n).foreach { t =>
+              re += v(t) * cosT((m * t) % n); im += v(t) * sinT((m * t) % n)
+            }
+            re * re + im * im
+          }.toArray
+          val g = got((id, w))
+          assert(g.power.toSeq === power.toSeq, s"clip $id win $w power")
+          var sumSq = 0.0; v.foreach(x => sumSq += x * x)
+          assert(g.rms === math.sqrt(sumSq / n), s"clip $id win $w rms")
+          var wp = 0.0; var tp = 0.0
+          (1 to n / 2).foreach { m => wp += m * power(m); tp += power(m) }
+          assert(g.centroid === (if (tp > 0) wp / tp else 0.0), s"clip $id win $w centroid")
+          assert(g.mel.toSeq ===
+            naiveMel(power, n, 8000, 6).toSeq, s"clip $id win $w mel")
+        }
+    }
+    // structural count: full windows only, trailing partial dropped
+    assert(got.count(_._1._1 == 0L) === 8000 / n)
+  }
+
+  /** Naive mel filterbank (independent of the kernel's loop structure). */
+  private def naiveMel(power: Array[Double], n: Int, rate: Int, nMels: Int): Array[Double] = {
+    def mel(f: Double) = 2595.0 * math.log10(1.0 + f / 700.0)
+    def inv(m: Double) = 700.0 * (math.pow(10.0, m / 2595.0) - 1.0)
+    val top = mel(rate / 2.0)
+    val edges = (0 until nMels + 2).map(i => inv(top * i / (nMels + 1)))
+    (0 until nMels).map { f =>
+      val (lo, mid, hi) = (edges(f), edges(f + 1), edges(f + 2))
+      val e = power.indices.map { b =>
+        val freq = b.toDouble * rate / n
+        val w = if (freq <= lo || freq >= hi) 0.0
+                else if (freq <= mid) (freq - lo) / (mid - lo)
+                else (hi - freq) / (hi - mid)
+        w * power(b)
+      }.sum
+      math.log(math.max(e, 1e-12))
+    }.toArray
+  }
+
+  test("spectral(): a pure tone at a bin frequency concentrates its power there") {
+    import spark.implicits._
+    // 1000 Hz at rate 8000 = bin 2 of a 16-sample window (2·8000/16)
+    val tone = Seq((5L, 8000, 1, sine(8000, 1000.0, 0.5)))
+      .toDF("clip_id", "sample_rate", "channels", "pcm")
+    val w0 = AudioOps.spectral(spark, tone, window = 16).collect()
+      .find(w => w.clip_id == 5L && w.win_no == 0).get
+    val p = w0.power
+    assert(p(2) > 0.9 * p.sum, s"bin 2 should dominate: ${p.toSeq}")
+    assert(math.abs(w0.centroid - 2.0) < 0.05, s"centroid ${w0.centroid}")
+    // silence: all-zero power, centroid pinned to 0 (not NaN)
+    val sw = AudioOps.spectral(spark, clips.filter("clip_id = 1"), window = 16)
+      .collect().head
+    assert(sw.power.forall(_ === 0.0) && sw.centroid === 0.0 && sw.rms === 0.0)
+  }
+
+  test("trimSilence(): endpoint trim exact; all-silent empties; no-silence is identity") {
+    import spark.implicits._
+    val rate = 8000
+    val toneSec = sine(rate, 1000.0, 0.5)
+    val silence = new Array[Byte](rate * 2)
+    val padded = silence ++ toneSec ++ silence
+    val in = Seq(
+      (0L, rate, 1, padded),   // silence | tone | silence
+      (1L, rate, 1, silence),  // all silent
+      (2L, rate, 1, toneSec))  // no silence
+      .toDF("clip_id", "sample_rate", "channels", "pcm")
+    val out = AudioOps.trimSilence(spark, in, window = 400, rmsThresh = 0.01)
+      .collect().map(c => c.clip_id -> c).toMap
+    // the padding is window-aligned (8000 = 20 windows of 400), so the
+    // trim boundary is exact: the kept bytes ARE the tone second
+    assert(out(0L).pcm.toSeq === toneSec.toSeq, "trim must keep exactly the tone")
+    assert(out(1L).pcm.isEmpty, "an all-silent clip keeps zero samples")
+    assert(out(2L).pcm.toSeq === toneSec.toSeq, "a no-silence clip passes through")
+    out.values.foreach(c => assert(c.channels === 1 && c.sample_rate === rate))
+  }
 }
