@@ -52,6 +52,7 @@ object SparkEntry {
     "q29d_nms"            -> (RosbagDomainOps.nmsTable _),
     "q29e_det_map_coco"   -> (RosbagDomainOps.detApCoco _),
     "q29f_det_ap_voc07"   -> ((s: SparkSession, d: String) => RosbagDomainOps.detAveragePrecisionVoc07(s, d)),
+    "q29g_det_map_coco_greedy" -> ((s: SparkSession, d: String) => RosbagDomainOps.detApCocoGreedy(s, d)),
     "q32_track_stitch"    -> ((s: SparkSession, d: String) => RosbagDomainOps.trackStitch(s, d)),
     "q30_train_val_split" -> (RosbagDomainOps.trainValSplit _),
     "q34_salted_join"     -> ((s: SparkSession, d: String) => SkewOps.saltedJoin(s, d)),
@@ -1080,7 +1081,46 @@ object SparkEntry {
   // the decimal carrier can never drift between the two oracles (or
   // from the Scala side, which parameterizes identically).
   private def apSweepOracleSql(tis: Seq[Int], coco: Boolean,
-      elevenPoint: Boolean = false): String = {
+      elevenPoint: Boolean = false, greedy: Boolean = false): String = {
+    // COCO-greedy matching (q29g): the assignment is sequential in score
+    // order, so — like the NMS replay — it runs as a recursive CTE
+    // stepping one detection rank at a time per (ti, image, class),
+    // carrying the claimed-GT list; each step's LATERAL picks the best
+    // free GT (IoU DESC, gt_id) for the stepped detection.
+    val matchCte =
+      if (greedy)
+        """gp AS (SELECT DISTINCT ti, image_id, class_id, pred_id, si FROM pairs),
+          |rankedm AS (SELECT ti, image_id, class_id, pred_id,
+          |              ROW_NUMBER() OVER (PARTITION BY ti, image_id, class_id
+          |                ORDER BY si DESC, pred_id) AS rk
+          |            FROM gp),
+          |gcnt AS (SELECT ti, image_id, class_id, MAX(rk) AS nrk FROM rankedm GROUP BY 1, 2, 3),
+          |gstep AS (
+          |  SELECT ti, image_id, class_id, CAST(0 AS BIGINT) AS rk,
+          |         CAST([] AS BIGINT[]) AS used, CAST([] AS BIGINT[]) AS tps
+          |  FROM gcnt
+          |  UNION ALL
+          |  SELECT s.ti, s.image_id, s.class_id, r.rk,
+          |    CASE WHEN pick.gt_id IS NOT NULL THEN list_append(s.used, pick.gt_id) ELSE s.used END,
+          |    CASE WHEN pick.gt_id IS NOT NULL THEN list_append(s.tps, r.pred_id) ELSE s.tps END
+          |  FROM gstep s
+          |  JOIN rankedm r ON r.ti = s.ti AND r.image_id = s.image_id
+          |    AND r.class_id = s.class_id AND r.rk = s.rk + 1
+          |  LEFT JOIN LATERAL (
+          |    SELECT p.gt_id FROM pairs p
+          |    WHERE p.ti = s.ti AND p.pred_id = r.pred_id
+          |      AND NOT list_contains(s.used, p.gt_id)
+          |    ORDER BY p.iou DESC, p.gt_id LIMIT 1) pick ON TRUE),
+          |m AS (SELECT s.ti, u.pred_id FROM gstep s
+          |      JOIN gcnt g ON s.ti = g.ti AND s.image_id = g.image_id
+          |        AND s.class_id = g.class_id AND s.rk = g.nrk,
+          |      LATERAL (SELECT unnest(s.tps) AS pred_id) u)""".stripMargin
+      else
+        """m AS (SELECT ti, pred_id FROM (
+          |        SELECT ti, pred_id,
+          |          ROW_NUMBER() OVER (PARTITION BY ti, pred_id ORDER BY iou DESC, gt_id) AS rp,
+          |          ROW_NUMBER() OVER (PARTITION BY ti, gt_id ORDER BY iou DESC, pred_id) AS rg
+          |        FROM pairs) WHERE rp = 1 AND rg = 1)""".stripMargin
     // VOC07 11-point (q29f): mean of the envelope sampled at the eleven
     // recall points — p_interp(j/10) = MAX(iprec) over rows whose
     // 10·cum_tp ≥ j·n_gt (exact integer gate); a recall point past the
@@ -1094,7 +1134,8 @@ object SparkEntry {
       else
         "CAST(SUM(CAST(CASE WHEN i.is_tp = 1 THEN i.iprec END AS DECIMAL(27,6))) AS DOUBLE) / ng.n_gt AS ap"
     val cells =
-      s"""pairs0 AS (SELECT g.class_id, g.gt_id, p.pred_id, CAST(inter AS DOUBLE) / uni AS iou
+      s"""pairs0 AS (SELECT g.image_id, g.class_id, g.gt_id, p.pred_id, p.si,
+         |            CAST(inter AS DOUBLE) / uni AS iou
          |          FROM gt g JOIN keptd p ON g.image_id = p.image_id AND g.class_id = p.class_id,
          |          LATERAL (SELECT
          |            GREATEST(0, LEAST(g.gx + g.gw, p.x + p.w) - GREATEST(g.gx, p.x))
@@ -1104,13 +1145,10 @@ object SparkEntry {
          |              * GREATEST(0, LEAST(g.gy + g.gh, p.y + p.h) - GREATEST(g.gy, p.y)) AS uni) t
          |          WHERE CAST(inter AS DOUBLE) / uni >= 0.5),
          |tis AS (SELECT CAST(unnest([${tis.mkString(", ")}]) AS BIGINT) AS ti),
-         |pairs AS (SELECT ti, class_id, gt_id, pred_id, iou FROM pairs0 CROSS JOIN tis
+         |pairs AS (SELECT ti, image_id, class_id, gt_id, pred_id, si, iou
+         |          FROM pairs0 CROSS JOIN tis
          |          WHERE iou >= CAST(ti AS DOUBLE) / 20.0),
-         |m AS (SELECT ti, pred_id FROM (
-         |        SELECT ti, pred_id,
-         |          ROW_NUMBER() OVER (PARTITION BY ti, pred_id ORDER BY iou DESC, gt_id) AS rp,
-         |          ROW_NUMBER() OVER (PARTITION BY ti, gt_id ORDER BY iou DESC, pred_id) AS rg
-         |        FROM pairs) WHERE rp = 1 AND rg = 1),
+         |$matchCte,
          |ng AS (SELECT class_id, CAST(COUNT(*) AS BIGINT) AS n_gt FROM gt GROUP BY class_id),
          |rk2 AS (SELECT t.ti, p.class_id, p.pred_id, p.si,
          |         CASE WHEN m.pred_id IS NOT NULL THEN 1 ELSE 0 END AS is_tp
@@ -1661,6 +1699,10 @@ object SparkEntry {
     // VOC07 11-point AP (the reference's own training metric): the q29c
     // chain with the envelope sampled at recall in {0, 0.1, ..., 1}
     "q29f_det_ap_voc07" -> apSweepOracleSql(Seq(10), coco = false, elevenPoint = true),
+
+    // COCO mAP under COCO's own greedy score-order assignment — the
+    // recursive-CTE replay of the sequential claim loop
+    "q29g_det_map_coco_greedy" -> apSweepOracleSql(10 to 19, coco = true, greedy = true),
 
     // track stitching: identical frame numbering, box synthesis, IoU gate,
     // mutual-best links, then DuckDB's recursive closure in place of the

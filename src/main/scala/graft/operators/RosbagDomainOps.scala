@@ -483,6 +483,31 @@ object RosbagDomainOps {
     kept
   }
 
+  /** One (ti, image, class) group's COCO-greedy assignment loop — pure
+    * and Spark-free so the property suite can fuzz it against a naive
+    * driver-side sweep (the [[nmsGroup]] convention). Input: candidate
+    * pairs (gt_id, pred_id, iou, si) already gated at the group's IoU
+    * threshold. Detections walk in (score DESC, pred_id) order; each
+    * claims the FREE gt with the highest IoU (ties by gt_id ASC) —
+    * pycocotools' per-image assignment. Returns the matched pred_ids.
+    */
+  private[graft] def greedyMatchGroup(
+      cands: Array[(Long, Long, Double, Long)]): scala.collection.Seq[Long] = {
+    val byPred = cands.groupBy(_._2)
+    val order = byPred.keys.toArray.sortBy(p => (-byPred(p).head._4, p))
+    val used = scala.collection.mutable.HashSet.empty[Long]
+    val out = new scala.collection.mutable.ArrayBuffer[Long](order.length)
+    order.foreach { p =>
+      val free = byPred(p).filter(t => !used.contains(t._1))
+      if (free.nonEmpty) {
+        val best = free.minBy(t => (-t._3, t._1))
+        used += best._1
+        out += p
+      }
+    }
+    out
+  }
+
   /** q29d — the NMS pass as a driver query: the [[scoredDetections]] model
     * through [[nms]] at the reference's dials (thresh 0.45, topk 400),
     * emitting the kept detections with their scores. At the gate lake the
@@ -547,7 +572,7 @@ object RosbagDomainOps {
     * q29c/q29e repeatedly must not accumulate cache entries.
     */
   private def apSweepCells(s: SparkSession, d: String, tis: Seq[Int],
-      elevenPoint: Boolean = false): DataFrame = {
+      elevenPoint: Boolean = false, greedyMatch: Boolean = false): DataFrame = {
     require(tis.nonEmpty && tis.forall(t => t >= 10 && t <= 19),
       s"IoU threshold indices must lie in [10, 19] (thr = ti/20); got $tis")
     val (gt, det) = scoredDetections(s, d)
@@ -562,16 +587,41 @@ object RosbagDomainOps {
       .withColumn("uni", col("gw") * col("gh") + col("w") * col("h") - col("inter"))
       .withColumn("iou", col("inter").cast("double") / col("uni"))
       .filter(col("iou") >= 0.5)
-      .select(col("gt_id"), col("pred_id"), col("iou"))
+      .select(col("image_id"), col("class_id"), col("gt_id"), col("pred_id"),
+        col("iou"), col("si"))
       .withColumn("ti", tiCol)
       .filter(col("iou") >= col("ti").cast("double") / 20.0)
-    val bestForPred = Window.partitionBy("ti", "pred_id").orderBy(col("iou").desc, col("gt_id"))
-    val bestForGt = Window.partitionBy("ti", "gt_id").orderBy(col("iou").desc, col("pred_id"))
-    val matched = pairs
-      .withColumn("rp", row_number().over(bestForPred))
-      .withColumn("rg", row_number().over(bestForGt))
-      .filter(col("rp") === 1 && col("rg") === 1)
-      .select(col("ti"), col("pred_id"), lit(1L).as("is_tp"))
+    // Two matching rules over the SAME candidate pairs:
+    //   mutual-best (the engine default — order-free, two rank-1 window
+    //   filters, shared with q29b/q29c), or COCO's GREEDY score-order
+    //   assignment (pycocotools semantics: each detection, highest score
+    //   first, claims the free GT with the highest IoU). Greedy is
+    //   sequential BY DEFINITION but only within one (ti, image, class)
+    //   group — the q29d NMS adjudication: one shuffle collects the
+    //   bounded group, a typed kernel runs the loop, no driver state.
+    val matched =
+      if (greedyMatch) {
+        import s.implicits._
+        pairs.select(col("ti"), col("image_id"), col("class_id"),
+            col("gt_id"), col("pred_id"), col("iou"), col("si"))
+          .as[(Long, Long, Long, Long, Long, Double, Long)]
+          .groupByKey { case (ti, img, cls, _, _, _, _) => (ti, img, cls) }
+          .flatMapGroups { (key: (Long, Long, Long),
+              it: Iterator[(Long, Long, Long, Long, Long, Double, Long)]) =>
+            greedyMatchGroup(it.map { case (_, _, _, g, p, iou, si) =>
+              (g, p, iou, si)
+            }.toArray).iterator.map(p => (key._1, p, 1L))
+          }
+          .toDF("ti", "pred_id", "is_tp")
+      } else {
+        val bestForPred = Window.partitionBy("ti", "pred_id").orderBy(col("iou").desc, col("gt_id"))
+        val bestForGt = Window.partitionBy("ti", "gt_id").orderBy(col("iou").desc, col("pred_id"))
+        pairs
+          .withColumn("rp", row_number().over(bestForPred))
+          .withColumn("rg", row_number().over(bestForGt))
+          .filter(col("rp") === 1 && col("rg") === 1)
+          .select(col("ti"), col("pred_id"), lit(1L).as("is_tp"))
+      }
     val ng = gt.groupBy("class_id").agg(count(lit(1)).as("n_gt"))
     val wRank = Window.partitionBy("ti", "class_id").orderBy(col("si").desc, col("pred_id"))
     val wCum = wRank.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -677,10 +727,28 @@ object RosbagDomainOps {
     * detections. Mutual-best stays this engine's default because it is
     * order-free and window-expressible (two rank-1 filters, no
     * sequential per-group state) and shared with q29b/q29c, so every
-    * detection metric in the registry matches the same way.
+    * detection metric in the registry matches the same way; the
+    * exact-greedy arm is [[detApCocoGreedy]] (q29g) for users
+    * reproducing pycocotools numbers.
     */
-  def detApCoco(s: SparkSession, d: String): DataFrame = {
-    val perCell = apSweepCells(s, d, (10 to 19))
+  def detApCoco(s: SparkSession, d: String): DataFrame =
+    detApCocoOf(s, d, greedyMatch = false)
+
+  /** q29g — COCO mAP@[.5:.95] under COCO's OWN greedy score-order
+    * assignment (the deviation q29e documents, implemented): identical
+    * sweep, but TPs come from [[greedyMatchGroup]] per (ti, image,
+    * class) instead of the mutual-best windows — the number pycocotools
+    * would report on the same detections. The two arms bracket the
+    * matching-rule sensitivity of the metric; greedy mAP is usually the
+    * (slightly) higher read since a detection whose best GT was claimed
+    * can still match a lower-IoU free GT.
+    */
+  def detApCocoGreedy(s: SparkSession, d: String): DataFrame =
+    detApCocoOf(s, d, greedyMatch = true)
+
+  private def detApCocoOf(s: SparkSession, d: String,
+      greedyMatch: Boolean): DataFrame = {
+    val perCell = apSweepCells(s, d, (10 to 19), greedyMatch = greedyMatch)
       .select((col("ti").cast("double") / 20.0).as("iou_thr"),
         col("class_id"), col("n_gt"), col("n_pred"), col("n_tp"),
         // COCO semantics: a zero-TP cell contributes AP 0 to the mean,

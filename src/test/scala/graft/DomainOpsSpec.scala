@@ -368,6 +368,85 @@ class DomainOpsSpec extends SparkSpec {
     assert((got(-1L) > expContMap) === (exp11Map > expContMap))
   }
 
+  test("q29g COCO-greedy mAP: matches a naive sequential assignment sweep; " +
+    "kernel fuzzed against a reference loop") {
+    val (gts, dets) = naiveModel()
+    val kept = naiveNms(dets)
+    // naive greedy per (ti, image, class): score-order claim of the best
+    // free GT — the pycocotools loop, written independently of the kernel
+    def greedyTp(thr: Double): Set[Long] = {
+      kept.groupBy(d => (d.img, d.cls)).flatMap { case ((img, cls), ds) =>
+        val gs = gts.filter(g => g.img == img && g.cls == cls)
+        val used = scala.collection.mutable.HashSet.empty[Long]
+        ds.sortBy(d => (-d.si, d.id)).flatMap { p =>
+          val free = gs.filter(g => !used.contains(g.id) && iouD(g, p) >= thr)
+          if (free.isEmpty) None
+          else {
+            val best = free.minBy(g => (-iouD(g, p), g.id))
+            used += best.id
+            Some(p.id)
+          }
+        }
+      }.toSet
+    }
+    def cellAp(tp: Set[Long], c: Long): (Long, Double) = {
+      val ranked = kept.filter(_.cls == c).sortBy(d => (-d.si, d.id))
+      val nGt = gts.count(_.cls == c)
+      val isTp = ranked.map(d => tp(d.id))
+      val cumTp = isTp.scanLeft(0)((a, t) => a + (if (t) 1 else 0)).tail
+      val prec = cumTp.zipWithIndex.map { case (ct, i) => ct.toDouble / (i + 1) }
+      val env = prec.scanRight(0.0)(math.max).init
+      (cumTp.lastOption.getOrElse(0).toLong,
+        isTp.zip(env).filter(_._1).map(_._2).sum / nGt)
+    }
+    val got = operators.RosbagDomainOps.detApCocoGreedy(spark, sf).collect()
+      .map(r => (r.getDouble(0), r.getLong(1)) -> ((r.getLong(4), r.getDouble(5))))
+      .toMap
+    assert(got.size === 31)
+    var apSum = 0.0
+    for (ti <- 10 to 19; c <- 0L to 2L) {
+      val tp = greedyTp(ti / 20.0)
+      val (entp, eap) = cellAp(tp, c)
+      val (gntp, gap) = got((ti / 20.0, c))
+      assert(gntp === entp, s"ti=$ti class=$c n_tp: $gntp vs $entp")
+      assert(math.abs(gap - eap) < 1e-4, s"ti=$ti class=$c ap: $gap vs $eap")
+      apSum += gap
+    }
+    assert(math.abs(got((-1.0, -1L))._2 - apSum / 30.0) < 1e-4)
+    // the documented matching-rule relation, PINNED ON THIS MODEL (an
+    // empirical gate-lake pin, not a theorem): greedy matches at least as
+    // many detections per cell as mutual-best here — a det whose best GT
+    // is claimed can still take a lower-IoU free GT
+    val mutual = operators.RosbagDomainOps.detApCoco(spark, sf).collect()
+      .map(r => (r.getDouble(0), r.getLong(1)) -> r.getLong(4)).toMap
+    for (ti <- 10 to 19; c <- 0L to 2L)
+      assert(got((ti / 20.0, c))._1 >= mutual((ti / 20.0, c)),
+        s"ti=$ti class=$c: greedy matched fewer than mutual-best")
+
+    // kernel fuzz: greedyMatchGroup == the reference loop on random groups
+    val rng = new scala.util.Random(11)
+    (1 to 50).foreach { trial =>
+      val nGt = 1 + rng.nextInt(5); val nPred = 1 + rng.nextInt(8)
+      val cands = for {
+        g <- 0 until nGt; p <- 0 until nPred
+        if rng.nextBoolean()
+      } yield (g.toLong, 100L + p, rng.nextInt(100) / 100.0, (rng.nextInt(50) * 20).toLong)
+      // si must be constant per pred
+      val siOf = (0 until nPred).map(p => 100L + p -> (rng.nextInt(1000).toLong)).toMap
+      val fixed = cands.map { case (g, p, iou, _) => (g, p, iou, siOf(p)) }
+      val expect = {
+        val used = scala.collection.mutable.HashSet.empty[Long]
+        fixed.map(_._2).distinct.sortBy(p => (-siOf(p), p)).flatMap { p =>
+          val free = fixed.filter(t => t._2 == p && !used.contains(t._1))
+          if (free.isEmpty) None
+          else { val b = free.minBy(t => (-t._3, t._1)); used += b._1; Some(p) }
+        }
+      }
+      val gotK = operators.RosbagDomainOps.greedyMatchGroup(fixed.toArray)
+      assert(gotK.toSet === expect.toSet, s"trial $trial: $gotK vs $expect")
+    }
+  }
+
   test("q29c/q29e leave zero cache entries behind (apSweepCells lifecycle)") {
     // the AP sweep persists the NMS output internally (it feeds both the
     // matching join and the ranked sweep); a long-lived session calling
