@@ -169,6 +169,20 @@ class FrameDedupStreamSpec extends SparkSpec {
       s"probe read $probeFiles of $totalFiles files — batch keys must prune to O(batch)")
   }
 
+  test("an empty batch (a bag with no camera topics) is a no-op that breaks nothing") {
+    val lake = tmp("fdi-lake5")
+    // batch 0 lands normally
+    runBatch(lake, 0L, framesOf(1L -> pxA))
+    // batch 1 carries ZERO frames — the guard must neither crash (empty
+    // hash pass, empty component labeling, empty probe key set) nor
+    // corrupt the index for later batches
+    val m1 = runBatch(lake, 1L, framesOf())
+    assert(m1.isEmpty, s"empty batch produced manifest rows: $m1")
+    // batch 2 still probes the (unchanged) landed state correctly
+    val m2 = runBatch(lake, 2L, framesOf(20L -> pxB))
+    assert(m2 === Map(20L -> ((1L, false))), m2.toString)
+  }
+
   test("end-to-end: BagIngestStream --image-dedup + frame index gives later " +
     "batches the landed canonical") {
     val watch = Files.createTempDirectory("fdi-watch")
