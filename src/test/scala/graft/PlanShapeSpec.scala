@@ -426,4 +426,32 @@ class PlanShapeSpec extends SparkSpec {
     assert(score.split('\n').count(_.contains("Sort [")) <= 2,
       s"scoreTable should carry only its own output ordering:\n$score")
   }
+
+  test("q46e: IMI corpus assignment is ONE kernel pass off the pruned scan; " +
+    "probe lists broadcast — the corpus never hash-shuffles before the kernel") {
+    val p = plan(SimilarityOps.knnImi(spark, sf))
+    // corpus side: pruned scan (vec_id >= corpus floor) -> spreadScan's
+    // round-robin -> the typed kernel; the only hash exchanges are the
+    // bounded per-query rank and the probe-list window
+    assert(p.contains("MapPartitions"), s"kernel missing:\n$p")
+    assert(p.contains("GreaterThanOrEqual(vec_id,10)"),
+      s"corpus filter must reach the scan:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"probe lists must broadcast:\n$p")
+    val corpusShuffles = p.split('\n')
+      .count(l => l.contains("Exchange hashpartitioning") && l.contains("list_id"))
+    assert(corpusShuffles === 0, s"corpus hash-shuffled on list_id:\n$p")
+    // the query×codebook grid joins are bounded BroadcastNestedLoopJoins
+    // (≤10 queries × K codewords — the q54 centroid-join shape); only a
+    // true cartesian over the CORPUS would be a defect
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q105: the spectral table is bounded aggregation work — no join, no cartesian") {
+    val p = plan(graft.multimodal.AudioOps.spectralTable(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // distinct clip ids + the per-clip pack are the only exchanges (plus
+    // the driver-output ordering)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges <= 2, s"spectral table shuffles $exchanges times:\n$p")
+  }
 }
