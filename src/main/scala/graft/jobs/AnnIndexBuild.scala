@@ -204,6 +204,70 @@ object AnnIndexBuild {
     adcTopK(s, codes, probes, lutRows, k)
   }
 
+  /** Marker value for IMI indexes — same loudness contract as
+    * [[AutoCoding]]: probing multi-index cells with a flat quantizer (or
+    * vice versa) would silently rank against the wrong candidates. */
+  private val ImiCoding = "raw-imi"
+
+  /** The persisted index under the INVERTED MULTI-INDEX quantizer (q46e
+    * carried to the serving side — the composition claim made concrete:
+    * cells are just list ids, so the `partitionBy(list_id)` layout, the
+    * PQ coding tail, the ADC LUT, and the scoring tail are all UNCHANGED
+    * from the flat/auto builds). Trains the two per-half codebooks
+    * deterministically (SimilarityOps.imiQuantizer — cached per
+    * session/lake), assigns cells through the per-half kernel, PQ-codes
+    * through THE shared tail, lands `partitionBy(list_id)` with the half
+    * codebooks as a `_quantizer` parquet sidecar tagged by half. Raw
+    * coding only (the auto arm's contract). */
+  def buildImi(s: SparkSession, sfDir: String, out: String): Unit = {
+    val (_, cb1, cb2) = SimilarityOps.imiQuantizer(s, sfDir)
+    val emb = graft.Tables.embeddings(s, sfDir)
+      .filter(col("vec_id") >= SimilarityOps.QueryIdMax)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    aggCodes(SimilarityOps.codedSubsImi(s, graft.Tables.spreadScan(s, emb), cb1, cb2))
+      .repartition(col("list_id"))
+      .write.mode(SaveMode.Overwrite).partitionBy("list_id").parquet(out)
+    import s.implicits._
+    (cb1.toSeq.zipWithIndex.map { case (cv, i) => (0, i.toLong, cv.toSeq) } ++
+      cb2.toSeq.zipWithIndex.map { case (cv, i) => (1, i.toLong, cv.toSeq) })
+      .toDF("half", "idx", "c")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$out/_quantizer")
+    writeMarker(s, out, ImiCoding)
+  }
+
+  /** [[search]] over a [[buildImi]] index: probe cells resolve against
+    * the SIDECAR half codebooks (parquet doubles round-trip bit-exactly),
+    * the ADC LUT and scoring tail are the raw-mode ones shared with every
+    * other index family. Default nProbe keeps q46e's probed FRACTION
+    * (cells/16 — the 4-of-64 gate dial); read the serving dial off a
+    * recall curve for YOUR corpus before production, exactly as the auto
+    * arm's scaladoc prescribes. */
+  def searchImi(s: SparkSession, indexDir: String, sfDir: String,
+      k: Int = 3, nProbe: Int = -1): DataFrame = {
+    checkMarkerIs(s, indexDir, ImiCoding)
+    val sidecar = s.read.parquet(s"$indexDir/_quantizer").collect()
+    def half(h: Int): Array[Array[Double]] = sidecar
+      .filter(_.getAs[Int]("half") == h)
+      .sortBy(_.getAs[Long]("idx"))
+      .map(_.getSeq[Double](2).toArray)
+    val (cb1, cb2) = (half(0), half(1))
+    require(cb1.nonEmpty && cb1.length == cb2.length,
+      s"corrupt _quantizer sidecar: halves ${cb1.length}/${cb2.length}")
+    val kk = cb1.length
+    val probe = if (nProbe > 0) nProbe else math.max(1, kk * kk / 16)
+    val probeRows = SimilarityOps
+      .imiQueryProbes(s, sfDir, probe, kk, cb1, cb2)
+      .select(col("q_id"), col("list_id"), col("qv"))
+      .collect()
+    if (probeRows.isEmpty) return emptyResult(s)
+    val probes = probeRows.map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val lutRows = lutRowsOf(probeRows, residual = false)
+    val probedLists = probes.map(_._2).distinct.sorted
+    val codes = s.read.parquet(indexDir)
+      .filter(col("list_id").isin(probedLists: _*))
+    adcTopK(s, codes, probes, lutRows, k)
+  }
+
   /** The code table committed through SnapshotLake (list_id-clustered,
     * long stats on list_id): atomic publish, time travel, manifest-level
     * probe pruning. Returns the published version. */
@@ -395,9 +459,18 @@ object AnnIndexBuild {
     val probeRows = SimilarityOps.queryProbeLists(s, sfDir, nProbe, cents = cents)
       .select(col("q_id"), col("list_id"), col("qv"))
       .collect()
-    val probes = probeRows.map(r => (r.getLong(0), r.getLong(1))).toSeq
+    (probeRows.map(r => (r.getLong(0), r.getLong(1))).toSeq,
+      lutRowsOf(probeRows, residual))
+  }
+
+  /** The ADC lookup table from collected (q_id, list_id, qv) probe rows —
+    * ONE construction shared by the frozen/auto resolver and the IMI
+    * resolver, so the subtraction order (and with it the q70 bit
+    * identity) cannot drift between index families. */
+  private def lutRowsOf(probeRows: Array[org.apache.spark.sql.Row],
+      residual: Boolean): Seq[(Long, Long, Long, Long, Double)] = {
     val books = if (residual) PqResidualCodebooks.values else PqCodebooks.values
-    val lutRows = for {
+    for {
       r <- probeRows.toSeq
       qid = r.getLong(0)
       lid = r.getLong(1)
@@ -420,7 +493,6 @@ object AnnIndexBuild {
       }
       (qid, lid, sub.toLong, code.toLong, acc)
     }
-    (probes, lutRows)
   }
 
   /** ADC top-k over a (vec_id, list_id, codes) frame: 8 lookup-adds per

@@ -195,8 +195,23 @@ object AudioOps {
     out
   }
 
+  /** DCT-II over the log mel energies — the second half of MFCC
+    * (cepstral coefficients decorrelate the overlapping filterbank):
+    * c_k = Σ_i x_i · cos(π·k·(i + ½)/M), k ∈ [0, nCoeffs). Engine-local
+    * Math.cos (spec-pinned vs a naive recompute, like the filterbank). */
+  private[graft] def dct2(x: Array[Double], nCoeffs: Int): Array[Double] = {
+    val m = x.length
+    Array.tabulate(nCoeffs) { k =>
+      var acc = 0.0
+      var i = 0
+      while (i < m) { acc += x(i) * Math.cos(Math.PI * k * (i + 0.5) / m); i += 1 }
+      acc
+    }
+  }
+
   final case class WindowSpectral(clip_id: Long, win_no: Int, sample_rate: Int,
-      rms: Double, power: Array[Double], centroid: Double, mel: Array[Double])
+      rms: Double, power: Array[Double], centroid: Double, mel: Array[Double],
+      mfcc: Array[Double])
 
   /** Per-window spectral features — the speech/music/silence front-end a
     * multimodal training lake filters on: each clip's mono signal splits
@@ -204,8 +219,10 @@ object AudioOps {
     * dropped — training features want full windows), and each frame gets
     * its direct-DFT power spectrum (N/2+1 bins), RMS, the spectral
     * CENTROID over bins 1..N/2 (Σ m·P(m) / Σ P(m), DC excluded — the
-    * brightness feature; 0 when the window is pure DC/silence), and
-    * `nMels` log mel-filterbank energies (nMels = 0 skips the filterbank).
+    * brightness feature; 0 when the window is pure DC/silence),
+    * `nMels` log mel-filterbank energies (nMels = 0 skips the
+    * filterbank), and `nMfcc` cepstral coefficients ([[dct2]] of the log
+    * mels — full MFCC; requires nMels > 0, nMfcc = 0 skips).
     *
     * Scale shape: one flatMap over the clip scan — per-clip work,
     * window-parallel rows out, no shuffle, no per-clip state beyond the
@@ -213,10 +230,14 @@ object AudioOps {
     * by design (bounded windows, zero FFT dependency).
     */
   def spectral(spark: SparkSession, clips: DataFrame, window: Int,
-      nMels: Int = 0): Dataset[WindowSpectral] = {
+      nMels: Int = 0, nMfcc: Int = 0): Dataset[WindowSpectral] = {
     import spark.implicits._
     require(window >= 2, s"window must be >= 2; got $window")
     require(nMels >= 0, s"nMels must be >= 0; got $nMels")
+    require(nMfcc >= 0 && (nMfcc == 0 || nMels > 0),
+      s"nMfcc ($nMfcc) needs a mel filterbank (nMels = $nMels)")
+    require(nMfcc <= math.max(nMels, 0),
+      s"nMfcc ($nMfcc) cannot exceed nMels ($nMels)")
     val (cosT, sinT) = twiddles(window)
     clips.select("clip_id", "sample_rate", "channels", "pcm").as[Clip]
       .flatMap { c =>
@@ -236,11 +257,14 @@ object AudioOps {
           var wp = 0.0; var tp = 0.0
           var m = 1
           while (m < p.length) { wp += m * p(m); tp += p(m); m += 1 }
+          val mels =
+            if (nMels > 0) melEnergies(p, window, c.sample_rate, nMels)
+            else Array.empty[Double]
           WindowSpectral(c.clip_id, w, c.sample_rate,
             math.sqrt(sumSq / window), p,
             if (tp > 0.0) wp / tp else 0.0,
-            if (nMels > 0) melEnergies(p, window, c.sample_rate, nMels)
-            else Array.empty[Double])
+            mels,
+            if (nMfcc > 0) dct2(mels, nMfcc) else Array.empty[Double])
         }
       }
   }

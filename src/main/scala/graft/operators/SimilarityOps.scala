@@ -319,6 +319,16 @@ object SimilarityOps {
     pqCodeSubs(assignListsKernel(s, emb, cents).select("vec_id", "v", "list_id"),
       codebookTable(s))
 
+  /** [[codedSubsAuto]] under the INVERTED MULTI-INDEX quantizer: cell
+    * assignment through the per-half kernel, PQ codes through THE shared
+    * tail — the composition claim made concrete (cells are just list
+    * ids; nothing downstream of assignment changes). Raw coding only,
+    * same contract as the auto arm. */
+  private[graft] def codedSubsImi(s: SparkSession, emb: DataFrame,
+      cb1: Array[Array[Double]], cb2: Array[Array[Double]]): DataFrame =
+    pqCodeSubs(assignImiKernel(s, emb, cb1, cb2).select("vec_id", "v", "list_id"),
+      codebookTable(s))
+
   /** q54 — IVF inverted-list balance: vectors per list under the trained
     * quantizer. This is the operational health check for the index — a
     * degenerate (untrained) quantizer concentrates the corpus in a few hot

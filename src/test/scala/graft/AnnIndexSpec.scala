@@ -549,6 +549,46 @@ class AnnIndexSpec extends SparkSpec {
       .collect().toSeq === recompute)
   }
 
+  test("IMI persisted index: sidecar halves, partition pruning, all-cells " +
+    "probe == flat PQ ADC bit-exactly, loud cross-search") {
+    val out = java.nio.file.Files.createTempDirectory("annimi").toString
+    graft.jobs.AnnIndexBuild.buildImi(spark, sf, out)
+    val (kk, _, _) = SimilarityOps.imiQuantizer(spark, sf)
+
+    // default dial: cell probes become planning-time partition pruning
+    val res = graft.jobs.AnnIndexBuild.searchImi(spark, out, sf, k = 3)
+    val scans = res.queryExecution.sparkPlan.collect {
+      case f: FileSourceScanExec if f.relation.location.rootPaths.exists(_.toString.contains(out)) => f
+    }
+    assert(scans.nonEmpty)
+    assert(scans.head.partitionFilters.exists(_.references.exists(_.name == "list_id")),
+      scans.head.partitionFilters.mkString("; "))
+    // 10 queries x (cells/16) probes -> far fewer than all populated cells
+    val total = spark.read.parquet(out).select("list_id").distinct().count()
+    assert(scans.head.selectedPartitions.partitionCount < total,
+      s"scan opened ${scans.head.selectedPartitions.partitionCount} of $total cells")
+    assert(res.collect().nonEmpty)
+
+    // probing EVERY cell makes the candidate set the whole corpus, so the
+    // raw ADC ranking must be BIT-IDENTICAL to the flat PQ arm (q70) —
+    // the LUT math, reduce chain, and tie-break are the same shared code
+    val all = graft.jobs.AnnIndexBuild.searchImi(spark, out, sf, k = 3, nProbe = kk * kk)
+      .select("q_id", "neighbor_id", "adc_dist", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    val flat = SimilarityOps.knnPq(spark, sf, 3)
+      .select("q_id", "neighbor_id", "adc_dist", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    assert(all === flat, "all-cells IMI search must equal flat PQ ADC exactly")
+
+    // cross-search is loud in both directions (the coding-marker contract)
+    intercept[IllegalArgumentException] {
+      graft.jobs.AnnIndexBuild.searchAuto(spark, out, sf)
+    }
+    intercept[IllegalArgumentException] {
+      graft.jobs.AnnIndexBuild.searchImi(spark, idx, sf)
+    }
+  }
+
   // ---------- IMI multi-index coarse quantizer (q46e) ----------
 
   test("autoImiK: exact power-of-two boundaries, floor 4, cap 2^10") {

@@ -68,7 +68,7 @@ class AudioSpec extends SparkSpec {
 
   test("spectral(): bit-exact vs a naive in-memory DFT + mel recompute (general N)") {
     val n = 16
-    val got = AudioOps.spectral(spark, clips, window = n, nMels = 6)
+    val got = AudioOps.spectral(spark, clips, window = n, nMels = 6, nMfcc = 4)
       .collect().map(w => (w.clip_id, w.win_no) -> w).toMap
     // naive recompute from the same PCM bytes, same Math functions —
     // pins the kernel's fold orders and window/offset arithmetic
@@ -94,8 +94,18 @@ class AudioSpec extends SparkSpec {
           var wp = 0.0; var tp = 0.0
           (1 to n / 2).foreach { m => wp += m * power(m); tp += power(m) }
           assert(g.centroid === (if (tp > 0) wp / tp else 0.0), s"clip $id win $w centroid")
-          assert(g.mel.toSeq ===
-            naiveMel(power, n, 8000, 6).toSeq, s"clip $id win $w mel")
+          val mels = naiveMel(power, n, 8000, 6)
+          assert(g.mel.toSeq === mels.toSeq, s"clip $id win $w mel")
+          // full MFCC: DCT-II of the log mels, recomputed independently
+          val mfcc = (0 until 4).map { k =>
+            mels.zipWithIndex.map { case (x, i) =>
+              x * Math.cos(Math.PI * k * (i + 0.5) / mels.length)
+            }.sum
+          }
+          assert(g.mfcc.length === 4)
+          g.mfcc.zip(mfcc).zipWithIndex.foreach { case ((gv, ev), k) =>
+            assert(math.abs(gv - ev) < 1e-12, s"clip $id win $w mfcc[$k]: $gv vs $ev")
+          }
         }
     }
     // structural count: full windows only, trailing partial dropped
