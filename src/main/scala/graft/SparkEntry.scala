@@ -63,6 +63,7 @@ object SparkEntry {
     "q41_dedup_ngram"     -> ((s: SparkSession, d: String) => DedupOps.ngramJaccard(s, d)),
     "q41b_dedup_ngram_capped" -> ((s: SparkSession, d: String) => DedupOps.ngramJaccard(s, d, dfCap = 4)),
     "q41c_dedup_ngram_prefix" -> ((s: SparkSession, d: String) => DedupOps.ngramJaccardPrefix(s, d)),
+    "q41d_dedup_containment" -> ((s: SparkSession, d: String) => DedupOps.ngramContainment(s, d)),
     "q42_dedup_minhash"   -> (DedupOps.minhashLsh _),
     "q43_dedup_simhash"   -> (DedupOps.simhash _),
     "q44_dedup_embedding" -> ((s, d) => DedupOps.embeddingNearDup(s, d)),
@@ -1809,6 +1810,25 @@ object SparkEntry {
          |FROM pairs JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id
          |WHERE shared / (ca.n + cb.n - shared) >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // q41d: the same inverted-index evidence scored ASYMMETRICALLY —
+    // containment of the smaller shingle set, the subsumption catch
+    "q41d_dedup_containment" ->
+      s"""WITH $SHINGLES,
+         |posting AS (SELECT doc_id, unnest(hs) AS s FROM sh),
+         |cnt AS (SELECT doc_id, CAST(len(hs) AS BIGINT) AS n FROM sh),
+         |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+         |          FROM posting a JOIN posting b ON a.s = b.s AND a.doc_id < b.doc_id
+         |          GROUP BY a.doc_id, b.doc_id),
+         |sc AS (SELECT doc_a, doc_b, ca.n AS na, cb.n AS nb, shared
+         |       FROM pairs JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id)
+         |SELECT
+         |  CASE WHEN na < nb OR (na = nb AND doc_a < doc_b) THEN doc_a ELSE doc_b END AS contained_id,
+         |  CASE WHEN na < nb OR (na = nb AND doc_a < doc_b) THEN doc_b ELSE doc_a END AS container_id,
+         |  shared / LEAST(na, nb) AS containment,
+         |  shared / (na + nb - shared) AS jaccard
+         |FROM sc WHERE shared / LEAST(na, nb) >= 0.8
+         |ORDER BY contained_id, container_id""".stripMargin,
 
     // deliberately q41's PLAIN inverted-index oracle: the parity gate
     // proves the prefix filter + merge-walk verification is lossless

@@ -79,7 +79,55 @@ object DedupOps {
     * per shingle regardless (the pair stream is never materialized).
     */
   def ngramJaccard(s: SparkSession, d: String, dfCap: Long = Long.MaxValue,
-      sampleFrac: Double = 1.0): DataFrame = {
+      sampleFrac: Double = 1.0): DataFrame =
+    sharedShingleCounts(s, d, dfCap, sampleFrac)
+      .withColumn("jaccard", col("shared") / (col("na") + col("nb") - col("shared")))
+      .filter(col("jaccard") >= 0.5)
+      .select("doc_a", "doc_b", "jaccard")
+      .orderBy("doc_a", "doc_b")
+
+  /** q41d — n-gram CONTAINMENT pairs: the asymmetric complement of q41's
+    * resemblance join (Broder's resemblance-vs-containment split,
+    * SEQUENCES '97). A short document quoted WHOLE inside a long one has
+    * containment |A∩B|/|A| ≈ 1 while Jaccard |A∩B|/|A∪B| stays low (the
+    * union is dominated by the long side) — the subsumption case every
+    * symmetric near-dup join structurally misses, and exactly how
+    * benchmark questions, licenses, and boilerplate hide inside long
+    * scraped pages. Same machinery as q41 — ONE shared posting pipeline
+    * ([[sharedShingleCounts]]: inverted shingle index, lazy pair
+    * generator, shared-count aggregation; the scores can never disagree
+    * about a pair's evidence — different score: containment of the
+    * SMALLER set, shared / min(na, nb), gated at `threshold`. Output:
+    * one row per pair with contained_id = the smaller set's doc (ties by
+    * id — deterministic), container_id the other, plus both scores so a
+    * consumer can see WHICH catch this is (high containment + low
+    * jaccard = subsumption; both high = q41's near-dup).
+    */
+  def ngramContainment(s: SparkSession, d: String, threshold: Double = 0.8,
+      dfCap: Long = Long.MaxValue): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"containment threshold must be in (0, 1]; got $threshold")
+    val smallerIsA = col("na") < col("nb") ||
+      (col("na") === col("nb") && col("doc_a") < col("doc_b"))
+    sharedShingleCounts(s, d, dfCap, sampleFrac = 1.0)
+      .withColumn("containment", col("shared") / least(col("na"), col("nb")))
+      .filter(col("containment") >= threshold)
+      .withColumn("jaccard", col("shared") / (col("na") + col("nb") - col("shared")))
+      .select(
+        when(smallerIsA, col("doc_a")).otherwise(col("doc_b")).as("contained_id"),
+        when(smallerIsA, col("doc_b")).otherwise(col("doc_a")).as("container_id"),
+        col("containment"), col("jaccard"))
+      .orderBy("contained_id", "container_id")
+  }
+
+  /** The shared q41-family pair pipeline: inverted shingle index → lazy
+    * per-shingle pair generation → ONE (doc_a, doc_b) shared-count
+    * aggregation, returning (doc_a, doc_b, na, nb, shared) with
+    * doc_a < doc_b. Jaccard (q41/q41b) and containment (q41d) are both
+    * one score expression over THIS frame — the candidate evidence
+    * cannot drift between the two joins. */
+  private def sharedShingleCounts(s: SparkSession, d: String, dfCap: Long,
+      sampleFrac: Double): DataFrame = {
     // df < 2 can never form a pair, so a cap below 2 would silently select
     // nothing — reject it rather than hand back an empty "dedup".
     require(dfCap >= 2, s"dfCap must be >= 2 (a shingle needs df >= 2 to form a pair); got $dfCap")
@@ -120,10 +168,6 @@ object DedupOps {
     pairs
       .groupBy("doc_a", "doc_b", "na", "nb")
       .agg(count(lit(1)).as("shared"))
-      .withColumn("jaccard", col("shared") / (col("na") + col("nb") - col("shared")))
-      .filter(col("jaccard") >= 0.5)
-      .select("doc_a", "doc_b", "jaccard")
-      .orderBy("doc_a", "doc_b")
   }
 
   /** q41c — the same exact n-gram Jaccard join, prefix-filtered

@@ -39,6 +39,47 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("q41d containment catches SUBSUMPTION the symmetric jaccard join misses") {
+    import spark.implicits._
+    // a short document quoted WHOLE inside a much longer one: containment
+    // of the short side = 1.0, jaccard ~ |short|/|long| << 0.5
+    val short = (1 to 12).map(i => s"quote$i").mkString(" ")
+    val long = (1 to 80).map(i => s"body$i").mkString(" ") + " " + short +
+      " " + (81 to 160).map(i => s"body$i").mkString(" ")
+    val other = (1 to 40).map(i => s"noise$i").mkString(" ")
+    val tmp = java.nio.file.Files.createTempDirectory("contain").toString
+    Seq((1L, short, "en", short.length.toLong),
+        (2L, long, "en", long.length.toLong),
+        (3L, other, "en", other.length.toLong))
+      .toDF("doc_id", "text", "lang", "n_chars")
+      .write.parquet(s"$tmp/documents.parquet")
+    // the symmetric join misses the pair entirely...
+    val jac = DedupOps.ngramJaccard(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!jac.contains((1L, 2L)),
+      "fixture broken: the subsumed pair must be BELOW the jaccard gate")
+    // ...containment catches it, with the short doc as contained_id
+    val cont = DedupOps.ngramContainment(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getAs[Double]("containment"), r.getAs[Double]("jaccard")))).toMap
+    assert(cont.contains((1L, 2L)), s"subsumption missed: $cont")
+    val (c, j) = cont((1L, 2L))
+    // boundary shingles straddle the splice, so containment is near-1,
+    // not exactly 1 (the 5-gram window crosses body|quote edges)
+    assert(c >= 0.8 && j < 0.5, s"containment $c jaccard $j")
+    // the noise doc pairs with nothing
+    assert(!cont.keySet.exists(p => p._1 == 3L || p._2 == 3L))
+    // on the gate lake: every containment pair's evidence agrees with the
+    // q41 pipeline (shared machinery), and containment >= jaccard always
+    val lake = DedupOps.ngramContainment(spark, sf, threshold = 0.5).collect()
+    assert(lake.nonEmpty)
+    lake.foreach { r =>
+      assert(r.getAs[Double]("containment") >= r.getAs[Double]("jaccard") - 1e-12)
+    }
+    assertThrows[IllegalArgumentException](
+      DedupOps.ngramContainment(spark, sf, threshold = 0.0))
+  }
+
   test("q41c prefix-filtered join is bit-identical to the plain inverted index") {
     def rows(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Double]("jaccard"))).toSeq
