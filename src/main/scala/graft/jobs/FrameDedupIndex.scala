@@ -167,8 +167,17 @@ object FrameDedupIndex {
             .withColumn("ingest_batch", lit(batchId))
             .select("bag", "topic", "time_ns", "dhash", "b", "v", "fkey",
               "canon_bag", "canon_topic", "canon_time_ns", "ingest_batch")
+          // the banding is part of the index's IDENTITY: rows landed at a
+          // different maxHamming split the 64 bits differently, so a
+          // mixed-banding index silently loses probe recall (the Hamming
+          // verify still gates correctness, but collisions stop lining
+          // up). The table property makes a mid-stream dial change fail
+          // LOUDLY instead — same contract as AnnIndexBuild's coding
+          // marker.
           SnapshotLake.commitStreamBatch(spark, table, indexRows, batchId,
-            statsCol = Some("fkey"))
+            statsCol = Some("fkey"),
+            props = Map("max_hamming" -> maxHamming.toString),
+            requireProps = Map("max_hamming" -> maxHamming.toString))
         } finally resolvedP.unpersist(blocking = false)
       } finally blocks.unpersist(blocking = false)
     } finally hashes.unpersist(blocking = false)

@@ -169,6 +169,21 @@ class FrameDedupStreamSpec extends SparkSpec {
       s"probe read $probeFiles of $totalFiles files — batch keys must prune to O(batch)")
   }
 
+  test("a mid-stream banding change fails LOUDLY instead of silently mixing bandings") {
+    val lake = tmp("fdi-lake6")
+    runBatch(lake, 0L, framesOf(1L -> pxA), maxHamming = 2)
+    // rows landed at maxHamming=2 split the 64 bits into 3 blocks; a
+    // batch probing/committing at 3 (4 blocks) would silently stop
+    // colliding with them — the index property makes it throw instead
+    val e = intercept[IllegalStateException] {
+      runBatch(lake, 1L, framesOf(10L -> pxB), maxHamming = 3)
+    }
+    assert(e.getMessage.contains("max_hamming"), e.getMessage)
+    // the original banding keeps working
+    val m = runBatch(lake, 2L, framesOf(20L -> pxB), maxHamming = 2)
+    assert(m === Map(20L -> ((1L, false))), m.toString)
+  }
+
   test("an empty batch (a bag with no camera topics) is a no-op that breaks nothing") {
     val lake = tmp("fdi-lake5")
     // batch 0 lands normally
