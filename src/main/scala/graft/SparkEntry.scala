@@ -74,6 +74,7 @@ object SparkEntry {
     "q46b_knn_ivf"        -> ((s: SparkSession, d: String) => SimilarityOps.knnIvf(s, d)),
     "q46d_knn_ivf_auto"   -> ((s: SparkSession, d: String) => SimilarityOps.knnIvfAuto(s, d)),
     "q46e_knn_imi"        -> ((s: SparkSession, d: String) => SimilarityOps.knnImi(s, d)),
+    "q46f_ann_recall_imi" -> ((s: SparkSession, d: String) => SimilarityOps.annRecallImi(s, d)),
     "q54_ivf_balance"     -> (SimilarityOps.ivfListBalance _),
     "q54b_ivf_balance_auto" -> (SimilarityOps.ivfListBalanceAuto _),
     "q68d_ann_recall_auto" -> ((s: SparkSession, d: String) => SimilarityOps.annRecallAuto(s, d)),
@@ -640,6 +641,50 @@ object SparkEntry {
     cb.zipWithIndex.map { case (cv, i) =>
       s"(CAST($i AS BIGINT), [${cv.map(x => s"'$x'::DOUBLE").mkString(", ")}]::DOUBLE[])"
     }.mkString("VALUES ", ", ", "")
+  }
+
+  /** The SHARED IMI search CTE chain (q46e/q46f): per-half L2 argmin
+    * assignment from the frozen ImiCodebooks, additive cell-grid query
+    * probing at 4 cells, cosine probe-then-rank ending in `imiTop`
+    * (q_id, neighbor_id, cos, rank ≤ 3). ONE text — the search being
+    * gated and its recall gate cannot drift apart. Expects EMB_NORM's
+    * `n` upstream. */
+  private def imiSearchCtes: String = {
+    val kk = graft.operators.ImiCodebooks.k
+    s"""cb1 AS (SELECT i1, c FROM (${imiHalfValues(graft.operators.ImiCodebooks.half1)}) t(i1, c)),
+       |cb2 AS (SELECT i2, c FROM (${imiHalfValues(graft.operators.ImiCodebooks.half2)}) t(i2, c)),
+       |d1 AS (SELECT n.vec_id, b.i1,
+       |         list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 33),
+       |           i -> (n.v[i] - b.c[i]) * (n.v[i] - b.c[i]))), (x2, y2) -> x2 + y2) AS dd
+       |       FROM n, cb1 b),
+       |d2 AS (SELECT n.vec_id, b.i2,
+       |         list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 33),
+       |           i -> (n.v[i + 32] - b.c[i]) * (n.v[i + 32] - b.c[i]))), (x2, y2) -> x2 + y2) AS dd
+       |       FROM n, cb2 b),
+       |a1 AS (SELECT vec_id, i1 FROM (SELECT vec_id, i1,
+       |         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dd, i1) AS rk FROM d1) WHERE rk = 1),
+       |a2 AS (SELECT vec_id, i2 FROM (SELECT vec_id, i2,
+       |         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dd, i2) AS rk FROM d2) WHERE rk = 1),
+       |asg AS (SELECT a1.vec_id, CAST(a1.i1 * $kk + a2.i2 AS BIGINT) AS list_id
+       |        FROM a1 JOIN a2 ON a1.vec_id = a2.vec_id),
+       |probe AS (SELECT d1.vec_id, CAST(d1.i1 * $kk + d2.i2 AS BIGINT) AS list_id,
+       |            ROW_NUMBER() OVER (PARTITION BY d1.vec_id
+       |              ORDER BY d1.dd + d2.dd, d1.i1 * $kk + d2.i2) AS crank
+       |          FROM d1 JOIN d2 ON d1.vec_id = d2.vec_id
+       |          WHERE d1.vec_id < 10),
+       |qs AS (SELECT p.vec_id AS q_id, n.v AS qv, n.nrm AS qnrm, p.list_id
+       |       FROM probe p JOIN n ON n.vec_id = p.vec_id WHERE p.crank <= 4),
+       |cp AS (SELECT n.vec_id, n.v, n.nrm, a.list_id
+       |       FROM asg a JOIN n ON n.vec_id = a.vec_id WHERE n.vec_id >= 10),
+       |imij AS (SELECT q_id, cp.vec_id AS neighbor_id,
+       |        list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65),
+       |          i -> qs.qv[i] * cp.v[i])), (x2, y2) -> x2 + y2) / (qs.qnrm * cp.nrm) AS cos
+       |      FROM cp JOIN qs USING (list_id)),
+       |imiTop AS (SELECT q_id, neighbor_id, cos, rank FROM (
+       |    SELECT q_id, neighbor_id, cos,
+       |      CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+       |    FROM imij) t
+       |  WHERE rank <= 3)""".stripMargin
   }
 
   /** The trained PQ codebooks as a DuckDB VALUES table — generated from the
@@ -2318,44 +2363,29 @@ object SparkEntry {
     // probing replayed from the frozen ImiCodebooks artifact (the q46d
     // generated-oracle pattern; live training pinned bit-equal by
     // AnnIndexSpec), then q46b's cosine probe-then-rank tail
-    "q46e_knn_imi" -> {
-      val kk = graft.operators.ImiCodebooks.k
+    "q46e_knn_imi" ->
       s"""WITH $EMB_NORM,
-         |cb1 AS (SELECT i1, c FROM (${imiHalfValues(graft.operators.ImiCodebooks.half1)}) t(i1, c)),
-         |cb2 AS (SELECT i2, c FROM (${imiHalfValues(graft.operators.ImiCodebooks.half2)}) t(i2, c)),
-         |d1 AS (SELECT n.vec_id, b.i1,
-         |         list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 33),
-         |           i -> (n.v[i] - b.c[i]) * (n.v[i] - b.c[i]))), (x2, y2) -> x2 + y2) AS dd
-         |       FROM n, cb1 b),
-         |d2 AS (SELECT n.vec_id, b.i2,
-         |         list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 33),
-         |           i -> (n.v[i + 32] - b.c[i]) * (n.v[i + 32] - b.c[i]))), (x2, y2) -> x2 + y2) AS dd
-         |       FROM n, cb2 b),
-         |a1 AS (SELECT vec_id, i1 FROM (SELECT vec_id, i1,
-         |         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dd, i1) AS rk FROM d1) WHERE rk = 1),
-         |a2 AS (SELECT vec_id, i2 FROM (SELECT vec_id, i2,
-         |         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dd, i2) AS rk FROM d2) WHERE rk = 1),
-         |asg AS (SELECT a1.vec_id, CAST(a1.i1 * $kk + a2.i2 AS BIGINT) AS list_id
-         |        FROM a1 JOIN a2 ON a1.vec_id = a2.vec_id),
-         |probe AS (SELECT d1.vec_id, CAST(d1.i1 * $kk + d2.i2 AS BIGINT) AS list_id,
-         |            ROW_NUMBER() OVER (PARTITION BY d1.vec_id
-         |              ORDER BY d1.dd + d2.dd, d1.i1 * $kk + d2.i2) AS crank
-         |          FROM d1 JOIN d2 ON d1.vec_id = d2.vec_id
-         |          WHERE d1.vec_id < 10),
-         |qs AS (SELECT p.vec_id AS q_id, n.v AS qv, n.nrm AS qnrm, p.list_id
-         |       FROM probe p JOIN n ON n.vec_id = p.vec_id WHERE p.crank <= 4),
-         |cp AS (SELECT n.vec_id, n.v, n.nrm, a.list_id
-         |       FROM asg a JOIN n ON n.vec_id = a.vec_id WHERE n.vec_id >= 10),
-         |j AS (SELECT q_id, cp.vec_id AS neighbor_id,
-         |        list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65),
-         |          i -> qs.qv[i] * cp.v[i])), (x2, y2) -> x2 + y2) / (qs.qnrm * cp.nrm) AS cos
-         |      FROM cp JOIN qs USING (list_id))
-         |SELECT q_id, neighbor_id, cos, rank FROM (
-         |  SELECT q_id, neighbor_id, cos,
-         |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
-         |  FROM j) t
-         |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
-    },
+         |$imiSearchCtes
+         |SELECT q_id, neighbor_id, cos, rank FROM imiTop
+         |ORDER BY q_id, rank""".stripMargin,
+
+    // q46f: the IMI recall row — q68d's evaluation shape over the SAME
+    // imi chain (shared CTE text: the search being gated and the gate
+    // cannot drift apart)
+    "q46f_ann_recall_imi" ->
+      s"""WITH $EMB_NORM,
+         |$imiSearchCtes,
+         |bf AS (SELECT q_id, neighbor_id FROM (
+         |    SELECT a.vec_id AS q_id, b.vec_id AS neighbor_id,
+         |      ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY $DOT64 / (a.nrm * b.nrm) DESC, b.vec_id) AS rank
+         |    FROM n a JOIN n b ON a.vec_id < 10 AND b.vec_id >= 10) t
+         |  WHERE rank <= 3)
+         |SELECT bf.q_id,
+         |  CAST(COUNT(DISTINCT bf.neighbor_id) AS BIGINT) AS n_exact,
+         |  CAST(COUNT(i.neighbor_id) AS BIGINT) AS imi_hits,
+         |  CAST(COUNT(i.neighbor_id) AS DOUBLE) / CAST(COUNT(DISTINCT bf.neighbor_id) AS DOUBLE) AS imi_recall
+         |FROM bf LEFT JOIN imiTop i ON bf.q_id = i.q_id AND bf.neighbor_id = i.neighbor_id
+         |GROUP BY bf.q_id ORDER BY bf.q_id""".stripMargin,
 
     // q54b: q54's health histogram under the frozen auto-k artifact,
     // over the searchable corpus only (what the index holds)

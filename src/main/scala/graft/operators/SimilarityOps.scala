@@ -1106,6 +1106,29 @@ object SimilarityOps {
       .orderBy("q_id", "rank")
   }
 
+  /** q46f — the IMI arm's recall row (q68d's evaluation shape pointed at
+    * the multi-index quantizer): per query, recall@k of the IMI search
+    * against exact brute-force truth — the retrain gate for the
+    * multi-index, and the third member of the recall family (frozen
+    * q68, auto q68d, IMI here; an index family without its recall gate
+    * is a dial nobody can trust). Arms are their own scale-audited
+    * queries; the evaluation adds one left join + one bounded
+    * aggregation over queries×k rows.
+    */
+  def annRecallImi(s: SparkSession, d: String, k: Int = 3,
+      queryIdMax: Long = QueryIdMax): DataFrame = {
+    val exact = knnBruteForce(s, d, k, queryIdMax).select("q_id", "neighbor_id")
+    val imi = knnImi(s, d, k, queryIdMax)
+      .select("q_id", "neighbor_id").withColumn("hit", lit(1))
+    exact.join(imi, Seq("q_id", "neighbor_id"), "left")
+      .groupBy("q_id")
+      .agg(countDistinct("neighbor_id").as("n_exact"),
+        count(col("hit")).as("imi_hits"))
+      .withColumn("imi_recall",
+        col("imi_hits").cast("double") / col("n_exact").cast("double"))
+      .orderBy("q_id")
+  }
+
   /** q101 — cluster-prototypicality pruning (SSL-prototype scoring per
     * Sorscher et al. NeurIPS 2022; the diversify half of D4, Tirumala et
     * al. 2023): assign every corpus vector to its nearest AUTO-k
