@@ -53,6 +53,7 @@ object SparkEntry {
     "q29e_det_map_coco"   -> (RosbagDomainOps.detApCoco _),
     "q29f_det_ap_voc07"   -> ((s: SparkSession, d: String) => RosbagDomainOps.detAveragePrecisionVoc07(s, d)),
     "q29g_det_map_coco_greedy" -> ((s: SparkSession, d: String) => RosbagDomainOps.detApCocoGreedy(s, d)),
+    "q29h_det_ap_voc07_greedy" -> ((s: SparkSession, d: String) => RosbagDomainOps.detAveragePrecisionVoc07Greedy(s, d)),
     "q32_track_stitch"    -> ((s: SparkSession, d: String) => RosbagDomainOps.trackStitch(s, d)),
     "q30_train_val_split" -> (RosbagDomainOps.trainValSplit _),
     "q34_salted_join"     -> ((s: SparkSession, d: String) => SkewOps.saltedJoin(s, d)),
@@ -1749,6 +1750,11 @@ object SparkEntry {
     // COCO mAP under COCO's own greedy score-order assignment — the
     // recursive-CTE replay of the sequential claim loop
     "q29g_det_map_coco_greedy" -> apSweepOracleSql(10 to 19, coco = true, greedy = true),
+
+    // the exact-reproduction arm for the reference's VOC07MApMetric:
+    // 11-point interpolation AND greedy score-order assignment together
+    "q29h_det_ap_voc07_greedy" ->
+      apSweepOracleSql(Seq(10), coco = false, elevenPoint = true, greedy = true),
 
     // track stitching: identical frame numbering, box synthesis, IoU gate,
     // mutual-best links, then DuckDB's recursive closure in place of the

@@ -494,7 +494,22 @@ object RosbagDomainOps {
   private[graft] def greedyMatchGroup(
       cands: Array[(Long, Long, Double, Long)]): scala.collection.Seq[Long] = {
     val byPred = cands.groupBy(_._2)
-    val order = byPred.keys.toArray.sortBy(p => (-byPred(p).head._4, p))
+    // One score per detection: every candidate row of a pred carries that
+    // pred's si (the pair join replicates the detection's score) — made
+    // EXPLICIT here rather than silently read off an arbitrary .head, and
+    // ordered by an explicit (si DESC, pred_id ASC) Ordering instead of
+    // the -x negation idiom (which overflows at Long.MinValue).
+    val siOf = byPred.map { case (p, g) =>
+      val si = g(0)._4
+      require(g.forall(_._4 == si),
+        s"greedyMatchGroup: candidate rows of pred $p carry differing scores")
+      p -> si
+    }
+    val scoreDescPredAsc: Ordering[Long] = Ordering.fromLessThan { (a, b) =>
+      val sa = siOf(a); val sb = siOf(b)
+      if (sa != sb) sa > sb else a < b
+    }
+    val order = byPred.keys.toArray.sorted(scoreDescPredAsc)
     val used = scala.collection.mutable.HashSet.empty[Long]
     val out = new scala.collection.mutable.ArrayBuffer[Long](order.length)
     order.foreach { p =>
@@ -675,24 +690,42 @@ object RosbagDomainOps {
     * (NMS → mutual-best matching at IoU ≥ 0.5 → ranked envelope), but
     * AP = mean of the interpolated precision sampled at the eleven
     * recall points {0, 0.1, …, 1.0} instead of the continuous integral —
-    * the metric the reference's training loop ACTUALLY validates with
-    * (`VOC07MApMetric(iou_thresh=0.5)`,
+    * the INTERPOLATION mode of the metric the reference's training loop
+    * validates with (`VOC07MApMetric(iou_thresh=0.5)`,
     * object-detection/train_yolov3.py:110; q29c ships the VOC2010
-    * continuous form modern tooling defaults to). A user reproducing the
-    * reference's training-curve number needs THIS arm — the 11-point
-    * sample is systematically a coarser (usually slightly higher) read
-    * of the same envelope. Output shape identical to q29c.
+    * continuous form modern tooling defaults to). RESIDUAL DEVIATION:
+    * this arm keeps the engine's default MUTUAL-BEST matching, while the
+    * VOC07 devkit (and the reference metric) assigns detections GREEDILY
+    * in score order — so on detections where the two rules diverge (see
+    * [[detApCoco]]'s documented-deviation note) this number can still
+    * differ from the reference's. The exact-reproduction arm — 11-point
+    * interpolation AND greedy assignment together — is
+    * [[detAveragePrecisionVoc07Greedy]] (q29h). Output shape identical
+    * to q29c.
     */
   def detAveragePrecisionVoc07(s: SparkSession, d: String): DataFrame =
     detApSingleGate(s, d, elevenPoint = true)
 
+  /** q29h — the EXACT-REPRODUCTION arm for the reference's
+    * `VOC07MApMetric` number: VOC07 11-point interpolation (q29f's mode)
+    * COMBINED with greedy score-order assignment (q29g's rule, the VOC07
+    * devkit's own matching — each detection, highest score first, claims
+    * the free GT with the highest IoU). q29f reproduces only the
+    * interpolation and q29g only the matching; a user reproducing the
+    * reference's training-curve AP on the same detections needs both
+    * dials, which is THIS arm. Same parameterized sweep ([[apSweepCells]]),
+    * same output shape as q29c/q29f.
+    */
+  def detAveragePrecisionVoc07Greedy(s: SparkSession, d: String): DataFrame =
+    detApSingleGate(s, d, elevenPoint = true, greedyMatch = true)
+
   private def detApSingleGate(s: SparkSession, d: String,
-      elevenPoint: Boolean): DataFrame = {
+      elevenPoint: Boolean, greedyMatch: Boolean = false): DataFrame = {
     // the VOC single-gate case IS the sweep at the one index ti = 10
     // (thr = 0.5): ti is only a partition column, so the windows, the
     // matching, and the decimal-carrier AP are bit-identical to a
     // dedicated single-threshold plan
-    val perClass = apSweepCells(s, d, Seq(10), elevenPoint)
+    val perClass = apSweepCells(s, d, Seq(10), elevenPoint, greedyMatch)
       .select("class_id", "n_gt", "n_pred", "n_tp", "ap")
     perClass.unionByName(
       perClass.agg(sum(col("n_gt")).as("n_gt"), sum(col("n_pred")).as("n_pred"),

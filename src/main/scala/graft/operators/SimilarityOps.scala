@@ -711,9 +711,11 @@ object SimilarityOps {
     * established one-live-copy policy, DedupOps.sigTable's pattern);
     * the cache holds k×64 doubles — 512 KiB at the gate lake's k=1024,
     * and bounded by [[AutoKCap]]'s 512 MB worst case (the flat-IVF
-    * model's own ceiling, see there), never rows. */
+    * model's own ceiling, see there), never rows. The SESSION key is
+    * weak ([[SessionModelCache]]): a JVM cycling sessions on one
+    * long-lived context stops retaining retired sessions' models. */
   private val autoQuantCaches =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Long), (Int, Array[Array[Double]])]()
+    new SessionModelCache[(String, Long), (Int, Array[Array[Double]])]()
 
   /** Train (or fetch) the AUTO coarse quantizer for lake `d`: measure the
     * searchable corpus size, derive k via [[autoK]], bound the training
@@ -725,7 +727,7 @@ object SimilarityOps {
     */
   private[graft] def autoQuantizer(s: SparkSession, d: String,
       queryIdMax: Long = QueryIdMax): (Int, Array[Array[Double]]) =
-    autoQuantCaches.computeIfAbsent((s, d, queryIdMax), _ =>
+    autoQuantCaches.getOrCompute(s, (d, queryIdMax))(
       autoQuantizerOf(s, Tables.embeddings(s, d)
         .filter(col("vec_id") >= queryIdMax)
         .select(col("vec_id").as("id"), toDouble(col("embedding")).as("v"))))
@@ -948,16 +950,16 @@ object SimilarityOps {
   private[graft] val ImiProbes = 4
 
   /** Most recent trained IMI quantizer per (session, lake, corpus
-    * convention) — the [[autoQuantizer]] cache policy; the cached model
-    * is 2·K·32 doubles, KiB at any corpus size (that smallness is the
-    * whole point of IMI). */
+    * convention) — the [[autoQuantizer]] cache policy (weak session key
+    * via [[SessionModelCache]]); the cached model is 2·K·32 doubles, KiB
+    * at any corpus size (that smallness is the whole point of IMI). */
   private val imiQuantCaches =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Long),
+    new SessionModelCache[(String, Long),
       (Int, Array[Array[Double]], Array[Array[Double]])]()
 
   private[graft] def imiQuantizer(s: SparkSession, d: String,
       queryIdMax: Long = QueryIdMax): (Int, Array[Array[Double]], Array[Array[Double]]) =
-    imiQuantCaches.computeIfAbsent((s, d, queryIdMax), _ =>
+    imiQuantCaches.getOrCompute(s, (d, queryIdMax))(
       imiQuantizerOf(s, Tables.embeddings(s, d)
         .filter(col("vec_id") >= queryIdMax)
         .select(col("vec_id").as("id"), toDouble(col("embedding")).as("v"))))

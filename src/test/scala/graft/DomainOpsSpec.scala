@@ -447,6 +447,75 @@ class DomainOpsSpec extends SparkSpec {
     }
   }
 
+  test("q29h VOC07-greedy AP: 11-point interpolation over the GREEDY TP set; " +
+    "both dials verified to bite independently on this model") {
+    val (gts, dets) = naiveModel()
+    val kept = naiveNms(dets)
+    // naive greedy assignment at thr 0.5 (the q29g reference loop)
+    val tp: Set[Long] = kept.groupBy(d => (d.img, d.cls)).flatMap { case ((img, cls), ds) =>
+      val gs = gts.filter(g => g.img == img && g.cls == cls)
+      val used = scala.collection.mutable.HashSet.empty[Long]
+      ds.sortBy(d => (-d.si, d.id)).flatMap { p =>
+        val free = gs.filter(g => !used.contains(g.id) && iouD(g, p) >= 0.5)
+        if (free.isEmpty) None
+        else { val b = free.minBy(g => (-iouD(g, p), g.id)); used += b.id; Some(p.id) }
+      }
+    }.toSet
+    // 11-point AP over the greedy TP set (the q29f envelope device)
+    val naive = (0L to 2L).map { c =>
+      val ranked = kept.filter(_.cls == c).sortBy(d => (-d.si, d.id))
+      val nGt = gts.count(_.cls == c)
+      val isTp = ranked.map(d => tp(d.id))
+      val cumTp = isTp.scanLeft(0)((a, t) => a + (if (t) 1 else 0)).tail
+      val prec = cumTp.zipWithIndex.map { case (ct, i) => ct.toDouble / (i + 1) }
+      val env = prec.scanRight(0.0)(math.max).init
+      val ap11 = (0 to 10).map { j =>
+        env.zip(cumTp).collect { case (e, ct) if ct * 10 >= j * nGt => e }
+          .maxOption.getOrElse(0.0)
+      }.sum / 11.0
+      c -> ap11
+    }.toMap
+    val got = operators.RosbagDomainOps.detAveragePrecisionVoc07Greedy(spark, sf)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(3), r.getDouble(4)))).toMap
+    (0L to 2L).foreach { c =>
+      assert(math.abs(got(c)._2 - naive(c)) < 1e-9,
+        s"class $c VOC07-greedy ap: ${got(c)._2} vs ${naive(c)}")
+    }
+    assert(math.abs(got(-1L)._2 - naive.values.sum / 3.0) < 1e-6)
+    // both dials must bite, or the exact-reproduction claim is vacuous:
+    // (a) the INTERPOLATION dial — vs q29g's ti=10 cells (same greedy TP
+    // set, continuous integral) the AP values differ;
+    val g10 = operators.RosbagDomainOps.detApCocoGreedy(spark, sf).collect()
+      .filter(r => r.getDouble(0) == 0.5)
+      .map(r => r.getLong(1) -> ((r.getLong(4), r.getDouble(5)))).toMap
+    (0L to 2L).foreach { c =>
+      assert(got(c)._1 === g10(c)._1,
+        s"class $c: q29h TP count differs from q29g's ti=10 cell under the SAME rule")
+    }
+    assert((0L to 2L).exists(c => math.abs(got(c)._2 - g10(c)._2) > 1e-6),
+      "11-point never diverged from continuous — dial unverified")
+    // (b) the MATCHING dial — on the gate model the two rules coincide at
+    // EVERY threshold (the q29g >= pin is an equality throughout), so the
+    // dial is pinned at the kernel level with the canonical divergence
+    // case: det A (higher score) best-overlaps GT1 but GT1's best partner
+    // is det B — greedy lets A claim GT1 and B fall through to GT2
+    // (2 TPs), while mutual-best matches only B-GT1 (1 TP).
+    val div = Array(
+      (1L, 100L, 0.90, 900L), (2L, 100L, 0.60, 900L), // A: GT1 0.90, GT2 0.60
+      (1L, 101L, 0.95, 800L), (2L, 101L, 0.55, 800L)) // B: GT1 0.95, GT2 0.55
+    val greedyTps = operators.RosbagDomainOps.greedyMatchGroup(div).toSet
+    val mutualTps = {
+      val bp = div.groupBy(_._2).map { case (p, xs) =>
+        p -> xs.minBy(t => (-t._3, t._1))._1 }
+      val bg = div.groupBy(_._1).map { case (g, xs) =>
+        g -> xs.minBy(t => (-t._3, t._2))._2 }
+      bp.filter { case (p, g) => bg.get(g).contains(p) }.keySet
+    }
+    assert(mutualTps === Set(101L), s"mutual-best mini-loop drifted: $mutualTps")
+    assert(greedyTps === Set(100L, 101L),
+      s"greedy must match BOTH dets on the divergence case; got $greedyTps")
+  }
+
   test("q29c/q29e leave zero cache entries behind (apSweepCells lifecycle)") {
     // the AP sweep persists the NMS output internally (it feeds both the
     // matching join and the ranked sweep); a long-lived session calling
