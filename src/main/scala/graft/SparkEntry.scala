@@ -173,6 +173,7 @@ object SparkEntry {
     "q79_anomalies"       -> (QualityOps.anomalies _),
     "q104_voxel_downsample" -> (PointCloudOps.voxelTable _),
     "q105_audio_spectral" -> (graft.multimodal.AudioOps.spectralTable _),
+    "q106_entropy"        -> (TextAnalysisOps.entropyProfile _),
     "q80_expectations"    -> ((s: SparkSession, d: String) => QualityOps.expectationAudit(s, d)),
   )
 
@@ -1398,6 +1399,36 @@ object SparkEntry {
          |       ELSE 0.0 END AS centroid
          |FROM p ORDER BY clip_id, win_no""".stripMargin
     },
+
+    // q106 entropy: symbol frequencies per doc (tokens via the shared
+    // space-split convention; chars via substr positions — never empty),
+    // each p*ln(p) through the DECIMAL carrier (exact order-free sum),
+    // nats -> bits by the SHARED Ln2 double literal, never a log call
+    "q106_entropy" ->
+      s"""WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+         |tf AS (SELECT doc_id, t, CAST(COUNT(*) AS DOUBLE) AS cnt FROM tk GROUP BY 1, 2),
+         |tn AS (SELECT doc_id, SUM(cnt) AS n, COUNT(*) AS types FROM tf GROUP BY 1),
+         |te AS (SELECT tf.doc_id,
+         |    CAST(-SUM(CAST((cnt / n) * ln(cnt / n) AS DECIMAL(27,6))) AS DOUBLE)
+         |      / ${operators.TextAnalysisOps.Ln2} AS ent
+         |  FROM tf JOIN tn USING (doc_id) GROUP BY tf.doc_id),
+         |ch AS (SELECT doc_id, substr(text, CAST(i AS INT), 1) AS t
+         |       FROM documents, LATERAL (SELECT unnest(range(1, length(text) + 1)) AS i) g),
+         |cf AS (SELECT doc_id, t, CAST(COUNT(*) AS DOUBLE) AS cnt FROM ch GROUP BY 1, 2),
+         |cn AS (SELECT doc_id, SUM(cnt) AS n, COUNT(*) AS types FROM cf GROUP BY 1),
+         |ce AS (SELECT cf.doc_id,
+         |    CAST(-SUM(CAST((cnt / n) * ln(cnt / n) AS DECIMAL(27,6))) AS DOUBLE)
+         |      / ${operators.TextAnalysisOps.Ln2} AS ent
+         |  FROM cf JOIN cn USING (doc_id) GROUP BY cf.doc_id)
+         |SELECT d.doc_id,
+         |  CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+         |  CAST(tn.types AS BIGINT) AS n_token_types,
+         |  te.ent AS token_ent_bits,
+         |  CAST(cn.types AS BIGINT) AS n_char_types,
+         |  ce.ent AS char_ent_bits
+         |FROM documents d JOIN tn USING (doc_id) JOIN te USING (doc_id)
+         |  JOIN cn USING (doc_id) JOIN ce USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
 
     "q01_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,

@@ -630,4 +630,63 @@ object TextAnalysisOps {
         (col("pos") + 1).cast("long").as("rank"))
       .orderBy("query_id", "rank")
   }
+
+  /** Shannon entropy (bits) of a per-row symbol multiset, as one pure
+    * array expression: p·ln p per DISTINCT symbol rides the exact-decimal
+    * carrier (q85's ln discipline — JVM Math.log and DuckDB ln agree only
+    * to 1 ulp, the carrier absorbs it), the fold is EXACT decimal
+    * addition (order-free by construction — the oracle's SUM needs no
+    * ORDER BY), and nats→bits is one IEEE division by the shared ln(2)
+    * DOUBLE LITERAL (never a library log call that could differ in the
+    * last bit between engines). Per-row cost is O(|alphabet|·len) array
+    * scans — alphabet-bounded, fully codegen'd, zero shuffle. */
+  private[graft] def entropyBits(arr: Column): Column = {
+    val n = size(arr).cast("double")
+    val terms = transform(array_distinct(arr), t => {
+      val p = size(filter(arr, x => x === t)).cast("double") / n
+      acc(p * log(p))
+    })
+    val nats = (-aggregate(terms, lit(java.math.BigDecimal.ZERO).cast("decimal(27,6)"),
+      (a, x) => (a + x).cast("decimal(27,6)"))).cast("double")
+    nats / lit(Ln2)
+  }
+
+  /** The double literal nearest ln 2 — shared with the generated oracle
+    * SQL so both engines divide by the IDENTICAL constant. */
+  private[graft] val Ln2 = 0.6931471805599453
+
+  /** q106 — per-document entropy profile: Shannon entropy of the CHARACTER
+    * and TOKEN distributions, the two classic cheap quality dials a
+    * curation pipeline thresholds on (near-zero char entropy = padding /
+    * single-symbol runs; abnormally HIGH char entropy = binary-ish or
+    * encrypted junk; low token entropy at high length = boilerplate and
+    * template spam — the repetition family's information-theoretic twin,
+    * complementing q57/q65/q99's n-gram counters with a distributional
+    * reading). Emits per doc: token count, distinct-type counts, and both
+    * entropies in bits.
+    *
+    * Scale shape: a PURE MAP — every column is a per-row array expression
+    * (no explode, no groupBy, no shuffle anywhere); cost per row is
+    * O(types·len) with types bounded by the alphabet (chars) and the doc's
+    * own vocabulary (tokens). At 100 TB this runs at scan speed next to
+    * the other per-doc quality columns. Determinism: [[entropyBits]]'s
+    * carrier discipline — each p·ln p quantized to 1e-6, decimal-exact
+    * sum, one shared-literal division.
+    */
+  def entropyProfile(s: SparkSession, d: String): DataFrame = {
+    val toks = tokens(col("text"))
+    // drop the zero-width artifacts Java's regex split can emit so the
+    // char multiset is exactly the text's characters (the oracle walks
+    // substr positions, which never produce empties)
+    val chars = filter(split(col("text"), ""), x => x =!= "")
+    Tables.documents(s, d)
+      .select(
+        col("doc_id"),
+        size(toks).cast("long").as("n_tokens"),
+        size(array_distinct(toks)).cast("long").as("n_token_types"),
+        entropyBits(toks).as("token_ent_bits"),
+        size(array_distinct(chars)).cast("long").as("n_char_types"),
+        entropyBits(chars).as("char_ent_bits"))
+      .orderBy("doc_id")
+  }
 }

@@ -1305,4 +1305,56 @@ class LlmOpsSpec extends SparkSpec {
       } finally prefix.unpersist()
     }
   }
+
+  test("q106 entropy: exact on crafted distributions; lake profile matches a naive recompute") {
+    import spark.implicits._
+    // crafted cases through the shared kernel: the carrier quantizes each
+    // p*ln(p) term to 1e-6, so expected values quantize identically
+    def expected(syms: Seq[String]): Double = {
+      val n = syms.size.toDouble
+      val dec = syms.distinct.map { t =>
+        val p = syms.count(_ == t) / n
+        BigDecimal(p * math.log(p)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      }.sum
+      (-dec).toDouble / operators.TextAnalysisOps.Ln2
+    }
+    val crafted = Seq(
+      Seq("a", "a", "a", "a"),           // single symbol: 0 bits
+      Seq("a", "b", "c", "d"),           // uniform over 4: 2 bits
+      Seq("a", "a", "b", "b", "c", "c"), // uniform over 3
+      Seq("x", "x", "x", "y"))           // skewed
+    val got = crafted.zipWithIndex.map { case (syms, i) => (i.toLong, syms) }
+      .toDF("id", "arr")
+      .select(col("id"), operators.TextAnalysisOps.entropyBits(col("arr")).as("e"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    crafted.zipWithIndex.foreach { case (syms, i) =>
+      assert(math.abs(got(i.toLong) - expected(syms)) < 1e-12,
+        s"case $i: ${got(i.toLong)} vs ${expected(syms)}")
+    }
+    assert(got(0L) === 0.0, "single-symbol text must read exactly 0 bits")
+    assert(math.abs(got(1L) - 2.0) < 1e-5, "uniform over 4 must read ~2 bits")
+
+    // lake profile: per-doc naive recompute + range invariants
+    val prof = operators.TextAnalysisOps.entropyProfile(spark, sf).collect()
+    val texts = Tables.documents(spark, sf)
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    assert(prof.length === texts.size)
+    prof.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val toks = texts(id).split(" ", -1).toSeq
+      val chars = texts(id).toSeq.map(_.toString)
+      assert(r.getAs[Long]("n_tokens") === toks.size)
+      assert(r.getAs[Long]("n_token_types") === toks.distinct.size)
+      assert(math.abs(r.getAs[Double]("token_ent_bits") - expected(toks)) < 1e-12, s"doc $id tokens")
+      assert(r.getAs[Long]("n_char_types") === chars.distinct.size)
+      assert(math.abs(r.getAs[Double]("char_ent_bits") - expected(chars)) < 1e-12, s"doc $id chars")
+      // Shannon bounds: 0 <= H <= log2(types) + carrier slack (each of the
+      // `types` p*ln(p) terms is quantized to 1e-6, biasing H by at most
+      // types * 0.5e-6 nats)
+      val hT = r.getAs[Double]("token_ent_bits")
+      val types = r.getAs[Long]("n_token_types").toDouble
+      assert(hT >= 0.0 && hT <= (math.log(types) + types * 5e-7) /
+        operators.TextAnalysisOps.Ln2 + 1e-9, s"doc $id out of Shannon bounds")
+    }
+  }
 }

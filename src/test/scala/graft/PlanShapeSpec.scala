@@ -454,4 +454,14 @@ class PlanShapeSpec extends SparkSpec {
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
     assert(exchanges <= 2, s"spectral table shuffles $exchanges times:\n$p")
   }
+
+  test("q106: the entropy profile is a PURE MAP — zero shuffles, no join, " +
+    "no aggregate; only the driver-output range sort") {
+    val p = plan(TextAnalysisOps.entropyProfile(spark, sf))
+    assert(!"Exchange hashpartitioning".r.findAllIn(p).hasNext,
+      s"entropy profile hash-shuffles:\n$p")
+    assert(!p.contains("Join") && !p.contains("HashAggregate"), p)
+    // projection pruned to the two referenced columns
+    assert(p.contains("doc_id") && !p.contains("n_chars"), p)
+  }
 }
