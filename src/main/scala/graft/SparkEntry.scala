@@ -131,6 +131,7 @@ object SparkEntry {
     "q87_bpe_pairs"       -> ((s: SparkSession, d: String) => TextAnalysisOps.bpePairs(s, d)),
     "q67_semantic_dedup"  -> ((s: SparkSession, d: String) => DedupOps.semanticDedup(s, d)),
     "q68_ann_recall"      -> ((s: SparkSession, d: String) => SimilarityOps.annRecall(s, d)),
+    "q107_retrieval_quality" -> ((s: SparkSession, d: String) => SimilarityOps.retrievalQuality(s, d)),
     "q68b_ann_recall_wide" -> ((s: SparkSession, d: String) => SimilarityOps.annRecall(s, d, queryIdMax = 300)),
     "q68c_ann_recall_curve" -> ((s: SparkSession, d: String) => SimilarityOps.annRecallCurve(s, d)),
     "q69_pq_stats"        -> (SimilarityOps.pqStats _),
@@ -826,6 +827,67 @@ object SparkEntry {
          |        ON ex.q_id = idx.q_id AND ex.neighbor_id = idx.neighbor_id
          |      GROUP BY ex.q_id) t
          |ORDER BY q_id""".stripMargin
+
+  /** q107's graded-metric oracle: the q68 oracle's exact/IVF arm chains
+    * (same asg/qs/cp CTEs, rank kept to k), the DCG discount and
+    * ideal-DCG PREFIX tables as VALUES of the SAME double literals the
+    * Scala side uses (SimilarityOps.retrievalDisc/retrievalIdcg —
+    * StrictMath, computed once; neither engine calls its own log), each
+    * rel·disc term through the DECIMAL carrier, rr/ndcg single IEEE ops. */
+  private def retrievalQualityOracleSql(qmax: Int, k: Int): String = {
+    val disc = operators.SimilarityOps.retrievalDisc(k)
+    val idcg = operators.SimilarityOps.retrievalIdcg(k)
+    val discValues = (1 to k).map(i =>
+      s"(CAST($i AS BIGINT), CAST(${disc(i - 1)} AS DOUBLE))").mkString("VALUES ", ", ", "")
+    val idcgValues = (1 to k).map(m =>
+      s"(CAST($m AS BIGINT), CAST(${idcg(m - 1)} AS DOUBLE))").mkString("VALUES ", ", ", "")
+    s"""WITH $EMB_NORM,
+       |exj AS (SELECT a.vec_id AS q_id, b.vec_id AS neighbor_id,
+       |          $DOT64 / (a.nrm * b.nrm) AS cos
+       |        FROM n a JOIN n b ON a.vec_id < $qmax AND b.vec_id >= $qmax),
+       |ex AS (SELECT q_id, neighbor_id, rank FROM (
+       |         SELECT q_id, neighbor_id,
+       |           ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS rank
+       |         FROM exj) t WHERE rank <= $k),
+       |cents AS (SELECT list_id, cv,
+       |            sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65),
+       |              i -> cv[i] * cv[i])), (x2, y2) -> x2 + y2)) AS cnrm
+       |          FROM ($ivfCentsValues) t(list_id, cv)),
+       |asg AS (SELECT vec_id, v, nrm, list_id, csim,
+       |          ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, list_id) AS crank
+       |        FROM (SELECT n.vec_id, n.v, n.nrm, c.list_id,
+       |                list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65),
+       |                  i -> n.v[i] * c.cv[i])), (x2, y2) -> x2 + y2) / (n.nrm * c.cnrm) AS csim
+       |              FROM n, cents c) t),
+       |qs AS (SELECT vec_id AS q_id, v AS qv, nrm AS qnrm, list_id FROM asg
+       |       WHERE vec_id < $qmax AND crank <= 2),
+       |cp AS (SELECT vec_id, v, nrm, list_id FROM asg WHERE vec_id >= $qmax AND crank = 1),
+       |ivfj AS (SELECT q_id, cp.vec_id AS neighbor_id,
+       |           list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65),
+       |             i -> qs.qv[i] * cp.v[i])), (x2, y2) -> x2 + y2) / (qs.qnrm * cp.nrm) AS cos
+       |         FROM cp JOIN qs USING (list_id)),
+       |ivf AS (SELECT q_id, neighbor_id, rank FROM (
+       |          SELECT q_id, neighbor_id,
+       |            ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS rank
+       |          FROM ivfj) t WHERE rank <= $k),
+       |disc AS (SELECT * FROM ($discValues) t(i, disc)),
+       |idcg AS (SELECT * FROM ($idcgValues) t(m, idcg)),
+       |per AS (SELECT e.q_id,
+       |          CAST(COUNT(*) AS BIGINT) AS n_exact,
+       |          CAST(COUNT(a.rank) AS BIGINT) AS hits,
+       |          CAST(SUM(CAST(CASE WHEN a.rank IS NOT NULL
+       |            THEN CAST(($k + 1 - e.rank) AS DOUBLE) * d.disc ELSE 0.0 END
+       |            AS DECIMAL(27,6))) AS DOUBLE) AS dcg,
+       |          COALESCE(MAX(CASE WHEN e.rank = 1
+       |            THEN 1.0 / CAST(a.rank AS DOUBLE) END), 0.0) AS rr
+       |        FROM ex e LEFT JOIN ivf a
+       |          ON e.q_id = a.q_id AND e.neighbor_id = a.neighbor_id
+       |          LEFT JOIN disc d ON d.i = a.rank
+       |        GROUP BY e.q_id)
+       |SELECT p.q_id, p.n_exact, p.hits, p.dcg, p.rr, p.dcg / i.idcg AS ndcg
+       |FROM per p JOIN idcg i ON i.m = p.n_exact
+       |ORDER BY q_id""".stripMargin
+  }
 
   /** The q68c recall-vs-nprobe curve oracle: the q68 oracle's exact arm
     * arithmetic (same asg/qs/cp CTEs, same IVFADC chain) with the probe
@@ -3418,6 +3480,10 @@ object SparkEntry {
     // per-query recall@3 of the LSH and IVF indexes vs exact brute force
     // (each arm is its own oracle's formulation, k=3 throughout)
     "q68_ann_recall" -> annRecallOracleSql(10),
+
+    // graded retrieval quality: exact + IVF arm chains at k=10, shared
+    // StrictMath discount/IDCG literals, carrier-exact DCG
+    "q107_retrieval_quality" -> retrievalQualityOracleSql(10, 10),
 
     "q68b_ann_recall_wide" -> annRecallOracleSql(300),
     "q68c_ann_recall_curve" -> annRecallCurveOracleSql(300, 3, Seq(1, 2, 4, 8, 16)),

@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.functions.Exact.dsum
 import graft.functions.VectorFunctions._
 
 /** Approximate-nearest-neighbor search over embedding columns
@@ -390,6 +391,77 @@ object SimilarityOps {
       .withColumn("ivf_recall", col("ivf_hits").cast("double") / col("n_exact").cast("double"))
       .withColumn("ivfpq_recall", col("ivfpq_hits").cast("double") / col("n_exact").cast("double"))
       .withColumn("ivfpq_res_recall", col("ivfpq_res_hits").cast("double") / col("n_exact").cast("double"))
+      .orderBy("q_id")
+  }
+
+  /** q107's DCG discount table 1/log2(i+1) for ranks 1..k — computed ONCE
+    * here with StrictMath (bit-identical on every JVM) and interpolated
+    * into the generated oracle SQL as double literals, so neither engine
+    * ever calls its own log (the q106 Ln2 discipline, tabulated). */
+  private[graft] def retrievalDisc(k: Int): Seq[Double] =
+    (1 to k).map(i => 1.0 / (StrictMath.log(i + 1.0) / StrictMath.log(2.0)))
+
+  /** Ideal-DCG prefix table for q107: idcg(m) = Σ_{i=1..m} (k+1−i)·disc(i)
+    * with each term quantized to the DECIMAL(27,6) carrier — the SAME
+    * quantization the engine's DCG sum applies, so a perfect arm reads
+    * ndcg EXACTLY 1.0 (dcg and idcg quantize identically term by term). */
+  private[graft] def retrievalIdcg(k: Int): Seq[Double] = {
+    val disc = retrievalDisc(k)
+    (1 to k).map { m =>
+      (1 to m).map(i => BigDecimal((k + 1 - i).toDouble * disc(i - 1))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble
+    }
+  }
+
+  /** q107 — GRADED retrieval quality of the trained-IVF arm against the
+    * exact cosine ranking: per query, set overlap (hits@k — q68's recall
+    * numerator), reciprocal rank of the TRUE nearest neighbor (MRR's
+    * per-query term), and nDCG@k with graded relevance rel(i) = k+1−i
+    * derived from the exact rank. The recall gates (q68 family) score a
+    * neighbor found at arm-rank 1 and arm-rank k identically; a RAG /
+    * hard-negative-mining consumer reads ranked lists, where ORDER
+    * quality is the operational metric — this is the graded companion
+    * gate (Järvelin & Kekäläinen TOIS 2002 for nDCG).
+    *
+    * Determinism: the discount table and the ideal-DCG prefix are SHARED
+    * double literals ([[retrievalDisc]]/[[retrievalIdcg]] — StrictMath on
+    * the Scala side, interpolated verbatim into the oracle SQL); each
+    * rel·disc term rides the DECIMAL carrier so the DCG sum is exact and
+    * order-free; rr and the final ndcg division are single IEEE ops.
+    * Scale shape: the metric join is |Q|·k rows — negligible next to the
+    * donor arms (q45 truth, q46's probed IVF), each already scale-audited;
+    * at 100 TB the truth arm runs on a sampled query set by the q68c
+    * convention.
+    */
+  def retrievalQuality(s: SparkSession, d: String, k: Int = 10,
+      queryIdMax: Long = QueryIdMax): DataFrame =
+    retrievalQualityOf(
+      knnBruteForce(s, d, k, queryIdMax),
+      knnIvf(s, d, k, queryIdMax), k)
+
+  /** The metric core over two ranked lists `(q_id, neighbor_id, rank)` —
+    * seam for evaluating ANY arm (and for the spec's identity/reversal
+    * pins: a list evaluated against itself reads ndcg exactly 1.0). */
+  private[graft] def retrievalQualityOf(exact: DataFrame, arm: DataFrame,
+      k: Int): DataFrame = {
+    val disc = array(retrievalDisc(k).map(lit): _*)
+    val idcg = array(retrievalIdcg(k).map(lit): _*)
+    val e = exact.select(col("q_id"), col("neighbor_id"), col("rank").as("erank"))
+    val a = arm.select(col("q_id"), col("neighbor_id"), col("rank").as("arank"))
+    e.join(a, Seq("q_id", "neighbor_id"), "left")
+      .groupBy("q_id")
+      .agg(
+        count(lit(1)).as("n_exact"),
+        count(col("arank")).as("hits"),
+        dsum(when(col("arank").isNotNull,
+            (lit(k + 1) - col("erank")).cast("double") *
+              element_at(disc, col("arank").cast("int")))
+          .otherwise(lit(0.0))).as("dcg"),
+        coalesce(max(when(col("erank") === 1L,
+          lit(1.0) / col("arank").cast("double"))), lit(0.0)).as("rr"))
+      .withColumn("ndcg", col("dcg") / element_at(idcg, col("n_exact").cast("int")))
+      .select(col("q_id"), col("n_exact").cast("long").as("n_exact"),
+        col("hits").cast("long").as("hits"), col("dcg"), col("rr"), col("ndcg"))
       .orderBy("q_id")
   }
 

@@ -708,4 +708,56 @@ class AnnIndexSpec extends SparkSpec {
     assert(imiRecall >= 0.1,
       s"IMI default-dial recall degenerate: $imiRecall (flat: $flatRecall)")
   }
+
+  test("q107 graded retrieval: identity arm reads ndcg/rr exactly 1; reversal is graded " +
+    "below set-equal; lake metrics match a naive recompute") {
+    val k = 10
+    val exact = SimilarityOps.knnBruteForce(spark, sf, k).cache()
+    try {
+      // identity: an arm that IS the truth must read hits=k, rr=1, ndcg
+      // EXACTLY 1.0 (dcg and idcg quantize term-by-term identically)
+      val self = SimilarityOps.retrievalQualityOf(exact, exact, k).collect()
+      self.foreach { r =>
+        assert(r.getAs[Long]("hits") === k.toLong)
+        assert(r.getAs[Double]("rr") === 1.0)
+        assert(r.getAs[Double]("ndcg") === 1.0, s"identity ndcg ${r.getAs[Double]("ndcg")}")
+      }
+      // reversal: same SET (hits=k, recall-style gates can't tell) but
+      // fully inverted ORDER — ndcg strictly < 1, rr = 1/k: the graded
+      // metric separates what q68's recall cannot
+      val rev = exact.withColumn("rank", (lit(k + 1) - col("rank")).cast("long"))
+      val revM = SimilarityOps.retrievalQualityOf(exact, rev, k).collect()
+      revM.foreach { r =>
+        assert(r.getAs[Long]("hits") === k.toLong)
+        assert(r.getAs[Double]("rr") === 1.0 / k)
+        assert(r.getAs[Double]("ndcg") < 0.9, s"reversed ndcg ${r.getAs[Double]("ndcg")}")
+      }
+      // lake run vs a naive recompute from the two ranked lists
+      val arm = SimilarityOps.knnIvf(spark, sf, k)
+      val got = SimilarityOps.retrievalQuality(spark, sf, k).collect()
+        .map(r => r.getAs[Long]("q_id") -> r).toMap
+      val eRanks = exact.collect().map(r =>
+        (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id")) -> r.getAs[Long]("rank")).toMap
+      val aRows = arm.collect().map(r =>
+        (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id"), r.getAs[Long]("rank")))
+      val disc = SimilarityOps.retrievalDisc(k)
+      val idcg = SimilarityOps.retrievalIdcg(k)
+      eRanks.keys.map(_._1).toSeq.distinct.foreach { q =>
+        val matched = aRows.filter(t => t._1 == q && eRanks.contains((q, t._2)))
+        val dcg = matched.map { case (_, nid, ar) =>
+          BigDecimal((k + 1 - eRanks((q, nid))).toDouble * disc(ar.toInt - 1))
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        }.sum.toDouble
+        val nExact = eRanks.keys.count(_._1 == q)
+        val expNdcg = dcg / idcg(nExact - 1)
+        val top1 = eRanks.collectFirst { case ((`q`, nid), 1L) => nid }.get
+        val expRr = matched.collectFirst { case (_, `top1`, ar) => 1.0 / ar }.getOrElse(0.0)
+        val r = got(q)
+        assert(r.getAs[Long]("hits") === matched.size.toLong, s"q=$q hits")
+        assert(math.abs(r.getAs[Double]("ndcg") - expNdcg) < 1e-12, s"q=$q ndcg")
+        assert(math.abs(r.getAs[Double]("rr") - expRr) < 1e-12, s"q=$q rr")
+        assert(r.getAs[Double]("ndcg") >= 0.0 && r.getAs[Double]("ndcg") <= 1.0)
+      }
+    } finally exact.unpersist(blocking = false)
+  }
 }
