@@ -132,6 +132,7 @@ object SparkEntry {
     "q67_semantic_dedup"  -> ((s: SparkSession, d: String) => DedupOps.semanticDedup(s, d)),
     "q68_ann_recall"      -> ((s: SparkSession, d: String) => SimilarityOps.annRecall(s, d)),
     "q107_retrieval_quality" -> ((s: SparkSession, d: String) => SimilarityOps.retrievalQuality(s, d)),
+    "q108_index_drift"    -> ((s: SparkSession, d: String) => SimilarityOps.indexDrift(s, d)),
     "q68b_ann_recall_wide" -> ((s: SparkSession, d: String) => SimilarityOps.annRecall(s, d, queryIdMax = 300)),
     "q68c_ann_recall_curve" -> ((s: SparkSession, d: String) => SimilarityOps.annRecallCurve(s, d)),
     "q69_pq_stats"        -> (SimilarityOps.pqStats _),
@@ -3484,6 +3485,45 @@ object SparkEntry {
     // graded retrieval quality: exact + IVF arm chains at k=10, shared
     // StrictMath discount/IDCG literals, carrier-exact DCG
     "q107_retrieval_quality" -> retrievalQualityOracleSql(10, 10),
+
+    // index staleness: frozen-quantizer assignment (the q54/q68 asg
+    // chain), id-watermark era split, carrier-exact era means, one
+    // division per mean + one for the drift ratio
+    "q108_index_drift" ->
+      s"""WITH $EMB_NORM,
+         |cents AS (SELECT list_id, cv,
+         |            sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65),
+         |              i -> cv[i] * cv[i])), (x2, y2) -> x2 + y2)) AS cnrm
+         |          FROM ($ivfCentsValues) t(list_id, cv)),
+         |asg AS (SELECT vec_id, list_id, csim,
+         |          ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, list_id) AS crank
+         |        FROM (SELECT n.vec_id, c.list_id,
+         |                list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65),
+         |                  i -> n.v[i] * c.cv[i])), (x2, y2) -> x2 + y2) / (n.nrm * c.cnrm) AS csim
+         |              FROM n, cents c WHERE n.vec_id >= 10) t),
+         |wm AS (SELECT (10 + MAX(vec_id)) // 2 AS wm FROM e WHERE vec_id >= 10),
+         |pv AS (SELECT a.vec_id, a.list_id, 1.0 - a.csim AS dist, a.vec_id >= w.wm AS is_new
+         |       FROM asg a CROSS JOIN wm w WHERE a.crank = 1),
+         |per AS (SELECT list_id,
+         |          CAST(COUNT(CASE WHEN NOT is_new THEN 1 END) AS BIGINT) AS n_old,
+         |          CAST(COUNT(CASE WHEN is_new THEN 1 END) AS BIGINT) AS n_new,
+         |          CAST(SUM(CASE WHEN NOT is_new THEN CAST(dist AS DECIMAL(27,6)) END) AS DOUBLE)
+         |            / CAST(COUNT(CASE WHEN NOT is_new THEN 1 END) AS DOUBLE) AS old_dist,
+         |          CAST(SUM(CASE WHEN is_new THEN CAST(dist AS DECIMAL(27,6)) END) AS DOUBLE)
+         |            / CAST(COUNT(CASE WHEN is_new THEN 1 END) AS DOUBLE) AS new_dist
+         |        FROM pv GROUP BY list_id),
+         |roll AS (SELECT CAST(-1 AS BIGINT) AS list_id,
+         |          CAST(COUNT(CASE WHEN NOT is_new THEN 1 END) AS BIGINT) AS n_old,
+         |          CAST(COUNT(CASE WHEN is_new THEN 1 END) AS BIGINT) AS n_new,
+         |          CAST(SUM(CASE WHEN NOT is_new THEN CAST(dist AS DECIMAL(27,6)) END) AS DOUBLE)
+         |            / CAST(COUNT(CASE WHEN NOT is_new THEN 1 END) AS DOUBLE) AS old_dist,
+         |          CAST(SUM(CASE WHEN is_new THEN CAST(dist AS DECIMAL(27,6)) END) AS DOUBLE)
+         |            / CAST(COUNT(CASE WHEN is_new THEN 1 END) AS DOUBLE) AS new_dist
+         |        FROM pv)
+         |SELECT list_id, n_old, n_new, old_dist, new_dist,
+         |  CASE WHEN n_old > 0 AND n_new > 0 THEN new_dist / old_dist END AS drift
+         |FROM (SELECT * FROM per UNION ALL SELECT * FROM roll) t
+         |ORDER BY list_id""".stripMargin,
 
     "q68b_ann_recall_wide" -> annRecallOracleSql(300),
     "q68c_ann_recall_curve" -> annRecallCurveOracleSql(300, 3, Seq(1, 2, 4, 8, 16)),

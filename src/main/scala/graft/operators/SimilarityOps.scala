@@ -394,6 +394,77 @@ object SimilarityOps {
       .orderBy("q_id")
   }
 
+  /** q108 — ANN-index STALENESS monitor: per-list assignment-distortion
+    * drift of newly arrived vectors against the trained-era corpus — the
+    * RETRAIN TRIGGER that completes the index lifecycle (build → append
+    * [AnnIndexBuild.appendStream] → compact → MONITOR → retrain). A
+    * quantizer trained on yesterday's distribution silently degrades as
+    * the corpus drifts: new vectors land farther from their nearest
+    * centroid, per-list populations skew, and probed recall decays with
+    * no error anywhere. This query splits the corpus at the id watermark
+    * (old = trained-era, new = arrivals; the deterministic midpoint on
+    * the gate lake, the ingest watermark in production), assigns BOTH
+    * eras through the frozen quantizer, and emits per list: populations,
+    * mean assignment distortion (1 − cosine to the assigned centroid)
+    * per era, and the drift ratio new/old. Healthy lake ≈ 1.0 per list;
+    * a drifted source pushes its lists' ratio up — the documented
+    * retrain threshold is ratio > 1.2 sustained across lists (FAISS
+    * operational lore: retrain when imbalance or distortion drifts ~20%).
+    *
+    * Scale shape: ONE corpus scan → broadcast-centroid argmax (q54's
+    * map-side max_by shape) → one bounded k-row aggregation; the
+    * watermark is a 1-row aggregate cross-joined broadcast (q73's stats
+    * device — never a driver collect in the plan). Determinism: csim is
+    * the shared IEEE dot/norm chain, era means are decimal-carrier sums
+    * with ONE final division each, drift is one more IEEE division.
+    * Output: one row per list + the list_id = −1 corpus rollup.
+    */
+  def indexDrift(s: SparkSession, d: String,
+      queryIdMax: Long = QueryIdMax): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      .withColumn("nrm", norm(col("v")))
+    val corpus = Tables.spreadScan(s, e.filter(col("vec_id") >= queryIdMax))
+    val wm = corpus.agg(
+      floor((lit(queryIdMax) + max(col("vec_id"))) / lit(2L)).cast("long").as("wm"))
+    indexDriftOf(s, corpus, wm)
+  }
+
+  /** The drift-metric core over an arbitrary corpus frame `(vec_id, v,
+    * nrm)` and a 1-row watermark frame `(wm)` — seam for monitoring ANY
+    * era split (a production job passes its ingest watermark; the spec
+    * feeds crafted healthy/drifted frames). */
+  private[graft] def indexDriftOf(s: SparkSession, corpus: DataFrame,
+      wm: DataFrame): DataFrame = {
+    import graft.functions.Exact.acc
+    val perVec = corpus.join(broadcast(centroidTable(s)))
+      .withColumn("csim", cosine(col("v"), col("cv"), col("nrm"), col("cnrm")))
+      .groupBy("vec_id")
+      .agg(max_by(struct(col("csim"), col("list_id")),
+        struct(col("csim"), -col("list_id"))).as("best"))
+      .select(col("vec_id"), col("best.list_id").as("list_id"),
+        (lit(1.0) - col("best.csim")).as("dist"))
+      .crossJoin(broadcast(wm))
+      .withColumn("is_new", col("vec_id") >= col("wm"))
+    def eraCols = Seq(
+      count(when(!col("is_new"), 1)).as("n_old"),
+      count(when(col("is_new"), 1)).as("n_new"),
+      (sum(when(!col("is_new"), acc(col("dist")))).cast("double") /
+        count(when(!col("is_new"), 1)).cast("double")).as("old_dist"),
+      (sum(when(col("is_new"), acc(col("dist")))).cast("double") /
+        count(when(col("is_new"), 1)).cast("double")).as("new_dist"))
+    val perList = perVec.groupBy("list_id").agg(eraCols.head, eraCols.tail: _*)
+    val rollup = perVec.groupBy().agg(eraCols.head, eraCols.tail: _*)
+      .select(lit(-1L).as("list_id"), col("n_old"), col("n_new"),
+        col("old_dist"), col("new_dist"))
+    perList.unionByName(rollup)
+      // NULL when a list lacks an era (0/0 would be NaN): a list with no
+      // new arrivals has no drift reading, not a zero one
+      .withColumn("drift",
+        when(col("n_old") > 0 && col("n_new") > 0, col("new_dist") / col("old_dist")))
+      .orderBy("list_id")
+  }
+
   /** q107's DCG discount table 1/log2(i+1) for ranks 1..k — computed ONCE
     * here with StrictMath (bit-identical on every JVM) and interpolated
     * into the generated oracle SQL as double literals, so neither engine

@@ -709,6 +709,54 @@ class AnnIndexSpec extends SparkSpec {
       s"IMI default-dial recall degenerate: $imiRecall (flat: $flatRecall)")
   }
 
+  test("q108 index drift: identical eras read drift EXACTLY 1.0; a centroid-perfect " +
+    "new era reads 0; an era with no arrivals reads NULL; lake rollup accounts every vector") {
+    import graft.functions.VectorFunctions.{norm, toDouble}
+    val e = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      .withColumn("nrm", norm(col("v")))
+      .filter(col("vec_id") >= 10L)
+    val big = 1000000L
+    val wmBig = spark.range(1).select(lit(big).as("wm"))
+
+    // identical eras: the SAME vector multiset re-landed above the
+    // watermark — era means are equal decimal sums, so drift is 1.0 EXACTLY
+    val dup = e.select((col("vec_id") + big).as("vec_id"), col("v"), col("nrm"))
+    SimilarityOps.indexDriftOf(spark, e.unionByName(dup), wmBig).collect().foreach { r =>
+      assert(r.getAs[Long]("n_old") === r.getAs[Long]("n_new"), s"list ${r.getLong(0)}")
+      assert(r.getAs[Double]("drift") === 1.0, s"list ${r.getLong(0)} drift")
+    }
+
+    // centroid-perfect new era: each frozen centroid lands as its own
+    // arrival — it assigns to its own list (cos(self) ~ 1, strictly above
+    // any other centroid) and its distortion quantizes to 0 under the
+    // carrier, so every receiving list reads new_dist 0.0 and drift 0.0;
+    // lists receiving nothing read NULL (no reading, not a zero one)
+    val cents = SimilarityOps.centroidTable(spark)
+      .select((col("list_id") + big).as("vec_id"), col("cv").as("v"), col("cnrm").as("nrm"))
+    val m2 = SimilarityOps.indexDriftOf(spark, e.unionByName(cents), wmBig)
+      .collect().map(r => r.getAs[Long]("list_id") -> r).toMap
+    assert(m2(-1L).getAs[Double]("new_dist") === 0.0)
+    assert(m2(-1L).getAs[Double]("drift") === 0.0)
+    m2.filterKeys(_ >= 0).values.foreach { r =>
+      if (r.getAs[Long]("n_new") > 0) assert(r.getAs[Double]("drift") === 0.0)
+      else assert(r.isNullAt(r.fieldIndex("drift")) && r.isNullAt(r.fieldIndex("new_dist")),
+        s"list ${r.getLong(0)}: empty era must read NULL")
+    }
+
+    // the lake query: every corpus vector lands in exactly one era of the
+    // rollup; per-list drift readings are finite and positive
+    val lake = SimilarityOps.indexDrift(spark, sf).collect()
+    val roll = lake.find(_.getAs[Long]("list_id") == -1L).get
+    assert(roll.getAs[Long]("n_old") + roll.getAs[Long]("n_new") === e.count())
+    lake.foreach { r =>
+      if (!r.isNullAt(r.fieldIndex("drift"))) {
+        val dr = r.getAs[Double]("drift")
+        assert(dr > 0.0 && !dr.isInfinite && !dr.isNaN, s"list ${r.getLong(0)}: $dr")
+      }
+    }
+  }
+
   test("q107 graded retrieval: identity arm reads ndcg/rr exactly 1; reversal is graded " +
     "below set-equal; lake metrics match a naive recompute") {
     val k = 10
