@@ -115,6 +115,7 @@ object SparkEntry {
     "q65_dup_runs"        -> ((s: SparkSession, d: String) => CurationOps.dupRuns(s, d)),
     "q83_dup_spans"       -> ((s: SparkSession, d: String) => CurationOps.dupSpans(s, d)),
     "q83b_cut_dup_spans"  -> ((s: SparkSession, d: String) => CurationOps.cutDupSpans(s, d)),
+    "q109_mask_dup_spans" -> ((s: SparkSession, d: String) => CurationOps.maskDupSpans(s, d)),
     "q84_source_overlap"  -> ((s: SparkSession, d: String) => CurationOps.sourceOverlap(s, d)),
     "q85_source_divergence" -> ((s: SparkSession, d: String) => CurationOps.sourceDivergence(s, d)),
     "q85b_doremi_weights" -> ((s: SparkSession, d: String) => CurationOps.doremiWeights(s, d)),
@@ -3331,6 +3332,38 @@ object SparkEntry {
         |                           WHERE sp.doc_id = tk.doc_id AND tk.i BETWEEN sp.s AND sp.e))
         |SELECT doc_id, string_agg(w, ' ' ORDER BY i) AS text
         |FROM keep GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // the loss-masking policy: q83b's span chain, but covered tokens are
+    // SUBSTITUTED with the shared sentinel instead of filtered — token
+    // counts are length-stable by construction
+    "q109_mask_dup_spans" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts,
+        |                  len(string_split(text, ' ')) AS n FROM documents),
+        |r0 AS (SELECT doc_id, unnest(generate_series(1, n - 7)) AS i, ts
+        |       FROM t WHERE n >= 8),
+        |r AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+        |        ('0x' || substr(md5(array_to_string(ts[i:i+7], ' ')), 1, 15))::BIGINT AS rh FROM r0),
+        |m AS (SELECT doc_id, pos,
+        |        COUNT(*) OVER (PARTITION BY rh) AS cnt,
+        |        ROW_NUMBER() OVER (PARTITION BY rh ORDER BY doc_id, pos) AS rn
+        |      FROM r),
+        |x AS (SELECT doc_id, pos,
+        |        pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        |      FROM m WHERE cnt > 1 AND rn > 1),
+        |spans AS (SELECT doc_id, MIN(pos) AS s, MAX(pos) + 7 AS e
+        |          FROM x GROUP BY doc_id, grp),
+        |tok AS (SELECT doc_id, unnest(generate_series(1, n)) AS i, ts FROM t),
+        |lab AS (SELECT tk.doc_id, tk.i, tk.ts[tk.i] AS tok0,
+        |          CASE WHEN EXISTS (SELECT 1 FROM spans sp
+        |               WHERE sp.doc_id = tk.doc_id AND tk.i BETWEEN sp.s AND sp.e)
+        |          THEN 1 ELSE 0 END AS msk
+        |        FROM tok tk)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(msk) AS BIGINT) AS n_masked,
+        |  CAST(SUM(msk) AS DOUBLE) / COUNT(*) AS mask_frac,
+        |  string_agg(CASE WHEN msk = 1 THEN '${operators.CurationOps.MaskToken}' ELSE tok0 END,
+        |    ' ' ORDER BY i) AS text
+        |FROM lab GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // cross-source duplication matrix: distinct (window hash, source),
     // unordered source pairs per hash counted once

@@ -700,6 +700,61 @@ object CurationOps {
       .orderBy("doc_id")
   }
 
+  /** The mask sentinel q109 substitutes for duplicated-span tokens —
+    * outside the corpus alphabet by construction (documents are
+    * space-joined lowercase words; angle brackets never occur). Shared
+    * with the generated oracle SQL. */
+  private[graft] val MaskToken = "<mask>"
+
+  /** q109 — the LOSS-MASKING policy over [[dupSpans]] extents: re-emit
+    * each document with every duplicated span's tokens replaced by
+    * [[MaskToken]] instead of cut (q83b's policy). Cutting changes
+    * sequence lengths and splices unrelated context across the cut
+    * point; masking keeps the token stream LENGTH-STABLE — positions,
+    * packing plans (q61), and context windows are unchanged, and the
+    * trainer simply zeroes the loss on masked positions (the standard
+    * alternative policy to ExactSubstr cutting: keep the text as
+    * context, never pay gradient on verbatim-repeated content). Emits
+    * per doc: token count (== the original count, the policy's defining
+    * invariant), masked count, mask fraction, and the masked text.
+    *
+    * Shape: identical to q83b's (the span list is bounded by the doc's
+    * own span count; one posexplode + left join + per-doc reassembly);
+    * the only difference is substitution instead of filtering. The two
+    * policies are provably consistent: dropping every [[MaskToken]]
+    * from q109's text yields q83b's text exactly (spec-pinned).
+    */
+  def maskDupSpans(s: SparkSession, d: String, k: Int = 8): DataFrame =
+    maskDupSpansOf(Tables.documentsScaled(s, d).select(col("doc_id"), col("text")), k)
+
+  /** [[maskDupSpans]] over an arbitrary (doc_id, text) frame (ownership
+    * is frame-local, see [[dupSpansOf]]). */
+  private[graft] def maskDupSpansOf(docs: DataFrame, k: Int): DataFrame = {
+    val spans = dupSpansOf(docs, k)
+      .groupBy("doc_id")
+      .agg(collect_list(struct(col("start_token"), col("end_token"))).as("spans"))
+    docs
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("i0", "tok")))
+      .select(col("doc_id"), (col("i0") + 1).cast("long").as("pos"), col("tok"))
+      .join(spans, Seq("doc_id"), "left")
+      .withColumn("msk", when(col("spans").isNotNull && exists(col("spans"),
+          sp => col("pos") >= sp.getField("start_token") &&
+            col("pos") <= sp.getField("end_token")), 1L)
+        .otherwise(0L))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(col("msk")).as("n_masked"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("msk"), col("tok")))),
+          x => when(x.getField("msk") === 1L, lit(MaskToken))
+            .otherwise(x.getField("tok"))), " ").as("text"))
+      .withColumn("mask_frac",
+        col("n_masked").cast("double") / col("n_tokens").cast("double"))
+      .select("doc_id", "n_tokens", "n_masked", "mask_frac", "text")
+      .orderBy("doc_id")
+  }
+
   /** q85 — per-source token-distribution divergence: KL(P_source ||
     * P_corpus) over unigram distributions — the DoReMi-family domain-
     * reweighting signal (Xie et al. 2023 reweight domains by how their

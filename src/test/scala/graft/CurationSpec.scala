@@ -538,6 +538,51 @@ class CurationSpec extends SparkSpec {
       4L -> "p q r s t u v w"))
   }
 
+  test("q109 mask policy: length-stable, exact sentinel placement; dropping " +
+    "sentinels reproduces q83b's cut text exactly") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("maskspans").toString
+    val base = "a b c d e f g h i j" // the q83 crafted corpus, verbatim
+    Seq(
+      (0L, base),
+      (1L, s"x1 x2 $base y1"),
+      (2L, base),
+      (3L, "u1 u2 u3 u4 u5 u6 u7 u8 u9"),
+      (4L, "p q r s t u v w p q r s t u v w")
+    ).toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+
+    val mk = CurationOps.MaskToken
+    val got = CurationOps.maskDupSpans(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("n_masked"), r.getAs[String]("text")))).toMap
+    // EVERY doc emits a row — a fully-duplicated doc is masked, not
+    // dropped (the policy's defining difference from q83b, where doc 2
+    // vanishes) — and token counts equal the originals (length-stable)
+    assert(got.keySet === Set(0L, 1L, 2L, 3L, 4L))
+    assert(got(0L) === ((10L, 0L, base)))
+    assert(got(1L) === ((13L, 10L, s"x1 x2 ${Seq.fill(10)(mk).mkString(" ")} y1")))
+    assert(got(2L) === ((10L, 10L, Seq.fill(10)(mk).mkString(" "))))
+    assert(got(3L) === ((9L, 0L, "u1 u2 u3 u4 u5 u6 u7 u8 u9")))
+    assert(got(4L) === ((16L, 8L, s"p q r s t u v w ${Seq.fill(8)(mk).mkString(" ")}")))
+
+    // policy equivalence on the REAL lake: dropping every sentinel from
+    // q109's text yields q83b's cut text, doc by doc (absent = fully cut)
+    val masked = CurationOps.maskDupSpans(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("n_masked"), r.getAs[String]("text")))).toMap
+    val cutLake = CurationOps.cutDupSpans(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    val origN = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text").split(" ", -1).length).toMap
+    assert(masked.keySet === origN.keySet, "q109 must emit every doc")
+    masked.foreach { case (id, (n, nm, text)) =>
+      assert(n === origN(id).toLong, s"doc $id not length-stable")
+      val dropped = text.split(" ", -1).filterNot(_ == mk).mkString(" ")
+      assert(dropped === cutLake.getOrElse(id, ""), s"doc $id policy mismatch")
+      assert(nm === text.split(" ", -1).count(_ == mk).toLong, s"doc $id sentinel count")
+    }
+  }
+
   test("q85 source divergence: exact driver-side recompute, bit-identical") {
     val rows = CurationOps.sourceDivergence(spark, sf).collect()
     assert(rows.nonEmpty)
