@@ -67,6 +67,13 @@ import graft.operators.DedupOps
   *       Ownership is recomputed among the SURVIVORS, so the kept copy
   *       of every cut span ships by construction. Opt-in
   *       (`Config.spanCut`); a doc cut to nothing leaves the corpus.
+  *   6c. ExactSubstr span MASK (q109) — the alternative policy to 6b:
+  *       the same extents are substituted with the shared loss-mask
+  *       sentinel instead of cut, keeping every doc length-stable (the
+  *       trainer zeroes loss on sentinel positions; no doc leaves, no
+  *       context splices). Opt-in (`Config.spanMask` / `--mask-spans`),
+  *       mutually exclusive with 6b; provenance columns n_masked /
+  *       mask_frac ride the written documents.
   *   7. sliding-window chunking (training-example shaping)
   *   8. opt-in q64b epoch repetition plan over the kept docs — the
   *      sqrt-temperature mixing table a training run consumes, computed
@@ -76,7 +83,7 @@ import graft.operators.DedupOps
   *      hash-line shuffled, token-budget packed and written as
   *      WebDataset tar shards — lake → training set, completed
   *
-  * Usage: CorpusPrep <sf-dir> <out-dir> [--no-neardup] [--winnow-dedup[=THRESH]] [--semantic] [--prototype-prune[=FRAC]] [--decontaminate] [--fuzzy-decon[=MIN_EST]] [--span-cut] [--lm-filter=MAX_AVG_NLL] [--clf-filter[=MIN_LOGIT]] [--epoch-plan] [--train-shards]
+  * Usage: CorpusPrep <sf-dir> <out-dir> [--no-neardup] [--winnow-dedup[=THRESH]] [--semantic] [--prototype-prune[=FRAC]] [--decontaminate] [--fuzzy-decon[=MIN_EST]] [--span-cut | --mask-spans] [--lm-filter=MAX_AVG_NLL] [--clf-filter[=MIN_LOGIT]] [--epoch-plan] [--train-shards]
   *
   * Output layout:
   *   <out>/documents/  kept documents (redacted text, provenance columns)
@@ -146,6 +153,9 @@ object CorpusPrep {
       fuzzyDeconMinEst: Double = 0.5,
       spanCut: Boolean = false,
       spanCutNgram: Int = 8,
+      // q109's mask policy over the SAME extents (mutually exclusive
+      // with spanCut): substitute the loss-mask sentinel, keep lengths
+      spanMask: Boolean = false,
       chunkWindow: Int = 32,
       chunkStride: Int = 24,
       // q64b's epoch repetition plan over the SURVIVING corpus: opt-in;
@@ -397,8 +407,10 @@ object CorpusPrep {
     // write); gate-time stats columns (n_tokens, dup_rate, ...) keep
     // describing the text AS GATED; a doc cut to nothing leaves the
     // corpus (its content survives in its canonical).
+    require(!(cfg.spanCut && cfg.spanMask),
+      "span-cut and mask-spans are alternative policies over the same extents — choose one")
     val nDecon =
-      if (!cfg.spanCut) {
+      if (!cfg.spanCut && !cfg.spanMask) {
         deconKept.write.mode(SaveMode.Overwrite).parquet(s"$out/documents")
         -1L
       } else {
@@ -406,9 +418,19 @@ object CorpusPrep {
         deconKept.write.mode(SaveMode.Overwrite).parquet(staged)
         val precut = spark.read.parquet(staged)
         val n = precut.count()
+        // 6b cut: inner join drops a doc cut to nothing (its text lives
+        // in its canonical). 6c mask: every doc re-emits length-stable
+        // with the provenance columns (q109's contract).
+        val rewritten =
+          if (cfg.spanCut)
+            graft.operators.CurationOps.cutDupSpansOf(
+              precut.select("doc_id", "text"), cfg.spanCutNgram)
+          else
+            graft.operators.CurationOps.maskDupSpansOf(
+              precut.select("doc_id", "text"), cfg.spanCutNgram)
+              .select(col("doc_id"), col("text"), col("n_masked"), col("mask_frac"))
         precut.drop("text")
-          .join(graft.operators.CurationOps.cutDupSpansOf(
-            precut.select("doc_id", "text"), cfg.spanCutNgram), Seq("doc_id"))
+          .join(rewritten, Seq("doc_id"))
           .write.mode(SaveMode.Overwrite).parquet(s"$out/documents")
         val p = new org.apache.hadoop.fs.Path(staged)
         p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
@@ -417,7 +439,14 @@ object CorpusPrep {
     // count from the written parquet — a second execution of the curation
     // join DAG for a number the file footers already know would be waste
     val nFinal = spark.read.parquet(s"$out/documents").count()
-    val nAfterDecon = if (cfg.spanCut) nDecon else nFinal
+    val nAfterDecon = if (cfg.spanCut || cfg.spanMask) nDecon else nFinal
+    // audit row for the mask policy: total sentinel positions shipped
+    // (the loss-mask budget a trainer will zero) — one column scan of
+    // the just-written parquet, -1 = stage off
+    val nMaskedTokens =
+      if (!cfg.spanMask) -1L
+      else spark.read.parquet(s"$out/documents")
+        .agg(coalesce(sum(col("n_masked")), lit(0L))).head.getLong(0)
 
     // 7. chunk the kept docs for training-example shaping — the exact q60
     // chunker (shared implementation incl. its stride<=window guard), fed
@@ -492,6 +521,7 @@ object CorpusPrep {
         else if (cfg.decontaminate) nExactDecon else -1L),
       ("05a_fuzzy_decon", if (cfg.fuzzyDecon) nAfterDecon else -1L),
       ("05b_span_cut", nFinal),
+      ("05c_span_mask_tokens", nMaskedTokens),
       ("06_chunks", nChunks),
       ("07_epoch_plan", nPlan),
       ("08_train_sequences", nShards))
@@ -503,7 +533,7 @@ object CorpusPrep {
     require(args.length >= 2,
       "usage: CorpusPrep <sf-dir> <out-dir> [--no-neardup] [--winnow-dedup[=THRESH]] [--semantic] " +
         "[--semantic-bits=N] [--prototype-prune[=FRAC]] [--decontaminate] " +
-        "[--fuzzy-decon[=MIN_EST]] [--span-cut] " +
+        "[--fuzzy-decon[=MIN_EST]] [--span-cut | --mask-spans] " +
         "[--lm-filter=MAX_AVG_NLL] [--clf-filter[=MIN_LOGIT]] [--epoch-plan] [--train-shards]")
     val spark = GraftSession.get()
     val lmMax = args.collectFirst {
@@ -551,6 +581,7 @@ object CorpusPrep {
       fuzzyDecon = fuzzyMin.isDefined,
       fuzzyDeconMinEst = fuzzyMin.getOrElse(0.5),
       spanCut = args.contains("--span-cut"),
+      spanMask = args.contains("--mask-spans"),
       epochPlan = args.contains("--epoch-plan"),
       trainShards = args.contains("--train-shards"),
       trainEpochs = args.collectFirst {

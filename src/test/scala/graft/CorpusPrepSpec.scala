@@ -384,6 +384,54 @@ class CorpusPrepSpec extends SparkSpec {
     assert(stats("05_decontaminate") === 3L) // the cut stage dropped no DOC here
   }
 
+  test("mask-spans stage: extents masked length-stable, provenance columns ride, " +
+    "policies mutually exclusive") {
+    import spark.implicits._
+    val span = (1 to 10).map(i => s"s$i").mkString(" ")
+    val corpus = java.nio.file.Files.createTempDirectory("maskcorpus").toString
+    Seq(
+      1L -> span,                              // surviving canonical
+      2L -> s"w1 w2 w3 w4 w5 $span z1 z2 z3", // survivor with the copy at 6..15
+      3L -> "q1 q2 q3 q4 q5 q6 q7 q8 q9")     // span-free survivor
+      .map { case (id, t) => (id, "en", "web", t, t.length.toLong) }
+      .toDF("doc_id", "lang", "source", "text", "n_chars")
+      .write.parquet(s"$corpus/documents.parquet")
+
+    val out = java.nio.file.Files.createTempDirectory("maskon").toString
+    CorpusPrep.run(spark, corpus, out,
+      CorpusPrep.Config(nearDup = false, spanMask = true))
+    val docs = spark.read.parquet(s"$out/documents")
+      .select("doc_id", "text", "n_masked", "mask_frac").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getDouble(3)))).toMap
+    val mk = operators.CurationOps.MaskToken
+    assert(docs.keySet === Set(1L, 2L, 3L))
+    assert(docs(1L) === ((span, 0L, 0.0)))       // frontier canonical untouched
+    assert(docs(2L)._1 === s"w1 w2 w3 w4 w5 ${Seq.fill(10)(mk).mkString(" ")} z1 z2 z3")
+    assert(docs(2L)._2 === 10L)
+    assert(docs(3L)._2 === 0L)
+    // length stability end-to-end through the job
+    docs.foreach { case (id, (t, _, _)) =>
+      assert(t.split(" ", -1).length === (id match {
+        case 1L => 10; case 2L => 18; case 3L => 9
+      }), s"doc $id")
+    }
+    val stats = spark.read.parquet(s"$out/stats").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(stats("05b_span_cut") === 3L)           // final doc count: nothing dropped
+    assert(stats("05c_span_mask_tokens") === 10L)  // the loss-mask budget
+    // chunks are built on the MASKED text
+    val chunkToks = spark.read.parquet(s"$out/chunks")
+      .select("chunk_text").collect().flatMap(_.getString(0).split(" ", -1))
+    assert(chunkToks.count(_ == mk) > 0, "chunker must consume the masked text")
+
+    // the two policies cannot both be on
+    intercept[IllegalArgumentException] {
+      CorpusPrep.run(spark, corpus,
+        java.nio.file.Files.createTempDirectory("maskboth").toString,
+        CorpusPrep.Config(nearDup = false, spanCut = true, spanMask = true))
+    }
+  }
+
   test("semantic stage drops an embedding paraphrase that survives lexical dedup") {
     import spark.implicits._
     // synthetic corpus dir: six lexically DISTINCT docs (no shared 3-grams,
