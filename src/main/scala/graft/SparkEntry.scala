@@ -89,6 +89,7 @@ object SparkEntry {
     "q47_langid"          -> (TextAnalysisOps.langId _),
     "q48_quality_score"   -> (TextAnalysisOps.qualityScore _),
     "q48b_length_outliers" -> (TextAnalysisOps.lengthOutliers _),
+    "q110_quality_drift"  -> ((s: SparkSession, d: String) => TextAnalysisOps.qualityDrift(s, d)),
     "q49_token_count"     -> (TextAnalysisOps.tokenCount _),
     "q50_fingerprint"     -> (TextAnalysisOps.fingerprint _),
     "q50b_winnow"         -> ((s: SparkSession, d: String) => CurationOps.winnow(s, d)),
@@ -2323,6 +2324,47 @@ object SparkEntry {
          |  $langCaseSql AS lang_pred
          |FROM documents ORDER BY doc_id""".stripMargin
     },
+
+    // PSI drift of the q48 score between id-watermark eras: old-era
+    // decile edges (quantile_cont = Spark percentile, the q14
+    // convention), Laplace-smoothed proportions, carrier-exact terms
+    "q110_quality_drift" ->
+      """WITH scored AS (SELECT doc_id,
+        |    LEAST(1.0, len(string_split(text,' ')) / 100.0)
+        |      * (len(list_distinct(string_split(text,' '))) / len(string_split(text,' '))) AS score
+        |  FROM documents),
+        |wm AS (SELECT (MIN(doc_id) + MAX(doc_id)) // 2 AS wm FROM scored),
+        |tg AS (SELECT s.doc_id, s.score, s.doc_id >= w.wm AS is_new
+        |       FROM scored s CROSS JOIN wm w),
+        |cuts AS (SELECT quantile_cont(score, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS cuts
+        |         FROM tg WHERE NOT is_new),
+        |bk AS (SELECT t.is_new,
+        |         CAST(1 + len(list_filter(c.cuts, x -> t.score >= x)) AS BIGINT) AS bucket
+        |       FROM tg t CROSS JOIN cuts c),
+        |cnt AS (SELECT bucket,
+        |          CAST(COUNT(CASE WHEN NOT is_new THEN 1 END) AS BIGINT) AS n_old,
+        |          CAST(COUNT(CASE WHEN is_new THEN 1 END) AS BIGINT) AS n_new
+        |        FROM bk GROUP BY bucket),
+        |tot AS (SELECT CAST(COUNT(CASE WHEN NOT is_new THEN 1 END) AS BIGINT) AS t_old,
+        |          CAST(COUNT(CASE WHEN is_new THEN 1 END) AS BIGINT) AS t_new FROM tg),
+        |allb AS (SELECT CAST(unnest(range(1, 11)) AS BIGINT) AS bucket),
+        |per AS (SELECT a.bucket,
+        |          CASE WHEN a.bucket > 1 THEN c.cuts[CAST(a.bucket - 1 AS INT)] END AS lo,
+        |          CASE WHEN a.bucket < 10 THEN c.cuts[CAST(a.bucket AS INT)] END AS hi,
+        |          COALESCE(n.n_old, 0) AS n_old, COALESCE(n.n_new, 0) AS n_new,
+        |          CAST(COALESCE(n.n_old, 0) + 1 AS DOUBLE) / (t.t_old + 10) AS p_old,
+        |          CAST(COALESCE(n.n_new, 0) + 1 AS DOUBLE) / (t.t_new + 10) AS p_new
+        |        FROM allb a CROSS JOIN cuts c CROSS JOIN tot t
+        |        LEFT JOIN cnt n USING (bucket)),
+        |per2 AS (SELECT bucket, lo, hi, n_old, n_new, p_old, p_new,
+        |          CAST(CAST((p_new - p_old) * ln(p_new / p_old) AS DECIMAL(27,6)) AS DOUBLE) AS term
+        |        FROM per)
+        |SELECT bucket, lo, hi, n_old, n_new, p_old, p_new, term FROM per2
+        |UNION ALL
+        |SELECT CAST(-1 AS BIGINT), NULL, NULL,
+        |  CAST(SUM(n_old) AS BIGINT), CAST(SUM(n_new) AS BIGINT), NULL, NULL,
+        |  CAST(SUM(CAST(term AS DECIMAL(27,6))) AS DOUBLE)
+        |FROM per2 ORDER BY bucket""".stripMargin,
 
     "q48_quality_score" ->
       """SELECT doc_id,

@@ -162,6 +162,93 @@ object TextAnalysisOps {
       .orderBy("source")
   }
 
+  /** q110 — corpus QUALITY-DISTRIBUTION drift between eras: the
+    * population stability index (PSI — the standard model-monitoring
+    * drift statistic) of the q48 quality score, new arrivals vs the
+    * trained-era reference. The text twin of q108's embedding-space
+    * monitor: a crawl source going bad (spam wave, parser regression,
+    * template flood) shifts the SCORE DISTRIBUTION long before any
+    * single gate's attrition number moves, and PSI is the one-number
+    * alarm with industry-standard thresholds (< 0.1 stable, 0.1–0.25
+    * moderate shift, > 0.25 investigate).
+    *
+    * Method: era split at the id-watermark midpoint (q108's device; the
+    * ingest watermark in production); bucket edges are the OLD era's
+    * exact score deciles (Spark `percentile` ↔ DuckDB `quantile_cont`,
+    * the q14 convention); both eras histogram against those FIXED edges
+    * (a drifted new era redistributes across the reference's quantiles —
+    * the definition of PSI); proportions are Laplace-smoothed
+    * ((n+1)/(N+B)) so an empty bucket contributes a finite term instead
+    * of an infinite log. PSI = Σ_b (p_new−p_old)·ln(p_new/p_old), each
+    * term through the DECIMAL carrier (the q85 ln discipline), summed
+    * exactly; one row per bucket (+ edges, counts, proportions, term)
+    * and the bucket = −1 rollup whose `term` IS the PSI.
+    *
+    * Scale shape: ONE scored corpus pass (the shared q48 kernel — pure
+    * map) → one exact-percentile aggregate over the old era (swap in
+    * approx_percentile at 100 TB, the q14b device) → one bucket-count
+    * aggregation; edges and totals are 1-row/10-row broadcasts. The
+    * bucket frame is B rows — everything after the two corpus
+    * aggregations is constant-size.
+    */
+  def qualityDrift(s: SparkSession, d: String, buckets: Int = 10): DataFrame = {
+    val scored = qualityScoredOf(Tables.documents(s, d)).select(col("doc_id"), col("score"))
+    val wm = scored.agg(
+      floor((min(col("doc_id")) + max(col("doc_id"))) / lit(2L)).cast("long").as("wm"))
+    qualityDriftOf(scored, wm, buckets)
+  }
+
+  /** The PSI core over an arbitrary scored frame `(doc_id, score)` and a
+    * 1-row watermark frame `(wm)` — the q108 seam pattern: production
+    * monitors pass their ingest watermark, the spec feeds crafted
+    * identical/shifted eras. */
+  private[graft] def qualityDriftOf(scored: DataFrame, wm: DataFrame,
+      buckets: Int = 10): DataFrame = {
+    require(buckets >= 2, s"need >= 2 buckets; got $buckets")
+    val tagged = scored.crossJoin(broadcast(wm))
+      .withColumn("is_new", col("doc_id") >= col("wm"))
+    val fracs = (1 until buckets).map(i => i.toDouble / buckets)
+    val cuts = tagged.filter(!col("is_new"))
+      .agg(percentile(col("score"), typedLit(fracs)).as("cuts"))
+    // bucket = 1 + |{edges <= score}|: a score AT an edge goes up
+    val counted = tagged.crossJoin(broadcast(cuts))
+      .withColumn("bucket",
+        (lit(1) + size(filter(col("cuts"), c => col("score") >= c))).cast("long"))
+      .groupBy("bucket")
+      .agg(
+        count(when(!col("is_new"), 1)).as("n_old"),
+        count(when(col("is_new"), 1)).as("n_new"))
+    // every bucket present (an empty one still rows — its smoothed term
+    // is part of the PSI), edges attached, counts coalesced to 0
+    val all = cuts.select(explode(sequence(lit(1L), lit(buckets.toLong))).as("bucket"),
+        col("cuts"))
+      .join(counted, Seq("bucket"), "left")
+      .na.fill(0L, Seq("n_old", "n_new"))
+      .withColumn("lo", when(col("bucket") > 1L,
+        element_at(col("cuts"), (col("bucket") - 1).cast("int"))))
+      .withColumn("hi", when(col("bucket") < buckets,
+        element_at(col("cuts"), col("bucket").cast("int"))))
+    val totals = tagged.groupBy().agg(
+      count(when(!col("is_new"), 1)).as("t_old"),
+      count(when(col("is_new"), 1)).as("t_new"))
+    val perBucket = all.crossJoin(broadcast(totals))
+      .withColumn("p_old",
+        (col("n_old") + lit(1)).cast("double") / (col("t_old") + lit(buckets)).cast("double"))
+      .withColumn("p_new",
+        (col("n_new") + lit(1)).cast("double") / (col("t_new") + lit(buckets)).cast("double"))
+      .withColumn("term",
+        acc((col("p_new") - col("p_old")) * log(col("p_new") / col("p_old"))).cast("double"))
+      .select("bucket", "lo", "hi", "n_old", "n_new", "p_old", "p_new", "term")
+    perBucket.unionByName(
+      perBucket.agg(sum(col("n_old")).as("n_old"), sum(col("n_new")).as("n_new"),
+          dsum(col("term")).as("term"))
+        .select(lit(-1L).as("bucket"), lit(null).cast("double").as("lo"),
+          lit(null).cast("double").as("hi"), col("n_old"), col("n_new"),
+          lit(null).cast("double").as("p_old"), lit(null).cast("double").as("p_new"),
+          col("term")))
+      .orderBy("bucket")
+  }
+
   /** q49 — token statistics per language: whitespace tokens + regex word
     * tokens (the BPE-ish pre-tokenizer count).
     */

@@ -1306,6 +1306,44 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("q110 PSI drift: identical eras read EXACTLY 0; a fully-shifted era alarms; " +
+    "terms are non-negative and partition the corpus") {
+    import spark.implicits._
+    val ops = operators.TextAnalysisOps
+    val big = 1000000L
+    val wmBig = spark.range(1).select(lit(big).as("wm"))
+    val old = (0 until 200).map(i => (i.toLong, (i % 97).toDouble / 97.0))
+
+    // identical eras: same score multiset re-landed above the watermark —
+    // equal counts and totals make every smoothed proportion pair equal,
+    // so every term (and the PSI) is EXACTLY 0.0
+    val same = (old ++ old.map { case (id, sc) => (id + big, sc) }).toDF("doc_id", "score")
+    val m1 = ops.qualityDriftOf(same, wmBig).collect()
+    m1.foreach(r => assert(r.getAs[Double]("term") === 0.0, s"bucket ${r.getLong(0)}"))
+
+    // fully-shifted new era: every new score above the old maximum lands
+    // in the top bucket — the strongest possible redistribution, PSI far
+    // past the 0.25 industry alarm
+    val shifted = (old ++ old.map { case (id, sc) => (id + big, sc + 10.0) })
+      .toDF("doc_id", "score")
+    val m2 = ops.qualityDriftOf(shifted, wmBig).collect()
+      .map(r => r.getAs[Long]("bucket") -> r).toMap
+    assert(m2(-1L).getAs[Double]("term") > 0.25,
+      s"shifted-era PSI ${m2(-1L).getAs[Double]("term")} under the alarm threshold")
+    assert(m2(10L).getAs[Long]("n_new") === 200L, "shifted era must land in the top bucket")
+
+    // the lake query: buckets partition both eras; PSI is a sum of
+    // NON-NEGATIVE terms ((p-q) and ln(p/q) always share sign)
+    val lake = ops.qualityDrift(spark, sf).collect()
+    val roll = lake.find(_.getAs[Long]("bucket") == -1L).get
+    val per = lake.filter(_.getAs[Long]("bucket") >= 0L)
+    assert(per.map(_.getAs[Long]("n_old")).sum === roll.getAs[Long]("n_old"))
+    assert(per.map(_.getAs[Long]("n_new")).sum === roll.getAs[Long]("n_new"))
+    per.foreach(r => assert(r.getAs[Double]("term") >= 0.0, s"bucket ${r.getLong(0)}"))
+    val psiSum = per.map(r => BigDecimal(r.getAs[Double]("term"))).sum.toDouble
+    assert(math.abs(roll.getAs[Double]("term") - psiSum) < 1e-12, "rollup != term sum")
+  }
+
   test("q106 entropy: exact on crafted distributions; lake profile matches a naive recompute") {
     import spark.implicits._
     // crafted cases through the shared kernel: the carrier quantizes each
