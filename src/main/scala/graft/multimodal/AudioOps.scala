@@ -1,6 +1,7 @@
 package graft.multimodal
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions.{array, bit_count, col, explode}
 
 /** Audio-column operators — the audio leg of the multimodal design
   * (SURVEY.md §2 `multimodal`): clips travel as opaque `binary` columns of
@@ -361,6 +362,109 @@ object AudioOps {
         col("power")(4).as("p4"), col("centroid"))
       .orderBy("clip_id", "win_no")
   }
+
+  /** Clip-level 64-bit audio fingerprint — the Haitsma & Kalker (ISMIR
+    * 2002, "A Highly Robust Audio Fingerprinting System") sign scheme,
+    * scaled to one word per clip (the dHash analogue for the audio
+    * column): per consecutive window pair and adjacent mel-band pair,
+    * bit = sign of the band-energy DELTA-OF-DELTAS
+    * E(w,m) − E(w,m+1) − (E(w−1,m) − E(w−1,m+1)) over the log mel
+    * energies ([[melEnergies]] — the shared spectral front-end), packed
+    * row-major into the low 64 bits (longer clips truncate, shorter
+    * zero-pad). Sign bits survive volume shifts and mild noise exactly
+    * the way dHash gradient signs survive brightness shifts — small
+    * perturbations land a few bits apart, exact copies at distance 0.
+    *
+    * One map over the clip scan (a clip's pcm lives in its own row), no
+    * shuffle, 8 bytes of downstream state per clip. Clips shorter than
+    * 2 windows carry no delta and fingerprint to 0 with n_windows ≤ 1 —
+    * [[nearDupClips]] excludes them rather than grouping all short
+    * clips into one false family.
+    */
+  def fingerprintClips(spark: SparkSession, clips: DataFrame,
+      window: Int = 256, nMels: Int = 8): DataFrame = {
+    import spark.implicits._
+    require(window >= 2, s"window must be >= 2; got $window")
+    require(nMels >= 2, s"fingerprint needs >= 2 mel bands; got $nMels")
+    val (cosT, sinT) = twiddles(window)
+    clips.select("clip_id", "sample_rate", "channels", "pcm").as[Clip]
+      .map { c =>
+        val mono = toMono(c.pcm, c.channels)
+        val nWin = mono.length / window
+        val e = Array.tabulate(nWin) { w =>
+          val v = new Array[Double](window)
+          var i = 0
+          while (i < window) { v(i) = mono(w * window + i).toDouble; i += 1 }
+          melEnergies(dftPower(v, 0, window, cosT, sinT), window, c.sample_rate, nMels)
+        }
+        var fp = 0L
+        var bit = 0
+        var w = 1
+        while (w < nWin && bit < 64) {
+          var m = 0
+          while (m < nMels - 1 && bit < 64) {
+            val d = e(w)(m) - e(w)(m + 1) - (e(w - 1)(m) - e(w - 1)(m + 1))
+            if (d > 0.0) fp |= (1L << bit)
+            bit += 1
+            m += 1
+          }
+          w += 1
+        }
+        (c.clip_id, nWin.toLong, fp)
+      }
+      .toDF("clip_id", "n_windows", "fp")
+  }
+
+  /** Audio near-duplicate pairs within a Hamming radius of the clip
+    * fingerprint — audio dedup for a multimodal training corpus
+    * (re-encoded, re-leveled, or mildly noised copies of a recording;
+    * the audio twin of ImageOps.nearDupFrames). Banding rides THE shared
+    * pigeonhole block definition (ImageOps.hammingBlocks — one banding
+    * for every 64-bit perceptual hash in the engine), candidate pairs
+    * form per (block, value) bucket, one exact bit_count(xor) verifies —
+    * never clip×clip. */
+  def nearDupClips(spark: SparkSession, clips: DataFrame, maxHamming: Int = 3,
+      window: Int = 256, nMels: Int = 8): DataFrame =
+    nearDupFromClipHashes(
+      fingerprintClips(spark, clips, window, nMels).filter(col("n_windows") >= 2L),
+      maxHamming)
+
+  /** [[nearDupClips]] over a precomputed (clip_id, fp) table. */
+  private[graft] def nearDupFromClipHashes(hashes: DataFrame,
+      maxHamming: Int): DataFrame = {
+    val banded = hashes.select(col("clip_id"), col("fp").as("dhash"))
+      .select(col("clip_id"), col("dhash"),
+        explode(array(ImageOps.hammingBlocks(maxHamming): _*)).as("bk"))
+    def side(p: String) = banded.select(
+      col("clip_id").as(s"${p}_clip_id"), col("dhash").as(s"${p}_fp"),
+      col("bk").as(s"${p}_bk"))
+    side("a").join(side("b"),
+        col("a_bk") === col("b_bk") && col("a_clip_id") < col("b_clip_id"))
+      .select("a_clip_id", "b_clip_id", "a_fp", "b_fp")
+      .dropDuplicates("a_clip_id", "b_clip_id")
+      .withColumn("hamming",
+        bit_count(col("a_fp").bitwiseXOR(col("b_fp"))).cast("int"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("a_clip_id"), col("b_clip_id"), col("hamming"))
+  }
+
+  /** Audio DEDUP GROUPS: connected components over the [[nearDupClips]]
+    * pair index via THE shared min-label propagation engine — a chain of
+    * re-encodes a>b>c collapses to one canonical clip even when a and c
+    * drift past the radius (the dedupGroupsFrames semantics). Clip ids
+    * are already dense longs, so no surrogate-id machinery: edges feed
+    * propagateMin directly under an audio-owned cache key. Output: one
+    * row per incident clip (clip_id, canon_clip_id, is_canonical);
+    * untouched clips are absent — trivially their own canonical. */
+  def dedupGroupsClips(spark: SparkSession, clips: DataFrame,
+      maxHamming: Int = 3, window: Int = 256, nMels: Int = 8,
+      maxRounds: Int = 50): DataFrame =
+    graft.operators.DedupOps.propagateMin(spark,
+        nearDupClips(spark, clips, maxHamming, window, nMels)
+          .select(col("a_clip_id").as("na"), col("b_clip_id").as("nb")),
+        maxRounds, cacheKey = "audio-groups")
+      .select(col("doc_id").as("clip_id"), col("canonical").as("canon_clip_id"),
+        (col("doc_id") === col("canonical")).as("is_canonical"))
 
   final case class Segment(clip_id: Long, seg_no: Int, sample_rate: Int, channels: Int, pcm: Array[Byte])
 

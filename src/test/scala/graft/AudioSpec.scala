@@ -167,4 +167,57 @@ class AudioSpec extends SparkSpec {
     assert(out(2L).pcm.toSeq === toneSec.toSeq, "a no-silence clip passes through")
     out.values.foreach(c => assert(c.channels === 1 && c.sample_rate === rate))
   }
+
+  test("fingerprint/nearDup/dedupGroups: exact copy at distance 0, a re-leveled copy " +
+    "lands in the radius, distinct content stays out; chains group to one canonical") {
+    import spark.implicits._
+    val rate = 8000
+    def mix(amp: Double, f1: Double, f2: Double): Array[Byte] = {
+      val pcm = new Array[Byte](rate * 2)
+      for (i <- 0 until rate) {
+        val s = ((math.sin(2 * math.Pi * f1 * i / rate) * 0.6 +
+          math.sin(2 * math.Pi * f2 * i / rate) * 0.4) * amp * 32767).toInt
+        val c = math.max(-32768, math.min(32767, s)).toShort
+        pcm(i * 2) = (c & 0xff).toByte
+        pcm(i * 2 + 1) = ((c >> 8) & 0xff).toByte
+      }
+      pcm
+    }
+    val base = mix(0.5, 220.0, 930.0)
+    val clips = Seq(
+      (0L, rate, 1, base),                  // original
+      (1L, rate, 1, base.clone),            // exact copy
+      (2L, rate, 1, mix(0.45, 220.0, 930.0)), // re-leveled copy (volume shift)
+      (3L, rate, 1, mix(0.40, 220.0, 930.0)), // further re-level: chains 2>3
+      (4L, rate, 1, mix(0.5, 615.0, 1850.0)), // different content
+      (5L, rate, 1, new Array[Byte](300))      // < 2 windows: excluded, never grouped
+    ).toDF("clip_id", "sample_rate", "channels", "pcm")
+
+    val fps = AudioOps.fingerprintClips(spark, clips).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(fps(0L)._2 === fps(1L)._2, "exact copy must fingerprint identically")
+    assert(fps(5L)._1 <= 1L, "short clip has < 2 windows")
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    // volume shift preserves every delta sign (log-mel differences shift
+    // by a constant that cancels in the delta-of-deltas) — distance 0 or
+    // a few bits; different CONTENT flips many signs
+    assert(ham(fps(0L)._2, fps(2L)._2) <= 3, s"re-level drifted ${ham(fps(0L)._2, fps(2L)._2)} bits")
+    assert(ham(fps(0L)._2, fps(4L)._2) > 3, s"distinct content only ${ham(fps(0L)._2, fps(4L)._2)} bits away")
+
+    val pairs = AudioOps.nearDupClips(spark, clips).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val pairSet = pairs.map(p => (p._1, p._2)).toSet
+    assert(pairSet.contains((0L, 1L)), "exact copy pair missing")
+    assert(pairs.find(p => (p._1, p._2) == (0L, 1L)).get._3 === 0)
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L), "distinct clip must not pair")
+    assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L), "short clip must be excluded")
+
+    val groups = AudioOps.dedupGroupsClips(spark, clips).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    // 0/1/2 (and 3 via the 2>3 chain if in radius) collapse onto clip 0
+    assert(groups(0L) === ((0L, true)))
+    assert(groups(1L) === ((0L, false)))
+    assert(groups(2L)._1 === 0L)
+    assert(!groups.contains(4L), "untouched clip must be absent (its own canonical)")
+  }
 }
