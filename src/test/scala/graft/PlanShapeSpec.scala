@@ -455,6 +455,25 @@ class PlanShapeSpec extends SparkSpec {
     assert(exchanges <= 2, s"spectral table shuffles $exchanges times:\n$p")
   }
 
+  test("q108: drift monitor is one corpus scan — centroids and watermark broadcast, " +
+    "no sort-merge join, no cartesian blowup") {
+    val p = plan(SimilarityOps.indexDrift(spark, sf))
+    assert(!p.contains("SortMergeJoin"), p)
+    // the centroid join and the 1-row watermark ride broadcasts
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    // corpus-side work: the argmax partial-aggregates map-side (the q54
+    // shape) — at most the vec_id agg + the bounded list rollups shuffle
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges <= 3, s"drift monitor shuffles $exchanges times:\n$p")
+  }
+
+  test("q110: PSI rides ONE scored-corpus pass per era aggregate — edges and " +
+    "totals broadcast, bucket work is constant-size") {
+    val p = plan(TextAnalysisOps.qualityDrift(spark, sf))
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q106: the entropy profile is a PURE MAP — zero shuffles, no join, " +
     "no aggregate; only the driver-output range sort") {
     val p = plan(TextAnalysisOps.entropyProfile(spark, sf))
