@@ -105,7 +105,15 @@ object CorpusPrepStream {
       // model-based quality filter (the batch pipeline's stage 2c):
       // Some(minLogit) scores every arriving doc under the FROZEN
       // committed ClfWeights and drops below-threshold docs; None = off
-      clfMinLogit: Option[Double] = None)
+      clfMinLogit: Option[Double] = None,
+      // q110's PSI gauge as a per-batch MONITOR (not a gate): when a
+      // frozen reference is supplied (TextAnalysisOps.driftReferenceOf,
+      // captured offline from the trained-era corpus), every arriving
+      // batch's RAW quality-score distribution is PSI-scored against it
+      // and the bucket table + rollup land in <lake>/drift — the alarm
+      // that fires when a crawl source goes bad BEFORE any gate's
+      // attrition number moves. No doc is dropped by this stage.
+      driftRef: Option[graft.operators.TextAnalysisOps.DriftRef] = None)
 
   /** The probe key every `documents` commit carries + declares as its
     * stats column: a uniform 64-bit image of the content hash, so range-
@@ -340,6 +348,19 @@ object CorpusPrepStream {
               ("04_decontaminate", nFinal))
               .toDF("stage", "rows")
               .withColumn("ingest_batch", lit(batchId)), batchId)
+          // drift gauge (monitor, not gate): PSI of the arriving batch's
+          // RAW quality-score distribution against the frozen reference —
+          // one bucket table + rollup per batch in <lake>/drift. Never
+          // probed, so commit order is free; redelivery recomputes the
+          // identical frame (frozen ref, same batch) and the batch-id
+          // commit is idempotent like the others.
+          cfg.driftRef.foreach { ref =>
+            SnapshotLake.commitStreamBatch(spark, s"$lake/drift",
+              graft.operators.TextAnalysisOps.psiAgainst(
+                graft.operators.TextAnalysisOps.qualityScoredOf(
+                  batch.select(col("doc_id"), col("text"))), ref)
+                .withColumn("ingest_batch", lit(batchId)), batchId)
+          }
         } finally survivors.unpersist(blocking = false)
       } finally bands.unpersist(blocking = false)
     } finally quality.unpersist(blocking = false)

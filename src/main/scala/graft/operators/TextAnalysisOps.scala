@@ -249,6 +249,68 @@ object TextAnalysisOps {
       .orderBy("bucket")
   }
 
+  /** Frozen drift REFERENCE for the streaming PSI gauge: the reference
+    * corpus's decile edges and per-bucket counts, captured ONCE offline
+    * (the train-offline/score-online split the streaming LM filter
+    * uses). Bounded driver-side state: B−1 edges + B counts. */
+  final case class DriftRef(edges: Seq[Double], counts: Seq[Long])
+
+  /** Capture a [[DriftRef]] from a scored frame `(.., score)`. */
+  private[graft] def driftReferenceOf(scored: DataFrame,
+      buckets: Int = 10): DriftRef = {
+    require(buckets >= 2, s"need >= 2 buckets; got $buckets")
+    val fracs = (1 until buckets).map(i => i.toDouble / buckets)
+    val cuts = scored.agg(percentile(col("score"), typedLit(fracs)).as("cuts"))
+      .head.getSeq[Double](0)
+    val edge = typedLit(cuts)
+    val byBucket = scored
+      .withColumn("bucket",
+        (lit(1) + size(filter(edge, c => col("score") >= c))).cast("long"))
+      .groupBy("bucket").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    DriftRef(cuts, (1 to buckets).map(b => byBucket.getOrElse(b.toLong, 0L)))
+  }
+
+  /** PSI of a scored frame against a FROZEN [[DriftRef]] — the streaming
+    * gauge core (q110's arithmetic with the reference side captured
+    * offline instead of recomputed; consistency spec-pinned: a ref
+    * captured from the old era scored against the new era reproduces
+    * q110's bucket rows and PSI exactly). Output: (bucket, n_old, n_new,
+    * p_old, p_new, term) per bucket + the bucket = −1 rollup whose term
+    * IS the PSI. */
+  private[graft] def psiAgainst(scored: DataFrame, ref: DriftRef): DataFrame = {
+    val s = scored.sparkSession
+    import s.implicits._
+    val buckets = ref.counts.size
+    val edge = typedLit(ref.edges)
+    val cnts = scored
+      .withColumn("bucket",
+        (lit(1) + size(filter(edge, c => col("score") >= c))).cast("long"))
+      .groupBy("bucket").agg(count(lit(1)).as("n_new"))
+    val refDf = ref.counts.zipWithIndex
+      .map { case (n, i) => ((i + 1).toLong, n) }.toDF("bucket", "n_old")
+    val tOld = ref.counts.sum
+    val joined = refDf.join(cnts, Seq("bucket"), "left")
+      .na.fill(0L, Seq("n_new"))
+    // the batch total is a 1-row aggregate broadcast (the q73 device)
+    val totals = joined.agg(sum(col("n_new")).as("t_new"))
+    val perBucket = joined.crossJoin(broadcast(totals))
+      .withColumn("p_old",
+        (col("n_old") + lit(1)).cast("double") / lit(tOld + buckets).cast("double"))
+      .withColumn("p_new",
+        (col("n_new") + lit(1)).cast("double") / (col("t_new") + lit(buckets)).cast("double"))
+      .withColumn("term",
+        acc((col("p_new") - col("p_old")) * log(col("p_new") / col("p_old"))).cast("double"))
+      .select("bucket", "n_old", "n_new", "p_old", "p_new", "term")
+    perBucket.unionByName(
+      perBucket.agg(sum(col("n_old")).as("n_old"), sum(col("n_new")).as("n_new"),
+          dsum(col("term")).as("term"))
+        .select(lit(-1L).as("bucket"), col("n_old"), col("n_new"),
+          lit(null).cast("double").as("p_old"), lit(null).cast("double").as("p_new"),
+          col("term")))
+      .orderBy("bucket")
+  }
+
   /** q49 — token statistics per language: whitespace tokens + regex word
     * tokens (the BPE-ish pre-tokenizer count).
     */

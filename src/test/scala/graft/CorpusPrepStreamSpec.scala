@@ -171,6 +171,47 @@ class CorpusPrepStreamSpec extends SparkSpec {
     assert(att("01_quality_gate") === 2L && att("01c_clf_filter") === 1L)
   }
 
+  test("drift gauge: per-batch PSI against the frozen reference lands in <lake>/drift; " +
+    "a collapsed-vocabulary batch alarms; redelivery exactly-once; off by default") {
+    import spark.implicits._
+    val ops = operators.TextAnalysisOps
+    val heldout = heldoutIndexDir()
+    val lake = tmp("cps-driftlake")
+    // diverse reference docs with varied lengths (so the decile edges are
+    // non-degenerate); junk = collapsed single-token vocabulary
+    def diverse(i: Int): String =
+      (1 to (20 + i % 60)).map(j => s"w${(i * 31 + j) % 500}").mkString(" ")
+    def junk(): String = Seq.fill(30)("dup").mkString(" ")
+    val ref = ops.driftReferenceOf(ops.qualityScoredOf(
+      (0 until 200).map(i => (i.toLong, diverse(i))).toDF("doc_id", "text")))
+    val cfg = CorpusPrepStream.Config(driftRef = Some(ref))
+
+    val b0 = (0 until 50).map(i => (1000L + i, 1L, diverse(i + 7))).toDF("doc_id", "ts", "text")
+    val b1 = (0 until 50).map(i => (2000L + i, 2L, junk())).toDF("doc_id", "ts", "text")
+    CorpusPrepStream.processBatch(spark, b0, 0L, heldout, lake, cfg)
+    CorpusPrepStream.processBatch(spark, b1, 1L, heldout, lake, cfg)
+    val drift = SnapshotLake.read(spark, s"$lake/drift").collect()
+      .map(r => (r.getAs[Long]("ingest_batch"), r.getAs[Long]("bucket")) ->
+        r.getAs[Double]("term")).toMap
+    val psiIn = drift((0L, -1L))
+    val psiJunk = drift((1L, -1L))
+    assert(psiJunk > 0.25, s"collapsed batch PSI $psiJunk under the alarm threshold")
+    assert(psiIn < psiJunk, s"in-distribution $psiIn not below drifted $psiJunk")
+    // the gauge is a MONITOR: the junk batch still went through the
+    // gates (its exact-dup collapse happens there, not here)
+    assert(SnapshotLake.read(spark, s"$lake/drift").count() === 22L) // 2 batches x 11 rows
+
+    // redelivery: same batch id recomputes identically, commits once
+    CorpusPrepStream.processBatch(spark, b1, 1L, heldout, lake, cfg)
+    assert(SnapshotLake.read(spark, s"$lake/drift").count() === 22L,
+      "redelivered batch duplicated drift rows")
+
+    // off by default: no driftRef, no drift table
+    val lake2 = tmp("cps-nodrift")
+    CorpusPrepStream.processBatch(spark, b0, 0L, heldout, lake2, CorpusPrepStream.Config())
+    assert(!new java.io.File(s"$lake2/drift").exists, "drift landed without a reference")
+  }
+
   test("redelivery after a crash between commits is exactly-once per table") {
     import spark.implicits._
     val heldout = heldoutIndexDir()

@@ -1344,6 +1344,27 @@ class LlmOpsSpec extends SparkSpec {
     assert(math.abs(roll.getAs[Double]("term") - psiSum) < 1e-12, "rollup != term sum")
   }
 
+  test("psiAgainst: a reference captured from the old era reproduces q110's " +
+    "bucket rows and PSI exactly (the offline-capture/online-score split cannot drift)") {
+    import org.apache.spark.sql.functions.floor
+    val ops = operators.TextAnalysisOps
+    val scored = ops.qualityScoredOf(Tables.documents(spark, sf))
+      .select(col("doc_id"), col("score"))
+    val ext = scored.agg(min(col("doc_id")), max(col("doc_id"))).head
+    val wm = math.floorDiv(ext.getLong(0) + ext.getLong(1), 2L)
+    val ref = ops.driftReferenceOf(scored.filter(col("doc_id") < wm))
+    val online = ops.psiAgainst(scored.filter(col("doc_id") >= wm), ref).collect()
+      .map(r => r.getAs[Long]("bucket") ->
+        ((r.getAs[Long]("n_old"), r.getAs[Long]("n_new"), r.getAs[Double]("term")))).toMap
+    val batch = ops.qualityDrift(spark, sf).collect()
+      .map(r => r.getAs[Long]("bucket") ->
+        ((r.getAs[Long]("n_old"), r.getAs[Long]("n_new"), r.getAs[Double]("term")))).toMap
+    assert(online.keySet === batch.keySet)
+    online.foreach { case (b, v) =>
+      assert(v === batch(b), s"bucket $b: online $v vs batch ${batch(b)}")
+    }
+  }
+
   test("q106 entropy: exact on crafted distributions; lake profile matches a naive recompute") {
     import spark.implicits._
     // crafted cases through the shared kernel: the carrier quantizes each
