@@ -446,22 +446,32 @@ object SimilarityOps {
         (lit(1.0) - col("best.csim")).as("dist"))
       .crossJoin(broadcast(wm))
       .withColumn("is_new", col("vec_id") >= col("wm"))
-    def eraCols = Seq(
+    // ONE corpus aggregation (the q85b aliased-subtree lesson: a second
+    // groupBy over perVec would re-run the scan + argmax kernel): the
+    // per-list rows carry their EXACT DECIMAL distortion sums, so the
+    // corpus rollup derives from the bounded k-row frame — a sum of
+    // per-list decimal sums IS the global decimal sum
+    val perList = perVec.groupBy("list_id").agg(
       count(when(!col("is_new"), 1)).as("n_old"),
       count(when(col("is_new"), 1)).as("n_new"),
-      (sum(when(!col("is_new"), acc(col("dist")))).cast("double") /
-        count(when(!col("is_new"), 1)).cast("double")).as("old_dist"),
-      (sum(when(col("is_new"), acc(col("dist")))).cast("double") /
-        count(when(col("is_new"), 1)).cast("double")).as("new_dist"))
-    val perList = perVec.groupBy("list_id").agg(eraCols.head, eraCols.tail: _*)
-    val rollup = perVec.groupBy().agg(eraCols.head, eraCols.tail: _*)
+      sum(when(!col("is_new"), acc(col("dist")))).as("sum_old"),
+      sum(when(col("is_new"), acc(col("dist")))).as("sum_new"))
+    val rollup = perList.groupBy().agg(
+        sum(col("n_old")).as("n_old"), sum(col("n_new")).as("n_new"),
+        sum(col("sum_old")).as("sum_old"), sum(col("sum_new")).as("sum_new"))
       .select(lit(-1L).as("list_id"), col("n_old"), col("n_new"),
-        col("old_dist"), col("new_dist"))
-    perList.unionByName(rollup)
+        col("sum_old"), col("sum_new"))
+    perList.select(col("list_id"), col("n_old"), col("n_new"), col("sum_old"), col("sum_new"))
+      .unionByName(rollup)
+      .withColumn("old_dist",
+        col("sum_old").cast("double") / col("n_old").cast("double"))
+      .withColumn("new_dist",
+        col("sum_new").cast("double") / col("n_new").cast("double"))
       // NULL when a list lacks an era (0/0 would be NaN): a list with no
       // new arrivals has no drift reading, not a zero one
       .withColumn("drift",
         when(col("n_old") > 0 && col("n_new") > 0, col("new_dist") / col("old_dist")))
+      .select("list_id", "n_old", "n_new", "old_dist", "new_dist", "drift")
       .orderBy("list_id")
   }
 

@@ -195,7 +195,16 @@ object TextAnalysisOps {
     val scored = qualityScoredOf(Tables.documents(s, d)).select(col("doc_id"), col("score"))
     val wm = scored.agg(
       floor((min(col("doc_id")) + max(col("doc_id"))) / lit(2L)).cast("long").as("wm"))
-    qualityDriftOf(scored, wm, buckets)
+    // the scored kernel is consumed three times (watermark, old-era
+    // percentile, bucket count) — persist the 16-byte-per-doc projection
+    // so the map runs once, and materialize the bounded output before
+    // releasing (the apSweepCells discipline)
+    val persisted = scored.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val out = qualityDriftOf(persisted, wm, buckets)
+      val rows = out.collect()
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+    } finally persisted.unpersist(blocking = false)
   }
 
   /** The PSI core over an arbitrary scored frame `(doc_id, score)` and a
