@@ -13,13 +13,20 @@ import sys
 
 
 def load(path):
-    """Last {"metric":"total"...} line of a bench log/artifact."""
+    """Last {"metric":"total"...} line of a bench log/artifact. Parses any
+    JSON line and checks the field value, so both Bench's compact output
+    and a previously-merged (possibly space-separated) artifact load."""
     out = None
     with open(path) as f:
         for line in f:
             line = line.strip()
-            if line.startswith("{") and '"metric":"total"' in line:
-                out = json.loads(line)
+            if line.startswith("{") and '"metric"' in line:
+                try:
+                    d = json.loads(line)
+                except json.JSONDecodeError:
+                    continue
+                if d.get("metric") == "total":
+                    out = d
     if out is None:
         raise SystemExit(f"{path}: no bench total line")
     return out
@@ -27,23 +34,29 @@ def load(path):
 
 def merge(out_path, ins):
     queries, cpu, sf = {}, {}, None
+    skipped = []
     for p in ins:
         b = load(p)
         queries.update(b.get("queries", {}))
         cpu.update(b.get("cpu", {}))
         sf = b.get("sf", sf)
+        for q in b.get("skipped", []):
+            if q not in skipped:
+                skipped.append(q)
     art = {
         "metric": "total",
         "value": round(sum(queries.values()), 6),
         "unit": "sec",
         "cpu_total": round(sum(cpu.values()), 2),
+        "skipped": skipped,
         "queries": dict(sorted(queries.items())),
         "cpu": dict(sorted(cpu.items())),
         "sf": sf,
         "merged_from": ins,
     }
     with open(out_path, "w") as f:
-        json.dump(art, f)
+        # compact separators: the artifact must stay a loadable bench line
+        json.dump(art, f, separators=(",", ":"))
         f.write("\n")
     print(f"{out_path}: {len(queries)} queries, "
           f"total {art['value']:.1f}s wall / {art['cpu_total']:.0f} cpu-s")
