@@ -197,65 +197,97 @@ object TextAnalysisOps {
       floor((min(col("doc_id")) + max(col("doc_id"))) / lit(2L)).cast("long").as("wm"))
     // the scored kernel is consumed three times (watermark, old-era
     // percentile, bucket count) — persist the 16-byte-per-doc projection
-    // so the map runs once, and materialize the bounded output before
-    // releasing (the apSweepCells discipline)
+    // so the map runs once; qualityDriftOf is eager (its output is a
+    // local bounded frame), so the release after it returns is safe
     val persisted = scored.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val out = qualityDriftOf(persisted, wm, buckets)
-      val rows = out.collect()
-      s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
-    } finally persisted.unpersist(blocking = false)
+    try qualityDriftOf(persisted, wm, buckets)
+    finally persisted.unpersist(blocking = false)
   }
 
   /** The PSI core over an arbitrary scored frame `(doc_id, score)` and a
     * 1-row watermark frame `(wm)` — the q108 seam pattern: production
     * monitors pass their ingest watermark, the spec feeds crafted
-    * identical/shifted eras. */
+    * identical/shifted eras. Two bounded-output corpus passes (old-era
+    * percentile, then per-(bucket, era) counts — ≤ B rows, a legal
+    * driver collect) and everything after is LOCAL constant-size
+    * arithmetic: the first draft built the bucket table as a distributed
+    * plan whose rollup/union branches re-executed the corpus subtrees —
+    * measured 8× the CPU at sf10 for 11 output rows. */
   private[graft] def qualityDriftOf(scored: DataFrame, wm: DataFrame,
       buckets: Int = 10): DataFrame = {
     require(buckets >= 2, s"need >= 2 buckets; got $buckets")
     val tagged = scored.crossJoin(broadcast(wm))
       .withColumn("is_new", col("doc_id") >= col("wm"))
     val fracs = (1 until buckets).map(i => i.toDouble / buckets)
+    // pass 1: the OLD era's exact decile edges
     val cuts = tagged.filter(!col("is_new"))
       .agg(percentile(col("score"), typedLit(fracs)).as("cuts"))
-    // bucket = 1 + |{edges <= score}|: a score AT an edge goes up
-    val counted = tagged.crossJoin(broadcast(cuts))
+      .head.getSeq[Double](0)
+    // pass 2: per-(bucket, era) counts — bucket = 1 + |{edges <= score}|
+    // (a score AT an edge goes up); ≤ `buckets` rows by construction
+    val edge = typedLit(cuts)
+    val counted = tagged
       .withColumn("bucket",
-        (lit(1) + size(filter(col("cuts"), c => col("score") >= c))).cast("long"))
+        (lit(1) + size(filter(edge, c => col("score") >= c))).cast("long"))
       .groupBy("bucket")
       .agg(
         count(when(!col("is_new"), 1)).as("n_old"),
         count(when(col("is_new"), 1)).as("n_new"))
-    // every bucket present (an empty one still rows — its smoothed term
-    // is part of the PSI), edges attached, counts coalesced to 0
-    val all = cuts.select(explode(sequence(lit(1L), lit(buckets.toLong))).as("bucket"),
-        col("cuts"))
-      .join(counted, Seq("bucket"), "left")
-      .na.fill(0L, Seq("n_old", "n_new"))
-      .withColumn("lo", when(col("bucket") > 1L,
-        element_at(col("cuts"), (col("bucket") - 1).cast("int"))))
-      .withColumn("hi", when(col("bucket") < buckets,
-        element_at(col("cuts"), col("bucket").cast("int"))))
-    val totals = tagged.groupBy().agg(
-      count(when(!col("is_new"), 1)).as("t_old"),
-      count(when(col("is_new"), 1)).as("t_new"))
-    val perBucket = all.crossJoin(broadcast(totals))
-      .withColumn("p_old",
-        (col("n_old") + lit(1)).cast("double") / (col("t_old") + lit(buckets)).cast("double"))
-      .withColumn("p_new",
-        (col("n_new") + lit(1)).cast("double") / (col("t_new") + lit(buckets)).cast("double"))
-      .withColumn("term",
-        acc((col("p_new") - col("p_old")) * log(col("p_new") / col("p_old"))).cast("double"))
-      .select("bucket", "lo", "hi", "n_old", "n_new", "p_old", "p_new", "term")
-    perBucket.unionByName(
-      perBucket.agg(sum(col("n_old")).as("n_old"), sum(col("n_new")).as("n_new"),
-          dsum(col("term")).as("term"))
-        .select(lit(-1L).as("bucket"), lit(null).cast("double").as("lo"),
-          lit(null).cast("double").as("hi"), col("n_old"), col("n_new"),
-          lit(null).cast("double").as("p_old"), lit(null).cast("double").as("p_new"),
-          col("term")))
-      .orderBy("bucket")
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    psiFrame(scored.sparkSession, Some(cuts),
+      (1 to buckets).map(b => counted.getOrElse(b.toLong, (0L, 0L))))
+  }
+
+  /** The LOCAL psi table builder shared by the batch query and the
+    * streaming gauge: per-bucket smoothed proportions, carrier-quantized
+    * terms (BigDecimal-on-Double.toString — the exact semantics of
+    * Spark's double→DECIMAL(27,6) cast, proven in the q85 spec device),
+    * rollup PSI as the exact decimal sum of the quantized terms. With
+    * `edges` present the rows carry the lo/hi cutpoints (q110's shape);
+    * without, the streaming gauge's 6-column shape. */
+  private def psiFrame(s: SparkSession, edges: Option[Seq[Double]],
+      counts: Seq[(Long, Long)]): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val buckets = counts.size
+    val tOld = counts.map(_._1).sum
+    val tNew = counts.map(_._2).sum
+    def term(po: Double, pn: Double): Double =
+      BigDecimal((pn - po) * math.log(pn / po))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val per = counts.zipWithIndex.map { case ((no, nn), i) =>
+      val b = (i + 1).toLong
+      val po = (no + 1).toDouble / (tOld + buckets)
+      val pn = (nn + 1).toDouble / (tNew + buckets)
+      val t = term(po, pn)
+      edges match {
+        case Some(e) =>
+          val lo = if (b > 1) java.lang.Double.valueOf(e(i - 1)) else null
+          val hi = if (b < buckets) java.lang.Double.valueOf(e(i)) else null
+          Row(b, lo, hi, no, nn, po, pn, t)
+        case None => Row(b, no, nn, po, pn, t)
+      }
+    }
+    val psi = per.map(r => BigDecimal(r.getDouble(r.length - 1))).sum.toDouble
+    val rollup = edges match {
+      case Some(_) => Row(-1L, null, null, tOld, tNew, null, null, psi)
+      case None    => Row(-1L, tOld, tNew, null, null, psi)
+    }
+    val core = Seq(
+      StructField("n_old", LongType, nullable = false),
+      StructField("n_new", LongType, nullable = false),
+      StructField("p_old", DoubleType, nullable = true),
+      StructField("p_new", DoubleType, nullable = true),
+      StructField("term", DoubleType, nullable = false))
+    val schema = StructType(StructField("bucket", LongType, nullable = false) +:
+      (if (edges.isDefined)
+        Seq(StructField("lo", DoubleType, nullable = true),
+          StructField("hi", DoubleType, nullable = true)) ++ core
+      else core))
+    // rows are constructed in output order (rollup −1, then buckets
+    // ascending) — no orderBy: a range exchange over an 11-row local
+    // relation is the kind of noise the plan pin forbids
+    s.createDataFrame(java.util.Arrays.asList((rollup +: per): _*), schema)
   }
 
   /** Frozen drift REFERENCE for the streaming PSI gauge: the reference
@@ -288,36 +320,18 @@ object TextAnalysisOps {
     * p_old, p_new, term) per bucket + the bucket = −1 rollup whose term
     * IS the PSI. */
   private[graft] def psiAgainst(scored: DataFrame, ref: DriftRef): DataFrame = {
-    val s = scored.sparkSession
-    import s.implicits._
     val buckets = ref.counts.size
+    // ONE bounded-output corpus pass (≤ B rows); the table is local math
     val edge = typedLit(ref.edges)
-    val cnts = scored
+    val got = scored
       .withColumn("bucket",
         (lit(1) + size(filter(edge, c => col("score") >= c))).cast("long"))
       .groupBy("bucket").agg(count(lit(1)).as("n_new"))
-    val refDf = ref.counts.zipWithIndex
-      .map { case (n, i) => ((i + 1).toLong, n) }.toDF("bucket", "n_old")
-    val tOld = ref.counts.sum
-    val joined = refDf.join(cnts, Seq("bucket"), "left")
-      .na.fill(0L, Seq("n_new"))
-    // the batch total is a 1-row aggregate broadcast (the q73 device)
-    val totals = joined.agg(sum(col("n_new")).as("t_new"))
-    val perBucket = joined.crossJoin(broadcast(totals))
-      .withColumn("p_old",
-        (col("n_old") + lit(1)).cast("double") / lit(tOld + buckets).cast("double"))
-      .withColumn("p_new",
-        (col("n_new") + lit(1)).cast("double") / (col("t_new") + lit(buckets)).cast("double"))
-      .withColumn("term",
-        acc((col("p_new") - col("p_old")) * log(col("p_new") / col("p_old"))).cast("double"))
-      .select("bucket", "n_old", "n_new", "p_old", "p_new", "term")
-    perBucket.unionByName(
-      perBucket.agg(sum(col("n_old")).as("n_old"), sum(col("n_new")).as("n_new"),
-          dsum(col("term")).as("term"))
-        .select(lit(-1L).as("bucket"), col("n_old"), col("n_new"),
-          lit(null).cast("double").as("p_old"), lit(null).cast("double").as("p_new"),
-          col("term")))
-      .orderBy("bucket")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    psiFrame(scored.sparkSession, None,
+      ref.counts.zipWithIndex.map { case (no, i) =>
+        (no, got.getOrElse((i + 1).toLong, 0L))
+      })
   }
 
   /** q49 — token statistics per language: whitespace tokens + regex word

@@ -467,11 +467,14 @@ class PlanShapeSpec extends SparkSpec {
     assert(exchanges <= 3, s"drift monitor shuffles $exchanges times:\n$p")
   }
 
-  test("q110: PSI rides ONE scored-corpus pass per era aggregate — edges and " +
-    "totals broadcast, bucket work is constant-size") {
+  test("q110: the PSI table is a bounded LOCAL relation — the corpus work ran " +
+    "in two bounded-output aggregations, nothing distributed remains") {
+    // the first draft built the 11-row table as a distributed union whose
+    // rollup branch re-executed the corpus subtrees (8x the CPU at sf10);
+    // the shape pin is that the RESULT plan is local
     val p = plan(TextAnalysisOps.qualityDrift(spark, sf))
-    assert(!p.contains("SortMergeJoin"), p)
-    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("LocalTableScan"), p)
+    assert(!p.contains("Exchange"), p)
   }
 
   test("q106: the entropy profile is a PURE MAP — zero shuffles, no join, " +
