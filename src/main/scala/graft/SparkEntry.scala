@@ -1489,10 +1489,10 @@ object SparkEntry {
          |  CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
          |  CAST(tn.types AS BIGINT) AS n_token_types,
          |  te.ent AS token_ent_bits,
-         |  CAST(cn.types AS BIGINT) AS n_char_types,
-         |  ce.ent AS char_ent_bits
+         |  CAST(COALESCE(cn.types, 0) AS BIGINT) AS n_char_types,
+         |  COALESCE(ce.ent, 0.0) AS char_ent_bits
          |FROM documents d JOIN tn USING (doc_id) JOIN te USING (doc_id)
-         |  JOIN cn USING (doc_id) JOIN ce USING (doc_id)
+         |  LEFT JOIN cn USING (doc_id) LEFT JOIN ce USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
 
     "q01_pricing_summary" ->

@@ -179,6 +179,10 @@ object CorpusPrep {
 
   def run(spark: SparkSession, sfDir: String, out: String,
       cfg: Config = Config()): Unit = {
+    // a contradictory config fails in milliseconds AT ENTRY — stage 6's
+    // position would run hours of dedup/decon cluster time first
+    require(!(cfg.spanCut && cfg.spanMask),
+      "span-cut and mask-spans are alternative policies over the same extents — choose one")
     val raw = Tables.documents(spark, sfDir)
     val total = raw.count()
 
@@ -407,8 +411,6 @@ object CorpusPrep {
     // write); gate-time stats columns (n_tokens, dup_rate, ...) keep
     // describing the text AS GATED; a doc cut to nothing leaves the
     // corpus (its content survives in its canonical).
-    require(!(cfg.spanCut && cfg.spanMask),
-      "span-cut and mask-spans are alternative policies over the same extents — choose one")
     val nDecon =
       if (!cfg.spanCut && !cfg.spanMask) {
         deconKept.write.mode(SaveMode.Overwrite).parquet(s"$out/documents")

@@ -354,11 +354,17 @@ object CorpusPrepStream {
           // probed, so commit order is free; redelivery recomputes the
           // identical frame (frozen ref, same batch) and the batch-id
           // commit is idempotent like the others.
+          // scored on the REDACTED text: the reference is captured from
+          // the trained-era lake, whose documents store redactPii'd text
+          // — scoring raw arrivals against a redacted-era reference
+          // would read PII density as drift (review finding: a PII-heavy
+          // but in-distribution batch must NOT alarm)
           cfg.driftRef.foreach { ref =>
             SnapshotLake.commitStreamBatch(spark, s"$lake/drift",
               graft.operators.TextAnalysisOps.psiAgainst(
                 graft.operators.TextAnalysisOps.qualityScoredOf(
-                  batch.select(col("doc_id"), col("text"))), ref)
+                  batch.select(col("doc_id"),
+                    TextFunctions.redactPii(col("text")).as("text"))), ref)
                 .withColumn("ingest_batch", lit(batchId)), batchId)
           }
         } finally survivors.unpersist(blocking = false)

@@ -682,9 +682,14 @@ object CurationOps {
   def cutDupSpans(s: SparkSession, d: String, k: Int = 8): DataFrame =
     cutDupSpansOf(Tables.documentsScaled(s, d).select(col("doc_id"), col("text")), k)
 
-  /** [[cutDupSpans]] over an arbitrary (doc_id, text) frame (see
-    * [[dupSpansOf]] for why the frame matters: ownership is frame-local). */
-  private[graft] def cutDupSpansOf(docs: DataFrame, k: Int): DataFrame = {
+  /** THE labeled-token frame under BOTH span policies (q83b cut, q109
+    * mask): every (doc_id, pos, tok) with `msk` = 1 when a [[dupSpansOf]]
+    * extent covers the position — ONE definition of the span aggregate,
+    * the posexplode, and the coverage test, so the two policies cannot
+    * drift (their consistency invariant — dropping q109's sentinels
+    * reproduces q83b's text — holds by construction, and is additionally
+    * spec-pinned). */
+  private def labeledSpanTokens(docs: DataFrame, k: Int): DataFrame = {
     val spans = dupSpansOf(docs, k)
       .groupBy("doc_id")
       .agg(collect_list(struct(col("start_token"), col("end_token"))).as("spans"))
@@ -692,13 +697,22 @@ object CurationOps {
       .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("i0", "tok")))
       .select(col("doc_id"), (col("i0") + 1).cast("long").as("pos"), col("tok"))
       .join(spans, Seq("doc_id"), "left")
-      .filter(col("spans").isNull || !exists(col("spans"),
-        sp => col("pos") >= sp.getField("start_token") && col("pos") <= sp.getField("end_token")))
+      .withColumn("msk", when(col("spans").isNotNull && exists(col("spans"),
+          sp => col("pos") >= sp.getField("start_token") &&
+            col("pos") <= sp.getField("end_token")), 1L)
+        .otherwise(0L))
+      .select("doc_id", "pos", "tok", "msk")
+  }
+
+  /** [[cutDupSpans]] over an arbitrary (doc_id, text) frame (see
+    * [[dupSpansOf]] for why the frame matters: ownership is frame-local). */
+  private[graft] def cutDupSpansOf(docs: DataFrame, k: Int): DataFrame =
+    labeledSpanTokens(docs, k)
+      .filter(col("msk") === 0L)
       .groupBy("doc_id")
       .agg(array_join(transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
         x => x.getField("tok")), " ").as("text"))
       .orderBy("doc_id")
-  }
 
   /** The mask sentinel q109 substitutes for duplicated-span tokens —
     * outside the corpus alphabet by construction (documents are
@@ -729,18 +743,8 @@ object CurationOps {
 
   /** [[maskDupSpans]] over an arbitrary (doc_id, text) frame (ownership
     * is frame-local, see [[dupSpansOf]]). */
-  private[graft] def maskDupSpansOf(docs: DataFrame, k: Int): DataFrame = {
-    val spans = dupSpansOf(docs, k)
-      .groupBy("doc_id")
-      .agg(collect_list(struct(col("start_token"), col("end_token"))).as("spans"))
-    docs
-      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("i0", "tok")))
-      .select(col("doc_id"), (col("i0") + 1).cast("long").as("pos"), col("tok"))
-      .join(spans, Seq("doc_id"), "left")
-      .withColumn("msk", when(col("spans").isNotNull && exists(col("spans"),
-          sp => col("pos") >= sp.getField("start_token") &&
-            col("pos") <= sp.getField("end_token")), 1L)
-        .otherwise(0L))
+  private[graft] def maskDupSpansOf(docs: DataFrame, k: Int): DataFrame =
+    labeledSpanTokens(docs, k)
       .groupBy("doc_id")
       .agg(
         count(lit(1)).as("n_tokens"),
@@ -753,7 +757,6 @@ object CurationOps {
         col("n_masked").cast("double") / col("n_tokens").cast("double"))
       .select("doc_id", "n_tokens", "n_masked", "mask_frac", "text")
       .orderBy("doc_id")
-  }
 
   /** q85 — per-source token-distribution divergence: KL(P_source ||
     * P_corpus) over unigram distributions — the DoReMi-family domain-

@@ -219,10 +219,17 @@ object TextAnalysisOps {
     val tagged = scored.crossJoin(broadcast(wm))
       .withColumn("is_new", col("doc_id") >= col("wm"))
     val fracs = (1 until buckets).map(i => i.toDouble / buckets)
-    // pass 1: the OLD era's exact decile edges
-    val cuts = tagged.filter(!col("is_new"))
+    // pass 1: the OLD era's exact decile edges. A degenerate watermark
+    // (every doc on the new side — possible on a 2-doc corpus whose
+    // midpoint floors to the minimum) must fail DIAGNOSABLY, not NPE
+    // inside the edge math
+    val cutsRaw = tagged.filter(!col("is_new"))
       .agg(percentile(col("score"), typedLit(fracs)).as("cuts"))
       .head.getSeq[Double](0)
+    require(cutsRaw != null,
+      "PSI drift: the OLD era is empty — the watermark split is degenerate " +
+        "(every doc landed on the new side); pass a watermark inside the id range")
+    val cuts = cutsRaw
     // pass 2: per-(bucket, era) counts — bucket = 1 + |{edges <= score}|
     // (a score AT an edge goes up); ≤ `buckets` rows by construction
     val edge = typedLit(cuts)
@@ -303,6 +310,8 @@ object TextAnalysisOps {
     val fracs = (1 until buckets).map(i => i.toDouble / buckets)
     val cuts = scored.agg(percentile(col("score"), typedLit(fracs)).as("cuts"))
       .head.getSeq[Double](0)
+    require(cuts != null,
+      "drift reference: the scored frame is empty — no edges to capture")
     val edge = typedLit(cuts)
     val byBucket = scored
       .withColumn("bucket",
@@ -814,13 +823,29 @@ object TextAnalysisOps {
     * scans — alphabet-bounded, fully codegen'd, zero shuffle. */
   private[graft] def entropyBits(arr: Column): Column = {
     val n = size(arr).cast("double")
-    val terms = transform(array_distinct(arr), t => {
-      val p = size(filter(arr, x => x === t)).cast("double") / n
+    // symbol counts via RUN LENGTHS over the SORTED array — O(len·log len)
+    // per row where the first draft's distinct×filter rescan was
+    // O(types·len): a long high-vocabulary doc (exactly what a
+    // high-entropy gauge exists to flag) made that quadratic, pinning an
+    // executor core on one row. Boundary positions delimit runs; counts
+    // are boundary gaps; the term MULTISET is identical to the per-type
+    // formulation, and the decimal fold is order-free, so values are
+    // bit-identical to the first draft (and the unchanged oracle).
+    val sorted = array_sort(arr)
+    val bnds = filter(sequence(lit(1), size(arr)), i =>
+      (i === 1) || (element_at(sorted, i) =!= element_at(sorted, i - 1)))
+    val nexts = concat(
+      slice(bnds, lit(2), greatest(lit(0), size(bnds) - 1)), array(size(arr) + 1))
+    val terms = zip_with(bnds, nexts, (a, b) => {
+      val p = (b - a).cast("double") / n
       acc(p * log(p))
     })
     val nats = (-aggregate(terms, lit(java.math.BigDecimal.ZERO).cast("decimal(27,6)"),
       (a, x) => (a + x).cast("decimal(27,6)"))).cast("double")
-    nats / lit(Ln2)
+    // an EMPTY symbol array (an empty document's char stream) reads 0
+    // bits — the branch above would walk sequence(1, 0), which DESCENDS
+    // in Spark (the coveredTokens lesson); CaseWhen evaluates lazily
+    when(size(arr) === 0, lit(0.0)).otherwise(nats / lit(Ln2))
   }
 
   /** The double literal nearest ln 2 — shared with the generated oracle
@@ -843,7 +868,12 @@ object TextAnalysisOps {
     * own vocabulary (tokens). At 100 TB this runs at scan speed next to
     * the other per-doc quality columns. Determinism: [[entropyBits]]'s
     * carrier discipline — each p·ln p quantized to 1e-6, decimal-exact
-    * sum, one shared-literal division.
+    * sum, one shared-literal division. Char-arm engine contract: Spark's
+    * split iterates UTF-16 code units where the oracle's substr walks
+    * codepoints — identical on BMP text (the ScriptRanges convention);
+    * a supplementary-plane character (emoji) would count as two units
+    * here and one there. An EMPTY document reads 0 bits on both sides
+    * (the oracle LEFT-JOINs the char arm).
     */
   def entropyProfile(s: SparkSession, d: String): DataFrame = {
     val toks = tokens(col("text"))

@@ -43,6 +43,10 @@ def merge(out_path, ins):
         for q in b.get("skipped", []):
             if q not in skipped:
                 skipped.append(q)
+    # a query measured by ANY input is not skipped in the merged artifact
+    # (a gated full run merged with a targeted re-run of the gated query
+    # must not misreport the union as still gated)
+    skipped = [q for q in skipped if q not in queries]
     art = {
         "metric": "total",
         "value": round(sum(queries.values()), 6),
