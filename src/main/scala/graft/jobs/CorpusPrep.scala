@@ -522,7 +522,11 @@ object CorpusPrep {
         if (!cfg.fuzzyDecon) nAfterDecon
         else if (cfg.decontaminate) nExactDecon else -1L),
       ("05a_fuzzy_decon", if (cfg.fuzzyDecon) nAfterDecon else -1L),
-      ("05b_span_cut", nFinal),
+      // policy-accurate span-stage ledger: each policy's doc count lands
+      // under ITS OWN key (-1 = that policy off), so a mask-policy run's
+      // stats can never misreport which rewrite ran
+      ("05b_span_cut", if (cfg.spanCut) nFinal else -1L),
+      ("05c_span_mask", if (cfg.spanMask) nFinal else -1L),
       ("05c_span_mask_tokens", nMaskedTokens),
       ("06_chunks", nChunks),
       ("07_epoch_plan", nPlan),

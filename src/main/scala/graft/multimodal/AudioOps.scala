@@ -363,23 +363,49 @@ object AudioOps {
       .orderBy("clip_id", "win_no")
   }
 
+  /** Number of window TRANSITIONS the 64-bit fingerprint samples: each
+    * transition contributes nMels−1 sign bits, so ⌈64/(nMels−1)⌉
+    * transitions fill the word (10 at the nMels = 8 default). */
+  private[multimodal] def fpTransitions(nMels: Int): Int =
+    (64 + nMels - 2) / (nMels - 1)
+
+  /** Minimum window count for a FULL 64-bit fingerprint: the sampled
+    * transitions need [[fpTransitions]] distinct window pairs. Clips
+    * below this zero-pad the word, and padding bits match between ANY
+    * two short clips — two unrelated 3-window clips at the defaults
+    * differ in only 14 meaningful bits and sit a coin-flip away from the
+    * default radius, so [[nearDupClips]] gates candidates on a full
+    * word rather than silently collapsing distinct short clips. */
+  private[graft] def fpMinWindows(nMels: Int): Int = 1 + fpTransitions(nMels)
+
   /** Clip-level 64-bit audio fingerprint — the Haitsma & Kalker (ISMIR
     * 2002, "A Highly Robust Audio Fingerprinting System") sign scheme,
     * scaled to one word per clip (the dHash analogue for the audio
-    * column): per consecutive window pair and adjacent mel-band pair,
+    * column): per sampled window transition and adjacent mel-band pair,
     * bit = sign of the band-energy DELTA-OF-DELTAS
     * E(w,m) − E(w,m+1) − (E(w−1,m) − E(w−1,m+1)) over the log mel
     * energies ([[melEnergies]] — the shared spectral front-end), packed
-    * row-major into the low 64 bits (longer clips truncate, shorter
-    * zero-pad). Sign bits survive volume shifts and mild noise exactly
-    * the way dHash gradient signs survive brightness shifts — small
+    * transition-major into the low 64 bits.
+    *
+    * WHOLE-CLIP support: the ⌈64/(nMels−1)⌉ sampled transitions are
+    * STRIDED evenly from the clip's first window pair to its last (the
+    * way dHash summarizes the whole downsampled image), so two clips
+    * sharing only a prefix — leading silence, a common jingle, a beep —
+    * differ in every bit drawn from their differing remainder, while a
+    * sequential walk (the first-draft layout) would read identical words
+    * off the shared first ~0.16 s and collide them into a false family.
+    * Sign bits survive volume shifts and mild noise exactly the way
+    * dHash gradient signs survive brightness shifts — small
     * perturbations land a few bits apart, exact copies at distance 0.
     *
     * One map over the clip scan (a clip's pcm lives in its own row), no
-    * shuffle, 8 bytes of downstream state per clip. Clips shorter than
-    * 2 windows carry no delta and fingerprint to 0 with n_windows ≤ 1 —
-    * [[nearDupClips]] excludes them rather than grouping all short
-    * clips into one false family.
+    * shuffle, 8 bytes of downstream state per clip; only the ≤ 2·⌈64/
+    * (nMels−1)⌉ windows touching a sampled transition are DFT'd —
+    * per-clip work is CONSTANT in clip length after the mono decode.
+    * Clips shorter than [[fpMinWindows]] windows fill fewer than 64 bits
+    * (sequential transitions, zero-padded word; < 2 windows carry no
+    * delta at all and fingerprint to 0) — [[nearDupClips]] excludes
+    * them rather than grouping unrelated short clips on shared padding.
     */
   def fingerprintClips(spark: SparkSession, clips: DataFrame,
       window: Int = 256, nMels: Int = 8): DataFrame = {
@@ -387,28 +413,48 @@ object AudioOps {
     require(window >= 2, s"window must be >= 2; got $window")
     require(nMels >= 2, s"fingerprint needs >= 2 mel bands; got $nMels")
     val (cosT, sinT) = twiddles(window)
+    val nT = fpTransitions(nMels)
     clips.select("clip_id", "sample_rate", "channels", "pcm").as[Clip]
       .map { c =>
         val mono = toMono(c.pcm, c.channels)
         val nWin = mono.length / window
-        val e = Array.tabulate(nWin) { w =>
-          val v = new Array[Double](window)
-          var i = 0
-          while (i < window) { v(i) = mono(w * window + i).toDouble; i += 1 }
-          melEnergies(dftPower(v, 0, window, cosT, sinT), window, c.sample_rate, nMels)
+        val t = nWin - 1 // available transitions (window pairs)
+        // sampled transition indices: all of them when the clip is short,
+        // else nT indices strided endpoint-inclusive across [1, t]
+        val trans: Array[Int] =
+          if (t <= 0) Array.empty
+          else if (t <= nT) Array.tabulate(t)(_ + 1)
+          else if (nT == 1) Array(1 + (t - 1) / 2)
+          else Array.tabulate(nT)(k => 1 + (k.toLong * (t - 1) / (nT - 1)).toInt)
+        // mel energies only for windows a sampled transition touches
+        val melCache = new java.util.HashMap[Integer, Array[Double]]()
+        def melOf(w: Int): Array[Double] = {
+          val hit = melCache.get(w)
+          if (hit != null) hit
+          else {
+            val v = new Array[Double](window)
+            var i = 0
+            while (i < window) { v(i) = mono(w * window + i).toDouble; i += 1 }
+            val e = melEnergies(dftPower(v, 0, window, cosT, sinT),
+              window, c.sample_rate, nMels)
+            melCache.put(w, e)
+            e
+          }
         }
         var fp = 0L
         var bit = 0
-        var w = 1
-        while (w < nWin && bit < 64) {
+        var ti = 0
+        while (ti < trans.length && bit < 64) {
+          val ew = melOf(trans(ti))
+          val ep = melOf(trans(ti) - 1)
           var m = 0
           while (m < nMels - 1 && bit < 64) {
-            val d = e(w)(m) - e(w)(m + 1) - (e(w - 1)(m) - e(w - 1)(m + 1))
+            val d = ew(m) - ew(m + 1) - (ep(m) - ep(m + 1))
             if (d > 0.0) fp |= (1L << bit)
             bit += 1
             m += 1
           }
-          w += 1
+          ti += 1
         }
         (c.clip_id, nWin.toLong, fp)
       }
@@ -422,11 +468,20 @@ object AudioOps {
     * pigeonhole block definition (ImageOps.hammingBlocks — one banding
     * for every 64-bit perceptual hash in the engine), candidate pairs
     * form per (block, value) bucket, one exact bit_count(xor) verifies —
-    * never clip×clip. */
+    * never clip×clip.
+    *
+    * Candidates are gated on [[fpMinWindows]] (11 windows ≈ 0.18 s at
+    * the 16 kHz defaults): a shorter clip zero-pads the 64-bit word, and
+    * since padding bits agree between ANY two clips of the same length
+    * class, unrelated short clips would sit within the radius on padding
+    * alone and dedupGroupsClips would silently collapse distinct content
+    * — a dedup stage must never manufacture data loss from truncation.
+    * Gated clips simply never pair (they stay their own canonical). */
   def nearDupClips(spark: SparkSession, clips: DataFrame, maxHamming: Int = 3,
       window: Int = 256, nMels: Int = 8): DataFrame =
     nearDupFromClipHashes(
-      fingerprintClips(spark, clips, window, nMels).filter(col("n_windows") >= 2L),
+      fingerprintClips(spark, clips, window, nMels)
+        .filter(col("n_windows") >= fpMinWindows(nMels).toLong),
       maxHamming)
 
   /** [[nearDupClips]] over a precomputed (clip_id, fp) table. */

@@ -251,7 +251,14 @@ object TextAnalysisOps {
     * Spark's double→DECIMAL(27,6) cast, proven in the q85 spec device),
     * rollup PSI as the exact decimal sum of the quantized terms. With
     * `edges` present the rows carry the lo/hi cutpoints (q110's shape);
-    * without, the streaming gauge's 6-column shape. */
+    * without, the streaming gauge's 6-column shape.
+    *
+    * An EMPTY new era reads as NO READING, never as drift: with zero
+    * arrivals the Laplace smoothing would fabricate a uniform p_new =
+    * 1/buckets and PSI would measure the reference's own non-uniformity
+    * against a fake distribution — a spurious alarm on a quiet batch —
+    * so p_new/term/PSI are NULL instead (the q108 NULL-drift contract;
+    * consumers treat a NULL rollup as "gauge had nothing to read"). */
   private def psiFrame(s: SparkSession, edges: Option[Seq[Double]],
       counts: Seq[(Long, Long)]): DataFrame = {
     import org.apache.spark.sql.Row
@@ -259,14 +266,16 @@ object TextAnalysisOps {
     val buckets = counts.size
     val tOld = counts.map(_._1).sum
     val tNew = counts.map(_._2).sum
-    def term(po: Double, pn: Double): Double =
-      BigDecimal((pn - po) * math.log(pn / po))
+    def term(po: Double, pn: Double): Any =
+      if (tNew == 0L) null
+      else BigDecimal((pn - po) * math.log(pn / po))
         .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     val per = counts.zipWithIndex.map { case ((no, nn), i) =>
       val b = (i + 1).toLong
       val po = (no + 1).toDouble / (tOld + buckets)
-      val pn = (nn + 1).toDouble / (tNew + buckets)
-      val t = term(po, pn)
+      val pn = if (tNew == 0L) null
+               else java.lang.Double.valueOf((nn + 1).toDouble / (tNew + buckets))
+      val t = term(po, (nn + 1).toDouble / (tNew + buckets))
       edges match {
         case Some(e) =>
           val lo = if (b > 1) java.lang.Double.valueOf(e(i - 1)) else null
@@ -275,7 +284,9 @@ object TextAnalysisOps {
         case None => Row(b, no, nn, po, pn, t)
       }
     }
-    val psi = per.map(r => BigDecimal(r.getDouble(r.length - 1))).sum.toDouble
+    val psi: Any =
+      if (tNew == 0L) null
+      else per.map(r => BigDecimal(r.getDouble(r.length - 1))).sum.toDouble
     val rollup = edges match {
       case Some(_) => Row(-1L, null, null, tOld, tNew, null, null, psi)
       case None    => Row(-1L, tOld, tNew, null, null, psi)
@@ -285,7 +296,7 @@ object TextAnalysisOps {
       StructField("n_new", LongType, nullable = false),
       StructField("p_old", DoubleType, nullable = true),
       StructField("p_new", DoubleType, nullable = true),
-      StructField("term", DoubleType, nullable = false))
+      StructField("term", DoubleType, nullable = true))
     val schema = StructType(StructField("bucket", LongType, nullable = false) +:
       (if (edges.isDefined)
         Seq(StructField("lo", DoubleType, nullable = true),

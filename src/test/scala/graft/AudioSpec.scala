@@ -220,4 +220,101 @@ class AudioSpec extends SparkSpec {
     assert(groups(2L)._1 === 0L)
     assert(!groups.contains(4L), "untouched clip must be absent (its own canonical)")
   }
+
+  /** PCM16LE mono: `head` samples of tone f0, remainder tone f1. */
+  private def prefixed(rate: Int, n: Int, head: Int, f0: Double, f1: Double): Array[Byte] = {
+    val pcm = new Array[Byte](n * 2)
+    for (i <- 0 until n) {
+      val f = if (i < head) f0 else f1
+      val s = (math.sin(2 * math.Pi * f * i / rate) * 0.5 * 32767).toInt.toShort
+      pcm(i * 2) = (s & 0xff).toByte
+      pcm(i * 2 + 1) = ((s >> 8) & 0xff).toByte
+    }
+    pcm
+  }
+
+  test("fingerprint covers the WHOLE clip: clips identical in the first 0.2s but " +
+    "different after must NOT pair (the prefix-collision regression)") {
+    import spark.implicits._
+    val rate = 8000
+    // 1600 shared samples (~6 windows at 256) — more than half the OLD
+    // sequential fingerprint's support — then 6400 samples of distinct
+    // content; the strided word draws ~9 of its 10 transitions from the
+    // differing remainder, so these must stay far apart
+    val a = prefixed(rate, 8000, 1600, 400.0, 900.0)
+    val b = prefixed(rate, 8000, 1600, 400.0, 1700.0)
+    val clips = Seq((0L, rate, 1, a), (1L, rate, 1, b))
+      .toDF("clip_id", "sample_rate", "channels", "pcm")
+    val fps = AudioOps.fingerprintClips(spark, clips).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val ham = java.lang.Long.bitCount(fps(0L) ^ fps(1L))
+    assert(ham > 3, s"shared-prefix clips only $ham bits apart — prefix-only coverage")
+    assert(AudioOps.nearDupClips(spark, clips).count() === 0L,
+      "shared-prefix clips with different tails must not pair")
+  }
+
+  test("fingerprint is trim-tolerant: a copy with its first window cut still pairs") {
+    import spark.implicits._
+    val rate = 8000
+    // one bin-aligned tone per mel band (multiples of rate/window =
+    // 31.25 Hz — zero spectral leakage), each with a SLOW amplitude
+    // modulation: every band's energy varies smoothly across the clip,
+    // so the delta-of-delta signs at a ±1-window-shifted sampled
+    // transition mostly agree — the robustness HK sign bits promise.
+    // (A sparse signal would leave most bands at the quantization-noise
+    // floor, where signs are coin flips under any shift.)
+    val freqs = Seq(156.25, 375.0, 656.25, 1000.0, 1406.25, 1937.5, 2593.75, 3406.25)
+    def multi(n: Int, cycles: Double, phase: Double): Array[Byte] = {
+      val pcm = new Array[Byte](n * 2)
+      for (i <- 0 until n) {
+        var acc = 0.0
+        freqs.zipWithIndex.foreach { case (f, b) =>
+          val amp = 0.05 + 0.04 * math.sin(2 * math.Pi * cycles * i / n + phase + b * 0.7)
+          acc += math.sin(2 * math.Pi * f * i / rate) * amp
+        }
+        val c = math.max(-32768, math.min(32767, (acc * 32767).toInt)).toShort
+        pcm(i * 2) = (c & 0xff).toByte
+        pcm(i * 2 + 1) = ((c >> 8) & 0xff).toByte
+      }
+      pcm
+    }
+    val base = multi(16384, 1.0, 0.0) // 64 windows
+    val trimmed = base.drop(256 * 2) // first WINDOW removed (one transition shift)
+    val distinct = multi(16384, 3.0, 2.1) // same bands, different modulation
+    val clips = Seq((0L, rate, 1, base), (1L, rate, 1, trimmed), (2L, rate, 1, distinct))
+      .toDF("clip_id", "sample_rate", "channels", "pcm")
+    val fps = AudioOps.fingerprintClips(spark, clips).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val pairs = AudioOps.nearDupClips(spark, clips, maxHamming = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)),
+      s"one-window trim must still pair (drift ${ham(fps(0L), fps(1L))} bits)")
+    assert(!pairs.contains((0L, 2L)) && !pairs.contains((1L, 2L)),
+      s"unrelated content must stay out at the same radius " +
+        s"(${ham(fps(0L), fps(2L))}/${ham(fps(1L), fps(2L))} bits)")
+  }
+
+  test("short clips that cannot fill the 64-bit word are gated out of candidates " +
+    "(unrelated shorts must never collapse on shared zero padding)") {
+    import spark.implicits._
+    val rate = 8000
+    // 4 windows = 3 transitions = 21 meaningful bits; 43 shared padding
+    // bits would put ANY two such clips within a coin flip of radius 3
+    val clips = Seq(
+      (0L, rate, 1, prefixed(rate, 1024, 0, 0.0, 500.0)),
+      (1L, rate, 1, prefixed(rate, 1024, 0, 0.0, 1900.0)),
+      (2L, rate, 1, prefixed(rate, 1024, 0, 0.0, 3100.0)))
+      .toDF("clip_id", "sample_rate", "channels", "pcm")
+    assert(AudioOps.fpMinWindows(8) === 11)
+    assert(AudioOps.nearDupClips(spark, clips).count() === 0L,
+      "sub-fpMinWindows clips must be excluded from the pair index")
+    assert(AudioOps.dedupGroupsClips(spark, clips).count() === 0L,
+      "no short clip may be grouped (each stays its own canonical)")
+    // an 11-window clip fills the word and IS a candidate (its exact copy pairs)
+    val full = prefixed(rate, 256 * 11, 0, 0.0, 700.0)
+    val ok = Seq((10L, rate, 1, full), (11L, rate, 1, full.clone))
+      .toDF("clip_id", "sample_rate", "channels", "pcm")
+    assert(AudioOps.nearDupClips(spark, ok).count() === 1L)
+  }
 }

@@ -381,6 +381,7 @@ class CorpusPrepSpec extends SparkSpec {
     val stats = spark.read.parquet(s"$onOut/stats").collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(stats("05b_span_cut") === 3L)
+    assert(stats("05c_span_mask") === -1L) // the OTHER policy reads off
     assert(stats("05_decontaminate") === 3L) // the cut stage dropped no DOC here
   }
 
@@ -417,7 +418,10 @@ class CorpusPrepSpec extends SparkSpec {
     }
     val stats = spark.read.parquet(s"$out/stats").collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
-    assert(stats("05b_span_cut") === 3L)           // final doc count: nothing dropped
+    // the ledger records WHICH policy ran: cut reads off, mask carries
+    // the final doc count (nothing dropped — masking is length-stable)
+    assert(stats("05b_span_cut") === -1L)
+    assert(stats("05c_span_mask") === 3L)
     assert(stats("05c_span_mask_tokens") === 10L)  // the loss-mask budget
     // chunks are built on the MASKED text
     val chunkToks = spark.read.parquet(s"$out/chunks")

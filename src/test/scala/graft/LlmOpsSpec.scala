@@ -1365,6 +1365,40 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("PSI drift: an EMPTY new era reads as NO READING (NULL terms and rollup), " +
+    "never as a spurious alarm") {
+    import spark.implicits._
+    val ops = operators.TextAnalysisOps
+    // a deliberately NON-uniform reference: with zero arrivals, Laplace
+    // smoothing alone would fabricate uniform p_new = 1/B and PSI would
+    // read the reference's own skew as drift (> 0.25 here) — the exact
+    // spurious-alarm shape the NULL contract forbids
+    val oldEra = ((0 until 180).map(i => (i.toLong, 0.01 * (i % 3))) ++
+      (180 until 200).map(i => (i.toLong, 5.0 + i))).toDF("doc_id", "score")
+    val ref = ops.driftReferenceOf(oldEra)
+    val empty = Seq.empty[(Long, Double)].toDF("doc_id", "score")
+    val gauge = ops.psiAgainst(empty, ref).collect()
+      .map(r => r.getAs[Long]("bucket") -> r).toMap
+    assert(gauge(-1L).isNullAt(gauge(-1L).fieldIndex("term")),
+      "empty-batch rollup must be NULL, not a PSI value")
+    (1L to 10L).foreach { b =>
+      val r = gauge(b)
+      assert(r.getAs[Long]("n_new") === 0L)
+      assert(r.isNullAt(r.fieldIndex("p_new")) && r.isNullAt(r.fieldIndex("term")),
+        s"bucket $b must carry NULL p_new/term on an empty era")
+      assert(!r.isNullAt(r.fieldIndex("p_old")), s"bucket $b keeps the reference side")
+    }
+    // the batch seam mirrors the guard: a watermark below the id range
+    // puts every doc in the NEW era — the empty OLD era stays diagnosable
+    // (pre-existing require), and an empty NEW era via the seam reads NULL
+    val wmLow = spark.range(1).select(lit(1000000L).as("wm"))
+    val allOld = (0 until 50).map(i => (i.toLong, i / 50.0)).toDF("doc_id", "score")
+    val m = ops.qualityDriftOf(allOld, wmLow).collect()
+      .map(r => r.getAs[Long]("bucket") -> r).toMap
+    assert(m(-1L).isNullAt(m(-1L).fieldIndex("term")),
+      "empty-new-era batch seam must read NULL, not fake-uniform PSI")
+  }
+
   test("q106 entropy: exact on crafted distributions; lake profile matches a naive recompute") {
     import spark.implicits._
     // crafted cases through the shared kernel: the carrier quantizes each
