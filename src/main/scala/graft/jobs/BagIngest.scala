@@ -17,6 +17,7 @@ import graft.sources.rosbag.RosbagReader
   *
   * Output layout:
   *   <out>/images/      frame metadata + pixel payloads (parquet)
+  *   <out>/clips/       audio buffers + stream properties (audio_common topics)
   *   <out>/laser/ odometry/ wrench/ std_msgs/   typed topic tables
   *   <out>/manifest/    per-recording mp4/frame manifest
   *   <out>/frame_dedup/ canonical-frame manifest (with --image-dedup)
@@ -31,7 +32,7 @@ object BagIngest {
     writeTables(spark, bags, out, SaveMode.Overwrite, writePng, piiRegions,
       imageDedup = imageDedup, voxel = voxel)
 
-  /** One demux pass over `bags` -> all seven lake tables written with
+  /** One demux pass over `bags` -> all the lake tables written with
     * `mode` (Overwrite for the batch job; the streaming job overwrites a
     * per-batch subdirectory via `tableSuffix` for idempotent retries).
     */
@@ -64,6 +65,10 @@ object BagIngest {
     save(RosbagReader.odometryOf(spark, msgs), "odometry")
     save(RosbagReader.wrenchOf(spark, msgs), "wrench")
     save(RosbagReader.stdMsgsOf(spark, msgs), "std_msgs")
+    // microphone topics (audio_common_msgs) land as the clips table —
+    // the audio twin of `images`, consumed unchanged by the
+    // AudioOps spectral/near-dup/segmentation family
+    save(RosbagReader.audioClipsOf(spark, msgs), "clips")
     // dynamic-schema fallback: every topic with a message_definition lands
     // as (slot-path -> value) rows even when no hand-coded decoder exists
     save(RosbagReader.genericMessagesOf(spark, msgs), "generic")

@@ -183,4 +183,43 @@ object RosMessages {
   def stdString(data: Array[Byte]): String = readString(buf(data))
   def stdInt32(data: Array[Byte]): Int = buf(data).getInt
   def stdFloat64(data: Array[Byte]): Double = buf(data).getDouble
+
+  /** audio_common_msgs/AudioInfo — the stream-description message the
+    * audio_capture node publishes once beside its data topic (public
+    * audio_common layout: channels, sample_rate, sample_format, bitrate,
+    * coding_format). The microphone half of an AV rig's recording; the
+    * reference extracts cameras only (bagstream.py:246), so this is
+    * beyond-parity like PointCloud2.
+    */
+  final case class AudioInfoMsg(channels: Long, sampleRate: Long,
+      sampleFormat: String, bitrate: Long, codingFormat: String)
+
+  def audioInfo(data: Array[Byte]): AudioInfoMsg = {
+    val b = buf(data)
+    val channels = b.getInt.toLong & 0xffffffffL
+    val rate = b.getInt.toLong & 0xffffffffL
+    val fmt = readString(b)
+    val bitrate = b.getInt.toLong & 0xffffffffL
+    AudioInfoMsg(channels, rate, fmt, bitrate, readString(b))
+  }
+
+  /** audio_common_msgs/AudioData: one length-prefixed sample buffer
+    * (`uint8[] data`). */
+  def audioData(data: Array[Byte]): Array[Byte] = {
+    val b = buf(data)
+    val len = b.getInt
+    val out = new Array[Byte](len)
+    b.get(out)
+    out
+  }
+
+  /** audio_common_msgs/AudioDataStamped: std_msgs/Header + AudioData. */
+  def audioDataStamped(data: Array[Byte]): (RosHeader, Array[Byte]) = {
+    val b = buf(data)
+    val h = readHeaderMsg(b)
+    val len = b.getInt
+    val out = new Array[Byte](len)
+    b.get(out)
+    (h, out)
+  }
 }

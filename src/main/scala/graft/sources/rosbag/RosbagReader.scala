@@ -267,6 +267,99 @@ object RosbagReader {
       .toDF("bag", "topic", "time_ns", "point_idx", "x", "y", "z", "intensity")
   }
 
+  /** The stream-property columns an AudioInfo message contributes,
+    * struct-packed so the per-namespace set stays one bounded
+    * collect_set (a namespace legitimately repeats its info message —
+    * audio_capture latches and republishes — but two DIFFERENT configs
+    * under one namespace make every data message ambiguous). */
+  private val AudioPcmFormats = Set("S16LE")
+  private val AudioPcmCodings = Set("", "raw", "wave")
+
+  /** audio_common_msgs/AudioData(+Stamped) topics -> the `clips` table:
+    * one row per audio buffer message with the stream properties
+    * (sample_rate, channels) resolved from the namespace-sibling
+    * AudioInfo topic (the public audio_capture convention: `<ns>/audio`
+    * data beside `<ns>/audio_info`), per-topic clip numbering (the
+    * frame_no convention), and the PCM payload as an opaque binary
+    * column feeding graft.multimodal.AudioOps unchanged.
+    *
+    * Ingest-integrity policy (the loud-failure convention of the image
+    * and cloud demuxes): a data topic with NO AudioInfo in its namespace
+    * cannot be interpreted (unknown rate/width) and fails the job; so do
+    * two CONFLICTING infos under one namespace, and any non-PCM16LE
+    * format (compressed codings — mp3/aac — would need a codec library;
+    * landing bytes under a wrong sample interpretation would corrupt the
+    * lake silently, which is strictly worse than stopping).
+    *
+    * `clip_id` is a 64-bit label (xxhash64 of the identity key) for the
+    * clip_id-keyed per-row kernels (spectral/features/segment, where a
+    * collision is harmless); identity-CRITICAL paths (near-dup groups,
+    * the streaming dedup guard) key on (bag, topic, time_ns) itself.
+    */
+  def audioClips(spark: SparkSession, path: String): DataFrame =
+    audioClipsOf(spark, messages(spark, path))
+
+  def audioClipsOf(spark: SparkSession, msgs: Dataset[RawMessage]): DataFrame = {
+    import spark.implicits._
+    val nsOf = (topic: org.apache.spark.sql.Column) =>
+      regexp_extract(topic, "^(.*)/[^/]+$", 1)
+    val data = msgs
+      .filter(m => m.datatype == "audio_common_msgs/AudioData" ||
+        m.datatype == "audio_common_msgs/AudioDataStamped")
+      .map { m =>
+        val pcm =
+          if (m.datatype == "audio_common_msgs/AudioData") RosMessages.audioData(m.data)
+          else RosMessages.audioDataStamped(m.data)._2
+        (m.path, m.topic, m.time_ns, pcm)
+      }
+      .toDF("bag", "topic", "time_ns", "pcm")
+    // the per-(bag, namespace) info set: tiny (one latched config per
+    // rig topic) — broadcast to the data scan, never a real shuffle side
+    val infos = msgs
+      .filter(_.datatype == "audio_common_msgs/AudioInfo")
+      .map { m =>
+        val i = RosMessages.audioInfo(m.data)
+        (m.path, m.topic, i.channels, i.sampleRate, i.sampleFormat, i.codingFormat)
+      }
+      .toDF("bag", "info_topic", "channels", "sample_rate", "sample_format", "coding_format")
+      .select(col("bag"), nsOf(col("info_topic")).as("ns"),
+        struct(col("channels"), col("sample_rate"),
+          col("sample_format"), col("coding_format")).as("info"))
+      .distinct()
+      .groupBy("bag", "ns")
+      .agg(collect_set(col("info")).as("infos"))
+    val joined = data
+      .withColumn("ns", nsOf(col("topic")))
+      .join(broadcast(infos), Seq("bag", "ns"), "left")
+    val resolved = joined.select(
+        col("bag"), col("topic"), col("time_ns"), col("pcm"), col("infos"))
+      .mapPartitions(_.map { r =>
+        val topic = r.getString(1)
+        val infos = if (r.isNullAt(4)) Seq.empty
+                    else r.getSeq[org.apache.spark.sql.Row](4)
+        require(infos.nonEmpty,
+          s"AudioData on $topic: no AudioInfo topic in its namespace — " +
+            "cannot interpret the PCM payload (unknown rate/channels/format)")
+        require(infos.size == 1,
+          s"AudioData on $topic: ${infos.size} conflicting AudioInfo configs " +
+            s"in its namespace — ambiguous stream properties: $infos")
+        val i = infos.head
+        val fmt = i.getString(2); val coding = i.getString(3)
+        require(AudioPcmFormats.contains(fmt) && AudioPcmCodings.contains(coding),
+          s"AudioData on $topic: unsupported audio format " +
+            s"(sample_format='$fmt', coding_format='$coding'; supported: " +
+            s"sample_format S16LE with raw/wave coding) — refusing to land " +
+            "bytes under a wrong sample interpretation")
+        (r.getString(0), topic, r.getLong(2),
+          i.getLong(1).toInt, i.getLong(0).toInt, r.getAs[Array[Byte]](3))
+      })
+      .toDF("bag", "topic", "time_ns", "sample_rate", "channels", "pcm")
+    val w = Window.partitionBy("bag", "topic").orderBy("time_ns")
+    withIso(resolved)
+      .withColumn("clip_no", row_number().over(w) - 1)
+      .withColumn("clip_id", xxhash64(col("bag"), col("topic"), col("time_ns")))
+  }
+
   /** nav_msgs/Odometry -> pose/twist columns (bagstream.py:291). */
   def odometry(spark: SparkSession, path: String): DataFrame =
     odometryOf(spark, messages(spark, path))

@@ -127,6 +127,19 @@ object BagWriter {
   def compressedImagePayload(seq: Int, format: String, payload: Array[Byte]): Array[Byte] =
     rosHeader(seq, 100, 0, "cam") ++ rosString(format) ++ le32(payload.length) ++ payload
 
+  /** audio_common_msgs/AudioInfo: channels, rate, sample_format, bitrate,
+    * coding_format (the public audio_common layout). */
+  def audioInfoPayload(channels: Int, rate: Int, fmt: String = "S16LE",
+      bitrate: Int = 0, coding: String = "wave"): Array[Byte] =
+    le32(channels) ++ le32(rate) ++ rosString(fmt) ++ le32(bitrate) ++ rosString(coding)
+
+  /** audio_common_msgs/AudioData: one u32-prefixed sample buffer. */
+  def audioDataPayload(pcm: Array[Byte]): Array[Byte] = le32(pcm.length) ++ pcm
+
+  /** audio_common_msgs/AudioDataStamped: Header + AudioData. */
+  def audioDataStampedPayload(seq: Int, pcm: Array[Byte]): Array[Byte] =
+    rosHeader(seq, 100, 0, "mic") ++ le32(pcm.length) ++ pcm
+
   /** sensor_msgs/PointCloud2: header + shape + PointField table + packed
     * float32 points. Metadata stays little-endian (the wire layer); only
     * the point payload honors `bigendian`. */
@@ -382,6 +395,118 @@ class RosbagSpec extends SparkSpec {
     val pngs = graft.multimodal.ImageOps.toPng(spark, deduped).collect()
     assert(pngs.length === 2)
     pngs.foreach(p => assert(p.png.nonEmpty))
+  }
+
+  /** PCM16LE mono ramp — distinguishable, byte-exact round-trip checkable. */
+  private def pcmRamp(n: Int, seed: Int): Array[Byte] =
+    Array.tabulate[Byte](n * 2) { i =>
+      val s = ((i / 2 * 7 + seed * 131) % 4096).toShort
+      if (i % 2 == 0) (s & 0xff).toByte else ((s >> 8) & 0xff).toByte
+    }
+
+  test("audioClips(): AudioData(+Stamped) topics land with AudioInfo-resolved " +
+    "stream properties; interleaved image topics keep their frame numbering") {
+    val dir = Files.createTempDirectory("graftaudio")
+    val pixels = Array.tabulate[Byte](2 * 2 * 3)(i => i.toByte)
+    val pcm = Seq(pcmRamp(512, 0), pcmRamp(512, 1), pcmRamp(512, 2))
+    val stampedPcm = pcmRamp(256, 9)
+    val inner =
+      BagWriter.connection(0, "/cam0/image_raw", "sensor_msgs/Image") ++
+        BagWriter.connection(1, "/mic/audio", "audio_common_msgs/AudioData") ++
+        BagWriter.connection(2, "/mic/audio_info", "audio_common_msgs/AudioInfo") ++
+        BagWriter.connection(3, "/mic2/audio_stamped", "audio_common_msgs/AudioDataStamped") ++
+        BagWriter.connection(4, "/mic2/audio_info", "audio_common_msgs/AudioInfo") ++
+        // audio interleaved BETWEEN the camera frames: numbering of both
+        // families must be independent and per-topic
+        BagWriter.message(0, 1600000000L, 100, BagWriter.imagePayload(0, 2, 2, "rgb8", pixels)) ++
+        BagWriter.message(2, 1600000000L, 150, BagWriter.audioInfoPayload(1, 16000)) ++
+        BagWriter.message(1, 1600000000L, 200, BagWriter.audioDataPayload(pcm(0))) ++
+        BagWriter.message(1, 1600000000L, 300, BagWriter.audioDataPayload(pcm(1))) ++
+        BagWriter.message(0, 1600000001L, 0, BagWriter.imagePayload(1, 2, 2, "rgb8", pixels)) ++
+        BagWriter.message(1, 1600000001L, 100, BagWriter.audioDataPayload(pcm(2))) ++
+        BagWriter.message(4, 1600000000L, 50, BagWriter.audioInfoPayload(2, 44100)) ++
+        BagWriter.message(3, 1600000001L, 200, BagWriter.audioDataStampedPayload(0, stampedPcm))
+    val bagDir = dir.resolve("bags"); Files.createDirectories(bagDir)
+    Files.write(bagDir.resolve("a.bag"),
+      BagWriter.bag(BagWriter.bagHeader, BagWriter.chunk(inner, bz2 = false)))
+
+    val clips = RosbagReader.audioClips(spark, bagDir.toString)
+      .orderBy("topic", "clip_no").collect()
+    assert(clips.length === 4)
+    val mic = clips.filter(_.getAs[String]("topic") === "/mic/audio")
+    assert(mic.map(_.getAs[Int]("clip_no")).toSeq === Seq(0, 1, 2))
+    mic.zip(pcm).foreach { case (r, exp) =>
+      assert(r.getAs[Int]("sample_rate") === 16000 && r.getAs[Int]("channels") === 1)
+      assert(r.getAs[Array[Byte]]("pcm").toSeq === exp.toSeq, "payload must round-trip")
+    }
+    val mic2 = clips.filter(_.getAs[String]("topic") === "/mic2/audio_stamped")
+    assert(mic2.length === 1)
+    assert(mic2(0).getAs[Int]("sample_rate") === 44100 && mic2(0).getAs[Int]("channels") === 2)
+    assert(mic2(0).getAs[Array[Byte]]("pcm").toSeq === stampedPcm.toSeq)
+    assert(clips.map(_.getAs[Long]("clip_id")).distinct.length === 4)
+
+    // BagIngest lands the clips table next to images; frame numbering of
+    // the camera topic is untouched by the interleaved audio
+    val out = dir.resolve("lake").toString
+    graft.jobs.BagIngest.run(spark, bagDir.toString, out, writePng = false)
+    val images = spark.read.parquet(s"$out/images").orderBy("frame_no").collect()
+    assert(images.map(_.getAs[Int]("frame_no")).toSeq === Seq(0, 1))
+    val landed = spark.read.parquet(s"$out/clips")
+    assert(landed.count() === 4)
+    // the q105-family kernels consume the landed table UNCHANGED
+    val feats = graft.multimodal.AudioOps.features(spark, landed).collect()
+      .map(f => f.clip_id -> f).toMap
+    assert(feats.size === 4)
+    val micIds = landed.filter(org.apache.spark.sql.functions.col("topic") === "/mic/audio")
+      .orderBy("clip_no").collect().map(_.getAs[Long]("clip_id"))
+    micIds.foreach(id => assert(feats(id).n_samples === 512L))
+    val spec = graft.multimodal.AudioOps.spectral(spark, landed, window = 8).collect()
+    assert(spec.nonEmpty && spec.forall(_.power.length === 5))
+  }
+
+  test("audio ingest integrity: missing, conflicting, or non-PCM AudioInfo fails loudly") {
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    def bagWith(records: Array[Byte]): String = {
+      val dir = Files.createTempDirectory("graftaudiobad")
+      val f = dir.resolve("bad.bag")
+      Files.write(f, BagWriter.bag(BagWriter.bagHeader,
+        BagWriter.chunk(records, bz2 = false)))
+      f.toString
+    }
+    val data = BagWriter.connection(0, "/mic/audio", "audio_common_msgs/AudioData") ++
+      BagWriter.message(0, 1600000000L, 0, BagWriter.audioDataPayload(pcmRamp(64, 0)))
+
+    // no AudioInfo anywhere in the namespace: uninterpretable PCM
+    val e1 = intercept[Exception] {
+      RosbagReader.audioClips(spark, bagWith(data)).collect()
+    }
+    assert(msgs(e1).exists(_.contains("no AudioInfo")))
+
+    // two CONFLICTING configs under one namespace: ambiguous
+    val e2 = intercept[Exception] {
+      RosbagReader.audioClips(spark, bagWith(data ++
+        BagWriter.connection(1, "/mic/audio_info", "audio_common_msgs/AudioInfo") ++
+        BagWriter.message(1, 1600000000L, 1, BagWriter.audioInfoPayload(1, 16000)) ++
+        BagWriter.message(1, 1600000000L, 2, BagWriter.audioInfoPayload(2, 44100)))).collect()
+    }
+    assert(msgs(e2).exists(_.contains("conflicting AudioInfo")))
+
+    // a REPEATED identical config (latched republish) is NOT a conflict
+    val ok = RosbagReader.audioClips(spark, bagWith(data ++
+      BagWriter.connection(1, "/mic/audio_info", "audio_common_msgs/AudioInfo") ++
+      BagWriter.message(1, 1600000000L, 1, BagWriter.audioInfoPayload(1, 16000)) ++
+      BagWriter.message(1, 1600000005L, 2, BagWriter.audioInfoPayload(1, 16000)))).collect()
+    assert(ok.length === 1 && ok(0).getAs[Int]("sample_rate") === 16000)
+
+    // compressed coding (mp3): refusing beats landing misinterpreted bytes
+    val e3 = intercept[Exception] {
+      RosbagReader.audioClips(spark, bagWith(data ++
+        BagWriter.connection(1, "/mic/audio_info", "audio_common_msgs/AudioInfo") ++
+        BagWriter.message(1, 1600000000L, 1,
+          BagWriter.audioInfoPayload(1, 16000, coding = "mp3")))).collect()
+    }
+    assert(msgs(e3).exists(_.contains("unsupported audio format")))
   }
 
   test("odometry(): pose/twist values round-trip") {
