@@ -28,9 +28,9 @@ object BagIngest {
 
   def run(spark: SparkSession, bags: String, out: String, writePng: Boolean,
       piiRegions: Option[DataFrame] = None, imageDedup: Option[Int] = None,
-      voxel: Option[Double] = None): Unit =
+      voxel: Option[Double] = None, audioDedup: Option[Int] = None): Unit =
     writeTables(spark, bags, out, SaveMode.Overwrite, writePng, piiRegions,
-      imageDedup = imageDedup, voxel = voxel)
+      imageDedup = imageDedup, voxel = voxel, audioDedup = audioDedup)
 
   /** One demux pass over `bags` -> all the lake tables written with
     * `mode` (Overwrite for the batch job; the streaming job overwrites a
@@ -38,14 +38,15 @@ object BagIngest {
     */
   def writeTables(spark: SparkSession, bags: String, out: String, mode: SaveMode,
       writePng: Boolean, piiRegions: Option[DataFrame],
-      imageDedup: Option[Int] = None, voxel: Option[Double] = None): Unit =
+      imageDedup: Option[Int] = None, voxel: Option[Double] = None,
+      audioDedup: Option[Int] = None): Unit =
     writeTablesOf(spark, RosbagReader.messages(spark, bags), out, mode, writePng,
-      piiRegions, imageDedup = imageDedup, voxel = voxel)
+      piiRegions, imageDedup = imageDedup, voxel = voxel, audioDedup = audioDedup)
 
   def writeTablesOf(spark: SparkSession, rawMsgs: org.apache.spark.sql.Dataset[RosbagReader.RawMessage],
       out: String, mode: SaveMode, writePng: Boolean, piiRegions: Option[DataFrame],
       tableSuffix: String = "", imageDedup: Option[Int] = None,
-      voxel: Option[Double] = None,
+      voxel: Option[Double] = None, audioDedup: Option[Int] = None,
       frameIndex: Option[(String, Long)] = None): Unit = {
     def save(df: DataFrame, name: String): Unit =
       df.write.mode(mode).parquet(s"$out/$name$tableSuffix")
@@ -97,6 +98,26 @@ object BagIngest {
       save(graft.operators.PointCloudOps.voxelDownsample(
         RosbagReader.pointCloudPointsOf(spark, msgs), edge), "lidar_voxel")
     }
+    // audio dedup (--audio-dedup[=HAMMING]): the clip twin of the image
+    // manifest below — HK fingerprint + the SHARED banded-Hamming
+    // grouping machinery, landing a canonical-clip manifest next to the
+    // clips table; with a frame index lake, clip fingerprints persist to
+    // <lake>/clip_hashes and identity is CROSS-BATCH (the same
+    // FrameDedupIndex engine, audio key space). Runs off the just-landed
+    // clips parquet so the demux is paid once.
+    audioDedup.foreach { maxHamming =>
+      val landed = spark.read.parquet(s"$out/clips$tableSuffix")
+      frameIndex match {
+        case Some((lake, batchId)) =>
+          FrameDedupIndex.probeAndCommitClips(spark, landed, lake, batchId,
+            maxHamming, sink = m => save(m, "clip_dedup"))
+        case None =>
+          save(ImageOps.totalFrameManifest(
+            landed.select("bag", "topic", "time_ns"),
+            graft.multimodal.AudioOps.dedupGroupsClipsByKey(spark, landed, maxHamming)),
+            "clip_dedup")
+      }
+    }
     imageDedup.foreach { maxHamming =>
       frameIndex match {
         case Some((lake, batchId)) =>
@@ -137,23 +158,27 @@ object BagIngest {
     * loudly: there is no sensible default edge length, and a silently
     * ignored flag would run the whole ingest without the table the
     * operator asked for. */
-  private[jobs] def parseStageFlags(args: Array[String]): (Option[Int], Option[Double]) = {
+  private[jobs] def parseStageFlags(args: Array[String]): (Option[Int], Option[Int], Option[Double]) = {
     require(!args.contains("--voxel"),
       "--voxel requires an edge length: --voxel=EDGE_METERS")
     val dedup = args.collectFirst {
       case "--image-dedup"                     => 3
       case a if a.startsWith("--image-dedup=") => a.stripPrefix("--image-dedup=").toInt
     }
+    val audio = args.collectFirst {
+      case "--audio-dedup"                     => 3
+      case a if a.startsWith("--audio-dedup=") => a.stripPrefix("--audio-dedup=").toInt
+    }
     val voxel = args.collectFirst {
       case a if a.startsWith("--voxel=") => a.stripPrefix("--voxel=").toDouble
     }
-    (dedup, voxel)
+    (dedup, audio, voxel)
   }
 
   def main(args: Array[String]): Unit = {
     require(args.length >= 2,
       "usage: BagIngest <bags> <out-dir> [--png] [--blur-regions <parquet>] " +
-        "[--image-dedup[=HAMMING]] [--voxel=EDGE_METERS]")
+        "[--image-dedup[=HAMMING]] [--audio-dedup[=HAMMING]] [--voxel=EDGE_METERS]")
     val spark = GraftSession.get()
     val regions = args.indexOf("--blur-regions") match {
       case -1 => None
@@ -162,8 +187,9 @@ object BagIngest {
           "--blur-regions requires a parquet path argument")
         Some(spark.read.parquet(args(i + 1)))
     }
-    val (dedup, voxel) = parseStageFlags(args)
-    run(spark, args(0), args(1), args.contains("--png"), regions, dedup, voxel)
+    val (dedup, audio, voxel) = parseStageFlags(args)
+    run(spark, args(0), args(1), args.contains("--png"), regions, dedup, voxel,
+      audioDedup = audio)
     spark.stop()
   }
 }

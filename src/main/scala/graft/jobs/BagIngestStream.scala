@@ -40,7 +40,8 @@ object BagIngestStream {
   def start(spark: SparkSession, watchDir: String, out: String, checkpoint: String,
       piiRegions: Option[DataFrame] = None, imageDedup: Option[Int] = None,
       voxel: Option[Double] = None,
-      frameIndexLake: Option[String] = None): StreamingQuery =
+      frameIndexLake: Option[String] = None,
+      audioDedup: Option[Int] = None): StreamingQuery =
     spark.readStream.format("binaryFile")
       .option("pathGlobFilter", "*.bag")
       .schema(fileSchema)
@@ -68,7 +69,7 @@ object BagIngestStream {
           // by construction.
           BagIngest.writeTablesOf(sp, msgs, out, SaveMode.Overwrite,
             writePng = false, piiRegions, tableSuffix = s"/batch=$batchId",
-            imageDedup = imageDedup, voxel = voxel,
+            imageDedup = imageDedup, voxel = voxel, audioDedup = audioDedup,
             frameIndex = frameIndexLake.map(l => (l, batchId)))
         }
       }
@@ -77,16 +78,18 @@ object BagIngestStream {
   def main(args: Array[String]): Unit = {
     require(args.length >= 3,
       "usage: BagIngestStream <watch-dir> <out-dir> <checkpoint-dir> " +
-        "[--image-dedup[=HAMMING]] [--voxel=EDGE_METERS] [--frame-index=LAKE_DIR]")
+        "[--image-dedup[=HAMMING]] [--audio-dedup[=HAMMING]] " +
+        "[--voxel=EDGE_METERS] [--frame-index=LAKE_DIR]")
     val spark = GraftSession.get()
-    val (dedup, voxel) = BagIngest.parseStageFlags(args)
+    val (dedup, audio, voxel) = BagIngest.parseStageFlags(args)
     val frameIndex = args.collectFirst {
       case a if a.startsWith("--frame-index=") => a.stripPrefix("--frame-index=")
     }
-    require(frameIndex.isEmpty || dedup.isDefined,
-      "--frame-index requires --image-dedup (the index persists the dedup fingerprints)")
+    require(frameIndex.isEmpty || dedup.isDefined || audio.isDefined,
+      "--frame-index requires --image-dedup or --audio-dedup " +
+        "(the index persists the dedup fingerprints)")
     start(spark, args(0), args(1), args(2),
-      imageDedup = dedup, voxel = voxel,
+      imageDedup = dedup, voxel = voxel, audioDedup = audio,
       frameIndexLake = frameIndex).awaitTermination()
   }
 }

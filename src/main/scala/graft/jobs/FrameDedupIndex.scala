@@ -5,12 +5,15 @@ import org.apache.spark.sql.functions._
 
 import graft.multimodal.ImageOps
 
-/** CROSS-BATCH image identity for streaming ingest — the multimodal twin
-  * of CorpusPrepStream's persisted band guard. A continuously-arriving AV
-  * lake re-lands the same parked-car burst across bags and micro-batches;
+/** CROSS-BATCH perceptual identity for streaming ingest — the multimodal
+  * twin of CorpusPrepStream's persisted band guard, shared by BOTH
+  * 64-bit-fingerprint modalities: image frames (dHash → `frame_hashes`)
+  * and audio clips (HK sign word → `clip_hashes`), one mechanism, two key
+  * spaces. A continuously-arriving AV lake re-lands the same parked-car
+  * burst (or re-encoded microphone clip) across bags and micro-batches;
   * within-batch dedup ([[ImageOps.dedupGroupsFrames]]) cannot see that, so
   * every batch would mint a NEW canonical for a burst the lake already
-  * holds. This index makes canonical frame identity durable:
+  * holds. This index makes canonical identity durable:
   *
   *   - every landed frame's 64-bit dHash is persisted to the versioned
   *     `<lake>/frame_hashes` SnapshotLake table as maxHamming+1 pigeonhole
@@ -51,6 +54,12 @@ object FrameDedupIndex {
 
   val IndexTable = "frame_hashes"
 
+  /** The audio twin: clip fingerprints persist under their own table —
+    * the two modalities share every mechanism (banding, stats-pruned
+    * probes, first-claim-per-component, the max_hamming property) but
+    * never a key space. */
+  val ClipIndexTable = "clip_hashes"
+
   /** The probe key a committed block row carries + declares as its stats
     * column: one uniform long per (block index, block value) bucket. */
   private def blockProbeKey = xxhash64(col("b"), col("v"))
@@ -65,16 +74,59 @@ object FrameDedupIndex {
   def probeAndCommit(spark: SparkSession, frames: DataFrame, lake: String,
       batchId: Long, maxHamming: Int = 3, maxProbeKeys: Int = 1 << 16,
       sink: DataFrame => Unit = _ => (),
+      probeObserver: DataFrame => Unit = _ => ()): Unit =
+    probeAndCommitHashes(spark, None,
+      ImageOps.dhashFrames(spark, frames), s"$lake/$IndexTable",
+      batchId, maxHamming, maxProbeKeys, sink, probeObserver)
+
+  /** The AUDIO guard: [[probeAndCommit]] for a micro-batch of clips
+    * (bag, topic, time_ns, sample_rate, channels, pcm — the BagIngest
+    * clips table). Same mechanism end to end — only the hash pass
+    * (AudioOps.fingerprintClipsByKey) and the index table differ.
+    * Clips below AudioOps.fpMinWindows cannot fill the 64-bit word:
+    * they stay OUT of the banded index and the probe (the
+    * nearDupClips gate — unrelated shorts must never collapse on
+    * shared zero padding) but appear in the manifest as their own
+    * canonical. The clip index additionally pins (window, n_mels) as
+    * table properties: a mid-stream dial change re-splits the word and
+    * must fail loudly, exactly like max_hamming.
+    */
+  def probeAndCommitClips(spark: SparkSession, clips: DataFrame, lake: String,
+      batchId: Long, maxHamming: Int = 3, window: Int = 256, nMels: Int = 8,
+      maxProbeKeys: Int = 1 << 16,
+      sink: DataFrame => Unit = _ => (),
       probeObserver: DataFrame => Unit = _ => ()): Unit = {
-    val table = s"$lake/$IndexTable"
+    import graft.multimodal.AudioOps
+    val hashes = AudioOps.fingerprintClipsByKey(spark, clips, window, nMels)
+      .filter(col("n_windows") >= AudioOps.fpMinWindows(nMels).toLong)
+      .select("bag", "topic", "time_ns", "dhash")
+    probeAndCommitHashes(spark,
+      Some(clips.select("bag", "topic", "time_ns")), hashes,
+      s"$lake/$ClipIndexTable", batchId, maxHamming, maxProbeKeys,
+      sink, probeObserver,
+      extraProps = Map("window" -> window.toString, "n_mels" -> nMels.toString))
+  }
+
+  /** The modality-blind core: everything downstream of the hash pass.
+    * `hashes` carries (bag, topic, time_ns, dhash) — the rows eligible
+    * for banding/probing; `allKeys` (when the modality gates some rows
+    * out of the hash space, e.g. short clips) carries EVERY batch row's
+    * identity so the manifest stays total — None means the hash rows ARE
+    * the batch. */
+  private[graft] def probeAndCommitHashes(spark: SparkSession,
+      allKeys: Option[DataFrame], rawHashes: DataFrame, table: String,
+      batchId: Long, maxHamming: Int, maxProbeKeys: Int,
+      sink: DataFrame => Unit, probeObserver: DataFrame => Unit,
+      extraProps: Map[String, String] = Map.empty): Unit = {
     // one hash pass feeds the within-batch pair join, the lake probe, and
     // the committed index rows
-    val hashes = ImageOps.dhashFrames(spark, frames)
+    val hashes = rawHashes
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       // 1. within-batch canonical components (the batch job's manifest)
       val groups = ImageOps.dedupGroupsFromHashes(spark, hashes, maxHamming)
-      val batchManifest = ImageOps.totalFrameManifest(hashes, groups)
+      val batchManifest =
+        ImageOps.totalFrameManifest(allKeys.getOrElse(hashes), groups)
 
       // 2. the arriving frames' pigeonhole blocks
       val blocks = hashes.select(col("bag"), col("topic"), col("time_ns"),
@@ -174,24 +226,26 @@ object FrameDedupIndex {
           // up). The table property makes a mid-stream dial change fail
           // LOUDLY instead — same contract as AnnIndexBuild's coding
           // marker.
+          val props = Map("max_hamming" -> maxHamming.toString) ++ extraProps
           SnapshotLake.commitStreamBatch(spark, table, indexRows, batchId,
             statsCol = Some("fkey"),
-            props = Map("max_hamming" -> maxHamming.toString),
-            requireProps = Map("max_hamming" -> maxHamming.toString))
+            props = props, requireProps = props)
         } finally resolvedP.unpersist(blocking = false)
       } finally blocks.unpersist(blocking = false)
     } finally hashes.unpersist(blocking = false)
   }
 
   /** Periodic index maintenance (the CorpusPrepStream.compactIndexes
-    * contract): re-cluster `<lake>/frame_hashes` by `repartitionByRange`
-    * over fkey so each data file covers a narrow disjoint key slice and
-    * per-batch probes touch O(batch-keys) files. Abandons (None) if an
-    * ingest commit races the rewrite — rerun on fresh state; the stream
-    * never pauses for maintenance. */
+    * contract): re-cluster the fingerprint index (`frame_hashes` by
+    * default; pass [[ClipIndexTable]] for the audio one) by
+    * `repartitionByRange` over fkey so each data file covers a narrow
+    * disjoint key slice and per-batch probes touch O(batch-keys) files.
+    * Abandons (None) if an ingest commit races the rewrite — rerun on
+    * fresh state; the stream never pauses for maintenance. */
   def compactIndex(spark: SparkSession, lake: String,
-      targetFileRows: Long = 4L << 20): Option[Long] = {
-    val table = s"$lake/$IndexTable"
+      targetFileRows: Long = 4L << 20,
+      indexTable: String = IndexTable): Option[Long] = {
+    val table = s"$lake/$indexTable"
     SnapshotLake.latestVersionOf(spark, table).flatMap { _ =>
       val n = SnapshotLake.read(spark, table).count()
       val files = math.max(1L, (n + targetFileRows - 1) / targetFileRows).toInt

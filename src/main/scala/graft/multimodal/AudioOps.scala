@@ -413,52 +413,80 @@ object AudioOps {
     require(window >= 2, s"window must be >= 2; got $window")
     require(nMels >= 2, s"fingerprint needs >= 2 mel bands; got $nMels")
     val (cosT, sinT) = twiddles(window)
-    val nT = fpTransitions(nMels)
     clips.select("clip_id", "sample_rate", "channels", "pcm").as[Clip]
       .map { c =>
-        val mono = toMono(c.pcm, c.channels)
-        val nWin = mono.length / window
-        val t = nWin - 1 // available transitions (window pairs)
-        // sampled transition indices: all of them when the clip is short,
-        // else nT indices strided endpoint-inclusive across [1, t]
-        val trans: Array[Int] =
-          if (t <= 0) Array.empty
-          else if (t <= nT) Array.tabulate(t)(_ + 1)
-          else if (nT == 1) Array(1 + (t - 1) / 2)
-          else Array.tabulate(nT)(k => 1 + (k.toLong * (t - 1) / (nT - 1)).toInt)
-        // mel energies only for windows a sampled transition touches
-        val melCache = new java.util.HashMap[Integer, Array[Double]]()
-        def melOf(w: Int): Array[Double] = {
-          val hit = melCache.get(w)
-          if (hit != null) hit
-          else {
-            val v = new Array[Double](window)
-            var i = 0
-            while (i < window) { v(i) = mono(w * window + i).toDouble; i += 1 }
-            val e = melEnergies(dftPower(v, 0, window, cosT, sinT),
-              window, c.sample_rate, nMels)
-            melCache.put(w, e)
-            e
-          }
-        }
-        var fp = 0L
-        var bit = 0
-        var ti = 0
-        while (ti < trans.length && bit < 64) {
-          val ew = melOf(trans(ti))
-          val ep = melOf(trans(ti) - 1)
-          var m = 0
-          while (m < nMels - 1 && bit < 64) {
-            val d = ew(m) - ew(m + 1) - (ep(m) - ep(m + 1))
-            if (d > 0.0) fp |= (1L << bit)
-            bit += 1
-            m += 1
-          }
-          ti += 1
-        }
+        val (nWin, fp) =
+          fpKernel(toMono(c.pcm, c.channels), c.sample_rate, window, nMels, cosT, sinT)
         (c.clip_id, nWin.toLong, fp)
       }
       .toDF("clip_id", "n_windows", "fp")
+  }
+
+  /** [[fingerprintClips]] keyed by the LAKE identity (bag, topic,
+    * time_ns) — the hash pass of the cross-batch streaming guard
+    * (jobs.FrameDedupIndex) and of the batch clip-dedup manifest.
+    * Emits the image guard's column convention (`dhash`) so the shared
+    * banding/probe/grouping machinery is modality-blind. */
+  def fingerprintClipsByKey(spark: SparkSession, clips: DataFrame,
+      window: Int = 256, nMels: Int = 8): DataFrame = {
+    import spark.implicits._
+    require(window >= 2, s"window must be >= 2; got $window")
+    require(nMels >= 2, s"fingerprint needs >= 2 mel bands; got $nMels")
+    val (cosT, sinT) = twiddles(window)
+    clips.select("bag", "topic", "time_ns", "sample_rate", "channels", "pcm")
+      .as[(String, String, Long, Int, Int, Array[Byte])]
+      .map { case (bag, topic, t, rate, ch, pcm) =>
+        val (nWin, fp) = fpKernel(toMono(pcm, ch), rate, window, nMels, cosT, sinT)
+        (bag, topic, t, nWin.toLong, fp)
+      }
+      .toDF("bag", "topic", "time_ns", "n_windows", "dhash")
+  }
+
+  /** The per-clip fingerprint kernel shared by both entry points:
+    * (window count, strided 64-bit HK sign word). */
+  private def fpKernel(mono: Array[Float], sampleRate: Int, window: Int,
+      nMels: Int, cosT: Array[Double], sinT: Array[Double]): (Int, Long) = {
+    val nT = fpTransitions(nMels)
+    val nWin = mono.length / window
+    val t = nWin - 1 // available transitions (window pairs)
+    // sampled transition indices: all of them when the clip is short,
+    // else nT indices strided endpoint-inclusive across [1, t]
+    val trans: Array[Int] =
+      if (t <= 0) Array.empty
+      else if (t <= nT) Array.tabulate(t)(_ + 1)
+      else if (nT == 1) Array(1 + (t - 1) / 2)
+      else Array.tabulate(nT)(k => 1 + (k.toLong * (t - 1) / (nT - 1)).toInt)
+    // mel energies only for windows a sampled transition touches
+    val melCache = new java.util.HashMap[Integer, Array[Double]]()
+    def melOf(w: Int): Array[Double] = {
+      val hit = melCache.get(w)
+      if (hit != null) hit
+      else {
+        val v = new Array[Double](window)
+        var i = 0
+        while (i < window) { v(i) = mono(w * window + i).toDouble; i += 1 }
+        val e = melEnergies(dftPower(v, 0, window, cosT, sinT),
+          window, sampleRate, nMels)
+        melCache.put(w, e)
+        e
+      }
+    }
+    var fp = 0L
+    var bit = 0
+    var ti = 0
+    while (ti < trans.length && bit < 64) {
+      val ew = melOf(trans(ti))
+      val ep = melOf(trans(ti) - 1)
+      var m = 0
+      while (m < nMels - 1 && bit < 64) {
+        val d = ew(m) - ew(m + 1) - (ep(m) - ep(m + 1))
+        if (d > 0.0) fp |= (1L << bit)
+        bit += 1
+        m += 1
+      }
+      ti += 1
+    }
+    (nWin, fp)
   }
 
   /** Audio near-duplicate pairs within a Hamming radius of the clip
@@ -520,6 +548,21 @@ object AudioOps {
         maxRounds, cacheKey = "audio-groups")
       .select(col("doc_id").as("clip_id"), col("canonical").as("canon_clip_id"),
         (col("doc_id") === col("canonical")).as("is_canonical"))
+
+  /** [[dedupGroupsClips]] keyed by the LAKE identity (bag, topic,
+    * time_ns) — within-batch canonical components over
+    * [[fingerprintClipsByKey]], riding the shared modality-blind
+    * grouping machinery (ImageOps.dedupGroupsFromHashes, the same engine
+    * the image manifest uses); same short-clip gate as [[nearDupClips]].
+    * Output: the dedupGroupsFrames column convention (bag, topic,
+    * time_ns, canon_*, is_canonical), one row per incident clip. */
+  def dedupGroupsClipsByKey(spark: SparkSession, clips: DataFrame,
+      maxHamming: Int = 3, window: Int = 256, nMels: Int = 8): DataFrame =
+    ImageOps.dedupGroupsFromHashes(spark,
+      fingerprintClipsByKey(spark, clips, window, nMels)
+        .filter(col("n_windows") >= fpMinWindows(nMels).toLong)
+        .select("bag", "topic", "time_ns", "dhash"),
+      maxHamming)
 
   final case class Segment(clip_id: Long, seg_no: Int, sample_rate: Int, channels: Int, pcm: Array[Byte])
 
