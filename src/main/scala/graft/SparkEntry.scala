@@ -54,6 +54,7 @@ object SparkEntry {
     "q29f_det_ap_voc07"   -> ((s: SparkSession, d: String) => RosbagDomainOps.detAveragePrecisionVoc07(s, d)),
     "q29g_det_map_coco_greedy" -> ((s: SparkSession, d: String) => RosbagDomainOps.detApCocoGreedy(s, d)),
     "q29h_det_ap_voc07_greedy" -> ((s: SparkSession, d: String) => RosbagDomainOps.detAveragePrecisionVoc07Greedy(s, d)),
+    "q29i_det_coco_scoreboard" -> (RosbagDomainOps.detCocoScoreboard _),
     "q32_track_stitch"    -> ((s: SparkSession, d: String) => RosbagDomainOps.trackStitch(s, d)),
     "q30_train_val_split" -> (RosbagDomainOps.trainValSplit _),
     "q34_salted_join"     -> ((s: SparkSession, d: String) => SkewOps.saltedJoin(s, d)),
@@ -1305,6 +1306,131 @@ object SparkEntry {
          |FROM percls ORDER BY class_id""".stripMargin
   }
 
+  // The q29i COCO-scoreboard oracle (mirrors RosbagDomainOps
+  // .detCocoScoreboard): the apSweepOracleSql chain extended with the
+  // pycocotools area-range/maxDets dimensions — detections rank and
+  // truncate per (image, class) BEFORE matching; the greedy recursion
+  // gains (ab, md) keys and IGNORE-awareness (the LATERAL pick orders
+  // (gig, iou DESC, gt_id): best free non-ignored gt, else best free
+  // ignored one — matched-to-ignored detections leave the PR sweep, as
+  // do unmatched detections whose own area is out of range); per-cell AP
+  // keeps the continuous carrier form; the twelve summarize() rows are
+  // decimal-carrier means over member cells.
+  private def cocoScoreboardOracleSql: String = {
+    def binGate(ab: String, area: String): String =
+      s"""CASE WHEN $ab = 0 THEN TRUE WHEN $ab = 1 THEN $area < 1024
+         |     WHEN $ab = 2 THEN $area >= 1024 AND $area < 9216
+         |     ELSE $area >= 9216 END""".stripMargin
+    s"""WITH RECURSIVE $NMS_CTES,
+       |dr AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY image_id, class_id
+       |         ORDER BY si DESC, pred_id) AS BIGINT) AS dr,
+       |       w * h AS darea FROM keptd),
+       |tis AS (SELECT CAST(unnest([${(10 to 19).mkString(", ")}]) AS BIGINT) AS ti),
+       |combos AS (SELECT CAST(ab AS BIGINT) AS ab, CAST(md AS BIGINT) AS md
+       |           FROM (VALUES (0, 1), (0, 10), (0, 100), (1, 100), (2, 100), (3, 100)) c(ab, md)),
+       |abins AS (SELECT DISTINCT ab FROM combos),
+       |pairs0 AS (SELECT g.image_id, g.class_id, g.gt_id, p.pred_id, p.si, p.dr,
+       |            g.gw * g.gh AS garea, CAST(inter AS DOUBLE) / uni AS iou
+       |          FROM gt g JOIN dr p ON g.image_id = p.image_id AND g.class_id = p.class_id,
+       |          LATERAL (SELECT
+       |            GREATEST(0, LEAST(g.gx + g.gw, p.x + p.w) - GREATEST(g.gx, p.x))
+       |            * GREATEST(0, LEAST(g.gy + g.gh, p.y + p.h) - GREATEST(g.gy, p.y)) AS inter,
+       |            g.gw * g.gh + p.w * p.h
+       |            - GREATEST(0, LEAST(g.gx + g.gw, p.x + p.w) - GREATEST(g.gx, p.x))
+       |              * GREATEST(0, LEAST(g.gy + g.gh, p.y + p.h) - GREATEST(g.gy, p.y)) AS uni) t
+       |          WHERE CAST(inter AS DOUBLE) / uni >= 0.5),
+       |pairs AS (SELECT t.ti, c.ab, c.md, p.image_id, p.class_id, p.gt_id, p.pred_id,
+       |            p.si, p.iou, NOT (${binGate("c.ab", "p.garea")}) AS gig
+       |          FROM pairs0 p CROSS JOIN tis t CROSS JOIN combos c
+       |          WHERE p.iou >= CAST(t.ti AS DOUBLE) / 20.0 AND p.dr <= c.md),
+       |gp AS (SELECT DISTINCT ti, ab, md, image_id, class_id, pred_id, si FROM pairs),
+       |rankedm AS (SELECT ti, ab, md, image_id, class_id, pred_id,
+       |              ROW_NUMBER() OVER (PARTITION BY ti, ab, md, image_id, class_id
+       |                ORDER BY si DESC, pred_id) AS rk
+       |            FROM gp),
+       |gcnt AS (SELECT ti, ab, md, image_id, class_id, MAX(rk) AS nrk
+       |         FROM rankedm GROUP BY 1, 2, 3, 4, 5),
+       |gstep AS (
+       |  SELECT ti, ab, md, image_id, class_id, CAST(0 AS BIGINT) AS rk,
+       |         CAST([] AS BIGINT[]) AS used, CAST([] AS BIGINT[]) AS tps,
+       |         CAST([] AS BIGINT[]) AS igs
+       |  FROM gcnt
+       |  UNION ALL
+       |  SELECT s.ti, s.ab, s.md, s.image_id, s.class_id, r.rk,
+       |    CASE WHEN pick.gt_id IS NOT NULL THEN list_append(s.used, pick.gt_id) ELSE s.used END,
+       |    CASE WHEN pick.gt_id IS NOT NULL AND NOT pick.gig
+       |         THEN list_append(s.tps, r.pred_id) ELSE s.tps END,
+       |    CASE WHEN pick.gt_id IS NOT NULL AND pick.gig
+       |         THEN list_append(s.igs, r.pred_id) ELSE s.igs END
+       |  FROM gstep s
+       |  JOIN rankedm r ON r.ti = s.ti AND r.ab = s.ab AND r.md = s.md
+       |    AND r.image_id = s.image_id AND r.class_id = s.class_id AND r.rk = s.rk + 1
+       |  LEFT JOIN LATERAL (
+       |    SELECT p.gt_id, p.gig FROM pairs p
+       |    WHERE p.ti = s.ti AND p.ab = s.ab AND p.md = s.md AND p.pred_id = r.pred_id
+       |      AND NOT list_contains(s.used, p.gt_id)
+       |    ORDER BY p.gig, p.iou DESC, p.gt_id LIMIT 1) pick ON TRUE),
+       |gdone AS (SELECT s.* FROM gstep s
+       |          JOIN gcnt g ON s.ti = g.ti AND s.ab = g.ab AND s.md = g.md
+       |            AND s.image_id = g.image_id AND s.class_id = g.class_id AND s.rk = g.nrk),
+       |m AS (SELECT s.ti, s.ab, s.md, u.pred_id, FALSE AS mig
+       |      FROM gdone s, LATERAL (SELECT unnest(s.tps) AS pred_id) u
+       |      UNION ALL
+       |      SELECT s.ti, s.ab, s.md, u.pred_id, TRUE
+       |      FROM gdone s, LATERAL (SELECT unnest(s.igs) AS pred_id) u),
+       |ngb AS (SELECT a.ab, g.class_id, CAST(COUNT(*) AS BIGINT) AS n_gt
+       |        FROM gt g CROSS JOIN abins a
+       |        WHERE ${binGate("a.ab", "g.gw * g.gh")}
+       |        GROUP BY 1, 2),
+       |rk2 AS (SELECT t.ti, c.ab, c.md, p.class_id, p.pred_id, p.si,
+       |          CASE WHEN m.pred_id IS NOT NULL AND NOT m.mig THEN 1 ELSE 0 END AS is_tp
+       |        FROM dr p CROSS JOIN tis t CROSS JOIN combos c
+       |        LEFT JOIN m ON m.ti = t.ti AND m.ab = c.ab AND m.md = c.md
+       |          AND m.pred_id = p.pred_id
+       |        WHERE p.dr <= c.md
+       |          AND NOT COALESCE(m.mig, NOT (${binGate("c.ab", "p.darea")}))),
+       |cum AS (SELECT ti, ab, md, class_id, pred_id, si, is_tp,
+       |          SUM(is_tp) OVER (PARTITION BY ti, ab, md, class_id ORDER BY si DESC, pred_id
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tp,
+       |          CAST(ROW_NUMBER() OVER (PARTITION BY ti, ab, md, class_id
+       |            ORDER BY si DESC, pred_id) AS BIGINT) AS rnk
+       |        FROM rk2),
+       |ip AS (SELECT ti, ab, md, class_id, is_tp,
+       |         MAX(CAST(cum_tp AS DOUBLE) / rnk) OVER (PARTITION BY ti, ab, md, class_id
+       |           ORDER BY si DESC, pred_id
+       |           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS iprec
+       |       FROM cum),
+       |rawap AS (SELECT i.ti, i.ab, i.md, i.class_id,
+       |    CAST(SUM(i.is_tp) AS BIGINT) AS n_tp,
+       |    CAST(SUM(CAST(CASE WHEN i.is_tp = 1 THEN i.iprec END AS DECIMAL(27,6))) AS DOUBLE) AS apsum
+       |  FROM ip i GROUP BY 1, 2, 3, 4),
+       |skeleton AS (SELECT t.ti, c.ab, c.md, n.class_id, n.n_gt
+       |             FROM ngb n JOIN combos c ON c.ab = n.ab CROSS JOIN tis t),
+       |cells AS (SELECT s.ti, s.ab, s.md, s.class_id, s.n_gt,
+       |    COALESCE(r.n_tp, 0) AS n_tp,
+       |    COALESCE(r.apsum / s.n_gt, 0.0) AS ap,
+       |    CAST(COALESCE(r.n_tp, 0) AS DOUBLE) / s.n_gt AS recall
+       |  FROM skeleton s LEFT JOIN rawap r ON r.ti = s.ti AND r.ab = s.ab
+       |    AND r.md = s.md AND r.class_id = s.class_id),
+       |mcells AS (
+       |  SELECT 1 AS mno, 'AP' AS metric, ap AS v FROM cells WHERE ab = 0 AND md = 100
+       |  UNION ALL SELECT 2, 'AP50', ap FROM cells WHERE ab = 0 AND md = 100 AND ti = 10
+       |  UNION ALL SELECT 3, 'AP75', ap FROM cells WHERE ab = 0 AND md = 100 AND ti = 15
+       |  UNION ALL SELECT 4, 'AP_small', ap FROM cells WHERE ab = 1 AND md = 100
+       |  UNION ALL SELECT 5, 'AP_medium', ap FROM cells WHERE ab = 2 AND md = 100
+       |  UNION ALL SELECT 6, 'AP_large', ap FROM cells WHERE ab = 3 AND md = 100
+       |  UNION ALL SELECT 7, 'AR_1', recall FROM cells WHERE ab = 0 AND md = 1
+       |  UNION ALL SELECT 8, 'AR_10', recall FROM cells WHERE ab = 0 AND md = 10
+       |  UNION ALL SELECT 9, 'AR_100', recall FROM cells WHERE ab = 0 AND md = 100
+       |  UNION ALL SELECT 10, 'AR_small', recall FROM cells WHERE ab = 1 AND md = 100
+       |  UNION ALL SELECT 11, 'AR_medium', recall FROM cells WHERE ab = 2 AND md = 100
+       |  UNION ALL SELECT 12, 'AR_large', recall FROM cells WHERE ab = 3 AND md = 100)
+       |SELECT CAST(mno AS BIGINT) AS metric_no, metric,
+       |  CAST(COUNT(*) AS BIGINT) AS n_cells,
+       |  CAST(SUM(CAST(v AS DECIMAL(27,6))) AS DOUBLE) / COUNT(v) AS value
+       |FROM mcells GROUP BY 1, 2 ORDER BY metric_no""".stripMargin
+  }
+
   // Exact-sum carrier used by every oracle: identical decimal cast chain as
   // graft.functions.Exact, so double aggregates are bit-identical.
   /** Hyperplane sign-block SQL over column `v` (`bits` planes of table
@@ -1846,6 +1972,7 @@ object SparkEntry {
     // COCO mAP under COCO's own greedy score-order assignment — the
     // recursive-CTE replay of the sequential claim loop
     "q29g_det_map_coco_greedy" -> apSweepOracleSql(10 to 19, coco = true, greedy = true),
+    "q29i_det_coco_scoreboard" -> cocoScoreboardOracleSql,
 
     // the exact-reproduction arm for the reference's VOC07MApMetric:
     // 11-point interpolation AND greedy score-order assignment together

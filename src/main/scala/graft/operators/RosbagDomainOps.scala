@@ -795,6 +795,229 @@ object RosbagDomainOps {
       .orderBy("iou_thr", "class_id")
   }
 
+  /** One (ti, area, maxDet, image, class) group's IGNORE-AWARE COCO
+    * greedy assignment — [[greedyMatchGroup]] extended with pycocotools'
+    * area-range ignore semantics (cocoeval.py evaluateImg): ground truths
+    * outside the cell's area range are IGNORE rather than absent, a
+    * detection prefers the best free NON-ignored gt and falls back to the
+    * best free ignored one (exactly the lexicographic pick (ignored ASC,
+    * IoU DESC, gt_id ASC) — pycocotools sorts ignored gts last and
+    * breaks out of the scan once a real match exists), and a detection
+    * that claims an ignored gt is itself ignored downstream (neither TP
+    * nor FP). Input: candidate pairs (gt_id, pred_id, iou, si, gt_ignore)
+    * already gated at the group's IoU threshold; output one row per
+    * matched detection: (pred_id, matched_gt_was_ignored). Pure and
+    * Spark-free (the [[nmsGroup]] convention) so the spec fuzzes it
+    * against a naive loop.
+    */
+  private[graft] def greedyMatchGroupIgnore(
+      cands: Array[(Long, Long, Double, Long, Boolean)]): scala.collection.Seq[(Long, Boolean)] = {
+    val byPred = cands.groupBy(_._2)
+    val siOf = byPred.map { case (p, g) =>
+      val si = g(0)._4
+      require(g.forall(_._4 == si),
+        s"greedyMatchGroupIgnore: candidate rows of pred $p carry differing scores")
+      p -> si
+    }
+    val scoreDescPredAsc: Ordering[Long] = Ordering.fromLessThan { (a, b) =>
+      val sa = siOf(a); val sb = siOf(b)
+      if (sa != sb) sa > sb else a < b
+    }
+    val order = byPred.keys.toArray.sorted(scoreDescPredAsc)
+    val used = scala.collection.mutable.HashSet.empty[Long]
+    val out = new scala.collection.mutable.ArrayBuffer[(Long, Boolean)](order.length)
+    order.foreach { p =>
+      val free = byPred(p).filter(t => !used.contains(t._1))
+      if (free.nonEmpty) {
+        val best = free.minBy(t => (if (t._5) 1 else 0, -t._3, t._1))
+        used += best._1
+        out += ((p, best._5))
+      }
+    }
+    out
+  }
+
+  /** COCO area ranges (pixel² on the box, pycocotools' constants):
+    * index 0 = all, 1 = small (< 32²), 2 = medium ([32², 96²)),
+    * 3 = large (≥ 96²). Bounds are [lo, hi). */
+  private[graft] val AreaBins: Seq[(Long, String, Long, Long)] = Seq(
+    (0L, "all", 0L, Long.MaxValue), (1L, "small", 0L, 1024L),
+    (2L, "medium", 1024L, 9216L), (3L, "large", 9216L, Long.MaxValue))
+
+  /** q29i — the full pycocotools SCOREBOARD on the q29e/q29g eval model:
+    * the twelve numbers `COCOeval.summarize()` prints — AP@[.5:.95],
+    * AP50, AP75, AP across the small/medium/large area ranges, and
+    * average recall at maxDets ∈ {1, 10, 100} plus AR across the area
+    * ranges. Completes the detector-evaluation surface next to the
+    * threshold sweep (q29e/g) and the VOC arms (q29c/f/h): area ranges
+    * localize WHERE a detector fails (small-object misses dominate AV
+    * perception), maxDets bounds measure ranking quality under a
+    * detections budget.
+    *
+    * Semantics (pycocotools cocoeval.py, greedy arm): detections rank
+    * (score DESC, pred_id) per (image, class) and truncate to maxDets
+    * BEFORE matching; ground truths outside the cell's area range are
+    * IGNORE (not absent) — matching runs through
+    * [[greedyMatchGroupIgnore]]; a detection matched to an ignored gt,
+    * or unmatched with its OWN area outside the range, is excluded from
+    * the ranked PR sweep entirely (neither TP nor FP); n_gt counts only
+    * in-range gts, and (area, class) cells with zero in-range gts are
+    * excluded from every mean (pycocotools' −1 convention). AP stays the
+    * engine's VOC2010 continuous integral (the q29c/e/g form; pycocotools
+    * itself samples 101 recall points — a documented interpolation-mode
+    * deviation exactly like q29e's, bracketed by q29f/q29h). Recall per
+    * cell = n_tp / n_gt at the full (truncated) ranked list.
+    *
+    * Scale shape: ONE NMS pass and ONE loosest-gate candidate join serve
+    * all cells; a bounded 6-combo (area, maxDets) × 10-threshold explode
+    * re-gates them (the ti-explode pattern); the greedy kernel runs per
+    * bounded (ti, area, maxDet, image, class) group; the ranked sweep
+    * windows gain (ab, md) partition columns. Cells are ≤ 6·10·|classes|
+    * rows, materialized locally; the twelve metric means ride the
+    * DECIMAL carrier over cell values. Same eval-set contract as q29c.
+    * Output: (metric_no, metric, n_cells, value), the summarize() order.
+    */
+  def detCocoScoreboard(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val (gt, det) = scoredDetections(s, d)
+    val kept = nms(det).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tis = (10 to 19).map(_.toLong)
+    // the (area bin, maxDets) cells the scoreboard reads: area sweep at
+    // the standard 100-det budget, det-budget sweep on the full range
+    val combos = Seq((0L, 1L), (0L, 10L), (0L, 100L),
+      (1L, 100L), (2L, 100L), (3L, 100L))
+    val tiCol = explode(array(tis.map(lit): _*))
+    val comboCol = explode(array(combos.map { case (ab, md) =>
+      struct(lit(ab).as("ab"), lit(md).as("md"))
+    }: _*))
+    def inBin(ab: Column, area: Column): Column =
+      AreaBins.tail.foldLeft(lit(true)) { case (acc, (i, _, lo, hi)) =>
+        when(ab === i, area >= lo && area < hi).otherwise(acc)
+      }
+    val cellsLocal = try {
+      // detection rank within (image, class) — the maxDets truncation key
+      val wDr = Window.partitionBy("image_id", "class_id")
+        .orderBy(col("si").desc, col("pred_id"))
+      val keptR = kept.withColumn("dr", row_number().over(wDr).cast("long"))
+        .withColumn("darea", col("w") * col("h"))
+      val iw = greatest(lit(0L), least(col("gx") + col("gw"), col("x") + col("w")) - greatest(col("gx"), col("x")))
+      val ih = greatest(lit(0L), least(col("gy") + col("gh"), col("y") + col("h")) - greatest(col("gy"), col("y")))
+      val pairs0 = gt.withColumn("garea", col("gw") * col("gh"))
+        .join(keptR.withColumnRenamed("image_id", "p_image_id")
+          .withColumnRenamed("class_id", "p_class_id"),
+          col("image_id") === col("p_image_id") && col("class_id") === col("p_class_id"))
+        .withColumn("inter", iw * ih)
+        .withColumn("uni", col("gw") * col("gh") + col("w") * col("h") - col("inter"))
+        .withColumn("iou", col("inter").cast("double") / col("uni"))
+        .filter(col("iou") >= 0.5)
+        .select(col("image_id"), col("class_id"), col("gt_id"), col("pred_id"),
+          col("iou"), col("si"), col("dr"), col("garea"))
+      val pairs = pairs0
+        .withColumn("ti", tiCol)
+        .filter(col("iou") >= col("ti").cast("double") / 20.0)
+        .withColumn("c", comboCol)
+        .select(col("ti"), col("c.ab").as("ab"), col("c.md").as("md"),
+          col("image_id"), col("class_id"), col("gt_id"), col("pred_id"),
+          col("iou"), col("si"),
+          (!inBin(col("c.ab"), col("garea"))).as("gig"), col("dr"))
+        .filter(col("dr") <= col("md"))
+      val matched = pairs
+        .select(col("ti"), col("ab"), col("md"), col("image_id"), col("class_id"),
+          col("gt_id"), col("pred_id"), col("iou"), col("si"), col("gig"))
+        .as[(Long, Long, Long, Long, Long, Long, Long, Double, Long, Boolean)]
+        .groupByKey { case (ti, ab, md, img, cls, _, _, _, _, _) => (ti, ab, md, img, cls) }
+        .flatMapGroups { (key: (Long, Long, Long, Long, Long),
+            it: Iterator[(Long, Long, Long, Long, Long, Long, Long, Double, Long, Boolean)]) =>
+          greedyMatchGroupIgnore(it.map { case (_, _, _, _, _, g, p, iou, si, gig) =>
+            (g, p, iou, si, gig)
+          }.toArray).iterator.map { case (p, mig) => (key._1, key._2, key._3, p, mig) }
+        }
+        .toDF("ti", "ab", "md", "pred_id", "mig")
+      // in-range gt counts per (area bin, class) — cells with zero
+      // in-range gts never exist (pycocotools' excluded −1 cells).
+      // Binned over the DISTINCT area-bin list (combos repeat ab 0 across
+      // the three det-budget arms; exploding combos here would triple-
+      // count the full-range gts)
+      val abCol = explode(array(combos.map(_._1).distinct.map(lit): _*))
+      val ngBin = gt.withColumn("garea", col("gw") * col("gh"))
+        .withColumn("ab", abCol)
+        .filter(inBin(col("ab"), col("garea")))
+        .groupBy("ab", "class_id")
+        .agg(count(lit(1)).as("n_gt"))
+      // the ranked PR sweep: truncated detections minus the IGNORED ones
+      val wRank = Window.partitionBy("ti", "ab", "md", "class_id")
+        .orderBy(col("si").desc, col("pred_id"))
+      val wCum = wRank.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wEnvRev = Window.partitionBy("ti", "ab", "md", "class_id")
+        .orderBy(col("si").asc, col("pred_id").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val ranked = keptR
+        .withColumn("ti", tiCol)
+        .withColumn("c", comboCol)
+        .select(col("ti"), col("c.ab").as("ab"), col("c.md").as("md"),
+          col("class_id"), col("pred_id"), col("si"), col("dr"), col("darea"))
+        .filter(col("dr") <= col("md"))
+        .join(matched, Seq("ti", "ab", "md", "pred_id"), "left")
+        .withColumn("ignored",
+          when(col("mig").isNotNull, col("mig"))
+            .otherwise(!inBin(col("ab"), col("darea"))))
+        .filter(!col("ignored"))
+        .withColumn("is_tp",
+          when(col("mig").isNotNull && !col("mig"), 1L).otherwise(0L))
+        .withColumn("cum_tp", sum(col("is_tp")).over(wCum))
+        .withColumn("rnk", row_number().over(wRank).cast("long"))
+        .withColumn("iprec",
+          max(col("cum_tp").cast("double") / col("rnk").cast("double")).over(wEnvRev))
+      val rawCells = ranked.join(ngBin, Seq("ab", "class_id"))
+        .groupBy("ti", "ab", "md", "class_id", "n_gt")
+        .agg(sum(col("is_tp")).as("n_tp"),
+          (dsum(when(col("is_tp") === 1L, col("iprec"))) /
+            col("n_gt").cast("double")).as("ap"))
+      // the cell SKELETON: every (ti, combo, in-range class) exists even
+      // when zero detections survive — an all-miss cell must average in
+      // as 0, not vanish
+      val skeleton = ngBin
+        .withColumn("c", comboCol)
+        .filter(col("c.ab") === col("ab"))
+        .select(col("ab"), col("c.md").as("md"), col("class_id"), col("n_gt"))
+        .withColumn("ti", tiCol)
+      val cells = skeleton
+        .join(rawCells, Seq("ti", "ab", "md", "class_id", "n_gt"), "left")
+        .select(col("ti"), col("ab"), col("md"), col("class_id"), col("n_gt"),
+          coalesce(col("n_tp"), lit(0L)).as("n_tp"),
+          coalesce(col("ap"), lit(0.0)).as("ap"))
+        .withColumn("recall", col("n_tp").cast("double") / col("n_gt").cast("double"))
+      // bounded at ≤ |tis|·|combos|·|classes| rows — materialize so the
+      // twelve metric branches never re-run the sweep (apSweepCells'
+      // discipline), then release the NMS cache
+      val rows = cells.collect()
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), cells.schema)
+    } finally kept.unpersist(blocking = false)
+    // the twelve summarize() rows: each a decimal-carrier mean over its
+    // member cells (AP metrics read `ap`, AR metrics read `recall`)
+    def metricOf(no: Int, name: String, member: Column, v: Column): DataFrame =
+      cellsLocal.filter(member)
+        .agg(count(lit(1)).as("n_cells"), davg(v).as("value"))
+        .select(lit(no.toLong).as("metric_no"), lit(name).as("metric"),
+          col("n_cells"), col("value"))
+    val ab = col("ab"); val md = col("md"); val ti = col("ti")
+    Seq(
+      metricOf(1, "AP", ab === 0 && md === 100, col("ap")),
+      metricOf(2, "AP50", ab === 0 && md === 100 && ti === 10, col("ap")),
+      metricOf(3, "AP75", ab === 0 && md === 100 && ti === 15, col("ap")),
+      metricOf(4, "AP_small", ab === 1 && md === 100, col("ap")),
+      metricOf(5, "AP_medium", ab === 2 && md === 100, col("ap")),
+      metricOf(6, "AP_large", ab === 3 && md === 100, col("ap")),
+      metricOf(7, "AR_1", ab === 0 && md === 1, col("recall")),
+      metricOf(8, "AR_10", ab === 0 && md === 10, col("recall")),
+      metricOf(9, "AR_100", ab === 0 && md === 100, col("recall")),
+      metricOf(10, "AR_small", ab === 1 && md === 100, col("recall")),
+      metricOf(11, "AR_medium", ab === 2 && md === 100, col("recall")),
+      metricOf(12, "AR_large", ab === 3 && md === 100, col("recall")))
+      .reduce(_ unionByName _)
+      .orderBy("metric_no")
+  }
+
   /** q32 — multi-object track stitching over the detection stream: the
     * tracking-by-detection baseline an AV data lake runs to give per-frame
     * detections a temporal identity (the tracklets labeling and training

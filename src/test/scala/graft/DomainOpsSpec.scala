@@ -516,6 +516,148 @@ class DomainOpsSpec extends SparkSpec {
       s"greedy must match BOTH dets on the divergence case; got $greedyTps")
   }
 
+  test("q29i COCO scoreboard: matches a naive pycocotools-style driver sweep " +
+    "(area-ignore greedy matching, maxDets truncation); area bins partition " +
+    "n_gt; AR monotone in maxDets; (all,100) cells equal q29g's") {
+    val (gts, dets) = naiveModel()
+    val kept = naiveNms(dets)
+    def binOf(area: Long): Long = if (area < 1024) 1L else if (area < 9216) 2L else 3L
+    def inBin(ab: Long, area: Long): Boolean = ab == 0L || binOf(area) == ab
+    val combos = Seq((0L, 1L), (0L, 10L), (0L, 100L), (1L, 100L), (2L, 100L), (3L, 100L))
+    // every area bin must be POPULATED on this model or the sweep is vacuous
+    (0L to 3L).foreach { ab =>
+      assert(gts.exists(g => inBin(ab, g.w * g.h)), s"area bin $ab empty — model degenerate")
+    }
+    // naive cells: per (ti, combo) one ignore-aware greedy pass, then
+    // per-class PR — written independently of the kernel and the plan
+    val cells = (for {
+      ti <- 10 to 19
+      (ab, md) <- combos
+    } yield {
+      val thr = ti / 20.0
+      val truncated = kept.groupBy(d => (d.img, d.cls)).values.flatMap { ds =>
+        ds.sortBy(d => (-d.si, d.id)).take(md.toInt)
+      }.toSeq
+      val matchedIg = scala.collection.mutable.Map.empty[Long, Boolean]
+      truncated.groupBy(d => (d.img, d.cls)).foreach { case ((img, cls), ds) =>
+        val gs = gts.filter(g => g.img == img && g.cls == cls)
+        val used = scala.collection.mutable.HashSet.empty[Long]
+        ds.sortBy(d => (-d.si, d.id)).foreach { p =>
+          val free = gs.filter(g => !used.contains(g.id) && iouD(g, p) >= thr)
+          if (free.nonEmpty) {
+            // pycocotools pick: best free non-ignored gt, else best ignored
+            val best = free.minBy(g =>
+              (if (inBin(ab, g.w * g.h)) 0 else 1, -iouD(g, p), g.id))
+            used += best.id
+            matchedIg(p.id) = !inBin(ab, best.w * best.h)
+          }
+        }
+      }
+      (0L to 2L).flatMap { c =>
+        val nGt = gts.count(g => g.cls == c && inBin(ab, g.w * g.h))
+        if (nGt == 0) None
+        else {
+          val ranked = truncated.filter(_.cls == c)
+            .filter(d => matchedIg.get(d.id) match {
+              case Some(ig) => !ig                 // matched-to-ignored: out
+              case None     => inBin(ab, d.w * d.h) // unmatched out-of-range: out
+            })
+            .sortBy(d => (-d.si, d.id))
+          val isTp = ranked.map(d => matchedIg.get(d.id).contains(false))
+          val cumTp = isTp.scanLeft(0)((a, t) => a + (if (t) 1 else 0)).tail
+          val prec = cumTp.zipWithIndex.map { case (ct, i) => ct.toDouble / (i + 1) }
+          val env = prec.scanRight(0.0)(math.max).init
+          val nTp = cumTp.lastOption.getOrElse(0)
+          Some((ti.toLong, ab, md, c) ->
+            ((nTp.toLong, isTp.zip(env).filter(_._1).map(_._2).sum / nGt,
+              nTp.toDouble / nGt)))
+        }
+      }
+    }).flatten.toMap
+    def mean(vs: Iterable[Double]) = vs.sum / vs.size
+    def cellsOf(ab: Long, md: Long, tiOnly: Option[Long] = None) =
+      cells.collect { case ((ti, a, m, _), v) if a == ab && m == md &&
+        tiOnly.forall(_ == ti) => v }
+    val expect = Map(
+      1L -> mean(cellsOf(0, 100).map(_._2)),
+      2L -> mean(cellsOf(0, 100, Some(10)).map(_._2)),
+      3L -> mean(cellsOf(0, 100, Some(15)).map(_._2)),
+      4L -> mean(cellsOf(1, 100).map(_._2)),
+      5L -> mean(cellsOf(2, 100).map(_._2)),
+      6L -> mean(cellsOf(3, 100).map(_._2)),
+      7L -> mean(cellsOf(0, 1).map(_._3)),
+      8L -> mean(cellsOf(0, 10).map(_._3)),
+      9L -> mean(cellsOf(0, 100).map(_._3)),
+      10L -> mean(cellsOf(1, 100).map(_._3)),
+      11L -> mean(cellsOf(2, 100).map(_._3)),
+      12L -> mean(cellsOf(3, 100).map(_._3)))
+    val got = operators.RosbagDomainOps.detCocoScoreboard(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got.keySet === (1L to 12L).toSet)
+    expect.foreach { case (no, e) =>
+      assert(math.abs(got(no)._3 - e) < 1e-4,
+        s"metric ${got(no)._1}: ${got(no)._3} vs naive $e")
+    }
+    // structural pins:
+    // (a) the area bins PARTITION the gt set per class
+    (0L to 2L).foreach { c =>
+      val all = gts.count(_.cls == c)
+      val parts = (1L to 3L).map(ab => gts.count(g => g.cls == c && inBin(ab, g.w * g.h)))
+      assert(parts.sum === all, s"class $c: bins don't partition ($parts vs $all)")
+    }
+    // (b) the maxDets budget is monotone: truncation only removes the
+    // ranked TAIL, so the matched set can only grow — recall at 1 <= 10
+    // <= 100 cell by cell, and so the AR metrics in aggregate
+    for (ti <- 10L to 19L; c <- 0L to 2L) {
+      val r1 = cells((ti, 0L, 1L, c))._3
+      val r10 = cells((ti, 0L, 10L, c))._3
+      val r100 = cells((ti, 0L, 100L, c))._3
+      assert(r1 <= r10 + 1e-12 && r10 <= r100 + 1e-12, s"ti=$ti c=$c: recall not monotone")
+    }
+    assert(got(7L)._3 <= got(8L)._3 + 1e-12 && got(8L)._3 <= got(9L)._3 + 1e-12)
+    // (c) on the full range nothing is ignored and no group exceeds 100
+    // detections, so q29i's (all, 100) cells ARE q29g's sweep: the AP
+    // metric equals q29g's mAP rollup exactly
+    val g29 = operators.RosbagDomainOps.detApCocoGreedy(spark, sf).collect()
+      .find(r => r.getLong(1) == -1L).get.getDouble(5)
+    assert(math.abs(got(1L)._3 - g29) < 1e-9,
+      s"AP ${got(1L)._3} != q29g rollup $g29 — (all,100) cells drifted")
+
+    // kernel fuzz: greedyMatchGroupIgnore == the reference pick on random
+    // groups with random ignore flags; ignore-blind inputs reduce to
+    // greedyMatchGroup
+    val rng = new scala.util.Random(13)
+    (1 to 50).foreach { trial =>
+      val nGt = 1 + rng.nextInt(5); val nPred = 1 + rng.nextInt(8)
+      val gig = (0 until nGt).map(g => g.toLong -> rng.nextBoolean()).toMap
+      val siOf = (0 until nPred).map(p => 100L + p -> rng.nextInt(1000).toLong).toMap
+      val cands = for {
+        g <- 0 until nGt; p <- 0 until nPred
+        if rng.nextBoolean()
+      } yield (g.toLong, 100L + p, rng.nextInt(100) / 100.0, siOf(100L + p), gig(g.toLong))
+      val expectK = {
+        val used = scala.collection.mutable.HashSet.empty[Long]
+        cands.map(_._2).distinct.sortBy(p => (-siOf(p), p)).flatMap { p =>
+          val free = cands.filter(t => t._2 == p && !used.contains(t._1))
+          if (free.isEmpty) None
+          else {
+            val b = free.minBy(t => (if (t._5) 1 else 0, -t._3, t._1))
+            used += b._1
+            Some((p, b._5))
+          }
+        }
+      }
+      val gotK = operators.RosbagDomainOps.greedyMatchGroupIgnore(cands.toArray)
+      assert(gotK.toSet === expectK.toSet, s"trial $trial: $gotK vs $expectK")
+      val blind = cands.map { case (g, p, iou, si, _) => (g, p, iou, si, false) }
+      assert(operators.RosbagDomainOps.greedyMatchGroupIgnore(blind.toArray)
+        .map(_._1).toSet ===
+        operators.RosbagDomainOps.greedyMatchGroup(
+          cands.map { case (g, p, iou, si, _) => (g, p, iou, si) }.toArray).toSet,
+        s"trial $trial: ignore-blind kernel drifted from greedyMatchGroup")
+    }
+  }
+
   test("q29c/q29e leave zero cache entries behind (apSweepCells lifecycle)") {
     // the AP sweep persists the NMS output internally (it feeds both the
     // matching join and the ranked sweep); a long-lived session calling
