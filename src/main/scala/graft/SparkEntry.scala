@@ -135,6 +135,7 @@ object SparkEntry {
     "q67_semantic_dedup"  -> ((s: SparkSession, d: String) => DedupOps.semanticDedup(s, d)),
     "q68_ann_recall"      -> ((s: SparkSession, d: String) => SimilarityOps.annRecall(s, d)),
     "q107_retrieval_quality" -> ((s: SparkSession, d: String) => SimilarityOps.retrievalQuality(s, d)),
+    "q107b_retrieval_quality_multi" -> ((s: SparkSession, d: String) => SimilarityOps.retrievalQualityMulti(s, d)),
     "q108_index_drift"    -> ((s: SparkSession, d: String) => SimilarityOps.indexDrift(s, d)),
     "q68b_ann_recall_wide" -> ((s: SparkSession, d: String) => SimilarityOps.annRecall(s, d, queryIdMax = 300)),
     "q68c_ann_recall_curve" -> ((s: SparkSession, d: String) => SimilarityOps.annRecallCurve(s, d)),
@@ -656,42 +657,47 @@ object SparkEntry {
     * (q_id, neighbor_id, cos, rank ≤ 3). ONE text — the search being
     * gated and its recall gate cannot drift apart. Expects EMB_NORM's
     * `n` upstream. */
-  private def imiSearchCtes: String = {
+  private def imiSearchCtes: String = imiSearchCtesK(3, "")
+
+  /** The IMI chain parameterized by result depth `k` and a CTE-name
+    * prefix `p` so it can coexist with the frozen-IVF asg/qs/cp chains in
+    * one query (the q107b multi-arm oracle). */
+  private def imiSearchCtesK(k: Int, p: String): String = {
     val kk = graft.operators.ImiCodebooks.k
-    s"""cb1 AS (SELECT i1, c FROM (${imiHalfValues(graft.operators.ImiCodebooks.half1)}) t(i1, c)),
-       |cb2 AS (SELECT i2, c FROM (${imiHalfValues(graft.operators.ImiCodebooks.half2)}) t(i2, c)),
-       |d1 AS (SELECT n.vec_id, b.i1,
+    s"""${p}cb1 AS (SELECT i1, c FROM (${imiHalfValues(graft.operators.ImiCodebooks.half1)}) t(i1, c)),
+       |${p}cb2 AS (SELECT i2, c FROM (${imiHalfValues(graft.operators.ImiCodebooks.half2)}) t(i2, c)),
+       |${p}d1 AS (SELECT n.vec_id, b.i1,
        |         list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 33),
        |           i -> (n.v[i] - b.c[i]) * (n.v[i] - b.c[i]))), (x2, y2) -> x2 + y2) AS dd
-       |       FROM n, cb1 b),
-       |d2 AS (SELECT n.vec_id, b.i2,
+       |       FROM n, ${p}cb1 b),
+       |${p}d2 AS (SELECT n.vec_id, b.i2,
        |         list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 33),
        |           i -> (n.v[i + 32] - b.c[i]) * (n.v[i + 32] - b.c[i]))), (x2, y2) -> x2 + y2) AS dd
-       |       FROM n, cb2 b),
-       |a1 AS (SELECT vec_id, i1 FROM (SELECT vec_id, i1,
-       |         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dd, i1) AS rk FROM d1) WHERE rk = 1),
-       |a2 AS (SELECT vec_id, i2 FROM (SELECT vec_id, i2,
-       |         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dd, i2) AS rk FROM d2) WHERE rk = 1),
-       |asg AS (SELECT a1.vec_id, CAST(a1.i1 * $kk + a2.i2 AS BIGINT) AS list_id
-       |        FROM a1 JOIN a2 ON a1.vec_id = a2.vec_id),
-       |probe AS (SELECT d1.vec_id, CAST(d1.i1 * $kk + d2.i2 AS BIGINT) AS list_id,
+       |       FROM n, ${p}cb2 b),
+       |${p}a1 AS (SELECT vec_id, i1 FROM (SELECT vec_id, i1,
+       |         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dd, i1) AS rk FROM ${p}d1) WHERE rk = 1),
+       |${p}a2 AS (SELECT vec_id, i2 FROM (SELECT vec_id, i2,
+       |         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dd, i2) AS rk FROM ${p}d2) WHERE rk = 1),
+       |${p}asg AS (SELECT a1.vec_id, CAST(a1.i1 * $kk + a2.i2 AS BIGINT) AS list_id
+       |        FROM ${p}a1 a1 JOIN ${p}a2 a2 ON a1.vec_id = a2.vec_id),
+       |${p}probe AS (SELECT d1.vec_id, CAST(d1.i1 * $kk + d2.i2 AS BIGINT) AS list_id,
        |            ROW_NUMBER() OVER (PARTITION BY d1.vec_id
        |              ORDER BY d1.dd + d2.dd, d1.i1 * $kk + d2.i2) AS crank
-       |          FROM d1 JOIN d2 ON d1.vec_id = d2.vec_id
+       |          FROM ${p}d1 d1 JOIN ${p}d2 d2 ON d1.vec_id = d2.vec_id
        |          WHERE d1.vec_id < 10),
-       |qs AS (SELECT p.vec_id AS q_id, n.v AS qv, n.nrm AS qnrm, p.list_id
-       |       FROM probe p JOIN n ON n.vec_id = p.vec_id WHERE p.crank <= 4),
-       |cp AS (SELECT n.vec_id, n.v, n.nrm, a.list_id
-       |       FROM asg a JOIN n ON n.vec_id = a.vec_id WHERE n.vec_id >= 10),
-       |imij AS (SELECT q_id, cp.vec_id AS neighbor_id,
+       |${p}qs AS (SELECT p.vec_id AS q_id, n.v AS qv, n.nrm AS qnrm, p.list_id
+       |       FROM ${p}probe p JOIN n ON n.vec_id = p.vec_id WHERE p.crank <= 4),
+       |${p}cp AS (SELECT n.vec_id, n.v, n.nrm, a.list_id
+       |       FROM ${p}asg a JOIN n ON n.vec_id = a.vec_id WHERE n.vec_id >= 10),
+       |${p}imij AS (SELECT q_id, cp.vec_id AS neighbor_id,
        |        list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65),
        |          i -> qs.qv[i] * cp.v[i])), (x2, y2) -> x2 + y2) / (qs.qnrm * cp.nrm) AS cos
-       |      FROM cp JOIN qs USING (list_id)),
-       |imiTop AS (SELECT q_id, neighbor_id, cos, rank FROM (
+       |      FROM ${p}cp cp JOIN ${p}qs qs USING (list_id)),
+       |${p}imiTop AS (SELECT q_id, neighbor_id, cos, rank FROM (
        |    SELECT q_id, neighbor_id, cos,
        |      CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
-       |    FROM imij) t
-       |  WHERE rank <= 3)""".stripMargin
+       |    FROM ${p}imij) t
+       |  WHERE rank <= $k)""".stripMargin
   }
 
   /** The trained PQ codebooks as a DuckDB VALUES table — generated from the
@@ -891,6 +897,117 @@ object SparkEntry {
        |SELECT p.q_id, p.n_exact, p.hits, p.dcg, p.rr, p.dcg / i.idcg AS ndcg
        |FROM per p JOIN idcg i ON i.m = p.n_exact
        |ORDER BY q_id""".stripMargin
+  }
+
+  /** q107b's multi-arm oracle: the q68b arm chains re-ranked to depth k
+    * (LSH-multi, auto-k IVF, IMI via the prefixed chain, IVFADC raw and
+    * residual), each scored with q107's graded-metric tail, rolled up to
+    * one row per arm with decimal-carrier means over the per-query
+    * values — the same shared disc/idcg double literals. */
+  private def retrievalQualityMultiOracleSql(qmax: Int, k: Int): String = {
+    val disc = operators.SimilarityOps.retrievalDisc(k)
+    val idcg = operators.SimilarityOps.retrievalIdcg(k)
+    val discValues = (1 to k).map(i =>
+      s"(CAST($i AS BIGINT), CAST(${disc(i - 1)} AS DOUBLE))").mkString("VALUES ", ", ", "")
+    val idcgValues = (1 to k).map(m =>
+      s"(CAST($m AS BIGINT), CAST(${idcg(m - 1)} AS DOUBLE))").mkString("VALUES ", ", ", "")
+    s"""WITH $EMB_NORM,
+       |exj AS (SELECT a.vec_id AS q_id, b.vec_id AS neighbor_id,
+       |          $DOT64 / (a.nrm * b.nrm) AS cos
+       |        FROM n a JOIN n b ON a.vec_id < $qmax AND b.vec_id >= $qmax),
+       |ex AS (SELECT q_id, neighbor_id, rank FROM (
+       |         SELECT q_id, neighbor_id,
+       |           ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS rank
+       |         FROM exj) t WHERE rank <= $k),
+       |bk AS (SELECT vec_id, v, nrm, ${signBlocksSql(8, t = 0)} AS b0, ${signBlocksSql(8, t = 1)} AS b1
+       |  FROM n),
+       |lshmj AS (SELECT DISTINCT a.vec_id AS q_id, b.vec_id AS neighbor_id,
+       |        $DOT64 / (a.nrm * b.nrm) AS cos
+       |      FROM bk a JOIN bk b ON a.vec_id < $qmax AND b.vec_id >= $qmax
+       |        AND (a.b0 = b.b0 OR a.b1 = b.b1)),
+       |lshm AS (SELECT q_id, neighbor_id, rank FROM (
+       |    SELECT q_id, neighbor_id,
+       |      CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+       |    FROM lshmj) t WHERE rank <= $k),
+       |acents AS (SELECT list_id, cv,
+       |            sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65),
+       |              i -> cv[i] * cv[i])), (x2, y2) -> x2 + y2)) AS cnrm
+       |          FROM ($ivfCentsAutoValues) t(list_id, cv)),
+       |aasg AS (SELECT vec_id, v, nrm, list_id, csim,
+       |          ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, list_id) AS crank
+       |        FROM (SELECT n.vec_id, n.v, n.nrm, c.list_id,
+       |                list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65),
+       |                  i -> n.v[i] * c.cv[i])), (x2, y2) -> x2 + y2) / (n.nrm * c.cnrm) AS csim
+       |              FROM n, acents c) t),
+       |aqs AS (SELECT vec_id AS q_id, v AS qv, nrm AS qnrm, list_id FROM aasg
+       |       WHERE vec_id < $qmax AND crank <= 2),
+       |acp AS (SELECT vec_id, v, nrm, list_id FROM aasg WHERE vec_id >= $qmax AND crank = 1),
+       |aivfj AS (SELECT q_id, acp.vec_id AS neighbor_id,
+       |           list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65),
+       |             i -> aqs.qv[i] * acp.v[i])), (x2, y2) -> x2 + y2) / (aqs.qnrm * acp.nrm) AS cos
+       |         FROM acp JOIN aqs USING (list_id)),
+       |ivfauto AS (SELECT q_id, neighbor_id, rank FROM (
+       |    SELECT q_id, neighbor_id,
+       |      CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+       |    FROM aivfj) t WHERE rank <= $k),
+       |${imiSearchCtesK(k, "imi_")},
+       |cents AS (SELECT list_id, cv,
+       |            sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65),
+       |              i -> cv[i] * cv[i])), (x2, y2) -> x2 + y2)) AS cnrm
+       |          FROM ($ivfCentsValues) t(list_id, cv)),
+       |asg AS (SELECT vec_id, v, nrm, list_id, csim,
+       |          ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, list_id) AS crank
+       |        FROM (SELECT n.vec_id, n.v, n.nrm, c.list_id,
+       |                list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65),
+       |                  i -> n.v[i] * c.cv[i])), (x2, y2) -> x2 + y2) / (n.nrm * c.cnrm) AS csim
+       |              FROM n, cents c) t),
+       |qs AS (SELECT vec_id AS q_id, v AS qv, nrm AS qnrm, list_id FROM asg
+       |       WHERE vec_id < $qmax AND crank <= 2),
+       |cp AS (SELECT vec_id, v, nrm, list_id FROM asg WHERE vec_id >= $qmax AND crank = 1),
+       |books AS (SELECT sub_idx, code, cv FROM ($pqBooksValues) t(sub_idx, code, cv)),
+       |$ivfPqCtes,
+       |ivfpq AS (SELECT q_id, neighbor_id, rank FROM pqtop WHERE rank <= $k),
+       |rbooks AS (SELECT sub_idx, code, cv FROM ($pqResBooksValues) t(sub_idx, code, cv)),
+       |qsr AS (SELECT a.vec_id AS q_id,
+       |          list_transform(range(1, 65), i -> a.v[i] - c.cv[i]) AS qv, a.list_id
+       |        FROM asg a JOIN cents c USING (list_id)
+       |        WHERE a.vec_id < $qmax AND a.crank <= 2),
+       |cpr AS (SELECT a.vec_id,
+       |          list_transform(range(1, 65), i -> a.v[i] - c.cv[i]) AS v, a.list_id
+       |        FROM asg a JOIN cents c USING (list_id)
+       |        WHERE a.vec_id >= $qmax AND a.crank = 1),
+       |${ivfPqCtesNamed("pqr", "cpr", "qsr", "rbooks")},
+       |ivfpqr AS (SELECT q_id, neighbor_id, rank FROM pqrtop WHERE rank <= $k),
+       |disc AS (SELECT * FROM ($discValues) t(i, disc)),
+       |idcg AS (SELECT * FROM ($idcgValues) t(m, idcg)),
+       |idx AS (SELECT 1 AS arm_no, 'lsh_multi' AS arm, q_id, neighbor_id, rank FROM lshm
+       |        UNION ALL SELECT 2, 'ivf_auto', q_id, neighbor_id, rank FROM ivfauto
+       |        UNION ALL SELECT 3, 'imi', q_id, neighbor_id, rank FROM imi_imiTop
+       |        UNION ALL SELECT 4, 'ivfpq', q_id, neighbor_id, rank FROM ivfpq
+       |        UNION ALL SELECT 5, 'ivfpq_res', q_id, neighbor_id, rank FROM ivfpqr),
+       |armt AS (SELECT CAST(arm_no AS BIGINT) AS arm_no, arm
+       |         FROM (VALUES (1, 'lsh_multi'), (2, 'ivf_auto'), (3, 'imi'),
+       |                      (4, 'ivfpq'), (5, 'ivfpq_res')) t(arm_no, arm)),
+       |per AS (SELECT ar.arm_no, ar.arm, e.q_id,
+       |          CAST(COUNT(*) AS BIGINT) AS n_exact,
+       |          CAST(COUNT(a.rank) AS BIGINT) AS hits,
+       |          CAST(SUM(CAST(CASE WHEN a.rank IS NOT NULL
+       |            THEN CAST(($k + 1 - e.rank) AS DOUBLE) * d.disc ELSE 0.0 END
+       |            AS DECIMAL(27,6))) AS DOUBLE) AS dcg,
+       |          COALESCE(MAX(CASE WHEN e.rank = 1
+       |            THEN 1.0 / CAST(a.rank AS DOUBLE) END), 0.0) AS rr
+       |        FROM armt ar CROSS JOIN ex e
+       |          LEFT JOIN idx a ON a.arm_no = ar.arm_no
+       |            AND a.q_id = e.q_id AND a.neighbor_id = e.neighbor_id
+       |          LEFT JOIN disc d ON d.i = a.rank
+       |        GROUP BY ar.arm_no, ar.arm, e.q_id),
+       |perq AS (SELECT p.*, p.dcg / i.idcg AS ndcg
+       |         FROM per p JOIN idcg i ON i.m = p.n_exact)
+       |SELECT arm_no, arm, CAST(COUNT(*) AS BIGINT) AS n_queries,
+       |  ${A("CAST(hits AS DOUBLE) / CAST(n_exact AS DOUBLE)")} AS recall,
+       |  ${A("rr")} AS mrr,
+       |  ${A("ndcg")} AS ndcg
+       |FROM perq GROUP BY arm_no, arm ORDER BY arm_no""".stripMargin
   }
 
   /** The q68c recall-vs-nprobe curve oracle: the q68 oracle's exact arm
@@ -3687,6 +3804,9 @@ object SparkEntry {
     // graded retrieval quality: exact + IVF arm chains at k=10, shared
     // StrictMath discount/IDCG literals, carrier-exact DCG
     "q107_retrieval_quality" -> retrievalQualityOracleSql(10, 10),
+    // multi-arm graded retrieval: every q68b arm re-ranked to k=10 and
+    // scored with q107's metric tail, one carrier-mean row per arm
+    "q107b_retrieval_quality_multi" -> retrievalQualityMultiOracleSql(10, 10),
 
     // index staleness: frozen-quantizer assignment (the q54/q68 asg
     // chain), id-watermark era split, carrier-exact era means, one

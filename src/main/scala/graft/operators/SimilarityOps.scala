@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.functions.Exact.dsum
+import graft.functions.Exact.{davg, dsum}
 import graft.functions.VectorFunctions._
 
 /** Approximate-nearest-neighbor search over embedding columns
@@ -544,6 +544,51 @@ object SimilarityOps {
       .select(col("q_id"), col("n_exact").cast("long").as("n_exact"),
         col("hits").cast("long").as("hits"), col("dcg"), col("rr"), col("ndcg"))
       .orderBy("q_id")
+  }
+
+  /** q107b — q107's graded metrics over EVERY index arm (the q68b wide
+    * pattern applied to ORDER quality): LSH multi-table (q46c), IVF
+    * auto-√n (q46d), IMI (q46e), IVFADC (q70b) and residual IVFADC
+    * (q70c) each evaluated against the exact cosine ranking at k through
+    * THE shared [[retrievalQualityOf]] core, rolled up to one row per
+    * arm — so order quality ranks the arms the way q68b ranks recall. A
+    * RAG consumer choosing a serving arm reads THIS table: recall alone
+    * cannot separate an arm that finds the right set in the wrong order.
+    *
+    * Per arm: n_queries, recall (mean hits/n_exact), mrr (mean rr), and
+    * mean nDCG@k — every mean through the DECIMAL carrier over the
+    * per-query values, so the rollup is order-free and oracle-exact.
+    * Scale shape: each arm is its own audited pipeline; the metric joins
+    * are |Q|·k rows; the output is |arms| rows, materialized locally so
+    * the shared truth persist releases (the apSweepCells discipline).
+    */
+  def retrievalQualityMulti(s: SparkSession, d: String, k: Int = 10,
+      queryIdMax: Long = QueryIdMax): DataFrame = {
+    val exact = knnBruteForce(s, d, k, queryIdMax)
+      .select(col("q_id"), col("neighbor_id"), col("rank"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val arms: Seq[(Long, String, DataFrame)] = Seq(
+        (1L, "lsh_multi", knnLsh(s, d, k, tables = 2, queryIdMax = queryIdMax)),
+        (2L, "ivf_auto", knnIvfAuto(s, d, k, queryIdMax)),
+        (3L, "imi", knnImi(s, d, k, queryIdMax)),
+        (4L, "ivfpq", knnIvfPq(s, d, k, queryIdMax)),
+        (5L, "ivfpq_res", knnIvfPqResidual(s, d, k, queryIdMax)))
+      val perArm = arms.map { case (no, name, arm) =>
+        retrievalQualityOf(exact, arm, k)
+          .agg(
+            count(lit(1)).as("n_queries"),
+            davg(col("hits").cast("double") / col("n_exact").cast("double")).as("recall"),
+            davg(col("rr")).as("mrr"),
+            davg(col("ndcg")).as("ndcg"))
+          .select(lit(no).as("arm_no"), lit(name).as("arm"),
+            col("n_queries"), col("recall"), col("mrr"), col("ndcg"))
+      }
+      val out = perArm.reduce(_ unionByName _)
+      // bounded (|arms| rows): materialize so the truth persist releases
+      val rows = out.collect().sortBy(_.getLong(0))
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+    } finally exact.unpersist(blocking = false)
   }
 
   /** q68c — the recall-vs-nprobe CURVE: q68b ranks the arms at the frozen

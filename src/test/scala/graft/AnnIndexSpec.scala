@@ -808,4 +808,42 @@ class AnnIndexSpec extends SparkSpec {
       }
     } finally exact.unpersist(blocking = false)
   }
+
+  test("q107b multi-arm retrieval quality: rollup equals a carrier-mean recompute " +
+    "per arm; the residual arm beats plain PQ on ndcg on the gate lake") {
+    // the GATE lake (sf0.01): the frozen quantizer artifacts are trained
+    // there, so arm quality relations are only meaningful there
+    val gate = "/root/testdata/sf0.01"
+    val k = 10
+    val rows = SimilarityOps.retrievalQualityMulti(spark, gate, k).collect()
+      .map(r => r.getAs[String]("arm") -> r).toMap
+    assert(rows.keySet === Set("lsh_multi", "ivf_auto", "imi", "ivfpq", "ivfpq_res"))
+    rows.values.foreach { r =>
+      assert(r.getAs[Long]("n_queries") === 10L)
+      Seq("recall", "mrr", "ndcg").foreach { c =>
+        val v = r.getAs[Double](c)
+        assert(v >= 0.0 && v <= 1.0, s"${r.getAs[String]("arm")}.$c = $v")
+      }
+    }
+    // the headline claim (why a residual codebook earns its extra pass):
+    // strictly better ORDER quality than the plain-PQ arm on this lake
+    assert(rows("ivfpq_res").getAs[Double]("ndcg") > rows("ivfpq").getAs[Double]("ndcg"),
+      s"residual ndcg ${rows("ivfpq_res").getAs[Double]("ndcg")} must beat " +
+        s"plain PQ ${rows("ivfpq").getAs[Double]("ndcg")}")
+    // rollup arithmetic: one arm recomputed from the per-query metric
+    // frame through the same decimal carrier
+    val exact = SimilarityOps.knnBruteForce(spark, gate, k)
+    val per = SimilarityOps.retrievalQualityOf(exact,
+      SimilarityOps.knnIvfPq(spark, gate, k), k).collect()
+    def cmean(vs: Seq[Double]) =
+      (vs.map(v => BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP)).sum /
+        vs.size).toDouble
+    val expRecall = cmean(per.map(r =>
+      r.getAs[Long]("hits").toDouble / r.getAs[Long]("n_exact")).toSeq)
+    val expNdcg = cmean(per.map(_.getAs[Double]("ndcg")).toSeq)
+    val expMrr = cmean(per.map(_.getAs[Double]("rr")).toSeq)
+    assert(math.abs(rows("ivfpq").getAs[Double]("recall") - expRecall) < 1e-9)
+    assert(math.abs(rows("ivfpq").getAs[Double]("ndcg") - expNdcg) < 1e-9)
+    assert(math.abs(rows("ivfpq").getAs[Double]("mrr") - expMrr) < 1e-9)
+  }
 }
