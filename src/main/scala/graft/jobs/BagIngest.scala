@@ -47,7 +47,8 @@ object BagIngest {
       out: String, mode: SaveMode, writePng: Boolean, piiRegions: Option[DataFrame],
       tableSuffix: String = "", imageDedup: Option[Int] = None,
       voxel: Option[Double] = None, audioDedup: Option[Int] = None,
-      frameIndex: Option[(String, Long)] = None): Unit = {
+      frameIndex: Option[(String, Long)] = None,
+      frameDrift: Option[(graft.operators.TextAnalysisOps.DriftRef, Long)] = None): Unit = {
     def save(df: DataFrame, name: String): Unit =
       df.write.mode(mode).parquet(s"$out/$name$tableSuffix")
 
@@ -97,6 +98,23 @@ object BagIngest {
     voxel.foreach { edge =>
       save(graft.operators.PointCloudOps.voxelDownsample(
         RosbagReader.pointCloudPointsOf(spark, msgs), edge), "lidar_voxel")
+    }
+    // image drift gauge (streaming ingest with a frozen brightness
+    // reference): every batch's per-frame brightness distribution is
+    // PSI-scored against the healthy-recording reference and the bucket
+    // table + rollup land in the versioned <out>/frame_drift SnapshotLake
+    // table (batch-id idempotent — a redelivered batch re-reads as the
+    // same version). A monitor, not a gate: no frame is dropped. Scored
+    // over the RAW frames (a blur region must not read as drift), the
+    // same convention the dedup fingerprints use; capture the reference
+    // from raw frames too (brightnessDriftReference on an un-blurred
+    // recording).
+    frameDrift.foreach { case (ref, batchId) =>
+      SnapshotLake.commitStreamBatch(spark, s"$out/frame_drift",
+        ImageOps.brightnessDrift(spark, rawImages, ref)
+          .withColumn(
+            "ingest_batch", org.apache.spark.sql.functions.lit(batchId)),
+        batchId)
     }
     // audio dedup (--audio-dedup[=HAMMING]): the clip twin of the image
     // manifest below — HK fingerprint + the SHARED banded-Hamming

@@ -41,7 +41,17 @@ object BagIngestStream {
       piiRegions: Option[DataFrame] = None, imageDedup: Option[Int] = None,
       voxel: Option[Double] = None,
       frameIndexLake: Option[String] = None,
-      audioDedup: Option[Int] = None): StreamingQuery =
+      audioDedup: Option[Int] = None,
+      // q110's PSI gauge for the CAMERA column (a monitor, not a gate):
+      // with a frozen brightness reference supplied
+      // (ImageOps.brightnessDriftReference, captured offline from a
+      // healthy recording's RAW frames), every batch's brightness
+      // distribution is PSI-scored and the bucket table + rollup land in
+      // the versioned <out>/frame_drift table — the alarm that fires when
+      // a camera goes bad (exposure fault, obstruction) BEFORE any
+      // downstream consumer errors. The CorpusPrepStream driftRef
+      // convention, one modality over.
+      frameDriftRef: Option[graft.operators.TextAnalysisOps.DriftRef] = None): StreamingQuery =
     spark.readStream.format("binaryFile")
       .option("pathGlobFilter", "*.bag")
       .schema(fileSchema)
@@ -70,7 +80,8 @@ object BagIngestStream {
           BagIngest.writeTablesOf(sp, msgs, out, SaveMode.Overwrite,
             writePng = false, piiRegions, tableSuffix = s"/batch=$batchId",
             imageDedup = imageDedup, voxel = voxel, audioDedup = audioDedup,
-            frameIndex = frameIndexLake.map(l => (l, batchId)))
+            frameIndex = frameIndexLake.map(l => (l, batchId)),
+            frameDrift = frameDriftRef.map(r => (r, batchId)))
         }
       }
       .start()

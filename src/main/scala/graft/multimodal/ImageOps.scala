@@ -24,44 +24,21 @@ object ImageOps {
   // per session — the next call unpersists the previous call's id RDD,
   // so a still-held earlier result silently recomputes its zipWithIndex
   // lineage (correct, just slower; ids are deterministic under the
-  // range-sort). Lifecycle: Spark has NO per-session close event, so
-  // entries are released when the owning SparkContext stops (one
-  // listener per CONTEXT, sweeping every session of that context) or
-  // explicitly via [[releaseFrameDedupCache]] — a long-lived JVM that
-  // CYCLES sessions on one context should call the latter when it
-  // retires a session, otherwise each retired session leaves one
-  // persisted id RDD behind until application end.
-  private val idRddCache = new java.util.concurrent.ConcurrentHashMap[
-    org.apache.spark.sql.SparkSession,
-    org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]]()
-  private val sweepHooked = java.util.concurrent.ConcurrentHashMap.newKeySet[
-    org.apache.spark.SparkContext]()
+  // range-sort). Lifecycle is the shared SessionResourceCache contract:
+  // context-stop sweep + explicit [[releaseFrameDedupCache]] for a
+  // session-cycling JVM.
+  private val idRddCache = new graft.operators.SessionResourceCache[
+    SparkSession, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]](
+    identity, _.unpersist(blocking = false))
 
   /** Release the session's cached frame-dedup id snapshot (safe to call
     * any time; the next dedupGroupsFrames call rebuilds it). */
   def releaseFrameDedupCache(spark: SparkSession): Unit =
-    Option(idRddCache.remove(spark)).foreach(_.unpersist(blocking = false))
+    idRddCache.releaseSession(spark)
 
   private def cacheIdRdd(spark: SparkSession,
-      rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]): Unit = {
-    val prev = idRddCache.put(spark, rdd)
-    if (prev != null) prev.unpersist(blocking = false)
-    val sc = spark.sparkContext
-    if (sweepHooked.add(sc))
-      // one sweep listener per CONTEXT (never per session/call): on
-      // context stop, drop every entry whose session rode it
-      sc.addSparkListener(new org.apache.spark.scheduler.SparkListener {
-        override def onApplicationEnd(
-            e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
-          idRddCache.forEach { (s, r) =>
-            if (s.sparkContext eq sc) {
-              idRddCache.remove(s); r.unpersist(blocking = false)
-            }
-          }
-          sweepHooked.remove(sc)
-        }
-      })
-  }
+      rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]): Unit =
+    idRddCache.put(spark, rdd)
 
   /** Channel count for the uint8 channels-last encodings the pixel
     * REWRITING paths (blur/resize/png) understand. Anything else (mono16,
@@ -313,6 +290,37 @@ object ImageOps {
         coalesce(col("canon_topic"), col("topic")).as("canon_topic"),
         coalesce(col("canon_time_ns"), col("time_ns")).as("canon_time_ns"),
         coalesce(col("is_canonical"), lit(true)).as("is_canonical"))
+
+  /** Per-frame brightness as a drift SCORE frame `(score)` — the cheap
+    * pixel statistic the image drift gauge distributes (one map over the
+    * frame scan, the [[features]] kernel). */
+  private[graft] def brightnessScoredOf(spark: SparkSession, frames: DataFrame): DataFrame =
+    features(spark, frames).toDF().select(col("brightness").as("score"))
+
+  /** Frozen brightness drift REFERENCE — the pixel twin of the text
+    * gauge's TextAnalysisOps.driftReferenceOf: decile edges + per-bucket
+    * counts of the per-frame brightness over a healthy reference
+    * recording, captured ONCE offline. */
+  def brightnessDriftReference(spark: SparkSession, frames: DataFrame,
+      buckets: Int = 10): graft.operators.TextAnalysisOps.DriftRef =
+    graft.operators.TextAnalysisOps.driftReferenceOf(
+      brightnessScoredOf(spark, frames), buckets)
+
+  /** PSI of a frame batch's brightness distribution against a frozen
+    * [[brightnessDriftReference]] — the IMAGE drift gauge (q110's PSI
+    * arithmetic through THE shared psiFrame core): a camera going bad
+    * (exposure fault, lens obstruction, a stuck shutter) shifts the
+    * brightness distribution long before any downstream consumer errors,
+    * exactly the way a crawl source going bad shifts the text quality
+    * score. Output: the streaming gauge shape — one row per bucket
+    * (n_old, n_new, p_old, p_new, term) + the bucket = −1 rollup whose
+    * term IS the PSI; an EMPTY batch reads NULL (no reading), never a
+    * fake alarm. One bounded-output pass over the batch's frames.
+    */
+  def brightnessDrift(spark: SparkSession, frames: DataFrame,
+      ref: graft.operators.TextAnalysisOps.DriftRef): DataFrame =
+    graft.operators.TextAnalysisOps.psiAgainst(
+      brightnessScoredOf(spark, frames), ref)
 
   final case class PngFrame(bag: String, topic: String, time_ns: Long, file_name: String, png: Array[Byte])
 

@@ -19,7 +19,8 @@ object DedupOps {
   /** Most recent persisted sorted-set index per session (see
     * ngramJaccardPrefix). */
   private val prefixSetsCaches =
-    new java.util.concurrent.ConcurrentHashMap[SparkSession, DataFrame]()
+    new SessionResourceCache[SparkSession, DataFrame](identity,
+      _.unpersist(blocking = false))
 
   /** Most recent persisted label snapshot per (session, propagation
     * caller) — keyed by caller so the eager q55/q55b/q32 views can each
@@ -28,7 +29,19 @@ object DedupOps {
     * eager view replayed its whole convergence loop through lineage —
     * correct but defeating the "leaves its result cached" contract). */
   private val groupsCaches =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]]()
+    new SessionResourceCache[(SparkSession, String), org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]](
+      _._1, _.unpersist(blocking = false))
+
+  /** Release THIS session's persisted dedup caches (sorted-set index,
+    * label snapshots, signature table) — the explicit retirement hook a
+    * session-cycling JVM calls; the context-stop sweep covers the rest
+    * (see [[SessionResourceCache]]). Safe any time: the next call of the
+    * owning operator re-persists. */
+  def releaseSessionCaches(s: SparkSession): Unit = {
+    prefixSetsCaches.releaseSession(s)
+    groupsCaches.releaseSession(s)
+    sigCaches.releaseSession(s)
+  }
 
   /** q40 — exact duplicate groups by content hash (md5 is the portable
     * content key). One shuffle on the hash; at 100 TB this is the cheapest
@@ -199,10 +212,7 @@ object DedupOps {
       .select(col("doc_id"), size(col("sh")).cast("long").as("n"),
         array_sort(col("sh")).as("ss"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    prefixSetsCaches.put(s, sets) match {
-      case prev: DataFrame if prev ne sets => prev.unpersist(blocking = false)
-      case _ => ()
-    }
+    prefixSetsCaches.put(s, sets)
     // prefix under hash-ascending order: the completeness bound is
     // n - ceil(t*n) + 1; floor is used instead of ceil so any float
     // rounding of t*n can only LENGTHEN the prefix (never lose a pair)
@@ -366,7 +376,8 @@ object DedupOps {
 
   /** Most recent persisted signature table per session (see minhashEst). */
   private val sigCaches =
-    new java.util.concurrent.ConcurrentHashMap[SparkSession, DataFrame]()
+    new SessionResourceCache[SparkSession, DataFrame](identity,
+      _.unpersist(blocking = false))
 
   /** THE per-session persisted (doc_id, mh) signature table — one live
     * copy shared by every signature consumer (q42b's estimate, q82b's
@@ -376,10 +387,7 @@ object DedupOps {
   private[graft] def sigTable(s: SparkSession, d: String): DataFrame = {
     val sigs = signatures(scaledDocs(s, d))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    sigCaches.put(s, sigs) match {
-      case prev: DataFrame if prev ne sigs => prev.unpersist(blocking = false)
-      case _ => ()
-    }
+    sigCaches.put(s, sigs)
     sigs
   }
 
@@ -863,10 +871,7 @@ object DedupOps {
     // As with postingCaches, each invocation instead releases the PREVIOUS
     // call's snapshot under the same key, bounding repeat callers (Bench
     // best-of-3, registerQueries) to one live labeling per (session, caller).
-    groupsCaches.put((s, cacheKey), labelsRdd) match {
-      case prev if (prev ne null) && (prev ne labelsRdd) => prev.unpersist(blocking = false)
-      case _ => ()
-    }
+    groupsCaches.put((s, cacheKey), labelsRdd)
     lastPropagationRounds.set(round)
     labels
   }
