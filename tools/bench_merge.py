@@ -7,8 +7,17 @@ Usage:
       # later files override earlier per-query entries; totals recomputed
   bench_merge.py ratio SMALL.json BIG.json [--cpu]
       # per-query wall (or cpu) ratios BIG/SMALL, sorted descending
+  bench_merge.py decades OUT.json SF1.json SF10.json [PREV_SF1 PREV_SF10]
+      # write the HOST-NORMALIZED decade artifact: per-key sf10/sf1 wall
+      # and cpu ratios (within-run, so host drift cancels), their
+      # shared-key totals and median, and — with a previous round's pair —
+      # the cross-round RATIO-OF-RATIOS per key (this decade ratio /
+      # previous decade ratio; ~1.0 = same scaling shape, host-independent).
+      # Raw cross-round wall comparisons are NOT meaningful across hosts;
+      # this table is what rounds compare (SURVEY §6).
 """
 import json
+import statistics
 import sys
 
 
@@ -84,11 +93,65 @@ def ratio(small_path, big_path, use_cpu=False):
           f"({tot_b / tot_a:.2f}x) over {len(rows)} queries")
 
 
+def _ratios(small, big, key):
+    a, b = small[key], big[key]
+    return {q: b[q] / a[q] for q in sorted(set(a) & set(b)) if a[q] > 0}
+
+
+def decades(out_path, sf1_path, sf10_path, prev=None):
+    s1, s10 = load(sf1_path), load(sf10_path)
+    wall = _ratios(s1, s10, "queries")
+    cpu = _ratios(s1, s10, "cpu")
+    shared = sorted(wall)
+    tot1 = sum(s1["queries"][q] for q in shared)
+    tot10 = sum(s10["queries"][q] for q in shared)
+    ctot1 = sum(s1["cpu"][q] for q in shared)
+    ctot10 = sum(s10["cpu"][q] for q in shared)
+    art = {
+        "metric": "decades",
+        "n_queries": len(shared),
+        "wall_ratio": round(tot10 / tot1, 3),
+        "cpu_ratio": round(ctot10 / ctot1, 3),
+        "median_wall_ratio": round(statistics.median(wall.values()), 3),
+        "worst5": {q: round(wall[q], 2)
+                   for q in sorted(wall, key=wall.get, reverse=True)[:5]},
+        "wall_ratios": {q: round(r, 3) for q, r in sorted(wall.items())},
+        "cpu_ratios": {q: round(r, 3) for q, r in sorted(cpu.items())},
+        "sf1": sf1_path,
+        "sf10": sf10_path,
+    }
+    if prev:
+        p1, p10 = load(prev[0]), load(prev[1])
+        pwall = _ratios(p1, p10, "queries")
+        ror = {q: round(wall[q] / pwall[q], 3)
+               for q in sorted(set(wall) & set(pwall)) if pwall[q] > 0}
+        art["prev_sf1"], art["prev_sf10"] = prev
+        art["ratio_of_ratios"] = ror
+        if ror:
+            art["ror_median"] = round(statistics.median(ror.values()), 3)
+            art["ror_worst5"] = {q: ror[q]
+                                 for q in sorted(ror, key=ror.get, reverse=True)[:5]}
+    with open(out_path, "w") as f:
+        json.dump(art, f, separators=(",", ":"))
+        f.write("\n")
+    msg = (f"{out_path}: {len(shared)} shared keys, decade "
+           f"{art['wall_ratio']}x wall / {art['cpu_ratio']}x cpu, "
+           f"median {art['median_wall_ratio']}x")
+    if prev and art.get("ror_median") is not None:
+        msg += f"; ratio-of-ratios vs prev median {art['ror_median']}"
+    print(msg)
+
+
 if __name__ == "__main__":
-    if len(sys.argv) < 4 or sys.argv[1] not in ("merge", "ratio"):
+    if len(sys.argv) < 4 or sys.argv[1] not in ("merge", "ratio", "decades"):
         raise SystemExit(__doc__)
     if sys.argv[1] == "merge":
         merge(sys.argv[2], sys.argv[3:])
+    elif sys.argv[1] == "decades":
+        if len(sys.argv) not in (5, 7):
+            raise SystemExit(__doc__)
+        decades(sys.argv[2], sys.argv[3], sys.argv[4],
+                prev=tuple(sys.argv[5:7]) if len(sys.argv) == 7 else None)
     else:
         ratio(sys.argv[2], sys.argv[3],
               use_cpu="--cpu" in sys.argv[4:])
