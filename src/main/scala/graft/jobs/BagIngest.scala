@@ -48,7 +48,8 @@ object BagIngest {
       tableSuffix: String = "", imageDedup: Option[Int] = None,
       voxel: Option[Double] = None, audioDedup: Option[Int] = None,
       frameIndex: Option[(String, Long)] = None,
-      frameDrift: Option[(graft.operators.TextAnalysisOps.DriftRef, Long)] = None): Unit = {
+      frameDrift: Option[(graft.operators.TextAnalysisOps.DriftRef, Long)] = None,
+      clipDrift: Option[(graft.operators.TextAnalysisOps.DriftRef, Long)] = None): Unit = {
     def save(df: DataFrame, name: String): Unit =
       df.write.mode(mode).parquet(s"$out/$name$tableSuffix")
 
@@ -112,6 +113,18 @@ object BagIngest {
     frameDrift.foreach { case (ref, batchId) =>
       SnapshotLake.commitStreamBatch(spark, s"$out/frame_drift",
         ImageOps.brightnessDrift(spark, rawImages, ref)
+          .withColumn(
+            "ingest_batch", org.apache.spark.sql.functions.lit(batchId)),
+        batchId)
+    }
+    // audio drift gauge: the frame gauge's contract on the microphone
+    // column — per-batch PSI of clip RMS against a frozen healthy
+    // reference, landing in the versioned <out>/clip_drift table
+    // (batch-id idempotent); a monitor, not a gate
+    clipDrift.foreach { case (ref, batchId) =>
+      SnapshotLake.commitStreamBatch(spark, s"$out/clip_drift",
+        graft.multimodal.AudioOps.rmsDrift(spark,
+            spark.read.parquet(s"$out/clips$tableSuffix"), ref)
           .withColumn(
             "ingest_batch", org.apache.spark.sql.functions.lit(batchId)),
         batchId)

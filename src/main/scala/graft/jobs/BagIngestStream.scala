@@ -51,7 +51,11 @@ object BagIngestStream {
       // a camera goes bad (exposure fault, obstruction) BEFORE any
       // downstream consumer errors. The CorpusPrepStream driftRef
       // convention, one modality over.
-      frameDriftRef: Option[graft.operators.TextAnalysisOps.DriftRef] = None): StreamingQuery =
+      frameDriftRef: Option[graft.operators.TextAnalysisOps.DriftRef] = None,
+      // the same gauge on the MICROPHONE column (per-clip RMS vs a frozen
+      // healthy reference — AudioOps.rmsDriftReference), landing in
+      // <out>/clip_drift. Four modalities, one PSI contract.
+      clipDriftRef: Option[graft.operators.TextAnalysisOps.DriftRef] = None): StreamingQuery =
     spark.readStream.format("binaryFile")
       .option("pathGlobFilter", "*.bag")
       .schema(fileSchema)
@@ -81,7 +85,8 @@ object BagIngestStream {
             writePng = false, piiRegions, tableSuffix = s"/batch=$batchId",
             imageDedup = imageDedup, voxel = voxel, audioDedup = audioDedup,
             frameIndex = frameIndexLake.map(l => (l, batchId)),
-            frameDrift = frameDriftRef.map(r => (r, batchId)))
+            frameDrift = frameDriftRef.map(r => (r, batchId)),
+            clipDrift = clipDriftRef.map(r => (r, batchId)))
         }
       }
       .start()

@@ -564,6 +564,32 @@ object AudioOps {
         .select("bag", "topic", "time_ns", "dhash"),
       maxHamming)
 
+  /** Per-clip RMS as a drift SCORE frame `(score)` — the cheap audio
+    * health statistic the drift gauge distributes (one map over the clip
+    * scan, the [[features]] kernel). */
+  private[graft] def rmsScoredOf(spark: SparkSession, clips: DataFrame): DataFrame =
+    features(spark, clips).toDF().select(col("rms").as("score"))
+
+  /** Frozen RMS drift REFERENCE — the audio twin of the image gauge's
+    * brightness reference: decile edges + per-bucket counts of per-clip
+    * RMS over a healthy reference recording, captured ONCE offline. */
+  def rmsDriftReference(spark: SparkSession, clips: DataFrame,
+      buckets: Int = 10): graft.operators.TextAnalysisOps.DriftRef =
+    graft.operators.TextAnalysisOps.driftReferenceOf(
+      rmsScoredOf(spark, clips), buckets)
+
+  /** PSI of a clip batch's RMS distribution against a frozen
+    * [[rmsDriftReference]] — the AUDIO drift gauge (q110's PSI
+    * arithmetic through the shared psiFrame core, fourth modality: text
+    * has the quality-score gauge, embeddings q108, pixels brightness):
+    * a dying microphone collapses RMS toward 0, a clipping or unplugged-
+    * ground channel pegs it high — distribution shifts fire here before
+    * any consumer errors. Same contract as the others: bucket rows + the
+    * −1 rollup whose term IS the PSI, NULL on an empty batch. */
+  def rmsDrift(spark: SparkSession, clips: DataFrame,
+      ref: graft.operators.TextAnalysisOps.DriftRef): DataFrame =
+    graft.operators.TextAnalysisOps.psiAgainst(rmsScoredOf(spark, clips), ref)
+
   final case class Segment(clip_id: Long, seg_no: Int, sample_rate: Int, channels: Int, pcm: Array[Byte])
 
   /** Split clips into fixed-length segments (the frame-sampling analog:

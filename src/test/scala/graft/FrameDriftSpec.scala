@@ -118,4 +118,64 @@ class FrameDriftSpec extends SparkSpec {
     assert(SnapshotLake.versions(spark, table).size === 2,
       "a redelivered batch must not land a new gauge version")
   }
+
+  test("audio gauge: clip-RMS PSI — identical batch 0, a dead-microphone " +
+    "batch alarms, end-to-end in <out>/clip_drift") {
+    import graft.multimodal.AudioOps
+    import spark.implicits._
+    // healthy recording: 40 clips of spread amplitude (sine at amp i/45)
+    def tone(amp: Double): Array[Byte] = {
+      val pcm = new Array[Byte](2048 * 2)
+      for (i <- 0 until 2048) {
+        val s = (math.sin(2 * math.Pi * 440.0 * i / 8000) * amp * 32767).toInt.toShort
+        pcm(i * 2) = (s & 0xff).toByte
+        pcm(i * 2 + 1) = ((s >> 8) & 0xff).toByte
+      }
+      pcm
+    }
+    def clipsOf(amps: Seq[Double]): org.apache.spark.sql.DataFrame =
+      amps.zipWithIndex.map { case (a, i) => (i.toLong, 8000, 1, tone(a)) }
+        .toDF("clip_id", "sample_rate", "channels", "pcm")
+    val healthyAmps = (1 to 40).map(_ / 45.0)
+    val ref = AudioOps.rmsDriftReference(spark, clipsOf(healthyAmps))
+    val same = AudioOps.rmsDrift(spark, clipsOf(healthyAmps), ref).collect()
+    same.foreach(r => assert(r.getAs[Double]("term") === 0.0, s"bucket ${r.getLong(0)}"))
+    val dead = AudioOps.rmsDrift(spark, clipsOf(Seq.fill(40)(0.0)), ref)
+      .collect().map(r => r.getAs[Long]("bucket") -> r).toMap
+    assert(dead(-1L).getAs[Double]("term") > 0.25,
+      s"dead-mic PSI ${dead(-1L).getAs[Double]("term")} under the alarm")
+    assert(dead(1L).getAs[Long]("n_new") === 40L)
+
+    // end-to-end: the gauge lands per batch beside the clips table
+    val watch = Files.createTempDirectory("cdr-watch")
+    val out = Files.createTempDirectory("cdr-out").toString
+    val ckpt = Files.createTempDirectory("cdr-ckpt").toString
+    def bagOf(amps: Seq[Double]): Array[Byte] = {
+      val inner = BagWriter.connection(0, "/mic/audio", "audio_common_msgs/AudioData") ++
+        BagWriter.connection(1, "/mic/audio_info", "audio_common_msgs/AudioInfo") ++
+        BagWriter.message(1, 1600000000L, 0, BagWriter.audioInfoPayload(1, 8000)) ++
+        amps.zipWithIndex.flatMap { case (a, i) =>
+          BagWriter.message(0, 1600000000L + i, 100, BagWriter.audioDataPayload(tone(a)))
+        }
+      BagWriter.bag(BagWriter.bagHeader, BagWriter.chunk(inner, bz2 = false))
+    }
+    Files.write(watch.resolve("a.bag"), bagOf(healthyAmps))
+    val q = graft.jobs.BagIngestStream.start(spark, watch.toString, out, ckpt,
+      clipDriftRef = Some(ref))
+    try {
+      q.processAllAvailable()
+      val b0 = SnapshotLake.read(spark, s"$out/clip_drift")
+        .filter(col("ingest_batch") === 0L).collect()
+        .map(r => r.getAs[Long]("bucket") -> r).toMap
+      assert(b0(-1L).getAs[Double]("term") === 0.0)
+      Files.write(watch.resolve("b.bag"), bagOf(Seq.fill(40)(0.0)))
+      q.processAllAvailable()
+      val b1 = SnapshotLake.read(spark, s"$out/clip_drift")
+        .filter(col("ingest_batch") === 1L).collect()
+        .map(r => r.getAs[Long]("bucket") -> r).toMap
+      assert(b1(-1L).getAs[Double]("term") > 0.25,
+        s"dead-mic bag must alarm; read ${b1(-1L).getAs[Double]("term")}")
+    } finally q.stop()
+    assert(SnapshotLake.versions(spark, s"$out/clip_drift").size === 2)
+  }
 }
