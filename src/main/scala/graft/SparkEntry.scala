@@ -1431,8 +1431,9 @@ object SparkEntry {
   // (gig, iou DESC, gt_id): best free non-ignored gt, else best free
   // ignored one — matched-to-ignored detections leave the PR sweep, as
   // do unmatched detections whose own area is out of range); per-cell AP
-  // keeps the continuous carrier form; the twelve summarize() rows are
-  // decimal-carrier means over member cells.
+  // is pycocotools' 101-point interpolation (the q29f conditional-max
+  // device at 101 samples, left-assoc chain); the twelve summarize()
+  // rows are decimal-carrier means over member cells.
   private def cocoScoreboardOracleSql: String = {
     def binGate(ab: String, area: String): String =
       s"""CASE WHEN $ab = 0 THEN TRUE WHEN $ab = 1 THEN $area < 1024
@@ -1512,20 +1513,23 @@ object SparkEntry {
        |          CAST(ROW_NUMBER() OVER (PARTITION BY ti, ab, md, class_id
        |            ORDER BY si DESC, pred_id) AS BIGINT) AS rnk
        |        FROM rk2),
-       |ip AS (SELECT ti, ab, md, class_id, is_tp,
+       |ip AS (SELECT ti, ab, md, class_id, is_tp, cum_tp,
        |         MAX(CAST(cum_tp AS DOUBLE) / rnk) OVER (PARTITION BY ti, ab, md, class_id
        |           ORDER BY si DESC, pred_id
        |           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS iprec
        |       FROM cum),
        |rawap AS (SELECT i.ti, i.ab, i.md, i.class_id,
        |    CAST(SUM(i.is_tp) AS BIGINT) AS n_tp,
-       |    CAST(SUM(CAST(CASE WHEN i.is_tp = 1 THEN i.iprec END AS DECIMAL(27,6))) AS DOUBLE) AS apsum
-       |  FROM ip i GROUP BY 1, 2, 3, 4),
+       |    (${(0 to 100).map(j =>
+             s"COALESCE(MAX(CASE WHEN i.cum_tp * 100 >= $j * g.n_gt THEN i.iprec END), 0.0)")
+             .mkString(" + ")}) / 101.0 AS ap
+       |  FROM ip i JOIN ngb g ON i.ab = g.ab AND i.class_id = g.class_id
+       |  GROUP BY 1, 2, 3, 4),
        |skeleton AS (SELECT t.ti, c.ab, c.md, n.class_id, n.n_gt
        |             FROM ngb n JOIN combos c ON c.ab = n.ab CROSS JOIN tis t),
        |cells AS (SELECT s.ti, s.ab, s.md, s.class_id, s.n_gt,
        |    COALESCE(r.n_tp, 0) AS n_tp,
-       |    COALESCE(r.apsum / s.n_gt, 0.0) AS ap,
+       |    COALESCE(r.ap, 0.0) AS ap,
        |    CAST(COALESCE(r.n_tp, 0) AS DOUBLE) / s.n_gt AS recall
        |  FROM skeleton s LEFT JOIN rawap r ON r.ti = s.ti AND r.ab = s.ab
        |    AND r.md = s.md AND r.class_id = s.class_id),

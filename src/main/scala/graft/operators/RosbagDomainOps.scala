@@ -862,11 +862,15 @@ object RosbagDomainOps {
     * or unmatched with its OWN area outside the range, is excluded from
     * the ranked PR sweep entirely (neither TP nor FP); n_gt counts only
     * in-range gts, and (area, class) cells with zero in-range gts are
-    * excluded from every mean (pycocotools' −1 convention). AP stays the
-    * engine's VOC2010 continuous integral (the q29c/e/g form; pycocotools
-    * itself samples 101 recall points — a documented interpolation-mode
-    * deviation exactly like q29e's, bracketed by q29f/q29h). Recall per
-    * cell = n_tp / n_gt at the full (truncated) ranked list.
+    * excluded from every mean (pycocotools' −1 convention). AP uses
+    * pycocotools' OWN 101-point interpolation — the envelope sampled at
+    * recall ∈ {0, 0.01, …, 1.00} via the exact integer gate
+    * 100·cum_tp ≥ j·n_gt (the q29f eleven-point device widened; a point
+    * past the curve contributes 0; the 101-term sum is a fixed
+    * left-assoc IEEE chain shared with the oracle) — so the twelve
+    * numbers are interpolation-exact pycocotools, unlike q29e/g's
+    * documented continuous-integral choice. Recall per cell =
+    * n_tp / n_gt at the full (truncated) ranked list.
     *
     * Scale shape: ONE NMS pass and ONE loosest-gate candidate join serve
     * all cells; a bounded 6-combo (area, maxDets) × 10-threshold explode
@@ -968,11 +972,18 @@ object RosbagDomainOps {
         .withColumn("rnk", row_number().over(wRank).cast("long"))
         .withColumn("iprec",
           max(col("cum_tp").cast("double") / col("rnk").cast("double")).over(wEnvRev))
+      // pycocotools' 101-point interpolated AP: mean of the envelope at
+      // recall ∈ {0, 0.01, …, 1.00} — p(j/100) = max iprec over rows with
+      // 100·cum_tp ≥ j·n_gt (exact integers; past-the-curve points are 0;
+      // fixed left-assoc 101-term chain, engine-portable as-is)
+      val ap101 = ((0 to 100).map { j =>
+        coalesce(
+          max(when(col("cum_tp") * 100 >= lit(j.toLong) * col("n_gt"), col("iprec"))),
+          lit(0.0))
+      }.reduceLeft(_ + _) / 101.0).as("ap")
       val rawCells = ranked.join(ngBin, Seq("ab", "class_id"))
         .groupBy("ti", "ab", "md", "class_id", "n_gt")
-        .agg(sum(col("is_tp")).as("n_tp"),
-          (dsum(when(col("is_tp") === 1L, col("iprec"))) /
-            col("n_gt").cast("double")).as("ap"))
+        .agg(sum(col("is_tp")).as("n_tp"), ap101)
       // the cell SKELETON: every (ti, combo, in-range class) exists even
       // when zero detections survive — an all-miss cell must average in
       // as 0, not vanish

@@ -568,9 +568,13 @@ class DomainOpsSpec extends SparkSpec {
           val prec = cumTp.zipWithIndex.map { case (ct, i) => ct.toDouble / (i + 1) }
           val env = prec.scanRight(0.0)(math.max).init
           val nTp = cumTp.lastOption.getOrElse(0)
+          // pycocotools' 101-point interpolation, recomputed naively
+          val ap101 = (0 to 100).map { j =>
+            env.zip(cumTp).collect { case (e, ct) if ct * 100 >= j * nGt => e }
+              .maxOption.getOrElse(0.0)
+          }.sum / 101.0
           Some((ti.toLong, ab, md, c) ->
-            ((nTp.toLong, isTp.zip(env).filter(_._1).map(_._2).sum / nGt,
-              nTp.toDouble / nGt)))
+            ((nTp.toLong, ap101, nTp.toDouble / nGt)))
         }
       }
     }).flatten.toMap
@@ -616,12 +620,16 @@ class DomainOpsSpec extends SparkSpec {
     }
     assert(got(7L)._3 <= got(8L)._3 + 1e-12 && got(8L)._3 <= got(9L)._3 + 1e-12)
     // (c) on the full range nothing is ignored and no group exceeds 100
-    // detections, so q29i's (all, 100) cells ARE q29g's sweep: the AP
-    // metric equals q29g's mAP rollup exactly
+    // detections, so q29i's (all, 100) matching IS q29g's sweep: the TP
+    // counts agree cell by cell (the interpolation mode differs BY
+    // DESIGN — q29i is 101-point pycocotools, q29g the continuous
+    // integral — so the relation pins at the interpolation-free level)
     val g29 = operators.RosbagDomainOps.detApCocoGreedy(spark, sf).collect()
-      .find(r => r.getLong(1) == -1L).get.getDouble(5)
-    assert(math.abs(got(1L)._3 - g29) < 1e-9,
-      s"AP ${got(1L)._3} != q29g rollup $g29 — (all,100) cells drifted")
+      .filter(_.getLong(1) >= 0L)
+      .map(r => (math.round(r.getDouble(0) * 20), r.getLong(1)) -> r.getLong(4)).toMap
+    for (ti <- 10L to 19L; c <- 0L to 2L)
+      assert(cells((ti, 0L, 100L, c))._1 === g29((ti, c)),
+        s"ti=$ti c=$c: (all,100) TP count drifted from q29g's cell")
 
     // kernel fuzz: greedyMatchGroupIgnore == the reference pick on random
     // groups with random ignore flags; ignore-blind inputs reduce to
