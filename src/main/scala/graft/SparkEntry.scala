@@ -55,6 +55,7 @@ object SparkEntry {
     "q29g_det_map_coco_greedy" -> ((s: SparkSession, d: String) => RosbagDomainOps.detApCocoGreedy(s, d)),
     "q29h_det_ap_voc07_greedy" -> ((s: SparkSession, d: String) => RosbagDomainOps.detAveragePrecisionVoc07Greedy(s, d)),
     "q29i_det_coco_scoreboard" -> (RosbagDomainOps.detCocoScoreboard _),
+    "q29j_det_confusion"  -> (RosbagDomainOps.detConfusion _),
     "q32_track_stitch"    -> ((s: SparkSession, d: String) => RosbagDomainOps.trackStitch(s, d)),
     "q30_train_val_split" -> (RosbagDomainOps.trainValSplit _),
     "q34_salted_join"     -> ((s: SparkSession, d: String) => SkewOps.saltedJoin(s, d)),
@@ -2094,6 +2095,37 @@ object SparkEntry {
     // recursive-CTE replay of the sequential claim loop
     "q29g_det_map_coco_greedy" -> apSweepOracleSql(10 to 19, coco = true, greedy = true),
     "q29i_det_coco_scoreboard" -> cocoScoreboardOracleSql,
+    // class-agnostic mutual-best matching (the q29b window rule without
+    // the class key) over the NMS-kept detections, then the confusion
+    // matrix + the missed/background margins
+    "q29j_det_confusion" ->
+      s"""WITH RECURSIVE $NMS_CTES,
+         |pairs AS (SELECT g.gt_id, g.class_id AS gt_class, p.pred_id,
+         |            p.class_id AS pred_class, CAST(inter AS DOUBLE) / uni AS iou
+         |          FROM gt g JOIN keptd p ON g.image_id = p.image_id,
+         |          LATERAL (SELECT
+         |            GREATEST(0, LEAST(g.gx + g.gw, p.x + p.w) - GREATEST(g.gx, p.x))
+         |            * GREATEST(0, LEAST(g.gy + g.gh, p.y + p.h) - GREATEST(g.gy, p.y)) AS inter,
+         |            g.gw * g.gh + p.w * p.h
+         |            - GREATEST(0, LEAST(g.gx + g.gw, p.x + p.w) - GREATEST(g.gx, p.x))
+         |              * GREATEST(0, LEAST(g.gy + g.gh, p.y + p.h) - GREATEST(g.gy, p.y)) AS uni) t
+         |          WHERE CAST(inter AS DOUBLE) / uni >= 0.5),
+         |m AS (SELECT gt_id, pred_id, gt_class, pred_class FROM (
+         |        SELECT gt_id, pred_id, gt_class, pred_class,
+         |          ROW_NUMBER() OVER (PARTITION BY pred_id ORDER BY iou DESC, gt_id) AS rp,
+         |          ROW_NUMBER() OVER (PARTITION BY gt_id ORDER BY iou DESC, pred_id) AS rg
+         |        FROM pairs) WHERE rp = 1 AND rg = 1)
+         |SELECT gt_class, pred_class, CAST(COUNT(*) AS BIGINT) AS n
+         |FROM m GROUP BY 1, 2
+         |UNION ALL
+         |SELECT g.class_id, CAST(-1 AS BIGINT), CAST(COUNT(*) AS BIGINT)
+         |FROM gt g LEFT JOIN m ON m.gt_id = g.gt_id
+         |WHERE m.gt_id IS NULL GROUP BY 1
+         |UNION ALL
+         |SELECT CAST(-1 AS BIGINT), p.class_id, CAST(COUNT(*) AS BIGINT)
+         |FROM keptd p LEFT JOIN m ON m.pred_id = p.pred_id
+         |WHERE m.pred_id IS NULL GROUP BY 2
+         |ORDER BY gt_class, pred_class""".stripMargin,
 
     // the exact-reproduction arm for the reference's VOC07MApMetric:
     // 11-point interpolation AND greedy score-order assignment together

@@ -1029,6 +1029,72 @@ object RosbagDomainOps {
       .orderBy("metric_no")
   }
 
+  /** q29j — detector CLASS-CONFUSION matrix at IoU ≥ 0.5: matching runs
+    * CLASS-AGNOSTIC (candidate pairs keyed by image only — the standard
+    * confusion-analysis tool: q29b..q29i all match within (image, class)
+    * and so structurally cannot see a detector that finds the object but
+    * calls a bike a motorbike), mutual-best by (IoU DESC, ids) — q29b's
+    * order-free total-order rule, two rank-1 windows, no sequential
+    * state. Output: one row per (gt_class, pred_class) with the matched
+    * count — diagonal = localized AND correctly classified, off-diagonal
+    * = localized but MISCLASSIFIED — plus the two margin families:
+    * (gt_class, −1) = ground truths no detection localized (misses) and
+    * (−1, pred_class) = kept detections matching no object (background
+    * false positives). Counts are conserved: each gt and each kept
+    * detection lands in exactly one row (spec-pinned).
+    *
+    * Scale shape: NMS first (the q29c pipeline), candidate pairs bounded
+    * per image at any corpus size (the eval-set contract), argmax
+    * windows partition on box ids, margins are two broadcast anti-joins,
+    * the matrix is ≤ (|classes|+1)² rows. Oracled (the q29b window SQL
+    * without the class key).
+    */
+  def detConfusion(s: SparkSession, d: String): DataFrame = {
+    val (gt, det) = scoredDetections(s, d)
+    val kept = nms(det).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val iw = greatest(lit(0L), least(col("gx") + col("gw"), col("x") + col("w")) - greatest(col("gx"), col("x")))
+      val ih = greatest(lit(0L), least(col("gy") + col("gh"), col("y") + col("h")) - greatest(col("gy"), col("y")))
+      val pairs = gt.withColumnRenamed("class_id", "gt_class")
+        .join(kept.withColumnRenamed("image_id", "p_image_id")
+          .withColumnRenamed("class_id", "pred_class"),
+          col("image_id") === col("p_image_id"))
+        .withColumn("inter", iw * ih)
+        .withColumn("uni", col("gw") * col("gh") + col("w") * col("h") - col("inter"))
+        .withColumn("iou", col("inter").cast("double") / col("uni"))
+        .filter(col("iou") >= 0.5)
+        .select(col("gt_id"), col("pred_id"), col("gt_class"), col("pred_class"), col("iou"))
+      val bestForPred = Window.partitionBy("pred_id").orderBy(col("iou").desc, col("gt_id"))
+      val bestForGt = Window.partitionBy("gt_id").orderBy(col("iou").desc, col("pred_id"))
+      val matched = pairs
+        .withColumn("rp", row_number().over(bestForPred))
+        .withColumn("rg", row_number().over(bestForGt))
+        .filter(col("rp") === 1 && col("rg") === 1)
+        .select("gt_id", "pred_id", "gt_class", "pred_class")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val confusions = matched.groupBy("gt_class", "pred_class")
+          .agg(count(lit(1)).as("n"))
+        val missed = gt
+          .join(matched.select(col("gt_id")), Seq("gt_id"), "left_anti")
+          .groupBy(col("class_id").as("gt_class"))
+          .agg(count(lit(1)).as("n"))
+          .select(col("gt_class"), lit(-1L).as("pred_class"), col("n"))
+        val background = kept
+          .join(matched.select(col("pred_id")), Seq("pred_id"), "left_anti")
+          .groupBy(col("class_id").as("pred_class"))
+          .agg(count(lit(1)).as("n"))
+          .select(lit(-1L).as("gt_class"), col("pred_class"), col("n"))
+        val out = confusions.unionByName(missed).unionByName(background)
+          .orderBy("gt_class", "pred_class")
+        // bounded (≤ (|classes|+1)² rows): materialize so both persists
+        // release before return (the apSweepCells discipline)
+        val rows = out.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+      } finally matched.unpersist(blocking = false)
+    } finally kept.unpersist(blocking = false)
+  }
+
   /** q32 — multi-object track stitching over the detection stream: the
     * tracking-by-detection baseline an AV data lake runs to give per-frame
     * detections a temporal identity (the tracklets labeling and training

@@ -666,6 +666,45 @@ class DomainOpsSpec extends SparkSpec {
     }
   }
 
+  test("q29j class-confusion matrix: matches a naive class-agnostic mutual-best " +
+    "recompute; every gt and every kept detection lands in exactly one row") {
+    val (gts, dets) = naiveModel()
+    val kept = naiveNms(dets)
+    // naive class-AGNOSTIC mutual-best matching at IoU >= 0.5, written
+    // independently: best-by-(iou desc, id) in both directions, within image
+    val pairs = for {
+      g <- gts; p <- kept
+      if g.img == p.img && iouD(g, p) >= 0.5
+    } yield (g, p, iouD(g, p))
+    val bestForPred = pairs.groupBy(_._2.id).map { case (pid, xs) =>
+      pid -> xs.minBy(t => (-t._3, t._1.id))._1.id }
+    val bestForGt = pairs.groupBy(_._1.id).map { case (gid, xs) =>
+      gid -> xs.minBy(t => (-t._3, t._2.id))._2.id }
+    val matched = pairs.collect {
+      case (g, p, _) if bestForPred.get(p.id).contains(g.id) &&
+        bestForGt.get(g.id).contains(p.id) => (g, p)
+    }
+    val expect = (matched.groupBy { case (g, p) => (g.cls, p.cls) }
+      .map { case (k, xs) => k -> xs.size.toLong }) ++
+      gts.filterNot(g => matched.exists(_._1.id == g.id))
+        .groupBy(g => (g.cls, -1L)).map { case (k, xs) => k -> xs.size.toLong } ++
+      kept.filterNot(p => matched.exists(_._2.id == p.id))
+        .groupBy(p => (-1L, p.cls)).map { case (k, xs) => k -> xs.size.toLong }
+    val got = operators.RosbagDomainOps.detConfusion(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got === expect, s"confusion drifted:\n got   $got\n naive $expect")
+    // conservation: margins + matrix partition the gt and kept-det sets
+    assert(got.filterKeys(_._1 >= 0).values.sum === gts.size.toLong,
+      "every gt must land in exactly one row (matrix + missed margin)")
+    assert(got.filterKeys(_._2 >= 0).values.sum === kept.size.toLong,
+      "every kept det must land in exactly one row (matrix + background margin)")
+    // the operator's reason to exist: off-diagonal mass is visible here
+    // while the per-(image, class) metrics (q29b..q29i) structurally
+    // cannot produce it — assert this model actually confuses classes
+    assert(got.exists { case ((g, p), n) => g >= 0 && p >= 0 && g != p && n > 0 },
+      "no off-diagonal confusion on the gate model — test vacuous")
+  }
+
   test("q29c/q29e leave zero cache entries behind (apSweepCells lifecycle)") {
     // the AP sweep persists the NMS output internally (it feeds both the
     // matching join and the ranked sweep); a long-lived session calling
