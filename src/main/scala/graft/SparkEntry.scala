@@ -182,6 +182,7 @@ object SparkEntry {
     "q105_audio_spectral" -> (graft.multimodal.AudioOps.spectralTable _),
     "q106_entropy"        -> (TextAnalysisOps.entropyProfile _),
     "q80_expectations"    -> ((s: SparkSession, d: String) => QualityOps.expectationAudit(s, d)),
+    "q111_sensor_sync"    -> (TemporalOps.sensorSync _),
   )
 
   // Portable polynomial rolling hash in DuckDB SQL — mirrors
@@ -1546,11 +1547,19 @@ object SparkEntry {
        |  UNION ALL SELECT 9, 'AR_100', recall FROM cells WHERE ab = 0 AND md = 100
        |  UNION ALL SELECT 10, 'AR_small', recall FROM cells WHERE ab = 1 AND md = 100
        |  UNION ALL SELECT 11, 'AR_medium', recall FROM cells WHERE ab = 2 AND md = 100
-       |  UNION ALL SELECT 12, 'AR_large', recall FROM cells WHERE ab = 3 AND md = 100)
-       |SELECT CAST(mno AS BIGINT) AS metric_no, metric,
-       |  CAST(COUNT(*) AS BIGINT) AS n_cells,
-       |  CAST(SUM(CAST(v AS DECIMAL(27,6))) AS DOUBLE) / COUNT(v) AS value
-       |FROM mcells GROUP BY 1, 2 ORDER BY metric_no""".stripMargin
+       |  UNION ALL SELECT 12, 'AR_large', recall FROM cells WHERE ab = 3 AND md = 100),
+       |mnames AS (SELECT * FROM (VALUES (1, 'AP'), (2, 'AP50'), (3, 'AP75'),
+       |    (4, 'AP_small'), (5, 'AP_medium'), (6, 'AP_large'), (7, 'AR_1'),
+       |    (8, 'AR_10'), (9, 'AR_100'), (10, 'AR_small'), (11, 'AR_medium'),
+       |    (12, 'AR_large')) n(mno, metric)),
+       |magg AS (SELECT mno, CAST(COUNT(*) AS BIGINT) AS n_cells,
+       |    CAST(SUM(CAST(v AS DECIMAL(27,6))) AS DOUBLE) / COUNT(v) AS value
+       |  FROM mcells GROUP BY 1)
+       |SELECT CAST(n.mno AS BIGINT) AS metric_no, n.metric,
+       |  COALESCE(a.n_cells, 0) AS n_cells,
+       |  COALESCE(a.value, -1.0) AS value
+       |FROM mnames n LEFT JOIN magg a ON a.mno = n.mno
+       |ORDER BY metric_no""".stripMargin
   }
 
   // Exact-sum carrier used by every oracle: identical decimal cast chain as
@@ -4194,5 +4203,37 @@ object SparkEntry {
         |  UNION ALL SELECT 'tax_in_range', n_rows, v6 FROM wide
         |  UNION ALL SELECT 'quantity_not_extreme', n_rows, v7 FROM wide) t
         |ORDER BY check_name""".stripMargin,
+
+    // q111 sensor-sync audit: nearest-either-direction via TWO ASOF joins
+    // (backward >= picks the last sample at-or-before each frame, forward
+    // <= the first at-or-after); signed gap = frame − nearest with the
+    // tie going to the earlier sample — the same total order the Spark
+    // two-scan computes. µs everywhere; the mean is an exact integer SUM
+    // cast to double ONCE (the decimal carrier double-rounds past 2^53
+    // unscaled — see TemporalOps.syncRollupOf).
+    "q111_sensor_sync" ->
+      """WITH f AS (SELECT user_id, event_id, epoch_us(ts) AS t
+        |           FROM events WHERE event_type = 'view'),
+        |c AS (SELECT user_id, epoch_us(ts) AS t
+        |      FROM events WHERE event_type = 'click'),
+        |p AS (SELECT f.user_id, f.event_id, f.t, c.t AS pt
+        |      FROM f ASOF LEFT JOIN c
+        |        ON f.user_id = c.user_id AND f.t >= c.t),
+        |n AS (SELECT f.event_id, c.t AS nt
+        |      FROM f ASOF LEFT JOIN c
+        |        ON f.user_id = c.user_id AND f.t <= c.t),
+        |g AS (SELECT p.user_id, p.t,
+        |        CASE WHEN pt IS NULL AND nt IS NULL THEN NULL
+        |             WHEN nt IS NULL THEN p.t - pt
+        |             WHEN pt IS NULL THEN -(nt - p.t)
+        |             WHEN p.t - pt <= nt - p.t THEN p.t - pt
+        |             ELSE -(nt - p.t) END AS gap
+        |      FROM p JOIN n ON p.event_id = n.event_id)
+        |SELECT user_id, t // 3600000000 AS hour_bucket,
+        |  CAST(COUNT(*) AS BIGINT) AS n_frames,
+        |  CAST(COUNT(*) - COUNT(gap) AS BIGINT) AS n_unmatched,
+        |  CAST(MAX(ABS(gap)) AS BIGINT) AS max_abs_gap_us,
+        |  CAST(SUM(gap) AS DOUBLE) / COUNT(gap) AS mean_gap_us
+        |FROM g GROUP BY 1, 2 ORDER BY user_id, hour_bucket""".stripMargin,
   )
 }

@@ -16,10 +16,15 @@ object Verify {
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val selected = only.fold(SparkEntry.queries)(ks => SparkEntry.queries.filter(kv => ks(kv._1)))
+    var written = 0
+    var failed = 0
     selected.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        written += 1
+      } catch { case e: Throwable =>
+        failed += 1
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // operators may persist() shared intermediates; release them between
@@ -42,5 +47,16 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
+    // An empty dump tree must never exit 0: round 15's driver-side
+    // correctness artifact landed as `{}` with no per-query signal at all,
+    // and nothing in the pipeline flagged it. Zero dirs written means the
+    // round has NO correctness evidence — that is a hard failure, not a
+    // quiet success. (Individual query failures stay exit-0: the dump tree
+    // is still meaningful and the DuckDB compare reports them per-query.)
+    System.err.println(s"[verify] wrote $written query dirs, $failed failed")
+    if (written == 0) {
+      System.err.println("[verify] FATAL: zero query dirs written — empty dump tree")
+      sys.exit(2)
+    }
   }
 }

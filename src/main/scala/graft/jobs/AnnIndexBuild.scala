@@ -255,8 +255,11 @@ object AnnIndexBuild {
       s"corrupt _quantizer sidecar: halves ${cb1.length}/${cb2.length}")
     val kk = cb1.length
     val probe = if (nProbe > 0) nProbe else math.max(1, kk * kk / 16)
+    // multi-sequence frontier probes (Babenko & Lempitsky §3.1): the
+    // serving path never enumerates the K² grid — spec-pinned identical
+    // cell sets to the grid ranking
     val probeRows = SimilarityOps
-      .imiQueryProbes(s, sfDir, probe, kk, cb1, cb2)
+      .imiFrontierProbes(s, sfDir, probe, kk, cb1, cb2)
       .select(col("q_id"), col("list_id"), col("qv"))
       .collect()
     if (probeRows.isEmpty) return emptyResult(s)

@@ -49,7 +49,8 @@ object BagIngest {
       voxel: Option[Double] = None, audioDedup: Option[Int] = None,
       frameIndex: Option[(String, Long)] = None,
       frameDrift: Option[(graft.operators.TextAnalysisOps.DriftRef, Long)] = None,
-      clipDrift: Option[(graft.operators.TextAnalysisOps.DriftRef, Long)] = None): Unit = {
+      clipDrift: Option[(graft.operators.TextAnalysisOps.DriftRef, Long)] = None,
+      cloudDrift: Option[(graft.operators.TextAnalysisOps.DriftRef, Long)] = None): Unit = {
     def save(df: DataFrame, name: String): Unit =
       df.write.mode(mode).parquet(s"$out/$name$tableSuffix")
 
@@ -125,6 +126,21 @@ object BagIngest {
       SnapshotLake.commitStreamBatch(spark, s"$out/clip_drift",
         graft.multimodal.AudioOps.rmsDrift(spark,
             spark.read.parquet(s"$out/clips$tableSuffix"), ref)
+          .withColumn(
+            "ingest_batch", org.apache.spark.sql.functions.lit(batchId)),
+        batchId)
+    }
+    // lidar drift gauge: the same contract on the PointCloud2 column —
+    // per-batch PSI of per-sweep point population against a frozen
+    // healthy reference (PointCloudOps.cloudDriftReference), landing in
+    // the versioned <out>/cloud_drift table (batch-id idempotent); a
+    // monitor, not a gate. Scored over the RAW point stream, before any
+    // --voxel densification (a voxel dial change must not read as a
+    // failing sensor).
+    cloudDrift.foreach { case (ref, batchId) =>
+      SnapshotLake.commitStreamBatch(spark, s"$out/cloud_drift",
+        graft.operators.PointCloudOps.cloudDrift(
+            RosbagReader.pointCloudPointsOf(spark, msgs), ref)
           .withColumn(
             "ingest_batch", org.apache.spark.sql.functions.lit(batchId)),
         batchId)

@@ -55,7 +55,11 @@ object BagIngestStream {
       // the same gauge on the MICROPHONE column (per-clip RMS vs a frozen
       // healthy reference — AudioOps.rmsDriftReference), landing in
       // <out>/clip_drift. Four modalities, one PSI contract.
-      clipDriftRef: Option[graft.operators.TextAnalysisOps.DriftRef] = None): StreamingQuery =
+      clipDriftRef: Option[graft.operators.TextAnalysisOps.DriftRef] = None,
+      // and on the LIDAR column (per-sweep point population vs a frozen
+      // healthy reference — PointCloudOps.cloudDriftReference), landing
+      // in <out>/cloud_drift. Fifth modality, same PSI contract.
+      cloudDriftRef: Option[graft.operators.TextAnalysisOps.DriftRef] = None): StreamingQuery =
     spark.readStream.format("binaryFile")
       .option("pathGlobFilter", "*.bag")
       .schema(fileSchema)
@@ -86,7 +90,8 @@ object BagIngestStream {
             imageDedup = imageDedup, voxel = voxel, audioDedup = audioDedup,
             frameIndex = frameIndexLake.map(l => (l, batchId)),
             frameDrift = frameDriftRef.map(r => (r, batchId)),
-            clipDrift = clipDriftRef.map(r => (r, batchId)))
+            clipDrift = clipDriftRef.map(r => (r, batchId)),
+            cloudDrift = cloudDriftRef.map(r => (r, batchId)))
         }
       }
       .start()

@@ -504,13 +504,46 @@ object AudioOps {
     * class, unrelated short clips would sit within the radius on padding
     * alone and dedupGroupsClips would silently collapse distinct content
     * — a dedup stage must never manufacture data loss from truncation.
-    * Gated clips simply never pair (they stay their own canonical). */
+    *
+    * Gated clips still get the EXACT-duplicate fallback: byte-identical
+    * copies of a sub-fpMinWindows clip (same sample_rate/channels/pcm)
+    * pair at hamming 0 on a 128-bit content md5 — exact copies must
+    * collapse even when the perceptual word cannot be trusted, and
+    * content equality has no padding-collision failure mode. Near (but
+    * not exact) short duplicates remain ungated by design. */
   def nearDupClips(spark: SparkSession, clips: DataFrame, maxHamming: Int = 3,
-      window: Int = 256, nMels: Int = 8): DataFrame =
-    nearDupFromClipHashes(
+      window: Int = 256, nMels: Int = 8): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val fpPairs = nearDupFromClipHashes(
       fingerprintClips(spark, clips, window, nMels)
         .filter(col("n_windows") >= fpMinWindows(nMels).toLong),
       maxHamming)
+    // exact-content pairs among the gated shorts: bucket on the md5 (the
+    // bucket size is the duplication factor — bounded), pair within
+    val shorts = shortClipContentHashes(clips, window, nMels)
+    def side(p: String) = shorts.select(col("sample_rate"), col("channels"),
+      col("h"), col("clip_id").as(s"${p}_clip_id"))
+    val exactPairs = side("a")
+      .join(side("b"), Seq("sample_rate", "channels", "h"))
+      .filter(col("a_clip_id") < col("b_clip_id"))
+      .select(col("a_clip_id"), col("b_clip_id"), lit(0).as("hamming"))
+    fpPairs.unionByName(exactPairs)
+  }
+
+  /** The sub-[[fpMinWindows]] clip population as (clip_id | key cols,
+    * sample_rate, channels, content md5). The window-count arithmetic
+    * mirrors [[fpKernel]] exactly (frames = bytes/(2·channels), windows
+    * = frames/window, integer division) so the gate and the fallback
+    * partition the clip set with no gap or overlap; md5 runs only over
+    * the shorts (bounded ≈ fpMinWindows·window·2·channels bytes each),
+    * never the corpus. */
+  private def shortClipContentHashes(clips: DataFrame, window: Int,
+      nMels: Int): DataFrame = {
+    import org.apache.spark.sql.functions.{floor, length, lit, md5}
+    val nWin = floor(floor(length(col("pcm")) / (lit(2) * col("channels"))) / lit(window))
+    clips.filter(nWin < lit(fpMinWindows(nMels)))
+      .withColumn("h", md5(col("pcm")))
+  }
 
   /** [[nearDupClips]] over a precomputed (clip_id, fp) table. */
   private[graft] def nearDupFromClipHashes(hashes: DataFrame,
@@ -557,12 +590,33 @@ object AudioOps {
     * Output: the dedupGroupsFrames column convention (bag, topic,
     * time_ns, canon_*, is_canonical), one row per incident clip. */
   def dedupGroupsClipsByKey(spark: SparkSession, clips: DataFrame,
-      maxHamming: Int = 3, window: Int = 256, nMels: Int = 8): DataFrame =
-    ImageOps.dedupGroupsFromHashes(spark,
+      maxHamming: Int = 3, window: Int = 256, nMels: Int = 8): DataFrame = {
+    import org.apache.spark.sql.functions.{count, lit, min, struct}
+    val fpGroups = ImageOps.dedupGroupsFromHashes(spark,
       fingerprintClipsByKey(spark, clips, window, nMels)
         .filter(col("n_windows") >= fpMinWindows(nMels).toLong)
         .select("bag", "topic", "time_ns", "dhash"),
       maxHamming)
+    // exact-content groups among the gated shorts (the nearDupClips
+    // fallback, group form): content equality is TRANSITIVE, so each
+    // (rate, channels, md5) bucket IS a complete component — no label
+    // propagation needed, one window pass; canonical = the min key (the
+    // dedupGroupsFrames convention), singletons absent (incident-only)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("sample_rate", "channels", "h")
+    val k = struct(col("bag"), col("topic"), col("time_ns"))
+    val exactGroups = shortClipContentHashes(
+        clips.select("bag", "topic", "time_ns", "sample_rate", "channels", "pcm"),
+        window, nMels)
+      .withColumn("canon", min(k).over(w))
+      .withColumn("n", count(lit(1)).over(w))
+      .filter(col("n") >= 2)
+      .select(col("bag"), col("topic"), col("time_ns"),
+        col("canon.bag").as("canon_bag"), col("canon.topic").as("canon_topic"),
+        col("canon.time_ns").as("canon_time_ns"),
+        (k === col("canon")).as("is_canonical"))
+    fpGroups.unionByName(exactGroups)
+  }
 
   /** Per-clip RMS as a drift SCORE frame `(score)` — the cheap audio
     * health statistic the drift gauge distributes (one map over the clip

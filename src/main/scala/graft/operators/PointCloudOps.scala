@@ -95,4 +95,35 @@ object PointCloudOps {
         min("z").as("min_z"), max("z").as("max_z"),
         min("intensity").as("min_intensity"),
         max("intensity").as("max_intensity"))
+
+  /** Per-sweep point population as a drift SCORE frame `(score)` — the
+    * cheap lidar health statistic the gauge distributes (one groupBy per
+    * sweep, the [[cloudStats]] reduction). Population is the statistic a
+    * dying lidar moves first: beam dropouts and FOV occlusion collapse
+    * the per-sweep return count, a mis-set return mode inflates it. */
+  private[graft] def populationScoredOf(points: DataFrame): DataFrame =
+    points.groupBy("bag", "topic", "time_ns")
+      .agg(count(lit(1)).cast("double").as("score"))
+      .select("score")
+
+  /** Frozen lidar drift REFERENCE — decile edges + per-bucket counts of
+    * per-sweep point population over a healthy reference recording,
+    * captured ONCE offline (the brightness/RMS reference, lidar column).
+    */
+  def cloudDriftReference(points: DataFrame,
+      buckets: Int = 10): TextAnalysisOps.DriftRef =
+    TextAnalysisOps.driftReferenceOf(populationScoredOf(points), buckets)
+
+  /** PSI of a sweep batch's population distribution against a frozen
+    * [[cloudDriftReference]] — the LIDAR drift gauge, fifth modality on
+    * q110's shared PSI contract (text quality, embeddings q108, pixel
+    * brightness, clip RMS): beam dropouts, occlusion, or a return-mode
+    * change shift the per-sweep population distribution exactly the way
+    * a dying microphone shifts RMS — the gauge fires before any
+    * registration or detection consumer errors. Same contract as the
+    * others: bucket rows + the −1 rollup whose term IS the PSI, NULL on
+    * an empty batch. */
+  def cloudDrift(points: DataFrame,
+      ref: TextAnalysisOps.DriftRef): DataFrame =
+    TextAnalysisOps.psiAgainst(populationScoredOf(points), ref)
 }

@@ -1005,12 +1005,16 @@ object RosbagDomainOps {
       s.createDataFrame(java.util.Arrays.asList(rows: _*), cells.schema)
     } finally kept.unpersist(blocking = false)
     // the twelve summarize() rows: each a decimal-carrier mean over its
-    // member cells (AP metrics read `ap`, AR metrics read `recall`)
+    // member cells (AP metrics read `ap`, AR metrics read `recall`).
+    // An EMPTY member set (e.g. an eval set with no small-area ground
+    // truths) reports the pycocotools summarize() sentinel −1, not NULL:
+    // consumers of the scoreboard expect COCO's "metric not defined
+    // here" convention, and a NULL would read as a computation failure.
     def metricOf(no: Int, name: String, member: Column, v: Column): DataFrame =
       cellsLocal.filter(member)
         .agg(count(lit(1)).as("n_cells"), davg(v).as("value"))
         .select(lit(no.toLong).as("metric_no"), lit(name).as("metric"),
-          col("n_cells"), col("value"))
+          col("n_cells"), coalesce(col("value"), lit(-1.0)).as("value"))
     val ab = col("ab"); val md = col("md"); val ti = col("ti")
     Seq(
       metricOf(1, "AP", ab === 0 && md === 100, col("ap")),

@@ -1236,14 +1236,14 @@ object SimilarityOps {
     cb.toSeq.zipWithIndex.map { case (cv, i) => (i.toLong, cv.toSeq) }.toDF("idx", "c")
   }
 
-  /** Query-side IMI probe resolution: per query, the per-half distance
-    * tables (K rows each) join into the K² cell grid, rank by
+  /** Query-side IMI probe resolution, GRID form: per query, the per-half
+    * distance tables (K rows each) join into the K² cell grid, rank by
     * (d1 + d2 ASC, cell id) — additivity is exactly why the coarse
     * metric is per-half L2 — and the top `nProbe` cells probe. K² rows
-    * per QUERY (the benchmark query set is bounded); a production
-    * serving path would walk the multi-sequence frontier instead of
-    * enumerating the grid (Babenko & Lempitsky §3.1) — same cells,
-    * streaming enumeration. */
+    * per QUERY — fine at gate scale, √n cells per query at auto-K; the
+    * SERVING path is [[imiFrontierProbes]] (the multi-sequence walk,
+    * same cells, O(nProbe·log nProbe) per query). Kept as the
+    * adjudication baseline the spec pins the frontier against. */
   private[graft] def imiQueryProbes(s: SparkSession, d: String, nProbe: Int,
       k: Int, cb1: Array[Array[Double]], cb2: Array[Array[Double]],
       queryIdMax: Long = QueryIdMax): DataFrame = {
@@ -1271,6 +1271,105 @@ object SimilarityOps {
         col("nrm").as("qnrm"), col("list_id"))
   }
 
+  /** The multi-sequence frontier walk (Babenko & Lempitsky CVPR 2012
+    * §3.1): emit the top `nProbe` cells of the K² grid in (d1+d2 ASC,
+    * cell id ASC) order WITHOUT materializing the grid — each half's
+    * distances sort once (K log K), then a priority-queue frontier walks
+    * the sorted plane from (0,0), pushing a cell's right/down successor
+    * only when its other predecessor has been visited (so each cell
+    * enters the heap once) and popping in nondecreasing d1+d2 order.
+    * Per query: O(K·d/2) distance work + O(K log K + nProbe log nProbe)
+    * walk — at auto-K = n^(1/4) this replaces the grid path's √n cells
+    * per query with the probe count itself, the difference between a
+    * benchmark audit and a production server at 10⁹ vectors.
+    *
+    * EXACT-SET contract with the grid: pops are nondecreasing in ds, so
+    * after the nProbe-th pop the walk keeps draining cells TIED with the
+    * boundary ds (their predecessors all sit at ≤ the boundary, hence
+    * already popped — the tie group is fully reachable), then one local
+    * sort by (ds, cell id) cuts the identical top-nProbe the grid's
+    * window rank selects. Spec-pinned equal on the gate lake. */
+  private[graft] def frontierCells(d1: Array[Double], d2: Array[Double],
+      nProbe: Int): Array[Long] = {
+    val k = d1.length
+    require(d2.length == k, s"IMI halves must share K; got $k/${d2.length}")
+    val target = math.min(nProbe.toLong, k.toLong * k).toInt
+    if (target <= 0) return Array.empty
+    // per-half enumeration order: (dist ASC, original idx ASC) — the same
+    // total order the grid path's (ds ASC, list_id ASC) rank induces
+    val o1 = Array.range(0, k).sortBy(i => (d1(i), i))
+    val o2 = Array.range(0, k).sortBy(i => (d2(i), i))
+    def lidOf(a: Int, b: Int): Long = o1(a).toLong * k + o2(b)
+    def dsOf(a: Int, b: Int): Double = d1(o1(a)) + d2(o2(b))
+    implicit val ord: Ordering[(Double, Long, Int, Int)] =
+      Ordering.by[(Double, Long, Int, Int), (Double, Long)](t => (t._1, t._2)).reverse
+    val heap = scala.collection.mutable.PriorityQueue.empty[(Double, Long, Int, Int)]
+    val popped = new java.util.HashSet[Long]()
+    val pushed = new java.util.HashSet[Long]()
+    def push(a: Int, b: Int): Unit =
+      if (a < k && b < k && pushed.add(a.toLong * k + b))
+        heap.enqueue((dsOf(a, b), lidOf(a, b), a, b))
+    def isPopped(a: Int, b: Int): Boolean = popped.contains(a.toLong * k + b)
+    push(0, 0)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Double, Long)]
+    var boundary = 0.0
+    while (heap.nonEmpty && (out.length < target || heap.head._1 == boundary)) {
+      val (ds, lid, a, b) = heap.dequeue()
+      popped.add(a.toLong * k + b)
+      out += ((ds, lid))
+      if (out.length == target) boundary = ds
+      if (b == 0 || isPopped(a + 1, b - 1)) push(a + 1, b)
+      if (a == 0 || isPopped(a - 1, b + 1)) push(a, b + 1)
+    }
+    out.sortInPlaceBy(t => (t._1, t._2))
+    out.take(target).map(_._2).toArray
+  }
+
+  /** [[imiQueryProbes]] through [[frontierCells]] — the SERVING probe
+    * path: one in-register kernel pass over the query set (broadcast
+    * half codebooks, the [[assignImiKernel]] genus), each query emitting
+    * its nProbe cells directly; no K²-row grid, no window rank, no
+    * shuffle. Per-half distances fold in ascending-component order —
+    * bit-identical to the grid path's sqDist fold, so the emitted sets
+    * are EXACTLY the grid's top-nProbe (spec-pinned). */
+  private[graft] def imiFrontierProbes(s: SparkSession, d: String, nProbe: Int,
+      k: Int, cb1: Array[Array[Double]], cb2: Array[Array[Double]],
+      queryIdMax: Long = QueryIdMax): DataFrame = {
+    import s.implicits._
+    require(cb1.length == k && cb2.length == k, "IMI halves must share K")
+    val b1 = s.sparkContext.broadcast(cb1)
+    val b2 = s.sparkContext.broadcast(cb2)
+    Tables.embeddings(s, d)
+      .filter(col("vec_id") < queryIdMax)
+      .select(col("vec_id").cast("long"), toDouble(col("embedding")).as("v"))
+      .as[(Long, Seq[Double])]
+      .mapPartitions { it =>
+        val c1 = b1.value; val c2 = b2.value
+        val kk = c1.length
+        val half = c1(0).length
+        def dists(cs: Array[Array[Double]], v: Array[Double], off: Int): Array[Double] = {
+          val out = new Array[Double](kk)
+          var c = 0
+          while (c < kk) {
+            var t = 0.0; var j = 0
+            val cv = cs(c)
+            while (j < half) { val dd = v(off + j) - cv(j); t += dd * dd; j += 1 }
+            out(c) = t; c += 1
+          }
+          out
+        }
+        it.flatMap { case (id, sv) =>
+          val v = sv.toArray
+          var t = 0.0; var i = 0
+          while (i < v.length) { t += v(i) * v(i); i += 1 }
+          val nrm = math.sqrt(t)
+          frontierCells(dists(c1, v, 0), dists(c2, v, half), nProbe)
+            .map(lid => (id, sv, nrm, lid))
+        }
+      }
+      .toDF("q_id", "qv", "qnrm", "list_id")
+  }
+
   /** q46e — ANN under the INVERTED MULTI-INDEX coarse quantizer
     * (Babenko & Lempitsky CVPR 2012): the documented escape hatch past
     * [[AutoKCap]], now implemented — two per-half codebooks of
@@ -1292,7 +1391,7 @@ object SimilarityOps {
   def knnImi(s: SparkSession, d: String, k: Int = 3,
       queryIdMax: Long = QueryIdMax, nProbe: Int = ImiProbes): DataFrame = {
     val (kk, cb1, cb2) = imiQuantizer(s, d, queryIdMax)
-    val queries = imiQueryProbes(s, d, nProbe, kk, cb1, cb2, queryIdMax)
+    val queries = imiFrontierProbes(s, d, nProbe, kk, cb1, cb2, queryIdMax)
     val corpus = assignImiKernel(s,
       Tables.spreadScan(s, Tables.embeddings(s, d)
         .filter(col("vec_id") >= queryIdMax)

@@ -296,4 +296,113 @@ object TemporalOps {
         col("valid_to_ns").isNull.as("is_current"))
       .orderBy("user_id", "version")
   }
+
+  /** The sensor-sync CORE shared by q111 and the lake audit: for every
+    * reference row ("rig", "t", unique "rid"), the SIGNED gap to the
+    * nearest sensor timestamp on the same rig — positive when the nearest
+    * sensor sample precedes the frame, negative when it follows, NULL
+    * when the rig has no sensor samples at all. Nearest-EITHER-direction,
+    * tie → the earlier sample (the deterministic rule both engines share).
+    *
+    * Shape: the q71 scan — union both streams tagged, ONE shuffle on rig,
+    * a forward window pass carrying the last sensor ts at-or-before each
+    * row and a backward pass carrying the first at-or-after. No range
+    * join, no per-pair work: linear in the stream, state bounded per rig,
+    * unchanged at 100 TB.
+    */
+  private def nearestGapOf(ref: DataFrame, sensor: DataFrame): DataFrame = {
+    // kind 0 = sensor, 1 = reference frame: kind breaks ts ties so a
+    // same-ts sensor sample is visible to BOTH scans (gap 0). Only
+    // TIMESTAMPS are read from the sensor side, so equal-key window
+    // order is irrelevant — every order yields the same prev/next ts.
+    val s0 = sensor.select(col("rig"), col("t"), lit(0).as("kind"))
+    val f1 = ref.select(col("rig"), col("t"), lit(1).as("kind"))
+    val fwd = Window.partitionBy("rig")
+      .orderBy(col("t").asc, col("kind").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val bwd = Window.partitionBy("rig")
+      .orderBy(col("t").desc, col("kind").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def sensorOnly(c: Column): Column = when(col("kind") === 0, c)
+    val prevGap = col("t") - col("prev_ts")   // ≥ 0
+    val nextGap = col("next_ts") - col("t")   // ≥ 0
+    s0.unionByName(f1)
+      .withColumn("prev_ts", last(sensorOnly(col("t")), ignoreNulls = true).over(fwd))
+      .withColumn("next_ts", last(sensorOnly(col("t")), ignoreNulls = true).over(bwd))
+      .filter(col("kind") === 1)
+      .select(col("rig"), col("t"),
+        when(col("prev_ts").isNull && col("next_ts").isNull, lit(null).cast("long"))
+          .when(col("next_ts").isNull, prevGap)
+          .when(col("prev_ts").isNull, -nextGap)
+          .when(prevGap <= nextGap, prevGap)
+          .otherwise(-nextGap).as("gap"))
+  }
+
+  /** [[nearestGapOf]] rolled up per (rig, bucket): frame count, unmatched
+    * count, worst absolute gap, and the decimal-exact mean SIGNED gap —
+    * the per-window clock-skew estimate (a consistent nonzero mean is a
+    * clock offset between the two sensors; a blowing-up max is dropped
+    * samples). Output is bounded by rigs × buckets. */
+  private def syncRollupOf(gaps: DataFrame, bucketT: Long): DataFrame =
+    gaps
+      .groupBy(col("rig"), call_function("div", col("t"), lit(bucketT)).as("bucket"))
+      .agg(
+        count(lit(1)).as("n_frames"),
+        (count(lit(1)) - count(col("gap"))).as("n_unmatched"),
+        max(abs(col("gap"))).as("max_abs_gap"),
+        // gaps are exact int64, so the plain integer SUM is already exact
+        // and order-insensitive — and it must NOT ride the decimal
+        // carrier: at ~1e12 µs gaps the scale-6 unscaled sum exceeds
+        // 2^53, where DuckDB's int128-decimal→double conversion
+        // double-rounds (unscaled→double, then ÷10⁶) while Spark's
+        // BigDecimal converts once — a real observed 1e-4 µs divergence.
+        // int64→double is a single correctly-rounded conversion in both.
+        (sum(col("gap")).cast("double") / count(col("gap"))).as("mean_gap"))
+
+  /** q111 — sensor-sync audit: cross-modal time-alignment QA, the first
+    * question an AV data consumer asks of a multi-sensor lake ("are the
+    * camera and the lidar/mic clocks actually aligned, and did either
+    * drop samples?"). Per (rig, hour window): how many reference frames,
+    * how many had NO second-modality sample at all, the worst |frame ts −
+    * nearest sensor ts| in µs, and the mean SIGNED gap — the clock-skew
+    * gauge. On the gate lake, 'view' events are the camera frames and
+    * 'click' events the second sensor, per camera (user_id = rig); the
+    * lake twin over real bag tables is [[sensorSyncLakeOf]].
+    *
+    * Oracled: DuckDB computes the same nearest-either-direction gap with
+    * two ASOF joins (backward + forward); Spark computes it with the q71
+    * single-shuffle two-scan shape — parity proves the scan equivalent to
+    * the ASOF pair. µs resolution end to end (the q26/q71 convention);
+    * the mean rides the exact decimal carrier.
+    */
+  def sensorSync(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+    def tUs = call_function("div", col("ts"), lit(nsPerUs)).as("t")
+    val frames = e.filter(col("event_type") === "view")
+      .select(col("user_id").as("rig"), tUs)
+    val sensor = e.filter(col("event_type") === "click")
+      .select(col("user_id").as("rig"), tUs)
+    syncRollupOf(nearestGapOf(frames, sensor), 3600L * 1000000L)
+      .select(col("rig").as("user_id"), col("bucket").as("hour_bucket"),
+        col("n_frames"), col("n_unmatched"),
+        col("max_abs_gap").as("max_abs_gap_us"),
+        col("mean_gap").as("mean_gap_us"))
+      .orderBy("user_id", "hour_bucket")
+  }
+
+  /** The LAKE form of the q111 audit: reference frames (bag, time_ns)
+    * against a second modality's (bag, time_ns) — images vs clips,
+    * images vs clouds — rolled up per (bag, window of `bucketNs`).
+    * UNORDERED (the cloudStats convention: a QA pass feeds filters and
+    * alarms, not a report). */
+  def sensorSyncLakeOf(frames: DataFrame, sensor: DataFrame,
+      bucketNs: Long = 60L * 1000000000L): DataFrame = {
+    require(bucketNs > 0, s"bucketNs must be > 0; got $bucketNs")
+    val ref = frames.select(col("bag").as("rig"), col("time_ns").as("t"))
+    val sen = sensor.select(col("bag").as("rig"), col("time_ns").as("t"))
+    syncRollupOf(nearestGapOf(ref, sen), bucketNs)
+      .select(col("rig").as("bag"), col("bucket"), col("n_frames"),
+        col("n_unmatched"), col("max_abs_gap").as("max_abs_gap_ns"),
+        col("mean_gap").as("mean_gap_ns"))
+  }
 }

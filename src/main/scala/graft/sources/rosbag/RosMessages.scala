@@ -196,7 +196,10 @@ object RosMessages {
 
   def audioInfo(data: Array[Byte]): AudioInfoMsg = {
     val b = buf(data)
-    val channels = b.getInt.toLong & 0xffffffffL
+    // AudioInfo.msg declares `uint8 channels` — a single byte, NOT a u32.
+    // Reading 4 bytes here shifted every later field by 3 and made real
+    // audio_capture bags unparseable (garbage string lengths).
+    val channels = b.get.toLong & 0xffL
     val rate = b.getInt.toLong & 0xffffffffL
     val fmt = readString(b)
     val bitrate = b.getInt.toLong & 0xffffffffL

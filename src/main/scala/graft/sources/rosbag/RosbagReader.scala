@@ -349,7 +349,15 @@ object RosbagReader {
           s"AudioData on $topic: unsupported audio format " +
             s"(sample_format='$fmt', coding_format='$coding'; supported: " +
             s"sample_format S16LE with raw/wave coding) — refusing to land " +
-            "bytes under a wrong sample interpretation")
+            "bytes under a wrong sample interpretation. Recipe for " +
+            "compressed codings (mp3/aac — the audio_capture default on " +
+            "bandwidth-limited rigs): the concatenated AudioData payloads " +
+            "of a topic ARE the raw compressed bitstream, so (1) dump them " +
+            "in time_ns order to <topic>.mp3, (2) transcode offline with " +
+            "`ffmpeg -i <topic>.mp3 -f s16le -acodec pcm_s16le " +
+            "-ar <sample_rate> -ac <channels> <topic>.pcm`, (3) rewrite " +
+            "the bag's AudioInfo as sample_format=S16LE/coding_format=wave " +
+            "with the PCM buffers, then re-run BagIngest")
         (r.getString(0), topic, r.getLong(2),
           i.getLong(1).toInt, i.getLong(0).toInt, r.getAs[Array[Byte]](3))
       })

@@ -652,6 +652,43 @@ class AnnIndexSpec extends SparkSpec {
     }
   }
 
+  test("property: frontierCells == naive (d1+d2, list_id) grid sort — " +
+    "including tie groups straddling the probe boundary") {
+    val rng = new scala.util.Random(11)
+    def naive(d1: Array[Double], d2: Array[Double], nProbe: Int): Seq[Long] = {
+      val k = d1.length
+      (for (i <- 0 until k; j <- 0 until k)
+        yield (d1(i) + d2(j), i.toLong * k + j))
+        .sortBy(identity).take(math.min(nProbe, k * k)).map(_._2)
+    }
+    for (k <- Seq(2, 5, 8); trial <- 0 until 10) {
+      // quantized distances: ties are COMMON (the hard case — a tie group
+      // straddling nProbe must resolve by list_id exactly like the grid)
+      def half() = Array.fill(k)((rng.nextInt(4)).toDouble)
+      val d1 = half(); val d2 = half()
+      for (nProbe <- Seq(1, 2, k, k * k - 1, k * k, k * k + 5)) {
+        val got = SimilarityOps.frontierCells(d1, d2, nProbe).toSeq
+        assert(got === naive(d1, d2, nProbe), s"k=$k trial=$trial nProbe=$nProbe " +
+          s"d1=${d1.mkString(",")} d2=${d2.mkString(",")}")
+      }
+    }
+    assert(SimilarityOps.frontierCells(Array(0.0), Array(0.0), 0).isEmpty)
+  }
+
+  test("IMI frontier probes emit EXACTLY the grid enumeration's top-P cells " +
+    "on the gate lake, at every dial") {
+    val d = "/root/testdata/sf0.01"
+    val (kk, cb1, cb2) = SimilarityOps.imiQuantizer(spark, d)
+    for (nProbe <- Seq(1, SimilarityOps.ImiProbes, 17, kk * kk)) {
+      def setOf(df: org.apache.spark.sql.DataFrame) = df
+        .select("q_id", "list_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val grid = setOf(SimilarityOps.imiQueryProbes(spark, d, nProbe, kk, cb1, cb2))
+      val frontier = setOf(SimilarityOps.imiFrontierProbes(spark, d, nProbe, kk, cb1, cb2))
+      assert(frontier === grid, s"nProbe=$nProbe: frontier walk diverged from grid rank")
+    }
+  }
+
   test("q46e recall: probing every cell IS brute force; the default dial is " +
     "comparable to a flat quantizer at EQUAL cell count") {
     val d = "/root/testdata/sf0.01"

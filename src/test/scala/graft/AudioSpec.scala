@@ -317,4 +317,40 @@ class AudioSpec extends SparkSpec {
       .toDF("clip_id", "sample_rate", "channels", "pcm")
     assert(AudioOps.nearDupClips(spark, ok).count() === 1L)
   }
+
+  test("byte-exact copies of a sub-fpMinWindows clip still collapse via the " +
+    "content-hash fallback; near-but-not-exact shorts stay apart") {
+    import spark.implicits._
+    val rate = 8000
+    val short = prefixed(rate, 1024, 0, 0.0, 500.0) // 4 windows < fpMinWindows
+    val nearShort = short.clone(); nearShort(10) = (nearShort(10) ^ 1).toByte
+    val clips = Seq(
+      (0L, rate, 1, short),             // exact pair with 1
+      (1L, rate, 1, short.clone),
+      (2L, rate, 1, nearShort),         // 1 bit off: NOT exact, must not pair
+      (3L, rate, 2, short.clone),       // same bytes, different channels: distinct
+      (4L, rate, 1, prefixed(rate, 1024, 0, 0.0, 3100.0)))
+      .toDF("clip_id", "sample_rate", "channels", "pcm")
+    val pairs = AudioOps.nearDupClips(spark, clips)
+      .select("a_clip_id", "b_clip_id", "hamming").collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet === Set((0L, 1L)),
+      "only the byte-exact short pair may form")
+    assert(pairs.head.getInt(2) === 0, "exact-content pairs report hamming 0")
+    val groups = AudioOps.dedupGroupsClips(spark, clips).collect()
+      .map(r => r.getAs[Long]("clip_id") -> r.getAs[Long]("canon_clip_id")).toMap
+    assert(groups === Map(0L -> 0L, 1L -> 0L),
+      "exact shorts group to the min clip_id; everything else stays absent")
+
+    // the lake-keyed group path shares the fallback
+    val byKey = Seq(
+      ("a.bag", "/mic", 100L, rate, 1, short),
+      ("a.bag", "/mic", 200L, rate, 1, short.clone),
+      ("a.bag", "/mic", 300L, rate, 1, nearShort))
+      .toDF("bag", "topic", "time_ns", "sample_rate", "channels", "pcm")
+    val g = AudioOps.dedupGroupsClipsByKey(spark, byKey).collect()
+    assert(g.length === 2)
+    assert(g.forall(_.getAs[Long]("canon_time_ns") === 100L))
+    assert(g.map(r => r.getAs[Long]("time_ns") -> r.getAs[Boolean]("is_canonical"))
+      .toMap === Map(100L -> true, 200L -> false))
+  }
 }

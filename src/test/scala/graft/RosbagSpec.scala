@@ -127,11 +127,12 @@ object BagWriter {
   def compressedImagePayload(seq: Int, format: String, payload: Array[Byte]): Array[Byte] =
     rosHeader(seq, 100, 0, "cam") ++ rosString(format) ++ le32(payload.length) ++ payload
 
-  /** audio_common_msgs/AudioInfo: channels, rate, sample_format, bitrate,
-    * coding_format (the public audio_common layout). */
+  /** audio_common_msgs/AudioInfo: `uint8 channels` (ONE byte — the public
+    * AudioInfo.msg declares uint8, not uint32), uint32 sample_rate,
+    * string sample_format, uint32 bitrate, string coding_format. */
   def audioInfoPayload(channels: Int, rate: Int, fmt: String = "S16LE",
       bitrate: Int = 0, coding: String = "wave"): Array[Byte] =
-    le32(channels) ++ le32(rate) ++ rosString(fmt) ++ le32(bitrate) ++ rosString(coding)
+    Array(channels.toByte) ++ le32(rate) ++ rosString(fmt) ++ le32(bitrate) ++ rosString(coding)
 
   /** audio_common_msgs/AudioData: one u32-prefixed sample buffer. */
   def audioDataPayload(pcm: Array[Byte]): Array[Byte] = le32(pcm.length) ++ pcm
@@ -507,6 +508,35 @@ class RosbagSpec extends SparkSpec {
           BagWriter.audioInfoPayload(1, 16000, coding = "mp3")))).collect()
     }
     assert(msgs(e3).exists(_.contains("unsupported audio format")))
+  }
+
+  test("AudioInfo byte layout: channels is uint8 (ONE byte), transcribed " +
+    "from the public AudioInfo.msg — independent of BagWriter") {
+    // Hand-built wire bytes so a shared reader/writer bug cannot hide:
+    //   uint8  channels      = 2          -> 02
+    //   uint32 sample_rate   = 44100      -> 44 AC 00 00
+    //   string sample_format = "S16LE"    -> 05 00 00 00 'S''1''6''L''E'
+    //   uint32 bitrate       = 705600     -> 40 C4 0A 00
+    //   string coding_format = "wave"     -> 04 00 00 00 'w''a''v''e'
+    val wire: Array[Byte] = (Seq(0x02) ++
+      Seq(0x44, 0xAC, 0x00, 0x00) ++
+      Seq(0x05, 0x00, 0x00, 0x00) ++ "S16LE".getBytes("US-ASCII").map(_.toInt) ++
+      Seq(0x40, 0xC4, 0x0A, 0x00) ++
+      Seq(0x04, 0x00, 0x00, 0x00) ++ "wave".getBytes("US-ASCII").map(_.toInt))
+      .map(_.toByte).toArray
+    val m = graft.sources.rosbag.RosMessages.audioInfo(wire)
+    assert(m.channels === 2L)
+    assert(m.sampleRate === 44100L)
+    assert(m.sampleFormat === "S16LE")
+    assert(m.bitrate === 705600L)
+    assert(m.codingFormat === "wave")
+    // channels > 127 must not sign-extend (uint8 range)
+    val wide = wire.clone(); wide(0) = 0xFE.toByte
+    assert(graft.sources.rosbag.RosMessages.audioInfo(wide).channels === 254L)
+    // BagWriter must emit the identical layout (writer fixed alongside the
+    // reader; this pins them to the transcribed truth, not to each other)
+    assert(BagWriter.audioInfoPayload(2, 44100, "S16LE", 705600, "wave").toSeq
+      === wire.toSeq)
   }
 
   test("odometry(): pose/twist values round-trip") {

@@ -172,6 +172,99 @@ class TemporalOpsSpec extends SparkSpec {
       assert(math.abs(g - e) < 1e-9, s"score drift: $g vs $e")
     }
   }
+
+  test("q111 sensor sync matches a naive nearest-neighbor rollup on a sample") {
+    val byUser = events.groupBy(_.getAs[Long]("user_id"))
+    val sample = byUser.keys.toSeq.sorted.take(12)
+    val got = TemporalOps.sensorSync(spark, sf).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("hour_bucket")) -> r).toMap
+    sample.foreach { uid =>
+      val rows = byUser(uid)
+      val clicks = rows.filter(_.getAs[String]("event_type") == "click")
+        .map(_.getAs[Long]("ts") / 1000).sorted
+      val frames = rows.filter(_.getAs[String]("event_type") == "view")
+        .map(_.getAs[Long]("ts") / 1000)
+      val gaps = frames.map { t =>
+        val prev = clicks.filter(_ <= t).lastOption
+        val next = clicks.find(_ >= t)
+        t -> ((prev, next) match {
+          case (None, None)       => None
+          case (Some(p), None)    => Some(t - p)
+          case (None, Some(n))    => Some(-(n - t))
+          case (Some(p), Some(n)) => Some(if (t - p <= n - t) t - p else -(n - t))
+        })
+      }
+      gaps.groupBy(_._1 / 3600000000L).foreach { case (bucket, g) =>
+        val r = got((uid, bucket))
+        val defined = g.flatMap(_._2)
+        assert(r.getAs[Long]("n_frames") === g.length.toLong, s"u$uid b$bucket frames")
+        assert(r.getAs[Long]("n_unmatched") === (g.length - defined.length).toLong)
+        if (defined.nonEmpty) {
+          assert(r.getAs[Long]("max_abs_gap_us") === defined.map(math.abs).max)
+          assert(math.abs(r.getAs[Double]("mean_gap_us") -
+            defined.sum.toDouble / defined.length) < 1e-6, s"u$uid b$bucket mean")
+        } else assert(r.isNullAt(r.fieldIndex("mean_gap_us")))
+      }
+    }
+  }
+
+  test("lake sensor-sync audit on an interleaved multi-modality bag: signed " +
+    "gaps per modality, rigs with a missing modality report unmatched") {
+    import graft.sources.rosbag.RosbagReader
+    val dir = java.nio.file.Files.createTempDirectory("graftsync")
+    val px = Array.fill[Byte](2 * 2 * 3)(7)
+    def pcm(n: Int) = Array.fill[Byte](n * 2)(1)
+    // bag A: camera at 0/100/200 ms, mic clips at 1/99/201 ms (±1 ms skew),
+    // one lidar sweep at 50 ms — all interleaved in one chunk
+    val innerA =
+      BagWriter.connection(0, "/cam0/image_raw", "sensor_msgs/Image") ++
+        BagWriter.connection(1, "/mic/audio", "audio_common_msgs/AudioData") ++
+        BagWriter.connection(2, "/mic/audio_info", "audio_common_msgs/AudioInfo") ++
+        BagWriter.connection(3, "/lidar/points", "sensor_msgs/PointCloud2") ++
+        BagWriter.message(2, 1600000000L, 500, BagWriter.audioInfoPayload(1, 8000)) ++
+        BagWriter.message(0, 1600000000L, 0, BagWriter.imagePayload(0, 2, 2, "rgb8", px)) ++
+        BagWriter.message(1, 1600000000L, 1000000, BagWriter.audioDataPayload(pcm(64))) ++
+        BagWriter.message(3, 1600000000L, 50000000, BagWriter.pointCloud2Payload(
+          Seq((1.0f, 2.0f, 3.0f, 9.0f)))) ++
+        BagWriter.message(1, 1600000000L, 99000000, BagWriter.audioDataPayload(pcm(64))) ++
+        BagWriter.message(0, 1600000000L, 100000000, BagWriter.imagePayload(1, 2, 2, "rgb8", px)) ++
+        BagWriter.message(0, 1600000000L, 200000000, BagWriter.imagePayload(2, 2, 2, "rgb8", px)) ++
+        BagWriter.message(1, 1600000000L, 201000000, BagWriter.audioDataPayload(pcm(64)))
+    // bag B: camera ONLY — every cross-modal probe must read unmatched
+    val innerB =
+      BagWriter.connection(0, "/cam0/image_raw", "sensor_msgs/Image") ++
+        BagWriter.message(0, 1600000001L, 0, BagWriter.imagePayload(0, 2, 2, "rgb8", px))
+    java.nio.file.Files.write(dir.resolve("a.bag"),
+      BagWriter.bag(BagWriter.bagHeader, BagWriter.chunk(innerA, bz2 = false)))
+    java.nio.file.Files.write(dir.resolve("b.bag"),
+      BagWriter.bag(BagWriter.bagHeader, BagWriter.chunk(innerB, bz2 = false)))
+
+    val images = RosbagReader.images(spark, dir.toString)
+      .select(col("bag"), col("time_ns"))
+    val clips = RosbagReader.audioClips(spark, dir.toString)
+      .select(col("bag"), col("time_ns"))
+    val clouds = RosbagReader.pointClouds(spark, dir.toString)
+      .select(col("bag"), col("time_ns"))
+
+    def rowsOf(sensor: DataFrame) =
+      TemporalOps.sensorSyncLakeOf(images, sensor).collect()
+        .map(r => r.getAs[String]("bag").split('/').last -> r).toMap
+
+    val vsClips = rowsOf(clips)
+    val a = vsClips("a.bag")
+    assert(a.getAs[Long]("n_frames") === 3L && a.getAs[Long]("n_unmatched") === 0L)
+    // frame−nearest: 0 vs 1 ms → −1 ms; 100 vs 99 → +1 ms; 200 vs 201 → −1 ms
+    assert(a.getAs[Long]("max_abs_gap_ns") === 1000000L)
+    assert(math.abs(a.getAs[Double]("mean_gap_ns") - (-1000000.0 / 3)) < 1e-6)
+    val b = vsClips("b.bag")
+    assert(b.getAs[Long]("n_frames") === 1L && b.getAs[Long]("n_unmatched") === 1L)
+    assert(b.isNullAt(b.fieldIndex("mean_gap_ns")), "no mic on rig B: NULL skew")
+
+    val vsClouds = rowsOf(clouds)("a.bag")
+    // one sweep at 50 ms: gaps −50/+50/+150 ms → max 150 ms, mean +50 ms
+    assert(vsClouds.getAs[Long]("max_abs_gap_ns") === 150000000L)
+    assert(math.abs(vsClouds.getAs[Double]("mean_gap_ns") - 50000000.0) < 1e-6)
+  }
 }
 
 private object TemporalOpsSpecHelper {

@@ -94,7 +94,10 @@ def ratio(small_path, big_path, use_cpu=False):
 
 
 def _ratios(small, big, key):
-    a, b = small[key], big[key]
+    # .get({}): a bench JSON missing the section (or a query present in
+    # "queries" but absent from "cpu") degrades to fewer shared keys
+    # instead of a KeyError killing the whole artifact
+    a, b = small.get(key, {}), big.get(key, {})
     return {q: b[q] / a[q] for q in sorted(set(a) & set(b)) if a[q] > 0}
 
 
@@ -103,16 +106,17 @@ def decades(out_path, sf1_path, sf10_path, prev=None):
     wall = _ratios(s1, s10, "queries")
     cpu = _ratios(s1, s10, "cpu")
     shared = sorted(wall)
+    cpu_shared = sorted(set(shared) & set(cpu))
     tot1 = sum(s1["queries"][q] for q in shared)
     tot10 = sum(s10["queries"][q] for q in shared)
-    ctot1 = sum(s1["cpu"][q] for q in shared)
-    ctot10 = sum(s10["cpu"][q] for q in shared)
+    ctot1 = sum(s1["cpu"][q] for q in cpu_shared)
+    ctot10 = sum(s10["cpu"][q] for q in cpu_shared)
     art = {
         "metric": "decades",
         "n_queries": len(shared),
-        "wall_ratio": round(tot10 / tot1, 3),
-        "cpu_ratio": round(ctot10 / ctot1, 3),
-        "median_wall_ratio": round(statistics.median(wall.values()), 3),
+        "wall_ratio": round(tot10 / tot1, 3) if tot1 > 0 else None,
+        "cpu_ratio": round(ctot10 / ctot1, 3) if ctot1 > 0 else None,
+        "median_wall_ratio": round(statistics.median(wall.values()), 3) if wall else None,
         "worst5": {q: round(wall[q], 2)
                    for q in sorted(wall, key=wall.get, reverse=True)[:5]},
         "wall_ratios": {q: round(r, 3) for q, r in sorted(wall.items())},

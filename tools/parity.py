@@ -99,6 +99,13 @@ def main():
             print(f"  {name}: MISMATCH {err}"); fail += 1
         else:
             print(f"  {name}: OK ({len(spark[1])} rows)"); ok += 1
+    if ok + fail == 0:
+        # Round 15: the driver's correctness artifact landed as an empty {}
+        # because the dump tree had no query dirs and nothing treated that
+        # as an error. An empty tree is the WORST outcome (zero evidence),
+        # so it must fail harder than any per-query mismatch.
+        print("== EMPTY OUTPUT TREE: no query dirs found — verify produced nothing")
+        sys.exit(2)
     print(f"== {ok} ok, {fail} fail")
     sys.exit(1 if fail else 0)
 
