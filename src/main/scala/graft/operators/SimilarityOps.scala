@@ -1378,8 +1378,10 @@ object SimilarityOps {
     * OWN SIZE stops fitting (512 MB at 2^20 lists; IMI spans the same
     * cells from 512 KiB). Corpus assignment is one in-register kernel
     * pass ([[assignImiKernel]] — and CHEAPER than flat at equal cells:
-    * 2·K half-distances per vector vs K² full ones); queries rank the
-    * cell grid by additive per-half L2 and probe [[ImiProbes]] cells;
+    * 2·K half-distances per vector vs K² full ones); queries walk the
+    * multi-sequence frontier ([[imiFrontierProbes]] — lazy (d1+d2 ASC,
+    * cell ASC) emission, never the K² grid) and probe [[ImiProbes]]
+    * cells;
     * candidate ranking inside probed cells is the engine-wide cosine
     * top-k, identical to q46b/q46d downstream — lists are just ids, so
     * everything downstream of assignment (the partitioned persisted

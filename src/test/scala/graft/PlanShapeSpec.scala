@@ -440,10 +440,12 @@ class PlanShapeSpec extends SparkSpec {
     val corpusShuffles = p.split('\n')
       .count(l => l.contains("Exchange hashpartitioning") && l.contains("list_id"))
     assert(corpusShuffles === 0, s"corpus hash-shuffled on list_id:\n$p")
-    // the query×codebook grid joins are bounded BroadcastNestedLoopJoins
-    // (≤10 queries × K codewords — the q54 centroid-join shape); only a
-    // true cartesian over the CORPUS would be a defect
+    // round 16: the query side is the multi-sequence FRONTIER kernel —
+    // no K² grid join anywhere, so no BroadcastNestedLoopJoin may remain
+    // on the probe path and a cartesian over anything would be a defect
     assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"frontier probes must not join the cell grid:\n$p")
   }
 
   test("q105: the spectral table is bounded aggregation work — no join, no cartesian") {

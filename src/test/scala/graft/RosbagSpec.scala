@@ -508,6 +508,12 @@ class RosbagSpec extends SparkSpec {
           BagWriter.audioInfoPayload(1, 16000, coding = "mp3")))).collect()
     }
     assert(msgs(e3).exists(_.contains("unsupported audio format")))
+    // the refusal must be ACTIONABLE: it names the offline transcode
+    // recipe (mp3 is the audio_capture default on bandwidth-limited
+    // rigs — a user hitting this gate needs the path forward, not just
+    // the policy)
+    assert(msgs(e3).exists(m => m.contains("ffmpeg") && m.contains("pcm_s16le")),
+      "refusal must name the transcode recipe")
   }
 
   test("AudioInfo byte layout: channels is uint8 (ONE byte), transcribed " +
