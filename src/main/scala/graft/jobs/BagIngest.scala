@@ -50,7 +50,8 @@ object BagIngest {
       frameIndex: Option[(String, Long)] = None,
       frameDrift: Option[(graft.operators.TextAnalysisOps.DriftRef, Long)] = None,
       clipDrift: Option[(graft.operators.TextAnalysisOps.DriftRef, Long)] = None,
-      cloudDrift: Option[(graft.operators.TextAnalysisOps.DriftRef, Long)] = None): Unit = {
+      cloudDrift: Option[(graft.operators.TextAnalysisOps.DriftRef, Long)] = None,
+      syncAudit: Option[(Long, Long)] = None): Unit = {
     def save(df: DataFrame, name: String): Unit =
       df.write.mode(mode).parquet(s"$out/$name$tableSuffix")
 
@@ -143,6 +144,29 @@ object BagIngest {
             RosbagReader.pointCloudPointsOf(spark, msgs), ref)
           .withColumn(
             "ingest_batch", org.apache.spark.sql.functions.lit(batchId)),
+        batchId)
+    }
+    // cross-modal SENSOR-SYNC audit (q111's lake form at ingest): per
+    // (bag, window), the camera frames' alignment against each other
+    // landed modality — clip timestamps and per-sweep cloud timestamps —
+    // as one versioned <out>/sensor_sync table with a `sensor` column
+    // naming the probed arm (batch-id idempotent). A rig with a clock
+    // offset or a dropping sensor shows up here in ITS OWN arriving
+    // batch, before any fusion consumer mis-joins. Camera-only bags
+    // report all-unmatched rows (the audit's loud form of "the second
+    // modality never arrived"), never silence.
+    syncAudit.foreach { case (bucketNs, batchId) =>
+      import org.apache.spark.sql.functions.lit
+      val frames = rawImages.select("bag", "time_ns")
+      def arm(name: String, sensor: DataFrame) =
+        graft.operators.TemporalOps.sensorSyncLakeOf(frames, sensor, bucketNs)
+          .withColumn("sensor", lit(name))
+      SnapshotLake.commitStreamBatch(spark, s"$out/sensor_sync",
+        arm("clips", RosbagReader.audioClipsOf(spark, msgs)
+            .select("bag", "time_ns"))
+          .unionByName(arm("clouds", RosbagReader.pointCloudsOf(spark, msgs)
+            .select("bag", "time_ns")))
+          .withColumn("ingest_batch", lit(batchId)),
         batchId)
     }
     // audio dedup (--audio-dedup[=HAMMING]): the clip twin of the image

@@ -59,7 +59,12 @@ object BagIngestStream {
       // and on the LIDAR column (per-sweep point population vs a frozen
       // healthy reference — PointCloudOps.cloudDriftReference), landing
       // in <out>/cloud_drift. Fifth modality, same PSI contract.
-      cloudDriftRef: Option[graft.operators.TextAnalysisOps.DriftRef] = None): StreamingQuery =
+      cloudDriftRef: Option[graft.operators.TextAnalysisOps.DriftRef] = None,
+      // cross-modal sensor-sync audit (q111's lake form, TemporalOps
+      // .sensorSyncLakeOf) per arriving batch: camera frames vs clip and
+      // cloud timestamps, per (bag, window of this many ns), landing in
+      // the versioned <out>/sensor_sync table
+      syncAuditBucketNs: Option[Long] = None): StreamingQuery =
     spark.readStream.format("binaryFile")
       .option("pathGlobFilter", "*.bag")
       .schema(fileSchema)
@@ -91,7 +96,8 @@ object BagIngestStream {
             frameIndex = frameIndexLake.map(l => (l, batchId)),
             frameDrift = frameDriftRef.map(r => (r, batchId)),
             clipDrift = clipDriftRef.map(r => (r, batchId)),
-            cloudDrift = cloudDriftRef.map(r => (r, batchId)))
+            cloudDrift = cloudDriftRef.map(r => (r, batchId)),
+            syncAudit = syncAuditBucketNs.map(b => (b, batchId)))
         }
       }
       .start()

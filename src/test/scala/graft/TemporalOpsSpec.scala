@@ -208,15 +208,12 @@ class TemporalOpsSpec extends SparkSpec {
     }
   }
 
-  test("lake sensor-sync audit on an interleaved multi-modality bag: signed " +
-    "gaps per modality, rigs with a missing modality report unmatched") {
-    import graft.sources.rosbag.RosbagReader
-    val dir = java.nio.file.Files.createTempDirectory("graftsync")
+  /** Interleaved multi-modality fixture: camera at 0/100/200 ms, mic
+    * clips at 1/99/201 ms (±1 ms skew), one lidar sweep at 50 ms. */
+  private def multiModalBag: Array[Byte] = {
     val px = Array.fill[Byte](2 * 2 * 3)(7)
     def pcm(n: Int) = Array.fill[Byte](n * 2)(1)
-    // bag A: camera at 0/100/200 ms, mic clips at 1/99/201 ms (±1 ms skew),
-    // one lidar sweep at 50 ms — all interleaved in one chunk
-    val innerA =
+    val inner =
       BagWriter.connection(0, "/cam0/image_raw", "sensor_msgs/Image") ++
         BagWriter.connection(1, "/mic/audio", "audio_common_msgs/AudioData") ++
         BagWriter.connection(2, "/mic/audio_info", "audio_common_msgs/AudioInfo") ++
@@ -230,14 +227,24 @@ class TemporalOpsSpec extends SparkSpec {
         BagWriter.message(0, 1600000000L, 100000000, BagWriter.imagePayload(1, 2, 2, "rgb8", px)) ++
         BagWriter.message(0, 1600000000L, 200000000, BagWriter.imagePayload(2, 2, 2, "rgb8", px)) ++
         BagWriter.message(1, 1600000000L, 201000000, BagWriter.audioDataPayload(pcm(64)))
-    // bag B: camera ONLY — every cross-modal probe must read unmatched
-    val innerB =
+    BagWriter.bag(BagWriter.bagHeader, BagWriter.chunk(inner, bz2 = false))
+  }
+
+  /** Camera-only fixture: every cross-modal probe must read unmatched. */
+  private def cameraOnlyBag: Array[Byte] = {
+    val px = Array.fill[Byte](2 * 2 * 3)(7)
+    val inner =
       BagWriter.connection(0, "/cam0/image_raw", "sensor_msgs/Image") ++
         BagWriter.message(0, 1600000001L, 0, BagWriter.imagePayload(0, 2, 2, "rgb8", px))
-    java.nio.file.Files.write(dir.resolve("a.bag"),
-      BagWriter.bag(BagWriter.bagHeader, BagWriter.chunk(innerA, bz2 = false)))
-    java.nio.file.Files.write(dir.resolve("b.bag"),
-      BagWriter.bag(BagWriter.bagHeader, BagWriter.chunk(innerB, bz2 = false)))
+    BagWriter.bag(BagWriter.bagHeader, BagWriter.chunk(inner, bz2 = false))
+  }
+
+  test("lake sensor-sync audit on an interleaved multi-modality bag: signed " +
+    "gaps per modality, rigs with a missing modality report unmatched") {
+    import graft.sources.rosbag.RosbagReader
+    val dir = java.nio.file.Files.createTempDirectory("graftsync")
+    java.nio.file.Files.write(dir.resolve("a.bag"), multiModalBag)
+    java.nio.file.Files.write(dir.resolve("b.bag"), cameraOnlyBag)
 
     val images = RosbagReader.images(spark, dir.toString)
       .select(col("bag"), col("time_ns"))
@@ -264,6 +271,49 @@ class TemporalOpsSpec extends SparkSpec {
     // one sweep at 50 ms: gaps −50/+50/+150 ms → max 150 ms, mean +50 ms
     assert(vsClouds.getAs[Long]("max_abs_gap_ns") === 150000000L)
     assert(math.abs(vsClouds.getAs[Double]("mean_gap_ns") - 50000000.0) < 1e-6)
+  }
+
+  test("streaming ingest lands the sensor-sync audit per batch in " +
+    "<out>/sensor_sync, both arms, batch-id idempotent") {
+    import graft.jobs.SnapshotLake
+    val watch = java.nio.file.Files.createTempDirectory("sync-watch")
+    val out = java.nio.file.Files.createTempDirectory("sync-out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("sync-ckpt").toString
+    val table = s"$out/sensor_sync"
+    java.nio.file.Files.write(watch.resolve("a.bag"), multiModalBag)
+    val q = graft.jobs.BagIngestStream.start(spark, watch.toString, out, ckpt,
+      syncAuditBucketNs = Some(60L * 1000000000L))
+    try {
+      q.processAllAvailable()
+      val b0 = SnapshotLake.read(spark, table)
+        .filter(col("ingest_batch") === 0L).collect()
+        .map(r => r.getAs[String]("sensor") -> r).toMap
+      assert(b0.keySet === Set("clips", "clouds"), "both arms must land")
+      assert(b0("clips").getAs[Long]("max_abs_gap_ns") === 1000000L)
+      assert(math.abs(b0("clips").getAs[Double]("mean_gap_ns") - (-1000000.0 / 3)) < 1e-6)
+      assert(b0("clouds").getAs[Long]("max_abs_gap_ns") === 150000000L)
+
+      // batch 1: a camera-only bag — both arms report ALL frames unmatched
+      java.nio.file.Files.write(watch.resolve("b.bag"), cameraOnlyBag)
+      q.processAllAvailable()
+      val b1 = SnapshotLake.read(spark, table)
+        .filter(col("ingest_batch") === 1L).collect()
+        .map(r => r.getAs[String]("sensor") -> r).toMap
+      assert(b1.keySet === Set("clips", "clouds"))
+      b1.values.foreach { r =>
+        assert(r.getAs[Long]("n_frames") === 1L && r.getAs[Long]("n_unmatched") === 1L)
+        assert(r.isNullAt(r.fieldIndex("mean_gap_ns")))
+      }
+    } finally q.stop()
+    assert(SnapshotLake.versions(spark, table).size === 2)
+
+    // idempotence: a redelivered batch id is a no-op commit
+    graft.jobs.BagIngest.writeTablesOf(spark,
+      graft.sources.rosbag.RosbagReader.messages(spark, watch.resolve("b.bag").toString),
+      out, org.apache.spark.sql.SaveMode.Overwrite, writePng = false, None,
+      tableSuffix = "/batch=1", syncAudit = Some((60L * 1000000000L, 1L)))
+    assert(SnapshotLake.versions(spark, table).size === 2,
+      "a redelivered batch must not land a new audit version")
   }
 }
 
