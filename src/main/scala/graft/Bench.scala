@@ -46,7 +46,13 @@ object Bench {
     // default 32 — the driver's shape. A 4-CPU default produced phantom
     // "regressions" whenever a local bench forgot SPARK_GRAFT_CPUS.
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt)
+    // SPARK_GRAFT_SHUFFLE_PARTITIONS: decouple shuffle width from the core
+    // count for large-SF audits — 32 partitions carrying 10× the reduce
+    // data is a spill study, not a plan study; a real cluster sizes this
+    // against its executor count (the GraftSession scaladoc contract).
+    val shuffleParts = sys.env.get("SPARK_GRAFT_SHUFFLE_PARTITIONS")
+      .map(_.toInt).getOrElse(cpus.toInt)
+    val spark = GraftSession.builder(s"local[$cpus]", shuffleParts)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // SPARK_GRAFT_ONLY=q29_bbox_iou,q44_dedup_embedding — targeted audits.

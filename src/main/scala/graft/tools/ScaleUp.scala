@@ -21,11 +21,18 @@ import graft.GraftSession
   *    constant and dedup candidate-pair volume scales ×N — naive
   *    replication would instead make every doc a 10-way near-dup and blow
   *    pairs up ×N², which no real corpus does. n_chars is recomputed.
-  *  - Embeddings are cyclically dimension-rotated per replica (norms and
-  *    within-replica geometry preserved, cross-replica cosine decorrelated)
-  *    so ANN bucket occupancy and semantic-dup structure scale ×N; vec_ids
+  *  - Embeddings are cyclically dimension-rotated AND sign-masked per
+  *    replica (both transforms preserve norms and every within-replica dot
+  *    product exactly; cross-replica cosine decorrelates even where
+  *    rotations coincide or compose under stacked applications) so ANN
+  *    bucket occupancy and semantic-dup structure scale ×N; vec_ids
   *    offset, so the `vec_id < 10` query sets stay 10 queries against an
   *    N× corpus — the realistic ANN scaling shape.
+  *
+  *  STACKING-SAFE (round 16): applying ScaleUp to its own output
+  *  (sf0.1 → sf1 → sf10) must not re-correlate replicas — token tags
+  *  chain (w~a~b) because replica 0 is tagged like every other, and the
+  *  sign mask composes injectively where rotation alone collides.
   *
   * Usage: ScaleUp <src-sf-dir> <dst-dir> [factor=10]
   */
@@ -116,22 +123,45 @@ object ScaleUp {
     val documents = read("documents")
     val embeddings = read("embeddings")
     val bD = math.max(keyBase(documents, "doc_id"), keyBase(embeddings, "vec_id"))
+    // EVERY replica gets the tag — including replica 0. The first draft
+    // kept r=0 verbatim "to preserve the original text", which made
+    // STACKED applications (sf0.1 → sf1 → sf10) collide: a token w from
+    // source replica a under second-pass replica b ends as w~a (b=0) or
+    // w~b (a=0), so the (a=k, b=0) and (a=0, b=k) copies of every
+    // original doc were TOKEN-IDENTICAL — phantom cross-replica
+    // duplicates that read as superlinear dedup scaling (measured: q41c
+    // output pairs 29.4× for 10× docs on a stacked sf10; exactly the
+    // degenerate-dataset artifact this tool exists to avoid). Tagging
+    // r=0 makes stacked tags CHAIN (w~a~b), unique per replica path.
     writeFact(replicate(documents)((d, r) =>
       d.withColumn("doc_id", col("doc_id") + r * bD)
         .withColumn("text",
-          when(r === 0, col("text")).otherwise(
-            array_join(transform(split(col("text"), " "),
-              t => concat(t, lit("~"), r.cast("string"))), " ")))
+          array_join(transform(split(col("text"), " "),
+            t => concat(t, lit("~"), r.cast("string"))), " "))
         .withColumn("n_chars", length(col("text")).cast("long"))), "documents")
 
+    // Embeddings: rotation + a replica-keyed SIGN-FLIP pattern. Rotation
+    // alone has period dim/gcd — replicas r and r+64/5-cycles share the
+    // rotation, and under stacking (a,b) vs (b,a) compose to the same
+    // shift, re-correlating exactly like the token case. A per-replica
+    // deterministic ±1 mask (xxhash64 of (replica, dimension) parity)
+    // fixes both: s_i² = 1, so EVERY within-replica dot product — hence
+    // all cosine/ANN geometry — is preserved bit-exactly, while any two
+    // distinct replica paths disagree on ~half the signs and decorrelate.
     val dim = 64
     writeFact(replicate(embeddings)((d, r) => {
       val shift = ((r * 5) % dim).cast("int")
+      val rotated = concat(
+        slice(col("embedding"), shift + 1, lit(dim) - shift),
+        slice(col("embedding"), lit(1), shift))
+      // replica 0 is masked too (rotation there is the identity, the mask
+      // is not): keeping r=0 verbatim would re-open the stacking
+      // collision — pass-2 r=k over an untouched pass-1 r=0 equals
+      // pass-1 r=k under an untouched pass-2 r=0
+      val flipped = zip_with(rotated, sequence(lit(1), lit(dim)),
+        (x, i) => when(pmod(xxhash64(r, i), lit(2)) === 0, x).otherwise(-x))
       d.withColumn("vec_id", col("vec_id") + r * bD)
-        .withColumn("embedding",
-          when(r === 0, col("embedding")).otherwise(
-            concat(slice(col("embedding"), shift + 1, lit(dim) - shift),
-              slice(col("embedding"), lit(1), shift))))
+        .withColumn("embedding", flipped)
     }), "embeddings")
   }
 
