@@ -144,6 +144,7 @@ object SparkEntry {
     "q70_knn_pq"          -> ((s: SparkSession, d: String) => SimilarityOps.knnPq(s, d)),
     "q70b_knn_ivfpq"      -> ((s: SparkSession, d: String) => SimilarityOps.knnIvfPq(s, d)),
     "q70c_knn_ivfpq_res"  -> ((s: SparkSession, d: String) => SimilarityOps.knnIvfPqResidual(s, d)),
+    "q70d_knn_opq"        -> ((s: SparkSession, d: String) => SimilarityOps.knnOpq(s, d)),
     "q71_interp_align"    -> (TemporalOps.interpAlign _),
     "q72_overlap_join"    -> (TemporalOps.overlapJoin _),
     "q72b_range_join_rule" -> (TemporalOps.overlapJoinViaRule _),
@@ -712,6 +713,30 @@ object SparkEntry {
         s"(CAST($sub AS BIGINT), CAST($code AS BIGINT), [${cv.mkString(", ")}]::DOUBLE[])"
       }
     }.mkString("VALUES ", ", ", "")
+
+  /** The frozen OPQ rotation (OpqModel.rotation) as a DuckDB VALUES
+    * table of 64 (i, rv) rows — row i produces rotated coordinate i+1.
+    * Full-precision '…'::DOUBLE literals (the ivfCentsAutoValues
+    * device); fails loudly pre-freeze. */
+  private def opqRotValues: String = {
+    require(graft.operators.OpqModel.rotation.nonEmpty,
+      "OpqModel not frozen — run TrainQuantizers --opq and paste")
+    graft.operators.OpqModel.rotation.zipWithIndex.map { case (rv, i) =>
+      s"(CAST(${i + 1} AS BIGINT), [${rv.map(x => s"'$x'::DOUBLE").mkString(", ")}]::DOUBLE[])"
+    }.mkString("VALUES ", ", ", "")
+  }
+
+  /** The frozen OPQ rotated-space codebooks (OpqModel.books) as a DuckDB
+    * VALUES table, full-precision '…'::DOUBLE literals. */
+  private def opqBooksValues: String = {
+    require(graft.operators.OpqModel.books.nonEmpty,
+      "OpqModel not frozen — run TrainQuantizers --opq and paste")
+    graft.operators.OpqModel.books.zipWithIndex.flatMap { case (book, sub) =>
+      book.zipWithIndex.map { case (cv, code) =>
+        s"(CAST($sub AS BIGINT), CAST($code AS BIGINT), [${cv.map(x => s"'$x'::DOUBLE").mkString(", ")}]::DOUBLE[])"
+      }
+    }.mkString("VALUES ", ", ", "")
+  }
 
   /** The frozen RESIDUAL PQ codebooks (PqResidualCodebooks — q70c and
     * q68's ivfpq_res arm) as a DuckDB VALUES table, same contract. */
@@ -3997,6 +4022,50 @@ object SparkEntry {
          |books AS (SELECT sub_idx, code, cv FROM ($pqResBooksValues) t(sub_idx, code, cv)),
          |$ivfPqCtes
          |SELECT q_id, neighbor_id, adc_dist, rank FROM pqtop
+         |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin,
+
+    // OPQ: q70's ADC scan in the learned rotated basis — rotation replayed
+    // from the frozen OpqModel (64 full-precision rows), then the exact
+    // q70 assignment/ADC chain against the rotated-space books. The
+    // rotated coordinate fold (list_reduce ascending j) IS the Spark
+    // kernel's accumulation order, so rotation is bit-identical.
+    "q70d_knn_opq" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |           FROM embeddings),
+         |rot AS (SELECT i, rv FROM ($opqRotValues) t(i, rv)),
+         |rc AS (SELECT e.vec_id, r.i,
+         |         list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65),
+         |           j -> r.rv[j] * e.v[j])), (acc, z) -> acc + z) AS x
+         |       FROM e, rot r),
+         |re AS (SELECT vec_id, list(x ORDER BY i) AS v FROM rc GROUP BY vec_id),
+         |books AS (SELECT sub_idx, code, cv FROM ($opqBooksValues) t(sub_idx, code, cv)),
+         |subs AS (SELECT vec_id, i AS sub_idx, v[i*8+1 : i*8+8] AS sv
+         |         FROM re, range(8) t(i) WHERE vec_id >= 10),
+         |qsubs AS (SELECT vec_id AS q_id, i AS sub_idx, v[i*8+1 : i*8+8] AS qsv
+         |          FROM re, range(8) t(i) WHERE vec_id < 10),
+         |asg AS (SELECT vec_id, sub_idx, code FROM (
+         |          SELECT s.vec_id, s.sub_idx, b.code,
+         |            ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.sub_idx
+         |              ORDER BY list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 9),
+         |                i -> (s.sv[i] - b.cv[i]) * (s.sv[i] - b.cv[i]))), (acc, z) -> acc + z) ASC,
+         |              b.code ASC) AS rk
+         |          FROM subs s JOIN books b ON s.sub_idx = b.sub_idx) t WHERE rk = 1),
+         |recon AS (SELECT a.vec_id, a.sub_idx, b.cv FROM asg a
+         |          JOIN books b ON a.sub_idx = b.sub_idx AND a.code = b.code),
+         |pair AS (SELECT q.q_id, r.vec_id AS neighbor_id, r.sub_idx,
+         |           list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 9),
+         |             i -> (q.qsv[i] - r.cv[i]) * (q.qsv[i] - r.cv[i]))), (acc, z) -> acc + z) AS dsub
+         |         FROM recon r JOIN qsubs q ON r.sub_idx = q.sub_idx),
+         |agg AS (SELECT q_id, neighbor_id,
+         |          ${(0 until 8).map(s0 =>
+                      s"SUM(CASE WHEN sub_idx = $s0 THEN dsub END) AS d$s0").mkString(", ")}
+         |        FROM pair GROUP BY q_id, neighbor_id)
+         |SELECT q_id, neighbor_id, adc_dist, rank FROM (
+         |  SELECT q_id, neighbor_id, adc_dist,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adc_dist ASC, neighbor_id) AS BIGINT) AS rank
+         |  FROM (SELECT q_id, neighbor_id,
+         |          ${(0 until 8).map(s0 => s"d$s0").mkString(" + ")} AS adc_dist
+         |        FROM agg) t0) t
          |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin,
 
     "q71_interp_align" ->

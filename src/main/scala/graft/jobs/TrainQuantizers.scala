@@ -24,10 +24,31 @@ object TrainQuantizers {
   def main(args: Array[String]): Unit = {
     val auto = args.contains("--auto")
     val imi = args.contains("--imi")
+    val opq = args.contains("--opq")
     val sfDir = args.filterNot(_.startsWith("--")).head
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark: SparkSession = GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    if (opq) {
+      // --opq: freeze the OPQ gate artifact (OpqModel — rotation +
+      // rotated-space codebooks) at FULL precision; the q70d parity
+      // construction depends on bit equality, exactly like --auto/--imi.
+      val (r, books) = graft.operators.SimilarityOps.opqTrain(spark, sfDir)
+      println("// OpqModel (dim 64, m 8, k 16, seed 42):")
+      println("  val rotation: Array[Array[Double]] = Array(")
+      r.foreach(row => println(s"    Array(${row.mkString(", ")}),"))
+      println("  )")
+      println("  val books: Array[Array[Array[Double]]] = Array(")
+      books.foreach { book =>
+        println("    Array(")
+        book.foreach(cv => println(s"      Array(${cv.mkString(", ")}),"))
+        println("    ),")
+      }
+      println("  )")
+      spark.stop()
+      return
+    }
 
     if (imi) {
       // --imi: freeze the multi-index gate artifact (ImiCodebooks) at

@@ -223,26 +223,28 @@ object SimilarityOps {
       .withColumn("cnrm", norm(col("cv")))
   }
 
-  /** The frozen PQ codebooks as a broadcastable (sub_idx, code, cv)
-    * table — THE single construction (q69/q70/q70b and the persisted
-    * index build all join against this one helper, so a codebook schema
-    * change cannot silently diverge between them). */
-  private[graft] def codebookTable(s: SparkSession): DataFrame = {
+  /** An arbitrary m×k×subDim codebook array as the broadcastable
+    * (sub_idx, code, cv) table — THE single construction (q69/q70/q70b/
+    * q70d and the persisted index build all join against this one
+    * helper, so a codebook schema change cannot silently diverge between
+    * them). */
+  private[graft] def booksTableOf(s: SparkSession,
+      books: Array[Array[Array[Double]]]): DataFrame = {
     import s.implicits._
-    PqCodebooks.values.zipWithIndex.flatMap { case (book, sub) =>
+    books.zipWithIndex.flatMap { case (book, sub) =>
       book.zipWithIndex.map { case (cv, code) => (sub.toLong, code.toLong, cv.toSeq) }
     }.toSeq.toDF("sub_idx", "code", "cv")
   }
 
+  /** The frozen PQ codebooks (PqCodebooks) as that table. */
+  private[graft] def codebookTable(s: SparkSession): DataFrame =
+    booksTableOf(s, PqCodebooks.values)
+
   /** The frozen RESIDUAL PQ codebooks (PqResidualCodebooks — IVFADC
     * proper: codes r = v - c(v), not v) as the same broadcastable
     * (sub_idx, code, cv) shape as [[codebookTable]]. */
-  private[graft] def residualCodebookTable(s: SparkSession): DataFrame = {
-    import s.implicits._
-    PqResidualCodebooks.values.zipWithIndex.flatMap { case (book, sub) =>
-      book.zipWithIndex.map { case (cv, code) => (sub.toLong, code.toLong, cv.toSeq) }
-    }.toSeq.toDF("sub_idx", "code", "cv")
-  }
+  private[graft] def residualCodebookTable(s: SparkSession): DataFrame =
+    booksTableOf(s, PqResidualCodebooks.values)
 
   /** The corpus under BOTH frozen quantizers: one row per (vec_id,
     * list_id, sub_idx, code) — coarse argmax then per-subspace PQ argmin,
@@ -799,26 +801,40 @@ object SimilarityOps {
     * (a plain SUM over subspaces would fold in partition order).
     */
   def knnPq(s: SparkSession, d: String, k: Int = 3): DataFrame = {
-    val subDim = 8
-    def subsOf(df: DataFrame): DataFrame = df
-      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
-      .select(col("vec_id"), explode(array((0 until 8).map(sub =>
-        struct(lit(sub.toLong).as("sub_idx"),
-          slice(col("v"), sub * subDim + 1, subDim).as("sv"))): _*)).as("e"))
-      .select(col("vec_id"), col("e.sub_idx").as("sub_idx"), col("e.sv").as("sv"))
     val e = Tables.embeddings(s, d)
-    val corpus = subsOf(Tables.spreadScan(s, e.filter(col("vec_id") >= QueryIdMax)))
-    val queries = subsOf(e.filter(col("vec_id") < QueryIdMax))
-      .select(col("vec_id").as("q_id"), col("sub_idx"), col("sv").as("qsv"))
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    adcFlat(s, Tables.spreadScan(s, e.filter(col("vec_id") >= QueryIdMax)),
+      e.filter(col("vec_id") < QueryIdMax), codebookTable(s), k)
+  }
 
-    val booksDf = codebookTable(s)
-    // Code assignment: broadcast-codebook join, then argmin via min_by —
-    // an ordinary aggregate with MAP-SIDE PARTIALS, so each mapper reduces
-    // its corpus × codes candidates to one row per (vec, sub) before the
-    // exchange (the earlier row_number window shuffled and SORTED every
-    // candidate row just to pick a minimum). The (sqd, code) ordering
-    // struct is a total order, so the argmin is deterministic under any
-    // partitioning and reproduces the oracle's rank tiebreak.
+  /** Subspace explode shared by the flat ADC arms (q70 raw / q70d
+    * rotated): (vec_id, v) → (vec_id, sub_idx, sv), 8 narrow rows per
+    * vector, map-side. */
+  private def adcSubsOf(df: DataFrame): DataFrame = df
+    .select(col("vec_id"), explode(array((0 until 8).map(sub =>
+      struct(lit(sub.toLong).as("sub_idx"),
+        slice(col("v"), sub * 8 + 1, 8).as("sv"))): _*)).as("e"))
+    .select(col("vec_id"), col("e.sub_idx").as("sub_idx"), col("e.sv").as("sv"))
+
+  /** THE flat (no coarse index) ADC search body — q70 scores raw
+    * vectors against PqCodebooks, q70d scores OPQ-rotated vectors
+    * against OpqModel.books; corpus and queries arrive as (vec_id, v)
+    * ALREADY IN THE SPACE THE BOOKS WERE TRAINED IN, so one body serves
+    * both and the two arms cannot drift.
+    *
+    * Code assignment: broadcast-codebook join, then argmin via min_by —
+    * an ordinary aggregate with MAP-SIDE PARTIALS, so each mapper reduces
+    * its corpus × codes candidates to one row per (vec, sub) before the
+    * exchange (the earlier row_number window shuffled and SORTED every
+    * candidate row just to pick a minimum). The (sqd, code) ordering
+    * struct is a total order, so the argmin is deterministic under any
+    * partitioning and reproduces the oracle's rank tiebreak.
+    */
+  private def adcFlat(s: SparkSession, corpusV: DataFrame, queriesV: DataFrame,
+      booksDf: DataFrame, k: Int): DataFrame = {
+    val corpus = adcSubsOf(corpusV)
+    val queries = adcSubsOf(queriesV)
+      .select(col("vec_id").as("q_id"), col("sub_idx"), col("sv").as("qsv"))
     val recon = corpus.join(broadcast(booksDf), Seq("sub_idx"))
       .withColumn("sqd",
         expr("aggregate(zip_with(sv, cv, (x, y) -> (x - y) * (x - y)), 0D, (acc, z) -> acc + z)"))
@@ -828,6 +844,57 @@ object SimilarityOps {
       .withColumn("dsub",
         expr("aggregate(zip_with(qsv, cv, (x, y) -> (x - y) * (x - y)), 0D, (acc, z) -> acc + z)"))
     adcRank(partials, k)
+  }
+
+  // ---------- OPQ (q70d — Ge et al. CVPR 2013) ----------
+
+  /** The live OPQ trainer at the frozen gate dials ([[OpqModel]]'s
+    * provenance): [[Opq.train]] over the searchable corpus — what
+    * TrainQuantizers --opq freezes and the live == frozen spec replays. */
+  private[graft] def opqTrain(s: SparkSession, d: String):
+      (Array[Array[Double]], Array[Array[Array[Double]]]) =
+    Opq.train(s, Tables.embeddings(s, d)
+      .filter(col("vec_id") >= QueryIdMax)
+      .select(col("vec_id").as("id"), toDouble(col("embedding")).as("v")),
+      dim = 64, m = 8, k = 16, seed = 42L)
+
+  /** Rotate (vec_id, v) rows by the broadcast orthogonal R — an
+    * in-register matvec kernel (the assignImiKernel genus: one map-side
+    * pass, no shuffle, no per-row allocation beyond the output vector).
+    * [[Opq.matvec]]'s ascending-j accumulation IS the oracle's
+    * list_reduce fold, so rotated coordinates are bit-identical across
+    * engines. */
+  private[graft] def rotateKernel(s: SparkSession, emb: DataFrame,
+      r: Array[Array[Double]]): DataFrame = {
+    import s.implicits._
+    val bc = s.sparkContext.broadcast(r)
+    emb.select(col("vec_id").cast("long"), col("v"))
+      .as[(Long, Seq[Double])]
+      .mapPartitions { it =>
+        val rm = bc.value
+        it.map { case (id, sv) => (id, Opq.matvec(rm, sv.toArray).toSeq) }
+      }
+      .toDF("vec_id", "v")
+  }
+
+  /** q70d — OPQ compressed-domain ANN search: q70's ADC scan run in the
+    * learned rotated basis ([[OpqModel]] — rotation + rotated-space
+    * codebooks, Ge et al. CVPR 2013). SAME 4-byte code budget as q70;
+    * the rotation aligns PQ's fixed coordinate slices with the data, so
+    * reconstruction error (and with it recall) improves for free at
+    * serving time — the rotation costs one map-side matvec per row,
+    * fused into the same pass that slices subvectors, and the ADC plan
+    * downstream is IDENTICAL to q70's (shared [[adcFlat]] body). At
+    * 100 TB the model is still ~37 KB broadcast state.
+    */
+  def knnOpq(s: SparkSession, d: String, k: Int = 3): DataFrame = {
+    require(OpqModel.rotation.nonEmpty && OpqModel.books.nonEmpty,
+      "OpqModel not frozen — run TrainQuantizers --opq and paste")
+    val e = rotateKernel(s, Tables.embeddings(s, d)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v")), OpqModel.rotation)
+    adcFlat(s, Tables.spreadScan(s, e.filter(col("vec_id") >= QueryIdMax)),
+      e.filter(col("vec_id") < QueryIdMax),
+      booksTableOf(s, OpqModel.books), k)
   }
 
   def knnIvf(s: SparkSession, d: String, k: Int = 3,
