@@ -145,6 +145,7 @@ object SparkEntry {
     "q70b_knn_ivfpq"      -> ((s: SparkSession, d: String) => SimilarityOps.knnIvfPq(s, d)),
     "q70c_knn_ivfpq_res"  -> ((s: SparkSession, d: String) => SimilarityOps.knnIvfPqResidual(s, d)),
     "q70d_knn_opq"        -> ((s: SparkSession, d: String) => SimilarityOps.knnOpq(s, d)),
+    "q70e_knn_opq_ivf"    -> ((s: SparkSession, d: String) => SimilarityOps.knnIvfPqOpq(s, d)),
     "q71_interp_align"    -> (TemporalOps.interpAlign _),
     "q72_overlap_join"    -> (TemporalOps.overlapJoin _),
     "q72b_range_join_rule" -> (TemporalOps.overlapJoinViaRule _),
@@ -714,29 +715,35 @@ object SparkEntry {
       }
     }.mkString("VALUES ", ", ", "")
 
-  /** The frozen OPQ rotation (OpqModel.rotation) as a DuckDB VALUES
-    * table of 64 (i, rv) rows — row i produces rotated coordinate i+1.
-    * Full-precision '…'::DOUBLE literals (the ivfCentsAutoValues
-    * device); fails loudly pre-freeze. */
-  private def opqRotValues: String = {
-    require(graft.operators.OpqModel.rotation.nonEmpty,
-      "OpqModel not frozen — run TrainQuantizers --opq and paste")
-    graft.operators.OpqModel.rotation.zipWithIndex.map { case (rv, i) =>
+  /** A frozen OPQ rotation as a DuckDB VALUES table of 64 (i, rv) rows
+    * — row i produces rotated coordinate i. Full-precision '…'::DOUBLE
+    * literals (the ivfCentsAutoValues device); fails loudly pre-freeze. */
+  private def rotValuesOf(rot: Array[Array[Double]], what: String): String = {
+    require(rot.nonEmpty, s"$what not frozen — run TrainQuantizers and paste")
+    rot.zipWithIndex.map { case (rv, i) =>
       s"(CAST(${i + 1} AS BIGINT), [${rv.map(x => s"'$x'::DOUBLE").mkString(", ")}]::DOUBLE[])"
     }.mkString("VALUES ", ", ", "")
   }
 
-  /** The frozen OPQ rotated-space codebooks (OpqModel.books) as a DuckDB
-    * VALUES table, full-precision '…'::DOUBLE literals. */
-  private def opqBooksValues: String = {
-    require(graft.operators.OpqModel.books.nonEmpty,
-      "OpqModel not frozen — run TrainQuantizers --opq and paste")
-    graft.operators.OpqModel.books.zipWithIndex.flatMap { case (book, sub) =>
+  /** A frozen rotated-space codebook set as a DuckDB VALUES table,
+    * full-precision '…'::DOUBLE literals. */
+  private def booksValuesOf(books: Array[Array[Array[Double]]], what: String): String = {
+    require(books.nonEmpty, s"$what not frozen — run TrainQuantizers and paste")
+    books.zipWithIndex.flatMap { case (book, sub) =>
       book.zipWithIndex.map { case (cv, code) =>
         s"(CAST($sub AS BIGINT), CAST($code AS BIGINT), [${cv.map(x => s"'$x'::DOUBLE").mkString(", ")}]::DOUBLE[])"
       }
     }.mkString("VALUES ", ", ", "")
   }
+
+  private def opqRotValues: String =
+    rotValuesOf(graft.operators.OpqModel.rotation, "OpqModel")
+  private def opqBooksValues: String =
+    booksValuesOf(graft.operators.OpqModel.books, "OpqModel")
+  private def opqResRotValues: String =
+    rotValuesOf(graft.operators.OpqResidualModel.rotation, "OpqResidualModel")
+  private def opqResBooksValues: String =
+    booksValuesOf(graft.operators.OpqResidualModel.books, "OpqResidualModel")
 
   /** The frozen RESIDUAL PQ codebooks (PqResidualCodebooks — q70c and
     * q68's ivfpq_res arm) as a DuckDB VALUES table, same contract. */
@@ -4020,6 +4027,46 @@ object SparkEntry {
          |       FROM asg a JOIN cents c USING (list_id)
          |       WHERE a.vec_id >= 10 AND a.crank = 1),
          |books AS (SELECT sub_idx, code, cv FROM ($pqResBooksValues) t(sub_idx, code, cv)),
+         |$ivfPqCtes
+         |SELECT q_id, neighbor_id, adc_dist, rank FROM pqtop
+         |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin,
+
+    // OPQ + IVF + PQ (q70e): q70c's probe-then-ADC with the rotation
+    // learned on the residual distribution — coarse assignment/probing
+    // CTEs identical to q70c, residuals rotated through the frozen
+    // OpqResidualModel before the shared IVFADC chain.
+    "q70e_knn_opq_ivf" ->
+      s"""WITH $EMB_NORM,
+         |cents AS (SELECT list_id, cv,
+         |            sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65),
+         |              i -> cv[i] * cv[i])), (x2, y2) -> x2 + y2)) AS cnrm
+         |          FROM ($ivfCentsValues) t(list_id, cv)),
+         |asg AS (SELECT vec_id, v, nrm, list_id, csim,
+         |          ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, list_id) AS crank
+         |        FROM (SELECT n.vec_id, n.v, n.nrm, c.list_id,
+         |                list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65),
+         |                  i -> n.v[i] * c.cv[i])), (x2, y2) -> x2 + y2) / (n.nrm * c.cnrm) AS csim
+         |              FROM n, cents c) t),
+         |qs0 AS (SELECT a.vec_id AS q_id,
+         |          list_transform(range(1, 65), i -> a.v[i] - c.cv[i]) AS qv, a.list_id
+         |        FROM asg a JOIN cents c USING (list_id)
+         |        WHERE a.vec_id < 10 AND a.crank <= 2),
+         |cp0 AS (SELECT a.vec_id,
+         |          list_transform(range(1, 65), i -> a.v[i] - c.cv[i]) AS v, a.list_id
+         |        FROM asg a JOIN cents c USING (list_id)
+         |        WHERE a.vec_id >= 10 AND a.crank = 1),
+         |rot AS (SELECT i, rv FROM ($opqResRotValues) t(i, rv)),
+         |qsr AS (SELECT q.q_id, q.list_id, r.i,
+         |          list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65),
+         |            j -> r.rv[j] * q.qv[j])), (acc, z) -> acc + z) AS x
+         |        FROM qs0 q, rot r),
+         |qs AS (SELECT q_id, list_id, list(x ORDER BY i) AS qv FROM qsr GROUP BY q_id, list_id),
+         |cpr AS (SELECT c.vec_id, c.list_id, r.i,
+         |          list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65),
+         |            j -> r.rv[j] * c.v[j])), (acc, z) -> acc + z) AS x
+         |        FROM cp0 c, rot r),
+         |cp AS (SELECT vec_id, list_id, list(x ORDER BY i) AS v FROM cpr GROUP BY vec_id, list_id),
+         |books AS (SELECT sub_idx, code, cv FROM ($opqResBooksValues) t(sub_idx, code, cv)),
          |$ivfPqCtes
          |SELECT q_id, neighbor_id, adc_dist, rank FROM pqtop
          |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin,

@@ -25,17 +25,22 @@ object TrainQuantizers {
     val auto = args.contains("--auto")
     val imi = args.contains("--imi")
     val opq = args.contains("--opq")
+    val opqRes = args.contains("--opq-res")
     val sfDir = args.filterNot(_.startsWith("--")).head
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark: SparkSession = GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    if (opq) {
-      // --opq: freeze the OPQ gate artifact (OpqModel — rotation +
-      // rotated-space codebooks) at FULL precision; the q70d parity
-      // construction depends on bit equality, exactly like --auto/--imi.
-      val (r, books) = graft.operators.SimilarityOps.opqTrain(spark, sfDir)
-      println("// OpqModel (dim 64, m 8, k 16, seed 42):")
+    if (opq || opqRes) {
+      // --opq / --opq-res: freeze the OPQ gate artifacts (OpqModel /
+      // OpqResidualModel — rotation + rotated-space codebooks) at FULL
+      // precision; the q70d/q70e parity constructions depend on bit
+      // equality, exactly like --auto/--imi.
+      val (r, books) =
+        if (opqRes) graft.operators.SimilarityOps.opqResTrain(spark, sfDir)
+        else graft.operators.SimilarityOps.opqTrain(spark, sfDir)
+      val name = if (opqRes) "OpqResidualModel" else "OpqModel"
+      println(s"// $name (dim 64, m 8, k 16, seed 42):")
       println("  val rotation: Array[Array[Double]] = Array(")
       r.foreach(row => println(s"    Array(${row.mkString(", ")}),"))
       println("  )")
@@ -107,14 +112,10 @@ object TrainQuantizers {
     // kernel), so after an IVF retrain paste IvfCentroids first and rerun
     // for the residual books. Same per-subspace recipe and seed as the raw
     // books — the only difference is WHAT is coded.
-    val residuals = corpus
-      .withColumn("nrm", norm(col("v")))
-      .join(broadcast(graft.operators.SimilarityOps.centroidTable(spark)))
-      .withColumn("csim", cosine(col("v"), col("cv"), col("nrm"), col("cnrm")))
-      .groupBy(col("id"))
-      .agg(max_by(org.apache.spark.sql.functions.struct(col("v"), col("cv")),
-        org.apache.spark.sql.functions.struct(col("csim"), -col("list_id"))).as("best"))
-      .select(col("id"), expr("zip_with(best.v, best.cv, (x, y) -> x - y)").as("v"))
+    // THE shared residual construction (SimilarityOps.residualTrainFrame
+    // — listedFrame assignment), so this recipe and the OPQ-residual
+    // trainer code residuals identically by construction
+    val residuals = graft.operators.SimilarityOps.residualTrainFrame(spark, sfDir)
     val pqr = Pq.train(spark, residuals, dim = 64, m = 8, k = 16, iters = 10, seed = 42L)
     println("// PqResidualCodebooks.values:")
     pqr.foreach { book =>

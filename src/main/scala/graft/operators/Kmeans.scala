@@ -46,9 +46,11 @@ object Kmeans {
   }
 
   /** Deterministic stand-in for a uniform [0,1) draw: the top 53 bits of a
-    * mixed 64-bit hash of (id, seed, round).
+    * mixed 64-bit hash of (id, seed, round). `private[operators]` — the
+    * [[Opq]] trainer's deterministic sampled-init draws through the SAME
+    * hash so the seeding device exists once.
     */
-  private def hashUniform(id: Long, seed: Long, round: Int): Double = {
+  private[operators] def hashUniform(id: Long, seed: Long, round: Int): Double = {
     var x = id * 0x9e3779b97f4a7c15L + seed * 0xc2b2ae3d27d4eb4fL + round * 0x165667b19e3779f9L
     x ^= x >>> 33; x *= 0xff51afd7ed558ccdL
     x ^= x >>> 33; x *= 0xc4ceb9fe1a85ec53L

@@ -17,23 +17,34 @@ import org.apache.spark.sql.functions._
   *
   * Training is the paper's alternating minimization, each step monotone
   * non-increasing in the objective Σ‖R·x − y(x)‖²:
-  *   1. init: R = I, codebooks = the plain-PQ recipe ([[Pq.train]] —
-  *      so the starting objective IS the PQ distortion);
+  *   1. init: R = I, codebooks from deterministic sampled-init
+  *      (per-subspace takeOrdered hash-uniform seeds — the
+  *      [[Kmeans.trainSampled]] device) polished by Lloyd, so the
+  *      starting objective is ~the plain-PQ distortion;
   *   2. Procrustes step (codes fixed): R = argmin over orthogonal R of
   *      Σ‖R·x − y‖² = V·Uᵀ where Σ x·yᵀ = U·S·Vᵀ — the 64×64
-  *      cross-covariance comes back from ONE shuffle-free treeAggregate
+  *      cross-covariance comes back from ONE shuffle-free map-side
   *      pass, the SVD runs driver-side ([[svdRotation]], one-sided
   *      Jacobi — a 64×64 problem regardless of corpus size);
-  *   3. codebook step (R fixed): per-subspace Lloyd refresh WARM-STARTED
-  *      from the previous books ([[Kmeans.lloyd]] — re-initializing
-  *      k-means|| each round would break monotonicity and waste passes).
+  *   3. codebook step (R fixed): fused per-subspace Lloyd refresh
+  *      WARM-STARTED from the previous books (re-initializing k-means||
+  *      each round would break monotonicity and waste passes).
   *
   * Scale shape: the trainer sees a DETERMINISTIC hash-line sample bounded
   * to [[Opq.TrainCap]] points (the FAISS max-train-points device — OPQ is
-  * an offline index-training artifact, not a corpus pass), cached once;
-  * every step is broadcast + treeAggregate over that sample. Model size
-  * is dim² + m·k·(dim/m) doubles (~37 KB at 64/8/16) — broadcastable
-  * anywhere. Deterministic for a fixed (lake, dials, seed).
+  * an offline index-training artifact, not a corpus pass), canonicalized
+  * (hash-partition + in-partition sort) and cached once; every step is a
+  * broadcast + map-side pass over that sample. Model size is
+  * dim² + m·k·(dim/m) doubles (~37 KB at 64/8/16) — broadcastable
+  * anywhere.
+  *
+  * Determinism is engineered, not hoped for — the output is a bit-frozen
+  * artifact: every distributed reduction here merges partials in
+  * PARTITION-INDEX order (treeAggregate/reduce merge in task-ARRIVAL
+  * order, and the SVD amplifies that ulp noise into visibly different
+  * rotations), seeding is takeOrdered (sorts values, arrival-immune),
+  * and the sample layout is canonical. Bit-reproducible for a fixed
+  * (lake, dials, seed, partition count) — in-session and cross-JVM.
   */
 object Opq {
 
@@ -69,16 +80,44 @@ object Opq {
     val n = vecs.count()
     require(n > 0, "Opq.train: empty training input")
     val frac = math.min(1.0, TrainCap.toDouble / n)
-    val sample = graft.Tables.spreadScan(spark,
-      vecs.filter(graft.Tables.sampleLine(col("id"), frac)))
-      .select(col("id").cast("long"), col("v")).as[(Long, Seq[Double])]
+    // Canonical sample layout: hash-partition on id + within-partition
+    // sort. The input may arrive straight off a shuffle (the residual
+    // frame is a groupBy output) whose WITHIN-PARTITION row order varies
+    // run to run — per-partition float accumulation order would vary
+    // with it, and this trainer's output is a bit-frozen artifact. One
+    // bounded-sample shuffle buys input-order independence.
+    val sample = vecs.filter(graft.Tables.sampleLine(col("id"), frac))
+      .select(col("id").cast("long"), col("v"))
+      .repartition(spark.sparkContext.defaultParallelism, col("id"))
+      .sortWithinPartitions("id")
+      .as[(Long, Seq[Double])]
       .rdd.map { case (id, v) => (id, v.toArray) }
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      // ---- init: R = I, books = the plain-PQ recipe on the sample ----
+      // ---- init: R = I; books from the DETERMINISTIC sampled-init
+      // recipe (per-subspace takeOrdered hash-uniform seeds — the
+      // Kmeans.trainSampled device, seed + sub mirroring Pq.train's
+      // per-subspace convention) polished by ordered Lloyd. NOT
+      // Pq.train: k-means||'s cost aggregates merge in task-arrival
+      // order, which this trainer's bit-frozen output cannot tolerate
+      // (observed diverging when the input frame is expensive enough to
+      // randomize first-pass task timings). takeOrdered sorts VALUES, so
+      // it is arrival-order-independent by construction. ----
       var r = Array.tabulate(dim, dim)((i, j) => if (i == j) 1.0 else 0.0)
-      val sampleDf = sample.toDF("id", "v")
-      var books = Pq.train(spark, sampleDf, dim, m, k, iters = 10, seed = seed)
+      var books = Array.tabulate(m) { sub =>
+        val seeds = sample
+          .map { case (id, v) =>
+            (id, java.util.Arrays.copyOfRange(v, sub * subDim, (sub + 1) * subDim))
+          }
+          .takeOrdered(k)(Ordering.by { case (id, _) =>
+            (Kmeans.hashUniform(id, seed + sub, -1), id)
+          })
+          .map(_._2)
+        require(seeds.nonEmpty, "Opq.train: empty sample")
+        if (seeds.length >= k) seeds
+        else Array.tabulate(k)(i => seeds(i % seeds.length))
+      }
+      books = refreshBooks(spark, sample.map(_._2), books, subDim, iters = 10)
 
       for (_ <- 0 until OpqIters) {
         // ---- Procrustes step: G = Σ x·yᵀ, one map-side pass. NOT

@@ -267,8 +267,19 @@ object SimilarityOps {
     * incremental index maintenance codes NEW arrivals through, so batch
     * build and append produce identical codes by construction. */
   private[graft] def codedSubsOf(s: SparkSession, emb: DataFrame,
-      residual: Boolean = false): DataFrame = {
-    val subDim = 8
+      residual: Boolean = false): DataFrame =
+    pqCodeSubs(listedFrame(s, emb, residual),
+      if (residual) residualCodebookTable(s) else codebookTable(s))
+
+  /** The coarse-assigned corpus as a list-tagged (vec_id, v, list_id)
+    * frame, BEFORE any PQ coding: cosine argmax against the frozen
+    * quantizer (smallest-list tie-break — the engine-wide convention).
+    * `residual = true` subtracts the winning coarse centroid (IVFADC
+    * proper); raw keeps v itself. Extracted from [[codedSubsOf]] so the
+    * OPQ-residual arm (q70e) can rotate WHAT is coded while the
+    * assignment stays THE shared construction. */
+  private[graft] def listedFrame(s: SparkSession, emb: DataFrame,
+      residual: Boolean): DataFrame = {
     val e = emb.withColumn("nrm", norm(col("v")))
     val assigned = e.join(broadcast(centroidTable(s)))
       .withColumn("csim", cosine(col("v"), col("cv"), col("nrm"), col("cnrm")))
@@ -277,14 +288,11 @@ object SimilarityOps {
         struct(col("csim"), -col("list_id"))).as("best"))
     // residual coding subtracts the winning coarse centroid BEFORE the
     // subspace split (IVFADC proper); raw coding slices v itself
-    val corpusList =
-      if (residual) assigned.select(col("vec_id"),
-        expr("zip_with(best.v, best.cv, (x, y) -> x - y)").as("v"),
-        col("best.list_id").as("list_id"))
-      else assigned.select(col("vec_id"), col("best.v").as("v"),
-        col("best.list_id").as("list_id"))
-    val books = if (residual) residualCodebookTable(s) else codebookTable(s)
-    pqCodeSubs(corpusList, books)
+    if (residual) assigned.select(col("vec_id"),
+      expr("zip_with(best.v, best.cv, (x, y) -> x - y)").as("v"),
+      col("best.list_id").as("list_id"))
+    else assigned.select(col("vec_id"), col("best.v").as("v"),
+      col("best.list_id").as("list_id"))
   }
 
   /** THE PQ-code-assignment tail over a list-tagged (vec_id, v, list_id)
@@ -895,6 +903,89 @@ object SimilarityOps {
     adcFlat(s, Tables.spreadScan(s, e.filter(col("vec_id") >= QueryIdMax)),
       e.filter(col("vec_id") < QueryIdMax),
       booksTableOf(s, OpqModel.books), k)
+  }
+
+  /** The frozen-quantizer RESIDUAL corpus as a trainer input (id, v =
+    * v − c(v)) — [[OpqResidualModel]]'s training frame and the
+    * TrainQuantizers residual recipe, THE shared [[listedFrame]]
+    * assignment underneath. */
+  private[graft] def residualTrainFrame(s: SparkSession, d: String): DataFrame =
+    listedFrame(s, Tables.embeddings(s, d)
+      .filter(col("vec_id") >= QueryIdMax)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v")), residual = true)
+      .select(col("vec_id").as("id"), col("v"))
+
+  /** The live OPQ-on-residuals trainer at the frozen gate dials
+    * ([[OpqResidualModel]]'s provenance): the rotation is learned on
+    * the RESIDUAL distribution — what the PQ codes actually quantize
+    * under IVFADC — not the raw vectors. */
+  private[graft] def opqResTrain(s: SparkSession, d: String):
+      (Array[Array[Double]], Array[Array[Array[Double]]]) =
+    Opq.train(s, residualTrainFrame(s, d), dim = 64, m = 8, k = 16, seed = 42L)
+
+  /** [[rotateKernel]] with a list_id rider — same in-register matvec,
+    * the tag just rides through (it is functional on vec_id). */
+  private def rotateKernelListed(s: SparkSession, df: DataFrame,
+      r: Array[Array[Double]]): DataFrame = {
+    import s.implicits._
+    val bc = s.sparkContext.broadcast(r)
+    df.select(col("vec_id").cast("long"), col("v"), col("list_id").cast("long"))
+      .as[(Long, Seq[Double], Long)]
+      .mapPartitions { it =>
+        val rm = bc.value
+        it.map { case (id, sv, list) => (id, Opq.matvec(rm, sv.toArray).toSeq, list) }
+      }
+      .toDF("vec_id", "v", "list_id")
+  }
+
+  /** q70e — OPQ-rotated residual IVFADC (the FAISS production composite,
+    * OPQ + IVF + PQ): q70c's pipeline with the rotation learned ON THE
+    * RESIDUAL DISTRIBUTION — the thing the 4-bit codes actually quantize
+    * once the coarse quantizer absorbs the between-list variance.
+    * Composition by construction: coarse assignment and query probing
+    * are the UNTOUCHED shared helpers (cosine is rotation-invariant, so
+    * rotating before or after the coarse step partitions identically —
+    * rotating the residual keeps every frozen coarse artifact and probe
+    * plan byte-for-byte), and only WHAT is PQ-coded changes: r → R·r
+    * against [[OpqResidualModel]]'s rotated-space books. One extra
+    * map-side matvec per corpus row and per (query, probed list); scan
+    * shape, index size, and shuffle structure identical to q70b/q70c.
+    */
+  def knnIvfPqOpq(s: SparkSession, d: String, k: Int = 3,
+      queryIdMax: Long = QueryIdMax, nProbe: Int = IvfProbes): DataFrame = {
+    require(OpqResidualModel.rotation.nonEmpty && OpqResidualModel.books.nonEmpty,
+      "OpqResidualModel not frozen — run TrainQuantizers --opq-res and paste")
+    val subDim = 8
+    val books = booksTableOf(s, OpqResidualModel.books)
+
+    // corpus: shared coarse assignment → residual → rotate → PQ codes →
+    // reconstruction (the codedSubsOf chain with a rotation in WHAT)
+    val corpusRes = rotateKernelListed(s,
+      listedFrame(s, Tables.spreadScan(s, Tables.embeddings(s, d)
+        .filter(col("vec_id") >= queryIdMax)
+        .select(col("vec_id"), toDouble(col("embedding")).as("v"))), residual = true),
+      OpqResidualModel.rotation)
+    val recon = pqCodeSubs(corpusRes, books)
+      .join(broadcast(books), Seq("sub_idx", "code"))
+      .select("vec_id", "list_id", "sub_idx", "cv")
+
+    // queries: shared probe resolution → per-list residual → rotate
+    val queryProbes = queryProbeLists(s, d, nProbe, queryIdMax)
+    val qres = rotateKernelListed(s,
+      queryProbes.join(broadcast(centroidTable(s)), Seq("list_id"))
+        .select(col("q_id").as("vec_id"), col("list_id"),
+          expr("zip_with(qv, cv, (x, y) -> x - y)").as("v")),
+      OpqResidualModel.rotation)
+    val querySubs = qres
+      .select(col("vec_id").as("q_id"), col("list_id"),
+        explode(array((0 until 8).map(sub =>
+          struct(lit(sub.toLong).as("sub_idx"),
+            slice(col("v"), sub * subDim + 1, subDim).as("qsv"))): _*)).as("e"))
+      .select(col("q_id"), col("list_id"), col("e.sub_idx").as("sub_idx"), col("e.qsv").as("qsv"))
+    val partials = recon.join(broadcast(querySubs), Seq("list_id", "sub_idx"))
+      .withColumn("dsub",
+        expr("aggregate(zip_with(qsv, cv, (x, y) -> (x - y) * (x - y)), 0D, (acc, z) -> acc + z)"))
+    adcRank(partials, k)
   }
 
   def knnIvf(s: SparkSession, d: String, k: Int = 3,

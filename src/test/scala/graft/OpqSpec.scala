@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Opq, OpqModel, PqCodebooks, SimilarityOps}
+import graft.operators.{Opq, OpqModel, OpqResidualModel, PqCodebooks, PqResidualCodebooks, SimilarityOps}
 
 class OpqSpec extends SparkSpec {
 
@@ -90,6 +90,31 @@ class OpqSpec extends SparkSpec {
     for (sub <- books.indices; code <- books(sub).indices)
       assert(books(sub)(code).toSeq === OpqModel.books(sub)(code).toSeq,
         s"codebook ($sub, $code) drifted from the freeze")
+  }
+
+  test("live OPQ-residual training reproduces the frozen gate artifact bit-exactly") {
+    // q70e's artifact (the OpqModel contract on the RESIDUAL space —
+    // refreeze via TrainQuantizers --opq-res)
+    val (r, books) = SimilarityOps.opqResTrain(spark, gate)
+    assert(r.length === OpqResidualModel.rotation.length)
+    r.indices.foreach { i =>
+      assert(r(i).toSeq === OpqResidualModel.rotation(i).toSeq,
+        s"residual rotation row $i drifted from the freeze")
+    }
+    for (sub <- books.indices; code <- books(sub).indices)
+      assert(books(sub)(code).toSeq === OpqResidualModel.books(sub)(code).toSeq,
+        s"residual codebook ($sub, $code) drifted from the freeze")
+  }
+
+  test("OPQ-residual distortion never exceeds plain residual PQ at the same code budget") {
+    // q70e vs q70c coding quality on the distribution both actually
+    // quantize: the frozen-quantizer residuals
+    val res = SimilarityOps.residualTrainFrame(spark, gate)
+    val eye = Array.tabulate(64, 64)((i, j) => if (i == j) 1.0 else 0.0)
+    val pqr = Opq.distortion(spark, res, eye, PqResidualCodebooks.values)
+    val opqr = Opq.distortion(spark, res, OpqResidualModel.rotation, OpqResidualModel.books)
+    info(f"residual-PQ distortion $pqr%.6f vs OPQ-residual $opqr%.6f (${(1 - opqr / pqr) * 100}%.2f%% lower)")
+    assert(opqr <= pqr * (1 + 1e-6), s"OPQ-residual $opqr worse than residual PQ $pqr")
   }
 
   test("OPQ distortion never exceeds plain PQ at the same code budget (the training objective)") {
