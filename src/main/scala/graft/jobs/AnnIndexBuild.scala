@@ -271,6 +271,89 @@ object AnnIndexBuild {
     adcTopK(s, codes, probes, lutRows, k)
   }
 
+  /** Marker value for OPQ-residual indexes (q70e's coding carried to
+    * the serving side): codes quantize R·(v − c(v)) against the
+    * rotated-space books, so a raw or plain-residual search against
+    * them would rank against the wrong reconstruction — loud in both
+    * directions, the `_coding` contract. */
+  private val OpqCoding = "opq-residual"
+
+  /** The persisted index under q70e's OPQ-RESIDUAL coding: same 16
+    * frozen coarse lists, same 4-byte codes, same partitionBy(list_id)
+    * layout and pruning as [[build]] — the only difference is WHAT the
+    * codes quantize (SimilarityOps.codedSubsOpqRes, THE shared seam the
+    * in-query q70e codes through, so persisted and recomputed codes are
+    * identical by construction). */
+  def buildOpq(s: SparkSession, sfDir: String, out: String): Unit = {
+    val emb = graft.Tables.embeddings(s, sfDir)
+      .filter(col("vec_id") >= SimilarityOps.QueryIdMax)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    aggCodes(SimilarityOps.codedSubsOpqRes(s, graft.Tables.spreadScan(s, emb)))
+      .repartition(col("list_id"))
+      .write.mode(SaveMode.Overwrite).partitionBy("list_id").parquet(out)
+    writeMarker(s, out, OpqCoding)
+  }
+
+  /** [[search]] over a [[buildOpq]] index: probe resolution is THE
+    * shared resolver (the coarse quantizer is untouched by the
+    * rotation), the ADC LUT rotates each query's PER-LIST residual
+    * through the frozen OpqResidualModel driver-side — the same matvec
+    * fold and subtraction order as the in-query kernel chain, so cells
+    * are bit-identical to knnIvfPqOpq's (spec-pinned). */
+  def searchOpq(s: SparkSession, indexDir: String, sfDir: String,
+      k: Int = 3, nProbe: Int = SimilarityOps.IvfProbesServing): DataFrame = {
+    checkMarkerIs(s, indexDir, OpqCoding)
+    val probeRows = SimilarityOps.queryProbeLists(s, sfDir, nProbe)
+      .select(col("q_id"), col("list_id"), col("qv"))
+      .collect()
+    if (probeRows.isEmpty) return emptyResult(s)
+    val probes = probeRows.map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val lutRows = lutRowsOpq(probeRows)
+    val probedLists = probes.map(_._2).distinct.sorted
+    val codes = s.read.parquet(indexDir)
+      .filter(col("list_id").isin(probedLists: _*))
+    adcTopK(s, codes, probes, lutRows, k)
+  }
+
+  /** [[lutRowsOf]] under the OPQ-residual coding: per probe row, the
+    * per-list residual q − c_list (q70c's subtraction order) is rotated
+    * by ONE [[graft.operators.Opq.matvec]] — the identical left fold the
+    * rotate kernel runs — then cells accumulate against the rotated-
+    * space books in the same (x−y)² left fold as every other LUT. */
+  private def lutRowsOpq(probeRows: Array[org.apache.spark.sql.Row])
+      : Seq[(Long, Long, Long, Long, Double)] = {
+    val books = graft.operators.OpqResidualModel.books
+    val rot = graft.operators.OpqResidualModel.rotation
+    require(rot.nonEmpty && books.nonEmpty,
+      "OpqResidualModel not frozen — run TrainQuantizers --opq-res and paste")
+    for {
+      r <- probeRows.toSeq
+      qid = r.getLong(0)
+      lid = r.getLong(1)
+      v = r.getSeq[Double](2)
+      rv = {
+        val res = new Array[Double](v.length)
+        var i = 0
+        while (i < res.length) {
+          res(i) = v(i) - IvfCentroids.values(lid.toInt)(i)
+          i += 1
+        }
+        graft.operators.Opq.matvec(rot, res)
+      }
+      sub <- 0 until NSub
+      (cv, code) <- books(sub).zipWithIndex.toSeq
+    } yield {
+      var acc = 0.0
+      var i = 0
+      while (i < SubDim) {
+        val x = rv(sub * SubDim + i) - cv(i)
+        acc += x * x
+        i += 1
+      }
+      (qid, lid, sub.toLong, code.toLong, acc)
+    }
+  }
+
   /** The code table committed through SnapshotLake (list_id-clustered,
     * long stats on list_id): atomic publish, time travel, manifest-level
     * probe pruning. Returns the published version. */

@@ -923,6 +923,20 @@ object SimilarityOps {
       (Array[Array[Double]], Array[Array[Array[Double]]]) =
     Opq.train(s, residualTrainFrame(s, d), dim = 64, m = 8, k = 16, seed = 42L)
 
+  /** [[codedSubsOf]] under the OPQ-RESIDUAL coding (q70e): the shared
+    * listedFrame assignment and pqCodeSubs tail with the frozen
+    * rotation applied to WHAT is coded — the seam the persisted OPQ
+    * index (jobs.AnnIndexBuild.buildOpq) codes through, so in-query and
+    * persisted codes are identical by construction. */
+  private[graft] def codedSubsOpqRes(s: SparkSession, emb: DataFrame): DataFrame = {
+    require(OpqResidualModel.rotation.nonEmpty && OpqResidualModel.books.nonEmpty,
+      "OpqResidualModel not frozen — run TrainQuantizers --opq-res and paste")
+    pqCodeSubs(
+      rotateKernelListed(s, listedFrame(s, emb, residual = true),
+        OpqResidualModel.rotation),
+      booksTableOf(s, OpqResidualModel.books))
+  }
+
   /** [[rotateKernel]] with a list_id rider — same in-register matvec,
     * the tag just rides through (it is functional on vec_id). */
   private def rotateKernelListed(s: SparkSession, df: DataFrame,
@@ -960,12 +974,9 @@ object SimilarityOps {
 
     // corpus: shared coarse assignment → residual → rotate → PQ codes →
     // reconstruction (the codedSubsOf chain with a rotation in WHAT)
-    val corpusRes = rotateKernelListed(s,
-      listedFrame(s, Tables.spreadScan(s, Tables.embeddings(s, d)
+    val recon = codedSubsOpqRes(s, Tables.spreadScan(s, Tables.embeddings(s, d)
         .filter(col("vec_id") >= queryIdMax)
-        .select(col("vec_id"), toDouble(col("embedding")).as("v"))), residual = true),
-      OpqResidualModel.rotation)
-    val recon = pqCodeSubs(corpusRes, books)
+        .select(col("vec_id"), toDouble(col("embedding")).as("v"))))
       .join(broadcast(books), Seq("sub_idx", "code"))
       .select("vec_id", "list_id", "sub_idx", "cv")
 

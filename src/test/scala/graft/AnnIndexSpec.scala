@@ -350,6 +350,37 @@ class AnnIndexSpec extends SparkSpec {
     assert(e3.getMessage.contains("_coding"))
   }
 
+  test("OPQ-residual index: search is bit-identical to the recompute query (q70e)") {
+    val out = java.nio.file.Files.createTempDirectory("annopq").toString
+    AnnIndexBuild.buildOpq(spark, sf, out)
+    val fromIndex = AnnIndexBuild.searchOpq(spark, out, sf).collect().toSeq
+    val recompute = SimilarityOps.knnIvfPqOpq(spark, sf,
+      nProbe = SimilarityOps.IvfProbesServing).collect().toSeq
+    // persisted rotated-residual codes + the driver-side rotate-then-ADC
+    // LUT reproduce q70e's kernel chain exactly, double bits included
+    assert(fromIndex === recompute)
+    assert(fromIndex.nonEmpty)
+    // the rotation genuinely reaches the codes — identical results to
+    // the plain-residual arm would mean it reached neither side
+    assert(fromIndex !== SimilarityOps.knnIvfPqResidual(spark, sf,
+      nProbe = SimilarityOps.IvfProbesServing).collect().toSeq)
+
+    // probes still prune: the OPQ path keeps the partition-filter scan
+    val df = AnnIndexBuild.searchOpq(spark, out, sf, k = 3, nProbe = 1)
+    val scans = df.queryExecution.sparkPlan.collect {
+      case f: FileSourceScanExec if f.relation.location.rootPaths.exists(_.toString.contains(out)) => f
+    }
+    assert(scans.nonEmpty, df.queryExecution.sparkPlan.toString)
+    assert(scans.head.partitionFilters.exists(_.references.exists(_.name == "list_id")),
+      scans.head.partitionFilters.mkString("; "))
+
+    // cross-coded searches fail loudly in BOTH directions
+    val e = intercept[IllegalArgumentException](AnnIndexBuild.search(spark, out, sf))
+    assert(e.getMessage.contains("opq-residual"))
+    val e2 = intercept[IllegalArgumentException](AnnIndexBuild.searchOpq(spark, idx, sf))
+    assert(e2.getMessage.contains("raw"))
+  }
+
   test("versioned coding guard: cross-coded search/append fail; pinned versions keep their own coding") {
     val table = java.nio.file.Files.createTempDirectory("anncoding").toString
     val v1 = AnnIndexBuild.buildVersioned(spark, sf, table) // raw
