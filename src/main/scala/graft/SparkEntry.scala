@@ -852,21 +852,38 @@ object SparkEntry {
          |        WHERE a.vec_id >= $qmax AND a.crank = 1),
          |${ivfPqCtesNamed("pqr", "cpr", "qsr", "rbooks")},
          |ivfpqr AS (SELECT q_id, neighbor_id FROM pqrtop WHERE rank <= 3),
+         |orot AS (SELECT i, rv FROM ($opqResRotValues) t(i, rv)),
+         |qsoj AS (SELECT q.q_id, q.list_id, r.i,
+         |           list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65),
+         |             j -> r.rv[j] * q.qv[j])), (acc, z) -> acc + z) AS x
+         |         FROM qsr q, orot r),
+         |qso AS (SELECT q_id, list_id, list(x ORDER BY i) AS qv FROM qsoj GROUP BY q_id, list_id),
+         |cpoj AS (SELECT c.vec_id, c.list_id, r.i,
+         |           list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65),
+         |             j -> r.rv[j] * c.v[j])), (acc, z) -> acc + z) AS x
+         |         FROM cpr c, orot r),
+         |cpo AS (SELECT vec_id, list_id, list(x ORDER BY i) AS v FROM cpoj GROUP BY vec_id, list_id),
+         |obooks AS (SELECT sub_idx, code, cv FROM ($opqResBooksValues) t(sub_idx, code, cv)),
+         |${ivfPqCtesNamed("pqo", "cpo", "qso", "obooks")},
+         |opqivf AS (SELECT q_id, neighbor_id FROM pqotop WHERE rank <= 3),
          |idx AS (SELECT q_id, neighbor_id, 'lsh' AS src FROM lsh
          |        UNION ALL SELECT q_id, neighbor_id, 'ivf' AS src FROM ivf
          |        UNION ALL SELECT q_id, neighbor_id, 'ivfpq' AS src FROM ivfpq
-         |        UNION ALL SELECT q_id, neighbor_id, 'ivfpq_res' AS src FROM ivfpqr)
-         |SELECT q_id, n_exact, lsh_hits, ivf_hits, ivfpq_hits, ivfpq_res_hits,
+         |        UNION ALL SELECT q_id, neighbor_id, 'ivfpq_res' AS src FROM ivfpqr
+         |        UNION ALL SELECT q_id, neighbor_id, 'opq_ivf' AS src FROM opqivf)
+         |SELECT q_id, n_exact, lsh_hits, ivf_hits, ivfpq_hits, ivfpq_res_hits, opq_ivf_hits,
          |  CAST(lsh_hits AS DOUBLE) / CAST(n_exact AS DOUBLE) AS lsh_recall,
          |  CAST(ivf_hits AS DOUBLE) / CAST(n_exact AS DOUBLE) AS ivf_recall,
          |  CAST(ivfpq_hits AS DOUBLE) / CAST(n_exact AS DOUBLE) AS ivfpq_recall,
-         |  CAST(ivfpq_res_hits AS DOUBLE) / CAST(n_exact AS DOUBLE) AS ivfpq_res_recall
+         |  CAST(ivfpq_res_hits AS DOUBLE) / CAST(n_exact AS DOUBLE) AS ivfpq_res_recall,
+         |  CAST(opq_ivf_hits AS DOUBLE) / CAST(n_exact AS DOUBLE) AS opq_ivf_recall
          |FROM (SELECT ex.q_id,
          |        CAST(COUNT(DISTINCT ex.neighbor_id) AS BIGINT) AS n_exact,
          |        CAST(COUNT(CASE WHEN idx.src = 'lsh' THEN 1 END) AS BIGINT) AS lsh_hits,
          |        CAST(COUNT(CASE WHEN idx.src = 'ivf' THEN 1 END) AS BIGINT) AS ivf_hits,
          |        CAST(COUNT(CASE WHEN idx.src = 'ivfpq' THEN 1 END) AS BIGINT) AS ivfpq_hits,
-         |        CAST(COUNT(CASE WHEN idx.src = 'ivfpq_res' THEN 1 END) AS BIGINT) AS ivfpq_res_hits
+         |        CAST(COUNT(CASE WHEN idx.src = 'ivfpq_res' THEN 1 END) AS BIGINT) AS ivfpq_res_hits,
+         |        CAST(COUNT(CASE WHEN idx.src = 'opq_ivf' THEN 1 END) AS BIGINT) AS opq_ivf_hits
          |      FROM ex LEFT JOIN idx
          |        ON ex.q_id = idx.q_id AND ex.neighbor_id = idx.neighbor_id
          |      GROUP BY ex.q_id) t
@@ -1012,16 +1029,31 @@ object SparkEntry {
        |        WHERE a.vec_id >= $qmax AND a.crank = 1),
        |${ivfPqCtesNamed("pqr", "cpr", "qsr", "rbooks")},
        |ivfpqr AS (SELECT q_id, neighbor_id, rank FROM pqrtop WHERE rank <= $k),
+       |orot AS (SELECT i, rv FROM ($opqResRotValues) t(i, rv)),
+       |qsoj AS (SELECT q.q_id, q.list_id, r.i,
+       |           list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65),
+       |             j -> r.rv[j] * q.qv[j])), (acc, z) -> acc + z) AS x
+       |         FROM qsr q, orot r),
+       |qso AS (SELECT q_id, list_id, list(x ORDER BY i) AS qv FROM qsoj GROUP BY q_id, list_id),
+       |cpoj AS (SELECT c.vec_id, c.list_id, r.i,
+       |           list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65),
+       |             j -> r.rv[j] * c.v[j])), (acc, z) -> acc + z) AS x
+       |         FROM cpr c, orot r),
+       |cpo AS (SELECT vec_id, list_id, list(x ORDER BY i) AS v FROM cpoj GROUP BY vec_id, list_id),
+       |obooks AS (SELECT sub_idx, code, cv FROM ($opqResBooksValues) t(sub_idx, code, cv)),
+       |${ivfPqCtesNamed("pqo", "cpo", "qso", "obooks")},
+       |opqivf AS (SELECT q_id, neighbor_id, rank FROM pqotop WHERE rank <= $k),
        |disc AS (SELECT * FROM ($discValues) t(i, disc)),
        |idcg AS (SELECT * FROM ($idcgValues) t(m, idcg)),
        |idx AS (SELECT 1 AS arm_no, 'lsh_multi' AS arm, q_id, neighbor_id, rank FROM lshm
        |        UNION ALL SELECT 2, 'ivf_auto', q_id, neighbor_id, rank FROM ivfauto
        |        UNION ALL SELECT 3, 'imi', q_id, neighbor_id, rank FROM imi_imiTop
        |        UNION ALL SELECT 4, 'ivfpq', q_id, neighbor_id, rank FROM ivfpq
-       |        UNION ALL SELECT 5, 'ivfpq_res', q_id, neighbor_id, rank FROM ivfpqr),
+       |        UNION ALL SELECT 5, 'ivfpq_res', q_id, neighbor_id, rank FROM ivfpqr
+       |        UNION ALL SELECT 6, 'opq_ivf', q_id, neighbor_id, rank FROM opqivf),
        |armt AS (SELECT CAST(arm_no AS BIGINT) AS arm_no, arm
        |         FROM (VALUES (1, 'lsh_multi'), (2, 'ivf_auto'), (3, 'imi'),
-       |                      (4, 'ivfpq'), (5, 'ivfpq_res')) t(arm_no, arm)),
+       |                      (4, 'ivfpq'), (5, 'ivfpq_res'), (6, 'opq_ivf')) t(arm_no, arm)),
        |per AS (SELECT ar.arm_no, ar.arm, e.q_id,
        |          CAST(COUNT(*) AS BIGINT) AS n_exact,
        |          CAST(COUNT(a.rank) AS BIGINT) AS hits,

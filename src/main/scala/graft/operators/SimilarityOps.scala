@@ -389,6 +389,7 @@ object SimilarityOps {
       .unionByName(knnIvf(s, d, k, queryIdMax).select("q_id", "neighbor_id").withColumn("src", lit("ivf")))
       .unionByName(knnIvfPq(s, d, k, queryIdMax).select("q_id", "neighbor_id").withColumn("src", lit("ivfpq")))
       .unionByName(knnIvfPqResidual(s, d, k, queryIdMax).select("q_id", "neighbor_id").withColumn("src", lit("ivfpq_res")))
+      .unionByName(knnIvfPqOpq(s, d, k, queryIdMax).select("q_id", "neighbor_id").withColumn("src", lit("opq_ivf")))
     exact.join(idx, Seq("q_id", "neighbor_id"), "left")
       .groupBy("q_id")
       .agg(
@@ -396,11 +397,13 @@ object SimilarityOps {
         count(when(col("src") === "lsh", 1)).as("lsh_hits"),
         count(when(col("src") === "ivf", 1)).as("ivf_hits"),
         count(when(col("src") === "ivfpq", 1)).as("ivfpq_hits"),
-        count(when(col("src") === "ivfpq_res", 1)).as("ivfpq_res_hits"))
+        count(when(col("src") === "ivfpq_res", 1)).as("ivfpq_res_hits"),
+        count(when(col("src") === "opq_ivf", 1)).as("opq_ivf_hits"))
       .withColumn("lsh_recall", col("lsh_hits").cast("double") / col("n_exact").cast("double"))
       .withColumn("ivf_recall", col("ivf_hits").cast("double") / col("n_exact").cast("double"))
       .withColumn("ivfpq_recall", col("ivfpq_hits").cast("double") / col("n_exact").cast("double"))
       .withColumn("ivfpq_res_recall", col("ivfpq_res_hits").cast("double") / col("n_exact").cast("double"))
+      .withColumn("opq_ivf_recall", col("opq_ivf_hits").cast("double") / col("n_exact").cast("double"))
       .orderBy("q_id")
   }
 
@@ -583,7 +586,8 @@ object SimilarityOps {
         (2L, "ivf_auto", knnIvfAuto(s, d, k, queryIdMax)),
         (3L, "imi", knnImi(s, d, k, queryIdMax)),
         (4L, "ivfpq", knnIvfPq(s, d, k, queryIdMax)),
-        (5L, "ivfpq_res", knnIvfPqResidual(s, d, k, queryIdMax)))
+        (5L, "ivfpq_res", knnIvfPqResidual(s, d, k, queryIdMax)),
+        (6L, "opq_ivf", knnIvfPqOpq(s, d, k, queryIdMax)))
       val perArm = arms.map { case (no, name, arm) =>
         retrievalQualityOf(exact, arm, k)
           .agg(
