@@ -185,6 +185,7 @@ object SparkEntry {
     "q106_entropy"        -> (TextAnalysisOps.entropyProfile _),
     "q80_expectations"    -> ((s: SparkSession, d: String) => QualityOps.expectationAudit(s, d)),
     "q111_sensor_sync"    -> (TemporalOps.sensorSync _),
+    "q112_level_shift"    -> ((s: SparkSession, d: String) => QualityOps.levelShift(s, d)),
   )
 
   // Portable polynomial rolling hash in DuckDB SQL — mirrors
@@ -4351,6 +4352,39 @@ object SparkEntry {
         |  UNION ALL SELECT 'tax_in_range', n_rows, v6 FROM wide
         |  UNION ALL SELECT 'quantity_not_extreme', n_rows, v7 FROM wide) t
         |ORDER BY check_name""".stripMargin,
+
+    // q112 level-shift scan: two ROWS-frame window means over the same
+    // (type; ts, event_id) sort, decimal-carrier sums with one double
+    // division each, the q79 σ chain, and the two-sample z in a fixed
+    // IEEE order — full windows only, constant channels gated out
+    "q112_level_shift" ->
+      """WITH st AS (
+        |  SELECT event_type, COUNT(*) AS n,
+        |    CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(value * value AS DECIMAL(27,6))) AS DOUBLE) AS sx2
+        |  FROM events GROUP BY 1),
+        |st2 AS (
+        |  SELECT event_type, sqrt(sx2 / n - (sx / n) * (sx / n)) AS std FROM st),
+        |win AS (
+        |  SELECT event_id, event_type,
+        |    COUNT(*) OVER wb AS n_before, COUNT(*) OVER wa AS n_after,
+        |    CAST(SUM(CAST(value AS DECIMAL(27,6))) OVER wb AS DOUBLE) AS sb,
+        |    CAST(SUM(CAST(value AS DECIMAL(27,6))) OVER wa AS DOUBLE) AS sa
+        |  FROM events
+        |  WINDOW
+        |    wb AS (PARTITION BY event_type ORDER BY epoch_ns(ts), event_id
+        |           ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING),
+        |    wa AS (PARTITION BY event_type ORDER BY epoch_ns(ts), event_id
+        |           ROWS BETWEEN CURRENT ROW AND 19 FOLLOWING))
+        |SELECT event_id, event_type, mean_before, mean_after, shift_z FROM (
+        |  SELECT w.event_id, w.event_type,
+        |    w.sb / w.n_before AS mean_before,
+        |    w.sa / w.n_after AS mean_after,
+        |    (w.sa / w.n_after - w.sb / w.n_before) / (s.std * sqrt(2.0 / 20.0)) AS shift_z
+        |  FROM win w JOIN st2 s USING (event_type)
+        |  WHERE w.n_before = 20 AND w.n_after = 20 AND s.std > 0.0) t
+        |WHERE ABS(shift_z) > 3.0
+        |ORDER BY event_id""".stripMargin,
 
     // q111 sensor-sync audit: nearest-either-direction via TWO ASOF joins
     // (backward >= picks the last sample at-or-before each frame, forward

@@ -38,6 +38,67 @@ object QualityOps {
       .orderBy("event_id")
   }
 
+  /** q112 — sliding two-sample LEVEL-SHIFT scan per sensor channel: at
+    * each event (ordered by ts, event_id within its type), compare the
+    * mean of the `w` values strictly BEFORE against the mean of the `w`
+    * values FROM HERE, and flag positions where the standardized shift
+    * |mean_after − mean_before| / (σ·√(2/w)) clears `thresh` — the
+    * two-sample z-statistic under the channel's global σ. This is the
+    * question q79's point-outlier gate cannot answer: a sensor that
+    * RECALIBRATES (every value moves 2σ but each value is individually
+    * plausible) trips no 3-sigma flag, while the window means separate
+    * immediately — the classic mean-shift change-point scan (Page's
+    * CUSUM heritage; see Truong, Oudre & Vayatis, "Selective review of
+    * offline change point detection methods", Signal Processing 2020).
+    * Only FULL windows are eligible (both counts = w), so series edges
+    * never emit half-window artifacts.
+    *
+    * Shape: ONE shuffle — the per-type window sort (the q07 genus) —
+    * with both window means as frame aggregates over the same sort
+    * (Spark evaluates the two ROWS frames in one WindowExec pass); σ is
+    * the q79 decimal-carrier stats table broadcast back. Window sums
+    * ride the exact DECIMAL carrier with ONE final double division per
+    * mean, σ and the z-chain are the q79 fixed IEEE chain — oracle
+    * bit-exact. At 100 TB the per-type partitions are the scaling unit:
+    * a production run windows within (type, day) shards exactly like the
+    * other event-series operators; the gate form partitions by type.
+    */
+  def levelShift(s: SparkSession, d: String, w: Int = 20,
+      thresh: Double = 3.0): DataFrame =
+    levelShiftOf(Tables.events(s, d), w, thresh)
+
+  /** The scan core over an arbitrary (event_id, event_type, ts, value)
+    * frame — seam for the spec's crafted step series. */
+  private[graft] def levelShiftOf(e: DataFrame, w: Int, thresh: Double): DataFrame = {
+    val stats = e.groupBy("event_type").agg(
+      count(lit(1)).as("n"),
+      sum(acc(col("value"))).cast("double").as("sx"),
+      sum(acc(col("value") * col("value"))).cast("double").as("sx2"))
+      .withColumn("mean", col("sx") / col("n"))
+      .withColumn("std", sqrt(col("sx2") / col("n") - col("mean") * col("mean")))
+      .select("event_type", "std")
+    val ord = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy(col("ts"), col("event_id"))
+    val before = ord.rowsBetween(-w, -1)
+    val after = ord.rowsBetween(0, w - 1)
+    e.withColumn("n_before", count(lit(1)).over(before))
+      .withColumn("n_after", count(lit(1)).over(after))
+      .withColumn("mean_before", sum(acc(col("value"))).over(before).cast("double") / col("n_before"))
+      .withColumn("mean_after", sum(acc(col("value"))).over(after).cast("double") / col("n_after"))
+      .filter(col("n_before") === w && col("n_after") === w)
+      .join(broadcast(stats), Seq("event_type"))
+      // σ = 0 (a constant channel) would read 0/0 = NaN, which BOTH
+      // engines order above any threshold — gate it out explicitly: a
+      // channel that never varies has no level to shift
+      .filter(col("std") > 0.0)
+      .withColumn("shift_z",
+        (col("mean_after") - col("mean_before")) / (col("std") * sqrt(lit(2.0) / lit(w.toDouble))))
+      .filter(abs(col("shift_z")) > thresh)
+      .select(col("event_id"), col("event_type"), col("mean_before"),
+        col("mean_after"), col("shift_z"))
+      .orderBy("event_id")
+  }
+
   /** A declarative expectation: a name and a row-level violation
     * predicate. */
   final case class Expectation(name: String, violated: Column)

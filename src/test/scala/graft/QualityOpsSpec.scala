@@ -44,4 +44,48 @@ class QualityOpsSpec extends SparkSpec {
     assert(!p.contains("Join"), p)
     assert(p.linesIterator.count(_.contains("FileScan")) === 1, p)
   }
+  test("q112 level shift: a clean step flags a contiguous run peaking exactly at the boundary") {
+    import spark.implicits._
+    // 30 values at 0 then 30 at 10, one channel — each value is
+    // individually unremarkable (q79's 3-sigma gate stays silent: max
+    // |z| = 1 at sigma = 5), but the window means separate hard
+    val e = (0 until 60).map(i =>
+      (i.toLong, "a", i.toLong * 1000L, if (i < 30) 0.0 else 10.0))
+      .toDF("event_id", "event_type", "ts", "value")
+    val w = 10
+    val out = QualityOps.levelShiftOf(e, w, thresh = 3.0)
+      .collect().map(r => r.getAs[Long]("event_id") -> r.getAs[Double]("shift_z")).toMap
+    assert(out.nonEmpty)
+    // the maximal shift sits exactly AT the first post-step event, and
+    // reads the analytic value 10 / (5 * sqrt(2/w))
+    val peak = out.maxBy { case (_, z) => math.abs(z) }
+    assert(peak._1 === 30L)
+    assert(math.abs(peak._2 - 10.0 / (5.0 * math.sqrt(2.0 / w))) < 1e-12)
+    // flagged positions form one contiguous run around the boundary —
+    // a level shift is an EVENT, not scattered noise
+    val ids = out.keys.toSeq.sorted
+    assert(ids === (ids.head to ids.last))
+    assert(ids.contains(30L))
+    // and q79's point gate indeed stays silent on the same series: no
+    // value is 3 sigma from the channel mean
+    val xs = (0 until 60).map(i => if (i < 30) 0.0 else 10.0)
+    val mean = xs.sum / xs.length
+    val std = math.sqrt(xs.map(x => x * x).sum / xs.length - mean * mean)
+    assert(xs.forall(x => math.abs(x - mean) <= 3.0 * std))
+  }
+
+  test("q112 level shift: constant and alternating channels emit nothing; edges never half-window") {
+    import spark.implicits._
+    val const = (0 until 40).map(i => (i.toLong, "c", i.toLong * 1000L, 7.0))
+    val alt = (0 until 40).map(i => (100L + i, "d", i.toLong * 1000L, if (i % 2 == 0) 1.0 else -1.0))
+    val e = (const ++ alt).toDF("event_id", "event_type", "ts", "value")
+    // constant: sigma = 0 gated; alternating: window means agree, z ~ 0
+    assert(QualityOps.levelShiftOf(e, 10, thresh = 3.0).count() === 0L)
+    // edges: a frame too short for ANY full window emits nothing rather
+    // than half-window artifacts
+    val short = (0 until 12).map(i => (200L + i, "s", i.toLong * 1000L, if (i < 6) 0.0 else 50.0))
+      .toDF("event_id", "event_type", "ts", "value")
+    assert(QualityOps.levelShiftOf(short, 10, thresh = 3.0).count() === 0L)
+  }
+
 }
