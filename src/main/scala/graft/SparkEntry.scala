@@ -186,6 +186,7 @@ object SparkEntry {
     "q80_expectations"    -> ((s: SparkSession, d: String) => QualityOps.expectationAudit(s, d)),
     "q111_sensor_sync"    -> (TemporalOps.sensorSync _),
     "q112_level_shift"    -> ((s: SparkSession, d: String) => QualityOps.levelShift(s, d)),
+    "q112b_level_shift_sharded" -> ((s: SparkSession, d: String) => QualityOps.levelShiftSharded(s, d)),
   )
 
   // Portable polynomial rolling hash in DuckDB SQL — mirrors
@@ -715,6 +716,37 @@ object SparkEntry {
         s"(CAST($sub AS BIGINT), CAST($code AS BIGINT), [${cv.mkString(", ")}]::DOUBLE[])"
       }
     }.mkString("VALUES ", ", ", "")
+
+  /** The q112/q112b oracle (ONE text — the sharded path is spec-pinned
+    * bit-equal to the window form, so one oracle adjudicates both). */
+  private def levelShiftOracleSql: String =
+    """WITH st AS (
+        |  SELECT event_type, COUNT(*) AS n,
+        |    CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(value * value AS DECIMAL(27,6))) AS DOUBLE) AS sx2
+        |  FROM events GROUP BY 1),
+        |st2 AS (
+        |  SELECT event_type, sqrt(sx2 / n - (sx / n) * (sx / n)) AS std FROM st),
+        |win AS (
+        |  SELECT event_id, event_type,
+        |    COUNT(*) OVER wb AS n_before, COUNT(*) OVER wa AS n_after,
+        |    CAST(SUM(CAST(value AS DECIMAL(27,6))) OVER wb AS DOUBLE) AS sb,
+        |    CAST(SUM(CAST(value AS DECIMAL(27,6))) OVER wa AS DOUBLE) AS sa
+        |  FROM events
+        |  WINDOW
+        |    wb AS (PARTITION BY event_type ORDER BY epoch_ns(ts), event_id
+        |           ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING),
+        |    wa AS (PARTITION BY event_type ORDER BY epoch_ns(ts), event_id
+        |           ROWS BETWEEN CURRENT ROW AND 19 FOLLOWING))
+        |SELECT event_id, event_type, mean_before, mean_after, shift_z FROM (
+        |  SELECT w.event_id, w.event_type,
+        |    w.sb / w.n_before AS mean_before,
+        |    w.sa / w.n_after AS mean_after,
+        |    (w.sa / w.n_after - w.sb / w.n_before) / (s.std * sqrt(2.0 / 20.0)) AS shift_z
+        |  FROM win w JOIN st2 s USING (event_type)
+        |  WHERE w.n_before = 20 AND w.n_after = 20 AND s.std > 0.0) t
+        |WHERE ABS(shift_z) > 3.0
+        |ORDER BY event_id""".stripMargin
 
   /** A frozen OPQ rotation as a DuckDB VALUES table of 64 (i, rv) rows
     * — row i produces rotated coordinate i. Full-precision '…'::DOUBLE
@@ -4357,34 +4389,8 @@ object SparkEntry {
     // (type; ts, event_id) sort, decimal-carrier sums with one double
     // division each, the q79 σ chain, and the two-sample z in a fixed
     // IEEE order — full windows only, constant channels gated out
-    "q112_level_shift" ->
-      """WITH st AS (
-        |  SELECT event_type, COUNT(*) AS n,
-        |    CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS sx,
-        |    CAST(SUM(CAST(value * value AS DECIMAL(27,6))) AS DOUBLE) AS sx2
-        |  FROM events GROUP BY 1),
-        |st2 AS (
-        |  SELECT event_type, sqrt(sx2 / n - (sx / n) * (sx / n)) AS std FROM st),
-        |win AS (
-        |  SELECT event_id, event_type,
-        |    COUNT(*) OVER wb AS n_before, COUNT(*) OVER wa AS n_after,
-        |    CAST(SUM(CAST(value AS DECIMAL(27,6))) OVER wb AS DOUBLE) AS sb,
-        |    CAST(SUM(CAST(value AS DECIMAL(27,6))) OVER wa AS DOUBLE) AS sa
-        |  FROM events
-        |  WINDOW
-        |    wb AS (PARTITION BY event_type ORDER BY epoch_ns(ts), event_id
-        |           ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING),
-        |    wa AS (PARTITION BY event_type ORDER BY epoch_ns(ts), event_id
-        |           ROWS BETWEEN CURRENT ROW AND 19 FOLLOWING))
-        |SELECT event_id, event_type, mean_before, mean_after, shift_z FROM (
-        |  SELECT w.event_id, w.event_type,
-        |    w.sb / w.n_before AS mean_before,
-        |    w.sa / w.n_after AS mean_after,
-        |    (w.sa / w.n_after - w.sb / w.n_before) / (s.std * sqrt(2.0 / 20.0)) AS shift_z
-        |  FROM win w JOIN st2 s USING (event_type)
-        |  WHERE w.n_before = 20 AND w.n_after = 20 AND s.std > 0.0) t
-        |WHERE ABS(shift_z) > 3.0
-        |ORDER BY event_id""".stripMargin,
+    "q112_level_shift" -> levelShiftOracleSql,
+    "q112b_level_shift_sharded" -> levelShiftOracleSql,
 
     // q111 sensor-sync audit: nearest-either-direction via TWO ASOF joins
     // (backward >= picks the last sample at-or-before each frame, forward

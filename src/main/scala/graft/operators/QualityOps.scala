@@ -99,6 +99,170 @@ object QualityOps {
       .orderBy("event_id")
   }
 
+  /** q112b — [[levelShift]]'s SCALE PATH: the identical scan (spec- and
+    * oracle-pinned bit-equal) with the per-channel window sort replaced
+    * by bounded-chunk sliding passes, because the window form's
+    * parallelism is the CHANNEL COUNT — five event types means five
+    * tasks no matter how many executors, the one shape in the event
+    * family that would not survive a 1000× single-channel series.
+    *
+    * Three bounded steps, no per-channel sort anywhere:
+    *   1. dense global row index per channel WITHOUT a global sort:
+    *      count rows per (type, time bucket), prefix-sum the bounded
+    *      bucket table driver-side (channels × buckets rows — the q73
+    *      stats-collect genus), then one hash-shuffle by (type, bucket)
+    *      assigns `r = bucketOffset + local position` inside a sorted
+    *      mapPartitions pass;
+    *   2. rows land in their OWNER chunk c = r / chunk and REPLICATE to
+    *      the neighbor that needs them as window context (top w rows of
+    *      each chunk to c+1, bottom w to c−1 — each row copies at most
+    *      once, so the shuffle is ≤ 2× the input and each task holds ≤
+    *      chunk + 2w rows);
+    *   3. per chunk, EXACT decimal prefix sums (java BigDecimal at the
+    *      carrier's scale-6 HALF_UP — a prefix DIFFERENCE is the same
+    *      decimal value the window frame's sum aggregate produces, so
+    *      doubles match bit-for-bit) emit each OWNED row's verdict
+    *      through the identical IEEE z-chain.
+    *
+    * Parallelism becomes rows/chunk instead of channels. The time
+    * buckets only need to be ORDERED and bounded (a channel recorded
+    * entirely inside one bucket degrades step 1 to that bucket's size —
+    * pick `bucketNs` below the recording cadence).
+    */
+  def levelShiftSharded(s: SparkSession, d: String, w: Int = 20,
+      thresh: Double = 3.0, chunk: Int = 1 << 16,
+      bucketNs: Long = 86400L * 1000L * 1000L * 1000L): DataFrame =
+    levelShiftShardedOf(s, Tables.events(s, d), w, thresh, chunk, bucketNs)
+
+  private[graft] def levelShiftShardedOf(s: SparkSession, e: DataFrame, w: Int,
+      thresh: Double, chunk: Int, bucketNs: Long): DataFrame = {
+    require(chunk >= w, s"chunk $chunk must be >= window $w (single-neighbor context)")
+    import s.implicits._
+    val ev = e.select(col("event_id").cast("long"), col("event_type"),
+      col("ts").cast("long"), col("value").cast("double"))
+
+    // channel σ — the same stats chain as the window form, collected
+    // (bounded: one row per channel)
+    val stats = ev.groupBy("event_type").agg(
+      count(lit(1)).as("n"),
+      sum(acc(col("value"))).cast("double").as("sx"),
+      sum(acc(col("value") * col("value"))).cast("double").as("sx2"))
+      .withColumn("mean", col("sx") / col("n"))
+      .withColumn("std", sqrt(col("sx2") / col("n") - col("mean") * col("mean")))
+      .select("event_type", "std").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val bcStd = s.sparkContext.broadcast(stats)
+
+    // ---- step 1: dense per-channel row index from bucket offsets ----
+    val bucketed = ev.withColumn("tb", floor(col("ts") / lit(bucketNs)).cast("long"))
+    val counts = bucketed.groupBy("event_type", "tb").count().collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2))
+    val offsets = counts.sortBy(_._1).foldLeft(
+      (Map.empty[(String, Long), Long], Map.empty[String, Long])) {
+      case ((offs, running), (key @ (t, _), n)) =>
+        val start = running.getOrElse(t, 0L)
+        (offs + (key -> start), running + (t -> (start + n)))
+    }._1
+    val bcOff = s.sparkContext.broadcast(offsets)
+    val indexed = bucketed
+      .repartition(col("event_type"), col("tb"))
+      .sortWithinPartitions("event_type", "tb", "ts", "event_id")
+      .select(col("event_type"), col("tb"), col("event_id"), col("value"))
+      .as[(String, Long, Long, Double)]
+      .mapPartitions { it =>
+        val offs = bcOff.value
+        var curKey: (String, Long) = null
+        var local = 0L
+        it.map { case (t, tb, id, v) =>
+          val key = (t, tb)
+          if (key != curKey) { curKey = key; local = 0L }
+          val r = offs(key) + local
+          local += 1L
+          (t, r, id, v)
+        }
+      }
+
+    // ---- step 2: owner chunk + neighbor context replication ----
+    val routed = indexed.flatMap { case (t, r, id, v) =>
+      val c = r / chunk
+      val pos = r % chunk
+      val owner = (t, c, r, id, v, true)
+      val up = if (pos >= chunk - w) Some((t, c + 1, r, id, v, false)) else None
+      val down = if (pos < w && c > 0) Some((t, c - 1, r, id, v, false)) else None
+      Iterator(owner) ++ up.iterator ++ down.iterator
+    }.toDF("event_type", "c", "r", "event_id", "value", "owned")
+
+    // ---- step 3: exact decimal prefix sums per chunk ----
+    val thr = thresh
+    val ww = w
+    routed
+      .repartition(col("event_type"), col("c"))
+      .sortWithinPartitions("event_type", "c", "r")
+      .as[(String, Long, Long, Long, Double, Boolean)]
+      .mapPartitions { it =>
+        val stds = bcStd.value
+        val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double, Boolean)]
+        var curKey: (String, Long) = null
+        def flush(key: (String, Long)): Iterator[(Long, String, Double, Double, Double)] = {
+          if (key == null || buf.isEmpty) return Iterator.empty
+          val (t, _) = key
+          val std = stds.getOrElse(t, 0.0)
+          if (!(std > 0.0)) { buf.clear(); return Iterator.empty }
+          val n = buf.length
+          // exact scale-6 prefix sums (the decimal carrier's HALF_UP)
+          val prefix = new Array[java.math.BigDecimal](n + 1)
+          prefix(0) = java.math.BigDecimal.ZERO
+          var i = 0
+          while (i < n) {
+            prefix(i + 1) = prefix(i).add(java.math.BigDecimal
+              .valueOf(buf(i)._3).setScale(6, java.math.RoundingMode.HALF_UP))
+            i += 1
+          }
+          val base = buf.head._1 // first global r in the buffer (contiguous)
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Double, Double, Double)]
+          i = 0
+          while (i < n) {
+            val (r, id, _, owned) = buf(i)
+            // full windows: w context rows on each side must EXIST in
+            // the buffer ([base, base+n)) — edges of the series never
+            // qualify, edges of the chunk are covered by replication
+            if (owned && r - ww >= base && r + ww - 1 <= base + n - 1) {
+              val lo = (r - ww - base).toInt
+              val mid = (r - base).toInt
+              val mb = prefix(mid).subtract(prefix(lo)).doubleValue() / ww
+              val ma = prefix(mid + ww).subtract(prefix(mid)).doubleValue() / ww
+              val z = (ma - mb) / (std * math.sqrt(2.0 / ww))
+              if (math.abs(z) > thr) out += ((id, t, mb, ma, z))
+            }
+            i += 1
+          }
+          buf.clear()
+          out.iterator
+        }
+        val tail = it.flatMap { case (t, c, r, id, v, owned) =>
+          val key = (t, c)
+          val emitted = if (key != curKey) flush(curKey) else Iterator.empty
+          curKey = key
+          buf += ((r, id, v, owned))
+          emitted
+        }
+        tail ++ flushAtEnd(() => flush(curKey))
+      }
+      .toDF("event_id", "event_type", "mean_before", "mean_after", "shift_z")
+      .orderBy("event_id")
+  }
+
+  /** Lazily evaluate the final group flush AFTER the upstream iterator
+    * drains (an eagerly-evaluated `++ flush(...)` would run before any
+    * rows arrived). */
+  private def flushAtEnd[T](f: () => Iterator[T]): Iterator[T] =
+    new Iterator[T] {
+      private var inner: Iterator[T] = null
+      private def it: Iterator[T] = { if (inner == null) inner = f(); inner }
+      def hasNext: Boolean = it.hasNext
+      def next(): T = it.next()
+    }
+
   /** A declarative expectation: a name and a row-level violation
     * predicate. */
   final case class Expectation(name: String, violated: Column)

@@ -88,4 +88,34 @@ class QualityOpsSpec extends SparkSpec {
     assert(QualityOps.levelShiftOf(short, 10, thresh = 3.0).count() === 0L)
   }
 
+  test("q112b sharded == q112 window form bit-exactly, with chunks small enough to force edge replication") {
+    import spark.implicits._
+    val rng = new scala.util.Random(42)
+    // two channels, enough rows for many chunks at chunk = 16; values
+    // with a couple of genuine level shifts baked in so the flagged set
+    // is non-empty
+    val e = (0 until 400).flatMap { i =>
+      val base = if (i % 3 == 0) "x" else "y"
+      val shift = if (i > 250) 6.0 else 0.0
+      Seq((i.toLong, base, i.toLong * 1000L, rng.nextGaussian() + shift))
+    }.toDF("event_id", "event_type", "ts", "value")
+    val w = 10
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[(Long, String, Double, Double, Double)] =
+      df.collect().map(r => (r.getAs[Long]("event_id"), r.getAs[String]("event_type"),
+        r.getAs[Double]("mean_before"), r.getAs[Double]("mean_after"),
+        r.getAs[Double]("shift_z"))).sortBy(_._1).toSeq
+    val win = canon(QualityOps.levelShiftOf(e, w, thresh = 2.5))
+    val sh = canon(QualityOps.levelShiftShardedOf(spark, e, w, thresh = 2.5,
+      chunk = 16, bucketNs = 50L * 1000L))
+    assert(win.nonEmpty, "fixture produced no flags — not a meaningful equality")
+    assert(sh === win) // double bits included: the decimal prefix sums ARE the frame sums
+    // and at a chunk larger than any channel (no replication at all)
+    val sh2 = canon(QualityOps.levelShiftShardedOf(spark, e, w, thresh = 2.5,
+      chunk = 1 << 20, bucketNs = 1000L * 1000L))
+    assert(sh2 === win)
+    // chunk < w is a contract violation, loudly
+    intercept[IllegalArgumentException](
+      QualityOps.levelShiftShardedOf(spark, e, w, thresh = 2.5, chunk = 5, bucketNs = 1000L))
+  }
+
 }
