@@ -111,6 +111,64 @@ object EventStreams {
       }
   }
 
+  final case class ShiftAlarm(event_id: Long, event_type: String,
+    mean_before: Double, mean_after: Double, shift_z: Double)
+  final case class ShiftState(lastTs: Long, lastId: Long, n: Long,
+    sx: Double, sx2: Double, ring: List[(Long, Double)])
+
+  /** Streaming LEVEL-SHIFT guard — the ingest-time twin of the q112 scan
+    * (QualityOps.levelShift): per channel, a sliding 2w ring evaluates
+    * the center event once its w-1 successors have arrived — mean of the
+    * w before vs the w from it, standardized by the channel's RUNNING σ
+    * (the expanding-window estimate a stream can actually have; the
+    * oracled batch form uses the full-corpus σ — that is the documented
+    * divergence, the alarm semantics are identical). State per channel
+    * is 2w values + three running scalars — bounded forever.
+    *
+    * Ordering contract (the sessionizeStream school): each micro-batch
+    * sorts its rows (ts, event_id); a cross-batch straggler older than
+    * the ring's newest appended row is DROPPED, not spliced — a
+    * monitoring gauge must not re-alarm history, and the exact replay
+    * lives in the batch form. Alarms gate on n ≥ 4w observations so the
+    * running σ has settled.
+    */
+  def levelShiftStream(spark: SparkSession, events: Dataset[Ev], w: Int = 20,
+      thresh: Double = 3.0): Dataset[ShiftAlarm] = {
+    import spark.implicits._
+    events
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[ShiftState, ShiftAlarm](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (channel: String, rows: Iterator[Ev], state: GroupState[ShiftState]) =>
+          var st = state.getOption.getOrElse(ShiftState(Long.MinValue, Long.MinValue, 0L, 0.0, 0.0, Nil))
+          val out = Seq.newBuilder[ShiftAlarm]
+          rows.toSeq.sortBy(e => (e.ts, e.event_id)).foreach { e =>
+            // straggler older than the newest appended row: dropped (see
+            // ordering contract)
+            if (e.ts > st.lastTs || (e.ts == st.lastTs && e.event_id > st.lastId)) {
+              val ring = (st.ring :+ (e.event_id, e.value)).takeRight(2 * w)
+              val n = st.n + 1
+              val sx = st.sx + e.value
+              val sx2 = st.sx2 + e.value * e.value
+              if (ring.length == 2 * w && n >= 4L * w) {
+                val mean = sx / n
+                val std = math.sqrt(sx2 / n - mean * mean)
+                if (std > 0.0) {
+                  val (candId, _) = ring(w)
+                  val mb = ring.take(w).map(_._2).sum / w
+                  val ma = ring.drop(w).map(_._2).sum / w
+                  val z = (ma - mb) / (std * math.sqrt(2.0 / w))
+                  if (math.abs(z) > thresh) out += ShiftAlarm(candId, channel, mb, ma, z)
+                }
+              }
+              st = ShiftState(e.ts, e.event_id, n, sx, sx2, ring)
+            }
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
   /** Streaming exact dedup — the ingest-time guard of the batch dedup
     * family (DedupOps.exact): drop re-deliveries of the same document/frame
     * key as they arrive. `dropDuplicatesWithinWatermark` keys the state

@@ -339,4 +339,41 @@ class StreamingSpec extends SparkSpec {
       .join(viaWindow, "user_id")
     assert(joined.filter(col("mt_status") =!= col("last_status")).count() === 0)
   }
+  test("levelShiftStream: a step alarms at the boundary across batch seams; constants and stragglers never do") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val w = 5
+    val out = EventStreams.levelShiftStream(spark, mem.toDS(), w = w, thresh = 3.0)
+    val q = out.writeStream.format("memory").queryName("lshift").outputMode("append").start()
+    val base = 1700000000L * 1000000000L
+    def e(i: Int, t: String, v: Double) = Ev(i.toLong, base + i.toLong * 1000000L, 1L, t, v)
+    // channel "a": 30 at 0.0 then 30 at 10.0 — split MID-RING across
+    // three batches, so the detector must carry its ring over the seams
+    val series = (0 until 60).map(i => e(i, "a", if (i < 30) 0.0 else 10.0))
+    mem.addData(series.take(28): _*)
+    q.processAllAvailable()
+    mem.addData(series.slice(28, 33): _*)
+    q.processAllAvailable()
+    mem.addData(series.drop(33): _*)
+    // channel "c": constant — running sigma 0, never alarms
+    mem.addData((0 until 40).map(i => e(1000 + i, "c", 7.0)): _*)
+    q.processAllAvailable()
+    val rows = spark.sql("select * from lshift").collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[String]("event_type") == "a"))
+    // the strongest alarm is the boundary event (first 10.0 = id 30)
+    val peak = rows.maxBy(r => math.abs(r.getAs[Double]("shift_z")))
+    assert(peak.getAs[Long]("event_id") === 30L)
+    assert(peak.getAs[Double]("mean_before") === 0.0)
+    assert(peak.getAs[Double]("mean_after") === 10.0)
+    // a straggler far in channel a's past is dropped: no new alarms, no crash
+    val before = rows.length
+    mem.addData(e(2, "a", 500.0))
+    q.processAllAvailable()
+    val after = spark.sql("select * from lshift").collect().length
+    q.stop()
+    assert(after === before)
+  }
+
 }
