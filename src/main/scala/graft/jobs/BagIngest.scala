@@ -28,9 +28,19 @@ object BagIngest {
 
   def run(spark: SparkSession, bags: String, out: String, writePng: Boolean,
       piiRegions: Option[DataFrame] = None, imageDedup: Option[Int] = None,
-      voxel: Option[Double] = None, audioDedup: Option[Int] = None): Unit =
+      voxel: Option[Double] = None, audioDedup: Option[Int] = None): Unit = {
     writeTables(spark, bags, out, SaveMode.Overwrite, writePng, piiRegions,
       imageDedup = imageDedup, voxel = voxel, audioDedup = audioDedup)
+    // per-recording ego-motion rollup over the just-landed odometry table
+    // (TrajectoryOps — path/speeds/tortuosity/dwell + the pose-jump and
+    // frozen-localizer tripwires). BATCH ONLY by design: the statistics
+    // are per whole recording, and a streaming micro-batch holds partial
+    // recordings — the streaming job's consumers run the rollup over the
+    // compacted odometry table instead.
+    graft.operators.TrajectoryOps
+      .trajectoryStats(spark.read.parquet(s"$out/odometry"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$out/trajectory")
+  }
 
   /** One demux pass over `bags` -> all the lake tables written with
     * `mode` (Overwrite for the batch job; the streaming job overwrites a

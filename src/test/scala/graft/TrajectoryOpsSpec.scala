@@ -75,4 +75,28 @@ class TrajectoryOpsSpec extends SparkSpec {
     assert(math.abs(byBag("b1") - 5.0) < E)
     assert(math.abs(byBag("b2") - 10.0) < E)
   }
+  test("bag_ingest lands <out>/trajectory from the demuxed odometry topic end-to-end") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("grafttraj")
+    val inner =
+      BagWriter.connection(0, "/odom", "nav_msgs/Odometry") ++
+        BagWriter.message(0, 1600000000L, 0, BagWriter.odometryPayload(0.0, 1.0)) ++
+        BagWriter.message(0, 1600000001L, 0, BagWriter.odometryPayload(3.0, 1.0)) ++
+        BagWriter.message(0, 1600000002L, 0, BagWriter.odometryPayload(7.0, 1.0))
+    val bagDir = dir.resolve("bags"); Files.createDirectories(bagDir)
+    Files.write(bagDir.resolve("a.bag"),
+      BagWriter.bag(BagWriter.bagHeader, BagWriter.chunk(inner, bz2 = false)))
+    val out = dir.resolve("lake").toString
+    graft.jobs.BagIngest.run(spark, bagDir.toString, out, writePng = false)
+    val t = spark.read.parquet(s"$out/trajectory").collect()
+    assert(t.length === 1)
+    val s = t.head
+    assert(s.getAs[String]("topic") === "/odom")
+    assert(s.getAs[Long]("n_poses") === 3L)
+    // straight line along x: 0 -> 3 -> 7 over two 1 s segments
+    assert(math.abs(s.getAs[Double]("path_m") - 7.0) < 1e-9)
+    assert(math.abs(s.getAs[Double]("displacement_m") - 7.0) < 1e-9)
+    assert(math.abs(s.getAs[Double]("max_seg_speed") - 4.0) < 1e-9)
+  }
+
 }
