@@ -18,6 +18,13 @@ object VectorFunctions {
     */
   def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
 
+  /** Squared L2 distance of two double arrays — native codegen expression
+    * (graft.plans.ArraySqDist), the ADC hot loop (every PQ code
+    * assignment and probed-candidate score); same sequential IEEE fold
+    * order as the HOF formulation and the DuckDB oracle.
+    */
+  def sqDist(a: Column, b: Column): Column = call_function("graft_sqdist", a, b)
+
   /** L2 norm of a double array. */
   def norm(v: Column): Column = sqrt(dot(v, v))
 

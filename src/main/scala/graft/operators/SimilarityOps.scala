@@ -311,7 +311,7 @@ object SimilarityOps {
       .select(col("vec_id"), col("list_id"), col("e.sub_idx").as("sub_idx"), col("e.sv").as("sv"))
       .join(broadcast(books), Seq("sub_idx"))
       .withColumn("sqd",
-        expr("aggregate(zip_with(sv, cv, (x, y) -> (x - y) * (x - y)), 0D, (acc, z) -> acc + z)"))
+        sqDist(col("sv"), col("cv")))
       .groupBy("vec_id", "list_id", "sub_idx")
       .agg(min_by(col("code"), struct(col("sqd"), col("code"))).as("code"))
   }
@@ -696,7 +696,7 @@ object SimilarityOps {
       sum(when(col("sub_idx") === sub.toLong, col("dsub"))).as(s"d$sub"))
     val adcCand = recon.join(broadcast(querySubs), Seq("list_id", "sub_idx"))
       .withColumn("dsub",
-        expr("aggregate(zip_with(qsv, cv, (x, y) -> (x - y) * (x - y)), 0D, (acc, z) -> acc + z)"))
+        sqDist(col("qsv"), col("cv")))
       // crank is functional on (q_id, neighbor): a corpus vector lives in
       // ONE list, probed by this query at one rank — adcRank's fixed-order
       // sums with the rank riding the grouping
@@ -761,7 +761,7 @@ object SimilarityOps {
     // q70's assignment)
     subs.join(broadcast(books), Seq("sub_idx"))
       .withColumn("sqd",
-        expr("aggregate(zip_with(sv, cv, (x, y) -> (x - y) * (x - y)), 0D, (acc, z) -> acc + z)"))
+        sqDist(col("sv"), col("cv")))
       .groupBy("vec_id", "sub_idx")
       .agg(min_by(struct(col("code"), col("sqd")), struct(col("sqd"), col("code"))).as("best"))
       .groupBy(col("sub_idx"), col("best.code").as("code"))
@@ -849,12 +849,12 @@ object SimilarityOps {
       .select(col("vec_id").as("q_id"), col("sub_idx"), col("sv").as("qsv"))
     val recon = corpus.join(broadcast(booksDf), Seq("sub_idx"))
       .withColumn("sqd",
-        expr("aggregate(zip_with(sv, cv, (x, y) -> (x - y) * (x - y)), 0D, (acc, z) -> acc + z)"))
+        sqDist(col("sv"), col("cv")))
       .groupBy("vec_id", "sub_idx")
       .agg(min_by(col("cv"), struct(col("sqd"), col("code"))).as("cv"))
     val partials = recon.join(broadcast(queries), Seq("sub_idx"))
       .withColumn("dsub",
-        expr("aggregate(zip_with(qsv, cv, (x, y) -> (x - y) * (x - y)), 0D, (acc, z) -> acc + z)"))
+        sqDist(col("qsv"), col("cv")))
     adcRank(partials, k)
   }
 
@@ -999,7 +999,7 @@ object SimilarityOps {
       .select(col("q_id"), col("list_id"), col("e.sub_idx").as("sub_idx"), col("e.qsv").as("qsv"))
     val partials = recon.join(broadcast(querySubs), Seq("list_id", "sub_idx"))
       .withColumn("dsub",
-        expr("aggregate(zip_with(qsv, cv, (x, y) -> (x - y) * (x - y)), 0D, (acc, z) -> acc + z)"))
+        sqDist(col("qsv"), col("cv")))
     adcRank(partials, k)
   }
 
@@ -1420,9 +1420,6 @@ object SimilarityOps {
   private[graft] def imiQueryProbes(s: SparkSession, d: String, nProbe: Int,
       k: Int, cb1: Array[Array[Double]], cb2: Array[Array[Double]],
       queryIdMax: Long = QueryIdMax): DataFrame = {
-    def sqDist(v: Column, c: Column) =
-      aggregate(zip_with(v, c, (x, y) => (x - y) * (x - y)),
-        lit(0.0), (acc, z) => acc + z)
     val q = Tables.embeddings(s, d)
       .filter(col("vec_id") < queryIdMax)
       .select(col("vec_id"), toDouble(col("embedding")).as("v"))
@@ -1757,7 +1754,7 @@ object SimilarityOps {
       .select(col("q_id"), col("list_id"), col("e.sub_idx").as("sub_idx"), col("e.qsv").as("qsv"))
     val partials = recon.join(broadcast(querySubs), Seq("list_id", "sub_idx"))
       .withColumn("dsub",
-        expr("aggregate(zip_with(qsv, cv, (x, y) -> (x - y) * (x - y)), 0D, (acc, z) -> acc + z)"))
+        sqDist(col("qsv"), col("cv")))
     adcRank(partials, k)
   }
 
@@ -1807,7 +1804,7 @@ object SimilarityOps {
       .select(col("q_id"), col("list_id"), col("e.sub_idx").as("sub_idx"), col("e.qsv").as("qsv"))
     val partials = recon.join(broadcast(querySubs), Seq("list_id", "sub_idx"))
       .withColumn("dsub",
-        expr("aggregate(zip_with(qsv, cv, (x, y) -> (x - y) * (x - y)), 0D, (acc, z) -> acc + z)"))
+        sqDist(col("qsv"), col("cv")))
     adcRank(partials, k)
   }
 

@@ -61,6 +61,55 @@ case class ArrayDotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Squared L2 distance of two array<double> columns: sequential fold
+  * acc += (a(i)-b(i))², i ascending — identical IEEE order to the
+  * `aggregate(zip_with(a, b, (x, y) -> (x-y)*(x-y)), 0D, acc + z)` HOF
+  * chain it replaces (the ADC hot loop: every PQ code assignment and
+  * every probed-candidate score runs through this) and to the DuckDB
+  * list_reduce oracle.
+  */
+case class ArraySqDist(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  // callers guarantee array<double> inputs (VectorFunctions widens floats)
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_sqdist"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val t = x.getDouble(i) - y.getDouble(i)
+      acc += t * t
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val t = ctx.freshName("t")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $t = $a.getDouble($i) - $b.getDouble($i);
+         |  $acc += $t * $t;
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Polynomial rolling hash over a string's UTF-16 code units:
   * acc = (acc*31 + c) % 1e9+7 — identical to TextFunctions.charHash (and
   * the DuckDB ascii() fold) for BMP text.
@@ -309,6 +358,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[ArrayDotProduct].getName, "graft_dot"),
       (children: Seq[Expression]) => ArrayDotProduct(children(0), children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_sqdist"),
+      new ExpressionInfo(classOf[ArraySqDist].getName, "graft_sqdist"),
+      (children: Seq[Expression]) => ArraySqDist(children(0), children(1))))
     ext.injectFunction((
       new FunctionIdentifier("graft_charhash"),
       new ExpressionInfo(classOf[CharHash].getName, "graft_charhash"),

@@ -239,4 +239,5 @@ class KernelPropertySpec extends AnyFunSuite {
       }
     }
   }
+
 }

@@ -118,8 +118,8 @@ class OpqSpec extends SparkSpec {
   }
 
   test("OPQ distortion never exceeds plain PQ at the same code budget (the training objective)") {
-    // alternating minimization starts AT the PQ solution (R = I, the
-    // PqCodebooks recipe) and every step is monotone non-increasing, so
+    // alternating minimization starts near the PQ solution (R = I with
+    // sampled-init books) and every step is monotone non-increasing, so
     // the frozen model must sit at-or-below plain PQ's reconstruction
     // error on the corpus it was trained on. On a near-isotropic corpus
     // the gap may be small — the pin is "never worse", the measured gap
@@ -134,4 +134,23 @@ class OpqSpec extends SparkSpec {
     info(f"PQ distortion $pq%.6f vs OPQ $opq%.6f (${(1 - opq / pq) * 100}%.2f%% lower)")
     assert(opq <= pq * (1 + 1e-6), s"OPQ $opq worse than PQ $pq")
   }
+  test("graft_sqdist is bit-identical to the HOF aggregate chain it replaced, any lengths") {
+    import spark.implicits._
+    val rng = new scala.util.Random(31)
+    // mixed widths incl. the ADC 8-dim subvector and the IMI 32-dim half
+    val rows = (0 until 200).map { i =>
+      val n = Seq(1, 8, 32, 64)(i % 4)
+      (i.toLong, Seq.fill(n)(rng.nextDouble() * 20 - 10), Seq.fill(n)(rng.nextDouble() * 20 - 10))
+    }
+    val out = rows.toDF("id", "a", "b")
+      .withColumn("native", call_function("graft_sqdist", col("a"), col("b")))
+      .withColumn("hof",
+        expr("aggregate(zip_with(a, b, (x, y) -> (x - y) * (x - y)), 0D, (acc, z) -> acc + z)"))
+      .select("id", "native", "hof").collect()
+    out.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(1)) ===
+        java.lang.Double.doubleToLongBits(r.getDouble(2)), s"id ${r.getLong(0)}")
+    }
+  }
+
 }
