@@ -744,7 +744,7 @@ object SparkEntry {
         |    w.sa / w.n_after AS mean_after,
         |    (w.sa / w.n_after - w.sb / w.n_before) / (s.std * sqrt(2.0 / 20.0)) AS shift_z
         |  FROM win w JOIN st2 s USING (event_type)
-        |  WHERE w.n_before = 20 AND w.n_after = 20 AND s.std > 0.0) t
+        |  WHERE w.n_before = 20 AND w.n_after = 20 AND s.std > 0.0 AND NOT isnan(s.std)) t
         |WHERE ABS(shift_z) > 3.0
         |ORDER BY event_id""".stripMargin
 

@@ -326,32 +326,10 @@ object AnnIndexBuild {
     val rot = graft.operators.OpqResidualModel.rotation
     require(rot.nonEmpty && books.nonEmpty,
       "OpqResidualModel not frozen — run TrainQuantizers --opq-res and paste")
-    for {
-      r <- probeRows.toSeq
-      qid = r.getLong(0)
-      lid = r.getLong(1)
-      v = r.getSeq[Double](2)
-      rv = {
-        val res = new Array[Double](v.length)
-        var i = 0
-        while (i < res.length) {
-          res(i) = v(i) - IvfCentroids.values(lid.toInt)(i)
-          i += 1
-        }
-        graft.operators.Opq.matvec(rot, res)
-      }
-      sub <- 0 until NSub
-      (cv, code) <- books(sub).zipWithIndex.toSeq
-    } yield {
-      var acc = 0.0
-      var i = 0
-      while (i < SubDim) {
-        val x = rv(sub * SubDim + i) - cv(i)
-        acc += x * x
-        i += 1
-      }
-      (qid, lid, sub.toLong, code.toLong, acc)
-    }
+    // (q − c_list) then ONE matvec — the identical fold chain the
+    // rotate kernel runs in-query
+    lutRowsVia(probeRows, books,
+      (lid, v) => graft.operators.Opq.matvec(rot, residualOf(lid, v)))
   }
 
   /** The code table committed through SnapshotLake (list_id-clustered,
@@ -554,26 +532,44 @@ object AnnIndexBuild {
     * resolver, so the subtraction order (and with it the q70 bit
     * identity) cannot drift between index families. */
   private def lutRowsOf(probeRows: Array[org.apache.spark.sql.Row],
-      residual: Boolean): Seq[(Long, Long, Long, Long, Double)] = {
-    val books = if (residual) PqResidualCodebooks.values else PqCodebooks.values
+      residual: Boolean): Seq[(Long, Long, Long, Long, Double)] =
+    lutRowsVia(probeRows,
+      if (residual) PqResidualCodebooks.values else PqCodebooks.values,
+      // residual: (q - c_list) — the same IEEE subtraction, same order,
+      // as q70c's zip_with(qv, cv, x - y); raw: the query vector itself
+      if (residual) residualOf _ else (_, v: Seq[Double]) => v.toArray)
+
+  /** Per-list residual q − c_list in ascending-index order — the exact
+    * element order q70c's zip_with replays. */
+  private def residualOf(lid: Long, v: Seq[Double]): Array[Double] = {
+    val c = IvfCentroids.values(lid.toInt)
+    val out = new Array[Double](v.length)
+    var i = 0
+    while (i < out.length) { out(i) = v(i) - c(i); i += 1 }
+    out
+  }
+
+  /** THE one LUT construction (raw / residual / OPQ-residual index
+    * families all come through here — the subtraction order, and with it
+    * the q70 bit identity, cannot drift between them): per probe row the
+    * query side passes through `xform` ONCE, then every (sub, code) cell
+    * accumulates in the same (x−y)² left fold as the Catalyst
+    * `aggregate(zip_with(...))` chain. */
+  private def lutRowsVia(probeRows: Array[org.apache.spark.sql.Row],
+      books: Array[Array[Array[Double]]],
+      xform: (Long, Seq[Double]) => Array[Double]): Seq[(Long, Long, Long, Long, Double)] = {
     for {
       r <- probeRows.toSeq
       qid = r.getLong(0)
       lid = r.getLong(1)
-      v = r.getSeq[Double](2)
+      qv = xform(lid, r.getSeq[Double](2))
       sub <- 0 until NSub
       (cv, code) <- books(sub).zipWithIndex.toSeq
     } yield {
       var acc = 0.0
       var i = 0
       while (i < SubDim) {
-        // residual: (q - c_list) first, THEN minus the book entry — the
-        // same two IEEE subtractions, same order, as q70c's
-        // zip_with(qv, cv, x - y) feeding zip_with(qsv, cv, (x-y)*(x-y))
-        val q =
-          if (residual) v(sub * SubDim + i) - IvfCentroids.values(lid.toInt)(sub * SubDim + i)
-          else v(sub * SubDim + i)
-        val x = q - cv(i)
+        val x = qv(sub * SubDim + i) - cv(i)
         acc += x * x
         i += 1
       }

@@ -38,12 +38,32 @@ object SampleAssembly {
       .select("bag", "topic", "time_ns", "frame_no")
     val clips = spark.read.parquet(s"$lakeDir/clips")
       .select("bag", "time_ns", "clip_id")
-    val odom = spark.read.parquet(s"$lakeDir/odometry")
-      .select("bag", "time_ns", "pos_x", "pos_y", "pos_z")
+    // ONE ego stream per bag: a rig recording several odometry topics
+    // (/odom wheel + /vio visual is common) must not interleave poses
+    // from different estimators/coordinate frames into one bracketing
+    // sequence — dist(prev, next) would measure the offset BETWEEN
+    // frames, not motion. Keep the densest topic per bag (the ego
+    // estimate is the high-rate one), ties to the lexicographically
+    // smallest — deterministic, and a single-topic bag is unaffected.
+    val odomAll = spark.read.parquet(s"$lakeDir/odometry")
+      .select("bag", "topic", "time_ns", "seq", "pos_x", "pos_y", "pos_z")
+    val wDense = org.apache.spark.sql.expressions.Window
+      .partitionBy("bag").orderBy(col("n").desc, col("topic").asc)
+    val egoTopic = odomAll.groupBy("bag", "topic").agg(count(lit(1)).as("n"))
+      .withColumn("rk", row_number().over(wDense))
+      .filter(col("rk") === 1).select(col("bag"), col("topic").as("ego_topic"))
+    val odom = odomAll
+      .join(egoTopic, odomAll("bag") === egoTopic("bag") &&
+        odomAll("topic") === egoTopic("ego_topic"))
+      .select(odomAll("bag"), col("time_ns"), col("seq"),
+        col("pos_x"), col("pos_y"), col("pos_z"))
     assembleOf(frames, clips, odom, detections, clipTolNs)
       .write.mode(SaveMode.Overwrite).parquet(s"$out/samples")
   }
 
+  /** `odom` must be ONE ego stream per bag (see [[assemble]]'s densest-
+    * topic selection) carrying a `seq` column — the duplicate-stamp
+    * tie-break that keeps the bracketing deterministic. */
   private[graft] def assembleOf(frames: DataFrame, clips: DataFrame,
       odom: DataFrame, detections: Option[DataFrame],
       clipTolNs: Long): DataFrame = {
@@ -54,19 +74,24 @@ object SampleAssembly {
     // exactly at frame time is the segment's far end, never both ends:
     // the fwd tie-break hides a same-ts pose from the frame, the bwd
     // tie-break shows it)
+    // tk: a per-modality tie key (pose seq / clip_id / frame_no) so
+    // same-ts siblings have ONE deterministic order and last(...).over
+    // cannot pick differently between runs
     val fwd = Window.partitionBy("bag")
-      .orderBy(col("time_ns").asc, col("kf").asc)
+      .orderBy(col("time_ns").asc, col("kf").asc, col("tk").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val bwd = Window.partitionBy("bag")
-      .orderBy(col("time_ns").desc, col("kb").asc)
+      .orderBy(col("time_ns").desc, col("kb").asc, col("tk").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     val poseRows = odom.select(col("bag"), col("time_ns"),
       lit(0).as("kind"), lit(1).as("kf"), lit(0).as("kb"),
+      col("seq").cast("long").as("tk"),
       struct(col("time_ns").as("t"), col("pos_x"), col("pos_y"), col("pos_z")).as("pose"),
       lit(null).cast("string").as("topic"), lit(null).cast("long").as("frame_no"))
     val frameRows = frames.select(col("bag"), col("time_ns"),
       lit(1).as("kind"), lit(0).as("kf"), lit(1).as("kb"),
+      col("frame_no").cast("long").as("tk"),
       lit(null).cast(poseRows.schema("pose").dataType).as("pose"),
       col("topic"), col("frame_no").cast("long").as("frame_no"))
     def poseOnly(c: org.apache.spark.sql.Column) = when(col("kind") === 0, c)
@@ -88,10 +113,12 @@ object SampleAssembly {
     // earlier clip (the q111 total order), gated by the tolerance
     val clipRows = clips.select(col("bag"), col("time_ns"),
       lit(0).as("kind"), lit(1).as("kf"), lit(0).as("kb"),
+      col("clip_id").cast("long").as("tk"),
       struct(col("time_ns").as("t"), col("clip_id")).as("clip"),
       lit(null).cast("string").as("topic"), lit(null).cast("long").as("frame_no"))
     val frameRows2 = frames.select(col("bag"), col("time_ns"),
       lit(1).as("kind"), lit(0).as("kf"), lit(1).as("kb"),
+      col("frame_no").cast("long").as("tk"),
       lit(null).cast(clipRows.schema("clip").dataType).as("clip"),
       col("topic"), col("frame_no").cast("long").as("frame_no"))
     def clipOnly(c: org.apache.spark.sql.Column) = when(col("kind") === 0, c)

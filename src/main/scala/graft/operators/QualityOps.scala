@@ -12,6 +12,20 @@ import graft.functions.Exact.acc
   */
 object QualityOps {
 
+  /** THE per-channel (n, mean, std) decimal-carrier stats chain —
+    * single-sourced for q79/q112/q112b so the σ arithmetic (and any fix
+    * to it) cannot drift between the three operators. σ may read NaN
+    * when carrier rounding drives the variance a hair negative
+    * (E[x²] − E[x]² on a sub-resolution-jitter channel) — consumers gate
+    * that case explicitly. */
+  private def channelStats(e: DataFrame): DataFrame =
+    e.groupBy("event_type").agg(
+      count(lit(1)).as("n"),
+      sum(acc(col("value"))).cast("double").as("sx"),
+      sum(acc(col("value") * col("value"))).cast("double").as("sx2"))
+      .withColumn("mean", col("sx") / col("n"))
+      .withColumn("std", sqrt(col("sx2") / col("n") - col("mean") * col("mean")))
+
   /** q79 — 3-sigma anomaly detection per sensor type: events whose value
     * sits more than three standard deviations from their type's mean.
     *
@@ -24,13 +38,7 @@ object QualityOps {
     */
   def anomalies(s: SparkSession, d: String): DataFrame = {
     val e = Tables.events(s, d)
-    val stats = e.groupBy("event_type").agg(
-      count(lit(1)).as("n"),
-      sum(acc(col("value"))).cast("double").as("sx"),
-      sum(acc(col("value") * col("value"))).cast("double").as("sx2"))
-      .withColumn("mean", col("sx") / col("n"))
-      .withColumn("std", sqrt(col("sx2") / col("n") - col("mean") * col("mean")))
-    e.join(broadcast(stats), Seq("event_type"))
+    e.join(broadcast(channelStats(e)), Seq("event_type"))
       .filter(abs(col("value") - col("mean")) > lit(3.0) * col("std"))
       .select(
         col("event_id"), col("event_type"), col("value"),
@@ -70,13 +78,7 @@ object QualityOps {
   /** The scan core over an arbitrary (event_id, event_type, ts, value)
     * frame — seam for the spec's crafted step series. */
   private[graft] def levelShiftOf(e: DataFrame, w: Int, thresh: Double): DataFrame = {
-    val stats = e.groupBy("event_type").agg(
-      count(lit(1)).as("n"),
-      sum(acc(col("value"))).cast("double").as("sx"),
-      sum(acc(col("value") * col("value"))).cast("double").as("sx2"))
-      .withColumn("mean", col("sx") / col("n"))
-      .withColumn("std", sqrt(col("sx2") / col("n") - col("mean") * col("mean")))
-      .select("event_type", "std")
+    val stats = channelStats(e).select("event_type", "std")
     val ord = org.apache.spark.sql.expressions.Window
       .partitionBy("event_type").orderBy(col("ts"), col("event_id"))
     val before = ord.rowsBetween(-w, -1)
@@ -89,8 +91,12 @@ object QualityOps {
       .join(broadcast(stats), Seq("event_type"))
       // σ = 0 (a constant channel) would read 0/0 = NaN, which BOTH
       // engines order above any threshold — gate it out explicitly: a
-      // channel that never varies has no level to shift
-      .filter(col("std") > 0.0)
+      // channel that never varies has no level to shift. σ itself can
+      // BE NaN (carrier rounding driving the variance a hair negative
+      // on a sub-resolution-jitter channel), and NaN > 0.0 is TRUE in
+      // both engines' orderings — gate it by name or every full-window
+      // row of such a channel would alarm with a NaN z
+      .filter(col("std") > 0.0 && !isnan(col("std")))
       .withColumn("shift_z",
         (col("mean_after") - col("mean_before")) / (col("std") * sqrt(lit(2.0) / lit(w.toDouble))))
       .filter(abs(col("shift_z")) > thresh)
@@ -141,20 +147,22 @@ object QualityOps {
     val ev = e.select(col("event_id").cast("long"), col("event_type"),
       col("ts").cast("long"), col("value").cast("double"))
 
-    // channel σ — the same stats chain as the window form, collected
-    // (bounded: one row per channel)
-    val stats = ev.groupBy("event_type").agg(
-      count(lit(1)).as("n"),
-      sum(acc(col("value"))).cast("double").as("sx"),
-      sum(acc(col("value") * col("value"))).cast("double").as("sx2"))
-      .withColumn("mean", col("sx") / col("n"))
-      .withColumn("std", sqrt(col("sx2") / col("n") - col("mean") * col("mean")))
+    // channel σ — THE shared stats chain, collected (bounded: one row
+    // per channel); NaN σ drops in the kernel exactly like the window
+    // form's isnan gate (Scala's !(NaN > 0.0))
+    val stats = channelStats(ev)
       .select("event_type", "std").collect()
       .map(r => r.getString(0) -> r.getDouble(1)).toMap
     val bcStd = s.sparkContext.broadcast(stats)
 
     // ---- step 1: dense per-channel row index from bucket offsets ----
-    val bucketed = ev.withColumn("tb", floor(col("ts") / lit(bucketNs)).cast("long"))
+    // INTEGER bucket division: Long/Long `/` in Spark is double
+    // division, and at epoch-nanosecond magnitudes (~1.7e18, double ulp
+    // 256 ns) a row within an ulp of a bucket boundary would round into
+    // the wrong bucket and permute the dense index off the (ts,
+    // event_id) order. `div` is exact at any magnitude (ts ≥ 0 here, so
+    // truncation IS floor).
+    val bucketed = ev.withColumn("tb", call_function("div", col("ts"), lit(bucketNs)))
     val counts = bucketed.groupBy("event_type", "tb").count().collect()
       .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2))
     val offsets = counts.sortBy(_._1).foldLeft(

@@ -29,7 +29,11 @@ import org.apache.spark.sql.functions._
 object TrajectoryOps {
 
   def trajectoryStats(odom: DataFrame, stopThresh: Double = 0.1): DataFrame = {
-    val w = Window.partitionBy("bag", "topic").orderBy("time_ns")
+    // (time_ns, seq) — the seq tie-break keeps duplicate-stamp poses
+    // (replayed/merged bags) in one deterministic order, so the landed
+    // rollup cannot drift between identical runs (the engine-wide
+    // series convention: q112 orders (ts, event_id))
+    val w = Window.partitionBy("bag", "topic").orderBy("time_ns", "seq")
     // quaternion yaw (Z-up convention): atan2(2(wz + xy), 1 − 2(y² + z²))
     val yaw = atan2(
       lit(2.0) * (col("ori_w") * col("ori_z") + col("ori_x") * col("ori_y")),
@@ -60,7 +64,8 @@ object TrajectoryOps {
       sum(when(col("seg_speed") < stopThresh, col("dt_s"))).as("dwell_s"),
       // displacement from the windowed firsts + the plain lasts (the
       // last row's pos is max_by over the same (time_ns) order)
-      max_by(struct(col("pos_x"), col("pos_y"), col("pos_z")), col("time_ns")).as("last"),
+      max_by(struct(col("pos_x"), col("pos_y"), col("pos_z")),
+        struct(col("time_ns"), col("seq"))).as("last"),
       first(col("first_x")).as("fx"), first(col("first_y")).as("fy"), first(col("first_z")).as("fz"))
       .withColumn("displacement_m", sqrt(
         (col("last.pos_x") - col("fx")) * (col("last.pos_x") - col("fx")) +

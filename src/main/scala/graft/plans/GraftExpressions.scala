@@ -73,15 +73,24 @@ case class ArraySqDist(left: Expression, right: Expression)
 
   // callers guarantee array<double> inputs (VectorFunctions widens floats)
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
   override def prettyName: String = "graft_sqdist"
 
+  // HOF-exact null contract (not min-length like an innocuous dot):
+  // `aggregate(zip_with(a, b, (x,y)->(x-y)²), 0D, +)` returns NULL for
+  // length-mismatched arrays (zip_with pads with null) and for any null
+  // element — a corrupt 63-element embedding must surface as NULL
+  // (ordered last, visibly wrong), never as a truncated partial distance
+  // silently competing in code assignment or ADC ranking.
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val t = x.getDouble(i) - y.getDouble(i)
       acc += t * t
       i += 1
@@ -96,13 +105,18 @@ case class ArraySqDist(left: Expression, right: Expression)
       val acc = ctx.freshName("acc")
       val t = ctx.freshName("t")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double $t = $a.getDouble($i) - $b.getDouble($i);
-         |  $acc += $t * $t;
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    double $t = $a.getDouble($i) - $b.getDouble($i);
+         |    $acc += $t * $t;
+         |  }
+         |  if (!${ev.isNull}) ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
 

@@ -885,7 +885,7 @@ class AnnIndexSpec extends SparkSpec {
     val k = 10
     val rows = SimilarityOps.retrievalQualityMulti(spark, gate, k).collect()
       .map(r => r.getAs[String]("arm") -> r).toMap
-    assert(rows.keySet === Set("lsh_multi", "ivf_auto", "imi", "ivfpq", "ivfpq_res"))
+    assert(rows.keySet === Set("lsh_multi", "ivf_auto", "imi", "ivfpq", "ivfpq_res", "opq_ivf"))
     rows.values.foreach { r =>
       assert(r.getAs[Long]("n_queries") === 10L)
       Seq("recall", "mrr", "ndcg").foreach { c =>

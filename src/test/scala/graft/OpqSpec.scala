@@ -151,6 +151,21 @@ class OpqSpec extends SparkSpec {
       assert(java.lang.Double.doubleToLongBits(r.getDouble(1)) ===
         java.lang.Double.doubleToLongBits(r.getDouble(2)), s"id ${r.getLong(0)}")
     }
+    // the HOF null contract carries over: length mismatch and null
+    // elements read NULL (a corrupt embedding must surface, never
+    // silently compete with a truncated partial distance)
+    val edge = Seq(
+      (0L, Seq[java.lang.Double](1.0, 2.0), Seq[java.lang.Double](1.0)),
+      (1L, Seq[java.lang.Double](1.0, null), Seq[java.lang.Double](1.0, 2.0)))
+      .toDF("id", "a", "b")
+      .withColumn("native", call_function("graft_sqdist", col("a"), col("b")))
+      .withColumn("hof",
+        expr("aggregate(zip_with(a, b, (x, y) -> (x - y) * (x - y)), 0D, (acc, z) -> acc + z)"))
+      .collect()
+    edge.foreach { r =>
+      assert(r.isNullAt(r.fieldIndex("native")), s"id ${r.getLong(0)} native")
+      assert(r.isNullAt(r.fieldIndex("hof")), s"id ${r.getLong(0)} hof")
+    }
   }
 
 }

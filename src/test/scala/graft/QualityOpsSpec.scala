@@ -118,4 +118,20 @@ class QualityOpsSpec extends SparkSpec {
       QualityOps.levelShiftShardedOf(spark, e, w, thresh = 2.5, chunk = 5, bucketNs = 1000L))
   }
 
+  test("q112/q112b: a sub-resolution-jitter channel (carrier-rounded variance goes NaN) never alarms") {
+    import spark.implicits._
+    // constant 5e-7: each value rounds to 1e-6 at the carrier's scale 6
+    // but value^2 rounds to 0, so E[x^2] - E[x]^2 = -1e-12 and sigma =
+    // sqrt(negative) = NaN. NaN > 0.0 is TRUE in Spark's ordering — the
+    // review finding: without the isnan gate every full-window row
+    // alarmed with a NaN z in the window form while the sharded kernel
+    // (Scala's !(NaN > 0.0)) emitted nothing, breaking their pinned
+    // bit-equality.
+    val e = (0 until 80).map(i => (i.toLong, "nanch", i.toLong * 1000L, 5e-7))
+      .toDF("event_id", "event_type", "ts", "value")
+    assert(QualityOps.levelShiftOf(e, 10, thresh = 3.0).count() === 0L)
+    assert(QualityOps.levelShiftShardedOf(spark, e, 10, thresh = 3.0,
+      chunk = 16, bucketNs = 1000L).count() === 0L)
+  }
+
 }

@@ -17,7 +17,8 @@ class SampleAssemblySpec extends SparkSpec {
   }
   private def odom(rows: (String, Long, Double, Double, Double)*) = {
     import spark.implicits._
-    rows.toDF("bag", "time_ns", "pos_x", "pos_y", "pos_z")
+    rows.zipWithIndex.map { case ((b, t, x, y, z), i) => (b, t, i.toLong, x, y, z) }
+      .toDF("bag", "time_ns", "seq", "pos_x", "pos_y", "pos_z")
   }
 
   test("assembly: interpolated speed, nearest clip with signed offset, detection rollup") {
