@@ -1475,9 +1475,14 @@ object SimilarityOps {
       Ordering.by[(Double, Long, Int, Int), (Double, Long)](t => (t._1, t._2)).reverse
     val heap = scala.collection.mutable.PriorityQueue.empty[(Double, Long, Int, Int)]
     val popped = new java.util.HashSet[Long]()
-    val pushed = new java.util.HashSet[Long]()
+    // no pushed-set needed (a review cleanup): the predecessor-pop
+    // guards below already admit exactly ONE push per cell — (a,b) can
+    // only enter from the LATER of its two predecessors' pops (each
+    // guard checks the OTHER predecessor's popped state), and boundary
+    // cells have a single predecessor. The property spec pins the walk
+    // against a naive grid sort on tie-heavy inputs.
     def push(a: Int, b: Int): Unit =
-      if (a < k && b < k && pushed.add(a.toLong * k + b))
+      if (a < k && b < k)
         heap.enqueue((dsOf(a, b), lidOf(a, b), a, b))
     def isPopped(a: Int, b: Int): Boolean = popped.contains(a.toLong * k + b)
     push(0, 0)
@@ -1529,12 +1534,21 @@ object SimilarityOps {
           out
         }
         it.flatMap { case (id, sv) =>
-          val v = sv.toArray
-          var t = 0.0; var i = 0
-          while (i < v.length) { t += v(i) * v(i); i += 1 }
-          val nrm = math.sqrt(t)
-          frontierCells(dists(c1, v, 0), dists(c2, v, half), nProbe)
-            .map(lid => (id, sv, nrm, lid))
+          // corrupt-row guard (a review finding): the grid path this
+          // replaced scored through graft_sqdist, whose NULL contract
+          // made a short or null embedding surface as NULL distances —
+          // the hand-rolled kernel would instead abort the whole job on
+          // v(off + j). A malformed query row emits NO probes (the same
+          // observable as NULL-ranked everywhere), never a crash.
+          if (sv == null || sv.length != 2 * half) Iterator.empty
+          else {
+            val v = sv.toArray
+            var t = 0.0; var i = 0
+            while (i < v.length) { t += v(i) * v(i); i += 1 }
+            val nrm = math.sqrt(t)
+            frontierCells(dists(c1, v, 0), dists(c2, v, half), nProbe)
+              .map(lid => (id, sv, nrm, lid))
+          }
         }
       }
       .toDF("q_id", "qv", "qnrm", "list_id")

@@ -400,7 +400,22 @@ object TemporalOps {
     require(bucketNs > 0, s"bucketNs must be > 0; got $bucketNs")
     val ref = frames.select(col("bag").as("rig"), col("time_ns").as("t"))
     val sen = sensor.select(col("bag").as("rig"), col("time_ns").as("t"))
-    syncRollupOf(nearestGapOf(ref, sen), bucketNs)
+    val frameRollup = syncRollupOf(nearestGapOf(ref, sen), bucketNs)
+    // sensor-activity buckets with NO reference frames (a review
+    // finding): the audit is frame-centric, so a TOTAL camera outage —
+    // the most severe sensor drop — previously landed zero rows and
+    // monitoring saw silence. Those buckets now land n_frames = 0 rows
+    // (gaps NULL: no reference to measure from), so a dead camera shows
+    // up in its own arriving batch like every other failure.
+    val sensorOnly = sen
+      .groupBy(col("rig"), call_function("div", col("t"), lit(bucketNs)).as("bucket"))
+      .agg(count(lit(1)).as("n_sensor"))
+      .join(frameRollup.select("rig", "bucket"), Seq("rig", "bucket"), "left_anti")
+      .select(col("rig"), col("bucket"),
+        lit(0L).as("n_frames"), lit(0L).as("n_unmatched"),
+        lit(null).cast("long").as("max_abs_gap"),
+        lit(null).cast("double").as("mean_gap"))
+    frameRollup.unionByName(sensorOnly)
       .select(col("rig").as("bag"), col("bucket"), col("n_frames"),
         col("n_unmatched"), col("max_abs_gap").as("max_abs_gap_ns"),
         col("mean_gap").as("mean_gap_ns"))

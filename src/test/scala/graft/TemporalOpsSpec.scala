@@ -315,10 +315,35 @@ class TemporalOpsSpec extends SparkSpec {
     assert(SnapshotLake.versions(spark, table).size === 2,
       "a redelivered batch must not land a new audit version")
   }
+
+  test("lake audit: a DEAD-camera rig (sensor samples, zero frames) lands n_frames=0 rows, never silence") {
+    import spark.implicits._
+    // rigA is healthy (one frame, one coincident sensor sample); rigB's
+    // camera is dead — sensor samples in two buckets, zero frames. The
+    // review finding: the frame-centric rollup previously emitted NOTHING
+    // for rigB, so the most severe sensor drop was invisible.
+    val frames = Seq(("rigA", 1000000000L)).toDF("bag", "time_ns")
+    val sensor = Seq(("rigA", 1000000000L), ("rigB", 500000000L),
+      ("rigB", 70L * 1000000000L)).toDF("bag", "time_ns")
+    val rows = TemporalOps.sensorSyncLakeOf(frames, sensor,
+      bucketNs = 60L * 1000000000L).collect()
+    val rigB = rows.filter(_.getAs[String]("bag") == "rigB")
+    assert(rigB.length === 2) // both sensor-activity buckets land
+    rigB.foreach { r =>
+      assert(r.getAs[Long]("n_frames") === 0L)
+      assert(r.getAs[Long]("n_unmatched") === 0L)
+      assert(r.isNullAt(r.fieldIndex("max_abs_gap_ns")))
+      assert(r.isNullAt(r.fieldIndex("mean_gap_ns")))
+    }
+    val rigA = rows.filter(_.getAs[String]("bag") == "rigA")
+    assert(rigA.length === 1 && rigA.head.getAs[Long]("n_frames") === 1L)
+  }
 }
 
 private object TemporalOpsSpecHelper {
   def bm25Rows(spark: org.apache.spark.sql.SparkSession, sf: String): List[(Long, Double)] =
     operators.TextAnalysisOps.bm25(spark, sf).collect()
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("score"))).toList
+
+
 }

@@ -114,6 +114,11 @@ def decades(out_path, sf1_path, sf10_path, prev=None):
     art = {
         "metric": "decades",
         "n_queries": len(shared),
+        # cpu coverage can be NARROWER than wall coverage (a bench JSON
+        # may carry a query under "queries" but not "cpu") — record it so
+        # a wall-vs-cpu headline comparison over different key sets is
+        # visible, not silent (review finding)
+        "n_cpu_queries": len(cpu_shared),
         "wall_ratio": round(tot10 / tot1, 3) if tot1 > 0 else None,
         "cpu_ratio": round(ctot10 / ctot1, 3) if ctot1 > 0 else None,
         "median_wall_ratio": round(statistics.median(wall.values()), 3) if wall else None,
