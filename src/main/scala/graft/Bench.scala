@@ -52,7 +52,7 @@ object Bench {
     // against its executor count (the GraftSession scaladoc contract).
     val shuffleParts = sys.env.get("SPARK_GRAFT_SHUFFLE_PARTITIONS")
       .map(_.toInt).getOrElse(cpus.toInt)
-    val spark = GraftSession.builder(s"local[$cpus]", shuffleParts)
+    val spark = GraftSession.builderWithEnv(s"local[$cpus]", shuffleParts)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // SPARK_GRAFT_ONLY=q29_bbox_iou,q44_dedup_embedding — targeted audits.

@@ -50,6 +50,27 @@ object GraftSession {
       .config("spark.sql.analyzer.failAmbiguousSelfJoin", "false")
       .config("spark.ui.enabled", "false")
 
+  /** [[builder]] plus `SPARK_GRAFT_EXTRA_CONF` overrides — `k=v;k=v` pairs
+    * applied LAST, so a deployment (or an A/B audit) can re-dial any
+    * session conf without a code edit: the scale-dependent knobs
+    * (shuffle width, split size, AQE thresholds) are cluster-sized in
+    * production while the committed defaults keep the local bench
+    * comparable across rounds. Restricted to `spark.*` keys so a typo'd
+    * pair fails loudly instead of silently configuring nothing. */
+  def builderWithEnv(master: String = "local[32]",
+      shufflePartitions: Int = 32): SparkSession.Builder = {
+    val b = builder(master, shufflePartitions)
+    sys.env.get("SPARK_GRAFT_EXTRA_CONF").toSeq
+      .flatMap(_.split(';')).map(_.trim).filter(_.nonEmpty)
+      .foreach { pair =>
+        val i = pair.indexOf('=')
+        require(i > 0 && pair.startsWith("spark."),
+          s"SPARK_GRAFT_EXTRA_CONF pair must be spark.<key>=<value>; got '$pair'")
+        b.config(pair.substring(0, i).trim, pair.substring(i + 1).trim)
+      }
+    b
+  }
+
   def get(): SparkSession = {
     val s = builder().getOrCreate()
     s.sparkContext.setLogLevel("WARN")

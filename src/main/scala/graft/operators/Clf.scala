@@ -37,7 +37,7 @@ import graft.functions.Exact
   * and the driver update is a fixed IEEE chain — a retrain on the same
   * lake reproduces [[ClfWeights]] bit-for-bit under ANY partitioning.
   */
-object Clf {
+object Clf extends Serializable {
 
   /** A trained model: intercept + sparse bucket weights (untouched
     * buckets are implicitly 0). */
@@ -50,97 +50,169 @@ object Clf {
     m.weights.toDF("b", "w")
   }
 
+  /** Spark's non-ANSI Cast(double → decimal(27,6)) reproduced on the raw
+    * value — the EXACT carrier conversion every Exact.dsum addend goes
+    * through (Decimal(double) is the Double.toString/HALF_UP path;
+    * changePrecision(27,6) is the overflow-to-null gate). Returning null
+    * mirrors the cast's null-on-overflow, which sum() then skips. */
+  private def exactAcc(x: Double): java.math.BigDecimal =
+    try {
+      val d = org.apache.spark.sql.types.Decimal(x)
+      if (d.changePrecision(27, 6)) d.toJavaBigDecimal else null
+    } catch { case _: NumberFormatException => null } // NaN/Infinity → null
+
   /** Train `rounds` of full-batch gradient ascent over `docs`'s hashed
     * n-gram features, label y = (source == refSource). Returns the model;
-    * deterministic for a fixed lake (see object doc). */
+    * deterministic for a fixed lake (see object doc).
+    *
+    * Round-16 optimization (guide §1.2 step 1 — fix the distributed
+    * algorithm before the per-task work): the round loop runs as ONE
+    * `treeAggregate` job per round over a doc-major cached RDD — the
+    * Kmeans/Pq trainer idiom — instead of a per-round Catalyst query
+    * (broadcast join + two aggregations + a co-partitioned self-join).
+    * The per-round DataFrame formulation re-planned and re-COMPILED its
+    * stages every round (the round's `lit(bias)` is embedded in the
+    * generated code, so whole-stage codegen can never cache-hit across
+    * rounds) and materialized ~5 AQE query stages per round: measured
+    * 17.3 s wall / 234 process-CPU-s at sf0.1·local[32] for 33 rounds of
+    * a 1.4k-doc sample — all latency and driver work, not data. The
+    * kernel keeps the math BIT-IDENTICAL (pinned by the frozen
+    * ClfWeights/ClfWeightsSampled oracles and ClfSpec's repartition
+    * determinism spec): every cross-row reduction accumulates the same
+    * decimal(27,6) addends ([[exactAcc]] IS the Cast the carrier
+    * applied), exact decimal addition is order-insensitive, and the
+    * per-doc σ/err chain is the identical IEEE expression tree.
+    *
+    * 100 TB shape: unchanged or better — the features pass and the
+    * doc-major grouping are one corpus scan + one shuffle (as before);
+    * each round then moves only the B-double weight broadcast out and
+    * ≤(B+1) exact-decimal partials per partition back through
+    * treeAggregate's log-depth merge, where the DataFrame loop shuffled
+    * a ≤B-row gradient exchange AND round-tripped the driver ~5× per
+    * round. Per-partition state is one B-slot array; docs stream. */
   def train(s: SparkSession, docs: DataFrame,
       buckets: Int = ClfWeights.Buckets,
       rounds: Int = ClfWeights.Rounds,
       lr: Double = ClfWeights.LearningRate,
       refSource: String = ClfWeights.RefSource): Model = {
     require(rounds >= 1 && rounds <= 1024, s"rounds in [1,1024]; got $rounds")
-    import s.implicits._
-    // repartition(doc_id) BEFORE persisting: every round's per-doc dot
-    // aggregation and its err join-back both key on doc_id, and a cached
-    // HashPartitioning(doc_id) satisfies both — so the k training rounds
-    // run with ZERO exchanges of the feature table (only the ≤B-row
-    // gradient shuffle and the broadcast of the weight vector move data).
-    // Without it each round re-shuffles the corpus-sized features twice —
-    // measured 1445 CPU-s for 32 rounds at sf1 before this.
-    val feats = CurationOps.hashedNgramFeats(docs, buckets)
+    // ONE featurization pass + ONE doc-major grouping: each doc collapses
+    // to (y, n, bs[], ks[]) — the only shape the per-round math reads.
+    // collect_list order is partition-dependent, which is safe by the
+    // same argument as the old formulation's arbitrary row order: every
+    // consumer is an exact-decimal (order-insensitive) reduction.
+    val docRows = CurationOps.hashedNgramFeats(docs, buckets)
       .withColumn("y", when(col("source") === refSource, 1.0).otherwise(0.0))
-      .select("doc_id", "y", "b", "k")
-      .repartition(col("doc_id"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .groupBy("doc_id", "y")
+      .agg(sum(col("k")).as("n"),
+        collect_list(struct(col("b"), col("k"))).as("fs"))
+      .select(col("y"), col("n"), col("fs.b").as("bs"), col("fs.k").as("ks"))
+    val rdd = docRows.rdd.map { r =>
+      (r.getDouble(0), r.getLong(1),
+        r.getSeq[Long](2).toArray, r.getSeq[Long](3).toArray)
+    }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       // class-BALANCED mean gradients (the GPT-3-style classifier trains
       // reference-vs-crawl where positives are a sliver of the corpus):
       // each doc carries weight N/(2·N_class), so both classes pull
       // equally and the step size is corpus-size-INDEPENDENT — the same
       // lr/rounds dial works at sf0.001 and at 100 TB. One tiny count
-      // aggregate up front; exact integers, so the weights are exact.
-      val classCounts = feats.groupBy("doc_id", "y").count()
-        .groupBy("y").agg(count(lit(1)).as("nd")).collect()
-      val nPos = classCounts.find(_.getDouble(0) == 1.0).map(_.getLong(1)).getOrElse(0L)
-      val nNeg = classCounts.find(_.getDouble(0) == 0.0).map(_.getLong(1)).getOrElse(0L)
+      // pass up front (doubles as the cache materialization).
+      val (nPos, nNeg) = rdd.treeAggregate((0L, 0L))(
+        (a, d) => if (d._1 == 1.0) (a._1 + 1L, a._2) else (a._1, a._2 + 1L),
+        (a, b) => (a._1 + b._1, a._2 + b._2))
       require(nPos > 0 && nNeg > 0,
         s"need both classes to train: $nPos docs of '$refSource', $nNeg others")
       val n = (nPos + nNeg).toDouble
       val cwPos = n / (2.0 * nPos)
       val cwNeg = n / (2.0 * nNeg)
+      // Right-size the loop's parallelism to the TRAINING SET, not to the
+      // corpus scan that produced it (the propagateMin device): a small
+      // sample leaves most of the groupBy's partitions holding a handful
+      // of docs, and 32 rounds × 32 near-empty tasks is pure scheduling
+      // latency. The narrowing is a LAZY coalesce over the persisted
+      // blocks (no second copy, no shuffle); at 100 TB the doc count
+      // keeps k at full cluster width. Exact-decimal reductions make the
+      // result independent of this partitioning (ClfSpec pins it).
+      val k = math.min(rdd.getNumPartitions.toLong, (nPos + nNeg) / 20000L + 1L).toInt
+      val loopRdd = if (k < rdd.getNumPartitions) rdd.coalesce(k) else rdd
+
+      // per-doc err under the current (bias, w): the identical IEEE chain
+      // the DataFrame loop evaluated — z = bias + dk/n with dk the exact
+      // decimal dot cast back to double, σ the algebraic sigmoid, err the
+      // class-weighted residual. Null dk (every addend overflowed the
+      // carrier — impossible on real features, mirrored anyway) skips the
+      // doc exactly as null err vanished from both gradient sums before.
+      def docErr(bias: Double, wArr: Array[Double],
+          d: (Double, Long, Array[Long], Array[Long])): (Double, Boolean) = {
+        val (y, nd, bs, ks) = d
+        var dot: java.math.BigDecimal = null
+        var i = 0
+        while (i < bs.length) {
+          val t = exactAcc(ks(i).toDouble * wArr(bs(i).toInt))
+          if (t != null) dot = if (dot == null) t else dot.add(t)
+          i += 1
+        }
+        if (dot == null) (0.0, false)
+        else {
+          val z = bias + dot.doubleValue / nd.toDouble
+          val sig = 0.5 + 0.5 * z / (1.0 + math.abs(z))
+          val cw = if (y == 1.0) cwPos else cwNeg
+          (cw * (y - sig), true)
+        }
+      }
 
       var bias = 0.0
       var w = Map.empty[Int, Double]
       for (_ <- 1 to rounds) {
-        val wdf = if (w.isEmpty) Seq.empty[(Int, Double)].toDF("b", "w")
-          else w.toSeq.toDF("b", "w")
-        // err_d = cw_d·(y − σ(bias + (Σ_b k·w_b)/n_d)): left join (round 1
-        // has an EMPTY weight table — an inner join would drop every doc),
-        // one per-doc aggregation producing dot and n together.
-        // persisted: the per-doc err frame feeds BOTH the per-bucket
-        // gradient join and the bias-gradient sentinel rows — without it
-        // the whole scoring subtree runs twice (aliased subtrees never
-        // unify under exchange reuse)
-        val scored = feats.join(broadcast(wdf), Seq("b"), "left")
-          .groupBy("doc_id", "y")
-          .agg(Exact.dsum(col("k").cast("double") * coalesce(col("w"), lit(0.0))).as("dk"),
-            sum(col("k")).as("n"))
-          .withColumn("z", lit(bias) + col("dk") / col("n").cast("double"))
-          .withColumn("err",
-            when(col("y") === 1.0, lit(cwPos)).otherwise(lit(cwNeg)) *
-              (col("y") - (lit(0.5) + lit(0.5) * col("z") / (lit(1.0) + abs(col("z"))))))
-          .select(col("doc_id"), col("err"), col("n"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        // BOTH gradient reductions in ONE action: the bias gradient
-        // Σ_d err_d rides the same per-bucket aggregation as sentinel
-        // bucket −1 (one err row per doc — recovering it from the
-        // per-bucket rows would double-count multi-bucket docs). Same
-        // decimal-carrier sums over the same addends as two separate
-        // aggregates — bit-identical, at half the jobs per round.
-        // shuffle_hash on the per-doc side: both inputs already carry
-        // HashPartitioning(doc_id) (the cached repartition + the agg that
-        // preserved it), so the join needs NO exchange — and the hint
-        // picks a per-partition hash build over SMJ, which would re-SORT
-        // the corpus-sized feature table every round (measured 5234
-        // CPU-s for 32 rounds at sf1 — the sorts were the whole bill).
-        // Build side is the per-doc err frame: bounded per partition by
-        // docs/partitions, never the feature table, never a broadcast.
+        val wArr = new Array[Double](buckets)
+        w.foreach { case (b, x) => wArr(b) = x }
+        val bw = s.sparkContext.broadcast(wArr)
+        // slot 0 is the bias gradient (the old sentinel bucket −1); slot
+        // b+1 is bucket b. Same addend set as the join formulation: one
+        // (k/n)·err term per (doc, bucket) feature row, one err term per
+        // doc — summed as exact decimals, so any order and any partition
+        // merge tree produce the identical total.
         val grads = try {
-          feats.join(scored.hint("shuffle_hash"), "doc_id")
-            .select(col("b"),
-              (col("k").cast("double") / col("n").cast("double") * col("err")).as("g0"))
-            .unionAll(scored.select(lit(-1L).as("b"), col("err").as("g0")))
-            .groupBy("b")
-            .agg(Exact.dsum(col("g0")).as("g"))
-            .collect()
-        } finally scored.unpersist(blocking = false)
+          loopRdd.treeAggregate(new Array[java.math.BigDecimal](buckets + 1))(
+            (g, d) => {
+              val (err, ok) = docErr(bias, bw.value, d)
+              if (ok) {
+                val nD = d._2.toDouble
+                val bs = d._3; val ks = d._4
+                var i = 0
+                while (i < bs.length) {
+                  val t = exactAcc(ks(i).toDouble / nD * err)
+                  if (t != null) {
+                    val j = bs(i).toInt + 1
+                    g(j) = if (g(j) == null) t else g(j).add(t)
+                  }
+                  i += 1
+                }
+                val tb = exactAcc(err)
+                if (tb != null) g(0) = if (g(0) == null) tb else g(0).add(tb)
+              }
+              g
+            },
+            (a, b) => {
+              var i = 0
+              while (i < a.length) {
+                if (a(i) == null) a(i) = b(i)
+                else if (b(i) != null) a(i) = a(i).add(b(i))
+                i += 1
+              }
+              a
+            })
+        } finally bw.destroy()
         val upd = collection.mutable.Map(w.toSeq: _*)
-        grads.sortBy(_.getLong(0)).foreach { r =>
-          if (r.getLong(0) < 0) bias += lr * (r.getDouble(1) / n)
-          else {
-            val b = r.getLong(0).toInt // charHash % buckets: always in [0, B)
-            upd(b) = upd.getOrElse(b, 0.0) + lr * (r.getDouble(1) / n)
+        if (grads(0) != null) bias += lr * (grads(0).doubleValue / n)
+        var bi = 1
+        while (bi <= buckets) {
+          if (grads(bi) != null) {
+            val b = bi - 1
+            upd(b) = upd.getOrElse(b, 0.0) + lr * (grads(bi).doubleValue / n)
           }
+          bi += 1
         }
         w = upd.toMap
       }
@@ -149,20 +221,45 @@ object Clf {
       // of equilibrium — useless as a keep/drop threshold. Center it:
       // bias := −(mean_ref dot + mean_background dot)/2, so logit 0 is
       // the midpoint between the class means (Platt-style calibration,
-      // standard after any quality-classifier fit). One aggregation;
-      // class means ride the exact-decimal carrier, the midpoint is a
-      // fixed IEEE chain — determinism unchanged.
-      val wdf = w.toSeq.toDF("b", "w")
-      val classMeans = feats.join(broadcast(wdf), Seq("b"), "left")
-        .groupBy("doc_id", "y")
-        .agg((Exact.dsum(col("k").cast("double") * coalesce(col("w"), lit(0.0))) /
-          sum(col("k")).cast("double")).as("dot"))
-        .groupBy("y").agg(Exact.davg(col("dot")).as("m"))
-        .collect()
-      val mPos = classMeans.find(_.getDouble(0) == 1.0).get.getDouble(1)
-      val mNeg = classMeans.find(_.getDouble(0) == 0.0).get.getDouble(1)
+      // standard after any quality-classifier fit). One pass; class
+      // means ride the exact-decimal carrier (per-doc dot/n as a double,
+      // re-carried exactly as Exact.davg did), the midpoint is a fixed
+      // IEEE chain — determinism unchanged.
+      val wArr = new Array[Double](buckets)
+      w.foreach { case (b, x) => wArr(b) = x }
+      val bwF = s.sparkContext.broadcast(wArr)
+      val (sPos, cPos, sNeg, cNeg) = try {
+        loopRdd.treeAggregate((null: java.math.BigDecimal, 0L,
+            null: java.math.BigDecimal, 0L))(
+          (a, d) => {
+            val (y, nd, bs, ks) = d
+            var dot: java.math.BigDecimal = null
+            var i = 0
+            while (i < bs.length) {
+              val t = exactAcc(ks(i).toDouble * bwF.value(bs(i).toInt))
+              if (t != null) dot = if (dot == null) t else dot.add(t)
+              i += 1
+            }
+            if (dot == null) a // null dot ⇒ null per-doc mean: skipped by sum AND count
+            else {
+              val m = exactAcc(dot.doubleValue / nd.toDouble)
+              if (m == null) a
+              else if (y == 1.0)
+                (if (a._1 == null) m else a._1.add(m), a._2 + 1L, a._3, a._4)
+              else
+                (a._1, a._2, if (a._3 == null) m else a._3.add(m), a._4 + 1L)
+            }
+          },
+          (a, b) => (
+            if (a._1 == null) b._1 else if (b._1 == null) a._1 else a._1.add(b._1),
+            a._2 + b._2,
+            if (a._3 == null) b._3 else if (b._3 == null) a._3 else a._3.add(b._3),
+            a._4 + b._4))
+      } finally bwF.destroy()
+      val mPos = sPos.doubleValue / cPos.toDouble
+      val mNeg = sNeg.doubleValue / cNeg.toDouble
       Model(-(mPos + mNeg) / 2.0, w.toSeq.sortBy(_._1))
-    } finally feats.unpersist(blocking = false)
+    } finally rdd.unpersist(blocking = false)
   }
 
   /** q94 — the trained model as a driver query: re-runs the FULL
