@@ -316,25 +316,52 @@ object CurationOps {
       .select(col("doc_id"), col("logit").as("score"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    def ranks(j: DataFrame, c: String): DataFrame = {
+    // Round-16 (guide §2.6): the three scorer materializations and then
+    // the three arms are INDEPENDENT jobs submitted from one driver
+    // thread each — serially, the whole query idled most of local[32]
+    // (and of any cluster) while each arm's rank sorts ran alone; results
+    // are collected per arm and assembled in fixed order, so the output
+    // is byte-identical. Job descriptions are thread-local: each arm
+    // stays labelled in the UI.
+    def concurrently[A](work: Seq[() => A]): Seq[A] = {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(work.size)
+      try {
+        import scala.concurrent._
+        import scala.concurrent.duration.Duration
+        implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+        Await.result(Future.sequence(work.map(f => Future(f()))), Duration.Inf)
+      } finally pool.shutdown()
+    }
+    concurrently(Seq(lm, dsir, clf).map(df => () => { df.count(); () }))
+
+    def ranks(j: DataFrame, c: String): (DataFrame, org.apache.spark.rdd.RDD[_]) = {
       val schema = StructType(Seq(
         StructField("doc_id", LongType, nullable = false),
         StructField(s"r_$c", LongType, nullable = false)))
-      val rdd = j.select(col("doc_id"), col(c))
+      // persist the sorted ids BEFORE zipWithIndex: its internal
+      // per-partition count job would otherwise execute the range sort
+      // once and the consuming join would execute it AGAIN (zipWithIndex
+      // does not cache its parent) — the sort ran twice per rank table.
+      val sorted = j.select(col("doc_id"), col(c))
         .orderBy(col(c), col("doc_id"))
-        .rdd.zipWithIndex()
-        .map { case (r, i) => Row(r.getLong(0), i + 1L) }
-      s.createDataFrame(rdd, schema)
+        .rdd.map(_.getLong(0))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val rdd = sorted.zipWithIndex()
+        .map { case (docId, i) => Row(docId, i + 1L) }
+      (s.createDataFrame(rdd, schema), sorted)
     }
 
-    val arms = Seq(("lm", lm, "dsir", dsir), ("lm", lm, "clf", clf),
-      ("dsir", dsir, "clf", clf)).map { case (na, a, nb, b) =>
+    val armWork = Seq(("lm", lm, "dsir", dsir), ("lm", lm, "clf", clf),
+      ("dsir", dsir, "clf", clf)).map { case (na, a, nb, b) => () => {
+      s.sparkContext.setJobDescription(s"q98: $na-$nb arm")
       // persisted: the joined pair feeds BOTH rank sorts (aliased
       // subtrees never unify), and each rank sort feeds the final join
       val j = a.select(col("doc_id"), col("score").as("sa"))
         .join(b.select(col("doc_id"), col("score").as("sb")), "doc_id")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val joined = ranks(j, "sa").join(ranks(j, "sb"), "doc_id")
+      val (ra, rddA) = ranks(j, "sa")
+      val (rb, rddB) = ranks(j, "sb")
+      val joined = ra.join(rb, "doc_id")
         .select((col("r_sa") - col("r_sb")).as("dd"))
       // cast BEFORE multiplying: dd² as long×long overflows at ~3e9
       // docs; DECIMAL(19,0)×DECIMAL(19,0) → DECIMAL(38,0) is exact
@@ -350,8 +377,11 @@ object CurationOps {
             .otherwise(lit(0.0)).as("spearman"))
         .collect() // 1 row per arm; unpersisting j before the union
       j.unpersist(blocking = false)
+      rddA.unpersist(blocking = false)
+      rddB.unpersist(blocking = false)
       out(0)
-    }
+    }}
+    val arms = concurrently(armWork)
     Seq(lm, dsir, clf).foreach(_.unpersist(blocking = false))
     import s.implicits._
     arms.map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
@@ -1289,7 +1319,14 @@ object CurationOps {
     */
   private[graft] def dsirScores(s: SparkSession, d: String,
       refSource: String = "src0", buckets: Int = 1024): DataFrame = {
+    // persisted: the featurization (tokenize + two explodes + hash +
+    // partial agg — the expensive part of this query) feeds BOTH the
+    // per-bucket model pivot and the scoring join; aliased subtrees never
+    // unify, so uncached it ran twice (plan audit, round 16). Released by
+    // the caller's clearCache (the q86/dedupRecall shared-intermediate
+    // convention); ≤ |docs|·~2·tokens rows of 4 narrow columns.
     val feats = hashedNgramFeats(Tables.documentsScaled(s, d), buckets)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val isRef = col("source") === refSource
     // both model tables in ONE pass over the bucketed features (a
