@@ -406,14 +406,20 @@ object Clf extends Serializable {
       .select(col("doc_id"), col("logit"),
         (col("source") === lit(ClfWeights.RefSource)).cast("long").as("is_ref"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // persist the sorted ids BEFORE zipWithIndex (the q98 rank fix): its
+    // internal per-partition count job executes the range sort once and
+    // the consuming join would execute it AGAIN — zipWithIndex does not
+    // cache its parent, so the sort ran twice per eval.
+    val sortedIds = scored.select(col("doc_id"), col("logit"))
+      .orderBy(col("logit"), col("doc_id"))
+      .rdd.map(_.getLong(0))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       // global 1-based ranks over (logit, doc_id) — the Terasort shape
       val schema = StructType(Seq(
         StructField("doc_id", LongType, nullable = false),
         StructField("rank", LongType, nullable = false)))
-      val rrdd = scored.select(col("doc_id"), col("logit"))
-        .orderBy(col("logit"), col("doc_id"))
-        .rdd.zipWithIndex().map { case (r, i) => Row(r.getLong(0), i + 1L) }
+      val rrdd = sortedIds.zipWithIndex().map { case (id, i) => Row(id, i + 1L) }
       val ranks = s.createDataFrame(rrdd, schema)
       // midrank per tied-logit group: ranks in a tied group are
       // consecutive, so sum/cnt IS the midrank regardless of tiebreak
@@ -447,7 +453,10 @@ object Clf extends Serializable {
       // scored cache (a lazy return would rescan uncached)
       val rows = out.collect()
       s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
-    } finally scored.unpersist(blocking = false)
+    } finally {
+      sortedIds.unpersist(blocking = false)
+      scored.unpersist(blocking = false)
+    }
   }
 
   /** q95d — CALIBRATION audit of the frozen classifier (reliability
