@@ -1419,17 +1419,25 @@ object CurationOps {
     * thresholds without rescoring. Emits one row per (source, bucket)
     * with its doc count plus the two cuts.
     *
-    * Scale shape: the q90 scoring pipeline runs twice (once under the
-    * 1-row tercile aggregate, once under the bucket rollup — the q79
-    * two-scan shape; the cut table broadcasts back), each pass linear
-    * with broadcast LM tables; the rollup is ≤ 3·|sources| rows. Exact
+    * Scale shape: the q90 scoring pipeline runs ONCE into a persisted
+    * per-doc score frame (4 narrow columns — far smaller than the corpus
+    * text) that feeds both the 1-row tercile aggregate and the bucket
+    * rollup (the cut table broadcasts back); the rollup is
+    * ≤ 3·|sources| rows. Exact
     * percentile over bit-identical scores (the q14 percentile ↔
     * quantile_cont convention), ties at a cut land LOW in both engines
     * (avg_nll <= cut), so the bucketing is value-exact.
     */
   def ccnetBuckets(s: SparkSession, d: String,
       refSource: String = "src0"): DataFrame = {
-    def scored = lmPerplexityOf(Tables.documentsScaled(s, d), refSource)
+    // persisted (round 16): the two-scan shape ran the whole q90 scoring
+    // chain twice (once under the tercile aggregate, once under the
+    // rollup). The scored frame is PER-DOC and 4 narrow columns — orders
+    // of magnitude smaller than the corpus text it is derived from — so
+    // caching it is the right trade at any scale. Released by the
+    // caller's clearCache (the shared-intermediate convention).
+    val scored = lmPerplexityOf(Tables.documentsScaled(s, d), refSource)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cuts = scored.agg(
       percentile(col("avg_nll"), lit(0.3333333333333333)).as("cut1"),
       percentile(col("avg_nll"), lit(0.6666666666666666)).as("cut2"))
