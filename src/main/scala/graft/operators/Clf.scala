@@ -134,7 +134,13 @@ object Clf extends Serializable {
       // blocks (no second copy, no shuffle); at 100 TB the doc count
       // keeps k at full cluster width. Exact-decimal reductions make the
       // result independent of this partitioning (ClfSpec pins it).
-      val k = math.min(rdd.getNumPartitions.toLong, (nPos + nNeg) / 20000L + 1L).toInt
+      // ~2k docs/partition ≈ tens of ms of kernel work per task per round
+      // (measured ~50 µs/doc at ~200 features): small enough that a round
+      // is latency-bound only below ~2k docs TOTAL, large enough that a
+      // task amortizes its dispatch. 20k/partition read 1 s SERIAL rounds
+      // at the sf1 audit scale (k collapsed to 1) — the dial is sized to
+      // the per-round work, not to bytes.
+      val k = math.min(rdd.getNumPartitions.toLong, (nPos + nNeg) / 2000L + 1L).toInt
       val loopRdd = if (k < rdd.getNumPartitions) rdd.coalesce(k) else rdd
 
       // per-doc err under the current (bias, w): the identical IEEE chain
