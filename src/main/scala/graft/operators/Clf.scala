@@ -330,10 +330,18 @@ object Clf extends Serializable {
     * EliminateSorts does not fire across the explode/join subtrees).
     * [[scoreTable]] adds the q95 driver query's ordering itself. */
   private[graft] def scoreOf(docs: DataFrame, m: Model, buckets: Int,
+      carry: Seq[String] = Seq("source")): DataFrame =
+    scoreOfFeats(CurationOps.hashedNgramFeats(docs, buckets, carry), m, carry)
+
+  /** [[scoreOf]] over a caller-owned (doc_id, `carry`..., b, k) feature
+    * frame — the q98 seam (see dsirScoresOfFeats): the agreement matrix
+    * derives these features from its wider-bucket DSIR frame instead of
+    * re-featurizing the corpus. */
+  private[graft] def scoreOfFeats(feats: DataFrame, m: Model,
       carry: Seq[String] = Seq("source")): DataFrame = {
     val keys = "doc_id" +: carry
-    CurationOps.hashedNgramFeats(docs, buckets, carry)
-      .join(broadcast(modelDf(docs.sparkSession, m)), Seq("b"), "left")
+    feats
+      .join(broadcast(modelDf(feats.sparkSession, m)), Seq("b"), "left")
       .groupBy(keys.map(col): _*)
       .agg(sum(col("k")).as("n_feats"),
         Exact.dsum(col("k").cast("double") * coalesce(col("w"), lit(0.0))).as("dk"))

@@ -305,6 +305,15 @@ object CurationOps {
     val lm = lmPerplexityOf(Tables.documentsScaled(s, d), "src0")
       .select(col("doc_id"), (-col("avg_nll")).as("score"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // NOTE (round 16, negative result): deriving the classifier's B=256
+    // features from the DSIR B=1024 frame via the exact re-bucketing
+    // identity ((h mod 1024) mod 256 = h mod 256) was implemented,
+    // proven parity-exact, and REJECTED on measurement: sf0.1 wall
+    // 6.2 → 12.8 s, sf1 CPU +72 % — the saved tokenize+explode pass is
+    // cheaper than the added wide-frame cache write, the regroup
+    // shuffle, and the cache-block lock contention between the two
+    // concurrent scorer jobs. The OfFeats seams remain (single-sourced
+    // scoring bodies); the scorers featurize independently.
     val dsir = dsirScores(s, d)
       .select(col("doc_id"), col("logweight").as("score"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -1327,7 +1336,15 @@ object CurationOps {
     // convention); ≤ |docs|·~2·tokens rows of 4 narrow columns.
     val feats = hashedNgramFeats(Tables.documentsScaled(s, d), buckets)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    dsirScoresOfFeats(feats, refSource, buckets)
+  }
 
+  /** [[dsirScores]] over a caller-owned (doc_id, source, b, k) feature
+    * frame — the q98 seam: the agreement matrix featurizes the corpus
+    * ONCE at the widest bucket count and feeds every scorer from it
+    * (the caller persists and releases the frame). */
+  private[graft] def dsirScoresOfFeats(feats: DataFrame,
+      refSource: String, buckets: Int): DataFrame = {
     val isRef = col("source") === refSource
     // both model tables in ONE pass over the bucketed features (a
     // conditional-sum pivot, not two aggregations + a full-outer join)
