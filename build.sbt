@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked JVM's stdout/stderr STRAIGHT THROUGH instead of routing
+// them through sbt's logger: the logger prefixes every line with "[info] ",
+// which has defeated machine parsing of Bench's one-line JSON contract in
+// every round's driver artifact (BENCH_r*.json `parsed: null` since round
+// 1 — round-16 verdict item 2). The lines themselves are unchanged.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

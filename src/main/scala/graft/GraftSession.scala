@@ -66,10 +66,30 @@ object GraftSession {
         val i = pair.indexOf('=')
         require(i > 0 && pair.startsWith("spark."),
           s"SPARK_GRAFT_EXTRA_CONF pair must be spark.<key>=<value>; got '$pair'")
-        b.config(pair.substring(0, i).trim, pair.substring(i + 1).trim)
+        val key = pair.substring(0, i).trim
+        // the env hook is a TUNING seam, not a semantics seam: ANSI mode
+        // and the session timezone change what casts/date functions
+        // COMPUTE (while e.g. Clf.train's exactAcc kernel keeps non-ANSI
+        // Cast semantics compiled in), so an override here would silently
+        // break engine↔kernel/oracle bit-parity. Refuse loudly.
+        require(!semanticKeys(key),
+          s"SPARK_GRAFT_EXTRA_CONF may not override semantics-relevant conf '$key'")
+        // every applied override is logged so a bench artifact records
+        // what it actually ran with (before/after comparability)
+        System.err.println(s"graft: SPARK_GRAFT_EXTRA_CONF override: $pair")
+        b.config(key, pair.substring(i + 1).trim)
       }
     b
   }
+
+  /** Confs that change query SEMANTICS rather than execution shape —
+    * rejected by [[builderWithEnv]] (see the parity rationale there). */
+  private val semanticKeys = Set(
+    "spark.sql.ansi.enabled",
+    "spark.sql.session.timeZone",
+    "spark.sql.legacy.parquet.nanosAsLong",
+    "spark.sql.parquet.int96RebaseModeInRead",
+    "spark.sql.parquet.datetimeRebaseModeInRead")
 
   def get(): SparkSession = {
     val s = builder().getOrCreate()

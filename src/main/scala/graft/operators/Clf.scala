@@ -246,14 +246,22 @@ object Clf extends Serializable {
               if (t != null) dot = if (dot == null) t else dot.add(t)
               i += 1
             }
-            if (dot == null) a // null dot ⇒ null per-doc mean: skipped by sum AND count
+            if (dot == null) a // null dot: skipped by sum AND count (SQL avg)
             else {
+              // Exact.davg semantics, matched exactly: count(dot) counted
+              // every NON-NULL dot, while sum(acc(dot)) skipped a dot whose
+              // re-carry overflowed decimal(27,6) to null — so a non-null
+              // dot always increments the count, and only a non-null
+              // re-carried mean joins the sum (divergence possible only in
+              // that pathological overflow case, but bit-parity with the
+              // replaced Catalyst formulation must not depend on the data).
               val m = exactAcc(dot.doubleValue / nd.toDouble)
-              if (m == null) a
-              else if (y == 1.0)
-                (if (a._1 == null) m else a._1.add(m), a._2 + 1L, a._3, a._4)
+              if (y == 1.0)
+                (if (a._1 == null) m
+                 else if (m == null) a._1 else a._1.add(m), a._2 + 1L, a._3, a._4)
               else
-                (a._1, a._2, if (a._3 == null) m else a._3.add(m), a._4 + 1L)
+                (a._1, a._2, if (a._3 == null) m
+                 else if (m == null) a._3 else a._3.add(m), a._4 + 1L)
             }
           },
           (a, b) => (
@@ -262,6 +270,12 @@ object Clf extends Serializable {
             if (a._3 == null) b._3 else if (b._3 == null) a._3 else a._3.add(b._3),
             a._4 + b._4))
       } finally bwF.destroy()
+      // loud failure over NPE: an all-null class mean (every doc's dot
+      // overflowing the decimal carrier) has no defined calibration — the
+      // replaced Catalyst formulation surfaced it as a null-handling error
+      // too, never as a silent 0.0
+      require(sPos != null && cPos > 0L && sNeg != null && cNeg > 0L,
+        s"calibration needs a non-null mean per class (pos sum=$sPos n=$cPos, neg sum=$sNeg n=$cNeg)")
       val mPos = sPos.doubleValue / cPos.toDouble
       val mNeg = sNeg.doubleValue / cNeg.toDouble
       Model(-(mPos + mNeg) / 2.0, w.toSeq.sortBy(_._1))

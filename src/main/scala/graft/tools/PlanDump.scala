@@ -18,7 +18,17 @@ object PlanDump {
       if (args.length > 3) args(3).split(',').map(_.trim).filter(_.nonEmpty).toSeq
       else graft.SparkEntry.queries.keySet.toSeq.sorted
     Files.createDirectories(out)
-    val spark = graft.GraftSession.get()
+    // same env-driven session shape as Bench (SPARK_GRAFT_CPUS /
+    // SPARK_GRAFT_SHUFFLE_PARTITIONS / SPARK_GRAFT_EXTRA_CONF): committed
+    // plan evidence must match the configuration the bench actually ran —
+    // a fixed local[32] session here could dump plans AQE would shape
+    // differently under the benched knobs (advisor finding, round 16)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val shuffleParts = sys.env.get("SPARK_GRAFT_SHUFFLE_PARTITIONS")
+      .map(_.toInt).getOrElse(cpus.toInt)
+    val spark = graft.GraftSession
+      .builderWithEnv(s"local[$cpus]", shuffleParts).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
     val unknown = names.filterNot(graft.SparkEntry.queries.contains)
     require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(", ")}")
     names.foreach { name =>

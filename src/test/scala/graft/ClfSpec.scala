@@ -177,4 +177,26 @@ class ClfSpec extends SparkSpec {
     assert(gate.getDouble(5) > 0.8, s"frozen classifier AUC degraded: ${gate.getDouble(5)}")
     assert(gate.getDouble(7) > 0.5, s"reference recall degraded: ${gate.getDouble(7)}")
   }
+
+  test("trainers reproduce the frozen ClfWeights/ClfWeightsSampled on the " +
+    "gate lake bit-exactly") {
+    // the kernel-vs-carrier equivalence pinned IN CI, not only by
+    // driver-side oracle runs (advisor finding, round 16): the
+    // treeAggregate trainer must reproduce the frozen artifacts — which
+    // the replaced Catalyst formulation produced — to the last bit,
+    // bias included, on the lake they were trained on
+    val gate = "/root/testdata/sf0.01"
+    val full = Clf.trainTable(spark, gate)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val fullExp = ((-1L, graft.operators.ClfWeights.Bias) +:
+      graft.operators.ClfWeights.values.map { case (b, x) => (b.toLong, x) })
+      .sortBy(_._1)
+    assert(full.toSeq === fullExp)
+    val sampled = Clf.trainTableSampled(spark, gate)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val sampledExp = ((-1L, graft.operators.ClfWeightsSampled.Bias) +:
+      graft.operators.ClfWeightsSampled.values.map { case (b, x) => (b.toLong, x) })
+      .sortBy(_._1)
+    assert(sampled.toSeq === sampledExp)
+  }
 }
