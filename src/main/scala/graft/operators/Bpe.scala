@@ -76,21 +76,74 @@ object Bpe {
         array_join(split(col("t"), ""), SC + SO), lit(SC)).as("w"),
         col("freq"))
 
+  /** UTF8-binary "less than" — java.lang.String compares UTF-16 code
+    * UNITS, which disagrees with Spark's UTF8String binary ordering on
+    * supplementary characters (surrogate pairs sort below U+E000..U+FFFF
+    * in UTF-16, above in code-point/UTF-8 order). The trainer's tie-break
+    * must reproduce the replaced `orderBy(l, r)` exactly for ANY corpus
+    * symbol, so the driver-side argmax compares UTF-8 bytes unsigned. */
+  private[graft] def utf8Lt(a: String, b: String): Boolean = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      val d = (x(i) & 0xff) - (y(i) & 0xff)
+      if (d != 0) return d < 0
+      i += 1
+    }
+    x.length < y.length
+  }
+
   /** The most frequent adjacent pair of the current symbol stream, with
-    * its count — q87's aggregation generalized to multi-char symbols. */
-  private def bestPair(words: DataFrame): Option[(String, String, Long)] =
-    words.select(col("freq"),
-        split(expr("substring(w, 2, length(w) - 2)"), SC + SO).as("s"))
-      .filter(size(col("s")) >= 2)
-      .select(col("freq"), explode(expr(
-        "transform(sequence(1, size(s) - 1), i -> struct(element_at(s, i) AS l, element_at(s, i + 1) AS r))")).as("p"))
-      .groupBy(col("p.l").as("l"), col("p.r").as("r"))
-      .agg(sum(col("freq")).as("n"))
-      .orderBy(col("n").desc, col("l"), col("r"))
-      .limit(1)
-      .collect()
-      .headOption
-      .map(row => (row.getString(0), row.getString(1), row.getLong(2)))
+    * its count — q87's aggregation generalized to multi-char symbols,
+    * as ONE kernel job over the persisted word multiset: a per-partition
+    * HashMap of pair→freq-weighted count (bounded by live-vocabulary²,
+    * in practice a few thousand entries) merged pairwise, then the
+    * (n DESC, l ASC, r ASC) argmax driver-side under UTF-8 binary string
+    * order ([[utf8Lt]]) — the exact total order the replaced Catalyst
+    * `orderBy(desc(n), l, r).limit(1)` applied. Counts are exact integer
+    * sums either way, so the selected merge is identical. */
+  private def bestPair(words: org.apache.spark.rdd.RDD[(String, Long)])
+      : Option[(String, String, Long)] = {
+    val counts = words.treeAggregate(
+      collection.mutable.HashMap.empty[(String, String), Long])(
+      (m, wf) => {
+        val (w, f) = wf
+        // w = SO+sym+SC per symbol: strip the outer brackets, split on
+        // the SC+SO seam (only ever a symbol boundary by construction)
+        val syms = BOUNDARY.split(w.substring(1, w.length - 1), -1)
+        var i = 0
+        while (i < syms.length - 1) {
+          val key = (syms(i), syms(i + 1))
+          m.update(key, m.getOrElse(key, 0L) + f)
+          i += 1
+        }
+        m
+      },
+      (a, b) => {
+        val (small, big) = if (a.size <= b.size) (a, b) else (b, a)
+        small.foreach { case (k, v) => big.update(k, big.getOrElse(k, 0L) + v) }
+        big
+      })
+    if (counts.isEmpty) None
+    else {
+      val ((l, r), n) = counts.minBy(identity)(Ordering.fromLessThan[((String, String), Long)] {
+        case (((l1, r1), n1), ((l2, r2), n2)) =>
+          if (n1 != n2) n1 > n2
+          else if (l1 != l2) utf8Lt(l1, l2)
+          else utf8Lt(r1, r2)
+      })
+      Some((l, r, n))
+    }
+  }
+
+  /** The SC+SO symbol seam, precompiled as a LITERAL pattern (compiled
+    * once per executor, not once per word). LAZY: object vals initialize
+    * in declaration order and SO/SC are declared below — an eager val
+    * here compiled Pattern("nullnull") and silently split nothing. */
+  private lazy val BOUNDARY = java.util.regex.Pattern
+    .compile(SC + SO, java.util.regex.Pattern.LITERAL)
 
   /** Train `rounds` merges over the documents' whitespace tokens. Stops
     * early when the best remaining pair's count falls below `minCount`
@@ -101,42 +154,72 @@ object Bpe {
       minCount: Long = 2L): Seq[Merge] = {
     require(rounds >= 1 && rounds <= 4096, s"rounds in [1,4096]; got $rounds")
     val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
-    // materialize-and-truncate each round (the dedupGroups pattern):
-    // snapshot the rows as a persisted RDD and rebuild the DataFrame over
-    // it (a flat LogicalRDD plan). With plain persist, round r's plan is
-    // an r-deep chain whose analysis/plan-description cost grows with the
-    // round — by round 16 the driver spent more time stringifying plans
-    // than the cluster spent merging (measured 6.5 min at sf0.1 vs 30 s
-    // with the snapshot). Content is identical — determinism unchanged.
-    def snapshot(df: DataFrame)
-        : (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]) = {
-      val rdd = df.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      try rdd.count() catch {
-        case e: Throwable => rdd.unpersist(blocking = false); throw e
-      }
-      (s.createDataFrame(rdd, df.schema), rdd)
+    // Round 17 (guide §1.2 / §7.3, the Clf-kernel lesson): the loop runs
+    // over a raw persisted (word, freq) RDD — ONE treeAggregate job per
+    // round — instead of per-round Catalyst queries. The replaced shape
+    // paid, per round, a fresh bestPair plan + a snapshot count job whose
+    // plan embedded the round's merge as literals (no codegen cache hit),
+    // ~2 jobs and a full plan/codegen cycle per round — driver latency a
+    // cluster pays exactly as local mode does. The update rule is
+    // IDENTICAL: pair counts are exact freq-weighted integer sums, the
+    // argmax total order is (n DESC, l ASC, r ASC) under UTF-8 binary
+    // string order (bestPair's scaladoc), and the merge application is
+    // java.lang.String.replace — literal, left-to-right, non-overlapping,
+    // the same semantics as the replaced Catalyst `replace` (and DuckDB's;
+    // the q89 equivalence). LlmOpsSpec pins the merge sequence against a
+    // reference implementation; the frozen BpeMerges oracle pins q88.
+    var prev: org.apache.spark.rdd.RDD[(String, Long)] = null
+    var words = initialWords(docs).rdd
+      .map(r => (r.getString(0), r.getLong(1)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val vocab = try words.count() catch {
+      case e: Throwable => words.unpersist(blocking = false); throw e
     }
-    var (words, wordsRdd) = snapshot(initialWords(docs))
+    // right-size the loop's parallelism to PER-ROUND KERNEL WORK (the
+    // Clf.train dial lesson): each round costs ~0.5 µs of pair-count +
+    // replace CPU per distinct word, so ~20k words/partition keeps round
+    // stages at tens of ms while the corpus scan's inherited width would
+    // pay 32 near-empty tasks per round at small SF. At 100 TB the
+    // distinct vocabulary (Heaps' law) still spreads to cluster width.
+    val k = math.min(s.sparkContext.defaultParallelism.toLong,
+      vocab / 20000L + 1L).toInt
+    if (k < words.getNumPartitions) {
+      val sized = words.coalesce(k)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try sized.count() catch {
+        case e: Throwable =>
+          sized.unpersist(blocking = false)
+          words.unpersist(blocking = false)
+          throw e
+      }
+      words.unpersist(blocking = false)
+      words = sized
+    }
     try {
       var round = 1
       var continue = true
       while (continue && round <= rounds) {
-        bestPair(words) match {
+        // the aggregate materializes this round's words into its persist
+        // (reading the PREVIOUS round's cached blocks), so a round is one
+        // job; the grandparent snapshot releases right after
+        val best = bestPair(words)
+        if (prev != null) { prev.unpersist(blocking = false); prev = null }
+        best match {
           case Some((l, r, n)) if n >= minCount =>
             merges += Merge(round, l, r, n)
-            // one codegen'd literal replace == the greedy fold for a
-            // single merge (the q89 equivalence, spec-pinned)
-            val (next, nextRdd) = snapshot(words.select(
-              replace(col("w"), lit(SO + l + SC + SO + r + SC),
-                lit(SO + l + r + SC)).as("w"), col("freq")))
-            wordsRdd.unpersist(blocking = false)
+            val (pat, rep) = (SO + l + SC + SO + r + SC, SO + l + r + SC)
+            val next = words.map { case (w, f) => (w.replace(pat, rep), f) }
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            prev = words
             words = next
-            wordsRdd = nextRdd
             round += 1
           case _ => continue = false
         }
       }
-    } finally wordsRdd.unpersist(blocking = false)
+    } finally {
+      words.unpersist(blocking = false)
+      if (prev != null) prev.unpersist(blocking = false)
+    }
     merges.toSeq
   }
 

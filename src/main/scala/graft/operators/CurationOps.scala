@@ -368,30 +368,42 @@ object CurationOps {
       val j = a.select(col("doc_id"), col("score").as("sa"))
         .join(b.select(col("doc_id"), col("score").as("sb")), "doc_id")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val (ra, rddA) = ranks(j, "sa")
-      val (rb, rddB) = ranks(j, "sb")
-      val joined = ra.join(rb, "doc_id")
-        .select((col("r_sa") - col("r_sb")).as("dd"))
-      // cast BEFORE multiplying: dd² as long×long overflows at ~3e9
-      // docs; DECIMAL(19,0)×DECIMAL(19,0) → DECIMAL(38,0) is exact
-      val out = joined.agg(count(lit(1)).as("n_docs"),
-          sum(col("dd").cast("decimal(19,0)") *
-            col("dd").cast("decimal(19,0)")).as("sd2"))
-        .select(lit(na).as("method_a"), lit(nb).as("method_b"),
-          col("n_docs"),
-          when(col("n_docs") > 1,
-            lit(1.0) - lit(6.0) * col("sd2").cast("double") /
-              (col("n_docs").cast("double") * (col("n_docs").cast("double") *
-                col("n_docs").cast("double") - lit(1.0))))
-            .otherwise(lit(0.0)).as("spearman"))
-        .collect() // 1 row per arm; unpersisting j before the union
-      j.unpersist(blocking = false)
-      rddA.unpersist(blocking = false)
-      rddB.unpersist(blocking = false)
-      out(0)
+      // a failed arm must release ITS caches on the way out — without the
+      // finally, an exception escaping Await.result leaked j/rddA/rddB
+      // (MEMORY_AND_DISK) until the caller's clearCache
+      var rddA: org.apache.spark.rdd.RDD[_] = null
+      var rddB: org.apache.spark.rdd.RDD[_] = null
+      try {
+        val (ra, ka) = ranks(j, "sa"); rddA = ka
+        val (rb, kb) = ranks(j, "sb"); rddB = kb
+        val joined = ra.join(rb, "doc_id")
+          .select((col("r_sa") - col("r_sb")).as("dd"))
+        // cast BEFORE multiplying: dd² as long×long overflows at ~3e9
+        // docs; DECIMAL(19,0)×DECIMAL(19,0) → DECIMAL(38,0) is exact
+        val out = joined.agg(count(lit(1)).as("n_docs"),
+            sum(col("dd").cast("decimal(19,0)") *
+              col("dd").cast("decimal(19,0)")).as("sd2"))
+          .select(lit(na).as("method_a"), lit(nb).as("method_b"),
+            col("n_docs"),
+            when(col("n_docs") > 1,
+              lit(1.0) - lit(6.0) * col("sd2").cast("double") /
+                (col("n_docs").cast("double") * (col("n_docs").cast("double") *
+                  col("n_docs").cast("double") - lit(1.0))))
+              .otherwise(lit(0.0)).as("spearman"))
+          .collect() // 1 row per arm
+        out(0)
+      } finally {
+        j.unpersist(blocking = false)
+        if (rddA != null) rddA.unpersist(blocking = false)
+        if (rddB != null) rddB.unpersist(blocking = false)
+      }
     }}
-    val arms = concurrently(armWork)
-    Seq(lm, dsir, clf).foreach(_.unpersist(blocking = false))
+    // the scorer caches likewise must not outlive a failed arm: without
+    // the finally an exception out of Await.result left lm/dsir/clf
+    // persisted until the caller's clearCache (advisor finding, round 16)
+    val arms =
+      try concurrently(armWork)
+      finally Seq(lm, dsir, clf).foreach(_.unpersist(blocking = false))
     import s.implicits._
     arms.map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
       .toDF("method_a", "method_b", "n_docs", "spearman")
@@ -604,9 +616,15 @@ object CurationOps {
     */
   def winnowDedup(s: SparkSession, d: String, k: Int = 5, w: Int = 4,
       dfCap: Long = 64, minShared: Long = 2, threshold: Double = 0.35): DataFrame =
+    // the ordering is q50c's user-facing contract; composed consumers
+    // (q86's candidate arm, CorpusPrep's drop list, q96b's per-w arms)
+    // consume the unsorted seams — their joins/aggregates make a global
+    // sort a pure wasted range-exchange (see ngramJaccardUnsorted)
     winnowDedupOf(Tables.documentsScaled(s, d), k, w, dfCap, minShared, threshold)
+      .orderBy("doc_a", "doc_b")
 
-  /** [[winnowDedup]] over an arbitrary (doc_id, text, ...) frame. */
+  /** [[winnowDedup]] over an arbitrary (doc_id, text, ...) frame —
+    * UNSORTED (every caller joins or aggregates the pairs). */
   private[graft] def winnowDedupOf(docs: DataFrame, k: Int, w: Int,
       dfCap: Long, minShared: Long, threshold: Double): DataFrame =
     // the same fingerprint can be selected at several positions of one
@@ -638,7 +656,6 @@ object CurationOps {
       .withColumn("jaccard", col("shared") / (col("na") + col("nb") - col("shared")))
       .filter(col("shared") >= minShared && col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "shared", "jaccard")
-      .orderBy("doc_a", "doc_b")
   }
 
   /** q96b — the WINNOW operating curve (the q96 device for the q50c
@@ -667,7 +684,8 @@ object CurationOps {
     // persisted: the expensive exact arm feeds the 1-row total and every
     // per-w candidate join; released by the caller's clearCache between
     // queries (the q86/dedupRecall shared-intermediate convention)
-    val exact = DedupOps.ngramJaccard(s, d, sampleFrac = sampleFrac)
+    // unsorted seam: the truth feeds a join + aggregate only (see q86)
+    val exact = DedupOps.ngramJaccardUnsorted(s, d, sampleFrac = sampleFrac)
       .select("doc_a", "doc_b")
       .withColumn("hit", lit(1))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -589,19 +589,40 @@ object SimilarityOps {
         (5L, "ivfpq_res", knnIvfPqResidual(s, d, k, queryIdMax)),
         (6L, "opq_ivf", knnIvfPqOpq(s, d, k, queryIdMax)))
       val perArm = arms.map { case (no, name, arm) =>
-        retrievalQualityOf(exact, arm, k)
+        (no, name, retrievalQualityOf(exact, arm, k)
           .agg(
             count(lit(1)).as("n_queries"),
             davg(col("hits").cast("double") / col("n_exact").cast("double")).as("recall"),
             davg(col("rr")).as("mrr"),
             davg(col("ndcg")).as("ndcg"))
           .select(lit(no).as("arm_no"), lit(name).as("arm"),
-            col("n_queries"), col("recall"), col("mrr"), col("ndcg"))
+            col("n_queries"), col("recall"), col("mrr"), col("ndcg")))
       }
-      val out = perArm.reduce(_ unionByName _)
-      // bounded (|arms| rows): materialize so the truth persist releases
-      val rows = out.collect().sortBy(_.getLong(0))
-      s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+      // Round 17 (guide §2.6, the q98 overlap pattern): the six arms were
+      // one unionByName collect — a single action whose arm pipelines ran
+      // with most of the cluster idle (7.1 s wall on 41.5 CPU-s at 32
+      // cores). The truth materializes FIRST (so concurrent arms read its
+      // cache instead of racing to compute it), then each arm's one-row
+      // aggregate collects from its own driver thread. Rows assemble in
+      // fixed arm_no order — the output is byte-identical.
+      s.sparkContext.setJobDescription("q107b: brute-force truth")
+      exact.count()
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(perArm.size)
+      val rows = try {
+        import scala.concurrent._
+        import scala.concurrent.duration.Duration
+        implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+        Await.result(Future.sequence(perArm.map { case (no, name, df) =>
+          Future {
+            // job descriptions are thread-local: each arm stays labelled
+            s.sparkContext.setJobDescription(s"q107b: $name arm")
+            df.collect()(0)
+          }
+        }), Duration.Inf)
+      } finally pool.shutdown()
+      s.createDataFrame(
+        java.util.Arrays.asList(rows.sortBy(_.getLong(0)): _*),
+        perArm.head._3.schema)
     } finally exact.unpersist(blocking = false)
   }
 
