@@ -1345,19 +1345,24 @@ object CurationOps {
     * any partitioning.
     */
   private[graft] def dsirScores(s: SparkSession, d: String,
-      refSource: String = "src0", buckets: Int = 1024): DataFrame =
-    // NOT persisted (round 17, reverting a round-16 change): the
-    // featurization feeds both the model pivot and the scoring join, but
-    // caching it LOST on measurement at every scale tried — +20-22 % CPU
-    // at sf0.1 (two independent measurement sets, round 16) and a wash at
-    // sf1 (interleaved A/B ×3: persist 2.88/3.53/2.90 s wall,
-    // 53.9/64.5/54.8 CPU-s; uncached 2.87/3.06/3.10 s, 51.9/63.5/67.1).
-    // The frame is NOT small: one row per distinct (doc, bucket) — up to
-    // 1024 rows/doc, corpus-scale — so the MEMORY_AND_DISK write+read
-    // costs about what the second featurization pass costs, and at 100 TB
-    // it is exactly the "don't cache the corpus" case (guide §5).
-    dsirScoresOfFeats(hashedNgramFeats(Tables.documentsScaled(s, d), buckets),
-      refSource, buckets)
+      refSource: String = "src0", buckets: Int = 1024): DataFrame = {
+    // persisted: the featurization (tokenize + two explodes + hash +
+    // partial agg — the expensive part of this query) feeds BOTH the
+    // per-bucket model pivot and the scoring join; aliased subtrees never
+    // unify, so uncached it ran twice (plan audit, round 16). The round-17
+    // A/B settled the scale question the round-16 verdict raised: the
+    // persist costs +20-22 % CPU at the tiny sf0.1 (cache write + block
+    // locks dwarf the re-run of a small pass), is a wash at sf1
+    // (interleaved ×3), and WINS 1.2-1.3× wall / 1.3× CPU at sf10
+    // (interleaved ×2: 15.4/16.6 s vs 20.1/19.3 uncached) — the second
+    // featurization pass grows with the corpus while the cache cost is
+    // one (doc, bucket) write+read. Scale-correct choice: keep it.
+    // Released by the caller's clearCache (the q86/dedupRecall
+    // shared-intermediate convention).
+    val feats = hashedNgramFeats(Tables.documentsScaled(s, d), buckets)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    dsirScoresOfFeats(feats, refSource, buckets)
+  }
 
   /** [[dsirScores]] over a caller-owned (doc_id, source, b, k) feature
     * frame — the q98 seam: the agreement matrix featurizes the corpus
