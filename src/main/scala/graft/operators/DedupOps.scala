@@ -730,8 +730,8 @@ object DedupOps {
       keys: Option[DataFrame], cacheKeyOverride: Option[String] = None): DataFrame = {
     // packed priority keys decode back to their node via the low 40 bits —
     // the pointer-jump step needs label values to resolve to node ids
-    val decode: Long => Long =
-      if (keys.isEmpty) identity else (c: Long) => c % (1L << 40)
+    val decode: Column => Column =
+      if (keys.isEmpty) identity else (c: Column) => c % lit(1L << 40)
     val labels = propagateMin(s, minhashPairsRaw(s, d), maxRounds, keys, decode,
       cacheKey = cacheKeyOverride.getOrElse(
         if (keys.isEmpty) "groups-min" else "groups-priority"))
@@ -758,175 +758,130 @@ object DedupOps {
     * connected-components engine of q55/q55b (duplicate groups) and q32
     * (track stitching). `pairsIn` carries one row per undirected edge
     * (first two columns are the endpoints); `keys` optionally remaps the
-    * propagated total order (doc_id -> packed priority key); `decodeKey`
-    * inverts a label VALUE back to its node id (the pointer jump looks a
-    * label's own label up). Returns (doc_id, canonical) for every node
-    * incident to an edge — canonical is the component's minimum label
-    * (key when remapped). The returned frame's snapshot stays cached for
-    * the caller's lazy consumption; each invocation releases the previous
-    * snapshot under the SAME `cacheKey` (one live labeling per (session,
-    * caller), so the eager q55/q55b/q32 views never evict each other).
-    *
-    * Round 17 (guide §1.2 step 1 — fix the distributed algorithm's
-    * EXECUTION before per-task work; §7.3 driver-side planning): the
-    * iterative phase runs as a RAW RDD loop — ONE job per round over
-    * co-partitioned persisted pair RDDs — instead of per-round Catalyst
-    * queries. The DataFrame loop re-analyzed, re-planned and re-compiled
-    * three joins every round and materialized their AQE query stages and
-    * broadcasts (~6-8 jobs/round; q32 probe: 60 jobs / 61 tasks — pure
-    * driver round-trip latency at ANY scale, because each round's plan
-    * is structurally identical and only the snapshot changes). The RDD
-    * loop keeps the IDENTICAL update rule — new = min(old, min over
-    * neighbors' labels), then one pointer jump through the label's own
-    * node (path doubling, O(log diameter) rounds) — and the arithmetic
-    * is Long min/%, no floating point, so the converged fixpoint is the
-    * same unique component minimum; only the execution engine changed
-    * (DomainOpsSpec pins rounds AND jobs; the oracles pin the output).
-    * Per round: a NARROW join of the reverse adjacency with the labels
-    * (both hash-partitioned by the same partitioner — the edge set never
-    * re-shuffles), a map-side-combined reduce of the neighbor minima,
-    * one request/response shuffle pair for the pointer jump, and the
-    * change-detecting persist+count (accumulator fused into the
-    * materialization pass, as before — retries can only inflate it and
-    * the convergence test is `== 0`, so it stays exact). At 100 TB the
-    * bytes moved per round are the same label/edge sets the DataFrame
-    * loop shuffled; what's removed is per-round planning, codegen and
-    * AQE materialization — driver latency a cluster pays exactly as
-    * local mode does. */
+    * propagated total order (doc_id -> packed priority key). Returns
+    * (doc_id, canonical) for every node incident to an edge — canonical
+    * is the component's minimum label (key when remapped). The returned
+    * frame's snapshot stays cached for the caller's lazy consumption;
+    * each invocation releases the previous snapshot under the SAME
+    * `cacheKey` (one live labeling per (session, caller), so the eager
+    * q55/q55b/q32 views never evict each other). */
   private[graft] def propagateMin(s: SparkSession, pairsIn: DataFrame,
       maxRounds: Int, keys: Option[DataFrame] = None,
-      decodeKey: Long => Long = identity,
+      decodeKey: Column => Column = identity,
       cacheKey: String = "default"): DataFrame = {
     require(maxRounds >= 1, s"maxRounds must be >= 1; got $maxRounds")
-    import org.apache.spark.HashPartitioner
-    import org.apache.spark.rdd.RDD
-    import org.apache.spark.sql.Row
-    import org.apache.spark.sql.types.{LongType, StructField, StructType}
-    import org.apache.spark.storage.StorageLevel
-    val sc = s.sparkContext
+    // materialize-and-truncate: persist the rows as an RDD, rebuild the
+    // DataFrame over it (a flat LogicalRDD plan). This keeps per-round
+    // planning cost constant — with plain persist every round re-analyzes
+    // the ever-deeper iterative plan and planning dominates wall time —
+    // while keeping an explicit handle for releasing the blocks (which
+    // localCheckpoint would leave to driver GC). `parts > 0` right-sizes
+    // the snapshot's partition count to the data (see below).
+    def materialize(df: DataFrame, parts: Int = 0, changedCol: Option[String] = None)
+        : (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row], Long) = {
+      // change detection fuses into the snapshot count: the accumulator
+      // ticks while the persist pass runs, so a round is ONE job, not a
+      // count + a second filter-count over the same snapshot. Task retries
+      // can only inflate an accumulator — and a row with changed=false adds
+      // 0 no matter how often it replays — so the `== 0` convergence test
+      // stays exact.
+      val acc = changedCol.map(_ => s.sparkContext.longAccumulator("changed"))
+      val changedIdx = changedCol.map(df.schema.fieldIndex)
+      val rdd0 = (acc, changedIdx) match {
+        case (Some(a), Some(i)) =>
+          df.rdd.map { r => if (!r.isNullAt(i) && r.getBoolean(i)) a.add(1L); r }
+        case _ => df.rdd
+      }
+      val rdd = (if (parts > 0 && parts < rdd0.getNumPartitions) rdd0.coalesce(parts) else rdd0)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // a job failure inside this count (executor loss, OOM) would otherwise
+      // strand the half-cached blocks with no handle left to free them
+      val n = try rdd.count() catch {
+        case e: Throwable => rdd.unpersist(blocking = false); throw e
+      }
+      (s.createDataFrame(rdd, df.schema), rdd, acc.map(_.value.longValue).getOrElse(n))
+    }
     val pcols = pairsIn.columns
-    // one row per DIRECTED edge (both directions), as a raw long-pair RDD —
-    // the single Catalyst evaluation of the caller's candidate query
-    val dirRdd = pairsIn
-      .select(col(pcols(0)).cast("long"), col(pcols(1)).cast("long"))
-      .rdd.flatMap { r =>
-        val a = r.getLong(0); val b = r.getLong(1)
-        Iterator((a, b), (b, a))
-      }.persist(StorageLevel.MEMORY_AND_DISK)
-    val edgeCount = try dirRdd.count() catch {
-      case e: Throwable => dirRdd.unpersist(blocking = false); throw e
-    }
-    // The edge set is orders of magnitude smaller than the corpus (it is
-    // the near-dup candidate stream), so the loop right-sizes its
+    val pairs = pairsIn.select(col(pcols(0)).as("doc_a"), col(pcols(1)).as("doc_b"))
+    var (edges, edgesRdd, edgeCount) = materialize(
+      pairs.union(pairs.select(col("doc_b"), col("doc_a"))).toDF("u", "v"))
+    // The edge set is orders of magnitude smaller than the corpus (it is the
+    // near-dup candidate stream), so the iterative phase right-sizes its
     // parallelism to the data instead of inheriting the corpus scan's: at
-    // 100 TB `k` stays at cluster width, while a small edge set collapses
-    // to a handful of partitions so each round is a few tasks, not
-    // defaultParallelism-many per job. The divisor is sized to PER-ROUND
-    // KERNEL WORK (the Clf.train dial lesson), not shuffle bytes: each
-    // round's stages cost ~2 µs of hash-join/reduce CPU per directed edge
-    // (measured: 0.4 s single-task stages on the q32 link set), so 25k
-    // edges/partition keeps round stages at tens of ms while a 500k dial
-    // serialized 3 × 0.4 s × rounds of REAL work onto one core (q32 wall
-    // 6.8 → 10.0 s, the interleaved A/B that caught it).
-    val k = math.min(sc.defaultParallelism.toLong, edgeCount / 25000L + 1L).toInt
-    val part = new HashPartitioner(k)
-    // reverse adjacency (v -> u), hash-partitioned ONCE and persisted: the
-    // per-round neighbor-label lookup is then a narrow co-partitioned join
-    val edgesByV = dirRdd.map(_.swap).partitionBy(part)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    // only documents that appear in a pair can change label — the loop
-    // runs on that (much smaller) node set and the rest of the corpus
-    // joins back as its own canonical at the caller. The node set and the
-    // FIRST propagation round fuse into one reduce: every node's initial
-    // canonical is min(self, direct neighbors), so the loop below starts
-    // one round ahead (its first pass is pure verification on star-shaped
-    // components, the common near-dup case).
-    var labels: RDD[(Long, Long)] = (keys match {
-      case None =>
-        // (v, u) rows carry both directions, so per u: min(u, min over v)
-        edgesByV.map { case (v, u) => (u, math.min(u, v)) }
-          .reduceByKey(part, (a: Long, b: Long) => math.min(a, b))
-      case Some(kdf) =>
-        // label VALUES are the packed priority keys; the same min-label
-        // fixpoint over a different total order. The key attachment is
-        // one Catalyst query over the edge-node set (small by
-        // construction) — the per-round loop never touches kdf again.
-        val eschema = StructType(Seq(
-          StructField("u", LongType, nullable = false),
-          StructField("v", LongType, nullable = false)))
-        s.createDataFrame(edgesByV.map { case (v, u) => Row(u, v) }, eschema)
-          .join(kdf.select(col("doc_id").as("u"), col("k").as("ku")), Seq("u"))
-          .join(kdf.select(col("doc_id").as("v"), col("k").as("kv")), Seq("v"))
-          .groupBy(col("u"))
-          .agg(least(min(col("ku")), min(col("kv"))).as("canonical"))
-          .rdd.map(r => (r.getLong(0), r.getLong(1)))
-          .partitionBy(part)
-    }).persist(StorageLevel.MEMORY_AND_DISK)
-    try labels.count() catch { // materializes edgesByV through the same job
-      case e: Throwable =>
-        labels.unpersist(blocking = false)
-        edgesByV.unpersist(blocking = false)
-        dirRdd.unpersist(blocking = false)
-        throw e
-    }
-    dirRdd.unpersist(blocking = false) // edgesByV holds the only live copy
+    // 100 TB `k` stays at cluster width, while a small edge set collapses to
+    // a handful of partitions so each round is a few tasks, not
+    // defaultParallelism-many per job. Same idea AQE applies to shuffles,
+    // done here by hand because the loop runs over raw persisted RDDs. The
+    // narrowing is a LAZY coalesce over the already-persisted blocks — a
+    // second persisted copy of the edge set bought nothing but an extra
+    // pass (reading 32 cached blocks through a k-way coalesce is free).
+    val k = math.min(s.sparkContext.defaultParallelism.toLong, edgeCount / 500000L + 1L).toInt
+    if (k < edgesRdd.getNumPartitions)
+      edges = s.createDataFrame(edgesRdd.coalesce(k), edges.schema)
+    // only documents that appear in a pair can change label — the
+    // propagation loop runs on that (much smaller) node set and the rest of
+    // the corpus joins back as its own canonical at the end. The node set
+    // and the FIRST propagation round fuse into one aggregation: every
+    // node's initial canonical is min(self, direct neighbors), so the loop
+    // below starts one round ahead (its first pass is pure verification on
+    // star-shaped components, the common near-dup case).
+    var (labels, labelsRdd, _) = materialize(
+      keys match {
+        case None =>
+          edges.groupBy(col("u")).agg(least(col("u"), min(col("v"))).as("canonical"))
+            .select(col("u").as("doc_id"), col("canonical"))
+        case Some(kdf) =>
+          // label VALUES are the packed priority keys; the same min-label
+          // fixpoint over a different total order. Both key joins touch
+          // only the edge-node set (small by construction).
+          edges
+            .join(kdf.select(col("doc_id").as("u"), col("k").as("ku")), Seq("u"))
+            .join(kdf.select(col("doc_id").as("v"), col("k").as("kv")), Seq("v"))
+            .groupBy(col("u"))
+            .agg(least(min(col("ku")), min(col("kv"))).as("canonical"))
+            .select(col("u").as("doc_id"), col("canonical"))
+      }, k)
     var round = 0
     var converged = false
     try {
       while (!converged && round < maxRounds) {
-        val acc = sc.longAccumulator("changed")
-        val prev = labels
-        // neighbor minima: labels flow TO each neighbor u along the
-        // reverse adjacency — narrow on both sides (same partitioner),
-        // then one map-side-combined reduce by u
-        val nbrMin = edgesByV.join(prev, part)
-          .map { case (_, (u, lv)) => (u, lv) }
-          .reduceByKey(part, (a: Long, b: Long) => math.min(a, b))
+        val nbrMin = edges.join(labels, edges("v") === labels("doc_id"))
+          .groupBy(col("u")).agg(min("canonical").as("nbr_min"))
+        val stepped = labels.join(nbrMin, labels("doc_id") === nbrMin("u"), "left")
+          .select(labels("doc_id"),
+            col("canonical").as("c0"),
+            least(col("canonical"), coalesce(col("nbr_min"), col("canonical"))).as("c1"))
         // POINTER JUMP (path doubling): c1 names a node in this component
         // (decodeKey inverts a packed priority key back to its node), and
         // that node's own label may already be smaller — taking it makes
         // labels hop 2^round edges instead of one, so convergence is
-        // O(log diameter) rounds. min is monotone and label(c1) sits in
-        // the same component, so the fixpoint — the component minimum —
-        // is untouched. Each node emits exactly one lookup request keyed
-        // by c1's node; the response routes back keyed by the node.
-        val next = prev.leftOuterJoin(nbrMin, part)
-          .map { case (nd, (c0, nm)) =>
-            val c1 = math.min(c0, nm.getOrElse(c0))
-            (decodeKey(c1), (nd, c0, c1))
-          }
-          .leftOuterJoin(prev, part) // prev narrow; requests shuffle
-          .map { case (_, ((nd, c0, c1), jc)) =>
-            val nl = math.min(c1, jc.getOrElse(c1))
-            (nd, (nl, nl < c0))
-          }
-          .partitionBy(part)
-          .mapPartitions(_.map { case (nd, (nl, ch)) =>
-            // change detection fused into the materialization pass: the
-            // accumulator ticks while the persist runs, so a round is ONE
-            // job. Retries can only inflate it, and the convergence test
-            // is `== 0` — a replayed unchanged row adds nothing — so the
-            // test stays exact.
-            if (ch) acc.add(1L)
-            (nd, nl)
-          }, preservesPartitioning = true)
-          .persist(StorageLevel.MEMORY_AND_DISK)
-        // a job failure inside this count (executor loss, OOM) would
-        // otherwise strand the half-cached blocks with no handle to free
-        try next.count() catch {
-          case e: Throwable => next.unpersist(blocking = false); throw e
-        }
-        prev.unpersist(blocking = false) // exactly one label snapshot live
-        labels = next
-        converged = acc.value.longValue == 0L
+        // O(log diameter) rounds. Chain-shaped components (q32's tracks)
+        // would otherwise pay one round PER EDGE of track length; min is
+        // monotone and label(c1) sits in the same component, so the
+        // fixpoint — the component minimum — is untouched. Change
+        // detection stays inline (final < previous) and rides the
+        // snapshot's own persist pass (materialize's accumulator).
+        val jumped = least(col("c1"), coalesce(col("jc"), col("c1")))
+        val (next, nextRdd, changed) = materialize(
+          stepped.join(
+            labels.select(col("doc_id").as("jd"), col("canonical").as("jc")),
+            decodeKey(stepped("c1")) === col("jd"), "left")
+            .select(stepped("doc_id"),
+              jumped.as("canonical"),
+              (jumped < col("c0")).as("__changed")),
+          k, changedCol = Some("__changed"))
+        labelsRdd.unpersist(blocking = false) // exactly one label snapshot live
+        labels = next.drop("__changed")
+        labelsRdd = nextRdd
+        converged = changed == 0
         round += 1
       }
     } finally {
-      edgesByV.unpersist(blocking = false)
+      edgesRdd.unpersist(blocking = false)
       // every abnormal exit — non-convergence throw below, or a job failure
       // mid-round — must release the current snapshot, or it leaks with no
       // handle left to free it
-      if (!converged) labels.unpersist(blocking = false)
+      if (!converged) labelsRdd.unpersist(blocking = false)
     }
     // a component whose min-label distance exceeds maxRounds would silently
     // keep duplicates — refuse to return a non-converged labeling
@@ -938,12 +893,9 @@ object DedupOps {
     // As with postingCaches, each invocation instead releases the PREVIOUS
     // call's snapshot under the same key, bounding repeat callers (Bench
     // best-of-3, registerQueries) to one live labeling per (session, caller).
-    groupsCaches.put((s, cacheKey), labels)
+    groupsCaches.put((s, cacheKey), labelsRdd)
     lastPropagationRounds.set(round)
-    val schema = StructType(Seq(
-      StructField("doc_id", LongType, nullable = false),
-      StructField("canonical", LongType, nullable = false)))
-    s.createDataFrame(labels.map { case (nd, c) => Row(nd, c) }, schema)
+    labels
   }
 
   /** Diagnostic seam: the round count of the most recent [[propagateMin]]
